@@ -1,0 +1,140 @@
+"""Text-analysis Column functions for large-scale document pipelines.
+
+All pure Column expressions (JVM-side, codegen'd) — no Python in the hot
+path, so they hold up over billions of documents. Each has an exact
+ANSI-SQL equivalent (used by the DuckDB correctness oracle).
+
+The reference has no text analytics beyond name cleaning
+(reference etl/orders_etl.py:173-192); these are the scale extensions
+called for by the build plan (SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small and fixed: language ID at 100 TB must be
+# a cheap, deterministic scan-time expression, not a model call.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "que"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "con"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenizer: array of non-empty tokens."""
+    return F.regexp_extract_all(_c(col), F.lit(r"\S+"), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token estimate: count word pieces + digits + punctuation
+    runs (a BPE-flavored regex, not a real BPE vocabulary)."""
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0)
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of space-joined word n-grams (shingles) — the unit of
+    MinHash / Jaccard dedup. Empty array when fewer than ``n`` tokens."""
+    toks = tokenize(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams of the input string."""
+    c = _c(col)
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def _stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Count of stopword occurrences (non-distinct), via one regex scan."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 0))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' when nothing matches. Ties break by LANG_STOPWORDS key order.
+    One projection, no shuffle, no UDF."""
+    c = _c(col)
+    hits = {lang: _stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so that earlier languages win ties (last when() wins in a
+    # chained otherwise, hence build from the lowest priority up)
+    for lang in reversed(list(hits)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Cheap document quality heuristic in [0, 1]:
+
+    0.4 * stopword ratio (hits/tokens, clamped to 1)
+    + 0.3 * alphabetic-character ratio
+    + 0.3 * length score (tokens/50, clamped to 1)
+    """
+    c = _c(col)
+    n_tokens = token_count(c)
+    all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    stop_ratio = F.least(
+        F.lit(1.0),
+        _stopword_hits(c, all_stop) / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    )
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+    length_score = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    return F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio + F.lit(0.3) * length_score,
+        6,
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+    Equal fingerprint == exact (normalized) duplicate; group on it for
+    exact dedup at any scale (hash-groupBy, map-side combinable)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column | str, k: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: hash every char ``k``-gram of
+    the normalized text and keep the ``keep`` smallest hashes (a
+    deterministic sample stable under small edits). Returns
+    ``array<string>`` of hex hashes."""
+    grams = char_ngrams(normalize_text(col), k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    return F.slice(F.array_sort(hashes), 1, keep)

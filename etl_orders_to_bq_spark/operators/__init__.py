@@ -1,0 +1,24 @@
+from .dedup import (
+    exact_dedup,
+    first_occurrence_dedup,
+    minhash_signature,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import score_similarity, similar_products, top_k_similar
+from .ann import ann_topk_bruteforce, ann_topk_lsh
+
+__all__ = [
+    "first_occurrence_dedup",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "score_similarity",
+    "similar_products",
+    "top_k_similar",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+]

@@ -1,0 +1,104 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies:
+
+- ``ann_topk_bruteforce``: exact cosine top-k against a broadcast query
+  vector. One projection + TakeOrderedAndProject (per-partition heap of
+  size k, no global sort). This is the correctness baseline and is
+  already linear-scan optimal for a single query at any scale.
+- ``ann_topk_lsh``: random-hyperplane LSH — deterministic signed
+  projections bucket vectors so a query only scans its own bucket(s).
+  The scale path for query-heavy workloads: bucketing is a one-off
+  projection; per-query cost drops from O(N) to O(N / 2^bits) expected.
+
+No UDFs: dot products are ``zip_with``/``aggregate`` higher-order
+functions (functions/vectors.py), evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: (id, cos_sim) desc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based so the
+    same planes are reproducible anywhere, including the SQL oracle)."""
+    planes = []
+    state = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state / float(2**63)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / norm for x in row])
+    return planes
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Append an integer ``bucket`` column: sign pattern of ``bits``
+    random-hyperplane projections. Pure projection — at scale, write the
+    table partitioned/bucketed by this column so queries prune files."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane]).cast("array<double>")
+        bit = F.when(dot(F.col(vec_col), p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    Recall can be raised by lowering ``bits`` or probing neighboring
+    buckets (Hamming distance 1) — left as the multi-probe extension.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(p * q for p, q in zip(plane, query_vec)) > 0:
+            qbucket += 2**i
+    bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col, seed)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = bucketed.filter(F.col("bucket") == qbucket).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

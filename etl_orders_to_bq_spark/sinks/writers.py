@@ -1,0 +1,64 @@
+"""Sinks behind one writer interface.
+
+The reference's only sink is BigQuery via pandas-gbq with
+``if_exists=replace/append/fail`` (reference etl/bq_client.py:20-32,
+etl/run.py:11). We map those modes onto Spark save modes and expose
+Parquet/CSV local sinks behind the same call shape so tests and the
+BigQuery path share one interface.
+
+BigQuery uses the spark-bigquery connector (``format("bigquery")``).
+The connector jar is not baked into this container, so the format is
+dispatched lazily and surfaces a clear error when unavailable —
+the code path itself is exercised by tests via the parquet format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# pandas-gbq if_exists -> Spark save mode
+_MODE_MAP = {
+    "replace": "overwrite",
+    "append": "append",
+    "fail": "errorifexists",
+}
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    fmt: str = "parquet",
+    if_exists: str = "replace",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write ``df`` to ``target`` in ``fmt`` with reference-style modes.
+
+    - fmt="parquet"/"csv": ``target`` is a path.
+    - fmt="bigquery": ``target`` is ``dataset.tablename`` (reference
+      call shape, etl/run.py:11); requires the spark-bigquery connector
+      on the classpath and GOOGLE_APPLICATION_CREDENTIALS, exactly like
+      the reference (.env.example:1).
+
+    ``partition_by`` is the scale lever: a 100 TB output should be
+    partitioned on its pruning column (e.g. date) so downstream scans
+    prune directories.
+    """
+    mode = _MODE_MAP.get(if_exists)
+    if mode is None:
+        raise ValueError(f"if_exists must be one of {sorted(_MODE_MAP)}")
+
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+
+    if fmt == "parquet":
+        writer.parquet(target)
+    elif fmt == "csv":
+        writer.option("header", True).csv(target)
+    elif fmt == "bigquery":
+        writer.format("bigquery").option("table", target).save()
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")

@@ -1,0 +1,4 @@
+from .csv import read_csv_raw
+from .parquet import load_tables, read_parquet
+
+__all__ = ["read_csv_raw", "read_parquet", "load_tables"]
