@@ -1,38 +1,598 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the scale-extension operators) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` carries the DuckDB-runnable ANSI-SQL
+equivalent used by the driver's t2 correctness gate.
+
+Conventions (so the driver's sorted-column value-hash matches):
+- every computed column is aliased identically on both sides;
+- every accumulated double (sum) is rounded to 2 dp, every ratio/avg
+  to 4-6 dp, absorbing cross-engine/partition-order float jitter;
+- top-k queries always carry a unique tie-break column on the ROUNDED
+  score so the selected row set is deterministic on both engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue rollup by region x market segment.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with broadcast dims;
+    demonstrates scan pruning, broadcast joins, and a partial-agg
+    pipeline — the plan shape the whole engine is built around.
+    """
+    li = _t(spark, SF_SMOKE, "lineitem")
+    orders = _t(spark, SF_SMOKE, "orders")
+    cust = _t(spark, SF_SMOKE, "customer")
+    nation = _t(spark, SF_SMOKE, "nation")
+    region = _t(spark, SF_SMOKE, "region")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity operators (SURVEY.md §2.1) over the fixture tables
+# ---------------------------------------------------------------------------
+
+
+def q_o2_cast_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: regex repair (decimal comma, non-digit strip) then cast.
+
+    Fixture parquet is clean, so dirty strings are synthesized
+    deterministically (comma-ize o_totalprice, letter-suffix o_orderkey)
+    and repaired back — the repair expressions are the ones under test.
+    """
+    from etl_orders_to_bq_spark.functions.repair import (
+        repair_decimal_comma,
+        strip_non_digits,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dirty_sum = F.regexp_replace(F.col("o_totalprice").cast("string"), r"\.", ",")
+    dirty_id = F.concat(F.col("o_orderkey").cast("string"), F.lit("x7"))
+    return o.select(
+        F.col("o_orderkey"),
+        repair_decimal_comma(dirty_sum).cast("double").alias("sum_repaired"),
+        strip_non_digits(dirty_id).cast("long").alias("id_repaired"),
+    )
+
+
+def q_o4_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5: first-occurrence dedup on (l_orderkey, l_partkey), ordered
+    by l_linenumber (the explicit ingest-order column at scale)."""
+    from etl_orders_to_bq_spark.operators.dedup import first_occurrence_dedup
+
+    li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber alone is not a total order in the fixture (7 exact
+    # ties at sf0.01) — extend with value columns so the kept row is
+    # deterministic on any engine.
+    return first_occurrence_dedup(
+        li,
+        ["l_orderkey", "l_partkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"],
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+
+def q_o6_clean_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: the reference's name-cleaning function (pure-Column variant —
+    the html-unescape pandas UDF path is locked by golden unit tests)."""
+    from etl_orders_to_bq_spark.functions.names import clean_name
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey"), clean_name("c_name", unescape=False).alias("cleaned_name")
+    )
+
+
+def q_o7_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: broadcast left equi-join with probe-side misses -> nulls
+    (dim filtered to acctbal > 0 to create misses, as in the reference's
+    orders-with-unknown-product rows)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return o.join(broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_o11_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9-O11: point-lookup target + weighted attribute similarity as
+    pure column math (reference weight-swap preserved), over `part`."""
+    from etl_orders_to_bq_spark.operators.similarity import similar_products
+
+    p = _t(spark, sf_dir, "part")
+    return similar_products(
+        p,
+        target_id=1,
+        candidate_ids=None,
+        id_col="p_partkey",
+        price_col="p_retailprice",
+        group_col="p_brand",
+        manufacturer_col="p_type",
+    ).select(F.col("p_partkey"), F.col("score"))
+
+
+# ---------------------------------------------------------------------------
+# core relational coverage (SURVEY.md §2.2 categories, Spark builtins)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation with partial (map-side) aggs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per customer by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping sets) over returnflag x linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 400k."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one URGENT order."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: high-value customers EXCEPT BUILDING segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    high = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return high.distinct().exceptAll(building.distinct())
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (TakeOrderedAndProject): global top-5 orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(5).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions + agg: daily event counts per type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: extract props.k, aggregate per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (hash-groupBy, min-id rep)."""
+    from etl_orders_to_bq_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes over word 3-gram shingles)."""
+    from etl_orders_to_bq_spark.operators.dedup import minhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    # single-file fixture arrives as 1 input split; shingling is the
+    # CPU-heavy step, so spread it across cores (at real scale the input
+    # has many splits and this exchange is unnecessary)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return minhash_signature(d, "text", num_hashes=4, shingle_len=3).select(
+        "doc_id", "mh_0", "mh_1", "mh_2", "mh_3"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    from etl_orders_to_bq_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subwords"),
+    )
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax)."""
+    from etl_orders_to_bq_spark.functions.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score (stopword/alpha/length heuristic)."""
+    from etl_orders_to_bq_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text)."""
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    from etl_orders_to_bq_spark.operators.ann import ann_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ann_topk_bruteforce(emb, list(target["embedding"]), k=10)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (streaming-style, batch mode)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "o2_cast_repair": q_o2_cast_repair,
+        "o4_dedup_first": q_o4_dedup_first,
+        "o6_clean_name": q_o6_clean_name,
+        "o7_left_join": q_o7_left_join,
+        "o11_similarity": q_o11_similarity,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "window_rank": q_window_rank,
+        "rollup_agg": q_rollup_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
+        "topk_orders": q_topk_orders,
+        "date_trunc_agg": q_date_trunc_agg,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "text_stats": q_text_stats,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_window": q_events_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_CLEAN_PATTERN = (
+    r"\d|\s|^(-)$|(^\w{1}$)|(^[aoueiyаяєоуиіїе]{0,}$)|(^[^aoueiyаяєоуиіїе]{0,}$)"
+)
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = "regexp_extract_all(text, '\\S+')"
+
+
+def _mh_sql(seed: int) -> str:
+    """Min over word-3-gram shingles of md5(shingle || '|seed')."""
+    toks = f"regexp_extract_all({_NORM}, '\\S+')"
+    shingles = (
+        f"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]"
+    )
+    return (
+        f"(select list_min(list_transform({shingles}, s -> md5(s || '|{seed}')))"
+        f" from (select {toks} as t) _)"
+    )
+
+
+_STOPWORD_SQL = {
+    "en": r"\b(the|and|of|to|is|in|that|it)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|la|les|et|est|pas|une|que)\b",
+    "es": r"\b(el|los|las|es|una|que|por|con)\b",
+}
+
+
+def _lang_hits(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{_STOPWORD_SQL[lang]}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = list(_STOPWORD_SQL)
+    hits = {l: _lang_hits(l) for l in langs}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = (
+        "case "
+        + " ".join(
+            f"when {hits[l]} > 0 and {hits[l]} = {best} then '{l}'" for l in langs
+        )
+        + " else 'und' end"
+    )
+    from etl_orders_to_bq_spark.functions.text import LANG_STOPWORDS
+
+    all_stop = (
+        r"\b(" + "|".join(w for ws in LANG_STOPWORDS.values() for w in ws) + r")\b"
+    )
+    return {
+        "o2_cast_repair": """
+            select o_orderkey,
+                   cast(replace(regexp_replace(cast(o_totalprice as varchar), '\\.', ','), ',', '.') as double) as sum_repaired,
+                   cast(regexp_replace(cast(o_orderkey as varchar) || 'x7', '\\D', '', 'g') as bigint) as id_repaired
+            from orders
+        """,
+        "o4_dedup_first": """
+            select l_orderkey, l_partkey, l_linenumber, l_quantity
+            from (select l_orderkey, l_partkey, l_linenumber, l_quantity,
+                         row_number() over (partition by l_orderkey, l_partkey
+                                            order by l_linenumber, l_quantity,
+                                                     l_extendedprice, l_suppkey) as rn
+                  from lineitem)
+            where rn = 1
+        """,
+        "o6_clean_name": f"""
+            select c_custkey,
+                   regexp_replace(regexp_replace(lower(c_name), '\\d', '', 'g'),
+                                  '{_CLEAN_PATTERN}', '', 'g') as cleaned_name
+            from customer
+        """,
+        "o7_left_join": """
+            select o_orderkey, o_custkey, c_name, c_mktsegment
+            from orders left join (select * from customer where c_acctbal > 0) c
+              on o_custkey = c_custkey
+        """,
+        "o11_similarity": """
+            with t as (select p_brand as tb, p_type as tt,
+                              p_retailprice as tp
+                       from part where p_partkey = 1)
+            select p_partkey,
+                   round(case when p_brand = tb then 0.5::double else 0.0::double end
+                         + case when p_type = tt then 0.2::double else 0.0::double end
+                         + (1.0::double - abs(tp - p_retailprice) / greatest(tp, p_retailprice)) * 0.3::double,
+                         5) as score
+            from part, t
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            group by l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            select o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+            group by o_orderkey, o_orderpriority
+            order by revenue desc, o_orderkey asc
+            limit 10
+        """,
+        "window_rank": """
+            select o_custkey, o_orderkey, o_totalprice, rn
+            from (select o_custkey, o_orderkey, o_totalprice,
+                         row_number() over (partition by o_custkey
+                                            order by o_totalprice desc, o_orderkey asc) as rn
+                  from orders)
+            where rn <= 3
+        """,
+        "rollup_agg": """
+            select l_returnflag, l_linestatus,
+                   count(*) as n, round(sum(l_quantity), 2) as sum_qty
+            from lineitem
+            group by rollup (l_returnflag, l_linestatus)
+        """,
+        "anti_join": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey and o_totalprice > 400000)
+        """,
+        "semi_join": """
+            select c_custkey, c_mktsegment from customer
+            where exists (select 1 from orders
+                          where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+        """,
+        "set_ops": """
+            select distinct o_custkey as custkey from orders where o_totalprice > 300000
+            except
+            select distinct c_custkey as custkey from customer where c_mktsegment = 'BUILDING'
+        """,
+        "topk_orders": """
+            select o_orderkey, o_custkey, o_totalprice
+            from orders order by o_totalprice desc, o_orderkey asc limit 5
+        """,
+        "date_trunc_agg": """
+            select event_type, date_trunc('day', ts) as day,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2
+        """,
+        "json_extract": """
+            select event_type,
+                   round(avg(cast(props->>'$.k' as bigint)), 4) as avg_k,
+                   max(cast(props->>'$.k' as bigint)) as max_k,
+                   count(*) as n
+            from events group by event_type
+        """,
+        "dedup_exact": f"""
+            select doc_id, lang, n_chars from documents
+            where doc_id in (select min(doc_id) from documents
+                             group by md5({_NORM}))
+        """,
+        "dedup_minhash_sig": f"""
+            select doc_id,
+                   {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                   {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+            from documents
+        """,
+        "text_stats": f"""
+            select doc_id,
+                   len({_TOKENS}) as n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]')) as n_subwords
+            from documents
+        """,
+        "text_language_id": f"""
+            select doc_id, {lang_case} as lang_pred from documents
+        """,
+        "text_quality": f"""
+            select doc_id,
+                   round(0.4::double * least(1.0::double,
+                             len(regexp_extract_all(lower(text), '{all_stop}'))
+                             / cast(greatest(len({_TOKENS}), 1) as double))
+                         + 0.3::double * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / cast(greatest(length(text), 1) as double))
+                         + 0.3::double * least(1.0::double, len({_TOKENS}) / 50.0::double),
+                         6) as quality
+            from documents
+        """,
+        "text_fingerprint": f"""
+            select doc_id, md5({_NORM}) as fingerprint from documents
+        """,
+        "ann_cosine_topk": """
+            with t as (select cast(embedding as double[]) as q
+                       from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_dot_product(cast(embedding as double[]), q)
+                         / (sqrt(list_dot_product(cast(embedding as double[]),
+                                                  cast(embedding as double[])))
+                            * sqrt(list_dot_product(q, q))), 6) as cos_sim
+            from embeddings, t
+            order by cos_sim desc, vec_id asc
+            limit 10
+        """,
+        "events_window": """
+            select date_trunc('hour', ts) as window_start, event_type,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2
+        """,
+    }

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the `noop` sink — full plan execution
+(scan → shuffle → agg) without driver-side collection, so the number
+measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: covers the ETL path (cast/repair, dedup, join), the
+# relational core (agg, window, topk), and the scale extensions
+# (minhash, ann, text). Names match queries() in __spark_entry__.py.
+HEADLINE = [
+    "o2_cast_repair",
+    "o4_dedup_first",
+    "o6_clean_name",
+    "o7_left_join",
+    "o11_similarity",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "window_rank",
+    "rollup_agg",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "text_quality",
+    "text_language_id",
+    "ann_cosine_topk",
+    "events_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry
+    from etl_orders_to_bq_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # JVM/codegen warmup on the smallest fixture (not counted)
+    force(qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

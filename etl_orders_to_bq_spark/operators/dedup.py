@@ -32,14 +32,18 @@ from ..functions.text import normalize_text, tokenize, word_ngrams
 
 
 def first_occurrence_dedup(
-    df: DataFrame, keys: list[str], order_col: str
+    df: DataFrame, keys: list[str], order_col: str | list[str]
 ) -> DataFrame:
     """Keep the first row per ``keys`` as ordered by ``order_col``.
 
     Implemented as ``row_number`` over a window partitioned by the keys —
     one shuffle, streaming rank, no full sort of the table.
+
+    ``order_col`` must define a total order within each key group for
+    the result to be deterministic; pass a list of columns to break ties.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    order_cols = [order_col] if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -94,11 +98,19 @@ def minhash_signature(
     (shorter than the shingle length) get null signatures and are
     excluded from banding downstream.
     """
-    shingles = word_ngrams(normalize_text(text_col), shingle_len)
-    out = df
-    for i in range(num_hashes):
-        out = out.withColumn(f"mh_{i}", _minhash_one(shingles, i))
-    return out
+    # materialize the shingle array once (Catalyst does not CSE the
+    # tokenize→ngram chain across N separate hash projections; without
+    # this the chain is evaluated num_hashes times — measured 8x slower)
+    with_shingles = df.withColumn(
+        "__shingles", word_ngrams(normalize_text(text_col), shingle_len)
+    )
+    return with_shingles.select(
+        *df.columns,
+        *[
+            _minhash_one(F.col("__shingles"), i).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_candidates(

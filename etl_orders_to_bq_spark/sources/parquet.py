@@ -9,12 +9,30 @@ API and ``spark.sql`` can reach them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
+
+# Parquet columns written as TIMESTAMP(NANOS) — Spark's reader rejects
+# nanos outright, so these are read as long (legacy conf) and converted
+# to microsecond timestamps by integer division (truncation, matching
+# what micro-precision engines like DuckDB do on read).
+NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing nano timestamps to micros."""
+    nano_cols = NANO_TS_COLUMNS.get(name, [])
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def load_tables(
@@ -23,7 +41,7 @@ def load_tables(
     """Load fixture tables from ``sf_dir`` and register temp views."""
     out: dict[str, DataFrame] = {}
     for name in tables or TESTDATA_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
