@@ -344,6 +344,208 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(emb, list(target["embedding"]), k=10)
 
 
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy of the first 10 docs (shifted ids) — gives the
+    near-dup operators deterministic positives to find."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    planted = d.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return d.unionByName(planted)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding: candidate near-dup pairs (4 hashes, 2 bands).
+    Planted exact dups must collide in every band."""
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2, shingle_len=3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) per document."""
+    from etl_orders_to_bq_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return simhash(d, "text", bits=16).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification over same-source candidate pairs;
+    only the planted duplicates clear the 0.8 threshold."""
+    from etl_orders_to_bq_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    ids = d.select("doc_id", "source")
+    a = ids.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    cands = a.join(
+        b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return ngram_jaccard_pairs(cands, d, n=3, threshold=0.8)
+
+
+def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan: top-20 most similar same-label
+    pairs (label is the blocking key — at scale an LSH bucket)."""
+    from etl_orders_to_bq_spark.functions.vectors import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30 min), batch mode."""
+    from etl_orders_to_bq_spark.streaming import sessionize_events
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize_events(e, gap="30 minutes")
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over priority x status."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_intersect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers both in BUILDING and holding urgent orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): high-balance ∪ MACHINERY customers."""
+    c = _t(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return rich.union(machinery).distinct()
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function family over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math function family over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_val"),
+        F.round(F.element_at(emb, -1), 6).alias("last_val"),
+        F.round(F.array_max(emb), 6).alias("max_val"),
+        F.round(
+            F.aggregate(F.slice(emb, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+    )
+
+
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates: median and p90 order value by priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing: order-value histogram."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("vhigh")
+    )
+    return o.groupBy(bucket.alias("price_band")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def q_coalesce_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling (coalesce / null flags) over join misses."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name"
+    )
+    j = o.join(broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("cust_name"),
+        F.col("c_custkey").isNull().alias("is_miss"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (streaming-style, batch mode)."""
     e = _t(spark, sf_dir, "events")
@@ -378,6 +580,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neighbors": q_embedding_neighbors,
+        "sessionize": q_sessionize,
+        "cube_agg": q_cube_agg,
+        "intersect_ops": q_intersect_ops,
+        "union_distinct": q_union_distinct,
+        "string_funcs": q_string_funcs,
+        "math_funcs": q_math_funcs,
+        "array_funcs": q_array_funcs,
+        "percentile_agg": q_percentile_agg,
+        "case_bucket": q_case_bucket,
+        "coalesce_funcs": q_coalesce_funcs,
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -409,6 +625,18 @@ def _mh_sql(seed: int) -> str:
         f"(select list_min(list_transform({shingles}, s -> md5(s || '|{seed}')))"
         f" from (select {toks} as t) _)"
     )
+
+
+def _simhash_sql(bits: int) -> str:
+    """Sum of per-bit sign votes over token hashes (column ``th``)."""
+    terms = []
+    for i in range(bits):
+        vote = (
+            f"list_sum(list_transform(th, h -> "
+            f"case when (h >> {i}) & 1 = 1 then 1 else -1 end))"
+        )
+        terms.append(f"case when coalesce({vote}, 0) > 0 then {2**i} else 0 end")
+    return "(" + " + ".join(terms) + ")"
 
 
 _STOPWORD_SQL = {
@@ -594,5 +822,160 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as window_start, event_type,
                    count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2
+        """,
+        "dedup_minhash_pairs": f"""
+            with docs2 as (
+                select doc_id, text from documents
+                union all
+                select doc_id + 100000, text from documents where doc_id < 10
+            ),
+            sig as (
+                select doc_id,
+                       {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                       {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+                from docs2
+            ),
+            banded as (
+                select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+                from sig where mh_0 is not null
+                union all
+                select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+                from sig where mh_0 is not null
+            )
+            select distinct l.doc_id as id_a, r.doc_id as id_b
+            from banded l join banded r
+              on l.bk = r.bk and l.doc_id < r.doc_id
+        """,
+        "dedup_simhash": f"""
+            with t as (
+                select doc_id,
+                       list_transform(regexp_extract_all({_NORM}, '\\S+'),
+                                      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) as th
+                from documents
+            )
+            select doc_id, cast({_simhash_sql(16)} as bigint) as simhash from t
+        """,
+        "ngram_jaccard": f"""
+            with docs2 as (
+                select doc_id, source, text from documents
+                union all
+                select doc_id + 100000, source, text from documents where doc_id < 10
+            ),
+            sh as (
+                select doc_id, source,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)]) as s
+                from (select doc_id, source,
+                             regexp_extract_all({_NORM}, '\\S+') as t
+                      from docs2) _
+            )
+            select id_a, id_b, jaccard from (
+                select a.doc_id as id_a, b.doc_id as id_b,
+                       round(case when len(list_distinct(list_concat(a.s, b.s))) > 0
+                                  then cast(len(list_intersect(a.s, b.s)) as double)
+                                       / len(list_distinct(list_concat(a.s, b.s)))
+                                  else 0.0 end, 6) as jaccard
+                from sh a join sh b
+                  on a.source = b.source and a.doc_id < b.doc_id
+            ) where jaccard >= 0.8
+        """,
+        "embedding_neighbors": """
+            with e as (select vec_id, label, cast(embedding as double[]) as v
+                       from embeddings)
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) as cos_sim
+            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+            order by cos_sim desc, id_a asc, id_b asc
+            limit 20
+        """,
+        "sessionize": """
+            with x as (
+                select user_id, ts, value,
+                       case when lag(ts) over w is null
+                                 or ts - lag(ts) over w > interval 30 minute
+                            then 1 else 0 end as new_s
+                from events
+                window w as (partition by user_id order by ts, event_id)
+            ),
+            y as (
+                select *, sum(new_s) over (partition by user_id order by ts
+                                           rows unbounded preceding) as sid
+                from x
+            )
+            select user_id, min(ts) as session_start,
+                   max(ts) + interval 30 minute as session_end,
+                   count(*) as n_events, round(sum(value), 2) as sum_value
+            from y group by user_id, sid
+        """,
+        "cube_agg": """
+            select o_orderpriority, o_orderstatus,
+                   count(*) as n, round(sum(o_totalprice), 2) as sum_price
+            from orders group by cube (o_orderpriority, o_orderstatus)
+        """,
+        "intersect_ops": """
+            select c_custkey as custkey from customer where c_mktsegment = 'BUILDING'
+            intersect
+            select o_custkey as custkey from orders where o_orderpriority = '1-URGENT'
+        """,
+        "union_distinct": """
+            select c_custkey from customer where c_acctbal > 5000
+            union
+            select c_custkey from customer where c_mktsegment = 'MACHINERY'
+        """,
+        "string_funcs": """
+            select p_partkey,
+                   upper(p_name) as name_upper,
+                   substr(p_name, 1, 5) as name_pfx,
+                   length(p_name) as name_len,
+                   regexp_replace(p_type, ' ', '_', 'g') as type_snake,
+                   lpad(cast(p_partkey as varchar), 8, '0') as key_padded,
+                   reverse(p_brand) as brand_rev,
+                   concat_ws('/', p_brand, p_type) as brand_type
+            from part
+        """,
+        "math_funcs": """
+            select l_orderkey, l_linenumber,
+                   round(sqrt(l_extendedprice), 6) as sqrt_price,
+                   round(ln(l_extendedprice), 6) as ln_price,
+                   round(power(l_discount, 2), 6) as disc_sq,
+                   cast(ceil(l_extendedprice) as bigint) as price_ceil,
+                   cast(floor(l_extendedprice) as bigint) as price_floor,
+                   abs(l_quantity - 25) as qty_dev,
+                   l_orderkey % 7 as key_mod7
+            from lineitem
+        """,
+        "array_funcs": """
+            select vec_id,
+                   len(embedding) as dim,
+                   round((cast(embedding as double[]))[1], 6) as first_val,
+                   round((cast(embedding as double[]))[-1], 6) as last_val,
+                   round(list_max(cast(embedding as double[])), 6) as max_val,
+                   round(list_sum((cast(embedding as double[]))[1:8]), 6) as head_sum
+            from embeddings
+        """,
+        "percentile_agg": """
+            select o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) as median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 4) as p90_price,
+                   count(*) as n
+            from orders group by o_orderpriority
+        """,
+        "case_bucket": """
+            select case when o_totalprice < 50000 then 'low'
+                        when o_totalprice < 150000 then 'mid'
+                        when o_totalprice < 300000 then 'high'
+                        else 'vhigh' end as price_band,
+                   count(*) as n, round(avg(o_totalprice), 4) as avg_price
+            from orders group by 1
+        """,
+        "coalesce_funcs": """
+            select o_orderkey,
+                   coalesce(c_name, 'UNKNOWN') as cust_name,
+                   c_custkey is null as is_miss
+            from orders left join (select c_custkey, c_name from customer
+                                   where c_acctbal > 5000) c
+              on o_custkey = c_custkey
         """,
     }

@@ -1,0 +1,13 @@
+from .binary import (
+    decode_image_batch,
+    extract_image_features,
+    frame_sample_video,
+    with_media_metadata,
+)
+
+__all__ = [
+    "with_media_metadata",
+    "decode_image_batch",
+    "extract_image_features",
+    "frame_sample_video",
+]

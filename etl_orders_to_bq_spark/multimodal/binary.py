@@ -1,0 +1,162 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct;
+all per-item compute runs as Arrow-batched ``mapInPandas`` so bytes move
+in columnar batches, never pickled rows. The actual codec step is
+stubbed (image/audio libraries are not in this container): decode is a
+deterministic fake behind ``_decode_bytes`` with the real libraries'
+call shape, so swapping in PIL/libav later touches exactly one function.
+
+Scale notes
+-----------
+- binary payloads dominate row size: keep ``spark.sql.files.
+  maxPartitionBytes`` at default (128 MB) and DON'T collect; process
+  and write back columnar.
+- ``mapInPandas`` streams batches (configurable via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``) so one partition
+  never materializes fully in Python memory.
+- feature extraction emits small fixed-size vectors — output is orders
+  of magnitude smaller than input, so the Python stage should be FIRST
+  after the scan, before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def with_media_metadata(
+    df: DataFrame, binary_col: str = "content", media_type: str = "image"
+) -> DataFrame:
+    """Attach the typed metadata struct, populating what is derivable
+    without decoding (size, declared type); decode-derived fields are
+    filled by the decode stage."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _decode_bytes(payload: bytes) -> dict:
+    """STUB decode. Real implementation would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        return {"format": img.format, "width": img.width, ...}
+
+    The container has no codec libraries, so this returns a
+    deterministic fake derived from the payload hash — stable across
+    runs/partitions, which is what the plumbing tests need.
+    """
+    h = hashlib.md5(payload).digest()
+    return {
+        "format": ["png", "jpeg", "webp"][h[0] % 3],
+        "width": 64 + h[1],
+        "height": 64 + h[2],
+    }
+
+
+DECODED_SCHEMA = "id long, format string, width int, height int, size_bytes long"
+
+
+def decode_image_batch(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Decode stage: binary -> (format, width, height) via mapInPandas.
+
+    Batch shape: each pandas chunk holds the Arrow batch's binary
+    column; output drops the payload (decode-then-shrink before any
+    shuffle).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[binary_col].map(_decode_bytes)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": meta.map(lambda m: m["format"]),
+                    "width": meta.map(lambda m: m["width"]),
+                    "height": meta.map(lambda m: m["height"]),
+                    "size_bytes": pdf[binary_col].map(len),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "id long, feature array<double>"
+
+
+def extract_image_features(
+    df: DataFrame, binary_col: str = "content", dim: int = 8
+) -> DataFrame:
+    """Feature-extract stage: binary -> fixed-size double vector.
+
+    STUB features: md5-derived, deterministic. Real implementation
+    swaps the inner function for a model forward pass over the decoded
+    image; the Spark plumbing (schema, batching, shrink-before-shuffle)
+    is identical.
+    """
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def vec(payload: bytes) -> list[float]:
+                h = hashlib.md5(payload).digest()
+                return [h[i] / 255.0 for i in range(dim)]
+
+            yield pd.DataFrame(
+                {"id": pdf["id"], "feature": pdf[binary_col].map(vec)}
+            )
+
+    return df.mapInPandas(features, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "id long, frame_idx int, frame_hash string"
+
+
+def frame_sample_video(
+    df: DataFrame, binary_col: str = "content", every_n: int = 10, max_frames: int = 3
+) -> DataFrame:
+    """Frame-sample stage: one input row -> N frame rows (flatMap shape).
+
+    STUB sampling: emits ``max_frames`` deterministic pseudo-frames per
+    payload. Real implementation decodes the container and grabs every
+    ``every_n``-th frame; the row-explosion plumbing is what's tested.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col]
+                for i in range(max_frames):
+                    ids.append(row["id"])
+                    idxs.append(i * every_n)
+                    hashes.append(
+                        hashlib.md5(payload + str(i * every_n).encode()).hexdigest()
+                    )
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return df.mapInPandas(sample, schema=FRAMES_SCHEMA)

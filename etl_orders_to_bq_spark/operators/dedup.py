@@ -176,14 +176,15 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
+    def _vote(i: int):
+        # closure factory: pyspark inspects lambda arity, so the bit
+        # index can't ride along as a default argument
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_votes = [
-        F.aggregate(
-            tok_hash,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for i in range(bits)
+        F.aggregate(tok_hash, F.lit(0).cast("long"), _vote(i)) for i in range(bits)
     ]
     sim = None
     for i, vote in enumerate(bit_votes):

@@ -1,0 +1,101 @@
+"""Structured Streaming over event streams.
+
+The reference is batch-only (SURVEY.md §2.2: no streaming anywhere), so
+this module is a scale extension: the same event-table semantics exposed
+as an unbounded stream with event-time watermarks. The transformations
+are built once and shared between batch and streaming DataFrames —
+Structured Streaming's contract is exactly that a streaming query is the
+incrementalized version of the batch plan.
+
+Scale notes
+-----------
+- watermark bounds state: without it a windowed agg keeps every window
+  open forever; 10 min lateness here, tune per pipeline.
+- ``windowed_event_counts`` shuffles on (window, event_type) — the
+  standard streaming-agg exchange; state lives in the state store
+  partitioned the same way.
+- ``sessionize_events`` uses ``session_window`` (gap-based), Spark's
+  native session operator — no custom state management needed. The
+  fully custom-state path (applyInPandasWithState) is demonstrated in
+  tests for API parity, with the same gap semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream: each new parquet file in ``path`` is a
+    micro-batch. In production this is the same code with a Kafka source."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data bound.
+
+    Works on both batch and streaming inputs (same plan, incrementalized
+    when streaming).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge into one session; emits session bounds + activity rollup."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming tests: file-source micro-batches into a memory
+sink, and batch/streaming plan equivalence for the shared transforms."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_orders_to_bq_spark.sources.parquet import read_table
+from etl_orders_to_bq_spark.streaming import (
+    read_event_stream,
+    sessionize_events,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-write the events fixture as 4 parquet files (4 micro-batches),
+    with micro-second timestamps so the stream source can read them."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(path, ignore_errors=True)
+    read_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(
+        path
+    )
+    return path
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(batch).collect()
+    }
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_stream_runs_and_bounds_sessions(spark, events_dir):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        sessionize_events(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # batch equivalence
+    batch_rows = sessionize_events(spark.read.parquet(events_dir)).collect()
+    assert len(batch_rows) == len(rows)
+
+
+def test_late_data_outside_watermark_dropped(spark, tmp_path):
+    """Append mode + watermark: a window only emits once the watermark
+    passes it; data later than the watermark is dropped."""
+    import time
+
+    src = str(tmp_path / "late_src")
+    out_name = "late_out"
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 10, "click", 1.0, "{}"),
+         (2, "2024-01-01 02:00:00", 10, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=10)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {out_name}").collect()
+    # the 00:00 window is final (watermark @ 01:50); the 02:00 window is
+    # still open, so append mode emits only the closed one
+    starts = {str(r["window_start"]) for r in rows}
+    assert "2024-01-01 00:00:00" in starts
+    assert "2024-01-01 02:00:00" not in starts
