@@ -546,6 +546,16 @@ def q_coalesce_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 bits, seed 42) — the
+    file-pruning key for the scale ANN path. Deterministic LCG planes,
+    reproducible in the SQL oracle as literal arrays."""
+    from etl_orders_to_bq_spark.operators.ann import with_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    return with_lsh_bucket(e, dim=64, bits=8).select("vec_id", "bucket")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (streaming-style, batch mode)."""
     e = _t(spark, sf_dir, "events")
@@ -599,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
         "events_window": q_events_window,
     }
 
@@ -625,6 +636,22 @@ def _mh_sql(seed: int) -> str:
         f"(select list_min(list_transform({shingles}, s -> md5(s || '|{seed}')))"
         f" from (select {toks} as t) _)"
     )
+
+
+def _lsh_bucket_sql(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
+    """Bucket expression with the hyperplanes inlined as literals —
+    byte-identical doubles to the Spark side (same LCG)."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"case when list_dot_product(cast(embedding as double[]), {lit}) > 0 "
+            f"then {2**i} else 0 end"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _simhash_sql(bits: int) -> str:
@@ -822,6 +849,10 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as window_start, event_type,
                    count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1, 2
+        """,
+        "ann_lsh_bucket": f"""
+            select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
+            from embeddings
         """,
         "dedup_minhash_pairs": f"""
             with docs2 as (

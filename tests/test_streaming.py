@@ -104,3 +104,39 @@ def test_late_data_outside_watermark_dropped(spark, tmp_path):
     starts = {str(r["window_start"]) for r in rows}
     assert "2024-01-01 00:00:00" in starts
     assert "2024-01-01 02:00:00" not in starts
+
+
+def test_stateful_running_totals_across_batches(spark, events_dir):
+    """applyInPandasWithState: totals must accumulate across
+    micro-batches and match the batch groupBy."""
+    from etl_orders_to_bq_spark.streaming import running_user_totals
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per touched batch; the LAST
+    # emission per user carries the final cumulative totals
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            """select user_id, n_events, sum_value from (
+                 select *, row_number() over (partition by user_id
+                                              order by n_events desc) rn
+                 from user_totals) where rn = 1"""
+        ).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expected
