@@ -394,18 +394,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: top-20 most similar same-label
     pairs (label is the blocking key — at scale an LSH bucket)."""
-    from etl_orders_to_bq_spark.functions.vectors import cosine_similarity
+    from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
 
     e = _t(spark, sf_dir, "embeddings")
+    # norms are computed ONCE per row before the pair join (O(n) array
+    # traversals instead of O(pairs)); single-file input is spread
+    # across cores for the quadratic-in-label pair stage
+    e = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("norm")
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
     pairs = a.join(
         b,
@@ -415,7 +423,9 @@ def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+            F.round(
+                dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
@@ -546,6 +556,93 @@ def q_coalesce_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window, one shuffle): each error event picks up
+    the same user's most recent purchase value at or before it."""
+    from etl_orders_to_bq_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+    ).select("event_id", "user_id", "purchase_value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join: lineitems priced within ±10% of
+    their part's retail price (broadcast dim, filter fused into join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    j = li.join(
+        broadcast(p),
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 0.9)
+        & (li.l_extendedprice <= p.p_retailprice * 1.1),
+    )
+    return j.groupBy("l_partkey").agg(
+        F.count("*").alias("n_close"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL string surface: same engine, spark.sql text in, DataFrame
+    out (reference has no SQL layer; Spark gives it for free once views
+    are registered — SURVEY.md §2.2)."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        select c_mktsegment,
+               count(*) as n_orders,
+               round(sum(o_totalprice), 2) as total_value
+        from orders join customer on o_custkey = c_custkey
+        where o_orderstatus = 'F'
+        group by c_mktsegment
+        """
+    )
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames: per-customer running order total and
+    3-order moving average, ordered by date."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg3"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.rank().over(w).alias("rk"),
+    )
+
+
+def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ approx distinct) — algorithm-specific
+    values, so no cross-engine oracle; driver records a rows-only check.
+    The exact countDistinct rides along as the accuracy reference."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 bits, seed 42) — the
     file-pruning key for the scale ANN path. Deterministic LCG planes,
@@ -610,6 +707,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sql_interface": q_sql_interface,
+        "window_frames": q_window_frames,
+        "sketch_agg": q_sketch_agg,
         "events_window": q_events_window,
     }
 
@@ -853,6 +955,46 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "asof_join": """
+            select e.event_id, e.user_id, p.purchase_value
+            from (select event_id, user_id, ts from events
+                  where event_type = 'error') e
+            asof left join (select user_id, ts, round(value, 2) as purchase_value
+                            from events where event_type = 'purchase') p
+              on e.user_id = p.user_id and e.ts >= p.ts
+        """,
+        "range_join": """
+            select l_partkey, count(*) as n_close,
+                   round(avg(l_extendedprice), 4) as avg_price
+            from lineitem join part
+              on l_partkey = p_partkey
+             and l_extendedprice >= p_retailprice * 0.9
+             and l_extendedprice <= p_retailprice * 1.1
+            group by l_partkey
+        """,
+        "sql_interface": """
+            select c_mktsegment, count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_value
+            from orders join customer on o_custkey = c_custkey
+            where o_orderstatus = 'F'
+            group by c_mktsegment
+        """,
+        "window_frames": """
+            select o_custkey, o_orderkey,
+                   round(sum(o_totalprice) over (partition by o_custkey
+                         order by o_orderdate, o_orderkey
+                         rows between unbounded preceding and current row), 2)
+                       as running_total,
+                   round(avg(o_totalprice) over (partition by o_custkey
+                         order by o_orderdate, o_orderkey
+                         rows between 2 preceding and current row), 4)
+                       as moving_avg3,
+                   lag(o_totalprice, 1) over (partition by o_custkey
+                         order by o_orderdate, o_orderkey) as prev_price,
+                   rank() over (partition by o_custkey
+                         order by o_orderdate, o_orderkey) as rk
+            from orders
         """,
         "dedup_minhash_pairs": f"""
             with docs2 as (

@@ -34,10 +34,15 @@ HEADLINE = [
     "topk_orders",
     "dedup_exact",
     "dedup_minhash_sig",
+    "dedup_simhash",
     "text_quality",
     "text_language_id",
     "ann_cosine_topk",
+    "embedding_neighbors",
     "events_window",
+    "sessionize",
+    "asof_join",
+    "window_frames",
 ]
 
 

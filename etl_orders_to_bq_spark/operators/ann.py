@@ -22,7 +22,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def ann_topk_bruteforce(
@@ -32,11 +32,32 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k for one query vector: (id, cos_sim) desc."""
+    """Exact cosine top-k for one query vector: (id, cos_sim) desc.
+
+    The query norm is a driver-side constant (sequential fold, so the
+    bits match a SQL engine's sequential dot product), leaving ONE
+    array traversal for the cross product and one for the row norm —
+    higher-order exprs are interpreted per element, so halving the
+    traversals roughly halves the scan cost.
+    """
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    scored = embeddings.select(
+    q_norm = 0.0
+    for x in query_vec:
+        q_norm += float(x) * float(x)
+    q_norm = math.sqrt(q_norm)
+    v = F.col(vec_col)
+    # materialize dot and row-norm once each (projection below reuses
+    # the named columns instead of re-traversing the array)
+    staged = embeddings.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        dot(v, q).alias("__dot"),
+        (l2_norm(v) * F.lit(q_norm)).alias("__denom"),
+    )
+    scored = staged.select(
+        F.col(id_col),
+        F.round(
+            F.when(F.col("__denom") > 0, F.col("__dot") / F.col("__denom")), 6
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 

@@ -1,0 +1,101 @@
+"""Temporal join operators Spark lacks natively: as-of join.
+
+``asof_join`` matches each left row to the most recent right row at or
+before its timestamp, per key — the classic quotes-to-trades join.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do), and the naive
+formulations collapse at scale: a range join explodes to O(n·m) pairs
+per key, and a windowed "latest right per left" via join+filter+rank
+shuffles the cross product. This implementation uses the union trick:
+
+    tag left(0)/right(1) rows -> union -> one window per key ordered by
+    (ts, tag) -> last non-null right value via last(ignorenulls=True)
+    -> keep left rows
+
+Cost: ONE shuffle of |left|+|right| rows and a per-key sort — the same
+complexity as a sort-merge join, no pair explosion, no skew beyond the
+key histogram. This is the standard scalable as-of pattern on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` sharing key ``on``; nulls when none.
+
+    ``tolerance`` (e.g. "30 minutes") drops matches older than
+    left_ts - tolerance, like pandas ``merge_asof(tolerance=...)``.
+    """
+    l_tagged = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+
+    l_cols = [f for f in l_tagged.columns if f not in ("__tag", "__ts")]
+    unioned = l_tagged.select(
+        *l_cols,
+        "__tag",
+        "__ts",
+        *[F.lit(None).cast(dict(r_tagged.dtypes)[f"__r_{c}"]).alias(f"__r_{c}") for c in value_cols],
+    ).unionByName(
+        r_tagged.select(
+            *[F.lit(None).cast(dict(l_tagged.dtypes)[c]).alias(c) for c in l_cols if c != on],
+            F.col(on),
+            "__tag",
+            "__ts",
+            *[f"__r_{c}" for c in value_cols],
+        )
+    )
+
+    # right rows (__tag=0) sort before left rows at identical ts, so a
+    # right row at exactly left_ts IS matched (<= semantics, like
+    # pandas merge_asof and DuckDB ASOF)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+        F.last(
+            F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__match_ts"),
+    )
+
+    out = filled.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__match_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        value_exprs = [
+            F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in value_cols
+        ]
+    else:
+        value_exprs = [F.col(f"__f_{c}").alias(c) for c in value_cols]
+
+    return out.select(*l_cols, *value_exprs)

@@ -1,3 +1,3 @@
-from .writers import write_table
+from .writers import write_bucketed_table, write_table
 
-__all__ = ["write_table"]
+__all__ = ["write_table", "write_bucketed_table"]

@@ -62,3 +62,34 @@ def write_table(
         writer.format("bigquery").option("table", target).save()
     else:
         raise ValueError(f"unsupported sink format: {fmt}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    if_exists: str = "replace",
+) -> None:
+    """Write a managed table bucketed (and optionally sorted) on the
+    join/agg key.
+
+    This is the co-located-join lever at scale: two tables bucketed on
+    the same key with the same bucket count join with ZERO exchange —
+    each task reads matching bucket files from both sides. For a 100 TB
+    fact table that removes the single largest shuffle in the pipeline.
+    (Bucketing requires the session catalog, hence saveAsTable, not a
+    path write.)
+    """
+    mode = _MODE_MAP.get(if_exists)
+    if mode is None:
+        raise ValueError(f"if_exists must be one of {sorted(_MODE_MAP)}")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -113,3 +113,54 @@ def test_ann_lsh_subset_of_bucket_and_reasonable_recall(embeddings):
     # LSH scores must be a subset of the full ranking's scores (it scans
     # fewer rows, never invents values); recall sanity: some overlap
     assert len(set(approx) & set(exact)) >= 3
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before left ts, per key;
+    inclusive on equal timestamps; null when no prior right row."""
+    from datetime import datetime as dt
+
+    from etl_orders_to_bq_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 10, 0)),
+            (2, 10, dt(2024, 1, 1, 12, 0)),
+            (3, 10, dt(2024, 1, 1, 9, 0)),   # before any right row
+            (4, 20, dt(2024, 1, 1, 11, 0)),  # key with no right rows
+            (5, 10, dt(2024, 1, 1, 11, 30)), # exactly at a right ts
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 9, 30), 1.0),
+            (10, dt(2024, 1, 1, 11, 30), 2.0),
+            (10, dt(2024, 1, 1, 13, 0), 3.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None, 5: 2.0}
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime as dt
+
+    from etl_orders_to_bq_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 12, 0))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 9, 0), 1.0)], "k long, ts timestamp, v double"
+    )
+    wide = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance="4 hours")
+    tight = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance="30 minutes")
+    assert wide.first()["v"] == 1.0
+    assert tight.first()["v"] is None

@@ -1,0 +1,98 @@
+"""Plan-level assertions: the optimizations the engine is designed
+around must actually appear in the physical plan — partition pruning,
+bucketed exchange-free joins, filter/projection pushdown, broadcast."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_orders_to_bq_spark.sinks import write_bucketed_table, write_table
+from etl_orders_to_bq_spark.sources.parquet import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Reading one partition of a partitionBy'd dataset must show
+    PartitionFilters, not a full scan."""
+    ev = read_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    target = str(tmp_path / "events_partitioned")
+    write_table(ev, target, partition_by=["day"])
+
+    back = spark.read.parquet(target).filter(F.col("day") == "2024-01-05")
+    plan = _optimized(back)
+    assert "PartitionFilters" in plan
+    # the partition filter must actually reference the day column
+    assert plan.count("isnotnull(day") >= 1 or "day#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange (shuffle) in the plan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = read_table(spark, SF, "orders")
+        li = read_table(spark, SF, "lineitem")
+        write_bucketed_table(o, "orders_b", ["o_orderkey"], num_buckets=4)
+        write_bucketed_table(li, "lineitem_b", ["l_orderkey"], num_buckets=4)
+        j = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("drop table if exists orders_b")
+        spark.sql("drop table if exists lineitem_b")
+
+
+def test_filter_and_projection_pushdown(spark):
+    """A selective filter + narrow projection must reach the parquet
+    scan: PushedFilters non-empty, ReadSchema only the needed columns."""
+    li = read_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_shipdate") > "1996-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _optimized(q)
+    scan = plan.split("PushedFilters")[1]
+    assert "GreaterThan(l_shipdate" in scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_small_dim_broadcasts_unaided(spark):
+    """Catalyst must pick BroadcastHashJoin for a small dim with no
+    explicit hint (autoBroadcastJoinThreshold at work)."""
+    li = read_table(spark, SF, "lineitem")
+    p = read_table(spark, SF, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_window_dedup_single_exchange(spark):
+    """First-occurrence dedup must cost exactly one shuffle."""
+    from etl_orders_to_bq_spark.operators.dedup import first_occurrence_dedup
+
+    li = read_table(spark, SF, "lineitem")
+    out = first_occurrence_dedup(
+        li, ["l_orderkey", "l_partkey"], ["l_linenumber"]
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
