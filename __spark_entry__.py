@@ -643,6 +643,55 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view): top-10 most frequent tokens across the
+    corpus — the token-histogram primitive of corpus analysis."""
+    from etl_orders_to_bq_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )
+
+
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        e.groupBy(day)
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment z-score of account
+    balance — the per-group Python escape hatch (Arrow batch per group;
+    a built-in window expresses this too, which is what the oracle
+    uses to cross-check the UDF path)."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["c_acctbal"].std(ddof=1)
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / std
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "zscore": z.round(4)}
+        )
+
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, zscore double"
+    )
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 bits, seed 42) — the
     file-pruning key for the scale ANN path. Deterministic LCG planes,
@@ -712,6 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "explode_tokens": q_explode_tokens,
+        "pivot_agg": q_pivot_agg,
+        "grouped_zscore": q_grouped_zscore,
         "events_window": q_events_window,
     }
 
@@ -728,14 +780,18 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = "regexp_extract_all(text, '\\S+')"
 
 
-def _mh_sql(seed: int) -> str:
-    """Min over word-3-gram shingles of md5(shingle || '|seed')."""
+def _mh_sql(i: int) -> str:
+    """MinHash i: min over word-3-gram shingles of the (i%4)-th 8-hex
+    chunk of md5(shingle || '|' || i//4) — mirrors operators/dedup.py's
+    multi-hash-from-one-digest scheme exactly."""
     toks = f"regexp_extract_all({_NORM}, '\\S+')"
     shingles = (
         f"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]"
     )
+    group, chunk = i // 4, i % 4
     return (
-        f"(select list_min(list_transform({shingles}, s -> md5(s || '|{seed}')))"
+        f"(select list_min(list_transform({shingles},"
+        f" s -> substr(md5(s || '|{group}'), {1 + 8 * chunk}, 8)))"
         f" from (select {toks} as t) _)"
     )
 
@@ -955,6 +1011,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "explode_tokens": """
+            select token, count(*) as n
+            from (select unnest(regexp_extract_all(text, '\\S+')) as token
+                  from documents)
+            group by token
+            order by n desc, token asc
+            limit 10
+        """,
+        "pivot_agg": """
+            select date_trunc('day', ts) as day,
+                   count(case when event_type = 'click' then 1 end) as click,
+                   count(case when event_type = 'error' then 1 end) as error,
+                   count(case when event_type = 'purchase' then 1 end) as purchase,
+                   count(case when event_type = 'signup' then 1 end) as signup,
+                   count(case when event_type = 'view' then 1 end) as view
+            from events group by 1
+        """,
+        "grouped_zscore": """
+            select c_custkey,
+                   round((c_acctbal - avg(c_acctbal) over w)
+                         / stddev_samp(c_acctbal) over w, 4) as zscore
+            from customer
+            window w as (partition by c_mktsegment)
         """,
         "asof_join": """
             select e.event_id, e.user_id, p.purchase_value

@@ -73,16 +73,18 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_one(shingles: Column, seed: int) -> Column:
-    """One MinHash value: min over shingles of md5(shingle || seed).
+def _minhash_from_digests(digests: Column, chunk: int) -> Column:
+    """One MinHash value: min over shingle digests of hex chunk ``chunk``
+    (8 hex chars = 32 bits). Four hash functions ride on ONE md5 per
+    shingle — the standard multi-hash-from-one-digest trick; md5 is the
+    dominant cost, so this is ~4x cheaper than independent digests.
 
     md5-as-hex-string min is deterministic, platform-independent, and
     reproducible in ANSI SQL (the DuckDB oracle) — unlike Spark's
-    murmur ``hash()`` whose seeds/width differ across engines. md5 is
-    computed JVM-side inside codegen; cost is linear in shingle bytes.
+    murmur ``hash()`` whose seeds/width differ across engines.
     """
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"|{seed}"))))
+        F.transform(digests, lambda d: F.substring(d, 1 + 8 * chunk, 8))
     )
 
 
@@ -100,14 +102,25 @@ def minhash_signature(
     """
     # materialize the shingle array once (Catalyst does not CSE the
     # tokenize→ngram chain across N separate hash projections; without
-    # this the chain is evaluated num_hashes times — measured 8x slower)
-    with_shingles = df.withColumn(
+    # this the chain is evaluated num_hashes times — measured 8x slower),
+    # then one md5 digest array per group of 4 hash functions
+    def _digester(group: int):
+        # closure factory: a default-arg lambda would change the lambda
+        # arity and pyspark would feed the array index as 2nd arg
+        return lambda s: F.md5(F.concat(s, F.lit(f"|{group}")))
+
+    n_groups = (num_hashes + 3) // 4
+    with_digests = df.withColumn(
         "__shingles", word_ngrams(normalize_text(text_col), shingle_len)
     )
-    return with_shingles.select(
+    for g in range(n_groups):
+        with_digests = with_digests.withColumn(
+            f"__dig_{g}", F.transform(F.col("__shingles"), _digester(g))
+        )
+    return with_digests.select(
         *df.columns,
         *[
-            _minhash_one(F.col("__shingles"), i).alias(f"mh_{i}")
+            _minhash_from_digests(F.col(f"__dig_{i // 4}"), i % 4).alias(f"mh_{i}")
             for i in range(num_hashes)
         ],
     )
@@ -183,14 +196,19 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
+    # materialize the md5 token-hash array ONCE — the per-bit vote
+    # passes over it are cheap shifts, while inlining the digest chain
+    # into every vote costs `bits` md5 passes over the tokens
+    staged = df.withColumn("__th", tok_hash)
     bit_votes = [
-        F.aggregate(tok_hash, F.lit(0).cast("long"), _vote(i)) for i in range(bits)
+        F.aggregate(F.col("__th"), F.lit(0).cast("long"), _vote(i))
+        for i in range(bits)
     ]
     sim = None
     for i, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return df.withColumn("simhash", sim)
+    return staged.select(*df.columns, sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
