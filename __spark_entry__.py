@@ -643,6 +643,34 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>): joins where null keys match null keys
+    (standard equality drops them)."""
+    o = _t(spark, sf_dir, "orders")
+    # derive a nullable key: null for non-F orders on both sides
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_custkey")).alias("k"),
+    )
+    counts = keyed.groupBy("k").agg(F.count("*").alias("n_same_key"))
+    return keyed.join(counts, keyed.k.eqNullSafe(counts.k), "inner").select(
+        "o_orderkey", "n_same_key"
+    )
+
+
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/filtered aggregation: one pass, many predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") > 0.04, 1)).alias("n_taxed"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 2
+        ).alias("bulk_revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode (lateral view): top-10 most frequent tokens across the
     corpus — the token-histogram primitive of corpus analysis."""
@@ -761,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "nullsafe_join": q_nullsafe_join,
+        "filtered_agg": q_filtered_agg,
         "explode_tokens": q_explode_tokens,
         "pivot_agg": q_pivot_agg,
         "grouped_zscore": q_grouped_zscore,
@@ -1011,6 +1041,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "nullsafe_join": """
+            with keyed as (
+                select o_orderkey,
+                       case when o_orderstatus = 'F' then o_custkey end as k
+                from orders
+            ),
+            counts as (select k, count(*) as n_same_key from keyed group by k)
+            select o_orderkey, n_same_key
+            from keyed join counts on keyed.k is not distinct from counts.k
+        """,
+        "filtered_agg": """
+            select l_returnflag,
+                   count(case when l_discount > 0.05 then 1 end) as n_discounted,
+                   count(case when l_tax > 0.04 then 1 end) as n_taxed,
+                   round(sum(case when l_quantity > 25 then l_extendedprice end), 2)
+                       as bulk_revenue,
+                   count(*) as n
+            from lineitem group by l_returnflag
         """,
         "explode_tokens": """
             select token, count(*) as n

@@ -78,6 +78,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # end-to-end reference-parity pipeline (CSV scan -> repair -> dedup
+    # -> clean -> broadcast join -> parquet sink) on the reference data;
+    # the reference's own pandas run of the same work is the
+    # single-node baseline this must match or beat
+    import shutil
+    import tempfile
+
+    from etl_orders_to_bq_spark.pipeline import OrdersEtl
+
+    out_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        etl = OrdersEtl(
+            spark,
+            "/root/reference/input_data/orders_s.csv",
+            "/root/reference/input_data/products_s.csv",
+            table_name=f"{out_dir}/out",
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            etl.process()
+            etl.write(if_exists="replace")
+            best = min(best, time.perf_counter() - t0)
+        timings["orders_pipeline_e2e"] = round(best, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

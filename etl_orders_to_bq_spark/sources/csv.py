@@ -26,19 +26,42 @@ from pyspark.sql import types as T
 INGEST_ORDER_COL = "__ingest_order"
 
 
+CORRUPT_RECORD_COL = "__corrupt_record"
+
+
 def read_csv_raw(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
     columns: list[str] | None = None,
     with_ingest_order: bool = False,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Read CSV with header + explicit all-string schema, then project."""
-    df = spark.read.schema(schema).option("header", True).csv(path)
+    """Read CSV with header + explicit all-string schema, then project.
+
+    ``keep_corrupt=True`` switches to PERMISSIVE capture: structurally
+    broken lines land whole in ``__corrupt_record`` instead of being
+    silently null-filled — at 100 TB, rows you can't account for are
+    rows you can't debug. Filter ``df.where(col(CORRUPT_RECORD_COL)
+    .isNotNull())`` into a quarantine sink.
+    """
+    if keep_corrupt:
+        schema = T.StructType(
+            schema.fields + [T.StructField(CORRUPT_RECORD_COL, T.StringType(), True)]
+        )
+    reader = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+    )
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_RECORD_COL)
+    df = reader.csv(path)
+    extra = [CORRUPT_RECORD_COL] if keep_corrupt else []
     if with_ingest_order:
         df = df.withColumn(INGEST_ORDER_COL, F.monotonically_increasing_id())
         if columns:
-            df = df.select(*columns, INGEST_ORDER_COL)
+            df = df.select(*columns, *extra, INGEST_ORDER_COL)
     elif columns:
-        df = df.select(*columns)
+        df = df.select(*columns, *extra)
     return df

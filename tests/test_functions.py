@@ -59,3 +59,27 @@ def test_clean_name_column_only_variant(spark):
     df = spark.createDataFrame([("Olena",), ("ddd",), ("іванова-шипак",)], ["n"])
     got = [r[0] for r in df.select(clean_name("n", unescape=False)).collect()]
     assert got == ["olena", "", "іванова-шипак"]
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE capture: structurally broken lines are quarantined in
+    the corrupt-record column, clean lines parse normally."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_orders_to_bq_spark.sources.csv import (
+        CORRUPT_RECORD_COL,
+        read_csv_raw,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text('a,b\n1,x\n"unclosed quote,zzz\n2,y\n')
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv_raw(spark, str(p), schema, keep_corrupt=True).cache()
+    bad = df.filter(F.col(CORRUPT_RECORD_COL).isNotNull())
+    good = df.filter(F.col(CORRUPT_RECORD_COL).isNull())
+    assert bad.count() == 1
+    assert "unclosed" in bad.first()[CORRUPT_RECORD_COL]
+    assert sorted(r["a"] for r in good.collect()) == ["1", "2"]
