@@ -643,6 +643,80 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() marker via the SQL surface."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        select o_orderpriority, o_orderstatus,
+               cast(grouping(o_orderpriority) as int) as g_pri,
+               count(*) as n,
+               round(sum(o_totalprice), 2) as sum_price
+        from orders
+        group by grouping sets ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns to (metric, value) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with capture group: customer number from c_name."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("cust_num"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type construction + lookup (create_map / element_at). The
+    oracle computes the same scalars directly — it validates output
+    semantics, not internal representation."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline tail: LSH candidate pairs -> connected
+    components -> (doc, cluster representative). Iterative min-label
+    propagation; oracle is a recursive-CTE transitive closure."""
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2, shingle_len=3
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality (<=>): joins where null keys match null keys
     (standard equality drops them)."""
@@ -789,6 +863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "regex_extract": q_regex_extract,
+        "map_funcs": q_map_funcs,
+        "dedup_clusters": q_dedup_clusters,
         "nullsafe_join": q_nullsafe_join,
         "filtered_agg": q_filtered_agg,
         "explode_tokens": q_explode_tokens,
@@ -1041,6 +1120,72 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "grouping_sets": """
+            select o_orderpriority, o_orderstatus,
+                   cast(grouping(o_orderpriority) as int) as g_pri,
+                   count(*) as n,
+                   round(sum(o_totalprice), 2) as sum_price
+            from orders
+            group by grouping sets ((o_orderpriority), (o_orderstatus), ())
+        """,
+        "unpivot": """
+            select l_orderkey, l_linenumber, metric, value
+            from (select l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                  from lineitem)
+            unpivot include nulls (value for metric in (l_quantity, l_discount, l_tax))
+        """,
+        "regex_extract": """
+            select c_custkey,
+                   regexp_extract(c_name, 'Customer#(\\d+)', 1) as cust_num
+            from customer
+        """,
+        "map_funcs": """
+            select o_orderkey,
+                   o_orderstatus as status_val,
+                   o_orderpriority as priority_val,
+                   2 as n_keys
+            from orders
+        """,
+        "dedup_clusters": f"""
+            with recursive docs2 as (
+                select doc_id, text from documents
+                union all
+                select doc_id + 100000, text from documents where doc_id < 10
+            ),
+            sig as (
+                select doc_id,
+                       {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                       {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+                from docs2
+            ),
+            banded as (
+                select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+                from sig where mh_0 is not null
+                union all
+                select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+                from sig where mh_0 is not null
+            ),
+            pairs as (
+                select distinct l.doc_id as id_a, r.doc_id as id_b
+                from banded l join banded r
+                  on l.bk = r.bk and l.doc_id < r.doc_id
+            ),
+            edges as (
+                select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs
+            ),
+            reach as (
+                select a, a as b from edges
+                union
+                select a, b from edges
+                union
+                select r.a, e.b
+                from reach r join edges e on r.b = e.a
+            )
+            select a as doc_id, min(b) as component
+            from reach group by a
         """,
         "nullsafe_join": """
             with keyed as (

@@ -164,3 +164,20 @@ def test_asof_join_tolerance(spark):
     tight = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance="30 minutes")
     assert wide.first()["v"] == 1.0
     assert tight.first()["v"] is None
+
+
+def test_connected_components(spark):
+    """Min-label propagation must resolve chains and isolate disjoint
+    components, at any partitioning."""
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    ).repartition(4)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
