@@ -140,3 +140,64 @@ def test_stateful_running_totals_across_batches(spark, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed file-sink query must process ONLY new
+    input — no duplicates, no loss (exactly-once for file sinks)."""
+    from etl_orders_to_bq_spark.streaming import (
+        read_event_stream,
+        stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_table(spark, SF, "events")
+    first, second = ev.randomSplit([0.5, 0.5], seed=7)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    q1 = stream_to_parquet(
+        read_event_stream(spark, src).select("event_id", "ts", "value"),
+        dst,
+        ckpt,
+    )
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(dst).count()
+    assert n1 == first.count()
+
+    # new data arrives while the query is DOWN; restart from checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_to_parquet(
+        read_event_stream(spark, src).select("event_id", "ts", "value"),
+        dst,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(dst)
+    assert out.count() == ev.count()  # no loss
+    assert out.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_foreach_batch_receives_batches(spark, tmp_path):
+    from etl_orders_to_bq_spark.streaming import (
+        foreach_batch_writer,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "fb_src")
+    read_table(spark, SF, "events").repartition(3).write.mode("append").parquet(src)
+    seen: list[tuple[int, int]] = []
+
+    def collect_batch(bdf, bid):
+        seen.append((bid, bdf.count()))
+
+    q = foreach_batch_writer(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        collect_batch,
+        str(tmp_path / "fb_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 3  # one call per micro-batch (3 files)
+    assert sum(n for _, n in seen) == 1000
+    assert [b for b, _ in seen] == [0, 1, 2]  # monotonically numbered
