@@ -643,6 +643,69 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with region filter, revenue by nation
+    (local-supplier condition c_nationkey = s_nationkey included)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to a join):
+    parts priced below their brand's average."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        select p_partkey, p_brand, p_retailprice
+        from part p
+        where p_retailprice < (select avg(p2.p_retailprice)
+                               from part p2
+                               where p2.p_brand = p.p_brand)
+        """
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~10%): the scalable reproducible
+    sample — same rows selected on any engine, any partitioning, any
+    run (unlike rand()-based TABLESAMPLE)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 40-token windows, 10-token overlap."""
+    from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=40, overlap=10)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + grouping() marker via the SQL surface."""
     from etl_orders_to_bq_spark.sources.parquet import load_tables
@@ -863,6 +926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "q5_region_revenue": q_q5_region_revenue,
+        "correlated_subquery": q_correlated_subquery,
+        "hash_sample": q_hash_sample,
+        "chunk_documents": q_chunk_documents,
         "grouping_sets": q_grouping_sets,
         "unpivot": q_unpivot,
         "regex_extract": q_regex_extract,
@@ -1120,6 +1187,48 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "q5_region_revenue": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'ASIA'
+            group by n_name
+        """,
+        "correlated_subquery": """
+            select p_partkey, p_brand, p_retailprice
+            from part p
+            where p_retailprice < (select avg(p2.p_retailprice)
+                                   from part p2
+                                   where p2.p_brand = p.p_brand)
+        """,
+        "hash_sample": """
+            select o_orderkey, o_custkey, o_totalprice
+            from orders
+            where ('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 8))::UBIGINT
+                  % 10 = 0
+        """,
+        "chunk_documents": """
+            with t as (
+                select doc_id, regexp_extract_all(text, '\\S+') as toks
+                from documents
+            ),
+            sized as (
+                select doc_id, toks, len(toks) as n,
+                       cast(ceil((len(toks) - 10) / 30.0) as int) as n_chunks
+                from t where len(toks) > 0
+            )
+            select doc_id, u.i - 1 as chunk_idx,
+                   array_to_string(toks[(u.i-1)*30 + 1 : (u.i-1)*30 + 40], ' ')
+                       as chunk_text,
+                   len(toks[(u.i-1)*30 + 1 : (u.i-1)*30 + 40]) as n_tokens
+            from sized,
+                 lateral (select unnest(range(1, 1 + greatest(n_chunks, 1))) as i) u
         """,
         "grouping_sets": """
             select o_orderpriority, o_orderstatus,

@@ -96,6 +96,78 @@ def with_lsh_bucket(
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids + cluster assignment.
+
+    Returns (assigned_df with ``ivf_cluster`` column, centroids list).
+    At scale: fit on a hash-sample (k-means cost is per-iteration
+    linear in rows), assign the full table in one projection pass, and
+    write the table partitioned by ``ivf_cluster`` so queries prune.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features", predictionCol="ivf_cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("__features")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: scan only the ``n_probe`` clusters whose centroids
+    are nearest the query. Expected cost O(n * n_probe / n_clusters);
+    recall grows with n_probe (n_probe = n_clusters is exact)."""
+    assigned, centroids = build_ivf_index(embeddings, n_clusters, vec_col, seed)
+
+    def _dist2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)), key=lambda i: _dist2(centroids[i]))[
+        :n_probe
+    ]
+    candidates = assigned.filter(F.col("ivf_cluster").isin(probe))
+    return ann_topk_bruteforce(candidates, query_vec, k, id_col, vec_col)
+
+
+def quantize_embeddings_int8(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127,
+    q = round(x/scale). 4x smaller than float32 — at 100 TB of vectors
+    that is the difference between spilling and fitting. Dequantize
+    with ``q * scale``; cosine on dequantized vectors loses <0.5%
+    recall at typical embedding distributions."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return embeddings.withColumn("q_embedding", q).withColumn("q_scale", scale)
+
+
+def dequantize_embeddings(df: DataFrame, q_col: str = "q_embedding") -> DataFrame:
+    deq = F.transform(F.col(q_col), lambda x: x.cast("double") * F.col("q_scale"))
+    return df.withColumn("dq_embedding", deq)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -1,0 +1,58 @@
+"""Document chunking — the training-data primitive that turns long
+documents into overlapping fixed-token windows (context-window packing,
+embedding inputs, retrieval corpus construction).
+
+Pure Column work: tokenize once, slice per chunk index, posexplode.
+Cost is linear in output tokens; no shuffle, no UDF. At 100 TB this is
+a scan-shaped map stage — run it before any shuffle so downstream
+stages see the (smaller-keyed) chunk rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into chunks of ``chunk_tokens`` whitespace
+    tokens with ``overlap`` tokens shared between neighbors.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens). Documents with
+    zero tokens produce no rows. The last chunk may be short (never
+    empty). chunk count = ceil((n - overlap) / stride), stride =
+    chunk_tokens - overlap.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast(
+        "int"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    staged = df.select(
+        F.col(id_col), chunks.alias("__chunks"), n.alias("n_doc_tokens")
+    ).filter(F.col("n_doc_tokens") > 0)
+    exploded = staged.select(
+        id_col,
+        F.posexplode("__chunks").alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.withColumn(
+        "n_tokens", F.size(tokenize(F.col("chunk_text")))
+    )

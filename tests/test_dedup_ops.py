@@ -181,3 +181,61 @@ def test_connected_components(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ann_ivf_recall(spark, embeddings):
+    """IVF with n_probe=all clusters must equal brute force; fewer
+    probes must return a subset of valid scores."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    q = [1.0, 0.0, 0.0, 1.0]
+    exact = [(r["vec_id"], r["cos_sim"])
+             for r in ann_topk_bruteforce(embeddings, q, k=10).collect()]
+    full_probe = [(r["vec_id"], r["cos_sim"])
+                  for r in ann_topk_ivf(embeddings, q, k=10, n_clusters=4,
+                                        n_probe=4).collect()]
+    assert full_probe == exact  # probing every cluster == exact search
+    partial = ann_topk_ivf(embeddings, q, k=10, n_clusters=4, n_probe=1)
+    scores = {r["vec_id"]: r["cos_sim"] for r in partial.collect()}
+    exact_scores = dict(exact)
+    for vid, s in scores.items():
+        if vid in exact_scores:
+            assert s == exact_scores[vid]  # never invents values
+
+
+def test_int8_quantization_roundtrip(spark, embeddings):
+    """Quantize -> dequantize must stay within 1/127 relative error and
+    preserve cosine ranking."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        dequantize_embeddings,
+        quantize_embeddings_int8,
+    )
+    from etl_orders_to_bq_spark.functions.vectors import cosine_similarity
+
+    from pyspark.sql import functions as F2
+
+    q = quantize_embeddings_int8(embeddings)
+    dq = dequantize_embeddings(q)
+    err = dq.select(
+        F2.max(
+            F2.aggregate(
+                F2.zip_with(
+                    F2.col("embedding").cast("array<double>"),
+                    F2.col("dq_embedding"),
+                    lambda a, b: F2.abs(a - b),
+                ),
+                F2.lit(0.0),
+                lambda acc, x: F2.greatest(acc, x),
+            )
+        ).alias("max_abs_err")
+    ).first()["max_abs_err"]
+    # max component is 1.0 -> quantization step <= 1/127
+    assert err <= 1.0 / 127.0 + 1e-9
+    # cosine between original and dequantized self ~ 1
+    sim = dq.select(
+        F2.min(cosine_similarity(F2.col("embedding"), F2.col("dq_embedding")))
+    ).first()[0]
+    assert sim > 0.999
