@@ -643,6 +643,15 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of orders (nulls/distinct/min/max
+    per column + row count, long form)."""
+    from etl_orders_to_bq_spark.operators.quality import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with region filter, revenue by nation
     (local-supplier condition c_nationkey = s_nationkey included)."""
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "data_quality": q_data_quality,
         "q5_region_revenue": q_q5_region_revenue,
         "correlated_subquery": q_correlated_subquery,
         "hash_sample": q_hash_sample,
@@ -1187,6 +1197,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "data_quality": """
+            with m as (
+                select count(*) as rows_,
+                       count(case when o_orderkey is null then 1 end) as k_nulls,
+                       count(distinct o_orderkey) as k_distinct,
+                       cast(min(o_orderkey) as varchar) as k_min,
+                       cast(max(o_orderkey) as varchar) as k_max,
+                       count(case when o_orderstatus is null then 1 end) as s_nulls,
+                       count(distinct o_orderstatus) as s_distinct,
+                       cast(min(o_orderstatus) as varchar) as s_min,
+                       cast(max(o_orderstatus) as varchar) as s_max,
+                       count(case when o_totalprice is null then 1 end) as p_nulls,
+                       count(distinct o_totalprice) as p_distinct,
+                       cast(min(o_totalprice) as varchar) as p_min,
+                       cast(max(o_totalprice) as varchar) as p_max
+                from orders
+            )
+            select 'o_orderkey' as "column", 'nulls' as metric, cast(k_nulls as varchar) as value from m
+            union all select 'o_orderkey', 'distinct', cast(k_distinct as varchar) from m
+            union all select 'o_orderkey', 'min', k_min from m
+            union all select 'o_orderkey', 'max', k_max from m
+            union all select 'o_orderstatus', 'nulls', cast(s_nulls as varchar) from m
+            union all select 'o_orderstatus', 'distinct', cast(s_distinct as varchar) from m
+            union all select 'o_orderstatus', 'min', s_min from m
+            union all select 'o_orderstatus', 'max', s_max from m
+            union all select 'o_totalprice', 'nulls', cast(p_nulls as varchar) from m
+            union all select 'o_totalprice', 'distinct', cast(p_distinct as varchar) from m
+            union all select 'o_totalprice', 'min', p_min from m
+            union all select 'o_totalprice', 'max', p_max from m
+            union all select '_table', 'rows', cast(rows_ as varchar) from m
         """,
         "q5_region_revenue": """
             select n_name,

@@ -1,0 +1,96 @@
+"""Data-quality profiling — the pre-flight check of every production
+ETL load (the reference trusts its inputs blindly; at 100 TB you
+cannot).
+
+``profile`` computes per-column metrics in ONE pass over the table
+(a single aggregate projection, no shuffle beyond the final combine):
+null count, distinct count (exact), min/max. Output is long-form
+(column, metric, value) so it feeds dashboards/expectation checks
+without schema churn.
+
+``expect`` turns a profile into assertions (fail-fast quality gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-form per-column metrics: (column, metric, value as string).
+
+    Values stringified so heterogeneous column types share one output
+    schema; numeric consumers cast back.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(F.count("*").alias("__rows"), *aggs)
+
+    pairs = [
+        ("__rows", F.lit("_table"), F.lit("rows")),
+    ]
+    stacked = []
+    for c in cols:
+        for metric in ("nulls", "distinct", "min", "max"):
+            stacked.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(metric).alias("metric"),
+                    F.col(f"{c}__{metric}").cast("string").alias("value"),
+                )
+            )
+    stacked.append(
+        F.struct(
+            F.lit("_table").alias("column"),
+            F.lit("rows").alias("metric"),
+            F.col("__rows").cast("string").alias("value"),
+        )
+    )
+    return row.select(F.explode(F.array(*stacked)).alias("m")).select(
+        "m.column", "m.metric", "m.value"
+    )
+
+
+class QualityError(ValueError):
+    pass
+
+
+def expect(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list[str]] | None = None,
+) -> None:
+    """Fail-fast expectations; raises QualityError listing violations.
+
+    One aggregation job total — violations counted, not collected.
+    """
+    checks = []
+    for c in not_null or []:
+        checks.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"not_null:{c}")
+        )
+    for c in unique or []:
+        checks.append(
+            (F.count(c) - F.countDistinct(c)).alias(f"unique:{c}")
+        )
+    for c, vals in (accepted_values or {}).items():
+        checks.append(
+            F.count(F.when(~F.col(c).isin(vals) & F.col(c).isNotNull(), 1)).alias(
+                f"accepted:{c}"
+            )
+        )
+    if not checks:
+        return
+    row = df.agg(*checks).first()
+    violations = {k: v for k, v in row.asDict().items() if v and v > 0}
+    if violations:
+        raise QualityError(f"quality violations: {violations}")

@@ -96,3 +96,28 @@ def test_window_dedup_single_exchange(spark):
     )
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Overwriting one partition must leave sibling partitions intact
+    (the incremental-reload pattern for partitioned warehouses)."""
+    target = str(tmp_path / "dpo")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        base = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+             ("2024-01-02", 3, 30.0)],
+            "day string, id long, v double",
+        )
+        write_table(base, target, partition_by=["day"])
+        # reload ONLY day 1 with corrected values
+        fix = spark.createDataFrame(
+            [("2024-01-01", 1, 11.0)], "day string, id long, v double"
+        )
+        write_table(fix, target, partition_by=["day"], if_exists="replace")
+        back = spark.read.parquet(target)
+        assert back.count() == 2  # day1 replaced (1 row), day2 untouched
+        vals = {r["id"]: r["v"] for r in back.collect()}
+        assert vals == {1: 11.0, 3: 30.0}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")

@@ -75,3 +75,32 @@ def test_salted_left_join_matches_naive(spark):
         for r in salted.groupBy("k", "name").agg(F.count("*").alias("c")).collect()
     }
     assert n_naive == n_salted
+
+
+def test_quality_profile_and_expectations(spark):
+    from etl_orders_to_bq_spark.operators.quality import (
+        QualityError,
+        expect,
+        profile,
+    )
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (2, "b", 3.0)],
+        "id long, s string, v double",
+    )
+    m = {
+        (r["column"], r["metric"]): r["value"] for r in profile(df).collect()
+    }
+    assert m[("_table", "rows")] == "3"
+    assert m[("v", "nulls")] == "1"
+    assert m[("id", "distinct")] == "2"
+    assert m[("s", "min")] == "a"
+
+    expect(df, not_null=["id"], accepted_values={"s": ["a", "b"]})  # passes
+    with pt.raises(QualityError, match="unique:id"):
+        expect(df, unique=["id"])
+    with pt.raises(QualityError, match="not_null:v"):
+        expect(df, not_null=["v"])
+    with pt.raises(QualityError, match="accepted:s"):
+        expect(df, accepted_values={"s": ["a"]})
