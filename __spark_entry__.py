@@ -643,6 +643,77 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-only filter + single agg —
+    the query where predicate pushdown is the whole game."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + count by priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation/covariance/stddev/variance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: levenshtein distance (identical DP
+    algorithm on both engines -> exact integer parity)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev_to_42"),
+        F.levenshtein("c_name", F.reverse("c_name")).alias("lev_palindrome"),
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of orders (nulls/distinct/min/max
     per column + row count, long form)."""
@@ -935,6 +1006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "window_frames": q_window_frames,
         "sketch_agg": q_sketch_agg,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "q10_returned_topk": q_q10_returned_topk,
+        "stats_agg": q_stats_agg,
+        "fuzzy_funcs": q_fuzzy_funcs,
         "data_quality": q_data_quality,
         "q5_region_revenue": q_q5_region_revenue,
         "correlated_subquery": q_correlated_subquery,
@@ -1197,6 +1273,45 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": f"""
             select vec_id, cast({_lsh_bucket_sql(64, 8, 42)} as int) as bucket
             from embeddings
+        """,
+        "q6_forecast_revenue": """
+            select round(sum(l_extendedprice * l_discount), 2) as revenue,
+                   count(*) as n
+            from lineitem
+            where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'
+              and l_discount >= 0.05 and l_quantity < 25
+        """,
+        "q4_order_priority": """
+            select o_orderpriority, count(*) as order_count
+            from orders
+            where exists (select 1 from lineitem
+                          where l_orderkey = o_orderkey and l_returnflag = 'R')
+            group by o_orderpriority
+        """,
+        "q10_returned_topk": """
+            select c_custkey, c_name, c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where l_returnflag = 'R'
+            group by c_custkey, c_name, c_mktsegment
+            order by revenue desc, c_custkey asc
+            limit 20
+        """,
+        "stats_agg": """
+            select l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) as corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) as covar_qp,
+                   round(stddev_samp(l_extendedprice), 4) as stddev_price,
+                   round(var_samp(l_discount), 6) as var_disc
+            from lineitem group by l_returnflag
+        """,
+        "fuzzy_funcs": """
+            select c_custkey,
+                   levenshtein(c_name, 'Customer#000000042') as lev_to_42,
+                   levenshtein(c_name, reverse(c_name)) as lev_palindrome
+            from customer
         """,
         "data_quality": """
             with m as (

@@ -121,3 +121,37 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         assert vals == {1: 11.0, 3: 30.0}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_plan_summary_helper(spark):
+    """plans.inspect must report the shapes the other tests assert."""
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    li = read_table(spark, SF, "lineitem")
+    p = read_table(spark, SF, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+    s = plan_summary(j)
+    assert s["joins"] == ["BroadcastHashJoin"]
+    assert s["exchanges"] == 1  # only the groupBy
+    assert s["has_whole_stage_codegen"]
+
+    top = li.orderBy(F.desc("l_extendedprice")).limit(3)
+    assert plan_summary(top)["take_ordered"]
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction must reduce file count without changing data."""
+    from etl_orders_to_bq_spark.sinks.maintenance import compact_parquet
+
+    target = str(tmp_path / "frag")
+    ev = read_table(spark, SF, "events")
+    ev.repartition(37).write.mode("overwrite").parquet(target)  # fragment
+    before = spark.read.parquet(target)
+    n, s = before.count(), before.agg(F.sum("value")).first()[0]
+
+    stats = compact_parquet(spark, target, target_mb=128)
+    assert stats["files_before"] == 37
+    assert stats["files_after"] == 1  # tiny data -> single file
+    after = spark.read.parquet(target)
+    assert after.count() == n
+    assert abs(after.agg(F.sum("value")).first()[0] - s) < 1e-6
