@@ -155,3 +155,16 @@ def test_compact_parquet(spark, tmp_path):
     after = spark.read.parquet(target)
     assert after.count() == n
     assert abs(after.agg(F.sum("value")).first()[0] - s) < 1e-6
+
+
+def test_join_hints_respected(spark):
+    """A merge hint must override the broadcast default — the manual
+    lever when a 'small' dim is too hot to broadcast."""
+    from etl_orders_to_bq_spark.plans import join_strategies
+
+    li = read_table(spark, SF, "lineitem")
+    p = read_table(spark, SF, "part")
+    j = li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
+    assert join_strategies(j) == ["SortMergeJoin"]
+    j2 = li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+    assert join_strategies(j2) == ["ShuffledHashJoin"]
