@@ -714,6 +714,20 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over real binary columns: text bytes
+    stand in for image payloads (no codec libs in the container — the
+    deterministic md5-derived fake IS the contract), so the full
+    mapInPandas Arrow path is oracle-checked, not just row-counted."""
+    from etl_orders_to_bq_spark.multimodal import decode_image_batch
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return decode_image_batch(media)
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of orders (nulls/distinct/min/max
     per column + row count, long form)."""
@@ -1011,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "multimodal_decode": q_multimodal_decode,
         "data_quality": q_data_quality,
         "q5_region_revenue": q_q5_region_revenue,
         "correlated_subquery": q_correlated_subquery,
@@ -1312,6 +1327,15 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "multimodal_decode": """
+            select doc_id as id,
+                   ['png', 'jpeg', 'webp'][('0x' || substr(md5(text), 1, 2))::int % 3 + 1]
+                       as format,
+                   64 + ('0x' || substr(md5(text), 3, 2))::int as width,
+                   64 + ('0x' || substr(md5(text), 5, 2))::int as height,
+                   strlen(text) as size_bytes
+            from documents
         """,
         "data_quality": """
             with m as (

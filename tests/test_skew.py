@@ -104,3 +104,43 @@ def test_quality_profile_and_expectations(spark):
         expect(df, not_null=["v"])
     with pt.raises(QualityError, match="accepted:s"):
         expect(df, accepted_values={"s": ["a"]})
+
+
+def test_scd2_lifecycle(spark):
+    """Init -> change -> re-apply same -> new key: version history must
+    be exact."""
+    from etl_orders_to_bq_spark.operators.scd import (
+        OPEN_END,
+        scd2_apply,
+        scd2_init,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "alice", "NYC"), (2, "bob", "LA")], "id long, name string, city string"
+    )
+    h = scd2_init(snap, "2024-01-01 00:00:00")
+    assert h.count() == 2
+
+    # day 2: alice moves; bob unchanged; carol appears
+    upd = spark.createDataFrame(
+        [(1, "alice", "SF"), (2, "bob", "LA"), (3, "carol", "CHI")],
+        "id long, name string, city string",
+    )
+    h2 = scd2_apply(h, upd, "id", ["name", "city"], "2024-01-02 00:00:00")
+    rows = {(r["id"], str(r["valid_from"]), str(r["valid_to"])): r["city"]
+            for r in h2.collect()}
+    assert len(rows) == 4
+    # alice: closed NYC + open SF
+    assert rows[(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")] == "NYC"
+    assert rows[(1, "2024-01-02 00:00:00", OPEN_END)] == "SF"
+    # bob: still one open row
+    assert rows[(2, "2024-01-01 00:00:00", OPEN_END)] == "LA"
+    # carol: new open row
+    assert rows[(3, "2024-01-02 00:00:00", OPEN_END)] == "CHI"
+
+    # idempotence: re-applying identical state changes nothing
+    h3 = scd2_apply(h2, upd, "id", ["name", "city"], "2024-01-03 00:00:00")
+    assert h3.count() == 4
+    assert {tuple(sorted(r.asDict().items())) for r in h3.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in h2.collect()
+    }
