@@ -714,6 +714,35 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: sorted distinct set per group (joined to
+    a string so the cross-engine hash sees identical values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): how many orders
+    of the same customer fall within 10k below this order's price."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_close_below"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_close_below"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing over real binary columns: text bytes
     stand in for image payloads (no codec libs in the container — the
@@ -1025,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "collect_agg": q_collect_agg,
+        "window_range_frame": q_window_range_frame,
         "multimodal_decode": q_multimodal_decode,
         "data_quality": q_data_quality,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1327,6 +1358,21 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "collect_agg": """
+            select l_returnflag,
+                   array_to_string(list_sort(list(distinct l_linestatus)), ',')
+                       as statuses,
+                   count(*) as n
+            from lineitem group by l_returnflag
+        """,
+        "window_range_frame": """
+            select o_orderkey, o_custkey,
+                   count(*) over w as n_close_below,
+                   round(sum(o_totalprice) over w, 2) as sum_close_below
+            from orders
+            window w as (partition by o_custkey order by o_totalprice
+                         range between 10000 preceding and current row)
         """,
         "multimodal_decode": """
             select doc_id as id,

@@ -176,11 +176,15 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's LSH bucket.
 
-    Recall can be raised by lowering ``bits`` or probing neighboring
-    buckets (Hamming distance 1) — left as the multi-probe extension.
+    ``multi_probe`` > 0 additionally probes all buckets within that
+    Hamming distance of the query bucket — the standard recall lever
+    that avoids rebucketing: probing Hamming-1 scans (1 + bits) of the
+    2^bits buckets and typically recovers most of the lost neighbors
+    (vectors near a hyperplane land on its far side).
     """
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
@@ -188,9 +192,16 @@ def ann_topk_lsh(
     for i, plane in enumerate(planes):
         if sum(p * q for p, q in zip(plane, query_vec)) > 0:
             qbucket += 2**i
+
+    probe = {qbucket}
+    frontier = {qbucket}
+    for _ in range(multi_probe):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(bits)} - probe
+        probe |= frontier
+
     bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col, seed)
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    scored = bucketed.filter(F.col("bucket") == qbucket).select(
+    scored = bucketed.filter(F.col("bucket").isin(list(probe))).select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
     )

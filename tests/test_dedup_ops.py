@@ -239,3 +239,22 @@ def test_int8_quantization_roundtrip(spark, embeddings):
         F2.min(cosine_similarity(F2.col("embedding"), F2.col("dq_embedding")))
     ).first()[0]
     assert sim > 0.999
+
+
+def test_ann_lsh_multiprobe_improves_recall(embeddings):
+    """Probing Hamming-1 neighbor buckets must not lower recall, and
+    probing ALL buckets (multi_probe=bits) must equal brute force."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    q = [1.0, 0.0, 0.0, 1.0]
+    exact = [r["vec_id"] for r in ann_topk_bruteforce(embeddings, q, k=10).collect()]
+    r0 = [r["vec_id"] for r in ann_topk_lsh(embeddings, q, k=10, bits=4).collect()]
+    r1 = [r["vec_id"] for r in
+          ann_topk_lsh(embeddings, q, k=10, bits=4, multi_probe=1).collect()]
+    rall = [r["vec_id"] for r in
+            ann_topk_lsh(embeddings, q, k=10, bits=4, multi_probe=4).collect()]
+    assert len(set(r1) & set(exact)) >= len(set(r0) & set(exact))
+    assert rall == exact  # full probe == exact search

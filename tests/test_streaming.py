@@ -201,3 +201,27 @@ def test_foreach_batch_receives_batches(spark, tmp_path):
     assert len(seen) == 3  # one call per micro-batch (3 files)
     assert sum(n for _, n in seen) == 1000
     assert [b for b, _ in seen] == [0, 1, 2]  # monotonically numbered
+
+
+def test_stream_static_join(spark, events_dir):
+    """Stream-static join: streaming events enriched with a static dim
+    (the dim is re-read per micro-batch; no watermark needed)."""
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    enriched = stream.join(dim, "event_type").groupBy("category").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["category"]: r["count"] for r in spark.sql("select * from enriched").collect()}
+    batch = spark.read.parquet(events_dir).join(dim, "event_type").groupBy("category").count()
+    expected = {r["category"]: r["count"] for r in batch.collect()}
+    assert got == expected
