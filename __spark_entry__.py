@@ -714,6 +714,22 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casting (try_cast): dirty values become null instead of
+    failing the job — the complement of O2's repair-then-cast (repair
+    recovers the value; try_cast quarantines it)."""
+    o = _t(spark, sf_dir, "orders")
+    dirty = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("x")),
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        dirty.try_cast("long").alias("maybe_key"),
+        F.col("o_orderstatus").try_cast("double").alias("never_num"),
+    )
+
+
 def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: sorted distinct set per group (joined to
     a string so the cross-engine hash sees identical values)."""
@@ -1054,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "try_cast": q_try_cast,
         "collect_agg": q_collect_agg,
         "window_range_frame": q_window_range_frame,
         "multimodal_decode": q_multimodal_decode,
@@ -1358,6 +1375,15 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "try_cast": """
+            select o_orderkey,
+                   try_cast(case when o_orderkey % 7 = 0
+                                 then cast(o_orderkey as varchar) || 'x'
+                                 else cast(o_orderkey as varchar) end as bigint)
+                       as maybe_key,
+                   try_cast(o_orderstatus as double) as never_num
+            from orders
         """,
         "collect_agg": """
             select l_returnflag,

@@ -32,17 +32,37 @@ from ..functions.text import normalize_text, tokenize, word_ngrams
 
 
 def first_occurrence_dedup(
-    df: DataFrame, keys: list[str], order_col: str | list[str]
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | list[str],
+    strategy: str = "window",
 ) -> DataFrame:
     """Keep the first row per ``keys`` as ordered by ``order_col``.
 
-    Implemented as ``row_number`` over a window partitioned by the keys —
-    one shuffle, streaming rank, no full sort of the table.
-
     ``order_col`` must define a total order within each key group for
     the result to be deterministic; pass a list of columns to break ties.
+
+    Strategies (identical results, different shuffle profiles):
+    - "window" (default): row_number over a key window. One shuffle of
+      ALL rows + per-partition sort (WindowGroupLimit keeps it a
+      streaming top-1). Fastest when keys are mostly unique (measured
+      ~25% faster at 6M rows / 5.9M keys).
+    - "min_by": groupBy(keys).min_by(struct(row), struct(order)). The
+      partial aggregate combines map-side, so the shuffle carries one
+      row per key PER MAPPER — the right choice when duplication is
+      heavy (e.g. crawl snapshots with 100x dup factor), where shuffle
+      volume, not CPU, is the bound.
     """
     order_cols = [order_col] if isinstance(order_col, str) else order_col
+    if strategy == "min_by":
+        packed = df.groupBy(*keys).agg(
+            F.min_by(
+                F.struct(*df.columns), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("__row")
+        )
+        return packed.select("__row.*")
+    if strategy != "window":
+        raise ValueError(f"unknown dedup strategy: {strategy}")
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -258,3 +258,14 @@ def test_ann_lsh_multiprobe_improves_recall(embeddings):
             ann_topk_lsh(embeddings, q, k=10, bits=4, multi_probe=4).collect()]
     assert len(set(r1) & set(exact)) >= len(set(r0) & set(exact))
     assert rall == exact  # full probe == exact search
+
+
+def test_dedup_strategies_equivalent(spark):
+    """window and min_by strategies must return identical rows."""
+    rows = [(k, i, f"v{i}") for i, k in enumerate([1, 2, 1, 3, 2, 1] * 100)]
+    df = spark.createDataFrame(rows, "k long, ord long, v string").repartition(7)
+    w = {(r["k"], r["v"]) for r in
+         first_occurrence_dedup(df, ["k"], "ord", strategy="window").collect()}
+    m = {(r["k"], r["v"]) for r in
+         first_occurrence_dedup(df, ["k"], "ord", strategy="min_by").collect()}
+    assert w == m == {(1, "v0"), (2, "v1"), (3, "v3")}
