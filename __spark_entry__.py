@@ -714,6 +714,28 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: language filter -> quality gate -> exact
+    dedup -> near-dup cluster removal -> chunking, end-to-end as one
+    plan. Near-dups are planted (suffixed copies of 10 docs) so the
+    cluster-removal stage has real work in the gate."""
+    from etl_orders_to_bq_spark.pipeline.corpus import build_training_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee")).alias("text"),
+    )
+    corpus = build_training_corpus(
+        d.unionByName(planted),
+        lang="en",
+        min_quality=0.5,
+        chunk_tokens=64,
+        overlap=8,
+    )
+    return corpus
+
+
 def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Safe casting (try_cast): dirty values become null instead of
     failing the job — the complement of O2's repair-then-cast (repair
@@ -1070,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "corpus_pipeline": q_corpus_pipeline,
         "try_cast": q_try_cast,
         "collect_agg": q_collect_agg,
         "window_range_frame": q_window_range_frame,
@@ -1177,6 +1200,13 @@ def oracle_sql() -> dict[str, str]:
     all_stop = (
         r"\b(" + "|".join(w for ws in LANG_STOPWORDS.values() for w in ws) + r")\b"
     )
+    quality_expr = f"""round(0.4::double * least(1.0::double,
+                             len(regexp_extract_all(lower(text), '{all_stop}'))
+                             / cast(greatest(len({_TOKENS}), 1) as double))
+                         + 0.3::double * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / cast(greatest(length(text), 1) as double))
+                         + 0.3::double * least(1.0::double, len({_TOKENS}) / 50.0::double),
+                         6)"""
     return {
         "o2_cast_repair": """
             select o_orderkey,
@@ -1303,15 +1333,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {lang_case} as lang_pred from documents
         """,
         "text_quality": f"""
-            select doc_id,
-                   round(0.4::double * least(1.0::double,
-                             len(regexp_extract_all(lower(text), '{all_stop}'))
-                             / cast(greatest(len({_TOKENS}), 1) as double))
-                         + 0.3::double * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                             / cast(greatest(length(text), 1) as double))
-                         + 0.3::double * least(1.0::double, len({_TOKENS}) / 50.0::double),
-                         6) as quality
-            from documents
+            select doc_id, {quality_expr} as quality from documents
         """,
         "text_fingerprint": f"""
             select doc_id, md5({_NORM}) as fingerprint from documents
@@ -1375,6 +1397,73 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "corpus_pipeline": f"""
+            with recursive base as (
+                select doc_id, text from documents
+                union all
+                select doc_id + 100000, text || ' qq ww ee'
+                from documents where doc_id < 10
+            ),
+            kept as (
+                select doc_id, text from base
+                where {lang_case} = 'en' and {quality_expr} >= 0.5
+            ),
+            fp as (select doc_id, text, md5({_NORM}) as f from kept),
+            exact as (
+                select doc_id, text from fp
+                where doc_id in (select min(doc_id) from fp group by f)
+            ),
+            sig as (
+                select doc_id, text,
+                       {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                       {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+                from exact
+            ),
+            banded as (
+                select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+                from sig where mh_0 is not null
+                union all
+                select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+                from sig where mh_0 is not null
+            ),
+            pairs as (
+                select distinct l.doc_id as id_a, r.doc_id as id_b
+                from banded l join banded r
+                  on l.bk = r.bk and l.doc_id < r.doc_id
+            ),
+            edges as (
+                select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs
+            ),
+            reach as (
+                select a, a as b from edges
+                union
+                select a, b from edges
+                union
+                select r.a, e.b from reach r join edges e on r.b = e.a
+            ),
+            comp as (select a as id, min(b) as component from reach group by a),
+            losers as (select id from comp where id <> component),
+            surv as (
+                select doc_id, text from exact
+                where doc_id not in (select id from losers)
+            ),
+            toks as (
+                select doc_id, regexp_extract_all(text, '\\S+') as t from surv
+            ),
+            sized as (
+                select doc_id, t,
+                       cast(ceil((len(t) - 8) / 56.0) as int) as n_chunks
+                from toks where len(t) > 0
+            )
+            select doc_id, u.i - 1 as chunk_idx,
+                   array_to_string(t[(u.i-1)*56 + 1 : (u.i-1)*56 + 64], ' ')
+                       as chunk_text,
+                   len(t[(u.i-1)*56 + 1 : (u.i-1)*56 + 64]) as n_tokens
+            from sized,
+                 lateral (select unnest(range(1, 1 + greatest(n_chunks, 1))) as i) u
         """,
         "try_cast": """
             select o_orderkey,

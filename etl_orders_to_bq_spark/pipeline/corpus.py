@@ -1,0 +1,68 @@
+"""Training-corpus construction pipeline — the composition the
+individual operators exist for:
+
+    documents
+      -> language ID filter        (keep target language)
+      -> quality-score filter      (drop boilerplate/garbage)
+      -> exact dedup               (normalized-content fingerprint)
+      -> near-dup cluster removal  (MinHash LSH -> connected
+                                    components -> keep min-id rep)
+      -> chunking                  (overlapping token windows)
+
+Every stage is one of the verified operators; the composition stays a
+single lazy plan until the chunk explosion. At 100 TB: stages 1-3 are
+scan-shaped projections + one fingerprint groupBy; stage 4 shuffles
+only candidate pairs; stage 5 is again scan-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import language_id, quality_score
+from ..operators.chunk import chunk_documents
+from ..operators.dedup import exact_dedup, minhash_lsh_candidates
+from ..operators.graph import connected_components
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Returns (doc_id, chunk_idx, chunk_text, n_tokens) for the
+    cleaned, deduplicated corpus."""
+    filtered = docs.filter(
+        (language_id(text_col) == lang) & (quality_score(text_col) >= min_quality)
+    )
+
+    exact = exact_dedup(filtered, text_col, id_col)
+
+    pairs = minhash_lsh_candidates(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    # drop every clustered doc that is not its cluster's representative
+    losers = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = exact.join(losers, id_col, "left_anti")
+
+    return chunk_documents(
+        survivors,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )

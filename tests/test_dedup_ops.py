@@ -269,3 +269,29 @@ def test_dedup_strategies_equivalent(spark):
     m = {(r["k"], r["v"]) for r in
          first_occurrence_dedup(df, ["k"], "ord", strategy="min_by").collect()}
     assert w == m == {(1, "v0"), (2, "v1"), (3, "v3")}
+
+
+def test_build_training_corpus(spark):
+    """The corpus composition must filter, dedup (exact + near), and
+    chunk — each planted pathology removed."""
+    from etl_orders_to_bq_spark.pipeline.corpus import build_training_corpus
+
+    en = ("the quick brown fox is seen in the garden and it is watched by "
+          "the cat that sits on the warm sill of the house ") * 3
+    rows = [
+        (1, en),
+        (2, en),                      # exact dup -> dropped
+        (3, en + " tail words here"), # near dup -> clustered, dropped
+        (4, "der hund und die katze und das haus und der baum und die "
+            "sonne und der mond sind nicht hier " * 3),  # German -> dropped
+        (5, "@@ ## $$ %% ^^ && ** (( )) !!"),  # garbage -> quality-dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(
+        docs, lang="en", min_quality=0.5, chunk_tokens=20, overlap=4
+    )
+    kept_docs = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert kept_docs == {1}
+    chunks = out.orderBy("chunk_idx").collect()
+    assert len(chunks) > 1  # long doc actually chunked
+    assert all(r["n_tokens"] <= 20 for r in chunks)
