@@ -714,6 +714,22 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family: extraction + arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.hour("o_orderdate").alias("hr"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition: language filter -> quality gate -> exact
     dedup -> near-dup cluster removal -> chunking, end-to-end as one
@@ -1092,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "date_funcs": q_date_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "try_cast": q_try_cast,
         "collect_agg": q_collect_agg,
@@ -1397,6 +1414,17 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "date_funcs": """
+            select o_orderkey,
+                   cast(year(o_orderdate) as int) as yr,
+                   cast(month(o_orderdate) as int) as mo,
+                   cast(day(o_orderdate) as int) as dom,
+                   cast(hour(o_orderdate) as int) as hr,
+                   cast(date_diff('day', cast(o_orderdate as date),
+                                  date '2002-01-01') as int) as days_to_2002,
+                   strftime(o_orderdate, '%Y-%m') as ym
+            from orders
         """,
         "corpus_pipeline": f"""
             with recursive base as (
