@@ -75,6 +75,70 @@ def windowed_event_counts(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: duplicate events (retries,
+    at-least-once sources) are dropped; the watermark bounds the dedup
+    state (a key older than the watermark can be forgotten — Spark's
+    dropDuplicatesWithinWatermark).
+
+    Batch inputs fall back to plain dropDuplicates (no state to bound).
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    of the same key within ``within`` AFTER the left event.
+
+    Both sides carry watermarks + the time-range join condition — that
+    pair is what lets Spark bound join state (left rows older than
+    watermark+range are evicted). The canonical funnel/attribution op.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        "r_value",
+    )
+
+
 def sessionize_events(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -225,3 +225,58 @@ def test_stream_static_join(spark, events_dir):
     batch = spark.read.parquet(events_dir).join(dim, "event_type").groupBy("category").count()
     expected = {r["category"]: r["count"] for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches must be dropped."""
+    from etl_orders_to_bq_spark.streaming.events import dedup_event_stream
+
+    src = str(tmp_path / "dup_src")
+    ev = read_table(spark, SF, "events").limit(200)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact duplicates
+
+    q = (
+        dedup_event_stream(read_event_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_stream")
+    assert out.count() == 200  # 400 in, dupes dropped
+    assert out.select("event_id").distinct().count() == 200
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream time-range join must equal the batch join."""
+    from etl_orders_to_bq_spark.streaming.events import correlate_streams
+
+    src = str(tmp_path / "ss_src")
+    ev = read_table(spark, SF, "events")
+    ev.repartition(2).write.mode("append").parquet(src)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return clicks, purchases
+
+    # batch expectation
+    bc, bp = split(spark.read.parquet(src))
+    expected = correlate_streams(bc, bp).count()
+    assert expected > 0
+
+    sc_, sp_ = split(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        correlate_streams(sc_, sp_)
+        .writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) n from funnel").first()["n"]
+    assert got == expected

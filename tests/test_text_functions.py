@@ -1,0 +1,67 @@
+"""Unit tests for the text-analysis Column functions (the oracle gate
+checks them at corpus scale; these pin the micro-semantics)."""
+
+from pyspark.sql import functions as F
+
+from etl_orders_to_bq_spark.functions.text import (
+    bpe_ish_token_count,
+    char_ngrams,
+    doc_fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    rolling_fingerprints,
+    token_count,
+    tokenize,
+    word_ngrams,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).first()["v"]
+
+
+def test_tokenize_and_counts(spark):
+    assert _one(spark, "  a  bb   ccc ", tokenize("text")) == ["a", "bb", "ccc"]
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "one-two, three!", token_count("text")) == 2
+    # BPE-ish: 'hello' -> hell+o, digits and punct separate
+    assert _one(spark, "hello 42!", bpe_ish_token_count("text")) == 5
+
+
+def test_ngrams(spark):
+    assert _one(spark, "a b c d", word_ngrams("text", 3)) == ["a b c", "b c d"]
+    assert _one(spark, "a b", word_ngrams("text", 3)) == []
+    assert _one(spark, "abcd", char_ngrams("text", 3)) == ["abc", "bcd"]
+
+
+def test_language_id_votes(spark):
+    assert _one(spark, "the cat and the dog is in that house", language_id("text")) == "en"
+    assert _one(spark, "der hund und die katze ist nicht hier", language_id("text")) == "de"
+    assert _one(spark, "zzz qqq www", language_id("text")) == "und"
+    # tie between en and de resolves to the first language in dict order
+    assert _one(spark, "the und", language_id("text")) == "en"
+
+
+def test_quality_monotonic(spark):
+    good = _one(
+        spark,
+        "the cat and the dog is in that house with the bird and the fish "
+        * 4,
+        quality_score("text"),
+    )
+    bad = _one(spark, "@@ ## $$ %%", quality_score("text"))
+    assert good > 0.5 > bad
+
+
+def test_fingerprints(spark):
+    a = _one(spark, "Hello   World", doc_fingerprint("text"))
+    b = _one(spark, "hello world", doc_fingerprint("text"))
+    c = _one(spark, "hello worlds", doc_fingerprint("text"))
+    assert a == b != c
+    assert _one(spark, "  A  b ", normalize_text("text")) == "a b"
+    rf1 = _one(spark, "the quick brown fox jumps over it", rolling_fingerprints("text"))
+    rf2 = _one(spark, "the quick brown fox jumps over it!", rolling_fingerprints("text"))
+    assert len(rf1) == 4
+    # winnowing property: small edit keeps most min-hashes
+    assert len(set(rf1) & set(rf2)) >= 2
