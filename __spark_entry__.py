@@ -714,6 +714,39 @@ def q_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history: init from the customer snapshot, then
+    apply one update batch (acctbal +100 for every 10th customer).
+    Closed/open validity ranges verified against closed-form SQL."""
+    from etl_orders_to_bq_spark.operators.scd import scd2_apply, scd2_init
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    hist = scd2_init(c, "2024-01-01 00:00:00")
+    updates = c.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        ).otherwise(F.col("c_acctbal")),
+    ).withColumn("c_acctbal", F.round("c_acctbal", 2))
+    out = scd2_apply(
+        hist, updates, "c_custkey", ["c_name", "c_acctbal"], "2024-02-01 00:00:00"
+    )
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search (k-means coarse quantizer, 2-probe). No SQL
+    oracle — k-means initialization is engine-specific — so the driver
+    records a rows-only check; exactness at full probe is unit-tested."""
+    from etl_orders_to_bq_spark.operators.ann import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ann_topk_ivf(
+        emb, list(target["embedding"]), k=10, n_clusters=8, n_probe=2
+    )
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar family: extraction + arithmetic."""
     o = _t(spark, sf_dir, "orders")
@@ -1108,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_topk": q_q10_returned_topk,
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
+        "scd2_history": q_scd2_history,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "date_funcs": q_date_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "try_cast": q_try_cast,
@@ -1414,6 +1449,19 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "scd2_history": """
+            select c_custkey, c_name, round(c_acctbal, 2) as c_acctbal,
+                   timestamp '2024-01-01 00:00:00' as valid_from,
+                   case when c_custkey % 10 = 0
+                        then timestamp '2024-02-01 00:00:00'
+                        else timestamp '2261-12-31 00:00:00' end as valid_to
+            from customer
+            union all
+            select c_custkey, c_name, round(c_acctbal + 100, 2),
+                   timestamp '2024-02-01 00:00:00',
+                   timestamp '2261-12-31 00:00:00'
+            from customer where c_custkey % 10 = 0
         """,
         "date_funcs": """
             select o_orderkey,

@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-OPEN_END = "9999-12-31 00:00:00"
+# open-row sentinel; 2261 (not 9999) so values survive conversion to
+# nanosecond timestamps (pandas datetime64[ns] tops out at 2262-04-11)
+OPEN_END = "2261-12-31 00:00:00"
 
 
 def scd2_init(snapshot: DataFrame, effective: str) -> DataFrame:

@@ -295,3 +295,34 @@ def test_build_training_corpus(spark):
     chunks = out.orderBy("chunk_idx").collect()
     assert len(chunks) > 1  # long doc actually chunked
     assert all(r["n_tokens"] <= 20 for r in chunks)
+
+
+def test_null_text_robustness(spark):
+    """Every text operator must pass null text through without
+    crashing (nulls happen at 100 TB)."""
+    from etl_orders_to_bq_spark.functions.text import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+    from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+    from etl_orders_to_bq_spark.operators.dedup import minhash_signature, simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    r = df.select(
+        token_count("text").alias("tc"),
+        language_id("text").alias("lid"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert r[0]["tc"] in (0, -1, None)  # null in -> defined out, no crash
+    assert r[1]["lid"] is not None
+    mh = {x["doc_id"]: x["mh_0"] for x in minhash_signature(df, num_hashes=1).collect()}
+    assert mh[1] is None and mh[2] is not None
+    sh = {x["doc_id"]: x["simhash"] for x in simhash(df, bits=8).collect()}
+    assert sh[2] is not None
+    ch = chunk_documents(df, chunk_tokens=3, overlap=1)
+    assert {x["doc_id"] for x in ch.collect()} == {2}  # null doc emits nothing
