@@ -1092,6 +1092,113 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family beyond ranking: ntile quartiles,
+    percent_rank, cume_dist, lead — one pass, one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (the one join shape with no
+    key): at scale only ever small x small, executed as broadcast
+    nested loop."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_nationkey",
+        "r_regionkey",
+        F.concat_ws("-", "n_name", "r_name").alias("pair"),
+    )
+
+
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: shifts, and/or/xor — used by the engine
+    itself for simhash and LSH bucket arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft(F.col("l_linenumber"), 3).alias("ln_shl3"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("ok_shr2"),
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("ok_and_255"),
+        (F.col("l_linenumber").bitwiseOR(F.lit(8))).alias("ln_or_8"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber"))).alias("ok_xor_ln"),
+    )
+
+
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date interval arithmetic: add_months, last_day, quarter,
+    month-truncation — the partition-key derivations of a time-
+    partitioned lake layout."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).alias("plus_3mo"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.trunc(F.col("o_orderdate"), "mm").alias("month_start"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: token + 0-based position per document —
+    the lateral-view shape used for n-gram/window feature extraction."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct ordering semantics: max(struct(price, key)) per customer
+    is a one-pass argmax — no window, no second shuffle; fields are
+    unpacked to scalars for the oracle compare."""
+    o = _t(spark, sf_dir, "orders")
+    best = o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey")).alias("best")
+    )
+    return best.select(
+        "o_custkey",
+        F.col("best.o_totalprice").alias("best_price"),
+        F.col("best.o_orderkey").alias("best_orderkey"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates via md5
+    bucketing (URGENT 50%, HIGH 20%, rest 5%) — reproducible on any
+    engine/partitioning, unlike rand()-based sampleBy."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 20)
+        .otherwise(5)
+    )
+    return o.filter(bucket < rate).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1165,6 +1272,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_agg": q_pivot_agg,
         "grouped_zscore": q_grouped_zscore,
         "events_window": q_events_window,
+        "analytic_funcs": q_analytic_funcs,
+        "cross_join": q_cross_join,
+        "bitwise_funcs": q_bitwise_funcs,
+        "interval_arith": q_interval_arith,
+        "posexplode_tokens": q_posexplode_tokens,
+        "struct_funcs": q_struct_funcs,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1950,5 +2064,66 @@ def oracle_sql() -> dict[str, str]:
             from orders left join (select c_custkey, c_name from customer
                                    where c_acctbal > 5000) c
               on o_custkey = c_custkey
+        """,
+        "analytic_funcs": """
+            select o_custkey, o_orderkey,
+                   ntile(4) over w as quartile,
+                   round(percent_rank() over w, 6) as pct_rank,
+                   round(cume_dist() over w, 6) as cume,
+                   lead(o_totalprice, 1) over w as next_price
+            from orders
+            window w as (partition by o_custkey
+                         order by o_totalprice, o_orderkey)
+        """,
+        "cross_join": """
+            select n_nationkey, r_regionkey,
+                   n_name || '-' || r_name as pair
+            from nation cross join region
+        """,
+        "bitwise_funcs": """
+            select l_orderkey, l_linenumber,
+                   cast(l_linenumber << 3 as int) as ln_shl3,
+                   l_orderkey >> 2 as ok_shr2,
+                   l_orderkey & 255 as ok_and_255,
+                   cast(l_linenumber | 8 as int) as ln_or_8,
+                   xor(l_orderkey, cast(l_linenumber as bigint)) as ok_xor_ln
+            from lineitem
+        """,
+        "interval_arith": """
+            select o_orderkey,
+                   cast(o_orderdate + interval 3 month as date) as plus_3mo,
+                   last_day(cast(o_orderdate as date)) as month_end,
+                   cast(quarter(o_orderdate) as int) as qtr,
+                   cast(date_trunc('month', o_orderdate) as date) as month_start,
+                   cast(weekofyear(o_orderdate) as int) as iso_week
+            from orders
+        """,
+        "posexplode_tokens": """
+            select doc_id, pos, token from (
+              select doc_id,
+                     cast(generate_subscripts(toks, 1) - 1 as int) as pos,
+                     unnest(toks) as token
+              from (select doc_id, string_split(text, ' ') as toks
+                    from documents where doc_id < 200))
+            where token is distinct from ''
+        """,
+        "struct_funcs": """
+            select o_custkey, o_totalprice as best_price,
+                   o_orderkey as best_orderkey
+            from (select o_custkey, o_totalprice, o_orderkey,
+                         row_number() over (partition by o_custkey
+                                            order by o_totalprice desc,
+                                                     o_orderkey desc) as rn
+                  from orders)
+            where rn = 1
+        """,
+        "stratified_sample": """
+            select o_orderkey, o_custkey, o_orderpriority, o_totalprice
+            from orders
+            where ('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 8))::UBIGINT
+                  % 100
+                  < case when o_orderpriority = '1-URGENT' then 50
+                         when o_orderpriority = '2-HIGH' then 20
+                         else 5 end
         """,
     }
