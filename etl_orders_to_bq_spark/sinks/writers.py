@@ -58,6 +58,10 @@ def write_table(
         writer.parquet(target)
     elif fmt == "csv":
         writer.option("header", True).csv(target)
+    elif fmt == "orc":
+        writer.orc(target)
+    elif fmt == "json":
+        writer.json(target)
     elif fmt == "bigquery":
         writer.format("bigquery").option("table", target).save()
     else:

@@ -1,0 +1,65 @@
+"""Source-format roundtrips: JSONL (with corrupt-record quarantine),
+ORC, and text. Widens the reference's CSV-only surface
+(etl/orders_etl.py:72-75) to the formats a lake actually holds."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_orders_to_bq_spark.sources import read_jsonl, read_orc, read_text
+
+
+def test_jsonl_explicit_schema_and_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "amount": 10.5, "tag": "a"}\n'
+        '{"id": 2, "amount": 20.0, "tag": "b"}\n'
+        "this line is not json at all\n"
+        '{"id": "not_a_number", "amount": 1.0, "tag": "c"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("tag", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 2  # malformed line + type-mismatched record
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    # quarantined raw lines are preserved verbatim for repair
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert any("not json at all" in r for r in raws)
+    df.unpersist()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), F.rand(42).alias("v")
+    )
+    path = str(tmp_path / "t.orc")
+    src.write.orc(path)
+    back = read_orc(spark, path).filter(F.col("grp") == 3).select("id", "grp")
+    assert back.count() == src.filter(F.col("id") % 7 == 3).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "orc" in plan.lower()
+
+
+def test_text_source_line_per_row(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\n\nfourth line\n")
+    df = read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert df.count() == 4  # empty line is a row, not dropped
+    tokens = df.select(
+        F.explode(F.split(F.trim("value"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    assert tokens.count() == 6
