@@ -168,3 +168,66 @@ def test_join_hints_respected(spark):
     assert join_strategies(j) == ["SortMergeJoin"]
     j2 = li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
     assert join_strategies(j2) == ["ShuffledHashJoin"]
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must produce files whose min/max footer stats
+    are disjoint on the sort key — the property parquet data skipping
+    needs to prune files on a key filter."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_orders_to_bq_spark.sinks import write_range_sorted
+
+    o = read_table(spark, SF, "orders")
+    path = str(tmp_path / "range_sorted")
+    write_range_sorted(o, path, ["o_orderkey"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # range partitioner actually split
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint: every file prunable by key filter
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """With a selective dim filter on a shuffle join, the optimizer
+    must inject a bloom filter (bloom_filter_agg / might_contain) on
+    the fact side — the runtime row-level pruning that cuts a 100 TB
+    probe-side shuffle down to matching rows."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF, "lineitem")
+        o = read_table(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
