@@ -1199,6 +1199,117 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    Two broadcast dims (supplier-nation, customer-nation) around the
+    lineitem–orders fact-fact join; nation filters push below the
+    joins, pruning both fact scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    pairs = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(pairs)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month —
+    conditional aggregate over a fact–dim join; the date filter prunes
+    the fact scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with any single order above a
+    quantity threshold. The HAVING runs on the lineitem agg FIRST
+    (shrinks to a handful of keys), then joins climb back out — the
+    reduce-before-join discipline at fact scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def q_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to fixture columns): revenue under
+    OR-of-ANDs predicates spanning both join sides. Catalyst extracts
+    the common p_partkey equi-condition so this stays a hash join with
+    a residual filter — never a nested-loop theta join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+        | (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1279,6 +1390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": q_posexplode_tokens,
         "struct_funcs": q_struct_funcs,
         "stratified_sample": q_stratified_sample,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_join": q_q19_disjunctive_join,
     }
 
 
@@ -2125,5 +2240,51 @@ def oracle_sql() -> dict[str, str]:
                   < case when o_orderpriority = '1-URGENT' then 50
                          when o_orderpriority = '2-HIGH' then 20
                          else 5 end
+        """,
+        "q7_nation_volume": """
+            select supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) as revenue
+            from (
+              select ns.n_name as supp_nation, nc.n_name as cust_nation,
+                     cast(year(l_shipdate) as int) as l_year,
+                     l_extendedprice * (1 - l_discount) as volume
+              from lineitem
+              join supplier on l_suppkey = s_suppkey
+              join nation ns on s_nationkey = ns.n_nationkey
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              join nation nc on c_nationkey = nc.n_nationkey
+              where (ns.n_name = 'NATION_1' and nc.n_name = 'NATION_2')
+                 or (ns.n_name = 'NATION_2' and nc.n_name = 'NATION_1')
+            ) shipping
+            group by supp_nation, cust_nation, l_year
+        """,
+        "q14_promo_revenue": """
+            select round(
+                     100.0 * sum(case when p_type like 'PROMO%'
+                                      then l_extendedprice * (1 - l_discount)
+                                      else 0 end)
+                     / sum(l_extendedprice * (1 - l_discount)), 6
+                   ) as promo_revenue_pct
+            from lineitem join part on l_partkey = p_partkey
+            where l_shipdate >= '1995-09-01' and l_shipdate < '1995-10-01'
+        """,
+        "q18_large_orders": """
+            select c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   round(total_qty, 2) as total_qty
+            from (select l_orderkey, sum(l_quantity) as total_qty
+                  from lineitem group by l_orderkey
+                  having sum(l_quantity) > 150) big
+            join orders on big.l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+        """,
+        "q19_disjunctive_join": """
+            select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   count(*) as n_lines
+            from lineitem join part on l_partkey = p_partkey
+            where (p_brand = 'Brand#1' and p_size between 1 and 15
+                   and l_quantity between 1 and 20)
+               or (p_brand = 'Brand#3' and p_size between 10 and 30
+                   and l_quantity between 10 and 40)
         """,
     }
