@@ -52,3 +52,28 @@ def grouped_agg_udf(return_type: DataType | str):
 def register_sql_function(spark: SparkSession, name: str, udf) -> None:
     """Make a UDF callable from the spark.sql string surface."""
     spark.udf.register(name, udf)
+
+
+def table_udf(return_schema: str):
+    """Decorator: Python user-defined TABLE function (UDTF) — one input
+    row in, zero or more rows out.
+
+    The lateral-generator extension point: use for fan-out transforms a
+    scalar UDF can't express (sentence splitting, record normalization,
+    schema explosion). Each ``eval(*cols)`` call yields output tuples;
+    rows stream through Arrow batches, so per-row Python overhead is
+    amortized. Register with :func:`register_table_function` to call it
+    from SQL as ``select * from my_udtf(table(...))`` or use it
+    directly in the DataFrame API.
+    """
+    from pyspark.sql.functions import udtf
+
+    def wrap(cls):
+        return udtf(cls, returnType=return_schema)
+
+    return wrap
+
+
+def register_table_function(spark: SparkSession, name: str, fn) -> None:
+    """Make a UDTF callable from the spark.sql string surface."""
+    spark.udtf.register(name, fn)

@@ -125,3 +125,41 @@ def test_first_occurrence_dedup_property(spark, rows):
     )
     exp = expected.sort_values("k").reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_table_udf_fanout_and_sql(spark):
+    """UDTF: one document row fans out to one row per sentence, usable
+    from both the DataFrame API and the SQL surface."""
+    from etl_orders_to_bq_spark.functions.udf import (
+        register_table_function,
+        table_udf,
+    )
+
+    @table_udf("doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, s in enumerate(x.strip() for x in text.split(".")):
+                if s:
+                    yield (doc_id, i, s)
+
+    df = spark.createDataFrame(
+        [(1, "First. Second. "), (2, None), (3, "Only one")],
+        "doc_id bigint, text string",
+    )
+    df.createOrReplaceTempView("docs_udtf_in")
+
+    out = SplitSentences(F.lit(1), F.lit("First. Second. ")).collect()
+    assert [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in out] == [
+        (1, 0, "First"),
+        (1, 1, "Second"),
+    ]
+
+    register_table_function(spark, "split_sentences", SplitSentences)
+    sql_out = spark.sql(
+        "select s.* from docs_udtf_in, "
+        "lateral split_sentences(doc_id, text) s"
+    ).collect()
+    got = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in sql_out)
+    assert got == [(1, 0, "First"), (1, 1, "Second"), (3, 0, "Only one")]
