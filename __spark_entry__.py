@@ -1310,6 +1310,60 @@ def q_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: reconcile each order's header total
+    against the sum of its line items — both sides arrive at the same
+    Python worker pre-shuffled on the key, one Arrow batch per group
+    side. Demonstrates the cogroup API; the same semantics in pure SQL
+    is the oracle (and the faster plan — cogroup is for logic SQL
+    can't express, this query just proves the plumbing at parity)."""
+    import pandas as pd
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_totalprice", "line_sum", "diff"]
+            )
+        key = left["o_orderkey"].iloc[0]
+        total = left["o_totalprice"].iloc[0]
+        line_sum = float(right["l_extendedprice"].sum())
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key],
+                "o_totalprice": [total],
+                "line_sum": [line_sum],
+            }
+        )
+
+    raw = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, o_totalprice double, line_sum double",
+        )
+    )
+    # round Spark-side: Python's round() is banker's rounding, Spark/SQL
+    # round half away from zero — keep one rounding rule end-to-end
+    return raw.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round("line_sum", 2).alias("line_sum"),
+        F.round(F.col("o_totalprice") - F.col("line_sum"), 2).alias("diff"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1394,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_join": q_q19_disjunctive_join,
+        "cogroup_reconcile": q_cogroup_reconcile,
     }
 
 
@@ -2286,5 +2341,15 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 1 and 20)
                or (p_brand = 'Brand#3' and p_size between 10 and 30
                    and l_quantity between 10 and 40)
+        """,
+        "cogroup_reconcile": """
+            select o_orderkey, o_totalprice,
+                   round(coalesce(line_sum, 0), 2) as line_sum,
+                   round(o_totalprice - coalesce(line_sum, 0), 2) as diff
+            from orders
+            left join (select l_orderkey, sum(l_extendedprice) as line_sum
+                       from lineitem group by l_orderkey) li
+              on o_orderkey = l_orderkey
+            where o_orderkey % 20 = 0
         """,
     }
