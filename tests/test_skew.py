@@ -144,3 +144,28 @@ def test_scd2_lifecycle(spark):
     assert {tuple(sorted(r.asDict().items())) for r in h3.collect()} == {
         tuple(sorted(r.asDict().items())) for r in h2.collect()
     }
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """observe-based metrics must match a separate validation query,
+    collected during the write itself (no second scan)."""
+    from etl_orders_to_bq_spark.operators.quality import observed_write
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.5), (None, 2.0)],
+        "k long, amount double",
+    )
+    path = str(tmp_path / "observed")
+    m = observed_write(
+        df,
+        path,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_keys": F.count(F.when(F.col("k").isNull(), 1)),
+            "total_amount": F.sum("amount"),
+        },
+    )
+    assert m["rows"] == 4
+    assert m["null_keys"] == 1
+    assert abs(m["total_amount"] - 17.5) < 1e-9
+    assert spark.read.parquet(path).count() == 4
