@@ -63,3 +63,22 @@ def test_text_source_line_per_row(spark, tmp_path):
         F.explode(F.split(F.trim("value"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     assert tokens.count() == 6
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appending files with an evolved schema (new column) must read
+    back as one unified schema under mergeSchema — old rows null-fill.
+    At 100 TB schema evolution is routine; rewriting history is not."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # pre-evolution rows null-fill
+    assert rows[3]["score"] == 9.5
