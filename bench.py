@@ -43,6 +43,8 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "window_frames",
+    "q7_nation_volume",
+    "q18_large_orders",
 ]
 
 
