@@ -1364,6 +1364,57 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF): carry each user's last purchase value
+    forward over non-purchase events — last_value(ignoreNulls) over an
+    unbounded-preceding frame. The standard sensor/time-series repair;
+    one shuffle on user_id, streaming frame, O(1) state per row."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine: generate every month in the data's range (sequence +
+    explode — no table needed), left-join monthly order counts, zero-
+    fill empty months. The reporting-calendar shape; the spine is tiny
+    and broadcasts, the agg side shuffles months not rows."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month_start")
+    )
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        spine.join(monthly, "month_start", "left")
+        .select(
+            F.to_date("month_start").alias("month_start"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("revenue", F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1449,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "cogroup_reconcile": q_cogroup_reconcile,
+        "gap_fill": q_gap_fill,
+        "date_spine": q_date_spine,
     }
 
 
@@ -2351,5 +2404,37 @@ def oracle_sql() -> dict[str, str]:
                        from lineitem group by l_orderkey) li
               on o_orderkey = l_orderkey
             where o_orderkey % 20 = 0
+        """,
+        "gap_fill": """
+            select event_id, user_id, event_type,
+                   last_value(case when event_type = 'purchase' then value end
+                              ignore nulls)
+                     over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row)
+                     as last_purchase_value
+            from events
+        """,
+        "date_spine": """
+            with bounds as (
+              select date_trunc('month', min(o_orderdate)) as lo,
+                     date_trunc('month', max(o_orderdate)) as hi
+              from orders
+            ),
+            spine as (
+              select unnest(generate_series(lo, hi, interval 1 month))
+                       as month_start
+              from bounds
+            ),
+            monthly as (
+              select date_trunc('month', o_orderdate) as month_start,
+                     count(*) as n_orders,
+                     round(sum(o_totalprice), 2) as revenue
+              from orders group by 1
+            )
+            select cast(s.month_start as date) as month_start,
+                   coalesce(n_orders, 0) as n_orders,
+                   round(coalesce(revenue, 0), 2) as revenue
+            from spine s left join monthly m
+              on s.month_start = m.month_start
         """,
     }
