@@ -1415,6 +1415,21 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via VariantType (Spark 4): parse once into
+    the binary variant encoding, then typed path extraction — no schema
+    declaration, no per-access re-parse (vs get_json_object which
+    re-parses the string per call). The open-table-format answer to
+    schemaless event payloads at scale."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("k"),
+    ).filter(F.col("k") % 3 == 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1502,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cogroup_reconcile": q_cogroup_reconcile,
         "gap_fill": q_gap_fill,
         "date_spine": q_date_spine,
+        "variant_json": q_variant_json,
     }
 
 
@@ -2436,5 +2452,11 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(revenue, 0), 2) as revenue
             from spine s left join monthly m
               on s.month_start = m.month_start
+        """,
+        "variant_json": """
+            select event_id, event_type,
+                   cast(json_extract(props, '$.k') as int) as k
+            from events
+            where cast(json_extract(props, '$.k') as int) % 3 = 0
         """,
     }
