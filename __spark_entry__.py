@@ -1430,6 +1430,34 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("k") % 3 == 0)
 
 
+_RECURSIVE_ANCESTORS_SQL = """
+    with recursive ancestors(start_key, node, depth) as (
+      select c_custkey, c_custkey, 0
+      from customer where c_custkey % 97 = 0
+      union all
+      select start_key, cast(floor(node / 2) as bigint), depth + 1
+      from ancestors where node > 1
+    )
+    select start_key,
+           cast(max(depth) as int) as root_depth,
+           cast(count(*) as bigint) as chain_len
+    from ancestors
+    group by start_key
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): ancestor walk over the implicit binary
+    tree parent(k)=k//2 — iterative plans expressed declaratively,
+    executed as repeated union steps until fixpoint. The same SQL text
+    is the oracle (DuckDB shares the dialect here), which is the point:
+    the SQL surface covers iteration without hand-rolled loops."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql(_RECURSIVE_ANCESTORS_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1518,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "date_spine": q_date_spine,
         "variant_json": q_variant_json,
+        "recursive_cte": q_recursive_cte,
     }
 
 
@@ -2459,4 +2488,5 @@ def oracle_sql() -> dict[str, str]:
             from events
             where cast(json_extract(props, '$.k') as int) % 3 = 0
         """,
+        "recursive_cte": _RECURSIVE_ANCESTORS_SQL,
     }
