@@ -1458,6 +1458,72 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_ANCESTORS_SQL)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/URLs/phones/IPs replaced with typed
+    placeholders — chained regexp_replace, zero UDF. The fixture text
+    is PII-free, so PII is synthesized deterministically per doc (the
+    redaction expressions are what's under test, as with
+    o2_cast_repair's synthesized dirt)."""
+    from etl_orders_to_bq_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or call 555-123-"),
+        F.lpad(F.col("doc_id") % 10000, 4, "0"),
+        F.lit(" docs at https://ex.com/d/"),
+        F.col("doc_id"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256),
+        F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(dirty).alias("clean_text"),
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles occurring in many
+    distinct documents (the repeated header/footer/nav text a corpus
+    cleaner strips). Shuffles 32-byte-ish shingle keys, never
+    documents; map-side distinct before the count."""
+    from etl_orders_to_bq_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(word_ngrams("text", 3)).alias("shingle"))
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: per corpus document, how many of its
+    distinct 3-gram shingles also occur in the benchmark set (doc_id <
+    10 stands in for the eval suite). The shingle-level inner join is
+    the scalable form — benchmark shingles are tiny and broadcast."""
+    from etl_orders_to_bq_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("shingle")
+    ).distinct()
+    bench = (
+        shingled.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    corpus = shingled.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1547,6 +1613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine": q_date_spine,
         "variant_json": q_variant_json,
         "recursive_cte": q_recursive_cte,
+        "pii_redact": q_pii_redact,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -2489,4 +2558,56 @@ def oracle_sql() -> dict[str, str]:
             where cast(json_extract(props, '$.k') as int) % 3 = 0
         """,
         "recursive_cte": _RECURSIVE_ANCESTORS_SQL,
+        "pii_redact": """
+            select doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           text || ' contact user' || doc_id
+                                || '@example.com or call 555-123-'
+                                || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                                || ' docs at https://ex.com/d/' || doc_id
+                                || ' from 10.0.' || (doc_id % 256) || '.7',
+                           'https?://\\S+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g')
+                     as clean_text
+            from documents
+        """,
+        "boilerplate_ngrams": """
+            with shingled as (
+              select distinct doc_id, shingle from (
+                select doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) as shingle
+                from (select doc_id, string_split(text, ' ') as t
+                      from documents)
+              )
+            )
+            select shingle, count(*) as n_docs
+            from shingled group by shingle having count(*) >= 5
+        """,
+        "contamination_check": """
+            with shingled as (
+              select distinct doc_id, shingle from (
+                select doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) as shingle
+                from (select doc_id, string_split(text, ' ') as t
+                      from documents)
+              )
+            )
+            select c.doc_id,
+                   count(*) as n_contaminated_shingles
+            from shingled c
+            join (select distinct shingle from shingled where doc_id < 10) b
+              on c.shingle = b.shingle
+            where c.doc_id >= 10
+            group by c.doc_id
+        """,
     }

@@ -138,3 +138,23 @@ def rolling_fingerprints(col: Column | str, k: int = 8, keep: int = 4) -> Column
     grams = char_ngrams(normalize_text(col), k)
     hashes = F.transform(grams, lambda g: F.md5(g))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact common PII shapes (emails, URLs, US-style phone numbers,
+    IPv4 addresses) with typed placeholders — the standard scrub pass
+    before text enters a training corpus.
+
+    Pure chained ``regexp_replace`` (codegen, no UDF); patterns stick
+    to RE2-compatible syntax (no lookbehind) so the same regexes run on
+    any engine. Order matters: URLs before emails (a URL can embed an
+    @), IPs last (phone pattern must not eat dotted quads).
+    """
+    c = _c(col)
+    c = F.regexp_replace(c, r"https?://\S+", "<URL>")
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    c = F.regexp_replace(c, r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>")
+    c = F.regexp_replace(c, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
+    return c

@@ -23,7 +23,10 @@ def value_hash(df) -> str:
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
-    rows = sorted(df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist())
+    if len(df) == 0:
+        rows = []  # empty frame: apply() degenerates to a DataFrame
+    else:
+        rows = sorted(df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist())
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 

@@ -65,3 +65,26 @@ def test_fingerprints(spark):
     assert len(rf1) == 4
     # winnowing property: small edit keeps most min-hashes
     assert len(set(rf1) & set(rf2)) >= 2
+
+
+def test_redact_pii_golden(spark):
+    from etl_orders_to_bq_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org now"),
+            (2, "see https://ex.com/x?q=1 and http://b.io"),
+            (3, "call +1 555-123-4567 or 555.987.6543"),
+            (4, "host 192.168.1.254 up"),
+            (5, "clean text stays clean"),
+            (6, None),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", redact_pii("t").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> and <URL>"
+    assert "<PHONE>" in got[3] and "4567" not in got[3] and "6543" not in got[3]
+    assert got[4] == "host <IP> up"
+    assert got[5] == "clean text stays clean"
+    assert got[6] is None
