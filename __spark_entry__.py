@@ -1524,6 +1524,38 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, the time-ordered event-type path and a
+    signup→purchase conversion flag. collect_list carries no ordering
+    guarantee, so order is imposed by sorting struct(ts, event_id, ·)
+    AFTER collection — deterministic at any partitioning, one shuffle
+    on user_id."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda x: x["event_type"],
+    )
+    path = F.array_join(ordered, ">")
+    return (
+        e.groupBy("user_id")
+        .agg(path.alias("path"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            "path",
+            (
+                F.locate("purchase", F.col("path"))
+                > F.when(
+                    F.locate("signup", F.col("path")) > 0,
+                    F.locate("signup", F.col("path")),
+                ).otherwise(F.lit(2**31 - 1))
+            ).alias("converted"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1616,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "contamination_check": q_contamination_check,
+        "funnel_paths": q_funnel_paths,
     }
 
 
@@ -2609,5 +2642,20 @@ def oracle_sql() -> dict[str, str]:
               on c.shingle = b.shingle
             where c.doc_id >= 10
             group by c.doc_id
+        """,
+        "funnel_paths": """
+            select user_id,
+                   cast(count(*) as bigint) as n_events,
+                   string_agg(event_type, '>' order by ts, event_id) as path,
+                   case when position('signup' in
+                            string_agg(event_type, '>' order by ts, event_id))
+                          > 0
+                        then position('purchase' in
+                            string_agg(event_type, '>' order by ts, event_id))
+                          > position('signup' in
+                            string_agg(event_type, '>' order by ts, event_id))
+                        else false end as converted
+            from events
+            group by user_id
         """,
     }
