@@ -169,3 +169,44 @@ def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     assert m["null_keys"] == 1
     assert abs(m["total_amount"] - 17.5) < 1e-9
     assert spark.read.parquet(path).count() == 4
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE must detect a hot join key at runtime and split its
+    partition (skew=true in the final plan) — the zero-code skew path;
+    operators/skew.py salting is for the cases AQE can't see."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(1).alias("v"),
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), F.rand(2).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        plan = (
+            j._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
