@@ -231,3 +231,56 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
+    """Sorting by the Morton key must narrow per-file min/max footer
+    stats on BOTH interleaved columns (single-dim sort narrows only
+    one) — the property that lets a filter on either column skip
+    files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_orders_to_bq_spark.functions.zorder import (
+        normalize_to_bits,
+        zorder_key,
+    )
+    from etl_orders_to_bq_spark.sinks import write_range_sorted
+
+    o = read_table(spark, SF, "orders")
+    lo_hi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    zkey = zorder_key(
+        normalize_to_bits(F.col("o_custkey"), lo_hi[0], lo_hi[1]),
+        normalize_to_bits(F.col("o_totalprice"), lo_hi[2], lo_hi[3]),
+    )
+    path = str(tmp_path / "zordered")
+    write_range_sorted(o.withColumn("_z", zkey), path, ["_z"], num_files=8)
+
+    def file_spans(column: str) -> list[float]:
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(column)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    n_files = len(glob.glob(path + "/*.parquet"))
+    assert n_files >= 4
+    cust_span = lo_hi[1] - lo_hi[0]
+    price_span = lo_hi[3] - lo_hi[2]
+    # average per-file coverage must be well under the full domain on
+    # BOTH dimensions — the multi-dim skipping property
+    avg_cust = sum(file_spans("o_custkey")) / n_files
+    avg_price = sum(file_spans("o_totalprice")) / n_files
+    assert avg_cust < 0.8 * cust_span
+    assert avg_price < 0.8 * price_span
