@@ -162,3 +162,34 @@ def test_write_parquet_roundtrip(etl, tmp_path, spark):
     back = spark.read.parquet(target)
     assert back.count() == etl.output_df.count()
     assert set(back.columns) == set(etl.output_df.columns)
+
+
+def test_first_occurrence_semantics_synthetic(spark, tmp_path):
+    """End-to-end OrdersEtl drive on a synthetic CSV where duplicated
+    keys DO differ in 'sum' (the shipped reference CSV never does, so
+    the file-order choice is unobservable there): the kept row must be
+    the first in file order, through the full pipeline."""
+    from etl_orders_to_bq_spark.pipeline import OrdersEtl
+
+    orders = tmp_path / "orders.csv"
+    orders.write_text(
+        ",order_source_id,order_created_datetime,customer_id,status,sum,"
+        "quantity,name,surname,patronymic,product_id\n"
+        "0,11,2019-04-28T18:20:05,1,Paid,100.5,1,Іван,Петренко,,42\n"
+        "1,11,2019-04-28T18:21:05,1,Paid,999.9,1,Іван,Петренко,,42\n"
+        "2,12,2019-04-28T18:22:05,77,Paid,7,2,Олег,Шевченко,,42c\n"
+        "3,12,2019-04-28T18:23:05,77,Failed,8,2,Олег,Шевченко,,42\n"
+    )
+    products = tmp_path / "products.csv"
+    products.write_text(
+        "product_id,price,goods_group,manufacturer\n42,10.0,G,M\n"
+    )
+    etl = OrdersEtl(
+        spark, str(orders), str(products), table_name=str(tmp_path / "out")
+    )
+    out = {r["order_source_id"]: r for r in etl.process().collect()}
+    assert len(out) == 2
+    assert out[11]["sum"] == 100.5  # first in file order kept
+    # dirty id '42c' repaired to 42 BEFORE dedup: row 2 is the keeper
+    assert out[12]["sum"] == 7.0
+    assert out[12]["price"] == 10.0  # and it still joins the dim
