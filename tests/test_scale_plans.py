@@ -284,3 +284,39 @@ def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
     avg_price = sum(file_spans("o_totalprice")) / n_files
     assert avg_cust < 0.8 * cust_span
     assert avg_price < 0.8 * price_span
+
+
+def test_zorder_key_bit_interleave_golden(spark):
+    """Morton key golden values + normalization edges: clipping keeps
+    stale stats safe, zero span degrades to a constant key."""
+    from etl_orders_to_bq_spark.functions.zorder import (
+        normalize_to_bits,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("a"), F.col("b"), bits=4).alias("z")
+        ).collect()
+    ]
+    # interleave(a,b): bit i of a at position 2i+1, bit i of b at 2i.
+    # (3,5)=0b011,0b101 -> positions b0,a0,b1,a1,b2,a2 = 1,1,0,1,1,0
+    # -> z = 0b011011 = 27
+    assert got == [0, 2, 1, 27]
+
+    edge = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "x double")
+    norm = [
+        r["n"]
+        for r in edge.select(
+            normalize_to_bits(F.col("x"), 0.0, 100.0, bits=4).alias("n")
+        ).collect()
+    ]
+    assert norm == [0, 8, 15]  # clipped low, mid-scale, clipped high
+    const = edge.select(
+        normalize_to_bits(F.col("x"), 7.0, 7.0, bits=4).alias("n")
+    ).collect()
+    assert [r["n"] for r in const] == [0, 0, 0]  # zero span -> constant
