@@ -1556,6 +1556,24 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact global top-20 tokens by document
+    frequency. Two-level agg (distinct doc-token, then token count)
+    with TakeOrderedAndProject — per-partition heaps, no global sort;
+    the exact baseline a count-min sketch would approximate at 100 TB."""
+    from etl_orders_to_bq_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -1649,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "contamination_check": q_contamination_check,
         "funnel_paths": q_funnel_paths,
+        "top_terms": q_top_terms,
     }
 
 
@@ -2657,5 +2676,16 @@ def oracle_sql() -> dict[str, str]:
                         else false end as converted
             from events
             group by user_id
+        """,
+        "top_terms": """
+            select token, count(*) as doc_freq
+            from (select distinct doc_id, token
+                  from (select doc_id,
+                               unnest(string_split(text, ' ')) as token
+                        from documents)
+                  where token is distinct from '')
+            group by token
+            order by doc_freq desc, token asc
+            limit 20
         """,
     }
