@@ -96,35 +96,133 @@ def with_lsh_bucket(
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
+class IvfIndex:
+    """A prebuilt IVF index: the driver-side centroid list (≤ n_clusters
+    small vectors) plus the cluster-assigned table. Build ONCE (an ML
+    job), search MANY times (a filter + pruned scan) — the two phases
+    have completely different cost profiles and must not be fused.
+
+    At scale, write ``assigned`` partitioned by ``ivf_cluster``
+    (``write_ivf_index``) so a search's cluster filter becomes file-level
+    partition pruning rather than a full scan.
+    """
+
+    __slots__ = ("assigned", "centroids", "id_col", "vec_col")
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """K-means centroids, fit on a deterministic hash-sample.
+
+    ``sample_mod`` = m keeps ~1/m of rows (``hash(id) % m == 0``) — at
+    100 TB fit on m=100..1000: k-means centroid quality converges long
+    before the full corpus is seen, and each k-means iteration is a full
+    pass over its input. The hash filter (not ``.sample()``) makes the
+    chosen rows independent of partitioning, so a rebuilt index is
+    reproducible.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = embeddings
+    if sample_mod > 1:
+        sample = embeddings.filter(F.pmod(F.hash(F.col(id_col)), sample_mod) == 0)
+    vecs = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features", predictionCol="__c"
+    ).fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def assign_ivf_clusters(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``ivf_cluster`` = argmin distance-to-centroid, as a PURE
+    Column projection (no ML transform, no UDF): for constant ``c``,
+    argmin |x-c|² = argmax (2·x·c - |c|²), so the assignment is
+    n_clusters dot products + an array argmax, all codegen'd JVM-side.
+    No shuffle — scales linearly with rows."""
+    v = F.col(vec_col)
+    scores = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        c2 = sum(float(x) * float(x) for x in c)
+        scores.append(dot(v, lit_c) * 2.0 - F.lit(c2))
+    arr = F.array(*scores)
+    cluster = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return embeddings.withColumn("ivf_cluster", cluster)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_clusters: int = 16,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-):
-    """IVF coarse quantizer: k-means centroids + cluster assignment.
-
-    Returns (assigned_df with ``ivf_cluster`` column, centroids list).
-    At scale: fit on a hash-sample (k-means cost is per-iteration
-    linear in rows), assign the full table in one projection pass, and
-    write the table partitioned by ``ivf_cluster`` so queries prune.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vecs = embeddings.withColumn(
-        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    sample_mod: int = 1,
+    cache: bool = True,
+) -> IvfIndex:
+    """Build an :class:`IvfIndex`: fit centroids on a hash-sample, then
+    assign the FULL table in one projection pass. The one-off ML job;
+    searches consume the returned index without refitting."""
+    centroids = fit_ivf_centroids(
+        embeddings, n_clusters, id_col, vec_col, seed, sample_mod
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="__features", predictionCol="ivf_cluster"
-    ).fit(vecs)
-    assigned = model.transform(vecs).drop("__features")
-    centroids = [list(c) for c in model.clusterCenters()]
-    return assigned, centroids
+    assigned = assign_ivf_clusters(embeddings, centroids, vec_col)
+    if cache:
+        assigned = assigned.persist()
+    return IvfIndex(assigned, centroids, id_col, vec_col)
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the index: assigned table partitioned by ``ivf_cluster``
+    (so searches prune files), centroids as a tiny parquet sidecar."""
+    index.assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(
+        f"{path}/assigned"
+    )
+    spark = index.assigned.sparkSession
+    rows = [(i, c) for i, c in enumerate(index.centroids)]
+    spark.createDataFrame(rows, "ivf_cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(
+    spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> IvfIndex:
+    assigned = spark.read.parquet(f"{path}/assigned")
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        list(r["centroid"])
+        for r in sorted(cent_rows, key=lambda r: r["ivf_cluster"])
+    ]
+    return IvfIndex(assigned, centroids, id_col, vec_col)
 
 
 def ann_topk_ivf(
-    embeddings: DataFrame,
+    index: IvfIndex | DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_clusters: int = 16,
@@ -133,19 +231,29 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF search: scan only the ``n_probe`` clusters whose centroids
-    are nearest the query. Expected cost O(n * n_probe / n_clusters);
-    recall grows with n_probe (n_probe = n_clusters is exact)."""
-    assigned, centroids = build_ivf_index(embeddings, n_clusters, vec_col, seed)
+    """IVF search against a PREBUILT index: rank centroids driver-side
+    (≤ n_clusters tiny vectors — no Spark job), then brute-force only
+    the ``n_probe`` nearest clusters. Expected cost
+    O(n * n_probe / n_clusters); n_probe = n_clusters is exact.
+
+    Passing a raw DataFrame is the build-if-missing convenience for
+    ad-hoc/dev use — it runs the full index build first. Production
+    callers build once (``build_ivf_index`` / ``write_ivf_index``) and
+    search many times; the search path contains NO k-means fit.
+    """
+    if isinstance(index, DataFrame):
+        index = build_ivf_index(
+            index, n_clusters, id_col, vec_col, seed, cache=False
+        )
 
     def _dist2(c: list[float]) -> float:
         return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
 
-    probe = sorted(range(len(centroids)), key=lambda i: _dist2(centroids[i]))[
+    probe = sorted(range(len(index.centroids)), key=lambda i: _dist2(index.centroids[i]))[
         :n_probe
     ]
-    candidates = assigned.filter(F.col("ivf_cluster").isin(probe))
-    return ann_topk_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    candidates = index.assigned.filter(F.col("ivf_cluster").isin(probe))
+    return ann_topk_bruteforce(candidates, query_vec, k, index.id_col, index.vec_col)
 
 
 def quantize_embeddings_int8(

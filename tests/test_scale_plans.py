@@ -320,3 +320,42 @@ def test_zorder_key_bit_interleave_golden(spark):
         normalize_to_bits(F.col("x"), 7.0, 7.0, bits=4).alias("n")
     ).collect()
     assert [r["n"] for r in const] == [0, 0, 0]  # zero span -> constant
+
+
+def test_ivf_search_path_has_no_kmeans_fit(spark, monkeypatch, tmp_path):
+    """Build/search split (ADVICE r1): searching a prebuilt IVF index
+    must trigger NO k-means fit — at scale a fit is a multi-pass ML job
+    and must run only at index-build time. Also: the partitioned index
+    write must let a search's cluster filter prune partitions."""
+    from pyspark.ml.clustering import KMeans
+
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_ivf,
+        build_ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    index = build_ivf_index(emb, n_clusters=4, cache=False)
+
+    # once the index exists, any KMeans fit in the search path is a bug
+    def _boom(self, *a, **k):
+        raise AssertionError("KMeans.fit called in the IVF search path")
+
+    monkeypatch.setattr(KMeans, "fit", _boom)
+    q = [1.0, 0.0] * 32
+    got = ann_topk_ivf(index, q, k=5, n_probe=2)
+    assert got.count() == 5
+
+    # persisted index: partitionBy(ivf_cluster) write, search prunes
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(index, path)
+    back = read_ivf_index(spark, path)
+    assert len(back.centroids) == 4
+    got2 = ann_topk_ivf(back, q, k=5, n_probe=2)
+    plan = _optimized(got2)
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert got2.count() == 5
