@@ -377,47 +377,54 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard verification over same-source candidate pairs;
-    only the planted duplicates clear the 0.8 threshold."""
-    from etl_orders_to_bq_spark.operators.dedup import ngram_jaccard_pairs
+    """n-gram Jaccard verification over MinHash-LSH candidate pairs;
+    only the planted duplicates clear the 0.8 threshold. Candidates
+    come from LSH banding (bounded buckets), so the whole chain is
+    linear in candidates — no all-pairs stage anywhere."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
 
     d = _docs_with_planted_dups(spark, sf_dir)
-    ids = d.select("doc_id", "source")
-    a = ids.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
-    b = ids.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
-    cands = a.join(
-        b, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    cands = minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2, shingle_len=3
+    )
     return ngram_jaccard_pairs(cands, d, n=3, threshold=0.8)
 
 
 def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup scan: top-20 most similar same-label
-    pairs (label is the blocking key — at scale an LSH bucket)."""
+    """Embedding-cosine near-dup scan: top-20 most similar pairs within
+    each LSH bucket. The bucket (sign pattern of random-hyperplane
+    projections) is the blocking key — bucket population is bounded by
+    construction (~n/2^bits in expectation, content-hash distributed),
+    unlike a categorical label where one popular value is a cartesian
+    bomb at scale. More bits => smaller buckets."""
     from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
+    from etl_orders_to_bq_spark.operators.ann import with_lsh_bucket
 
     e = _t(spark, sf_dir, "embeddings")
-    # norms are computed ONCE per row before the pair join (O(n) array
-    # traversals instead of O(pairs)); single-file input is spread
-    # across cores for the quadratic-in-label pair stage
-    e = e.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id", "label", "embedding", l2_norm("embedding").alias("norm")
-    )
+    # norms and buckets are computed ONCE per row before the pair join
+    # (O(n) array traversals instead of O(pairs)); single-file input is
+    # spread across cores for the pair stage
+    e = with_lsh_bucket(
+        e.repartition(spark.sparkContext.defaultParallelism), dim=64, bits=4
+    ).select("vec_id", "bucket", "embedding", l2_norm("embedding").alias("norm"))
     a = e.select(
         F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
+        F.col("bucket").alias("bucket_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
     pairs = a.join(
         b,
-        (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
+        (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
     )
     return (
         pairs.select(
@@ -2342,36 +2349,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             with docs2 as (
-                select doc_id, source, text from documents
+                select doc_id, text from documents
                 union all
-                select doc_id + 100000, source, text from documents where doc_id < 10
+                select doc_id + 100000, text from documents where doc_id < 10
+            ),
+            sig as (
+                select doc_id,
+                       {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                       {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+                from docs2
+            ),
+            banded as (
+                select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+                from sig where mh_0 is not null
+                union all
+                select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+                from sig where mh_0 is not null
+            ),
+            pairs as (
+                select distinct l.doc_id as id_a, r.doc_id as id_b
+                from banded l join banded r
+                  on l.bk = r.bk and l.doc_id < r.doc_id
             ),
             sh as (
-                select doc_id, source,
+                select doc_id,
                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                       for i in range(1, len(t) - 1)]) as s
-                from (select doc_id, source,
+                from (select doc_id,
                              regexp_extract_all({_NORM}, '\\S+') as t
                       from docs2) _
             )
             select id_a, id_b, jaccard from (
-                select a.doc_id as id_a, b.doc_id as id_b,
+                select p.id_a, p.id_b,
                        round(case when len(list_distinct(list_concat(a.s, b.s))) > 0
                                   then cast(len(list_intersect(a.s, b.s)) as double)
                                        / len(list_distinct(list_concat(a.s, b.s)))
                                   else 0.0 end, 6) as jaccard
-                from sh a join sh b
-                  on a.source = b.source and a.doc_id < b.doc_id
+                from pairs p
+                join sh a on p.id_a = a.doc_id
+                join sh b on p.id_b = b.doc_id
             ) where jaccard >= 0.8
         """,
-        "embedding_neighbors": """
-            with e as (select vec_id, label, cast(embedding as double[]) as v
+        "embedding_neighbors": f"""
+            with e as (select vec_id, cast(embedding as double[]) as v,
+                              {_lsh_bucket_sql(dim=64, bits=4)} as bucket
                        from embeddings)
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
                             * sqrt(list_dot_product(b.v, b.v))), 6) as cos_sim
-            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+            from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
             order by cos_sim desc, id_a asc, id_b asc
             limit 20
         """,

@@ -359,3 +359,18 @@ def test_ivf_search_path_has_no_kmeans_fit(spark, monkeypatch, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert got2.count() == 5
+
+
+def test_embedding_neighbors_blocks_on_lsh_bucket(spark):
+    """The near-dup pair join must key on the bounded LSH bucket, not a
+    categorical label (ADVICE r1: a popular label is a near-cartesian
+    join at scale)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["embedding_neighbors"](spark, SF)
+    plan = _plan(df)
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "bucket" in ln
+    ]
+    assert join_lines, plan
+    assert "label" not in plan.lower().split("join")[0]
