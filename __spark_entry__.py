@@ -118,6 +118,26 @@ def q_o6_clean_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o6_clean_name_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 with the html-unescape path live (reference
+    etl/orders_etl.py:187 ``df_column.apply(html.unescape)``): names are
+    synthesized with the entity set observed in the reference corpus
+    (``&#039;`` etc.), unescaped by the Arrow pandas UDF, then cleaned
+    by the same Column chain. The oracle expresses the closed entity set
+    as a replace chain (``&amp;`` last, mirroring html.unescape's
+    single pass), so the UDF path itself is hash-checked."""
+    from etl_orders_to_bq_spark.functions.names import clean_name
+
+    c = _t(spark, sf_dir, "customer")
+    entity_name = F.concat(
+        F.col("c_name"), F.lit("&#039;s &amp; &quot;Co&lt;x&gt;")
+    )
+    return c.select(
+        F.col("c_custkey"),
+        clean_name(entity_name, unescape=True).alias("cleaned_name"),
+    )
+
+
 def q_o7_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7: broadcast left equi-join with probe-side misses -> nulls
     (dim filtered to acctbal > 0 to create misses, as in the reference's
@@ -1595,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_cast_repair": q_o2_cast_repair,
         "o4_dedup_first": q_o4_dedup_first,
         "o6_clean_name": q_o6_clean_name,
+        "o6_clean_name_unescape": q_o6_clean_name_unescape,
         "o7_left_join": q_o7_left_join,
         "o11_similarity": q_o11_similarity,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1798,6 +1819,17 @@ def oracle_sql() -> dict[str, str]:
             select c_custkey,
                    regexp_replace(regexp_replace(lower(c_name), '\\d', '', 'g'),
                                   '{_CLEAN_PATTERN}', '', 'g') as cleaned_name
+            from customer
+        """,
+        "o6_clean_name_unescape": f"""
+            select c_custkey,
+                   regexp_replace(regexp_replace(lower(
+                       replace(replace(replace(replace(replace(
+                           c_name || '&#039;s &amp; &quot;Co&lt;x&gt;',
+                           '&#039;', chr(39)), '&quot;', '"'),
+                           '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+                   ), '\\d', '', 'g'),
+                   '{_CLEAN_PATTERN}', '', 'g') as cleaned_name
             from customer
         """,
         "o7_left_join": """

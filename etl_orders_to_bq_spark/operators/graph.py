@@ -30,12 +30,23 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
     Returns (id, component) where component is the smallest node id in
     the component — the canonical "representative doc" of a dup cluster.
+
+    Each round does one hop of neighbor-min propagation PLUS one
+    pointer-doubling step (label <- label(label)), so convergence is
+    O(log diameter), not O(diameter) — a path graph of 1M nodes
+    converges in ~20 rounds instead of 1M. If ``max_iter`` is still
+    exhausted with labels changing, the result would be silently split
+    components, so the default is to ``raise``; pass
+    ``on_exhaustion="warn"`` to get the partial labels anyway.
     """
+    if on_exhaustion not in ("raise", "warn"):
+        raise ValueError(f"unknown on_exhaustion mode: {on_exhaustion}")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -47,30 +58,70 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
+    converged = False
     for _ in range(max_iter):
-        # neighbor labels: for each node, the min label among neighbors
+        # hop step: for each node, the min label among its neighbors
         neighbor_min = (
             und.join(labels, und.b == labels.id)
             .select(F.col("a").alias("id"), F.col("label"))
             .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hopped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            (
+                F.coalesce("nbr_label", F.col("label")) < F.col("label")
+            ).alias("changed"),
+        )
+        # pointer-doubling step: label <- label(label). Labels are node
+        # ids and every node has a labels row, so a self-join on
+        # label = id compresses chains exponentially (the large-star
+        # trick from the CC-on-MapReduce literature).
+        lbl = hopped.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            hopped.join(lbl, hopped.label == lbl.__pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("__plabel", F.col("label"))
                 ).alias("label"),
                 (
-                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                    F.col("changed")
+                    | (F.coalesce("__plabel", F.col("label")) < F.col("label"))
                 ).alias("changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         if new_labels.filter(F.col("changed")).limit(1).count() == 0:
             labels = new_labels
+            converged = True
             break
         labels = new_labels
+
+    if not converged and max_iter > 0:
+        # one more propagation would still lower labels => split result
+        check = (
+            und.join(labels, und.b == labels.id)
+            .select(F.col("a").alias("id"), F.col("label").alias("nbr_label"))
+            .join(labels, "id")
+            .filter(F.col("nbr_label") < F.col("label"))
+        )
+        if check.limit(1).count() > 0:
+            msg = (
+                f"connected_components did not converge in {max_iter} "
+                "rounds: labels were still changing, the result would be "
+                "silently split components. Raise max_iter (rounds needed "
+                "~ log2(graph diameter))."
+            )
+            if on_exhaustion == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
 
     return labels.select(F.col("id"), F.col("label").alias("component"))

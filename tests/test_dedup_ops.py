@@ -326,3 +326,36 @@ def test_null_text_robustness(spark):
     assert sh[2] is not None
     ch = chunk_documents(df, chunk_tokens=3, overlap=1)
     assert {x["doc_id"] for x in ch.collect()} == {2}  # null doc emits nothing
+
+
+def test_connected_components_high_diameter_chain(spark):
+    """A path graph converges in O(log diameter) rounds via pointer
+    doubling — a 60-node chain must resolve well within 8 rounds."""
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    ).repartition(4)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_exhaustion_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    silently return split components (ADVICE r1)."""
+    import pytest as _pytest
+
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # warn mode returns partial labels instead
+    with _pytest.warns(UserWarning, match="did not converge"):
+        out = connected_components(edges, max_iter=2, on_exhaustion="warn")
+        assert out.count() == 41
