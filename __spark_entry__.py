@@ -467,6 +467,130 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(e, gap="30 minutes")
 
 
+# ---------------------------------------------------------------------------
+# Streaming gate queries: the REAL Structured Streaming path (file
+# source -> availableNow trigger -> memory sink), hash-checked against
+# batch-equivalent oracles. The stream stages a Spark-rewritten copy of
+# the events table (the fixture's nano timestamps are normalized to
+# micros, and the dedup variant plants duplicate rows), then the driver
+# collects the memory-sink table like any batch result.
+# ---------------------------------------------------------------------------
+
+_STREAM_STAGE_CACHE: dict = {}
+
+
+def _stage_event_stream(spark: SparkSession, sf_dir: str, variant: str) -> str:
+    """Write the events table into a temp dir for the file-stream source.
+    ``variant="dups"`` appends an exact copy of the first 500 events
+    (same event_id, same payload) — at-least-once delivery simulated."""
+    import tempfile
+
+    key = (id(spark), sf_dir, variant)
+    if key in _STREAM_STAGE_CACHE:
+        return _STREAM_STAGE_CACHE[key]
+    e = _t(spark, sf_dir, "events")
+    if variant == "dups":
+        e = e.unionByName(e.filter(F.col("event_id") < 500))
+    path = tempfile.mkdtemp(prefix=f"evstream_{variant}_")
+    e.coalesce(1).write.mode("overwrite").parquet(path)
+    _STREAM_STAGE_CACHE[key] = path
+    return path
+
+
+def _stream_to_batch(sdf: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink table."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sdf.sparkSession.table(name)
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (dropDuplicatesWithinWatermark) over
+    a stream with planted duplicate deliveries: the sink must hold each
+    event exactly once == the original batch table."""
+    from etl_orders_to_bq_spark.streaming.events import dedup_event_stream
+
+    path = _stage_event_stream(spark, sf_dir, "dups")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    deduped = dedup_event_stream(stream, keys=["event_id"], watermark="1 hour")
+    out = _stream_to_batch(deduped, "sdedup", "append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks x purchases within 30 min after,
+    per user) with watermark-bounded state, through the real engine."""
+    from etl_orders_to_bq_spark.streaming.events import correlate_streams
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = correlate_streams(
+        clicks, purchases, key="user_id", within="30 minutes",
+        watermark="10 minutes",
+    )
+    out = _stream_to_batch(joined, "ssjoin", "append")
+    return out.select("user_id", "l_event_id", "r_event_id", "r_value")
+
+
+def q_streaming_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts in APPEND mode: only windows
+    the watermark has finalized (end <= max(ts) - 10 min) reach the
+    sink — the oracle expresses exactly that filter in batch SQL."""
+    from etl_orders_to_bq_spark.streaming.events import windowed_event_counts
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    return _stream_to_batch(counts, "swindow", "append")
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through the
+    real engine: per-user cumulative totals; with all files in one
+    availableNow batch the final update per user equals the batch
+    groupBy."""
+    from etl_orders_to_bq_spark.streaming.stateful import running_user_totals
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    totals = running_user_totals(stream)
+    return _stream_to_batch(totals, "stotals", "update")
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over priority x status."""
     o = _t(spark, sf_dir, "orders")
@@ -1635,6 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neighbors": q_embedding_neighbors,
         "sessionize": q_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "stream_stream_join": q_stream_stream_join,
+        "streaming_window_watermark": q_streaming_window_watermark,
+        "streaming_running_totals": q_streaming_running_totals,
         "cube_agg": q_cube_agg,
         "intersect_ops": q_intersect_ops,
         "union_distinct": q_union_distinct,
@@ -2433,6 +2561,33 @@ def oracle_sql() -> dict[str, str]:
             from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id
             order by cos_sim desc, id_a asc, id_b asc
             limit 20
+        """,
+        "streaming_dedup": """
+            select event_id, user_id, event_type, value from events
+        """,
+        "stream_stream_join": """
+            select l.user_id, l.event_id as l_event_id,
+                   r.event_id as r_event_id, r.value as r_value
+            from (select * from events where event_type = 'click') l
+            join (select * from events where event_type = 'purchase') r
+              on l.user_id = r.user_id
+             and r.ts >= l.ts
+             and r.ts <= l.ts + interval 30 minute
+        """,
+        "streaming_window_watermark": """
+            with m as (select max(ts) as mx from events)
+            select ws as window_start, event_type, n, sum_value
+            from (
+                select time_bucket(interval 1 hour, ts) as ws, event_type,
+                       count(*) as n, round(sum(value), 2) as sum_value
+                from events group by 1, 2
+            ), m
+            where ws + interval 1 hour <= mx - interval 10 minute
+        """,
+        "streaming_running_totals": """
+            select user_id, count(*) as n_events,
+                   round(sum(value), 2) as sum_value
+            from events group by user_id
         """,
         "sessionize": """
             with x as (
