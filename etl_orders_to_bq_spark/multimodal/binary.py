@@ -146,17 +146,20 @@ def frame_sample_video(
     ``every_n``-th frame; the row-explosion plumbing is what's tested.
     """
 
+    frame_idxs = [i * every_n for i in range(max_frames)]
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[binary_col]
-                for i in range(max_frames):
-                    ids.append(row["id"])
-                    idxs.append(i * every_n)
-                    hashes.append(
-                        hashlib.md5(payload + str(i * every_n).encode()).hexdigest()
-                    )
+            # vectorized explode: repeat ids, tile frame indices; the
+            # only per-item Python is the codec call itself (here the
+            # stub hash), applied over the repeated payload array
+            ids = pdf["id"].to_numpy().repeat(max_frames)
+            idxs = frame_idxs * len(pdf)
+            payloads = pdf[binary_col].to_numpy().repeat(max_frames)
+            hashes = [
+                hashlib.md5(p + str(i).encode()).hexdigest()
+                for p, i in zip(payloads, idxs)
+            ]
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.mapInPandas(sample, schema=FRAMES_SCHEMA)

@@ -5,9 +5,12 @@ files; at scale the NameNode/listing cost and per-file open overhead
 dominate scans long before data size does. ``compact_parquet``
 rewrites a parquet directory into ~``target_mb`` files.
 
-Safety: writes to a temp sibling dir, then swaps — readers never see a
-partial directory. (Table formats with transactions — Delta/Iceberg —
-do this natively; this is the plain-parquet equivalent.)
+Safety: writes to a temp sibling dir, validates the row count, then
+swaps via two renames. The original is never removed before the
+compacted output is validated; there remains a brief window between the
+two renames where a new reader sees no directory — plain parquet has no
+atomic swap (table formats with transactions — Delta/Iceberg — close
+that window natively; use them where concurrent readers matter).
 """
 
 from __future__ import annotations
@@ -39,8 +42,19 @@ def compact_parquet(
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
+    rows_before = df.count()
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+
+    # validate the rewrite BEFORE touching the original: a corrupt or
+    # short compacted output must never cost the source data
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction produced {rows_after} rows, expected {rows_before}; "
+            f"original left untouched at {path}"
+        )
 
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)

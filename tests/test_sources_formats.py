@@ -82,3 +82,61 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None  # pre-evolution rows null-fill
     assert rows[3]["score"] == 9.5
+
+
+def test_bigquery_mode_and_option_mapping(spark, monkeypatch):
+    """The BigQuery dispatch (reference etl/bq_client.py:20-32) can't run
+    without the connector jar, so assert the writer wiring instead:
+    if_exists replace/append/fail must map to Spark save modes
+    overwrite/append/errorifexists, options must pass through, and the
+    target must land in the table option."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from etl_orders_to_bq_spark.sinks.writers import write_table
+
+    calls = {}
+
+    def fake_format(self, source):
+        calls["format"] = source
+        return self
+
+    def fake_save(self, path=None, **kw):
+        calls["saved"] = True
+
+    real_mode = DataFrameWriter.mode
+    real_option = DataFrameWriter.option
+
+    def spy_mode(self, saveMode):
+        calls["mode"] = saveMode
+        return real_mode(self, saveMode)
+
+    def spy_option(self, key, value):
+        calls.setdefault("options", {})[key] = value
+        return real_option(self, key, value)
+
+    monkeypatch.setattr(DataFrameWriter, "format", fake_format)
+    monkeypatch.setattr(DataFrameWriter, "save", fake_save)
+    monkeypatch.setattr(DataFrameWriter, "mode", spy_mode)
+    monkeypatch.setattr(DataFrameWriter, "option", spy_option)
+
+    df = spark.range(3)
+    for if_exists, want_mode in [
+        ("replace", "overwrite"),
+        ("append", "append"),
+        ("fail", "errorifexists"),
+    ]:
+        calls.clear()
+        write_table(
+            df, "dataset.orders_products", fmt="bigquery",
+            if_exists=if_exists, writeMethod="direct",
+        )
+        assert calls["mode"] == want_mode
+        assert calls["format"] == "bigquery"
+        assert calls["options"]["table"] == "dataset.orders_products"
+        assert calls["options"]["writeMethod"] == "direct"
+        assert calls["saved"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="if_exists"):
+        write_table(df, "t", fmt="bigquery", if_exists="upsert")
