@@ -107,6 +107,29 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # dedup at production parameters (128 hashes, 16 bands — the demo
+    # gate queries use 4/2): asserts the signature+banding cost stays
+    # linear and the bucket-size guard holds at real LSH settings.
+    # Reported SEPARATELY from the headline total (it's a stress probe,
+    # not a headline query): md5 = the oracle-portable path, xxhash64 =
+    # the production fast path.
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").repartition(int(cpus))
+    stress: dict[str, float] = {}
+    for fn in ("md5", "xxhash64", "numpy"):
+        prod = minhash_lsh_candidates(
+            docs, text_col="text", id_col="doc_id",
+            num_hashes=128, bands=16, hash_fn=fn,
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(prod)
+            best = min(best, time.perf_counter() - t0)
+        stress[f"dedup_minhash_lsh_128x16_{fn}"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stress": stress,
                 "sf": sf,
             }
         )

@@ -359,3 +359,34 @@ def test_connected_components_exhaustion_raises(spark):
     with _pytest.warns(UserWarning, match="did not converge"):
         out = connected_components(edges, max_iter=2, on_exhaustion="warn")
         assert out.count() == 41
+
+
+def test_minhash_xxhash64_fast_path(spark):
+    """The xxhash64 production path must agree with md5 on WHAT is a
+    duplicate: identical docs collide in every band, distinct docs get
+    distinct signatures."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different document about spark shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = minhash_signature(docs, num_hashes=8, hash_fn="xxhash64")
+    rows = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
