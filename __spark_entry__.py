@@ -907,6 +907,107 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_first_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 via the min_by strategy (map-side-combinable shuffle — the
+    right choice for heavy-dup corpora): must equal the window strategy
+    row for row, so it shares o4's oracle shape."""
+    from etl_orders_to_bq_spark.operators.dedup import first_occurrence_dedup
+
+    li = _t(spark, sf_dir, "lineitem")
+    return first_occurrence_dedup(
+        li,
+        ["l_orderkey", "l_partkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"],
+        strategy="min_by",
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (salt spreads hot keys over N
+    reducers): must equal the direct groupBy. Exact for count/min/max;
+    the summed column is integral-valued so re-association is exact too."""
+    from etl_orders_to_bq_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "count_l_orderkey",
+        F.round("max_l_extendedprice", 2).alias("max_l_extendedprice"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics: update every 7th customer's balance, insert
+    synthetic new customers, keep the rest — one full-outer shuffle
+    join (operators/merge.py)."""
+    from etl_orders_to_bq_spark.operators.merge import merge_upsert
+
+    t = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        t.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 50, 2))
+    )
+    inserts = (
+        t.filter(F.col("c_custkey") % 11 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    merged = merge_upsert(t, updates.unionByName(inserts), keys=["c_custkey"])
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (one row -> N frame rows through the
+    Arrow mapInPandas explode); text bytes stand in for video payloads,
+    the deterministic stub hash IS the oracle contract."""
+    from etl_orders_to_bq_spark.multimodal import frame_sample_video
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return frame_sample_video(media, every_n=10, max_frames=3)
+
+
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantize -> dequantize -> exact cosine top-10: the 4x-
+    smaller vector path, oracle-checked end to end (quantization math
+    replicated in SQL)."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_bruteforce,
+        dequantize_embeddings,
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    dq = dequantize_embeddings(quantize_embeddings_int8(emb))
+    return ann_topk_bruteforce(
+        dq, list(target["embedding"]), k=10, vec_col="dq_embedding"
+    )
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster assignment as a pure Column projection (argmax of
+    2*x.c - |c|^2 over fixed centroids): the k-means-free half of the
+    IVF index build, oracle-checked with the centroids inlined."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes, assign_ivf_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _hyperplanes(dim=64, bits=8, seed=7)
+    return assign_ivf_clusters(emb, centroids).select("vec_id", "ivf_cluster")
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar family: extraction + arithmetic."""
     o = _t(spark, sf_dir, "orders")
@@ -1738,6 +1839,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
         "o4_dedup_first": q_o4_dedup_first,
+        "dedup_first_minby": q_dedup_first_minby,
+        "salted_agg": q_salted_agg,
+        "merge_upsert": q_merge_upsert,
+        "frame_sample": q_frame_sample,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ivf_assign": q_ivf_assign,
         "o6_clean_name": q_o6_clean_name,
         "o6_clean_name_unescape": q_o6_clean_name_unescape,
         "o7_left_join": q_o7_left_join,
@@ -1880,6 +1987,24 @@ def _lsh_bucket_sql(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _ivf_assign_sql(dim: int = 64, n: int = 8, seed: int = 7) -> str:
+    """argmax(2*x.c_i - |c_i|^2) with the fixed centroids inlined —
+    byte-identical doubles to assign_ivf_clusters' Column projection."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+
+    cents = _hyperplanes(dim, n, seed)
+    scores = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        c2 = sum(float(x) * float(x) for x in c)
+        scores.append(
+            f"list_dot_product(cast(embedding as double[]), {lit}) * 2.0"
+            f" - {repr(c2)}"
+        )
+    arr = "list_value(" + ", ".join(scores) + ")"
+    return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
 def _simhash_sql(bits: int) -> str:
     """Sum of per-bit sign votes over token hashes (column ``th``)."""
     terms = []
@@ -1948,6 +2073,75 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(lower(c_name), '\\d', '', 'g'),
                                   '{_CLEAN_PATTERN}', '', 'g') as cleaned_name
             from customer
+        """,
+        "dedup_first_minby": """
+            select l_orderkey, l_partkey, l_linenumber, l_quantity
+            from (select l_orderkey, l_partkey, l_linenumber, l_quantity,
+                         row_number() over (partition by l_orderkey, l_partkey
+                                            order by l_linenumber, l_quantity,
+                                                     l_extendedprice, l_suppkey) as rn
+                  from lineitem)
+            where rn = 1
+        """,
+        "salted_agg": """
+            select l_returnflag,
+                   round(sum(l_quantity), 2) as sum_l_quantity,
+                   count(l_orderkey) as count_l_orderkey,
+                   round(max(l_extendedprice), 2) as max_l_extendedprice
+            from lineitem group by l_returnflag
+        """,
+        "merge_upsert": """
+            with t as (select c_custkey, c_name, c_acctbal from customer),
+            src as (
+                select c_custkey, c_name,
+                       round(c_acctbal + 50, 2) as c_acctbal
+                from customer where c_custkey % 7 = 0
+                union all
+                select c_custkey + 1000000, 'NEW_' || c_name, 0.0
+                from customer where c_custkey % 11 = 0
+            )
+            select coalesce(s.c_custkey, t.c_custkey) as c_custkey,
+                   case when s.c_custkey is not null then s.c_name
+                        else t.c_name end as c_name,
+                   round(case when s.c_custkey is not null then s.c_acctbal
+                              else t.c_acctbal end, 2) as c_acctbal
+            from t full outer join src s on t.c_custkey = s.c_custkey
+        """,
+        "frame_sample": """
+            select doc_id as id,
+                   10 * (i - 1) as frame_idx,
+                   md5(text || cast(10 * (i - 1) as varchar)) as frame_hash
+            from documents,
+                 lateral (select unnest(range(1, 4)) as i) u
+        """,
+        "ann_quantized_topk": """
+            with e as (select vec_id, cast(embedding as double[]) as v
+                       from embeddings),
+            q as (
+                select vec_id, v,
+                       case when list_max(list_transform(v, x -> abs(x))) > 0
+                            then list_max(list_transform(v, x -> abs(x))) / 127.0
+                            else 1.0 end as scale
+                from e
+            ),
+            dq as (select vec_id,
+                          list_transform(v, x -> round(x / scale) * scale) as w
+                   from q),
+            t as (select v as tv from e where vec_id = 0)
+            select vec_id,
+                   round(case when sqrt(list_dot_product(w, w))
+                                   * sqrt(list_dot_product(tv, tv)) > 0
+                              then list_dot_product(w, tv)
+                                   / (sqrt(list_dot_product(w, w))
+                                      * sqrt(list_dot_product(tv, tv)))
+                         end, 6) as cos_sim
+            from dq, t
+            order by cos_sim desc, vec_id asc
+            limit 10
+        """,
+        "ivf_assign": f"""
+            select vec_id, {_ivf_assign_sql(dim=64, n=8, seed=7)} as ivf_cluster
+            from embeddings
         """,
         "o6_clean_name_unescape": f"""
             select c_custkey,
