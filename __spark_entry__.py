@@ -943,6 +943,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe left join (probe side salted, build side exploded
+    per-salt): must equal the plain left join. The lever for
+    broadcast-ineligible dims under a hot probe key."""
+    from etl_orders_to_bq_spark.operators.skew import salted_left_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_left_join(o, c, on="o_custkey", buckets=8)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics: update every 7th customer's balance, insert
     synthetic new customers, keep the rest — one full-outer shuffle
@@ -1841,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_dedup_first": q_o4_dedup_first,
         "dedup_first_minby": q_dedup_first_minby,
         "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
         "merge_upsert": q_merge_upsert,
         "frame_sample": q_frame_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -2089,6 +2105,12 @@ def oracle_sql() -> dict[str, str]:
                    count(l_orderkey) as count_l_orderkey,
                    round(max(l_extendedprice), 2) as max_l_extendedprice
             from lineitem group by l_returnflag
+        """,
+        "salted_join": """
+            select o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            from (select o_orderkey, o_custkey, o_totalprice from orders) o
+            left join (select c_custkey, c_name, c_mktsegment from customer) c
+              on o.o_custkey = c.c_custkey
         """,
         "merge_upsert": """
             with t as (select c_custkey, c_name, c_acctbal from customer),

@@ -210,3 +210,35 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE edge cases: a legitimately-NULL source value must
+    overwrite (presence flag, not coalesce); NULL keys match null-safe;
+    update_cols limits which columns the source wins."""
+    from etl_orders_to_bq_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (None, "nk", 5.0)],
+        "k int, name string, val double",
+    )
+    source = spark.createDataFrame(
+        [(1, "a2", None), (None, "nk2", 7.0), (9, "new", 99.0)],
+        "k int, name string, val double",
+    )
+    got = {
+        r["k"]: (r["name"], r["val"])
+        for r in merge_upsert(target, source, keys=["k"]).collect()
+    }
+    assert got[1] == ("a2", None)       # matched: source wins, null included
+    assert got[2] == ("b", 20.0)        # target-only: kept
+    assert got[None] == ("nk2", 7.0)    # null key matched null-safe
+    assert got[9] == ("new", 99.0)      # source-only: inserted
+
+    partial = {
+        r["k"]: (r["name"], r["val"])
+        for r in merge_upsert(
+            target, source, keys=["k"], update_cols=["val"]
+        ).collect()
+    }
+    assert partial[1] == ("a", None)    # name NOT updated, val is
