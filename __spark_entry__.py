@@ -1012,6 +1012,20 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search with Hamming-1 multi-probe: scans only
+    the query's bucket plus its single-bit-flip neighbors (9 of 256
+    buckets at 8 bits). The oracle reproduces the probe set with
+    xor() over the inlined-hyperplane bucket expression."""
+    from etl_orders_to_bq_spark.operators.ann import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ann_topk_lsh(
+        emb, list(target["embedding"]), k=10, bits=8, multi_probe=1
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cluster assignment as a pure Column projection (argmax of
     2*x.c - |c|^2 over fixed centroids): the k-means-free half of the
@@ -1860,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "frame_sample": q_frame_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_assign": q_ivf_assign,
         "o6_clean_name": q_o6_clean_name,
         "o6_clean_name_unescape": q_o6_clean_name_unescape,
@@ -2158,6 +2173,26 @@ def oracle_sql() -> dict[str, str]:
                                       * sqrt(list_dot_product(tv, tv)))
                          end, 6) as cos_sim
             from dq, t
+            order by cos_sim desc, vec_id asc
+            limit 10
+        """,
+        "ann_lsh_topk": f"""
+            with e as (select vec_id, cast(embedding as double[]) as v,
+                              {_lsh_bucket_sql(dim=64, bits=8)} as bucket
+                       from embeddings),
+            q as (select v as qv, bucket as qb from e where vec_id = 0)
+            select vec_id,
+                   round(case when sqrt(list_dot_product(v, v))
+                                   * sqrt(list_dot_product(qv, qv)) > 0
+                              then list_dot_product(v, qv)
+                                   / (sqrt(list_dot_product(v, v))
+                                      * sqrt(list_dot_product(qv, qv)))
+                         end, 6) as cos_sim
+            from e, q
+            where {" or ".join(
+                ["e.bucket = q.qb"]
+                + [f"e.bucket = xor(q.qb, {1 << i})" for i in range(8)]
+            )}
             order by cos_sim desc, vec_id asc
             limit 10
         """,
