@@ -373,7 +373,12 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = d.filter(F.col("doc_id") < 10).withColumn(
         "doc_id", F.col("doc_id") + F.lit(100000)
     )
-    return d.unionByName(planted)
+    # single-file fixture arrives as one split; the downstream shingle/
+    # hash projections are the CPU cost, so spread them across cores
+    # (real multi-split inputs need no explicit exchange)
+    return d.unionByName(planted).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

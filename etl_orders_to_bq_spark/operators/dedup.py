@@ -271,6 +271,13 @@ def minhash_lsh_candidates(
         id_col, *[f"mh_{i}" for i in range(num_hashes)]
     )
     sig = sig.filter(F.col("mh_0").isNotNull())
+    # materialize signatures before banding: CollapseProject would
+    # otherwise inline the signature chain into every band-key
+    # expression and re-hash the corpus once per band (measured 7x
+    # slower at 2 bands). (id, num_hashes minima) is tiny next to the
+    # text, so the lazy checkpoint is the same "write signatures, then
+    # band" shape production dedup uses at scale.
+    sig = sig.localCheckpoint(eager=False)
 
     band_structs = []
     for b in range(bands):

@@ -51,6 +51,11 @@ def connected_components(
     und = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
+    # materialize the edge set ONCE: every round joins against `und`,
+    # and without this the whole upstream pipeline that produced the
+    # edges (e.g. the LSH candidate chain) re-executes per round —
+    # measured 3-4x slower on the sf0.1 dedup-cluster path
+    und = und.localCheckpoint(eager=True)
 
     labels = (
         und.select(F.col("a").alias("id"))
