@@ -1139,6 +1139,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_batch(media)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing (binary -> fixed-size
+    vector via Arrow mapInPandas), exploded to scalar rows so the
+    md5-derived stub features hash-check against the oracle."""
+    from etl_orders_to_bq_spark.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("content")
+    )
+    feats = extract_image_features(media, dim=8)
+    return feats.select(
+        "id", F.posexplode("feature").alias("dim_idx", "feat")
+    ).withColumn("feat", F.round("feat", 6))
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of orders (nulls/distinct/min/max
     per column + row count, long form)."""
@@ -1939,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_agg": q_collect_agg,
         "window_range_frame": q_window_range_frame,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "data_quality": q_data_quality,
         "q5_region_revenue": q_q5_region_revenue,
         "correlated_subquery": q_correlated_subquery,
@@ -2508,6 +2525,13 @@ def oracle_sql() -> dict[str, str]:
                    64 + ('0x' || substr(md5(text), 5, 2))::int as height,
                    strlen(text) as size_bytes
             from documents
+        """,
+        "multimodal_features": """
+            select doc_id as id, i as dim_idx,
+                   round(('0x' || substr(md5(text), 2 * i + 1, 2))::int
+                         / 255.0, 6) as feat
+            from documents,
+                 lateral (select unnest(range(0, 8)) as i) u
         """,
         "data_quality": """
             with m as (
