@@ -163,3 +163,32 @@ def test_table_udf_fanout_and_sql(spark):
     ).collect()
     got = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in sql_out)
     assert got == [(1, 0, "First"), (1, 1, "Second"), (3, 0, "Only one")]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30), st.integers(-9, 9)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dedup_strategies_agree_property(spark, rows):
+    """The window and min_by strategies of first_occurrence_dedup must
+    return identical rows for ANY key/order data (they are two shuffle
+    profiles of one semantic)."""
+    from etl_orders_to_bq_spark.operators.dedup import first_occurrence_dedup
+
+    uniq = [(k, i, v) for i, (k, _, v) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "k long, ord long, v long").repartition(4)
+    win = {
+        (r["k"], r["ord"], r["v"])
+        for r in first_occurrence_dedup(df, ["k"], "ord").collect()
+    }
+    mb = {
+        (r["k"], r["ord"], r["v"])
+        for r in first_occurrence_dedup(
+            df, ["k"], "ord", strategy="min_by"
+        ).collect()
+    }
+    assert win == mb
