@@ -355,6 +355,33 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style robust fingerprints (4 smallest hashes of char
+    8-grams — stable under small edits), exploded to scalar rows.
+    Normalized text is staged behind an exchange (which also spreads
+    the single-file fixture across cores) so the per-gram lambda sees
+    an attribute, not the normalization expression — inline, the regex
+    re-runs once per gram (measured ~50x slower)."""
+    from etl_orders_to_bq_spark.functions.text import (
+        normalize_text,
+        rolling_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", normalize_text("text").alias("__nt")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    fps = staged.select(
+        "doc_id",
+        rolling_fingerprints("__nt", k=8, keep=4, pre_normalized=True).alias(
+            "fp"
+        ),
+    )
+    return fps.select(
+        "doc_id", F.posexplode("fp").alias("fp_idx", "fp_hash")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     from etl_orders_to_bq_spark.operators.ann import ann_topk_bruteforce
@@ -1935,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "asof_join": q_asof_join,
@@ -2338,6 +2366,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             select doc_id, {quality_expr} as quality from documents
+        """,
+        "text_winnow": f"""
+            with nt as (select doc_id, {_NORM} as t from documents),
+            fps as (
+                select doc_id,
+                       list_sort(list_transform(
+                           [substr(t, i, 8)
+                            for i in range(1, greatest(len(t) - 6, 1))],
+                           g -> md5(g)))[1:4] as fp
+                from nt
+            )
+            select doc_id, i - 1 as fp_idx, fp[i] as fp_hash
+            from fps, lateral (select unnest(range(1, 1 + len(fp))) as i) u
         """,
         "text_fingerprint": f"""
             select doc_id, md5({_NORM}) as fingerprint from documents
