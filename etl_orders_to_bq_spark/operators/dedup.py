@@ -336,17 +336,25 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    # materialize the md5 token-hash array ONCE — the per-bit vote
-    # passes over it are cheap shifts, while inlining the digest chain
-    # into every vote costs `bits` md5 passes over the tokens
-    staged = df.withColumn("__th", tok_hash)
+    # evaluate the md5 token-hash array ONCE: the staging projection
+    # carries a nondeterministic dummy so CollapseProject cannot inline
+    # the digest chain into every per-bit vote (which would cost `bits`
+    # md5 passes over the tokens — measured 4x slower at 64 bits); the
+    # votes then reference the attribute, a cheap shift each
+    staged = df.withColumn("__th", tok_hash).withColumn(
+        "__cse_barrier", F.rand(seed=0)
+    )
     bit_votes = [
         F.aggregate(F.col("__th"), F.lit(0).cast("long"), _vote(i))
         for i in range(bits)
     ]
     sim = None
     for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        # shiftleft(1L, i) instead of lit(2**i): bit 63 of a signed
+        # long is 2**63, which does not fit in a LongType literal
+        bit = F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return staged.select(*df.columns, sim.alias("simhash"))
 
