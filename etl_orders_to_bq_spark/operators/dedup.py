@@ -229,6 +229,10 @@ def minhash_signature(
         with_digests = with_digests.withColumn(
             f"__dig_{g}", F.transform(F.col("__shingles"), _digester(g))
         )
+    # nondeterministic dummy stops CollapseProject from inlining each
+    # digest array into its 4 chunk-min projections (4 md5 passes per
+    # group instead of 1 — measured ~1.5x slower at 128 hashes)
+    with_digests = with_digests.withColumn("__cse_barrier", F.rand(seed=0))
     return with_digests.select(
         *df.columns,
         *[
