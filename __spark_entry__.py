@@ -355,6 +355,25 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): part names with one
+    character deleted must re-match their originals within edit
+    distance 1 via the (first char, length-bucket neighborhood)
+    equi-join — candidates-then-verify, never cartesian."""
+    from etl_orders_to_bq_spark.operators.fuzzy import fuzzy_join
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corrupted = p.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("c_key"),
+        F.concat(
+            F.substring("p_name", 1, 3), F.expr("substr(p_name, 5)")
+        ).alias("c_name"),
+    )
+    return fuzzy_join(corrupted, p, "c_name", "p_name", max_dist=1).select(
+        "c_key", "p_partkey", "c_name", "p_name", "edit_dist"
+    )
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style robust fingerprints (4 smallest hashes of char
     8-grams — stable under small edits), exploded to scalar rows.
@@ -1963,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "fuzzy_join": q_fuzzy_join,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "asof_join": q_asof_join,
@@ -2366,6 +2386,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             select doc_id, {quality_expr} as quality from documents
+        """,
+        "fuzzy_join": """
+            with corrupted as (
+                select p_partkey + 1000000 as c_key,
+                       substr(p_name, 1, 3) || substr(p_name, 5) as c_name
+                from part where p_partkey % 5 = 0
+            )
+            select c_key, p_partkey, c_name, p_name,
+                   levenshtein(c_name, p_name) as edit_dist
+            from corrupted, part
+            where substr(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'), 1, 1)
+                  = substr(regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g'), 1, 1)
+              and floor(length(p_name) / 3)
+                  between floor(length(c_name) / 3) - 1
+                      and floor(length(c_name) / 3) + 1
+              and levenshtein(c_name, p_name) <= 1
         """,
         "text_winnow": f"""
             with nt as (select doc_id, {_NORM} as t from documents),

@@ -390,3 +390,28 @@ def test_minhash_xxhash64_fast_path(spark):
         ).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_fuzzy_join_blocked(spark):
+    """Blocked fuzzy join finds within-distance pairs across length-
+    bucket boundaries and never pairs different first letters."""
+    from etl_orders_to_bq_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "flink"), (3, "sparky"), (4, "zzzzz")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "spark"), (11, "sparks"), (12, "blink"), (13, "spork")],
+        "rid long, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["edit_dist"])
+        for r in fuzzy_join(left, right, "lname", "rname", max_dist=1).collect()
+    }
+    assert (1, 10, 0) in got          # exact
+    assert (1, 11, 1) in got          # insertion, crosses length bucket
+    assert (3, 11, 1) in got          # substitution at end
+    assert (1, 13, 1) in got          # substitution mid-word
+    assert not any(l == 2 for l, _, _ in got)  # flink vs blink: blocked
+    assert not any(l == 4 for l, _, _ in got)  # no match at all
