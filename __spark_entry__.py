@@ -355,6 +355,57 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application: updates (seq 2), deletes (seq 3, winning
+    over earlier updates on the same key), inserts (seq 1) — last op
+    per key wins, then one merge join."""
+    from etl_orders_to_bq_spark.operators.merge import apply_cdc
+
+    t = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = t.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name",
+        F.round(F.col("c_acctbal") + 50, 2).alias("c_acctbal"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = t.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    ins = t.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    out = apply_cdc(t, changes, keys=["c_custkey"])
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: merge(agg(base), agg(delta)) must equal
+    agg(base ∪ delta) — the maintain-without-rescan primitive."""
+    from etl_orders_to_bq_spark.operators.merge import merge_aggregates
+
+    o = _t(spark, sf_dir, "orders")
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("sum_price"),
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = part(o.filter(F.year("o_orderdate") < 1997))
+    delta = part(o.filter(F.year("o_orderdate") >= 1997))
+    merged = merge_aggregates(
+        base, delta, ["o_orderpriority"],
+        sum_cols=["sum_price"], count_cols=["n_orders"],
+        min_cols=["first_order"], max_cols=["last_order"],
+    )
+    return merged.withColumn("sum_price", F.round("sum_price", 2))
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (entity resolution): part names with one
     character deleted must re-match their originals within edit
@@ -1983,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "fuzzy_join": q_fuzzy_join,
+        "cdc_apply": q_cdc_apply,
+        "incremental_agg": q_incremental_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "asof_join": q_asof_join,
@@ -2386,6 +2439,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             select doc_id, {quality_expr} as quality from documents
+        """,
+        "cdc_apply": """
+            select c_custkey,
+                   c_name,
+                   round(case when c_custkey % 7 = 0 then c_acctbal + 50
+                              else c_acctbal end, 2) as c_acctbal
+            from customer where c_custkey % 13 <> 0
+            union all
+            select c_custkey + 1000000, 'NEW_' || c_name, 0.0
+            from customer where c_custkey % 11 = 0
+        """,
+        "incremental_agg": """
+            select o_orderpriority,
+                   round(sum(o_totalprice), 2) as sum_price,
+                   count(*) as n_orders,
+                   min(o_orderdate) as first_order,
+                   max(o_orderdate) as last_order
+            from orders group by o_orderpriority
         """,
         "fuzzy_join": """
             with corrupted as (

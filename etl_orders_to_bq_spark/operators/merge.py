@@ -26,6 +26,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC log to a snapshot: each change row carries ``op``
+    ('I'/'U'/'D') and a monotone ``seq``; the LAST op per key wins.
+    Insert/update upsert the row, delete removes the key.
+
+    Shape: one window (last-op per key, the same WindowGroupLimit
+    top-1 as first-occurrence dedup) + one full-outer merge join —
+    the standard log-compaction-then-apply plan. At scale, compact the
+    log segment first (it is usually << snapshot) and bucket both
+    sides on the key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    deletes = last.filter(F.col(op_col) == "D").select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        F.lit(True).alias("__deleted"),
+    )
+    merged = merge_upsert(snapshot, upserts, keys)
+    cond = merged[keys[0]].eqNullSafe(F.col(f"__d_{keys[0]}"))
+    for k in keys[1:]:
+        cond = cond & merged[k].eqNullSafe(F.col(f"__d_{k}"))
+    return (
+        merged.join(deletes, on=cond, how="left")
+        .filter(F.col("__deleted").isNull())
+        .select(*[merged[c] for c in merged.columns])
+    )
+
+
+def merge_aggregates(
+    partial_a: DataFrame,
+    partial_b: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge two PARTIAL aggregate tables into one — the incremental-
+    aggregation primitive: maintain agg(base ∪ delta) as
+    merge(agg(base), agg(delta)) without rescanning base. Works for
+    any algebraic aggregate (sum/count/min/max; avg = sum/count at
+    read time). One union + one map-side-combinable groupBy on keys."""
+    both = partial_a.unionByName(partial_b)
+    aggs = (
+        [F.sum(c).alias(c) for c in (sum_cols or [])]
+        + [F.sum(c).alias(c) for c in (count_cols or [])]
+        + [F.min(c).alias(c) for c in (min_cols or [])]
+        + [F.max(c).alias(c) for c in (max_cols or [])]
+    )
+    return both.groupBy(*keys).agg(*aggs)
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

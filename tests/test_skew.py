@@ -242,3 +242,23 @@ def test_merge_upsert_semantics(spark):
         ).collect()
     }
     assert partial[1] == ("a", None)    # name NOT updated, val is
+
+
+def test_apply_cdc_delete_wins_by_seq(spark):
+    """A later delete must beat an earlier update on the same key; ops
+    on distinct keys apply independently."""
+    from etl_orders_to_bq_spark.operators.merge import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 11.0, "U", 1), (1, 0.0, "D", 2),   # delete wins
+            (2, 22.0, "U", 5), (2, 21.0, "U", 3),  # latest update wins
+            (9, 99.0, "I", 1),                      # insert
+        ],
+        "k long, v double, op string, seq long",
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(snap, log, ["k"]).collect()}
+    assert got == {2: 22.0, 3: 30.0, 9: 99.0}
