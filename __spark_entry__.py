@@ -355,6 +355,36 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL lateral surface: one document row
+    fans out to one row per '.'-separated sentence (original part
+    index kept, empty parts skipped) — the user-defined-table-function
+    extension point, driver-gated against a lateral-unnest oracle."""
+    from etl_orders_to_bq_spark.functions.udf import (
+        register_table_function,
+        table_udf,
+    )
+
+    @table_udf("doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(".")):
+                s = part.strip()
+                if s:
+                    yield (doc_id, i, s)
+
+    register_table_function(spark, "split_sentences_gate", SplitSentences)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "select s.doc_id, s.sent_idx, s.sentence "
+        "from __udtf_docs, lateral split_sentences_gate(doc_id, text) s"
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log application: updates (seq 2), deletes (seq 3, winning
     over earlier updates on the same key), inserts (seq 1) — last op
@@ -2035,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "fuzzy_join": q_fuzzy_join,
         "cdc_apply": q_cdc_apply,
+        "udtf_sentences": q_udtf_sentences,
         "incremental_agg": q_incremental_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -2439,6 +2470,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": f"""
             select doc_id, {quality_expr} as quality from documents
+        """,
+        "udtf_sentences": """
+            with s as (select doc_id, string_split(text, '.') as parts
+                       from documents)
+            select doc_id, i - 1 as sent_idx,
+                   trim(parts[i], ' \t\n\r\f\v') as sentence
+            from s, lateral (select unnest(range(1, 1 + len(parts))) as i) u
+            where trim(parts[i], ' \t\n\r\f\v') <> ''
         """,
         "cdc_apply": """
             select c_custkey,
