@@ -69,7 +69,9 @@ def table_udf(return_schema: str):
     from pyspark.sql.functions import udtf
 
     def wrap(cls):
-        return udtf(cls, returnType=return_schema)
+        # useArrow: rows move in Arrow batches (ArrowEvalPythonUDTF)
+        # instead of pickled one at a time — same eval() contract
+        return udtf(cls, returnType=return_schema, useArrow=True)
 
     return wrap
 
