@@ -1354,6 +1354,22 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=40, overlap=10)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunks laid end to end per md5 bucket, chopped
+    into 512-token windows (bin index + offset per chunk). Bucketed so
+    packing never serializes on a global order."""
+    from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+    from etl_orders_to_bq_spark.operators.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=40, overlap=10).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+    return pack_sequences(
+        ch, capacity=512, buckets=8, order_cols=["doc_id", "chunk_idx"]
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + grouping() marker via the SQL surface."""
     from etl_orders_to_bq_spark.sources.parquet import load_tables
@@ -2093,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "hash_sample": q_hash_sample,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "grouping_sets": q_grouping_sets,
         "unpivot": q_unpivot,
         "regex_extract": q_regex_extract,
@@ -2775,6 +2792,38 @@ def oracle_sql() -> dict[str, str]:
             from orders
             where ('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 8))::UBIGINT
                   % 10 = 0
+        """,
+        "pack_sequences": """
+            with t as (
+                select doc_id, regexp_extract_all(text, '\\S+') as toks
+                from documents
+            ),
+            sized as (
+                select doc_id, toks, len(toks) as n,
+                       cast(ceil((len(toks) - 10) / 30.0) as int) as n_chunks
+                from t where len(toks) > 0
+            ),
+            ch as (
+                select doc_id, u.i - 1 as chunk_idx,
+                       len(toks[(u.i-1)*30 + 1 : (u.i-1)*30 + 40]) as n_tokens,
+                       ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::UBIGINT
+                           % 8 as pack_bucket
+                from sized,
+                     lateral (select unnest(range(1, 1 + greatest(n_chunks, 1))) as i) u
+            ),
+            pos as (
+                select *,
+                       sum(n_tokens) over (partition by pack_bucket
+                                           order by doc_id, chunk_idx
+                                           rows unbounded preceding)
+                           - n_tokens as start
+                from ch
+            )
+            select doc_id, chunk_idx, n_tokens,
+                   cast(pack_bucket as bigint) as pack_bucket,
+                   cast(floor(start / 512) as bigint) as bin_idx,
+                   cast(start % 512 as bigint) as bin_offset
+            from pos
         """,
         "chunk_documents": """
             with t as (

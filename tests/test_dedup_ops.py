@@ -415,3 +415,29 @@ def test_fuzzy_join_blocked(spark):
     assert (1, 13, 1) in got          # substitution mid-word
     assert not any(l == 2 for l, _, _ in got)  # flink vs blink: blocked
     assert not any(l == 4 for l, _, _ in got)  # no match at all
+
+
+def test_pack_sequences_layout(spark):
+    """Packing lays chunks end to end per bucket: offsets accumulate,
+    bins advance at capacity boundaries, buckets are independent."""
+    from etl_orders_to_bq_spark.operators.pack import pack_sequences
+
+    ch = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (1, 2, 60), (2, 0, 100)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    out = pack_sequences(ch, capacity=100, buckets=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["bin_idx"], r["bin_offset"])
+        for r in out
+    }
+    # stream order: (1,0)@0, (1,1)@60, (1,2)@120, (2,0)@180
+    assert got[(1, 0)] == (0, 0)
+    assert got[(1, 1)] == (0, 60)    # starts in bin 0, straddles seam
+    assert got[(1, 2)] == (1, 20)
+    assert got[(2, 0)] == (1, 80)
+    # multi-bucket: every bucket starts its own stream at offset 0
+    out8 = pack_sequences(ch, capacity=100, buckets=8).collect()
+    starts = [r for r in out8 if r["bin_idx"] == 0 and r["bin_offset"] == 0]
+    n_buckets = len({r["pack_bucket"] for r in out8})
+    assert len(starts) == n_buckets
