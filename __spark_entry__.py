@@ -1354,6 +1354,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=40, overlap=10)
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (training-mix curation): keep the top
+    20 docs per source by quality score, deterministic tie-break.
+    WindowGroupLimit keeps the per-group sort a streaming top-k."""
+    from etl_orders_to_bq_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "quality", "rk")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: chunks laid end to end per md5 bucket, chopped
     into 512-token windows (bin index + offset per chunk). Bucketed so
@@ -2110,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "source_quota": q_source_quota,
         "grouping_sets": q_grouping_sets,
         "unpivot": q_unpivot,
         "regex_extract": q_regex_extract,
@@ -2484,6 +2505,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_language_id": f"""
             select doc_id, {lang_case} as lang_pred from documents
+        """,
+        "source_quota": f"""
+            with scored as (
+                select doc_id, source, round({quality_expr}, 6) as quality
+                from documents
+            )
+            select source, doc_id, quality, rk from (
+                select *, row_number() over (partition by source
+                             order by quality desc, doc_id asc) as rk
+                from scored
+            ) where rk <= 20
         """,
         "text_quality": f"""
             select doc_id, {quality_expr} as quality from documents
