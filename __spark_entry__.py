@@ -707,6 +707,39 @@ def q_streaming_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(counts, "swindow", "append")
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window through the real streaming engine: append mode
+    emits only sessions the watermark has closed (session end = last
+    event + gap <= max(ts) - watermark); the oracle filters the batch
+    sessionization the same way."""
+    from etl_orders_to_bq_spark.streaming.events import sessionize_events
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    sess = sessionize_events(stream, gap="30 minutes", watermark="10 minutes")
+    return _stream_to_batch(sess, "ssess", "append")
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming side enriches against a batch
+    dim re-read per micro-batch (no state, no watermark needed)."""
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(dim, "user_id", "inner").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return _stream_to_batch(joined, "sstatic", "append")
+
+
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) through the
     real engine: per-user cumulative totals; with all files in one
@@ -2085,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "streaming_window_watermark": q_streaming_window_watermark,
         "streaming_running_totals": q_streaming_running_totals,
+        "streaming_sessionize": q_streaming_sessionize,
+        "stream_static_join": q_stream_static_join,
         "cube_agg": q_cube_agg,
         "intersect_ops": q_intersect_ops,
         "union_distinct": q_union_distinct,
@@ -3131,6 +3166,34 @@ def oracle_sql() -> dict[str, str]:
                 from events group by 1, 2
             ), m
             where ws + interval 1 hour <= mx - interval 10 minute
+        """,
+        "streaming_sessionize": """
+            with x as (
+                select user_id, ts, value,
+                       case when lag(ts) over w is null
+                                 or ts - lag(ts) over w > interval 30 minute
+                            then 1 else 0 end as new_s
+                from events
+                window w as (partition by user_id order by ts, event_id)
+            ),
+            y as (
+                select *, sum(new_s) over (partition by user_id order by ts
+                                           rows unbounded preceding) as sid
+                from x
+            ),
+            s as (
+                select user_id, min(ts) as session_start,
+                       max(ts) + interval 30 minute as session_end,
+                       count(*) as n_events, round(sum(value), 2) as sum_value
+                from y group by user_id, sid
+            ),
+            m as (select max(ts) as mx from events)
+            select user_id, session_start, session_end, n_events, sum_value
+            from s, m where session_end <= mx - interval 10 minute
+        """,
+        "stream_static_join": """
+            select event_id, user_id, event_type, c_mktsegment
+            from events join customer on user_id = c_custkey
         """,
         "streaming_running_totals": """
             select user_id, count(*) as n_events,
