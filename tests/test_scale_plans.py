@@ -374,3 +374,37 @@ def test_embedding_neighbors_blocks_on_lsh_bucket(spark):
     ]
     assert join_lines, plan
     assert "label" not in plan.lower().split("join")[0]
+
+
+def test_minhash_banding_plan_shape(spark):
+    """LSH banding must stay explode + groupBy: no Join nodes, at most
+    two exchanges (bucket groupBy + pair distinct) regardless of band
+    count — the r1 per-band self-join shape must not come back."""
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(minhash_lsh_candidates(docs, num_hashes=8, bands=4))
+    assert "Join" not in plan, plan
+    n_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    )
+    assert n_exchanges <= 2, plan
+
+
+def test_pack_sequences_partitioned_window(spark):
+    """Packing must never serialize on a global window: the running-sum
+    window carries the bucket partition key."""
+    from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+    from etl_orders_to_bq_spark.operators.pack import pack_sequences
+
+    d = read_table(spark, SF, "documents")
+    ch = chunk_documents(d, chunk_tokens=40, overlap=10).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+    plan = _plan(pack_sequences(ch, capacity=512, buckets=8))
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all(
+        "pack_bucket" in ln for ln in window_lines if "partition" in ln.lower()
+        or "Window" in ln
+    ), plan
