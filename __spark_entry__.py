@@ -707,6 +707,28 @@ def q_streaming_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(counts, "swindow", "append")
 
 
+def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once checkpointed parquet sink: drain the event stream
+    into files (availableNow), read the committed output back — must
+    equal the batch table exactly (no loss, no duplication)."""
+    import tempfile
+
+    from etl_orders_to_bq_spark.streaming.sinks import stream_to_parquet
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    out_dir = tempfile.mkdtemp(prefix="evsink_")
+    q = stream_to_parquet(
+        stream, f"{out_dir}/data", f"{out_dir}/ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(f"{out_dir}/data")
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window through the real streaming engine: append mode
     emits only sessions the watermark has closed (session end = last
@@ -2119,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_watermark": q_streaming_window_watermark,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_file_sink": q_streaming_file_sink,
         "stream_static_join": q_stream_static_join,
         "cube_agg": q_cube_agg,
         "intersect_ops": q_intersect_ops,
@@ -3166,6 +3189,9 @@ def oracle_sql() -> dict[str, str]:
                 from events group by 1, 2
             ), m
             where ws + interval 1 hour <= mx - interval 10 minute
+        """,
+        "streaming_file_sink": """
+            select event_id, user_id, event_type, value from events
         """,
         "streaming_sessionize": """
             with x as (
