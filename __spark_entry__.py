@@ -617,7 +617,7 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str, variant: str) -> str:
     (same event_id, same payload) — at-least-once delivery simulated."""
     import tempfile
 
-    key = (id(spark), sf_dir, variant)
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key in _STREAM_STAGE_CACHE:
         return _STREAM_STAGE_CACHE[key]
     e = _t(spark, sf_dir, "events")
@@ -1085,7 +1085,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_to_bq_spark.operators.ann import ann_topk_ivf, build_ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
         _IVF_INDEX_CACHE[key] = build_ivf_index(emb, n_clusters=8)
     target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
