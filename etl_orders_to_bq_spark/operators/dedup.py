@@ -376,8 +376,20 @@ def ngram_jaccard_pairs(
     Joins shingle sets onto both sides of the candidate list (broadcast
     when small), computes |A∩B|/|A∪B| with array set ops, filters by
     ``threshold``. Cost is linear in candidates, not in docs².
+
+    Docs are semi-filtered to ids that appear in a candidate pair
+    BEFORE shingling: only candidate docs pay the shingle CPU and the
+    (large) shingle arrays of non-candidates never enter a shuffle —
+    at production dup rates that is orders of magnitude less work than
+    shingle-everything-then-join.
     """
-    shingled = docs.select(
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_needed = docs.join(cand_ids, id_col, "left_semi")
+    shingled = docs_needed.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(normalize_text(text_col), n)).alias("__sh"),
     )
