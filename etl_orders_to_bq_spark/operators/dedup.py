@@ -78,15 +78,17 @@ def exact_dedup(
     """Exact dedup on normalized-content fingerprint: one row per distinct
     content, keeping the row with the smallest id (deterministic).
 
-    groupBy(fingerprint) -> min(id), then a self-semi-join to recover full
-    rows. Both shuffles are on high-cardinality hash keys (no skew); the
-    min() aggregate is map-side combinable.
+    ONE groupBy(fingerprint) with a map-side-combinable ``min_by`` over
+    the packed row — a single scan and a single shuffle that carries at
+    most one row per fingerprint PER MAPPER. (The earlier
+    groupBy-then-self-join shape scanned and hashed the corpus twice.)
     """
     from ..functions.text import doc_fingerprint
 
     fp = df.withColumn("__fp", doc_fingerprint(text_col))
-    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return fp.join(keep, ["__fp", id_col], "inner").drop("__fp")
+    return first_occurrence_dedup(
+        fp, ["__fp"], id_col, strategy="min_by"
+    ).drop("__fp")
 
 
 # ---------------------------------------------------------------------------
