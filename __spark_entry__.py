@@ -482,6 +482,22 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (class prototypes / IVF seeding):
+    posexplode to (label, dim, value), one partial-aggregated groupBy —
+    vector aggregation without ever materializing vectors driver-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     from etl_orders_to_bq_spark.operators.ann import ann_topk_bruteforce
@@ -2162,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "incremental_agg": q_incremental_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_centroids": q_embedding_centroids,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2425,6 +2442,15 @@ def oracle_sql() -> dict[str, str]:
             from dq, t
             order by cos_sim desc, vec_id asc
             limit 10
+        """,
+        "embedding_centroids": """
+            select label, i - 1 as dim,
+                   round(avg(v[i]), 6) as centroid_v,
+                   count(*) as n_vectors
+            from (select label, cast(embedding as double[]) as v
+                  from embeddings) e,
+                 lateral (select unnest(range(1, 1 + len(v))) as i) u
+            group by label, i - 1
         """,
         "ann_lsh_topk": f"""
             with e as (select vec_id, cast(embedding as double[]) as v,
