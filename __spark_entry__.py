@@ -482,6 +482,33 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history: each order event
+    picks the dimension version valid AT its as-of instant
+    (valid_from <= t < valid_to) — the feature-store join that
+    prevents label leakage. Equi-join on the key + range predicate,
+    so the dimension side shuffles once on the key."""
+    hist = q_scd2_history(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("o_orderkey") % 60).cast("int"),
+            )
+        ).alias("asof_ts"),
+    )
+    j = o.join(
+        hist,
+        (o.o_custkey == hist.c_custkey)
+        & (F.col("asof_ts") >= F.col("valid_from"))
+        & (F.col("asof_ts") < F.col("valid_to")),
+        "inner",
+    )
+    return j.select("o_orderkey", "o_custkey", "c_acctbal", "asof_ts")
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (class prototypes / IVF seeding):
     posexplode to (label, dim, value), one partial-aggregated groupBy —
@@ -2191,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
         "scd2_history": q_scd2_history,
+        "pit_join": q_pit_join,
         "ann_ivf_topk": q_ann_ivf_topk,
         "date_funcs": q_date_funcs,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2721,6 +2749,33 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "pit_join": """
+            with hist as (
+                select c_custkey, round(c_acctbal, 2) as c_acctbal,
+                       timestamp '2024-01-01 00:00:00' as valid_from,
+                       case when c_custkey % 10 = 0
+                            then timestamp '2024-02-01 00:00:00'
+                            else timestamp '2261-12-31 00:00:00' end as valid_to
+                from customer
+                union all
+                select c_custkey, round(c_acctbal + 100, 2),
+                       timestamp '2024-02-01 00:00:00',
+                       timestamp '2261-12-31 00:00:00'
+                from customer where c_custkey % 10 = 0
+            ),
+            o as (
+                select o_orderkey, o_custkey,
+                       timestamp '2024-01-01 00:00:00'
+                           + (cast(o_orderkey % 60 as int) * interval 1 day)
+                           as asof_ts
+                from orders
+            )
+            select o.o_orderkey, o.o_custkey, h.c_acctbal, o.asof_ts
+            from o join hist h
+              on o.o_custkey = h.c_custkey
+             and o.asof_ts >= h.valid_from
+             and o.asof_ts < h.valid_to
         """,
         "scd2_history": """
             select c_custkey, c_name, round(c_acctbal, 2) as c_acctbal,
