@@ -29,30 +29,51 @@ OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def _update_user_totals(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+def _make_update_fn(timeout_minutes: int | None):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if timeout_minutes is not None and state.hasTimedOut:
+            # idle key evicted: drop state, emit nothing
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return update
+
+
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Per-user cumulative (count, sum(value)) across micro-batches.
+
+    ``timeout_minutes`` bounds state: a key idle for that long is
+    evicted at the next micro-batch (processing-time timeout) — memory
+    then scales with ACTIVE keys, not ever-seen keys. Default keeps
+    totals forever (the demo semantics)."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
     )
-
-
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user cumulative (count, sum(value)) across micro-batches."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _make_update_fn(timeout_minutes),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
