@@ -482,6 +482,39 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top 20 part pairs appearing in the
+    same order. Parts are collected per order (bounded by a basket-size
+    guard, same combinatorial bound as LSH max_bucket) and pairs are
+    generated in-basket with array combinators — one groupBy, no
+    self-join of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= 20))
+    )
+    parts = F.col("parts")
+    pair_arrays = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_arrays).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against the SCD2 history: each order event
     picks the dimension version valid AT its as-of instant
@@ -2219,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_funcs": q_fuzzy_funcs,
         "scd2_history": q_scd2_history,
         "pit_join": q_pit_join,
+        "basket_pairs": q_basket_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "date_funcs": q_date_funcs,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2749,6 +2783,23 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "basket_pairs": """
+            with p as (select distinct l_orderkey, l_partkey from lineitem),
+            sized as (
+                select l_orderkey from p
+                group by l_orderkey
+                having count(*) between 2 and 20
+            )
+            select a.l_partkey as part_a, b.l_partkey as part_b,
+                   count(*) as n_orders
+            from p a
+            join p b on a.l_orderkey = b.l_orderkey
+                    and a.l_partkey < b.l_partkey
+            join sized s on a.l_orderkey = s.l_orderkey
+            group by 1, 2
+            order by n_orders desc, part_a asc, part_b asc
+            limit 20
         """,
         "pit_join": """
             with hist as (
