@@ -482,6 +482,22 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 15 minutes —
+    each event lands in exactly 4 windows; the overlap factor is the
+    shuffle-volume cost of sliding windows at scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top 20 part pairs appearing in the
     same order. Parts are collected per order (bounded by a basket-size
@@ -2253,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "pit_join": q_pit_join,
         "basket_pairs": q_basket_pairs,
+        "events_hopping": q_events_hopping,
         "ann_ivf_topk": q_ann_ivf_topk,
         "date_funcs": q_date_funcs,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2783,6 +2800,16 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(c_name, 'Customer#000000042') as lev_to_42,
                    levenshtein(c_name, reverse(c_name)) as lev_palindrome
             from customer
+        """,
+        "events_hopping": """
+            with k as (select unnest(range(0, 4)) as i)
+            select time_bucket(interval 15 minute, ts)
+                       - (k.i * interval 15 minute) as window_start,
+                   event_type,
+                   count(*) as n,
+                   round(sum(value), 2) as sum_value
+            from events, k
+            group by 1, 2
         """,
         "basket_pairs": """
             with p as (select distinct l_orderkey, l_partkey from lineitem),
