@@ -2195,6 +2195,306 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of ASIA's STANDARD-part
+    market by order year. Four dims broadcast (two nation roles),
+    conditional-sum ratio in one shuffle on the year key; part filter
+    applied before the fact join so the scan is pruned first."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nkey"), "n_regionkey"
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution via left outer
+    join with a join-time predicate, then a two-level aggregation.
+    Customers with zero (non-urgent) orders survive the outer join and
+    land in the c_count=0 bucket."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (~F.col("o_orderpriority").startswith("1-")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) hitting the global max — a scalar-subquery max joined
+    back (broadcast, 1 row) instead of a global sort. Revenue is
+    rounded to 2 dp BEFORE the max comparison so the selected row set
+    is identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average re-expressed as the
+    scalable pre-aggregate + equi-join. lineitem is semi-filtered to the
+    brand's parts BEFORE the per-part average, so the heavy agg runs on
+    the reduced set (the correlated subquery only ever needs those
+    parts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    brand_li = li.join(broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global
+    average balance (scalar subquery, broadcast 1-row join) with no
+    RECENT orders (anti join against the date-filtered fact — the
+    filter is pushed below the anti join), rolled up by market
+    segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users are
+    cohorted by first-active week, activity is reduced to distinct
+    user-weeks FIRST (the big cardinality drop), then one join + one
+    rollup produce the (cohort, week_offset) retention triangle."""
+    e = _t(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile report: ntile(10) over total spend, then
+    per-decile aggregates. The global ntile needs a total order (one
+    partition for the window) — fine on the pre-aggregated per-customer
+    frame (1 row per customer); at 100 TB swap the window for
+    approx-percentile bin edges and a range bucket join."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.avg("spend"), 4).alias("avg_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days via
+    the row_number subtraction trick (day - rn is constant within a
+    run). Distinct user-days first, one window partitioned by user, one
+    groupBy — both shuffles on the user key."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("anchor")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per active day. Events are
+    collapsed to distinct user-days first, then a bounded range join
+    (each day joins ≤7 days back) feeds a distinct count. The range
+    span is a constant 7 days, so the join fan-out is bounded — at
+    scale this keys on day and stays a small-side broadcast."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ends = days.select("day").distinct()
+    return (
+        broadcast(ends.withColumnRenamed("day", "win_end"))
+        .join(
+            days,
+            (F.col("day") <= F.col("win_end"))
+            & (F.col("day") > F.date_sub(F.col("win_end"), 7)),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("win_end")
+    )
+
+
+def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index as a pure
+    projection (floor divide, capped top bucket) feeding one map-side
+    combinable aggregation — the scan-shaped profile query."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast(
+        "int"
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling for training-mix
+    curation: keep probability depends on the source (md5-uniform <
+    per-source weight), reproducible across engines and runs — the
+    seeded complement to source_quota's fixed-N-per-source."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    weight = (F.lit(1.0) + (src_num % 5)) / F.lit(10.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.filter(u < weight)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: ALL vectors within cosine >= 0.2 of the
+    vec_id=0 query (not top-k). One linear scan, norms as projections,
+    threshold on the ROUNDED score so both engines select the same row
+    set."""
+    from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = F.array(*[F.lit(float(x)) for x in target["embedding"]])
+    cos = F.round(
+        dot(F.col("embedding"), qvec) / (l2_norm("embedding") * l2_norm(qvec)), 6
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -2317,6 +2617,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "funnel_paths": q_funnel_paths,
         "top_terms": q_top_terms,
+        "q8_market_share": q_q8_market_share,
+        "q13_custdist": q_q13_custdist,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
+        "cohort_retention": q_cohort_retention,
+        "decile_report": q_decile_report,
+        "activity_islands": q_activity_islands,
+        "rolling_active_users": q_rolling_active_users,
+        "histogram_bucket": q_histogram_bucket,
+        "weighted_sample": q_weighted_sample,
+        "ann_range_search": q_ann_range_search,
     }
 
 
@@ -3706,5 +4018,187 @@ def oracle_sql() -> dict[str, str]:
             group by token
             order by doc_freq desc, token asc
             limit 20
+        """,
+        "q8_market_share": """
+            select cast(year(o_orderdate) as int) as o_year,
+                   round(sum(case when n2.n_name = 'NATION_5'
+                                  then l_extendedprice * (1 - l_discount)
+                                  else 0.0 end)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     as mkt_share
+            from lineitem
+            join part     on l_partkey = p_partkey
+            join orders   on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation n1 on c_nationkey = n1.n_nationkey
+            join region   on n1.n_regionkey = r_regionkey
+            join supplier on l_suppkey = s_suppkey
+            join nation n2 on s_nationkey = n2.n_nationkey
+            where p_type = 'STANDARD'
+              and r_name = 'ASIA'
+              and o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate <  timestamp '1998-01-01'
+            group by 1
+            order by o_year
+        """,
+        "q13_custdist": """
+            select c_count, count(*) as custdist
+            from (select c_custkey, count(o_orderkey) as c_count
+                  from customer
+                  left outer join orders
+                    on c_custkey = o_custkey
+                   and o_orderpriority not like '1-%'
+                  group by c_custkey)
+            group by c_count
+            order by custdist desc, c_count desc
+        """,
+        "q15_top_supplier": """
+            with rev as (
+              select l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as total_revenue
+              from lineitem
+              where l_shipdate >= timestamp '1996-01-01'
+                and l_shipdate <  timestamp '1996-04-01'
+              group by l_suppkey
+            )
+            select s_suppkey, s_name, total_revenue
+            from supplier join rev on s_suppkey = l_suppkey
+            where total_revenue = (select max(total_revenue) from rev)
+            order by s_suppkey
+        """,
+        "q17_small_quantity": """
+            with brand_li as (
+              select l_partkey, l_quantity, l_extendedprice
+              from lineitem
+              join part on l_partkey = p_partkey
+              where p_brand = 'Brand#1'
+            ),
+            thresh as (
+              select l_partkey, 0.2 * avg(l_quantity) as qty_thresh
+              from brand_li
+              group by l_partkey
+            )
+            select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly,
+                   count(*) as n_small
+            from brand_li join thresh using (l_partkey)
+            where l_quantity < qty_thresh
+        """,
+        "q22_sales_opportunity": """
+            select c_mktsegment,
+                   count(*) as numcust,
+                   round(sum(c_acctbal), 2) as totacctbal
+            from customer
+            where c_acctbal > (select avg(c_acctbal)
+                               from customer where c_acctbal > 0)
+              and not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_orderdate >= timestamp '1999-01-01')
+            group by c_mktsegment
+            order by c_mktsegment
+        """,
+        "cohort_retention": """
+            with first_week as (
+              select user_id, min(date_trunc('week', ts)) as cohort_week
+              from events group by user_id
+            ),
+            activity as (
+              select distinct user_id, date_trunc('week', ts) as act_week
+              from events
+            )
+            select cohort_week,
+                   cast(floor(date_diff('day', cohort_week, act_week) / 7)
+                        as int) as week_offset,
+                   count(*) as n_users
+            from activity join first_week using (user_id)
+            group by cohort_week, week_offset
+            order by cohort_week, week_offset
+        """,
+        "decile_report": """
+            with spend as (
+              select o_custkey, round(sum(o_totalprice), 2) as spend
+              from orders group by o_custkey
+            ),
+            deciled as (
+              select spend,
+                     cast(ntile(10) over (order by spend desc, o_custkey asc)
+                          as int) as decile
+              from spend
+            )
+            select decile,
+                   count(*) as n_cust,
+                   round(sum(spend), 2) as total_spend,
+                   round(avg(spend), 4) as avg_spend
+            from deciled
+            group by decile
+            order by decile
+        """,
+        "activity_islands": """
+            with days as (
+              select distinct user_id, cast(ts as date) as day
+              from events
+            ),
+            anchored as (
+              select user_id, day,
+                     day - cast(row_number() over (
+                       partition by user_id order by day) as int) as anchor
+              from days
+            )
+            select user_id,
+                   min(day) as streak_start,
+                   max(day) as streak_end,
+                   count(*) as streak_days
+            from anchored
+            group by user_id, anchor
+            order by user_id, streak_start
+        """,
+        "rolling_active_users": """
+            with days as (
+              select distinct user_id, cast(ts as date) as day
+              from events
+            ),
+            ends as (select distinct day as win_end from days)
+            select win_end,
+                   count(distinct user_id) as active_7d
+            from ends join days
+              on day <= win_end and day > win_end - 7
+            group by win_end
+            order by win_end
+        """,
+        "histogram_bucket": """
+            select least(cast(floor(o_totalprice / 50000.0) as int), 9)
+                     as bucket,
+                   count(*) as n_orders,
+                   round(min(o_totalprice), 2) as min_price,
+                   round(max(o_totalprice), 2) as max_price,
+                   round(sum(o_totalprice), 2) as sum_price
+            from orders
+            group by bucket
+            order by bucket
+        """,
+        "weighted_sample": """
+            select doc_id, source
+            from documents
+            where ('0x' || substr(md5(cast(doc_id as varchar) || '|ws'), 1, 8))
+                    ::UBIGINT / 4294967296.0
+                  < (1.0 + (cast(regexp_extract(source, '(\\d+)', 1) as int)
+                            % 5)) / 10.0
+            order by doc_id
+        """,
+        "ann_range_search": """
+            with t as (select cast(embedding as double[]) as q
+                       from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_dot_product(cast(embedding as double[]), q)
+                         / (sqrt(list_dot_product(cast(embedding as double[]),
+                                                  cast(embedding as double[])))
+                            * sqrt(list_dot_product(q, q))), 6) as cos_sim
+            from embeddings, t
+            where vec_id != 0
+              and round(list_dot_product(cast(embedding as double[]), q)
+                        / (sqrt(list_dot_product(cast(embedding as double[]),
+                                                 cast(embedding as double[])))
+                           * sqrt(list_dot_product(q, q))), 6) >= 0.2
+            order by cos_sim desc, vec_id asc
         """,
     }
