@@ -2495,6 +2495,128 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/r2/count of
+    extendedprice vs quantity per return flag) — single-pass
+    map-side-combinable moments, the OLS profile an optimizer or
+    quality monitor runs over a fact column pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_mode_median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and median() per order priority. The mode target
+    (o_orderstatus, 3 heavily skewed values) has a unique winner per
+    group, so the tie-arbitrary mode is deterministic here."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.mode("o_orderstatus").alias("modal_status"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT: per region, the top-2
+    nations by total customer balance. Catalyst rewrites the lateral
+    into a ranked join (DomainJoin -> window), so it scales like the
+    window top-k it denotes."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["region", "nation", "customer"])
+    return spark.sql(
+        """
+        select r.r_name, l.n_name, l.total_bal
+        from region r,
+        lateral (
+          select n_name,
+                 round(sum(c_acctbal), 2) as total_bal
+          from nation join customer on c_nationkey = n_nationkey
+          where n_regionkey = r.r_regionkey
+          group by n_name
+          order by total_bal desc, n_name asc
+          limit 2
+        ) l
+        order by r.r_name, l.total_bal desc, l.n_name asc
+        """
+    )
+
+
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: orders serialized to XML strings, parsed back with
+    from_xml (schema-on-read), fields extracted from the struct — the
+    ingest shape for XML feeds. Roundtrip parity makes the oracle the
+    identity projection."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><id>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = o.select(
+        "o_orderkey", F.from_xml(xml, "id BIGINT, status STRING, total DOUBLE").alias("x")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.id").alias("xml_id"),
+        F.col("x.status").alias("xml_status"),
+        F.round(F.col("x.total"), 2).alias("xml_total"),
+    )
+
+
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join through the real engine: clicks
+    with purchases within 30 min after, per user; clicks with no
+    matching purchase are emitted with nulls once the watermark passes
+    the end of their match window (the availableNow run's final
+    no-data micro-batch advances the watermark to max(ts) - 10 min and
+    flushes evictable state)."""
+    from etl_orders_to_bq_spark.streaming.events import correlate_streams
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = correlate_streams(
+        clicks, purchases, key="user_id", within="30 minutes",
+        watermark="10 minutes", how="left_outer",
+    )
+    out = _stream_to_batch(joined, "ssojoin", "append")
+    return out.select("user_id", "l_event_id", "r_event_id", "r_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -2629,6 +2751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bucket": q_histogram_bucket,
         "weighted_sample": q_weighted_sample,
         "ann_range_search": q_ann_range_search,
+        "regression_agg": q_regression_agg,
+        "mode_median_agg": q_mode_median_agg,
+        "lateral_topn": q_lateral_topn,
+        "xml_funcs": q_xml_funcs,
+        "streaming_outer_join": q_streaming_outer_join,
     }
 
 
@@ -4184,6 +4311,72 @@ def oracle_sql() -> dict[str, str]:
                   < (1.0 + (cast(regexp_extract(source, '(\\d+)', 1) as int)
                             % 5)) / 10.0
             order by doc_id
+        """,
+        "regression_agg": """
+            select l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) as slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                     as intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) as r2,
+                   regr_count(l_extendedprice, l_quantity) as n_pairs
+            from lineitem
+            group by l_returnflag
+            order by l_returnflag
+        """,
+        "mode_median_agg": """
+            select o_orderpriority,
+                   mode(o_orderstatus) as modal_status,
+                   round(median(o_totalprice), 4) as median_price,
+                   count(*) as n
+            from orders
+            group by o_orderpriority
+            order by o_orderpriority
+        """,
+        "lateral_topn": """
+            with bal as (
+              select n_regionkey, n_name,
+                     round(sum(c_acctbal), 2) as total_bal
+              from nation join customer on c_nationkey = n_nationkey
+              group by n_regionkey, n_name
+            ),
+            ranked as (
+              select r_name, n_name, total_bal,
+                     row_number() over (partition by r_name
+                       order by total_bal desc, n_name asc) as rn
+              from region join bal on r_regionkey = n_regionkey
+            )
+            select r_name, n_name, total_bal
+            from ranked where rn <= 2
+            order by r_name, total_bal desc, n_name asc
+        """,
+        "xml_funcs": """
+            select o_orderkey,
+                   o_orderkey as xml_id,
+                   o_orderstatus as xml_status,
+                   round(o_totalprice, 2) as xml_total
+            from orders
+        """,
+        "streaming_outer_join": """
+            with clicks as (select * from events where event_type = 'click'),
+                 purch  as (select * from events
+                            where event_type = 'purchase'),
+                 wm as (select least((select max(ts) from clicks),
+                                     (select max(ts) from purch))
+                               - interval 10 minute as w)
+            select l.user_id, l.event_id as l_event_id,
+                   r.event_id as r_event_id, r.value as r_value
+            from clicks l join purch r
+              on l.user_id = r.user_id
+             and r.ts >= l.ts
+             and r.ts <= l.ts + interval 30 minute
+            union all
+            select l.user_id, l.event_id, null, null
+            from clicks l, wm
+            where not exists (select 1 from purch r
+                              where r.user_id = l.user_id
+                                and r.ts >= l.ts
+                                and r.ts <= l.ts + interval 30 minute)
+              and l.ts + interval 30 minute < wm.w
         """,
         "ann_range_search": """
             with t as (select cast(embedding as double[]) as q

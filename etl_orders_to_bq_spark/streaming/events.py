@@ -101,14 +101,21 @@ def correlate_streams(
     key: str = "user_id",
     within: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each left event with right events
-    of the same key within ``within`` AFTER the left event.
+    """Stream-stream join: pair each left event with right events of
+    the same key within ``within`` AFTER the left event.
 
     Both sides carry watermarks + the time-range join condition — that
     pair is what lets Spark bound join state (left rows older than
     watermark+range are evicted). The canonical funnel/attribution op.
+
+    ``how="left_outer"`` additionally emits unmatched left events once
+    the watermark has passed the end of their match window (state
+    eviction time) — attribution with explicit "no conversion" rows.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
@@ -129,7 +136,7 @@ def correlate_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key),
         "l_event_id",
         "r_event_id",
