@@ -2617,6 +2617,31 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "l_event_id", "r_event_id", "r_value")
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a pure-Python partitioned source
+    (no JVM connector) feeding a normal Catalyst agg. Every field is a
+    deterministic function of the row id, so the DuckDB oracle rebuilds
+    the same corpus from generate_series."""
+    from etl_orders_to_bq_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    src = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        src.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -2756,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topn": q_lateral_topn,
         "xml_funcs": q_xml_funcs,
         "streaming_outer_join": q_streaming_outer_join,
+        "python_datasource": q_python_datasource,
     }
 
 
@@ -4311,6 +4337,15 @@ def oracle_sql() -> dict[str, str]:
                   < (1.0 + (cast(regexp_extract(source, '(\\d+)', 1) as int)
                             % 5)) / 10.0
             order by doc_id
+        """,
+        "python_datasource": """
+            select 'src' || (i % 20) as source,
+                   count(*) as n_docs,
+                   cast(sum(1 + i % 7) as bigint) as sum_tokens,
+                   cast(sum(3 * (1 + i % 7) - 1) as bigint) as sum_chars
+            from generate_series(0, 4999) t(i)
+            group by 1
+            order by source
         """,
         "regression_agg": """
             select l_returnflag,

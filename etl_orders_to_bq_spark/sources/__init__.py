@@ -1,6 +1,8 @@
 from .csv import read_csv_raw
 from .json import read_jsonl, read_orc, read_text
 from .parquet import load_tables, read_parquet
+from .pydatasource import SyntheticDocsDataSource, register_synthetic_docs
+from .xml import read_xml
 
 __all__ = [
     "read_csv_raw",
@@ -9,4 +11,7 @@ __all__ = [
     "read_jsonl",
     "read_orc",
     "read_text",
+    "read_xml",
+    "SyntheticDocsDataSource",
+    "register_synthetic_docs",
 ]

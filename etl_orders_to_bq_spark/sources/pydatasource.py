@@ -1,0 +1,90 @@
+"""Spark 4 Python Data Source API: a custom source without a JVM
+connector.
+
+The reference engine reads only CSV (``etl/orders_etl.py:72-75``); the
+long tail of "sources beyond CSV" (SURVEY.md §2.2) includes systems
+with no JVM connector at all — internal REST feeds, bespoke binary
+logs. Spark 4's ``pyspark.sql.datasource`` API covers exactly that
+case: the source is pure Python, but it still participates in Spark's
+scheduling because ``partitions()`` splits the read into independent
+tasks (one Python worker each, Arrow-batched back to the JVM).
+
+This module ships a deterministic synthetic-corpus source used by the
+gate (every field is a pure function of the row id, so a DuckDB
+``generate_series`` oracle can reproduce it bit-for-bit) — the shape a
+real connector would follow:
+
+- ``schema()`` declares the fixed schema (schema-on-read).
+- ``partitions()`` returns contiguous id ranges — the parallelism
+  contract. A real connector would return shard/page descriptors.
+- ``read(partition)`` yields tuples for ONE partition only; no state
+  is shared across partitions, so 1000 executors scale linearly.
+
+The Python path costs one serialization boundary per batch; it is the
+right tool for long-tail connectivity, not for hot-path scans (use the
+native parquet/csv/orc readers there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def synth_source(i: int) -> str:
+    return f"src{i % 20}"
+
+
+def synth_n_tokens(i: int) -> int:
+    return 1 + i % 7
+
+
+def synth_text(i: int) -> str:
+    return " ".join([f"w{i % 3}"] * synth_n_tokens(i))
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        step = max(1, -(-self.rows // self.num_partitions))
+        return [
+            _RangePartition(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, synth_source(i), synth_text(i), synth_n_tokens(i))
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id BIGINT, source STRING, text STRING, n_tokens INT"
+
+    def reader(self, schema) -> DataSourceReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register_synthetic_docs(spark) -> None:
+    """Idempotently register the source with this session."""
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        # already registered for this session — registration is
+        # per-session, and re-registering the same class is a no-op
+        # we tolerate rather than track session state here
+        pass

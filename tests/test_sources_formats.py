@@ -11,7 +11,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from etl_orders_to_bq_spark.sources import read_jsonl, read_orc, read_text
+from etl_orders_to_bq_spark.sources import (
+    read_jsonl,
+    read_orc,
+    read_text,
+    read_xml,
+    register_synthetic_docs,
+)
 
 
 def test_jsonl_explicit_schema_and_corrupt_capture(spark, tmp_path):
@@ -140,3 +146,39 @@ def test_bigquery_mode_and_option_mapping(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="if_exists"):
         write_table(df, "t", fmt="bigquery", if_exists="upsert")
+
+
+def test_xml_file_source_with_explicit_schema(spark, tmp_path):
+    (tmp_path / "orders.xml").write_text(
+        "<orders>"
+        "<order><id>1</id><status>O</status><total>10.5</total></order>"
+        "<order><id>2</id><status>F</status><total>20.0</total></order>"
+        "</orders>"
+    )
+    df = read_xml(
+        spark, str(tmp_path), row_tag="order",
+        schema="id BIGINT, status STRING, total DOUBLE",
+    )
+    rows = {r["id"]: (r["status"], r["total"]) for r in df.collect()}
+    assert rows == {1: ("O", 10.5), 2: ("F", 20.0)}
+
+
+def test_python_datasource_partitions_and_values(spark):
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "100")
+        .option("partitions", "4")
+        .load()
+    )
+    # partitions() is the parallelism contract: 4 ranges -> 4 tasks
+    assert df.rdd.getNumPartitions() == 4
+    got = df.orderBy("doc_id").limit(8).collect()
+    for i, r in enumerate(got):
+        assert r["doc_id"] == i
+        assert r["source"] == f"src{i % 20}"
+        assert r["n_tokens"] == 1 + i % 7
+        assert r["text"] == " ".join([f"w{i % 3}"] * (1 + i % 7))
+    assert df.count() == 100
+    # registration is idempotent per session
+    register_synthetic_docs(spark)
