@@ -2642,6 +2642,53 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: word-level duplicate
+    fraction and most-frequent-bigram fraction, the standard degenerate-
+    document filters for training corpora. In-row Column algebra (the
+    top-bigram count is the longest equal-run in the sorted bigram
+    array) — a pure projection, zero shuffles; the oracle computes the
+    same numbers with an unnest + group-by formulation."""
+    from etl_orders_to_bq_spark.functions.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", repetition_stats("text").alias("r"))
+        .select("doc_id", "r.n_words", "r.dup_word_frac", "r.top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (distinct customer-nation →
+    supplier-nation edges from the order/lineitem fact): the second
+    iterative algorithm after connected components. 10 fixed iterations,
+    damping 0.85, dangling mass not redistributed — the exact formula an
+    unrolled-CTE DuckDB oracle reproduces. Edge build broadcasts both
+    dimension sides; each iteration is one |edges| shuffle."""
+    from etl_orders_to_bq_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    r = pagerank(edges, "src", "dst", iterations=10, damping=0.85)
+    return r.select(
+        F.col("id").alias("nationkey"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o2_cast_repair": q_o2_cast_repair,
@@ -2782,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_funcs": q_xml_funcs,
         "streaming_outer_join": q_streaming_outer_join,
         "python_datasource": q_python_datasource,
+        "text_repetition": q_text_repetition,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2869,6 +2918,53 @@ _STOPWORD_SQL = {
 
 def _lang_hits(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{_STOPWORD_SQL[lang]}'))"
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled-CTE PageRank oracle. DuckDB 1.0 disallows aggregates in
+    the recursive term of a recursive CTE, so the fixed iteration count
+    is unrolled into a chain of CTEs r0..rN — arithmetic is forced to
+    double (``::double`` on every literal) so each step performs the
+    same IEEE ops as the Spark operator and the 6dp rounding agrees."""
+    head = """
+        with edges as (
+          select distinct c.c_nationkey as src, s.s_nationkey as dst
+          from lineitem l
+          join orders o on l.l_orderkey = o.o_orderkey
+          join customer c on o.o_custkey = c.c_custkey
+          join supplier s on l.l_suppkey = s.s_suppkey
+          where c.c_nationkey <> s.s_nationkey
+        ),
+        nodes as (select src as id from edges union select dst from edges),
+        p as (select count(*)::double as n from nodes),
+        outdeg as (select src, count(*) as od from edges group by src),
+        r0 as (select id, 1.0::double / p.n as pr from nodes, p)
+    """
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f""",
+        r{k} as (
+          select n.id,
+                 (1.0::double - 0.85::double) / p.n
+                 + 0.85::double * coalesce(c.s, 0.0::double) as pr
+          from nodes n
+          cross join p
+          left join (
+            select e.dst, sum(r.pr / o.od) as s
+            from edges e
+            join r{k - 1} r on r.id = e.src
+            join outdeg o on o.src = e.src
+            group by e.dst
+          ) c on c.dst = n.id
+        )"""
+        )
+    tail = f"""
+        select id as nationkey, round(pr, 6) as pagerank
+        from r{iterations}
+        order by nationkey
+    """
+    return head + "".join(steps) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4347,6 +4443,37 @@ def oracle_sql() -> dict[str, str]:
             group by 1
             order by source
         """,
+        # the most-frequent-bigram count is computed by unnest+group
+        # here vs the in-row sorted-run fold in Spark — same number,
+        # different (shuffle-free) plan shape on the Spark side
+        "text_repetition": r"""
+            with w as (
+              select doc_id, regexp_extract_all(text, '\S+') as words
+              from documents
+            ),
+            b as (
+              select doc_id, len(words) as n_words,
+                     round(1 - len(list_distinct(words))::double
+                               / len(words), 4) as dup_word_frac,
+                     words
+              from w
+            ),
+            bi as (
+              select doc_id, words[i] || ' ' || words[i+1] as bg
+              from b, lateral unnest(range(1, n_words)) t(i)
+            ),
+            cnt as (
+              select doc_id, bg, count(*) as c from bi group by 1, 2
+            ),
+            top as (select doc_id, max(c) as mc from cnt group by 1)
+            select b.doc_id, cast(b.n_words as bigint) as n_words,
+                   b.dup_word_frac,
+                   round(top.mc::double / (b.n_words - 1), 4)
+                     as top_bigram_frac
+            from b join top using (doc_id)
+            order by doc_id
+        """,
+        "pagerank": _pagerank_oracle_sql(iterations=10),
         "regression_agg": """
             select l_returnflag,
                    round(regr_slope(l_extendedprice, l_quantity), 4) as slope,

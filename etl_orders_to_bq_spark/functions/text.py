@@ -179,3 +179,60 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>")
     c = F.regexp_replace(c, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
     return c
+
+
+def repetition_stats(col: Column | str) -> Column:
+    """Gopher-style repetition signals as a struct — the standard
+    "degenerate document" filters for training corpora (repeated words
+    and repeated n-grams are the top predictor of low-quality scrape).
+
+    Fields:
+
+    - ``n_words``: whitespace token count
+    - ``dup_word_frac``: 1 − distinct/total tokens (word-level
+      repetition)
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (phrase-level repetition)
+
+    All in-row Column algebra — the most-frequent-bigram count is the
+    longest equal-run in the SORTED bigram array, folded with one
+    ``aggregate`` pass, so the whole thing is a projection: zero
+    shuffles, zero UDFs, linear in document length. (The explode →
+    groupBy(doc, bigram) → max formulation computes the same number but
+    shuffles |tokens| rows — that is the shape to avoid at 100 TB.)
+    """
+    c = _c(col)
+    words = tokenize(c)
+    n = F.size(words)
+    dup_word_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(words))
+        / F.greatest(n, F.lit(1)).cast("double"),
+        4,
+    )
+    sorted_bi = F.array_sort(word_ngrams(c, 2))
+    max_run = F.aggregate(
+        sorted_bi,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x == st.prev, st.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                st.best,
+                F.when(x == st.prev, st.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda st: st.best,
+    )
+    top_bigram_frac = F.round(
+        max_run / F.greatest(F.size(sorted_bi), F.lit(1)).cast("double"), 4
+    )
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )

@@ -130,3 +130,75 @@ def connected_components(
             warnings.warn(msg, stacklevel=2)
 
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (id, rank). Update rule per iteration:
+
+        rank(v) <- (1-d)/N + d * sum over in-edges (rank(u) / outdeg(u))
+
+    with N = |nodes| (union of sources and destinations). Dangling-node
+    mass is NOT redistributed — the formula above is applied literally,
+    which keeps the computation a pure join+groupBy and lets an
+    unrolled-SQL oracle reproduce it bit-for-bit.
+
+    Scale notes (same discipline as ``connected_components``):
+
+    - the edge+outdeg side is static across iterations — materialized
+      ONCE via ``localCheckpoint``, else the producing pipeline
+      re-executes every round;
+    - each round is one shuffle of |edges| (contribs groupBy dst) plus
+      one broadcast-or-shuffle join back to the node list; lineage is
+      truncated per round so the plan stays O(1);
+    - convergence is geometric in ``damping``; 10 iterations ≈ 1e-1
+      tolerance on adversarial graphs, plenty for ranking order. For a
+      tolerance-based stop, compare successive ranks like the
+      ``changed`` flag in ``connected_components``.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ed = e.join(
+        e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(
+                F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -27,7 +27,17 @@ native parquet/csv/orc readers there).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import glob
+import os
+import shutil
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _RangePartition(InputPartition):
@@ -87,4 +97,86 @@ def register_synthetic_docs(spark) -> None:
         # already registered for this session — registration is
         # per-session, and re-registering the same class is a no-op
         # we tolerate rather than track session state here
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Write half of the API: a pure-Python JSONL sink with a real two-phase
+# commit. ``write(iterator)`` runs once per partition on executors and
+# only STAGES its file; ``commit(messages)`` runs on the driver after
+# every task succeeded and atomically publishes the staged files (or
+# ``abort`` discards them) — the same job-commit protocol Spark's native
+# file sinks use, expressed through ``pyspark.sql.datasource``. This is
+# the long-tail-connector shape for systems with no JVM sink: each task
+# pushes its partition independently, the driver finalizes.
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("pyjsonl sink requires a path")
+        self.path = path
+        self.overwrite = overwrite
+        self.staging = os.path.join(path, "_staging")
+
+    def write(self, iterator):
+        import json
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        os.makedirs(self.staging, exist_ok=True)
+        # task-attempt id in the name: a retried task stages a NEW file
+        # and only the attempt whose commit message reaches the driver
+        # is published — speculative/failed attempts leave no output
+        staged = os.path.join(
+            self.staging,
+            f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.jsonl",
+        )
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _StagedFile(staged)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for p in glob.glob(os.path.join(self.path, "*.jsonl")):
+                os.remove(p)
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.path,
+                    os.path.join(self.path, os.path.basename(m.path)),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("pyjsonl").mode(...).save(path)`` after
+    registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_pyjsonl(spark) -> None:
+    """Idempotently register the JSONL sink with this session."""
+    try:
+        spark.dataSource.register(JsonLinesDataSource)
+    except Exception:
         pass

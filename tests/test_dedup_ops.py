@@ -441,3 +441,31 @@ def test_pack_sequences_layout(spark):
     starts = [r for r in out8 if r["bin_idx"] == 0 and r["bin_offset"] == 0]
     n_buckets = len({r["pack_bucket"] for r in out8})
     assert len(starts) == n_buckets
+
+
+def test_pagerank_ring_uniform(spark):
+    """A directed ring has uniform PageRank 1/N at any iteration count."""
+    from etl_orders_to_bq_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_pagerank_star_orders_hub_first(spark):
+    """All spokes point at a hub: the hub must outrank every spoke, and
+    ranks of symmetric spokes must be identical."""
+    from etl_orders_to_bq_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    spoke_ranks = {round(ranks[i], 12) for i in range(1, 5)}
+    assert len(spoke_ranks) == 1
+    assert ranks[0] > max(ranks[i] for i in range(1, 5))

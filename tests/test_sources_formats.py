@@ -2,6 +2,8 @@
 ORC, and text. Widens the reference's CSV-only surface
 (etl/orders_etl.py:72-75) to the formats a lake actually holds."""
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -182,3 +184,30 @@ def test_python_datasource_partitions_and_values(spark):
     assert df.count() == 100
     # registration is idempotent per session
     register_synthetic_docs(spark)
+
+
+def test_pyjsonl_writer_two_phase_commit(spark, tmp_path):
+    from etl_orders_to_bq_spark.sources import register_pyjsonl
+
+    register_pyjsonl(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(0, 20, 1, 4).selectExpr(
+        "id", "concat('u', id % 3) as user"
+    )
+    df.write.format("pyjsonl").mode("append").save(out)
+    # one staged-then-published file per partition + job-level _SUCCESS
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert "_staging" not in files  # staging dir cleaned at commit
+    assert sum(f.endswith(".jsonl") for f in files) == 4
+    back = spark.read.json(out)
+    assert back.count() == 20
+    assert {r["user"] for r in back.select("user").distinct().collect()} == {
+        "u0", "u1", "u2"
+    }
+
+    # overwrite clears previously published files, not just appends
+    df.limit(5).repartition(1).write.format("pyjsonl").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.json(out).count() == 5

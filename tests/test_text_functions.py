@@ -88,3 +88,26 @@ def test_redact_pii_golden(spark):
     assert got[4] == "host <IP> up"
     assert got[5] == "clean text stays clean"
     assert got[6] is None
+
+
+def test_repetition_stats_golden(spark):
+    from etl_orders_to_bq_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # all distinct words + bigrams
+            (2, "a a a a"),            # fully repeated
+            (3, "x y x y x"),          # alternating: "x y" appears twice
+            (4, "solo"),               # single word, no bigrams
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: (r["r"]["n_words"], r["r"]["dup_word_frac"], r["r"]["top_bigram_frac"])
+        for r in df.select("id", repetition_stats("t").alias("r")).collect()
+    }
+    assert got[1] == (4, 0.0, round(1 / 3, 4))
+    assert got[2] == (4, 0.75, 1.0)
+    # 5 words, 2 distinct -> dup 0.6; bigrams: x y, y x, x y, y x -> top 2/4
+    assert got[3] == (5, 0.6, 0.5)
+    assert got[4] == (1, 0.0, 0.0)
