@@ -10,13 +10,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..schemas import TESTDATA_TABLES
 
-# Parquet columns written as TIMESTAMP(NANOS) — Spark's reader rejects
-# nanos outright, so these are read as long (legacy conf) and converted
-# to microsecond timestamps by integer division (truncation, matching
-# what micro-precision engines like DuckDB do on read).
+# Parquet columns that SOME fixture generations write as
+# TIMESTAMP(NANOS) — Spark's reader rejects nanos outright, so these
+# are read as long (legacy conf) and converted to microsecond
+# timestamps by integer division (truncation, matching what
+# micro-precision engines like DuckDB do on read). Generations that
+# already store micros come back as timestamps and are left alone.
 NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -31,7 +34,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 
