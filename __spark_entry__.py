@@ -643,17 +643,24 @@ def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections) is the blocking key — bucket population is bounded by
     construction (~n/2^bits in expectation, content-hash distributed),
     unlike a categorical label where one popular value is a cartesian
-    bomb at scale. More bits => smaller buckets."""
+    bomb at scale. More bits => smaller buckets; bits=6 keeps the
+    expected in-bucket join quadratic term 16x smaller than bits=4 (the
+    round-2 setting that cost 1.72x wall at sf0.1)."""
     from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
     from etl_orders_to_bq_spark.operators.ann import with_lsh_bucket
 
     e = _t(spark, sf_dir, "embeddings")
     # norms and buckets are computed ONCE per row before the pair join
-    # (O(n) array traversals instead of O(pairs)); single-file input is
-    # spread across cores for the pair stage
-    e = with_lsh_bucket(
-        e.repartition(spark.sparkContext.defaultParallelism), dim=64, bits=4
-    ).select("vec_id", "bucket", "embedding", l2_norm("embedding").alias("norm"))
+    # (O(n) array traversals instead of O(pairs)); repartition ONLY when
+    # the source is under-split (the single-file fixture) — a
+    # well-partitioned production table must not eat an extra full
+    # shuffle of the embeddings here
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    e = with_lsh_bucket(e, dim=64, bits=6).select(
+        "vec_id", "bucket", "embedding", l2_norm("embedding").alias("norm")
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("bucket").alias("bucket_a"),
@@ -2478,7 +2485,11 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range similarity search: ALL vectors within cosine >= 0.2 of the
     vec_id=0 query (not top-k). One linear scan, norms as projections,
     threshold on the ROUNDED score so both engines select the same row
-    set."""
+    set. Range search has no ranking contract, so the result is returned
+    UNSORTED — at 100 TB with a loose threshold the match set is
+    unbounded and a global sort over it would be a full-shuffle
+    scale-killer (the gate hash is order-insensitive; the oracle keeps
+    its ORDER BY only for its own determinism)."""
     from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2491,7 +2502,6 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     )
 
 
@@ -3878,7 +3888,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neighbors": f"""
             with e as (select vec_id, cast(embedding as double[]) as v,
-                              {_lsh_bucket_sql(dim=64, bits=4)} as bucket
+                              {_lsh_bucket_sql(dim=64, bits=6)} as bucket
                        from embeddings)
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_dot_product(a.v, b.v)

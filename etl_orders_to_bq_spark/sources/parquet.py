@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 from ..schemas import TESTDATA_TABLES
 
@@ -28,14 +28,45 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing nano timestamps to micros."""
+    """Read one fixture table, normalizing nano timestamps to micros.
+
+    The nanosAsLong conf is snapshotted and restored around the read so
+    the legacy behavior does not leak session-wide, and the ts column is
+    cast to one canonical TimestampType (session-tz) afterwards: the
+    nanos generation arrives as long -> timestamp_micros (LTZ), while a
+    micros generation (isAdjustedToUTC=false) would infer TimestampNTZ
+    under Spark 4 — without the cast the two fixture generations yield
+    different schemas for schema-sensitive consumers (dtype assertions,
+    LTZ-vs-NTZ sink type mappings)."""
     nano_cols = NANO_TS_COLUMNS.get(name, [])
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nano_cols:
-        if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if not nano_cols:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    needs_legacy = False
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in nano_cols:
+            if isinstance(df.schema[c].dataType, LongType):
+                # a real nanos file: the scan re-reads this conf when the
+                # physical plan executes (lazily), so it must STAY set for
+                # this frame to remain executable — leak documented below
+                needs_legacy = True
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            df = df.withColumn(c, F.col(c).cast(TimestampType()))
+    finally:
+        # micros-generation fixtures (the common case) never used the
+        # legacy behavior — restore the conf so it does not leak into
+        # later parquet reads on the shared session. For a nanos
+        # generation the conf intentionally stays set: Spark captures it
+        # at execution time, and unsetting it would make the returned
+        # (lazy) frame fail with "Illegal Parquet type: INT64 (NANOS)".
+        if not needs_legacy:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     return df
 
 
