@@ -2342,6 +2342,282 @@ def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the quadruple-correlation EXISTS / NOT EXISTS
+    query, decorrelated to one LEFT SEMI + one LEFT ANTI join — no
+    per-row subquery execution anywhere in the plan.
+
+    The fixture schema has no l_commitdate/l_receiptdate, so "kept the
+    order waiting" is re-expressed on the available columns: a lineitem
+    is LATE when it ships >60 days after its order date. For suppliers
+    in NATION_7, count lineitems of finished ('F') orders where the
+    supplier was late, ANOTHER supplier contributed to the same order
+    (EXISTS -> semi join), and NO OTHER supplier was late on that order
+    (NOT EXISTS -> anti join).
+
+    Scale shape: the nation filter lands on l1 FIRST via a broadcast
+    semi (cuts the probe side ~25x before the heavy order-level joins);
+    the semi/anti sides carry only (orderkey, suppkey) pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nation_supp = s.join(
+        broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "s_name")
+
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    late_pairs = late.select("l_orderkey", "l_suppkey").distinct()
+
+    l1 = late.join(broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+    other_supp = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    ).distinct()
+    l1 = l1.join(
+        other_supp,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    other_late = late_pairs.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    l1 = l1.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN with a correlated aggregate subquery,
+    decorrelated to aggregate + join + semi-join.
+
+    No partsupp table in the fixture schema, so "holds excess stock of
+    a forest part" becomes: a NATION_3 supplier qualifies when for SOME
+    red part they shipped more than 30% of that part's total 1997
+    volume (their per-part 1997 sum vs the correlated all-supplier
+    per-part 1997 sum). The oracle states it as the literal nested
+    IN + correlated HAVING; this side pre-aggregates both levels and
+    joins — the only scalable execution of that SQL."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    red_li = li.join(broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+    per_supp_part = red_li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = red_li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    qualifying = (
+        per_supp_part.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders x lineitem fact-fact join with a
+    lateness predicate, conditional-sum priority split.
+
+    The fixture has no l_shipmode/l_receiptdate; the group key is
+    l_linestatus and "received late" is l_shipdate > orderdate+45d
+    within ship-year 1998. Priority split is the canonical
+    URGENT|HIGH vs rest conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year over a
+    part-name pattern, five-way join with broadcast dims.
+
+    No partsupp.ps_supplycost in the fixture, so unit cost is proxied
+    by 1% of p_retailprice: amount = extprice*(1-disc) -
+    0.01*p_retailprice*l_quantity. Part filter (name contains 'red')
+    lands on the scan before any join. The per-row amount is cast to
+    DECIMAL(18,4) before summing: the double sum of ~60k signed terms
+    lands within float jitter of the 2dp rounding boundary (~2 of 175
+    groups flip pennies vs the oracle); decimal accumulation is exact
+    and partition-order-independent, so both engines agree exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.01
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(amount.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    kept only above a scalar-subquery fraction of the total.
+
+    partsupp value is re-expressed as shipped revenue by NATION_1
+    suppliers. The scalar total reuses the SAME aggregated frame
+    (self-scalar), broadcast as a 1-row frame — no second scan of
+    lineitem at scale (AQE dedups the shared subtree; the agg input is
+    the already-reduced per-part frame)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nation_li = li.join(
+        broadcast(
+            s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_part = nation_li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    total = per_part.agg((F.sum("val") * F.lit(0.002)).alias("thresh"))
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("val") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("val", 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (cheapest supplier per
+    part within a region), decorrelated to a groupBy-min + equality
+    join back.
+
+    partsupp.ps_supplycost is re-expressed as the observed unit price
+    min(l_extendedprice/l_quantity) per (part, supplier) from EUROPE
+    suppliers' shipments of SMALL parts sized 1-10. MIN is an exact
+    selection (no float accumulation), so the equality join back on the
+    double is deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(broadcast(eur_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.p_partkey == F.col("mc_partkey"))
+            & (offers.unit_cost == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+def q_q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count-distinct suppliers per part attribute
+    bucket, excluding a NOT-IN supplier set (anti join).
+
+    "Customer complaints" is re-expressed as negative account balance.
+    The exclusion is a broadcast LEFT ANTI (s_suppkey is non-null so
+    NOT IN == anti join); supplier-part relationships come from
+    lineitem, distinct-aggregated after the part broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream: users are
     cohorted by first-active week, activity is reduced to distinct
@@ -2700,7 +2976,95 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of every implemented query/operator (SURVEY.md §2).
+
+    Ordering note: the correctness driver snapshots a prefix of this
+    dict, so entries not yet covered by a recorded CORRECTNESS round
+    are listed first (rotated each round); names are stable across
+    rounds so history accumulates.
+    """
     return {
+        "corpus_pipeline": q_corpus_pipeline,
+        "pagerank": q_pagerank,
+        "dedup_clusters": q_dedup_clusters,
+        "recursive_cte": q_recursive_cte,
+        "python_datasource": q_python_datasource,
+        "pit_join": q_pit_join,
+        "cdc_apply": q_cdc_apply,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q12_late_shipments": q_q12_late_shipments,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_parts": q_q11_important_parts,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_join": q_q19_disjunctive_join,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
+        "text_winnow": q_text_winnow,
+        "fuzzy_join": q_fuzzy_join,
+        "udtf_sentences": q_udtf_sentences,
+        "incremental_agg": q_incremental_agg,
+        "embedding_centroids": q_embedding_centroids,
+        "basket_pairs": q_basket_pairs,
+        "events_hopping": q_events_hopping,
+        "try_cast": q_try_cast,
+        "collect_agg": q_collect_agg,
+        "window_range_frame": q_window_range_frame,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "data_quality": q_data_quality,
+        "correlated_subquery": q_correlated_subquery,
+        "hash_sample": q_hash_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "source_quota": q_source_quota,
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "regex_extract": q_regex_extract,
+        "map_funcs": q_map_funcs,
+        "nullsafe_join": q_nullsafe_join,
+        "filtered_agg": q_filtered_agg,
+        "explode_tokens": q_explode_tokens,
+        "pivot_agg": q_pivot_agg,
+        "grouped_zscore": q_grouped_zscore,
+        "events_window": q_events_window,
+        "analytic_funcs": q_analytic_funcs,
+        "cross_join": q_cross_join,
+        "bitwise_funcs": q_bitwise_funcs,
+        "interval_arith": q_interval_arith,
+        "posexplode_tokens": q_posexplode_tokens,
+        "struct_funcs": q_struct_funcs,
+        "stratified_sample": q_stratified_sample,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "gap_fill": q_gap_fill,
+        "date_spine": q_date_spine,
+        "variant_json": q_variant_json,
+        "pii_redact": q_pii_redact,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contamination_check": q_contamination_check,
+        "funnel_paths": q_funnel_paths,
+        "top_terms": q_top_terms,
+        "cohort_retention": q_cohort_retention,
+        "decile_report": q_decile_report,
+        "activity_islands": q_activity_islands,
+        "rolling_active_users": q_rolling_active_users,
+        "histogram_bucket": q_histogram_bucket,
+        "weighted_sample": q_weighted_sample,
+        "ann_range_search": q_ann_range_search,
+        "regression_agg": q_regression_agg,
+        "mode_median_agg": q_mode_median_agg,
+        "lateral_topn": q_lateral_topn,
+        "xml_funcs": q_xml_funcs,
+        "streaming_outer_join": q_streaming_outer_join,
+        "text_repetition": q_text_repetition,
         "o2_cast_repair": q_o2_cast_repair,
         "o4_dedup_first": q_o4_dedup_first,
         "dedup_first_minby": q_dedup_first_minby,
@@ -2752,13 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        "text_winnow": q_text_winnow,
-        "fuzzy_join": q_fuzzy_join,
-        "cdc_apply": q_cdc_apply,
-        "udtf_sentences": q_udtf_sentences,
-        "incremental_agg": q_incremental_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_centroids": q_embedding_centroids,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2771,76 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "fuzzy_funcs": q_fuzzy_funcs,
         "scd2_history": q_scd2_history,
-        "pit_join": q_pit_join,
-        "basket_pairs": q_basket_pairs,
-        "events_hopping": q_events_hopping,
         "ann_ivf_topk": q_ann_ivf_topk,
         "date_funcs": q_date_funcs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "try_cast": q_try_cast,
-        "collect_agg": q_collect_agg,
-        "window_range_frame": q_window_range_frame,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "data_quality": q_data_quality,
-        "q5_region_revenue": q_q5_region_revenue,
-        "correlated_subquery": q_correlated_subquery,
-        "hash_sample": q_hash_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "source_quota": q_source_quota,
-        "grouping_sets": q_grouping_sets,
-        "unpivot": q_unpivot,
-        "regex_extract": q_regex_extract,
-        "map_funcs": q_map_funcs,
-        "dedup_clusters": q_dedup_clusters,
-        "nullsafe_join": q_nullsafe_join,
-        "filtered_agg": q_filtered_agg,
-        "explode_tokens": q_explode_tokens,
-        "pivot_agg": q_pivot_agg,
-        "grouped_zscore": q_grouped_zscore,
-        "events_window": q_events_window,
-        "analytic_funcs": q_analytic_funcs,
-        "cross_join": q_cross_join,
-        "bitwise_funcs": q_bitwise_funcs,
-        "interval_arith": q_interval_arith,
-        "posexplode_tokens": q_posexplode_tokens,
-        "struct_funcs": q_struct_funcs,
-        "stratified_sample": q_stratified_sample,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive_join": q_q19_disjunctive_join,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "gap_fill": q_gap_fill,
-        "date_spine": q_date_spine,
-        "variant_json": q_variant_json,
-        "recursive_cte": q_recursive_cte,
-        "pii_redact": q_pii_redact,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "contamination_check": q_contamination_check,
-        "funnel_paths": q_funnel_paths,
-        "top_terms": q_top_terms,
-        "q8_market_share": q_q8_market_share,
-        "q13_custdist": q_q13_custdist,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q22_sales_opportunity": q_q22_sales_opportunity,
-        "cohort_retention": q_cohort_retention,
-        "decile_report": q_decile_report,
-        "activity_islands": q_activity_islands,
-        "rolling_active_users": q_rolling_active_users,
-        "histogram_bucket": q_histogram_bucket,
-        "weighted_sample": q_weighted_sample,
-        "ann_range_search": q_ann_range_search,
-        "regression_agg": q_regression_agg,
-        "mode_median_agg": q_mode_median_agg,
-        "lateral_topn": q_lateral_topn,
-        "xml_funcs": q_xml_funcs,
-        "streaming_outer_join": q_streaming_outer_join,
-        "python_datasource": q_python_datasource,
-        "text_repetition": q_text_repetition,
-        "pagerank": q_pagerank,
     }
 
 
@@ -4355,6 +4645,135 @@ def oracle_sql() -> dict[str, str]:
                                 and o_orderdate >= timestamp '1999-01-01')
             group by c_mktsegment
             order by c_mktsegment
+        """,
+        "q21_suppliers_waiting": """
+            select s_name, count(*) as numwait
+            from lineitem l1
+            join orders o on o.o_orderkey = l1.l_orderkey
+                         and o.o_orderstatus = 'F'
+            join supplier s on s.s_suppkey = l1.l_suppkey
+            join nation n on n.n_nationkey = s.s_nationkey
+                         and n.n_name = 'NATION_7'
+            where l1.l_shipdate > o.o_orderdate + interval 60 day
+              and exists (
+                select 1 from lineitem l2
+                where l2.l_orderkey = l1.l_orderkey
+                  and l2.l_suppkey <> l1.l_suppkey)
+              and not exists (
+                select 1 from lineitem l3
+                join orders o3 on o3.o_orderkey = l3.l_orderkey
+                where l3.l_orderkey = l1.l_orderkey
+                  and l3.l_suppkey <> l1.l_suppkey
+                  and o3.o_orderstatus = 'F'
+                  and l3.l_shipdate > o3.o_orderdate + interval 60 day)
+            group by s_name
+            order by numwait desc, s_name
+            limit 20
+        """,
+        "q20_potential_promotion": """
+            select s_name, round(s_acctbal, 2) as s_acctbal
+            from supplier
+            join nation on s_nationkey = n_nationkey
+                       and n_name = 'NATION_3'
+            where s_suppkey in (
+              select l_suppkey from lineitem
+              where l_partkey in (select p_partkey from part
+                                  where p_name like 'red%')
+                and l_shipdate >= timestamp '1997-01-01'
+                and l_shipdate <  timestamp '1998-01-01'
+              group by l_suppkey, l_partkey
+              having sum(l_quantity) > 0.3 * (
+                select sum(l2.l_quantity) from lineitem l2
+                where l2.l_partkey = lineitem.l_partkey
+                  and l2.l_shipdate >= timestamp '1997-01-01'
+                  and l2.l_shipdate <  timestamp '1998-01-01')
+            )
+            order by s_name
+        """,
+        "q12_late_shipments": """
+            select l_linestatus as ship_class,
+                   count(*) filter (where o_orderpriority
+                                    in ('1-URGENT', '2-HIGH'))
+                       as high_line_count,
+                   count(*) filter (where o_orderpriority
+                                    not in ('1-URGENT', '2-HIGH'))
+                       as low_line_count
+            from lineitem join orders on l_orderkey = o_orderkey
+            where l_shipdate >= timestamp '1998-01-01'
+              and l_shipdate <  timestamp '1999-01-01'
+              and l_shipdate > o_orderdate + interval 45 day
+            group by ship_class
+            order by ship_class
+        """,
+        "q9_product_type_profit": """
+            select n_name as nation,
+                   year(o_orderdate) as o_year,
+                   round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                       - 0.01 * p_retailprice * l_quantity
+                                       as decimal(18,4))) as double), 2)
+                       as sum_profit
+            from lineitem
+            join part on l_partkey = p_partkey and p_name like '%red%'
+            join supplier on l_suppkey = s_suppkey
+            join nation on s_nationkey = n_nationkey
+            join orders on l_orderkey = o_orderkey
+            group by n_name, year(o_orderdate)
+            order by nation, o_year desc
+        """,
+        "q11_important_parts": """
+            with per_part as (
+              select l_partkey,
+                     sum(l_extendedprice * (1 - l_discount)) as val
+              from lineitem
+              where l_suppkey in (
+                select s_suppkey from supplier
+                join nation on s_nationkey = n_nationkey
+                where n_name = 'NATION_1')
+              group by l_partkey
+            )
+            select l_partkey as partkey, round(val, 2) as value
+            from per_part
+            where val > (select sum(val) * 0.002 from per_part)
+            order by value desc, partkey
+        """,
+        "q2_min_cost_supplier": """
+            with eur_supp as (
+              select s_suppkey, s_name, s_acctbal, n_name
+              from supplier
+              join nation on s_nationkey = n_nationkey
+              join region on n_regionkey = r_regionkey
+              where r_name = 'EUROPE'
+            ),
+            offers as (
+              select l_partkey as p_partkey, s_suppkey, s_name, s_acctbal,
+                     n_name,
+                     min(l_extendedprice / l_quantity) as unit_cost
+              from lineitem
+              join part on l_partkey = part.p_partkey
+                       and p_type = 'SMALL' and p_size <= 10
+              join eur_supp on l_suppkey = s_suppkey
+              group by all
+            )
+            select round(s_acctbal, 2) as s_acctbal, s_name, n_name,
+                   p_partkey as partkey, round(unit_cost, 4) as unit_cost
+            from offers o
+            where unit_cost = (select min(unit_cost) from offers i
+                               where i.p_partkey = o.p_partkey)
+            order by s_acctbal desc, n_name, s_name, partkey
+            limit 100
+        """,
+        "q16_parts_supplier_relationship": """
+            select p_brand, p_type, p_size,
+                   count(distinct l_suppkey) as supplier_cnt
+            from lineitem
+            join part on l_partkey = p_partkey
+            where p_brand <> 'Brand#1'
+              and p_type not like 'PROMO%'
+              and p_size in (1, 4, 9, 14, 19, 24, 29, 34)
+              and l_suppkey not in (select s_suppkey from supplier
+                                    where s_acctbal < 0)
+            group by p_brand, p_type, p_size
+            order by supplier_cnt desc, p_brand, p_type, p_size
         """,
         "cohort_retention": """
             with first_week as (
