@@ -45,7 +45,15 @@ HEADLINE = [
     "window_frames",
     "q7_nation_volume",
     "q18_large_orders",
+    "pagerank",
+    "corpus_pipeline",
 ]
+
+# Iterative queries run driver-side rounds (with checkpoints) while the
+# DataFrame is CONSTRUCTED, so the timer must wrap construction + force
+# and rebuild per run — forcing a prebuilt frame would time only the
+# final projection over already-materialized checkpoint blocks.
+ITERATIVE = {"pagerank", "corpus_pipeline"}
 
 
 def main() -> None:
@@ -72,11 +80,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        rebuild = name in ITERATIVE
+        df = None if rebuild else qs[name](spark, sf_dir)
         best = float("inf")
         for _ in range(2):  # best-of-2: shields against host noise
             t0 = time.perf_counter()
-            force(df)
+            force(qs[name](spark, sf_dir) if rebuild else df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokenize, word_ngrams
+from .staging import stage
 
 
 def first_occurrence_dedup(
@@ -253,6 +254,7 @@ def minhash_lsh_candidates(
     shingle_len: int = 3,
     max_bucket: int = 1000,
     hash_fn: str = "md5",
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -271,6 +273,11 @@ def minhash_lsh_candidates(
 
     ``hash_fn="numpy"``/``"xxhash64"`` select the fast signature paths
     for production hash counts (see ``minhash_signature``).
+
+    ``checkpoint_path`` switches signature staging from
+    ``localCheckpoint`` (executor blocks, no fault tolerance) to a
+    durable parquet write+reread under that path — the production
+    "write signatures, then band" shape (see ``staging.stage``).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_len, hash_fn).select(
@@ -281,9 +288,9 @@ def minhash_lsh_candidates(
     # otherwise inline the signature chain into every band-key
     # expression and re-hash the corpus once per band (measured 7x
     # slower at 2 bands). (id, num_hashes minima) is tiny next to the
-    # text, so the lazy checkpoint is the same "write signatures, then
+    # text, so the staged frame is the same "write signatures, then
     # band" shape production dedup uses at scale.
-    sig = sig.localCheckpoint(eager=False)
+    sig = stage(sig, checkpoint_path, "minhash_signatures", eager=False)
 
     band_structs = []
     for b in range(bands):

@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime (bloom) filters: on fact-fact joins where one side is
+        # selectively filtered (e.g. orders-by-date joining lineitem),
+        # inject a bloom filter built from the filtered side into the
+        # other side's scan — at 100 TB this prunes most of the probe
+        # side before the shuffle. Creation threshold lowered so the
+        # mid-size filtered sides in our TPC-H shapes qualify.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(64 * 1024 * 1024),
+        )
         # keep local runs quiet and fast to start
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -469,3 +469,32 @@ def test_pagerank_star_orders_hub_first(spark):
     spoke_ranks = {round(ranks[i], 12) for i in range(1, 5)}
     assert len(spoke_ranks) == 1
     assert ranks[0] > max(ranks[i] for i in range(1, 5))
+
+
+def test_lsh_chain_parquet_staging_identical(docs, spark, tmp_path):
+    """The durable-staging path (checkpoint_path= -> parquet write+reread
+    instead of localCheckpoint) must produce the identical candidate
+    pairs and components as the in-memory path."""
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    mem_pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    dur_pairs = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, checkpoint_path=str(tmp_path / "lsh")
+    )
+    mem = {(r["id_a"], r["id_b"]) for r in mem_pairs.collect()}
+    dur = {(r["id_a"], r["id_b"]) for r in dur_pairs.collect()}
+    assert dur == mem and len(dur) > 0
+    assert (tmp_path / "lsh" / "minhash_signatures").exists()
+
+    mem_cc = {
+        (r["id"], r["component"])
+        for r in connected_components(mem_pairs).collect()
+    }
+    dur_cc = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            dur_pairs, checkpoint_path=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert dur_cc == mem_cc and len(dur_cc) > 0
+    assert (tmp_path / "cc" / "cc_edges").exists()

@@ -408,3 +408,44 @@ def test_pack_sequences_partitioned_window(spark):
         "pack_bucket" in ln for ln in window_lines if "partition" in ln.lower()
         or "Window" in ln
     ), plan
+
+
+def test_runtime_bloom_filters_inject_on_fact_joins(spark):
+    """With scale-like thresholds (no broadcast — at 100 TB neither fact
+    side fits; application-scan threshold 0 — locally the scans are
+    tiny, at scale they are TBs), the optimizer must inject runtime
+    bloom filters built from the selectively-filtered side into the
+    other side's scan:
+
+    - q12: date-filtered lineitem -> bloom on orders' o_orderkey (the
+      fact-fact join key);
+    - q3: segment-filtered customer -> bloom on orders' o_custkey.
+    """
+    import __spark_entry__ as entry
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        expected = {
+            "q12_late_shipments": "o_orderkey",
+            "q3_top_revenue": "o_custkey",
+        }
+        for name, key in expected.items():
+            df = entry.queries()[name](spark, SF)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            filter_lines = [
+                ln for ln in plan.splitlines() if "might_contain" in ln
+            ]
+            assert filter_lines, f"{name}: no runtime filter injected\n{plan}"
+            assert any(key in ln for ln in filter_lines), (
+                f"{name}: runtime filter not on {key}: {filter_lines}"
+            )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
