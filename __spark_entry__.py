@@ -1618,6 +1618,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_dedup_clusters pipeline run through the DURABLE staging
+    path: signatures and per-round CC labels are parquet write+reread
+    (``checkpoint_path=``) instead of executor-block localCheckpoint —
+    the fault-tolerant shape a real cluster needs (losing one executor
+    mid-query invalidates localCheckpoint blocks). Same oracle, same
+    clusters: proves the staging strategy is semantics-neutral."""
+    import tempfile
+
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    stage_dir = tempfile.mkdtemp(prefix="dedup_stage_")
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2,
+        shingle_len=3, checkpoint_path=f"{stage_dir}/lsh",
+    )
+    return connected_components(
+        pairs, "id_a", "id_b", checkpoint_path=f"{stage_dir}/cc"
+    ).select(F.col("id").alias("doc_id"), F.col("component"))
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality (<=>): joins where null keys match null keys
     (standard equality drops them)."""
@@ -2991,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource": q_python_datasource,
         "pit_join": q_pit_join,
         "cdc_apply": q_cdc_apply,
+        "dedup_clusters_durable": q_dedup_clusters_durable,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -3290,7 +3314,7 @@ def oracle_sql() -> dict[str, str]:
                              / cast(greatest(length(text), 1) as double))
                          + 0.3::double * least(1.0::double, len({_TOKENS}) / 50.0::double),
                          6)"""
-    return {
+    out = {
         "o2_cast_repair": """
             select o_orderkey,
                    cast(replace(regexp_replace(cast(o_totalprice as varchar), '\\.', ','), ',', '.') as double) as sum_repaired,
@@ -4986,3 +5010,7 @@ def oracle_sql() -> dict[str, str]:
             order by cos_sim desc, vec_id asc
         """,
     }
+    # identical pipeline through the durable parquet staging path —
+    # same clusters, same oracle
+    out["dedup_clusters_durable"] = out["dedup_clusters"]
+    return out
