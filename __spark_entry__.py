@@ -2951,6 +2951,33 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source STREAMING reader: the same pure-Python
+    synthetic source consumed through the real micro-batch engine
+    (offset-managed readStream -> stateful complete-mode agg -> memory
+    sink). Deterministic row ids make the DuckDB generate_series oracle
+    exact; the availableNow wrapper drains the capped stream in one
+    batch (multi-batch incrementality is pytest-driven)."""
+    from etl_orders_to_bq_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    src = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    agg = (
+        src.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+    )
+    return _stream_to_batch(agg, "pysrc_stream", "complete").orderBy("source")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: word-level duplicate
     fraction and most-frequent-bigram fraction, the standard degenerate-
@@ -3015,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "cdc_apply": q_cdc_apply,
         "dedup_clusters_durable": q_dedup_clusters_durable,
+        "python_datasource_stream": q_python_datasource_stream,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -5013,4 +5041,6 @@ def oracle_sql() -> dict[str, str]:
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle
     out["dedup_clusters_durable"] = out["dedup_clusters"]
+    # the streaming read drains the identical synthetic corpus
+    out["python_datasource_stream"] = out["python_datasource"]
     return out

@@ -34,6 +34,7 @@ import shutil
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -75,8 +76,60 @@ class SyntheticDocsReader(DataSourceReader):
             yield (i, synth_source(i), synth_text(i), synth_n_tokens(i))
 
 
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Streaming half of the source: the same deterministic corpus
+    exposed as an offset-managed micro-batch stream.
+
+    The offset is the next unread row id (``{"id": n}``). Each
+    ``latestOffset`` call advances by ``rows_per_batch`` (capped at
+    ``rows``), so the stream drains in ceil(rows/rows_per_batch)
+    micro-batches and then idles; ``partitions(start, end)`` splits
+    every batch's id range into independent tasks exactly like the
+    batch reader — executor-side reads, no driver bottleneck. Offsets
+    are plain dicts, so Spark's checkpoint log can persist/replay them
+    (exactly-once across restarts); ``commit`` would prune a real
+    source's upstream retention and is a no-op for synthetic rows.
+
+    Spark's ``PythonMicroBatchStream`` does not natively implement
+    availableNow; the engine's wrapper captures one latestOffset at
+    query start — pair availableNow with ``rows_per_batch >= rows`` to
+    drain in one shot, or use processingTime + ``processAllAvailable``
+    to exercise true multi-batch incremental reads (both pytest-driven).
+    """
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", self.rows))
+        self.num_partitions = int(options.get("partitions", 8))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.rows)
+        return {"id": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["id"], end["id"]
+        if hi <= lo:
+            return []
+        step = max(1, -(-(hi - lo) // self.num_partitions))
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, synth_source(i), synth_text(i), synth_n_tokens(i))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs")`` after registration."""
+    """``spark.read.format("synthetic_docs")`` /
+    ``spark.readStream.format("synthetic_docs")`` after registration."""
 
     @classmethod
     def name(cls) -> str:
@@ -87,6 +140,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register_synthetic_docs(spark) -> None:

@@ -211,3 +211,51 @@ def test_pyjsonl_writer_two_phase_commit(spark, tmp_path):
         "overwrite"
     ).save(out)
     assert spark.read.json(out).count() == 5
+
+
+def test_python_datasource_stream_incremental_batches(spark, tmp_path):
+    """The streaming half of the Python data source must deliver the
+    corpus INCREMENTALLY — multiple micro-batches, offset-managed —
+    and the drained total must equal the batch read."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_synthetic_docs(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", "1000")
+        .option("rows_per_batch", "300")  # -> 4 micro-batches
+        .option("partitions", "4")
+        .load()
+    )
+    agg = stream.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("sum_tokens")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pysrc_incr")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            row = spark.table("pysrc_incr").first()
+            if row is not None and row["n"] == 1000:
+                break
+            time.sleep(0.5)
+        row = spark.table("pysrc_incr").first()
+        assert row["n"] == 1000
+        batches = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+        assert len(batches) >= 2, f"expected multi-batch drain, got {batches}"
+    finally:
+        q.stop()
+    expected = (
+        spark.read.format("synthetic_docs").option("rows", "1000").load()
+        .agg(F.sum("n_tokens")).first()[0]
+    )
+    assert row["sum_tokens"] == expected
