@@ -280,3 +280,53 @@ def test_stream_stream_join(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("select count(*) n from funnel").first()["n"]
     assert got == expected
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark, events_dir):
+    """The production state-store backend: at 100 TB-scale streaming
+    state (millions of keys x sessions), the default HDFS-backed
+    in-memory provider OOMs executors; RocksDB keeps state on local
+    disk with incremental (changelog) checkpointing. The same stateful
+    query must produce identical results under RocksDB."""
+    from etl_orders_to_bq_spark.streaming import running_user_totals
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("user_totals_rocks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            """select user_id, n_events, sum_value from (
+                 select *, row_number() over (partition by user_id
+                                              order by n_events desc) rn
+                 from user_totals_rocks) where rn = 1"""
+        ).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expected
