@@ -2721,12 +2721,18 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     ends = days.select("day").distinct()
+    # each user-day contributes to exactly 7 window-ends: EXPLODE the
+    # bounded sequence (a projection, fan-out = 7) instead of a
+    # nested-loop range join (O(rows x days) comparisons at scale),
+    # then keep only window-ends that are observed active days via a
+    # broadcast hash equi-join on the tiny day list
+    contrib = days.withColumn(
+        "win_end",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))),
+    )
     return (
-        broadcast(ends.withColumnRenamed("day", "win_end"))
-        .join(
-            days,
-            (F.col("day") <= F.col("win_end"))
-            & (F.col("day") > F.date_sub(F.col("win_end"), 7)),
+        contrib.join(
+            broadcast(ends.withColumnRenamed("day", "win_end")), "win_end"
         )
         .groupBy("win_end")
         .agg(F.countDistinct("user_id").alias("active_7d"))
