@@ -7,6 +7,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import score_similarity, similar_products, top_k_similar
+from .staging import stage
 from .ann import ann_topk_bruteforce, ann_topk_lsh
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "top_k_similar",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "stage",
 ]
