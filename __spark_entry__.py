@@ -2984,6 +2984,21 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(agg, "pysrc_stream", "complete").orderBy("source")
 
 
+def q_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch rollup (DataSketches HLL): per-(type, day)
+    sketches merged up to per-type distinct-user estimates — the
+    persist-sketches-once, merge-for-any-rollup pattern that answers
+    100 TB cardinality questions without re-scanning raw data. Sketch
+    estimates are engine-specific => rows-only gate (like sketch_agg);
+    the lossless-merge property (union of partials == single pass) and
+    exact-count accuracy are pytest-asserted."""
+    from etl_orders_to_bq_spark.operators.sketches import hll_merge, hll_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = hll_rollup(ev, ["event_type", "day"], "user_id", lg_k=12)
+    return hll_merge(fine, ["event_type"]).orderBy("event_type")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: word-level duplicate
     fraction and most-frequent-bigram fraction, the standard degenerate-
@@ -3049,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "dedup_clusters_durable": q_dedup_clusters_durable,
         "python_datasource_stream": q_python_datasource_stream,
+        "sketch_rollup_merge": q_sketch_rollup_merge,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,

@@ -7,6 +7,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import score_similarity, similar_products, top_k_similar
+from .sketches import hll_merge, hll_rollup, kll_quantile_rollup, kll_quantiles, theta_distinct
 from .staging import stage
 from .ann import ann_topk_bruteforce, ann_topk_lsh
 
@@ -23,4 +24,9 @@ __all__ = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "stage",
+    "hll_rollup",
+    "hll_merge",
+    "kll_quantile_rollup",
+    "kll_quantiles",
+    "theta_distinct",
 ]

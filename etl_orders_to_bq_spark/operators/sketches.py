@@ -1,0 +1,130 @@
+"""Re-aggregatable sketch rollups (DataSketches HLL / KLL / Theta).
+
+THE production pattern for 100 TB metric serving: sketch each
+partition/day ONCE at ingest, persist the (tiny, fixed-size) sketch
+binaries, and answer any coarser rollup later by MERGING sketches —
+never re-scanning the raw data. Spark 4 exposes the Apache DataSketches
+family as native aggregates, so the whole path is JVM-side codegen:
+
+- HLL (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`):
+  approximate COUNT DISTINCT. Merging per-partition sketches yields the
+  IDENTICAL register state (and therefore the identical estimate) as a
+  single pass over the union — the merge is lossless with a common
+  ``lg_k``; per-sketch size is 2^lg_k registers regardless of cardinality.
+- KLL (`kll_sketch_agg_double` / `kll_sketch_merge_double` /
+  `kll_sketch_get_quantile_double`): approximate quantiles with a priori
+  rank-error bounds, mergeable the same way (merge order can perturb the
+  retained-sample state, unlike HLL's max-register merge).
+- Theta (`theta_sketch_agg` / `theta_sketch_estimate`): distinct-count
+  sketches supporting set algebra across sketches.
+
+The estimates are engine-specific (no DuckDB oracle); correctness is
+pinned by the merge-consistency property tests and exact-count
+references (tests/test_dedup_ops.py).
+
+No counterpart in the reference engine (SURVEY.md §2.2 "aggregations"
+absence family — the reference computes nothing approximate;
+reference etl/orders_etl.py has only pandas groupby aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Fine-grained rollup: one HLL sketch binary per group.
+
+    This is the frame to PERSIST (partitioned by the group columns):
+    each sketch is <= 2^lg_k bytes however many distinct values it saw,
+    and any coarser grouping is answerable from it via ``hll_merge``
+    without touching the raw table again.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_merge(
+    rollup: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge persisted sketches up to a coarser grouping and estimate.
+
+    Register-wise max union: associative, commutative, idempotent — the
+    merged estimate equals a fresh single-pass sketch of the union, so
+    late-arriving partitions can be folded in at any time.
+    """
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """One KLL(double) quantile sketch per group (persist-and-merge
+    companion to ``hll_rollup`` for latency/size percentile serving)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("kll_sketch"),
+    )
+
+
+def kll_quantiles(
+    rollup: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge KLL sketches to a coarser grouping and read off quantiles
+    (one ``q_<pct>`` column per requested quantile).
+
+    Spark exposes KLL merge as a two-sketch scalar (not an aggregate),
+    so the rollup collects each group's sketch binaries and folds them
+    with one in-row ``aggregate`` pass — the collected list is one
+    fixed-size sketch per finer bucket (e.g. per day), KBs each, so the
+    fold is driver-free and bounded."""
+    merged = rollup.groupBy(*group_cols).agg(
+        F.collect_list(sketch_col).alias("__sketches")
+    ).select(
+        *group_cols,
+        F.aggregate(
+            F.slice("__sketches", 2, F.greatest(F.size("__sketches") - 1, F.lit(0))),
+            F.col("__sketches")[0],
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("__kll"),
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("__kll", F.lit(q)).alias(
+            f"q_{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)
+
+
+def theta_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Theta-sketch distinct estimate per group (the sketch family to
+    reach for when downstream needs set algebra across sketches)."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg(value_col)).alias(
+            "approx_distinct"
+        ),
+        F.count("*").alias("n_rows"),
+    )

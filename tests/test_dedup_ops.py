@@ -498,3 +498,89 @@ def test_lsh_chain_parquet_staging_identical(docs, spark, tmp_path):
     }
     assert dur_cc == mem_cc and len(dur_cc) > 0
     assert (tmp_path / "cc" / "cc_edges").exists()
+
+
+def test_hll_sketch_merge_is_lossless(spark):
+    """The scale contract of sketch rollups: merging per-day HLL
+    sketches must yield the IDENTICAL estimate as one pass over the
+    union (register-wise max merge), and track the exact count."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.sketches import hll_merge, hll_rollup
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge(
+            hll_rollup(ev, ["event_type", "day"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge(
+            hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(merged[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_kll_and_theta_sketches_track_exact(spark):
+    """KLL merged quantiles must land within rank-error of the exact
+    percentile; theta distinct estimates within HLL-like tolerance."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.sketches import (
+        kll_quantile_rollup,
+        kll_quantiles,
+        theta_distinct,
+    )
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    kq = {
+        r["event_type"]: r["q_50"]
+        for r in kll_quantiles(
+            kll_quantile_rollup(ev, ["event_type", "day"], "value"),
+            ["event_type"],
+            [0.5],
+        ).collect()
+    }
+    # exact rank window: KLL(k=200) has ~1.3% rank error; check the
+    # sketch p50 sits between the exact p45 and p55
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+        )
+        .collect()
+    }
+    for k, v in kq.items():
+        lo, hi = bounds[k]
+        assert lo <= v <= hi, (k, v, lo, hi)
+    th = {
+        r["event_type"]: r["approx_distinct"]
+        for r in theta_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(th[k] - exact[k]) / exact[k] < 0.05
