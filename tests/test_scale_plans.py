@@ -449,3 +449,21 @@ def test_runtime_bloom_filters_inject_on_fact_joins(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q21_q20_decorrelate_to_semi_anti_joins(spark):
+    """The hardest TPC-H subquery shapes must execute as decorrelated
+    joins: Q21's EXISTS -> LEFT SEMI and NOT EXISTS -> LEFT ANTI, Q20's
+    nested IN -> semi joins — never a per-row nested-loop subquery."""
+    import __spark_entry__ as entry
+
+    q21 = entry.queries()["q21_suppliers_waiting"](spark, SF)
+    p21 = _plan(q21)
+    assert "LeftSemi" in p21, p21
+    assert "LeftAnti" in p21, p21
+    assert "BroadcastNestedLoopJoin" not in p21, p21
+
+    q20 = entry.queries()["q20_potential_promotion"](spark, SF)
+    p20 = _plan(q20)
+    assert "LeftSemi" in p20, p20
+    assert "BroadcastNestedLoopJoin" not in p20, p20
