@@ -305,6 +305,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: a NEW batch (odd doc ids) deduped
+    within itself AND against the persisted fingerprint side table of
+    the EXISTING corpus (even ids) — the corpus text is never
+    re-scanned, only its 32-byte fingerprints join. One small-batch
+    shuffle + one anti join; at 100 TB the seen table is
+    fingerprint-bucketed so the anti join co-locates."""
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+    from etl_orders_to_bq_spark.operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    new_batch = d.filter(F.col("doc_id") % 2 == 1)
+    seen = existing.select(
+        doc_fingerprint("text").alias("fingerprint")
+    ).distinct()
+    return incremental_exact_dedup(new_batch, seen, "text", "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes over word 3-gram shingles)."""
     from etl_orders_to_bq_spark.operators.dedup import minhash_signature
@@ -3065,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_durable": q_dedup_clusters_durable,
         "python_datasource_stream": q_python_datasource_stream,
         "sketch_rollup_merge": q_sketch_rollup_merge,
+        "incremental_dedup": q_incremental_dedup,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -3583,6 +3605,21 @@ def oracle_sql() -> dict[str, str]:
                    max(cast(props->>'$.k' as bigint)) as max_k,
                    count(*) as n
             from events group by event_type
+        """,
+        "incremental_dedup": f"""
+            with new_batch as (
+              select * from documents where doc_id % 2 = 1
+            ),
+            batch_unique as (
+              select doc_id, lang, n_chars, md5({_NORM}) as fp
+              from new_batch
+              where doc_id in (select min(doc_id) from new_batch
+                               group by md5({_NORM}))
+            )
+            select doc_id, lang, n_chars from batch_unique b
+            where not exists (
+              select 1 from documents e
+              where e.doc_id % 2 = 0 and md5({_NORM.replace("text", "e.text")}) = b.fp)
         """,
         "dedup_exact": f"""
             select doc_id, lang, n_chars from documents

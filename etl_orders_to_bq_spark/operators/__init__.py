@@ -1,5 +1,6 @@
 from .dedup import (
     exact_dedup,
+    incremental_exact_dedup,
     first_occurrence_dedup,
     minhash_signature,
     minhash_lsh_candidates,
@@ -14,6 +15,7 @@ from .ann import ann_topk_bruteforce, ann_topk_lsh
 __all__ = [
     "first_occurrence_dedup",
     "exact_dedup",
+    "incremental_exact_dedup",
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash",

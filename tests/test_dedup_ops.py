@@ -584,3 +584,35 @@ def test_kll_and_theta_sketches_track_exact(spark):
     }
     for k in exact:
         assert abs(th[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_incremental_exact_dedup_against_seen_corpus(spark):
+    """A new batch must drop (a) its own internal dups and (b) docs
+    whose content the existing corpus already holds — keeping the
+    smallest id per surviving content."""
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+    from etl_orders_to_bq_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    seen = existing.select(doc_fingerprint("text").alias("fingerprint")).distinct()
+    new_batch = spark.createDataFrame(
+        [
+            (10, "ALPHA  beta gamma"),   # normalized dup of corpus doc 1
+            (11, "zeta eta"),            # genuinely new
+            (12, "zeta eta"),            # in-batch dup of 11
+            (13, "theta iota"),          # new
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(new_batch, seen).collect()
+    )
+    assert kept == [11, 13]
+    # keep_fingerprint=True returns the rows to APPEND to the side table
+    with_fp = incremental_exact_dedup(new_batch, seen, keep_fingerprint=True)
+    assert "fingerprint" in with_fp.columns
+    assert with_fp.count() == 2
