@@ -45,6 +45,7 @@ HEADLINE = [
     "window_frames",
     "q7_nation_volume",
     "q18_large_orders",
+    "q21_suppliers_waiting",
     "pagerank",
     "corpus_pipeline",
 ]
