@@ -632,6 +632,30 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup candidates: a new batch (odd doc ids) is
+    signed and banded, then joined against the persisted band table of
+    the existing corpus (even ids) — the corpus is never re-signed.
+    Pairs sharing any LSH band bucket go on to Jaccard verification
+    (see ngram_jaccard); the oracle reproduces the identical md5-minima
+    band keys in SQL and joins odd-side vs even-side."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_batch = d.filter(F.col("doc_id") % 2 == 1)
+    corpus_bands = minhash_band_keys(
+        corpus, text_col="text", id_col="doc_id", num_hashes=4, bands=2
+    )
+    return incremental_lsh_matches(
+        new_batch, corpus_bands, text_col="text", id_col="doc_id",
+        num_hashes=4, bands=2,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) per document."""
     from etl_orders_to_bq_spark.operators.dedup import simhash
@@ -3087,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_stream": q_python_datasource_stream,
         "sketch_rollup_merge": q_sketch_rollup_merge,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_lsh": q_incremental_lsh,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -4211,6 +4236,24 @@ def oracle_sql() -> dict[str, str]:
                    rank() over (partition by o_custkey
                          order by o_orderdate, o_orderkey) as rk
             from orders
+        """,
+        "incremental_lsh": f"""
+            with sig as (
+                select doc_id,
+                       {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                       {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+                from documents
+            ),
+            banded as (
+                select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+                from sig where mh_0 is not null
+                union all
+                select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+                from sig where mh_0 is not null
+            )
+            select distinct n.doc_id as new_id, c.doc_id as corpus_id
+            from banded n join banded c on n.bk = c.bk
+            where n.doc_id % 2 = 1 and c.doc_id % 2 = 0
         """,
         "dedup_minhash_pairs": f"""
             with docs2 as (

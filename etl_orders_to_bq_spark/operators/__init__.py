@@ -1,8 +1,10 @@
 from .dedup import (
     exact_dedup,
     incremental_exact_dedup,
+    incremental_lsh_matches,
     first_occurrence_dedup,
     minhash_signature,
+    minhash_band_keys,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
@@ -16,7 +18,9 @@ __all__ = [
     "first_occurrence_dedup",
     "exact_dedup",
     "incremental_exact_dedup",
+    "incremental_lsh_matches",
     "minhash_signature",
+    "minhash_band_keys",
     "minhash_lsh_candidates",
     "simhash",
     "ngram_jaccard_pairs",

@@ -245,6 +245,46 @@ def minhash_signature(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    hash_fn: str = "md5",
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """(id, band, bk) rows: each doc's LSH band keys — the PERSISTABLE
+    banding artifact. Docs sharing any (band, bk) are near-dup
+    candidates; a corpus keeps this table (bucketed by bk) so arriving
+    batches can be checked incrementally without re-signing the corpus
+    (see ``incremental_lsh_matches``). Signature staging as in
+    ``minhash_lsh_candidates``."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_len, hash_fn).select(
+        id_col, *[f"mh_{i}" for i in range(num_hashes)]
+    )
+    sig = sig.filter(F.col("mh_0").isNotNull())
+    # materialize signatures before banding: CollapseProject would
+    # otherwise inline the signature chain into every band-key
+    # expression and re-hash the corpus once per band (measured 7x
+    # slower at 2 bands). (id, num_hashes minima) is tiny next to the
+    # text, so the staged frame is the same "write signatures, then
+    # band" shape production dedup uses at scale.
+    sig = stage(sig, checkpoint_path, "minhash_signatures", eager=False)
+
+    band_structs = []
+    for b in range(bands):
+        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bk = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bk.alias("bk")))
+
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bk").alias("bk"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -279,28 +319,10 @@ def minhash_lsh_candidates(
     durable parquet write+reread under that path — the production
     "write signatures, then band" shape (see ``staging.stage``).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_len, hash_fn).select(
-        id_col, *[f"mh_{i}" for i in range(num_hashes)]
+    exploded = minhash_band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_len, hash_fn,
+        checkpoint_path,
     )
-    sig = sig.filter(F.col("mh_0").isNotNull())
-    # materialize signatures before banding: CollapseProject would
-    # otherwise inline the signature chain into every band-key
-    # expression and re-hash the corpus once per band (measured 7x
-    # slower at 2 bands). (id, num_hashes minima) is tiny next to the
-    # text, so the staged frame is the same "write signatures, then
-    # band" shape production dedup uses at scale.
-    sig = stage(sig, checkpoint_path, "minhash_signatures", eager=False)
-
-    band_structs = []
-    for b in range(bands):
-        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bk = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
-        band_structs.append(F.struct(F.lit(b).alias("band"), bk.alias("bk")))
-
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
-    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bk").alias("bk"))
 
     buckets = (
         exploded.groupBy("band", "bk")
@@ -363,6 +385,38 @@ def incremental_exact_dedup(
         seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
     )
     return survivors if keep_fingerprint else survivors.drop("fingerprint")
+
+
+def incremental_lsh_matches(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and an existing corpus's
+    persisted band table (``minhash_band_keys`` output): (new_id,
+    corpus_id) pairs sharing at least one band bucket.
+
+    The incremental companion of ``minhash_lsh_candidates``: only the
+    batch is signed (projection over the small batch); the corpus
+    contributes its band table — KBs per doc, bucketed by ``bk`` at
+    scale so the join co-locates. Feed the matches (plus the batch's
+    internal candidates) to ``ngram_jaccard_pairs`` for verification —
+    linear in candidates, never corpus x batch.
+    """
+    nb = minhash_band_keys(
+        new_df, text_col, id_col, num_hashes, bands, shingle_len, hash_fn
+    ).withColumnRenamed(id_col, "new_id")
+    cb = corpus_bands.withColumnRenamed(id_col, "corpus_id")
+    return (
+        nb.join(cb, ["band", "bk"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

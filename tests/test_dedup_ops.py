@@ -616,3 +616,31 @@ def test_incremental_exact_dedup_against_seen_corpus(spark):
     with_fp = incremental_exact_dedup(new_batch, seen, keep_fingerprint=True)
     assert "fingerprint" in with_fp.columns
     assert with_fp.count() == 2
+
+
+def test_incremental_lsh_matches_corpus_band_table(docs, spark):
+    """A new batch's near-dups of corpus docs must surface by joining
+    the batch's band keys against the corpus's PERSISTED band table —
+    without re-signing the corpus."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_band_keys,
+    )
+
+    corpus_bands = minhash_band_keys(docs, num_hashes=8, bands=4)
+    new_batch = spark.createDataFrame(
+        [
+            (100, BASE),            # exact dup of corpus doc 1
+            (101, BASE + " extra"), # near dup
+            (102, "totally unrelated text about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    matches = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_lsh_matches(
+            new_batch, corpus_bands, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (100, 1) in matches
+    assert not any(n == 102 for n, _ in matches)
