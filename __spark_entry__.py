@@ -3348,7 +3348,7 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
     double (``::double`` on every literal) so each step performs the
     same IEEE ops as the Spark operator and the 6dp rounding agrees."""
     head = """
-        with edges as (
+        with edges as materialized (
           select distinct c.c_nationkey as src, s.s_nationkey as dst
           from lineitem l
           join orders o on l.l_orderkey = o.o_orderkey
@@ -3356,9 +3356,11 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
           join supplier s on l.l_suppkey = s.s_suppkey
           where c.c_nationkey <> s.s_nationkey
         ),
-        nodes as (select src as id from edges union select dst from edges),
+        nodes as materialized (select src as id from edges
+                               union select dst from edges),
         p as (select count(*)::double as n from nodes),
-        outdeg as (select src, count(*) as od from edges group by src),
+        outdeg as materialized (select src, count(*) as od
+                                from edges group by src),
         r0 as (select id, 1.0::double / p.n as pr from nodes, p)
     """
     steps = []
