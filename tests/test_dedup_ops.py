@@ -644,3 +644,25 @@ def test_incremental_lsh_matches_corpus_band_table(docs, spark):
     }
     assert (100, 1) in matches
     assert not any(n == 102 for n, _ in matches)
+
+
+def test_graph_and_incremental_ops_handle_empty_inputs(spark):
+    """Empty edge lists / empty seen tables must yield empty/identity
+    results, not errors — the first batch of an incremental pipeline
+    and an all-unique corpus both hit these paths."""
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+    from etl_orders_to_bq_spark.operators.dedup import incremental_exact_dedup
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(no_edges).count() == 0
+
+    batch = spark.createDataFrame(
+        [(1, "one text"), (2, "two text")], "doc_id long, text string"
+    )
+    empty_seen = spark.createDataFrame([], "fingerprint string")
+    assert incremental_exact_dedup(batch, empty_seen).count() == 2
+
+    empty_batch = spark.createDataFrame([], "doc_id long, text string")
+    seen = batch.select(doc_fingerprint("text").alias("fingerprint"))
+    assert incremental_exact_dedup(empty_batch, seen).count() == 0
