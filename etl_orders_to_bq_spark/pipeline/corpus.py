@@ -24,6 +24,7 @@ from ..functions.text import language_id, quality_score
 from ..operators.chunk import chunk_documents
 from ..operators.dedup import exact_dedup, minhash_lsh_candidates
 from ..operators.graph import connected_components
+from ..operators.staging import stage
 
 
 def build_training_corpus(
@@ -36,14 +37,23 @@ def build_training_corpus(
     overlap: int = 8,
     num_hashes: int = 4,
     bands: int = 2,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Returns (doc_id, chunk_idx, chunk_text, n_tokens) for the
-    cleaned, deduplicated corpus."""
+    cleaned, deduplicated corpus. ``checkpoint_path`` switches every
+    staging point (exact-dedup output, LSH signatures, CC rounds) to
+    durable parquet (see ``staging.stage``)."""
     filtered = docs.filter(
         (language_id(text_col) == lang) & (quality_score(text_col) >= min_quality)
     )
 
-    exact = exact_dedup(filtered, text_col, id_col)
+    # staged once: BOTH the LSH candidate chain and the final
+    # survivors anti-join consume this frame — without staging, the
+    # regex-heavy filter + fingerprint shuffle execute twice
+    exact = stage(
+        exact_dedup(filtered, text_col, id_col),
+        checkpoint_path, "corpus_exact", eager=False,
+    )
 
     pairs = minhash_lsh_candidates(
         exact,
@@ -51,8 +61,11 @@ def build_training_corpus(
         id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
+        checkpoint_path=checkpoint_path,
     )
-    clusters = connected_components(pairs, "id_a", "id_b")
+    clusters = connected_components(
+        pairs, "id_a", "id_b", checkpoint_path=checkpoint_path
+    )
     # drop every clustered doc that is not its cluster's representative
     losers = clusters.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
