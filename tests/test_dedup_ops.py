@@ -666,3 +666,31 @@ def test_graph_and_incremental_ops_handle_empty_inputs(spark):
     empty_batch = spark.createDataFrame([], "doc_id long, text string")
     seen = batch.select(doc_fingerprint("text").alias("fingerprint"))
     assert incremental_exact_dedup(empty_batch, seen).count() == 0
+
+
+def test_incremental_dedup_equals_full_recompute(spark):
+    """Append-only invariant: when corpus ids precede batch ids,
+    corpus-kept ∪ incremental-batch-survivors must equal a full
+    exact-dedup recompute over the union."""
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+    from etl_orders_to_bq_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    texts = ["a b c", "d e f", "a  B c", "g h", "d e f", "i j k", "g H"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = all_docs.filter("doc_id < 4")
+    batch = all_docs.filter("doc_id >= 4")
+
+    corpus_kept = exact_dedup(corpus, "text", "doc_id")
+    seen = corpus_kept.select(doc_fingerprint("text").alias("fingerprint"))
+    incr = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(batch, seen).collect()
+    } | {r["doc_id"] for r in corpus_kept.collect()}
+    full = {
+        r["doc_id"] for r in exact_dedup(all_docs, "text", "doc_id").collect()
+    }
+    assert incr == full
