@@ -2,6 +2,7 @@ from .binary import (
     decode_image_batch,
     extract_image_features,
     frame_sample_video,
+    resize_image_batch,
     with_media_metadata,
 )
 
@@ -10,4 +11,5 @@ __all__ = [
     "decode_image_batch",
     "extract_image_features",
     "frame_sample_video",
+    "resize_image_batch",
 ]

@@ -163,3 +163,53 @@ def frame_sample_video(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "id long, content binary, width int, height int, size_bytes long"
+)
+
+
+def resize_image_batch(
+    df: DataFrame,
+    binary_col: str = "content",
+    target_width: int = 224,
+    target_height: int = 224,
+) -> DataFrame:
+    """Resize stage: binary -> binary (smaller payload + new dims).
+
+    STUB resize: the fake payload is an md5 keystream of the original,
+    truncated to a byte budget proportional to the target pixel count —
+    deterministic, and it preserves the property the plumbing is shaped
+    around: resize SHRINKS payloads, so it runs before any shuffle or
+    persist (a 100 TB raw-media scan becomes a few-TB resized set). A
+    real implementation swaps the inner function for
+    ``PIL.Image.open(...).resize((w, h))`` bytes; schema, Arrow
+    batching, and the shrink contract stay identical.
+    """
+    budget = max(16, (target_width * target_height) // 64)
+
+    def _resize(payload: bytes) -> bytes:
+        out = bytearray()
+        counter = 0
+        while len(out) < budget:
+            out.extend(
+                hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+            )
+            counter += 1
+        return bytes(out[:budget])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[binary_col].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "width": target_width,
+                    "height": target_height,
+                    "size_bytes": content.map(len),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)

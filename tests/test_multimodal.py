@@ -70,3 +70,33 @@ def test_multipartition_batching(spark):
     r1 = {r["id"]: r["width"] for r in decode_image_batch(df1).collect()}
     r8 = {r["id"]: r["width"] for r in decode_image_batch(df8).collect()}
     assert r1 == r8
+
+
+def test_resize_shrinks_payloads_deterministically(media_df):
+    from etl_orders_to_bq_spark.multimodal import resize_image_batch
+
+    out = resize_image_batch(media_df, target_width=64, target_height=64)
+    assert out.schema.simpleString() == (
+        "struct<id:bigint,content:binary,width:int,height:int,"
+        "size_bytes:bigint>"
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 50
+    budget = (64 * 64) // 64
+    assert all(r["size_bytes"] == budget for r in rows.values())
+    assert all(
+        r["width"] == 64 and r["height"] == 64 for r in rows.values()
+    )
+    # deterministic: same payload -> same resized bytes across runs
+    again = {
+        r["id"]: r["content"]
+        for r in resize_image_batch(
+            media_df, target_width=64, target_height=64
+        ).collect()
+    }
+    assert all(again[i] == rows[i]["content"] for i in rows)
+    # chained stages: resized payloads feed the feature extractor
+    feats = extract_image_features(
+        resize_image_batch(media_df, target_width=64, target_height=64)
+    )
+    assert feats.count() == 50
