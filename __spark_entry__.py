@@ -2579,13 +2579,15 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value for one nation's suppliers,
-    kept only above a scalar-subquery fraction of the total.
+    kept only above a scalar-subquery threshold over the whole set.
 
     partsupp value is re-expressed as shipped revenue by NATION_1
-    suppliers. The scalar total reuses the SAME aggregated frame
-    (self-scalar), broadcast as a 1-row frame — no second scan of
-    lineitem at scale (AQE dedups the shared subtree; the agg input is
-    the already-reduced per-part frame)."""
+    suppliers; "important" = value above 2x the average per-part value
+    (a scale-invariant threshold — the fixture has no part skew, so
+    TPC-H's fraction-of-total form selects 0 rows at sf>=0.1). The
+    scalar reuses the SAME aggregated frame (self-scalar), broadcast
+    as a 1-row frame — no second scan of lineitem at scale (the agg
+    input is the already-reduced per-part frame)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
@@ -2599,7 +2601,7 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = nation_li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
     )
-    total = per_part.agg((F.sum("val") * F.lit(0.002)).alias("thresh"))
+    total = per_part.agg((F.avg("val") * F.lit(2.0)).alias("thresh"))
     return (
         per_part.join(broadcast(total))
         .filter(F.col("val") > F.col("thresh"))
@@ -4889,7 +4891,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select l_partkey as partkey, round(val, 2) as value
             from per_part
-            where val > (select sum(val) * 0.002 from per_part)
+            where val > (select avg(val) * 2.0 from per_part)
             order by value desc, partkey
         """,
         "q2_min_cost_supplier": """
