@@ -1368,6 +1368,44 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_ivf_clusters(emb, centroids).select("vec_id", "ivf_cluster")
 
 
+def _ivf_fixed_setup():
+    """Shared fixed-centroid IVF search setup: deterministic centroids
+    and query vector, plus the driver-side probe ranking (identical in
+    the query and the oracle generator)."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+
+    centroids = _hyperplanes(dim=64, bits=8, seed=7)
+    query = _hyperplanes(dim=64, bits=1, seed=99)[0]
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (a - b) * (a - b) for a, b in zip(centroids[i], query)
+        ),
+    )[:3]
+    return centroids, query, probe
+
+
+def q_ivf_search_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SEARCH path end-to-end with FIXED centroids: assign
+    (pure Column argmax), driver-side probe ranking over <=8 tiny
+    centroid vectors (no Spark job), brute-force cosine top-k over only
+    the 3 probed clusters. With data-independent centroids the whole
+    path is oracle-reproducible — closing the gap that keeps
+    ann_ivf_topk (k-means-fit centroids) rows-only."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        IvfIndex,
+        ann_topk_ivf,
+        assign_ivf_clusters,
+    )
+
+    centroids, query, _ = _ivf_fixed_setup()
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex(
+        assign_ivf_clusters(emb, centroids), centroids, "vec_id", "embedding"
+    )
+    return ann_topk_ivf(idx, query, k=10, n_probe=3)
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar family: extraction + arithmetic."""
     o = _t(spark, sf_dir, "orders")
@@ -3114,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_merge": q_sketch_rollup_merge,
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,
+        "ivf_search_fixed": q_ivf_search_fixed,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -3317,6 +3356,33 @@ def _ivf_assign_sql(dim: int = 64, n: int = 8, seed: int = 7) -> str:
         )
     arr = "list_value(" + ", ".join(scores) + ")"
     return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
+def _ivf_search_fixed_sql() -> str:
+    """Oracle for q_ivf_search_fixed: probe ids and the query vector
+    are deterministic Python constants, inlined as literals; the row
+    norm divides by the SAME driver-side sequential q_norm float the
+    Spark operator uses, so the doubles agree bitwise."""
+    import math
+
+    _, query, probe = _ivf_fixed_setup()
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]::DOUBLE[]"
+    q_norm = 0.0
+    for x in query:
+        q_norm += float(x) * float(x)
+    q_norm = math.sqrt(q_norm)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+        select vec_id,
+               round(list_dot_product(cast(embedding as double[]), {qlit})
+                     / (sqrt(list_dot_product(cast(embedding as double[]),
+                                              cast(embedding as double[])))
+                        * {q_norm!r}), 6) as cos_sim
+        from embeddings
+        where {_ivf_assign_sql(dim=64, n=8, seed=7)} in ({probe_list})
+        order by cos_sim desc, vec_id asc
+        limit 10
+    """
 
 
 def _simhash_sql(bits: int) -> str:
@@ -5146,6 +5212,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle
+    out["ivf_search_fixed"] = _ivf_search_fixed_sql()
     out["dedup_clusters_durable"] = out["dedup_clusters"]
     # the streaming read drains the identical synthetic corpus
     out["python_datasource_stream"] = out["python_datasource"]
