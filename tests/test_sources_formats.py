@@ -259,3 +259,22 @@ def test_python_datasource_stream_incremental_batches(spark, tmp_path):
         .agg(F.sum("n_tokens")).first()[0]
     )
     assert row["sum_tokens"] == expected
+
+
+def test_python_datasource_arrow_path_identical(spark):
+    """The RecordBatch fast path must return exactly the rows of the
+    tuple path."""
+    register_synthetic_docs(spark)
+
+    def rows(arrow):
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("rows", "999")
+            .option("partitions", "4")
+            .option("arrow", arrow)
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    a, b = rows("true"), rows("false")
+    assert a == b and len(a) == 999
