@@ -193,3 +193,24 @@ def test_first_occurrence_semantics_synthetic(spark, tmp_path):
     # dirty id '42c' repaired to 42 BEFORE dedup: row 2 is the keeper
     assert out[12]["sum"] == 7.0
     assert out[12]["price"] == 10.0  # and it still joins the dim
+
+
+def test_corpus_durable_staging_identical(spark, tmp_path):
+    """build_training_corpus(checkpoint_path=...) must produce the
+    identical chunk set as the in-memory staging path."""
+    from etl_orders_to_bq_spark.pipeline.corpus import build_training_corpus
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    mem = build_training_corpus(docs, lang="en", min_quality=0.5)
+    dur = build_training_corpus(
+        docs, lang="en", min_quality=0.5,
+        checkpoint_path=str(tmp_path / "stage"),
+    )
+    key = ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+    mem_rows = {tuple(r[k] for k in key) for r in mem.collect()}
+    dur_rows = {tuple(r[k] for k in key) for r in dur.collect()}
+    assert dur_rows == mem_rows and len(dur_rows) > 0
+    assert (tmp_path / "stage" / "corpus_exact").exists()
