@@ -1708,12 +1708,22 @@ def q_dedup_clusters_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fault-tolerant shape a real cluster needs (losing one executor
     mid-query invalidates localCheckpoint blocks). Same oracle, same
     clusters: proves the staging strategy is semantics-neutral."""
+    import os
+    import shutil
     import tempfile
 
     from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
     from etl_orders_to_bq_spark.operators.graph import connected_components
 
-    stage_dir = tempfile.mkdtemp(prefix="dedup_stage_")
+    # one staging root per process, cleared on re-entry: repeated gate
+    # or bench invocations reclaim the previous run's staged parquet
+    # instead of accumulating mkdtemp dirs (any prior invocation's
+    # frame has been fully consumed before the next query runs)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"dedup_stage_{os.getpid()}"
+    )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir, exist_ok=True)
     d = _docs_with_planted_dups(spark, sf_dir)
     pairs = minhash_lsh_candidates(
         d, text_col="text", id_col="doc_id", num_hashes=4, bands=2,

@@ -92,14 +92,21 @@ def decode_image_batch(df: DataFrame, binary_col: str = "content") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[binary_col].map(_decode_bytes)
+            # null payload (failed fetch) -> null metadata, never a
+            # task-killing TypeError: one bad row must not fail a
+            # 100 TB stage
+            meta = pdf[binary_col].map(
+                lambda p: _decode_bytes(p) if p is not None else None
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "format": meta.map(lambda m: m["format"]),
-                    "width": meta.map(lambda m: m["width"]),
-                    "height": meta.map(lambda m: m["height"]),
-                    "size_bytes": pdf[binary_col].map(len),
+                    "format": meta.map(lambda m: m["format"] if m else None),
+                    "width": meta.map(lambda m: m["width"] if m else None),
+                    "height": meta.map(lambda m: m["height"] if m else None),
+                    "size_bytes": pdf[binary_col].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
                 }
             )
 
@@ -122,7 +129,9 @@ def extract_image_features(
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def vec(payload: bytes) -> list[float]:
+            def vec(payload: bytes) -> list[float] | None:
+                if payload is None:
+                    return None
                 h = hashlib.md5(payload).digest()
                 return [h[i] / 255.0 for i in range(dim)]
 
@@ -150,6 +159,7 @@ def frame_sample_video(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[binary_col].notna()]
             # vectorized explode: repeat ids, tile frame indices; the
             # only per-item Python is the codec call itself (here the
             # stub hash), applied over the repeated payload array
@@ -189,7 +199,9 @@ def resize_image_batch(
     """
     budget = max(16, (target_width * target_height) // 64)
 
-    def _resize(payload: bytes) -> bytes:
+    def _resize(payload: bytes) -> bytes | None:
+        if payload is None:
+            return None
         out = bytearray()
         counter = 0
         while len(out) < budget:
@@ -208,7 +220,9 @@ def resize_image_batch(
                     "content": content,
                     "width": target_width,
                     "height": target_height,
-                    "size_bytes": content.map(len),
+                    "size_bytes": content.map(
+                        lambda b: len(b) if b is not None else None
+                    ),
                 }
             )
 

@@ -396,6 +396,7 @@ def incremental_lsh_matches(
     bands: int = 4,
     shingle_len: int = 3,
     hash_fn: str = "md5",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup candidates between a NEW batch and an existing corpus's
     persisted band table (``minhash_band_keys`` output): (new_id,
@@ -404,14 +405,25 @@ def incremental_lsh_matches(
     The incremental companion of ``minhash_lsh_candidates``: only the
     batch is signed (projection over the small batch); the corpus
     contributes its band table — KBs per doc, bucketed by ``bk`` at
-    scale so the join co-locates. Feed the matches (plus the batch's
-    internal candidates) to ``ngram_jaccard_pairs`` for verification —
-    linear in candidates, never corpus x batch.
+    scale so the join co-locates. Degenerate corpus buckets (a band key
+    shared by > ``max_bucket`` corpus docs — boilerplate, empty docs)
+    are dropped BEFORE the join, the same guard the batch path applies:
+    without it one hot band key times a matching batch doc explodes
+    into |bucket| pairs. Feed the matches (plus the batch's internal
+    candidates) to ``ngram_jaccard_pairs`` for verification — linear in
+    candidates, never corpus x batch.
     """
     nb = minhash_band_keys(
         new_df, text_col, id_col, num_hashes, bands, shingle_len, hash_fn
     ).withColumnRenamed(id_col, "new_id")
     cb = corpus_bands.withColumnRenamed(id_col, "corpus_id")
+    ok_buckets = (
+        cb.groupBy("band", "bk")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "bk")
+    )
+    cb = cb.join(ok_buckets, ["band", "bk"], "left_semi")
     return (
         nb.join(cb, ["band", "bk"])
         .select("new_id", "corpus_id")

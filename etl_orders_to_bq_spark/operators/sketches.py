@@ -108,10 +108,14 @@ def kll_quantiles(
             lambda acc, s: F.kll_sketch_merge_double(acc, s),
         ).alias("__kll"),
     )
+    def _qname(q: float) -> str:
+        # q_50, q_95, q_99_9 — keep the full precision so sub-percent
+        # quantiles (p99.9 vs p99) never collide into one column name
+        pct = ("%g" % (q * 100)).replace(".", "_")
+        return f"q_{pct}"
+
     cols = [
-        F.kll_sketch_get_quantile_double("__kll", F.lit(q)).alias(
-            f"q_{int(q * 100)}"
-        )
+        F.kll_sketch_get_quantile_double("__kll", F.lit(q)).alias(_qname(q))
         for q in quantiles
     ]
     return merged.select(*group_cols, *cols)

@@ -33,12 +33,18 @@ def stage(
     """Materialize ``df`` for reuse across actions/rounds.
 
     With ``checkpoint_path`` set, writes parquet to
-    ``{checkpoint_path}/{name or uuid}`` (overwrite) and returns the
-    reread frame — durable on any shared filesystem / object store.
-    Otherwise falls back to ``localCheckpoint(eager=eager)``.
+    ``{checkpoint_path}/{name}_{uuid}`` and returns the reread frame —
+    durable on any shared filesystem / object store. The per-call uuid
+    suffix means two operator invocations sharing a ``checkpoint_path``
+    NEVER clobber each other's staged files (an overwrite of a fixed
+    path would silently corrupt earlier lazily-returned frames that
+    still reference it); retention of the directory is the caller's
+    concern, like any checkpoint location. Otherwise falls back to
+    ``localCheckpoint(eager=eager)``.
     """
     if checkpoint_path is None:
         return df.localCheckpoint(eager=eager)
-    target = f"{checkpoint_path.rstrip('/')}/{name or uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(target)
+    stem = f"{name}_" if name else ""
+    target = f"{checkpoint_path.rstrip('/')}/{stem}{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(target)
     return df.sparkSession.read.parquet(target)

@@ -108,9 +108,19 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
     micro-batches and then idles; ``partitions(start, end)`` splits
     every batch's id range into independent tasks exactly like the
     batch reader — executor-side reads, no driver bottleneck. Offsets
-    are plain dicts, so Spark's checkpoint log can persist/replay them
-    (exactly-once across restarts); ``commit`` would prune a real
-    source's upstream retention and is a no-op for synthetic rows.
+    are plain dicts in Spark's checkpoint log; rows are a pure function
+    of the id range, so a CRASH REPLAY (the engine re-runs the pending
+    batch with its logged offsets) regenerates identical rows —
+    exactly-once for that path. Caveat, stated honestly: pyspark
+    4.1's Python streaming protocol exposes only initialOffset /
+    latestOffset / partitions / commit and never forwards the restored
+    offset to a fresh reader instance, so after a CLEAN restart the
+    in-memory pacing counter restarts at zero; the clamps in
+    ``partitions``/``commit`` fast-forward it as soon as the engine
+    reveals committed progress, but one stale ``latestOffset`` answer
+    before that can plan an overlapping range on an append sink. A
+    real connector stores its high-water mark in its OWN durable state
+    (the upstream system or a sidecar), not in reader memory.
 
     Spark's ``PythonMicroBatchStream`` does not natively implement
     availableNow; the engine's wrapper captures one latestOffset at
@@ -134,6 +144,15 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["id"], end["id"]
+        # restart fast-forward: a fresh reader instance starts its
+        # in-memory counter at 0, so right after a checkpoint restore
+        # the engine's committed start can be AHEAD of latestOffset's
+        # counter. Clamp the counter to the committed offset and emit
+        # an empty batch — the next latestOffset then continues FROM
+        # the checkpoint instead of rewinding and re-delivering rows
+        # (which would break exactly-once on append sinks).
+        if lo > self._current:
+            self._current = lo
         if hi <= lo:
             return []
         step = max(1, -(-(hi - lo) // self.num_partitions))
@@ -146,7 +165,9 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
             yield (i, synth_source(i), synth_text(i), synth_n_tokens(i))
 
     def commit(self, end: dict) -> None:
-        pass
+        # a real source would prune upstream retention here; also keep
+        # the counter monotonic w.r.t. committed progress
+        self._current = max(self._current, end["id"])
 
 
 class SyntheticDocsDataSource(DataSource):

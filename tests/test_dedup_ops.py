@@ -484,7 +484,7 @@ def test_lsh_chain_parquet_staging_identical(docs, spark, tmp_path):
     mem = {(r["id_a"], r["id_b"]) for r in mem_pairs.collect()}
     dur = {(r["id_a"], r["id_b"]) for r in dur_pairs.collect()}
     assert dur == mem and len(dur) > 0
-    assert (tmp_path / "lsh" / "minhash_signatures").exists()
+    assert list((tmp_path / "lsh").glob("minhash_signatures_*"))
 
     mem_cc = {
         (r["id"], r["component"])
@@ -497,7 +497,7 @@ def test_lsh_chain_parquet_staging_identical(docs, spark, tmp_path):
         ).collect()
     }
     assert dur_cc == mem_cc and len(dur_cc) > 0
-    assert (tmp_path / "cc" / "cc_edges").exists()
+    assert list((tmp_path / "cc").glob("cc_edges_*"))
 
 
 def test_hll_sketch_merge_is_lossless(spark):

@@ -100,3 +100,25 @@ def test_resize_shrinks_payloads_deterministically(media_df):
         resize_image_batch(media_df, target_width=64, target_height=64)
     )
     assert feats.count() == 50
+
+
+def test_null_payloads_do_not_kill_tasks(spark):
+    """A failed media fetch (NULL payload) must flow through every
+    stage as null/absent rows, never a task-killing TypeError."""
+    from etl_orders_to_bq_spark.multimodal import resize_image_batch
+
+    rows = [(1, b"payload-one"), (2, None), (3, b"payload-three")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+
+    dec = {r["id"]: r["format"] for r in decode_image_batch(df).collect()}
+    assert dec[2] is None and dec[1] is not None
+
+    feats = {r["id"]: r["feature"] for r in extract_image_features(df).collect()}
+    assert feats[2] is None and len(feats[1]) == 8
+
+    frames = frame_sample_video(df).collect()
+    assert {r["id"] for r in frames} == {1, 3}  # null row dropped
+
+    rs = {r["id"]: r for r in resize_image_batch(df).collect()}
+    assert rs[2]["content"] is None and rs[2]["size_bytes"] is None
+    assert rs[1]["content"] is not None

@@ -213,4 +213,4 @@ def test_corpus_durable_staging_identical(spark, tmp_path):
     mem_rows = {tuple(r[k] for k in key) for r in mem.collect()}
     dur_rows = {tuple(r[k] for k in key) for r in dur.collect()}
     assert dur_rows == mem_rows and len(dur_rows) > 0
-    assert (tmp_path / "stage" / "corpus_exact").exists()
+    assert list((tmp_path / "stage").glob("corpus_exact_*"))
