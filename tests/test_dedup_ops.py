@@ -694,3 +694,37 @@ def test_incremental_dedup_equals_full_recompute(spark):
         r["doc_id"] for r in exact_dedup(all_docs, "text", "doc_id").collect()
     }
     assert incr == full
+
+
+def test_lsh_candidates_superset_of_exact_dups_property(spark):
+    """Property (hypothesis-driven word soup): normalized-exact
+    duplicate pairs MUST always surface as LSH candidates — identical
+    shingle sets give identical signatures, which collide in every
+    band. Near-miss docs may or may not pair (that's the approximate
+    part); exact dups may NEVER be missed."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    )
+    doc = st.lists(words, min_size=4, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=2, max_size=5, unique=True))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        # plant an exact dup of every doc at id+100
+        rows += [(i + 100, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                df, num_hashes=8, bands=4, shingle_len=2
+            ).collect()
+        }
+        for i in range(len(texts)):
+            assert (i, i + 100) in pairs, (i, texts[i], pairs)
+
+    check()
