@@ -3027,6 +3027,38 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "l_event_id", "r_event_id", "r_value")
 
 
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join through the real engine —
+    completes the stream-stream matrix (inner / left-outer /
+    full-outer). Unmatched clicks flush when the watermark passes the
+    end of their 30-min match window; unmatched purchases flush when
+    it passes their own timestamp (no earlier click can still
+    arrive). The oracle states both eviction rules in batch SQL."""
+    from etl_orders_to_bq_spark.streaming.events import correlate_streams
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = correlate_streams(
+        clicks, purchases, key="user_id", within="30 minutes",
+        watermark="10 minutes", how="full_outer",
+    )
+    out = _stream_to_batch(joined, "ssfojoin", "append")
+    return out.select("user_id", "l_event_id", "r_event_id", "r_value")
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source API: a pure-Python partitioned source
     (no JVM connector) feeding a normal Catalyst agg. Every field is a
@@ -3163,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,
         "ivf_search_fixed": q_ivf_search_fixed,
+        "streaming_full_outer_join": q_streaming_full_outer_join,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -5202,6 +5235,36 @@ def oracle_sql() -> dict[str, str]:
                                 and r.ts >= l.ts
                                 and r.ts <= l.ts + interval 30 minute)
               and l.ts + interval 30 minute < wm.w
+        """,
+        "streaming_full_outer_join": """
+            with clicks as (select * from events where event_type = 'click'),
+                 purch  as (select * from events
+                            where event_type = 'purchase'),
+                 wm as (select least((select max(ts) from clicks),
+                                     (select max(ts) from purch))
+                               - interval 10 minute as w)
+            select l.user_id, l.event_id as l_event_id,
+                   r.event_id as r_event_id, r.value as r_value
+            from clicks l join purch r
+              on l.user_id = r.user_id
+             and r.ts >= l.ts
+             and r.ts <= l.ts + interval 30 minute
+            union all
+            select l.user_id, l.event_id, null, null
+            from clicks l, wm
+            where not exists (select 1 from purch r
+                              where r.user_id = l.user_id
+                                and r.ts >= l.ts
+                                and r.ts <= l.ts + interval 30 minute)
+              and l.ts + interval 30 minute < wm.w
+            union all
+            select r.user_id, null, r.event_id, r.value
+            from purch r, wm
+            where not exists (select 1 from clicks l
+                              where l.user_id = r.user_id
+                                and r.ts >= l.ts
+                                and r.ts <= l.ts + interval 30 minute)
+              and r.ts < wm.w
         """,
         "ann_range_search": """
             with t as (select cast(embedding as double[]) as q

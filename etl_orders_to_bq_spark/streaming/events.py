@@ -113,8 +113,11 @@ def correlate_streams(
     ``how="left_outer"`` additionally emits unmatched left events once
     the watermark has passed the end of their match window (state
     eviction time) — attribution with explicit "no conversion" rows.
+    ``how="full_outer"`` also emits unmatched RIGHT events once the
+    watermark passes their timestamp (no earlier left can still
+    arrive) — conversions with no attributable click.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.select(
         F.col(key).alias("l_key"),
@@ -137,7 +140,8 @@ def correlate_streams(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).select(
-        F.col("l_key").alias(key),
+        # full_outer's right-unmatched rows have a null l_key
+        F.coalesce("l_key", "r_key").alias(key),
         "l_event_id",
         "r_event_id",
         "l_ts",
