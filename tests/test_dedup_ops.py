@@ -728,3 +728,28 @@ def test_lsh_candidates_superset_of_exact_dups_property(spark):
             assert (i, i + 100) in pairs, (i, texts[i], pairs)
 
     check()
+
+
+def test_kll_subpercent_quantiles_get_distinct_columns(spark):
+    """p99 and p99.9 must land in distinct columns (q_99 vs q_99_9) —
+    the truncate-to-int naming that collided them is a silent-wrong
+    trap for latency serving."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.sketches import (
+        kll_quantile_rollup,
+        kll_quantiles,
+    )
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = kll_quantiles(
+        kll_quantile_rollup(ev, ["event_type", "day"], "value"),
+        ["event_type"],
+        [0.5, 0.99, 0.999],
+    )
+    assert out.columns == ["event_type", "q_50", "q_99", "q_99_9"]
+    row = out.first()
+    assert row["q_50"] <= row["q_99"] <= row["q_99_9"]
