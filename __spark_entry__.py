@@ -326,6 +326,51 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh CAPSTONE: an arriving batch (odd doc ids)
+    against an existing corpus (even ids) end-to-end — (1) exact
+    incremental dedup vs the corpus fingerprint table, (2) LSH banding
+    vs the corpus band table, (3) n-gram Jaccard verification of only
+    the banded candidates, (4) keep batch docs with no verified corpus
+    near-dup. Only the batch is fingerprinted/signed; corpus text is
+    touched ONLY for docs that banded with a candidate (semi-filtered
+    inside ngram_jaccard_pairs) — the at-scale contract of continuous
+    corpus ingestion."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_lsh_matches,
+        minhash_band_keys,
+        ngram_jaccard_pairs,
+    )
+    from etl_orders_to_bq_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+
+    seen = corpus.select(doc_fingerprint("text").alias("fingerprint")).distinct()
+    exact_surv = incremental_exact_dedup(batch, seen, "text", "doc_id")
+
+    corpus_bands = minhash_band_keys(corpus, num_hashes=4, bands=2)
+    matches = incremental_lsh_matches(
+        exact_surv, corpus_bands, num_hashes=4, bands=2
+    )
+    cands = matches.select(
+        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    docs_all = exact_surv.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    near_dup = (
+        ngram_jaccard_pairs(cands, docs_all, n=3, threshold=0.8)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return exact_surv.join(near_dup, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes over word 3-gram shingles)."""
     from etl_orders_to_bq_spark.operators.dedup import minhash_signature
@@ -3196,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh": q_incremental_lsh,
         "ivf_search_fixed": q_ivf_search_fixed,
         "streaming_full_outer_join": q_streaming_full_outer_join,
+        "incremental_refresh": q_incremental_refresh,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "q20_potential_promotion": q_q20_potential_promotion,
         "q12_late_shipments": q_q12_late_shipments,
@@ -4367,6 +4413,79 @@ def oracle_sql() -> dict[str, str]:
             select distinct n.doc_id as new_id, c.doc_id as corpus_id
             from banded n join banded c on n.bk = c.bk
             where n.doc_id % 2 = 1 and c.doc_id % 2 = 0
+        """,
+        "incremental_refresh": f"""
+            with corpus as (
+              select doc_id, lang, n_chars, text from documents
+              where doc_id % 2 = 0
+            ),
+            new_batch as (
+              select doc_id, lang, n_chars, text from documents
+              where doc_id % 2 = 1
+            ),
+            batch_unique as (
+              select doc_id, lang, n_chars, text, md5({_NORM}) as fp
+              from new_batch
+              where doc_id in (select min(doc_id) from new_batch
+                               group by md5({_NORM}))
+            ),
+            exact_surv as (
+              select b.* from batch_unique b
+              where not exists (select 1 from corpus e
+                                where md5({_NORM.replace("text", "e.text")}) = b.fp)
+            ),
+            sig_n as (
+              select doc_id,
+                     {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                     {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+              from exact_surv
+            ),
+            sig_c as (
+              select doc_id,
+                     {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                     {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+              from corpus
+            ),
+            banded_n as (
+              select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+              from sig_n where mh_0 is not null
+              union all
+              select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+              from sig_n where mh_0 is not null
+            ),
+            banded_c as (
+              select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+              from sig_c where mh_0 is not null
+              union all
+              select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+              from sig_c where mh_0 is not null
+            ),
+            cand as (
+              select distinct n.doc_id as new_id, c.doc_id as corpus_id
+              from banded_n n join banded_c c on n.bk = c.bk
+            ),
+            sh as (
+              select doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)]) as s
+              from (select doc_id, regexp_extract_all({_NORM}, '\\S+') as t
+                    from (select doc_id, text from exact_surv
+                          union all
+                          select doc_id, text from corpus) _) _
+            ),
+            near_dup as (
+              select distinct p.new_id
+              from cand p
+              join sh a on p.new_id = a.doc_id
+              join sh b on p.corpus_id = b.doc_id
+              where round(case when len(list_distinct(list_concat(a.s, b.s))) > 0
+                               then cast(len(list_intersect(a.s, b.s)) as double)
+                                    / len(list_distinct(list_concat(a.s, b.s)))
+                               else 0.0 end, 6) >= 0.8
+            )
+            select doc_id, lang, n_chars from exact_surv s
+            where not exists (select 1 from near_dup d
+                              where d.new_id = s.doc_id)
         """,
         "dedup_minhash_pairs": f"""
             with docs2 as (
