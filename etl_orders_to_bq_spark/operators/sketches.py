@@ -11,16 +11,17 @@ family as native aggregates, so the whole path is JVM-side codegen:
   IDENTICAL register state (and therefore the identical estimate) as a
   single pass over the union — the merge is lossless with a common
   ``lg_k``; per-sketch size is 2^lg_k registers regardless of cardinality.
-- KLL (`kll_sketch_agg_double` / `kll_sketch_merge_double` /
+- KLL (`kll_sketch_agg_double` / grouped n-way `kll_merge_agg_double` /
   `kll_sketch_get_quantile_double`): approximate quantiles with a priori
   rank-error bounds, mergeable the same way (merge order can perturb the
   retained-sample state, unlike HLL's max-register merge).
 - Theta (`theta_sketch_agg` / `theta_sketch_estimate`): distinct-count
   sketches supporting set algebra across sketches.
 
-The estimates are engine-specific (no DuckDB oracle); correctness is
-pinned by the merge-consistency property tests and exact-count
-references (tests/test_dedup_ops.py).
+The estimates are engine-specific, so the registry gates them with
+BOUNDED-ERROR oracles (exact counts/quantile windows computed cross-
+engine, estimate-within-published-error pinned as a boolean) plus the
+merge-consistency property tests (tests/test_dedup_ops.py).
 
 No counterpart in the reference engine (SURVEY.md §2.2 "aggregations"
 absence family — the reference computes nothing approximate;
@@ -93,20 +94,16 @@ def kll_quantiles(
     """Merge KLL sketches to a coarser grouping and read off quantiles
     (one ``q_<pct>`` column per requested quantile).
 
-    Spark exposes KLL merge as a two-sketch scalar (not an aggregate),
-    so the rollup collects each group's sketch binaries and folds them
-    with one in-row ``aggregate`` pass — the collected list is one
-    fixed-size sketch per finer bucket (e.g. per day), KBs each, so the
-    fold is driver-free and bounded."""
+    Uses the native grouped n-way merge AGGREGATE
+    (``kll_merge_agg_double``) — map-side combinable like any Spark
+    aggregate, so at scale each executor folds its local sketches
+    before the shuffle and only one fixed-size binary per (group,
+    mapper) crosses the wire. (The earlier collect_list + in-row fold
+    formulation shipped every finer-bucket sketch to one reducer; the
+    two-sketch scalar ``kll_sketch_merge_double`` remains available for
+    pairwise in-row use.)"""
     merged = rollup.groupBy(*group_cols).agg(
-        F.collect_list(sketch_col).alias("__sketches")
-    ).select(
-        *group_cols,
-        F.aggregate(
-            F.slice("__sketches", 2, F.greatest(F.size("__sketches") - 1, F.lit(0))),
-            F.col("__sketches")[0],
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        ).alias("__kll"),
+        F.kll_merge_agg_double(sketch_col).alias("__kll"),
     )
     def _qname(q: float) -> str:
         # q_50, q_95, q_99_9 — keep the full precision so sub-percent

@@ -2,6 +2,7 @@
 a query, aliases stay aligned, and the snapshot-ordering discipline
 (never-driver-verified entries first) cannot silently regress."""
 
+import glob
 import json
 import os
 
@@ -13,21 +14,24 @@ def test_every_oracle_key_has_a_query():
     assert set(os_) <= set(qs), set(os_) - set(qs)
 
 
-def test_rows_only_queries_are_the_documented_ones():
-    """Queries without an oracle are a deliberate, documented set —
-    growing it silently weakens the correctness gate."""
+def test_no_rows_only_queries_remain():
+    """Every registry entry carries an oracle — the former rows-only
+    trio (sketch_agg, ann_ivf_topk, sketch_rollup_merge) now gates via
+    bounded-error oracles (exact reference columns + within-published-
+    error booleans the oracle pins true). Growing this set back
+    silently weakens the correctness gate."""
     qs, os_ = entry.queries(), entry.oracle_sql()
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {"sketch_agg", "ann_ivf_topk", "sketch_rollup_merge"}
+    assert set(qs) - set(os_) == set()
 
 
 def test_driver_verified_names_remain_registered():
     """CORRECTNESS history only accumulates if past driver-verified
-    query names stay registered under the same name."""
+    query names stay registered under the same name — check every
+    recorded round, not a hardcoded list."""
     qs = set(entry.queries())
     here = os.path.dirname(os.path.abspath(entry.__file__))
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(here, rec)
-        if os.path.exists(path):
-            verified = set(json.load(open(path)))
-            assert verified <= qs, f"{rec}: {verified - qs}"
+    records = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    assert records, "no CORRECTNESS_r*.json found next to __spark_entry__.py"
+    for path in records:
+        verified = set(json.load(open(path)))
+        assert verified <= qs, f"{os.path.basename(path)}: {verified - qs}"
