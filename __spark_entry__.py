@@ -4484,9 +4484,20 @@ def oracle_sql() -> dict[str, str]:
                 union all
                 select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
                 from sig where mh_0 is not null
+            ),
+            -- mirror the engine's corpus-side degenerate-bucket guard
+            -- (incremental_lsh_matches max_bucket=1000): band keys shared
+            -- by more corpus docs than that are dropped before the join
+            -- (bk embeds the band index, so grouping by bk alone matches
+            -- the engine's per-(band, bk) count)
+            ok_bk as (
+                select bk from banded where doc_id % 2 = 0
+                group by bk having count(*) <= 1000
             )
             select distinct n.doc_id as new_id, c.doc_id as corpus_id
-            from banded n join banded c on n.bk = c.bk
+            from banded n
+            join banded c on n.bk = c.bk
+            join ok_bk o on c.bk = o.bk
             where n.doc_id % 2 = 1 and c.doc_id % 2 = 0
         """,
         "incremental_refresh": f"""
@@ -4535,9 +4546,17 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
               from sig_c where mh_0 is not null
             ),
+            -- mirror the engine's corpus-side degenerate-bucket guard
+            -- (incremental_lsh_matches max_bucket=1000)
+            ok_bk as (
+              select bk from banded_c
+              group by bk having count(*) <= 1000
+            ),
             cand as (
               select distinct n.doc_id as new_id, c.doc_id as corpus_id
-              from banded_n n join banded_c c on n.bk = c.bk
+              from banded_n n
+              join banded_c c on n.bk = c.bk
+              join ok_bk o on c.bk = o.bk
             ),
             sh as (
               select doc_id,

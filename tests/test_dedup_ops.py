@@ -646,6 +646,47 @@ def test_incremental_lsh_matches_corpus_band_table(docs, spark):
     assert not any(n == 102 for n, _ in matches)
 
 
+def test_incremental_lsh_max_bucket_guard_drops_hot_corpus_buckets(spark):
+    """Degenerate corpus band buckets (> max_bucket docs sharing a band
+    key — boilerplate) must be dropped BEFORE the join: a batch doc
+    matching such a bucket would otherwise explode into |bucket| pairs.
+    The registry oracles (incremental_lsh / incremental_refresh) mirror
+    this same corpus-side guard, so the two can never silently diverge
+    on a heavy-dup fixture."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_band_keys,
+    )
+
+    boiler = "the same boilerplate footer text repeated on every page"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(6)] + [(50, BASE)],
+        "doc_id long, text string",
+    )
+    corpus_bands = minhash_band_keys(corpus, num_hashes=8, bands=4)
+    batch = spark.createDataFrame(
+        [(100, boiler), (101, BASE)], "doc_id long, text string"
+    )
+
+    guarded = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_lsh_matches(
+            batch, corpus_bands, num_hashes=8, bands=4, max_bucket=5
+        ).collect()
+    }
+    # the 6-doc boilerplate bucket is dropped; the healthy 1-doc bucket joins
+    assert not any(n == 100 for n, _ in guarded)
+    assert (101, 50) in guarded
+
+    unguarded = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_lsh_matches(
+            batch, corpus_bands, num_hashes=8, bands=4, max_bucket=1000
+        ).collect()
+    }
+    assert {(100, i) for i in range(6)} <= unguarded
+
+
 def test_graph_and_incremental_ops_handle_empty_inputs(spark):
     """Empty edge lists / empty seen tables must yield empty/identity
     results, not errors — the first batch of an incremental pipeline
