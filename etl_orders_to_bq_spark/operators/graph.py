@@ -91,8 +91,12 @@ def connected_components(
         # the doubling step references `hopped` on BOTH join sides;
         # without staging, Catalyst executes the hop join twice per
         # round (no CSE across join inputs) — a lazy checkpoint halves
-        # the per-round work (measured ~1.3x faster corpus capstone)
-        hopped = hopped.localCheckpoint(eager=False)
+        # the per-round work (measured ~1.3x faster corpus capstone).
+        # On the durable path this must ALSO go through stage(): a
+        # localCheckpoint here would leave every round's first half
+        # executor-resident, so one lost executor mid-round could still
+        # fail the "durable" run.
+        hopped = stage(hopped, checkpoint_path, f"cc_hopped_r{rnd}", eager=False)
         # pointer-doubling step: label <- label(label). Labels are node
         # ids and every node has a labels row, so a self-join on
         # label = id compresses chains exponentially (the large-star
@@ -152,8 +156,10 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    tol: float | None = None,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list.
+    """PageRank over a directed edge list, fixed-iteration by default.
 
     Returns (id, rank). Update rule per iteration:
 
@@ -164,38 +170,50 @@ def pagerank(
     which keeps the computation a pure join+groupBy and lets an
     unrolled-SQL oracle reproduce it bit-for-bit.
 
+    ``tol`` enables an early exit: stop once max |rank - prev_rank|
+    drops below it (the rank-vector L-inf delta, the analogue of
+    ``connected_components``' ``changed`` flag). The delta check is an
+    action per round, so each round runs as its own job — leave ``tol``
+    unset to keep the one-job lazy schedule when the iteration count is
+    the contract (e.g. oracle parity).
+
+    ``checkpoint_path`` stages the static edge set, node list, and
+    per-round ranks as durable parquet instead of executor-block
+    ``localCheckpoint`` — survives executor loss on a real cluster
+    (see ``staging.stage``), same knob as ``connected_components``.
+
     Scale notes (same discipline as ``connected_components``):
 
     - the edge+outdeg side is static across iterations — materialized
-      ONCE via ``localCheckpoint``, else the producing pipeline
-      re-executes every round;
+      ONCE, else the producing pipeline re-executes every round;
     - each round is one shuffle of |edges| (contribs groupBy dst) plus
       one broadcast-or-shuffle join back to the node list; lineage is
       truncated per round so the plan stays O(1);
     - convergence is geometric in ``damping``; 10 iterations ≈ 1e-1
-      tolerance on adversarial graphs, plenty for ranking order. For a
-      tolerance-based stop, compare successive ranks like the
-      ``changed`` flag in ``connected_components``.
+      tolerance on adversarial graphs, plenty for ranking order.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = stage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        checkpoint_path,
+        "pr_edges",
     )
-    nodes = (
+    nodes = stage(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_path,
+        "pr_nodes",
     )
     n = nodes.count()
-    ed = e.join(
-        e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
-    ).localCheckpoint(eager=True)
+    ed = stage(
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"),
+        checkpoint_path,
+        "pr_outdeg",
+    )
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for rnd in range(iterations):
         contribs = (
             ed.join(ranks, ed.src == ranks.id)
             .select(
@@ -204,20 +222,31 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
-            )
-            # lazy: truncates the LOGICAL plan per round (O(1) planning)
-            # but defers execution, so all rounds run as ONE job at the
-            # final action instead of one job each — measured ~11%
-            # faster at sf0.1. No early-exit reads ranks mid-loop, so
-            # nothing forces eager materialization here.
-            .localCheckpoint(eager=False)
+        new_ranks = nodes.join(contribs, nodes.id == contribs.dst, "left").select(
+            "id",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+            ).alias("rank"),
         )
+        # lazy on the default path: truncates the LOGICAL plan per round
+        # (O(1) planning) but defers execution, so all rounds run as ONE
+        # job at the final action instead of one job each — measured
+        # ~11% faster at sf0.1. The tol path reads each round's ranks
+        # anyway (the delta agg is an action), and the durable path
+        # writes parquet per round by design.
+        new_ranks = stage(
+            new_ranks, checkpoint_path, f"pr_ranks_r{rnd}", eager=False
+        )
+        if tol is not None:
+            prev = ranks.select("id", F.col("rank").alias("__prev"))
+            delta = (
+                new_ranks.join(prev, "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

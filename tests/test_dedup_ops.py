@@ -471,6 +471,48 @@ def test_pagerank_star_orders_hub_first(spark):
     assert ranks[0] > max(ranks[i] for i in range(1, 5))
 
 
+def test_pagerank_durable_staging_and_tol_early_exit(spark, tmp_path):
+    """Durable staging (checkpoint_path=) must produce identical ranks
+    to the in-memory path, and tol= must stop early on a converged
+    graph: a directed ring is at its fixpoint (uniform 1/N) after round
+    one, so the staged-rank round directories prove the loop exited
+    instead of running all 10 iterations."""
+    from etl_orders_to_bq_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    mem = {
+        (r["id"], round(r["rank"], 12))
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    dur_path = tmp_path / "pr"
+    dur = {
+        (r["id"], round(r["rank"], 12))
+        for r in pagerank(
+            edges, iterations=5, checkpoint_path=str(dur_path)
+        ).collect()
+    }
+    assert dur == mem and len(dur) == n
+    assert list(dur_path.glob("pr_edges_*"))
+
+    tol_path = tmp_path / "pr_tol"
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges,
+            iterations=10,
+            tol=1e-9,
+            checkpoint_path=str(tol_path),
+        ).collect()
+    }
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12
+    staged_rounds = list(tol_path.glob("pr_ranks_r*"))
+    assert len(staged_rounds) == 1, staged_rounds
+
+
 def test_lsh_chain_parquet_staging_identical(docs, spark, tmp_path):
     """The durable-staging path (checkpoint_path= -> parquet write+reread
     instead of localCheckpoint) must produce the identical candidate
