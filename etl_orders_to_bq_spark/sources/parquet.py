@@ -30,43 +30,47 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing nano timestamps to micros.
 
-    The nanosAsLong conf is snapshotted and restored around the read so
-    the legacy behavior does not leak session-wide, and the ts column is
-    cast to one canonical TimestampType (session-tz) afterwards: the
-    nanos generation arrives as long -> timestamp_micros (LTZ), while a
-    micros generation (isAdjustedToUTC=false) would infer TimestampNTZ
-    under Spark 4 — without the cast the two fixture generations yield
-    different schemas for schema-sensitive consumers (dtype assertions,
-    LTZ-vs-NTZ sink type mappings)."""
+    The nanosAsLong conf is snapshotted and ALWAYS restored around the
+    read so the legacy behavior never leaks session-wide, and the ts
+    column is cast to one canonical TimestampType (session-tz)
+    afterwards: the nanos generation arrives as long ->
+    timestamp_micros (LTZ), while a micros generation
+    (isAdjustedToUTC=false) would infer TimestampNTZ under Spark 4 —
+    without the cast the two fixture generations yield different
+    schemas for schema-sensitive consumers (dtype assertions,
+    LTZ-vs-NTZ sink type mappings). A genuine nanos file's normalized
+    frame is eagerly staged (localCheckpoint) before the conf is
+    restored — the lazy scan re-reads the conf at execution time, so
+    without materialization the frame would fail with "Illegal Parquet
+    type: INT64 (NANOS)" after restore, and keeping the conf set
+    instead would make later unrelated reads on the shared session
+    order-dependent (an INT64(NANOS) column elsewhere silently arriving
+    as long)."""
     nano_cols = NANO_TS_COLUMNS.get(name, [])
     if not nano_cols:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
-    needs_legacy = False
     try:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        needs_legacy = False
         for c in nano_cols:
             if isinstance(df.schema[c].dataType, LongType):
-                # a real nanos file: the scan re-reads this conf when the
-                # physical plan executes (lazily), so it must STAY set for
-                # this frame to remain executable — leak documented below
                 needs_legacy = True
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
             df = df.withColumn(c, F.col(c).cast(TimestampType()))
+        if needs_legacy:
+            # materialize while the conf is still set; the returned
+            # frame then no longer depends on it. Fixture tables are
+            # the only place the legacy conf is ever needed, so the
+            # executor-memory cost is bounded and local.
+            df = df.localCheckpoint(eager=True)
     finally:
-        # micros-generation fixtures (the common case) never used the
-        # legacy behavior — restore the conf so it does not leak into
-        # later parquet reads on the shared session. For a nanos
-        # generation the conf intentionally stays set: Spark captures it
-        # at execution time, and unsetting it would make the returned
-        # (lazy) frame fail with "Illegal Parquet type: INT64 (NANOS)".
-        if not needs_legacy:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return df
 
 

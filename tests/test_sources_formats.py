@@ -11,6 +11,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from etl_orders_to_bq_spark.sources import (
@@ -90,6 +91,52 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None  # pre-evolution rows null-fill
     assert rows[3]["score"] == 9.5
+
+
+def test_nanos_parquet_read_restores_conf_and_normalizes(spark, tmp_path):
+    """Reading a genuine TIMESTAMP(NANOS) fixture must (1) hand back a
+    usable frame with the ts column normalized to session-tz
+    TimestampType, and (2) leave NO trace of the nanosAsLong legacy
+    conf on the shared session — a leaked conf makes later unrelated
+    parquet reads order-dependent (an INT64(NANOS) column elsewhere
+    silently arriving as long instead of erroring)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_orders_to_bq_spark.sources.parquet import read_table
+
+    sf_dir = str(tmp_path)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [1700000000_000000001, 1700000360_000000002, 1700000720_500000003],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    # version 2.6 keeps INT64(NANOS) instead of coercing to micros
+    pq.write_table(table, f"{sf_dir}/events.parquet", version="2.6")
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    df = read_table(spark, sf_dir, "events")
+    assert spark.conf.get(conf_key, None) == prev, "legacy conf leaked"
+
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 3
+    # nanos truncate toward micros (matching DuckDB's read behavior)
+    assert rows[2]["ts"].microsecond == 500000
+    # the frame must stay executable on a fresh action after restore
+    assert df.filter(F.col("event_id") > 1).count() == 2
+
+    # and a subsequent read of a DIFFERENT nanos file without the
+    # normalizing reader must fail loudly (no silent long column)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)parquet|nanos|INT64"):
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect()
 
 
 def test_bigquery_mode_and_option_mapping(spark, monkeypatch):
