@@ -15,6 +15,8 @@ Conventions (so the driver's sorted-column value-hash matches):
 
 from __future__ import annotations
 
+import atexit
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -28,6 +30,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from etl_orders_to_bq_spark.sources.parquet import read_table
 
     return read_table(spark, sf_dir, name)
+
+
+def _spread_if_underpartitioned(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer splits than cores.
+
+    Single-file local fixtures arrive as one input split, which would
+    serialize CPU-heavy projections (shingling, simhash votes) onto one
+    core; at real scale the input has many splits and an unconditional
+    repartition would be a gratuitous full shuffle of the corpus — so
+    the exchange is gated on the actual split count and the registry
+    plan is the plan you'd ship."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -375,11 +392,7 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes over word 3-gram shingles)."""
     from etl_orders_to_bq_spark.operators.dedup import minhash_signature
 
-    d = _t(spark, sf_dir, "documents")
-    # single-file fixture arrives as 1 input split; shingling is the
-    # CPU-heavy step, so spread it across cores (at real scale the input
-    # has many splits and this exchange is unnecessary)
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
     return minhash_signature(d, "text", num_hashes=4, shingle_len=3).select(
         "doc_id", "mh_0", "mh_1", "mh_2", "mh_3"
     )
@@ -705,8 +718,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) per document."""
     from etl_orders_to_bq_spark.operators.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
     return simhash(d, "text", bits=16).select("doc_id", "simhash")
 
 
@@ -1784,6 +1796,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_STAGE_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_dedup_stage_dirs() -> None:
+    import shutil
+
+    for d in _DEDUP_STAGE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_dedup_clusters_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q_dedup_clusters pipeline run through the DURABLE staging
     path: signatures and per-round CC labels are parquet write+reread
@@ -1791,22 +1814,18 @@ def q_dedup_clusters_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fault-tolerant shape a real cluster needs (losing one executor
     mid-query invalidates localCheckpoint blocks). Same oracle, same
     clusters: proves the staging strategy is semantics-neutral."""
-    import os
-    import shutil
     import tempfile
 
     from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
     from etl_orders_to_bq_spark.operators.graph import connected_components
 
-    # one staging root per process, cleared on re-entry: repeated gate
-    # or bench invocations reclaim the previous run's staged parquet
-    # instead of accumulating mkdtemp dirs (any prior invocation's
-    # frame has been fully consumed before the next query runs)
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), f"dedup_stage_{os.getpid()}"
-    )
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    os.makedirs(stage_dir, exist_ok=True)
+    # a fresh mkdtemp per invocation: clearing a shared per-pid dir at
+    # construction time would delete parquet files a still-live frame
+    # from an EARLIER invocation references (safe only under strict
+    # build-then-consume sequencing). All dirs from this process are
+    # reclaimed at exit instead.
+    stage_dir = tempfile.mkdtemp(prefix="dedup_stage_")
+    _DEDUP_STAGE_DIRS.append(stage_dir)
     d = _docs_with_planted_dups(spark, sf_dir)
     pairs = minhash_lsh_candidates(
         d, text_col="text", id_col="doc_id", num_hashes=4, bands=2,

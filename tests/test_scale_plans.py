@@ -392,6 +392,28 @@ def test_minhash_banding_plan_shape(spark):
     assert n_exchanges <= 2, plan
 
 
+def test_spread_helper_skips_shuffle_on_multisplit_input(spark, tmp_path):
+    """The registry's CPU-spread repartition before shingling must be
+    CONDITIONAL: a single-split local fixture gets spread across cores,
+    but input that already has >= defaultParallelism splits (the 100 TB
+    case) must NOT pay a gratuitous full shuffle of the corpus."""
+    from __spark_entry__ import _spread_if_underpartitioned
+
+    docs = read_table(spark, SF, "documents")
+    target = spark.sparkContext.defaultParallelism
+
+    single = docs.coalesce(1)
+    spread = _spread_if_underpartitioned(spark, single)
+    assert spread.rdd.getNumPartitions() == target
+
+    multi_path = str(tmp_path / "multisplit")
+    docs.repartition(target).write.parquet(multi_path)
+    multi = spark.read.parquet(multi_path)
+    assert multi.rdd.getNumPartitions() >= target
+    passthrough = _spread_if_underpartitioned(spark, multi)
+    assert passthrough is multi  # no exchange inserted at all
+
+
 def test_pack_sequences_partitioned_window(spark):
     """Packing must never serialize on a global window: the running-sum
     window carries the bucket partition key."""
