@@ -142,6 +142,74 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         stress[f"dedup_minhash_lsh_128x16_{fn}"] = round(best, 3)
 
+    # skew stress: one hot key carrying 90% of sf0.1 lineitem, so the
+    # SCALING.md skew-mitigation claims are tracked numbers, not prose.
+    # Three join configs isolate each mitigation: the naive plan (AQE
+    # skew split off), manual salting (operators/skew.py) under the
+    # same handicap, and AQE's automatic skew-join split. Broadcast is
+    # disabled throughout — a broadcastable dim would dodge the skew
+    # entirely, and the helpers exist for the broadcast-INELIGIBLE
+    # case. The agg pair documents that map-side partial aggregation
+    # already absorbs algebraic hot-key aggs (salting is for the
+    # non-combinable shapes).
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.skew import salted_agg, salted_left_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    skewed = li.withColumn(
+        "k",
+        F.when(F.rand(seed=7) < 0.9, F.lit(0).cast("long")).otherwise(
+            (F.rand(seed=11) * 1000).cast("long")
+        ),
+    ).localCheckpoint(eager=True)
+    dim = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+        .localCheckpoint(eager=True)
+    )
+
+    def timed_best2(build) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(build())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        stress["skew_join_hotkey_naive"] = timed_best2(
+            lambda: skewed.join(dim, "k", "left")
+        )
+        stress["skew_join_hotkey_salted"] = timed_best2(
+            lambda: salted_left_join(skewed, dim, "k", buckets=16)
+        )
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        stress["skew_join_hotkey_aqe_split"] = timed_best2(
+            lambda: skewed.join(dim, "k", "left")
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    stress["skew_agg_hotkey_direct"] = timed_best2(
+        lambda: skewed.groupBy("k").agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.count("l_orderkey").alias("n"),
+        )
+    )
+    stress["skew_agg_hotkey_salted"] = timed_best2(
+        lambda: salted_agg(
+            skewed, ["k"], {"l_extendedprice": "sum", "l_orderkey": "count"}
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
