@@ -19,7 +19,7 @@ import atexit
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -3263,6 +3263,107 @@ def q_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile serving from persisted KLL sketches: per-
+    (type, day) KLL(k=200) sketches merged per type with the native
+    grouped n-way merge aggregate (kll_merge_agg_double), then p50/p95
+    read off the merged sketch — the persist-once, answer-any-rollup
+    quantile pattern. BOUNDED-ERROR oracle: each quantile must land
+    inside the exact value window at rank +/- 3% (3x the ~1.65%
+    a-priori rank error of k=200), pinned true by the oracle alongside
+    cross-engine-exact group counts."""
+    from etl_orders_to_bq_spark.operators.sketches import (
+        kll_quantile_rollup,
+        kll_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = kll_quantile_rollup(ev, ["event_type", "day"], "value", k=200)
+    merged = kll_quantiles(fine, ["event_type"], [0.5, 0.95])
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(value, 0.47D)").alias("__p47"),
+        F.expr("percentile(value, 0.53D)").alias("__p53"),
+        F.expr("percentile(value, 0.92D)").alias("__p92"),
+        F.expr("percentile(value, 0.98D)").alias("__p98"),
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("q_50") >= F.col("__p47"))
+                & (F.col("q_50") <= F.col("__p53"))
+            ).alias("kll_p50_within_bound"),
+            (
+                (F.col("q_95") >= F.col("__p92"))
+                & (F.col("q_95") <= F.col("__p98"))
+            ).alias("kll_p95_within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — the sketch family whose ENTIRE point
+    is cross-sketch set operations: distinct click users union/
+    intersect/minus distinct purchase users, each answered from two
+    persisted sketch binaries instead of re-scanning events. BOUNDED-
+    ERROR oracle: the exact cardinalities are computed cross-engine
+    (one flags groupBy per user), and each theta estimate must land
+    within 5% of its exact counterpart (below ~4k retained entries the
+    sketch is in exact mode, so locally the estimates are exact; the
+    bound is the contract that survives estimation mode at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("s_click"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("s_purch"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(
+            F.theta_union("s_click", "s_purch")
+        ).alias("__e_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("s_click", "s_purch")
+        ).alias("__e_int"),
+        F.theta_sketch_estimate(
+            F.theta_difference("s_click", "s_purch")
+        ).alias("__e_diff"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    exact = flags.agg(
+        F.count(F.when(F.col("c") + F.col("p") > 0, 1)).alias("exact_union"),
+        F.count(
+            F.when((F.col("c") == 1) & (F.col("p") == 1), 1)
+        ).alias("exact_int"),
+        F.count(
+            F.when((F.col("c") == 1) & (F.col("p") == 0), 1)
+        ).alias("exact_diff"),
+    )
+
+    def _within(est_col: str, exact_col: str) -> Column:
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= F.greatest(
+            F.col(exact_col) * 0.05, F.lit(1.0)
+        )
+
+    return est.crossJoin(exact).select(
+        "exact_union",
+        "exact_int",
+        "exact_diff",
+        _within("__e_union", "exact_union").alias("theta_union_within_bound"),
+        _within("__e_int", "exact_int").alias("theta_int_within_bound"),
+        _within("__e_diff", "exact_diff").alias("theta_diff_within_bound"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: word-level duplicate
     fraction and most-frequent-bigram fraction, the standard degenerate-
@@ -3362,6 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_agg": q_sketch_agg,
         "ann_ivf_topk": q_ann_ivf_topk,
         "sketch_rollup_merge": q_sketch_rollup_merge,
+        # -- new in round 4 --
+        "kll_quantile_groups": q_kll_quantile_groups,
+        "theta_set_ops": q_theta_set_ops,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5432,6 +5536,31 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "kll_quantile_groups": """
+            select event_type,
+                   count(*) as n,
+                   true as kll_p50_within_bound,
+                   true as kll_p95_within_bound
+            from events
+            group by event_type
+            order by event_type
+        """,
+        "theta_set_ops": """
+            with flags as (
+              select user_id,
+                     max(case when event_type = 'click' then 1 else 0 end) as c,
+                     max(case when event_type = 'purchase' then 1 else 0 end) as p
+              from events
+              group by user_id
+            )
+            select count(case when c + p > 0 then 1 end) as exact_union,
+                   count(case when c = 1 and p = 1 then 1 end) as exact_int,
+                   count(case when c = 1 and p = 0 then 1 end) as exact_diff,
+                   true as theta_union_within_bound,
+                   true as theta_int_within_bound,
+                   true as theta_diff_within_bound
+            from flags
         """,
         "regression_agg": """
             select l_returnflag,
