@@ -2866,19 +2866,24 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-spend decile report: ntile(10) over total spend, then
-    per-decile aggregates. The global ntile needs a total order (one
-    partition for the window) — fine on the pre-aggregated per-customer
-    frame (1 row per customer); at 100 TB swap the window for
-    approx-percentile bin edges and a range bucket join."""
+    """Customer-spend decile report with EXACT ntile(10) semantics but
+    NO single-partition window: operators/ranking.py's scalable_ntile
+    (repartitionByRange + per-partition row_number + broadcast prefix
+    offsets) — every stage partition-parallel, bit-for-bit equal to the
+    window ntile the oracle computes. The pre-aggregated frame is one
+    row per customer, so the old global window was survivable locally,
+    but at 100 TB customers this is the shape that actually scales."""
+    from etl_orders_to_bq_spark.operators.ranking import scalable_ntile
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiled = scalable_ntile(
+        spend, [F.desc("spend"), F.asc("o_custkey")], 10, out_col="decile"
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count("*").alias("n_cust"),
             F.round(F.sum("spend"), 2).alias("total_spend"),

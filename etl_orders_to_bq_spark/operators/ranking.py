@@ -1,0 +1,109 @@
+"""Global ranking without a single-partition window.
+
+``Window.orderBy(...)`` with no partition key moves EVERY row to one
+task — the classic scale cliff for global row_number / ntile / rank
+(Spark even logs "No Partition Defined for Window operation"). But an
+exact global total order does not need a global window:
+
+1. ``repartitionByRange`` on the order columns — each partition holds a
+   contiguous, disjoint key range, partitions ordered by partition id;
+2. a per-partition ``row_number`` window (partitioned by
+   ``spark_partition_id()`` — parallel, no single-task bottleneck);
+3. per-partition counts (one tiny agg, ≤ num_partitions rows to the
+   driver — same bounded-collect contract as IVF centroid ranking)
+   prefix-summed into offsets and broadcast back as a map literal.
+
+global_rn = offset[pid] + local_rn. Exact, deterministic for a total
+order (pass enough columns to break ties), and every stage is
+partition-parallel: the cost is one range shuffle + one hash shuffle
+of (pid)-partitioned windows instead of one all-rows-to-one-task sort.
+
+The ranged frame is eagerly staged before the counts action: range
+boundaries come from sampling, so the offsets MUST be computed from
+the same materialized partitioning the row numbers use — recomputing
+the shuffle between the two actions could legally resample different
+boundaries.
+
+No counterpart in the reference engine (SURVEY.md §2.2 "sorts/limits"
+absence family — the reference never ranks; pandas would do this as a
+single-process argsort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    num_partitions: int | None = None,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Append exact 1-based global row numbers under the total order
+    given by ``order_cols`` (Column expressions or names; include a
+    unique tie-break column — equal keys across a range boundary would
+    otherwise make the numbering partition-dependent)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:  # empty input: no map literal to build
+        return ranged.drop("__pid").withColumn(
+            out_col, F.lit(None).cast("long")
+        )
+    off_expr = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn("__local_rn", F.row_number().over(w))
+        .withColumn(
+            out_col,
+            (off_expr[F.col("__pid")] + F.col("__local_rn")).cast("long"),
+        )
+        .drop("__pid", "__local_rn")
+    )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    num_partitions: int | None = None,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact ``ntile(n)`` semantics without a global window.
+
+    Reproduces Spark/SQL ntile bit-for-bit: with total rows T,
+    q = T // n and r = T %% n, the first r buckets hold q+1 rows and
+    the rest hold q. Built on ``global_row_number``, so every stage is
+    partition-parallel; the oracle-parity gate (`decile_report`)
+    verifies equality with the window ntile."""
+    ranked = global_row_number(df, order_cols, num_partitions, out_col="__rn")
+    total = ranked.count()
+    q, r = divmod(total, n_buckets)
+    rn = F.col("__rn")
+    if q == 0:
+        # fewer rows than buckets: row i goes to bucket i
+        bucket = rn
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            rn <= head, F.floor((rn - 1) / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rn - 1 - head) / q) + 1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__rn")

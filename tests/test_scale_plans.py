@@ -392,6 +392,53 @@ def test_minhash_banding_plan_shape(spark):
     assert n_exchanges <= 2, plan
 
 
+def test_global_ranking_without_single_partition_window(spark):
+    """global_row_number / scalable_ntile must equal the global-window
+    formulation row for row while keeping every stage partition-
+    parallel (no Exchange SinglePartition feeding a Window)."""
+    from pyspark.sql import Window
+
+    from etl_orders_to_bq_spark.operators.ranking import (
+        global_row_number,
+        scalable_ntile,
+    )
+
+    o = read_table(spark, SF, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    order = [F.desc("spend"), F.asc("o_custkey")]
+
+    w = Window.orderBy(*order)
+    expected = {
+        (r["o_custkey"], r["rn"], r["nt"])
+        for r in spend.select(
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(7).over(w).alias("nt"),
+        ).collect()
+    }
+    ranked = global_row_number(spend, order, out_col="rn")
+    tiled = scalable_ntile(spend, order, 7, out_col="nt")
+    got = {
+        (r["o_custkey"], r["rn"], r["nt"])
+        for r in ranked.join(tiled.select("o_custkey", "nt"), "o_custkey")
+        .select("o_custkey", "rn", "nt")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+    plan = _plan(ranked)
+    import re
+
+    # no single-partition exchange directly feeding the Window
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan), plan
+
+    # empty input must not blow up
+    empty = spend.filter(F.lit(False))
+    assert global_row_number(empty, order).count() == 0
+
+
 def test_spread_helper_skips_shuffle_on_multisplit_input(spark, tmp_path):
     """The registry's CPU-spread repartition before shingling must be
     CONDITIONAL: a single-split local fixture gets spread across cores,
