@@ -908,6 +908,53 @@ def q_streaming_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(counts, "swindow", "append")
 
 
+def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality serving: watermarked tumbling windows with
+    approx_count_distinct (HLL++) INSIDE the streaming aggregation —
+    per-window sketch state merges incrementally across micro-batches,
+    the way a 100 TB/day pipeline answers distinct-users-per-hour
+    without keeping user sets in state. Append mode emits only
+    watermark-finalized windows. BOUNDED-ERROR oracle (same contract
+    as sketch_agg): the query joins each emitted window back to the
+    exact batch distinct count and reduces the HLL accuracy contract
+    to a boolean; the oracle recomputes exact counts for the same
+    finalized-window filter and pins the boolean true."""
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.016).alias("__approx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("w_start"), "__approx", "n_events")
+    )
+    out = _stream_to_batch(agg, "shll", "append")
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.col("w.start").alias("w_start"), "exact_users")
+    )
+    return (
+        out.join(exact, "w_start")
+        .select(
+            "w_start",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+            ).alias("hll_within_bound"),
+        )
+        .orderBy("w_start")
+    )
+
+
 def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once checkpointed parquet sink: drain the event stream
     into files (availableNow), read the committed output back — must
@@ -3471,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "kll_quantile_groups": q_kll_quantile_groups,
         "theta_set_ops": q_theta_set_ops,
+        "streaming_approx_distinct": q_streaming_approx_distinct,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5541,6 +5589,18 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "streaming_approx_distinct": """
+            with m as (select max(ts) as mx from events)
+            select ws as w_start,
+                   count(distinct user_id) as exact_users,
+                   count(*) as n_events,
+                   true as hll_within_bound
+            from (select time_bucket(interval 1 hour, ts) as ws, user_id
+                  from events), m
+            where ws + interval 1 hour <= mx - interval 10 minute
+            group by ws
+            order by ws
         """,
         "kll_quantile_groups": """
             select event_type,
