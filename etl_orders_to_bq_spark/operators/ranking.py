@@ -34,24 +34,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def global_row_number(
     df: DataFrame,
     order_cols: list,
     num_partitions: int | None = None,
     out_col: str = "rn",
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Append exact 1-based global row numbers under the total order
     given by ``order_cols`` (Column expressions or names; include a
     unique tie-break column — equal keys across a range boundary would
-    otherwise make the numbering partition-dependent)."""
+    otherwise make the numbering partition-dependent).
+
+    ``checkpoint_path`` stages the ranged frame as durable parquet
+    (``staging.stage``) instead of executor-block localCheckpoint —
+    same fault-tolerance knob as the iterative graph operators."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = stage(
+        df.repartitionByRange(n, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        checkpoint_path,
+        "ranked_input",
     )
     counts = {
         r["__pid"]: r["cnt"]
@@ -86,6 +95,7 @@ def scalable_ntile(
     n_buckets: int,
     num_partitions: int | None = None,
     out_col: str = "ntile",
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n)`` semantics without a global window.
 
@@ -94,7 +104,10 @@ def scalable_ntile(
     the rest hold q. Built on ``global_row_number``, so every stage is
     partition-parallel; the oracle-parity gate (`decile_report`)
     verifies equality with the window ntile."""
-    ranked = global_row_number(df, order_cols, num_partitions, out_col="__rn")
+    ranked = global_row_number(
+        df, order_cols, num_partitions, out_col="__rn",
+        checkpoint_path=checkpoint_path,
+    )
     total = ranked.count()
     q, r = divmod(total, n_buckets)
     rn = F.col("__rn")

@@ -439,6 +439,31 @@ def test_global_ranking_without_single_partition_window(spark):
     assert global_row_number(empty, order).count() == 0
 
 
+def test_global_ranking_durable_staging_identical(spark, tmp_path):
+    """The checkpoint_path durable path must number rows identically to
+    the in-memory path (the __pid column is materialized data, so the
+    parquet roundtrip preserves offset consistency)."""
+    from etl_orders_to_bq_spark.operators.ranking import global_row_number
+
+    o = read_table(spark, SF, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    order = [F.desc("spend"), F.asc("o_custkey")]
+    mem = {
+        (r["o_custkey"], r["rn"])
+        for r in global_row_number(spend, order).collect()
+    }
+    dur = {
+        (r["o_custkey"], r["rn"])
+        for r in global_row_number(
+            spend, order, checkpoint_path=str(tmp_path / "rank")
+        ).collect()
+    }
+    assert dur == mem and len(dur) > 0
+    assert list((tmp_path / "rank").glob("ranked_input_*"))
+
+
 def test_spread_helper_skips_shuffle_on_multisplit_input(spark, tmp_path):
     """The registry's CPU-spread repartition before shingling must be
     CONDITIONAL: a single-split local fixture gets spread across cores,
