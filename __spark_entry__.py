@@ -955,6 +955,41 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Karp-style misra-gries via
+    DataFrame.stat.freqItems) on a synthetically skewed route column
+    (70% one hot value + a 997-value tail). The sketch's published
+    contract is NO FALSE NEGATIVES: every item with true frequency >
+    support*n must appear (false positives allowed). BOUNDED-ERROR
+    gate in that shape: the query computes the EXACT heavy hitters
+    (cross-engine comparable) and flags each as found-by-sketch; the
+    oracle recomputes the exact set and pins the flag true, so a
+    sketch that drops a real heavy hitter fails the value hash."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "route",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit("hot")).otherwise(
+            F.concat(F.lit("t"), (F.col("l_orderkey") % 997).cast("string"))
+        ),
+    )
+    support = 0.5
+    # freqItems returns ONE row holding a small array (≤ 1/support
+    # items) — a bounded driver-side read like IVF centroid ranking
+    sketch_items = list(
+        li.stat.freqItems(["route"], support).first()["route_freqItems"]
+    )
+    n_total = li.count()
+    exact_hh = (
+        li.groupBy("route")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > n_total * support)
+    )
+    return exact_hh.select(
+        "route",
+        "cnt",
+        F.col("route").isin(sketch_items).alias("found_by_sketch"),
+    ).orderBy("route")
+
+
 def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once checkpointed parquet sink: drain the event stream
     into files (availableNow), read the committed output back — must
@@ -3519,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_groups": q_kll_quantile_groups,
         "theta_set_ops": q_theta_set_ops,
         "streaming_approx_distinct": q_streaming_approx_distinct,
+        "heavy_hitters": q_heavy_hitters,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5589,6 +5625,22 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "heavy_hitters": """
+            with d as (
+              select case when l_orderkey % 10 < 7 then 'hot'
+                          else 't' || cast(l_orderkey % 997 as varchar)
+                     end as route
+              from lineitem
+            ),
+            n as (select count(*) as total from d)
+            select route,
+                   count(*) as cnt,
+                   true as found_by_sketch
+            from d, n
+            group by route, total
+            having count(*) > total * 0.5
+            order by route
         """,
         "streaming_approx_distinct": """
             with m as (select max(ts) as mx from events)
