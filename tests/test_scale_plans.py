@@ -439,6 +439,56 @@ def test_global_ranking_without_single_partition_window(spark):
     assert global_row_number(empty, order).count() == 0
 
 
+def test_global_ranking_property_matches_window(spark):
+    """Property (hypothesis-driven): for arbitrary value lists and
+    partition counts — including heavy ties, single rows, and more
+    partitions than rows — global_row_number and scalable_ntile must
+    equal the global-window formulation exactly (ties broken by the
+    unique id column both paths order on)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from etl_orders_to_bq_spark.operators.ranking import (
+        global_row_number,
+        scalable_ntile,
+    )
+
+    vals = st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(vals, st.integers(min_value=1, max_value=8),
+           st.integers(min_value=1, max_value=6))
+    def check(values, n_parts, n_buckets):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id long, v long"
+        )
+        order = [F.desc("v"), F.asc("id")]
+        w = Window.orderBy(*order)
+        expected = {
+            (r["id"], r["rn"], r["nt"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(n_buckets).over(w).alias("nt"),
+            ).collect()
+        }
+        ranked = global_row_number(df, order, num_partitions=n_parts)
+        tiled = scalable_ntile(
+            df, order, n_buckets, num_partitions=n_parts, out_col="nt"
+        )
+        got = {
+            (r["id"], r["rn"], r["nt"])
+            for r in ranked.join(tiled.select("id", "nt"), "id").collect()
+        }
+        assert got == expected, (values, n_parts, n_buckets)
+
+    check()
+
+
 def test_global_ranking_durable_staging_identical(spark, tmp_path):
     """The checkpoint_path durable path must number rows identically to
     the in-memory path (the __pid column is materialized data, so the
