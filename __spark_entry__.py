@@ -955,6 +955,37 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by token budget (operators/mix.py): every source
+    keeps a deterministic md5-ordered sample until its per-source token
+    budget fills — budgets vary by source (500..1500 tokens, derived
+    from the source index) so the per-source budget path is exercised.
+    "Fill until full": the doc crossing the budget line is included.
+    One window shuffle on the source key; the oracle replays the same
+    running-sum arithmetic."""
+    from etl_orders_to_bq_spark.functions.text import token_count
+    from etl_orders_to_bq_spark.operators.mix import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    budget = (
+        F.lit(500)
+        + (F.substring("source", 4, 10).cast("int") % 5) * 250
+    ).cast("long")
+    kept = token_budget_mix(
+        d,
+        "source",
+        "n_tokens",
+        budget,
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.asc("doc_id")],
+        cum_col="cum_before",
+    )
+    return kept.select(
+        "source", "doc_id", "n_tokens", "cum_before"
+    ).orderBy("source", "doc_id")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch (Karp-style misra-gries via
     DataFrame.stat.freqItems) on a synthetically skewed route column
@@ -3555,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_set_ops": q_theta_set_ops,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "heavy_hitters": q_heavy_hitters,
+        "token_budget_mix": q_token_budget_mix,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5625,6 +5657,28 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "token_budget_mix": f"""
+            with t as (
+              select doc_id, source,
+                     len({_TOKENS}) as n_tokens,
+                     md5(cast(doc_id as varchar)) as h
+              from documents
+            ),
+            c as (
+              select doc_id, source, n_tokens,
+                     cast(coalesce(sum(n_tokens) over (
+                       partition by source order by h, doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as bigint) as cum_before,
+                     500 + (cast(substr(source, 4) as int) % 5) * 250
+                       as budget
+              from t
+            )
+            select source, doc_id, n_tokens, cum_before
+            from c
+            where cum_before < budget
+            order by source, doc_id
         """,
         "heavy_hitters": """
             with d as (

@@ -443,6 +443,42 @@ def test_pack_sequences_layout(spark):
     assert len(starts) == n_buckets
 
 
+def test_token_budget_mix_fill_until_full(spark):
+    """Per-source budgets fill in the given order, the row crossing the
+    budget line is kept ("fill until full"), later rows are dropped,
+    and a Column budget applies per source."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.mix import token_budget_mix
+
+    rows = [
+        # source a: tokens 40, 40, 40 in id order — budget 100 keeps
+        # ids 1, 2 (cum_before 0, 40), and 3 (cum_before 80 < 100);
+        # id 4 (cum_before 120) is dropped
+        ("a", 1, 40), ("a", 2, 40), ("a", 3, 40), ("a", 4, 40),
+        # source b: budget 50 keeps only id 10 (cum_before 0) and
+        # id 11 (cum_before 45 < 50); id 12 at 90 is dropped
+        ("b", 10, 45), ("b", 11, 45), ("b", 12, 45),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, toks long")
+    budget = F.when(F.col("source") == "a", 100).otherwise(50).cast("long")
+    kept = token_budget_mix(
+        df, "source", "toks", budget, [F.asc("doc_id")], cum_col="cum"
+    )
+    got = {(r["source"], r["doc_id"], r["cum"]) for r in kept.collect()}
+    assert got == {
+        ("a", 1, 0), ("a", 2, 40), ("a", 3, 80),
+        ("b", 10, 0), ("b", 11, 45),
+    }
+
+    # uniform int budget + determinism across repartitioning
+    k1 = {r["doc_id"] for r in token_budget_mix(
+        df, "source", "toks", 90, [F.asc("doc_id")]).collect()}
+    k2 = {r["doc_id"] for r in token_budget_mix(
+        df.repartition(7), "source", "toks", 90, [F.asc("doc_id")]).collect()}
+    assert k1 == k2 == {1, 2, 3, 10, 11}
+
+
 def test_pagerank_ring_uniform(spark):
     """A directed ring has uniform PageRank 1/N at any iteration count."""
     from etl_orders_to_bq_spark.operators.graph import pagerank
