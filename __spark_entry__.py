@@ -955,6 +955,18 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter shape (operators/lm.py): every document scored
+    by avg log10 unigram probability under the corpus's own token
+    distribution — explode, one word-count shuffle, token-key join,
+    per-doc aggregate, total kept lazy. The oracle replays the same
+    counts and log average in SQL."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d).orderBy("doc_id")
+
+
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing by token budget (operators/mix.py): every source
     keeps a deterministic md5-ordered sample until its per-source token
@@ -3587,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "heavy_hitters": q_heavy_hitters,
         "token_budget_mix": q_token_budget_mix,
+        "unigram_logprob": q_unigram_logprob,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5657,6 +5670,21 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "unigram_logprob": f"""
+            with tok as (
+              select doc_id,
+                     unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+              from documents
+            ),
+            v as (select w, count(*) as c from tok group by w),
+            n as (select count(*) as total from tok)
+            select doc_id,
+                   round(avg(log10(c::double / total)), 6)
+                     as unigram_logprob
+            from tok join v using (w), n
+            group by doc_id
+            order by doc_id
         """,
         "token_budget_mix": f"""
             with t as (

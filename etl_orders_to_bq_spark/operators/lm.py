@@ -1,0 +1,63 @@
+"""Self-trained unigram LM scoring — the "perplexity filter" shape of
+training-data curation: score every document by the average log
+probability of its tokens under a language model fit on the corpus
+itself, then drop the tail (gibberish, boilerplate explosions, wrong-
+language residue score low; typical prose scores high).
+
+Production pipelines use a pretrained KenLM; that binary dependency is
+out of scope here, but the DATA FLOW is identical and that is the part
+Spark owns:
+
+1. explode normalized tokens — a projection, rows = corpus token count;
+2. vocabulary counts — ONE groupBy(token) shuffle with map-side
+   combine (the classic word-count);
+3. join tokens back to their counts — a shuffle join co-partitioned on
+   the token key (the vocabulary is Zipf-distributed: a few hot stop
+   words dominate, which the join tolerates because the probe side is
+   partial-aggregated per token downstream anyway);
+4. per-document average log10 p(w) — one groupBy(doc) shuffle.
+
+The corpus total stays a lazy scalar (cross join of a 1-row aggregate)
+so the whole operator is a single plan with no driver-side action.
+Swapping step 2-3 for a broadcast of a pretrained vocabulary turns
+this into the KenLM-style scorer with one code change.
+
+No counterpart in the reference engine (SURVEY.md §2.2 — no
+aggregation at all); standard practice in public corpus-filtering
+pipelines (CCNet-style perplexity buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokenize
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_logprob",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score each document by avg log10 of its tokens' corpus unigram
+    probabilities (count(w)/total over the SAME frame). Documents with
+    no tokens are absent from the output (they have no distribution to
+    score — filter them beforehand with a length rule)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(normalize_text(text_col))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("__c"))
+    total = toks.agg(F.count("*").alias("__total"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log10(F.col("__c") / F.col("__total"))), ndigits
+            ).alias(out_col)
+        )
+    )

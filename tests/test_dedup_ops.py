@@ -443,6 +443,33 @@ def test_pack_sequences_layout(spark):
     assert len(starts) == n_buckets
 
 
+def test_unigram_logprob_ranks_typical_above_gibberish(spark):
+    """A doc of corpus-common tokens must outscore a doc of hapax
+    gibberish (higher avg log prob), and scores must be <= log10 of
+    the most probable token's probability (sanity bound)."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "xqzt vrplm wfjkd"),  # all hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["unigram_logprob"]
+        for r in unigram_logprob_scores(df).collect()
+    }
+    assert len(scores) == 3
+    assert scores[1] > scores[3] and scores[2] > scores[3]
+    assert all(v < 0 for v in scores.values())
+
+    # empty-token docs are absent, not erroring
+    with_empty = spark.createDataFrame(
+        rows + [(4, "   ")], "doc_id long, text string"
+    )
+    assert unigram_logprob_scores(with_empty).count() == 3
+
+
 def test_token_budget_mix_fill_until_full(spark):
     """Per-source budgets fill in the given order, the row crossing the
     budget line is kept ("fill until full"), later rows are dropped,
