@@ -1008,23 +1008,29 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross-engine comparable) and flags each as found-by-sketch; the
     oracle recomputes the exact set and pins the flag true, so a
     sketch that drops a real heavy hitter fails the value hash."""
-    li = _t(spark, sf_dir, "lineitem").withColumn(
-        "route",
-        F.when(F.col("l_orderkey") % 10 < 7, F.lit("hot")).otherwise(
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit("hot"))
+        .otherwise(
             F.concat(F.lit("t"), (F.col("l_orderkey") % 997).cast("string"))
-        ),
+        )
+        .alias("route")
     )
+    # ONE scan of lineitem: the route projection is staged, then the
+    # sketch pass and the exact-count pass read the staged blocks; the
+    # total comes from summing the (≤ 998-row) grouped counts, not a
+    # third scan
+    li = li.localCheckpoint(eager=True)
     support = 0.5
     # freqItems returns ONE row holding a small array (≤ 1/support
     # items) — a bounded driver-side read like IVF centroid ranking
     sketch_items = list(
         li.stat.freqItems(["route"], support).first()["route_freqItems"]
     )
-    n_total = li.count()
-    exact_hh = (
-        li.groupBy("route")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > n_total * support)
+    counts = li.groupBy("route").agg(F.count("*").alias("cnt"))
+    counts = counts.localCheckpoint(eager=False)
+    total = counts.agg(F.sum("cnt").alias("t"))
+    exact_hh = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") > F.col("t") * support
     )
     return exact_hh.select(
         "route",
@@ -1420,11 +1426,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECALL oracle: k-means initialization is engine-specific so the
     exact hit list has no cross-engine twin, but the quality contract
     does — recall@10 vs the exact brute-force cosine top-10 must be
-    >= 0.9 at 2 probes of 8 clusters. The query vector is the fitted
-    index's own centroid 0: the synthetic embeddings are near-uniform
-    (arbitrary vectors' top-10 cosine sims are ~0.3 noise spread across
-    all clusters, where NO probe-pruned method can have high recall),
-    and a dense-region query is exactly the case IVF's contract covers.
+    >= 0.9 at 2 probes of 8 clusters. The query vector is the centroid
+    of the fitted index's MOST POPULATED cluster: the synthetic
+    embeddings are near-uniform (arbitrary vectors' top-10 cosine sims
+    are ~0.3 noise spread across all clusters, where NO probe-pruned
+    method can have high recall), a dense-region query is exactly the
+    case IVF's contract covers, and k-means can leave near-empty
+    clusters whose centroids sit far from any data (centroid 0 is one
+    at sf0.001) — the populated-cluster pick is the deterministic
+    dense-region query at every fixture SF.
     The query computes BOTH paths in Spark and returns
     (n_vectors, k, recall_ok); the oracle pins the corpus size from the
     same parquet and the boolean true, so a broken quantizer or pruning
@@ -1441,7 +1451,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
         _IVF_INDEX_CACHE[key] = build_ivf_index(emb, n_clusters=8)
-    qvec = list(_IVF_INDEX_CACHE[key].centroids[0])
+    index = _IVF_INDEX_CACHE[key]
+    sizes = {
+        r["ivf_cluster"]: r["n"]
+        for r in index.assigned.groupBy("ivf_cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # first-maximal in ascending cluster order -> deterministic
+    densest = max(sorted(sizes), key=lambda c: sizes[c])
+    qvec = list(index.centroids[densest])
     ivf = ann_topk_ivf(_IVF_INDEX_CACHE[key], qvec, k=10, n_probe=2).select(
         "vec_id"
     )

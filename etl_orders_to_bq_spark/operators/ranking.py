@@ -37,21 +37,16 @@ from pyspark.sql import functions as F
 from .staging import stage
 
 
-def global_row_number(
+def _global_row_number_with_total(
     df: DataFrame,
     order_cols: list,
-    num_partitions: int | None = None,
-    out_col: str = "rn",
-    checkpoint_path: str | None = None,
-) -> DataFrame:
-    """Append exact 1-based global row numbers under the total order
-    given by ``order_cols`` (Column expressions or names; include a
-    unique tie-break column — equal keys across a range boundary would
-    otherwise make the numbering partition-dependent).
-
-    ``checkpoint_path`` stages the ranged frame as durable parquet
-    (``staging.stage``) instead of executor-block localCheckpoint —
-    same fault-tolerance knob as the iterative graph operators."""
+    num_partitions: int | None,
+    out_col: str,
+    checkpoint_path: str | None,
+) -> tuple[DataFrame, int]:
+    """Shared core: the numbered frame plus the total row count (the
+    prefix-sum accumulator — already known driver-side, so callers
+    needing the total never schedule a second counting job)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -72,14 +67,15 @@ def global_row_number(
         offsets[pid] = acc
         acc += counts[pid]
     if not offsets:  # empty input: no map literal to build
-        return ranged.drop("__pid").withColumn(
+        out = ranged.drop("__pid").withColumn(
             out_col, F.lit(None).cast("long")
         )
+        return out, 0
     off_expr = F.create_map(
         *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn("__local_rn", F.row_number().over(w))
         .withColumn(
             out_col,
@@ -87,6 +83,28 @@ def global_row_number(
         )
         .drop("__pid", "__local_rn")
     )
+    return out, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    num_partitions: int | None = None,
+    out_col: str = "rn",
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Append exact 1-based global row numbers under the total order
+    given by ``order_cols`` (Column expressions or names; include a
+    unique tie-break column — equal keys across a range boundary would
+    otherwise make the numbering partition-dependent).
+
+    ``checkpoint_path`` stages the ranged frame as durable parquet
+    (``staging.stage``) instead of executor-block localCheckpoint —
+    same fault-tolerance knob as the iterative graph operators."""
+    out, _ = _global_row_number_with_total(
+        df, order_cols, num_partitions, out_col, checkpoint_path
+    )
+    return out
 
 
 def scalable_ntile(
@@ -104,11 +122,9 @@ def scalable_ntile(
     the rest hold q. Built on ``global_row_number``, so every stage is
     partition-parallel; the oracle-parity gate (`decile_report`)
     verifies equality with the window ntile."""
-    ranked = global_row_number(
-        df, order_cols, num_partitions, out_col="__rn",
-        checkpoint_path=checkpoint_path,
+    ranked, total = _global_row_number_with_total(
+        df, order_cols, num_partitions, "__rn", checkpoint_path
     )
-    total = ranked.count()
     q, r = divmod(total, n_buckets)
     rn = F.col("__rn")
     if q == 0:
