@@ -1668,7 +1668,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-removal stage has real work in the gate."""
     from etl_orders_to_bq_spark.pipeline.corpus import build_training_corpus
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the regex-heavy filter + fingerprint stage is CPU-bound: spread a
+    # single-split local fixture across cores (no-op on multi-split
+    # input — see _spread_if_underpartitioned)
+    d = _spread_if_underpartitioned(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     planted = d.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq ww ee")).alias("text"),
