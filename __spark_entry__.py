@@ -955,6 +955,53 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: a selective dim filter on a shuffle
+    join makes the optimizer inject bloom_filter_agg/might_contain on
+    the fact side — row-level runtime pruning that cuts a 100 TB
+    probe-side shuffle to candidate rows (broadcast disabled so the
+    shuffle-join path is actually exercised; the row-level result is
+    EXACT — the bloom only prunes, membership is rechecked by the
+    join). The confs are snapshotted and restored after an eager
+    materialization (same discipline as the nanos parquet reader), so
+    nothing leaks into the shared gate session; the plan injection
+    itself is asserted in tests/test_scale_plans.py."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.round("l_extendedprice", 2).alias("l_extendedprice"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+            # materialize while the runtime-filter confs are live, so
+            # the executed plan really carries the bloom
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-filter shape (operators/lm.py): every document scored
     by avg log10 unigram probability under the corpus's own token
@@ -3624,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "token_budget_mix": q_token_budget_mix,
         "unigram_logprob": q_unigram_logprob,
+        "bloom_filter_join": q_bloom_filter_join,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5694,6 +5742,15 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "bloom_filter_join": """
+            select l.l_orderkey,
+                   l.l_linenumber,
+                   round(l.l_extendedprice, 2) as l_extendedprice,
+                   round(o.o_totalprice, 2) as o_totalprice
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            where o.o_totalprice > 400000
         """,
         "unigram_logprob": f"""
             with tok as (

@@ -439,6 +439,26 @@ def test_global_ranking_without_single_partition_window(spark):
     assert global_row_number(empty, order).count() == 0
 
 
+def test_bloom_filter_join_query_restores_confs(spark):
+    """The bloom_filter_join gate query flips four optimizer confs for
+    its eager materialization; none may leak into the shared session
+    afterwards (same contract as the nanos parquet reader)."""
+    from __spark_entry__ import q_bloom_filter_join
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    out = q_bloom_filter_join(spark, SF)
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before, (before, after)
+    assert out.count() > 0  # staged frame stays usable post-restore
+
+
 def test_global_ranking_property_matches_window(spark):
     """Property (hypothesis-driven): for arbitrary value lists and
     partition counts — including heavy ties, single rows, and more
