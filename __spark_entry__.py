@@ -955,6 +955,20 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (operators/bm25.py) of every
+    document against a fixed query term set, using the corpus's own
+    df/avgdl statistics — the retrieval-shape companion to the unigram
+    perplexity filter. The oracle replays the identical formula in
+    SQL (ln-based idf, k1=1.2, b=0.75, 6-dp round)."""
+    from etl_orders_to_bq_spark.operators.bm25 import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        d, ["the", "data", "query", "stream"], k1=1.2, b=0.75
+    ).orderBy("doc_id")
+
+
 def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter join: a selective dim filter on a shuffle
     join makes the optimizer inject bloom_filter_agg/might_contain on
@@ -3672,6 +3686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter_join": q_bloom_filter_join,
+        # -- new in round 4, past the 50-entry driver snapshot: locally
+        #    gated now, first in line for the round-5 rotation --
+        "bm25_scores": q_bm25_scores,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5742,6 +5759,39 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "bm25_scores": f"""
+            with tok as (
+              select doc_id,
+                     unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+              from documents
+            ),
+            lens as (select doc_id, count(*) as dl from tok group by doc_id),
+            stats as (select count(*) as n_docs, avg(dl) as avgdl from lens),
+            hits as (
+              select doc_id, w from tok
+              where w in ('the', 'data', 'query', 'stream')
+            ),
+            tf as (select doc_id, w, count(*) as tf
+                   from hits group by doc_id, w),
+            dfq as (select w, count(distinct doc_id) as dfr
+                    from hits group by w),
+            idf as (
+              select w,
+                     ln(1 + (n_docs - dfr + 0.5) / (dfr + 0.5)) as idf,
+                     avgdl
+              from dfq, stats
+            )
+            select t.doc_id,
+                   round(sum(i.idf * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (1 - 0.75
+                                              + 0.75 * l.dl / i.avgdl))), 6)
+                     as bm25
+            from tf t
+            join idf i using (w)
+            join lens l using (doc_id)
+            group by t.doc_id
+            order by t.doc_id
         """,
         "bloom_filter_join": """
             select l.l_orderkey,

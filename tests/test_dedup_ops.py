@@ -443,6 +443,29 @@ def test_pack_sequences_layout(spark):
     assert len(starts) == n_buckets
 
 
+def test_bm25_idf_and_tf_behave(spark):
+    """BM25 sanity: a doc matching the RARE query term outscores docs
+    matching only the ubiquitous one (idf), and among docs matching the
+    same term, higher tf with equal length scores higher (saturating,
+    so the gap narrows but stays positive)."""
+    from etl_orders_to_bq_spark.operators.bm25 import bm25_scores
+
+    rows = [
+        (1, "common word filler one"),        # 1x common
+        (2, "common common filler two"),      # 2x common, same length
+        (3, "rare word filler three"),        # 1x rare
+        (4, "nothing matches here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["common", "rare"]).collect()
+    }
+    assert set(scores) == {1, 2, 3}  # doc 4 absent (no hits)
+    assert scores[3] > scores[1]  # rare term's idf dominates
+    assert scores[2] > scores[1]  # tf monotone at equal length
+
+
 def test_unigram_logprob_ranks_typical_above_gibberish(spark):
     """A doc of corpus-common tokens must outscore a doc of hapax
     gibberish (higher avg log prob), and scores must be <= log10 of
