@@ -955,6 +955,63 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile serving: KLL(k=200) sketches INSIDE a
+    watermarked 6-hour window aggregation — per-window sketch state
+    merges across micro-batches, answering median-latency-per-window
+    questions without buffering window contents. Append emits only
+    finalized windows. BOUNDED-ERROR oracle on the RANK contract
+    (DataSketches guarantees the returned quantile's true rank within
+    the a-priori error): the sketch median's exact rank interval
+    [#(v < p50)/n, #(v <= p50)/n] must intersect [0.44, 0.56] — a
+    value-window check like the batch KLL gates breaks on small
+    windows, where interpolated percentiles can exclude every actual
+    data value. Pinned true by the oracle under the same
+    finalized-window filter."""
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.5)
+            ).alias("__p50"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("w_start"), "__p50", "n_events")
+    )
+    out = _stream_to_batch(agg, "skll", "append")
+    ev = _t(spark, sf_dir, "events")
+    evw = ev.select(
+        F.window("ts", "6 hours").alias("w"), "value"
+    ).select(F.col("w.start").alias("w_start"), "value")
+    ranks = (
+        out.join(evw, "w_start")
+        .groupBy("w_start", "n_events")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("__p50"), 1).otherwise(0)
+            ).alias("__lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("__p50"), 1).otherwise(0)
+            ).alias("__le"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return ranks.select(
+        "w_start",
+        "n_events",
+        (
+            (F.col("__lt") / F.col("__n") <= 0.56)
+            & (F.col("__le") / F.col("__n") >= 0.44)
+        ).alias("kll_median_within_bound"),
+    ).orderBy("w_start")
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scoring (operators/bm25.py) of every
     document against a fixed query term set, using the corpus's own
@@ -3689,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4, past the 50-entry driver snapshot: locally
         #    gated now, first in line for the round-5 rotation --
         "bm25_scores": q_bm25_scores,
+        "streaming_kll_median": q_streaming_kll_median,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5759,6 +5817,17 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "streaming_kll_median": """
+            with m as (select max(ts) as mx from events)
+            select ws as w_start,
+                   count(*) as n_events,
+                   true as kll_median_within_bound
+            from (select time_bucket(interval 6 hour, ts) as ws
+                  from events), m
+            where ws + interval 6 hour <= mx - interval 10 minute
+            group by ws
+            order by ws
         """,
         "bm25_scores": f"""
             with tok as (
