@@ -955,6 +955,33 @@ def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (equal-count buckets) of lineitem prices —
+    the optimizer-statistics / data-profiling companion to the
+    equal-width histogram_bucket query — built on scalable_ntile, so
+    the global total order costs a range shuffle + per-partition
+    numbering instead of a single-partition window. The oracle replays
+    exact SQL ntile over the same unique total order."""
+    from etl_orders_to_bq_spark.operators.ranking import scalable_ntile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    order = [F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    tiled = scalable_ntile(li, order, 10, out_col="bucket")
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("price"), 2).alias("lo"),
+            F.round(F.max("price"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_streaming_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile serving: KLL(k=200) sketches INSIDE a
     watermarked 6-hour window aggregation — per-window sketch state
@@ -3747,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    gated now, first in line for the round-5 rotation --
         "bm25_scores": q_bm25_scores,
         "streaming_kll_median": q_streaming_kll_median,
+        "equidepth_histogram": q_equidepth_histogram,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5817,6 +5845,24 @@ def oracle_sql() -> dict[str, str]:
                    10 as k,
                    true as recall_ok
             from embeddings
+        """,
+        "equidepth_histogram": """
+            with t as (
+              select l_orderkey, l_linenumber,
+                     round(l_extendedprice, 2) as price
+              from lineitem
+            ),
+            r as (
+              select price,
+                     ntile(10) over (
+                       order by price, l_orderkey, l_linenumber
+                     ) as bucket
+              from t
+            )
+            select bucket, count(*) as n,
+                   round(min(price), 2) as lo,
+                   round(max(price), 2) as hi
+            from r group by bucket order by bucket
         """,
         "streaming_kll_median": """
             with m as (select max(ts) as mx from events)
