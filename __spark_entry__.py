@@ -16,6 +16,7 @@ Conventions (so the driver's sorted-column value-hash matches):
 from __future__ import annotations
 
 import atexit
+import math
 
 from collections.abc import Callable
 
@@ -1037,6 +1038,138 @@ def q_streaming_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__le") / F.col("__n") >= 0.44)
         ).alias("kll_median_within_bound"),
     ).orderBy("w_start")
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus 20 planted near-dup copies (ids +100000): the
+    copy of vec_id v has its FIRST element shifted by (v % 5) * 0.4,
+    giving a deterministic cosine spread (~1.0, ~0.92, ~0.8, ~0.6,
+    ~0.5 vs the original) that exercises the similarity threshold from
+    both sides. The synthetic fixture's natural pairwise cosine tops
+    out at ~0.51, so no un-planted pair crosses a 0.75 threshold. The
+    perturbation is pure SQL-reproducible arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    pert = F.concat(
+        F.array(
+            F.element_at(c, 1).cast("double")
+            + (F.col("vec_id") % 5).cast("double") * F.lit(0.4)
+        ),
+        F.slice(c, 2, 63).cast("array<double>"),
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        pert.alias("embedding"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    return base.unionByName(planted)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs
+    (operators/semdedup.py): deterministic hyperplane-LSH buckets ->
+    within-bucket pairwise cosine >= 0.75 — the semantic twin of
+    MinHash banding (blocking first, exact check on candidates only).
+    Planted perturbed copies provide pairs on both sides of the
+    threshold; the oracle replays bucket assignment, the bucket-size
+    guard, and the 6dp-rounded cosine in SQL."""
+    from etl_orders_to_bq_spark.operators.semdedup import (
+        embedding_neardup_pairs,
+    )
+
+    allv = _planted_embeddings(spark, sf_dir)
+    return embedding_neardup_pairs(
+        allv, dim=64, threshold=0.75, bits=8, seed=42
+    ).orderBy("id_a", "id_b")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set (operators/semdedup.py): fixed-centroid
+    clusters -> drop items with a lower-id same-cluster neighbor at
+    cosine >= 0.75 — cluster-bounded semantic dedup per Abbas et al.
+    2023. Fixed centroids (the ivf_search_fixed discipline) make the
+    whole path oracle-reproducible: the oracle replays assignment and
+    the NOT-EXISTS shadow rule in SQL."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+    from etl_orders_to_bq_spark.operators.semdedup import semdedup_keep
+
+    allv = _planted_embeddings(spark, sf_dir)
+    keep = semdedup_keep(
+        allv, _hyperplanes(dim=64, bits=8, seed=7), threshold=0.75
+    )
+    return keep.orderBy("vec_id")
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (operators/spans.py): 20-token spans,
+    corpus-wide first-occurrence keep, document reassembly — the
+    Dolma-paragraph-dedup shape. Full-text copies of docs 0-9 are
+    planted (ids +200000) so cross-document span kills have real work;
+    the oracle replays chunk slicing, the (doc_id, span_idx)
+    first-occurrence rule, and ordered reassembly in SQL."""
+    from etl_orders_to_bq_spark.operators.spans import span_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return span_dedup(
+        d.unionByName(planted), span_tokens=20
+    ).orderBy("doc_id")
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/fusion.py): BM25 top-50
+    (lexical) + brute-force cosine top-50 against a fixed query vector
+    (semantic), fused with Reciprocal Rank Fusion (k=60), final top-20.
+    Ranks are taken over 6dp-rounded scores with id tie-breaks, so the
+    oracle can replay both rankings and the 1/(60+rank) sum exactly."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        ann_topk_bruteforce,
+    )
+    from etl_orders_to_bq_spark.operators.bm25 import bm25_scores
+    from etl_orders_to_bq_spark.operators.fusion import ranked_topn, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = ranked_topn(
+        bm25_scores(d, ["the", "data", "query", "stream"]),
+        "doc_id",
+        "bm25",
+        50,
+    )
+    query = _hyperplanes(dim=64, bits=1, seed=99)[0]
+    sem = ranked_topn(
+        ann_topk_bruteforce(e, query, k=50).select(
+            F.col("vec_id").alias("doc_id"), "cos_sim"
+        ),
+        "doc_id",
+        "cos_sim",
+        50,
+    )
+    fused = rrf_fuse([lex, sem], "doc_id")
+    return fused.orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    ).limit(20)
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shape data-selection weights (operators/lm.py): every
+    document scored by avg log10 ratio of target-domain ('src0')
+    unigram probabilities over whole-corpus probabilities, both
+    Laplace-smoothed over the corpus vocabulary. The target counts
+    ride the SAME word-count shuffle as the corpus counts; the oracle
+    replays counts, smoothing, and the log average in SQL."""
+    from etl_orders_to_bq_spark.operators.lm import importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_weights(d, F.col("source") == "src0").orderBy("doc_id")
 
 
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3775,6 +3908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
+        "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
+        "span_dedup": q_span_dedup,
+        "rrf_fusion": q_rrf_fusion,
+        "importance_weights": q_importance_weights,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -3920,7 +4058,12 @@ def _mh_sql(i: int) -> str:
     )
 
 
-def _lsh_bucket_sql(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
+def _lsh_bucket_sql(
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+    vec_expr: str = "cast(embedding as double[])",
+) -> str:
     """Bucket expression with the hyperplanes inlined as literals —
     byte-identical doubles to the Spark side (same LCG)."""
     from etl_orders_to_bq_spark.operators.ann import _hyperplanes
@@ -3930,13 +4073,18 @@ def _lsh_bucket_sql(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
     for i, plane in enumerate(planes):
         lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
         terms.append(
-            f"case when list_dot_product(cast(embedding as double[]), {lit}) > 0 "
+            f"case when list_dot_product({vec_expr}, {lit}) > 0 "
             f"then {2**i} else 0 end"
         )
     return "(" + " + ".join(terms) + ")"
 
 
-def _ivf_assign_sql(dim: int = 64, n: int = 8, seed: int = 7) -> str:
+def _ivf_assign_sql(
+    dim: int = 64,
+    n: int = 8,
+    seed: int = 7,
+    vec_expr: str = "cast(embedding as double[])",
+) -> str:
     """argmax(2*x.c_i - |c_i|^2) with the fixed centroids inlined —
     byte-identical doubles to assign_ivf_clusters' Column projection."""
     from etl_orders_to_bq_spark.operators.ann import _hyperplanes
@@ -3947,7 +4095,7 @@ def _ivf_assign_sql(dim: int = 64, n: int = 8, seed: int = 7) -> str:
         lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
         c2 = sum(float(x) * float(x) for x in c)
         scores.append(
-            f"list_dot_product(cast(embedding as double[]), {lit}) * 2.0"
+            f"list_dot_product({vec_expr}, {lit}) * 2.0"
             f" - {repr(c2)}"
         )
     arr = "list_value(" + ", ".join(scores) + ")"
@@ -6120,6 +6268,195 @@ def oracle_sql() -> dict[str, str]:
             order by cos_sim desc, vec_id asc
         """,
     }
+    # -- embedding near-dup family: planted perturbed copies (see
+    #    _planted_embeddings) replayed as pure SQL arithmetic --
+    plant = """
+              select vec_id, cast(embedding as double[]) as v from embeddings
+              union all
+              select vec_id + 100000 as vec_id,
+                     list_concat(
+                       [embedding[1]::double + (vec_id % 5)::double * 0.4],
+                       embedding[2:64]::double[]) as v
+              from embeddings where vec_id < 20
+    """
+
+    def cos6(a: str, b: str) -> str:
+        na = f"sqrt(list_dot_product({a}, {a}))"
+        nb = f"sqrt(list_dot_product({b}, {b}))"
+        return (
+            f"round(case when {na} * {nb} > 0 then "
+            f"list_dot_product({a}, {b}) / ({na} * {nb}) end, 6)"
+        )
+
+    out["dedup_embedding"] = f"""
+        with allv as ({plant}),
+        b as (select vec_id, v,
+                     {_lsh_bucket_sql(dim=64, bits=8, seed=42, vec_expr="v")}
+                       as bucket
+              from allv),
+        ok as (select bucket from b group by bucket
+               having count(*) <= 100000),
+        g as (select b.* from b join ok using (bucket)),
+        p as (
+          select a.vec_id as id_a, c.vec_id as id_b,
+                 {cos6("a.v", "c.v")} as cos_sim
+          from g a join g c on a.bucket = c.bucket and a.vec_id < c.vec_id
+        )
+        select id_a, id_b, cos_sim from p
+        where cos_sim >= 0.75
+        order by id_a, id_b
+    """
+    out["semdedup"] = f"""
+        with allv as ({plant}),
+        a as (select vec_id, v,
+                     {_ivf_assign_sql(dim=64, n=8, seed=7, vec_expr="v")}
+                       as cluster
+              from allv),
+        ok as (select cluster from a group by cluster
+               having count(*) <= 1000000),
+        g as (select a.* from a join ok using (cluster)),
+        sh as (
+          select distinct y.vec_id
+          from g y join g x on x.cluster = y.cluster and x.vec_id < y.vec_id
+          where {cos6("y.v", "x.v")} >= 0.75
+        )
+        select g.vec_id, g.cluster from g
+        where g.vec_id not in (select vec_id from sh)
+        order by g.vec_id
+    """
+    out["span_dedup"] = """
+        with base as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 200000 as doc_id, text
+          from documents where doc_id < 10
+        ),
+        t as (select doc_id, regexp_extract_all(text, '\\S+') as toks
+              from base),
+        sized as (select doc_id, toks,
+                         cast(ceil(len(toks) / 20.0) as int) as nsp
+                  from t where len(toks) > 0),
+        spans as (
+          select doc_id, u.i - 1 as span_idx,
+                 array_to_string(
+                   toks[(u.i-1)*20 + 1 : (u.i-1)*20 + 20], ' ') as span_text
+          from sized,
+               lateral (select unnest(range(1, 1 + greatest(nsp, 1))) as i) u
+        ),
+        k as (
+          select doc_id, span_idx, span_text,
+                 row_number() over (partition by md5(span_text)
+                                    order by doc_id, span_idx) as rn
+          from spans
+        ),
+        rebuilt as (
+          select doc_id, count(*) as n_kept,
+                 string_agg(span_text, ' ' order by span_idx) as dedup_text
+          from k where rn = 1 group by doc_id
+        ),
+        totals as (select doc_id, count(*) as n_spans
+                   from spans group by doc_id)
+        select t.doc_id, t.n_spans,
+               coalesce(r.n_kept, 0) as n_kept,
+               coalesce(r.dedup_text, '') as dedup_text
+        from totals t left join rebuilt r using (doc_id)
+        order by t.doc_id
+    """
+    _rrf_q = _ivf_fixed_setup()[1]
+    _rrf_qlit = "[" + ", ".join(repr(float(x)) for x in _rrf_q) + "]::DOUBLE[]"
+    _rrf_qnorm = 0.0
+    for _x in _rrf_q:
+        _rrf_qnorm += float(_x) * float(_x)
+    _rrf_qnorm = math.sqrt(_rrf_qnorm)
+    out["rrf_fusion"] = f"""
+        with tok as (
+          select doc_id,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        lens as (select doc_id, count(*) as dl from tok group by doc_id),
+        stats as (select count(*) as n_docs, avg(dl) as avgdl from lens),
+        hits as (
+          select doc_id, w from tok
+          where w in ('the', 'data', 'query', 'stream')
+        ),
+        tf as (select doc_id, w, count(*) as tf
+               from hits group by doc_id, w),
+        dfq as (select w, count(distinct doc_id) as dfr
+                from hits group by w),
+        idf as (
+          select w,
+                 ln(1 + (n_docs - dfr + 0.5) / (dfr + 0.5)) as idf,
+                 avgdl
+          from dfq, stats
+        ),
+        bm25 as (
+          select t.doc_id,
+                 round(sum(i.idf * (t.tf * 2.2)
+                           / (t.tf + 1.2 * (1 - 0.75
+                                            + 0.75 * l.dl / i.avgdl))), 6)
+                   as s
+          from tf t
+          join idf i using (w)
+          join lens l using (doc_id)
+          group by t.doc_id
+        ),
+        lex as (
+          select doc_id,
+                 row_number() over (order by round(s, 6) desc, doc_id) as rank
+          from bm25
+        ),
+        cosd as (
+          select vec_id as doc_id,
+                 round(list_dot_product(cast(embedding as double[]),
+                                        {_rrf_qlit})
+                       / (sqrt(list_dot_product(cast(embedding as double[]),
+                                                cast(embedding as double[])))
+                          * {_rrf_qnorm!r}), 6) as s
+          from embeddings
+        ),
+        semtop as (
+          select doc_id, s,
+                 row_number() over (order by s desc, doc_id) as rank
+          from cosd
+        ),
+        sem as (
+          select doc_id,
+                 row_number() over (order by round(s, 6) desc, doc_id) as rank
+          from (select doc_id, s from semtop where rank <= 50)
+        ),
+        unioned as (
+          select doc_id, rank from lex where rank <= 50
+          union all
+          select doc_id, rank from sem where rank <= 50
+        )
+        select doc_id, count(*) as n_lists,
+               round(sum(1.0 / (60 + rank)), 6) as rrf_score
+        from unioned
+        group by doc_id
+        order by rrf_score desc, doc_id
+        limit 20
+    """
+    out["importance_weights"] = f"""
+        with tok as (
+          select doc_id, source = 'src0' as in_t,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        v as (select w, count(*) as c_all,
+                     count(case when in_t then 1 end) as c_t
+              from tok group by w),
+        k as (select count(*) as vv, sum(c_all) as tot_all,
+                     sum(c_t) as tot_t
+              from v)
+        select doc_id,
+               round(avg(log10((c_t + 1.0) / (tot_t + vv))
+                         - log10((c_all + 1.0) / (tot_all + vv))), 6)
+                 as log_ratio
+        from tok join v using (w), k
+        group by doc_id
+        order by doc_id
+    """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle
     out["ivf_search_fixed"] = _ivf_search_fixed_sql()

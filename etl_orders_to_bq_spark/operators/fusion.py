@@ -1,0 +1,80 @@
+"""Rank fusion — combine multiple retrieval rankings (lexical BM25,
+embedding cosine, ...) into one list with Reciprocal Rank Fusion
+(Cormack, Clarke & Buettcher 2009):
+
+    rrf(d) = sum over rankings r of 1 / (k + rank_r(d))
+
+Items missing from a ranking contribute nothing for it (the standard
+RRF convention), so the fused score never needs score normalization
+across heterogeneous scorers — only ranks enter the formula, which is
+what makes RRF the default hybrid-search combiner in public engines
+(Elasticsearch, Vespa, Weaviate all ship this exact formula).
+
+No counterpart in the reference engine (SURVEY.md §2.2 — no ranking at
+all); companion to ``operators/bm25.py`` and ``operators/ann.py``.
+
+Scale notes (100 TB)
+--------------------
+- rankings are PER-QUERY CANDIDATE LISTS (a retrieval stage's top-n),
+  so the rank window partitions on the query key — bounded partitions,
+  no global-window cliff; for a corpus-wide global ranking use
+  ``ranking.global_row_number`` instead (same output contract);
+- the fuse itself is one union + one groupBy on (query, id) — rows in
+  = sum of candidate-list sizes, a few hundred per query, so the
+  shuffle is negligible next to the retrieval stages feeding it;
+- scores are rounded before ranking so rank boundaries are stable
+  across engines/partitionings (ties broken by id ascending).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked_topn(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n: int,
+    partition_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-``n`` rows by (score desc, id asc) with a 1-based ``rank``
+    column. ``partition_cols`` (e.g. the query key) keeps the window
+    partition-parallel; with None the input must be a bounded candidate
+    list (one query's results), not a corpus."""
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(
+        F.desc(F.round(F.col(score_col), ndigits)), F.asc(id_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+    k: int = 60,
+    out_col: str = "rrf_score",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fuse ranked lists: each input carries (group_cols..., id_col,
+    rank_col). Output: (group_cols..., id_col, n_lists, rrf_score)
+    with rrf_score = sum of 1/(k + rank) over the lists the id appears
+    in, rounded to ``ndigits``."""
+    keys = [*(group_cols or []), id_col]
+    parts = [r.select(*keys, rank_col) for r in rankings]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy(*keys).agg(
+        F.count("*").alias("n_lists"),
+        F.round(
+            F.sum(1.0 / (F.lit(float(k)) + F.col(rank_col))), ndigits
+        ).alias(out_col),
+    )

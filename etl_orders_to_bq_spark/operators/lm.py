@@ -35,6 +35,65 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_text, tokenize
 
 
+def importance_weights(
+    df: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "log_ratio",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Data-selection importance weights (the DSIR shape, Xie et al.
+    2023, arXiv:2302.03169): score every document by the average
+    log-likelihood RATIO of its tokens under a target-domain unigram LM
+    versus the whole-corpus unigram LM — documents that look like the
+    target domain score high and get sampled into the training mix.
+
+    ``target_filter`` is a boolean Column selecting the in-domain rows
+    (e.g. ``F.col("source") == "src0"``). Both LMs are add-one
+    (Laplace) smoothed over the CORPUS vocabulary, so target-unseen
+    tokens get finite mass and the ratio is defined for every token:
+
+        p_t(w) = (c_target(w) + 1) / (total_target + V)
+        p_c(w) = (c_corpus(w) + 1) / (total_corpus + V)
+        weight(d) = avg over tokens of log10 p_t(w) - log10 p_c(w)
+
+    Data flow is ``unigram_logprob_scores`` with a second conditional
+    count riding the SAME word-count shuffle (count(if in-target))
+    — no extra pass over the corpus, the vocabulary table just grows a
+    column. Smoothing constants (V, totals) are 1-row lazy aggregates
+    broadcast into the projection.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation); the formula follows the public DSIR description.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("__in_target"),
+        F.explode(tokenize(normalize_text(text_col))).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count("*").alias("__c_all"),
+        F.count(F.when(F.col("__in_target"), 1)).alias("__c_t"),
+    )
+    consts = vocab.agg(
+        F.count("*").alias("__v"),
+        F.sum("__c_all").alias("__total_all"),
+        F.sum("__c_t").alias("__total_t"),
+    )
+    log_ratio = F.log10(
+        (F.col("__c_t") + 1.0) / (F.col("__total_t") + F.col("__v"))
+    ) - F.log10(
+        (F.col("__c_all") + 1.0) / (F.col("__total_all") + F.col("__v"))
+    )
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(log_ratio), ndigits).alias(out_col))
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,178 @@
+"""Tests for the round-4 curation operators: span-level dedup,
+embedding near-dup / SemDeDup, rank fusion, and importance weights."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_orders_to_bq_spark.operators.fusion import ranked_topn, rrf_fuse
+from etl_orders_to_bq_spark.operators.lm import importance_weights
+from etl_orders_to_bq_spark.operators.semdedup import (
+    embedding_neardup_pairs,
+    semdedup_keep,
+)
+from etl_orders_to_bq_spark.operators.spans import span_dedup
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_span_dedup_first_occurrence_and_rebuild(spark):
+    # doc 1: spans A B; doc 2: spans B C (B repeats -> killed in doc 2);
+    # doc 3: exact copy of doc 1 -> nothing survives
+    a, b, c = _words("a", 4), _words("b", 4), _words("c", 4)
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, f"{a} {b}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, span_tokens=4).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == f"{a} {b}"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == c
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_span_dedup_keeps_order_of_surviving_spans(spark):
+    # surviving spans must rejoin in ORIGINAL order even when the kept
+    # set is non-contiguous (span 0 and 2 survive, 1 killed)
+    a, b, c = _words("a", 3), _words("b", 3), _words("c", 3)
+    docs = spark.createDataFrame(
+        [(1, b), (2, f"{a} {b} {c}")], "doc_id long, text string"
+    )
+    row = (
+        span_dedup(docs, span_tokens=3)
+        .filter(F.col("doc_id") == 2)
+        .first()
+    )
+    assert row["n_spans"] == 3 and row["n_kept"] == 2
+    assert row["dedup_text"] == f"{a} {c}"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 0/1: identical; 2: 0 scaled (cos=1 with 0); 3: orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_neardup_finds_planted_pairs(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(
+            vectors, dim=4, threshold=0.9, bits=2
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0  # scale-invariant
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_neardup_bucket_guard(vectors):
+    # max_bucket=1 drops every multi-member bucket -> no pairs at all
+    assert (
+        embedding_neardup_pairs(
+            vectors, dim=4, threshold=0.0, bits=2, max_bucket=1
+        ).count()
+        == 0
+    )
+
+
+def test_semdedup_keep_first_and_shadowing(spark):
+    # cluster around e1: 0 kept; 1 (dup of 0) dropped; 2 close to 1 but
+    # not to 0 -> STILL dropped (shadowed by the dropped 1 — SemDeDup is
+    # not transitive-keep); 3 far from everything -> kept
+    import math
+
+    rot = [math.cos(0.6), math.sin(0.6), 0.0, 0.0]  # cos 0.825 vs e1
+    mid = [math.cos(0.3), math.sin(0.3), 0.0, 0.0]  # cos 0.955 vs both
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, mid),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, rot),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    kept = {
+        r["vec_id"]
+        for r in semdedup_keep(vecs, centroids, threshold=0.9).collect()
+    }
+    # 0 kept (first), 1 dropped (cos 1 vs 0), 2 dropped (cos .955 vs 0),
+    # 4 kept (cos .825 vs 0, .966 vs 2 — but 2 was dropped? shadowing
+    # counts dropped items too, so 4 IS dropped by 2) -> verify exactly
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept and 2 not in kept
+    # 4 is shadowed by 2 (cos(0.3 rad) ≈ 0.955 >= 0.9) even though 2
+    # itself was dropped — the non-transitive SemDeDup contract
+    assert 4 not in kept
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.99), (4, 0.5)], "doc_id long, s double"
+    )
+    fused = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"])
+        for r in rrf_fuse(
+            [
+                ranked_topn(lex, "doc_id", "s", 10),
+                ranked_topn(sem, "doc_id", "s", 10),
+            ],
+            "doc_id",
+            k=60,
+        ).collect()
+    }
+    assert fused[2] == (2, round(1 / 62 + 1 / 61, 6))
+    assert fused[1] == (1, round(1 / 61, 6))
+    assert fused[4] == (1, round(1 / 62, 6))
+
+
+def test_ranked_topn_partitioned_and_tie_break(spark):
+    df = spark.createDataFrame(
+        [("q1", 1, 0.5), ("q1", 2, 0.5), ("q1", 3, 0.9), ("q2", 1, 0.1)],
+        "qid string, doc_id long, s double",
+    )
+    out = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in ranked_topn(
+            df, "doc_id", "s", 2, partition_cols=["qid"]
+        ).collect()
+    }
+    # per-query ranking; tie at 0.5 broken by doc_id asc; top-2 cut
+    assert out[("q1", 3)] == 1 and out[("q1", 1)] == 2
+    assert ("q1", 2) not in out
+    assert out[("q2", 1)] == 1
+
+
+def test_importance_weights_prefers_target_vocabulary(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta beta alpha", "tgt"),
+            (3, "gamma delta gamma delta", "web"),
+            (4, "alpha beta gamma delta", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r["doc_id"]: r["log_ratio"]
+        for r in importance_weights(
+            docs, F.col("source") == "tgt"
+        ).collect()
+    }
+    # in-domain docs outrank out-of-domain; the mixed doc lands between
+    assert w[1] == w[2] > w[4] > w[3]
