@@ -1172,6 +1172,48 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(d, F.col("source") == "src0").orderBy("doc_id")
 
 
+def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert (streaming/merge.py): a CDC stream
+    (op/seq per user derived from events) drains through foreachBatch
+    in FOUR micro-batches (maxFilesPerTrigger=1 over 4 range-split
+    files) into a versioned parquet table with sequence-protected
+    merges and delete tombstones. The final state is the global
+    max-seq row per user minus deletes — independent of how the
+    stream was cut into batches, which is exactly what the oracle's
+    batch SQL computes."""
+    import tempfile
+
+    from etl_orders_to_bq_spark.streaming.merge import (
+        read_merged_table,
+        stream_merge_upsert,
+    )
+
+    cdc = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        F.round("value", 6).alias("value"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="cdcstream_")
+    cdc.repartitionByRange(4, "seq").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, op string, seq long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    root = tempfile.mkdtemp(prefix="mergetgt_")
+    q = stream_merge_upsert(
+        stream, root, tempfile.mkdtemp(prefix="ckpt_mu_"), ["user_id"]
+    )
+    q.awaitTermination(300)
+    return read_merged_table(spark, root).orderBy("user_id")
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scoring (operators/bm25.py) of every
     document against a fixed query term set, using the corpus's own
@@ -3913,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "rrf_fusion": q_rrf_fusion,
         "importance_weights": q_importance_weights,
+        "streaming_merge_upsert": q_streaming_merge_upsert,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6436,6 +6479,19 @@ def oracle_sql() -> dict[str, str]:
         group by doc_id
         order by rrf_score desc, doc_id
         limit 20
+    """
+    out["streaming_merge_upsert"] = """
+        with last as (
+          select user_id, event_id as seq, round(value, 6) as value,
+                 event_type,
+                 row_number() over (partition by user_id
+                                    order by event_id desc) as rn
+          from events
+        )
+        select user_id, seq, value
+        from last
+        where rn = 1 and event_type != 'purchase'
+        order by user_id
     """
     out["importance_weights"] = f"""
         with tok as (

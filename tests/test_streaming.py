@@ -330,3 +330,77 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def _cdc_stream(spark, src):
+    return (
+        spark.readStream.schema("k long, op string, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_stream_merge_upsert_final_state(spark, tmp_path):
+    from etl_orders_to_bq_spark.streaming.merge import (
+        read_merged_table,
+        stream_merge_upsert,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    f1 = spark.createDataFrame(
+        [(1, "I", 1, 10.0), (2, "I", 2, 20.0)],
+        "k long, op string, seq long, v double",
+    )
+    f2 = spark.createDataFrame(
+        # delete of 2 (seq 6) beats its older update (seq 4) whether
+        # they land in the same or different micro-batches
+        [(1, "U", 5, 11.0), (2, "D", 6, None), (2, "U", 4, 21.0),
+         (3, "I", 3, 30.0)],
+        "k long, op string, seq long, v double",
+    )
+    f1.coalesce(1).write.mode("append").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "merge_root")
+    q = stream_merge_upsert(
+        _cdc_stream(spark, src), root, str(tmp_path / "ck1"), ["k"]
+    )
+    q.awaitTermination(120)
+    state = {
+        r["k"]: (r["seq"], r["v"])
+        for r in read_merged_table(spark, root).collect()
+    }
+    assert state == {1: (5, 11.0), 3: (3, 30.0)}  # 2 tombstoned
+
+
+def test_stream_merge_upsert_replay_is_idempotent(spark, tmp_path):
+    from etl_orders_to_bq_spark.streaming.merge import (
+        read_merged_table,
+        stream_merge_upsert,
+    )
+
+    src = str(tmp_path / "cdc_src2")
+    for batch in (
+        [(1, "I", 1, 1.0), (2, "I", 2, 2.0)],
+        [(1, "U", 3, 1.5), (2, "D", 4, None)],
+    ):
+        spark.createDataFrame(
+            batch, "k long, op string, seq long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "merge_root2")
+    q = stream_merge_upsert(
+        _cdc_stream(spark, src), root, str(tmp_path / "ck_a"), ["k"]
+    )
+    q.awaitTermination(120)
+    first = sorted(read_merged_table(spark, root).collect())
+
+    # replay EVERYTHING with a fresh checkpoint into the same root —
+    # every micro-batch rewrites its own version dir; the state must
+    # come out identical (the crash-replay idempotence contract)
+    q2 = stream_merge_upsert(
+        _cdc_stream(spark, src), root, str(tmp_path / "ck_b"), ["k"]
+    )
+    q2.awaitTermination(120)
+    second = sorted(read_merged_table(spark, root).collect())
+    assert first == second == [(1, 3, 1.5)]
