@@ -1214,6 +1214,87 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_merged_table(spark, root).orderBy("user_id")
 
 
+_ER_FIRST = [
+    "marisol", "benedict", "okonkwo", "theodora", "ezequiel",
+    "hortensia", "jeremiah", "wilhelmina", "anastasia", "bartholomew",
+    "clementine", "demetrius", "evangeline", "fitzgerald", "guinevere",
+    "humphrey", "isadora",
+]
+_ER_LAST = [
+    "abernathy", "blackwood", "cavendish", "dunmore", "everhart",
+    "fairbanks", "galloway", "hawthorne", "ironwood", "jellicoe",
+    "kingsley", "lockhart", "montague",
+]
+
+
+def _synth_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity table for resolution: word-pair names derived from
+    c_custkey (TPC-H's sequential "Customer#0000N" names are 1 edit
+    apart — useless for fuzzy matching), plus dirty variants: ids
+    +10000 drop the last character (distance 1), ids +20000 append
+    'zz' (distance 2). Variants are 3 edits from EACH OTHER, so they
+    cluster only transitively through their base — exercising the
+    connected-components step, not just pairwise matching."""
+    first = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_FIRST]),
+        (F.col("c_custkey") % 17 + 1).cast("int"),
+    )
+    last = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_LAST]),
+        ((F.col("c_custkey") * 7) % 13 + 1).cast("int"),
+    )
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ent_id"),
+        F.concat_ws(" ", first, last).alias("name"),
+    )
+    v1 = base.filter(F.col("ent_id") < 30).select(
+        (F.col("ent_id") + 10000).alias("ent_id"),
+        F.expr("substr(name, 1, length(name) - 1)").alias("name"),
+    )
+    v2 = base.filter(F.col("ent_id") < 15).select(
+        (F.col("ent_id") + 20000).alias("ent_id"),
+        F.concat(F.col("name"), F.lit("zz")).alias("name"),
+    )
+    return base.unionByName(v1).unionByName(v2)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone: blocked fuzzy self-match
+    (operators/fuzzy.py, levenshtein <= 2 on candidates only) ->
+    connected components (operators/graph.py) -> canonical id per
+    entity (min id in the cluster; unmatched entities canonicalize to
+    themselves). The relational twin of the corpus dedup capstone —
+    same candidates-then-verify-then-cluster shape over entity names
+    instead of document shingles. The oracle replays the symmetric
+    blocking condition, the edit-distance verify, and a recursive-CTE
+    transitive closure."""
+    from etl_orders_to_bq_spark.operators.fuzzy import fuzzy_join
+    from etl_orders_to_bq_spark.operators.graph import connected_components
+
+    ents = _synth_entities(spark, sf_dir)
+    l = ents.select(
+        F.col("ent_id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    r = ents.select(
+        F.col("ent_id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    pairs = (
+        fuzzy_join(l, r, "name_a", "name_b", max_dist=2)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        ents.join(comp, ents.ent_id == comp.id, "left")
+        .select(
+            "ent_id",
+            "name",
+            F.coalesce("component", F.col("ent_id")).alias("canonical_id"),
+        )
+        .orderBy("ent_id")
+    )
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scoring (operators/bm25.py) of every
     document against a fixed query term set, using the corpus's own
@@ -3956,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "importance_weights": q_importance_weights,
         "streaming_merge_upsert": q_streaming_merge_upsert,
+        "entity_resolution": q_entity_resolution,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6479,6 +6561,58 @@ def oracle_sql() -> dict[str, str]:
         group by doc_id
         order by rrf_score desc, doc_id
         limit 20
+    """
+    _er_wf = "[" + ", ".join(f"'{w}'" for w in _ER_FIRST) + "]"
+    _er_wl = "[" + ", ".join(f"'{w}'" for w in _ER_LAST) + "]"
+    out["entity_resolution"] = f"""
+        with recursive w as (select {_er_wf} as wf, {_er_wl} as wl),
+        base as (
+          select c_custkey as ent_id,
+                 wf[(c_custkey % 17) + 1] || ' ' ||
+                 wl[((c_custkey * 7) % 13) + 1] as name
+          from customer, w
+        ),
+        ents as (
+          select ent_id, name from base
+          union all
+          select ent_id + 10000, substr(name, 1, length(name) - 1)
+          from base where ent_id < 30
+          union all
+          select ent_id + 20000, name || 'zz'
+          from base where ent_id < 15
+        ),
+        pairs as (
+          -- the operator's (first char, length-bucket neighborhood)
+          -- blocking is symmetric when both orderings are probed, so
+          -- one symmetric condition reproduces it
+          select a.ent_id as id_a, b.ent_id as id_b
+          from ents a join ents b on a.ent_id < b.ent_id
+          where substr(regexp_replace(lower(a.name), '[^a-z0-9]', '', 'g'), 1, 1)
+                = substr(regexp_replace(lower(b.name), '[^a-z0-9]', '', 'g'), 1, 1)
+            and floor(length(b.name) / 5)
+                between floor(length(a.name) / 5) - 1
+                    and floor(length(a.name) / 5) + 1
+            and levenshtein(a.name, b.name) <= 2
+        ),
+        edges as (
+          select id_a as a, id_b as b from pairs
+          union
+          select id_b as a, id_a as b from pairs
+        ),
+        reach as (
+          select a, a as b from edges
+          union
+          select a, b from edges
+          union
+          select r.a, e.b
+          from reach r join edges e on r.b = e.a
+        ),
+        comp as (select a as ent_id, min(b) as component
+                 from reach group by a)
+        select e.ent_id, e.name,
+               coalesce(c.component, e.ent_id) as canonical_id
+        from ents e left join comp c using (ent_id)
+        order by e.ent_id
     """
     out["streaming_merge_upsert"] = """
         with last as (
