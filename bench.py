@@ -48,13 +48,24 @@ HEADLINE = [
     "q21_suppliers_waiting",
     "pagerank",
     "corpus_pipeline",
+    # round-4 curation additions (each heavy enough to track)
+    "span_dedup",
+    "dedup_embedding",
+    "semdedup",
+    "entity_resolution",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
 # DataFrame is CONSTRUCTED, so the timer must wrap construction + force
 # and rebuild per run — forcing a prebuilt frame would time only the
 # final projection over already-materialized checkpoint blocks.
-ITERATIVE = {"pagerank", "corpus_pipeline"}
+ITERATIVE = {
+    "pagerank",
+    "corpus_pipeline",
+    # CC rounds + the staged SemDeDup assignment run at construction
+    "entity_resolution",
+    "semdedup",
+}
 
 
 def main() -> None:
