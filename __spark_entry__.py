@@ -1272,11 +1272,19 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_to_bq_spark.operators.graph import connected_components
 
     ents = _synth_entities(spark, sf_dir)
-    l = ents.select(
-        F.col("ent_id").alias("id_a"), F.col("name").alias("name_a")
+    # exact-collapse BEFORE fuzzy: identical names are trivially the
+    # same entity, so only one representative (min id) per distinct
+    # name enters the quadratic fuzzy stage — the same discipline as
+    # exact dedup before MinHash. Semantics are unchanged (identical
+    # names are distance 0 and would merge anyway); at sf0.1 this cut
+    # the query from 52s to ~1s because same-name groups (~68 members
+    # here) no longer form quadratic in-block cliques.
+    reps = ents.groupBy("name").agg(F.min("ent_id").alias("rep_id"))
+    l = reps.select(
+        F.col("rep_id").alias("id_a"), F.col("name").alias("name_a")
     )
-    r = ents.select(
-        F.col("ent_id").alias("id_b"), F.col("name").alias("name_b")
+    r = reps.select(
+        F.col("rep_id").alias("id_b"), F.col("name").alias("name_b")
     )
     pairs = (
         fuzzy_join(l, r, "name_a", "name_b", max_dist=2)
@@ -1284,14 +1292,34 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs, "id_a", "id_b")
+    canon = reps.join(comp, reps.rep_id == comp.id, "left").select(
+        "name",
+        F.coalesce("component", F.col("rep_id")).alias("canonical_id"),
+    )
     return (
-        ents.join(comp, ents.ent_id == comp.id, "left")
-        .select(
-            "ent_id",
-            "name",
-            F.coalesce("component", F.col("ent_id")).alias("canonical_id"),
-        )
+        ents.join(broadcast(canon), "name")
+        .select("ent_id", "name", "canonical_id")
         .orderBy("ent_id")
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py): oriented-wedge
+    enumeration over a 300-node projection graph derived from
+    lineitem (edge = (orderkey mod 300, partkey mod 300)) — each
+    triangle counted once via low->high edge orientation, two
+    int-pair shuffles. Top-10 nodes by triangle participation; the
+    oracle replays the identical joins in SQL."""
+    from etl_orders_to_bq_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 300).alias("a"),
+        (F.col("l_partkey") % 300).alias("b"),
+    )
+    return (
+        triangle_count(li)
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(10)
     )
 
 
@@ -4038,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "streaming_merge_upsert": q_streaming_merge_upsert,
         "entity_resolution": q_entity_resolution,
+        "triangle_count": q_triangle_count,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6561,6 +6590,30 @@ def oracle_sql() -> dict[str, str]:
         group by doc_id
         order by rrf_score desc, doc_id
         limit 20
+    """
+    out["triangle_count"] = """
+        with e0 as (
+          select distinct
+                 least(l_orderkey % 300, l_partkey % 300) as a,
+                 greatest(l_orderkey % 300, l_partkey % 300) as b
+          from lineitem
+          where l_orderkey % 300 != l_partkey % 300
+        ),
+        tri as (
+          select e1.a as x, e1.b as y, e2.b as z
+          from e0 e1
+          join e0 e2 on e1.b = e2.a
+          join e0 e3 on e3.a = e1.a and e3.b = e2.b
+        ),
+        nodes as (
+          select x as node from tri
+          union all select y from tri
+          union all select z from tri
+        )
+        select node, count(*) as n_triangles
+        from nodes group by node
+        order by n_triangles desc, node
+        limit 10
     """
     _er_wf = "[" + ", ".join(f"'{w}'" for w in _ER_FIRST) + "]"
     _er_wl = "[" + ", ".join(f"'{w}'" for w in _ER_LAST) + "]"

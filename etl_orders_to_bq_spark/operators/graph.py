@@ -150,6 +150,55 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Per-node triangle participation counts: (node, n_triangles).
+
+    The standard distributed formulation (Cohen's MapReduce triangle
+    enumeration): orient every undirected edge low-id -> high-id, so
+    each triangle {a,b,c} (a<b<c) is enumerated exactly once as the
+    wedge (a->b, b->c) closed by (a->c) — one self-join to build
+    wedges, one more to close them. Orientation is also the skew
+    control: a celebrity node of degree d contributes wedges only
+    through its HIGHER-id neighbors; production variants orient by
+    (degree, id) to cut the worst case further — same plan, different
+    comparator.
+
+    The oriented edge set is staged once (it feeds all three join
+    sides); ``checkpoint_path`` makes that durable parquet like the
+    other graph operators. Shuffles carry (int, int) pairs only.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no joins
+    beyond the single left-equi).
+    """
+    a, b = F.col(src), F.col(dst)
+    e = stage(
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        checkpoint_path,
+        "tri_edges",
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(e2, e1.y == e2.y2).select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

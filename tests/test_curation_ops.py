@@ -176,3 +176,19 @@ def test_importance_weights_prefers_target_vocabulary(spark):
     }
     # in-domain docs outrank out-of-domain; the mixed doc lands between
     assert w[1] == w[2] > w[4] > w[3]
+
+
+def test_triangle_count_known_graph(spark):
+    from etl_orders_to_bq_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4}: 4 triangles, every node in exactly 3; node 5
+    # hangs off node 1 (no triangle); edges arrive unordered/duplicated
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (1, 5), (5, 1)],
+        "a long, b long",
+    )
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
