@@ -1303,6 +1303,22 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-mining PMI (operators/lm.py): top-20 adjacent token
+    pairs by pointwise mutual information, min pair count 5 — bigrams
+    from a zip-with-shifted projection (no lag window), word-count
+    shuffles for the statistics. The oracle replays the identical
+    log-difference arithmetic in SQL."""
+    from etl_orders_to_bq_spark.operators.lm import pmi_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        pmi_bigrams(d, min_count=5)
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (operators/graph.py): oriented-wedge
     enumeration over a 300-node projection graph derived from
@@ -4067,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_merge_upsert": q_streaming_merge_upsert,
         "entity_resolution": q_entity_resolution,
         "triangle_count": q_triangle_count,
+        "pmi_bigrams": q_pmi_bigrams,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6589,6 +6606,36 @@ def oracle_sql() -> dict[str, str]:
         from unioned
         group by doc_id
         order by rrf_score desc, doc_id
+        limit 20
+    """
+    out["pmi_bigrams"] = f"""
+        with tok as (
+          select regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        uni as (select unnest(ts) as w from tok),
+        uc as (select w, count(*) as cw from uni group by w),
+        t as (select count(*) as tt from uni),
+        bi as (
+          select ts[u.i] as w1, ts[u.i + 1] as w2
+          from tok,
+               lateral (select unnest(range(1, greatest(len(ts), 1))) as i) u
+          where len(ts) > 1
+        ),
+        bc as (
+          select w1, w2, count(*) as n_pair
+          from bi group by w1, w2
+          having count(*) >= 5
+        ),
+        b as (select count(*) as bt from bi)
+        select w1, w2, n_pair,
+               round(log10(n_pair / b.bt)
+                     - log10(c1.cw / t.tt)
+                     - log10(c2.cw / t.tt), 6) as pmi
+        from bc
+        join uc c1 on bc.w1 = c1.w
+        join uc c2 on bc.w2 = c2.w, t, b
+        order by pmi desc, w1, w2
         limit 20
     """
     out["triangle_count"] = """

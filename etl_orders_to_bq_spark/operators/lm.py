@@ -94,6 +94,73 @@ def importance_weights(
     )
 
 
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Adjacent-bigram PMI — the phrase-mining statistic (word2phrase /
+    Mikolov et al. 2013 use exactly this to promote "new_york"-style
+    collocations before embedding training):
+
+        pmi(a,b) = log10 p(ab) - log10 p(a) - log10 p(b)
+
+    with p(ab) over the corpus bigram count and p(a), p(b) over the
+    unigram counts. Output: (w1, w2, n_pair, pmi) for pairs with
+    ``n_pair >= min_count``. The log-difference form (not a fused
+    ratio) keeps the float ops identical across engines for the
+    oracle.
+
+    Data flow: bigrams come from a zip-with-shifted-self projection
+    (NO window/lag shuffle — adjacency is in-row); then one groupBy
+    per statistic (pair counts, unigram counts) and two token-key
+    joins of the (already tiny, min_count-filtered) pair table against
+    the vocabulary. Totals stay lazy 1-row broadcasts. At 100 TB the
+    pair count groupBy is the dominant shuffle — Zipf-distributed but
+    map-side combinable, the word-count profile again.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation).
+    """
+    ts = tokenize(normalize_text(text_col))
+    toked = df.select(ts.alias("__ts"))
+    uni = toked.select(F.explode("__ts").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("__cw"))
+    tot = uni.agg(F.count("*").alias("__t"))
+    bi = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    btot = bi.agg(F.count("*").alias("__b"))
+    c1 = uc.select(F.col("w").alias("w1"), F.col("__cw").alias("__c1"))
+    c2 = uc.select(F.col("w").alias("w2"), F.col("__cw").alias("__c2"))
+    pmi = (
+        F.log10(F.col("n_pair") / F.col("__b"))
+        - F.log10(F.col("__c1") / F.col("__t"))
+        - F.log10(F.col("__c2") / F.col("__t"))
+    )
+    return (
+        bc.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1", "w2", "n_pair", F.round(pmi, ndigits).alias("pmi")
+        )
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

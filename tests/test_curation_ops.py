@@ -192,3 +192,35 @@ def test_triangle_count_known_graph(spark):
         for r in triangle_count(edges).collect()
     }
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pmi_bigrams_promotes_collocations(spark):
+    from etl_orders_to_bq_spark.operators.lm import pmi_bigrams
+
+    # "new york" always adjacent; "the" is everywhere -> low PMI
+    docs = spark.createDataFrame(
+        [(i, "the new york trip and the plain word soup goes on") for i in range(6)]
+        + [(10 + i, "the plain soup word trip and word the on goes") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in pmi_bigrams(docs, min_count=5).collect()
+    }
+    assert ("new", "york") in out and out[("new", "york")][0] == 6
+    # the perfect collocation outranks the stop-word pair
+    assert out[("new", "york")][1] > out[("the", "plain")][1]
+
+
+def test_span_dedup_conserves_distinct_spans(spark):
+    from etl_orders_to_bq_spark.operators.spans import span_dedup
+
+    # kept spans across the corpus == distinct span texts (each kept
+    # exactly once, nothing lost)
+    rows = [(i, _words(f"p{i % 4}_", 6) + " " + _words("shared", 6))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup(docs, span_tokens=6)
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    distinct_spans = 4 + 1  # four p-prefix spans + one shared span
+    assert total_kept == distinct_spans
