@@ -723,6 +723,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "text", bits=16).select("doc_id", "simhash")
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance <= 3 over a 32-bit
+    hash, found via pigeonhole blocking (operators/dedup.py::
+    simhash_hamming_pairs): 4 contiguous 8-bit blocks — any pair within
+    distance 3 agrees exactly on >= 1 block, so candidates come from an
+    equi-join on (block_index, block_value), never all-pairs; the
+    bit_count(xor) verify is a projection over candidates. Positives:
+    the first 10 docs re-planted with a short appended tail — long docs
+    flip only the bit positions whose vote margin was thin. The oracle
+    replays hash, blocking, and verify with DuckDB's >>/&/xor/
+    bit_count."""
+    from etl_orders_to_bq_spark.operators.dedup import simhash_hamming_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    docs2 = _spread_if_underpartitioned(spark, docs2)
+    return simhash_hamming_pairs(
+        docs2, text_col="text", id_col="doc_id", bits=32, max_dist=3
+    ).orderBy("id_a", "id_b")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification over MinHash-LSH candidate pairs;
     only the planted duplicates clear the 0.8 threshold. Candidates
@@ -4084,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "triangle_count": q_triangle_count,
         "pmi_bigrams": q_pmi_bigrams,
+        "simhash_hamming": q_simhash_hamming,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5363,6 +5389,39 @@ def oracle_sql() -> dict[str, str]:
                 from documents
             )
             select doc_id, cast({_simhash_sql(16)} as bigint) as simhash from t
+        """,
+        "simhash_hamming": f"""
+            with docs2 as (
+                select doc_id, text from documents
+                union all
+                select doc_id + 200000, text || ' near duplicate tail'
+                from documents where doc_id < 10
+            ),
+            t as (
+                select doc_id,
+                       list_transform(regexp_extract_all({_NORM}, '\\S+'),
+                                      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) as th
+                from docs2
+            ),
+            sh as (
+                select doc_id, cast({_simhash_sql(32)} as bigint) as sim from t
+            ),
+            keyed as (
+                select doc_id, sim, bi, (sim >> (bi * 8)) & 255 as bv
+                from sh, (select unnest(range(4)) as bi)
+            ),
+            cand as (
+                select distinct l.doc_id as id_a, r.doc_id as id_b,
+                                l.sim as sim_a, r.sim as sim_b
+                from keyed l
+                join keyed r on l.bi = r.bi and l.bv = r.bv
+                            and l.doc_id < r.doc_id
+            )
+            select id_a, id_b,
+                   cast(bit_count(xor(sim_a, sim_b)) as int) as hamming
+            from cand
+            where bit_count(xor(sim_a, sim_b)) <= 3
+            order by id_a, id_b
         """,
         "ngram_jaccard": f"""
             with docs2 as (

@@ -478,6 +478,76 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     return staged.select(*df.columns, sim.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= ``max_dist``.
+
+    Pigeonhole blocking (the scalable simhash-dedup shape): split the
+    ``bits``-bit simhash into ``max_dist + 1`` contiguous blocks — two
+    hashes within Hamming distance ``max_dist`` differ in at most
+    ``max_dist`` blocks, so they must agree EXACTLY on at least one.
+    Candidate generation is therefore an equi-join on
+    ``(block_index, block_value)``, never all-pairs; verification is
+    ``bit_count(xor)`` over candidates only, a pure projection.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Scale: per-row block keys are a projection; the self-join shuffles
+    ``max_dist + 1`` small int keys per row. Block width ``bits /
+    (max_dist + 1)`` bounds expected bucket population at ``n / 2**w``
+    (content-hash distributed) — wider hashes (64-bit) keep buckets
+    tiny at corpus scale for the same ``max_dist``.
+    """
+    n_blocks = max_dist + 1
+    if bits % n_blocks:
+        # distribute the remainder over the low blocks
+        widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+                  for i in range(n_blocks)]
+    else:
+        widths = [bits // n_blocks] * n_blocks
+
+    sh = simhash(df, text_col, bits=bits).select(id_col, "simhash")
+    blocks, start = [], 0
+    for i, w in enumerate(widths):
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright("simhash", start).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+        )
+        start += w
+    keyed = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("blk")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk"
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can agree on several blocks; dedup before the (cheap)
+        # verify so downstream consumers see each pair once. sims are
+        # functionally dependent on the ids, so they ride through.
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     candidates: DataFrame,
     docs: DataFrame,

@@ -75,6 +75,35 @@ def test_ngram_jaccard_verifies_candidates(docs, spark):
     assert verified[(1, 4)] == 0.0  # unrelated
 
 
+def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole blocking must find EVERY pair brute force finds — the
+    load-bearing property (any pair within Hamming max_dist shares at
+    least one exact block, so the block equi-join loses nothing)."""
+    from etl_orders_to_bq_spark.operators.dedup import simhash_hamming_pairs
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 5)))
+        for i in range(40)
+    ] + [(100 + i, " ".join(words[: 5 + (i % 2)])) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, bits=32, max_dist=3).collect()
+    }
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    ids = sorted(hashes)
+    expect = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert got == expect
+    assert expect, "fixture must plant at least one close pair"
+
+
 def test_simhash_near_dups_close_in_hamming(docs):
     hashes = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
     assert hashes[1] == hashes[2]  # identical text -> identical simhash
