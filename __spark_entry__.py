@@ -1344,6 +1344,28 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer round-1 statistics (operators/lm.py): top-20
+    adjacent character-pair counts over the word vocabulary, weighted
+    by word frequency — the argmax a byte-pair-encoding tokenizer
+    trainer takes each merge round. The corpus token stream is touched
+    once (word count); the pair stage runs over the distinct-word
+    table, which is what keeps BPE training tractable at corpus scale.
+    The oracle rebuilds symbols and pairs with DuckDB list
+    comprehensions."""
+    from etl_orders_to_bq_spark.operators.lm import (
+        bpe_pair_counts,
+        bpe_word_symbols,
+    )
+
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
+    return (
+        bpe_pair_counts(bpe_word_symbols(d))
+        .orderBy(F.desc("n_pair"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(20)
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (operators/graph.py): oriented-wedge
     enumeration over a 300-node projection graph derived from
@@ -4110,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pmi_bigrams": q_pmi_bigrams,
         "simhash_hamming": q_simhash_hamming,
+        "bpe_pair_counts": q_bpe_pair_counts,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6695,6 +6718,32 @@ def oracle_sql() -> dict[str, str]:
         join uc c1 on bc.w1 = c1.w
         join uc c2 on bc.w2 = c2.w, t, b
         order by pmi desc, w1, w2
+        limit 20
+    """
+    out["bpe_pair_counts"] = f"""
+        with toks as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        wc as (select w, count(*) as n_word from toks group by w),
+        syms as (
+          select n_word,
+                 [case when i = length(w) then substr(w, i, 1) || '</w>'
+                       else substr(w, i, 1) end
+                  for i in range(1, length(w) + 1)] as s
+          from wc
+        ),
+        pairs as (
+          select n_word, u.p as p
+          from syms,
+               unnest([{{'a': s[i], 'b': s[i + 1]}}
+                       for i in range(1, len(s))]) as u(p)
+        )
+        select p.a as sym_a, p.b as sym_b,
+               cast(sum(n_word) as bigint) as n_pair
+        from pairs
+        group by 1, 2
+        order by n_pair desc, sym_a, sym_b
         limit 20
     """
     out["triangle_count"] = """

@@ -161,6 +161,114 @@ def pmi_bigrams(
     )
 
 
+def bpe_word_symbols(
+    df: DataFrame, text_col: str = "text", eow: str = "</w>"
+) -> DataFrame:
+    """Distinct corpus words as BPE symbol arrays with counts.
+
+    Output ``(w, n_word, syms)`` where ``syms`` is the word split into
+    characters with ``eow`` appended to the last one (the Sennrich et
+    al. 2016 word representation, arXiv:1508.07909). One word-count
+    shuffle; everything after it operates on the VOCABULARY (Zipf: tiny
+    relative to the corpus), which is what makes corpus-scale BPE
+    training tractable — the token stream is never touched again.
+    """
+    uni = df.select(F.explode(tokenize(normalize_text(text_col))).alias("w"))
+    wc = uni.groupBy("w").agg(F.count("*").alias("n_word"))
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    syms = F.concat(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(eow))),
+    )
+    return wc.select("w", "n_word", syms.alias("syms"))
+
+
+def bpe_pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency — the
+    statistic a BPE trainer maximizes each round. Input is
+    ``bpe_word_symbols`` output (or the re-merged table mid-training).
+
+    Pairs come from a zip-with-shifted projection (adjacency is
+    in-row, no window); the groupBy is vocabulary-sized and map-side
+    combinable. Output ``(sym_a, sym_b, n_pair)``.
+    """
+    pairs = symbols.select(
+        F.col("n_word"),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("sym_a"), b.alias("sym_b")),
+            )
+        ).alias("p"),
+    ).select("p.sym_a", "p.sym_b", "n_word")
+    return pairs.groupBy("sym_a", "sym_b").agg(F.sum("n_word").alias("n_pair"))
+
+
+def _apply_bpe_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of one merge (a, b) -> ab over a
+    symbol array, as a pure-Column fold: append each symbol unless the
+    accumulator's tail is ``a`` and the symbol is ``b``, in which case
+    replace the tail with the merged symbol. Matches the sequential
+    semantics of the reference BPE algorithm (e.g. 'aaa' + (a,a) ->
+    [aa, a], not [a, aa])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_path: str | None = None,
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges from a corpus (Sennrich
+    et al. 2016): each round, count adjacent symbol pairs over the
+    vocabulary, take the most frequent (ties broken lexicographically
+    for determinism), and re-merge the symbol arrays.
+
+    Returns ``[(sym_a, sym_b, n_pair), ...]`` in merge order.
+
+    Scale: the corpus is scanned ONCE (word count); every round after
+    that runs over the distinct-word table — one vocabulary-sized
+    groupBy plus a 1-row driver collect per round. The re-merged
+    vocabulary is staged per round (``localCheckpoint``, or durable
+    parquet under ``checkpoint_path``) so lineage doesn't stack
+    ``n_merges`` folds deep.
+    """
+    from .staging import stage
+
+    vocab = stage(bpe_word_symbols(df, text_col), checkpoint_path, "bpe_v0")
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        top = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("n_pair"), F.asc("sym_a"), F.asc("sym_b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n_pair"] < 1:
+            break  # vocabulary fully merged
+        a, b, n = top[0]["sym_a"], top[0]["sym_b"], top[0]["n_pair"]
+        merges.append((a, b, n))
+        vocab = stage(
+            vocab.withColumn("syms", _apply_bpe_merge(F.col("syms"), a, b)),
+            checkpoint_path,
+            f"bpe_v{rnd + 1}",
+        )
+    return merges
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -224,3 +224,51 @@ def test_span_dedup_conserves_distinct_spans(spark):
     total_kept = out.agg(F.sum("n_kept")).first()[0]
     distinct_spans = 4 + 1  # four p-prefix spans + one shared span
     assert total_kept == distinct_spans
+
+
+def test_learn_bpe_merges_matches_sequential_reference(spark):
+    """The distributed BPE trainer must reproduce the classic
+    sequential algorithm (Sennrich et al. 2016) merge-for-merge,
+    including greedy left-to-right merge application and the
+    lexicographic tie-break."""
+    from collections import Counter
+
+    from etl_orders_to_bq_spark.operators.lm import learn_bpe_merges
+
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4  # exercises overlapping-merge greediness
+    )
+    docs = spark.createDataFrame(
+        [(0, " ".join(words[:10])), (1, " ".join(words[10:]))],
+        "doc_id long, text string",
+    ).repartition(3)
+
+    def ref_merges(word_list, n):
+        wc = Counter(word_list)
+        vocab = {w: [*w[:-1], w[-1] + "</w>"] for w in wc}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, cnt))
+            for w, syms in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return merges
+
+    got = learn_bpe_merges(docs, 8)
+    assert got == ref_merges(words, 8)
+    # 'aaa' must have merged greedily: (a,a) then (aa,a</w>) style —
+    # i.e. no merge pair may be impossible under sequential semantics
+    assert len(got) == 8
