@@ -1344,6 +1344,47 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_coord(key: str, pos: int, span: int, offset: float):
+    """Deterministic synthetic coordinate from an id column: an 8-hex
+    slice of md5, modulo a milli-degree span — identical arithmetic is
+    replayed in the DuckDB oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), pos, 8), 16, 10
+    ).cast("long")
+    return (h % span) / 1000.0 + offset
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (operators/geo.py::grid_radius_join):
+    customer and supplier points (deterministic md5-derived coords in a
+    [40,60)x[-10,30) degree region) paired within 100 km via
+    equirectangular grid-cell blocking — build side emits one cell,
+    probe side explodes its circle's bounding-box cells (latitude-aware
+    longitude reach), exact haversine verify over candidates only.
+    The oracle is SEMANTIC, not a replay: DuckDB brute-forces all
+    pairs, so a blocking bug that drops any in-radius pair
+    hash-mismatches."""
+    from etl_orders_to_bq_spark.operators.geo import grid_radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _geo_coord("c_custkey", 1, 20000, 40.0).alias("clat"),
+        _geo_coord("c_custkey", 9, 40000, -10.0).alias("clon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _geo_coord("s_suppkey", 1, 20000, 40.0).alias("slat"),
+        _geo_coord("s_suppkey", 9, 40000, -10.0).alias("slon"),
+    )
+    return (
+        grid_radius_join(
+            cust, supp, 100.0, "clat", "clon", "slat", "slon"
+        )
+        .select("c_custkey", "s_suppkey", "dist_km")
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE trainer round-1 statistics (operators/lm.py): top-20
     adjacent character-pair counts over the word vocabulary, weighted
@@ -4133,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "simhash_hamming": q_simhash_hamming,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "geo_radius_join": q_geo_radius_join,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6745,6 +6787,37 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["geo_radius_join"] = """
+        with c as (
+          select c_custkey,
+                 (('0x' || substr(md5(cast(c_custkey as varchar)), 1, 8))::bigint
+                  % 20000) / 1000.0 + 40.0 as clat,
+                 (('0x' || substr(md5(cast(c_custkey as varchar)), 9, 8))::bigint
+                  % 40000) / 1000.0 - 10.0 as clon
+          from customer
+        ),
+        s as (
+          select s_suppkey,
+                 (('0x' || substr(md5(cast(s_suppkey as varchar)), 1, 8))::bigint
+                  % 20000) / 1000.0 + 40.0 as slat,
+                 (('0x' || substr(md5(cast(s_suppkey as varchar)), 9, 8))::bigint
+                  % 40000) / 1000.0 - 10.0 as slon
+          from supplier
+        ),
+        pairs as (
+          select c_custkey, s_suppkey,
+                 round(2.0 * 6371.0088 * asin(sqrt(
+                     sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2)
+                   + cos(radians(clat)) * cos(radians(slat))
+                   * sin(radians(slon - clon) / 2) * sin(radians(slon - clon) / 2)
+                 )), 6) as dist_km
+          from c, s
+        )
+        select c_custkey, s_suppkey, dist_km
+        from pairs
+        where dist_km <= 100.0
+        order by c_custkey, s_suppkey
     """
     out["triangle_count"] = """
         with e0 as (
