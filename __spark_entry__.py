@@ -1344,6 +1344,25 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection (operators/quality.py::mad_outliers):
+    events whose value sits more than 3 scaled-MADs from their event
+    type's median — the outlier rule that survives the outliers
+    themselves (mean/stddev rules don't; the heavy tail of `value`
+    would inflate sigma and mask its own members). Two grouped exact
+    medians + joins, all keyed on the group column. The oracle replays
+    median/MAD/threshold in SQL."""
+    from etl_orders_to_bq_spark.operators.quality import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        mad_outliers(e, "value", "event_type", k=3.0)
+        .filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "value", "robust_z")
+        .orderBy("event_id")
+    )
+
+
 def _geo_coord(key: str, pos: int, span: int, offset: float):
     """Deterministic synthetic coordinate from an id column: an 8-hex
     slice of md5, modulo a milli-degree span — identical arithmetic is
@@ -4175,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "bpe_pair_counts": q_bpe_pair_counts,
         "geo_radius_join": q_geo_radius_join,
+        "mad_outliers": q_mad_outliers,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6787,6 +6807,27 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["mad_outliers"] = """
+        with med as (
+          select event_type, median(value) as med
+          from events group by 1
+        ),
+        j as (
+          select event_id, e.event_type, value, med
+          from events e join med using (event_type)
+        ),
+        mad as (
+          select event_type, median(abs(value - med)) as mad
+          from j group by 1
+        ),
+        scored as (
+          select event_id, j.event_type, value,
+                 round(abs(value - med) / (1.4826 * mad), 6) as robust_z
+          from j join mad using (event_type)
+          where mad > 0
+        )
+        select * from scored where robust_z > 3.0 order by event_id
     """
     out["geo_radius_join"] = """
         with c as (

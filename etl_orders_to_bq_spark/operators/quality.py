@@ -129,3 +129,50 @@ def observed_write(
     observed = df.observe(obs, *named)
     write_table(observed, target, fmt=fmt, if_exists=if_exists)
     return dict(obs.get)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | str,
+    k: float = 3.0,
+    scale: float = 1.4826,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier scoring via median absolute deviation.
+
+    Appends ``robust_z = |x - median| / (scale * MAD)`` (rounded to
+    ``ndigits``) and ``is_outlier = robust_z > k`` per group. ``scale``
+    defaults to 1.4826, the consistency constant making MAD estimate
+    sigma under normality — so ``k`` reads like a z-score threshold but
+    is immune to the outliers themselves (unlike mean/stddev rules,
+    where one huge value inflates sigma and masks its peers).
+
+    Degenerate groups (MAD = 0: over half the values identical) get a
+    null ``robust_z`` and ``is_outlier = false``.
+
+    Scale: two grouped exact medians + two joins, ALL keyed on the
+    group columns — one shuffle establishes the partitioning and the
+    rest reuses it. Exact median is Spark's native ``median`` aggregate
+    (no sort-the-world); swap in ``approx_percentile`` for sketchy
+    medians if the groups are billions of rows.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    x = F.col(value_col)
+    med = df.groupBy(*gc).agg(F.median(value_col).alias("__med"))
+    with_med = df.join(med, gc)
+    mad = with_med.groupBy(*gc).agg(
+        F.median(F.abs(x - F.col("__med"))).alias("__mad")
+    )
+    z = F.abs(x - F.col("__med")) / (F.lit(scale) * F.col("__mad"))
+    return (
+        with_med.join(mad, gc)
+        .withColumn(
+            "robust_z", F.when(F.col("__mad") > 0, F.round(z, ndigits))
+        )
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.col("robust_z") > F.lit(k), F.lit(False)),
+        )
+        .drop("__med", "__mad")
+    )

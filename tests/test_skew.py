@@ -262,3 +262,33 @@ def test_apply_cdc_delete_wins_by_seq(spark):
     )
     got = {r["k"]: r["v"] for r in apply_cdc(snap, log, ["k"]).collect()}
     assert got == {2: 22.0, 3: 30.0, 9: 99.0}
+
+
+def test_mad_outliers_resists_masking_and_handles_degenerate_groups(spark):
+    """The MAD rule must catch outliers a mean/stddev rule would mask
+    (two huge values inflate sigma enough to hide each other), and a
+    group where >half the values are identical (MAD=0) must flag
+    nothing rather than divide by zero."""
+    import statistics
+
+    from etl_orders_to_bq_spark.operators.quality import mad_outliers
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.0]
+    spiked = base + [1000.0, 1200.0]
+    rows = [("a", i, v) for i, v in enumerate(spiked)]
+    rows += [("b", 100 + i, 5.0) for i in range(6)] + [("b", 110, 50.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+
+    out = mad_outliers(df, "v", "g", k=3.0).collect()
+    flagged = {r["id"] for r in out if r["is_outlier"]}
+    assert flagged == {10, 11}  # both spikes caught
+
+    # classic z-score would mask: sigma is inflated by the spikes
+    mu = statistics.mean(spiked)
+    sigma = statistics.pstdev(spiked)
+    assert abs(1000.0 - mu) / sigma < 3.0
+
+    # degenerate group: MAD = 0 -> null z, nothing flagged
+    b_rows = [r for r in out if r["g"] == "b"]
+    assert all(r["robust_z"] is None for r in b_rows)
+    assert not any(r["is_outlier"] for r in b_rows)
