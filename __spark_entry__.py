@@ -1344,6 +1344,31 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/
+    attribution.py): every purchase event gets the earliest and the
+    latest click/view by the same user at-or-before it — computed as
+    running first/last-non-null over ONE per-user ordered window (one
+    shuffle), not a conversions-x-touches range join. Unattributed
+    purchases keep null touches. The oracle states the semantics
+    independently: a left range-join with min_by/max_by over
+    (ts, event_id), so the window formulation is checked against the
+    declarative definition, not a replay of itself."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        attribute_conversions(e)
+        .select(
+            "conv_id", "user_id", "first_touch_id", "first_touch_type",
+            "last_touch_id", "last_touch_type",
+        )
+        .orderBy("conv_id")
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection (operators/quality.py::mad_outliers):
     events whose value sits more than 3 scaled-MADs from their event
@@ -4195,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "geo_radius_join": q_geo_radius_join,
         "mad_outliers": q_mad_outliers,
+        "attribution": q_attribution,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6807,6 +6833,28 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["attribution"] = """
+        with conv as (
+          select event_id, user_id, ts from events
+          where event_type = 'purchase'
+        ),
+        touch as (
+          select user_id, ts, event_type, event_id from events
+          where event_type in ('click', 'view')
+        )
+        select c.event_id as conv_id, c.user_id,
+               min_by(t.event_id, k.sk) as first_touch_id,
+               min_by(t.event_type, k.sk) as first_touch_type,
+               max_by(t.event_id, k.sk) as last_touch_id,
+               max_by(t.event_type, k.sk) as last_touch_type
+        from conv c
+        left join touch t on c.user_id = t.user_id and t.ts <= c.ts,
+        lateral (select strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+                        || '|' || lpad(cast(t.event_id as varchar), 12, '0')
+                 as sk) k
+        group by 1, 2
+        order by conv_id
     """
     out["mad_outliers"] = """
         with med as (

@@ -292,3 +292,43 @@ def test_mad_outliers_resists_masking_and_handles_degenerate_groups(spark):
     b_rows = [r for r in out if r["g"] == "b"]
     assert all(r["robust_z"] is None for r in b_rows)
     assert not any(r["is_outlier"] for r in b_rows)
+
+
+def test_attribution_first_last_touch_and_unattributed(spark):
+    """First/last-touch selection, same-timestamp touch counts toward
+    the conversion, and purchases with no prior touch stay (nulls)."""
+    from datetime import datetime
+
+    from etl_orders_to_bq_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # user 1: view, click, purchase, later click, second purchase
+        (1, 1, t("09:00:00"), "view"),
+        (2, 1, t("09:05:00"), "click"),
+        (3, 1, t("09:10:00"), "purchase"),
+        (4, 1, t("09:20:00"), "click"),
+        (5, 1, t("09:30:00"), "purchase"),
+        # user 2: touch EXACTLY at conversion time -> attributable
+        (6, 2, t("10:00:00"), "click"),
+        (7, 2, t("10:00:00"), "purchase"),
+        # user 3: purchase with no touch at all
+        (8, 3, t("11:00:00"), "purchase"),
+        # user 4: touch AFTER the purchase -> not attributable
+        (9, 4, t("12:00:00"), "purchase"),
+        (10, 4, t("12:01:00"), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).repartition(4)
+    out = {r["conv_id"]: r for r in attribute_conversions(df).collect()}
+
+    assert set(out) == {3, 5, 7, 8, 9}
+    assert (out[3]["first_touch_id"], out[3]["last_touch_id"]) == (1, 2)
+    # second purchase: first touch unchanged, last touch advances
+    assert (out[5]["first_touch_id"], out[5]["last_touch_id"]) == (1, 4)
+    assert out[7]["last_touch_id"] == 6  # same-ts touch counts
+    assert out[8]["first_touch_id"] is None and out[8]["last_touch_id"] is None
+    assert out[9]["first_touch_id"] is None  # later touch doesn't count
