@@ -1429,6 +1429,23 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths (operators/graph.py::
+    shortest_paths) over the 300-node lineitem projection graph
+    (edge = (orderkey mod 300, partkey mod 300), undirected): hop
+    distance from node 0 for every reachable node. Frontier-driven
+    joins with per-round staging and empty-frontier early exit. The
+    oracle is an independent declarative formulation: a recursive CTE
+    enumerating (node, depth) walks with min(depth) per node."""
+    from etl_orders_to_bq_spark.operators.graph import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return shortest_paths(li, 0, directed=False, max_hops=10).orderBy("node")
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE trainer round-1 statistics (operators/lm.py): top-20
     adjacent character-pair counts over the word vocabulary, weighted
@@ -4221,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_join": q_geo_radius_join,
         "mad_outliers": q_mad_outliers,
         "attribution": q_attribution,
+        "shortest_paths": q_shortest_paths,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6833,6 +6851,24 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["shortest_paths"] = """
+        with recursive e as (
+          select distinct a, b from (
+            select l_orderkey % 300 as a, l_partkey % 300 as b from lineitem
+            union all
+            select l_partkey % 300, l_orderkey % 300 from lineitem
+          ) where a <> b
+        ),
+        bfs as (
+          select cast(0 as bigint) as node, 0 as d
+          union
+          select e.b, bfs.d + 1
+          from bfs join e on e.a = bfs.node
+          where bfs.d < 10
+        )
+        select node, cast(min(d) as int) as distance
+        from bfs group by node order by node
     """
     out["attribution"] = """
         with conv as (

@@ -299,3 +299,66 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_hops: int = 20,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Single-source unweighted shortest path lengths via BFS frontier
+    expansion. Returns ``(node, distance)`` for every node reachable
+    from ``source`` within ``max_hops`` (the source itself at 0).
+
+    Each hop is one join of the CURRENT FRONTIER against the staged
+    edge table plus an anti-join against already-visited nodes — the
+    frontier (not the whole graph) drives the shuffle, so late rounds
+    over a shrinking frontier are cheap. Rounds are staged
+    (``localCheckpoint``, or durable parquet under
+    ``checkpoint_path``) to truncate lineage; the loop exits as soon
+    as a frontier comes back empty.
+
+    At 100 TB scale this is the textbook Pregel BFS mapped onto
+    DataFrame joins; ``max_hops`` bounds the rounds the same way
+    ``max_iter`` bounds connected_components.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = stage(e.filter(F.col("a") != F.col("b")).distinct(),
+              checkpoint_path, "sp_edges")
+
+    spark = edges.sparkSession
+    frontier = stage(
+        spark.createDataFrame([(int(source), 0)], "node long, distance int"),
+        checkpoint_path,
+        "sp_f0",
+    )
+    visited = [frontier]
+    for hop in range(1, max_hops + 1):
+        seen = visited[0]
+        for f in visited[1:]:
+            seen = seen.unionByName(f)
+        nxt = (
+            frontier.join(e, frontier.node == e.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        nxt = stage(nxt, checkpoint_path, f"sp_f{hop}")
+        if nxt.isEmpty():
+            break
+        visited.append(nxt)
+        frontier = nxt
+
+    out = visited[0]
+    for f in visited[1:]:
+        out = out.unionByName(f)
+    return out

@@ -272,3 +272,27 @@ def test_learn_bpe_merges_matches_sequential_reference(spark):
     # 'aaa' must have merged greedily: (a,a) then (aa,a</w>) style —
     # i.e. no merge pair may be impossible under sequential semantics
     assert len(got) == 8
+
+
+def test_shortest_paths_bfs_distances(spark):
+    """Multi-hop distances on a path graph, unreachable nodes absent,
+    and directed mode respects edge orientation."""
+    from etl_orders_to_bq_spark.operators.graph import shortest_paths
+
+    # path 0-1-2-3-4 plus a shortcut 0-3, and an island 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (10, 11)],
+        "src long, dst long",
+    ).repartition(3)
+
+    und = {r["node"]: r["distance"]
+           for r in shortest_paths(edges, 0, max_hops=10).collect()}
+    assert und == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # shortcut wins; island absent
+
+    dir_ = {r["node"]: r["distance"]
+            for r in shortest_paths(edges, 4, directed=True, max_hops=10).collect()}
+    assert dir_ == {4: 0}  # nothing is reachable against the arrows
+
+    dir0 = {r["node"]: r["distance"]
+            for r in shortest_paths(edges, 1, directed=True, max_hops=10).collect()}
+    assert dir0 == {1: 0, 2: 1, 3: 2, 4: 3}
