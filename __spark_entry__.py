@@ -1429,6 +1429,23 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (operators/lm.py): top-20
+    (center, context) pairs within a ±2 token window — the word2vec
+    training-pair table. Generation is in-row (indexed transform
+    slicing its own neighborhood, no self-join); the single shuffle is
+    the final word-count-profile groupBy. The oracle rebuilds the
+    neighborhood with nested DuckDB list comprehensions."""
+    from etl_orders_to_bq_spark.operators.lm import skipgram_pairs
+
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
+    return (
+        skipgram_pairs(d, window=2)
+        .orderBy(F.desc("n_pair"), F.asc("center"), F.asc("context"))
+        .limit(20)
+    )
+
+
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS shortest paths (operators/graph.py::
     shortest_paths) over the 300-node lineitem projection graph
@@ -4239,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "attribution": q_attribution,
         "shortest_paths": q_shortest_paths,
+        "skipgram_pairs": q_skipgram_pairs,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6850,6 +6868,25 @@ def oracle_sql() -> dict[str, str]:
         from pairs
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
+        limit 20
+    """
+    out["skipgram_pairs"] = f"""
+        with toked as (
+          select regexp_extract_all({_NORM}, '\\S+') as ts from documents
+        ),
+        pairs as (
+          select u.p as p
+          from toked, unnest(flatten(
+            [[{{'c': ts[i], 'x': ts[j]}}
+              for j in range(greatest(1, i - 2), least(len(ts), i + 2) + 1)
+              if j != i]
+             for i in range(1, len(ts) + 1)]
+          )) as u(p)
+        )
+        select p.c as center, p.x as context, count(*) as n_pair
+        from pairs
+        group by 1, 2
+        order by n_pair desc, center, context
         limit 20
     """
     out["shortest_paths"] = """

@@ -269,6 +269,48 @@ def learn_bpe_merges(
     return merges
 
 
+def skipgram_pairs(
+    df: DataFrame, text_col: str = "text", window: int = 2
+) -> DataFrame:
+    """(center, context, n_pair) counts for skip-gram training — the
+    (word, context-word-within-±window) co-occurrence table word2vec
+    and GloVe train from (Mikolov et al. 2013, arXiv:1301.3781).
+
+    Pair generation is entirely IN-ROW (an indexed transform over the
+    token array slicing its own ±window neighborhood — no self-join,
+    no lag window, no shuffle until the final count), so the only
+    shuffle is one map-side-combinable groupBy over (center, context).
+    At corpus scale the exploded pair stream is 2·window × token count
+    rows of two short strings; the classic word-count profile.
+    """
+    ts = tokenize(normalize_text(text_col))
+    toked = df.select(ts.alias("__ts"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ts"),
+            lambda t, i: F.transform(
+                F.concat(
+                    # left neighbors: positions max(1, i+1-w) .. i (1-based)
+                    F.slice(
+                        F.col("__ts"),
+                        F.greatest(i + 1 - window, F.lit(1)),
+                        F.least(i, F.lit(window)),
+                    ),
+                    # right neighbors: i+2 .. i+1+w, slice clips the tail
+                    F.slice(F.col("__ts"), i + 2, F.lit(window)),
+                ),
+                lambda c: F.struct(t.alias("center"), c.alias("context")),
+            ),
+        )
+    )
+    return (
+        toked.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pair"))
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

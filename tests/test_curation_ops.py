@@ -296,3 +296,27 @@ def test_shortest_paths_bfs_distances(spark):
     dir0 = {r["node"]: r["distance"]
             for r in shortest_paths(edges, 1, directed=True, max_hops=10).collect()}
     assert dir0 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_skipgram_pairs_window_edges(spark):
+    """Window must clip at both sentence edges and exclude the center
+    itself; counts verified against a hand expansion."""
+    from collections import Counter
+
+    from etl_orders_to_bq_spark.operators.lm import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pair"]
+        for r in skipgram_pairs(docs, window=2).collect()
+    }
+
+    expect = Counter()
+    for sent in ("a b c d".split(), "a b".split()):
+        for i, c in enumerate(sent):
+            for j in range(max(0, i - 2), min(len(sent), i + 3)):
+                if j != i:
+                    expect[(c, sent[j])] += 1
+    assert got == dict(expect)
