@@ -1429,6 +1429,26 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merging (operators/temporal.py::
+    merge_intervals): each order opens a 30-day activity window;
+    windows per customer that overlap or touch merge into maximal
+    active periods. One window shuffle on the customer key; the
+    island groupBy reuses the partitioning. The oracle replays the
+    running-max-end island construction with SQL windows."""
+    from etl_orders_to_bq_spark.operators.temporal import merge_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("active_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("active_to"),
+    )
+    return (
+        merge_intervals(o, "o_custkey", "active_from", "active_to")
+        .orderBy("o_custkey", "island_start")
+    )
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence counts (operators/lm.py): top-20
     (center, context) pairs within a ±2 token window — the word2vec
@@ -4257,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "shortest_paths": q_shortest_paths,
         "skipgram_pairs": q_skipgram_pairs,
+        "interval_merge": q_interval_merge,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6869,6 +6890,37 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["interval_merge"] = """
+        with iv as (
+          select o_custkey, o_orderdate as s,
+                 o_orderdate + interval 30 day as e
+          from orders
+        ),
+        m as (
+          select o_custkey, s, e,
+                 max(e) over (partition by o_custkey order by s, e
+                              rows between unbounded preceding
+                                       and 1 preceding) as pm
+          from iv
+        ),
+        fl as (
+          select o_custkey, s, e,
+                 case when pm is null or s > pm then 1 else 0 end as nw
+          from m
+        ),
+        isl as (
+          select o_custkey, s, e,
+                 sum(nw) over (partition by o_custkey order by s, e
+                               rows between unbounded preceding
+                                        and current row) as island
+          from fl
+        )
+        select o_custkey, min(s) as island_start, max(e) as island_end,
+               count(*) as n_merged
+        from isl
+        group by o_custkey, island
+        order by o_custkey, island_start
     """
     out["skipgram_pairs"] = f"""
         with toked as (

@@ -99,3 +99,51 @@ def asof_join(
         value_exprs = [F.col(f"__f_{c}").alias(c) for c in value_cols]
 
     return out.select(*l_cols, *value_exprs)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    "islands": ``(keys..., island_start, island_end, n_merged)``.
+
+    The interval form of gaps-and-islands: order intervals by
+    ``(start, end)`` within each key, flag a new island whenever a
+    row's start exceeds the running max end of everything before it,
+    and turn the running sum of flags into an island id. Handles
+    intervals nested inside earlier ones (the running MAX end, not the
+    previous row's end, is what closes an island).
+
+    Scale: one window shuffle on the key, then a groupBy on
+    (key, island) that reuses the same partitioning — AQE sees the
+    window exchange satisfies the aggregation's distribution. The
+    running-max and running-sum frames are streaming (no per-row frame
+    rescan).
+    """
+    gc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*gc).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0),
+    )
+    island = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(*gc, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -332,3 +332,22 @@ def test_attribution_first_last_touch_and_unattributed(spark):
     assert out[7]["last_touch_id"] == 6  # same-ts touch counts
     assert out[8]["first_touch_id"] is None and out[8]["last_touch_id"] is None
     assert out[9]["first_touch_id"] is None  # later touch doesn't count
+
+
+def test_merge_intervals_nested_touching_disjoint(spark):
+    """Islands must close on the running MAX end (nested intervals
+    can't reopen one), touching intervals merge, disjoint don't."""
+    from etl_orders_to_bq_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # key a: [0,10] contains [2,3]; [10,12] touches; [20,25] is new
+        ("a", 0, 10), ("a", 2, 3), ("a", 10, 12), ("a", 20, 25),
+        # key b: chain via overlap
+        ("b", 1, 5), ("b", 4, 9), ("b", 8, 11),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long").repartition(3)
+    got = {
+        (r["k"], r["island_start"], r["island_end"]): r["n_merged"]
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {("a", 0, 12): 3, ("a", 20, 25): 1, ("b", 1, 11): 3}
