@@ -1429,6 +1429,33 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
+    plus url_decode over deterministic per-document URLs, rolled up to
+    per-host doc counts — the URL-keyed shape of web-corpus curation
+    (C4/RefinedWeb dedupe and quota by registered domain). Pure
+    Column functions; one rollup shuffle. The oracle rebuilds the URL
+    and extracts with regexes."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&q=a%20b%2Bc"),
+    )
+    parsed = d.select(
+        F.col("doc_id"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias("q"),
+    )
+    return (
+        parsed.groupBy("host", "qlang", "q")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("host", "qlang")
+    )
+
+
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-interval merging (operators/temporal.py::
     merge_intervals): each order opens a 30-day activity window;
@@ -4278,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "skipgram_pairs": q_skipgram_pairs,
         "interval_merge": q_interval_merge,
+        "url_funcs": q_url_funcs,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6890,6 +6918,28 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["url_funcs"] = """
+        with u as (
+          select doc_id,
+                 'https://' || source || '.example.com/docs/'
+                 || cast(doc_id as varchar) || '?lang=' || lang
+                 || '&q=a%20b%2Bc' as url
+          from documents
+        ),
+        parsed as (
+          select doc_id,
+                 regexp_extract(url, '^https://([^/]+)/', 1) as host,
+                 regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) as path,
+                 regexp_extract(url, '[?&]lang=([^&]*)', 1) as qlang,
+                 replace(replace(regexp_extract(url, '[?&]q=([^&]*)', 1),
+                                 '%20', ' '), '%2B', '+') as q
+          from u
+        )
+        select host, qlang, q, count(*) as n_docs, min(doc_id) as min_doc
+        from parsed
+        group by 1, 2, 3
+        order by host, qlang
     """
     out["interval_merge"] = """
         with iv as (
