@@ -1429,6 +1429,32 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing (operators/merge.py::snapshot_diff): two
+    deterministic 'versions' of the customer table (modular filters
+    simulate inserts/deletes, a balance bump simulates updates) diffed
+    into an I/U/D change log — the inverse of apply_cdc, the way
+    incremental pipelines turn vendor full-dumps into CDC streams. One
+    full-outer key join; null-safe change detection is a projection.
+    The oracle replays the diff declaratively in SQL."""
+    from etl_orders_to_bq_spark.operators.merge import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    old = c.filter(F.col("c_custkey") % 11 != 3)
+    new = c.filter(F.col("c_custkey") % 13 != 5).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.round(F.col("c_acctbal") + 10.0, 2),
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return snapshot_diff(
+        old, new, "c_custkey", ["c_name", "c_acctbal"]
+    ).orderBy("c_custkey")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -4306,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "interval_merge": q_interval_merge,
         "url_funcs": q_url_funcs,
+        "snapshot_diff": q_snapshot_diff,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6918,6 +6945,29 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["snapshot_diff"] = """
+        with c as (select c_custkey, c_name, c_acctbal from customer),
+        old as (select * from c where c_custkey % 11 <> 3),
+        new as (
+          select c_custkey, c_name,
+                 case when c_custkey % 10 = 0
+                      then round(c_acctbal + 10.0, 2)
+                      else c_acctbal end as c_acctbal
+          from c where c_custkey % 13 <> 5
+        )
+        select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+               case when o.c_custkey is not null and n.c_custkey is not null
+                    then 'U'
+                    when n.c_custkey is not null then 'I'
+                    else 'D' end as op,
+               n.c_name as c_name, n.c_acctbal as c_acctbal
+        from old o
+        full outer join new n on o.c_custkey = n.c_custkey
+        where o.c_custkey is null or n.c_custkey is null
+           or (o.c_acctbal is distinct from n.c_acctbal
+               or o.c_name is distinct from n.c_name)
+        order by c_custkey
     """
     out["url_funcs"] = """
         with u as (

@@ -132,3 +132,67 @@ def merge_upsert(
             F.when(src_wins, F.col(f"__s_{c}")).otherwise(t[c]).alias(c)
         )
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a table into a change log: one row per key
+    that changed, with ``op`` in ``I`` (insert: key only in ``new``),
+    ``U`` (update: key in both, any compared column differs null-safely),
+    ``D`` (delete: key only in ``old``) — the inverse of ``apply_cdc``
+    (``apply_cdc(old, snapshot_diff(old, new)) == new``), which is how
+    incremental pipelines turn vendor full-dumps into CDC streams.
+
+    Output carries the key columns, ``op``, and the NEW values of the
+    compared columns (null for deletes). Unchanged keys are absent.
+
+    Scale: one full-outer join on the key — the one unavoidable
+    shuffle; change detection is a null-safe column comparison
+    projection. Snapshots of 100 TB diff at the cost of one
+    co-partitioned join; bucket both snapshots on the key to make it
+    exchange-free.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = e if cond is None else (cond & e)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in cmp_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(in_old & in_new, F.when(changed, F.lit("U")))
+        .when(in_new, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "op",
+            *[F.col(f"__n_{c}").alias(c) for c in cmp_cols],
+        )
+    )

@@ -351,3 +351,35 @@ def test_merge_intervals_nested_touching_disjoint(spark):
         for r in merge_intervals(df, "k", "s", "e").collect()
     }
     assert got == {("a", 0, 12): 3, ("a", 20, 25): 1, ("b", 1, 11): 3}
+
+
+def test_snapshot_diff_roundtrips_through_apply_cdc(spark):
+    """snapshot_diff is the inverse of apply_cdc: applying the diff of
+    (old, new) onto old must reproduce new exactly — including a
+    null-valued update, a delete, and an insert."""
+    from etl_orders_to_bq_spark.operators.merge import (
+        apply_cdc,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> absent from diff
+         (2, "b2", 20.0),     # update (name)
+         (3, "c", 30.0),      # update (null -> value)
+         (5, "e", 50.0)],     # insert; 4 deleted
+        "id long, name string, bal double",
+    )
+    diff = snapshot_diff(old, new, "id")
+    ops = {r["id"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}
+
+    log = diff.withColumn("seq", F.lit(1))
+    rebuilt = apply_cdc(old, log, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
