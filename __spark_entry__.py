@@ -3775,6 +3775,58 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-merged form of rolling_active_users — the shape
+    SCALING.md prescribes when exact sliding-window distincts stop
+    map-side combining: ONE HLL sketch per day (lgK=12), each day's
+    SKETCH (a few KB, not its user-days) explodes to the ≤7 window
+    ends it serves, hll_union_agg merges 7 sketches per end. The exact
+    count rides the same query so the estimate gates against its
+    published error (3x rsd ≈ 5%) via the bounded-error-oracle
+    pattern; the oracle recomputes the exact rolling distincts and
+    pins the boolean."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ends = days.select("day").distinct()
+    daily = days.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    contrib = daily.withColumn(
+        "win_end",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))),
+    )
+    approx = (
+        contrib.join(
+            broadcast(ends.withColumnRenamed("day", "win_end")), "win_end"
+        )
+        .groupBy("win_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_7d"))
+    )
+    exact_contrib = days.withColumn(
+        "win_end",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))),
+    )
+    exact = (
+        exact_contrib.join(
+            broadcast(ends.withColumnRenamed("day", "win_end")), "win_end"
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    return (
+        exact.join(approx, "win_end")
+        .select(
+            "win_end",
+            "active_7d",
+            (
+                F.abs(F.col("approx_7d") - F.col("active_7d"))
+                <= F.greatest(F.col("active_7d") * 0.05, F.lit(1.0))
+            ).alias("hll_within_bound"),
+        )
+        .orderBy("win_end")
+    )
+
+
 def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totals: bucket index as a pure
     projection (floor divide, capped top bucket) feeding one map-side
@@ -4333,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "url_funcs": q_url_funcs,
         "snapshot_diff": q_snapshot_diff,
+        "rolling_active_hll": q_rolling_active_hll,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6351,6 +6404,20 @@ def oracle_sql() -> dict[str, str]:
             ends as (select distinct day as win_end from days)
             select win_end,
                    count(distinct user_id) as active_7d
+            from ends join days
+              on day <= win_end and day > win_end - 7
+            group by win_end
+            order by win_end
+        """,
+        "rolling_active_hll": """
+            with days as (
+              select distinct user_id, cast(ts as date) as day
+              from events
+            ),
+            ends as (select distinct day as win_end from days)
+            select win_end,
+                   count(distinct user_id) as active_7d,
+                   true as hll_within_bound
             from ends join days
               on day <= win_end and day > win_end - 7
             group by win_end
