@@ -3775,6 +3775,49 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout in one aggregation pass: users hash-split
+    into control/treatment (md5 parity — the deterministic assignment
+    real experiment frameworks use), per-arm n/mean/sample-variance of
+    purchase values via conditional aggregates (no join, no second
+    scan), then Welch's t statistic and its Satterthwaite degrees of
+    freedom as a projection over the 1-row aggregate. The oracle
+    replays the identical formula; both engines' var_samp agree at the
+    6-dp rounding."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    t_val = F.when(arm == 1, F.col("value"))
+    c_val = F.when(arm == 0, F.col("value"))
+    agg = e.agg(
+        F.count(c_val).alias("n_c"),
+        F.count(t_val).alias("n_t"),
+        F.avg(c_val).alias("mean_c"),
+        F.avg(t_val).alias("mean_t"),
+        F.var_samp(c_val).alias("var_c"),
+        F.var_samp(t_val).alias("var_t"),
+    )
+    se2_c = F.col("var_c") / F.col("n_c")
+    se2_t = F.col("var_t") / F.col("n_t")
+    t_stat = (F.col("mean_t") - F.col("mean_c")) / F.sqrt(se2_t + se2_c)
+    dof = (se2_t + se2_c) * (se2_t + se2_c) / (
+        se2_t * se2_t / (F.col("n_t") - 1) + se2_c * se2_c / (F.col("n_c") - 1)
+    )
+    return agg.select(
+        "n_c",
+        "n_t",
+        F.round("mean_c", 6).alias("mean_c"),
+        F.round("mean_t", 6).alias("mean_t"),
+        F.round(F.col("mean_t") - F.col("mean_c"), 6).alias("lift"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 3).alias("dof"),
+    )
+
+
 def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-merged form of rolling_active_users — the shape
     SCALING.md prescribes when exact sliding-window distincts stop
@@ -4386,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": q_url_funcs,
         "snapshot_diff": q_snapshot_diff,
         "rolling_active_hll": q_rolling_active_hll,
+        "ab_test": q_ab_test,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6408,6 +6452,33 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "ab_test": """
+            with p as (
+              select value,
+                     (('0x' || substr(md5(cast(user_id as varchar)), 1, 8))::bigint
+                      % 2) as arm
+              from events where event_type = 'purchase'
+            ),
+            agg as (
+              select count(case when arm = 0 then 1 end) as n_c,
+                     count(case when arm = 1 then 1 end) as n_t,
+                     avg(case when arm = 0 then value end) as mean_c,
+                     avg(case when arm = 1 then value end) as mean_t,
+                     var_samp(case when arm = 0 then value end) as var_c,
+                     var_samp(case when arm = 1 then value end) as var_t
+              from p
+            )
+            select n_c, n_t,
+                   round(mean_c, 6) as mean_c,
+                   round(mean_t, 6) as mean_t,
+                   round(mean_t - mean_c, 6) as lift,
+                   round((mean_t - mean_c)
+                         / sqrt(var_t / n_t + var_c / n_c), 6) as t_stat,
+                   round(pow(var_t / n_t + var_c / n_c, 2)
+                         / (pow(var_t / n_t, 2) / (n_t - 1)
+                            + pow(var_c / n_c, 2) / (n_c - 1)), 3) as dof
+            from agg
         """,
         "rolling_active_hll": """
             with days as (
