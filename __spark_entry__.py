@@ -3775,6 +3775,31 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test split: per source, documents are
+    ranked in deterministic md5 order and cut at exactly 80%/90% of the
+    stratum count — the reproducible-split contract ML pipelines need
+    (Bernoulli hash sampling only hits the proportions in expectation;
+    this hits them exactly, any engine, any run). One window shuffle
+    per stratum; the oracle replays rank + thresholds in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    rn = F.row_number().over(w)
+    cnt = F.count("*").over(wc)
+    split = (
+        F.when(rn <= F.floor(cnt * 0.8), "train")
+        .when(rn <= F.floor(cnt * 0.9), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment readout in one aggregation pass: users hash-split
     into control/treatment (md5 parity — the deterministic assignment
@@ -4430,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "rolling_active_hll": q_rolling_active_hll,
         "ab_test": q_ab_test,
+        "exact_split": q_exact_split,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6452,6 +6478,23 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "exact_split": """
+            with r as (
+              select doc_id, source,
+                     row_number() over (
+                       partition by source
+                       order by md5(cast(doc_id as varchar)), doc_id
+                     ) as rn,
+                     count(*) over (partition by source) as cnt
+              from documents
+            )
+            select doc_id, source,
+                   case when rn <= floor(cnt * 0.8) then 'train'
+                        when rn <= floor(cnt * 0.9) then 'val'
+                        else 'test' end as split
+            from r
+            order by doc_id
         """,
         "ab_test": """
             with p as (
