@@ -3775,6 +3775,36 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test over the source x lang
+    contingency table — the categorical-drift check of a data-quality
+    gate. The expected-count grid is the (tiny) cross join of the row
+    and column marginals so ZERO-observed cells contribute their
+    (0-E)^2/E term (dropping them understates the statistic); observed
+    counts left-join on. One groupBy over the data; everything after
+    runs on marginal-sized frames. The oracle replays the grid."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    rows = d.groupBy("source").agg(F.count("*").alias("rt"))
+    cols = d.groupBy("lang").agg(F.count("*").alias("ct"))
+    total = d.agg(F.count("*").alias("n"))
+    grid = (
+        rows.crossJoin(broadcast(cols))
+        .join(cells, ["source", "lang"], "left")
+        .crossJoin(broadcast(total))
+        .withColumn("obs", F.coalesce("obs", F.lit(0)))
+        .withColumn("exp", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    term = (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")
+    return grid.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (
+            (F.count_distinct("source") - 1) * (F.count_distinct("lang") - 1)
+        ).alias("dof"),
+        F.max("n").alias("n"),
+    )
+
+
 def q_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified train/val/test split: per source, documents are
     ranked in deterministic md5 order and cut at exactly 80%/90% of the
@@ -4456,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_hll": q_rolling_active_hll,
         "ab_test": q_ab_test,
         "exact_split": q_exact_split,
+        "chi2_independence": q_chi2_independence,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6478,6 +6509,28 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "chi2_independence": """
+            with cells as (
+              select source, lang, count(*) as obs
+              from documents group by 1, 2
+            ),
+            rt as (select source, count(*) as rt from documents group by 1),
+            ct as (select lang, count(*) as ct from documents group by 1),
+            n as (select count(*) as n from documents),
+            grid as (
+              select rt.source, ct.lang, rt.rt, ct.ct, n.n,
+                     coalesce(cells.obs, 0) as obs,
+                     rt.rt * ct.ct / cast(n.n as double) as exp
+              from rt cross join ct cross join n
+              left join cells on cells.source = rt.source
+                             and cells.lang = ct.lang
+            )
+            select round(sum((obs - exp) * (obs - exp) / exp), 6) as chi2,
+                   cast((count(distinct source) - 1)
+                        * (count(distinct lang) - 1) as bigint) as dof,
+                   max(n) as n
+            from grid
         """,
         "exact_split": """
             with r as (

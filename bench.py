@@ -53,6 +53,11 @@ HEADLINE = [
     "dedup_embedding",
     "semdedup",
     "entity_resolution",
+    # round-4 analytics additions (linear ops over the big fixtures)
+    "simhash_hamming",
+    "skipgram_pairs",
+    "attribution",
+    "interval_merge",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
