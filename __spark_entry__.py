@@ -3775,6 +3775,35 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval metrics (operators/fusion.py::ranking_metrics):
+    per-language ranked lists (docs ranked by length, deterministic
+    tie-break) scored against a graded relevance label (source-suffix
+    derived) — NDCG@10 with whole-list ideal normalization, MRR, and
+    precision@10. One window + one groupBy, both on the query key.
+    The oracle replays discount, ideal re-rank, and reciprocal rank
+    in SQL."""
+    from etl_orders_to_bq_spark.operators.fusion import ranking_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    rel = (
+        F.when(F.col("source").endswith("0"), 2)
+        .when(F.col("source").endswith("5"), 1)
+        .otherwise(0)
+    )
+    ranked = d.select(
+        "lang",
+        F.row_number().over(rank_w).alias("rank"),
+        rel.alias("relevance"),
+    )
+    return ranking_metrics(
+        ranked, group_col="lang", k=10
+    ).orderBy("lang")
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-squared independence test over the source x lang
     contingency table — the categorical-drift check of a data-quality
@@ -4487,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "exact_split": q_exact_split,
         "chi2_independence": q_chi2_independence,
+        "ranking_metrics": q_ranking_metrics,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6509,6 +6539,41 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "ranking_metrics": """
+            with ranked as (
+              select lang,
+                     row_number() over (partition by lang
+                                        order by n_chars desc, doc_id) as rank,
+                     case when source like '%0' then 2
+                          when source like '%5' then 1
+                          else 0 end as rel
+              from documents
+            ),
+            ideal as (
+              select lang, rank, rel,
+                     row_number() over (partition by lang
+                                        order by rel desc, rank) as irank
+              from ranked
+            )
+            select lang,
+                   round(case when sum(case when irank <= 10
+                                    then rel / log2(irank + 1.0)
+                                    else 0 end) > 0
+                         then sum(case when rank <= 10
+                                  then rel / log2(rank + 1.0)
+                                  else 0 end)
+                              / sum(case when irank <= 10
+                                    then rel / log2(irank + 1.0)
+                                    else 0 end)
+                         else 0 end, 6) as ndcg_at_k,
+                   round(coalesce(max(case when rel > 0
+                                      then 1.0 / rank end), 0.0), 6) as mrr,
+                   round(count(case when rel > 0 and rank <= 10 then 1 end)
+                         / 10.0, 6) as precision_at_k
+            from ideal
+            group by lang
+            order by lang
         """,
         "chi2_independence": """
             with cells as (

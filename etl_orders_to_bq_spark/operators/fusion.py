@@ -78,3 +78,58 @@ def rrf_fuse(
             F.sum(1.0 / (F.lit(float(k)) + F.col(rank_col))), ndigits
         ).alias(out_col),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    group_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "relevance",
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Retrieval-quality metrics per ranked list: ``(group, ndcg_at_k,
+    mrr, precision_at_k)`` — the offline eval loop of a search / RAG
+    retrieval stack.
+
+    - NDCG@k: DCG with the standard ``rel / log2(rank + 1)`` discount,
+      normalized by the IDEAL DCG of the same list (its relevances
+      re-sorted descending over the WHOLE list, not just the top k —
+      truncating first would overstate quality when good documents
+      rank below k). Lists with no relevant document get 0.
+    - MRR: reciprocal rank of the first relevant document (0 if none).
+    - precision@k: relevant-in-top-k / k.
+
+    Input is one row per (group, ranked item) with an explicit
+    ``rank_col`` (1-based) and graded ``rel_col``. One window (ideal
+    re-rank) and one groupBy, both keyed on ``group_col`` — a single
+    partitioning reused.
+    """
+    ideal_w = Window.partitionBy(group_col).orderBy(
+        F.desc(rel_col), F.asc(rank_col)
+    )
+    df = ranked.withColumn("__ideal_rank", F.row_number().over(ideal_w))
+    rel = F.col(rel_col).cast("double")
+    rank = F.col(rank_col)
+    dcg = F.sum(
+        F.when(rank <= k, rel / F.log2(rank + 1)).otherwise(F.lit(0.0))
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("__ideal_rank") <= k,
+            rel / F.log2(F.col("__ideal_rank") + 1),
+        ).otherwise(F.lit(0.0))
+    )
+    mrr = F.coalesce(
+        F.max(F.when(rel > 0, F.lit(1.0) / rank)), F.lit(0.0)
+    )
+    prec = (
+        F.count(F.when((rel > 0) & (rank <= k), 1)).cast("double") / k
+    )
+    return df.groupBy(group_col).agg(
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), ndigits
+        ).alias("ndcg_at_k"),
+        F.round(mrr, ndigits).alias("mrr"),
+        F.round(prec, ndigits).alias("precision_at_k"),
+    )

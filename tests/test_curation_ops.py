@@ -320,3 +320,33 @@ def test_skipgram_pairs_window_edges(spark):
                 if j != i:
                     expect[(c, sent[j])] += 1
     assert got == dict(expect)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """NDCG@k with whole-list ideal, MRR, precision@k against a hand
+    calculation — including a list whose best document ranks below k
+    (whole-list ideal must still count it) and an all-irrelevant list."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.fusion import ranking_metrics
+
+    rows = [
+        # q1: rel 0,2,1 at ranks 1,2,3
+        ("q1", 1, 0), ("q1", 2, 2), ("q1", 3, 1),
+        # q2: only relevant doc at rank 4, k=2 -> dcg@2=0 but idcg@2>0
+        ("q2", 1, 0), ("q2", 2, 0), ("q2", 3, 0), ("q2", 4, 3),
+        # q3: nothing relevant
+        ("q3", 1, 0), ("q3", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, rank int, relevance int")
+    out = {r["query_id"]: r for r in ranking_metrics(df, k=2).collect()}
+
+    dcg1 = 2 / math.log2(3)                     # rank-2 doc within k=2
+    idcg1 = 2 / math.log2(2) + 1 / math.log2(3)  # ideal: rel 2 then 1
+    assert out["q1"]["ndcg_at_k"] == round(dcg1 / idcg1, 6)
+    assert out["q1"]["mrr"] == 0.5
+    assert out["q1"]["precision_at_k"] == 0.5
+
+    assert out["q2"]["ndcg_at_k"] == 0.0  # nothing relevant inside k
+    assert out["q2"]["mrr"] == 0.25       # first relevant at rank 4
+    assert out["q3"]["ndcg_at_k"] == 0.0 and out["q3"]["mrr"] == 0.0
