@@ -3775,6 +3775,31 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, hour),
+    open/close via min_by/max_by on a deterministic (ts, event_id)
+    order key, high/low/volume as plain aggregates — ONE map-side-
+    combinable groupBy, the resample shape that turns a tick stream
+    into bars without a window sort. The oracle replays min_by/max_by
+    with a fixed-width sortable key (DuckDB's min_by can't take a
+    struct key)."""
+    e = _t(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+        )
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-eval metrics (operators/fusion.py::ranking_metrics):
     per-language ranked lists (docs ranked by length, deterministic
@@ -4517,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_split": q_exact_split,
         "chi2_independence": q_chi2_independence,
         "ranking_metrics": q_ranking_metrics,
+        "ohlc_bars": q_ohlc_bars,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6539,6 +6565,23 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "ohlc_bars": """
+            with e as (
+              select event_type, date_trunc('hour', ts) as bar_hour, value,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || '|' || lpad(cast(event_id as varchar), 12, '0') as sk
+              from events
+            )
+            select event_type, bar_hour,
+                   min_by(value, sk) as open,
+                   round(max(value), 2) as high,
+                   round(min(value), 2) as low,
+                   max_by(value, sk) as close,
+                   count(*) as volume
+            from e
+            group by 1, 2
+            order by event_type, bar_hour
         """,
         "ranking_metrics": """
             with ranked as (
