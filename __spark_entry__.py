@@ -611,6 +611,55 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine-normalized
+    co-occurrence (co / sqrt(n_a * n_b)) over the same guarded basket
+    set as basket_pairs — normalization turns raw co-counts into the
+    classic item-CF score so popular parts stop dominating. Per-item
+    basket counts broadcast onto the pair table; min co-count 3 prunes
+    noise before ranking. No fact self-join anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= 20))
+    )
+    parts = F.col("parts")
+    pair_arrays = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    item_n = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n"))
+    )
+    na = item_n.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
+    sim = F.round(
+        F.col("co") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")), 6
+    )
+    return (
+        co.join(broadcast(na), "part_a")
+        .join(broadcast(nb), "part_b")
+        .select("part_a", "part_b", "co", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against the SCD2 history: each order event
     picks the dimension version valid AT its as-of instant
@@ -4543,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "ranking_metrics": q_ranking_metrics,
         "ohlc_bars": q_ohlc_bars,
+        "item_similarity": q_item_similarity,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5267,6 +5317,32 @@ def oracle_sql() -> dict[str, str]:
             join sized s on a.l_orderkey = s.l_orderkey
             group by 1, 2
             order by n_orders desc, part_a asc, part_b asc
+            limit 20
+        """,
+        "item_similarity": """
+            with p as (select distinct l_orderkey, l_partkey from lineitem),
+            sized as (
+                select l_orderkey from p
+                group by l_orderkey
+                having count(*) between 2 and 20
+            ),
+            q as (select p.* from p join sized using (l_orderkey)),
+            co as (
+                select a.l_partkey as part_a, b.l_partkey as part_b,
+                       count(*) as co
+                from q a
+                join q b on a.l_orderkey = b.l_orderkey
+                        and a.l_partkey < b.l_partkey
+                group by 1, 2
+                having count(*) >= 3
+            ),
+            n as (select l_partkey, count(*) as n from q group by 1)
+            select part_a, part_b, co,
+                   round(co / sqrt(na.n * cast(nb.n as double)), 6) as cosine
+            from co
+            join n na on na.l_partkey = co.part_a
+            join n nb on nb.l_partkey = co.part_b
+            order by cosine desc, part_a asc, part_b asc
             limit 20
         """,
         "pit_join": """
