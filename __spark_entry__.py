@@ -3824,6 +3824,48 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality routing (operators/quality.py::quarantine):
+    orders checked against four expectation rules in ONE projection
+    pass (price cap, date horizon, priority allowlist, referential
+    customer existence via a broadcast semi-join flag prepared
+    upstream); output is the violation census — per-rule counts plus
+    the clean-row count — that a quarantine pipeline reports before
+    routing. The oracle recomputes each census row with conditional
+    counts."""
+    from etl_orders_to_bq_spark.operators.quality import quarantine
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    flagged = o.join(
+        broadcast(cust.withColumn("__known_cust", F.lit(True))),
+        "o_custkey",
+        "left",
+    )
+    rules = {
+        "price_cap": F.col("o_totalprice") <= 400000.0,
+        "date_horizon": F.col("o_orderdate") < F.lit("1998-06-01").cast(
+            "timestamp"
+        ),
+        "priority_allowed": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM"
+        ),
+        "known_customer": F.col("__known_cust").isNotNull(),
+    }
+    ann = quarantine(flagged, rules)
+    per_rule = (
+        ann.select(F.explode("violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    clean = ann.filter(F.size("violations") == 0).agg(
+        F.lit("__clean").alias("rule"), F.count("*").alias("n_rows")
+    )
+    return per_rule.unionByName(clean).orderBy("rule")
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to OHLC bars: per (event_type, hour),
     open/close via min_by/max_by on a deterministic (ts, event_id)
@@ -4593,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         "ohlc_bars": q_ohlc_bars,
         "item_similarity": q_item_similarity,
+        "rule_quarantine": q_rule_quarantine,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6641,6 +6684,41 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "rule_quarantine": """
+            with c as (
+              select 'price_cap' as rule,
+                     count(case when o_totalprice > 400000.0 then 1 end)
+                       as n_rows
+              from orders
+              union all
+              select 'date_horizon',
+                     count(case when o_orderdate >= timestamp '1998-06-01'
+                           then 1 end)
+              from orders
+              union all
+              select 'priority_allowed',
+                     count(case when o_orderpriority not in
+                           ('1-URGENT', '2-HIGH', '3-MEDIUM') then 1 end)
+              from orders
+              union all
+              select 'known_customer',
+                     (select count(*) from orders o
+                      where not exists (select 1 from customer c
+                                        where c.c_custkey = o.o_custkey))
+              union all
+              select '__clean',
+                     (select count(*) from orders o
+                      where o_totalprice <= 400000.0
+                        and o_orderdate < timestamp '1998-06-01'
+                        and o_orderpriority in
+                            ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                        and exists (select 1 from customer c
+                                    where c.c_custkey = o.o_custkey))
+            )
+            select rule, n_rows from c
+            where n_rows > 0 or rule = '__clean'
+            order by rule
         """,
         "ohlc_bars": """
             with e as (

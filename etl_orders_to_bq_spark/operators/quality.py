@@ -176,3 +176,26 @@ def mad_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def quarantine(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Row-level expectation routing: append ``violations``, the array
+    of rule names (in ``rules`` order) whose predicate the row FAILS.
+    Rows with an empty array are clean; callers route
+    ``size(violations) == 0`` to the main sink and the rest to a
+    quarantine table — the non-fatal complement of ``expect`` (which
+    aborts the load).
+
+    A pure projection — every rule is a Column predicate evaluated in
+    one pass, no shuffle, no second scan. Rules that need context
+    (referential existence, statistical bounds) are expressed as
+    predicates over columns prepared upstream (e.g. a broadcast
+    semi-join flag), keeping this operator scan-shaped at any size.
+    """
+    checks = [
+        F.when(~cond, F.lit(name)) for name, cond in rules.items()
+    ]
+    return df.withColumn(
+        "violations",
+        F.filter(F.array(*checks), lambda x: x.isNotNull()),
+    )

@@ -383,3 +383,32 @@ def test_snapshot_diff_roundtrips_through_apply_cdc(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_quarantine_routes_rows_by_failed_rules(spark):
+    """violations must list EVERY failed rule in rule order; clean rows
+    get an empty array (not null); null predicate results don't flag."""
+    from etl_orders_to_bq_spark.operators.quality import quarantine
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 2e9, "bad"), (4, None, "ok")],
+        "id long, amount double, status string",
+    )
+    out = {
+        r["id"]: r["violations"]
+        for r in quarantine(
+            df,
+            {
+                "positive": F.col("amount") > 0,
+                "capped": F.col("amount") < 1e9,
+                "status_ok": F.col("status") == "ok",
+            },
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["positive"]
+    assert out[3] == ["capped", "status_ok"]
+    # null comparison -> null predicate -> not flagged (three-valued
+    # logic; add an explicit isNotNull rule to catch nulls)
+    assert out[4] == []
