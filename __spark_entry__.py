@@ -3824,6 +3824,20 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift (operators/lm.py::
+    source_kl_divergence): KL(source || corpus) over add-one-smoothed
+    unigram distributions, summed over the WHOLE vocabulary so absent
+    words carry their smoothed mass. One corpus scan; the |S| x |V|
+    grid is the honest exact-KL cost (truncate the vocab at extreme
+    scale). The oracle replays the smoothing and the ln-difference
+    sum in SQL."""
+    from etl_orders_to_bq_spark.operators.lm import source_kl_divergence
+
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
+    return source_kl_divergence(d).orderBy("source")
+
+
 def q_rule_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quality routing (operators/quality.py::quarantine):
     orders checked against four expectation rules in ONE projection
@@ -4636,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "item_similarity": q_item_similarity,
         "rule_quarantine": q_rule_quarantine,
+        "source_kl": q_source_kl,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6684,6 +6699,33 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "source_kl": f"""
+            with toks as (
+              select source, unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+              from documents
+            ),
+            per_sw as (
+              select source, w, count(*) as c_sw from toks group by 1, 2
+            ),
+            vocab as (select w, count(*) as c_all from toks group by 1),
+            totals_s as (select source, count(*) as t_s from toks group by 1),
+            consts as (select count(*) as v, sum(c_all) as t from vocab),
+            grid as (
+              select ts.source, ts.t_s, vo.w, vo.c_all, c.v, c.t,
+                     coalesce(p.c_sw, 0) as c_sw
+              from totals_s ts
+              cross join vocab vo
+              cross join consts c
+              left join per_sw p on p.source = ts.source and p.w = vo.w
+            )
+            select source, max(t_s) as n_tokens,
+                   round(sum(((c_sw + 1.0) / (t_s + v))
+                             * (ln((c_sw + 1.0) / (t_s + v))
+                                - ln((c_all + 1.0) / (t + v)))), 6) as kl
+            from grid
+            group by source
+            order by source
         """,
         "rule_quarantine": """
             with c as (

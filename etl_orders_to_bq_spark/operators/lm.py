@@ -269,6 +269,58 @@ def learn_bpe_merges(
     return merges
 
 
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """KL(source || corpus) over add-one-smoothed unigram
+    distributions — the drift score that tells a mixing pipeline which
+    sources look least like the blend they feed (high KL = distinct
+    vocabulary; sudden movement = upstream content change).
+
+        p_s(w) = (c_s(w) + 1) / (T_s + V)
+        p_c(w) = (c(w) + 1) / (T + V)
+        KL(s)  = sum over the WHOLE vocabulary of p_s ln(p_s / p_c)
+
+    The sum runs over every vocabulary word for every source (absent
+    words carry smoothed mass — dropping them biases KL low), so the
+    grid is |S| x |V| rows: the honest cost of exact KL. The corpus is
+    scanned once (token explode feeding both count tables); everything
+    after operates on vocabulary-sized frames. At extreme vocabulary
+    sizes, truncate to the top-V words by corpus count first — the
+    standard practice — which only shrinks this grid.
+
+    Output: ``(group_col, n_tokens, kl)``.
+    """
+    toks = df.select(
+        F.col(group_col), F.explode(tokenize(normalize_text(text_col))).alias("w")
+    )
+    per_sw = toks.groupBy(group_col, "w").agg(F.count("*").alias("__c_sw"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("__c_all"))
+    totals_s = toks.groupBy(group_col).agg(F.count("*").alias("__t_s"))
+    consts = vocab.agg(
+        F.count("*").alias("__v"), F.sum("__c_all").alias("__t")
+    )
+    grid = (
+        totals_s.crossJoin(vocab)
+        .join(per_sw, [group_col, "w"], "left")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("__c_sw", F.coalesce("__c_sw", F.lit(0)))
+    )
+    p_s = (F.col("__c_sw") + 1.0) / (F.col("__t_s") + F.col("__v"))
+    p_c = (F.col("__c_all") + 1.0) / (F.col("__t") + F.col("__v"))
+    term = p_s * (F.log(p_s) - F.log(p_c))
+    return (
+        grid.groupBy(group_col)
+        .agg(
+            F.max("__t_s").alias("n_tokens"),
+            F.round(F.sum(term), ndigits).alias("kl"),
+        )
+    )
+
+
 def skipgram_pairs(
     df: DataFrame, text_col: str = "text", window: int = 2
 ) -> DataFrame:

@@ -350,3 +350,41 @@ def test_ranking_metrics_hand_computed(spark):
     assert out["q2"]["ndcg_at_k"] == 0.0  # nothing relevant inside k
     assert out["q2"]["mrr"] == 0.25       # first relevant at rank 4
     assert out["q3"]["ndcg_at_k"] == 0.0 and out["q3"]["mrr"] == 0.0
+
+
+def test_source_kl_divergence_matches_reference_and_is_nonnegative(spark):
+    """Exact KL over the full smoothed vocabulary vs a pure-python
+    reference; a source identical in distribution to the corpus blend
+    must score (near) zero and distinct vocabulary must score higher."""
+    import math
+    from collections import Counter
+
+    from etl_orders_to_bq_spark.operators.lm import source_kl_divergence
+
+    rows = [
+        ("s_same", "aa bb cc aa bb cc"),
+        ("s_same2", "aa bb cc aa bb cc"),
+        ("s_diff", "xx yy zz xx yy zz"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: (r["n_tokens"], r["kl"])
+           for r in source_kl_divergence(df).collect()}
+
+    corpus = Counter()
+    per_s = {}
+    for s, t in rows:
+        c = Counter(t.split())
+        per_s[s] = per_s.get(s, Counter()) + c
+        corpus += c
+    V, T = len(corpus), sum(corpus.values())
+
+    for s, cs in per_s.items():
+        ts = sum(cs.values())
+        kl = sum(
+            ((cs[w] + 1) / (ts + V))
+            * (math.log((cs[w] + 1) / (ts + V))
+               - math.log((corpus[w] + 1) / (T + V)))
+            for w in corpus
+        )
+        assert got[s] == (ts, round(kl, 6))
+    assert got["s_diff"][1] > got["s_same"][1] >= 0.0
