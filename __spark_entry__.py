@@ -3824,6 +3824,63 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) per nation over
+    customer lifetime revenue — the inequality readout of a
+    concentration dashboard, computed from the sorted-rank identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (x ascending): one window
+    rank per nation + one aggregation, both on the nation key. The
+    customer-revenue rollup shuffles once on custkey before joining
+    the (broadcast) customer dim. The oracle replays the identity."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    j = rev.join(
+        broadcast(c), rev.o_custkey == c.c_custkey
+    ).select("c_nationkey", "o_custkey", "rev")
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
+    ranked = j.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("rev"))
+                / (F.count("*") * F.sum("rev"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per source, via the
+    Efraimidis-Spirakis exponential-key trick: key = -ln(u)/w with u a
+    deterministic md5-uniform and w = n_chars; the k SMALLEST keys per
+    stratum are exactly a weighted reservoir draw — fully distributed
+    (a per-row projection + per-group top-k WindowGroupLimit), where a
+    sequential reservoir would serialize the stream. Deterministic
+    across engines and runs; the oracle replays key and ranking."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0  # (hash+1)/(2^32+1): u in (0,1), never 0 or 1
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy("key", "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary drift (operators/lm.py::
     source_kl_divergence): KL(source || corpus) over add-one-smoothed
@@ -4651,6 +4708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "rule_quarantine": q_rule_quarantine,
         "source_kl": q_source_kl,
+        "weighted_reservoir": q_weighted_reservoir,
+        "gini_concentration": q_gini_concentration,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6699,6 +6758,46 @@ def oracle_sql() -> dict[str, str]:
               on day <= win_end and day > win_end - 7
             group by win_end
             order by win_end
+        """,
+        "gini_concentration": """
+            with rev as (
+              select o_custkey, sum(o_totalprice) as rev
+              from orders group by 1
+            ),
+            j as (
+              select c.c_nationkey, r.o_custkey, r.rev
+              from rev r join customer c on r.o_custkey = c.c_custkey
+            ),
+            ranked as (
+              select c_nationkey, rev,
+                     row_number() over (partition by c_nationkey
+                                        order by rev, o_custkey) as i
+              from j
+            )
+            select c_nationkey,
+                   count(*) as n_customers,
+                   round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                         - (count(*) + 1.0) / count(*), 6) as gini
+            from ranked
+            group by c_nationkey
+            order by c_nationkey
+        """,
+        "weighted_reservoir": """
+            with keyed as (
+              select source, doc_id, n_chars,
+                     -ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+                          + 1.0) / 4294967297.0) / n_chars as key
+              from documents
+            ),
+            ranked as (
+              select source, doc_id, n_chars,
+                     row_number() over (partition by source
+                                        order by key, doc_id) as rk
+              from keyed
+            )
+            select source, rk, doc_id, n_chars
+            from ranked where rk <= 5
+            order by source, rk
         """,
         "source_kl": f"""
             with toks as (
