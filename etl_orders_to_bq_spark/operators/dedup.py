@@ -484,6 +484,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 32,
     max_dist: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= ``max_dist``.
 
@@ -500,8 +501,14 @@ def simhash_hamming_pairs(
     Scale: per-row block keys are a projection; the self-join shuffles
     ``max_dist + 1`` small int keys per row. Block width ``bits /
     (max_dist + 1)`` bounds expected bucket population at ``n / 2**w``
-    (content-hash distributed) — wider hashes (64-bit) keep buckets
-    tiny at corpus scale for the same ``max_dist``.
+    for DISTINCT content (content-hash distributed) — wider hashes
+    (64-bit) keep buckets tiny at corpus scale for the same
+    ``max_dist``. Degenerate inputs (empty docs, repeated boilerplate)
+    share one simhash and pile into one quadratic bucket; pass
+    ``max_bucket`` to drop block buckets above that population (the
+    same guard contract as LSH banding — mirror it in any oracle, and
+    route degenerate docs through exact dedup instead, where they
+    belong).
     """
     n_blocks = max_dist + 1
     if bits % n_blocks:
@@ -525,6 +532,14 @@ def simhash_hamming_pairs(
     keyed = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("blk")
     )
+    if max_bucket is not None:
+        ok = (
+            keyed.groupBy("blk")
+            .agg(F.count("*").alias("__bsize"))
+            .filter(F.col("__bsize") <= max_bucket)
+            .select("blk")
+        )
+        keyed = keyed.join(F.broadcast(ok), "blk", "left_semi")
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk"
     )

@@ -951,3 +951,25 @@ def test_kll_subpercent_quantiles_get_distinct_columns(spark):
     assert out.columns == ["event_type", "q_50", "q_99", "q_99_9"]
     row = out.first()
     assert row["q_50"] <= row["q_99"] <= row["q_99_9"]
+
+
+def test_simhash_hamming_max_bucket_guard_drops_degenerate_buckets(spark):
+    """Identical-content docs share one simhash; max_bucket must drop
+    that quadratic bucket while distinct-content pairs still flow."""
+    from etl_orders_to_bq_spark.operators.dedup import simhash_hamming_pairs
+
+    rows = [(i, "identical boilerplate text body") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = simhash_hamming_pairs(df, bits=32, max_dist=3).count()
+    assert unguarded >= 30 * 29 / 2  # the degenerate clique is present
+
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(
+            df, bits=32, max_dist=3, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in guarded          # healthy pair survives
+    assert all(a >= 100 for a, _ in guarded)  # clique dropped
