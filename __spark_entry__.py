@@ -983,6 +983,40 @@ def q_streaming_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(counts, "swindow", "append")
 
 
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars through the real streaming engine: watermarked 1-hour
+    tumbling windows with min_by/max_by INSIDE the streaming
+    aggregation (open/close keyed on the deterministic (ts, event_id)
+    order), append mode emitting only watermark-finalized bars — the
+    streaming form of ohlc_bars, state merging incrementally across
+    micro-batches instead of re-sorting ticks. The oracle computes the
+    batch bars and applies the same finalization filter."""
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "open", "high", "low", "close", "volume",
+        )
+    )
+    return _stream_to_batch(agg, "sohlc", "append").orderBy(
+        "window_start", "event_type"
+    )
+
+
 def q_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality serving: watermarked tumbling windows with
     approx_count_distinct (HLL++) INSIDE the streaming aggregation —
@@ -4710,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "weighted_reservoir": q_weighted_reservoir,
         "gini_concentration": q_gini_concentration,
+        "streaming_ohlc": q_streaming_ohlc,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -6125,6 +6160,28 @@ def oracle_sql() -> dict[str, str]:
                 from events group by 1, 2
             ), m
             where ws + interval 1 hour <= mx - interval 10 minute
+        """,
+        "streaming_ohlc": """
+            with m as (select max(ts) as mx from events),
+            e as (
+              select event_type, time_bucket(interval 1 hour, ts) as ws, value,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || '|' || lpad(cast(event_id as varchar), 12, '0') as sk
+              from events
+            )
+            select ws as window_start, event_type, open, high, low, close,
+                   volume
+            from (
+                select ws, event_type,
+                       min_by(value, sk) as open,
+                       round(max(value), 2) as high,
+                       round(min(value), 2) as low,
+                       max_by(value, sk) as close,
+                       count(*) as volume
+                from e group by 1, 2
+            ), m
+            where ws + interval 1 hour <= mx - interval 10 minute
+            order by window_start, event_type
         """,
         "streaming_file_sink": """
             select event_id, user_id, event_type, value from events

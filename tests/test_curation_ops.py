@@ -388,3 +388,55 @@ def test_source_kl_divergence_matches_reference_and_is_nonnegative(spark):
         )
         assert got[s] == (ts, round(kl, 6))
     assert got["s_diff"][1] > got["s_same"][1] >= 0.0
+
+
+def test_round4_operators_handle_empty_inputs(spark):
+    """Every new operator must return an empty (not crashing, not
+    null-rowed) result on empty input — the first thing a scheduled
+    pipeline hits on a quiet partition."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        attribute_conversions,
+    )
+    from etl_orders_to_bq_spark.operators.dedup import simhash_hamming_pairs
+    from etl_orders_to_bq_spark.operators.fusion import ranking_metrics
+    from etl_orders_to_bq_spark.operators.geo import grid_radius_join
+    from etl_orders_to_bq_spark.operators.graph import shortest_paths
+    from etl_orders_to_bq_spark.operators.lm import (
+        bpe_pair_counts,
+        bpe_word_symbols,
+        learn_bpe_merges,
+        skipgram_pairs,
+        source_kl_divergence,
+    )
+    from etl_orders_to_bq_spark.operators.merge import snapshot_diff
+    from etl_orders_to_bq_spark.operators.quality import mad_outliers, quarantine
+    from etl_orders_to_bq_spark.operators.temporal import merge_intervals
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    events = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    pts = spark.createDataFrame([], "lid long, llat double, llon double")
+    pts2 = spark.createDataFrame([], "rid long, rlat double, rlon double")
+    edges = spark.createDataFrame([], "src long, dst long")
+    kv = spark.createDataFrame([], "k string, s long, e long")
+    tbl = spark.createDataFrame([], "id long, v double")
+    src_docs = spark.createDataFrame([], "source string, text string")
+    rk = spark.createDataFrame(
+        [], "query_id string, rank int, relevance int"
+    )
+
+    assert simhash_hamming_pairs(docs).count() == 0
+    assert bpe_pair_counts(bpe_word_symbols(docs)).count() == 0
+    assert learn_bpe_merges(docs, 3) == []
+    assert skipgram_pairs(docs).count() == 0
+    assert source_kl_divergence(src_docs).count() == 0
+    assert attribute_conversions(events).count() == 0
+    assert grid_radius_join(pts, pts2, 10.0, "llat", "llon", "rlat", "rlon").count() == 0
+    # BFS from a source absent from an empty graph: just the source
+    assert shortest_paths(edges, 0).count() == 1
+    assert merge_intervals(kv, "k", "s", "e").count() == 0
+    assert mad_outliers(tbl, "v", "id").count() == 0
+    assert quarantine(tbl, {"pos": F.col("v") > 0}).count() == 0
+    assert snapshot_diff(tbl, tbl, "id").count() == 0
+    assert ranking_metrics(rk).count() == 0
