@@ -143,6 +143,16 @@ def main() -> None:
     from etl_orders_to_bq_spark.sources.parquet import read_table
 
     docs = read_table(spark, sf_dir, "documents").repartition(int(cpus))
+    # warm the Python/Arrow worker pool before timing the numpy path:
+    # md5/xxhash64 are pure-Column (no Python workers), so without this
+    # the numpy number charges daemon startup to the operator (~2.5s
+    # observed cold vs ~0.9s warm at sf0.1)
+    force(
+        minhash_lsh_candidates(
+            docs, text_col="text", id_col="doc_id",
+            num_hashes=8, bands=2, hash_fn="numpy",
+        )
+    )
     stress: dict[str, float] = {}
     for fn in ("md5", "xxhash64", "numpy"):
         best = float("inf")
