@@ -4034,10 +4034,13 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts left-join on. One groupBy over the data; everything after
     runs on marginal-sized frames. The oracle replays the grid."""
     d = _t(spark, sf_dir, "documents")
+    # ONE groupBy over the data; marginals are exact rollups of the
+    # (tiny) cell table, staged so its three consumers don't re-scan
     cells = d.groupBy("source", "lang").agg(F.count("*").alias("obs"))
-    rows = d.groupBy("source").agg(F.count("*").alias("rt"))
-    cols = d.groupBy("lang").agg(F.count("*").alias("ct"))
-    total = d.agg(F.count("*").alias("n"))
+    cells = cells.localCheckpoint(eager=False)
+    rows = cells.groupBy("source").agg(F.sum("obs").alias("rt"))
+    cols = cells.groupBy("lang").agg(F.sum("obs").alias("ct"))
+    total = cells.agg(F.sum("obs").alias("n"))
     grid = (
         rows.crossJoin(broadcast(cols))
         .join(cells, ["source", "lang"], "left")

@@ -533,13 +533,16 @@ def simhash_hamming_pairs(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("blk")
     )
     if max_bucket is not None:
-        ok = (
+        # broadcast the DROP-list (oversized buckets — a handful by
+        # construction), not the keep-list (which is corpus-sized for
+        # wide blocks): anti-join against the hot buckets
+        hot = (
             keyed.groupBy("blk")
             .agg(F.count("*").alias("__bsize"))
-            .filter(F.col("__bsize") <= max_bucket)
+            .filter(F.col("__bsize") > max_bucket)
             .select("blk")
         )
-        keyed = keyed.join(F.broadcast(ok), "blk", "left_semi")
+        keyed = keyed.join(F.broadcast(hot), "blk", "left_anti")
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk"
     )

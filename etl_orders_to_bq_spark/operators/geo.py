@@ -17,10 +17,12 @@ beyond the single left-equi merge).
 
 Scale notes
 -----------
-- Cell size defaults to the radius in latitude degrees: the bounding
-  box then touches <= 3 rows of cells in y and a per-latitude bounded
-  count in x (clamped below 85° |lat|), so the explode factor is a
-  small constant, not data-dependent.
+- Cell size defaults to the radius in latitude degrees (snapped so an
+  integer number of cells tiles 360° of longitude — cx wraps cleanly
+  across the antimeridian): the bounding box touches <= 3 rows of
+  cells in y and a per-latitude bounded count in x; circles touching
+  the polar caps (|lat| >= 85°) cover all n_lon cells of their rows —
+  still a bounded constant, never data-dependent.
 - The verify is a pure-Column trig projection over candidates — no
   UDF, fully codegen'd.
 - Skewed geography (everyone in one city) concentrates one cell key;
@@ -82,34 +84,57 @@ def grid_radius_join(
         raise ValueError(f"column names must be disjoint, got overlap {overlap}")
 
     r_lat_deg = radius_km / KM_PER_DEG_LAT
-    cell = cell_deg if cell_deg is not None else r_lat_deg
+    req = cell_deg if cell_deg is not None else r_lat_deg
+    # snap the cell so an INTEGER number of lon cells tiles 360° — the
+    # grid is then uniform modulo the antimeridian and wrapped cx
+    # indices line up exactly (snapping only grows the cell, which
+    # affects efficiency, never candidate completeness)
+    n_lon = max(1, int(360.0 // req))
+    cell = 360.0 / n_lon
+
+    def _wrap(cx: Column) -> Column:
+        return ((cx % n_lon) + n_lon) % n_lon
 
     l_cell = F.struct(
-        F.floor(F.col(left_lon) / cell).alias("cx"),
-        F.floor(F.col(left_lat) / cell).alias("cy"),
+        _wrap(F.floor(F.col(left_lon) / cell).cast("long")).alias("cx"),
+        F.floor(F.col(left_lat) / cell).cast("long").alias("cy"),
     )
     lhs = left.withColumn("__cell", l_cell)
 
     lat_lo = F.col(right_lat) - F.lit(r_lat_deg)
     lat_hi = F.col(right_lat) + F.lit(r_lat_deg)
     # longitude degrees shrink with latitude: size the lon reach at the
-    # worst (most poleward) latitude the circle touches, clamped to 85°
-    # so the explode factor stays bounded
-    worst = F.least(F.greatest(F.abs(lat_lo), F.abs(lat_hi)), F.lit(85.0))
-    r_lon_deg = F.lit(radius_km) / (F.lit(KM_PER_DEG_LAT) * F.cos(F.radians(worst)))
-    cells = F.flatten(
-        F.transform(
-            F.sequence(
-                F.floor(lat_lo / cell).cast("long"),
-                F.floor(lat_hi / cell).cast("long"),
-            ),
-            lambda cy: F.transform(
+    # worst (most poleward) latitude the circle touches. Above 85° the
+    # cosine correction explodes, so circles touching the polar caps
+    # simply cover EVERY lon cell of their lat rows (n_lon cells,
+    # a bounded constant) instead of under-covering via a clamp.
+    worst_abs = F.greatest(F.abs(lat_lo), F.abs(lat_hi))
+    r_lon_deg = F.when(worst_abs >= 85.0, F.lit(180.0)).otherwise(
+        F.least(
+            F.lit(radius_km)
+            / (F.lit(KM_PER_DEG_LAT) * F.cos(F.radians(worst_abs))),
+            F.lit(180.0),
+        )
+    )
+    cells = F.array_distinct(
+        F.flatten(
+            F.transform(
                 F.sequence(
-                    F.floor((F.col(right_lon) - r_lon_deg) / cell).cast("long"),
-                    F.floor((F.col(right_lon) + r_lon_deg) / cell).cast("long"),
+                    F.floor(lat_lo / cell).cast("long"),
+                    F.floor(lat_hi / cell).cast("long"),
                 ),
-                lambda cx: F.struct(cx.alias("cx"), cy.alias("cy")),
-            ),
+                lambda cy: F.transform(
+                    F.sequence(
+                        F.floor((F.col(right_lon) - r_lon_deg) / cell).cast(
+                            "long"
+                        ),
+                        F.floor((F.col(right_lon) + r_lon_deg) / cell).cast(
+                            "long"
+                        ),
+                    ),
+                    lambda cx: F.struct(_wrap(cx).alias("cx"), cy.alias("cy")),
+                ),
+            )
         )
     )
     rhs = right.withColumn("__cell", F.explode(cells))

@@ -294,12 +294,20 @@ def source_kl_divergence(
 
     Output: ``(group_col, n_tokens, kl)``.
     """
+    from .staging import stage
+
     toks = df.select(
         F.col(group_col), F.explode(tokenize(normalize_text(text_col))).alias("w")
     )
-    per_sw = toks.groupBy(group_col, "w").agg(F.count("*").alias("__c_sw"))
-    vocab = toks.groupBy("w").agg(F.count("*").alias("__c_all"))
-    totals_s = toks.groupBy(group_col).agg(F.count("*").alias("__t_s"))
+    # ONE corpus scan: the (source, word) table is staged and every
+    # other statistic (vocabulary counts, per-source totals, V, T) is a
+    # rollup of it — without the staging, three independent consumers
+    # would re-tokenize the corpus three times
+    per_sw = stage(
+        toks.groupBy(group_col, "w").agg(F.count("*").alias("__c_sw"))
+    )
+    vocab = per_sw.groupBy("w").agg(F.sum("__c_sw").alias("__c_all"))
+    totals_s = per_sw.groupBy(group_col).agg(F.sum("__c_sw").alias("__t_s"))
     consts = vocab.agg(
         F.count("*").alias("__v"), F.sum("__c_all").alias("__t")
     )

@@ -149,6 +149,10 @@ def snapshot_diff(
 
     Output carries the key columns, ``op``, and the NEW values of the
     compared columns (null for deletes). Unchanged keys are absent.
+    ``compare_cols=[]`` gives a membership-only diff (I/D, never U).
+    NULL key values never join (standard equality), so a null-keyed
+    row surfaces as D from the old side / I from the new side rather
+    than pairing up.
 
     Scale: one full-outer join on the key — the one unavoidable
     shuffle; change detection is a null-safe column comparison
@@ -157,15 +161,26 @@ def snapshot_diff(
     exchange-free.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
+    # compare_cols=[] is a legitimate membership-only diff — only None
+    # means "every non-key column"
+    cmp_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
 
+    # presence is tracked with explicit literal flags, NOT key
+    # null-ness: a corrupt row with a NULL key column must still show
+    # up as I (new side) / D (old side), not be misclassified
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_new"),
     )
     cond = None
     for k in keys:
@@ -173,12 +188,11 @@ def snapshot_diff(
         cond = e if cond is None else (cond & e)
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
-    changed = None
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    changed = F.lit(False)
     for c in cmp_cols:
-        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        changed = d if changed is None else (changed | d)
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     op = (
         F.when(in_old & in_new, F.when(changed, F.lit("U")))
         .when(in_new, F.lit("I"))

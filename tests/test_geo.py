@@ -56,6 +56,41 @@ def test_grid_radius_join_complete_vs_bruteforce(spark):
     assert expect, "fixture must contain in-radius pairs"
 
 
+def test_grid_radius_join_antimeridian_and_polar(spark):
+    """Pairs straddling the ±180° seam must match (wrapped cx), and
+    pairs near the pole must not be lost to the lon-reach cutoff."""
+    lpts = [
+        (1, 0.0, 179.9),    # west of the seam
+        (2, 0.0, -179.95),
+        (3, 87.0, 10.0),    # polar
+        (4, 86.5, -170.0),
+        (5, 0.0, 0.0),      # control, far from everything else
+    ]
+    rpts = [
+        (11, 0.0, -179.9),  # 22 km from lid 1 across the seam
+        (12, 87.2, 150.0),  # near the pole: lon gap is huge in degrees,
+                            # small in km
+        (13, 0.1, 0.1),
+    ]
+    left = spark.createDataFrame(lpts, "lid long, llat double, llon double")
+    right = spark.createDataFrame(rpts, "rid long, rlat double, rlon double")
+    got = {
+        (r["lid"], r["rid"])
+        for r in grid_radius_join(
+            left, right, 400.0, "llat", "llon", "rlat", "rlon"
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for (i, la, lo) in lpts
+        for (j, ra, ro) in rpts
+        if round(_hav(la, lo, ra, ro), 6) <= 400.0
+    }
+    assert got == expect
+    assert (1, 11) in expect and (2, 11) in expect  # seam pairs exist
+    assert any(i in (3, 4) for i, _ in expect)      # polar pair exists
+
+
 def test_grid_radius_join_rejects_column_overlap(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
     with pytest.raises(ValueError, match="disjoint"):

@@ -412,3 +412,26 @@ def test_quarantine_routes_rows_by_failed_rules(spark):
     # null comparison -> null predicate -> not flagged (three-valued
     # logic; add an explicit isNotNull rule to catch nulls)
     assert out[4] == []
+
+
+def test_snapshot_diff_null_keys_and_membership_only(spark):
+    """A null-keyed new row must surface as I (not D); compare_cols=[]
+    must give a pure membership diff with no U rows."""
+    from etl_orders_to_bq_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "ghost_old")], "id long, name string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a2"), (None, "ghost_new")], "id long, name string"
+    )
+    ops = [(r["id"], r["op"], r["name"])
+           for r in snapshot_diff(old, new, "id").collect()]
+    assert (1, "U", "a2") in ops
+    assert (None, "I", "ghost_new") in ops  # null key: insert, not delete
+    assert (None, "D", None) in ops         # old ghost leaves as delete
+
+    membership = {(r["id"], r["op"])
+                  for r in snapshot_diff(old, new, "id", []).collect()}
+    # value change on id=1 is invisible to a membership-only diff
+    assert membership == {(None, "I"), (None, "D")}
