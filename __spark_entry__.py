@@ -1512,6 +1512,44 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/merge.py::survivorship):
+    three simulated source systems contribute partial customer records
+    (each with different nulls and priorities); the survivor takes,
+    per FIELD, the highest-priority non-null value — a fresher
+    record's nulls never erase older data, which whole-row dedup gets
+    wrong. One map-side-combinable groupBy (max_by on a
+    (has-value, priority) rank), no window. The oracle replays the
+    rank with a numeric composite key."""
+    from etl_orders_to_bq_spark.operators.merge import survivorship
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    s1 = c.select(
+        "c_custkey",
+        F.col("c_name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("c_acctbal"),
+        F.lit(1).alias("pri"),
+    )
+    s2 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.round(F.col("c_acctbal") + 5.0, 2).alias("c_acctbal"),
+        F.lit(2).alias("pri"),
+    )
+    s3 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("S3-"), F.col("c_name")).alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(3).alias("pri"),
+    )
+    recs = s1.unionByName(s2).unionByName(s3)
+    return survivorship(recs, "c_custkey", "pri").orderBy("c_custkey")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diffing (operators/merge.py::snapshot_diff): two
     deterministic 'versions' of the customer table (modular filters
@@ -4748,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": q_weighted_reservoir,
         "gini_concentration": q_gini_concentration,
         "streaming_ohlc": q_streaming_ohlc,
+        "survivorship": q_survivorship,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7642,6 +7681,33 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["survivorship"] = """
+        with recs as (
+          select c_custkey,
+                 c_name,
+                 case when c_custkey % 3 = 0 then null
+                      else c_acctbal end as c_acctbal,
+                 1 as pri
+          from customer
+          union all
+          select c_custkey, null, round(c_acctbal + 5.0, 2), 2
+          from customer where c_custkey % 2 = 0
+          union all
+          select c_custkey, 'S3-' || c_name, null, 3
+          from customer where c_custkey % 5 = 0
+        )
+        select c_custkey,
+               max_by(c_name,
+                      case when c_name is not null then 1 else 0 end * 10
+                      + pri) as c_name,
+               max_by(c_acctbal,
+                      case when c_acctbal is not null then 1 else 0 end * 10
+                      + pri) as c_acctbal,
+               count(*) as n_merged
+        from recs
+        group by c_custkey
+        order by c_custkey
     """
     out["snapshot_diff"] = """
         with c as (select c_custkey, c_name, c_acctbal from customer),

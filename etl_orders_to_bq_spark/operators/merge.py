@@ -210,3 +210,43 @@ def snapshot_diff(
             *[F.col(f"__n_{c}").alias(c) for c in cmp_cols],
         )
     )
+
+
+def survivorship(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Golden-record construction: collapse duplicate records per key
+    into one survivor by taking, for EACH value column independently,
+    the first non-null value in ``order_col`` priority order
+    (descending — highest priority / most recent first). This is the
+    standard MDM survivorship rule: a fresher record wins per FIELD,
+    but its nulls never erase an older record's data — which is why
+    plain first-occurrence dedup (whole-row winner) is the wrong tool
+    for merging partial duplicates.
+
+    Output: one row per key with the surviving value columns and
+    ``n_merged`` (how many records collapsed).
+
+    Scale: ONE groupBy on the key with per-column max_by over
+    (value-is-not-null, priority) — map-side combinable, no window
+    sort, no per-key collect.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = value_cols or [
+        c for c in df.columns if c not in keys and c != order_col
+    ]
+    aggs = []
+    for c in vals:
+        # rank null-valued records below every non-null one, then by
+        # priority: max_by picks the highest-priority NON-NULL value
+        # (or null if the column is null in every duplicate)
+        rank = F.struct(
+            F.col(c).isNotNull().cast("int").alias("has"),
+            F.col(order_col).alias("pri"),
+        )
+        aggs.append(F.max_by(c, rank).alias(c))
+    aggs.append(F.count("*").alias("n_merged"))
+    return df.groupBy(*keys).agg(*aggs)

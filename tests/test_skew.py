@@ -435,3 +435,28 @@ def test_snapshot_diff_null_keys_and_membership_only(spark):
                   for r in snapshot_diff(old, new, "id", []).collect()}
     # value change on id=1 is invisible to a membership-only diff
     assert membership == {(None, "I"), (None, "D")}
+
+
+def test_survivorship_field_level_merge(spark):
+    """The survivor must take each FIELD independently: the freshest
+    record's nulls never erase an older record's value, and a column
+    null in every duplicate stays null."""
+    from etl_orders_to_bq_spark.operators.merge import survivorship
+
+    rows = [
+        (1, "old@x.com", "Alice", None, 1),
+        (1, None, "Alicia", "555", 2),   # fresher, but email null
+        (2, None, None, None, 1),        # all-null fields
+        (3, "c@x.com", "Carol", "111", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, email string, name string, phone string, pri int"
+    ).repartition(3)
+    out = {r["id"]: r for r in survivorship(df, "id", "pri").collect()}
+
+    assert out[1]["email"] == "old@x.com"  # null in pri-2 didn't erase
+    assert out[1]["name"] == "Alicia"      # fresher non-null wins
+    assert out[1]["phone"] == "555"
+    assert out[1]["n_merged"] == 2
+    assert out[2]["email"] is None and out[2]["n_merged"] == 1
+    assert out[3]["name"] == "Carol"
