@@ -1512,6 +1512,40 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lead() pairs each event with the user's next one (one
+    window shuffle on the user key, deterministic (ts, event_id)
+    order), then transition counts and row-normalized probabilities —
+    the navigation-analysis / next-event-model statistic. Row totals
+    come from a rollup of the (tiny) transition-count table, broadcast
+    back. The oracle replays lead + normalization."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    counts = counts.localCheckpoint(eager=False)
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship (operators/merge.py::survivorship):
     three simulated source systems contribute partial customer records
@@ -4787,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "streaming_ohlc": q_streaming_ohlc,
         "survivorship": q_survivorship,
+        "event_transitions": q_event_transitions,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7681,6 +7716,24 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["event_transitions"] = """
+        with t as (
+          select event_type as from_type,
+                 lead(event_type) over (partition by user_id
+                                        order by ts, event_id) as to_type
+          from events
+        ),
+        c as (
+          select from_type, to_type, count(*) as n
+          from t where to_type is not null
+          group by 1, 2
+        ),
+        tot as (select from_type, sum(n) as tot from c group by 1)
+        select c.from_type, c.to_type, c.n,
+               round(c.n / cast(tot.tot as double), 6) as p
+        from c join tot using (from_type)
+        order by from_type, to_type
     """
     out["survivorship"] = """
         with recs as (
