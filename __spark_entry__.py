@@ -1512,6 +1512,58 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: pairwise Jaccard of the
+    sources' document-fingerprint sets — the contamination census run
+    before mixing corpora (a high-overlap pair means one source is
+    republishing another). Distinct (source, fingerprint) first
+    (cardinality drop), then the self-join meets ONLY on equal
+    fingerprints (never all-pairs); set sizes broadcast back for the
+    |A∩B| / (|A|+|B|-|A∩B|) arithmetic. Planted overlap: docs are
+    re-attributed to synthetic odd/even sources so the oracle has
+    non-trivial intersections to check."""
+    d = _t(spark, sf_dir, "documents")
+    # synthetic re-attribution: each doc lands in 1-2 of 4 overlapping
+    # pools, deterministically
+    pool_a = F.concat(F.lit("pool"), (F.col("doc_id") % 4).cast("string"))
+    pool_b = F.concat(
+        F.lit("pool"), ((F.col("doc_id") + 1) % 4).cast("string")
+    )
+    fp = F.md5(F.col("text"))
+    sf_ = (
+        d.select(pool_a.alias("source"), fp.alias("fp"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                pool_b.alias("source"), fp.alias("fp")
+            )
+        )
+        .distinct()
+    )
+    sf_ = sf_.localCheckpoint(eager=False)
+    sizes = sf_.groupBy("source").agg(F.count("*").alias("n"))
+    a = sf_.select(F.col("source").alias("src_a"), "fp")
+    b = sf_.select(F.col("source").alias("src_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(broadcast(na), "src_a")
+        .join(broadcast(nb), "src_b")
+        .select("src_a", "src_b", "n_common", jac.alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     streams: lead() pairs each event with the user's next one (one
@@ -4822,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ohlc": q_streaming_ohlc,
         "survivorship": q_survivorship,
         "event_transitions": q_event_transitions,
+        "source_overlap": q_source_overlap,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7716,6 +7769,31 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["source_overlap"] = """
+        with sf as (
+          select distinct source, fp from (
+            select 'pool' || cast(doc_id % 4 as varchar) as source,
+                   md5(text) as fp
+            from documents
+            union all
+            select 'pool' || cast((doc_id + 1) % 4 as varchar), md5(text)
+            from documents where doc_id % 3 = 0
+          )
+        ),
+        sizes as (select source, count(*) as n from sf group by 1),
+        inter as (
+          select a.source as src_a, b.source as src_b, count(*) as n_common
+          from sf a join sf b on a.fp = b.fp and a.source < b.source
+          group by 1, 2
+        )
+        select src_a, src_b, n_common,
+               round(n_common
+                     / cast(na.n + nb.n - n_common as double), 6) as jaccard
+        from inter
+        join sizes na on na.source = src_a
+        join sizes nb on nb.source = src_b
+        order by src_a, src_b
     """
     out["event_transitions"] = """
         with t as (
