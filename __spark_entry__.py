@@ -1512,6 +1512,22 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (operators/graph.py::kcore, k=93) over the
+    1000-node lineitem projection graph: iterative peeling of sub-k
+    nodes to the maximal subgraph where everyone keeps degree >= 93
+    (5 peel rounds on this fixture). Per round: one degree groupBy +
+    two semi-joins, staged. The oracle unrolls the peeling into
+    chained CTEs past the fixpoint depth."""
+    from etl_orders_to_bq_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return kcore(li, k=93).orderBy("node")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix: pairwise Jaccard of the
     sources' document-fingerprint sets — the contamination census run
@@ -4875,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survivorship": q_survivorship,
         "event_transitions": q_event_transitions,
         "source_overlap": q_source_overlap,
+        "kcore": q_kcore,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5113,6 +5130,46 @@ _STOPWORD_SQL = {
 
 def _lang_hits(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{_STOPWORD_SQL[lang]}'))"
+
+
+def _kcore_oracle_sql(k: int = 93, rounds: int = 10) -> str:
+    """Unrolled-CTE k-core peeling oracle (DuckDB disallows aggregates
+    in recursive terms, same constraint as the PageRank oracle): each
+    unrolled round keeps nodes with degree >= k and restricts the edge
+    set to them. ``rounds`` exceeds the fixpoint depth on the fixture
+    (measured 5 peels), and a converged core is stable under extra
+    rounds, so the unroll equals the engine's run-to-fixpoint."""
+    sql = [
+        """
+        with base as materialized (
+          select distinct l_orderkey % 1000 as a, l_partkey % 1000 as b
+          from lineitem
+          where l_orderkey % 1000 <> l_partkey % 1000
+        ),
+        u0 as materialized (
+          select a, b from base union select b, a from base
+        )"""
+    ]
+    for i in range(rounds):
+        # `materialized` keeps DuckDB from inlining each CTE into its
+        # consumers — the inlined unroll re-opened the parquet once per
+        # reference and blew the fd limit
+        sql.append(
+            f""",
+        n{i} as materialized (
+          select a from u{i} group by a having count(*) >= {k}
+        ),
+        u{i + 1} as materialized (
+          select a, b from u{i}
+          where a in (select a from n{i}) and b in (select a from n{i})
+        )"""
+        )
+    sql.append(
+        f"""
+        select a as node, cast(count(*) as bigint) as degree
+        from u{rounds} group by a order by node"""
+    )
+    return "".join(sql)
 
 
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
@@ -7770,6 +7827,7 @@ def oracle_sql() -> dict[str, str]:
         order by n_pair desc, sym_a, sym_b
         limit 20
     """
+    out["kcore"] = _kcore_oracle_sql(k=93, rounds=10)
     out["source_overlap"] = """
         with sf as (
           select distinct source, fp from (

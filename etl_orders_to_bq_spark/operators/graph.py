@@ -362,3 +362,55 @@ def shortest_paths(
     for f in visited[1:]:
         out = out.unionByName(f)
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree >= k, found by iterative peeling (drop
+    sub-k nodes, recompute degrees on the surviving subgraph, repeat
+    to fixpoint) — the standard dense-region extractor for community
+    seeds and spam/bot rings.
+
+    Returns ``(node, degree)`` with the node's degree INSIDE the core.
+
+    Each round is one degree groupBy plus two semi-joins restricting
+    the edge set to survivors — all keyed on node ids, staged per
+    round (``localCheckpoint`` or durable parquet). Convergence is
+    checked with a 1-row count; peeling removes at least one node per
+    non-final round, so rounds <= |peeled nodes| and in practice a
+    handful.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = stage(und, checkpoint_path, "kcore_edges")
+
+    for rnd in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count("*").alias("degree"))
+        n_before = und.select("a").distinct().count()
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        n_after = keep.count()
+        if n_after == n_before:
+            return deg.select(F.col("a").alias("node"), "degree")
+        if n_after == 0:
+            return deg.filter(F.lit(False)).select(
+                F.col("a").alias("node"), "degree"
+            )
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+        )
+        und = stage(und, checkpoint_path, f"kcore_e{rnd}")
+    raise RuntimeError(
+        f"k-core peeling did not converge in {max_rounds} rounds"
+    )

@@ -440,3 +440,21 @@ def test_round4_operators_handle_empty_inputs(spark):
     assert quarantine(tbl, {"pos": F.col("v") > 0}).count() == 0
     assert snapshot_diff(tbl, tbl, "id").count() == 0
     assert ranking_metrics(rk).count() == 0
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """A triangle+tail graph: the 2-core is exactly the triangle (the
+    tail peels in cascading rounds), and an over-demanding k gives an
+    empty core rather than an error."""
+    from etl_orders_to_bq_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a chain 3-4-5 hanging off
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    ).repartition(3)
+
+    core2 = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}  # chain cascaded away, degrees
+    # recomputed INSIDE the core (node 3 had degree 3 in the full graph)
+
+    assert kcore(edges, k=3).count() == 0
