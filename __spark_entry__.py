@@ -1512,6 +1512,38 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit drift over order totals — the classic
+    fabricated-numbers screen: observed first-digit shares vs the
+    log10(1 + 1/d) law, with each digit's chi-squared contribution.
+    The leading digit is extracted NUMERICALLY (floor(x / 10^floor(
+    log10 x))) so no engine-specific float formatting enters the
+    comparison; one map-side-combinable groupBy over the scan. (The
+    fixture's uniform prices should and do FAIL Benford — the gate
+    checks the statistic, not conformance.)"""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    counts = counts.localCheckpoint(eager=False)
+    total = counts.agg(F.sum("n").alias("t"))
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp_n = F.col("t") * p
+    return (
+        counts.crossJoin(broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("obs_p"),
+            F.round(p, 6).alias("benford_p"),
+            F.round(
+                (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core extraction (operators/graph.py::kcore, k=93) over the
     1000-node lineitem projection graph: iterative peeling of sub-k
@@ -4892,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "source_overlap": q_source_overlap,
         "kcore": q_kcore,
+        "benford_digits": q_benford_digits,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7826,6 +7859,24 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["benford_digits"] = """
+        with c as (
+          select cast(floor(o_totalprice
+                      / pow(10.0, floor(log10(o_totalprice)))) as int)
+                   as digit,
+                 count(*) as n
+          from orders group by 1
+        ),
+        t as (select sum(n) as t from c)
+        select digit, n,
+               round(n / cast(t as double), 6) as obs_p,
+               round(log10(1.0 + 1.0 / digit), 6) as benford_p,
+               round((n - t * log10(1.0 + 1.0 / digit))
+                     * (n - t * log10(1.0 + 1.0 / digit))
+                     / (t * log10(1.0 + 1.0 / digit)), 6) as chi2_term
+        from c, t
+        order by digit
     """
     out["kcore"] = _kcore_oracle_sql(k=93, rounds=10)
     out["source_overlap"] = """
