@@ -1512,6 +1512,83 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion
+    time, WITH right-censoring (users who never purchase are at-risk
+    until the end of observation, not dropped — dropping them is the
+    classic conversion-analysis bias). Per user: first signup, first
+    purchase at-or-after it; duration in minutes. At each event time
+    t: d = conversions, n = users still at risk (duration >= t);
+    S(t) = prod(1 - d/n) over event times <= t, computed as
+    exp(running-sum(ln)) — one user-level shuffle, one tiny
+    event-time table, windows over it. The oracle replays the
+    estimator with SQL windows."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    obs_end = e.agg(F.max("ts").alias("end_ts"))
+    # the >= condition lives IN the join: a user whose purchases all
+    # precede signup must stay as a CENSORED row, not vanish
+    durs = (
+        su.join(
+            pu,
+            (su.user_id == F.col("p_uid")) & (F.col("p_ts") >= su.s_ts),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .crossJoin(broadcast(obs_end))
+        .select(
+            # exact integer microseconds: groups identically in both
+            # engines (float durations could split groups at 1-ulp)
+            F.when(
+                F.col("first_p").isNotNull(),
+                F.unix_micros("first_p") - F.unix_micros("s_ts"),
+            )
+            .otherwise(F.unix_micros("end_ts") - F.unix_micros("s_ts"))
+            .alias("dur"),
+            F.col("first_p").isNotNull().cast("int").alias("event"),
+        )
+    )
+    durs = durs.localCheckpoint(eager=False)
+    n_total = durs.agg(F.count("*").alias("n_total"))
+    per_t = durs.groupBy("dur").agg(
+        F.sum("event").alias("d"), F.count("*").alias("c")
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = F.col("n_total") - F.coalesce(F.sum("c").over(w), F.lit(0))
+    ranked = (
+        per_t.crossJoin(broadcast(n_total))
+        .withColumn("n_risk", at_risk)
+        .filter(F.col("d") > 0)
+    )
+    ws = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # when every remaining at-risk user converts at one time
+    # (d == n_risk) the curve drops to EXACTLY 0 — flag it instead of
+    # ln(0): the log term goes null (skipped by the sum) and the flag
+    # pins survival to 0 from that step on
+    one_minus = 1.0 - F.col("d") / F.col("n_risk")
+    term = F.log(F.when(one_minus > 0, one_minus))
+    hit_zero = F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(ws)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(ws))
+    )
+    return ranked.select(
+        F.round(F.col("dur") / 60000000.0, 2).alias("t_minutes"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("t_minutes")
+
+
 def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit drift over order totals — the classic
     fabricated-numbers screen: observed first-digit shares vs the
@@ -4925,6 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "kcore": q_kcore,
         "benford_digits": q_benford_digits,
+        "survival_curve": q_survival_curve,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7859,6 +7937,55 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["survival_curve"] = """
+        with su as (
+          select user_id, min(ts) as s_ts from events
+          where event_type = 'signup' group by 1
+        ),
+        pu as (
+          select user_id as p_uid, ts as p_ts from events
+          where event_type = 'purchase'
+        ),
+        oe as (select max(ts) as end_ts from events),
+        fp as (
+          select su.user_id, su.s_ts, min(p_ts) as first_p
+          from su
+          left join pu on su.user_id = pu.p_uid and pu.p_ts >= su.s_ts
+          group by 1, 2
+        ),
+        durs as (
+          select case when first_p is not null
+                      then epoch_us(first_p) - epoch_us(s_ts)
+                      else epoch_us(end_ts) - epoch_us(s_ts) end as dur,
+                 case when first_p is not null then 1 else 0 end as event
+          from fp, oe
+        ),
+        nt as (select count(*) as n_total from durs),
+        per_t as (
+          select dur, sum(event) as d, count(*) as c
+          from durs group by 1
+        ),
+        ranked as (
+          select dur, d,
+                 n_total - coalesce(sum(c) over (order by dur
+                   rows between unbounded preceding and 1 preceding), 0)
+                   as n_risk
+          from per_t, nt
+        )
+        select round(dur / 60000000.0, 2) as t_minutes,
+               cast(d as bigint) as d,
+               cast(n_risk as bigint) as n_risk,
+               round(case when max(case when d >= n_risk then 1 else 0 end)
+                          over cum = 1 then 0.0
+                     else exp(sum(ln(nullif(
+                            1.0 - d / cast(n_risk as double), 0.0)))
+                          over cum) end, 6) as survival
+        from ranked
+        where d > 0
+        window cum as (order by dur rows between unbounded preceding
+                       and current row)
+        order by t_minutes
     """
     out["benford_digits"] = """
         with c as (
