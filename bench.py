@@ -58,6 +58,8 @@ HEADLINE = [
     "skipgram_pairs",
     "attribution",
     "interval_merge",
+    # iterative graph peeling at sf0.1 (driver-side rounds)
+    "kcore",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -70,6 +72,8 @@ ITERATIVE = {
     # CC rounds + the staged SemDeDup assignment run at construction
     "entity_resolution",
     "semdedup",
+    # peeling rounds run at construction
+    "kcore",
 }
 
 
