@@ -1512,6 +1512,50 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the readability
+    band of a corpus-quality dashboard: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with syllables approximated
+    as vowel-group runs per token (the standard hyphenation-free
+    heuristic) and sentences as [.!?]+ splits. Entirely Column
+    regex/array arithmetic over one scan — no Python, no shuffle
+    before the final sort. The oracle replays both regex counts."""
+    from etl_orders_to_bq_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(F.col("text")))
+    n_words = F.size(toks)
+    n_sent = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(
+            F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)
+        ),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (n_words / F.greatest(n_sent, F.lit(1)))
+        - 84.6 * (n_syll / F.greatest(n_words, F.lit(1)))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.round(flesch, 4).alias("flesch"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for signup→purchase conversion
     time, WITH right-censoring (users who never purchase are at-risk
@@ -5003,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "benford_digits": q_benford_digits,
         "survival_curve": q_survival_curve,
+        "readability": q_readability,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7937,6 +7982,34 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["readability"] = """
+        with t as (
+          select doc_id,
+                 regexp_extract_all(lower(text), '\\S+') as toks,
+                 len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                 s -> trim(s) != '')) as n_sentences
+          from documents
+        ),
+        m as (
+          select doc_id,
+                 len(toks) as n_words,
+                 n_sentences,
+                 cast(coalesce(list_sum(list_transform(toks,
+                      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')),
+                                    1))), 0) as int) as n_syllables
+          from t
+        )
+        select doc_id, n_words, n_sentences, n_syllables,
+               round(206.835
+                     - 1.015 * (n_words
+                                / cast(greatest(n_sentences, 1) as double))
+                     - 84.6 * (n_syllables
+                               / cast(greatest(n_words, 1) as double)),
+                     4) as flesch
+        from m
+        where n_words > 0
+        order by doc_id
     """
     out["survival_curve"] = """
         with su as (
