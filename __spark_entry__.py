@@ -1512,6 +1512,52 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment conversion rate with a Wilson 95% confidence
+    interval — the binomial interval that behaves at small n and
+    extreme p where the naive normal interval collapses (the reporting
+    shape for per-segment KPIs). Conversion = customer placed >= 1
+    urgent order (one semi-join flag via left join presence), then a
+    per-segment count aggregate and the Wilson algebra as a 1-row-per-
+    segment projection. The oracle replays the algebra."""
+    z = 1.959964
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = c.join(
+        urgent.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "__conv", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    )
+    agg = flagged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce("__conv", F.lit(0))).alias("x"),
+    )
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    p = x / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("c_mktsegment")
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease scoring per document — the readability
     band of a corpus-quality dashboard: 206.835 - 1.015*(words/
@@ -5048,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "survival_curve": q_survival_curve,
         "readability": q_readability,
+        "wilson_ci": q_wilson_ci,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -7982,6 +8029,37 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["wilson_ci"] = """
+        with conv as (
+          select distinct o_custkey from orders
+          where o_orderpriority = '1-URGENT'
+        ),
+        agg as (
+          select c_mktsegment,
+                 count(*) as n,
+                 cast(sum(case when conv.o_custkey is not null
+                          then 1 else 0 end) as bigint) as x
+          from customer
+          left join conv on conv.o_custkey = c_custkey
+          group by 1
+        )
+        select c_mktsegment, n, x,
+               round(x / cast(n as double), 6) as rate,
+               round(((x / cast(n as double))
+                      + 1.959964 * 1.959964 / (2.0 * n)
+                      - 1.959964 * sqrt((x / cast(n as double))
+                          * (1.0 - x / cast(n as double)) / n
+                          + 1.959964 * 1.959964 / (4.0 * n * n)))
+                     / (1.0 + 1.959964 * 1.959964 / n), 6) as ci_lo,
+               round(((x / cast(n as double))
+                      + 1.959964 * 1.959964 / (2.0 * n)
+                      + 1.959964 * sqrt((x / cast(n as double))
+                          * (1.0 - x / cast(n as double)) / n
+                          + 1.959964 * 1.959964 / (4.0 * n * n)))
+                     / (1.0 + 1.959964 * 1.959964 / n), 6) as ci_hi
+        from agg
+        order by c_mktsegment
     """
     out["readability"] = """
         with t as (
