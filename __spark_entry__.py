@@ -1512,6 +1512,47 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-CUSUM drift detection on daily per-type event volumes:
+    C_t = max(0, C_{t-1} + (x_t - mean - slack)) flags sustained
+    upward shifts a spike threshold misses. The reset recursion is NOT
+    a running sum, but it has the classic prefix-minimum identity
+    C_t = S_t - min(0, min_{i<=t} S_i) with S the plain cumsum of
+    deviations — so the whole detector is two stacked windows per
+    event type (cumsum, then running min), no recursion, no UDF.
+    Slack = 0.5σ, alarm at 4σ (standard CUSUM tuning). The oracle
+    replays the identity."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    j = daily.join(broadcast(stats), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(
+        F.col("n") - F.col("mu") - 0.5 * F.col("sd")
+    ).over(w)
+    staged = j.withColumn("__s", s)
+    run_min = F.min("__s").over(w)
+    cusum = F.col("__s") - F.least(F.lit(0.0), run_min)
+    return (
+        staged.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(cusum, 4).alias("cusum_pos"),
+            (cusum > 4.0 * F.col("sd")).alias("drift"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment conversion rate with a Wilson 95% confidence
     interval — the binomial interval that behaves at small n and
@@ -5095,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "readability": q_readability,
         "wilson_ci": q_wilson_ci,
+        "cusum_drift": q_cusum_drift,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8029,6 +8071,34 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["cusum_drift"] = """
+        with daily as (
+          select event_type, cast(ts as date) as day, count(*) as n
+          from events group by 1, 2
+        ),
+        stats as (
+          select event_type, avg(n) as mu, stddev_samp(n) as sd
+          from daily group by 1
+        ),
+        s1 as (
+          select d.event_type, d.day, d.n, s.mu, s.sd,
+                 sum(d.n - s.mu - 0.5 * s.sd) over (
+                   partition by d.event_type order by d.day
+                   rows between unbounded preceding and current row) as s
+          from daily d join stats s using (event_type)
+        )
+        select event_type, day, n,
+               round(s - least(0.0, min(s) over (
+                 partition by event_type order by day
+                 rows between unbounded preceding and current row)), 4)
+                 as cusum_pos,
+               (s - least(0.0, min(s) over (
+                 partition by event_type order by day
+                 rows between unbounded preceding and current row)))
+                 > 4.0 * sd as drift
+        from s1
+        order by event_type, day
     """
     out["wilson_ci"] = """
         with conv as (
