@@ -1512,6 +1512,53 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar function (CREATE FUNCTION ... RETURN
+    expr): the discounted-charge formula lives as a named, reusable,
+    CATALYST-INLINED SQL UDF — unlike a Python UDF it stays inside
+    whole-stage codegen, so a shared metric definition costs nothing
+    at 100 TB. Used here inside an aggregate over lineitem. The
+    oracle inlines the same expression."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 2)
+                 AS total_charge,
+               count(*) AS n
+        FROM v_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators): the same relational
+    plan as a chained FROM ... |> WHERE ... |> AGGREGATE pipeline —
+    the readability surface ANSI picked up from GoogleSQL; it
+    compiles to the identical Catalyst plan as the classic form, which
+    is exactly what the classic-SQL oracle checks."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        FROM v_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND year(o_orderdate) AS yr
+        |> AGGREGATE count(*) AS n,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority, yr
+        |> WHERE n > 10
+        |> ORDER BY o_orderpriority, yr
+        """
+    )
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive-CUSUM drift detection on daily per-type event volumes:
     C_t = max(0, C_{t-1} + (x_t - mean - slack)) flags sustained
@@ -5137,6 +5184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "wilson_ci": q_wilson_ci,
         "cusum_drift": q_cusum_drift,
+        "sql_udf": q_sql_udf,
+        "sql_pipe": q_sql_pipe,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8071,6 +8120,24 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["sql_udf"] = """
+        select l_returnflag,
+               round(sum(l_extendedprice * (1.0 - l_discount)
+                         * (1.0 + l_tax)), 2) as total_charge,
+               count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+    """
+    out["sql_pipe"] = """
+        select o_orderpriority, year(o_orderdate) as yr,
+               count(*) as n, round(sum(o_totalprice), 2) as revenue
+        from orders
+        where o_orderstatus = 'F'
+        group by 1, 2
+        having count(*) > 10
+        order by o_orderpriority, yr
     """
     out["cusum_drift"] = """
         with daily as (
