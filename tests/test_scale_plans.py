@@ -631,3 +631,57 @@ def test_q21_q20_decorrelate_to_semi_anti_joins(spark):
     p20 = _plan(q20)
     assert "LeftSemi" in p20, p20
     assert "BroadcastNestedLoopJoin" not in p20, p20
+
+
+def test_sql_udf_stays_in_codegen(spark):
+    """A SQL-defined function must inline into Catalyst — no Python
+    evaluation node may appear in the plan (that inlining is the whole
+    reason to prefer it over a Python UDF for shared metric defs)."""
+    spark.range(100).selectExpr("id", "cast(id as double) as p").createOrReplaceTempView(
+        "v_sqludf_probe"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION probe_fn(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 2.0 + 1.0"
+    )
+    df = spark.sql("SELECT sum(probe_fn(p)) AS s FROM v_sqludf_probe")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert df.first()["s"] == sum(x * 2.0 + 1.0 for x in range(100))
+
+
+def test_simhash_hamming_single_candidate_shuffle(spark):
+    """The pigeonhole pair join must shuffle on the block key — and the
+    verify must NOT introduce extra exchanges beyond the self-join +
+    distinct pair."""
+    from etl_orders_to_bq_spark.operators.dedup import simhash_hamming_pairs
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    s = plan_summary(simhash_hamming_pairs(docs, bits=32, max_dist=3))
+    # join exchange (both sides) + distinct exchange; no more
+    assert s["exchanges"] <= 3
+    assert not any("NestedLoop" in j for j in s["joins"])
+
+
+def test_grid_radius_join_is_single_equijoin_shuffle(spark):
+    """The spatial join must be a cell-key equi-join (hash-partitioned
+    or broadcast) — never a cross/nested-loop product."""
+    from etl_orders_to_bq_spark.operators.geo import grid_radius_join
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    left = spark.createDataFrame(
+        [(i, 50.0 + i / 100.0, 8.0) for i in range(60)],
+        "lid long, llat double, llon double",
+    )
+    right = spark.createDataFrame(
+        [(j, 50.0 + j / 90.0, 8.1) for j in range(60)],
+        "rid long, rlat double, rlon double",
+    )
+    s = plan_summary(
+        grid_radius_join(left, right, 25.0, "llat", "llon", "rlat", "rlon")
+    )
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s["joins"])
