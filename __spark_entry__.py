@@ -1512,6 +1512,80 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality + residual anomalies: daily event volumes
+    decomposed against their weekday mean (the simplest seasonal-naive
+    model), flagging days whose residual exceeds 2 residual-sigmas —
+    the screen that catches a quiet Tuesday a raw threshold misses
+    because Tuesdays are always quiet. Two tiny rollups of one daily
+    aggregate; the day table is staged so its consumers share the
+    scan. The oracle replays the decomposition."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    wd = F.dayofweek("day")
+    by_wd = daily.groupBy(wd.alias("weekday")).agg(
+        F.avg("n").alias("wd_mean")
+    )
+    j = daily.withColumn("weekday", wd).join(broadcast(by_wd), "weekday")
+    resid = F.col("n") - F.col("wd_mean")
+    stats = j.agg(F.stddev_samp(resid).alias("rsd"))
+    return (
+        j.crossJoin(broadcast(stats))
+        .select(
+            "day",
+            "weekday",
+            "n",
+            F.round("wd_mean", 4).alias("wd_mean"),
+            F.round(resid, 4).alias("residual"),
+            (F.abs(resid) > 2.0 * F.col("rsd")).alias("anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: per nation, the smallest customer
+    fraction whose (revenue-descending) cumulative share reaches 80%
+    — the '80/20' readout that complements the Gini coefficient with
+    an actionable cut-off. One revenue rollup, one per-nation window
+    pass, one min aggregate. The oracle replays the cumulative-share
+    scan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    j = rev.join(broadcast(c), rev.o_custkey == c.c_custkey).select(
+        "c_nationkey", "o_custkey", "rev"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev"), F.asc("o_custkey")
+    )
+    wtot = Window.partitionBy("c_nationkey")
+    cum = F.sum("rev").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = j.select(
+        "c_nationkey",
+        F.row_number().over(w).alias("rk"),
+        (cum / F.sum("rev").over(wtot)).alias("cum_share"),
+        F.count("*").over(wtot).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("cum_share") >= 0.8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("rk").alias("top_customers"),
+            F.max("n_cust").alias("n_customers"),
+            F.round(
+                F.min("rk") / F.max("n_cust").cast("double"), 6
+            ).alias("pareto_fraction"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL-defined scalar function (CREATE FUNCTION ... RETURN
     expr): the discounted-charge formula lives as a named, reusable,
@@ -5186,6 +5260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "sql_udf": q_sql_udf,
         "sql_pipe": q_sql_pipe,
+        "seasonality_profile": q_seasonality_profile,
+        "pareto_share": q_pareto_share,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8120,6 +8196,60 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["seasonality_profile"] = """
+        with daily as (
+          select cast(ts as date) as day, count(*) as n
+          from events group by 1
+        ),
+        wdm as (
+          select dayofweek(day) + 1 as weekday, avg(n) as wd_mean
+          from daily group by 1
+        ),
+        j as (
+          select day, dayofweek(day) + 1 as weekday, n, wd_mean,
+                 n - wd_mean as residual
+          from daily join wdm on wdm.weekday = dayofweek(day) + 1
+        ),
+        st as (select stddev_samp(residual) as rsd from j)
+        select day, cast(weekday as int) as weekday, n,
+               round(wd_mean, 4) as wd_mean,
+               round(residual, 4) as residual,
+               abs(residual) > 2.0 * rsd as anomaly
+        from j, st
+        order by day
+    """
+    out["pareto_share"] = """
+        with rev as (
+          select o_custkey, sum(o_totalprice) as rev
+          from orders group by 1
+        ),
+        j as (
+          select c.c_nationkey, r.o_custkey, r.rev
+          from rev r join customer c on r.o_custkey = c.c_custkey
+        ),
+        ranked as (
+          select c_nationkey,
+                 row_number() over (partition by c_nationkey
+                                    order by rev desc, o_custkey) as rk,
+                 sum(rev) over (partition by c_nationkey
+                                order by rev desc, o_custkey
+                                rows between unbounded preceding
+                                         and current row)
+                   / sum(rev) over (partition by c_nationkey)
+                   as cum_share,
+                 count(*) over (partition by c_nationkey) as n_cust
+          from j
+        )
+        select c_nationkey,
+               cast(min(rk) as bigint) as top_customers,
+               cast(max(n_cust) as bigint) as n_customers,
+               round(min(rk) / cast(max(n_cust) as double), 6)
+                 as pareto_fraction
+        from ranked
+        where cum_share >= 0.8
+        group by c_nationkey
+        order by c_nationkey
     """
     out["sql_udf"] = """
         select l_returnflag,
