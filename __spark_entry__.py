@@ -1512,6 +1512,34 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic Lloyd k-means rounds (operators/ann.py::
+    lloyd_kmeans, k=8, fixed seed-7 init — the same centroids as
+    ivf_assign) over the embeddings table, reported as per-cluster
+    population and centroid norm. Because init is fixed and the
+    argmax tie-break is first-index, the ENTIRE fit — every
+    assignment of every round — is replayed by the DuckDB oracle's
+    unrolled CTEs, not merely scored. Per round: one projection
+    assign + one combinable means groupBy + a k-row driver read."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes, lloyd_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents, assigned = lloyd_kmeans(e, _hyperplanes(64, 8, seed=7), rounds=3)
+    norm_expr = None
+    for j, c in enumerate(cents):
+        n = sum(x * x for x in c) ** 0.5
+        branch = F.when(F.col("ivf_cluster") == j, F.lit(n))
+        norm_expr = branch if norm_expr is None else norm_expr.when(
+            F.col("ivf_cluster") == j, F.lit(n)
+        )
+    return (
+        assigned.groupBy("ivf_cluster")
+        .agg(F.count("*").alias("n"))
+        .withColumn("centroid_norm", F.round(norm_expr, 6))
+        .orderBy("ivf_cluster")
+    )
+
+
 def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday seasonality + residual anomalies: daily event volumes
     decomposed against their weekday mean (the simplest seasonal-naive
@@ -5262,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pipe": q_sql_pipe,
         "seasonality_profile": q_seasonality_profile,
         "pareto_share": q_pareto_share,
+        "kmeans_lloyd": q_kmeans_lloyd,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -5500,6 +5529,72 @@ _STOPWORD_SQL = {
 
 def _lang_hits(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{_STOPWORD_SQL[lang]}'))"
+
+
+def _lloyd_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7,
+                      rounds: int = 3) -> str:
+    """Unrolled Lloyd k-means oracle: per round, assignment replays the
+    engine's argmax exactly (scores LISTED in cluster order, first-max
+    index — the same tie-break as Spark's array_position) and new
+    centroids are per-dim averages; empty clusters coalesce to the
+    previous centroid. Init centroids are inlined as byte-identical
+    double literals from the shared seeded generator."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+
+    cents = _hyperplanes(dim, k, seed)
+    c0_rows = ", ".join(
+        f"({j}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    sql = [f"""
+        with e as materialized (
+          select vec_id, cast(embedding as double[]) as v from embeddings
+        ),
+        c0 as materialized (
+          select * from (values {c0_rows}) t(cluster, vec)
+        )"""]
+    for r in range(rounds):
+        sql.append(f""",
+        a{r} as materialized (
+          select vec_id, v,
+                 list_position(s, list_aggregate(s, 'max')) - 1 as cluster
+          from (
+            select vec_id, v,
+                   (select list(2.0 * list_dot_product(e2.v, c.vec)
+                                - list_dot_product(c.vec, c.vec)
+                          order by c.cluster)
+                    from c{r} c) as s
+            from e e2
+          )
+        ),
+        m{r} as materialized (
+          select cluster, {avg_list} as vec from a{r} group by cluster
+        ),
+        c{r + 1} as materialized (
+          select c.cluster, coalesce(m.vec, c.vec) as vec
+          from c{r} c left join m{r} m using (cluster)
+        )""")
+    sql.append(f""",
+        afinal as (
+          select vec_id,
+                 list_position(s, list_aggregate(s, 'max')) - 1 as cluster
+          from (
+            select vec_id,
+                   (select list(2.0 * list_dot_product(e2.v, c.vec)
+                                - list_dot_product(c.vec, c.vec)
+                          order by c.cluster)
+                    from c{rounds} c) as s
+            from e e2
+          )
+        )
+        select a.cluster as ivf_cluster, count(*) as n,
+               round(sqrt(list_dot_product(c.vec, c.vec)), 6)
+                 as centroid_norm
+        from afinal a join c{rounds} c on c.cluster = a.cluster
+        group by a.cluster, c.vec
+        order by ivf_cluster""")
+    return "".join(sql)
 
 
 def _kcore_oracle_sql(k: int = 93, rounds: int = 10) -> str:
@@ -8197,6 +8292,7 @@ def oracle_sql() -> dict[str, str]:
         order by n_pair desc, sym_a, sym_b
         limit 20
     """
+    out["kmeans_lloyd"] = _lloyd_oracle_sql(dim=64, k=8, seed=7, rounds=3)
     out["seasonality_profile"] = """
         with daily as (
           select cast(ts as date) as day, count(*) as n

@@ -314,3 +314,46 @@ def ann_topk_lsh(
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def lloyd_kmeans(
+    embeddings: DataFrame,
+    init_centroids: list[list[float]],
+    rounds: int = 3,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd k-means from FIXED initial centroids:
+    assign (the pure-Column argmax projection of
+    ``assign_ivf_clusters``) -> per-cluster per-dimension means (ONE
+    map-side-combinable groupBy) -> collect the k centroid rows (a
+    bounded driver read, same contract as IVF probe ranking) ->
+    repeat. Empty clusters keep their previous centroid. Returns
+    ``(final_centroids, assigned_frame)``.
+
+    Fixed init + argmax-first tie-break make every round reproducible
+    across engines and runs — which is what lets an external oracle
+    replay the whole fit, not just score it. Per round the corpus is
+    touched exactly once; the shuffle carries (cluster, partial
+    per-dim sums), k x dim doubles per task.
+    """
+    cents = [[float(x) for x in c] for c in init_centroids]
+    dim = len(cents[0])
+    assigned = None
+    for _ in range(rounds):
+        assigned = assign_ivf_clusters(embeddings, cents, vec_col)
+        mean_rows = (
+            assigned.groupBy("ivf_cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            r["ivf_cluster"]: [float(r[f"m{i}"]) for i in range(dim)]
+            for r in mean_rows
+        }
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents, assign_ivf_clusters(embeddings, cents, vec_col)

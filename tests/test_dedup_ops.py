@@ -973,3 +973,36 @@ def test_simhash_hamming_max_bucket_guard_drops_degenerate_buckets(spark):
     }
     assert (100, 101) in guarded          # healthy pair survives
     assert all(a >= 100 for a, _ in guarded)  # clique dropped
+
+
+def test_lloyd_kmeans_matches_numpy_reference(spark):
+    """The distributed Lloyd loop must reproduce a sequential numpy
+    implementation round-for-round (fixed init, first-index argmax
+    tie-break, empty clusters keep their previous centroid)."""
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.ann import lloyd_kmeans
+
+    rng = [(i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(4)])
+           for i in range(60)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    init = [[6.0, 6.0, 6.0, 6.0], [-6.0, -6.0, -6.0, -6.0],
+            [100.0, 100.0, 100.0, 100.0]]  # third starts empty
+
+    cents, assigned = lloyd_kmeans(df, init, rounds=2)
+
+    X = np.array([v for _, v in rng])
+    C = np.array(init, dtype=float)
+    for _ in range(2):
+        scores = 2 * X @ C.T - (C * C).sum(axis=1)
+        lab = scores.argmax(axis=1)  # argmax = first max index, like Spark
+        for j in range(len(C)):
+            if (lab == j).any():
+                C[j] = X[lab == j].mean(axis=0)
+    scores = 2 * X @ C.T - (C * C).sum(axis=1)
+    lab = scores.argmax(axis=1)
+
+    assert np.allclose(np.array(cents), C)
+    got = {r["vec_id"]: r["ivf_cluster"] for r in assigned.collect()}
+    assert got == {i: int(lab[i]) for i, _ in rng}
+    assert cents[2] == init[2]  # empty cluster untouched
