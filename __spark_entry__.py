@@ -1517,14 +1517,18 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     lloyd_kmeans, k=8, fixed seed-7 init — the same centroids as
     ivf_assign) over the embeddings table, reported as per-cluster
     population and centroid norm. Because init is fixed and the
-    argmax tie-break is first-index, the ENTIRE fit — every
-    assignment of every round — is replayed by the DuckDB oracle's
-    unrolled CTEs, not merely scored. Per round: one projection
+    argmax tie-break is first-index, and each round's centroid
+    means are snapped to 6dp (identical literals both engines — see
+    lloyd_kmeans's round_ndigits note on avg's ULP drift), the ENTIRE
+    fit — every assignment of every round — is replayed EXACTLY by
+    the DuckDB oracle's unrolled CTEs, not merely scored. Per round: one projection
     assign + one combinable means groupBy + a k-row driver read."""
     from etl_orders_to_bq_spark.operators.ann import _hyperplanes, lloyd_kmeans
 
     e = _t(spark, sf_dir, "embeddings")
-    cents, assigned = lloyd_kmeans(e, _hyperplanes(64, 8, seed=7), rounds=3)
+    cents, assigned = lloyd_kmeans(
+        e, _hyperplanes(64, 8, seed=7), rounds=3, round_ndigits=6
+    )
     norm_expr = None
     for j, c in enumerate(cents):
         n = sum(x * x for x in c) ** 0.5
@@ -1881,7 +1885,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     x = F.col("o_totalprice")
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
-    counts = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    observed = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    # full 1-9 spine: a digit that NEVER occurs is the strongest
+    # possible Benford violation — its (0 - E)^2/E term must appear,
+    # not silently vanish with the groupBy
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = spine.join(observed, "digit", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
     counts = counts.localCheckpoint(eager=False)
     total = counts.agg(F.sum("n").alias("t"))
     p = F.log10(1.0 + 1.0 / F.col("digit"))
@@ -5546,7 +5557,9 @@ def _lloyd_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7,
         f"({j}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
         for j, c in enumerate(cents)
     )
-    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    avg_list = (
+        "[" + ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim)) + "]"
+    )
     sql = [f"""
         with e as materialized (
           select vec_id, cast(embedding as double[]) as v from embeddings
@@ -8502,12 +8515,17 @@ def oracle_sql() -> dict[str, str]:
         order by t_minutes
     """
     out["benford_digits"] = """
-        with c as (
+        with obs as (
           select cast(floor(o_totalprice
                       / pow(10.0, floor(log10(o_totalprice)))) as int)
                    as digit,
                  count(*) as n
           from orders group by 1
+        ),
+        c as (
+          select s.digit, coalesce(obs.n, 0) as n
+          from (select unnest(range(1, 10)) as digit) s
+          left join obs on obs.digit = s.digit
         ),
         t as (select sum(n) as t from c)
         select digit, n,

@@ -58,8 +58,6 @@ HEADLINE = [
     "skipgram_pairs",
     "attribution",
     "interval_merge",
-    # iterative graph peeling at sf0.1 (driver-side rounds)
-    "kcore",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -72,8 +70,6 @@ ITERATIVE = {
     # CC rounds + the staged SemDeDup assignment run at construction
     "entity_resolution",
     "semdedup",
-    # peeling rounds run at construction
-    "kcore",
 }
 
 
@@ -171,6 +167,32 @@ def main() -> None:
             force(prod)
             best = min(best, time.perf_counter() - t0)
         stress[f"dedup_minhash_lsh_128x16_{fn}"] = round(best, 3)
+
+    # k-core peel stress: the registry's fixed k=93 does ZERO peel
+    # rounds on the much denser sf0.1 graph (min degree is far above
+    # it), so the iterative path is timed here with a DATA-DEPENDENT k
+    # (p75 of degrees) that guarantees real peeling at this fixture
+    from etl_orders_to_bq_spark.operators.graph import kcore
+
+    kli = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    kdeg = (
+        kli.select("src", "dst")
+        .unionByName(kli.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+    )
+    k75 = int(kdeg.agg(F.percentile_approx("d", 0.75)).first()[0])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(kcore(kli, k=k75))
+        best = min(best, time.perf_counter() - t0)
+    stress["kcore_peel_p75"] = round(best, 3)
 
     # skew stress: one hot key carrying 90% of sf0.1 lineitem, so the
     # SCALING.md skew-mitigation claims are tracked numbers, not prose.

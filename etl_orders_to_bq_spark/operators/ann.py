@@ -321,6 +321,7 @@ def lloyd_kmeans(
     init_centroids: list[list[float]],
     rounds: int = 3,
     vec_col: str = "embedding",
+    round_ndigits: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic Lloyd k-means from FIXED initial centroids:
     assign (the pure-Column argmax projection of
@@ -332,23 +333,30 @@ def lloyd_kmeans(
 
     Fixed init + argmax-first tie-break make every round reproducible
     across engines and runs — which is what lets an external oracle
-    replay the whole fit, not just score it. Per round the corpus is
-    touched exactly once; the shuffle carries (cluster, partial
-    per-dim sums), k x dim doubles per task.
+    replay the whole fit, not just score it. ``round_ndigits`` rounds
+    each round's centroid means before the next assignment: double
+    `avg` accumulates in shuffle-dependent order, so two engines (or
+    two runs) can differ by ULPs, and an assignment whose top two
+    scores are nearer than that drift would flip — rounding snaps the
+    inter-round state to identical literals on both sides, making the
+    cross-engine replay exact rather than merely overwhelmingly
+    likely. Per round the corpus is touched exactly once; the shuffle
+    carries (cluster, partial per-dim sums), k x dim doubles per task.
     """
     cents = [[float(x) for x in c] for c in init_centroids]
     dim = len(cents[0])
     assigned = None
     for _ in range(rounds):
         assigned = assign_ivf_clusters(embeddings, cents, vec_col)
+        def _mean(i: int):
+            m = F.avg(F.element_at(F.col(vec_col), i + 1))
+            if round_ndigits is not None:
+                m = F.round(m, round_ndigits)
+            return m.alias(f"m{i}")
+
         mean_rows = (
             assigned.groupBy("ivf_cluster")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*[_mean(i) for i in range(dim)])
             .collect()
         )
         new = {

@@ -395,9 +395,12 @@ def kcore(
     )
     und = stage(und, checkpoint_path, "kcore_edges")
 
+    n_before = None  # carried across rounds: round r's survivors are
+    # round r+1's population, so ONE count job per round suffices
     for rnd in range(max_rounds):
         deg = und.groupBy("a").agg(F.count("*").alias("degree"))
-        n_before = und.select("a").distinct().count()
+        if n_before is None:
+            n_before = deg.count()
         keep = deg.filter(F.col("degree") >= k).select("a")
         n_after = keep.count()
         if n_after == n_before:
@@ -411,6 +414,11 @@ def kcore(
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
         )
         und = stage(und, checkpoint_path, f"kcore_e{rnd}")
+        # survivors of this round may lose further neighbors' edges, so
+        # next round's population is counted from its own degree table;
+        # but the upper bound for the convergence test is this round's
+        # keep count
+        n_before = n_after
     raise RuntimeError(
         f"k-core peeling did not converge in {max_rounds} rounds"
     )
