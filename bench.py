@@ -172,6 +172,8 @@ def main() -> None:
     # rounds on the much denser sf0.1 graph (min degree is far above
     # it), so the iterative path is timed here with a DATA-DEPENDENT k
     # (p75 of degrees) that guarantees real peeling at this fixture
+    from pyspark.sql import functions as F
+
     from etl_orders_to_bq_spark.operators.graph import kcore
 
     kli = read_table(spark, sf_dir, "lineitem").select(
