@@ -1512,6 +1512,71 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/token) of each source's unigram
+    distribution — the vocabulary-diversity companion to source_kl:
+    low entropy flags template/boilerplate farms before they skew a
+    training mix. One corpus scan into a staged (source, word) count
+    table; H = -sum(p log2 p) is a rollup of it. The oracle replays
+    the formula."""
+    from etl_orders_to_bq_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    d = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(tokenize(normalize_text("text"))).alias("w")
+    )
+    per_sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    per_sw = per_sw.localCheckpoint(eager=False)
+    totals = per_sw.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        per_sw.join(broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill maximum-likelihood estimate of the power-law exponent for
+    the projection graph's degree distribution (alpha = 1 + n /
+    sum(ln(d / (dmin - 0.5))), the standard Clauset-Shalizi-Newman
+    continuous correction) — the one-number test of whether a graph is
+    scale-free enough to need hub-aware (salted) processing. One
+    degree groupBy, one 1-row aggregate. The oracle replays the
+    estimator."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("a"),
+        (F.col("l_partkey") % 1000).alias("b"),
+    )
+    und = (
+        li.unionByName(
+            li.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("d"))
+    dmin = deg.agg(F.min("d").alias("dmin"))
+    return deg.crossJoin(broadcast(dmin)).agg(
+        F.count("*").alias("n_nodes"),
+        F.max("dmin").alias("d_min"),
+        F.round(
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("d") / (F.col("dmin") - 0.5))),
+            6,
+        ).alias("alpha"),
+    )
+
+
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three deterministic Lloyd k-means rounds (operators/ann.py::
     lloyd_kmeans, k=8, fixed seed-7 init — the same centroids as
@@ -5302,6 +5367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_profile": q_seasonality_profile,
         "pareto_share": q_pareto_share,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "source_entropy": q_source_entropy,
+        "powerlaw_alpha": q_powerlaw_alpha,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8304,6 +8371,39 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["source_entropy"] = f"""
+        with toks as (
+          select source, unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        per_sw as (
+          select source, w, count(*) as c from toks group by 1, 2
+        ),
+        totals as (select source, sum(c) as t from per_sw group by 1)
+        select source,
+               cast(max(t) as bigint) as n_tokens,
+               count(*) as vocab,
+               round(-sum((c / cast(t as double))
+                          * log2(c / cast(t as double))), 6)
+                 as entropy_bits
+        from per_sw join totals using (source)
+        group by source
+        order by source
+    """
+    out["powerlaw_alpha"] = """
+        with base as (
+          select l_orderkey % 1000 as a, l_partkey % 1000 as b
+          from lineitem where l_orderkey % 1000 <> l_partkey % 1000
+        ),
+        und as (select a, b from base union select b, a from base),
+        deg as (select a, count(*) as d from und group by a),
+        dm as (select min(d) as dmin from deg)
+        select count(*) as n_nodes,
+               cast(max(dmin) as bigint) as d_min,
+               round(1.0 + count(*)
+                     / sum(ln(d / (dmin - 0.5))), 6) as alpha
+        from deg, dm
     """
     out["kmeans_lloyd"] = _lloyd_oracle_sql(dim=64, k=8, seed=7, rounds=3)
     out["seasonality_profile"] = """
