@@ -1512,6 +1512,82 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (split at the median day): the model-monitoring
+    drift metric PSI = sum((p_b - p_a) * ln(p_b / p_a)) over fixed
+    value buckets, epsilon-smoothed so empty buckets stay finite
+    (PSI > 0.2 is the standard retrain alarm). Two conditional
+    bucket counts ride ONE groupBy; the bucket spine keeps zero
+    buckets present. The oracle replays bucketing and formula."""
+    e = _t(spark, sf_dir, "events")
+    med = e.agg(F.median(F.unix_micros("ts")).alias("m"))
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    counts = (
+        e.crossJoin(broadcast(med))
+        .select(
+            bucket.alias("bucket"),
+            (F.unix_micros("ts") <= F.col("m")).cast("int").alias("is_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum(1 - F.col("is_a")).alias("n_b"),
+        )
+    )
+    spine = spark.range(0, 10).select(F.col("id").cast("int").alias("bucket"))
+    full = (
+        spine.join(counts, "bucket", "left")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+    )
+    full = full.localCheckpoint(eager=False)
+    tot = full.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    eps = 1e-6
+    p_a = F.col("n_a") / F.col("ta") + eps
+    p_b = F.col("n_b") / F.col("tb") + eps
+    term = (p_b - p_a) * F.log(p_b / p_a)
+    return (
+        full.crossJoin(broadcast(tot))
+        .select(
+            "bucket", "n_a", "n_b", F.round(term, 8).alias("psi_term")
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk census over quasi-identifiers (market segment,
+    nation, order year): equivalence classes smaller than k=5 are
+    re-identification risks a release pipeline must suppress or
+    generalize. One groupBy over the joined quasi-identifier
+    projection; output is the per-class-size census plus the risky
+    class count — the report, not the raw risky rows (which a privacy
+    report must not itself leak). The oracle replays the census."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    q = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "c_nationkey", "yr"
+    )
+    classes = q.groupBy("c_mktsegment", "c_nationkey", "yr").agg(
+        F.count("*").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count("*").alias("n_classes"),
+            (F.max("class_size") < 5).alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )
+
+
 def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits/token) of each source's unigram
     distribution — the vocabulary-diversity companion to source_kl:
@@ -5372,6 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "source_entropy": q_source_entropy,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "psi_drift": q_psi_drift,
+        "k_anonymity": q_k_anonymity,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8374,6 +8452,47 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["psi_drift"] = """
+        with med as (select median(epoch_us(ts)) as m from events),
+        c as (
+          select cast(least(floor(value / 50.0), 9) as int) as bucket,
+                 sum(case when epoch_us(ts) <= m then 1 else 0 end) as n_a,
+                 sum(case when epoch_us(ts) <= m then 0 else 1 end) as n_b
+          from events, med
+          group by 1
+        ),
+        fb as (
+          select s.bucket, coalesce(c.n_a, 0) as n_a,
+                 coalesce(c.n_b, 0) as n_b
+          from (select unnest(range(0, 10)) as bucket) s
+          left join c on c.bucket = s.bucket
+        ),
+        t as (select sum(n_a) as ta, sum(n_b) as tb from fb)
+        select cast(bucket as int) as bucket,
+               cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+               round(((n_b / cast(tb as double) + 1e-6)
+                      - (n_a / cast(ta as double) + 1e-6))
+                     * ln((n_b / cast(tb as double) + 1e-6)
+                          / (n_a / cast(ta as double) + 1e-6)), 8)
+                 as psi_term
+        from fb, t
+        order by bucket
+    """
+    out["k_anonymity"] = """
+        with q as (
+          select c.c_mktsegment, c.c_nationkey, year(o.o_orderdate) as yr
+          from orders o join customer c on o.o_custkey = c.c_custkey
+        ),
+        classes as (
+          select c_mktsegment, c_nationkey, yr, count(*) as class_size
+          from q group by 1, 2, 3
+        )
+        select class_size, count(*) as n_classes,
+               max(class_size) < 5 as at_risk
+        from classes
+        group by class_size
+        order by class_size
     """
     out["source_entropy"] = f"""
         with toks as (
