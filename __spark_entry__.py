@@ -5394,9 +5394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter_join": q_bloom_filter_join,
         # -- new in round 4, past the 50-entry driver snapshot: all
-        #    locally gated (scripts/check_correctness.py: 212/212 at
+        #    locally gated (scripts/check_correctness.py: 214/214 at
         #    sf0.01), first in line for the round-5 rotation — rotate
-        #    this whole block (through `powerlaw_alpha` below) to the
+        #    this whole block (through `k_anonymity` below) to the
         #    front next round --
         "bm25_scores": q_bm25_scores,
         "streaming_kll_median": q_streaming_kll_median,
