@@ -1512,6 +1512,40 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency percentiles: each purchase pairs with
+    the SAME user's most recent prior click (running last-non-null
+    over one per-user window — the attribution trick, not a range
+    join), latencies in exact integer microseconds, then p50/p90/p99
+    via the exact interpolated percentile aggregate. The oracle
+    states the pairing declaratively (max click ts at-or-before) and
+    applies the same quantile definition."""
+    e = _t(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    is_conv = F.col("event_type") == "purchase"
+    base = e.filter(is_click | is_conv)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_conv.cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click_us = F.last(
+        F.when(is_click, F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    lat_min = (F.unix_micros("ts") - F.col("__lc")) / 60000000.0
+    lats = (
+        base.withColumn("__lc", last_click_us)
+        .filter(is_conv & F.col("__lc").isNotNull())
+        .select(lat_min.alias("lat"))
+    )
+    return lats.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("lat", F.lit(0.5)), 6).alias("p50_min"),
+        F.round(F.percentile("lat", F.lit(0.9)), 6).alias("p90_min"),
+        F.round(F.percentile("lat", F.lit(0.99)), 6).alias("p99_min"),
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of
     the event stream (split at the median day): the model-monitoring
@@ -5394,7 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter_join": q_bloom_filter_join,
         # -- new in round 4, past the 50-entry driver snapshot: all
-        #    locally gated (scripts/check_correctness.py: 214/214 at
+        #    locally gated (scripts/check_correctness.py: 215/215 at
         #    sf0.01), first in line for the round-5 rotation — rotate
         #    this whole block (through `k_anonymity` below) to the
         #    front next round --
@@ -5450,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "psi_drift": q_psi_drift,
         "k_anonymity": q_k_anonymity,
+        "funnel_latency": q_funnel_latency,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8452,6 +8487,27 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["funnel_latency"] = """
+        with conv as (
+          select event_id, user_id, ts from events
+          where event_type = 'purchase'
+        ),
+        clk as (
+          select user_id, ts from events where event_type = 'click'
+        ),
+        paired as (
+          select c.event_id,
+                 (epoch_us(c.ts) - max(epoch_us(k.ts))) / 60000000.0 as lat
+          from conv c
+          join clk k on k.user_id = c.user_id and k.ts <= c.ts
+          group by c.event_id, c.ts
+        )
+        select count(*) as n_pairs,
+               round(quantile_cont(lat, 0.5), 6) as p50_min,
+               round(quantile_cont(lat, 0.9), 6) as p90_min,
+               round(quantile_cont(lat, 0.99), 6) as p99_min
+        from paired
     """
     out["psi_drift"] = """
         with med as (select median(epoch_us(ts)) as m from events),
