@@ -5430,7 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4, past the 50-entry driver snapshot: all
         #    locally gated (scripts/check_correctness.py: 215/215 at
         #    sf0.01), first in line for the round-5 rotation — rotate
-        #    this whole block (through `k_anonymity` below) to the
+        #    this whole block (through `funnel_latency` below) to the
         #    front next round --
         "bm25_scores": q_bm25_scores,
         "streaming_kll_median": q_streaming_kll_median,
