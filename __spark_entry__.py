@@ -1512,6 +1512,40 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit — the header-vs-detail check
+    every financial close runs: per order, the header total against
+    the sum of its line extended prices, bucketed into a census
+    (match within tolerance / detail-higher / header-higher /
+    childless header / orphaned lines). One aggregation per side +
+    one full-outer key join; the census is what ships, not 1.5M
+    per-order diffs. The oracle replays the bucketing."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("line_total")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    diff = F.round(F.col("line_total") - F.col("o_totalprice"), 2)
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "orphaned_lines")
+        .when(F.col("l_orderkey").isNull(), "childless_header")
+        .when(F.abs(diff) <= 0.01, "match")
+        .when(diff > 0, "detail_higher")
+        .otherwise("header_higher")
+    )
+    return (
+        j.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.abs(diff), F.lit(0.0))), 2).alias(
+                "abs_discrepancy"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase latency percentiles: each purchase pairs with
     the SAME user's most recent prior click (running last-non-null
@@ -5428,9 +5462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter_join": q_bloom_filter_join,
         # -- new in round 4, past the 50-entry driver snapshot: all
-        #    locally gated (scripts/check_correctness.py: 215/215 at
+        #    locally gated (scripts/check_correctness.py: 216/216 at
         #    sf0.01), first in line for the round-5 rotation — rotate
-        #    this whole block (through `funnel_latency` below) to the
+        #    this whole block (through `reconciliation` below) to the
         #    front next round --
         "bm25_scores": q_bm25_scores,
         "streaming_kll_median": q_streaming_kll_median,
@@ -5485,6 +5519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "k_anonymity": q_k_anonymity,
         "funnel_latency": q_funnel_latency,
+        "reconciliation": q_reconciliation,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
@@ -8487,6 +8522,28 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
         order by n_pair desc, sym_a, sym_b
         limit 20
+    """
+    out["reconciliation"] = """
+        with lt as (
+          select l_orderkey, round(sum(l_extendedprice), 2) as line_total
+          from lineitem group by 1
+        ),
+        j as (
+          select o.o_orderkey, o.o_totalprice, lt.l_orderkey, lt.line_total,
+                 round(lt.line_total - o.o_totalprice, 2) as diff
+          from orders o
+          full outer join lt on o.o_orderkey = lt.l_orderkey
+        )
+        select case when o_orderkey is null then 'orphaned_lines'
+                    when l_orderkey is null then 'childless_header'
+                    when abs(diff) <= 0.01 then 'match'
+                    when diff > 0 then 'detail_higher'
+                    else 'header_higher' end as status,
+               count(*) as n_orders,
+               round(sum(coalesce(abs(diff), 0.0)), 2) as abs_discrepancy
+        from j
+        group by 1
+        order by status
     """
     out["funnel_latency"] = """
         with conv as (
