@@ -5410,63 +5410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds so history accumulates.
     """
     return {
-        # -- round-4 front: 39 never-driver-verified + 3 upgraded oracles --
-        "grouping_sets": q_grouping_sets,
-        "unpivot": q_unpivot,
-        "regex_extract": q_regex_extract,
-        "map_funcs": q_map_funcs,
-        "nullsafe_join": q_nullsafe_join,
-        "filtered_agg": q_filtered_agg,
-        "explode_tokens": q_explode_tokens,
-        "pivot_agg": q_pivot_agg,
-        "grouped_zscore": q_grouped_zscore,
-        "events_window": q_events_window,
-        "analytic_funcs": q_analytic_funcs,
-        "cross_join": q_cross_join,
-        "bitwise_funcs": q_bitwise_funcs,
-        "interval_arith": q_interval_arith,
-        "posexplode_tokens": q_posexplode_tokens,
-        "struct_funcs": q_struct_funcs,
-        "stratified_sample": q_stratified_sample,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "gap_fill": q_gap_fill,
-        "date_spine": q_date_spine,
-        "variant_json": q_variant_json,
-        "pii_redact": q_pii_redact,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "contamination_check": q_contamination_check,
-        "funnel_paths": q_funnel_paths,
-        "top_terms": q_top_terms,
-        "cohort_retention": q_cohort_retention,
-        "decile_report": q_decile_report,
-        "activity_islands": q_activity_islands,
-        "rolling_active_users": q_rolling_active_users,
-        "histogram_bucket": q_histogram_bucket,
-        "weighted_sample": q_weighted_sample,
-        "ann_range_search": q_ann_range_search,
-        "regression_agg": q_regression_agg,
-        "mode_median_agg": q_mode_median_agg,
-        "lateral_topn": q_lateral_topn,
-        "xml_funcs": q_xml_funcs,
-        "streaming_outer_join": q_streaming_outer_join,
-        "text_repetition": q_text_repetition,
-        "sketch_agg": q_sketch_agg,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "sketch_rollup_merge": q_sketch_rollup_merge,
-        # -- new in round 4 --
-        "kll_quantile_groups": q_kll_quantile_groups,
-        "theta_set_ops": q_theta_set_ops,
-        "streaming_approx_distinct": q_streaming_approx_distinct,
-        "heavy_hitters": q_heavy_hitters,
-        "token_budget_mix": q_token_budget_mix,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter_join": q_bloom_filter_join,
-        # -- new in round 4, past the 50-entry driver snapshot: all
-        #    locally gated (scripts/check_correctness.py: 216/216 at
-        #    sf0.01), first in line for the round-5 rotation — rotate
-        #    this whole block (through `reconciliation` below) to the
-        #    front next round --
-        "bm25_scores": q_bm25_scores,
+        # -- round-5 front: the 53 entries with no driver CORRECTNESS row
+        #    yet (all locally gated at sf0.01 via
+        #    scripts/check_correctness.py). The driver snapshots a
+        #    50-entry prefix, so the last 3 of this block roll to the
+        #    round-6 front. --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
         "dedup_embedding": q_dedup_embedding,
@@ -5520,6 +5468,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "funnel_latency": q_funnel_latency,
         "reconciliation": q_reconciliation,
+        # -- driver-verified in round 4 --
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "regex_extract": q_regex_extract,
+        "map_funcs": q_map_funcs,
+        "nullsafe_join": q_nullsafe_join,
+        "filtered_agg": q_filtered_agg,
+        "explode_tokens": q_explode_tokens,
+        "pivot_agg": q_pivot_agg,
+        "grouped_zscore": q_grouped_zscore,
+        "events_window": q_events_window,
+        "analytic_funcs": q_analytic_funcs,
+        "cross_join": q_cross_join,
+        "bitwise_funcs": q_bitwise_funcs,
+        "interval_arith": q_interval_arith,
+        "posexplode_tokens": q_posexplode_tokens,
+        "struct_funcs": q_struct_funcs,
+        "stratified_sample": q_stratified_sample,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "gap_fill": q_gap_fill,
+        "date_spine": q_date_spine,
+        "variant_json": q_variant_json,
+        "pii_redact": q_pii_redact,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contamination_check": q_contamination_check,
+        "funnel_paths": q_funnel_paths,
+        "top_terms": q_top_terms,
+        "cohort_retention": q_cohort_retention,
+        "decile_report": q_decile_report,
+        "activity_islands": q_activity_islands,
+        "rolling_active_users": q_rolling_active_users,
+        "histogram_bucket": q_histogram_bucket,
+        "weighted_sample": q_weighted_sample,
+        "ann_range_search": q_ann_range_search,
+        "regression_agg": q_regression_agg,
+        "mode_median_agg": q_mode_median_agg,
+        "lateral_topn": q_lateral_topn,
+        "xml_funcs": q_xml_funcs,
+        "streaming_outer_join": q_streaming_outer_join,
+        "text_repetition": q_text_repetition,
+        "sketch_agg": q_sketch_agg,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "sketch_rollup_merge": q_sketch_rollup_merge,
+        # -- new in round 4 --
+        "kll_quantile_groups": q_kll_quantile_groups,
+        "theta_set_ops": q_theta_set_ops,
+        "streaming_approx_distinct": q_streaming_approx_distinct,
+        "heavy_hitters": q_heavy_hitters,
+        "token_budget_mix": q_token_budget_mix,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter_join": q_bloom_filter_join,
+        "bm25_scores": q_bm25_scores,
         # -- driver-verified in rounds 1-3 --
         "corpus_pipeline": q_corpus_pipeline,
         "pagerank": q_pagerank,
