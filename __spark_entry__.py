@@ -5834,7 +5834,12 @@ def _kcore_oracle_sql(k: int = 93, rounds: int = 10) -> str:
     unrolled round keeps nodes with degree >= k and restricts the edge
     set to them. ``rounds`` exceeds the fixpoint depth on the fixture
     (measured 5 peels), and a converged core is stable under extra
-    rounds, so the unroll equals the engine's run-to-fixpoint."""
+    rounds, so the unroll equals the engine's run-to-fixpoint. The
+    final select CROSS-JOINS a 1-row stability probe that calls
+    duckdb's ``error()`` unless the last two unrolled edge sets are
+    identical — so running the gate on a denser fixture where the
+    fixed depth is insufficient fails LOUDLY instead of hash-
+    mismatching for an unrelated-looking reason."""
     sql = [
         """
         with base as materialized (
@@ -5861,9 +5866,17 @@ def _kcore_oracle_sql(k: int = 93, rounds: int = 10) -> str:
         )"""
         )
     sql.append(
-        f"""
+        f""",
+        stable as (
+          select case when (select count(*) from u{rounds}) =
+                      (select count(*) from u{rounds - 1})
+                 then 1
+                 else error('kcore oracle: unroll depth {rounds} not at '
+                            'fixpoint on this fixture - raise rounds')
+            end as ok
+        )
         select a as node, cast(count(*) as bigint) as degree
-        from u{rounds} group by a order by node"""
+        from u{rounds}, stable group by a, stable.ok order by node"""
     )
     return "".join(sql)
 

@@ -47,6 +47,13 @@ def attribute_conversions(
     Conversions with no preceding touch keep null touch columns (the
     "direct / unattributed" bucket every attribution report carries).
     """
+    if conversion_type in touch_types:
+        # such a row would be both touch and conversion and attribute
+        # to ITSELF as its own last touch — always a config error
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            f"touch_types {list(touch_types)!r}"
+        )
     is_touch = F.col(type_col).isin(list(touch_types))
     is_conv = F.col(type_col) == conversion_type
     base = events.filter(is_touch | is_conv).select(

@@ -369,7 +369,8 @@ def kcore(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int = 200,
+    on_exhaustion: str = "raise",
     checkpoint_path: str | None = None,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph where
@@ -384,9 +385,16 @@ def kcore(
     the edge set to survivors — all keyed on node ids, staged per
     round (``localCheckpoint`` or durable parquet). Convergence is
     checked with a 1-row count; peeling removes at least one node per
-    non-final round, so rounds <= |peeled nodes| and in practice a
-    handful.
+    non-final round, so rounds <= |peeled nodes|. Dense graphs settle
+    in a handful of rounds, but a chain-like graph can legitimately
+    cascade ONE node per round (~|V|/2 rounds total), hence the
+    generous ``max_rounds`` default. On exhaustion the result would be
+    a superset of the true core, so the default is to ``raise``; pass
+    ``on_exhaustion="return"`` to take the partially-peeled subgraph
+    instead (same choice ``connected_components`` offers).
     """
+    if on_exhaustion not in ("raise", "return"):
+        raise ValueError(f"unknown on_exhaustion mode: {on_exhaustion}")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -419,6 +427,19 @@ def kcore(
         # but the upper bound for the convergence test is this round's
         # keep count
         n_before = n_after
+    if on_exhaustion == "return":
+        import warnings
+
+        warnings.warn(
+            f"k-core peeling hit max_rounds={max_rounds} before the "
+            "fixpoint; returning the partially-peeled subgraph (a "
+            "superset of the true k-core)",
+            stacklevel=2,
+        )
+        deg = und.groupBy("a").agg(F.count("*").alias("degree"))
+        return deg.select(F.col("a").alias("node"), "degree")
     raise RuntimeError(
-        f"k-core peeling did not converge in {max_rounds} rounds"
+        f"k-core peeling did not converge in {max_rounds} rounds "
+        "(chain-like graphs can need ~|V|/2 rounds; raise max_rounds "
+        "or pass on_exhaustion='return' for the partial subgraph)"
     )

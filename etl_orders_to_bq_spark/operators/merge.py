@@ -235,9 +235,20 @@ def survivorship(
     sort, no per-key collect.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    vals = value_cols or [
-        c for c in df.columns if c not in keys and c != order_col
-    ]
+    # None means "all non-key columns"; an explicit [] is a caller bug
+    # (a survivor with no value columns is just dedup) — reject it
+    # rather than silently reinterpreting it, mirroring snapshot_diff's
+    # None-vs-[] distinction.
+    if value_cols is not None and len(value_cols) == 0:
+        raise ValueError(
+            "survivorship: value_cols=[] selects no columns; pass None "
+            "for all non-key columns"
+        )
+    vals = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in df.columns if c not in keys and c != order_col]
+    )
     aggs = []
     for c in vals:
         # rank null-valued records below every non-null one, then by

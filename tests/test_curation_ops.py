@@ -458,3 +458,64 @@ def test_kcore_peels_to_fixpoint(spark):
     # recomputed INSIDE the core (node 3 had degree 3 in the full graph)
 
     assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_exhaustion_modes(spark):
+    """A pure chain cascades ONE node per round, so a tight max_rounds
+    exhausts mid-peel: the default raises; on_exhaustion='return' warns
+    and hands back the partially-peeled superset."""
+    import warnings
+
+    import pytest
+
+    from etl_orders_to_bq_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, max_rounds=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = kcore(chain, k=2, max_rounds=2, on_exhaustion="return")
+        n_partial = partial.count()
+    assert any("max_rounds" in str(x.message) for x in w)
+    # 2 rounds peeled 2 nodes off each end; true 2-core of a chain is
+    # empty, so the partial result is a strict superset
+    assert 0 < n_partial < 9
+    with pytest.raises(ValueError, match="on_exhaustion"):
+        kcore(chain, k=2, on_exhaustion="keep")
+    # and with the (new, generous) default rounds the chain does
+    # converge — to the empty core
+    assert kcore(chain, k=2).count() == 0
+
+
+def test_guard_rails_survivorship_and_attribution(spark):
+    """Config-error guards: survivorship rejects an explicit empty
+    value_cols (None still means all non-key columns), and attribution
+    rejects a conversion_type that is also a touch type (a row would
+    attribute to itself)."""
+    import pytest
+
+    from etl_orders_to_bq_spark.operators.attribution import (
+        attribute_conversions,
+    )
+    from etl_orders_to_bq_spark.operators.merge import survivorship
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", None), (1, 20, None, "x")],
+        "id long, pri long, u string, v string",
+    )
+    with pytest.raises(ValueError, match="value_cols"):
+        survivorship(df, "id", "pri", value_cols=[])
+    out = survivorship(df, "id", "pri").collect()[0]
+    assert (out["u"], out["v"], out["n_merged"]) == ("a", "x", 2)
+
+    events = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError, match="conversion_type"):
+        attribute_conversions(
+            events, touch_types=("click", "purchase"),
+            conversion_type="purchase",
+        )
