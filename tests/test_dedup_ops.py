@@ -382,11 +382,15 @@ def test_connected_components_exhaustion_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
+    # local_threshold=None: the driver-local fast path is exact
+    # union-find and never exhausts, so pin the distributed loop
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, local_threshold=None)
     # warn mode returns partial labels instead
     with _pytest.warns(UserWarning, match="did not converge"):
-        out = connected_components(edges, max_iter=2, on_exhaustion="warn")
+        out = connected_components(
+            edges, max_iter=2, on_exhaustion="warn", local_threshold=None
+        )
         assert out.count() == 41
 
 
@@ -1006,3 +1010,80 @@ def test_lloyd_kmeans_matches_numpy_reference(spark):
     got = {r["vec_id"]: r["ivf_cluster"] for r in assigned.collect()}
     assert got == {i: int(lab[i]) for i, _ in rng}
     assert cents[2] == init[2]  # empty cluster untouched
+
+
+def test_minhash_hash_families_agree_on_true_dups_not_fp(spark):
+    """md5 vs numpy MinHash on the corpus pipeline's planted-dup shape:
+    BOTH families must catch every planted true near-dup (suffixed
+    copies, Jaccard ~0.95), but their false-positive candidate sets are
+    allowed to differ — LSH collisions are a property of the hash
+    family, which is why build_training_corpus pins ONE family per
+    corpus instead of treating them as interchangeable (measured at
+    sf0.1: 247 md5 pairs vs 199 numpy on identical input)."""
+    from etl_orders_to_bq_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee")).alias("text"),
+    )
+    base = docs.unionByName(planted)
+
+    pair_sets = {}
+    for fn in ("md5", "numpy"):
+        pairs = minhash_lsh_candidates(
+            base, text_col="text", id_col="doc_id",
+            num_hashes=8, bands=4, hash_fn=fn,
+        )
+        pair_sets[fn] = {tuple(r) for r in pairs.collect()}
+
+    true_dups = {(i, i + 100000) for i in range(20)}
+    for fn, got in pair_sets.items():
+        missed = true_dups - got
+        assert not missed, f"{fn} missed planted true dups: {missed}"
+
+
+def test_small_graph_local_fast_paths_match_distributed(spark):
+    """connected_components and pagerank switch to an exact driver-
+    local iteration when the staged edge set fits SMALL_GRAPH_EDGES
+    (contracted graphs are scale-independent; per-round Catalyst
+    planning dominates otherwise). The fast path must be
+    indistinguishable: identical components, ranks equal to the
+    distributed formula well past the 6dp gate rounding, and both
+    knobs (local_threshold=None, checkpoint_path) must force the
+    distributed path."""
+    from etl_orders_to_bq_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * i + 1) % 41) for i in range(200)] + [(7, 7), (40, 3)],
+        "id_a long, id_b long",
+    )
+    local = {tuple(r) for r in connected_components(edges).collect()}
+    dist = {
+        tuple(r)
+        for r in connected_components(edges, local_threshold=None).collect()
+    }
+    assert local == dist
+
+    pr_local = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, "id_a", "id_b", iterations=7).collect()
+    }
+    pr_dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, "id_a", "id_b", iterations=7, local_threshold=None
+        ).collect()
+    }
+    assert set(pr_local) == set(pr_dist)
+    assert all(abs(pr_local[k] - pr_dist[k]) < 1e-12 for k in pr_dist)
+    # ranks are a probability vector under literal dangling semantics:
+    # total mass <= 1 (dangling mass leaks), every rank >= base
+    assert 0 < sum(pr_local.values()) <= 1.0 + 1e-9
