@@ -3260,7 +3260,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("content")
     )
-    return decode_image_batch(media)
+    # codec pinned to the stub: the DuckDB oracle mirrors the md5
+    # arithmetic, and these payloads are text bytes, not images
+    return decode_image_batch(media, codec="stub")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

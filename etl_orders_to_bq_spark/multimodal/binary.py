@@ -61,16 +61,47 @@ def with_media_metadata(
     )
 
 
-def _decode_bytes(payload: bytes) -> dict:
-    """STUB decode. Real implementation would be e.g.::
+try:  # optional real codec: one `pip install pillow` from production
+    from PIL import Image as _PILImage
+except ImportError:  # container ships no codec libraries
+    _PILImage = None
 
-        img = PIL.Image.open(io.BytesIO(payload))
-        return {"format": img.format, "width": img.width, ...}
 
-    The container has no codec libraries, so this returns a
-    deterministic fake derived from the payload hash — stable across
-    runs/partitions, which is what the plumbing tests need.
+def _decode_bytes_pil(payload: bytes) -> dict | None:
+    """Real decode via Pillow. A payload that is not a decodable image
+    yields None metadata (the same bad-row convention as null payloads
+    — one corrupt blob must not fail a 100 TB stage)."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload))
+        return {
+            "format": (img.format or "").lower(),
+            "width": img.width,
+            "height": img.height,
+        }
+    except Exception:
+        return None
+
+
+def _decode_bytes(payload: bytes, codec: str = "auto") -> dict | None:
+    """Decode dispatch:
+
+    - ``"auto"``: Pillow when importable, else the deterministic stub —
+      production behavior, one pip install away from real decoding.
+    - ``"pil"``: force Pillow; raises if it is not installed.
+    - ``"stub"``: force the md5-derived fake — deterministic and
+      library-free, the contract the oracle-gated queries pin (their
+      DuckDB oracles mirror the md5 arithmetic exactly).
     """
+    if codec == "pil" or (codec == "auto" and _PILImage is not None):
+        if _PILImage is None:
+            raise RuntimeError(
+                "codec='pil' requested but Pillow is not installed"
+            )
+        return _decode_bytes_pil(payload)
+    if codec not in ("auto", "stub"):
+        raise ValueError(f"unknown codec: {codec}")
     h = hashlib.md5(payload).digest()
     return {
         "format": ["png", "jpeg", "webp"][h[0] % 3],
@@ -82,13 +113,19 @@ def _decode_bytes(payload: bytes) -> dict:
 DECODED_SCHEMA = "id long, format string, width int, height int, size_bytes long"
 
 
-def decode_image_batch(df: DataFrame, binary_col: str = "content") -> DataFrame:
+def decode_image_batch(
+    df: DataFrame, binary_col: str = "content", codec: str = "auto"
+) -> DataFrame:
     """Decode stage: binary -> (format, width, height) via mapInPandas.
 
     Batch shape: each pandas chunk holds the Arrow batch's binary
     column; output drops the payload (decode-then-shrink before any
-    shuffle).
+    shuffle). ``codec`` picks Pillow / stub (see ``_decode_bytes``);
+    the oracle-gated queries pin ``"stub"`` so their DuckDB mirror
+    stays exact even on a host where Pillow happens to be installed.
     """
+    if codec not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown codec: {codec}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +133,7 @@ def decode_image_batch(df: DataFrame, binary_col: str = "content") -> DataFrame:
             # task-killing TypeError: one bad row must not fail a
             # 100 TB stage
             meta = pdf[binary_col].map(
-                lambda p: _decode_bytes(p) if p is not None else None
+                lambda p: _decode_bytes(p, codec) if p is not None else None
             )
             yield pd.DataFrame(
                 {

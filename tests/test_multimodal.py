@@ -122,3 +122,57 @@ def test_null_payloads_do_not_kill_tasks(spark):
     rs = {r["id"]: r for r in resize_image_batch(df).collect()}
     assert rs[2]["content"] is None and rs[2]["size_bytes"] is None
     assert rs[1]["content"] is not None
+
+
+def test_decode_codec_dispatch_pil_and_stub(spark, monkeypatch):
+    """codec='stub' is the deterministic md5 contract; codec='auto'
+    uses Pillow when importable and MUST fall back to the stub
+    otherwise; codec='pil' without Pillow raises. When Pillow is absent
+    (this container) the PIL branch is exercised against a fake module
+    with the real call shape (open(BytesIO) -> .format/.width/.height),
+    so the dispatch and error handling are tested either way."""
+    from etl_orders_to_bq_spark.multimodal import binary as b
+
+    payload = b"not really a png"
+    stub = b._decode_bytes(payload, codec="stub")
+    assert set(stub) == {"format", "width", "height"}
+    assert b._decode_bytes(payload, codec="stub") == stub  # deterministic
+
+    if b._PILImage is None:
+        assert b._decode_bytes(payload, codec="auto") == stub
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="Pillow"):
+            b._decode_bytes(payload, codec="pil")
+
+        class _FakeImg:
+            format, width, height = "PNG", 320, 200
+
+        class _FakePIL:
+            @staticmethod
+            def open(buf):
+                if buf.read(4) != b"\x89PNG":
+                    raise OSError("cannot identify image file")
+                return _FakeImg()
+
+        monkeypatch.setattr(b, "_PILImage", _FakePIL)
+
+    # real-or-fake PIL branch: a decodable payload yields real metadata,
+    # garbage yields None (bad-row tolerance), and auto now prefers PIL
+    if b._PILImage.__class__.__name__ == "module":
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (320, 200)).save(buf, format="PNG")
+        good = buf.getvalue()
+    else:
+        good = b"\x89PNG-fake-payload"
+    meta = b._decode_bytes(good, codec="pil")
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 320, 200)
+    assert b._decode_bytes(b"garbage", codec="pil") is None
+    assert b._decode_bytes(good, codec="auto") == meta
+
+    with pytest.raises(ValueError, match="unknown codec"):
+        b._decode_bytes(good, codec="libav")
