@@ -78,10 +78,13 @@ def test_join_preserves_orders_and_fills_nulls(etl):
     ]
 
 
-def test_first_occurrence_semantics(etl, spark):
+def test_first_occurrence_semantics(etl, spark, tmp_path):
     """For a key duplicated in the raw file, the kept row must be the
     first in file order — cross-check one duplicated key against a raw
-    all-string read with ingest order."""
+    all-string read with ingest order. The shipped reference fixture
+    has no duplicated key whose 'sum' values DIFFER (its dupes are
+    whole-row copies), so that case is pinned with a synthetic CSV in
+    the same raw format instead of being skipped."""
     from etl_orders_to_bq_spark.schemas import ORDERS_COLUMNS, ORDERS_RAW_SCHEMA
     from etl_orders_to_bq_spark.sources.csv import read_csv_raw
 
@@ -102,7 +105,29 @@ def test_first_occurrence_semantics(etl, spark):
         .first()
     )
     if dupe is None:
-        pytest.skip("no duplicated key with differing sum in fixture")
+        # same header/format as the reference CSV: one key, three rows,
+        # three distinct sums — first-in-file (77,7) must win
+        csv = tmp_path / "dupes.csv"
+        header = (
+            ",order_source_id,order_created_datetime,customer_id,"
+            "status,sum,quantity,name,surname,patronymic,product_id"
+        )
+        rows = [
+            "1,42,2023-01-01T10:00:00,7,Paid,77.7,1,anna,ivanova,,516423",
+            "2,42,2023-01-01T11:00:00,7,Paid,88.8,1,anna,ivanova,,516423",
+            "3,42,2023-01-01T12:00:00,7,Paid,99.9,1,anna,ivanova,,516423",
+            "4,43,2023-01-02T10:00:00,8,Paid,11.1,2,olha,petrenko,,296597",
+        ]
+        csv.write_text("\n".join([header] + rows) + "\n")
+        e2 = OrdersEtl(spark, str(csv), PRODUCTS_CSV)
+        e2.process()
+        kept = e2.orders_df.filter(
+            (F.col("order_source_id") == 42)
+            & (F.col("product_id") == 516423)
+        ).collect()
+        assert len(kept) == 1
+        assert kept[0]["sum"] == 77.7
+        return
     first_raw = (
         keyed.filter(
             (F.col("order_source_id") == dupe["order_source_id"])
