@@ -3,7 +3,7 @@ from .events import (
     windowed_event_counts,
     sessionize_events,
 )
-from .stateful import running_user_totals
+from .stateful import running_user_totals, running_user_totals_tws
 from .sinks import foreach_batch_writer, stream_to_parquet
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_events",
     "running_user_totals",
+    "running_user_totals_tws",
     "stream_to_parquet",
     "foreach_batch_writer",
 ]

@@ -77,3 +77,64 @@ def running_user_totals(
             timeoutConf=conf,
         )
     )
+
+
+def running_user_totals_tws(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """``running_user_totals`` on Spark 4's ``transformWithStateInPandas``
+    — the successor API (typed value state, per-key timers, state
+    schema evolution). Same semantics and output schema as the
+    ``applyInPandasWithState`` twin above, kept as the forward-looking
+    backend.
+
+    The Python runner for transformWithState talks to the JVM state
+    server over a protobuf protocol, so it needs the ``protobuf``
+    package at runtime (this container ships without it — one
+    ``pip install protobuf`` from production, same discipline as the
+    Pillow-gated multimodal codec). Import is checked here to fail
+    with an actionable message instead of a mid-query worker error.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (runner dependency)
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "for its state-server protocol (pip install protobuf); use "
+            "running_user_totals (applyInPandasWithState) instead"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+            self._timeout_ms = (
+                timeout_minutes * 60 * 1000 if timeout_minutes else None
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -404,3 +404,69 @@ def test_stream_merge_upsert_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     second = sorted(read_merged_table(spark, root).collect())
     assert first == second == [(1, 3, 1.5)]
+
+
+def test_transform_with_state_backend_gate(spark, events_dir):
+    """running_user_totals_tws is the transformWithStateInPandas twin
+    of the applyInPandasWithState operator. Its runner needs protobuf
+    (absent in this container): without it the operator must fail
+    FAST with an actionable message, never a mid-query worker error;
+    with it, the real backend runs and must reproduce the
+    applyInPandasWithState totals. Both branches of the gate are
+    exercised — which one depends on the environment, no skip."""
+    from etl_orders_to_bq_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    events = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    if not has_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_totals_tws(events)
+        return
+
+    name = "tws_totals"
+    q = (
+        running_user_totals_tws(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits per touched batch; totals are monotone in
+    # n_events, so the final cumulative row is the arg-max per user
+    final_sql = (
+        "select user_id, n_events, sum_value from ("
+        " select *, row_number() over (partition by user_id"
+        " order by n_events desc) rn from {t}) where rn = 1"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(final_sql.format(t=name)).collect()
+    }
+    name2 = "apws_totals"
+    q2 = (
+        running_user_totals(
+            read_event_stream(spark, events_dir, max_files_per_trigger=1)
+        )
+        .writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(final_sql.format(t=name2)).collect()
+    }
+    assert got == want
