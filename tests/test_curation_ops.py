@@ -473,11 +473,16 @@ def test_kcore_exhaustion_modes(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "src long, dst long"
     )
+    # local_threshold=None throughout: the driver-local numpy peel
+    # runs to fixpoint and never exhausts, so pin the distributed loop
     with pytest.raises(RuntimeError, match="did not converge"):
-        kcore(chain, k=2, max_rounds=2)
+        kcore(chain, k=2, max_rounds=2, local_threshold=None)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        partial = kcore(chain, k=2, max_rounds=2, on_exhaustion="return")
+        partial = kcore(
+            chain, k=2, max_rounds=2, on_exhaustion="return",
+            local_threshold=None,
+        )
         n_partial = partial.count()
     assert any("max_rounds" in str(x.message) for x in w)
     # 2 rounds peeled 2 nodes off each end; true 2-core of a chain is
@@ -487,7 +492,7 @@ def test_kcore_exhaustion_modes(spark):
         kcore(chain, k=2, on_exhaustion="keep")
     # and with the (new, generous) default rounds the chain does
     # converge — to the empty core
-    assert kcore(chain, k=2).count() == 0
+    assert kcore(chain, k=2, local_threshold=None).count() == 0
 
 
 def test_guard_rails_survivorship_and_attribution(spark):

@@ -1087,3 +1087,28 @@ def test_small_graph_local_fast_paths_match_distributed(spark):
     # ranks are a probability vector under literal dangling semantics:
     # total mass <= 1 (dangling mass leaks), every rank >= base
     assert 0 < sum(pr_local.values()) <= 1.0 + 1e-9
+
+
+def test_kcore_local_peel_matches_distributed(spark):
+    """kcore's driver-local numpy peel (contracted graphs, Arrow
+    toPandas under its 1M-edge threshold) must be indistinguishable
+    from the distributed loop on a graph with a NON-empty core, and it
+    runs to fixpoint regardless of max_rounds (which only bounds the
+    distributed loop)."""
+    from etl_orders_to_bq_spark.operators.graph import kcore
+
+    # clique of 8 (7-regular) with a 30-node chain hanging off node 0
+    clique = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    chain = [(100 + i, 101 + i) for i in range(30)] + [(0, 100)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    loc = sorted(tuple(r) for r in kcore(edges, k=3).collect())
+    dist = sorted(
+        tuple(r)
+        for r in kcore(edges, k=3, local_threshold=None).collect()
+    )
+    assert loc == dist
+    assert loc == [(i, 7) for i in range(8)]  # the clique, chain peeled
+    # the chain cascades one node per round: a tight max_rounds would
+    # exhaust the distributed loop, but the local peel ignores it
+    assert kcore(edges, k=2, max_rounds=1).count() == 8
