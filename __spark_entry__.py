@@ -1213,6 +1213,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.orderBy("vec_id")
 
 
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over LEARNED k-means clusters — the production scaling
+    fix documented in SCALING.md: data-oblivious hyperplane buckets
+    leave dense embedding clumps in one cluster (the quadratic term),
+    while k-means places centroids proportional to density and splits
+    them by construction. Two deterministic Lloyd rounds (fixed seed-7
+    init, 6dp-snapped means — the kmeans_lloyd contract) feed
+    semdedup_keep's shadow rule. The oracle replays the ENTIRE fit
+    (unrolled assignment/means CTEs) plus the NOT-IN shadow rule, so
+    the composed pipeline is value-verified end-to-end."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes, lloyd_kmeans
+    from etl_orders_to_bq_spark.operators.semdedup import semdedup_keep
+
+    allv = _planted_embeddings(spark, sf_dir)
+    cents, _ = lloyd_kmeans(
+        allv, _hyperplanes(64, 8, seed=7), rounds=2, round_ndigits=6
+    )
+    return semdedup_keep(allv, cents, threshold=0.75).orderBy("vec_id")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (operators/spans.py): 20-token spans,
     corpus-wide first-occurrence keep, document reassembly — the
@@ -5636,6 +5656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_funcs": q_fuzzy_funcs,
         "scd2_history": q_scd2_history,
         "date_funcs": q_date_funcs,
+        # -- new in round 5 (appended PAST the driver snapshot so the
+        #    front 53 keep their rotation slot; locally gated) --
+        "semdedup_kmeans": q_semdedup_kmeans,
     }
 
 
@@ -8357,6 +8380,73 @@ def oracle_sql() -> dict[str, str]:
                      {_ivf_assign_sql(dim=64, n=8, seed=7, vec_expr="v")}
                        as cluster
               from allv),
+        ok as (select cluster from a group by cluster
+               having count(*) <= 1000000),
+        g as (select a.* from a join ok using (cluster)),
+        sh as (
+          select distinct y.vec_id
+          from g y join g x on x.cluster = y.cluster and x.vec_id < y.vec_id
+          where {cos6("y.v", "x.v")} >= 0.75
+        )
+        select g.vec_id, g.cluster from g
+        where g.vec_id not in (select vec_id from sh)
+        order by g.vec_id
+    """
+    # semdedup over LEARNED centroids: the kmeans_lloyd unroll (2
+    # rounds over the planted set, byte-identical init literals,
+    # 6dp-snapped means, first-max-index argmax) produces c2; the
+    # final assignment + shadow rule then mirror the semdedup oracle
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes as _hp_for_oracle,
+    )
+
+    _sk_cents = _hp_for_oracle(64, 8, seed=7)
+    _sk_c0 = ", ".join(
+        f"({j}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(_sk_cents)
+    )
+    _sk_avg = (
+        "[" + ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(64)) + "]"
+    )
+    _sk_rounds = []
+    for _r in range(2):
+        _sk_rounds.append(f""",
+        a{_r} as materialized (
+          select vec_id, v,
+                 list_position(s, list_aggregate(s, 'max')) - 1 as cluster
+          from (
+            select vec_id, v,
+                   (select list(2.0 * list_dot_product(e2.v, c.vec)
+                                - list_dot_product(c.vec, c.vec)
+                          order by c.cluster)
+                    from c{_r} c) as s
+            from allv e2
+          )
+        ),
+        m{_r} as materialized (
+          select cluster, {_sk_avg} as vec from a{_r} group by cluster
+        ),
+        c{_r + 1} as materialized (
+          select c.cluster, coalesce(m.vec, c.vec) as vec
+          from c{_r} c left join m{_r} m using (cluster)
+        )""")
+    out["semdedup_kmeans"] = f"""
+        with allv as materialized ({plant}),
+        c0 as materialized (
+          select * from (values {_sk_c0}) t(cluster, vec)
+        ){"".join(_sk_rounds)},
+        a as materialized (
+          select vec_id, v,
+                 list_position(s, list_aggregate(s, 'max')) - 1 as cluster
+          from (
+            select vec_id, v,
+                   (select list(2.0 * list_dot_product(e2.v, c.vec)
+                                - list_dot_product(c.vec, c.vec)
+                          order by c.cluster)
+                    from c2 c) as s
+            from allv e2
+          )
+        ),
         ok as (select cluster from a group by cluster
                having count(*) <= 1000000),
         g as (select a.* from a join ok using (cluster)),
