@@ -524,3 +524,106 @@ def test_guard_rails_survivorship_and_attribution(spark):
             events, touch_types=("click", "purchase"),
             conversion_type="purchase",
         )
+
+
+def test_chunk_reassembly_property(spark):
+    """Property (hypothesis token soup): chunking must tile every
+    document exactly — stripping each chunk's leading `overlap` tokens
+    (except chunk 0) and concatenating reassembles the original token
+    stream, and each chunk's n_tokens equals its actual token count.
+    This pins the slice arithmetic (including the arithmetic n_tokens
+    introduced in r5) against off-by-one drift at every doc length
+    around the stride boundaries."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(st.integers(min_value=1, max_value=23), min_size=1,
+                 max_size=6),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=0, max_value=5),
+    )
+    def check(doc_lens, chunk_tokens, overlap):
+        if overlap >= chunk_tokens:
+            overlap = chunk_tokens - 1
+        stride = chunk_tokens - overlap
+        rows = [
+            (i, " ".join(f"w{i}t{j}" for j in range(n)))
+            for i, n in enumerate(doc_lens)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(range(len(doc_lens)))
+        for i, n in enumerate(doc_lens):
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            assert [c["chunk_idx"] for c in chunks] == list(
+                range(len(chunks))
+            )
+            toks = []
+            for c in chunks:
+                ctoks = c["chunk_text"].split(" ")
+                assert c["n_tokens"] == len(ctoks), (c, n)
+                toks.extend(ctoks if c["chunk_idx"] == 0 else ctoks[overlap:])
+            assert toks == [f"w{i}t{j}" for j in range(n)], (
+                i, n, chunk_tokens, overlap, toks
+            )
+
+    check()
+
+
+def test_merge_intervals_properties(spark):
+    """Property (hypothesis intervals): merged output per key must be
+    non-overlapping with the gap respected, cover exactly the union of
+    the inputs, and be idempotent (merging the merged set is a
+    fixpoint)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.operators.temporal import merge_intervals
+
+    iv = st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=1, max_value=15),
+    ).map(lambda t: (t[0], t[0] + t[1]))
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(iv, min_size=1, max_size=12))
+    def check(ivs):
+        rows = [("k", s, e) for s, e in ivs]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        merged = sorted(
+            (r["island_start"], r["island_end"])
+            for r in merge_intervals(df, "k", "s", "e").collect()
+        )
+        # non-overlapping, strictly separated
+        for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+            assert e1 < s2, merged
+        # coverage: union of integer points is identical
+        want = set()
+        for s, e in ivs:
+            want.update(range(s, e + 1))
+        got = set()
+        for s, e in merged:
+            got.update(range(s, e + 1))
+        assert got == want
+        # idempotent
+        df2 = spark.createDataFrame(
+            [("k", s, e) for s, e in merged], "k string, s long, e long"
+        )
+        again = sorted(
+            (r["island_start"], r["island_end"])
+            for r in merge_intervals(df2, "k", "s", "e").collect()
+        )
+        assert again == merged
+
+    check()
