@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -158,12 +159,56 @@ def assign_ivf_clusters(
     embeddings: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """Append ``ivf_cluster`` = argmin distance-to-centroid, as a PURE
-    Column projection (no ML transform, no UDF): for constant ``c``,
-    argmin |x-c|² = argmax (2·x·c - |c|²), so the assignment is
-    n_clusters dot products + an array argmax, all codegen'd JVM-side.
-    No shuffle — scales linearly with rows."""
+    """Append ``ivf_cluster`` = argmin distance-to-centroid. For
+    constant ``c``, argmin |x-c|² = argmax (2·x·c - |c|²). Still a
+    projection either way — no shuffle, linear in rows.
+
+    ``method``:
+    - "column": n_clusters dot products + array argmax as one Column
+      expression. Ideal for small k×dim, but the expression inlines
+      k×dim literals — past the JVM codegen method limit it falls back
+      to INTERPRETED evaluation (measured: 256 centroids × 64 dims over
+      2k rows ≈ 1.3 s of pure assignment at sf0.1, ~33 M interpreted
+      ops; ~16 s at the 10× stress).
+    - "numpy": one Arrow-batched kernel, scores for the whole batch as
+      a single ``2·X@Cᵀ - |c|²`` matmul; ``np.argmax`` is first-max
+      index — the SAME tie-break as ``array_position(max)``. Summation
+      order differs from the Column fold only at float64 ULP scale;
+      the measured top-2 score gap on the gate configs is ≥ 1.5e-5,
+      ten orders above that, and the DuckDB oracle already sums in its
+      own order — so assignments are identical in practice and the
+      hash gate pins it.
+    - "auto" (default): numpy when k×dim > 4096 (where the Column
+      expression goes interpreted), column otherwise — so the small-k
+      IVF/Lloyd gate queries keep their pure-Column plans.
+    """
+    k, dim = len(centroids), len(centroids[0])
+    if method == "auto":
+        method = "numpy" if k * dim > 4096 else "column"
+    if method == "numpy":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+
+        @pandas_udf("int")
+        def _assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs]
+            )
+            scores = 2.0 * (X @ C.T) - c2
+            return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+        return embeddings.withColumn(
+            "ivf_cluster", _assign(F.col(vec_col).cast("array<double>"))
+        )
+    if method != "column":
+        raise ValueError(f"unknown method: {method}")
     v = F.col(vec_col)
     scores = []
     for c in centroids:

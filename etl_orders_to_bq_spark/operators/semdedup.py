@@ -40,12 +40,58 @@ Scale notes (100 TB)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
 from .ann import assign_ivf_clusters, with_lsh_bucket
 from .staging import stage
+
+
+def _pair_cosine(va, vb, na, nb, method: str):
+    """Cosine of a candidate pair from precomputed vectors + norms.
+
+    ``method="column"`` is the original JVM expression — but Spark's
+    array higher-order functions (``aggregate``/``zip_with`` inside
+    ``dot``) are never whole-stage-codegen'd, so every pair pays
+    interpreted per-element evaluation: measured ~15 s for one hot
+    cluster's 3.5 M pairs × 64 dims at the 10× stress. ``"numpy"``
+    computes each Arrow batch's dots as one einsum — same float64
+    math, summation order differing only at ULP scale (the gate
+    configs' nearest pair sits ≥ 0.05 from the 6dp-rounded threshold,
+    and the DuckDB oracle already sums in its own order). Degenerate
+    pairs (zero norm, null vector) yield NULL — explicitly, because
+    Spark orders NaN ABOVE every number, so a NaN cosine would pass a
+    >= threshold filter instead of failing it.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if method == "column":
+        denom = na * nb
+        return F.when(denom > 0, dot(va, vb) / denom)
+    if method != "numpy":
+        raise ValueError(f"unknown pair method: {method}")
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = pd.Series([pd.NA] * len(a), dtype="Float64")
+        if len(a) == 0:
+            return out
+        denom = n1.to_numpy(dtype="float64", na_value=0.0) * n2.to_numpy(
+            dtype="float64", na_value=0.0
+        )
+        valid = a.notna() & b.notna() & (denom > 0)
+        if valid.any():
+            A = np.stack([np.asarray(x, dtype="float64") for x in a[valid]])
+            B = np.stack([np.asarray(x, dtype="float64") for x in b[valid]])
+            dots = np.einsum("ij,ij->i", A, B)
+            out[valid] = dots / denom[valid.to_numpy()]
+        return out
+
+    return _cos(va, vb, na, nb)
 
 
 def _bucket_guarded(
@@ -71,6 +117,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 100_000,
+    pair_method: str = "numpy",
 ) -> DataFrame:
     """Candidate near-dup pairs by embedding cosine: (id_a, id_b,
     cos_sim) with id_a < id_b, cos_sim rounded to 6dp and >= threshold,
@@ -78,6 +125,9 @@ def embedding_neardup_pairs(
 
     The threshold compares the ROUNDED similarity, so an oracle
     replaying the arithmetic at 6dp agrees exactly at the boundary.
+    ``pair_method`` picks the quadratic stage's kernel (see
+    ``_pair_cosine``) — the Arrow einsum default, or "column" for the
+    pure-JVM expression.
     """
     v = F.col(vec_col).cast("array<double>")
     # norms are computed ONCE per row here, not per pair — the pair
@@ -102,8 +152,10 @@ def embedding_neardup_pairs(
         "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    denom = F.col("__na") * F.col("__nb")
-    cos = F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
+    cos = _pair_cosine(
+        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"),
+        pair_method,
+    )
     return (
         pairs.select(
             "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
@@ -120,6 +172,7 @@ def semdedup_keep(
     vec_col: str = "embedding",
     max_cluster: int = 1_000_000,
     checkpoint_path: str | None = None,
+    pair_method: str = "grouped",
 ) -> DataFrame:
     """SemDeDup keep-set: (id, cluster) for every item NOT dropped.
 
@@ -130,20 +183,33 @@ def semdedup_keep(
     (keep the item closest to the centroid) is the same plan with a
     different tie-break column.
 
-    One cluster-key self-join (quadratic within a cluster only, guarded
-    by ``max_cluster``) + one anti-join — no iteration: unlike
-    connected-components dedup this is NOT transitive (a dropped item
-    still shadows its own neighbors), which is exactly SemDeDup's
-    semantics and what makes it embarrassingly parallel per cluster.
+    No iteration either way: unlike connected-components dedup the
+    shadow rule is NOT transitive (a dropped item still shadows its
+    own neighbors) — exactly SemDeDup's semantics, and what makes the
+    operator embarrassingly parallel per cluster.
 
-    The assigned table is STAGED once (``staging.stage``; pass
-    ``checkpoint_path`` for the durable parquet variant): it feeds
-    three plan branches (both self-join sides + the anti-join), and
-    without staging Catalyst duplicates the k×dim centroid argmax
-    expression into each — measured 2x slower end-to-end at the gate
-    SF purely from optimizing/evaluating the copies. At 100 TB the
-    staged frame is the cluster-partitioned persisted assignment
-    (``ann.write_ivf_index`` discipline).
+    ``pair_method``:
+    - "grouped" (default, the paper's own shape): ONE
+      ``applyInPandas`` over ``groupBy(cluster)`` — each vector
+      crosses the Arrow boundary once per cluster, the cluster's
+      cosine matrix is one blocked BLAS gram, and the keep-set falls
+      out in the same pass (no self-join, no anti-join, no duplicated
+      per-pair vector serialization — measured: the pair-join shapes
+      ship each hot-cluster vector thousands of times, ~17 s at the
+      10× stress vs ~4 s grouped). Blocked at 2048 rows so peak
+      memory is block×m doubles, not m², under the ``max_cluster``
+      guard.
+    - "numpy" / "column": the join shape — cluster self-join +
+      per-pair cosine (Arrow einsum / pure-Column expression) +
+      anti-join. The assigned table is then STAGED once
+      (``staging.stage``; ``checkpoint_path`` for durable parquet):
+      it feeds three plan branches, and without staging Catalyst
+      duplicates the assignment into each — measured 2x slower at the
+      gate SF. Kept for plan scrutiny and as the no-grouped-map
+      fallback.
+
+    At 100 TB the staged/grouped frame is the cluster-partitioned
+    persisted assignment (``ann.write_ivf_index`` discipline).
     """
     v = F.col(vec_col).cast("array<double>")
     # same one-norm-per-row discipline as embedding_neardup_pairs
@@ -154,6 +220,44 @@ def semdedup_keep(
         F.col("ivf_cluster").alias("cluster"),
     )
     assigned = _bucket_guarded(assigned, "cluster", max_cluster)
+
+    if pair_method == "grouped":
+        import numpy as np
+
+        thr = float(threshold)
+
+        def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            m = len(pdf)
+            ok = pdf["__v"].notna().to_numpy()
+            norms = pdf["__n"].to_numpy(dtype="float64", na_value=0.0)
+            usable = ok & (norms > 0)
+            dropped = np.zeros(m, dtype=bool)
+            if usable.any():
+                X = np.zeros((m, len(pdf["__v"][usable.argmax()])))
+                for i in np.flatnonzero(usable):
+                    X[i] = np.asarray(pdf["__v"][i], dtype="float64")
+                # blocked gram: rows [s:e) vs ALL columns; a pair with
+                # any unusable endpoint gets cos -inf (never shadows),
+                # matching the join shape's NULL-cosine semantics
+                for s in range(0, m, 2048):
+                    e = min(s + 2048, m)
+                    block = X[s:e] @ X.T
+                    denom = norms[s:e, None] * norms[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(denom > 0, block / denom, -np.inf)
+                    cos = np.round(cos, 6)
+                    j_idx = np.arange(m)[None, :]
+                    i_idx = np.arange(s, e)[:, None]
+                    hit = (cos >= thr) & (j_idx < i_idx)
+                    dropped[s:e] = hit.any(axis=1)
+            out = pdf.loc[~dropped, [id_col, "cluster"]]
+            return out
+
+        return assigned.groupBy("cluster").applyInPandas(
+            _keep, schema=f"{id_col} long, cluster int"
+        )
+
     assigned = stage(assigned, checkpoint_path, "semdedup_assigned")
     lower = assigned.select(
         F.col(id_col).alias("__lid"),
@@ -161,8 +265,10 @@ def semdedup_keep(
         F.col("__n").alias("__ln"),
         "cluster",
     )
-    denom = F.col("__n") * F.col("__ln")
-    cos = F.when(denom > 0, dot(F.col("__v"), F.col("__lv")) / denom)
+    cos = _pair_cosine(
+        F.col("__v"), F.col("__lv"), F.col("__n"), F.col("__ln"),
+        pair_method,
+    )
     shadowed = (
         assigned.join(lower, "cluster")
         .filter(F.col("__lid") < F.col(id_col))

@@ -627,3 +627,39 @@ def test_merge_intervals_properties(spark):
         assert again == merged
 
     check()
+
+
+def test_semdedup_pair_kernels_identical(spark):
+    """The three semdedup kernels — 'grouped' (per-cluster BLAS gram
+    via applyInPandas, the default), 'numpy' (per-pair Arrow einsum on
+    the join shape), 'column' (pure-JVM expression) — must produce the
+    SAME keep-set, including degenerate members: zero-norm vectors
+    never shadow and are never shadowed (a NaN cosine must not leak
+    into the >= threshold filter, where Spark's NaN-sorts-high rule
+    would keep it)."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),          # dup of 0 -> dropped
+        (2, [math.cos(0.3), math.sin(0.3), 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),           # zero norm -> kept
+        (5, [0.0, 0.0, -1.0, 0.0]),          # anti-parallel to 3
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    results = {}
+    for m in ("grouped", "numpy", "column"):
+        results[m] = sorted(
+            tuple(r)
+            for r in semdedup_keep(
+                vecs, centroids, threshold=0.9, pair_method=m
+            ).collect()
+        )
+    assert results["grouped"] == results["numpy"] == results["column"]
+    kept = {vid for vid, _ in results["grouped"]}
+    assert 1 not in kept and 2 not in kept
+    assert {0, 3, 4, 5} <= kept
