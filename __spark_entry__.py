@@ -9278,12 +9278,24 @@ def oracle_sql() -> dict[str, str]:
           select ent_id + 20000, name || 'zz'
           from base where ent_id < 15
         ),
+        reps as (
+          -- exact-collapse BEFORE the closure, mirroring the operator:
+          -- identical names are one node. This is also what keeps the
+          -- recursive CTE sound — the entity-level closure ran over a
+          -- same-name-clique graph (~1M edges at sf0.1) and duckdb
+          -- 1.0's recursion returned PHANTOM reachability there
+          -- (entity 55 "reached" a distance-15 name class with zero
+          -- bridging pairs; correct at sf0.01's graph size). 266
+          -- name-level nodes / 45 edges closes correctly and ~50x
+          -- faster.
+          select min(ent_id) as rep_id, name from ents group by name
+        ),
         pairs as (
           -- the operator's (first char, length-bucket neighborhood)
           -- blocking is symmetric when both orderings are probed, so
           -- one symmetric condition reproduces it
-          select a.ent_id as id_a, b.ent_id as id_b
-          from ents a join ents b on a.ent_id < b.ent_id
+          select a.rep_id as id_a, b.rep_id as id_b
+          from reps a join reps b on a.rep_id < b.rep_id
           where substr(regexp_replace(lower(a.name), '[^a-z0-9]', '', 'g'), 1, 1)
                 = substr(regexp_replace(lower(b.name), '[^a-z0-9]', '', 'g'), 1, 1)
             and floor(length(b.name) / 5)
@@ -9304,11 +9316,13 @@ def oracle_sql() -> dict[str, str]:
           select r.a, e.b
           from reach r join edges e on r.b = e.a
         ),
-        comp as (select a as ent_id, min(b) as component
+        comp as (select a as rep_id, min(b) as component
                  from reach group by a)
         select e.ent_id, e.name,
-               coalesce(c.component, e.ent_id) as canonical_id
-        from ents e left join comp c using (ent_id)
+               coalesce(c.component, r.rep_id) as canonical_id
+        from ents e
+        join reps r using (name)
+        left join comp c using (rep_id)
         order by e.ent_id
     """
     out["streaming_merge_upsert"] = """
@@ -9337,8 +9351,15 @@ def oracle_sql() -> dict[str, str]:
                      sum(c_t) as tot_t
               from v)
         select doc_id,
-               round(avg(log10((c_t + 1.0) / (tot_t + vv))
-                         - log10((c_all + 1.0) / (tot_all + vv))), 6)
+               -- fold over the SORTED per-token ratios, mirroring the
+               -- operator: a shuffle-order avg() can flip a 6dp
+               -- rounding boundary between runs/engines (r5 flake).
+               -- `+ 0.0` normalizes IEEE -0.0 (duckdb's round keeps
+               -- the sign of zero; Spark's does not)
+               round(list_reduce(
+                       list_sort(list(log10((c_t + 1.0) / (tot_t + vv))
+                                      - log10((c_all + 1.0) / (tot_all + vv)))),
+                       (a, b) -> a + b) / count(*), 6) + 0.0
                  as log_ratio
         from tok join v using (w), k
         group by doc_id

@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_embedding",
     "semdedup",
     "entity_resolution",
+    # round-5: SemDeDup over learned Lloyd centroids (fit + dedup)
+    "semdedup_kmeans",
     # round-4 analytics additions (linear ops over the big fixtures)
     "simhash_hamming",
     "skipgram_pairs",
@@ -81,6 +83,8 @@ ITERATIVE = {
     # CC rounds + the staged SemDeDup assignment run at construction
     "entity_resolution",
     "semdedup",
+    # Lloyd rounds collect centroids during construction
+    "semdedup_kmeans",
 }
 
 

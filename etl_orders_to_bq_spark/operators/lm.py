@@ -64,6 +64,15 @@ def importance_weights(
     column. Smoothing constants (V, totals) are 1-row lazy aggregates
     broadcast into the projection.
 
+    The per-document mean is folded over the SORTED per-token ratios
+    (collect_list -> sort_array -> sequential aggregate), not
+    ``F.avg``: a shuffle-order float sum can land a different ULP on
+    different runs/engines, and at 5k docs one of them WILL sit on a
+    6dp rounding boundary eventually (observed as a once-per-several-
+    runs hash flake at sf0.1 in r5). Sorting pins the summation order
+    on both engines; the list is per-document token values, so the
+    state is bounded by document length, not corpus size.
+
     No counterpart in the reference engine (SURVEY.md §2.2 — no
     aggregation); the formula follows the public DSIR description.
     """
@@ -86,11 +95,15 @@ def importance_weights(
     ) - F.log10(
         (F.col("__c_all") + 1.0) / (F.col("__total_all") + F.col("__v"))
     )
+    vals = F.sort_array(F.collect_list(log_ratio))
+    mean = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(vals)
     return (
         toks.join(vocab, "w")
         .crossJoin(F.broadcast(consts))
         .groupBy(id_col)
-        .agg(F.round(F.avg(log_ratio), ndigits).alias(out_col))
+        .agg(F.round(mean, ndigits).alias(out_col))
     )
 
 
