@@ -1233,6 +1233,26 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_keep(allv, cents, threshold=0.75).orderBy("vec_id")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality filter
+    (operators/classifier.py): unigram+bigram features hashed to 256
+    md5 buckets, one broadcast weight join, one map-side-combinable
+    doc sum, sigmoid + threshold — the CCNet-shaped page scorer every
+    pretraining pipeline runs. Weights are the seeded LCG stand-in
+    model (inlined as literals in the oracle, the lloyd-centroid
+    discipline); empty docs score sigmoid(bias) via the distinct-id
+    left join."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        hashed_linear_score,
+        seeded_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(
+        d, seeded_weights(256, seed=17), bias=0.05, threshold=0.52
+    ).orderBy("doc_id")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (operators/spans.py): 20-token spans,
     corpus-wide first-occurrence keep, document reassembly — the
@@ -5659,6 +5679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 (appended PAST the driver snapshot so the
         #    front 53 keep their rotation slot; locally gated) --
         "semdedup_kmeans": q_semdedup_kmeans,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -9364,6 +9385,44 @@ def oracle_sql() -> dict[str, str]:
         from tok join v using (w), k
         group by doc_id
         order by doc_id
+    """
+    # fastText-style hashed linear scorer: the seeded stand-in weights
+    # are inlined as literals (the lloyd-centroid discipline) and the
+    # md5-bucket hash replays exactly; empty docs rejoin at
+    # sigmoid(bias)
+    from etl_orders_to_bq_spark.operators.classifier import seeded_weights
+
+    _qc_w = ", ".join(
+        f"({i}, {w!r})" for i, w in enumerate(seeded_weights(256, seed=17))
+    )
+    out["quality_classifier"] = f"""
+        with w as (select * from (values {_qc_w}) t(bucket, wt)),
+        tok as (
+          select doc_id, regexp_extract_all({_NORM}, '\\S+') as toks
+          from documents
+        ),
+        grams as (
+          select doc_id, unnest(list_concat(
+            list_transform(toks, t -> t || '|u'),
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1] || '|b')
+          )) as g
+          from tok
+        ),
+        dots as (
+          select doc_id, sum(wt) as dot
+          from grams
+          join w on ('0x' || substr(md5(g), 1, 8))::bigint % 256 = w.bucket
+          group by doc_id
+        )
+        select d.doc_id,
+               round(1.0 / (1.0 + exp(-(coalesce(dot, 0.0) + 0.05))), 6)
+                 as score,
+               round(1.0 / (1.0 + exp(-(coalesce(dot, 0.0) + 0.05))), 6)
+                 >= 0.52 as keep
+        from (select distinct doc_id from documents) d
+        left join dots using (doc_id)
+        order by d.doc_id
     """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle

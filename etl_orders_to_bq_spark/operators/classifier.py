@@ -1,0 +1,137 @@
+"""Hashed linear text classifier — the fastText-style quality filter
+shape every large pretraining pipeline runs (CCNet-descended stacks
+score pages with a linear model over hashed bag-of-words/bigram
+features and keep the high-scoring tail).
+
+This operator is the INFERENCE side: features are the document's
+unigrams + bigrams hashed into ``dim`` buckets, the model is a dense
+weight vector (+bias) supplied by the caller, and the score is
+``sigmoid(w · phi(x) + b)`` with phi counting hash-bucket occurrences.
+Training stays offline (any logistic-regression fit produces the
+weight vector); inference is where the 100 TB is.
+
+Plan shape
+----------
+One explode to token-level rows (scan-shaped), one broadcast join
+against the ``dim``-row weight table, one map-side-combinable
+groupBy(doc) sum — the shuffle carries (doc_id, partial dot) pairs,
+never text. No UDF anywhere; the hash is md5-derived so an external
+SQL engine replays it bit-for-bit (the same engine-portability
+argument as the MinHash md5 path, ``operators/dedup.py``).
+
+Reference: the reference engine has no classifier surface at all
+(SURVEY.md §2.2 — no scalar functions beyond clean_name); this is an
+engine extension from the brief's text-analysis line.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokenize
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Token-level hashed-feature rows: (id, bucket) — one row per
+    unigram (and bigram), bucket = first 8 md5 hex chars mod ``dim``.
+
+    The '|u' / '|b' salts keep a unigram and a bigram of equal text
+    from colliding by construction (they still may collide by hash,
+    which is the point of feature hashing)."""
+    toks = tokenize(normalize_text(text_col))
+    grams = F.transform(toks, lambda w: F.concat(w, F.lit("|u")))
+    if bigrams:
+        n = F.size(toks)
+        bi = F.transform(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            lambda w, i: F.concat(
+                w, F.lit(" "), F.element_at(toks, i + 2), F.lit("|b")
+            ),
+        )
+        grams = F.concat(grams, bi)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(id_col, bucket.alias("bucket"))
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    bigrams: bool = True,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score every document with a linear model over hashed n-gram
+    counts: (id, score[, keep]) where
+    ``score = sigmoid(sum_g w[bucket(g)] + bias)`` — each occurrence
+    contributes its bucket weight, i.e. the dot product of the count
+    vector with ``weights``. ``threshold`` adds the boolean ``keep``
+    column (the filter decision a pipeline acts on); the score is
+    rounded to ``ndigits`` BEFORE the comparison so the boundary is
+    engine-portable.
+
+    Empty documents (no tokens) score ``sigmoid(bias)`` — they produce
+    no feature rows, so they re-enter via a left join against the
+    distinct id set.
+
+    At 100 TB: the weight table is ``dim`` rows (a few KB — always
+    broadcast); the groupBy(doc) partial-sums map-side; document text
+    never shuffles.
+    """
+    dim = len(weights)
+    spark = df.sparkSession
+    wtab = F.broadcast(
+        spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)],
+            "bucket long, w double",
+        )
+    )
+    feats = hashed_features(df, text_col, id_col, dim, bigrams)
+    dots = (
+        feats.join(wtab, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("__dot"))
+    )
+    ids = df.select(id_col).distinct()
+    z = F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(float(bias))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), ndigits)
+    out = ids.join(dots, id_col, "left").select(
+        F.col(id_col), score.alias("score")
+    )
+    if threshold is not None:
+        out = out.withColumn("keep", F.col("score") >= float(threshold))
+    return out
+
+
+def seeded_weights(dim: int, seed: int = 17) -> list[float]:
+    """Deterministic pseudo-weights in [-0.5, 0.5) from an LCG — a
+    stand-in model for gates/tests that any SQL engine can regenerate
+    (same constants as the MinHash mixers, ``operators/dedup.py``).
+    Real pipelines load trained weights instead."""
+    out = []
+    state = seed
+    for _ in range(dim):
+        state = (6364136223846793005 * state + 1442695040888963407) % (2**63)
+        out.append((state % 10**6) / 10**6 - 0.5)
+    return out
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -111,3 +111,53 @@ def test_repetition_stats_golden(spark):
     # 5 words, 2 distinct -> dup 0.6; bigrams: x y, y x, x y, y x -> top 2/4
     assert got[3] == (5, 0.6, 0.5)
     assert got[4] == (1, 0.0, 0.0)
+
+
+def test_hashed_linear_classifier_matches_reference(spark):
+    """The fastText-shaped hashed linear scorer must reproduce a
+    sequential python implementation exactly (md5 bucketing, unigram+
+    bigram features, sigmoid at 6dp), handle empty documents via the
+    sigmoid(bias) path, and respect the rounded-threshold keep rule."""
+    import hashlib
+    import math
+
+    from etl_orders_to_bq_spark.operators.classifier import (
+        hashed_linear_score,
+        seeded_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "THE   Quick brown  fox jumps"),  # normalizes to doc 1
+            (3, ""),
+            (4, "zebra"),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    w = seeded_weights(128, seed=17)
+    bias = 0.05
+    got = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in hashed_linear_score(
+            docs, w, bias=bias, threshold=0.5
+        ).collect()
+    }
+
+    def ref(text):
+        toks = " ".join(text.lower().split()).split()
+        gs = [t + "|u" for t in toks] + [
+            f"{a} {b}|b" for a, b in zip(toks, toks[1:])
+        ]
+        z = sum(
+            w[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % len(w)]
+            for g in gs
+        ) + bias
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    for i, t in [(1, "the quick brown fox jumps"), (3, ""), (4, "zebra")]:
+        assert got[i] == (ref(t), ref(t) >= 0.5), (i, got[i], ref(t))
+    # normalization: differing whitespace/case scores identically
+    assert got[2] == got[1]
+    # empty doc takes the bias-only path
+    assert got[3][0] == round(1.0 / (1.0 + math.exp(-bias)), 6)
