@@ -64,8 +64,10 @@ HEADLINE = [
     "dedup_embedding",
     "semdedup",
     "entity_resolution",
-    # round-5: SemDeDup over learned Lloyd centroids (fit + dedup)
+    # round-5: SemDeDup over learned Lloyd centroids (fit + dedup),
+    # and the fastText-shaped hashed linear quality filter
     "semdedup_kmeans",
+    "quality_classifier",
     # round-4 analytics additions (linear ops over the big fixtures)
     "simhash_hamming",
     "skipgram_pairs",
