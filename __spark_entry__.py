@@ -5443,6 +5443,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nationkey")
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout census (functions/zorder.py): the
+    multi-dimensional file-skipping layout behind Delta/Iceberg
+    OPTIMIZE ZORDER. Interleave 8 bits each of normalized
+    (o_custkey, o_totalprice) into one key — pure codegen'd Column bit
+    math, no UDF — then range-bucket on the key's top 4 bits and report
+    each bucket's min/max rectangle on BOTH dimensions: tight spans are
+    exactly what parquet footer pruning needs, and a plain sort key
+    only narrows one of them (tests/test_scale_plans.py measures the
+    difference). Normalization bounds come from a 1-row stats agg (the
+    catalog-stats stand-in — at 100 TB these are free table-level
+    min/max, never a data scan). The oracle replays the identical
+    scale-clip-interleave in SQL bit ops. No counterpart in the
+    reference engine (SURVEY.md §2.2 — single-file pandas, no layout
+    control)."""
+    from etl_orders_to_bq_spark.functions.zorder import (
+        normalize_to_bits,
+        zorder_key,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    lo_c, hi_c, lo_p, hi_p = o.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min("o_totalprice"),
+        F.max("o_totalprice"),
+    ).first()
+    z = o.withColumn(
+        "zkey",
+        zorder_key(
+            normalize_to_bits(F.col("o_custkey"), lo_c, hi_c, bits=8),
+            normalize_to_bits(F.col("o_totalprice"), lo_p, hi_p, bits=8),
+            bits=8,
+        ),
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 12).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5680,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    front 53 keep their rotation slot; locally gated) --
         "semdedup_kmeans": q_semdedup_kmeans,
         "quality_classifier": q_quality_classifier,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -9423,6 +9472,46 @@ def oracle_sql() -> dict[str, str]:
         from (select distinct doc_id from documents) d
         left join dots using (doc_id)
         order by d.doc_id
+    """
+    # Z-order layout: replay normalize_to_bits (scale, clip, floor) and
+    # the 8-bit interleave (a at odd positions, b at even) in SQL bit
+    # ops; same left-assoc (x-lo)/span*256 so the doubles match exactly
+    _z_interleave = " | ".join(
+        f"(((a >> {i}) & 1) << {2 * i + 1}) | (((b >> {i}) & 1) << {2 * i})"
+        for i in range(8)
+    )
+    out["zorder_layout"] = f"""
+        with bounds as (
+          select min(o_custkey)::double as lo_c,
+                 max(o_custkey)::double as hi_c,
+                 min(o_totalprice)::double as lo_p,
+                 max(o_totalprice)::double as hi_p
+          from orders
+        ),
+        norm as (
+          select o_custkey, o_totalprice,
+                 greatest(0, least(255, floor(
+                   (o_custkey::double - lo_c) / (hi_c - lo_c) * 256
+                 )))::bigint as a,
+                 greatest(0, least(255, floor(
+                   (o_totalprice::double - lo_p) / (hi_p - lo_p) * 256
+                 )))::bigint as b
+          from orders, bounds
+        ),
+        z as (
+          select o_custkey, o_totalprice,
+                 ({_z_interleave}) as zkey
+          from norm
+        )
+        select (zkey >> 12)::int as bucket,
+               count(*) as n_rows,
+               min(o_custkey) as min_custkey,
+               max(o_custkey) as max_custkey,
+               min(o_totalprice) as min_price,
+               max(o_totalprice) as max_price
+        from z
+        group by 1
+        order by 1
     """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle
