@@ -5491,6 +5491,25 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorize + robust scale (operators/quality.py):
+    order totals clipped to their priority class's exact [p05, p95]
+    fences and re-expressed as (wins - median) / IQR — the
+    outlier-immune conditioning pass heavy-tailed metrics need before
+    z-thresholds mean anything. One percentile-array groupBy (5 order
+    statistics in one aggregate) broadcast back onto the fact; the
+    oracle recomputes the same type-7 interpolated quantiles via
+    DuckDB's quantile_cont."""
+    from etl_orders_to_bq_spark.operators.quality import winsorize_robust
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return winsorize_robust(
+        o, "o_totalprice", "o_orderpriority"
+    ).orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5729,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_kmeans": q_semdedup_kmeans,
         "quality_classifier": q_quality_classifier,
         "zorder_layout": q_zorder_layout,
+        "winsorize_robust": q_winsorize_robust,
     }
 
 
@@ -9512,6 +9532,29 @@ def oracle_sql() -> dict[str, str]:
         from z
         group by 1
         order by 1
+    """
+    # winsorize + robust scale: DuckDB quantile_cont matches Spark's
+    # exact percentile (both type-7 linear interpolation at p*(n-1))
+    out["winsorize_robust"] = """
+        with stats as (
+          select o_orderpriority,
+                 quantile_cont(o_totalprice, 0.05) as p_lo,
+                 quantile_cont(o_totalprice, 0.25) as q1,
+                 quantile_cont(o_totalprice, 0.50) as med,
+                 quantile_cont(o_totalprice, 0.75) as q3,
+                 quantile_cont(o_totalprice, 0.95) as p_hi
+          from orders
+          group by 1
+        )
+        select o_orderkey, o_orderpriority, o_totalprice,
+               least(greatest(o_totalprice, p_lo), p_hi) as wins,
+               case when q3 - q1 > 0 then round(
+                 (least(greatest(o_totalprice, p_lo), p_hi) - med)
+                   / (q3 - q1), 6)
+               else 0.0 end as robust_z
+        from orders
+        join stats using (o_orderpriority)
+        order by o_orderkey
     """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle

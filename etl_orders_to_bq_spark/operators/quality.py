@@ -178,6 +178,67 @@ def mad_outliers(
     )
 
 
+def winsorize_robust(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group winsorization + robust (median/IQR) scaling — the
+    standard feature-conditioning pass before anything statistical
+    touches heavy-tailed metrics (totals, latencies, token counts):
+
+    - ``wins`` : ``value`` clipped into the group's [p_lower, p_upper]
+      exact percentiles (tail values pulled to the fence, not dropped);
+    - ``robust_z`` : ``(wins - median) / (p75 - p25)``, rounded —
+      location/scale from order statistics, so the outliers being
+      tamed cannot inflate their own yardstick (the mad_outliers
+      argument, with IQR as the spread).
+
+    Degenerate groups (IQR = 0: over half the values identical) get
+    ``robust_z = 0.0`` — the value IS the center.
+
+    Scale: ONE groupBy computes all five order statistics in a single
+    ``percentile(value, array(...))`` aggregate (Spark's exact
+    percentile, a per-group value-count map — bounded by distinct
+    values, not rows), and the tiny stats table broadcast-joins back
+    onto the fact: one shuffle total, projection after. No counterpart
+    in the reference engine (SURVEY.md §2.2 — no aggregation at all).
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    pcts = F.percentile(
+        F.col(value_col),
+        F.array(*[F.lit(p) for p in (lower, 0.25, 0.5, 0.75, upper)]),
+    )
+    stats = df.groupBy(*gc).agg(
+        pcts[0].alias("__p_lo"),
+        pcts[1].alias("__q1"),
+        pcts[2].alias("__med"),
+        pcts[3].alias("__q3"),
+        pcts[4].alias("__p_hi"),
+    )
+    wins = F.least(
+        F.greatest(F.col(value_col), F.col("__p_lo")), F.col("__p_hi")
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    return (
+        df.join(F.broadcast(stats), gc)
+        .withColumn("wins", wins)
+        .withColumn(
+            "robust_z",
+            F.when(
+                iqr > 0,
+                F.round((F.col("wins") - F.col("__med")) / iqr, ndigits),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__p_lo", "__q1", "__med", "__q3", "__p_hi")
+    )
+
+
 def quarantine(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
     """Row-level expectation routing: append ``violations``, the array
     of rule names (in ``rules`` order) whose predicate the row FAILS.

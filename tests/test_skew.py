@@ -1,6 +1,7 @@
 """Skew operators must produce results identical to their naive
 equivalents while spreading hot keys."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_orders_to_bq_spark.operators.skew import (
@@ -292,6 +293,39 @@ def test_mad_outliers_resists_masking_and_handles_degenerate_groups(spark):
     b_rows = [r for r in out if r["g"] == "b"]
     assert all(r["robust_z"] is None for r in b_rows)
     assert not any(r["is_outlier"] for r in b_rows)
+
+
+def test_winsorize_robust_fences_and_degenerate_iqr(spark):
+    """Tail values must be pulled to the group's exact [p05, p95]
+    fences (never dropped — row count is preserved), the in-fence
+    values pass through untouched, and a group with IQR=0 (over half
+    identical) gets robust_z = 0.0 rather than a division blow-up."""
+    from etl_orders_to_bq_spark.operators.quality import winsorize_robust
+
+    # group a: 0..20 plus a huge spike; group b: constant
+    rows = [("a", i, float(i)) for i in range(21)] + [("a", 99, 1000.0)]
+    rows += [("b", 200 + i, 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+
+    out = {r["id"]: r for r in winsorize_robust(df, "v", "g").collect()}
+    assert len(out) == len(rows)  # winsorize clips, never drops
+
+    # exact type-7 percentiles of the 22 values: rank = p * 21
+    import statistics
+
+    vals = sorted([float(i) for i in range(21)] + [1000.0])
+    q = statistics.quantiles(vals, n=100, method="inclusive")
+    p05, q1, med, q3, p95 = q[4], q[24], q[49], q[74], q[94]
+    assert out[99]["wins"] == pytest.approx(p95)  # spike pulled down
+    assert out[0]["wins"] == pytest.approx(p05)  # low tail pulled up
+    assert out[10]["wins"] == 10.0  # in-fence untouched
+    assert out[10]["robust_z"] == pytest.approx(
+        round((10.0 - med) / (q3 - q1), 6)
+    )
+    assert all(out[200 + i]["robust_z"] == 0.0 for i in range(5))
+
+    with pytest.raises(ValueError):
+        winsorize_robust(df, "v", "g", lower=0.9, upper=0.1)
 
 
 def test_attribution_first_last_touch_and_unattributed(spark):
