@@ -5510,6 +5510,19 @@ def q_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (operators/lm.py): the
+    KenLM-shaped perplexity filter one rung above unigram_logprob —
+    Jelinek-Mercer mix of add-one-smoothed bigram and unigram
+    probabilities, self-trained on the corpus, per-document mean over
+    SORTED per-position values (the shuffle-order-stable fold). Word
+    salad passes unigram filters; it fails this one."""
+    from etl_orders_to_bq_spark.operators.lm import bigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_scores(d, lam=0.7).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5749,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "zorder_layout": q_zorder_layout,
         "winsorize_robust": q_winsorize_robust,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -9532,6 +9546,44 @@ def oracle_sql() -> dict[str, str]:
         from z
         group by 1
         order by 1
+    """
+    # interpolated-bigram LM scores: same add-one/Jelinek-Mercer
+    # formula, same sorted fold; (1 - lam) is computed in Python on the
+    # Spark side, so its exact double repr is inlined here
+    _bl_lam, _bl_one_minus = 0.7, repr(1.0 - 0.7)
+    out["bigram_logprob"] = f"""
+        with tok as (
+          select doc_id, regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        uni as (select unnest(ts) as w from tok),
+        uc as (select w, count(*) as cw from uni group by w),
+        k as (select count(*) as vv, sum(cw) as total from uc),
+        big as (
+          select doc_id,
+                 unnest(list_transform(
+                   range(1, len(ts)),
+                   i -> struct_pack(w1 := ts[i], w2 := ts[i + 1])
+                 )) as p
+          from tok
+        ),
+        bigf as (select doc_id, p.w1 as w1, p.w2 as w2 from big),
+        bc as (select w1, w2, count(*) as cb from bigf group by w1, w2),
+        ctx as (select w1, sum(cb) as cstart from bc group by w1)
+        select doc_id,
+               round(list_reduce(
+                 list_sort(list(log10(
+                   {_bl_lam} * ((cb + 1.0) / (cstart + vv))
+                   + {_bl_one_minus} * ((cw + 1.0) / (total + vv))
+                 ))),
+                 (a, b) -> a + b) / count(*), 6) + 0.0
+                 as bigram_logprob
+        from bigf
+        join bc using (w1, w2)
+        join ctx using (w1)
+        join uc on (bigf.w2 = uc.w), k
+        group by doc_id
+        order by doc_id
     """
     # winsorize + robust scale: DuckDB quantile_cont matches Spark's
     # exact percentile (both type-7 linear interpolation at p*(n-1))

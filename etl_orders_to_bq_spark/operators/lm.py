@@ -384,6 +384,86 @@ def skipgram_pairs(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    out_col: str = "bigram_logprob",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Interpolated-bigram LM document scores — one modeling step up
+    from ``unigram_logprob_scores`` and the closest pure-SQL shape to
+    the KenLM perplexity filters production corpus pipelines run:
+    word-salad documents pass a unigram filter (common words!) but
+    fail this one, because their ADJACENCIES never occur elsewhere.
+
+        p_big(w2|w1) = (c(w1 w2) + 1) / (c_start(w1) + V)
+        p_uni(w)     = (c(w) + 1) / (total + V)
+        score(d)     = avg over bigram positions of
+                       log10(lam * p_big + (1-lam) * p_uni(w2))
+
+    Jelinek-Mercer interpolation with add-one smoothing over the corpus
+    vocabulary V, so unseen bigrams back off to the unigram term and
+    every position has finite mass. Documents with < 2 tokens have no
+    bigram positions and are absent (same contract as the unigram
+    scorer: length-filter first).
+
+    Data flow: bigrams are the zip-with-shifted-self projection
+    (pmi_bigrams — adjacency is in-row, no lag window); bigram counts
+    and context counts are word-count-profile groupBys (map-side
+    combinable, the context table derives from the ALREADY-aggregated
+    bigram table, not a second corpus pass); the per-position
+    probabilities come from three token-key joins; the per-document
+    mean folds over SORTED values (importance_weights — shuffle-order
+    float sums flip 6dp boundaries between engines). Swapping the
+    self-trained count tables for broadcast pretrained ones turns this
+    into the KenLM-style scorer unchanged.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation at all); formula per Jelinek-Mercer smoothing
+    (public LM literature).
+    """
+    ts = tokenize(normalize_text(text_col))
+    toked = df.select(F.col(id_col), ts.alias("__ts"))
+    uni = toked.select(F.col(id_col), F.explode("__ts").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("__cw"))
+    consts = uc.agg(
+        F.count("*").alias("__v"), F.sum("__cw").alias("__total")
+    )
+    big = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("__cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("__cb").alias("__cstart"))
+    uc2 = uc.select(F.col("w").alias("w2"), F.col("__cw").alias("__cw2"))
+    val = F.log10(
+        F.lit(lam)
+        * ((F.col("__cb") + 1.0) / (F.col("__cstart") + F.col("__v")))
+        + F.lit(1.0 - lam)
+        * ((F.col("__cw2") + 1.0) / (F.col("__total") + F.col("__v")))
+    )
+    vals = F.sort_array(F.collect_list(val))
+    mean = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / F.size(
+        vals
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uc2, "w2")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(F.round(mean, ndigits).alias(out_col))
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -298,6 +298,32 @@ def test_shortest_paths_bfs_distances(spark):
     assert dir0 == {1: 0, 2: 1, 3: 2, 4: 3}
 
 
+def test_bigram_logprob_prefers_repeated_adjacency(spark):
+    """A document whose ADJACENCIES recur in the corpus must outscore a
+    shuffle of the same words (which passes any unigram filter), and
+    sub-bigram documents are absent per the operator contract."""
+    from etl_orders_to_bq_spark.operators.lm import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, fluent),
+            (3, fluent),
+            (4, "mat the on sat cat the"),  # word salad, same unigrams
+            (5, "cat"),  # one token: no bigram positions
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bigram_logprob"]
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == got[3]
+    assert got[1] > got[4]
+
+
 def test_skipgram_pairs_window_edges(spark):
     """Window must clip at both sentence edges and exclude the center
     itself; counts verified against a hand expansion."""
