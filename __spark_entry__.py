@@ -5523,6 +5523,42 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(d, lam=0.7).orderBy("doc_id")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities (operators/graph.py) over the SPARSE nation
+    trade graph — each nation keeps only its top-3 trade partners by
+    order-line volume (rank ties broken on dst for determinism), so
+    real community structure survives instead of one dense clique. 4
+    fixed synchronous rounds, min-label tie-break; the oracle unrolls
+    the identical deliver-count-argmax rounds as CTEs."""
+    from etl_orders_to_bq_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("v").desc(), F.col("dst").asc()
+    )
+    top3 = vol.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 3
+    )
+    labels = label_propagation(top3, "src", "dst", rounds=4)
+    return labels.select(
+        F.col("id").alias("nationkey"), F.col("label").alias("community")
+    ).orderBy("nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5763,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "winsorize_robust": q_winsorize_robust,
         "bigram_logprob": q_bigram_logprob,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -9546,6 +9583,56 @@ def oracle_sql() -> dict[str, str]:
         from z
         group by 1
         order by 1
+    """
+    # LPA communities: same sparse top-3 trade graph, then the
+    # deliver-count-argmax round unrolled as CTE pairs (row_number with
+    # cnt desc, label asc == min_by(label, (-cnt, label)))
+    _lpa_round_ctes = "".join(
+        f""",
+        c{r} as (
+          select e.dst as id, l.label, count(*) as cnt
+          from sym e join l{r - 1} l on e.src = l.id
+          group by 1, 2
+        ),
+        l{r} as (
+          select id, label from (
+            select id, label,
+                   row_number() over (partition by id
+                                      order by cnt desc, label asc) as rn
+            from c{r}) t
+          where rn = 1
+        )"""
+        for r in range(1, 5)
+    )
+    out["label_propagation"] = f"""
+        with vol as (
+          select c.c_nationkey as src, s.s_nationkey as dst,
+                 count(*) as v
+          from lineitem l
+          join orders o on l.l_orderkey = o.o_orderkey
+          join customer c on o.o_custkey = c.c_custkey
+          join supplier s on l.l_suppkey = s.s_suppkey
+          where c.c_nationkey <> s.s_nationkey
+          group by 1, 2
+        ),
+        top3 as (
+          select src, dst from (
+            select src, dst,
+                   row_number() over (partition by src
+                                      order by v desc, dst asc) as rn
+            from vol) t
+          where rn <= 3
+        ),
+        sym as (
+          select src, dst from top3
+          union
+          select dst, src from top3
+        ),
+        l0 as (select distinct src as id, src as label from sym)
+        {_lpa_round_ctes}
+        select id as nationkey, label as community
+        from l4
+        order by nationkey
     """
     # interpolated-bigram LM scores: same add-one/Jelinek-Mercer
     # formula, same sorted fold; (1 - lam) is computed in Python on the

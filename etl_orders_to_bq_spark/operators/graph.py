@@ -422,6 +422,119 @@ def pagerank(
     return ranks
 
 
+def _lpa_local(pairs: list[tuple], rounds: int, spark) -> DataFrame:
+    """Exact synchronous LPA on a driver-small symmetrized edge list;
+    identical update rule to the distributed path (max neighbor-label
+    count, ties to the smallest label)."""
+    from collections import Counter, defaultdict
+
+    adj: dict = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+        labels = new
+    rows = sorted(labels.items())
+    first = rows[0][0] if rows else 0
+    typ = "string" if isinstance(first, str) else "long"
+    return spark.createDataFrame(rows, f"id {typ}, label {typ}")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    checkpoint_path: str | None = None,
+    local_threshold: int | None = SMALL_GRAPH_EDGES,
+    stage_every: int = 5,
+) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    et al. 2007) over an undirected graph — the cheap communities pass
+    between connected components (too coarse: one label per component)
+    and modularity methods (driver-hostile): returns (id, label) after
+    ``rounds`` fixed synchronous updates of
+
+        label(v) <- argmax over neighbor-label counts, ties -> min label
+
+    starting from label(v) = v. Fixed rounds, not convergence, is the
+    contract: synchronous LPA can 2-cycle on bipartite-ish structures,
+    and a fixed unroll is what a SQL oracle can replay exactly. The
+    min-label tie-break makes every round deterministic.
+
+    Scale notes (the connected_components discipline):
+
+    - the edge list is symmetrized (both directions, distinct, self
+      loops dropped) ONCE and staged; every node then appears as a
+      ``src``, so one round = one |2E| shuffle join delivering each
+      source's label to its neighbor + one (node, label) count groupBy
+      + one per-node argmax — all keyed on node, reusing the
+      partitioning;
+    - per-round lineage truncation every ``stage_every`` rounds (the
+      pagerank measurement: planning dominates contracted-graph
+      execution);
+    - contracted graphs at or under ``local_threshold`` staged edges
+      iterate driver-locally (see ``SMALL_GRAPH_EDGES``); pass
+      ``local_threshold=None`` or a ``checkpoint_path`` to pin the
+      distributed loop.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no joins
+    beyond one left-equi, no iteration).
+    """
+    sym = stage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct(),
+        checkpoint_path,
+        "lpa_edges",
+    )
+    if checkpoint_path is None and local_threshold is not None:
+        head = sym.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _lpa_local(
+                [(r["src"], r["dst"]) for r in head],
+                rounds,
+                edges.sparkSession,
+            )
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for rnd in range(rounds):
+        delivered = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        counts = delivered.groupBy("id", "label").agg(
+            F.count("*").alias("__cnt")
+        )
+        new_labels = counts.groupBy("id").agg(
+            F.min_by(
+                "label",
+                F.struct(
+                    (-F.col("__cnt")).alias("c"), F.col("label").alias("l")
+                ),
+            ).alias("label")
+        )
+        if (
+            checkpoint_path is not None
+            or (rnd + 1) % max(stage_every, 1) == 0
+            or rnd == rounds - 1
+        ):
+            new_labels = stage(
+                new_labels, checkpoint_path, f"lpa_labels_r{rnd}", eager=False
+            )
+        labels = new_labels
+    return labels
+
+
 def shortest_paths(
     edges: DataFrame,
     source: int,
