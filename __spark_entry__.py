@@ -5568,11 +5568,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds so history accumulates.
     """
     return {
-        # -- round-5 front: the 53 entries with no driver CORRECTNESS row
-        #    yet (all locally gated at sf0.01 via
-        #    scripts/check_correctness.py). The driver snapshots a
-        #    50-entry prefix, so the last 3 of this block roll to the
-        #    round-6 front. --
+        # -- round-6 front: the final 9 entries with no driver CORRECTNESS
+        #    row yet (3 rolled over from the r5 53-entry front + the 6
+        #    queries added in round 5 past the snapshot; all locally gated
+        #    at sf0.01 via scripts/check_correctness.py). --
+        "k_anonymity": q_k_anonymity,
+        "funnel_latency": q_funnel_latency,
+        "reconciliation": q_reconciliation,
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "quality_classifier": q_quality_classifier,
+        "zorder_layout": q_zorder_layout,
+        "winsorize_robust": q_winsorize_robust,
+        "bigram_logprob": q_bigram_logprob,
+        "label_propagation": q_label_propagation,
+        # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
         "dedup_embedding": q_dedup_embedding,
@@ -5623,9 +5632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": q_source_entropy,
         "powerlaw_alpha": q_powerlaw_alpha,
         "psi_drift": q_psi_drift,
-        "k_anonymity": q_k_anonymity,
-        "funnel_latency": q_funnel_latency,
-        "reconciliation": q_reconciliation,
         # -- driver-verified in round 4 --
         "grouping_sets": q_grouping_sets,
         "unpivot": q_unpivot,
@@ -5792,14 +5798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_funcs": q_fuzzy_funcs,
         "scd2_history": q_scd2_history,
         "date_funcs": q_date_funcs,
-        # -- new in round 5 (appended PAST the driver snapshot so the
-        #    front 53 keep their rotation slot; locally gated) --
-        "semdedup_kmeans": q_semdedup_kmeans,
-        "quality_classifier": q_quality_classifier,
-        "zorder_layout": q_zorder_layout,
-        "winsorize_robust": q_winsorize_robust,
-        "bigram_logprob": q_bigram_logprob,
-        "label_propagation": q_label_propagation,
     }
 
 

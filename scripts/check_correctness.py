@@ -50,9 +50,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -81,7 +83,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    print(f"\n{ran - len(failures)}/{ran} OK")
     return 1 if failures else 0
 
 
