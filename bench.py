@@ -260,6 +260,13 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 "ent_id", "name", "canonical_id"
             )
 
+        from etl_orders_to_bq_spark.operators.classifier import (
+            hashed_linear_score,
+            seeded_weights,
+        )
+        from etl_orders_to_bq_spark.operators.lm import bigram_logprob_scores
+
+        clf_w = seeded_weights(1024, seed=17)
         probes = {
             "minhash_lsh_128x16_numpy": lambda d: minhash_lsh_candidates(
                 d, text_col="text", id_col="doc_id",
@@ -269,6 +276,13 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             "simhash32_hamming3": lambda d: simhash_hamming_pairs(
                 d, text_col="text", id_col="doc_id", bits=32, max_dist=3
             ),
+            # the two linear text ops: no pair stage, so growth should
+            # track the data ratio (~O(copies)); classifier runs the
+            # gated md5 family (the honest fixed-config growth)
+            "quality_classifier_md5": lambda d: hashed_linear_score(
+                d, clf_w, bias=0.05, threshold=0.5
+            ),
+            "bigram_logprob": lambda d: bigram_logprob_scores(d),
         }
         # warm the Arrow worker pool once (numpy path) so the 10x run
         # does not charge daemon startup to the operator
@@ -455,6 +469,25 @@ def main() -> None:
             lambda f=fn: minhash_lsh_candidates(
                 docs, text_col="text", id_col="doc_id",
                 num_hashes=128, bands=16, hash_fn=f,
+            ),
+        )
+
+    # classifier hash-family stress: the md5+conv bucket chain vs the
+    # built-in xxhash64 production family (same two-family discipline
+    # as MinHash above — the family is part of the model contract, so
+    # the gated query stays md5; this pair quantifies what a
+    # production deployment buys by training under xxhash64)
+    from etl_orders_to_bq_spark.operators.classifier import (
+        hashed_linear_score,
+        seeded_weights,
+    )
+
+    clf_w = seeded_weights(1024, seed=17)
+    for fn in ("md5", "xxhash64"):
+        stress_timed(
+            f"classifier_1024_{fn}",
+            lambda f=fn: hashed_linear_score(
+                docs, clf_w, bias=0.05, threshold=0.5, hash_fn=f
             ),
         )
 

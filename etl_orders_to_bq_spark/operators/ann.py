@@ -232,13 +232,17 @@ def assign_ivf_clusters(
 
         @pandas_udf("int")
         def _assign(vs: pd.Series) -> pd.Series:
-            if len(vs) == 0:
-                return pd.Series([], dtype="int32")
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in vs]
-            )
-            scores = 2.0 * (X @ C.T) - c2
-            return pd.Series(scores.argmax(axis=1).astype("int32"))
+            # mask nulls (same semantics as the column path and
+            # _query_cosine's kernel: null embedding -> null cluster)
+            out = pd.Series([pd.NA] * len(vs), dtype="Int32", index=vs.index)
+            valid = vs.notna()
+            if valid.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+                )
+                scores = 2.0 * (X @ C.T) - c2
+                out[valid] = scores.argmax(axis=1).astype("int32")
+            return out
 
         return embeddings.withColumn(
             "ivf_cluster", _assign(F.col(vec_col).cast("array<double>"))

@@ -15,9 +15,11 @@ Plan shape
 One explode to token-level rows (scan-shaped), one broadcast join
 against the ``dim``-row weight table, one map-side-combinable
 groupBy(doc) sum — the shuffle carries (doc_id, partial dot) pairs,
-never text. No UDF anywhere; the hash is md5-derived so an external
-SQL engine replays it bit-for-bit (the same engine-portability
-argument as the MinHash md5 path, ``operators/dedup.py``).
+never text. No UDF anywhere; the default bucket hash is md5-derived so
+an external SQL engine replays it bit-for-bit, with a built-in
+``xxhash64`` production family for the hot path (the same two-family
+discipline as MinHash, ``operators/dedup.py`` — the family is part of
+the model contract and must match training).
 
 Reference: the reference engine has no classifier surface at all
 (SURVEY.md §2.2 — no scalar functions beyond clean_name); this is an
@@ -40,9 +42,23 @@ def hashed_features(
     id_col: str = "doc_id",
     dim: int = 1024,
     bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Token-level hashed-feature rows: (id, bucket) — one row per
-    unigram (and bigram), bucket = first 8 md5 hex chars mod ``dim``.
+    unigram (and bigram), bucket = hash(gram) mod ``dim``.
+
+    ``hash_fn`` picks the bucket hash family — PART OF THE MODEL
+    CONTRACT (trained weights are per-bucket; scoring with a different
+    family than training silently shuffles every feature, the same
+    non-interchangeability the MinHash families have,
+    ``operators/dedup.py``):
+
+    - "md5": first 8 md5 hex chars → int mod dim. Bit-replayable by
+      any SQL engine (the DuckDB oracle mirrors it) — the gate path.
+    - "xxhash64": Spark's built-in ``xxhash64`` mod dim. Pure JVM
+      codegen, no hex round-trip — the production path (measured:
+      the md5+conv chain is the dominant per-gram cost; see
+      bench.py stress `classifier_hash`).
 
     The '|u' / '|b' salts keep a unigram and a bigram of equal text
     from colliding by construction (they still may collide by hash,
@@ -50,18 +66,29 @@ def hashed_features(
     toks = tokenize(normalize_text(text_col))
     grams = F.transform(toks, lambda w: F.concat(w, F.lit("|u")))
     if bigrams:
+        # zip-with-shifted-self, NOT transform+element_at: element_at
+        # re-evaluates the tokenize chain per lookup in interpreted
+        # lambda context (measured: ~10x the whole stage's cost at
+        # sf0.1 — 4.5s vs 0.45s); the zip of two slices touches the
+        # array once. Same grams either way.
         n = F.size(toks)
-        bi = F.transform(
+        bi = F.zip_with(
             F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-            lambda w, i: F.concat(
-                w, F.lit(" "), F.element_at(toks, i + 2), F.lit("|b")
-            ),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b, F.lit("|b")),
         )
         grams = F.concat(grams, bi)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long"),
-        F.lit(dim),
-    )
+    if hash_fn == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("__g")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(dim),
+        )
+    elif hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("__g")), F.lit(dim))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return (
         df.select(F.col(id_col), F.explode(grams).alias("__g"))
         .select(id_col, bucket.alias("bucket"))
@@ -77,6 +104,7 @@ def hashed_linear_score(
     threshold: float | None = None,
     bigrams: bool = True,
     ndigits: int = 6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Score every document with a linear model over hashed n-gram
     counts: (id, score[, keep]) where
@@ -94,6 +122,12 @@ def hashed_linear_score(
     At 100 TB: the weight table is ``dim`` rows (a few KB — always
     broadcast); the groupBy(doc) partial-sums map-side; document text
     never shuffles.
+
+    ``hash_fn``: the bucket hash family — see :func:`hashed_features`.
+    It is part of the model contract (weights are per-bucket): score
+    with the SAME family the weights were trained under. "md5" is the
+    oracle-replayable gate path; "xxhash64" is the JVM-codegen
+    production path (~2-3x cheaper per gram).
     """
     dim = len(weights)
     spark = df.sparkSession
@@ -103,7 +137,7 @@ def hashed_linear_score(
             "bucket long, w double",
         )
     )
-    feats = hashed_features(df, text_col, id_col, dim, bigrams)
+    feats = hashed_features(df, text_col, id_col, dim, bigrams, hash_fn)
     dots = (
         feats.join(wtab, "bucket")
         .groupBy(id_col)

@@ -144,8 +144,14 @@ def pmi_bigrams(
     bi = toked.select(
         F.explode(
             F.zip_with(
-                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
-                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                # clamp at 0: a slice length of -1 (empty token array)
+                # raises INVALID_PARAMETER_VALUE.LENGTH
+                F.slice(
+                    F.col("__ts"), 1, F.greatest(F.size("__ts") - 1, F.lit(0))
+                ),
+                F.slice(
+                    F.col("__ts"), 2, F.greatest(F.size("__ts") - 1, F.lit(0))
+                ),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p")
@@ -405,9 +411,11 @@ def bigram_logprob_scores(
 
     Jelinek-Mercer interpolation with add-one smoothing over the corpus
     vocabulary V, so unseen bigrams back off to the unigram term and
-    every position has finite mass. Documents with < 2 tokens have no
-    bigram positions and are absent (same contract as the unigram
-    scorer: length-filter first).
+    every position has finite mass. Documents with < 2 tokens (including
+    empty / whitespace-only text) have no bigram positions and are
+    absent (same contract as the unigram scorer: length-filter first);
+    the slice length is clamped at 0 so such rows project an empty
+    bigram array instead of raising INVALID_PARAMETER_VALUE.LENGTH.
 
     Data flow: bigrams are the zip-with-shifted-self projection
     (pmi_bigrams — adjacency is in-row, no lag window); bigram counts
@@ -435,8 +443,14 @@ def bigram_logprob_scores(
         F.col(id_col),
         F.explode(
             F.zip_with(
-                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
-                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                # clamp at 0: a slice length of -1 (empty token array)
+                # raises INVALID_PARAMETER_VALUE.LENGTH
+                F.slice(
+                    F.col("__ts"), 1, F.greatest(F.size("__ts") - 1, F.lit(0))
+                ),
+                F.slice(
+                    F.col("__ts"), 2, F.greatest(F.size("__ts") - 1, F.lit(0))
+                ),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),

@@ -43,6 +43,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import dot, l2_norm
 from .ann import assign_ivf_clusters, with_lsh_bucket
@@ -254,8 +255,18 @@ def semdedup_keep(
             out = pdf.loc[~dropped, [id_col, "cluster"]]
             return out
 
+        # derive the id field's type from the input so string/int ids
+        # survive the grouped path exactly like the join paths do
+        out_schema = T.StructType(
+            [
+                T.StructField(
+                    id_col, assigned.schema[id_col].dataType, True
+                ),
+                T.StructField("cluster", T.IntegerType(), True),
+            ]
+        )
         return assigned.groupBy("cluster").applyInPandas(
-            _keep, schema=f"{id_col} long, cluster int"
+            _keep, schema=out_schema
         )
 
     assigned = stage(assigned, checkpoint_path, "semdedup_assigned")

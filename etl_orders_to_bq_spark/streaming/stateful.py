@@ -86,7 +86,10 @@ def running_user_totals_tws(
     — the successor API (typed value state, per-key timers, state
     schema evolution). Same semantics and output schema as the
     ``applyInPandasWithState`` twin above, kept as the forward-looking
-    backend.
+    backend. ``timeout_minutes`` maps onto per-key processing-time
+    timers (``timeMode="ProcessingTime"``): each batch re-arms the
+    key's timer, and ``handleExpiredTimer`` clears state for keys idle
+    past the bound — mirroring the twin's ``hasTimedOut`` eviction.
 
     The Python runner for transformWithState talks to the JVM state
     server over a protobuf protocol, so it needs the ``protobuf``
@@ -108,6 +111,7 @@ def running_user_totals_tws(
 
     class _Totals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._state = handle.getValueState("totals", STATE_SCHEMA)
             self._timeout_ms = (
                 timeout_minutes * 60 * 1000 if timeout_minutes else None
@@ -121,6 +125,17 @@ def running_user_totals_tws(
                 n += len(pdf)
                 total += float(pdf["value"].sum())
             self._state.update((n, total))
+            if self._timeout_ms is not None:
+                # slide the idle-eviction timer: drop any previously
+                # registered expiry for this key, then re-arm relative
+                # to the current processing time — the per-key-timer
+                # equivalent of GroupState.setTimeoutDuration.
+                for old in self._handle.listTimers():
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs()
+                    + self._timeout_ms
+                )
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -129,6 +144,12 @@ def running_user_totals_tws(
                 }
             )
 
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # idle key evicted: drop state, emit nothing (same contract
+            # as the applyInPandasWithState twin's hasTimedOut branch)
+            self._state.clear()
+            return iter(())
+
         def close(self) -> None:
             pass
 
@@ -136,5 +157,5 @@ def running_user_totals_tws(
         _Totals(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if timeout_minutes is not None else "None",
     )

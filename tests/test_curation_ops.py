@@ -689,3 +689,70 @@ def test_semdedup_pair_kernels_identical(spark):
     kept = {vid for vid, _ in results["grouped"]}
     assert 1 not in kept and 2 not in kept
     assert {0, 3, 4, 5} <= kept
+
+
+def test_semdedup_grouped_preserves_string_ids(spark):
+    """The grouped kernel's applyInPandas output schema is derived from
+    the input id column's type — string ids must survive the default
+    path exactly as they do on the join paths (regression: the schema
+    was hardcoded to ``long``)."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [1.0, 0.0]),          # dup of a -> dropped
+        ("c", [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    results = {}
+    for m in ("grouped", "column"):
+        out = semdedup_keep(
+            vecs, centroids, id_col="doc", threshold=0.9, pair_method=m
+        )
+        assert out.schema["doc"].dataType.simpleString() == "string"
+        results[m] = sorted(tuple(r) for r in out.collect())
+    assert results["grouped"] == results["column"]
+    assert {d for d, _ in results["grouped"]} == {"a", "c"}
+
+
+def test_bigram_logprob_empty_docs_absent_not_crash(spark):
+    """Empty / whitespace-only / single-token documents have no bigram
+    positions: they must be ABSENT from the output, not crash the job
+    via a negative F.slice length (regression: SparkRuntimeException
+    INVALID_PARAMETER_VALUE.LENGTH on any zero-token row)."""
+    from etl_orders_to_bq_spark.operators.lm import (
+        bigram_logprob_scores,
+        pmi_bigrams,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown fox"),
+            (2, ""),
+            (3, "   \t  "),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"] for r in bigram_logprob_scores(df).collect()}
+    assert scored == {1}
+    # pmi_bigrams shares the zip-with-shifted projection: same guard
+    assert pmi_bigrams(df.filter("doc_id in (2, 3, 4)")).count() == 0
+
+
+def test_assign_ivf_clusters_null_embedding_both_methods(spark):
+    """A null embedding row must map to a NULL cluster on BOTH kernels
+    (regression: the numpy path's np.stack raised on None while the
+    column path propagated null — divergent failure modes)."""
+    from etl_orders_to_bq_spark.operators.ann import assign_ivf_clusters
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    for m in ("numpy", "column"):
+        got = {
+            r["vec_id"]: r["ivf_cluster"]
+            for r in assign_ivf_clusters(df, centroids, method=m).collect()
+        }
+        assert got == {0: 0, 1: None, 2: 1}, m

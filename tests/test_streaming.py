@@ -430,6 +430,9 @@ def test_transform_with_state_backend_gate(spark, events_dir):
     if not has_protobuf:
         with pytest.raises(RuntimeError, match="protobuf"):
             running_user_totals_tws(events)
+        # the timer-backed eviction path gates identically
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_totals_tws(events, timeout_minutes=5)
         return
 
     name = "tws_totals"

@@ -161,3 +161,54 @@ def test_hashed_linear_classifier_matches_reference(spark):
     assert got[2] == got[1]
     # empty doc takes the bias-only path
     assert got[3][0] == round(1.0 / (1.0 + math.exp(-bias)), 6)
+
+
+def test_hashed_linear_classifier_xxhash64_path(spark):
+    """The xxhash64 production hash family must produce valid scores
+    with the same structural contract as md5 — every doc scored once,
+    scores in (0, 1), empty docs on the bias-only path, and identical
+    normalization behavior — while distributing grams across buckets
+    (family differs from md5 by design; weights are per-family)."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.classifier import (
+        hashed_features,
+        hashed_linear_score,
+        seeded_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "THE   Quick brown  fox jumps over the lazy dog"),
+            (3, ""),
+            (4, "zebra quagga okapi"),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    w = seeded_weights(128, seed=17)
+    bias = 0.05
+    got = {
+        r["doc_id"]: r["score"]
+        for r in hashed_linear_score(
+            docs, w, bias=bias, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert all(0.0 < s < 1.0 for s in got.values())
+    assert got[2] == got[1]  # normalization holds on this family too
+    assert got[3] == round(1.0 / (1.0 + math.exp(-bias)), 6)
+    # buckets land in range and the family actually differs from md5
+    feats = {
+        fn: sorted(
+            (r["doc_id"], r["bucket"])
+            for r in hashed_features(docs, dim=128, hash_fn=fn).collect()
+        )
+        for fn in ("md5", "xxhash64")
+    }
+    assert all(0 <= b < 128 for _, b in feats["xxhash64"])
+    assert feats["md5"] != feats["xxhash64"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        hashed_features(docs, hash_fn="sha9000")
