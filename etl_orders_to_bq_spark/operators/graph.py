@@ -422,7 +422,9 @@ def pagerank(
     return ranks
 
 
-def _lpa_local(pairs: list[tuple], rounds: int, spark) -> DataFrame:
+def _lpa_local(
+    pairs: list[tuple], rounds: int, spark, until_converged: bool = False
+) -> DataFrame:
     """Exact synchronous LPA on a driver-small symmetrized edge list;
     identical update rule to the distributed path (max neighbor-label
     count, ties to the smallest label)."""
@@ -438,6 +440,8 @@ def _lpa_local(pairs: list[tuple], rounds: int, spark) -> DataFrame:
             cnt = Counter(labels[u] for u in nbrs)
             top = max(cnt.values())
             new[v] = min(l for l, c in cnt.items() if c == top)
+        if until_converged and new == labels:
+            break
         labels = new
     rows = sorted(labels.items())
     first = rows[0][0] if rows else 0
@@ -453,6 +457,7 @@ def label_propagation(
     checkpoint_path: str | None = None,
     local_threshold: int | None = SMALL_GRAPH_EDGES,
     stage_every: int = 5,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Community detection via synchronous label propagation (Raghavan
     et al. 2007) over an undirected graph — the cheap communities pass
@@ -463,9 +468,15 @@ def label_propagation(
         label(v) <- argmax over neighbor-label counts, ties -> min label
 
     starting from label(v) = v. Fixed rounds, not convergence, is the
-    contract: synchronous LPA can 2-cycle on bipartite-ish structures,
-    and a fixed unroll is what a SQL oracle can replay exactly. The
-    min-label tie-break makes every round deterministic.
+    default contract: synchronous LPA can 2-cycle on bipartite-ish
+    structures, and a fixed unroll is what a SQL oracle can replay
+    exactly. The min-label tie-break makes every round deterministic.
+    ``until_converged=True`` adds the pagerank/CC-style early exit
+    within the ``rounds`` budget: stop as soon as NO label changed (a
+    cheap count on the already-materialized round frame) — converged
+    rounds are idempotent, so the result equals the fixed-round one
+    whenever the fixed unroll would also have converged; ``rounds``
+    still bounds the 2-cycle case.
 
     Scale notes (the connected_components discipline):
 
@@ -504,6 +515,7 @@ def label_propagation(
                 [(r["src"], r["dst"]) for r in head],
                 rounds,
                 edges.sparkSession,
+                until_converged,
             )
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -524,13 +536,26 @@ def label_propagation(
             ).alias("label")
         )
         if (
-            checkpoint_path is not None
+            until_converged
+            or checkpoint_path is not None
             or (rnd + 1) % max(stage_every, 1) == 0
             or rnd == rounds - 1
         ):
             new_labels = stage(
                 new_labels, checkpoint_path, f"lpa_labels_r{rnd}", eager=False
             )
+        if until_converged and rnd < rounds - 1:
+            # existence probe on the two materialized round frames: any
+            # node whose label moved? (limit(1) — never a full count)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
     return labels
 
@@ -725,3 +750,87 @@ def kcore(
         "(chain-like graphs can need ~|V|/2 rounds; raise max_rounds "
         "or pass on_exhaustion='return' for the partial subgraph)"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    include_existing: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for every 2-hop node pair:
+
+        AA(u, v) = sum over common neighbors z of 1 / ln(deg(z))
+
+    (Adamic & Adar 2003, public literature) — the standard cheap
+    link-prediction / entity-affinity baseline: rare shared neighbors
+    are strong evidence, ubiquitous ones weak. Returns
+    ``(node_a, node_b, common_neighbors, aa_score)`` with
+    ``node_a < node_b``; pairs already directly connected are excluded
+    unless ``include_existing=True`` (prediction means NEW links).
+
+    Plan shape: symmetrize+distinct once (the LPA/CC discipline), one
+    degree groupBy joined back onto the edge list (deg travels WITH the
+    edge row, so the wedge join adds no third shuffle), one self-join
+    on the middle node z emitting wedges (u, v, 1/ln(deg z)), one
+    (u, v) groupBy. The per-pair sum folds over SORTED weights — the
+    cross-engine float discipline (``operators/lm.py``).
+
+    Skew: a middle node of degree d emits d^2/2 wedges — the
+    triangle-count hot-spot. ``max_degree`` drops hub middles ABOVE the
+    cap from wedge generation (their contribution is the smallest,
+    1/ln(deg) — the standard truncation); like every guard in this
+    repo it is an explicit, mirrored-in-the-oracle knob, not a silent
+    cap. Degree-1 middles emit nothing and are filtered before the
+    self-join.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no joins
+    beyond one left-equi).
+    """
+    sym = stage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct(),
+        None,
+        "aa_edges",
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("__deg"))
+    mid = sym.join(deg, "a").filter(F.col("__deg") >= 2)
+    if max_degree is not None:
+        mid = mid.filter(F.col("__deg") <= max_degree)
+    left = mid.select(
+        F.col("a").alias("__z"),
+        F.col("b").alias("node_a"),
+        F.col("__deg").alias("__dz"),
+    )
+    right = mid.select(
+        F.col("a").alias("__z"), F.col("b").alias("node_b")
+    )
+    wedges = (
+        left.join(right, "__z")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .select(
+            "node_a",
+            "node_b",
+            (F.lit(1.0) / F.log(F.col("__dz").cast("double"))).alias("__w"),
+        )
+    )
+    ws = F.sort_array(F.collect_list("__w"))
+    aa = wedges.groupBy("node_a", "node_b").agg(
+        F.count("*").alias("common_neighbors"),
+        F.round(
+            F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x), ndigits
+        ).alias("aa_score"),
+    )
+    if include_existing:
+        return aa
+    existing = sym.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b")
+    )
+    return aa.join(existing, ["node_a", "node_b"], "left_anti")

@@ -1,0 +1,71 @@
+"""Per-key time-series smoothing operators.
+
+``ewma_last`` computes the exponentially-weighted moving average of an
+ordered value sequence per key — the standard smoothing step before
+drift/alerting rules (the CUSUM and PSI operators consume level
+estimates like this one).
+
+The recurrence y_i = alpha*x_i + (1-alpha)*y_{i-1} is inherently
+sequential, which makes it a poor fit for a window function (the
+closed-form pow() weights overflow/underflow on long sequences and
+reintroduce shuffle-order float drift). It IS a perfect fit for the
+sorted-fold discipline this repo already uses for cross-engine float
+stability (``operators/lm.py``): collect the per-key series, sort by
+(ts, value), and fold left — every engine that folds in the same order
+produces bit-identical IEEE results, so the DuckDB oracle replays it
+with ``list_reduce`` exactly.
+
+Scale notes: one groupBy(key) shuffle carrying (ts, value) pairs —
+state per key is its own series, so this is for entity-level series
+(users, devices, SKUs: thousands of points), not one global
+billion-point series. The fold is an interpreted array HOF (never
+codegen — measured, see ``functions/vectors.py``), linear per key and
+negligible next to the shuffle.
+
+No counterpart in the reference engine (SURVEY.md §2.2 — no
+aggregation at all); EWMA per Hunter (1986), public literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Final EWMA level per key: ``(key, n_points, ewma)``.
+
+    y_1 = x_1; y_i = alpha*x_i + (1-alpha)*y_{i-1}, folded over the
+    series sorted by (ts, value) — the value tie-break makes rows with
+    equal timestamps deterministic. Keys with a single point return
+    that point. Null values are dropped before the fold (an EWMA over
+    missing observations is undefined; filter or impute upstream if
+    gaps must count).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    pts = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
+    )
+    vals = F.transform(pts, lambda s: s[val_col].cast("double"))
+    y = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(y, ndigits).alias(out_col),
+        )
+    )

@@ -756,3 +756,34 @@ def test_assign_ivf_clusters_null_embedding_both_methods(spark):
             for r in assign_ivf_clusters(df, centroids, method=m).collect()
         }
         assert got == {0: 0, 1: None, 2: 1}, m
+
+
+def test_label_propagation_early_exit_two_communities(spark):
+    """until_converged=True must stop as soon as no label changes and
+    return the same communities the fixed-round unroll finds — on a
+    pair of triangles joined by one bridge edge, LPA converges in a
+    couple of rounds, so a generous rounds budget with early exit and
+    the fixed 4-round contract agree. Both the driver-local fast path
+    and the pinned distributed loop are exercised."""
+    from etl_orders_to_bq_spark.operators.graph import label_propagation
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    for thresh in (None, 64_000):  # distributed loop / local fast path
+        fixed = {
+            r["id"]: r["label"]
+            for r in label_propagation(
+                edges, rounds=4, local_threshold=thresh
+            ).collect()
+        }
+        conv = {
+            r["id"]: r["label"]
+            for r in label_propagation(
+                edges, rounds=50, local_threshold=thresh,
+                until_converged=True,
+            ).collect()
+        }
+        assert conv == fixed, thresh
+        # two communities: each triangle collapses to its min label
+        assert conv[0] == conv[1] == conv[2] == 0
+        assert conv[11] == conv[12]

@@ -35,3 +35,25 @@ def test_driver_verified_names_remain_registered():
     for path in records:
         verified = set(json.load(open(path)))
         assert verified <= qs, f"{os.path.basename(path)}: {verified - qs}"
+
+
+def test_plans_md_covers_every_query():
+    """PLANS.md (the plan-audit artifact the perf claims cite) must
+    carry exactly one row per registry entry — a query added without
+    regenerating the audit would otherwise silently escape the
+    row-at-a-time-Python and shuffle-count inventory."""
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    path = os.path.join(here, "PLANS.md")
+    assert os.path.exists(path), "PLANS.md missing — run scripts/plan_audit.py"
+    names = set()
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("| ") and not line.startswith("| query"):
+                cell = line.split("|")[1].strip().strip("`")
+                if cell and not set(cell) <= {"-", " "}:
+                    names.add(cell)
+    qs = set(entry.queries())
+    assert names == qs, (
+        f"PLANS.md drift — missing rows: {sorted(qs - names)}; "
+        f"stale rows: {sorted(names - qs)} (run scripts/plan_audit.py)"
+    )
