@@ -5563,6 +5563,94 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nationkey")
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py) over a
+    customer-order bipartite contraction of ``orders`` (custkey mod
+    150 x orderkey mod 97 — sparse at every fixture SF, so degrees
+    vary and scores discriminate). 2-hop pairs scored by
+    sum 1/ln(deg(z)) over common neighbors, sorted-fold summed;
+    existing edges excluded (prediction = NEW links). The oracle
+    replays the symmetrize/degree/wedge joins and folds the same
+    ascending weight list with list_reduce."""
+    from etl_orders_to_bq_spark.operators.graph import adamic_adar
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("src"),
+        (F.lit(1000) + F.col("o_orderkey") % 97).alias("dst"),
+    )
+    return adamic_adar(o).orderBy("node_a", "node_b")
+
+
+def q_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA level (operators/timeseries.py): the value series
+    sorted by (ts, value) folded through y <- 0.3x + 0.7y — the
+    smoothing pass feeding drift detectors. The fold is the repo's
+    sorted-fold float discipline, so the oracle replays it exactly
+    with DuckDB's list_reduce over the identically-ordered list."""
+    from etl_orders_to_bq_spark.operators.timeseries import ewma_last
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ewma_last(
+        e, "user_id", "ts", "value", alpha=0.3
+    ).orderBy("user_id")
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (operators/quality.py):
+    event values mapped from their per-event_type rank onto the global
+    101-point exact-percentile grid — the calibration step for
+    per-source score drift. Grid built in ONE percentile-array agg
+    (broadcast back), ranks in one source-partitioned window; the grid
+    index is floor((r-1)*100/(n-1) + 0.5) with multiply-before-divide
+    so both engines land the identical integer."""
+    from etl_orders_to_bq_spark.operators.quality import quantile_normalize
+
+    e = _t(spark, sf_dir, "events")
+    return quantile_normalize(
+        e, "value", "event_type", "event_id", grid=101
+    ).orderBy("event_id")
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-25 (operators/ann.py): 64-dim
+    embeddings compressed to 8 codes over seeded 16-codeword books
+    (the lloyd-centroid literal discipline — production fits books
+    with per-subspace k-means), query LUT built driver-side, distance
+    = s-ordered fold of LUT lookups. The oracle re-derives codebooks
+    from the same literals, replays the argmin encode (left-assoc
+    per-dim accumulation on both engines) and the prepend-0 fold."""
+    from etl_orders_to_bq_spark.operators.ann import ann_topk_pq, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    books = pq_codebooks(dim=64, subspaces=8, codewords=16, seed=23)
+    return ann_topk_pq(emb, books, list(target["embedding"]), k=25)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: binary payloads -> 64-bit perceptual hash
+    (multimodal/binary.py, stub codec pinned: md5-top-64 — the
+    deterministic fake the oracle mirrors; Pillow swaps in the real
+    locality-sensitive average-hash) -> pigeonhole Hamming pairs
+    (operators/dedup.py hamming_pairs, the simhash machinery
+    generalized to any fingerprint). Planted byte-identical payloads
+    are the guaranteed distance-0 positives. The oracle computes the
+    same signed md5-top-64 and verifies ALL pairs by bit_count(xor)
+    (exact at oracle scale; the pigeonhole join finds the identical
+    <= max_dist set by construction)."""
+    from etl_orders_to_bq_spark.multimodal import perceptual_hash
+    from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("content")
+    )
+    ph = perceptual_hash(media, codec="stub")
+    return hamming_pairs(
+        ph, "phash", "id", bits=64, max_dist=3
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5585,6 +5673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_robust": q_winsorize_robust,
         "bigram_logprob": q_bigram_logprob,
         "label_propagation": q_label_propagation,
+        # -- new in round 6 (never driver-verified; within the 50-entry
+        #    snapshot so they get driver rows this round) --
+        "adamic_adar": q_adamic_adar,
+        "ewma_level": q_ewma_level,
+        "quantile_normalize": q_quantile_normalize,
+        "ann_pq_topk": q_ann_pq_topk,
+        "phash_neardup": q_phash_neardup,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -5875,6 +5970,67 @@ def _ivf_assign_sql(
         )
     arr = "list_value(" + ", ".join(scores) + ")"
     return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
+def _pq_topk_sql() -> str:
+    """Oracle for q_ann_pq_topk: codebooks re-derived from the same
+    seeded LCG literals; encode distances accumulate per-dim in the
+    SAME left-associative order as the numpy kernel; the per-vector
+    ADC distance folds LUT entries in subspace order from a prepended
+    0.0 — exactly the Spark expression ``lit(0.0) + l1 + ... + l8``."""
+    from etl_orders_to_bq_spark.operators.ann import pq_codebooks
+
+    books = pq_codebooks(dim=64, subspaces=8, codewords=16, seed=23)
+    sub = len(books[0][0])
+    rows = []
+    for s, book in enumerate(books):
+        for c, w in enumerate(book):
+            vals = ", ".join(repr(float(x)) for x in w)
+            rows.append(f"({s}, {c}, [{vals}]::double[])")
+    cw_values = ",\n          ".join(rows)
+
+    def dist(vec: str) -> str:
+        terms = []
+        for j in range(sub):
+            e = f"{vec}[cw.s * {sub} + {j + 1}]::double"
+            terms.append(f"(({e} - cw.v[{j + 1}]) * ({e} - cw.v[{j + 1}]))")
+        return "\n                 + ".join(terms)
+
+    return f"""
+        with cw(s, c, v) as (values
+          {cw_values}
+        ),
+        e as (
+          select vec_id, embedding from embeddings
+          where embedding is not null
+        ),
+        q as (select embedding as qv from embeddings where vec_id = 0),
+        lut as (
+          select cw.s, cw.c,
+                 {dist('q.qv')} as ld
+          from cw, q
+        ),
+        encd as (
+          select vec_id, s, c from (
+            select e.vec_id, cw.s, cw.c,
+                   {dist('e.embedding')} as d
+            from e, cw
+          ) t
+          qualify row_number() over (partition by vec_id, s
+                                     order by d, c) = 1
+        ),
+        dist as (
+          select vec_id,
+                 round(list_reduce(
+                   list_prepend(0.0::double, list(ld order by s)),
+                   (acc, x) -> acc + x), 6) as pq_dist
+          from encd join lut using (s, c)
+          group by vec_id
+        )
+        select vec_id, pq_dist from dist
+        order by pq_dist, vec_id
+        limit 25
+    """
 
 
 def _ivf_search_fixed_sql() -> str:
@@ -9696,6 +9852,121 @@ def oracle_sql() -> dict[str, str]:
         from orders
         join stats using (o_orderpriority)
         order by o_orderkey
+    """
+    # Adamic-Adar: replay symmetrize/degree/wedge joins; the per-pair
+    # sum folds the ASCENDING weight list from 0.0 exactly like the
+    # Spark sort_array+aggregate
+    out["adamic_adar"] = """
+        with e0 as (
+          select o_custkey % 150 as src, 1000 + o_orderkey % 97 as dst
+          from orders
+        ),
+        sym as (
+          select src as a, dst as b from e0 where src <> dst
+          union
+          select dst as a, src as b from e0 where src <> dst
+        ),
+        deg as (select a, count(*) as d from sym group by a),
+        mid as (
+          select s.a as z, s.b as nb, deg.d
+          from sym s join deg using (a) where deg.d >= 2
+        ),
+        wed as (
+          select l.nb as node_a, r.nb as node_b,
+                 1.0 / ln(l.d::double) as w
+          from mid l join mid r on l.z = r.z
+          where l.nb < r.nb
+        ),
+        aa as (
+          select node_a, node_b, count(*) as common_neighbors,
+                 round(list_reduce(
+                   list_prepend(0.0::double, list(w order by w)),
+                   (acc, x) -> acc + x), 6) as aa_score
+          from wed group by node_a, node_b
+        )
+        select node_a, node_b, common_neighbors, aa_score from aa
+        where not exists (
+          select 1 from sym
+          where sym.a = aa.node_a and sym.b = aa.node_b
+        )
+        order by node_a, node_b
+    """
+    # EWMA: list_reduce is the identical left fold (seed = first
+    # element, acc-first lambda) over the identically-ordered series
+    out["ewma_level"] = """
+        with f as (
+          select user_id, ts, value from events
+          where value is not null and ts is not null
+        ),
+        p as (
+          select user_id, count(*) as n_points,
+                 list(value::double order by ts, value) as vs
+          from f group by user_id
+        )
+        select user_id, n_points,
+               round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                 as ewma
+        from p order by user_id
+    """
+    # quantile normalization: quantile_cont == Spark exact percentile
+    # (type-7, the winsorize_robust precedent); the grid index is the
+    # multiply-before-divide floor on both engines
+    out["quantile_normalize"] = """
+        with f as (
+          select event_id, event_type, value from events
+          where value is not null and event_id is not null
+        ),
+        garr as (
+          select quantile_cont(value,
+            list_transform(range(0, 101), k -> k / 100.0)) as qs
+          from f
+        ),
+        g as (
+          select k, round(qs[k + 1], 6) as gval
+          from garr, (select unnest(range(0, 101)) as k) ks
+        ),
+        r as (
+          select event_id, event_type, value,
+                 row_number() over (partition by event_type
+                                    order by value, event_id) as rr,
+                 count(*) over (partition by event_type) as n
+          from f
+        ),
+        m as (
+          select event_id, event_type, value,
+                 case when n = 1 then 50
+                      else cast(floor(((rr - 1) * 100.0) / (n - 1) + 0.5)
+                                as int) end as k
+          from r
+        )
+        select event_id, event_type, value, gval as normalized
+        from m join g using (k)
+        order by event_id
+    """
+    out["ann_pq_topk"] = _pq_topk_sql()
+    # perceptual-hash near-dups: same signed md5-top-64 stub hash; the
+    # oracle verifies ALL pairs by bit_count(xor) — exact, and equal to
+    # the pigeonhole join's result for distance <= max_dist
+    out["phash_neardup"] = """
+        with docs2 as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 100000, text from documents where doc_id < 10
+        ),
+        ph as (
+          select doc_id as id,
+                 (('0x' || substr(md5(text), 1, 16))::ubigint::hugeint
+                  - case when ('0x' || substr(md5(text), 1, 16))::ubigint
+                              >= 9223372036854775808::ubigint
+                         then 18446744073709551616::hugeint
+                         else 0::hugeint end)::bigint as phash
+          from docs2
+        )
+        select a.id as id_a, b.id as id_b,
+               cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+        from ph a join ph b on a.id < b.id
+        where bit_count(xor(a.phash, b.phash)) <= 3
+        order by id_a, id_b
     """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle

@@ -73,6 +73,12 @@ HEADLINE = [
     "skipgram_pairs",
     "attribution",
     "interval_merge",
+    # round-6: PQ compression+ADC search, wedge-join link prediction,
+    # grid-mapped quantile normalization, image-fingerprint dedup
+    "ann_pq_topk",
+    "adamic_adar",
+    "quantile_normalize",
+    "phash_neardup",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -87,6 +93,10 @@ ITERATIVE = {
     "semdedup",
     # Lloyd rounds collect centroids during construction
     "semdedup_kmeans",
+    # the symmetrized edge list is staged (localCheckpoint) and the PQ
+    # query vector collected at construction
+    "adamic_adar",
+    "ann_pq_topk",
 }
 
 

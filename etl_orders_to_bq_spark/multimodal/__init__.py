@@ -2,6 +2,7 @@ from .binary import (
     decode_image_batch,
     extract_image_features,
     frame_sample_video,
+    perceptual_hash,
     resize_image_batch,
     with_media_metadata,
 )
@@ -11,5 +12,6 @@ __all__ = [
     "decode_image_batch",
     "extract_image_features",
     "frame_sample_video",
+    "perceptual_hash",
     "resize_image_batch",
 ]

@@ -264,3 +264,82 @@ def resize_image_batch(
             )
 
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+PHASH_SCHEMA = "id long, phash long"
+
+
+def _ahash_pil(payload: bytes, bits: int) -> int | None:
+    """Real average-hash via Pillow: grayscale, resize to a sqrt(bits)
+    square, threshold each pixel against the mean — the classic
+    locality-sensitive image fingerprint (aHash; same join contract as
+    pHash's DCT variant)."""
+    import io
+    import math as _math
+
+    side = int(_math.isqrt(bits))
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize(
+            (side, side)
+        )
+        px = list(img.getdata())
+        mean = sum(px) / len(px)
+        out = 0
+        for i, p in enumerate(px):
+            if p > mean:
+                out |= 1 << i
+        # to signed 64-bit (Spark LongType)
+        return out - (1 << 64) if out >= 1 << 63 else out
+    except Exception:
+        return None
+
+
+def perceptual_hash(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+    bits: int = 64,
+    codec: str = "auto",
+) -> DataFrame:
+    """Image fingerprint stage: binary -> ``bits``-bit perceptual hash
+    as a signed long, the input to :func:`operators.dedup.hamming_pairs`
+    (near-duplicate images = pairs within a small Hamming distance —
+    the image-dedup shape of a multimodal pretraining pipeline).
+
+    ``codec`` follows the decode dispatch contract (``_decode_bytes``):
+    with Pillow present (``"auto"``/``"pil"``) the hash is a REAL
+    average-hash over decoded pixels — locality-sensitive, near-dup
+    images land within distance ~10. The ``"stub"`` fallback takes the
+    md5 digest's first 8 bytes (big-endian signed) — deterministic and
+    SQL-replayable but locality-FREE: only byte-identical payloads
+    collide (distance 0), which still exercises the full fingerprint ->
+    pigeonhole-join -> verify pipeline the oracle gates. Null or
+    undecodable payloads yield a null hash (one bad blob never fails
+    the stage).
+
+    Shrink-before-shuffle: 8 bytes per row leave this mapInPandas
+    stage; payloads never enter the pair join.
+    """
+    if bits != 64:
+        raise ValueError("perceptual_hash emits a signed long: bits must be 64")
+    if codec not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown codec: {codec}")
+    if codec == "pil" and _PILImage is None:
+        raise RuntimeError("codec='pil' requested but Pillow is not installed")
+    use_pil = codec == "pil" or (codec == "auto" and _PILImage is not None)
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes) -> int | None:
+            if payload is None:
+                return None
+            if use_pil:
+                return _ahash_pil(payload, bits)
+            h = hashlib.md5(payload).digest()
+            return int.from_bytes(h[:8], "big", signed=True)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "phash": pdf[binary_col].map(one)}
+            )
+
+    return df.mapInPandas(hasher, schema=PHASH_SCHEMA)

@@ -451,3 +451,143 @@ def lloyd_kmeans(
         }
         cents = [new.get(j, cents[j]) for j in range(len(cents))]
     return cents, assign_ivf_clusters(embeddings, cents, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int, subspaces: int = 8, codewords: int = 16, seed: int = 23
+) -> list[list[list[float]]]:
+    """Deterministic seeded PQ codebooks: ``subspaces`` books of
+    ``codewords`` centers over ``dim/subspaces``-dim slices, from the
+    repo's LCG family (``_hyperplanes``) so any engine — including the
+    SQL oracle — regenerates them bit-for-bit. Production replaces
+    this with per-subspace k-means (``lloyd_kmeans`` on sliced
+    columns); the interface is the codebook list either way, and
+    everything downstream is fit-agnostic."""
+    if dim % subspaces:
+        raise ValueError(f"dim {dim} not divisible by subspaces {subspaces}")
+    sub = dim // subspaces
+    out = []
+    state = seed
+    for _ in range(subspaces):
+        book = []
+        for _ in range(codewords):
+            row = []
+            for _ in range(sub):
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (2**63)
+                row.append((state / float(2**63)) * 2.0 - 1.0)
+            book.append(row)
+        out.append(book)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col`` = the vector's PQ code (one codeword index
+    per subspace, argmin squared L2, first-min tie-break) — the
+    compression step of IVF-PQ (Jégou et al. 2011, public
+    literature): a 64-dim float vector becomes ``subspaces`` small
+    ints (here 8 bytes), a ~32x shrink, which is what makes
+    billion-vector search state fit in memory at 100 TB.
+
+    One Arrow-batched numpy kernel (subspace distances are a
+    (batch, codewords, sub_dim) broadcast — the assign_ivf_clusters
+    "numpy" rationale: a codewords*dim Column expression goes
+    interpreted); null embeddings get a null code. Projection only —
+    no shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    S = len(codebooks)
+    C = np.asarray(codebooks, dtype=np.float64)  # (S, cw, sub)
+    sub = C.shape[2]
+
+    @pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(vs), dtype="object", index=vs.index)
+        valid = vs.notna()
+        if valid.any():
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            ).reshape(-1, S, sub)
+            # (n, S, cw): ||x_s - c||^2 accumulated dim-by-dim in
+            # LEFT-ASSOCIATIVE order — ((t1+t2)+t3)... — the exact
+            # fold a SQL expression `t1 + t2 + ...` performs, so the
+            # oracle's distances are bit-identical (np.sum's pairwise
+            # scheme combines in a different order at ULP scale)
+            d = np.zeros((X.shape[0], S, C.shape[1]))
+            for j in range(sub):
+                diff = X[:, :, None, j] - C[None, :, :, j]
+                d += diff * diff
+            codes = d.argmin(axis=2).astype("int32")  # first-min ties
+            # index-aligned Series: a bare list-of-lists assignment
+            # makes pandas broadcast element-wise and fail
+            out[valid] = pd.Series(
+                [list(map(int, row)) for row in codes],
+                index=vs.index[valid],
+            )
+        return out
+
+    return embeddings.withColumn(
+        out_col, _encode(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: encode the corpus with
+    ``pq_encode``, precompute the query's ``subspaces x codewords``
+    lookup table ON THE DRIVER (it is tiny and query-only), and score
+    every vector as the s-ordered fold of LUT entries selected by its
+    code — approximate squared L2, smallest first, ``id_col``
+    tie-break. Returns ``(id, pq_dist)``.
+
+    The LUT values are computed once in Python and inlined as literals
+    into BOTH engines (Spark plan and SQL oracle), so the only
+    cross-engine surface is the integer code — the lloyd-centroid
+    literal discipline. Scan-shaped: the corpus never shuffles; at
+    scale this runs per IVF cluster against the persisted encoded
+    index (``write_ivf_index`` layout) with re-ranking on exact
+    distances for the short list."""
+    S = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def _sq_l2(c: list[float], s: int) -> float:
+        # explicit (d*d) accumulation left-to-right: the same IEEE op
+        # sequence as the oracle's SQL expression (x**2 may route
+        # through libm pow, which is not guaranteed correctly rounded)
+        acc = 0.0
+        for j in range(sub):
+            d = float(query_vec[s * sub + j]) - c[j]
+            acc = acc + d * d
+        return acc
+
+    lut = [[_sq_l2(c, s) for c in codebooks[s]] for s in range(S)]
+    enc = pq_encode(embeddings, codebooks, vec_col)
+    dist = F.lit(0.0)
+    for s in range(S):
+        lut_s = F.array(*[F.lit(float(x)) for x in lut[s]])
+        dist = dist + F.element_at(
+            lut_s, F.element_at(F.col("pq_code"), s + 1) + 1
+        )
+    scored = enc.filter(F.col("pq_code").isNotNull()).select(
+        F.col(id_col), F.round(dist, ndigits).alias("pq_dist")
+    )
+    return scored.orderBy(F.asc("pq_dist"), F.asc(id_col)).limit(k)

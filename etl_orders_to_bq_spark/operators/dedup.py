@@ -510,6 +510,27 @@ def simhash_hamming_pairs(
     route degenerate docs through exact dedup instead, where they
     belong).
     """
+    sh = simhash(df, text_col, bits=bits).select(id_col, "simhash")
+    return hamming_pairs(
+        sh, "simhash", id_col, bits=bits, max_dist=max_dist,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_dist: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pigeonhole Hamming-distance pairs over ANY precomputed
+    ``bits``-bit fingerprint column (SimHash, perceptual hash, audio
+    fingerprint): the block equi-join + ``bit_count`` verify described
+    in :func:`simhash_hamming_pairs`, factored out so every bit-hash
+    family shares one scalable pair miner. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
     n_blocks = max_dist + 1
     if bits % n_blocks:
         # distribute the remainder over the low blocks
@@ -518,7 +539,7 @@ def simhash_hamming_pairs(
     else:
         widths = [bits // n_blocks] * n_blocks
 
-    sh = simhash(df, text_col, bits=bits).select(id_col, "simhash")
+    sh = hashed.select(id_col, F.col(hash_col).alias("simhash"))
     blocks, start = [], 0
     for i, w in enumerate(widths):
         mask = (1 << w) - 1

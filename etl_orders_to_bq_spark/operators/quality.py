@@ -13,7 +13,7 @@ without schema churn.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -259,4 +259,83 @@ def quarantine(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
     return df.withColumn(
         "violations",
         F.filter(F.array(*checks), lambda x: x.isNotNull()),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    source_col: str,
+    id_col: str,
+    grid: int = 101,
+    out_col: str = "normalized",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Map every source's value distribution onto the GLOBAL empirical
+    distribution — the cross-source calibration step for metrics whose
+    scale drifts per source (per-crawl quality scores, per-device
+    latencies): after normalization, a value's meaning is its rank,
+    expressed in the global distribution's units.
+
+        r       = rank of the row within its source (value, id order)
+        k       = floor((r-1)*(grid-1)/(n_source-1) + 0.5)
+        output  = global exact percentile at k/(grid-1)
+
+    ``grid`` quantile points trade resolution for state: the reference
+    distribution is ONE ``percentile(value, array(...))`` aggregate
+    (the winsorize_robust discipline) broadcast everywhere — never a
+    global sort. Per-row work is a source-partitioned rank window (one
+    shuffle) plus a broadcast join on the integer grid index. The grid
+    index is computed as ``floor((r-1)*(grid-1)/(n-1) + 0.5)`` with the
+    multiplication BEFORE the division — integer inputs, one IEEE
+    multiply + divide, so every engine lands the identical index
+    (single-row sources pin to the middle grid point). At 100 TB the
+    grid build switches to ``percentile_approx``/KLL or a hash-sample
+    with the same interface; the exact build here is what a SQL oracle
+    replays.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation at all); quantile normalization per Bolstad et al.
+    2003, public literature.
+    """
+    if grid < 2:
+        raise ValueError(f"grid must be >= 2, got {grid}")
+    f = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(id_col, source_col, value_col)
+    pts = [k / (grid - 1) for k in range(grid)]
+    garr = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in pts]))
+    gtab = (
+        f.agg(garr.alias("__g"))
+        .select(F.posexplode("__g").alias("__k", "__gval"))
+        .select("__k", F.round("__gval", ndigits).alias("__gval"))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = f.select(
+        id_col,
+        source_col,
+        value_col,
+        F.row_number().over(w).alias("__r"),
+        F.count("*").over(Window.partitionBy(source_col)).alias("__n"),
+    )
+    k_idx = F.when(
+        F.col("__n") == 1, F.lit((grid - 1) // 2)
+    ).otherwise(
+        F.floor(
+            ((F.col("__r") - 1) * F.lit(float(grid - 1)))
+            / (F.col("__n") - 1)
+            + F.lit(0.5)
+        ).cast("int")
+    )
+    return (
+        ranked.withColumn("__k", k_idx)
+        .join(F.broadcast(gtab), "__k")
+        .select(
+            id_col,
+            source_col,
+            value_col,
+            F.col("__gval").alias(out_col),
+        )
     )

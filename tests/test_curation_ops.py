@@ -787,3 +787,160 @@ def test_label_propagation_early_exit_two_communities(spark):
         # two communities: each triangle collapses to its min label
         assert conv[0] == conv[1] == conv[2] == 0
         assert conv[11] == conv[12]
+
+
+def test_ewma_last_hand_computed(spark):
+    """EWMA fold vs a sequential reference: y1=x1, y=0.5x+0.5y; ties on
+    equal timestamps break by value; nulls dropped; single-point keys
+    return the point itself."""
+    from datetime import datetime
+
+    from etl_orders_to_bq_spark.operators.timeseries import ewma_last
+
+    t = datetime(2024, 1, 1)
+    t2 = datetime(2024, 1, 2)
+    t3 = datetime(2024, 1, 3)
+    rows = [
+        (1, t, 10.0), (1, t2, 20.0), (1, t3, 30.0),
+        (2, t, 5.0),
+        (3, t, None), (3, t2, 8.0),
+        (4, t, 2.0), (4, t, 1.0),   # same ts: value tie-break -> 1 then 2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_points"], r["ewma"])
+        for r in ewma_last(df, alpha=0.5).collect()
+    }
+    # key 1: y=10 -> 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
+    assert got[1] == (3, 22.5)
+    assert got[2] == (1, 5.0)
+    assert got[3] == (1, 8.0)      # null dropped
+    assert got[4] == (2, 0.5 * 2.0 + 0.5 * 1.0)  # 1 first, then 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_last(df, alpha=0.0)
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Path graph 1-2-3 plus hub 0 connected to all: verify AA of a
+    hand-picked pair and the existing-edge exclusion."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.graph import adamic_adar
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in adamic_adar(df).collect()
+    }
+    # existing edges excluded: only (1,3) is a non-edge 2-hop pair.
+    # common neighbors of 1 and 3: 0 (deg 3) and 2 (deg 3)
+    assert set(got) == {(1, 3)}
+    expect = round(1 / math.log(3) + 1 / math.log(3), 6)
+    assert got[(1, 3)] == (2, expect)
+    # include_existing keeps every 2-hop pair
+    all_pairs = {
+        (r["node_a"], r["node_b"])
+        for r in adamic_adar(df, include_existing=True).collect()
+    }
+    assert (1, 2) in all_pairs and (1, 3) in all_pairs
+    # max_degree=2 drops the hub and node 2 as middles: no wedge
+    # middle has degree <= 2 except 1 (deg 2: 0,2) -> pair (0,2) via 1
+    limited = {
+        (r["node_a"], r["node_b"])
+        for r in adamic_adar(df, max_degree=2, include_existing=True).collect()
+    }
+    assert limited == {(0, 2)}
+
+
+def test_quantile_normalize_maps_rank_to_global_grid(spark):
+    """Two sources with shifted scales: equal ranks map to the SAME
+    normalized value; a single-row source pins to the grid middle."""
+    from etl_orders_to_bq_spark.operators.quality import quantile_normalize
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 6)]          # 1..5
+        + [(10 + i, "b", 100.0 + i) for i in range(1, 6)]  # 101..105
+        + [(99, "c", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        r["event_id"]: r["normalized"]
+        for r in quantile_normalize(
+            df, "value", "event_type", "event_id", grid=11
+        ).collect()
+    }
+    # rank r of 5 -> k = floor((r-1)*10/4 + .5): ranks 1..5 -> 0,3,5,8,10
+    # equal-rank rows in a and b normalize identically
+    for i in range(1, 6):
+        assert out[i] == out[10 + i], i
+    # min rank -> global minimum (k=0 -> p0 = global min = 1.0)
+    assert out[1] == 1.0
+    assert out[5] == out[15]  # max rank -> global max for both
+    # single-row source -> middle grid point (k=5 -> global median)
+    assert out[99] is not None
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """PQ codes are deterministic, null-masked, and ADC top-k ranks the
+    query's own vector first when it is in the corpus (its code equals
+    the query's code -> minimal ADC distance)."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(dim=8, subspaces=2, codewords=4, seed=5)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0, 0.1, 0.9, 0.0, 0.0]),
+        (2, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, books).collect()}
+    assert enc[3] is None
+    assert len(enc[0]) == 2 and all(0 <= c < 4 for c in enc[0])
+    enc2 = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, books).collect()}
+    assert enc == enc2
+    top = ann_topk_pq(df, books, rows[0][1], k=3).collect()
+    assert len(top) == 3
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] in (0, 1)  # same-code vectors tie at the LUT minimum
+    assert top[0]["pq_dist"] <= top[-1]["pq_dist"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(dim=10, subspaces=4)
+
+
+def test_perceptual_hash_stub_and_pairs(spark):
+    """Stub pHash = signed big-endian md5 top-64: byte-identical
+    payloads collide at distance 0, nulls stay null, and hamming_pairs
+    finds exactly the planted dup."""
+    import hashlib
+
+    from etl_orders_to_bq_spark.multimodal import perceptual_hash
+    from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
+
+    rows = [
+        (1, b"same payload"),
+        (2, b"same payload"),
+        (3, b"other payload"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    ph = {r["id"]: r["phash"] for r in perceptual_hash(df, codec="stub").collect()}
+    want = int.from_bytes(
+        hashlib.md5(b"same payload").digest()[:8], "big", signed=True
+    )
+    assert ph[1] == ph[2] == want
+    assert ph[3] != ph[1] and ph[4] is None
+    hashed = perceptual_hash(df, codec="stub").filter("phash is not null")
+    pairs = hamming_pairs(hashed, "phash", "id", bits=64, max_dist=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
