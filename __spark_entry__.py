@@ -5651,6 +5651,73 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity census (operators/privacy.py) over the
+    SAME quasi-identifiers as the k-anonymity report (mktsegment,
+    nation, order year) with o_orderpriority as the sensitive
+    attribute — the homogeneity-attack check k-anonymity misses: a
+    big class whose members all share one priority still exposes it.
+    Census shape (not raw risky classes), l=3."""
+    from etl_orders_to_bq_spark.operators.privacy import l_diversity
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    q = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "c_nationkey", "yr", "o_orderpriority"
+    )
+    return l_diversity(
+        q, ["c_mktsegment", "c_nationkey", "yr"], "o_orderpriority", l=3
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift per event_type vs the
+    global value distribution (operators/quality.py): 64 equal-width
+    bins from one global min/max agg, per-(group, bin) counts, zero-
+    filled cumulative ECDF gap — the shape-drift score PSI's deciles
+    smear. The oracle replays the identical integer bin math and
+    count-ratio gaps."""
+    from etl_orders_to_bq_spark.operators.quality import ks_drift
+
+    e = _t(spark, sf_dir, "events")
+    return ks_drift(e, "value", "event_type", bins=64)
+
+
+def q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training prep
+    (operators/sampling.py): 5 pseudo-random negative doc_ids per
+    document, md5(id|rank|seed) mapped onto the dense id-rank space
+    with self-hit shift — partitioning-independent and replayed
+    bit-for-bit by the oracle (the stratified-sample md5 discipline)."""
+    from etl_orders_to_bq_spark.operators.sampling import hash_negatives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_negatives(d, "doc_id", k=5, seed=11).orderBy(
+        "doc_id", "neg_rank"
+    )
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/fuzzy.py) over the
+    synthetic dirty-entity fixture: rank by name (id tie-break), pair
+    each record with its next 3 sort neighbors, verify with
+    Levenshtein <= 2 — the classic complement to fuzzy_join's hash
+    blocking (first-character typos break prefix buckets but not sort
+    locality). The oracle replays rank, offset join, and verify."""
+    from etl_orders_to_bq_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    ents = _synth_entities(spark, sf_dir)
+    return sorted_neighborhood_pairs(
+        ents, "name", "ent_id", window=3, max_dist=2
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -5680,6 +5747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "ann_pq_topk": q_ann_pq_topk,
         "phash_neardup": q_phash_neardup,
+        "l_diversity": q_l_diversity,
+        "ks_drift": q_ks_drift,
+        "hash_negatives": q_hash_negatives,
+        "sorted_neighborhood": q_sorted_neighborhood,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -9966,6 +10037,134 @@ def oracle_sql() -> dict[str, str]:
                cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
         from ph a join ph b on a.id < b.id
         where bit_count(xor(a.phash, b.phash)) <= 3
+        order by id_a, id_b
+    """
+    # l-diversity census: same quasi-identifier join as k_anonymity
+    # plus a count(distinct sensitive) per class
+    out["l_diversity"] = """
+        with q as (
+          select c.c_mktsegment, c.c_nationkey,
+                 extract(year from o.o_orderdate) as yr,
+                 o.o_orderpriority
+          from orders o join customer c on o.o_custkey = c.c_custkey
+        ),
+        classes as (
+          select c_mktsegment, c_nationkey, yr,
+                 count(*) as sz,
+                 count(distinct o_orderpriority) as nsens
+          from q group by 1, 2, 3
+        )
+        select nsens as n_sensitive,
+               count(*) as n_classes,
+               cast(sum(sz) as bigint) as n_rows,
+               max(nsens) < 3 as at_risk
+        from classes group by nsens
+        order by n_sensitive
+    """
+    # binned KS: identical integer bin math, zero-filled cumulative
+    # ECDF gap at global bins
+    out["ks_drift"] = """
+        with f as (
+          select event_type as grp, value as v from events
+          where value is not null
+        ),
+        st as (select min(v) as lo, max(v) as hi from f),
+        binned as (
+          select grp,
+                 case when hi = lo then 0
+                      else least(63, cast(floor((v - lo) / (hi - lo)
+                                               * 64.0) as int)) end as b,
+                 count(*) as c
+          from f, st group by 1, 2
+        ),
+        gbin as (select b, sum(c) as cg from binned group by b),
+        cum_all as (
+          select b,
+                 sum(cg) over (order by b rows between unbounded
+                               preceding and current row) as cum_all,
+                 sum(cg) over () as n_all
+          from gbin
+        ),
+        groups as (select grp, sum(c) as n_g from binned group by grp),
+        axis as (select * from cum_all cross join groups),
+        filled as (
+          select axis.grp, axis.b, axis.cum_all, axis.n_all, axis.n_g,
+                 sum(coalesce(binned.c, 0)) over (
+                   partition by axis.grp order by axis.b
+                   rows between unbounded preceding and current row
+                 ) as cum_g
+          from axis left join binned
+            on axis.grp = binned.grp and axis.b = binned.b
+        )
+        select grp as event_type,
+               cast(max(n_g) as bigint) as n,
+               round(max(abs(cum_g::double / n_g
+                             - cum_all::double / n_all)), 6) as ks_d
+        from filled group by grp
+        order by event_type
+    """
+    # hash negative sampling: identical md5(id|rank|seed) draw over the
+    # dense id-rank space with self-hit shift
+    out["hash_negatives"] = """
+        with ids as (select distinct doc_id from documents),
+        ranked as (
+          select doc_id,
+                 row_number() over (order by doc_id) - 1 as rnk
+          from ids
+        ),
+        n as (select count(*) as n from ranked),
+        draws as (
+          select r.doc_id, r.rnk as self, i as neg_rank,
+                 ('0x' || substr(md5(r.doc_id::varchar || '|'
+                                     || i::varchar || '|' || '11'),
+                                 1, 8))::bigint % n.n as cand
+          from ranked r, n,
+               (select unnest(range(1, 6)) as i) ks
+        )
+        select d.doc_id as doc_id, d.neg_rank, t.doc_id as neg_id
+        from (
+          select doc_id, neg_rank,
+                 case when cand = self then (cand + 1) % (select n from n)
+                      else cand end as pick
+          from draws
+        ) d
+        join ranked t on t.rnk = d.pick
+        order by d.doc_id, d.neg_rank
+    """
+    # sorted-neighborhood blocking over the dirty-entity fixture:
+    # rank by (name, id), join on rank+offset, Levenshtein verify
+    out["sorted_neighborhood"] = f"""
+        with w as (select {_er_wf} as wf, {_er_wl} as wl),
+        base as (
+          select c_custkey as ent_id,
+                 wf[(c_custkey % 17) + 1] || ' ' ||
+                 wl[((c_custkey * 7) % 13) + 1] as name
+          from customer, w
+        ),
+        ents as (
+          select ent_id, name from base
+          union all
+          select ent_id + 10000, substr(name, 1, length(name) - 1)
+          from base where ent_id < 30
+          union all
+          select ent_id + 20000, name || 'zz'
+          from base where ent_id < 15
+        ),
+        ranked as (
+          select ent_id, name,
+                 row_number() over (order by name, ent_id) as rnk
+          from ents
+        ),
+        probes as (
+          select ent_id as id_a, name as key_a, rnk + i as rnk,
+                 i as rank_dist
+          from ranked, (select unnest(range(1, 4)) as i) ks
+        )
+        select p.id_a, r.ent_id as id_b, p.key_a, r.name as key_b,
+               p.rank_dist,
+               cast(levenshtein(p.key_a, r.name) as int) as edit_dist
+        from probes p join ranked r on p.rnk = r.rnk
+        where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
     """
     # identical pipeline through the durable parquet staging path —

@@ -515,7 +515,9 @@ def pq_encode(
     @pandas_udf("array<int>")
     def _encode(vs: pd.Series) -> pd.Series:
         out = pd.Series([None] * len(vs), dtype="object", index=vs.index)
-        valid = vs.notna()
+        # one-bad-row discipline: null OR wrong-dimension vectors get a
+        # null code instead of crashing the np.stack/reshape
+        valid = vs.map(lambda v: v is not None and len(v) == S * sub)
         if valid.any():
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in vs[valid]]

@@ -339,3 +339,97 @@ def quantile_normalize(
             F.col("__gval").alias(out_col),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bins: int = 256,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic per group vs the
+    GLOBAL distribution — the distribution-drift score that catches
+    shape changes PSI's coarse deciles smear out. Returns
+    ``(group, n, ks_d)`` where ``ks_d`` = max over bin boundaries of
+    |ECDF_group - ECDF_global|.
+
+    Exact KS evaluates the ECDF gap at every pooled sample point — a
+    per-group sort that is pointless at corpus scale; the standard
+    production form bins values onto a fixed grid (here ``bins`` equal
+    -width buckets over the global [min, max], from ONE 1-row stats
+    agg) and takes the max gap at bin boundaries, which lower-bounds
+    the exact D and converges to it as bins grow. Counts per
+    (group, bin) are one map-side-combinable groupBy; cumulative sums
+    run over the BIN table (|groups| x bins rows, never row data); the
+    gap is a ratio of integer counts — engine-exact except the final
+    division, snapped by rounding.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation at all); KS per standard statistics literature.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    f = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    )
+    stats = f.agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+    # bucket = clamp(floor((v - lo) / (hi - lo) * bins), 0, bins-1);
+    # multiply-AFTER-divide pinned on both engines (one IEEE divide
+    # then multiply), degenerate lo == hi puts everything in bin 0
+    b = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("v") - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo"))
+                * F.lit(float(bins))
+            ).cast("int"),
+        )
+    )
+    binned = (
+        f.crossJoin(F.broadcast(stats))
+        .select("grp", b.alias("__b"))
+        .groupBy("grp", "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    # ECDFs only step at bins somebody populated, and global bins are
+    # the union of group bins — so evaluating the gap at GLOBAL bins is
+    # exact. Build the (group x global-bin) axis with each group's
+    # count (0 where absent) and take cumulative sums: the running
+    # zero-filled sum IS the forward-filled cumulative.
+    wa = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = binned.groupBy("__b").agg(F.sum("__c").alias("__cg"))
+    cum_all = glob.select(
+        "__b",
+        F.sum("__cg").over(wa).alias("__cum_all"),
+        F.sum("__cg").over(Window.partitionBy()).alias("__n_all"),
+    )
+    groups = binned.groupBy("grp").agg(F.sum("__c").alias("__n_g"))
+    axis = cum_all.crossJoin(F.broadcast(groups))
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = axis.join(binned, ["grp", "__b"], "left").withColumn(
+        "__cum_g", F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(wg)
+    )
+    gap = F.abs(
+        F.col("__cum_g") / F.col("__n_g")
+        - F.col("__cum_all") / F.col("__n_all")
+    )
+    return (
+        filled.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("__n_g").alias("n"),
+            F.round(F.max(gap), ndigits).alias("ks_d"),
+        )
+        .orderBy(group_col)
+    )

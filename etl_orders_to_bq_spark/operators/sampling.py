@@ -1,0 +1,91 @@
+"""Deterministic sampling operators for training-data assembly.
+
+``hash_negatives`` draws k pseudo-random negatives per anchor row —
+the contrastive/ranking-training prep step (one positive pair + k
+random negatives per example). Determinism matters twice at 100 TB:
+the draw must not depend on partitioning (hash-derived, not rand()),
+and the oracle must replay it bit-for-bit (md5-derived, the
+stratified-sample discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """For every row, emit ``k`` negative ids drawn deterministically
+    from the SAME frame's id population: ``(id, neg_rank, neg_id)``.
+
+    The draw hashes (id, rank, seed) with md5, maps it onto the dense
+    rank space [0, n) of all DISTINCT ids, and resolves the rank back
+    to a real id via a join — so ids need not be dense or numeric. A
+    draw that lands on the anchor itself shifts to the next rank
+    (mod n): self-pairs are never emitted and every anchor gets
+    exactly ``k`` negatives (sampling WITH replacement across ranks,
+    the standard contrastive setup; collisions between an anchor's k
+    draws are allowed and rare for k << n).
+
+    Scale: the id->rank map is one window over distinct ids — bounded
+    by the id population, not the fact table (and replaceable by a
+    precomputed dense index at the billion-id scale); the resolve join
+    shuffles (rank, anchor) int pairs only. The anchor table never
+    moves: at 100 TB emit (anchor_id, neg_id) and join payloads
+    downstream, anchor-partitioned.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ids = df.select(F.col(id_col)).distinct()
+    ranked = ids.select(
+        id_col,
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__rank"),
+    )
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("need at least 2 distinct ids to draw negatives")
+    anchors = ranked.select(
+        F.col(id_col), F.col("__rank").alias("__self")
+    )
+    draws = anchors.select(
+        id_col,
+        "__self",
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias(
+            "neg_rank"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(id_col).cast("string"),
+                    F.col("neg_rank").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = F.pmod(h, F.lit(n))
+    # self-hit shifts to the next rank (mod n)
+    pick = F.when(
+        cand == F.col("__self"), F.pmod(cand + 1, F.lit(n))
+    ).otherwise(cand)
+    resolved = draws.withColumn("__pick", pick).join(
+        ranked.select(
+            F.col("__rank").alias("__pick"), F.col(id_col).alias("neg_id")
+        ),
+        "__pick",
+    )
+    return resolved.select(id_col, "neg_rank", "neg_id")

@@ -944,3 +944,99 @@ def test_perceptual_hash_stub_and_pairs(spark):
     hashed = perceptual_hash(df, codec="stub").filter("phash is not null")
     pairs = hamming_pairs(hashed, "phash", "id", bits=64, max_dist=3).collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_l_diversity_census(spark):
+    """Hand-computed census: classes keyed by g with sensitive s."""
+    from etl_orders_to_bq_spark.operators.privacy import l_diversity
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "x"),      # class a: 1 distinct
+        ("b", "x"), ("b", "y"),                  # class b: 2 distinct
+        ("c", "x"), ("c", "y"), ("c", "z"),      # class c: 3 distinct
+    ]
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {
+        r["n_sensitive"]: (r["n_classes"], r["n_rows"], r["at_risk"])
+        for r in l_diversity(df, ["g"], "s", l=3).collect()
+    }
+    assert got == {1: (1, 3, True), 2: (1, 2, True), 3: (1, 3, False)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="l must"):
+        l_diversity(df, ["g"], "s", l=1)
+
+
+def test_ks_drift_hand_computed(spark):
+    """Two disjoint groups at opposite ends of the range both sit 0.5
+    from the pooled ECDF at 2 bins; a group matching the global mix
+    scores 0."""
+    from etl_orders_to_bq_spark.operators.quality import ks_drift
+
+    rows = (
+        [("A", 0.0), ("A", 0.0), ("B", 1.0), ("B", 1.0)]
+        + [("C", 0.0), ("C", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: (r["n"], r["ks_d"])
+        for r in ks_drift(df, "v", "grp", bins=2).collect()
+    }
+    # global: bin0 = 3 of 6, bin1 = 3 of 6 -> cum 0.5, 1.0
+    assert got["A"] == (2, 0.5)   # cum 1.0, 1.0 -> max gap 0.5
+    assert got["B"] == (2, 0.5)   # cum 0.0, 1.0 -> max gap 0.5
+    assert got["C"] == (2, 0.0)   # matches the pooled mix exactly
+
+
+def test_hash_negatives_contract(spark):
+    """Exactly k negatives per anchor, never the anchor itself, and
+    identical draws under different partitioning (hash-derived)."""
+    from etl_orders_to_bq_spark.operators.sampling import hash_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    a = sorted(
+        tuple(r) for r in hash_negatives(df, k=3, seed=7).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in hash_negatives(df.repartition(7), k=3, seed=7).collect()
+    )
+    assert a == b
+    assert len(a) == 20 * 3
+    assert all(doc != neg for doc, _, neg in a)
+    assert {r for _, r, _ in a} == {1, 2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        hash_negatives(spark.createDataFrame([(1,)], "doc_id long"))
+
+
+def test_sorted_neighborhood_pairs_window(spark):
+    """Names adjacent in sort order pair within the window; the
+    Levenshtein verify drops far pairs; window=1 pairs only direct
+    neighbors."""
+    from etl_orders_to_bq_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha"), (2, "alphb"), (3, "alphc"), (4, "zzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "ent_id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_dist"], r["edit_dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", "ent_id", window=3, max_dist=2
+        ).collect()
+    }
+    # zzzzzz is within rank-window of alphb/alphc but fails the verify
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == (1, 1)
+    assert got[(1, 3)] == (2, 1)
+    narrow = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", "ent_id", window=1, max_dist=None
+        ).collect()
+    }
+    assert narrow == {(1, 2), (2, 3), (3, 4)}
