@@ -5701,6 +5701,22 @@ def q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP count release (operators/privacy.py) of
+    the per-event-type histogram at epsilon=0.5: counts + seeded
+    inverse-CDF Laplace pseudo-noise (md5-derived uniform — the
+    deterministic-release discipline; production swaps in a real RNG
+    with the identical mechanism). Completes the privacy trio with
+    k_anonymity and l_diversity. The oracle replays the hash, the
+    inverse CDF, and the operand order exactly."""
+    from etl_orders_to_bq_spark.operators.privacy import dp_noisy_counts
+
+    e = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        e, ["event_type"], epsilon=0.5, seed=42
+    ).orderBy("event_type")
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER blocking (operators/fuzzy.py) over the
     synthetic dirty-entity fixture: rank by name (id tie-break), pair
@@ -5751,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "hash_negatives": q_hash_negatives,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "dp_noisy_counts": q_dp_noisy_counts,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10166,6 +10183,24 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # DP count release: identical md5 uniform + inverse-CDF Laplace
+    out["dp_noisy_counts"] = """
+        with counts as (
+          select event_type, count(*) as n from events group by 1
+        ),
+        noise as (
+          select event_type, n,
+                 ('0x' || substr(md5(event_type || '|' || '42'),
+                                 1, 8))::bigint as h
+          from counts
+        )
+        select event_type,
+               round(n + (-2.0) * sign((h + 0.5) / 4294967296.0 - 0.5)
+                     * ln(1.0 - 2.0
+                           * abs((h + 0.5) / 4294967296.0 - 0.5)), 6)
+                 as released
+        from noise order by event_type
     """
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle

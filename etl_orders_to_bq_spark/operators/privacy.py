@@ -48,3 +48,52 @@ def l_diversity(
         )
         .orderBy("n_sensitive")
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Laplace-mechanism count release: per-group counts plus
+    Laplace(sensitivity/epsilon) noise — the standard
+    epsilon-differentially-private histogram (Dwork et al. 2006,
+    public literature). Returns ``(group_cols..., true n hidden,
+    released)`` — only the noisy value leaves the operator.
+
+    The uniform driving the inverse-CDF draw is md5-derived from
+    (group key, seed) — DETERMINISTIC pseudo-noise, the repo-wide
+    replayability discipline (stratified sampling, MinHash): tests and
+    the SQL oracle replay the release bit-for-bit. Production swaps
+    the uniform source for a hardware RNG — the mechanism, scale
+    calculus, and plan shape are identical, and determinism-per-seed
+    is itself the common "repeatable release" audit requirement.
+
+        u     = (h + 0.5) / 2^32,  h = md5(key|seed) top-32
+        t     = u - 0.5
+        noise = -(sensitivity/epsilon) * sign(t) * ln(1 - 2|t|)
+
+    One map-side-combinable groupBy; the noise is a projection over
+    the (tiny) group table.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in group_cols], F.lit(str(seed))
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    t = u - F.lit(0.5)
+    noise = (
+        F.lit(-(sensitivity / epsilon))
+        * F.signum(t)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    )
+    return counts.select(
+        *group_cols,
+        F.round(F.col("__n") + noise, ndigits).alias("released"),
+    )

@@ -1040,3 +1040,40 @@ def test_sorted_neighborhood_pairs_window(spark):
         ).collect()
     }
     assert narrow == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The released histogram is count + seeded Laplace pseudo-noise:
+    deterministic per seed, different across seeds, never exposes the
+    raw count column, and the noise magnitude scales with 1/epsilon."""
+    import hashlib
+    import math
+
+    from etl_orders_to_bq_spark.operators.privacy import dp_noisy_counts
+
+    rows = [("a",)] * 100 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "g string")
+    out = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7)
+    assert out.columns == ["g", "released"]
+    got = {r["g"]: r["released"] for r in out.collect()}
+
+    def ref(key, n, eps, seed):
+        h = int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        t = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, t) * math.log(
+            1.0 - 2.0 * abs(t)
+        )
+        return round(n + noise, 6)
+
+    assert got["a"] == ref("a", 100, 1.0, 7)
+    assert got["b"] == ref("b", 50, 1.0, 7)
+    got2 = {
+        r["g"]: r["released"]
+        for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=8).collect()
+    }
+    assert got2 != got  # seed changes the draw
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
