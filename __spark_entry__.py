@@ -5701,6 +5701,27 @@ def q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition end-to-end (operators/ann.py
+    ann_topk_multiprobe_pq): hyperplane-bucketed candidates (4 bits,
+    query bucket + every 1-bit flip — multi-probe LSH), then PQ/ADC
+    scoring of survivors. Query vector and codebooks are deterministic
+    seeded literals, so the oracle replays bucketing (sign tests),
+    probe-set pruning, PQ encode, and the LUT fold exactly."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        ann_topk_multiprobe_pq,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(dim=64, subspaces=8, codewords=16, seed=23)
+    qv = _hyperplanes(64, 1, seed=99)[0]
+    return ann_topk_multiprobe_pq(
+        emb, books, qv, dim=64, bits=4, seed=42, k=15
+    )
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism DP count release (operators/privacy.py) of
     the per-event-type histogram at epsilon=0.5: counts + seeded
@@ -5768,6 +5789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_negatives": q_hash_negatives,
         "sorted_neighborhood": q_sorted_neighborhood,
         "dp_noisy_counts": q_dp_noisy_counts,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -6118,6 +6140,93 @@ def _pq_topk_sql() -> str:
         select vec_id, pq_dist from dist
         order by pq_dist, vec_id
         limit 25
+    """
+
+
+def _ivfpq_topk_sql() -> str:
+    """Oracle for q_ann_ivfpq_topk: probe buckets and the ADC LUT are
+    the SAME Python constants the operator derives (query bucket sign
+    tests and the left-assoc squared-distance loop), inlined as
+    literals; the SQL replays corpus bucketing, probe pruning, PQ
+    argmin encode, and the prepend-0 subspace fold."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        pq_codebooks,
+    )
+
+    dim, bits, seed, k = 64, 4, 42, 15
+    books = pq_codebooks(dim=dim, subspaces=8, codewords=16, seed=23)
+    sub = len(books[0][0])
+    qv = _hyperplanes(dim, 1, seed=99)[0]
+    planes = _hyperplanes(dim, bits, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(qv, plane):
+            acc += float(a) * float(b)
+        if acc > 0:
+            qb |= 1 << i
+    probes = sorted({qb} | {qb ^ (1 << i) for i in range(bits)})
+    probe_list = ", ".join(str(p) for p in probes)
+
+    def _sq_l2(c, s):
+        acc = 0.0
+        for j in range(sub):
+            d = float(qv[s * sub + j]) - c[j]
+            acc = acc + d * d
+        return acc
+
+    lut_rows = ",\n          ".join(
+        f"({s}, {c}, {_sq_l2(w, s)!r})"
+        for s, book in enumerate(books)
+        for c, w in enumerate(book)
+    )
+    cw_rows = ",\n          ".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in w)}]::double[])"
+        for s, book in enumerate(books)
+        for c, w in enumerate(book)
+    )
+
+    def dist(vec: str) -> str:
+        terms = []
+        for j in range(sub):
+            e = f"{vec}[cw.s * {sub} + {j + 1}]::double"
+            terms.append(f"(({e} - cw.v[{j + 1}]) * ({e} - cw.v[{j + 1}]))")
+        return "\n                 + ".join(terms)
+
+    return f"""
+        with cw(s, c, v) as (values
+          {cw_rows}
+        ),
+        lut(s, c, ld) as (values
+          {lut_rows}
+        ),
+        cand as (
+          select vec_id, embedding from embeddings
+          where embedding is not null
+            and cast({_lsh_bucket_sql(dim, bits, seed)} as int)
+                in ({probe_list})
+        ),
+        encd as (
+          select vec_id, s, c from (
+            select cand.vec_id, cw.s, cw.c,
+                   {dist('cand.embedding')} as d
+            from cand, cw
+          ) t
+          qualify row_number() over (partition by vec_id, s
+                                     order by d, c) = 1
+        ),
+        dist as (
+          select vec_id,
+                 round(list_reduce(
+                   list_prepend(0.0::double, list(ld order by s)),
+                   (acc, x) -> acc + x), 6) as pq_dist
+          from encd join lut using (s, c)
+          group by vec_id
+        )
+        select vec_id, pq_dist from dist
+        order by pq_dist, vec_id
+        limit {k}
     """
 
 
@@ -10032,6 +10141,7 @@ def oracle_sql() -> dict[str, str]:
         order by event_id
     """
     out["ann_pq_topk"] = _pq_topk_sql()
+    out["ann_ivfpq_topk"] = _ivfpq_topk_sql()
     # perceptual-hash near-dups: same signed md5-top-64 stub hash; the
     # oracle verifies ALL pairs by bit_count(xor) — exact, and equal to
     # the pigeonhole join's result for distance <= max_dist

@@ -76,6 +76,7 @@ HEADLINE = [
     # round-6: PQ compression+ADC search, wedge-join link prediction,
     # grid-mapped quantile normalization, image-fingerprint dedup
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "adamic_adar",
     "quantile_normalize",
     "phash_neardup",
@@ -97,6 +98,7 @@ ITERATIVE = {
     # query vector collected at construction
     "adamic_adar",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 }
 
 

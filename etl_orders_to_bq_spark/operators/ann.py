@@ -593,3 +593,48 @@ def ann_topk_pq(
         F.col(id_col), F.round(dist, ndigits).alias("pq_dist")
     )
     return scored.orderBy(F.asc("pq_dist"), F.asc(id_col)).limit(k)
+
+
+def ann_topk_multiprobe_pq(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    dim: int,
+    bits: int = 4,
+    seed: int = 42,
+    k: int = 10,
+    probe_dist: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN composition: hyperplane-bucketed index +
+    multi-probe + PQ/ADC scoring — candidate pruning from the bucket
+    structure, memory-resident scoring from the codes.
+
+    The query's own bucket is computed DRIVER-side (``bits`` sign
+    tests, query-only); ``probe_dist=1`` probes it plus every
+    1-bit-flip neighbor (multi-probe LSH, Lv et al. 2007, public
+    literature — recall of many buckets without building many tables).
+    Candidates = rows whose stored bucket is in the probe set — with
+    the index written ``partitionBy("bucket")`` this filter is file
+    pruning, not a scan. Survivors are scored by :func:`ann_topk_pq`
+    (ADC over PQ codes; at scale the codes are precomputed in the
+    index, and the exact-distance re-rank of the short list runs
+    after).
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(query_vec, plane):
+            acc += float(a) * float(b)
+        if acc > 0:
+            qb |= 1 << i
+    probes = {qb}
+    if probe_dist >= 1:
+        probes |= {qb ^ (1 << i) for i in range(bits)}
+    bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col, seed)
+    cands = bucketed.filter(
+        F.col("bucket").isin(sorted(probes))
+    ).drop("bucket")
+    return ann_topk_pq(cands, codebooks, query_vec, k, id_col, vec_col)

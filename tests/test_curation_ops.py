@@ -1077,3 +1077,42 @@ def test_dp_noisy_counts_mechanism(spark):
 
     with _pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_multiprobe_pq_prunes_and_scores(spark):
+    """Multi-probe candidates = query bucket + 1-bit flips; the ADC
+    ranking over survivors matches running ann_topk_pq on the manually
+    pruned frame (composition is exactly pruning + scoring)."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        ann_topk_multiprobe_pq,
+        ann_topk_pq,
+        pq_codebooks,
+        with_lsh_bucket,
+    )
+
+    import pyspark.sql.functions as SF
+
+    books = pq_codebooks(dim=8, subspaces=2, codewords=4, seed=5)
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    got = ann_topk_multiprobe_pq(
+        df, books, qv, dim=8, bits=3, seed=9, k=5
+    ).collect()
+    # manual: same probe set, then plain PQ top-k
+    planes = _hyperplanes(8, 3, seed=9)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(qv, plane)) > 0:
+            qb |= 1 << i
+    probes = sorted({qb} | {qb ^ (1 << i) for i in range(3)})
+    cands = with_lsh_bucket(df, 8, 3, seed=9).filter(
+        SF.col("bucket").isin(probes)
+    ).drop("bucket")
+    want = ann_topk_pq(cands, books, qv, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert 0 < len(got) <= 5
+    # pruning really prunes: candidate count < corpus
+    assert cands.count() < 40
