@@ -1229,12 +1229,20 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the planted frame feeds 2 Lloyd scans + the
     # keep stage's assignment — materializing once saves ~20% wall
     # (measured at sf0.1); results are identical (same rows, the fit
-    # is deterministic under any partitioning of the same input)
+    # is deterministic under any partitioning of the same input).
+    # Assignment kernel pinned to numpy: at this config (8 centroids x
+    # 64 dims) the column expression costs ~0.5s of DRIVER-side
+    # construction per assign call (512 literals) — measured r6: the
+    # two kernels agree on EVERY row at sf0.01 and sf0.1 (0 diffs),
+    # so the SQL-argmax oracle is unaffected.
     allv = _planted_embeddings(spark, sf_dir).localCheckpoint()
     cents, _ = lloyd_kmeans(
-        allv, _hyperplanes(64, 8, seed=7), rounds=2, round_ndigits=6
+        allv, _hyperplanes(64, 8, seed=7), rounds=2, round_ndigits=6,
+        method="numpy",
     )
-    return semdedup_keep(allv, cents, threshold=0.75).orderBy("vec_id")
+    return semdedup_keep(
+        allv, cents, threshold=0.75, assign_method="numpy"
+    ).orderBy("vec_id")
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

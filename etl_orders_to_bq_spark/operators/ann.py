@@ -408,6 +408,7 @@ def lloyd_kmeans(
     rounds: int = 3,
     vec_col: str = "embedding",
     round_ndigits: int | None = None,
+    method: str = "auto",
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic Lloyd k-means from FIXED initial centroids:
     assign (the pure-Column argmax projection of
@@ -433,7 +434,7 @@ def lloyd_kmeans(
     dim = len(cents[0])
     assigned = None
     for _ in range(rounds):
-        assigned = assign_ivf_clusters(embeddings, cents, vec_col)
+        assigned = assign_ivf_clusters(embeddings, cents, vec_col, method)
         def _mean(i: int):
             m = F.avg(F.element_at(F.col(vec_col), i + 1))
             if round_ndigits is not None:
@@ -450,7 +451,7 @@ def lloyd_kmeans(
             for r in mean_rows
         }
         cents = [new.get(j, cents[j]) for j in range(len(cents))]
-    return cents, assign_ivf_clusters(embeddings, cents, vec_col)
+    return cents, assign_ivf_clusters(embeddings, cents, vec_col, method)
 
 
 # ---------------------------------------------------------------------------

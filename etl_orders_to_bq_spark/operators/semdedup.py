@@ -174,6 +174,7 @@ def semdedup_keep(
     max_cluster: int = 1_000_000,
     checkpoint_path: str | None = None,
     pair_method: str = "grouped",
+    assign_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup keep-set: (id, cluster) for every item NOT dropped.
 
@@ -214,7 +215,9 @@ def semdedup_keep(
     """
     v = F.col(vec_col).cast("array<double>")
     # same one-norm-per-row discipline as embedding_neardup_pairs
-    assigned = assign_ivf_clusters(embeddings, centroids, vec_col).select(
+    assigned = assign_ivf_clusters(
+        embeddings, centroids, vec_col, assign_method
+    ).select(
         F.col(id_col),
         v.alias("__v"),
         l2_norm(v).alias("__n"),
