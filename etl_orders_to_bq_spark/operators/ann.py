@@ -623,6 +623,12 @@ def ann_topk_multiprobe_pq(
     index, and the exact-distance re-rank of the short list runs
     after).
     """
+    from itertools import combinations
+
+    if not 0 <= probe_dist <= bits:
+        raise ValueError(
+            f"probe_dist must be in [0, bits], got {probe_dist}"
+        )
     planes = _hyperplanes(dim, bits, seed)
     qb = 0
     for i, plane in enumerate(planes):
@@ -631,9 +637,15 @@ def ann_topk_multiprobe_pq(
             acc += float(a) * float(b)
         if acc > 0:
             qb |= 1 << i
+    # the full Hamming ball of radius probe_dist: sum C(bits, r)
+    # buckets — the multi-probe recall ladder
     probes = {qb}
-    if probe_dist >= 1:
-        probes |= {qb ^ (1 << i) for i in range(bits)}
+    for r in range(1, probe_dist + 1):
+        for flips in combinations(range(bits), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            probes.add(qb ^ m)
     bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col, seed)
     cands = bucketed.filter(
         F.col("bucket").isin(sorted(probes))

@@ -759,6 +759,7 @@ def adamic_adar(
     max_degree: int | None = None,
     include_existing: bool = False,
     ndigits: int = 6,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Adamic-Adar link-prediction scores for every 2-hop node pair:
 
@@ -797,7 +798,7 @@ def adamic_adar(
             .filter(F.col("a") != F.col("b"))
         )
         .distinct(),
-        None,
+        checkpoint_path,
         "aa_edges",
     )
     deg = sym.groupBy("a").agg(F.count("*").alias("__deg"))

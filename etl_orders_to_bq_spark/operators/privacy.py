@@ -44,8 +44,8 @@ def l_diversity(
         .agg(
             F.count("*").alias("n_classes"),
             F.sum("__size").alias("n_rows"),
-            (F.max("__nsens") < l).alias("at_risk"),
         )
+        .withColumn("at_risk", F.col("n_sensitive") < l)
         .orderBy("n_sensitive")
     )
 
@@ -82,8 +82,19 @@ def dp_noisy_counts(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    # NULL group values must still draw their own noise: concat_ws
+    # silently DROPS nulls (collapsing distinct groups onto one draw),
+    # so each column is null-sentineled first. Keys containing the
+    # literal sentinel-with-delimiter could still collide — acceptable
+    # for a noise seed, not for identity (the groupBy above is the
+    # identity).
     key = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in group_cols], F.lit(str(seed))
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+            for c in group_cols
+        ],
+        F.lit(str(seed)),
     )
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     u = (h + F.lit(0.5)) / F.lit(float(2**32))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def hash_negatives(
     df: DataFrame,
@@ -48,6 +50,9 @@ def hash_negatives(
         id_col,
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__rank"),
     )
+    # stage once: the rank window otherwise re-executes for the count
+    # job AND both sides of the resolve join (three global sorts)
+    ranked = stage(ranked, None, "neg_ranks")
     n = ranked.count()
     if n < 2:
         raise ValueError("need at least 2 distinct ids to draw negatives")

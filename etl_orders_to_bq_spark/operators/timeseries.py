@@ -46,9 +46,11 @@ def ewma_last(
     y_1 = x_1; y_i = alpha*x_i + (1-alpha)*y_{i-1}, folded over the
     series sorted by (ts, value) — the value tie-break makes rows with
     equal timestamps deterministic. Keys with a single point return
-    that point. Null values are dropped before the fold (an EWMA over
-    missing observations is undefined; filter or impute upstream if
-    gaps must count).
+    that point. Null values AND null timestamps are dropped before the
+    fold (an EWMA over missing observations is undefined, and a
+    null-ts row has no defined fold position: Spark's struct sort puts
+    nulls FIRST while SQL ORDER BY defaults put them LAST — including
+    them would silently break the identical-order oracle contract).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -62,7 +64,7 @@ def ewma_last(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return (
-        df.filter(F.col(val_col).isNotNull())
+        df.filter(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull())
         .groupBy(key_col)
         .agg(
             F.count("*").alias("n_points"),

@@ -49,6 +49,10 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     ran = 0
     for name, fn in qs.items():
