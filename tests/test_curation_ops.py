@@ -1116,3 +1116,129 @@ def test_multiprobe_pq_prunes_and_scores(spark):
     assert 0 < len(got) <= 5
     # pruning really prunes: candidate count < corpus
     assert cands.count() < 40
+
+
+def test_hamming_pairs_property_matches_bruteforce(spark):
+    """Property (hypothesis fingerprints): the pigeonhole block join
+    must find EXACTLY the brute-force pair set at distance <= max_dist
+    for arbitrary signed 64-bit hashes (including negatives, where
+    arithmetic shiftright sign-extends — the mask must still isolate
+    block bits)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=2, max_size=12, unique=True,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(hashes, max_dist):
+        df = spark.createDataFrame(
+            list(enumerate(hashes)), "doc_id long, h long"
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(
+                df, "h", "doc_id", bits=64, max_dist=max_dist
+            ).collect()
+        )
+        want = sorted(
+            (i, j, bin((a ^ b) & (2**64 - 1)).count("1"))
+            for (i, a) in enumerate(hashes)
+            for (j, b) in enumerate(hashes)
+            if i < j
+            and bin((a ^ b) & (2**64 - 1)).count("1") <= max_dist
+        )
+        assert got == want
+
+    check()
+
+
+def test_ewma_property_matches_sequential_reference(spark):
+    """Property (hypothesis series): the distributed sorted fold must
+    equal a sequential python EWMA over the (ts, value)-sorted series
+    for arbitrary float series and alphas."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.operators.timeseries import ewma_last
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=20,
+        ),
+        st.floats(min_value=0.05, max_value=1.0),
+    )
+    def check(vals, alpha):
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + timedelta(seconds=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = ewma_last(df, alpha=alpha).collect()[0]
+        y = vals[0]
+        for x in vals[1:]:
+            y = alpha * x + (1.0 - alpha) * y
+        assert got["n_points"] == len(vals)
+        assert got["ewma"] == round(y, 6)
+
+    check()
+
+
+def test_quantile_normalize_property_bounds_and_monotone(spark):
+    """Property: normalized values stay within the global [min, max]
+    grid and are monotone in rank within every source."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.operators.quality import quantile_normalize
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+            ),
+            min_size=2, max_size=25,
+        )
+    )
+    def check(rows):
+        data = [(i, s, float(v)) for i, (s, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id long, event_type string, value double"
+        )
+        out = quantile_normalize(
+            df, "value", "event_type", "event_id", grid=11
+        ).collect()
+        vals = [v for _, _, v in data]
+        lo, hi = round(min(vals), 6), round(max(vals), 6)
+        assert all(lo <= r["normalized"] <= hi for r in out)
+        by_src: dict = {}
+        for r in out:
+            by_src.setdefault(r["event_type"], []).append(
+                (r["value"], r["event_id"], r["normalized"])
+            )
+        for series in by_src.values():
+            series.sort()
+            norms = [n for _, _, n in series]
+            assert norms == sorted(norms)
+
+    check()
