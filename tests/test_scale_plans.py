@@ -732,3 +732,79 @@ def test_many_exchange_plans_shuffle_bounded_volume(spark):
         assert 0 < rec <= 1.5 * n_input, (
             f"{name}: {rec} rows shuffled vs {n_input} input rows"
         )
+
+
+def test_quantile_normalize_plan_broadcast_grid_one_rank_shuffle(spark):
+    """The grid must re-enter via a BROADCAST join (101 rows) and row
+    data must shuffle only for the per-source rank window — never a
+    global sort of the fact table."""
+    from etl_orders_to_bq_spark.operators.quality import quantile_normalize
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i % 37)) for i in range(500)],
+        "event_id long, event_type string, value double",
+    )
+    out = quantile_normalize(df, "value", "event_type", "event_id")
+    s = plan_summary(out)
+    assert any("Broadcast" in j for j in s["joins"]), s["joins"]
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s["joins"])
+    # source-rank window + the single-row grid agg; no fact-table sort
+    assert s["exchanges"] <= 4, s
+
+
+def test_hashed_classifier_plan_broadcast_weights_no_python(spark):
+    """Both hash families must stay pure-JVM (no Python eval at all)
+    with the weight table entering via broadcast and the doc sum
+    map-side combinable."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        hashed_linear_score,
+        seeded_weights,
+    )
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    w = seeded_weights(256)
+    for fn in ("md5", "xxhash64"):
+        out = hashed_linear_score(docs, w, hash_fn=fn)
+        s = plan_summary(out)
+        assert any("BroadcastHashJoin" in j for j in s["joins"]), (fn, s)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn
+
+
+def test_pq_encode_is_single_arrow_projection(spark):
+    """PQ encode must be one Arrow-batched projection: zero shuffles,
+    exactly one Python eval boundary."""
+    from etl_orders_to_bq_spark.operators.ann import pq_codebooks, pq_encode
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    df = spark.createDataFrame(
+        [(i, [float(j + i) for j in range(16)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_encode(df, pq_codebooks(dim=16, subspaces=4, codewords=8))
+    s = plan_summary(out)
+    assert s["exchanges"] == 0, s
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_adamic_adar_no_nested_loop_and_bounded_exchanges(spark):
+    """The wedge self-join must be a hash equi-join on the middle node
+    (degree rides WITH the edge row — no third shuffle for degrees)."""
+    from etl_orders_to_bq_spark.operators.graph import adamic_adar
+    from etl_orders_to_bq_spark.plans import plan_summary
+
+    edges = spark.createDataFrame(
+        [(i % 17, 100 + (i * 7) % 23) for i in range(300)],
+        "src long, dst long",
+    )
+    s = plan_summary(adamic_adar(edges))
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s["joins"])
+    # deg groupBy + deg join + wedge join + pair groupBy + anti join:
+    # all reusing node-keyed partitioning where AQE allows
+    assert s["exchanges"] <= 7, s
