@@ -5730,6 +5730,28 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch under the bounded-error gate
+    (operators/sketches.py countmin_check): exact per-route counts
+    (cross-engine comparable) + the sketch's published contract as
+    pinned booleans — never-undercounts per key (deterministic CM
+    guarantee) and the eps-bound miss count within confidence slack.
+    Same skewed route synthesis as heavy_hitters."""
+    from etl_orders_to_bq_spark.operators.sketches import countmin_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    routed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit("hot"))
+        .otherwise(
+            F.concat(
+                F.lit("r"), (F.col("l_partkey") % 997).cast("string")
+            )
+        )
+        .alias("route")
+    )
+    return countmin_check(routed, "route", top_keys=100).orderBy("key")
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism DP count release (operators/privacy.py) of
     the per-event-type histogram at epsilon=0.5: counts + seeded
@@ -5798,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "dp_noisy_counts": q_dp_noisy_counts,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "countmin_check": q_countmin_check,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10301,6 +10324,24 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # Count-Min bounded-error gate: exact counts are cross-engine;
+    # the sketch contract flags are pinned true
+    out["countmin_check"] = """
+        with routed as (
+          select case when l_orderkey % 10 < 7 then 'hot'
+                      else 'r' || cast(l_partkey % 997 as varchar)
+                 end as route
+          from lineitem
+        )
+        select key, exact_n,
+               true as never_undercounts, true as eps_bound_ok
+        from (
+          select route as key, count(*) as exact_n
+          from routed group by route
+          qualify row_number() over (order by exact_n desc, key) <= 100
+        )
+        order by key
     """
     # DP count release: identical md5 uniform + inverse-CDF Laplace
     out["dp_noisy_counts"] = """

@@ -129,3 +129,81 @@ def theta_distinct(
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+def countmin_check(
+    df: "DataFrame",
+    value_col: str,
+    eps: float = 0.005,
+    confidence: float = 0.99,
+    seed: int = 42,
+    max_keys: int = 100_000,
+    top_keys: int | None = None,
+) -> "DataFrame":
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005,
+    public literature; Spark's built-in ``count_min_sketch``
+    aggregate) verified against exact counts — the bounded-error gate
+    shape (``heavy_hitters``, ``ann_ivf_topk``): the sketch estimate
+    itself is engine-specific, its PUBLISHED CONTRACT is not. Returns
+    one row per key: ``(key, exact_n, never_undercounts,
+    eps_bound_ok)`` where
+
+    - ``never_undercounts``: estimate >= exact — CM's deterministic
+      guarantee (hash collisions only ADD); any false row is a broken
+      sketch;
+    - ``eps_bound_ok``: the NUMBER of keys whose estimate exceeds
+      exact + ceil(eps*N) stays within the confidence slack
+      (2x the expected miss count) — a distribution-level flag
+      repeated on every row so the oracle can pin it true.
+
+    Plan: one map-side-combinable exact groupBy + ONE sketch
+    aggregate over the same scan; point queries evaluate driver-side
+    on the (KB-sized) sketch over the collected key domain — the
+    sketch-serving pattern. ``max_keys`` bounds that collect
+    (limit-probe first, the graph-operator discipline): this gate
+    shape is for BOUNDED key domains; at 100 TB query only the keys
+    you care about against the broadcast sketch bytes.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    exact = df.groupBy(F.col(value_col).alias("key")).agg(
+        F.count("*").alias("exact_n")
+    )
+    probe = exact.limit(max_keys + 1).collect()
+    if len(probe) > max_keys:
+        raise ValueError(
+            f"key domain exceeds max_keys={max_keys}; countmin_check "
+            "is for bounded domains — query specific keys instead"
+        )
+    raw = df.agg(
+        F.count_min_sketch(
+            value_col, F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(seed),
+        ).alias("s")
+    ).first()["s"]
+    spark = df.sparkSession
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(raw))
+    )
+    n_total = sum(r["exact_n"] for r in probe)
+    slack = math.ceil(eps * n_total)
+    if top_keys is not None:
+        probe = sorted(
+            probe, key=lambda r: (-r["exact_n"], r["key"])
+        )[:top_keys]
+    rows = []
+    violations = 0
+    for r in probe:
+        est = cms.estimateCount(r["key"])
+        if est > r["exact_n"] + slack:
+            violations += 1
+        rows.append((r["key"], r["exact_n"], est >= r["exact_n"]))
+    allowed = max(5, math.ceil(2 * (1 - confidence) * len(probe)))
+    bound_ok = violations <= allowed
+    out = spark.createDataFrame(
+        rows, "key string, exact_n long, never_undercounts boolean"
+    )
+    return out.withColumn("eps_bound_ok", F.lit(bound_ok))

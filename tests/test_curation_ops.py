@@ -1242,3 +1242,23 @@ def test_quantile_normalize_property_bounds_and_monotone(spark):
             assert norms == sorted(norms)
 
     check()
+
+
+def test_countmin_check_contract(spark):
+    """CM estimates never undercount, the eps-bound flag holds on a
+    well-sized sketch, and the domain guard trips on max_keys."""
+    from etl_orders_to_bq_spark.operators.sketches import countmin_check
+
+    rows = [(f"k{i % 20}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "route string")
+    out = countmin_check(df, "route", eps=0.01, confidence=0.99).collect()
+    assert len(out) == 20
+    assert all(r["never_undercounts"] for r in out)
+    assert all(r["eps_bound_ok"] for r in out)
+    assert {r["exact_n"] for r in out} == {100}
+    top = countmin_check(df, "route", top_keys=5).collect()
+    assert len(top) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_keys"):
+        countmin_check(df, "route", max_keys=10)
