@@ -5730,6 +5730,60 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation harness — the 'measure, don't
+    guess' artifact for dedup configs: MinHash-LSH (4 hashes, 2
+    bands) candidates scored against the PLANTED exact-dup ground
+    truth (ids i ↔ i+100000): planted_found / planted_missed /
+    extra_pairs plus planted_recall and candidate_precision. Extra
+    pairs are candidates outside the planted set (possibly real
+    natural near-dups — the metric names say what is measured). The
+    oracle replays the full signature+banding pipeline and the same
+    full-outer-join scoring."""
+    from etl_orders_to_bq_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    found = minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2,
+        shingle_len=3,
+    ).select("id_a", "id_b")
+    truth = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    j = truth.withColumn("__t", F.lit(1)).join(
+        found.withColumn("__f", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    res = j.agg(
+        F.count(
+            F.when(F.col("__t").isNotNull() & F.col("__f").isNotNull(), 1)
+        ).alias("planted_found"),
+        F.count(
+            F.when(F.col("__t").isNotNull() & F.col("__f").isNull(), 1)
+        ).alias("planted_missed"),
+        F.count(F.when(F.col("__t").isNull(), 1)).alias("extra_pairs"),
+    )
+    pf = F.col("planted_found").cast("double")
+    return res.select(
+        F.lit("minhash_4x2").alias("method"),
+        "planted_found",
+        "planted_missed",
+        "extra_pairs",
+        F.round(
+            pf / F.greatest(
+                F.col("planted_found") + F.col("planted_missed"), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("planted_recall"),
+        F.round(
+            pf / F.greatest(
+                F.col("planted_found") + F.col("extra_pairs"), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("candidate_precision"),
+    )
+
+
 def q_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch under the bounded-error gate
     (operators/sketches.py countmin_check): exact per-route counts
@@ -5821,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts": q_dp_noisy_counts,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "countmin_check": q_countmin_check,
+        "dedup_eval": q_dedup_eval,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10324,6 +10379,60 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # blocking-eval harness: full signature+banding replay + the same
+    # full-outer scoring join
+    out["dedup_eval"] = f"""
+        with docs2 as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 100000, text from documents where doc_id < 10
+        ),
+        sig as (
+            select doc_id,
+                   {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                   {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+            from docs2
+        ),
+        banded as (
+            select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+            from sig where mh_0 is not null
+            union all
+            select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+            from sig where mh_0 is not null
+        ),
+        found as (
+            select distinct l.doc_id as id_a, r.doc_id as id_b
+            from banded l join banded r
+              on l.bk = r.bk and l.doc_id < r.doc_id
+        ),
+        truth as (
+            select doc_id as id_a, doc_id + 100000 as id_b
+            from documents where doc_id < 10
+        ),
+        j as (
+            select t.id_a as t_a, f.id_a as f_a
+            from truth t full join found f
+              on t.id_a = f.id_a and t.id_b = f.id_b
+        ),
+        c as (
+            select
+              count(case when t_a is not null and f_a is not null
+                         then 1 end) as planted_found,
+              count(case when t_a is not null and f_a is null
+                         then 1 end) as planted_missed,
+              count(case when t_a is null then 1 end) as extra_pairs
+            from j
+        )
+        select 'minhash_4x2' as method,
+               planted_found, planted_missed, extra_pairs,
+               round(planted_found::double
+                     / greatest(planted_found + planted_missed, 1), 6)
+                 as planted_recall,
+               round(planted_found::double
+                     / greatest(planted_found + extra_pairs, 1), 6)
+                 as candidate_precision
+        from c
     """
     # Count-Min bounded-error gate: exact counts are cross-engine;
     # the sketch contract flags are pinned true

@@ -57,3 +57,31 @@ def test_plans_md_covers_every_query():
         f"PLANS.md drift — missing rows: {sorted(qs - names)}; "
         f"stale rows: {sorted(names - qs)} (run scripts/plan_audit.py)"
     )
+
+
+def test_never_driver_verified_entries_lead_the_registry():
+    """The driver snapshots a 50-entry prefix of queries(), so every
+    entry with no CORRECTNESS row yet must sort BEFORE every entry that
+    already has one — otherwise new work silently never gets driver
+    rows (the rotation discipline)."""
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    covered = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        covered |= set(json.load(open(path)))
+    names = list(entry.queries())
+    unverified = [n for n in names if n not in covered]
+    if not unverified:
+        return
+    last_unverified = max(names.index(n) for n in unverified)
+    first_verified = min(
+        (names.index(n) for n in names if n in covered), default=len(names)
+    )
+    assert last_unverified < first_verified, (
+        f"never-driver-verified entries must lead the registry; "
+        f"{names[last_unverified]} at {last_unverified} sits after "
+        f"verified {names[first_verified]} at {first_verified}"
+    )
+    assert len(unverified) <= 50, (
+        "more never-verified entries than one driver snapshot covers — "
+        "rotation will strand some; keep the front <= 50"
+    )
