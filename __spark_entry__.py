@@ -5730,6 +5730,55 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data-card report — the one-query dashboard a
+    training-data pipeline publishes with every corpus snapshot:
+    document count, total/average whitespace tokens, English share,
+    and exact-duplicate rate (md5 fingerprint seen more than once
+    corpus-wide, attributed back to each source). One fingerprint
+    groupBy + one source groupBy; ratios are integer-count math
+    rounded at 6dp."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fp = F.md5(F.col("text"))
+    with_fp = d.withColumn("__fp", fp)
+    dup_fps = (
+        with_fp.groupBy("__fp")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__fp")
+    )
+    flagged = with_fp.join(
+        F.broadcast(dup_fps).withColumn("__dup", F.lit(1)), "__fp", "left"
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(
+        toks
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.round(
+                F.sum(n_tokens).cast("double") / F.count("*"), 6
+            ).alias("avg_tokens"),
+            F.round(
+                F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("en_share"),
+            F.round(
+                F.count(F.when(F.col("__dup") == 1, 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality evaluation harness — the 'measure, don't
     guess' artifact for dedup configs: MinHash-LSH (4 hashes, 2
@@ -5876,6 +5925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "countmin_check": q_countmin_check,
         "dedup_eval": q_dedup_eval,
+        "corpus_stats_report": q_corpus_stats_report,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10379,6 +10429,37 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # data-card report: same fingerprint + source aggregations
+    out["corpus_stats_report"] = """
+        with fp as (
+            select doc_id, text, lang, source, md5(text) as f
+            from documents
+        ),
+        dups as (
+            select f from fp group by f having count(*) > 1
+        ),
+        flagged as (
+            select fp.*, case when dups.f is not null then 1 end as dup
+            from fp left join dups on fp.f = dups.f
+        ),
+        toked as (
+            select source, lang, dup,
+                   case when length(trim(text)) = 0 then 0
+                        else len(regexp_extract_all(trim(text), '\\S+'))
+                   end as n_tokens
+            from flagged
+        )
+        select source,
+               count(*) as n_docs,
+               cast(sum(n_tokens) as bigint) as total_tokens,
+               round(sum(n_tokens)::double / count(*), 6) as avg_tokens,
+               round(count(case when lang = 'en' then 1 end)::double
+                     / count(*), 6) as en_share,
+               round(count(case when dup = 1 then 1 end)::double
+                     / count(*), 6) as dup_rate
+        from toked group by source
+        order by source
     """
     # blocking-eval harness: full signature+banding replay + the same
     # full-outer scoring join
