@@ -5730,6 +5730,120 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/fuzzy.py linkage_score) over (nation, market-segment)-
+    blocked customer pairs: three field comparators (name prefix,
+    account-balance sign, thousand-unit balance bucket) with fixed
+    (m, u) parameters — the log2-odds sum plus the match decision at
+    threshold 2. Weights are Python-computed literals, so the oracle
+    replays identical doubles; agreement is null-safe equality on
+    both engines. Blocking on two keys keeps the candidate set
+    linear-ish at every fixture SF (the production discipline:
+    blocking bounds pairs, scoring ranks them)."""
+    from etl_orders_to_bq_spark.operators.fuzzy import linkage_score
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", 1, 4).alias("name4"),
+        (F.col("c_acctbal") >= 0).alias("bal_pos"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("name4").alias("ph_a"),
+        F.col("bal_pos").alias("bp_a"),
+        F.col("bal_k").alias("bk_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("name4").alias("ph_b"),
+        F.col("bal_pos").alias("bp_b"),
+        F.col("bal_k").alias("bk_b"),
+    )
+    pairs = a.join(b, ["nk", "seg"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = linkage_score(
+        pairs,
+        [("ph_a", "ph_b"), ("bp_a", "bp_b"), ("bk_a", "bk_b")],
+        m_probs=[0.85, 0.95, 0.8],
+        u_probs=[0.1, 0.5, 0.15],
+        threshold=2.0,
+    )
+    return scored.select(
+        "id_a", "id_b", "fs_score", "is_match"
+    ).orderBy("id_a", "id_b")
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for the top-20 market-basket pairs
+    (support / confidence / lift — the classic trio over the
+    basket_pairs co-occurrence counts): in-basket pair generation via
+    array combinators (no fact self-join), item supports from the
+    same basket-filtered projection, metrics as integer-count ratios
+    rounded at 6dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        p.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__sz"))
+        .filter((F.col("__sz") >= 2) & (F.col("__sz") <= 20))
+        .select("l_orderkey")
+    )
+    q = p.join(sized, "l_orderkey", "left_semi")
+    nb = sized.agg(F.count("*").alias("__nb"))
+    items = q.groupBy("l_partkey").agg(F.count("*").alias("__ni"))
+    baskets = q.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    parts = F.col("parts")
+    pair_arrays = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pair_arrays).alias("pr"))
+        .groupBy("pr.part_a", "pr.part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    top = pc.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    ia = items.select(
+        F.col("l_partkey").alias("part_a"), F.col("__ni").alias("__na")
+    )
+    ib = items.select(
+        F.col("l_partkey").alias("part_b"), F.col("__ni").alias("__nbp")
+    )
+    out = (
+        top.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("__nb"), 6).alias("support"),
+        F.round(F.col("n_orders") / F.col("__na"), 6).alias("confidence"),
+        F.round(
+            (F.col("n_orders") * F.col("__nb"))
+            / (F.col("__na") * F.col("__nbp")),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("n_orders"), "part_a", "part_b")
+
+
 def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus data-card report — the one-query dashboard a
     training-data pipeline publishes with every corpus snapshot:
@@ -5926,6 +6040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_check": q_countmin_check,
         "dedup_eval": q_dedup_eval,
         "corpus_stats_report": q_corpus_stats_report,
+        "linkage_score": q_linkage_score,
+        "assoc_rules": q_assoc_rules,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10429,6 +10545,70 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # Fellegi-Sunter: literal log2-odds weights, null-safe agreement
+    out["linkage_score"] = """
+        with c as (
+          select c_custkey, c_nationkey, c_mktsegment,
+                 substr(c_name, 1, 4) as ph, c_acctbal >= 0 as bp,
+                 cast(floor(c_acctbal / 1000) as bigint) as bk
+          from customer
+        )
+        select a.c_custkey as id_a, b.c_custkey as id_b,
+               round(
+                 (case when a.ph is not distinct from b.ph
+                       then 3.0874628412503395 else -2.584962500721156 end)
+                 + (case when a.bp is not distinct from b.bp
+                         then 0.925999418556223 else -3.321928094887361 end)
+                 + (case when a.bk is not distinct from b.bk
+                         then 2.415037499278844 else -2.08746284125034 end), 6)
+                 as fs_score,
+               round(
+                 (case when a.ph is not distinct from b.ph
+                       then 3.0874628412503395 else -2.584962500721156 end)
+                 + (case when a.bp is not distinct from b.bp
+                         then 0.925999418556223 else -3.321928094887361 end)
+                 + (case when a.bk is not distinct from b.bk
+                         then 2.415037499278844 else -2.08746284125034 end), 6) >= 2.0
+                 as is_match
+        from c a join c b
+          on a.c_nationkey = b.c_nationkey
+         and a.c_mktsegment = b.c_mktsegment
+         and a.c_custkey < b.c_custkey
+        order by id_a, id_b
+    """
+    # association rules: same basket construction as basket_pairs plus
+    # item supports and the support/confidence/lift ratios
+    out["assoc_rules"] = """
+        with p as (select distinct l_orderkey, l_partkey from lineitem),
+        sized as (
+            select l_orderkey from p
+            group by l_orderkey having count(*) between 2 and 20
+        ),
+        q as (select p.* from p join sized using (l_orderkey)),
+        nb as (select count(*) as nb from sized),
+        items as (select l_partkey, count(*) as ni from q group by 1),
+        pc as (
+            select a.l_partkey as part_a, b.l_partkey as part_b,
+                   count(*) as n_orders
+            from q a join q b
+              on a.l_orderkey = b.l_orderkey
+             and a.l_partkey < b.l_partkey
+            group by 1, 2
+        ),
+        top as (
+            select * from pc
+            order by n_orders desc, part_a asc, part_b asc
+            limit 20
+        )
+        select part_a, part_b, n_orders,
+               round(n_orders / nb.nb, 6) as support,
+               round(n_orders / ia.ni, 6) as confidence,
+               round((n_orders * nb.nb) / (ia.ni * ib.ni), 6) as lift
+        from top, nb
+        join items ia on top.part_a = ia.l_partkey
+        join items ib on top.part_b = ib.l_partkey
+        order by n_orders desc, part_a, part_b
     """
     # data-card report: same fingerprint + source aggregations
     out["corpus_stats_report"] = """

@@ -272,11 +272,21 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 "ent_id", "name", "canonical_id"
             )
 
+        from etl_orders_to_bq_spark.multimodal import perceptual_hash
         from etl_orders_to_bq_spark.operators.classifier import (
             hashed_linear_score,
             seeded_weights,
         )
+        from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
         from etl_orders_to_bq_spark.operators.lm import bigram_logprob_scores
+
+        def _phash_pairs(d):
+            media = d.select(
+                F.col("doc_id").alias("id"),
+                F.encode("text", "UTF-8").alias("content"),
+            )
+            ph = perceptual_hash(media, codec="stub")
+            return hamming_pairs(ph, "phash", "id", bits=64, max_dist=3)
 
         clf_w = seeded_weights(1024, seed=17)
         probes = {
@@ -295,6 +305,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 d, clf_w, bias=0.05, threshold=0.5
             ),
             "bigram_logprob": lambda d: bigram_logprob_scores(d),
+            # image-fingerprint dedup: payload -> 8-byte hash is the
+            # map stage, pigeonhole join the pair stage
+            "phash_hamming3": _phash_pairs,
         }
         # warm the Arrow worker pool once (numpy path) so the 10x run
         # does not charge daemon startup to the operator

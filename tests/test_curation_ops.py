@@ -1262,3 +1262,46 @@ def test_countmin_check_contract(spark):
 
     with _pytest.raises(ValueError, match="max_keys"):
         countmin_check(df, "route", max_keys=10)
+
+
+def test_linkage_score_hand_computed(spark):
+    """FS log2-odds weights on a hand-built pair table, null-safe
+    agreement, threshold decision, and parameter validation."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.fuzzy import linkage_score
+
+    rows = [
+        (1, 2, "ann", "ann", True, True),     # both agree
+        (1, 3, "ann", "bob", True, False),    # one agrees
+        (1, 4, None, None, False, True),      # null vs null AGREES
+        (1, 5, "ann", None, True, True),      # null vs value disagrees
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, n_a string, n_b string, "
+              "b_a boolean, b_b boolean"
+    )
+    m, u = [0.9, 0.8], [0.1, 0.3]
+    out = {
+        r["id_b"]: (r["fs_score"], r["is_match"])
+        for r in linkage_score(
+            df, [("n_a", "n_b"), ("b_a", "b_b")], m, u, threshold=2.0
+        ).collect()
+    }
+    wa = [math.log2(mi / ui) for mi, ui in zip(m, u)]
+    wd = [
+        math.log2((1 - mi) / (1 - ui)) for mi, ui in zip(m, u)
+    ]
+    assert out[2] == (round(wa[0] + wa[1], 6), True)
+    # (ann, bob) and (True, False): both fields disagree
+    assert out[3] == (round(wd[0] + wd[1], 6), False)
+    # (None, None) AGREES null-safely; (False, True) disagrees
+    assert out[4][0] == round(wa[0] + wd[1], 6)
+    # (ann, None) disagrees; (True, True) agrees
+    assert out[5] == (round(wd[0] + wa[1], 6), False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="0 < u < m"):
+        linkage_score(df, [("n_a", "n_b")], [0.5], [0.6])
+    with _pytest.raises(ValueError, match="align"):
+        linkage_score(df, [("n_a", "n_b")], [0.9, 0.8], [0.1])

@@ -176,3 +176,23 @@ def test_decode_codec_dispatch_pil_and_stub(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="unknown codec"):
         b._decode_bytes(good, codec="libav")
+
+
+def test_perceptual_hash_pil_codec_gate(spark):
+    """codec='pil' must fail fast without Pillow; 'auto' falls back to
+    the stub silently; bits != 64 is rejected."""
+    import pytest
+
+    from etl_orders_to_bq_spark.multimodal import perceptual_hash
+    from etl_orders_to_bq_spark.multimodal.binary import _PILImage
+
+    df = spark.createDataFrame([(1, b"abc")], "id long, content binary")
+    if _PILImage is None:
+        with pytest.raises(RuntimeError, match="Pillow"):
+            perceptual_hash(df, codec="pil")
+    out = perceptual_hash(df, codec="auto").collect()
+    assert len(out) == 1 and out[0]["phash"] is not None
+    with pytest.raises(ValueError, match="bits"):
+        perceptual_hash(df, bits=32)
+    with pytest.raises(ValueError, match="codec"):
+        perceptual_hash(df, codec="webp")
