@@ -578,6 +578,23 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inbasket_pairs(parts_col: str = "parts") -> "F.Column":
+    """Ordered in-basket pairs from a SORTED array column: for each
+    element x at index i, pair it with every later element — the
+    no-fact-self-join combinator shared by basket_pairs,
+    item_similarity, and assoc_rules (one definition, three gates)."""
+    parts = F.col(parts_col)
+    return F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top 20 part pairs appearing in the
     same order. Parts are collected per order (bounded by a basket-size
@@ -590,16 +607,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter((F.size("parts") >= 2) & (F.size("parts") <= 20))
     )
-    parts = F.col("parts")
-    pair_arrays = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + F.lit(2), F.size(parts)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    pair_arrays = _inbasket_pairs("parts")
     pairs = baskets.select(F.explode(pair_arrays).alias("p")).select(
         "p.part_a", "p.part_b"
     )
@@ -624,16 +632,7 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter((F.size("parts") >= 2) & (F.size("parts") <= 20))
     )
-    parts = F.col("parts")
-    pair_arrays = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + F.lit(2), F.size(parts)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    pair_arrays = _inbasket_pairs("parts")
     co = (
         baskets.select(F.explode(pair_arrays).alias("p"))
         .select("p.part_a", "p.part_b")
@@ -5801,16 +5800,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = q.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    parts = F.col("parts")
-    pair_arrays = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + F.lit(2), F.size(parts)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    pair_arrays = _inbasket_pairs("parts")
     pc = (
         baskets.select(F.explode(pair_arrays).alias("pr"))
         .groupBy("pr.part_a", "pr.part_b")

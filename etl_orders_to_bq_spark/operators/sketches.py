@@ -166,8 +166,9 @@ def countmin_check(
     """
     import math
 
-    from pyspark.sql import functions as F
-
+    # null keys are excluded up front: the sketch aggregate skips
+    # nulls anyway, and CountMinSketch.estimateCount(null) NPEs
+    df = df.filter(F.col(value_col).isNotNull())
     exact = df.groupBy(F.col(value_col).alias("key")).agg(
         F.count("*").alias("exact_n")
     )
@@ -203,7 +204,16 @@ def countmin_check(
         rows.append((r["key"], r["exact_n"], est >= r["exact_n"]))
     allowed = max(5, math.ceil(2 * (1 - confidence) * len(probe)))
     bound_ok = violations <= allowed
-    out = spark.createDataFrame(
-        rows, "key string, exact_n long, never_undercounts boolean"
+    from pyspark.sql import types as T
+
+    # key keeps the INPUT column's type (the semdedup grouped-schema
+    # rule: never silently coerce ids/keys to string)
+    schema = T.StructType(
+        [
+            T.StructField("key", df.schema[value_col].dataType, True),
+            T.StructField("exact_n", T.LongType(), False),
+            T.StructField("never_undercounts", T.BooleanType(), False),
+        ]
     )
+    out = spark.createDataFrame(rows, schema)
     return out.withColumn("eps_bound_ok", F.lit(bound_ok))

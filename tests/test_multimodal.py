@@ -187,11 +187,18 @@ def test_perceptual_hash_pil_codec_gate(spark):
     from etl_orders_to_bq_spark.multimodal.binary import _PILImage
 
     df = spark.createDataFrame([(1, b"abc")], "id long, content binary")
+    out = perceptual_hash(df, codec="auto").collect()
     if _PILImage is None:
         with pytest.raises(RuntimeError, match="Pillow"):
             perceptual_hash(df, codec="pil")
-    out = perceptual_hash(df, codec="auto").collect()
-    assert len(out) == 1 and out[0]["phash"] is not None
+        # stub fallback hashes any bytes deterministically
+        assert len(out) == 1 and out[0]["phash"] is not None
+    else:
+        # real codec: undecodable bytes -> null hash (bad-blob rule)
+        assert len(out) == 1 and out[0]["phash"] is None
+    # the stub path is environment-independent
+    stub = perceptual_hash(df, codec="stub").collect()
+    assert stub[0]["phash"] is not None
     with pytest.raises(ValueError, match="bits"):
         perceptual_hash(df, bits=32)
     with pytest.raises(ValueError, match="codec"):
