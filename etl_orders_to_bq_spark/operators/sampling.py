@@ -34,21 +34,21 @@ def hash_negatives(
     the standard contrastive setup; collisions between an anchor's k
     draws are allowed and rare for k << n).
 
-    Scale: the id->rank map is one window over distinct ids — bounded
-    by the id population, not the fact table (and replaceable by a
-    precomputed dense index at the billion-id scale); the resolve join
-    shuffles (rank, anchor) int pairs only. The anchor table never
-    moves: at 100 TB emit (anchor_id, neg_id) and join payloads
-    downstream, anchor-partitioned.
+    Scale: the id->rank map is an exact dense numbering of DISTINCT
+    ids via ``ranking.global_row_number`` (range partitioning +
+    broadcast prefix offsets — no single-partition window), bounded by
+    the id population, not the fact table; the resolve join shuffles
+    (rank, anchor) int pairs only. The anchor table never moves: at
+    100 TB emit (anchor_id, neg_id) and join payloads downstream,
+    anchor-partitioned.
     """
-    from pyspark.sql import Window
+    from .ranking import global_row_number
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     ids = df.select(F.col(id_col)).distinct()
-    ranked = ids.select(
-        id_col,
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__rank"),
+    ranked = global_row_number(ids, [F.col(id_col)], out_col="__rn").select(
+        id_col, (F.col("__rn") - 1).alias("__rank")
     )
     # stage once: the rank window otherwise re-executes for the count
     # job AND both sides of the resolve join (three global sorts)
