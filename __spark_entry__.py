@@ -5959,6 +5959,34 @@ def q_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_check(routed, "route", top_keys=100).orderBy("key")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-mean drift report (operators/embstats.py):
+    L1 distance between each label's per-dimension mean vector and
+    the global one, with sorted-fold means snapped at 6dp — the
+    encoder-drift / domain-shift check a vector corpus publishes with
+    every snapshot. The oracle replays the sorted folds and
+    dimension-ordered gap sum with list_reduce."""
+    from etl_orders_to_bq_spark.operators.embstats import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(e, "label", "embedding")
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (operators/graph.py
+    neighbor_jaccard) over the same customer-order bipartite
+    contraction as adamic_adar — the normalized companion score
+    (common / union of neighborhoods), integer-count math until one
+    rounded division, existing edges excluded."""
+    from etl_orders_to_bq_spark.operators.graph import neighbor_jaccard
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("src"),
+        (F.lit(1000) + F.col("o_orderkey") % 97).alias("dst"),
+    )
+    return neighbor_jaccard(o).orderBy("node_a", "node_b")
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism DP count release (operators/privacy.py) of
     the per-event-type histogram at epsilon=0.5: counts + seeded
@@ -6032,6 +6060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_report": q_corpus_stats_report,
         "linkage_score": q_linkage_score,
         "assoc_rules": q_assoc_rules,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "embedding_drift": q_embedding_drift,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10535,6 +10565,80 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # embedding drift: sorted-fold means at 6dp, dim-ordered gap fold
+    out["embedding_drift"] = """
+        with f as (
+          select label as grp, u.i - 1 as dim,
+                 embedding[u.i]::double as v
+          from embeddings,
+               lateral (select unnest(range(1, 1 + len(embedding))) as i) u
+          where embedding is not null
+        ),
+        pg as (
+          select grp, dim, count(*) as n,
+                 round(list_reduce(
+                   list_prepend(0.0::double, list(v order by v)),
+                   (acc, x) -> acc + x) / count(*), 6) as m
+          from f group by grp, dim
+        ),
+        gm as (
+          select dim,
+                 round(list_reduce(
+                   list_prepend(0.0::double, list(v order by v)),
+                   (acc, x) -> acc + x) / count(*), 6) as g
+          from f group by dim
+        ),
+        d as (
+          select pg.grp, pg.dim, pg.n,
+                 round(abs(pg.m - gm.g), 6) as gap
+          from pg join gm using (dim)
+        )
+        select grp as label,
+               cast(max(n) as bigint) as n_vecs,
+               round(list_reduce(
+                 list_prepend(0.0::double, list(gap order by dim)),
+                 (acc, x) -> acc + x), 6) as l1_drift,
+               max(gap) as max_dim_drift
+        from d group by grp
+        order by label
+    """
+    # neighborhood Jaccard: same wedge replay, integer counts, one
+    # rounded division
+    out["neighbor_jaccard"] = """
+        with e0 as (
+          select o_custkey % 150 as src, 1000 + o_orderkey % 97 as dst
+          from orders
+        ),
+        sym as (
+          select src as a, dst as b from e0 where src <> dst
+          union
+          select dst as a, src as b from e0 where src <> dst
+        ),
+        deg as (select a, count(*) as d from sym group by a),
+        mid as (
+          select s.a as z, s.b as nb
+          from sym s join deg using (a) where deg.d >= 2
+        ),
+        common as (
+          select l.nb as node_a, r.nb as node_b, count(*) as cn
+          from mid l join mid r on l.z = r.z
+          where l.nb < r.nb
+          group by 1, 2
+        ),
+        scored as (
+          select c.node_a, c.node_b, c.cn as common_neighbors,
+                 round(c.cn / (da.d + db.d - c.cn), 6) as jaccard
+          from common c
+          join deg da on da.a = c.node_a
+          join deg db on db.a = c.node_b
+        )
+        select * from scored
+        where not exists (
+          select 1 from sym
+          where sym.a = scored.node_a and sym.b = scored.node_b
+        )
+        order by node_a, node_b
     """
     # Fellegi-Sunter: literal log2-odds weights, null-safe agreement
     out["linkage_score"] = """

@@ -1305,3 +1305,49 @@ def test_linkage_score_hand_computed(spark):
         linkage_score(df, [("n_a", "n_b")], [0.5], [0.6])
     with _pytest.raises(ValueError, match="align"):
         linkage_score(df, [("n_a", "n_b")], [0.9, 0.8], [0.1])
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    """Path 1-2-3 plus hub 0: J(1,3) = |{0,2}| / |{0,2} ∪ {0,2}| = 1.0
+    (their neighborhoods coincide); existing edges are excluded."""
+    from etl_orders_to_bq_spark.operators.graph import neighbor_jaccard
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in neighbor_jaccard(df).collect()
+    }
+    # only non-edge 2-hop pair is (1,3); N(1)={0,2}, N(3)={0,2}
+    assert got == {(1, 3): (2, 1.0)}
+    all_pairs = {
+        (r["node_a"], r["node_b"]): r["jaccard"]
+        for r in neighbor_jaccard(df, include_existing=True).collect()
+    }
+    # (0,1): N(0)={1,2,3}, N(1)={0,2} -> common {2}; union 3+2-1=4
+    assert all_pairs[(0, 1)] == 0.25
+
+
+def test_embedding_drift_zero_for_identical_groups(spark):
+    """Groups with identical distributions drift zero; a shifted group
+    drifts by the per-dim shift times dims (L1)."""
+    from etl_orders_to_bq_spark.operators.embstats import embedding_drift
+
+    base = [[1.0, 2.0], [3.0, 4.0]]
+    rows = (
+        [(0, v) for v in base]
+        + [(1, v) for v in base]
+        + [(2, [x + 1.0 for x in v]) for v in base]
+    )
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        r["label"]: (r["n_vecs"], r["l1_drift"], r["max_dim_drift"])
+        for r in embedding_drift(df).collect()
+    }
+    # global mean per dim: dim0 (1+3+1+3+2+4)/6 = 7/3; groups 0,1 mean 2
+    third = round(abs(2.0 - round(14 / 6, 6)), 6)
+    assert got[0] == (2, round(2 * third, 6), third)
+    assert got[0] == got[1]
+    # shifted group: per-dim mean 3 -> gap = |3 - 7/3|
+    gap2 = round(abs(3.0 - round(14 / 6, 6)), 6)
+    assert got[2] == (2, round(2 * gap2, 6), gap2)
