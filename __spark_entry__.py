@@ -5959,6 +5959,27 @@ def q_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_check(routed, "route", top_keys=100).orderBy("key")
 
 
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (k=5): per source,
+    documents rank in md5 order and folds cycle rank % k — every fold
+    gets an EXACT 1/k share per stratum (plus-minus one), reproducible
+    on any engine at any parallelism (the exact_split contract
+    extended to cross-validation). The summary reports per
+    (source, fold) counts, so a broken assignment shows up as count
+    skew, not hidden per-row noise."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    fold = F.pmod(F.row_number().over(w) - 1, F.lit(5))
+    return (
+        d.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "fold")
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-mean drift report (operators/embstats.py):
     L1 distance between each label's per-dimension mean vector and
@@ -6062,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "neighbor_jaccard": q_neighbor_jaccard,
         "embedding_drift": q_embedding_drift,
+        "kfold_assign": q_kfold_assign,
         # -- driver-verified in round 5 --
         "streaming_kll_median": q_streaming_kll_median,
         "equidepth_histogram": q_equidepth_histogram,
@@ -10565,6 +10587,20 @@ def oracle_sql() -> dict[str, str]:
         from probes p join ranked r on p.rnk = r.rnk
         where levenshtein(p.key_a, r.name) <= 2
         order by id_a, id_b
+    """
+    # k-fold: identical md5 rank + rank % k cycle
+    out["kfold_assign"] = """
+        with r as (
+          select doc_id, source,
+                 row_number() over (
+                   partition by source
+                   order by md5(cast(doc_id as varchar)), doc_id
+                 ) - 1 as rn
+          from documents
+        )
+        select source, rn % 5 as fold, count(*) as n
+        from r group by source, fold
+        order by source, fold
     """
     # embedding drift: sorted-fold means at 6dp, dim-ordered gap fold
     out["embedding_drift"] = """
