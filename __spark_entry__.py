@@ -5034,7 +5034,13 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNSORTED — at 100 TB with a loose threshold the match set is
     unbounded and a global sort over it would be a full-shuffle
     scale-killer (the gate hash is order-insensitive; the oracle keeps
-    its ORDER BY only for its own determinism)."""
+    its ORDER BY only for its own determinism).
+
+    NOTE: this is a deliberate EXACT linear scan — the oracle-grade
+    baseline for range semantics. At scale, point users at the indexed
+    paths instead: operators/ann.py ann_topk_ivf (cluster-partitioned,
+    probe-bounded) or ann_topk_lsh/PQ — range search over an IVF index
+    is the same search with the distance filter replacing top-k."""
     from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -10676,8 +10682,20 @@ def oracle_sql() -> dict[str, str]:
         )
         order by node_a, node_b
     """
-    # Fellegi-Sunter: literal log2-odds weights, null-safe agreement
-    out["linkage_score"] = """
+    # Fellegi-Sunter: log2-odds weights DERIVED from the same (m, u)
+    # params q_linkage_score passes (repr of math.log2, so the oracle
+    # replays bit-identical IEEE doubles — never hand-copied literals)
+    _fs_mu = [(0.85, 0.1), (0.95, 0.5), (0.8, 0.15)]  # ph, bp, bk
+    _fs_w = [
+        (repr(math.log2(m / u)), repr(math.log2((1.0 - m) / (1.0 - u))))
+        for m, u in _fs_mu
+    ]
+    _fs_sum = " + ".join(
+        f"(case when a.{f} is not distinct from b.{f}"
+        f" then {aw} else {dw} end)"
+        for f, (aw, dw) in zip(("ph", "bp", "bk"), _fs_w)
+    )
+    out["linkage_score"] = f"""
         with c as (
           select c_custkey, c_nationkey, c_mktsegment,
                  substr(c_name, 1, 4) as ph, c_acctbal >= 0 as bp,
@@ -10685,22 +10703,8 @@ def oracle_sql() -> dict[str, str]:
           from customer
         )
         select a.c_custkey as id_a, b.c_custkey as id_b,
-               round(
-                 (case when a.ph is not distinct from b.ph
-                       then 3.0874628412503395 else -2.584962500721156 end)
-                 + (case when a.bp is not distinct from b.bp
-                         then 0.925999418556223 else -3.321928094887361 end)
-                 + (case when a.bk is not distinct from b.bk
-                         then 2.415037499278844 else -2.08746284125034 end), 6)
-                 as fs_score,
-               round(
-                 (case when a.ph is not distinct from b.ph
-                       then 3.0874628412503395 else -2.584962500721156 end)
-                 + (case when a.bp is not distinct from b.bp
-                         then 0.925999418556223 else -3.321928094887361 end)
-                 + (case when a.bk is not distinct from b.bk
-                         then 2.415037499278844 else -2.08746284125034 end), 6) >= 2.0
-                 as is_match
+               round({_fs_sum}, 6) as fs_score,
+               round({_fs_sum}, 6) >= 2.0 as is_match
         from c a join c b
           on a.c_nationkey = b.c_nationkey
          and a.c_mktsegment = b.c_mktsegment
@@ -10850,7 +10854,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         noise as (
           select event_type, n,
-                 ('0x' || substr(md5(event_type || '|' || '42'),
+                 ('0x' || substr(md5(coalesce(event_type, '␀')
+                                     || '|' || '42'),
                                  1, 8))::bigint as h
           from counts
         )

@@ -845,6 +845,7 @@ def neighbor_jaccard(
     include_existing: bool = False,
     ndigits: int = 6,
     checkpoint_path: str | None = None,
+    broadcast_degrees: bool = False,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction for 2-hop pairs:
 
@@ -858,10 +859,17 @@ def neighbor_jaccard(
     unless ``include_existing=True``.
 
     Plan shape: the adamic_adar wedge join (degree rides with the
-    edge row), an integer-count groupBy per pair, then TWO broadcast
-    joins against the degree table for the union denominator — all
+    edge row), an integer-count groupBy per pair, then TWO joins
+    against the |V|-row degree table for the union denominator — all
     integer math until the final rounded division, so the oracle is
     trivially exact. ``max_degree`` is the same mirrored hub guard.
+
+    The denominator join side is |V| rows, so by default no broadcast
+    hint is forced — AQE picks broadcast when the degree table fits
+    under ``spark.sql.autoBroadcastJoinThreshold`` and sort-merge when
+    it doesn't (a forced hint on a billion-node graph would OOM the
+    driver). Pass ``broadcast_degrees=True`` only when |V| is known
+    small (see SCALING.md).
     """
     sym = stage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -896,9 +904,11 @@ def neighbor_jaccard(
     db = deg.select(
         F.col("a").alias("node_b"), F.col("__deg").alias("__db")
     )
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
     scored = (
-        common.join(F.broadcast(da), "node_a")
-        .join(F.broadcast(db), "node_b")
+        common.join(da, "node_a")
+        .join(db, "node_b")
         .select(
             "node_a",
             "node_b",

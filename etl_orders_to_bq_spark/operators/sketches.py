@@ -131,6 +131,140 @@ def theta_distinct(
     )
 
 
+_INT_MASK = 0xFFFFFFFF
+_LONG_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _i32(v: int) -> int:
+    """Wrap to Java int (signed 32-bit) semantics."""
+    v &= _INT_MASK
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _i64(v: int) -> int:
+    """Wrap to Java long (signed 64-bit) semantics."""
+    v &= _LONG_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _rotl32(v: int, n: int) -> int:
+    v &= _INT_MASK
+    return ((v << n) | (v >> (32 - n))) & _INT_MASK
+
+
+def _spark_murmur3_bytes(data: bytes, seed: int) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes over a byte array
+    (sql/catalyst Murmur3_x86_32.java — intentionally NOT standard
+    murmur3: the 4-byte-aligned prefix hashes by little-endian int,
+    then each TAIL byte is sign-extended and fully mixed as its own
+    word). Returns a signed Java int."""
+    h1 = seed & _INT_MASK
+    aligned = len(data) - len(data) % 4
+    for off in range(0, aligned, 4):
+        k1 = int.from_bytes(data[off : off + 4], "little")
+        k1 = (k1 * 0xCC9E2D51) & _INT_MASK
+        k1 = _rotl32(k1, 15)
+        k1 = (k1 * 0x1B873593) & _INT_MASK
+        h1 = _rotl32(h1 ^ k1, 13)
+        h1 = (h1 * 5 + 0xE6546B64) & _INT_MASK
+    for off in range(aligned, len(data)):
+        b = data[off]
+        k1 = b - 256 if b >= 128 else b  # Java byte sign-extension
+        k1 = (k1 * 0xCC9E2D51) & _INT_MASK
+        k1 = _rotl32(k1, 15)
+        k1 = (k1 * 0x1B873593) & _INT_MASK
+        h1 = _rotl32(h1 ^ k1, 13)
+        h1 = (h1 * 5 + 0xE6546B64) & _INT_MASK
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _INT_MASK
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _INT_MASK
+    h1 ^= h1 >> 16
+    return _i32(h1)
+
+
+class CountMinSketchBytes:
+    """Pure-Python reader for Spark's serialized CountMinSketch (the
+    bytes the ``count_min_sketch`` SQL aggregate returns).
+
+    Parses the public V1 wire format written by
+    ``org.apache.spark.util.sketch.CountMinSketchImpl.writeTo`` —
+    big-endian: int version(=1), long totalCount, int depth, int
+    width, long hashA[depth], long table[depth][width] — and
+    replicates its two probe paths bit-for-bit:
+
+    - longs: ``hash = hashA[i] * item; hash += hash >> 32;
+      hash &= (2^31 - 1); bucket = (int) hash % width`` (Java
+      overflow/arithmetic-shift semantics);
+    - strings/binary: Spark-variant murmur3 double hashing,
+      ``abs((h1 + i * h2) % width)`` with Java int wraparound.
+
+    Why: probing through ``spark._jvm`` is a private py4j bridge that
+    breaks under Spark Connect and costs a JVM round-trip per key;
+    this reader runs anywhere the bytes do (pytest asserts parity
+    against the JVM readback when a classic session is available).
+    """
+
+    _PRIME_MODULUS = (1 << 31) - 1
+
+    def __init__(self, raw: bytes):
+        import struct
+
+        ver, self.total_count, self.depth, self.width = (
+            struct.unpack_from(">iqii", raw, 0)
+        )
+        if ver != 1:
+            raise ValueError(f"unsupported CountMinSketch version {ver}")
+        off = 20
+        self.hash_a = list(
+            struct.unpack_from(f">{self.depth}q", raw, off)
+        )
+        off += self.depth * 8
+        n = self.depth * self.width
+        flat = struct.unpack_from(f">{n}q", raw, off)
+        self.table = [
+            flat[i * self.width : (i + 1) * self.width]
+            for i in range(self.depth)
+        ]
+
+    def _buckets_long(self, item: int) -> list[int]:
+        out = []
+        for a in self.hash_a:
+            h = _i64(a * item)
+            h = _i64(h + (h >> 32))
+            h &= self._PRIME_MODULUS
+            out.append(h % self.width)
+        return out
+
+    def _buckets_binary(self, data: bytes) -> list[int]:
+        h1 = _spark_murmur3_bytes(data, 0)
+        h2 = _spark_murmur3_bytes(data, h1 & _INT_MASK)
+        out = []
+        for i in range(self.depth):
+            v = _i32(h1 + i * h2)
+            # Java % keeps the dividend's sign; Math.abs then flips it
+            r = v % self.width if v >= 0 else -((-v) % self.width)
+            out.append(abs(r))
+        return out
+
+    def estimate(self, item) -> int:
+        """Point-frequency estimate, dispatching exactly like
+        ``CountMinSketch.estimateCount``: str -> UTF-8 binary path,
+        bytes -> binary path, int/bool -> long path."""
+        if isinstance(item, str):
+            buckets = self._buckets_binary(item.encode("utf-8"))
+        elif isinstance(item, (bytes, bytearray)):
+            buckets = self._buckets_binary(bytes(item))
+        elif isinstance(item, (int, bool)):
+            buckets = self._buckets_long(int(item))
+        else:
+            raise TypeError(f"unsupported key type {type(item)}")
+        return min(
+            self.table[i][b] for i, b in enumerate(buckets)
+        )
+
+
 def countmin_check(
     df: "DataFrame",
     value_col: str,
@@ -185,10 +319,9 @@ def countmin_check(
         ).alias("s")
     ).first()["s"]
     spark = df.sparkSession
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(raw))
-    )
+    # pure-Python readback of the public V1 wire format — no private
+    # spark._jvm bridge (Connect-safe) and no per-key py4j round-trip
+    cms = CountMinSketchBytes(bytes(raw))
     n_total = sum(r["exact_n"] for r in probe)
     slack = math.ceil(eps * n_total)
     if top_keys is not None:
@@ -198,7 +331,7 @@ def countmin_check(
     rows = []
     violations = 0
     for r in probe:
-        est = cms.estimateCount(r["key"])
+        est = cms.estimate(r["key"])
         if est > r["exact_n"] + slack:
             violations += 1
         rows.append((r["key"], r["exact_n"], est >= r["exact_n"]))

@@ -1264,6 +1264,48 @@ def test_countmin_check_contract(spark):
         countmin_check(df, "route", max_keys=10)
 
 
+def test_countmin_bytes_parity_with_jvm(spark):
+    """CountMinSketchBytes (pure-Python V1 wire-format reader) returns
+    bit-identical estimates to the JVM's CountMinSketch.readFrom for
+    long AND string keys — including murmur tail lengths 0-3, multi-
+    byte UTF-8, negative/boundary longs. Skips under Spark Connect
+    (where the JVM oracle side is unreachable — the reader itself is
+    the Connect-safe path)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.sketches import (
+        CountMinSketchBytes,
+    )
+
+    if not hasattr(spark, "_jvm") or spark._jvm is None:
+        _pytest.skip("classic JVM bridge unavailable")
+    jvm = spark._jvm
+
+    longs = [0, 1, -1, 7, -7, 2**31, -(2**31), 2**62, -(2**62) + 3]
+    strs = ["", "a", "ab", "abc", "abcd", "é", "日本語", "key_42",
+            "x" * 37]
+    for schema, keys, rows in [
+        ("k long", longs, [(v,) for v in longs * 300]),
+        ("k string", strs, [(v,) for v in strs * 300]),
+    ]:
+        df = spark.createDataFrame(rows, schema)
+        raw = bytes(
+            df.agg(
+                F.count_min_sketch(
+                    "k", F.lit(0.001), F.lit(0.99), F.lit(42)
+                ).alias("s")
+            ).first()["s"]
+        )
+        py = CountMinSketchBytes(raw)
+        jv = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(raw)
+        )
+        assert py.total_count == jv.totalCount()
+        for k in keys:
+            assert py.estimate(k) == jv.estimateCount(k), k
+
+
 def test_linkage_score_hand_computed(spark):
     """FS log2-odds weights on a hand-built pair table, null-safe
     agreement, threshold decision, and parameter validation."""
@@ -1301,8 +1343,21 @@ def test_linkage_score_hand_computed(spark):
     assert out[5] == (round(wd[0] + wa[1], 6), False)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="0 < u < m"):
-        linkage_score(df, [("n_a", "n_b")], [0.5], [0.6])
+    # u >= m is LEGAL (negatively-discriminating comparator): the
+    # agreement weight goes negative, disagreement positive
+    neg = {
+        r["id_b"]: r["fs_score"]
+        for r in linkage_score(
+            df, [("n_a", "n_b")], [0.5], [0.6]
+        ).collect()
+    }
+    assert neg[2] == round(math.log2(0.5 / 0.6), 6) < 0
+    assert neg[3] == round(math.log2(0.5 / 0.4), 6) > 0
+    # only out-of-range probabilities raise now
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        linkage_score(df, [("n_a", "n_b")], [1.0], [0.1])
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        linkage_score(df, [("n_a", "n_b")], [0.9], [0.0])
     with _pytest.raises(ValueError, match="align"):
         linkage_score(df, [("n_a", "n_b")], [0.9, 0.8], [0.1])
 
