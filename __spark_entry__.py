@@ -6051,198 +6051,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
     Ordering note: the correctness driver snapshots a prefix of this
-    dict, so entries not yet covered by a recorded CORRECTNESS round
-    are listed first (rotated each round); names are stable across
-    rounds so history accumulates.
+    dict, so entries are STALEST-VERIFIED-FIRST — never-verified new
+    work leads, then ascending by last CORRECTNESS round, bounding
+    every query's re-verification age to ~|registry|/50 rounds.
+    scripts/registry_rotate.py regenerates the ordering (run it after
+    adding queries or when a new CORRECTNESS_r*.json lands);
+    tests/test_registry.py pins it. Names are stable across rounds so
+    history accumulates.
     """
     return {
-        # -- round-6 front: the final 9 entries with no driver CORRECTNESS
-        #    row yet (3 rolled over from the r5 53-entry front + the 6
-        #    queries added in round 5 past the snapshot; all locally gated
-        #    at sf0.01 via scripts/check_correctness.py). --
-        "k_anonymity": q_k_anonymity,
-        "funnel_latency": q_funnel_latency,
-        "reconciliation": q_reconciliation,
-        "semdedup_kmeans": q_semdedup_kmeans,
-        "quality_classifier": q_quality_classifier,
-        "zorder_layout": q_zorder_layout,
-        "winsorize_robust": q_winsorize_robust,
-        "bigram_logprob": q_bigram_logprob,
-        "label_propagation": q_label_propagation,
-        # -- new in round 6 (never driver-verified; within the 50-entry
-        #    snapshot so they get driver rows this round) --
-        "adamic_adar": q_adamic_adar,
-        "ewma_level": q_ewma_level,
-        "quantile_normalize": q_quantile_normalize,
-        "ann_pq_topk": q_ann_pq_topk,
-        "phash_neardup": q_phash_neardup,
-        "l_diversity": q_l_diversity,
-        "ks_drift": q_ks_drift,
-        "hash_negatives": q_hash_negatives,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "dp_noisy_counts": q_dp_noisy_counts,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "countmin_check": q_countmin_check,
-        "dedup_eval": q_dedup_eval,
-        "corpus_stats_report": q_corpus_stats_report,
-        "linkage_score": q_linkage_score,
-        "assoc_rules": q_assoc_rules,
-        "neighbor_jaccard": q_neighbor_jaccard,
-        "embedding_drift": q_embedding_drift,
-        "kfold_assign": q_kfold_assign,
-        # -- driver-verified in round 5 --
-        "streaming_kll_median": q_streaming_kll_median,
-        "equidepth_histogram": q_equidepth_histogram,
-        "dedup_embedding": q_dedup_embedding,
-        "semdedup": q_semdedup,
-        "span_dedup": q_span_dedup,
-        "rrf_fusion": q_rrf_fusion,
-        "importance_weights": q_importance_weights,
-        "streaming_merge_upsert": q_streaming_merge_upsert,
-        "entity_resolution": q_entity_resolution,
-        "triangle_count": q_triangle_count,
-        "pmi_bigrams": q_pmi_bigrams,
-        "simhash_hamming": q_simhash_hamming,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "geo_radius_join": q_geo_radius_join,
-        "mad_outliers": q_mad_outliers,
-        "attribution": q_attribution,
-        "shortest_paths": q_shortest_paths,
-        "skipgram_pairs": q_skipgram_pairs,
-        "interval_merge": q_interval_merge,
-        "url_funcs": q_url_funcs,
-        "snapshot_diff": q_snapshot_diff,
-        "rolling_active_hll": q_rolling_active_hll,
-        "ab_test": q_ab_test,
-        "exact_split": q_exact_split,
-        "chi2_independence": q_chi2_independence,
-        "ranking_metrics": q_ranking_metrics,
-        "ohlc_bars": q_ohlc_bars,
-        "item_similarity": q_item_similarity,
-        "rule_quarantine": q_rule_quarantine,
-        "source_kl": q_source_kl,
-        "weighted_reservoir": q_weighted_reservoir,
-        "gini_concentration": q_gini_concentration,
-        "streaming_ohlc": q_streaming_ohlc,
-        "survivorship": q_survivorship,
-        "event_transitions": q_event_transitions,
-        "source_overlap": q_source_overlap,
-        "kcore": q_kcore,
-        "benford_digits": q_benford_digits,
-        "survival_curve": q_survival_curve,
-        "readability": q_readability,
-        "wilson_ci": q_wilson_ci,
-        "cusum_drift": q_cusum_drift,
-        "sql_udf": q_sql_udf,
-        "sql_pipe": q_sql_pipe,
-        "seasonality_profile": q_seasonality_profile,
-        "pareto_share": q_pareto_share,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "source_entropy": q_source_entropy,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "psi_drift": q_psi_drift,
-        # -- driver-verified in round 4 --
-        "grouping_sets": q_grouping_sets,
-        "unpivot": q_unpivot,
-        "regex_extract": q_regex_extract,
-        "map_funcs": q_map_funcs,
-        "nullsafe_join": q_nullsafe_join,
-        "filtered_agg": q_filtered_agg,
-        "explode_tokens": q_explode_tokens,
-        "pivot_agg": q_pivot_agg,
-        "grouped_zscore": q_grouped_zscore,
-        "events_window": q_events_window,
-        "analytic_funcs": q_analytic_funcs,
-        "cross_join": q_cross_join,
-        "bitwise_funcs": q_bitwise_funcs,
-        "interval_arith": q_interval_arith,
-        "posexplode_tokens": q_posexplode_tokens,
-        "struct_funcs": q_struct_funcs,
-        "stratified_sample": q_stratified_sample,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "gap_fill": q_gap_fill,
-        "date_spine": q_date_spine,
-        "variant_json": q_variant_json,
-        "pii_redact": q_pii_redact,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "contamination_check": q_contamination_check,
-        "funnel_paths": q_funnel_paths,
-        "top_terms": q_top_terms,
-        "cohort_retention": q_cohort_retention,
-        "decile_report": q_decile_report,
-        "activity_islands": q_activity_islands,
-        "rolling_active_users": q_rolling_active_users,
-        "histogram_bucket": q_histogram_bucket,
-        "weighted_sample": q_weighted_sample,
-        "ann_range_search": q_ann_range_search,
-        "regression_agg": q_regression_agg,
-        "mode_median_agg": q_mode_median_agg,
-        "lateral_topn": q_lateral_topn,
-        "xml_funcs": q_xml_funcs,
-        "streaming_outer_join": q_streaming_outer_join,
-        "text_repetition": q_text_repetition,
-        "sketch_agg": q_sketch_agg,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "sketch_rollup_merge": q_sketch_rollup_merge,
-        # -- new in round 4 --
-        "kll_quantile_groups": q_kll_quantile_groups,
-        "theta_set_ops": q_theta_set_ops,
-        "streaming_approx_distinct": q_streaming_approx_distinct,
-        "heavy_hitters": q_heavy_hitters,
-        "token_budget_mix": q_token_budget_mix,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter_join": q_bloom_filter_join,
-        "bm25_scores": q_bm25_scores,
-        # -- driver-verified in rounds 1-3 --
-        "corpus_pipeline": q_corpus_pipeline,
-        "pagerank": q_pagerank,
-        "dedup_clusters": q_dedup_clusters,
-        "recursive_cte": q_recursive_cte,
-        "python_datasource": q_python_datasource,
-        "pit_join": q_pit_join,
-        "cdc_apply": q_cdc_apply,
-        "dedup_clusters_durable": q_dedup_clusters_durable,
-        "python_datasource_stream": q_python_datasource_stream,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_lsh": q_incremental_lsh,
-        "ivf_search_fixed": q_ivf_search_fixed,
-        "streaming_full_outer_join": q_streaming_full_outer_join,
-        "incremental_refresh": q_incremental_refresh,
-        "q21_suppliers_waiting": q_q21_suppliers_waiting,
-        "q20_potential_promotion": q_q20_potential_promotion,
-        "q12_late_shipments": q_q12_late_shipments,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "q11_important_parts": q_q11_important_parts,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q8_market_share": q_q8_market_share,
-        "q13_custdist": q_q13_custdist,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive_join": q_q19_disjunctive_join,
-        "q22_sales_opportunity": q_q22_sales_opportunity,
-        "text_winnow": q_text_winnow,
-        "fuzzy_join": q_fuzzy_join,
-        "udtf_sentences": q_udtf_sentences,
-        "incremental_agg": q_incremental_agg,
-        "embedding_centroids": q_embedding_centroids,
-        "basket_pairs": q_basket_pairs,
-        "events_hopping": q_events_hopping,
-        "try_cast": q_try_cast,
-        "collect_agg": q_collect_agg,
-        "window_range_frame": q_window_range_frame,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "data_quality": q_data_quality,
-        "correlated_subquery": q_correlated_subquery,
-        "hash_sample": q_hash_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "source_quota": q_source_quota,
+        # -- last driver-verified in round 1 --
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sql_interface": q_sql_interface,
+        "window_frames": q_window_frames,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "q10_returned_topk": q_q10_returned_topk,
+        "stats_agg": q_stats_agg,
+        "fuzzy_funcs": q_fuzzy_funcs,
+        "scd2_history": q_scd2_history,
+        "date_funcs": q_date_funcs,
+        # -- last driver-verified in round 2 --
         "o2_cast_repair": q_o2_cast_repair,
         "o4_dedup_first": q_o4_dedup_first,
         "dedup_first_minby": q_dedup_first_minby,
@@ -6293,20 +6126,187 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_bucket": q_ann_lsh_bucket,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "sql_interface": q_sql_interface,
-        "window_frames": q_window_frames,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q4_order_priority": q_q4_order_priority,
-        "q10_returned_topk": q_q10_returned_topk,
-        "stats_agg": q_stats_agg,
-        "fuzzy_funcs": q_fuzzy_funcs,
-        "scd2_history": q_scd2_history,
-        "date_funcs": q_date_funcs,
+        # -- last driver-verified in round 3 --
+        "corpus_pipeline": q_corpus_pipeline,
+        "pagerank": q_pagerank,
+        "dedup_clusters": q_dedup_clusters,
+        "recursive_cte": q_recursive_cte,
+        "python_datasource": q_python_datasource,
+        "pit_join": q_pit_join,
+        "cdc_apply": q_cdc_apply,
+        "dedup_clusters_durable": q_dedup_clusters_durable,
+        "python_datasource_stream": q_python_datasource_stream,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_lsh": q_incremental_lsh,
+        "ivf_search_fixed": q_ivf_search_fixed,
+        "streaming_full_outer_join": q_streaming_full_outer_join,
+        "incremental_refresh": q_incremental_refresh,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q12_late_shipments": q_q12_late_shipments,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_parts": q_q11_important_parts,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_join": q_q19_disjunctive_join,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
+        "text_winnow": q_text_winnow,
+        "fuzzy_join": q_fuzzy_join,
+        "udtf_sentences": q_udtf_sentences,
+        "incremental_agg": q_incremental_agg,
+        "embedding_centroids": q_embedding_centroids,
+        "basket_pairs": q_basket_pairs,
+        "events_hopping": q_events_hopping,
+        "try_cast": q_try_cast,
+        "collect_agg": q_collect_agg,
+        "window_range_frame": q_window_range_frame,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "data_quality": q_data_quality,
+        "correlated_subquery": q_correlated_subquery,
+        "hash_sample": q_hash_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "source_quota": q_source_quota,
+        # -- last driver-verified in round 4 --
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "regex_extract": q_regex_extract,
+        "map_funcs": q_map_funcs,
+        "nullsafe_join": q_nullsafe_join,
+        "filtered_agg": q_filtered_agg,
+        "explode_tokens": q_explode_tokens,
+        "pivot_agg": q_pivot_agg,
+        "grouped_zscore": q_grouped_zscore,
+        "events_window": q_events_window,
+        "analytic_funcs": q_analytic_funcs,
+        "cross_join": q_cross_join,
+        "bitwise_funcs": q_bitwise_funcs,
+        "interval_arith": q_interval_arith,
+        "posexplode_tokens": q_posexplode_tokens,
+        "struct_funcs": q_struct_funcs,
+        "stratified_sample": q_stratified_sample,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "gap_fill": q_gap_fill,
+        "date_spine": q_date_spine,
+        "variant_json": q_variant_json,
+        "pii_redact": q_pii_redact,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contamination_check": q_contamination_check,
+        "funnel_paths": q_funnel_paths,
+        "top_terms": q_top_terms,
+        "cohort_retention": q_cohort_retention,
+        "decile_report": q_decile_report,
+        "activity_islands": q_activity_islands,
+        "rolling_active_users": q_rolling_active_users,
+        "histogram_bucket": q_histogram_bucket,
+        "weighted_sample": q_weighted_sample,
+        "ann_range_search": q_ann_range_search,
+        "regression_agg": q_regression_agg,
+        "mode_median_agg": q_mode_median_agg,
+        "lateral_topn": q_lateral_topn,
+        "xml_funcs": q_xml_funcs,
+        "streaming_outer_join": q_streaming_outer_join,
+        "text_repetition": q_text_repetition,
+        "sketch_agg": q_sketch_agg,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "sketch_rollup_merge": q_sketch_rollup_merge,
+        "kll_quantile_groups": q_kll_quantile_groups,
+        "theta_set_ops": q_theta_set_ops,
+        "streaming_approx_distinct": q_streaming_approx_distinct,
+        "heavy_hitters": q_heavy_hitters,
+        "token_budget_mix": q_token_budget_mix,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter_join": q_bloom_filter_join,
+        "bm25_scores": q_bm25_scores,
+        # -- last driver-verified in round 5 --
+        "ab_test": q_ab_test,
+        "exact_split": q_exact_split,
+        "chi2_independence": q_chi2_independence,
+        "ranking_metrics": q_ranking_metrics,
+        "ohlc_bars": q_ohlc_bars,
+        "item_similarity": q_item_similarity,
+        "rule_quarantine": q_rule_quarantine,
+        "source_kl": q_source_kl,
+        "weighted_reservoir": q_weighted_reservoir,
+        "gini_concentration": q_gini_concentration,
+        "streaming_ohlc": q_streaming_ohlc,
+        "survivorship": q_survivorship,
+        "event_transitions": q_event_transitions,
+        "source_overlap": q_source_overlap,
+        "kcore": q_kcore,
+        "benford_digits": q_benford_digits,
+        "survival_curve": q_survival_curve,
+        "readability": q_readability,
+        "wilson_ci": q_wilson_ci,
+        "cusum_drift": q_cusum_drift,
+        "sql_udf": q_sql_udf,
+        "sql_pipe": q_sql_pipe,
+        "seasonality_profile": q_seasonality_profile,
+        "pareto_share": q_pareto_share,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "source_entropy": q_source_entropy,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "psi_drift": q_psi_drift,
+        # -- last driver-verified in round 6 --
+        "k_anonymity": q_k_anonymity,
+        "funnel_latency": q_funnel_latency,
+        "reconciliation": q_reconciliation,
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "quality_classifier": q_quality_classifier,
+        "zorder_layout": q_zorder_layout,
+        "winsorize_robust": q_winsorize_robust,
+        "bigram_logprob": q_bigram_logprob,
+        "label_propagation": q_label_propagation,
+        "adamic_adar": q_adamic_adar,
+        "ewma_level": q_ewma_level,
+        "quantile_normalize": q_quantile_normalize,
+        "ann_pq_topk": q_ann_pq_topk,
+        "phash_neardup": q_phash_neardup,
+        "l_diversity": q_l_diversity,
+        "ks_drift": q_ks_drift,
+        "hash_negatives": q_hash_negatives,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "dp_noisy_counts": q_dp_noisy_counts,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "countmin_check": q_countmin_check,
+        "dedup_eval": q_dedup_eval,
+        "corpus_stats_report": q_corpus_stats_report,
+        "linkage_score": q_linkage_score,
+        "assoc_rules": q_assoc_rules,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "embedding_drift": q_embedding_drift,
+        "kfold_assign": q_kfold_assign,
+        "streaming_kll_median": q_streaming_kll_median,
+        "equidepth_histogram": q_equidepth_histogram,
+        "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
+        "span_dedup": q_span_dedup,
+        "rrf_fusion": q_rrf_fusion,
+        "importance_weights": q_importance_weights,
+        "streaming_merge_upsert": q_streaming_merge_upsert,
+        "entity_resolution": q_entity_resolution,
+        "triangle_count": q_triangle_count,
+        "pmi_bigrams": q_pmi_bigrams,
+        "simhash_hamming": q_simhash_hamming,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "geo_radius_join": q_geo_radius_join,
+        "mad_outliers": q_mad_outliers,
+        "attribution": q_attribution,
+        "shortest_paths": q_shortest_paths,
+        "skipgram_pairs": q_skipgram_pairs,
+        "interval_merge": q_interval_merge,
+        "url_funcs": q_url_funcs,
+        "snapshot_diff": q_snapshot_diff,
+        "rolling_active_hll": q_rolling_active_hll,
     }
 
 

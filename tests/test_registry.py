@@ -59,29 +59,40 @@ def test_plans_md_covers_every_query():
     )
 
 
-def test_never_driver_verified_entries_lead_the_registry():
-    """The driver snapshots a 50-entry prefix of queries(), so every
-    entry with no CORRECTNESS row yet must sort BEFORE every entry that
-    already has one — otherwise new work silently never gets driver
-    rows (the rotation discipline)."""
+def test_registry_is_stalest_verified_first():
+    """The driver snapshots a 50-entry prefix of queries(), so the
+    registry must order entries stalest-first: never-driver-verified
+    entries lead (new work always gets rows), then NON-DECREASING by
+    the round each entry was last verified in — bounding every query's
+    re-verification age to ~|registry|/50 rounds instead of letting
+    r1-r2 verifications go stale forever. scripts/registry_rotate.py
+    regenerates the ordering; this test pins it."""
     here = os.path.dirname(os.path.abspath(entry.__file__))
-    covered = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        covered |= set(json.load(open(path)))
+        rnd = int(
+            os.path.basename(path).removeprefix("CORRECTNESS_r")
+            .removesuffix(".json")
+        )
+        for name in json.load(open(path)):
+            last[name] = max(last.get(name, 0), rnd)
     names = list(entry.queries())
-    unverified = [n for n in names if n not in covered]
-    if not unverified:
-        return
-    last_unverified = max(names.index(n) for n in unverified)
-    first_verified = min(
-        (names.index(n) for n in names if n in covered), default=len(names)
+    rounds = [last.get(n, 0) for n in names]  # 0 = never verified
+    drift = next(
+        (
+            i
+            for i in range(1, len(rounds))
+            if rounds[i] < rounds[i - 1]
+        ),
+        None,
     )
-    assert last_unverified < first_verified, (
-        f"never-driver-verified entries must lead the registry; "
-        f"{names[last_unverified]} at {last_unverified} sits after "
-        f"verified {names[first_verified]} at {first_verified}"
+    assert drift is None, (
+        f"registry not stalest-verified-first: {names[drift]!r} (last "
+        f"verified r{rounds[drift]}) sits after {names[drift - 1]!r} "
+        f"(r{rounds[drift - 1]}); run scripts/registry_rotate.py"
     )
-    assert len(unverified) <= 50, (
+    unverified = sum(1 for r in rounds if r == 0)
+    assert unverified <= 50, (
         "more never-verified entries than one driver snapshot covers — "
         "rotation will strand some; keep the front <= 50"
     )
