@@ -351,6 +351,41 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 t10 / max(t1["median"], 1e-9), 1
             )
 
+        # AUTO-K: the production configuration — k-means cluster COUNT
+        # grows linearly with the corpus (k = n/target), holding the
+        # per-cluster population (the quadratic term) flat regardless
+        # of how the data clumps. This fixture's embeddings are
+        # DEGENERATE for hyperplane LSH (occupied buckets ~ bits, not
+        # 2^bits — pair work scales n^2/bits, no log-bits policy can
+        # hold it linear; see SCALING.md), which is exactly why
+        # SemDeDup's paper design is k-means: centroids go where the
+        # density is. This growth number is the one that must stay
+        # sub-2.5x.
+        from etl_orders_to_bq_spark.operators.ann import lloyd_kmeans
+
+        n1, n10 = e1.count(), e10.count()
+        k1_, k10_ = max(8, n1 // 128), max(8, n10 // 128)
+        out["semdedup_autok_cfg"] = f"1x:k={k1_}/10x:k={k10_}"
+
+        def autok(e, k):
+            cents, _ = lloyd_kmeans(
+                e, _hyperplanes(64, k, seed=7), rounds=2,
+                round_ndigits=6, method="numpy",
+            )
+            return semdedup_keep(
+                e, cents, threshold=0.75, assign_method="numpy"
+            )
+
+        t1 = _timed(lambda: autok(e1, k1_), runs=2)
+        t0 = time.perf_counter()
+        _force(autok(e10, k10_))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["semdedup_autok_1x"] = t1["median"]
+        out["semdedup_autok_10x"] = t10
+        out["semdedup_autok_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
         t1 = _timed(lambda: er(ents1), runs=2)
         t0 = time.perf_counter()
         _force(er(ents10))
@@ -358,6 +393,189 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         out["entity_resolution_1x"] = t1["median"]
         out["entity_resolution_10x"] = t10
         out["entity_resolution_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+        # candidate census: the in-block pair count IS the quadratic
+        # term fuzzy blocking governs — counted, never silent
+        from etl_orders_to_bq_spark.operators.fuzzy import fuzzy_join
+
+        reps10 = ents10.groupBy("name").agg(
+            F.min("ent_id").alias("rep_id")
+        )
+        cand = fuzzy_join(
+            reps10.select(
+                F.col("rep_id").alias("id_a"),
+                F.col("name").alias("name_a"),
+            ),
+            reps10.select(
+                F.col("rep_id").alias("id_b"),
+                F.col("name").alias("name_b"),
+            ),
+            "name_a",
+            "name_b",
+            max_dist=2,
+        )
+        out["er_10x_verified_pairs"] = cand.count()
+
+        # -- 10x growth rows for the round-6 additions: each probe is
+        # the gated query's operator on a 10x input built the same
+        # disjoint-copy way (shifted keys split blocks/nodes across
+        # copies, so sub-quadratic plans must show ~O(copies) wall) --
+        from etl_orders_to_bq_spark.operators.ann import (
+            ann_topk_multiprobe_pq,
+            pq_codebooks,
+        )
+        from etl_orders_to_bq_spark.operators.fuzzy import (
+            linkage_score,
+            sorted_neighborhood_pairs,
+        )
+        from etl_orders_to_bq_spark.operators.graph import adamic_adar
+
+        o1 = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                (F.col("o_custkey") % 150).alias("src"),
+                (F.lit(1000) + F.col("o_orderkey") % 97).alias("dst"),
+            )
+            .localCheckpoint()
+        )
+        o10 = o1
+        for k in range(1, 10):
+            o10 = o10.unionByName(
+                o1.select(
+                    (F.col("src") + k * 10_000).alias("src"),
+                    (F.col("dst") + k * 10_000).alias("dst"),
+                )
+            )
+        o10 = o10.localCheckpoint()
+        t1 = _timed(lambda: adamic_adar(o1), runs=2)
+        t0 = time.perf_counter()
+        _force(adamic_adar(o10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["adamic_adar_1x"] = t1["median"]
+        out["adamic_adar_10x"] = t10
+        out["adamic_adar_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        # wedge census: sum_z C(deg(z), 2) IS the join's work — with
+        # disjoint copies it grows exactly 10x, so wall growth above
+        # it means plan overhead, below it means improving throughput
+        for tag, edges in (("1x", o1), ("10x", o10)):
+            sym = (
+                edges.filter(F.col("src") != F.col("dst"))
+                .select("src", "dst")
+                .unionByName(
+                    edges.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    ).filter(F.col("src") != F.col("dst"))
+                )
+                .distinct()
+            )
+            w = (
+                sym.groupBy("src")
+                .agg(F.count("*").alias("d"))
+                .agg(
+                    F.sum(
+                        F.col("d") * (F.col("d") - 1) / 2
+                    ).alias("wedges")
+                )
+                .first()
+            )
+            out[f"adamic_adar_{tag}_wedges"] = int(w["wedges"] or 0)
+
+        books = pq_codebooks(dim=64, subspaces=8, codewords=16, seed=23)
+        qvec = [
+            (((i * 37 + 11) % 97) / 96.0) * 2.0 - 1.0 for i in range(64)
+        ]
+
+        def ivfpq(e):
+            return ann_topk_multiprobe_pq(
+                e, books, qvec, dim=64, bits=4, k=10
+            )
+
+        t1 = _timed(lambda: ivfpq(e1), runs=2)
+        t0 = time.perf_counter()
+        _force(ivfpq(e10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["ann_ivfpq_1x"] = t1["median"]
+        out["ann_ivfpq_10x"] = t10
+        out["ann_ivfpq_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+
+        # linkage: customer pairs blocked on (nation, segment); copies
+        # shift nationkey so blocks stay copy-disjoint (pair count
+        # grows ~O(copies), the honest blocked-ER shape)
+        c1 = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(
+                "c_custkey", "c_nationkey", "c_mktsegment",
+                F.substring("c_name", 1, 4).alias("name4"),
+                (F.col("c_acctbal") >= 0).alias("bal_pos"),
+                F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                    "bal_k"
+                ),
+            )
+            .localCheckpoint()
+        )
+        c10 = c1
+        for k in range(1, 10):
+            c10 = c10.unionByName(
+                c1.select(
+                    (F.col("c_custkey") + k * 1_000_000).alias("c_custkey"),
+                    (F.col("c_nationkey") + k * 100).alias("c_nationkey"),
+                    "c_mktsegment", "name4", "bal_pos", "bal_k",
+                )
+            )
+        c10 = c10.localCheckpoint()
+
+        def fs(c):
+            a = c.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("name4").alias("ph_a"),
+                F.col("bal_pos").alias("bp_a"),
+                F.col("bal_k").alias("bk_a"),
+            )
+            b = c.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("name4").alias("ph_b"),
+                F.col("bal_pos").alias("bp_b"),
+                F.col("bal_k").alias("bk_b"),
+            )
+            pairs = a.join(b, ["nk", "seg"]).filter(
+                F.col("id_a") < F.col("id_b")
+            )
+            return linkage_score(
+                pairs,
+                [("ph_a", "ph_b"), ("bp_a", "bp_b"), ("bk_a", "bk_b")],
+                m_probs=[0.85, 0.95, 0.8],
+                u_probs=[0.1, 0.5, 0.15],
+                threshold=2.0,
+            ).select("id_a", "id_b", "fs_score", "is_match")
+
+        t1 = _timed(lambda: fs(c1), runs=2)
+        t0 = time.perf_counter()
+        _force(fs(c10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["linkage_score_1x"] = t1["median"]
+        out["linkage_score_10x"] = t10
+        out["linkage_score_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
+        def snp(ents):
+            return sorted_neighborhood_pairs(
+                ents, "name", "ent_id", window=3, max_dist=2
+            )
+
+        t1 = _timed(lambda: snp(ents1), runs=2)
+        t0 = time.perf_counter()
+        _force(snp(ents10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["sorted_neighborhood_1x"] = t1["median"]
+        out["sorted_neighborhood_10x"] = t10
+        out["sorted_neighborhood_growth"] = round(
             t10 / max(t1["median"], 1e-9), 1
         )
 

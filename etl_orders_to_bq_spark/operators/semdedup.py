@@ -109,6 +109,34 @@ def _bucket_guarded(
     return bucketed.join(F.broadcast(sizes), bucket_col, "left_semi")
 
 
+def auto_bits(
+    n_vectors: int,
+    target_cluster: int = 128,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Hyperplane-LSH bucket bits as a FUNCTION OF CORPUS SIZE:
+    ``ceil(log2(n / target_cluster))`` clamped to [min_bits, max_bits].
+
+    The quadratic term in SemDeDup / embedding near-dup is the
+    per-bucket pairwise stage, O(sum of bucket_size^2). With FIXED
+    bits, 10x more vectors means 10x bigger buckets and 100x pair
+    work; growing bits with the corpus holds the EXPECTED bucket
+    population at ~target_cluster, so total pair work stays
+    ~O(n * target_cluster) — linear. This is the documented knob the
+    10x stress section measures (bench.py semdedup_autobits_*): the
+    recall trade is that a finer partition splits more true near-dup
+    pairs across buckets, so production sweeps target_cluster, not
+    bits. 2^24 buckets bounds the hyperplane matrix at fit time.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(n_vectors / max(target_cluster, 1), 1)))
+    return max(min_bits, min(max_bits, bits))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     dim: int,
