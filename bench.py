@@ -817,6 +817,61 @@ def main() -> None:
         ),
     )
 
+    # AMPLIFIED skew join — the crossover demo. At sf0.1 the hot key is
+    # ~540k rows and every config finishes in ~0.5s (the sf0.1 rows
+    # above document THAT honestly); the mitigations only pay once one
+    # task's probe side is big enough to dominate the stage, so this
+    # block synthesizes 10M rows with 95% on one key (hot task ~150MB)
+    # and re-times the same three configs. The AQE row also documents
+    # the knob reality: the default skewedPartitionThresholdInBytes
+    # (256MB) is cluster-sized and never fires here — the tuned row
+    # lowers it to 16MB, which is what an operator would do on a real
+    # cluster whose partitions are under the default threshold.
+    amp = (
+        spark.range(10_000_000)
+        .select(
+            F.when(F.rand(seed=7) < 0.95, F.lit(0))
+            .otherwise((F.rand(seed=11) * 1000).cast("long"))
+            .alias("k"),
+            (F.col("id") % 1000003).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_thr = conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    prev_adv = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        stress_timed(
+            "skew_amp_join_naive", lambda: amp.join(dim, "k", "left")
+        )
+        stress_timed(
+            "skew_amp_join_salted",
+            lambda: salted_left_join(amp, dim, "k", buckets=32),
+        )
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16m",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        stress_timed(
+            "skew_amp_join_aqe_tuned", lambda: amp.join(dim, "k", "left")
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            prev_thr,
+        )
+        conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv
+        )
+    amp.unpersist()
+
     stress_sf1: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         stress_sf1 = _sf1_stress(spark, sf_dir, int(cpus))
