@@ -5650,7 +5650,12 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the guaranteed distance-0 positives. The oracle computes the
     same signed md5-top-64 and verifies ALL pairs by bit_count(xor)
     (exact at oracle scale; the pigeonhole join finds the identical
-    <= max_dist set by construction)."""
+    <= max_dist set by construction). Branch accounting: THIS GATE
+    always runs the stub branch (pinned, oracle-exact);
+    multimodal.codec_branch("auto") reports what production would run
+    on the host, and tests/test_multimodal.py asserts the REAL
+    Pillow decode + aHash against genuine in-repo PNG fixtures
+    whenever Pillow imports (stub assertions otherwise)."""
     from etl_orders_to_bq_spark.multimodal import perceptual_hash
     from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
 

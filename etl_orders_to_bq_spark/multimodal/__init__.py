@@ -1,4 +1,5 @@
 from .binary import (
+    codec_branch,
     decode_image_batch,
     extract_image_features,
     frame_sample_video,
@@ -9,6 +10,7 @@ from .binary import (
 
 __all__ = [
     "with_media_metadata",
+    "codec_branch",
     "decode_image_batch",
     "extract_image_features",
     "frame_sample_video",

@@ -84,6 +84,25 @@ def _decode_bytes_pil(payload: bytes) -> dict | None:
         return None
 
 
+def codec_branch(codec: str = "auto") -> str:
+    """Which decode branch a given ``codec`` setting runs ON THIS HOST:
+    ``"pil"`` (real Pillow decode/aHash) or ``"stub"`` (deterministic
+    md5 fake). Lets tests and pipeline logs DOCUMENT the branch instead
+    of guessing — the oracle-gated queries pin ``"stub"`` regardless;
+    pytest asserts the real branch whenever Pillow imports."""
+    if codec == "pil":
+        if _PILImage is None:
+            raise RuntimeError(
+                "codec='pil' requested but Pillow is not installed"
+            )
+        return "pil"
+    if codec == "auto":
+        return "pil" if _PILImage is not None else "stub"
+    if codec == "stub":
+        return "stub"
+    raise ValueError(f"unknown codec: {codec}")
+
+
 def _decode_bytes(payload: bytes, codec: str = "auto") -> dict | None:
     """Decode dispatch:
 
