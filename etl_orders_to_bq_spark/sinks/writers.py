@@ -9,7 +9,10 @@ BigQuery path share one interface.
 BigQuery uses the spark-bigquery connector (``format("bigquery")``).
 The connector jar is not baked into this container, so the format is
 dispatched lazily and surfaces a clear error when unavailable —
-the code path itself is exercised by tests via the parquet format.
+the code path itself is exercised by tests via the parquet format,
+and tests/test_bq_integration.py is a skip-unless-configured smoke
+that round-trips a real table wherever a connector jar + credentials
+exist (jar coordinates documented in its module docstring).
 """
 
 from __future__ import annotations
