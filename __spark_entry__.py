@@ -6052,6 +6052,227 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span report (operators/spans.py
+    repeated_ngram_spans — the diagnostic half of substring-level
+    dedup, Lee et al. 2021 shape): OVERLAPPING 20-token windows at
+    stride 10 over the span_dedup planted corpus (copies of the first
+    10 docs guarantee cross-doc repeats), fingerprint, count, top-100
+    by occurrences with span-text tie-break. Only FULL windows
+    participate. The oracle replays windowing, the full-window filter,
+    and the ranked cut in SQL."""
+    from etl_orders_to_bq_spark.operators.spans import (
+        repeated_ngram_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    base = d.unionByName(dup)
+    return repeated_ngram_spans(
+        base, span_tokens=20, stride=10, min_occurrences=2, top_n=100
+    )
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (functions/text.py
+    script_counts): latin/digit/space/cyrillic/han/other fractions and
+    a dominant-script label — the language-routing cut multilingual
+    pipelines (CCNet/mC4 shapes) apply before any model-based langid.
+    The ASCII fixture gets deterministic Cyrillic/Han/digit suffixes
+    planted by doc_id%4 so every class exercises. Java spells the
+    classes \\p{IsHan}/\\p{IsCyrillic} and RE2 \\p{Han}/\\p{Cyrillic};
+    both read the same Unicode tables, so counts match exactly
+    (measured r7)."""
+    from etl_orders_to_bq_spark.functions.text import script_counts
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" кириллица"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" 汉字 123"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" mixed мир 世界"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    sc = script_counts("t")
+    prof = d.select("doc_id", sc.alias("s")).select(
+        "doc_id",
+        F.col("s.n_chars").alias("n_chars"),
+        *[
+            F.when(
+                F.col("s.n_chars") > 0,
+                F.round(F.col(f"s.{c}") / F.col("s.n_chars"), 6),
+            ).alias(f"frac_{c}")
+            for c in ("latin", "digit", "space", "cyrillic", "han", "other")
+        ],
+        F.when(
+            (F.col("s.latin") >= F.col("s.digit"))
+            & (F.col("s.latin") >= F.col("s.cyrillic"))
+            & (F.col("s.latin") >= F.col("s.han")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("s.cyrillic") >= F.col("s.digit"))
+            & (F.col("s.cyrillic") >= F.col("s.han")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("s.han") >= F.col("s.digit"), F.lit("han"))
+        .otherwise(F.lit("digit"))
+        .alias("dominant_script"),
+    )
+    return prof.orderBy("doc_id")
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (functions/urls.py):
+    three deterministic raw spellings per logical page — mixed-case
+    scheme/host with the default :443 port, utm_*/fbclid tracking
+    params in shuffled positions, a fragment — must collapse to ONE
+    canonical key with sorted surviving params. The oracle replays the
+    regex split, the tracking filter, the param sort, and the rollup;
+    n_raw_forms counts the distinct spellings each canonical absorbed
+    (3 per page by construction)."""
+    from etl_orders_to_bq_spark.functions.urls import url_canonical_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 3).cast("long")
+    variant = F.col("doc_id") % 3
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTPS://"), F.col("source"),
+                F.lit(".Example.COM:443/docs/"), page.cast("string"),
+                F.lit("?b=2&utm_source=feed&a=1"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/docs/"), page.cast("string"),
+                F.lit("?a=1&fbclid=XYZ&b=2#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".EXAMPLE.com/docs/"), page.cast("string"),
+                F.lit("?b=2&a=1"),
+            ),
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    return url_canonical_dedup(raw, "url", "doc_id").orderBy(
+        "canonical_url"
+    )
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free group split (operators/sampling.py group_split):
+    ORDERS assigned to train/val/test by a pure hash of o_custkey —
+    every customer's orders land in one split BY CONSTRUCTION (the
+    group-k-fold discipline; row-level exact_split would leak entities
+    across splits). The report rolls up per-split order/customer
+    counts plus leakage_free: customers summed across splits equal
+    distinct customers overall, pinned true. The oracle replays the
+    md5 hash, the float cuts (identical accumulated literals), and the
+    rollup."""
+    from etl_orders_to_bq_spark.operators.sampling import group_split
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    assigned = group_split(o, "o_custkey", seed=42)
+    per = assigned.groupBy("split").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    totals = per.agg(
+        F.sum("n_customers").alias("__sum_c")
+    ).crossJoin(
+        o.agg(F.countDistinct("o_custkey").alias("__tot_c"))
+    )
+    return per.crossJoin(totals).select(
+        "split",
+        "n_orders",
+        "n_customers",
+        (F.col("__sum_c") == F.col("__tot_c")).alias("leakage_free"),
+    ).orderBy("split")
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py hits_scores) over the
+    customer-order bipartite contraction (the adamic_adar graph,
+    directed src->dst): two fixed rounds of integer mutual
+    reinforcement — auth = in-sum of hub, hub = out-sum of auth —
+    normalized by the max only at the END, so every intermediate is an
+    exact integer and the oracle replays the whole iteration with
+    bigint sums (no float accumulation order anywhere)."""
+    from etl_orders_to_bq_spark.operators.graph import hits_scores
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("src"),
+        (F.lit(1000) + F.col("o_orderkey") % 97).alias("dst"),
+    )
+    return hits_scores(o, rounds=2).orderBy("id")
+
+
+def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity/coreset sampling (operators/semdedup.py
+    bucket_medoids): one MEDOID per hyperplane-LSH bucket — max mean
+    cosine to bucket peers, id tie-break — the keep-one-exemplar
+    complement of SemDeDup's drop-near-dups. Per-pair cosine rounds at
+    6dp and the per-id mean folds a SORTED list, so the oracle replays
+    bucket assignment, the pairwise means, and the argmax exactly."""
+    from etl_orders_to_bq_spark.operators.semdedup import bucket_medoids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return bucket_medoids(
+        e, dim=64, bits=6, seed=42, pair_method="numpy"
+    ).orderBy("bucket")
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT on LSH candidates (operators/dedup.py
+    ngram_containment): C(A,B) = |A n B| / |A| over distinct word
+    3-grams — the subsumption measure resemblance-based dedup misses
+    (a 15-token PREFIX of each of the first 10 docs is planted, so
+    short-in-long pairs score containment 1.0 while their Jaccard is
+    low). Candidates are the 4-hash/2-band MinHash pipeline; the
+    oracle replays signatures, banding, and the exact set
+    intersection."""
+    from etl_orders_to_bq_spark.operators.dedup import ngram_containment
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 15), " "
+        ).alias("text"),
+    )
+    base = d.unionByName(prefix)
+    return ngram_containment(
+        base, num_hashes=4, bands=2, shingle_len=3, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-shard planning (operators/ranking.py shard_plan):
+    16 shards over orders ordered by (o_totalprice, o_orderkey) —
+    exact cut points via the two-pass global numbering (no
+    single-partition window), shard sizes within one row of each
+    other, per-shard key bounds for the writer/partitioner. The oracle
+    replays rank -> floor((r-1)*k/n) -> bounds."""
+    from etl_orders_to_bq_spark.operators.ranking import shard_plan
+
+    o = _t(spark, sf_dir, "orders")
+    return shard_plan(
+        o, ["o_totalprice", "o_orderkey"], num_shards=16
+    ).orderBy("shard_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -6065,6 +6286,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
+        # -- never driver-verified (new work leads the snapshot) --
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "script_profile": q_script_profile,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "group_split": q_group_split,
+        "hits_scores": q_hits_scores,
+        "diverse_sample": q_diverse_sample,
+        "ngram_containment": q_ngram_containment,
+        "shard_plan": q_shard_plan,
         # -- last driver-verified in round 1 --
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -10871,6 +11101,335 @@ def oracle_sql() -> dict[str, str]:
                  as released
         from noise order by event_type
     """
+
+    # -- round-7 additions --
+    # repeated-span report: overlapping full windows, ranked cut
+    out["repeated_ngram_spans"] = """
+        with base as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 200000 as doc_id, text
+          from documents where doc_id < 10
+        ),
+        t as (select doc_id, regexp_extract_all(text, '\\S+') as toks
+              from base),
+        sized as (
+          select doc_id, toks,
+                 cast(floor((len(toks) - 20) / 10.0) as int) + 1 as nw
+          from t where len(toks) >= 20
+        ),
+        w as (
+          select doc_id,
+                 array_to_string(
+                   toks[(u.i-1)*10 + 1 : (u.i-1)*10 + 20], ' ') as span_text
+          from sized,
+               lateral (select unnest(range(1, 1 + nw)) as i) u
+        ),
+        rep as (
+          select span_text, count(*) as n_occurrences,
+                 count(distinct doc_id) as n_docs,
+                 min(doc_id) as first_doc
+          from w group by span_text having count(*) >= 2
+        )
+        select span_text, n_occurrences, n_docs, first_doc
+        from rep order by n_occurrences desc, span_text limit 100
+    """
+    # script census: identical Unicode classes, RE2 spelling
+    out["script_profile"] = """
+        with d as (
+          select doc_id,
+                 text || (case
+                   when doc_id % 4 = 0 then ' кириллица'
+                   when doc_id % 4 = 1 then ' 汉字 123'
+                   when doc_id % 4 = 2 then ' mixed мир 世界'
+                   else '' end) as t
+          from documents
+        ),
+        c as (
+          select doc_id, length(t) as n,
+                 length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) as latin,
+                 length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) as digit,
+                 length(t) - length(regexp_replace(t, '\\s', '', 'g')) as space,
+                 length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')) as cyrillic,
+                 length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')) as han
+          from d
+        )
+        select doc_id, cast(n as bigint) as n_chars,
+               case when n > 0 then round(latin / n, 6) end as frac_latin,
+               case when n > 0 then round(digit / n, 6) end as frac_digit,
+               case when n > 0 then round(space / n, 6) end as frac_space,
+               case when n > 0 then round(cyrillic / n, 6) end as frac_cyrillic,
+               case when n > 0 then round(han / n, 6) end as frac_han,
+               case when n > 0 then
+                 round((n - latin - digit - space - cyrillic - han) / n, 6)
+               end as frac_other,
+               case
+                 when latin >= digit and latin >= cyrillic and latin >= han
+                   then 'latin'
+                 when cyrillic >= digit and cyrillic >= han then 'cyrillic'
+                 when han >= digit then 'han'
+                 else 'digit' end as dominant_script
+        from c order by doc_id
+    """
+    # URL canonicalization: same regex groups, same tracking filter,
+    # same param sort
+    _url_re = (
+        "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)"
+        "(?:\\?([^#]*))?.*$"
+    )
+    _trk_re = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+    out["url_canonical_dedup"] = f"""
+        with raw as (
+          select doc_id,
+                 case doc_id % 3
+                   when 0 then 'HTTPS://' || source ||
+                        '.Example.COM:443/docs/' ||
+                        cast(cast(floor(doc_id / 3) as bigint) as varchar) ||
+                        '?b=2&utm_source=feed&a=1'
+                   when 1 then 'https://' || source ||
+                        '.example.com/docs/' ||
+                        cast(cast(floor(doc_id / 3) as bigint) as varchar) ||
+                        '?a=1&fbclid=XYZ&b=2#frag'
+                   else 'https://' || source ||
+                        '.EXAMPLE.com/docs/' ||
+                        cast(cast(floor(doc_id / 3) as bigint) as varchar) ||
+                        '?b=2&a=1' end as url
+          from documents
+        ),
+        parts as (
+          select doc_id, url,
+                 lower(regexp_extract(url, '{_url_re}', 1)) as scheme,
+                 lower(regexp_extract(url, '{_url_re}', 2)) as host0,
+                 regexp_extract(url, '{_url_re}', 3) as path,
+                 regexp_extract(url, '{_url_re}', 4) as query
+          from raw
+        ),
+        canon as (
+          select doc_id, url,
+                 case when scheme = '' then url else
+                   scheme || '://' ||
+                   (case when scheme = 'http'
+                              and regexp_matches(host0, ':80$')
+                         then regexp_replace(host0, ':80$', '')
+                         when scheme = 'https'
+                              and regexp_matches(host0, ':443$')
+                         then regexp_replace(host0, ':443$', '')
+                         else host0 end) ||
+                   (case when path = '' then '/' else path end) ||
+                   (case when len(list_filter(string_split(query, '&'),
+                           p -> p <> '' and
+                                not regexp_matches(p, '{_trk_re}'))) > 0
+                    then '?' || array_to_string(
+                           list_sort(list_filter(string_split(query, '&'),
+                             p -> p <> '' and
+                                  not regexp_matches(p, '{_trk_re}'))),
+                           '&')
+                    else '' end)
+                 end as canonical_url
+          from parts
+        )
+        select canonical_url, count(*) as n_urls,
+               count(distinct url) as n_raw_forms,
+               min(doc_id) as first_id
+        from canon group by canonical_url order by canonical_url
+    """
+    # group split: identical md5 hash + the SAME accumulated cut
+    # literals (repr'd floats, the linkage_score lesson)
+    _gs_cuts = []
+    _gs_acc = 0.0
+    for _f in (0.8, 0.1):
+        _gs_acc += _f
+        _gs_cuts.append(repr(_gs_acc))
+    out["group_split"] = f"""
+        with assigned as (
+          select o_orderkey, o_custkey,
+                 (('0x' || substr(md5(cast(o_custkey as varchar)
+                                      || '|' || '42'), 1, 8))::bigint
+                  / 4294967296.0) as u
+          from orders
+        ),
+        labeled as (
+          select o_orderkey, o_custkey,
+                 case when u < {_gs_cuts[0]} then 'train'
+                      when u < {_gs_cuts[1]} then 'val'
+                      else 'test' end as split
+          from assigned
+        ),
+        per as (
+          select split, count(*) as n_orders,
+                 count(distinct o_custkey) as n_customers
+          from labeled group by split
+        ),
+        tot as (
+          select (select sum(n_customers) from per) as sum_c,
+                 (select count(distinct o_custkey) from orders) as tot_c
+        )
+        select split, cast(n_orders as bigint) as n_orders,
+               cast(n_customers as bigint) as n_customers,
+               (select sum_c = tot_c from tot) as leakage_free
+        from per order by split
+    """
+    # HITS: two unrolled integer rounds, max-normalized at the end
+    out["hits_scores"] = """
+        with e as (
+          select distinct (o_custkey % 150) as a,
+                 1000 + (o_orderkey % 97) as b
+          from orders
+        ),
+        nodes as (select a as id from e union select b as id from e),
+        a1 as (
+          select n.id, coalesce(x.auth, 0) as auth
+          from nodes n left join (
+            select b as id, cast(count(*) as bigint) as auth
+            from e group by b) x using (id)
+        ),
+        h1 as (
+          select n.id, coalesce(x.hub, 0) as hub
+          from nodes n left join (
+            select e.a as id, cast(sum(a1.auth) as bigint) as hub
+            from e join a1 on a1.id = e.b group by e.a) x using (id)
+        ),
+        a2 as (
+          select n.id, coalesce(x.auth, 0) as auth
+          from nodes n left join (
+            select e.b as id, cast(sum(h1.hub) as bigint) as auth
+            from e join h1 on h1.id = e.a group by e.b) x using (id)
+        ),
+        h2 as (
+          select n.id, coalesce(x.hub, 0) as hub
+          from nodes n left join (
+            select e.a as id, cast(sum(a2.auth) as bigint) as hub
+            from e join a2 on a2.id = e.b group by e.a) x using (id)
+        ),
+        mx as (
+          select greatest((select max(auth) from a2), 1) as ma,
+                 greatest((select max(hub) from h2), 1) as mh
+        )
+        select n.id,
+               round(a2.auth / (select ma from mx), 6) as auth,
+               round(h2.hub / (select mh from mx), 6) as hub
+        from nodes n join a2 on a2.id = n.id join h2 on h2.id = n.id
+        order by n.id
+    """
+    # bucket medoids: same planes, 6dp pair cosines, sorted-fold means
+    _dv_bucket = _lsh_bucket_sql(64, 6, 42, "cast(embedding as double[])")
+    out["diverse_sample"] = f"""
+        with b as (
+          select vec_id, cast(embedding as double[]) as v,
+                 sqrt(list_dot_product(cast(embedding as double[]),
+                                       cast(embedding as double[]))) as nrm,
+                 {_dv_bucket} as bucket
+          from embeddings
+        ),
+        guarded as (
+          select * from b
+          where bucket in (
+            select bucket from b group by bucket
+            having count(*) <= 100000)
+        ),
+        pairs as (
+          select l.bucket, l.vec_id as ida,
+                 case when l.nrm * r.nrm > 0
+                      then round(list_dot_product(l.v, r.v)
+                                 / (l.nrm * r.nrm), 6)
+                      else 0.0 end as cos
+          from guarded l join guarded r
+            on l.bucket = r.bucket and l.vec_id <> r.vec_id
+        ),
+        means as (
+          select bucket, ida,
+                 round(list_reduce(
+                         list_concat([0.0], list(cos order by cos)),
+                         (a, x) -> a + x) / count(*), 6) as m
+          from pairs group by bucket, ida
+        ),
+        best as (
+          select bucket, ida, m
+          from means
+          qualify row_number() over (partition by bucket
+                                     order by m desc, ida) = 1
+        ),
+        sizes as (
+          select bucket, count(*) as bucket_size,
+                 min(vec_id) as only_id
+          from guarded group by bucket
+        )
+        select s.bucket, cast(s.bucket_size as bigint) as bucket_size,
+               coalesce(b2.ida, s.only_id) as medoid_id,
+               coalesce(b2.m, 0.0) as mean_cos
+        from sizes s left join best b2 using (bucket)
+        order by s.bucket
+    """
+    # containment: the 4-hash/2-band candidates + exact distinct-shingle
+    # intersection, prefix docs planted as in the query
+    out["ngram_containment"] = """
+        with base as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 300000 as doc_id,
+                 array_to_string(
+                   (regexp_extract_all(trim(text), '\\S+'))[1:15], ' ')
+                 as text
+          from documents where doc_id < 10
+        ),
+        sig as (
+          select doc_id,
+                 (select list_min(list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)], s -> substr(md5(s || '|0'), 1, 8))) from (select regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') as t) _) as mh_0,
+                 (select list_min(list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)], s -> substr(md5(s || '|0'), 9, 8))) from (select regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') as t) _) as mh_1,
+                 (select list_min(list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)], s -> substr(md5(s || '|0'), 17, 8))) from (select regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') as t) _) as mh_2,
+                 (select list_min(list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)], s -> substr(md5(s || '|0'), 25, 8))) from (select regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') as t) _) as mh_3
+          from base
+        ),
+        banded as (
+          select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+          from sig where mh_0 is not null
+          union all
+          select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+          from sig where mh_0 is not null
+        ),
+        cand as (
+          select distinct l.doc_id as id_a, r.doc_id as id_b
+          from banded l join banded r
+            on l.bk = r.bk and l.doc_id < r.doc_id
+        ),
+        sh as (
+          select doc_id,
+                 (select list_distinct(list_transform([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)], s -> s)) from (select regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') as t) _) as s
+          from base
+        )
+        select c.id_a, c.id_b,
+               cast(len(a.s) as int) as n_shingles_a,
+               cast(len(b.s) as int) as n_shingles_b,
+               cast(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                    as int) as n_common,
+               case when len(a.s) > 0 then
+                 round(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                       / len(a.s), 6) end as containment_a_in_b,
+               case when len(b.s) > 0 then
+                 round(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                       / len(b.s), 6) end as containment_b_in_a
+        from cand c join sh a on a.doc_id = c.id_a
+                    join sh b on b.doc_id = c.id_b
+        order by c.id_a, c.id_b
+    """
+    # shard plan: rank -> floor((r-1)*k/n) -> per-shard bounds
+    out["shard_plan"] = """
+        with r as (
+          select o_totalprice, o_orderkey,
+                 row_number() over (order by o_totalprice, o_orderkey)
+                   as rn,
+                 count(*) over () as n
+          from orders
+        )
+        select cast(floor((rn - 1) * 16.0 / n) as int) as shard_id,
+               count(*) as n_rows,
+               min(o_totalprice) as lo_o_totalprice,
+               max(o_totalprice) as hi_o_totalprice,
+               min(o_orderkey) as lo_o_orderkey,
+               max(o_orderkey) as hi_o_orderkey
+        from r group by 1 order by 1
+    """
+
     # identical pipeline through the durable parquet staging path —
     # same clusters, same oracle
     out["ivf_search_fixed"] = _ivf_search_fixed_sql()

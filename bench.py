@@ -80,6 +80,12 @@ HEADLINE = [
     "adamic_adar",
     "quantile_normalize",
     "phash_neardup",
+    # round-7: overlapping-window repeated-span mining, HITS link
+    # analysis, per-bucket medoid coreset sampling, containment verify
+    "repeated_ngram_spans",
+    "hits_scores",
+    "diverse_sample",
+    "ngram_containment",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -99,6 +105,9 @@ ITERATIVE = {
     "adamic_adar",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # HITS stages per-round label frames (localCheckpoint) and collects
+    # the max at construction
+    "hits_scores",
 }
 
 

@@ -236,3 +236,40 @@ def repetition_stats(col: Column | str) -> Column:
         dup_word_frac.alias("dup_word_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
     )
+
+
+def script_counts(col: Column | str) -> Column:
+    """Per-string Unicode-script census as a struct of counts:
+    ``(n_chars, latin, digit, space, cyrillic, han, other)``.
+
+    The script-mix profile is the language-routing signal multilingual
+    corpus pipelines (CCNet/mC4 shapes) cut on before any model-based
+    language ID: a document that is 90% Han characters never needs the
+    ngram classifier. Counts come from ``length(x) - length(
+    regexp_replace(x, class, ''))`` — pure JVM column math, one pass
+    per class, no tokenization. Java and RE2 spell the script classes
+    differently (``\\p{IsHan}`` vs ``\\p{Han}``) but define them
+    identically from the Unicode database, so a DuckDB oracle replays
+    the same numbers.
+    """
+    s = _c(col)
+    n = F.length(s)
+
+    def cnt(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(s, pattern, ""))
+
+    latin = cnt(r"[A-Za-z]")
+    digit = cnt(r"[0-9]")
+    space = cnt(r"\s")
+    cyr = cnt(r"\p{IsCyrillic}")
+    han = cnt(r"\p{IsHan}")
+    other = n - latin - digit - space - cyr - han
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        latin.cast("long").alias("latin"),
+        digit.cast("long").alias("digit"),
+        space.cast("long").alias("space"),
+        cyr.cast("long").alias("cyrillic"),
+        han.cast("long").alias("han"),
+        other.cast("long").alias("other"),
+    )

@@ -628,3 +628,81 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    pairs: DataFrame | None = None,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT on candidate pairs: C(A,B) =
+    |A ∩ B| / |A| over distinct word shingles (Broder 1997's second
+    resemblance measure, public literature). Jaccard treats both docs
+    symmetrically, so a short document fully quoted inside a long one
+    scores LOW resemblance and survives resemblance-based dedup;
+    containment is the measure that catches quotation/subsumption —
+    C(short, long) ~ 1 while J ~ |short|/|long|.
+
+    Candidates come from MinHash LSH banding (or pass precomputed
+    ``pairs`` with id_a/id_b columns — e.g. a union of LSH and
+    sorted-neighborhood candidates); only candidates pay the exact
+    set intersection, the candidates-then-verify contract.
+
+    Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common,
+    containment_a_in_b, containment_b_in_a), ``ndigits``-rounded.
+
+    Scale: pair set is LSH-bounded (never all-pairs); the verify join
+    ships each doc's DISTINCT shingle array to its candidate pairs —
+    for corpora with huge docs, swap the array intersect for an
+    exploded (pair, shingle) semi-join + count (same result, shuffles
+    shingle rows instead of arrays; the array form wins while docs fit
+    comfortably in an Arrow batch, the einsum-vs-join trade measured
+    for semdedup in SCALING.md).
+    """
+    from ..functions.text import normalize_text, word_ngrams
+
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            bands=bands, shingle_len=shingle_len, max_bucket=max_bucket,
+            hash_fn=hash_fn,
+        )
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            word_ngrams(normalize_text(text_col), shingle_len)
+        ).alias("__sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    na, nb = F.size("__sha"), F.size("__shb")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            na.alias("n_shingles_a"),
+            nb.alias("n_shingles_b"),
+            inter.alias("n_common"),
+            F.when(na > 0, F.round(inter / na, ndigits))
+            .otherwise(F.lit(None))
+            .alias("containment_a_in_b"),
+            F.when(nb > 0, F.round(inter / nb, ndigits))
+            .otherwise(F.lit(None))
+            .alias("containment_b_in_a"),
+        )
+    )

@@ -929,3 +929,88 @@ def neighbor_jaccard(
         F.col("a").alias("node_a"), F.col("b").alias("node_b")
     )
     return scored.join(existing, ["node_a", "node_b"], "left_anti")
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    ndigits: int = 6,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public literature)
+    over a directed edge list, fixed-round and oracle-exact.
+
+    Update rule per round: ``auth(v) = sum of hub(u) over u->v`` then
+    ``hub(u) = sum of auth(v) over u->v``, from all-ones init. The
+    textbook algorithm renormalizes with an L2 divide every round;
+    this implementation DEFERS normalization to the end (divide by the
+    max, round to ``ndigits``) so every intermediate value is an exact
+    INTEGER — unnormalized HITS scores are pure path counts, identical
+    on any engine with no float-accumulation-order drift, which is
+    what lets a SQL oracle replay the whole iteration bit-for-bit
+    (same ranking either way: normalization is monotone). Fixed small
+    ``rounds`` is the production setting; values grow like
+    (max_degree)^rounds, so keep rounds small or renormalize (the
+    float path) on deep runs — overflow guard documented, not silent:
+    longs overflow past rounds*log2(max_deg) ~ 63.
+
+    Returns ``(id, auth, hub)`` for every node, scores in [0, 1].
+
+    Scale: per round two groupBy-sum shuffles keyed on node ids (ints
+    ride the shuffle, never adjacency lists); the static edge set is
+    staged once (``staging.stage``); the final max is a 1-row agg.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = stage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct(),
+        checkpoint_path,
+        "hits_edges",
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            e.join(hub, e.a == hub.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = nodes.join(auth, "id", "left").select(
+            "id", F.coalesce("auth", F.lit(0)).alias("auth")
+        )
+        hub = (
+            e.join(auth, e.b == auth.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(hub, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0)).alias("hub")
+        )
+        hub = stage(hub, checkpoint_path, "hits_hub")
+        auth = stage(auth, checkpoint_path, "hits_auth")
+    mx = (
+        auth.agg(F.max("auth").alias("ma"))
+        .crossJoin(hub.agg(F.max("hub").alias("mh")))
+        .first()
+    )
+    ma, mh = max(int(mx["ma"]), 1), max(int(mx["mh"]), 1)
+    return (
+        nodes.join(auth, "id")
+        .join(hub, "id")
+        .select(
+            "id",
+            F.round(F.col("auth") / F.lit(float(ma)), ndigits).alias(
+                "auth"
+            ),
+            F.round(F.col("hub") / F.lit(float(mh)), ndigits).alias("hub"),
+        )
+    )

@@ -136,3 +136,58 @@ def scalable_ntile(
             rn <= head, F.floor((rn - 1) / (q + 1)) + 1
         ).otherwise(F.lit(r) + F.floor((rn - 1 - head) / q) + 1)
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__rn")
+
+
+def shard_plan(
+    df: DataFrame,
+    key_cols: list,
+    num_shards: int,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Plan a balanced range-sharding of ``df`` on ``key_cols``: the
+    boundary table a writer (``sinks.write_range_sorted``) or a
+    downstream range-partitioner needs — ``(shard_id, n_rows,
+    lo_<key>, hi_<key>)`` per shard, shard sizes differing by at most
+    one row, EXACTLY (repartitionByRange samples, so its split sizes
+    wobble; a 100 TB backfill that must produce uniform output files
+    plans the cut points first and range-partitions by plan).
+
+    Shard of global rank r (1-based) is ``floor((r-1) * k / n)`` —
+    the even-spread balanced assignment, deterministic given a total
+    order (include a unique tie-break in ``key_cols``).
+
+    Scale: ranks come from the two-pass exact numbering
+    (``global_row_number`` — range partition + per-partition numbering
+    + broadcast prefix offsets, no single-partition window); the plan
+    rollup is ONE map-side-combinable groupBy on shard_id carrying
+    only key bounds. Output is k rows — driver/broadcast sized.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    ranked, total = _global_row_number_with_total(
+        df.select(*[F.col(c) if isinstance(c, str) else c for c in key_cols]),
+        key_cols,
+        None,
+        "__rn",
+        checkpoint_path,
+    )
+    if total == 0:
+        return ranked.sparkSession.createDataFrame(
+            [], "shard_id int, n_rows long"
+        )
+    names = [
+        c if isinstance(c, str) else ranked.select(c).columns[0]
+        for c in key_cols
+    ]
+    shard = F.floor(
+        (F.col("__rn") - 1) * F.lit(num_shards) / F.lit(total)
+    ).cast("int")
+    aggs = [F.count("*").alias("n_rows")]
+    for n in names:
+        aggs.append(F.min(n).alias(f"lo_{n}"))
+        aggs.append(F.max(n).alias(f"hi_{n}"))
+    return (
+        ranked.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(*aggs)
+    )

@@ -94,3 +94,68 @@ def hash_negatives(
         "__pick",
     )
     return resolved.select(id_col, "neg_rank", "neg_id")
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every row of the same
+    GROUP lands in the same split, by construction.
+
+    Row-level splits (``exact_split``, Bernoulli hash sampling) leak
+    entities across splits — two orders of one customer, two documents
+    of one author, end up in train AND test, and the eval score is
+    contaminated (the group-k-fold problem, standard ML methodology).
+    Here the split is a pure function of the GROUP value: hash the
+    group with md5(group|seed) onto u in [0,1), cut at the cumulative
+    fractions — so leakage is impossible rather than checked-for, and
+    the assignment is reproducible on any engine, any partitioning,
+    any run (the hash_sample discipline; a SQL oracle replays it).
+
+    Appends ``split``. NULL groups hash on the null sentinel (one
+    group, like dp_noisy_counts' key building). Fractions need not sum
+    to 1; the remainder goes to the LAST label (cut points are
+    cumulative). Zero shuffles — scan-shaped, the split rides into
+    whatever write partitioning follows.
+    """
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must align")
+    if len(labels) < 2:
+        raise ValueError("need at least 2 splits")
+    if any(f <= 0 for f in fractions):
+        raise ValueError("fractions must be positive")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.coalesce(
+                            F.col(group_col).cast("string"), F.lit("␀")
+                        ),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    cuts = []
+    acc = 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cuts.append(acc)
+    # built innermost-out: when(u<c1, l1) else (when(u<c2, l2) else
+    # ... else last) — first matching cumulative cut wins
+    expr = F.lit(labels[-1])
+    for label, cut in zip(reversed(labels[:-1]), reversed(cuts)):
+        expr = F.when(u < F.lit(cut), F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -123,11 +123,15 @@ def auto_bits(
     bits, 10x more vectors means 10x bigger buckets and 100x pair
     work; growing bits with the corpus holds the EXPECTED bucket
     population at ~target_cluster, so total pair work stays
-    ~O(n * target_cluster) — linear. This is the documented knob the
-    10x stress section measures (bench.py semdedup_autobits_*): the
-    recall trade is that a finer partition splits more true near-dup
-    pairs across buckets, so production sweeps target_cluster, not
-    bits. 2^24 buckets bounds the hyperplane matrix at fit time.
+    ~O(n * target_cluster) — linear, ON DATA THAT SPREADS ACROSS SIGN
+    CODES. Measured r7: this fixture's embeddings are degenerate for
+    hyperplane LSH (occupied buckets ~ bits, not 2^bits), so for
+    clumped data the robust policy is k-means with k = n/target
+    (bench.py semdedup_autok_*, SCALING.md); this formula documents
+    the uniform-data case. Recall trade: a finer partition splits more
+    true near-dup pairs across buckets, so production sweeps
+    target_cluster, not bits. 2^24 buckets bounds the hyperplane
+    matrix at fit time.
     """
     import math
 
@@ -321,4 +325,104 @@ def semdedup_keep(
     return (
         assigned.join(shadowed, id_col, "left_anti")
         .select(id_col, "cluster")
+    )
+
+
+def bucket_medoids(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+    ndigits: int = 6,
+    pair_method: str = "numpy",
+) -> DataFrame:
+    """Diversity/coreset sampling: ONE representative per LSH bucket —
+    the bucket's MEDOID (max mean cosine to its bucket peers, ties to
+    the smaller id). The complement of SemDeDup: instead of dropping
+    near-duplicates, keep exactly one exemplar per semantic region —
+    the cheap first stage of coreset selection / diverse-subset
+    curation (one-per-region is the classic k-center seeding shape).
+
+    Output: ``(bucket, bucket_size, medoid_id, mean_cos)``, one row
+    per surviving bucket; singleton buckets keep their only member
+    with ``mean_cos = 0.0`` (no peers).
+
+    Determinism contract: per-pair cosine is 6dp-rounded, the per-id
+    mean folds a SORTED value list (cross-engine float order), and the
+    argmax tie-breaks on id — a SQL oracle replays everything exactly.
+    ``pair_method`` picks the dot kernel (``_pair_cosine``): the Arrow
+    einsum default (ULP-scale order difference inside each cosine,
+    snapped by the 6dp round before the fold) or ``"column"`` for the
+    pure-JVM expression.
+
+    Scale: bucket assignment is a projection; the pairwise stage is
+    quadratic ONLY within a bucket and ``max_bucket``-guarded (the
+    SemDeDup contract — grow bits/k with the corpus, see SCALING.md);
+    the shuffle carries (bucket, id, vector) once for the self-join
+    and 16-byte (bucket, id, cos) rows after.
+    """
+    b = with_lsh_bucket(embeddings, dim, bits, vec_col, seed).select(
+        F.col(id_col), "bucket", F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    b = _bucket_guarded(b, "bucket", max_bucket)
+    a = b.select(
+        "bucket", F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    c = b.select(
+        "bucket", F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    cos = F.round(
+        F.coalesce(
+            _pair_cosine(
+                F.col("__va"), F.col("__vb"), F.col("__na"),
+                F.col("__nb"), pair_method,
+            ),
+            F.lit(0.0),
+        ),
+        ndigits,
+    )
+    per_id = (
+        a.join(c, "bucket")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select("bucket", "__ida", cos.alias("__cos"))
+        .groupBy("bucket", "__ida")
+        .agg(F.sort_array(F.collect_list("__cos")).alias("__cs"))
+        .select(
+            "bucket",
+            "__ida",
+            F.round(
+                F.aggregate(
+                    F.col("__cs"), F.lit(0.0), lambda acc, x: acc + x
+                )
+                / F.size("__cs"),
+                ndigits,
+            ).alias("__mean"),
+        )
+    )
+    best = per_id.groupBy("bucket").agg(
+        F.min(
+            F.struct(
+                (-F.col("__mean")).alias("nc"), F.col("__ida").alias("id")
+            )
+        ).alias("__m")
+    ).select(
+        "bucket",
+        F.col("__m.id").alias("medoid_id"),
+        (-F.col("__m.nc")).alias("mean_cos"),
+    )
+    sizes = b.groupBy("bucket").agg(
+        F.count("*").alias("bucket_size"),
+        F.min(id_col).alias("__only"),
+    )
+    return sizes.join(best, "bucket", "left").select(
+        "bucket",
+        "bucket_size",
+        F.coalesce("medoid_id", F.col("__only")).alias("medoid_id"),
+        F.coalesce("mean_cos", F.lit(0.0)).alias("mean_cos"),
     )

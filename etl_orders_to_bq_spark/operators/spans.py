@@ -88,3 +88,84 @@ def span_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    stride: int = 10,
+    min_occurrences: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Report corpus-wide REPEATED token spans — the diagnostic half of
+    substring-level dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", public literature): before
+    removing repeated passages, a pipeline wants to SEE them ranked by
+    how often they repeat (boilerplate headers, license blocks, quoted
+    chain letters).
+
+    Unlike :func:`span_dedup` (non-overlapping chunks, destructive),
+    this slides an OVERLAPPING window (``stride`` < ``span_tokens``)
+    so passages that straddle chunk boundaries are still caught — the
+    stride/window trade mirrors the suffix-array method's sensitivity
+    at 1/stride the index size. Only FULL windows participate (a short
+    tail window would false-match its containing window's prefix).
+
+    Output: (span_text, n_occurrences, n_docs, first_doc) for spans
+    seen >= ``min_occurrences`` times, top ``top_n`` by occurrence
+    count (ties broken on span_text — deterministic on any engine).
+
+    Scale: windowing is scan-shaped (in-row array ops, no shuffle);
+    the ONE shuffle groups 16-byte fingerprints with map-side partial
+    aggregation; span text rides only on the surviving (repeated)
+    fingerprints via the final min() — at 100 TB the shuffle carries
+    counts, not the corpus. top_n is a TakeOrdered, never a global
+    sort.
+    """
+    if stride < 1 or stride > span_tokens:
+        raise ValueError("need 1 <= stride <= span_tokens")
+    from ..functions.text import tokenize
+
+    # windows generated directly (not chunk_documents + a tail filter):
+    # only FULL windows exist by construction — n_windows =
+    # floor((n - span)/stride) + 1 — which also sidesteps a Spark 4.1
+    # optimizer bug (filter on a Generate-derived arithmetic column
+    # over a Union loses an attribute: "key not found: text#N")
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    nw = (
+        F.floor((n - F.lit(span_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    wins = F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * stride + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (
+        df.select(F.col(id_col).alias("__id"), wins.alias("__w"))
+        .select("__id", F.explode("__w").alias("chunk_text"))
+        .select(
+            F.md5("chunk_text").alias("fp"), "__id", "chunk_text"
+        )
+    )
+    rep = (
+        spans.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("__id").alias("n_docs"),
+            F.min("__id").alias("first_doc"),
+            F.min("chunk_text").alias("span_text"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+    return (
+        rep.select("span_text", "n_occurrences", "n_docs", "first_doc")
+        .orderBy(F.desc("n_occurrences"), "span_text")
+        .limit(top_n)
+    )

@@ -1406,3 +1406,191 @@ def test_embedding_drift_zero_for_identical_groups(spark):
     # shifted group: per-dim mean 3 -> gap = |3 - 7/3|
     gap2 = round(abs(3.0 - round(14 / 6, 6)), 6)
     assert got[2] == (2, round(2 * gap2, 6), gap2)
+
+
+def test_repeated_ngram_spans_hand_computed(spark):
+    """Overlapping full windows only: a 30-token doc at span=20/stride=10
+    yields 2 windows; a repeated passage across two docs is reported
+    with the right counts; sub-span docs yield nothing."""
+    from etl_orders_to_bq_spark.operators.spans import (
+        repeated_ngram_spans,
+    )
+
+    w = " ".join(f"w{i}" for i in range(30))  # tokens w0..w29
+    rows = [(1, w), (2, w), (3, "short doc"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_spans(
+        df, span_tokens=20, stride=10, min_occurrences=2
+    ).collect()
+    # each of docs 1,2 emits windows [w0..w19] and [w10..w29]; both
+    # repeat exactly twice across two docs
+    assert len(out) == 2
+    for r in out:
+        assert (r["n_occurrences"], r["n_docs"], r["first_doc"]) == (2, 2, 1)
+    texts = {r["span_text"] for r in out}
+    assert " ".join(f"w{i}" for i in range(20)) in texts
+    assert " ".join(f"w{i}" for i in range(10, 30)) in texts
+    # below min_occurrences: nothing reported for unique docs
+    one = repeated_ngram_spans(
+        df.filter("doc_id = 1"), span_tokens=20, stride=10
+    ).collect()
+    assert one == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        repeated_ngram_spans(df, span_tokens=10, stride=11)
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule, one assertion each — and non-URLs
+    pass through untouched."""
+    from etl_orders_to_bq_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTPS://Ex.COM/P", "https://ex.com/P"),        # case: host only
+        ("https://ex.com:443/p", "https://ex.com/p"),    # default port
+        ("http://ex.com:80/p", "http://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # real port
+        ("https://ex.com", "https://ex.com/"),           # empty path
+        ("https://ex.com/p#frag", "https://ex.com/p"),   # fragment
+        ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),  # sort
+        ("https://ex.com/p?utm_source=x&a=1", "https://ex.com/p?a=1"),
+        ("https://ex.com/p?fbclid=z", "https://ex.com/p"),  # all tracked
+        ("not a url", "not a url"),                      # passthrough
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url("u").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_group_split_leakage_free_and_deterministic(spark):
+    """Every group lands in exactly one split; re-running (and
+    re-partitioning) yields the identical assignment; fractions land
+    near the targets; validation errors raise."""
+    from etl_orders_to_bq_spark.operators.sampling import group_split
+
+    rows = [(i, i % 200) for i in range(4000)]
+    df = spark.createDataFrame(rows, "row_id long, grp long")
+    out = group_split(df, "grp", seed=7)
+    per_grp = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_grp)
+    a = {r["row_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["row_id"]: r["split"]
+        for r in group_split(df.repartition(13), "grp", seed=7).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.6 < frac["train"] / 4000 < 0.95
+    assert frac["val"] > 0 and frac["test"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="align"):
+        group_split(df, "grp", fractions=(0.5,), labels=("a", "b"))
+    with _pytest.raises(ValueError, match="at least 2"):
+        group_split(df, "grp", fractions=(1.0,), labels=("a",))
+
+
+def test_hits_scores_hand_computed(spark):
+    """Two rounds on a 3-node chain a->b, a->c, b->c: unnormalized
+    integer HITS computed by hand, max-normalized at the end."""
+    from etl_orders_to_bq_spark.operators.graph import hits_scores
+
+    df = spark.createDataFrame(
+        [(10, 20), (10, 30), (20, 30)], "src long, dst long"
+    )
+    # round 1: auth = indeg -> a:0 b:1 c:2; hub: a = auth(b)+auth(c)=3,
+    #          b = auth(c)=2, c = 0
+    # round 2: auth(b) = hub(a) = 3; auth(c) = hub(a)+hub(b) = 5;
+    #          hub(a) = 3+5 = 8; hub(b) = 5
+    out = {r["id"]: (r["auth"], r["hub"]) for r in
+           hits_scores(df, rounds=2).collect()}
+    assert out[10] == (0.0, 1.0)                      # hub max = 8
+    assert out[20] == (round(3 / 5, 6), round(5 / 8, 6))
+    assert out[30] == (1.0, 0.0)                      # auth max = 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds"):
+        hits_scores(df, rounds=0)
+
+
+def test_shard_plan_balanced_and_ordered(spark):
+    """Shard sizes within one row, bounds non-overlapping in key
+    order, sizes sum to n — and num_shards > n degenerates safely."""
+    from etl_orders_to_bq_spark.operators.ranking import shard_plan
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, i) for i in range(101)], "k long, id long"
+    )
+    plan = shard_plan(df, ["k", "id"], 8).orderBy("shard_id").collect()
+    sizes = [r["n_rows"] for r in plan]
+    assert sum(sizes) == 101
+    assert max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(plan, plan[1:]):
+        assert (prev["hi_k"], ) <= (cur["lo_k"], )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        shard_plan(df, ["k"], 0)
+
+
+def test_ngram_containment_prefix_is_contained(spark):
+    """A doc that is a token-prefix of another scores containment 1.0
+    in the short->long direction and < 1.0 the other way."""
+    from etl_orders_to_bq_spark.operators.dedup import ngram_containment
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    short_text = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = ngram_containment(df, pairs=pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_shingles_a"] == 38 and r["n_shingles_b"] == 10
+    assert r["n_common"] == 10
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] == round(10 / 38, 6)
+
+
+def test_bucket_medoids_contract(spark):
+    """Medoid is the most-central member (hand-checkable with one
+    dominant direction), singleton buckets keep their only member with
+    mean_cos 0.0, and both pair kernels agree."""
+    from etl_orders_to_bq_spark.operators.semdedup import bucket_medoids
+
+    # vectors along +x cluster together under any hyperplane LSH;
+    # v2 is the centroid-most of the trio {v1, v2, v3}
+    rows = [
+        (1, [1.0, 0.0, 0.1, 0.0]),
+        (2, [1.0, 0.05, 0.05, 0.0]),
+        (3, [1.0, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for method in ("numpy", "column"):
+        out = bucket_medoids(
+            df, dim=4, bits=2, seed=3, pair_method=method
+        ).collect()
+        total = sum(r["bucket_size"] for r in out)
+        assert total == 3
+        for r in out:
+            if r["bucket_size"] == 1:
+                assert r["mean_cos"] == 0.0
+        by_size = {r["bucket_size"]: r for r in out}
+        if 3 in by_size:
+            assert by_size[3]["medoid_id"] == 2
