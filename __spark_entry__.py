@@ -11149,7 +11149,7 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, length(t) as n,
                  length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) as latin,
                  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) as digit,
-                 length(t) - length(regexp_replace(t, '\\s', '', 'g')) as space,
+                 length(t) - length(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) as space,
                  length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')) as cyrillic,
                  length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')) as han
           from d
@@ -11387,10 +11387,17 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
           from sig where mh_0 is not null
         ),
+        ok_bk as (
+          -- mirror the engine's max_bucket=1000 guard: oversized band
+          -- buckets are dropped BEFORE pair generation (bk embeds the
+          -- band index, so grouping by bk alone matches per-(band, bk))
+          select bk from banded group by bk having count(*) <= 1000
+        ),
         cand as (
           select distinct l.doc_id as id_a, r.doc_id as id_b
-          from banded l join banded r
-            on l.bk = r.bk and l.doc_id < r.doc_id
+          from banded l
+          join ok_bk o on l.bk = o.bk
+          join banded r on l.bk = r.bk and l.doc_id < r.doc_id
         ),
         sh as (
           select doc_id,

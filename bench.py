@@ -424,7 +424,11 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             "name_b",
             max_dist=2,
         )
-        out["er_10x_verified_pairs"] = cand.count()
+        # ordered pairs only — the raw self-join also meets (x, x) and
+        # both orientations, which would double-count the quadratic term
+        out["er_10x_verified_pairs"] = cand.filter(
+            F.col("id_a") < F.col("id_b")
+        ).count()
 
         # -- 10x growth rows for the round-6 additions: each probe is
         # the gated query's operator on a 10x input built the same

@@ -249,8 +249,10 @@ def script_counts(col: Column | str) -> Column:
     regexp_replace(x, class, ''))`` — pure JVM column math, one pass
     per class, no tokenization. Java and RE2 spell the script classes
     differently (``\\p{IsHan}`` vs ``\\p{Han}``) but define them
-    identically from the Unicode database, so a DuckDB oracle replays
-    the same numbers.
+    identically from the Unicode database; the whitespace class is
+    spelled EXPLICITLY (``[ \\t\\n\\x0B\\f\\r]``) because the engines'
+    ``\\s`` shorthands differ — Java includes vertical tab, RE2 does
+    not — and an explicit class is identical on both.
     """
     s = _c(col)
     n = F.length(s)
@@ -260,7 +262,7 @@ def script_counts(col: Column | str) -> Column:
 
     latin = cnt(r"[A-Za-z]")
     digit = cnt(r"[0-9]")
-    space = cnt(r"\s")
+    space = cnt(r"[ \t\n\x0B\f\r]")
     cyr = cnt(r"\p{IsCyrillic}")
     han = cnt(r"\p{IsHan}")
     other = n - latin - digit - space - cyr - han

@@ -113,14 +113,8 @@ def _decode_bytes(payload: bytes, codec: str = "auto") -> dict | None:
       library-free, the contract the oracle-gated queries pin (their
       DuckDB oracles mirror the md5 arithmetic exactly).
     """
-    if codec == "pil" or (codec == "auto" and _PILImage is not None):
-        if _PILImage is None:
-            raise RuntimeError(
-                "codec='pil' requested but Pillow is not installed"
-            )
+    if codec_branch(codec) == "pil":  # single source of truth
         return _decode_bytes_pil(payload)
-    if codec not in ("auto", "stub"):
-        raise ValueError(f"unknown codec: {codec}")
     h = hashlib.md5(payload).digest()
     return {
         "format": ["png", "jpeg", "webp"][h[0] % 3],

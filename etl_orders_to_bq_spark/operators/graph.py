@@ -971,10 +971,14 @@ def hits_scores(
         checkpoint_path,
         "hits_edges",
     )
-    nodes = (
+    # staged once: nodes feeds two left-joins per round plus the final
+    # double join — without staging the union+distinct re-executes ~5x
+    nodes = stage(
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
-        .distinct()
+        .distinct(),
+        checkpoint_path,
+        "hits_nodes",
     )
     hub = nodes.withColumn("hub", F.lit(1).cast("long"))
     auth = None
@@ -1002,7 +1006,10 @@ def hits_scores(
         .crossJoin(hub.agg(F.max("hub").alias("mh")))
         .first()
     )
-    ma, mh = max(int(mx["ma"]), 1), max(int(mx["mh"]), 1)
+    # empty graph: max over zero rows is NULL — return the (empty)
+    # scored frame instead of TypeError-ing on int(None)
+    ma = max(int(mx["ma"]), 1) if mx["ma"] is not None else 1
+    mh = max(int(mx["mh"]), 1) if mx["mh"] is not None else 1
     return (
         nodes.join(auth, "id")
         .join(hub, "id")

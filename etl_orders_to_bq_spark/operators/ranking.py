@@ -171,14 +171,22 @@ def shard_plan(
         "__rn",
         checkpoint_path,
     )
-    if total == 0:
-        return ranked.sparkSession.createDataFrame(
-            [], "shard_id int, n_rows long"
-        )
     names = [
         c if isinstance(c, str) else ranked.select(c).columns[0]
         for c in key_cols
     ]
+    if total == 0:
+        # same schema as the non-empty path (shard_id, n_rows, lo_/hi_
+        # per key) so empty-partition plans union/consume cleanly
+        empty = ranked.limit(0)
+        sel = [
+            F.lit(None).cast("int").alias("shard_id"),
+            F.lit(None).cast("long").alias("n_rows"),
+        ]
+        for n in names:
+            sel.append(F.col(n).alias(f"lo_{n}"))
+            sel.append(F.col(n).alias(f"hi_{n}"))
+        return empty.select(*sel)
     shard = F.floor(
         (F.col("__rn") - 1) * F.lit(num_shards) / F.lit(total)
     ).cast("int")

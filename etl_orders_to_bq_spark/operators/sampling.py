@@ -128,6 +128,12 @@ def group_split(
         raise ValueError("need at least 2 splits")
     if any(f <= 0 for f in fractions):
         raise ValueError("fractions must be positive")
+    if sum(fractions[:-1]) >= 1.0:
+        raise ValueError(
+            "cumulative fractions before the last label must stay "
+            f"< 1 (got {sum(fractions[:-1])}) — the last split would "
+            "be empty"
+        )
     u = (
         F.conv(
             F.substring(

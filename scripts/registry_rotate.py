@@ -82,10 +82,9 @@ def main() -> int:
     last = last_verified_rounds()
     pre, entries, post, old_body = parse_dict_body(src)
     want = desired_order(entries, last)
-    # strip the literal "return {" line that pre ends before: pre ends
-    # right where the body (first line after the docstring) starts —
-    # the body we rebuild includes the return { opener? No: parse
-    # grouped (head)(body)(tail) where body starts after docstring.
+    # the parsed body starts at "    return {" (first line after the
+    # docstring) and render() re-emits that opener, so old and new
+    # bodies are directly comparable
     new_body = render(want, last)
     if not old_body.lstrip().startswith("return {"):
         raise SystemExit("unexpected dict body shape")

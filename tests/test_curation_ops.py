@@ -1594,3 +1594,37 @@ def test_bucket_medoids_contract(spark):
         by_size = {r["bucket_size"]: r for r in out}
         if 3 in by_size:
             assert by_size[3]["medoid_id"] == 2
+
+
+def test_group_split_rejects_saturated_fractions(spark):
+    """Cumulative pre-last fractions >= 1 would silently empty the
+    last split — must raise instead."""
+    import pytest as _pytest
+
+    from etl_orders_to_bq_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame([(1, 1)], "row_id long, grp long")
+    with _pytest.raises(ValueError, match="cumulative"):
+        group_split(
+            df, "grp", fractions=(0.7, 0.5, 0.1),
+            labels=("train", "val", "test"),
+        )
+
+
+def test_script_counts_whitespace_class_engine_identical(spark):
+    """The explicit whitespace class must count identically on Java
+    and RE2 — including vertical tab U+000B, where the engines' \\s
+    shorthands DIFFER (Java includes it, RE2 does not)."""
+    import duckdb
+
+    from etl_orders_to_bq_spark.functions.text import script_counts
+
+    text = "a\x0bb\tc d\ne\ff\r"
+    df = spark.createDataFrame([(1, text)], "id long, t string")
+    s = df.select(script_counts("t").alias("s")).first()["s"]
+    q = duckdb.connect().execute(
+        "select length($1) - length(regexp_replace($1,"
+        " '[ \\t\\n\\x0B\\f\\r]', '', 'g'))",
+        [text],
+    ).fetchone()[0]
+    assert s["space"] == q == 6
