@@ -297,6 +297,26 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ph = perceptual_hash(media, codec="stub")
             return hamming_pairs(ph, "phash", "id", bits=64, max_dist=3)
 
+        from etl_orders_to_bq_spark.functions.urls import (
+            url_canonical_dedup,
+        )
+        from etl_orders_to_bq_spark.operators.spans import (
+            repeated_ngram_spans,
+        )
+
+        def _url_probe(d):
+            raw = d.select(
+                "doc_id",
+                F.concat(
+                    F.lit("HTTPS://h"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".Example.COM:443/p/"),
+                    (F.col("doc_id") / 3).cast("long").cast("string"),
+                    F.lit("?b=2&utm_source=x&a=1"),
+                ).alias("url"),
+            )
+            return url_canonical_dedup(raw, "url", "doc_id")
+
         clf_w = seeded_weights(1024, seed=17)
         probes = {
             "minhash_lsh_128x16_numpy": lambda d: minhash_lsh_candidates(
@@ -317,6 +337,13 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             # image-fingerprint dedup: payload -> 8-byte hash is the
             # map stage, pigeonhole join the pair stage
             "phash_hamming3": _phash_pairs,
+            # round-7 linear ops: in-row windowing + one fingerprint
+            # shuffle / regex canonicalization + one rollup shuffle —
+            # growth must track the data ratio
+            "repeated_ngram_spans": lambda d: repeated_ngram_spans(
+                d, span_tokens=20, stride=10
+            ),
+            "url_canonical_dedup": _url_probe,
         }
         # warm the Arrow worker pool once (numpy path) so the 10x run
         # does not charge daemon startup to the operator
