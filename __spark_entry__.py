@@ -6273,6 +6273,61 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard_id")
 
 
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-10 TF-IDF terms (operators/bm25.py
+    tfidf_topterms): smooth sklearn-style idf = ln((1+N)/(1+df)) + 1
+    over normalized whitespace tokens, score = tf * idf rounded 6dp,
+    ranked per source with a term tie-break. One explode feeds both
+    aggregates; df broadcasts (vocab-sized). The oracle replays
+    tokenization, both counts, the ln, and the ranked cut."""
+    from etl_orders_to_bq_spark.operators.bm25 import tfidf_topterms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topterms(d, top_n=10).orderBy(
+        "source", F.desc("score"), "term"
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical census (operators/bm25.py vocab_growth):
+    token count, vocabulary, hapax count/fraction, type-token ratio —
+    the Heaps'-law QA report (template spam collapses hapax_frac; OCR
+    noise explodes TTR). Two combinable groupBys over one explode."""
+    from etl_orders_to_bq_spark.operators.bm25 import vocab_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_growth(d).orderBy("source")
+
+
+def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal split with an embargo gap (operators/sampling.py
+    time_split_embargo): orders before 1997-01-01 minus 30 days train,
+    at/after the cutoff test, the 30-day gap excluded as 'embargo' —
+    the backtesting rule that stops boundary-straddling features
+    leaking the future (hash splits train on the future by
+    construction). Report: per-split counts and date bounds."""
+    from etl_orders_to_bq_spark.operators.sampling import (
+        time_split_embargo,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    out = time_split_embargo(o, "o_orderdate", "1997-01-01", 30)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("split")
+    )
+
+
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -6287,6 +6342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "tfidf_topterms": q_tfidf_topterms,
+        "vocab_growth": q_vocab_growth,
+        "time_split_embargo": q_time_split_embargo,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "script_profile": q_script_profile,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -11435,6 +11493,73 @@ def oracle_sql() -> dict[str, str]:
                min(o_orderkey) as lo_o_orderkey,
                max(o_orderkey) as hi_o_orderkey
         from r group by 1 order by 1
+    """
+
+
+    # TF-IDF top terms: same tokenization, smooth idf, ranked cut
+    out["tfidf_topterms"] = """
+        with toks as (
+          select source, doc_id, unnest(regexp_extract_all(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+            '\\S+')) as term
+          from documents
+        ),
+        tf as (select source, term, count(*) as tf
+               from toks group by source, term),
+        dfreq as (
+          select term, count(*) as df from (
+            select distinct doc_id, term from toks) _ group by term
+        ),
+        n as (select count(distinct doc_id) as nd from documents),
+        scored as (
+          select tf.source, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * (ln((1.0 + (select nd from n))
+                                   / (1.0 + dfreq.df)) + 1.0), 6)
+                   as score
+          from tf join dfreq using (term)
+        )
+        select source, term, cast(tf as bigint) as tf,
+               cast(df as bigint) as df, score
+        from scored
+        qualify row_number() over (partition by source
+                                   order by score desc, term) <= 10
+        order by source, score desc, term
+    """
+    # lexical census: one explode, two rollups
+    out["vocab_growth"] = """
+        with toks as (
+          select source, unnest(regexp_extract_all(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+            '\\S+')) as term
+          from documents
+        ),
+        per_term as (select source, term, count(*) as n
+                     from toks group by source, term)
+        select source,
+               cast(sum(n) as bigint) as n_tokens,
+               cast(count(*) as bigint) as vocab,
+               cast(sum(case when n = 1 then 1 else 0 end) as bigint)
+                 as hapax,
+               round(sum(case when n = 1 then 1 else 0 end)
+                     / count(*), 6) as hapax_frac,
+               round(count(*) / sum(n), 6) as type_token_ratio
+        from per_term group by source order by source
+    """
+    # temporal embargo split: literal date cuts, per-split census
+    out["time_split_embargo"] = """
+        with labeled as (
+          select o_orderkey, o_orderdate,
+                 case
+                   when o_orderdate < date '1997-01-01'
+                                      - interval 30 day then 'train'
+                   when o_orderdate >= date '1997-01-01' then 'test'
+                   else 'embargo' end as split
+          from orders
+        )
+        select split, count(*) as n_orders,
+               min(o_orderdate) as first_date,
+               max(o_orderdate) as last_date
+        from labeled group by split order by split
     """
 
     # identical pipeline through the durable parquet staging path —

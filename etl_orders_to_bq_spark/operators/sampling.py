@@ -165,3 +165,35 @@ def group_split(
     for label, cut in zip(reversed(labels[:-1]), reversed(cuts)):
         expr = F.when(u < F.lit(cut), F.lit(label)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def time_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    cutoff,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the backtesting
+    discipline (standard quant/forecasting methodology): rows before
+    ``cutoff - embargo_days`` train, rows at/after ``cutoff`` test, and
+    rows INSIDE the gap are labeled ``embargo`` and excluded from both
+    — because records adjacent to the boundary leak target information
+    across it (label windows, sessions, rolling features straddle the
+    cut). Row-hash splits (``group_split``/``exact_split``) are WRONG
+    for time-indexed data: they train on the future.
+
+    Appends ``split`` in ('train', 'embargo', 'test'). NULL timestamps
+    get 'embargo' (excluded from both sides — the conservative rule).
+    Zero shuffles; pure column comparison against literal dates.
+    """
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    cut = F.lit(cutoff).cast("date")
+    lo = F.date_sub(cut, embargo_days)
+    ts = F.col(ts_col).cast("date")
+    return df.withColumn(
+        "split",
+        F.when(ts < lo, F.lit("train"))
+        .when(ts >= cut, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

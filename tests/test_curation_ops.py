@@ -1628,3 +1628,69 @@ def test_script_counts_whitespace_class_engine_identical(spark):
         [text],
     ).fetchone()[0]
     assert s["space"] == q == 6
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    """Two tiny sources with one shared and one exclusive term: the
+    exclusive term outranks the shared one (higher idf), scores match
+    the closed-form smooth idf, top_n cuts deterministically."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.bm25 import tfidf_topterms
+
+    rows = [
+        (1, "alpha alpha shared", "s1"),
+        (2, "alpha shared", "s1"),
+        (3, "beta shared", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source"], r["term"]): (r["tf"], r["df"], r["score"])
+           for r in tfidf_topterms(df, top_n=10).collect()}
+    idf = lambda dfreq: math.log((1 + 3) / (1 + dfreq)) + 1
+    assert out[("s1", "alpha")] == (3, 2, round(3 * idf(2), 6))
+    assert out[("s1", "shared")] == (2, 3, round(2 * idf(3), 6))
+    assert out[("s2", "beta")] == (1, 1, round(1 * idf(1), 6))
+    # exclusive beta beats shared within s2 (idf dominates equal tf)
+    assert out[("s2", "beta")][2] > out[("s2", "shared")][2]
+    cut = tfidf_topterms(df, top_n=1).collect()
+    assert len(cut) == 2  # one term per source
+
+
+def test_vocab_growth_hand_computed(spark):
+    from etl_orders_to_bq_spark.operators.bm25 import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a a b c", "s1")], "doc_id long, text string, source string"
+    )
+    r = vocab_growth(df).collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["hapax"]) == (4, 3, 2)
+    assert r["hapax_frac"] == round(2 / 3, 6)
+    assert r["type_token_ratio"] == 0.75
+
+
+def test_time_split_embargo_boundaries(spark):
+    """Exact boundary semantics: day before the embargo window trains,
+    the window itself is excluded, the cutoff day tests; nulls embargo;
+    negative embargo raises."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from etl_orders_to_bq_spark.operators.sampling import (
+        time_split_embargo,
+    )
+
+    rows = [
+        (1, dt.date(1996, 12, 1)),   # cutoff - 31d -> train
+        (2, dt.date(1996, 12, 2)),   # cutoff - 30d -> embargo (>= lo)
+        (3, dt.date(1996, 12, 31)),  # day before cutoff -> embargo
+        (4, dt.date(1997, 1, 1)),    # cutoff day -> test
+        (5, None),                   # null -> embargo
+    ]
+    df = spark.createDataFrame(rows, "id long, d date")
+    out = {r["id"]: r["split"] for r in
+           time_split_embargo(df, "d", "1997-01-01", 30).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: "embargo"}
+    with _pytest.raises(ValueError, match="embargo_days"):
+        time_split_embargo(df, "d", "1997-01-01", -1)
