@@ -11497,11 +11497,10 @@ def oracle_sql() -> dict[str, str]:
 
 
     # TF-IDF top terms: same tokenization, smooth idf, ranked cut
-    out["tfidf_topterms"] = """
+    out["tfidf_topterms"] = f"""
         with toks as (
-          select source, doc_id, unnest(regexp_extract_all(
-            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-            '\\S+')) as term
+          select source, doc_id,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as term
           from documents
         ),
         tf as (select source, term, count(*) as tf
@@ -11526,11 +11525,10 @@ def oracle_sql() -> dict[str, str]:
         order by source, score desc, term
     """
     # lexical census: one explode, two rollups
-    out["vocab_growth"] = """
+    out["vocab_growth"] = f"""
         with toks as (
-          select source, unnest(regexp_extract_all(
-            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-            '\\S+')) as term
+          select source,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as term
           from documents
         ),
         per_term as (select source, term, count(*) as n

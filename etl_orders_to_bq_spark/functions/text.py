@@ -30,7 +30,14 @@ def _c(col: Column | str) -> Column:
 
 
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenizer: array of non-empty tokens."""
+    """Whitespace tokenizer: array of non-empty tokens.
+
+    Engine-parity note: Java's ``\\S``/``\\s`` include vertical tab
+    (U+000B); RE2's (DuckDB oracles) do not. The fixtures are VT-free
+    so every tokenizing oracle agrees; a corpus with VT (OCR/PDF
+    text) must either normalize VT upstream or spell the class
+    explicitly — ``script_counts`` shows the explicit-class pattern.
+    """
     return F.regexp_extract_all(_c(col), F.lit(r"\S+"), 0)
 
 

@@ -116,10 +116,13 @@ def tfidf_topterms(
     (one ln + one multiply per term — Spark and DuckDB agree at 6dp,
     the adamic_adar ln-parity precedent).
 
-    Scale: ONE explode pass feeds both aggregates — per-(group, term)
-    tf and per-term df are map-side-combinable groupBys; the per-group
-    top-k is a window over the (|vocab| x |groups|)-row term table,
-    never the corpus; df rides a broadcast join (vocab-sized).
+    Scale: one explode projection feeds both aggregates — per-(group,
+    term) tf and per-term df are map-side-combinable groupBys; the
+    per-group top-k is a window over the (|vocab| x |groups|)-row term
+    table, never the corpus; df and the 1-row N aggregate ride
+    broadcast joins, kept LAZY (the ``bm25_scores`` pattern — building
+    the plan runs no job, and N's count(distinct) ignores null ids
+    exactly like SQL).
     """
     toks = df.select(
         F.col(group_col).alias("grp"),
@@ -130,14 +133,25 @@ def tfidf_topterms(
     dfreq = toks.select("__id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    n_docs = df.select(F.col(id_col)).distinct().count()
-    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    n_docs = df.agg(
+        F.countDistinct(F.col(id_col)).alias("__n_docs")
+    )
+    idf_tab = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        (
+            F.log(
+                (1.0 + F.col("__n_docs")) / (1.0 + F.col("df"))
+            )
+            + 1.0
+        ).alias("__idf"),
+    )
+    scored = tf.join(F.broadcast(idf_tab), "term").select(
         "grp",
         "term",
         "tf",
         "df",
-        F.round(F.col("tf") * idf, ndigits).alias("score"),
+        F.round(F.col("tf") * F.col("__idf"), ndigits).alias("score"),
     )
     w = Window.partitionBy("grp").orderBy(
         F.desc("score"), F.col("term")
