@@ -1694,3 +1694,44 @@ def test_time_split_embargo_boundaries(spark):
                    4: "test", 5: "embargo"}
     with _pytest.raises(ValueError, match="embargo_days"):
         time_split_embargo(df, "d", "1997-01-01", -1)
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """Canonicalization must be IDEMPOTENT — canonical output re-fed
+    through the canonicalizer is a fixed point (the property that makes
+    the canonical form a safe storage/dedup key). Property-tested over
+    generated URL-ish inputs covering every rule interaction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_orders_to_bq_spark.functions.urls import canonicalize_url
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+    host = st.sampled_from(
+        ["Ex.COM", "ex.com", "a.b.Example.org", "EX.com:443",
+         "ex.com:80", "ex.com:8080"]
+    )
+    path = st.sampled_from(["", "/", "/P/q", "/deep/Path.html"])
+    params = st.lists(
+        st.sampled_from(
+            ["a=1", "B=2", "utm_source=x", "fbclid=z", "ref=t",
+             "z", "k=v=w", ""]
+        ),
+        max_size=4,
+    )
+    frag = st.sampled_from(["", "#f", "#Frag/x?y=1"])
+
+    @settings(max_examples=30, deadline=None)
+    @given(scheme, host, path, params, frag)
+    def check(sc, h, p, qs, fr):
+        url = f"{sc}://{h}{p}"
+        if qs:
+            url += "?" + "&".join(qs)
+        url += fr
+        df = spark.createDataFrame([(url,)], "u string")
+        once = df.select(canonicalize_url("u").alias("c"))
+        got = once.first()["c"]
+        twice = once.select(canonicalize_url("c").alias("c2")).first()["c2"]
+        assert got == twice, (url, got, twice)
+
+    check()
