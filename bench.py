@@ -619,6 +619,44 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t10 / max(t1["median"], 1e-9), 1
         )
 
+        # round-7 heavies: HITS on the disjoint-copy graph (per-round
+        # shuffles keyed on int ids — ~O(copies) expected) and
+        # containment verify on LSH-bounded candidates
+        from etl_orders_to_bq_spark.operators.dedup import (
+            ngram_containment,
+        )
+        from etl_orders_to_bq_spark.operators.graph import hits_scores
+
+        t1 = _timed(lambda: hits_scores(o1, rounds=2), runs=2)
+        t0 = time.perf_counter()
+        _force(hits_scores(o10, rounds=2))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["hits_scores_1x"] = t1["median"]
+        out["hits_scores_10x"] = t10
+        out["hits_scores_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+
+        t1 = _timed(
+            lambda: ngram_containment(d1, num_hashes=4, bands=2), runs=2
+        )
+        t0 = time.perf_counter()
+        _force(ngram_containment(d10, num_hashes=4, bands=2))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["ngram_containment_1x"] = t1["median"]
+        out["ngram_containment_10x"] = t10
+        out["ngram_containment_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+        # candidate census: wall growth here is CANDIDATE growth (the
+        # word-suffixed copies band together within a copy), not plan
+        # growth — measured r7: verify stage flat 1.7->1.4s while
+        # candidates grew ~8.7x
+        for tag, d in (("1x", d1), ("10x", d10)):
+            out[f"ngram_containment_{tag}_candidates"] = (
+                minhash_lsh_candidates(
+                    d, num_hashes=4, bands=2
+                ).count()
+            )
+
         # guard accounting at 10x — caps must be counted, never silent
         bucket_sizes = (
             minhash_band_keys(
