@@ -6328,6 +6328,63 @@ def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value per priority
+    (operators/bootstrap.py): B=100 deterministic replicates — each
+    row's per-replicate weight is an inverse-CDF Poisson(1) draw from
+    md5(id|b|seed), weighted sums run in DECIMAL (exact, order-free),
+    replicate means are one double division rounded at 6dp, and the CI
+    bounds are type-1 order statistics of the sorted means. Every
+    stage is a pure function of the data, so the oracle replays the
+    ENTIRE bootstrap — weights, sums, quantiles — bit-for-bit."""
+    from etl_orders_to_bq_spark.operators.bootstrap import bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        o,
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        group_cols=["o_orderpriority"],
+        b=100,
+        ci=0.95,
+        seed=42,
+    ).orderBy("o_orderpriority")
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/timeseries.py resample_ffill):
+    monthly revenue per customer bucket (custkey % 200); each key's
+    month spine is generated from min..max observed month and gap months
+    FORWARD-FILLED with the last observed value — pandas
+    resample().ffill() as sequence-explode + last-ignorenulls window
+    (one shuffle, streaming frame). Revenue pre-aggregates in DECIMAL
+    so the filled values are exact on both engines."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.col("o_custkey") % 200).alias("key"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return resample_ffill(
+        monthly, "key", "month", "revenue", step="1 month"
+    ).orderBy("key", "month")
+
+
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -6342,6 +6399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "bootstrap_ci": q_bootstrap_ci,
+        "resample_ffill": q_resample_ffill,
         "tfidf_topterms": q_tfidf_topterms,
         "vocab_growth": q_vocab_growth,
         "time_split_embargo": q_time_split_embargo,
@@ -11558,6 +11617,89 @@ def oracle_sql() -> dict[str, str]:
                min(o_orderdate) as first_date,
                max(o_orderdate) as last_date
         from labeled group by split order by split
+    """
+
+
+    # Poisson bootstrap: identical inverse-CDF literals, decimal sums,
+    # type-1 order statistics
+    from etl_orders_to_bq_spark.operators.bootstrap import (
+        _poisson1_cdf_literals,
+    )
+
+    _cdf = _poisson1_cdf_literals(8)
+    _wcase = "case " + " ".join(
+        f"when u < {repr(c)} then {k}" for k, c in enumerate(_cdf)
+    ) + " else 8 end"
+    out["bootstrap_ci"] = f"""
+        with rep as (
+          select o_orderpriority as grp, o_orderkey as id,
+                 cast(o_totalprice as decimal(18,2)) as v, u.b
+          from orders,
+               lateral (select unnest(range(0, 100)) as b) u
+        ),
+        uni as (
+          -- one md5 serves four replicates: chunk b%4 of md5(id|b//4|seed)
+          select grp, b, v,
+                 (('0x' || substr(md5(cast(id as varchar) || '|' ||
+                                      cast(cast(floor(b / 4) as bigint)
+                                           as varchar) || '|' || '42'),
+                                  (b % 4) * 8 + 1, 8))::bigint
+                  / 4294967296.0) as u
+          from rep
+        ),
+        w as (select grp, b, v, {_wcase} as w from uni),
+        reps as (
+          select grp, b,
+                 round(cast(sum(w * v) as double) / sum(w), 6) as mb
+          from w group by grp, b having sum(w) > 0
+        ),
+        ms as (
+          select grp, list(mb order by mb) as ms from reps group by grp
+        ),
+        base as (
+          select o_orderpriority as grp,
+                 count(*) as n_rows,
+                 round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                            as double) / count(*), 6) as mean
+          from orders group by 1
+        )
+        select base.grp as o_orderpriority,
+               cast(base.n_rows as bigint) as n_rows, base.mean,
+               ms.ms[greatest(cast(ceil(len(ms.ms) * 0.025) as int), 1)]
+                 as ci_lo,
+               ms.ms[greatest(cast(ceil(len(ms.ms) * 0.975) as int), 1)]
+                 as ci_hi,
+               100 as b
+        from base join ms using (grp)
+        order by o_orderpriority
+    """
+    # gap fill: per-key month spine + last-ignorenulls forward fill
+    out["resample_ffill"] = """
+        with monthly as (
+          select o_custkey % 200 as key,
+                 date_trunc('month', o_orderdate) as month,
+                 cast(sum(cast(o_totalprice as decimal(18,2)))
+                      as double) as revenue
+          from orders group by 1, 2
+        ),
+        span as (
+          select key, min(month) as lo, max(month) as hi
+          from monthly group by key
+        ),
+        spine as (
+          select key, unnest(generate_series(
+            lo, hi, interval 1 month)) as month
+          from span
+        )
+        select s.key, s.month,
+               last_value(m.revenue ignore nulls) over (
+                 partition by s.key order by s.month
+                 rows between unbounded preceding and current row)
+                 as revenue,
+               m.revenue is not null as is_observed
+        from spine s left join monthly m
+          on m.key = s.key and m.month = s.month
+        order by s.key, s.month
     """
 
     # identical pipeline through the durable parquet staging path —

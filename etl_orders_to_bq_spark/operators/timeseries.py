@@ -28,7 +28,7 @@ aggregation at all); EWMA per Hunter (1986), public literature.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,4 +70,59 @@ def ewma_last(
             F.count("*").alias("n_points"),
             F.round(y, ndigits).alias(out_col),
         )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 month",
+) -> DataFrame:
+    """Regularize an irregular per-key time series: build each key's
+    complete period spine (min..max observed period at ``step``
+    granularity) and FORWARD-FILL the last observed value into gap
+    periods — the resample().ffill() of pandas, re-expressed as
+    sequence-explode + last-ignorenulls window (the as-of-join
+    machinery pointed at a generated calendar).
+
+    Input must be one row per (key, period) — pre-aggregate to the
+    step granularity first (the gated query sums revenue per month).
+    Output: ``(key, period, value, is_observed)`` for EVERY period in
+    each key's span; leading periods before a key's first observation
+    cannot fill and keep its first value by construction (the spine
+    starts AT the first observation).
+
+    Scale: the spine explodes |keys| x span/step rows (generate only
+    the span you report); ONE window shuffle on the key, streaming
+    frame (last-ignorenulls carries O(1) state); no self-join, no
+    cartesian calendar.
+    """
+    per_key = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    spine = per_key.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.expr(f"interval {step}"),
+            )
+        ).alias(ts_col),
+    )
+    obs = df.select(
+        key_col, ts_col, F.col(value_col).alias("__obs")
+    )
+    joined = spine.join(obs, [key_col, ts_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        ts_col,
+        F.last("__obs", ignorenulls=True).over(w).alias(value_col),
+        F.col("__obs").isNotNull().alias("is_observed"),
     )

@@ -1735,3 +1735,80 @@ def test_canonicalize_url_idempotent_property(spark):
         assert got == twice, (url, got, twice)
 
     check()
+
+
+def test_poisson_weight_inverse_cdf(spark):
+    """Boundary-exact inverse-CDF: u just below/above each cumulative
+    literal maps to the right k, and the empirical mean weight over
+    many deterministic draws is ~1 (the Poisson(1) contract)."""
+    from etl_orders_to_bq_spark.operators.bootstrap import (
+        _poisson1_cdf_literals,
+        poisson_weight,
+    )
+
+    cdf = _poisson1_cdf_literals(8)
+    probes = [(0.0, 0), (cdf[0] - 1e-12, 0), (cdf[0], 1),
+              (cdf[1] - 1e-12, 1), (cdf[3], 4), (0.99999999, 8)]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(probes)], "i long, u double"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select(
+            "i", poisson_weight(F.col("u")).alias("k")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(probes):
+        assert got[i] == want, (probes[i], got[i])
+
+
+def test_bootstrap_ci_contract(spark):
+    """CI brackets the mean, output is partitioning-invariant, both
+    hash families run, and validation raises."""
+    import pytest as _pytest
+
+    from etl_orders_to_bq_spark.operators.bootstrap import bootstrap_ci
+
+    rows = [(i, float(100 + (i * 37) % 50), "g%d" % (i % 2))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    for fam in ("md5", "xxhash64"):
+        out = {r["g"]: r for r in bootstrap_ci(
+            df, "v", "id", ["g"], b=50, hash_fn=fam
+        ).collect()}
+        for g, r in out.items():
+            assert r["ci_lo"] <= r["mean"] <= r["ci_hi"], (fam, g, r)
+            assert r["n_rows"] == 200 and r["b"] == 50
+    a = sorted(map(tuple, bootstrap_ci(df, "v", "id", ["g"]).collect()))
+    b2 = sorted(map(tuple, bootstrap_ci(
+        df.repartition(17), "v", "id", ["g"]
+    ).collect()))
+    assert a == b2
+    with _pytest.raises(ValueError, match="b must"):
+        bootstrap_ci(df, "v", "id", b=1)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        bootstrap_ci(df, "v", "id", hash_fn="sha1")
+
+
+def test_resample_ffill_hand_computed(spark):
+    """A gap month fills with the last observed value and is flagged
+    unobserved; spines are per-key (no cross-key calendar)."""
+    import datetime as dt
+
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 10.0),
+        ("a", dt.datetime(2024, 3, 1), 30.0),
+        ("b", dt.datetime(2024, 2, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, m timestamp, v double")
+    out = {(r["k"], r["m"].month): (r["v"], r["is_observed"])
+           for r in resample_ffill(df, "k", "m", "v").collect()}
+    assert out[("a", 1)] == (10.0, True)
+    assert out[("a", 2)] == (10.0, False)   # gap forward-filled
+    assert out[("a", 3)] == (30.0, True)
+    assert out[("b", 2)] == (7.0, True)
+    assert len(out) == 4                    # b has a 1-month spine
