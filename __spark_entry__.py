@@ -6382,6 +6382,131 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "month")
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed leave-one-out target encoding (operators/encode.py):
+    o_orderpriority encoded against o_totalprice with pseudo-count
+    m=20 — the row's own label subtracted from its category sum so the
+    feature never leaks it. Category sums in DECIMAL, prior and te
+    each ONE rounded double division; the oracle replays the exact
+    formula per row."""
+    from etl_orders_to_bq_spark.operators.encode import (
+        target_encode_loo,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(
+        o, "o_orderpriority", "o_totalprice", m=20.0
+    ).orderBy("o_orderkey")
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (operators/encode.py feature_hash):
+    normalized whitespace tokens of each document land in 64 signed
+    buckets — bucket from the first 8 md5 hex chars, sign from the
+    9th's parity — summed per (doc, bucket) with zero cells dropped.
+    No vocabulary pass; output bounded at 64 rows/doc at any corpus
+    size. The oracle recomputes the identical md5 arithmetic."""
+    from etl_orders_to_bq_spark.operators.encode import feature_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return feature_hash(d, "doc_id", "text", n_buckets=64).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/encode.py rfm_segments):
+    recency/frequency/monetary per customer, each scored 1..5 by
+    EXACT ntile semantics via ranking.scalable_ntile (two-pass prefix
+    offsets — no single-partition global window), ties broken on
+    custkey. The oracle uses the window ntile directly, so the gate
+    re-proves the scalable tiling IS ntile."""
+    from etl_orders_to_bq_spark.operators.encode import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o).orderBy("o_custkey")
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/skyline.py): parts no
+    other part beats on BOTH price and size (min-min, non-strict
+    dominance with one strict axis). Relational frontier: per-price
+    min size, strict-prefix running min over ascending price (two-pass
+    range-partitioned — no global window), broadcast join-back. The
+    oracle states the same frontier with one window."""
+    from etl_orders_to_bq_spark.operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size").orderBy(
+        "p_partkey"
+    )
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/experiment.py): events
+    split at 2024-01-16 into pre-period covariate x and experiment
+    metric y per user, variant = user_id % 2; theta = cov/var from
+    five DECIMAL-exact cross-moments each collapsed by one rounded
+    division, adjusted means via the mean-identity (no per-row float
+    re-aggregation). The oracle replays moments, theta, rho² and the
+    adjusted means literal-for-literal."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        cuped_adjust,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return cuped_adjust(
+        e,
+        unit_col="user_id",
+        variant_col=(F.col("user_id") % 2).cast("int"),
+        metric_col=F.when(F.col("ts") >= cut, F.col("value")),
+        covariate_col=F.when(F.col("ts") < cut, F.col("value")),
+    ).orderBy("variant")
+
+
+def q_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-assortativity coefficient (operators/graph.py) over the
+    same bipartite orders contraction adamic_adar uses (custkey mod
+    150 x orderkey mod 97). Pearson correlation of endpoint degrees
+    over all 2|E| half-edges; the five cross-moments sum exactly in
+    DECIMAL(38,0) (degrees are integers) so r is one double
+    expression the oracle evaluates identically."""
+    from etl_orders_to_bq_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("src"),
+        (F.lit(1000) + F.col("o_orderkey") % 97).alias("dst"),
+    )
+    return degree_assortativity(o)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (operators/privacy.py): per
+    (o_orderpriority, o_orderstatus) equivalence class, the ordered
+    Earth-Mover's Distance between the class's o_totalprice
+    distribution and the global one over 10 equal-width bins —
+    completing the k-anonymity / l-diversity / t-closeness release
+    trio. Every |cumP - cumQ| term is exact DECIMAL integer
+    arithmetic; the EMD is ONE rounded division."""
+    from etl_orders_to_bq_spark.operators.privacy import t_closeness
+
+    o = _t(spark, sf_dir, "orders")
+    return t_closeness(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+        n_bins=10,
+        t=0.2,
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
 
 
 
@@ -6399,6 +6524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "target_encoding": q_target_encoding,
+        "feature_hash": q_feature_hash,
+        "rfm_segments": q_rfm_segments,
+        "skyline_parts": q_skyline_parts,
+        "cuped": q_cuped,
+        "degree_assortativity": q_degree_assortativity,
+        "t_closeness": q_t_closeness,
         "bootstrap_ci": q_bootstrap_ci,
         "resample_ffill": q_resample_ffill,
         "tfidf_topterms": q_tfidf_topterms,
@@ -11700,6 +11832,279 @@ def oracle_sql() -> dict[str, str]:
         from spine s left join monthly m
           on m.key = s.key and m.month = s.month
         order by s.key, s.month
+    """
+
+    # smoothed LOO target encoding: decimal category sums, one
+    # rounded division for prior and te
+    out["target_encoding"] = """
+        with stats as (
+          select o_orderpriority,
+                 sum(cast(o_totalprice as decimal(18,2))) as s,
+                 count(*) as c
+          from orders group by 1
+        ),
+        g as (
+          select round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                            as double) / count(*), 6) as prior
+          from orders
+        )
+        select o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               round((cast(s - cast(o_totalprice as decimal(18,2))
+                           as double) + prior * 20.0)
+                     / (c - 1 + 20.0), 6) as te
+        from orders o join stats using (o_orderpriority), g
+        order by o.o_orderkey
+    """
+    # hashing trick: bucket = first 8 md5 hex chars mod 64, sign =
+    # 9th hex digit parity — identical arithmetic both engines
+    out["feature_hash"] = f"""
+        with toks as (
+          select doc_id,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as tok
+          from documents
+        ),
+        h as (
+          select doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::bigint % 64
+                   as bucket,
+                 case when ('0x' || substr(md5(tok), 9, 1))::bigint
+                           % 2 = 0
+                      then 1 else -1 end as sgn
+          from toks
+        )
+        select doc_id, bucket, cast(sum(sgn) as bigint) as weight
+        from h group by 1, 2
+        having sum(sgn) <> 0
+        order by doc_id, bucket
+    """
+    # RFM: the window ntile IS the spec — the gate proves
+    # scalable_ntile reproduces it bit-for-bit
+    out["rfm_segments"] = """
+        with pc as (
+          select o_custkey, max(o_orderdate) as last_o,
+                 count(*) as frequency,
+                 round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                            as double), 2) as monetary
+          from orders group by 1
+        ),
+        g as (select max(o_orderdate) as gmax from orders),
+        base as (
+          select o_custkey,
+                 date_diff('day', last_o, gmax) as recency_days,
+                 frequency, monetary
+          from pc, g
+        ),
+        scored as (
+          select o_custkey,
+                 cast(recency_days as int) as recency_days,
+                 frequency, monetary,
+                 ntile(5) over (order by recency_days desc,
+                                o_custkey) as r_score,
+                 ntile(5) over (order by frequency, o_custkey)
+                   as f_score,
+                 ntile(5) over (order by monetary, o_custkey)
+                   as m_score
+          from base
+        )
+        select *,
+               r_score::varchar || '-' || f_score::varchar || '-'
+                 || m_score::varchar as segment
+        from scored order by o_custkey
+    """
+    # 2-D skyline: per-price min size beating every cheaper price's
+    # min size (strict-prefix window states the frontier directly)
+    out["skyline_parts"] = """
+        with g as (
+          select p_retailprice as price, min(p_size) as s
+          from part group by 1
+        ),
+        r as (
+          select price, s,
+                 min(s) over (order by price
+                              rows between unbounded preceding
+                              and 1 preceding) as pm
+          from g
+        ),
+        sky as (select price, s from r where pm is null or s < pm)
+        select p.*
+        from part p
+        join sky on p.p_retailprice = sky.price
+                and p.p_size = sky.s
+        order by p.p_partkey
+    """
+    # CUPED: decimal per-user sums, five rounded moments, pure
+    # double theta/rho2/mean identities — literal-for-literal
+    out["cuped"] = """
+        with pu as (
+          select user_id as unit,
+                 cast(user_id % 2 as int) as variant,
+                 coalesce(sum(case when ts < timestamp
+                                        '2024-01-16 00:00:00'
+                              then cast(value as decimal(18,2)) end),
+                          cast(0 as decimal(18,2))) as x,
+                 coalesce(sum(case when ts >= timestamp
+                                        '2024-01-16 00:00:00'
+                              then cast(value as decimal(18,2)) end),
+                          cast(0 as decimal(18,2))) as y
+          from events group by 1, 2
+        ),
+        mom as (
+          select round(cast(sum(x) as double) / count(*), 6) as m_x,
+                 round(cast(sum(y) as double) / count(*), 6) as m_y,
+                 round(cast(sum(x * y) as double) / count(*), 6)
+                   as m_xy,
+                 round(cast(sum(x * x) as double) / count(*), 6)
+                   as m_xx,
+                 round(cast(sum(y * y) as double) / count(*), 6)
+                   as m_yy
+          from pu
+        ),
+        pv as (
+          select variant, count(*) as n_units,
+                 round(cast(sum(y) as double) / count(*), 6)
+                   as mean_y,
+                 round(cast(sum(x) as double) / count(*), 6)
+                   as mean_x_v
+          from pu group by 1
+        )
+        select variant, n_units, mean_y,
+               round(mean_y - round((m_xy - m_x * m_y)
+                                    / (m_xx - m_x * m_x), 6)
+                              * (mean_x_v - m_x), 6) as mean_y_adj,
+               round((m_xy - m_x * m_y) / (m_xx - m_x * m_x), 6)
+                 as theta,
+               round((m_xy - m_x * m_y) * (m_xy - m_x * m_y)
+                     / ((m_xx - m_x * m_x) * (m_yy - m_y * m_y)), 6)
+                 as rho2
+        from pv, mom
+        order by variant
+    """
+    # degree assortativity: exact decimal cross-moments over the
+    # 2|E| half-edges, one double expression
+    out["degree_assortativity"] = """
+        with e0 as (
+          select distinct o_custkey % 150 as src,
+                 1000 + o_orderkey % 97 as dst
+          from orders
+        ),
+        sym as (
+          select src as a, dst as b from e0 where src <> dst
+          union
+          select dst as a, src as b from e0 where src <> dst
+        ),
+        deg as (select a, count(*) as deg from sym group by a),
+        pairs as (
+          select sym.a, da.deg as dx, db.deg as dy
+          from sym
+          join deg da on sym.a = da.a
+          join deg db on sym.b = db.a
+        ),
+        mo as (
+          select count(*) as m,
+                 count(distinct a) as n_nodes,
+                 sum(cast(dx as decimal(38,0))) as sx,
+                 sum(cast(dy as decimal(38,0))) as sy,
+                 sum(cast(dx * dy as decimal(38,0))) as sxy,
+                 sum(cast(dx * dx as decimal(38,0))) as sxx,
+                 sum(cast(dy * dy as decimal(38,0))) as syy
+          from pairs
+        ),
+        f as (
+          select cast(n_nodes as bigint) as n_nodes,
+                 cast(m // 2 as bigint) as n_edges,
+                 cast(sxy as double)
+                   - cast(sx as double) * cast(sy as double)
+                     / cast(m as double) as num,
+                 sqrt((cast(sxx as double)
+                       - cast(sx as double) * cast(sx as double)
+                         / cast(m as double))
+                      * (cast(syy as double)
+                         - cast(sy as double) * cast(sy as double)
+                           / cast(m as double))) as den
+          from mo
+        )
+        select n_nodes, n_edges,
+               round(case when den > 0 then num / den end, 6)
+                 as assortativity
+        from f
+    """
+    # t-closeness: exact integer |cum_c*N - cum_C*n| terms, one
+    # rounded division per class
+    out["t_closeness"] = """
+        with rng as (
+          select min(o_totalprice) as lo, max(o_totalprice) as hi,
+                 count(*) as gn
+          from orders where o_totalprice is not null
+        ),
+        binned as (
+          select o_orderpriority, o_orderstatus,
+                 cast(least(floor((o_totalprice - lo)
+                                  / (case when hi - lo = 0 then 1.0
+                                          else hi - lo end) * 10),
+                            9) as int) as bin
+          from orders, rng
+          where o_totalprice is not null
+        ),
+        hist as (
+          select o_orderpriority, o_orderstatus, bin,
+                 count(*) as c
+          from binned group by 1, 2, 3
+        ),
+        classes as (
+          select o_orderpriority, o_orderstatus,
+                 sum(c) as n_rows
+          from hist group by 1, 2
+        ),
+        bins as (select unnest(range(0, 10)) as bin),
+        dense as (
+          select cl.o_orderpriority, cl.o_orderstatus, cl.n_rows,
+                 b.bin, coalesce(h.c, 0) as c
+          from classes cl
+          cross join bins b
+          left join hist h
+            on h.o_orderpriority = cl.o_orderpriority
+           and h.o_orderstatus = cl.o_orderstatus
+           and h.bin = b.bin
+        ),
+        ghist as (
+          select bin, count(*) as gc from binned group by 1
+        ),
+        gdense as (
+          select b.bin, coalesce(g.gc, 0) as gc
+          from bins b left join ghist g on g.bin = b.bin
+        ),
+        cum as (
+          select d.o_orderpriority, d.o_orderstatus, d.n_rows,
+                 (select gn from rng) as gn,
+                 sum(d.c) over (partition by d.o_orderpriority,
+                                d.o_orderstatus order by d.bin
+                                rows between unbounded preceding
+                                and current row) as cum_c,
+                 sum(gd.gc) over (partition by d.o_orderpriority,
+                                  d.o_orderstatus order by d.bin
+                                  rows between unbounded preceding
+                                  and current row) as cum_gc
+          from dense d join gdense gd on gd.bin = d.bin
+        )
+        select o_orderpriority, o_orderstatus,
+               cast(n_rows as bigint) as n_rows,
+               round(cast(sum(abs(cast(cum_c as decimal(38,0))
+                                  * cast(gn as decimal(38,0))
+                                  - cast(cum_gc as decimal(38,0))
+                                  * cast(n_rows as decimal(38,0))))
+                          as double)
+                     / (cast(n_rows as double) * cast(gn as double)
+                        * 9.0), 6) as t_emd,
+               round(cast(sum(abs(cast(cum_c as decimal(38,0))
+                                  * cast(gn as decimal(38,0))
+                                  - cast(cum_gc as decimal(38,0))
+                                  * cast(n_rows as decimal(38,0))))
+                          as double)
+                     / (cast(n_rows as double) * cast(gn as double)
+                        * 9.0), 6) <= 0.2 as within_t
+        from cum
+        group by o_orderpriority, o_orderstatus, n_rows, gn
+        order by 1, 2
     """
 
     # identical pipeline through the durable parquet staging path —

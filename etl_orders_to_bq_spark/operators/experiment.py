@@ -1,0 +1,111 @@
+"""Experimentation / causal-analysis operators.
+
+``cuped_adjust`` implements CUPED (Controlled-experiment Using
+Pre-Experiment Data; Deng, Xu, Kohavi & Walker, WSDM 2013 — public
+literature): variance-reduce an experiment metric y with a
+pre-period covariate x via
+
+    y_adj = y - theta * (x - mean(x)),   theta = cov(x, y) / var(x)
+
+the single highest-leverage trick in large-scale A/B analysis (same
+point estimate, variance shrunk by the squared correlation rho²).
+
+No counterpart in the reference engine (surface =
+`etl/orders_etl.py:17-198`); extends the SURVEY.md §2.2 aggregation
+absence family.
+
+Exactness contract: per-user pre/post sums aggregate in
+DECIMAL(18,2) (exact, order-free). The four cross-moments feeding
+theta are DECIMAL sums of exact decimal products, each collapsed to
+a double by ONE division rounded at 6dp; theta and rho² are then
+pure double arithmetic on those identical literals, so both engines
+produce bit-equal results with no order-dependent float summation
+anywhere.
+
+Scale: two shuffles total — the per-user (pre, post) aggregate, and
+the tiny variant rollup. The moment row is a 1-row broadcast. At
+100 TB the per-user frame is |users| rows; nothing else grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: Column | str,
+    metric_col: Column,
+    covariate_col: Column,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-variant CUPED summary: ``(variant, n_units, mean_y,
+    mean_y_adj, theta, rho2)``.
+
+    ``metric_col`` / ``covariate_col`` are row-level Column
+    expressions (e.g. value gated on a date split); per unit they
+    aggregate as DECIMAL sums with absent rows coalescing to 0 —
+    a user with no pre-period activity has x = 0, the standard
+    convention. ``mean_y_adj`` uses the identity
+    mean(y_adj | v) = mean(y | v) - theta * (mean(x | v) - mean(x)),
+    so no per-row double arithmetic ever re-aggregates.
+    """
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_unit = df.groupBy(
+        F.col(unit_col).alias("unit"),
+        (
+            F.col(variant_col)
+            if isinstance(variant_col, str)
+            else variant_col
+        ).alias("variant"),
+    ).agg(
+        F.coalesce(
+            F.sum(covariate_col.cast("decimal(18,2)")), zero
+        ).alias("x"),
+        F.coalesce(
+            F.sum(metric_col.cast("decimal(18,2)")), zero
+        ).alias("y"),
+    )
+
+    def _avg(expr: Column) -> Column:
+        return F.round(
+            F.sum(expr).cast("double") / F.count("*"), ndigits
+        )
+
+    x, y = F.col("x"), F.col("y")
+    moments = F.broadcast(
+        per_unit.agg(
+            _avg(x).alias("m_x"),
+            _avg(y).alias("m_y"),
+            _avg(x * y).alias("m_xy"),
+            _avg(x * x).alias("m_xx"),
+            _avg(y * y).alias("m_yy"),
+        )
+    )
+    cov = F.col("m_xy") - F.col("m_x") * F.col("m_y")
+    var_x = F.col("m_xx") - F.col("m_x") * F.col("m_x")
+    var_y = F.col("m_yy") - F.col("m_y") * F.col("m_y")
+    theta = F.round(cov / var_x, ndigits)
+    rho2 = F.round(cov * cov / (var_x * var_y), ndigits)
+    per_variant = per_unit.groupBy("variant").agg(
+        F.count("*").alias("n_units"),
+        _avg(y).alias("mean_y"),
+        _avg(x).alias("mean_x_v"),
+    )
+    return (
+        per_variant.crossJoin(moments)
+        .select(
+            "variant",
+            "n_units",
+            "mean_y",
+            F.round(
+                F.col("mean_y")
+                - theta * (F.col("mean_x_v") - F.col("m_x")),
+                ndigits,
+            ).alias("mean_y_adj"),
+            theta.alias("theta"),
+            rho2.alias("rho2"),
+        )
+    )

@@ -1021,3 +1021,75 @@ def hits_scores(
             F.round(F.col("hub") / F.lit(float(mh)), ndigits).alias("hub"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Degree-assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002 — public literature): the Pearson
+    correlation of the endpoint degrees over every directed
+    half-edge of the simple undirected graph. r > 0 means hubs link
+    to hubs (social nets), r < 0 hubs link to leaves (hub-and-spoke
+    — the shape of most transaction graphs).
+
+    One-row output ``(n_nodes, n_edges, assortativity)``.
+
+    Exactness: degrees are integers, so all five cross-moment sums
+    (Sx, Sy, Sxy, Sxx, Syy over the 2|E| half-edges) accumulate in
+    DECIMAL(38,0) — exact and order-free; r is one double expression
+    over the six exact sums, rounded. Returns NULL r for a
+    degree-regular graph (var = 0: correlation undefined).
+
+    Scale: symmetrize + distinct (one shuffle), degree groupBy (one
+    shuffle), then degrees join back onto both endpoints — two
+    |V|-row joins that AQE plans (no forced broadcast, same policy
+    as neighbor_jaccard); the moment rollup is map-side combinable
+    to a single row. Nothing is ever all-pairs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    db = deg.select(
+        F.col("a").alias("b"), F.col("deg").alias("dy")
+    )
+    pairs = sym.join(da, "a").join(db, "b")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("dx"), F.col("dy")
+    m = pairs.agg(
+        F.count("*").alias("m"),
+        # every node with deg >= 1 appears as endpoint a of some
+        # half-edge, so this IS |V| — no second job over the graph
+        F.count_distinct(F.col("a")).alias("n_nodes"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    mm = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = F.col("sxy").cast("double") - sx * sy / mm
+    den = F.sqrt(
+        (F.col("sxx").cast("double") - sx * sx / mm)
+        * (F.col("syy").cast("double") - sy * sy / mm)
+    )
+    return m.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(None)), ndigits
+        ).alias("assortativity"),
+    )
