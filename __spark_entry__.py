@@ -6507,6 +6507,109 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "o_orderstatus")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter decision table (operators/lm.py
+    perplexity_buckets): documents scored by corpus unigram
+    log-probability, cut into 10 EXACT deciles via
+    ranking.scalable_ntile (rounded score + doc_id tie-break, no
+    global window — the oracle's plain ntile re-proves equivalence),
+    then per-bucket doc counts, score range, and char share. The
+    curation pipeline reads this to pick which band to keep."""
+    from etl_orders_to_bq_spark.operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, n_buckets=10).orderBy("bucket")
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (functions/text.py): per (lang,
+    source), whitespace tokens vs BPE-ish subwords vs chars —
+    fertility (subwords per word) and compression (chars per subword)
+    are the two numbers a tokenizer review reads per language slice.
+    Integer sums exact; each ratio ONE rounded division."""
+    from etl_orders_to_bq_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("n_subwords"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.col("n_subwords")
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars")
+            / F.nullif(F.col("n_subwords"), F.lit(0)),
+            6,
+        ).alias("chars_per_subword"),
+    ).orderBy("lang", "source")
+
+
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (operators/seqmine.py): for every
+    ordered event-type pair (a, b), the number of users who fired an
+    `a` strictly before a `b` — non-adjacent precedence, the
+    length-2 GSP/PrefixSpan statistic (event_transitions covers only
+    CONSECUTIVE pairs). Events pair at the (user, type) summary
+    level, never event x event. The oracle replays the row_number /
+    min / max / join pipeline."""
+    from etl_orders_to_bq_spark.operators.seqmine import (
+        seq_pattern_support,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return seq_pattern_support(
+        e, "user_id", "event_type", "ts", "event_id", min_support=2
+    ).orderBy("from_type", "to_type")
+
+
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/experiment.py
+    diff_in_diff): events split at 2024-01-16 into pre/post and
+    user_id parity into control/treated; the 2x2 cell means are
+    DECIMAL-exact sums with one rounded division each, did is pure
+    double arithmetic over the rounded means. Completes the causal
+    pair with CUPED."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return diff_in_diff(
+        e,
+        variant_col=(F.col("user_id") % 2).cast("int"),
+        period_col=(F.col("ts") >= cut).cast("int"),
+        value_col="value",
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (operators/bm25.py inverted_index):
+    term -> (df, cf, postings "doc:p1|p2,doc:p4") with the
+    stopword-class hub guard — df > 20 keeps exact counts but a NULL
+    postings payload (explicit census, bounded shuffle payload). The
+    oracle rebuilds the identical strings with ordered string_agg."""
+    from etl_orders_to_bq_spark.operators.bm25 import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=20).orderBy("term")
+
+
 
 
 
@@ -6524,6 +6627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "perplexity_buckets": q_perplexity_buckets,
+        "token_fertility": q_token_fertility,
+        "seq_patterns": q_seq_patterns,
+        "did_estimator": q_did_estimator,
+        "inverted_index": q_inverted_index,
         "target_encoding": q_target_encoding,
         "feature_hash": q_feature_hash,
         "rfm_segments": q_rfm_segments,
@@ -11832,6 +11940,160 @@ def oracle_sql() -> dict[str, str]:
         from spine s left join monthly m
           on m.key = s.key and m.month = s.month
         order by s.key, s.month
+    """
+
+    # perplexity deciles: the window ntile IS the spec for
+    # scalable_ntile; unigram scoring shared with unigram_logprob
+    out["perplexity_buckets"] = f"""
+        with tok as (
+          select doc_id,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        v as (select w, count(*) as c from tok group by w),
+        n as (select count(*) as total from tok),
+        scored as (
+          select doc_id,
+                 round(avg(log10(c::double / total)), 6) as s
+          from tok join v using (w), n
+          group by doc_id
+        ),
+        tiled as (
+          select d.n_chars, sc.s,
+                 ntile(10) over (order by sc.s, sc.doc_id) as bucket
+          from scored sc join documents d using (doc_id)
+        )
+        select bucket, count(*) as n_docs,
+               min(s) as lo_score, max(s) as hi_score,
+               cast(sum(n_chars) as bigint) as chars,
+               round(sum(n_chars)
+                     / (select sum(n_chars) from tiled), 6)
+                 as char_share
+        from tiled group by bucket order by bucket
+    """
+    # tokenizer fertility: integer sums, two rounded ratios
+    out["token_fertility"] = f"""
+        select lang, source, count(*) as n_docs,
+               cast(sum(len({_TOKENS})) as bigint) as n_tokens,
+               cast(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]')))
+                    as bigint) as n_subwords,
+               cast(sum(n_chars) as bigint) as n_chars,
+               round(sum(len(regexp_extract_all(text,
+                     '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]')))
+                     / nullif(sum(len({_TOKENS})), 0), 6)
+                 as fertility,
+               round(sum(n_chars)
+                     / nullif(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]'))), 0),
+                     6) as chars_per_subword
+        from documents
+        group by lang, source
+        order by lang, source
+    """
+    # sequential-pattern support: per-user positions, (user, type)
+    # summary self-join — never event x event
+    out["seq_patterns"] = """
+        with pos as (
+          select user_id as u, event_type as t,
+                 row_number() over (partition by user_id
+                                    order by ts, event_id) as rn
+          from events where ts is not null
+        ),
+        s as (
+          select u, t, min(rn) as first_rn, max(rn) as last_rn
+          from pos group by 1, 2
+        ),
+        tot as (select count(distinct u) as nu from s),
+        sup as (
+          select a.t as from_type, b.t as to_type,
+                 count(*) as n_users
+          from s a join s b on a.u = b.u
+                           and a.first_rn < b.last_rn
+          group by 1, 2
+        )
+        select from_type, to_type,
+               cast(n_users as bigint) as n_users,
+               round(n_users / nu, 6) as support_ratio
+        from sup, tot
+        where n_users >= 2
+        order by from_type, to_type
+    """
+    # diff-in-diff: four decimal-exact cell means, double arithmetic
+    out["did_estimator"] = """
+        with cells as (
+          select cast(user_id % 2 as int) as variant,
+                 cast(ts >= timestamp '2024-01-16 00:00:00' as int)
+                   as period,
+                 sum(cast(value as decimal(18,2))) as s,
+                 count(value) as n
+          from events group by 1, 2
+        ),
+        p as (
+          select
+            sum(case when variant = 0 and period = 0 then n end)
+              as n_c0,
+            sum(case when variant = 0 and period = 1 then n end)
+              as n_c1,
+            sum(case when variant = 1 and period = 0 then n end)
+              as n_t0,
+            sum(case when variant = 1 and period = 1 then n end)
+              as n_t1,
+            round(cast(sum(case when variant = 0 and period = 0
+                           then s end) as double)
+                  / sum(case when variant = 0 and period = 0
+                        then n end), 6) as mean_c0,
+            round(cast(sum(case when variant = 0 and period = 1
+                           then s end) as double)
+                  / sum(case when variant = 0 and period = 1
+                        then n end), 6) as mean_c1,
+            round(cast(sum(case when variant = 1 and period = 0
+                           then s end) as double)
+                  / sum(case when variant = 1 and period = 0
+                        then n end), 6) as mean_t0,
+            round(cast(sum(case when variant = 1 and period = 1
+                           then s end) as double)
+                  / sum(case when variant = 1 and period = 1
+                        then n end), 6) as mean_t1
+          from cells
+        )
+        select cast(n_c0 as bigint) as n_c0,
+               cast(n_c1 as bigint) as n_c1,
+               cast(n_t0 as bigint) as n_t0,
+               cast(n_t1 as bigint) as n_t1,
+               mean_c0, mean_c1, mean_t0, mean_t1,
+               round((mean_t1 - mean_t0) - (mean_c1 - mean_c0), 6)
+                 as did
+        from p
+    """
+    # positional inverted index: ordered string_agg rebuilds the
+    # identical postings strings; df > 20 hub guard mirrored
+    out["inverted_index"] = f"""
+        with toks as (
+          select doc_id as doc,
+                 cast(generate_subscripts(l, 1) - 1 as int) as pos,
+                 unnest(l) as term
+          from (select doc_id,
+                       regexp_extract_all({_NORM}, '\\S+') as l
+                from documents)
+        ),
+        pd as (
+          select term, doc, count(*) as tf,
+                 cast(doc as varchar) || ':'
+                   || string_agg(cast(pos as varchar), '|'
+                                 order by pos) as entry
+          from toks group by term, doc
+        ),
+        t as (
+          select term, count(*) as df,
+                 cast(sum(tf) as bigint) as cf,
+                 string_agg(entry, ',' order by doc)
+                   as postings_raw
+          from pd group by term
+        )
+        select term, cast(df as bigint) as df, cf,
+               case when df <= 20 then postings_raw end as postings
+        from t order by term
     """
 
     # smoothed LOO target encoding: decimal category sums, one

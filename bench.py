@@ -86,6 +86,13 @@ HEADLINE = [
     "hits_scores",
     "diverse_sample",
     "ngram_containment",
+    # round-7 batch 2: corpus-scale encoders/index + summary-join
+    # sequence mining + two-pass decile scoring
+    "feature_hash",
+    "inverted_index",
+    "seq_patterns",
+    "rfm_segments",
+    "perplexity_buckets",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -108,6 +115,9 @@ ITERATIVE = {
     # HITS stages per-round label frames (localCheckpoint) and collects
     # the max at construction
     "hits_scores",
+    # scalable_ntile collects per-partition counts at construction
+    "rfm_segments",
+    "perplexity_buckets",
 }
 
 

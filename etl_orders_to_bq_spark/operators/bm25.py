@@ -204,3 +204,71 @@ def vocab_growth(
             ),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 50,
+) -> DataFrame:
+    """Positional inverted index — the retrieval-side data structure
+    a corpus pipeline materializes next to BM25 stats: one row per
+    term with document frequency, collection frequency, and a
+    deterministic postings string ``"doc:p1|p2,doc:p4"`` (docs
+    ascending, 0-based token positions ascending).
+
+    Hub guard: a term with df > ``max_postings`` (stopword-class)
+    keeps its exact df/cf but a NULL postings string — postings
+    payloads stay bounded per term at any corpus size, the same
+    explicit-census policy as the LSH ``max_bucket`` and graph
+    ``max_degree`` guards (the caller sees WHICH terms were cut,
+    nothing is silently wrong).
+
+    Scale: posexplode + one (term, doc) groupBy (positions
+    sort_array'd inside the group, bounded by per-doc term count)
+    + one term groupBy whose payload is bounded by ``max_postings``.
+    Shuffles carry positions as ints, never text.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(normalize_text(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    per_doc = toks.groupBy("term", "doc").agg(
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.sort_array(F.collect_list("pos")), "|"
+        ).alias("plist"),
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc"),
+                            F.concat_ws(
+                                ":",
+                                F.col("doc").cast("string"),
+                                F.col("plist"),
+                            ).alias("entry"),
+                        )
+                    )
+                ).getField("entry"),
+                ",",
+            ).alias("postings_raw"),
+        )
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.when(
+                F.col("df") <= max_postings, F.col("postings_raw")
+            ).alias("postings"),
+        )
+    )

@@ -109,3 +109,60 @@ def cuped_adjust(
             rho2.alias("rho2"),
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    variant_col: Column,
+    period_col: Column,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994
+    canonical design, public literature): with treatment indicator
+    ``variant_col`` (0 control / 1 treated) and ``period_col``
+    (0 pre / 1 post),
+
+        did = (mean_t1 - mean_t0) - (mean_c1 - mean_c0)
+
+    — the causal effect under the parallel-trends assumption. One
+    row out: the four cell means, their counts, and ``did``.
+
+    Exactness: each cell mean is a DECIMAL(18,2)-exact sum collapsed
+    by one rounded division; ``did`` is pure double arithmetic over
+    the four rounded means. Scale: ONE map-side-combinable groupBy
+    to 4 rows, then a driver-free pivot via conditional aggregation.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    cells = df.groupBy(
+        variant_col.alias("variant"), period_col.alias("period")
+    ).agg(
+        F.sum(dec).alias("s"), F.count(value_col).alias("n")
+    )
+
+    def cell(v: int, p: int, what: str) -> Column:
+        cond = (F.col("variant") == v) & (F.col("period") == p)
+        if what == "n":
+            return F.sum(F.when(cond, F.col("n"))).alias(
+                f"n_{'t' if v else 'c'}{p}"
+            )
+        return F.round(
+            F.sum(F.when(cond, F.col("s"))).cast("double")
+            / F.sum(F.when(cond, F.col("n"))),
+            ndigits,
+        ).alias(f"mean_{'t' if v else 'c'}{p}")
+
+    out = cells.agg(
+        cell(0, 0, "n"), cell(0, 1, "n"), cell(1, 0, "n"),
+        cell(1, 1, "n"),
+        cell(0, 0, "m"), cell(0, 1, "m"), cell(1, 0, "m"),
+        cell(1, 1, "m"),
+    )
+    return out.withColumn(
+        "did",
+        F.round(
+            (F.col("mean_t1") - F.col("mean_t0"))
+            - (F.col("mean_c1") - F.col("mean_c0")),
+            ndigits,
+        ),
+    )

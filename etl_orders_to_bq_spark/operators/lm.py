@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokenize
+from .ranking import scalable_ntile
 
 
 def importance_weights(
@@ -502,5 +503,65 @@ def unigram_logprob_scores(
             F.round(
                 F.avg(F.log10(F.col("__c") / F.col("__total"))), ndigits
             ).alias(out_col)
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_buckets: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """The perplexity-filter decision table (CCNet / Wenzek et al.
+    2020 shape, public literature): documents scored by corpus
+    unigram log-probability, cut into ``n_buckets`` exact deciles,
+    and summarized per bucket — ``(bucket, n_docs, lo_score,
+    hi_score, chars, char_share)``. A curation pipeline reads this
+    table to pick which perplexity band to keep (the middle buckets,
+    typically: very low = boilerplate, very high = noise).
+
+    Deciles come from ``ranking.scalable_ntile`` over the ROUNDED
+    score with the id as tie-break — no global single-partition
+    window, and the oracle's plain ``ntile`` reproduces it exactly.
+    Char sums are integer-exact; ``char_share`` is one rounded
+    division.
+
+    Scale: the unigram scoring is explode + one vocab shuffle + one
+    per-doc aggregate (see unigram_logprob_scores); the tiling is
+    two-pass; the rollup is |buckets| rows.
+    """
+    scored = unigram_logprob_scores(
+        df, text_col=text_col, id_col=id_col, ndigits=ndigits
+    ).join(df.select(id_col, size_col), id_col)
+    tiled = scalable_ntile(
+        scored,
+        [F.col("unigram_logprob"), F.col(id_col)],
+        n_buckets,
+        out_col="bucket",
+    )
+    total = F.broadcast(
+        tiled.agg(F.sum(size_col).alias("__total_chars"))
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("unigram_logprob").alias("lo_score"),
+            F.max("unigram_logprob").alias("hi_score"),
+            F.sum(size_col).alias("chars"),
+        )
+        .crossJoin(total)
+        .select(
+            "bucket",
+            "n_docs",
+            "lo_score",
+            "hi_score",
+            F.col("chars").cast("long").alias("chars"),
+            F.round(
+                F.col("chars") / F.col("__total_chars"), ndigits
+            ).alias("char_share"),
         )
     )
