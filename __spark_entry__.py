@@ -6610,6 +6610,115 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, max_postings=20).orderBy("term")
 
 
+def q_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting, one row-then-column
+    sweep (operators/weighting.py rake_weights): weights that move
+    the (o_orderpriority x o_orderstatus) mix toward a uniform row
+    target and a fixed 70/20/10 column target. Cell counts are
+    integers, each factor ONE rounded division, and the column
+    marginal of the row-scaled table a SORTED-FOLD — the oracle
+    replays the identical fold with list_reduce."""
+    from etl_orders_to_bq_spark.operators.weighting import rake_weights
+
+    o = _t(spark, sf_dir, "orders")
+    row_targets = {
+        "1-URGENT": 0.2,
+        "2-HIGH": 0.2,
+        "3-MEDIUM": 0.2,
+        "4-NOT SPECIFIED": 0.2,
+        "5-LOW": 0.2,
+    }
+    col_targets = {"O": 0.7, "F": 0.2, "P": 0.1}
+    return rake_weights(
+        o, "o_orderpriority", "o_orderstatus", row_targets, col_targets
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler (operators/profile.py): one scan
+    of orders -> per-column row/null/exact-distinct counts and
+    min/max rendered as strings (catalog-stats convention). The
+    stack unpivot keeps it one aggregate + a 6-row explode; at
+    100 TB the exact NDV swaps to HLL via exact=False."""
+    from etl_orders_to_bq_spark.operators.profile import column_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile(o).orderBy("column")
+
+
+def q_snips_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (operators/experiment.py offpolicy_eval):
+    IPS + SNIPS value of the deterministic target policy "even users
+    get click, odd users get view" from the logged events, with the
+    ESS overlap diagnostic. Logged propensities are the synthetic
+    rational family p = (md5(event_id) mod 9 + 1)/10, so all three
+    weighted sums run EXACTLY (integer weights c = 25200/(k+1) after
+    clearing denominators) — each estimator is one rounded double
+    division the oracle reproduces digit-for-digit."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        offpolicy_eval,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    target = F.when(
+        F.col("user_id") % 2 == 0, F.lit("click")
+    ).otherwise(F.lit("view"))
+    return offpolicy_eval(
+        e,
+        match_col=(F.col("event_type") == target).cast("int"),
+        reward_col="value",
+        id_col="event_id",
+    )
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph.py
+    local_clustering) over the mod-6000 lineitem projection — wedge
+    self-join + closing-edge semi-join, with the explicit
+    max_degree=150 hub guard (censored nodes keep exact degree, NULL
+    triangles/lcc; at sf0.1 the guard censors the saturated graph —
+    that IS the policy under test). Top-100 by (lcc, node) so the
+    gate payload stays bounded; integer counts, one rounded
+    division."""
+    from etl_orders_to_bq_spark.operators.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 6000).alias("src"),
+        (F.col("l_partkey") % 6000).alias("dst"),
+    )
+    return (
+        local_clustering(li, max_degree=150)
+        .orderBy(F.desc_nulls_last("lcc"), F.asc("node"))
+        .limit(100)
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (functions/text.py language_id vs
+    the fixture's lang label): per (truth, prediction) cell counts
+    and the within-truth recall share — the QA table a corpus
+    pipeline reads before trusting the cheap classifier for routing.
+    Integer counts; share is one rounded division."""
+    from etl_orders_to_bq_spark.functions.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        F.col("lang"), language_id("text").alias("lang_pred")
+    ).agg(F.count("*").alias("n"))
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("__tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+            (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
 
 
 
@@ -6627,6 +6736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "rake_weights": q_rake_weights,
+        "column_profile": q_column_profile,
+        "snips_ope": q_snips_ope,
+        "local_clustering": q_local_clustering,
+        "langid_confusion": q_langid_confusion,
         "perplexity_buckets": q_perplexity_buckets,
         "token_fertility": q_token_fertility,
         "seq_patterns": q_seq_patterns,
@@ -11940,6 +12054,157 @@ def oracle_sql() -> dict[str, str]:
         from spine s left join monthly m
           on m.key = s.key and m.month = s.month
         order by s.key, s.month
+    """
+
+    # raking: integer row marginal, sorted-fold column marginal,
+    # one rounded division per factor
+    _rt = (
+        "case r when '1-URGENT' then 0.2 when '2-HIGH' then 0.2 "
+        "when '3-MEDIUM' then 0.2 when '4-NOT SPECIFIED' then 0.2 "
+        "when '5-LOW' then 0.2 else 0.0 end"
+    )
+    _ct = (
+        "case c when 'O' then 0.7 when 'F' then 0.2 "
+        "when 'P' then 0.1 else 0.0 end"
+    )
+    out["rake_weights"] = f"""
+        with cells as (
+          select o_orderpriority as r, o_orderstatus as c,
+                 count(*) as n
+          from orders group by 1, 2
+        ),
+        tot as (select count(*) as nn from orders),
+        rowm as (select r, sum(n) as row_n from cells group by r),
+        f1 as (
+          select cells.r, cells.c, cells.n,
+                 round(({_rt}) * nn / row_n, 6) as f_row
+          from cells join rowm using (r), tot
+        ),
+        w1 as (select *, n * f_row as w1 from f1),
+        colm as (
+          select c as cc,
+                 list_reduce(
+                   list_prepend(0.0::double, list(w1 order by w1)),
+                   (acc, x) -> acc + x) as col_w
+          from w1 group by c
+        )
+        select w1.r as o_orderpriority, w1.c as o_orderstatus,
+               cast(n as bigint) as n, f_row,
+               round(({_ct}) * nn / col_w, 6) as f_col,
+               round(f_row * round(({_ct}) * nn / col_w, 6), 6)
+                 as weight
+        from w1 join colm on w1.c = colm.cc, tot
+        order by o_orderpriority, o_orderstatus
+    """
+    # column profiler: per-column union, catalog-stats string render
+    _prof_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    out["column_profile"] = "\nunion all\n".join(
+        f"""
+        select '{c}' as "column", count(*) as n_rows,
+               cast(count(*) - count({c}) as bigint) as n_null,
+               cast(count(distinct {c}) as bigint) as n_distinct,
+               cast(min({c}) as varchar) as min_value,
+               cast(max({c}) as varchar) as max_value
+        from orders
+        """
+        for c in _prof_cols
+    ) + '\norder by "column"'
+
+    # off-policy eval: integer-weight rationals clear the propensity
+    # denominators, so every sum is exact until one rounded division
+    out["snips_ope"] = """
+        with w as (
+          select cast(value as decimal(18,2)) as r,
+                 case when event_type = (case when user_id % 2 = 0
+                                         then 'click' else 'view' end)
+                      then 1 else 0 end as m,
+                 cast(25200 / (('0x' || substr(md5(cast(event_id
+                        as varchar)), 1, 8))::bigint % 9 + 1)
+                      as bigint) as c
+          from events
+        ),
+        a as (
+          select count(*) as n_logged, sum(m) as n_matched,
+                 sum(case when m = 1 then r * c
+                     else cast(0 as decimal(18,2)) end) as wsum_r,
+                 sum(c * m) as wsum,
+                 sum(c * c * m) as w2sum
+          from w
+        )
+        select cast(n_logged as bigint) as n_logged,
+               cast(n_matched as bigint) as n_matched,
+               round(cast(wsum_r as double) / 2520.0 / n_logged, 6)
+                 as ips_value,
+               round(case when wsum > 0 then
+                     cast(wsum_r as double) / cast(wsum as double)
+                     end, 6) as snips_value,
+               round(case when w2sum > 0 then
+                     cast(wsum as double) * cast(wsum as double)
+                     / cast(w2sum as double) end, 6) as ess
+        from a
+    """
+    # local clustering: wedge join + closing-edge join, hub guard
+    # censoring mirrored
+    out["local_clustering"] = """
+        with e0 as (
+          select distinct l_orderkey % 6000 as src,
+                 l_partkey % 6000 as dst
+          from lineitem
+        ),
+        sym as (
+          select src as a, dst as b from e0 where src <> dst
+          union
+          select dst as a, src as b from e0 where src <> dst
+        ),
+        deg as (select a, count(*) as degree from sym group by a),
+        capped as (
+          select sym.a, sym.b from sym join deg using (a)
+          where degree <= 150
+        ),
+        wedges as (
+          select l.a as v, l.b as n1, r.b as n2
+          from capped l join capped r
+            on l.a = r.a and l.b < r.b
+        ),
+        closed as (
+          select v, count(*) as triangles
+          from wedges
+          join (select a as n1, b as n2 from sym) ce
+            using (n1, n2)
+          group by v
+        ),
+        o as (
+          select deg.a as node, deg.degree,
+                 case when deg.degree > 150 then null
+                      else coalesce(c.triangles, 0) end as triangles
+          from deg left join closed c on c.v = deg.a
+        )
+        select node, cast(degree as bigint) as degree,
+               cast(triangles as bigint) as triangles,
+               case when degree > 150 then null
+                    when degree < 2 then 0.0
+                    else round(2.0 * triangles
+                               / (degree * (degree - 1)), 6)
+               end as lcc
+        from o
+        order by lcc desc nulls last, node
+        limit 100
+    """
+    # language-ID confusion matrix: shared lang_case macro
+    out["langid_confusion"] = f"""
+        with cells as (
+          select lang, {lang_case} as lang_pred, count(*) as n
+          from documents group by 1, 2
+        ),
+        tot as (select lang, sum(n) as t from cells group by lang)
+        select cells.lang, lang_pred, cast(n as bigint) as n,
+               round(n / t, 6) as share,
+               cells.lang = lang_pred as is_correct
+        from cells join tot using (lang)
+        order by lang, lang_pred
     """
 
     # perplexity deciles: the window ntile IS the spec for

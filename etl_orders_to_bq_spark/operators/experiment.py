@@ -166,3 +166,78 @@ def diff_in_diff(
             ndigits,
         ),
     )
+
+
+def offpolicy_eval(
+    df: DataFrame,
+    match_col: Column,
+    reward_col: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged bandit data: IPS and SNIPS estimators (inverse-propensity
+    scoring; self-normalized variant — Swaminathan & Joachims 2015,
+    public literature) plus the effective sample size diagnostic
+    (Kong 1992 / Owen's Monte Carlo text):
+
+        V_ips   = (1/N) sum m_i * r_i / p_i
+        V_snips = sum (m_i/p_i) r_i / sum (m_i/p_i)
+        ESS     = (sum w)^2 / sum w^2,   w_i = m_i / p_i
+
+    ``match_col`` is the 0/1 indicator that the target policy would
+    have chosen the logged action in that context. The logged
+    behavior-policy propensity is the repo's deterministic synthetic:
+    p_i = (k_i + 1) / 10 with k_i = md5(id) mod 9 — every p is a
+    RATIONAL with denominator 10, so with L = lcm(1..9)*10/10*...
+    precisely c_i = 25200 / (k_i + 1) (an exact integer for every k:
+    25200 = 2^4*3^2*5^2*7), the three sums
+
+        sum c_i * r_i   (DECIMAL, exact)
+        sum c_i * m_i   (integer, exact)
+        sum c_i^2 * m_i (integer, exact)
+
+    carry the whole computation exactly; each reported estimator is
+    ONE double division chain over exact sums, rounded — no
+    order-dependent float accumulation anywhere, so the SQL oracle
+    reproduces every digit.
+
+    Scale: a single map-side-combinable global aggregate over the
+    log. Nothing shuffles but partial sums.
+    """
+    k = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 9
+    )
+    c = (F.lit(25200) / (k + 1)).cast("long")
+    m = match_col.cast("long")
+    r = F.col(reward_col).cast("decimal(18,2)")
+    agg = df.agg(
+        F.count("*").alias("n_logged"),
+        F.sum(m).alias("n_matched"),
+        F.sum(F.when(m == 1, r * c).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
+            "wsum_r"
+        ),
+        F.sum(c * m).alias("wsum"),
+        F.sum(c * c * m).alias("w2sum"),
+    )
+    num = F.col("wsum_r").cast("double")
+    den = F.col("wsum").cast("double")
+    return agg.select(
+        F.col("n_logged").cast("long").alias("n_logged"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round(num / 2520.0 / F.col("n_logged"), ndigits).alias(
+            "ips_value"
+        ),
+        F.round(
+            F.when(F.col("wsum") > 0, num / den), ndigits
+        ).alias("snips_value"),
+        F.round(
+            F.when(
+                F.col("w2sum") > 0,
+                den * den / F.col("w2sum").cast("double"),
+            ),
+            ndigits,
+        ).alias("ess"),
+    )
