@@ -6610,6 +6610,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, max_postings=20).orderBy("term")
 
 
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over per-event-type mean z-tests
+    (operators/multitest.py fdr_bh). p-values come from the ENGINE'S
+    deterministic Φ (A&S 26.2.17 with a Taylor-Horner exp — pure
+    +,*,/ over repr'd literals, bit-identical in any engine; libm exp
+    is NOT portable), on 6dp-rounded z from DECIMAL-exact moments.
+    The oracle rebuilds the identical expression via norm_sf_sql from
+    the SAME Python literals — the shared-literal discipline of the
+    Poisson bootstrap, extended to special functions."""
+    from etl_orders_to_bq_spark.operators.multitest import fdr_bh
+
+    e = _t(spark, sf_dir, "events")
+    return fdr_bh(e, "event_type", "value", q=0.1).orderBy(
+        "event_type"
+    )
+
+
 def q_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raking / iterative proportional fitting, one row-then-column
     sweep (operators/weighting.py rake_weights): weights that move
@@ -6736,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "fdr_bh": q_fdr_bh,
         "rake_weights": q_rake_weights,
         "column_profile": q_column_profile,
         "snips_ope": q_snips_ope,
@@ -12056,6 +12074,53 @@ def oracle_sql() -> dict[str, str]:
         order by s.key, s.month
     """
 
+    # BH-FDR: the oracle rebuilds the engine's deterministic Φ from
+    # the same literals (norm_sf_sql)
+    from etl_orders_to_bq_spark.operators.multitest import norm_sf_sql
+
+    _psf = norm_sf_sql("abs(z)")
+    out["fdr_bh"] = f"""
+        with g as (
+          select event_type, count(value) as n,
+                 round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as mean
+          from events group by 1
+        ),
+        gl as (
+          select round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as m0,
+                 round(cast(sum(cast(value as decimal(18,2))
+                                * cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as m2
+          from events
+        ),
+        s as (
+          select g.*, round((mean - m0)
+                            / sqrt((m2 - m0 * m0) / n), 6) as z
+          from g, gl
+        ),
+        p as (
+          select *, round(least(1.0, 2.0 * {_psf}), 6) as p_value
+          from s
+        ),
+        r as (
+          select *,
+                 row_number() over (order by p_value, event_type)
+                   as p_rank,
+                 count(*) over () as m
+          from p
+        ),
+        rs as (
+          select *,
+                 max(case when p_value <= p_rank / m * 0.1
+                     then p_rank end) over () as rstar
+          from r
+        )
+        select event_type, cast(n as bigint) as n, mean, z,
+               p_value, p_rank,
+               coalesce(p_rank <= rstar, false) as rejected
+        from rs order by event_type
+    """
     # raking: integer row marginal, sorted-fold column marginal,
     # one rounded division per factor
     _rt = (

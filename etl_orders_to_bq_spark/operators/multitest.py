@@ -1,0 +1,173 @@
+"""Multiple-testing control: per-group z-tests + Benjamini-Hochberg
+FDR.
+
+The "which segments moved" question at scale is a MULTIPLE testing
+problem: test every group's mean against the global mean, then
+control the false-discovery rate (Benjamini & Hochberg 1995, public
+literature) instead of eyeballing raw p-values.
+
+Deterministic special functions — the interesting part
+------------------------------------------------------
+p-values need the normal CDF, and libm ``exp`` is NOT guaranteed
+bit-identical across engines (JVM ``Math.exp`` vs DuckDB's C
+library may differ in the last ulp). So the engine DEFINES its own
+Φ: Abramowitz & Stegun 26.2.17 (|ε| < 7.5e-8, far inside the 6dp
+gate) with the inner ``exp(-z²/2)`` computed by a fixed Taylor
+Horner scheme
+
+    exp(y) = T(y/64)^64,   T(w) = Σ_{k=0}^{12} w^k / k!
+
+— only +, *, / over literal coefficients (IEEE-deterministic in
+every engine), 6 squarings for the power. ``norm_sf_sql`` emits the
+SAME expression as SQL text from the SAME Python literals, so the
+oracle replays every digit. This is the same shared-literal
+discipline as the Poisson bootstrap's inverse-CDF table.
+
+Exactness: group moments are DECIMAL-exact sums collapsed by one
+rounded division each (the repo contract); z, p, and the BH
+thresholds are pure double arithmetic over those literals.
+
+Scale: one map-side-combinable groupBy to |groups| rows; the BH
+rank/threshold windows run over the bounded group domain (same
+class as event_transitions' tiny windows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Taylor reciprocal factorials, repr'd so both engines parse the
+# identical doubles
+_EXP_COEFFS = [repr(1.0 / math.factorial(k)) for k in range(13)]
+# A&S 26.2.17 constants
+_AS_P = repr(0.2316419)
+_AS_B = [
+    repr(0.319381530),
+    repr(-0.356563782),
+    repr(1.781477937),
+    repr(-1.821255978),
+    repr(1.330274429),
+]
+_INV_SQRT_2PI = repr(0.3989422804014327)
+
+
+def _det_exp(y: Column) -> Column:
+    """exp(y) for y <= 0 via T(y/64)^64, T = 13-term Taylor Horner."""
+    w = y / 64.0
+    t = F.lit(float(_EXP_COEFFS[-1]))
+    for coef in reversed(_EXP_COEFFS[:-1]):
+        t = t * w + F.lit(float(coef))
+    for _ in range(6):  # ^64
+        t = t * t
+    return t
+
+
+def _det_exp_sql(y: str) -> str:
+    w = f"(({y}) / 64.0)"
+    t = _EXP_COEFFS[-1]
+    for coef in reversed(_EXP_COEFFS[:-1]):
+        t = f"(({t}) * {w} + {coef})"
+    for _ in range(6):
+        t = f"(({t}) * ({t}))"
+    return t
+
+
+def norm_sf(z: Column) -> Column:
+    """Upper-tail P(Z > z) for z >= 0 — the engine's defined Φ
+    complement (A&S 26.2.17 + deterministic exp)."""
+    t = 1.0 / (F.lit(1.0) + F.lit(float(_AS_P)) * z)
+    poly = F.lit(float(_AS_B[-1]))
+    for b in reversed(_AS_B[:-1]):
+        poly = poly * t + F.lit(float(b))
+    poly = poly * t
+    pdf = F.lit(float(_INV_SQRT_2PI)) * _det_exp(-(z * z) / 2.0)
+    return pdf * poly
+
+
+def norm_sf_sql(z: str) -> str:
+    """The identical expression as SQL text (oracle side)."""
+    t = f"(1.0 / (1.0 + {_AS_P} * ({z})))"
+    poly = _AS_B[-1]
+    for b in reversed(_AS_B[:-1]):
+        poly = f"(({poly}) * {t} + {b})"
+    poly = f"(({poly}) * {t})"
+    pdf = f"({_INV_SQRT_2PI} * {_det_exp_sql(f'(-(({z}) * ({z})) / 2.0)')})"
+    return f"({pdf} * {poly})"
+
+
+def fdr_bh(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group two-sided z-test of the group mean against the
+    global mean (variance pooled from the global moments), then
+    Benjamini-Hochberg at FDR ``q``: reject every group whose p-rank
+    r satisfies p_(r) <= r/m * q for the LARGEST such r.
+
+    Output per group: ``(group, n, mean, z, p_value, p_rank,
+    rejected)``; ranks break ties on the group key.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    groups = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.round(F.sum(dec).cast("double") / F.count(value_col), ndigits).alias(
+            "mean"
+        ),
+    )
+    glob = F.broadcast(
+        df.agg(
+            F.round(
+                F.sum(dec).cast("double") / F.count(value_col), ndigits
+            ).alias("m0"),
+            F.round(
+                F.sum(dec * dec).cast("double") / F.count(value_col),
+                ndigits,
+            ).alias("m2"),
+        )
+    )
+    z = (F.col("mean") - F.col("m0")) / F.sqrt(
+        (F.col("m2") - F.col("m0") * F.col("m0")) / F.col("n")
+    )
+    scored = groups.crossJoin(glob).withColumn(
+        "z", F.round(z, ndigits)
+    )
+    # p from the ROUNDED z so the special-function input is a shared
+    # 6dp literal, not a long-dependency double
+    p = F.least(
+        F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))
+    )
+    scored = scored.withColumn("p_value", F.round(p, ndigits))
+    m = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy("p_value", group_col)
+    ranked = (
+        scored.withColumn("p_rank", F.row_number().over(wr))
+        .withColumn("__m", F.count("*").over(m))
+        .withColumn(
+            "__ok",
+            F.col("p_value")
+            <= F.col("p_rank") / F.col("__m") * F.lit(float(q)),
+        )
+    )
+    rstar = ranked.withColumn(
+        "__rstar",
+        F.max(F.when(F.col("__ok"), F.col("p_rank"))).over(m),
+    )
+    return rstar.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        "mean",
+        "z",
+        "p_value",
+        "p_rank",
+        F.coalesce(
+            F.col("p_rank") <= F.col("__rstar"), F.lit(False)
+        ).alias("rejected"),
+    )
