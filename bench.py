@@ -667,6 +667,31 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 ).count()
             )
 
+        # round-7 batch-2 linear corpus ops: explode + bounded groupBys
+        # — growth should track the 10x token volume, nothing more
+        from etl_orders_to_bq_spark.operators.bm25 import inverted_index
+        from etl_orders_to_bq_spark.operators.encode import feature_hash
+
+        t1 = _timed(lambda: feature_hash(d1, "doc_id", "text"), runs=2)
+        t0 = time.perf_counter()
+        _force(feature_hash(d10, "doc_id", "text"))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["feature_hash_1x"] = t1["median"]
+        out["feature_hash_10x"] = t10
+        out["feature_hash_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
+        t1 = _timed(lambda: inverted_index(d1), runs=2)
+        t0 = time.perf_counter()
+        _force(inverted_index(d10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["inverted_index_1x"] = t1["median"]
+        out["inverted_index_10x"] = t10
+        out["inverted_index_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
         # guard accounting at 10x — caps must be counted, never silent
         bucket_sizes = (
             minhash_band_keys(
