@@ -6736,7 +6736,291 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, click vs error event values
+    (operators/multitest.py mann_whitney_u). Ranks never touch
+    floats: per-distinct-value integer counts + the scalable two-pass
+    global_cumsum_before (NO single-partition rank window), doubled
+    rank sums as decimal(38,0), exact tie correction, and the
+    engine's deterministic Φ for the p-value. The oracle replays the
+    identical integer/decimal arithmetic with a window cumulative
+    (fine in an oracle — semantics, not plan) and norm_sf_sql."""
+    from etl_orders_to_bq_spark.operators.multitest import mann_whitney_u
 
+    e = _t(spark, sf_dir, "events")
+    return mann_whitney_u(e, "event_type", "value", "click", "error")
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / symmetric uncertainty between the event
+    type and a user cohort (user_id % 7) — the feature-vs-label
+    dependence score (operators/infotheory.py). Each entropy is a
+    sorted fold over integer counts (counts sorted AS LONGS, then
+    transformed to -(c/n)log2(c/n) — ties carry equal terms, so the
+    order is fully pinned); the oracle replays the fold with
+    list_reduce(list_transform(list_sort(...)))."""
+    from etl_orders_to_bq_spark.operators.infotheory import (
+        mutual_information,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 7
+    )
+    return mutual_information(e, "event_type", "cohort")
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7
+    (operators/timeseries.py acf_lags): decimal-exact daily sums, the
+    per-lag pair build is a self-equi-join on day arithmetic over the
+    calendar-bounded daily table, and Pearson r comes from six exact
+    sufficient statistics collapsed once to double — no float
+    accumulation anywhere, so the oracle replays every digit."""
+    from etl_orders_to_bq_spark.operators.timeseries import acf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    return acf_lags(o, "o_orderdate", "o_totalprice", max_lag=7)
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit across four candidate FDs — one
+    that genuinely holds (nation key -> region key) and three that
+    are violated (operators/audit.py fd_violations): per FD the
+    distinct-lhs count, violating-lhs count, worst rhs variant count,
+    and one rounded-division violation rate. ONE groupBy per FD."""
+    from etl_orders_to_bq_spark.operators.audit import fd_violations
+
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        fd_violations(n, ["n_nationkey"], "n_regionkey", "nation_region"),
+        fd_violations(o, ["o_custkey"], "o_orderpriority", "cust_priority"),
+        fd_violations(c, ["c_nationkey"], "c_mktsegment", "nation_segment"),
+        fd_violations(li, ["l_orderkey"], "l_returnflag", "order_returnflag"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")
+
+
+def q_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK) coverage audit (operators/audit.py
+    fk_coverage): three true FKs that must be fully covered
+    (lineitem->part, lineitem->supplier, orders->customer) plus the
+    reverse probe customer->events.user_id, which is genuinely
+    partial in this corpus — the discovery direction a profiler
+    actually reports. Distinct key sets, broadcast anti joins, orphan
+    ROW counts riding the child key table."""
+    from etl_orders_to_bq_spark.operators.audit import fk_coverage
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    parts = [
+        fk_coverage(li, "l_partkey", p, "p_partkey", "lineitem_part"),
+        fk_coverage(li, "l_suppkey", s, "s_suppkey", "lineitem_supplier"),
+        fk_coverage(o, "o_custkey", c, "c_custkey", "orders_customer"),
+        fk_coverage(c, "c_custkey", e, "user_id", "customer_active"),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("fk")
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing score (functions/text.py code_likeness)
+    over the documents PLUS a deterministically code-ified copy of
+    each (the fixture corpus is pure prose, so the gate must see both
+    classes to be non-degenerate): symbol/indent/keyword ratios from
+    exact integer counts — translate + substring + token membership,
+    no engine-divergent regex classes — fixed-weight score, threshold
+    flag. The oracle rebuilds both branches with list ops."""
+    from etl_orders_to_bq_spark.functions.text import code_likeness
+
+    d = _t(spark, sf_dir, "documents")
+    prose = d.select(
+        F.col("doc_id"), F.lit("prose").alias("kind"), F.col("text")
+    )
+    codeish = d.select(
+        F.col("doc_id"),
+        F.lit("codeified").alias("kind"),
+        F.concat(
+            F.lit("def f():\n  return {"), F.col("text"), F.lit("};\n\tvar x = 1;")
+        ).alias("text"),
+    )
+    both = prose.unionByName(codeish)
+    return (
+        both.select(
+            "doc_id", "kind", code_likeness("text").alias("__c")
+        )
+        .select("doc_id", "kind", "__c.*")
+        .orderBy("kind", "doc_id")
+    )
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training head, top-10 tokens per
+    language (operators/classifier.py naive_bayes_train): Laplace-
+    smoothed log10 likelihoods and class priors from exact integer
+    counts — one (class, token) groupBy, marginals re-aggregated,
+    vocabulary a 1-row broadcast. The oracle replays the identical
+    single-division log arguments (pmi discipline)."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        naive_bayes_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return naive_bayes_train(d, "lang", "text", top_k=10).orderBy(
+        "lang", "token"
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity decomposition of a fixed partition
+    (node % 8) over the lineitem-derived interaction graph
+    (operators/graph.py graph_modularity): per community the exact
+    intra-edge and degree totals and its e/m - (d/2m)^2 contribution
+    — integer counts, one fixed-order double expression per row, no
+    cross-row float accumulation."""
+    from etl_orders_to_bq_spark.operators.graph import graph_modularity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 6000).alias("src"),
+        (F.col("l_partkey") % 6000).alias("dst"),
+    )
+    nodes = (
+        li.select(F.col("src").alias("node"))
+        .unionByName(li.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("community", F.col("node") % 8)
+    )
+    return graph_modularity(li, nodes).orderBy("community")
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity of the lineitem-derived edge set
+    folded to 500 nodes (operators/graph.py reciprocity): distinct
+    directed edges, ONE reversed-key self-semi-join, one rounded
+    division — mutual-link rate with int-pair shuffles only."""
+    from etl_orders_to_bq_spark.operators.graph import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return reciprocity(li)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-size class rebalancing of documents by
+    language (operators/sampling.py class_balance_sample): every
+    language keeps exactly min-class-count docs picked by md5(id)
+    order — seedless, engine-portable, rerun-stable. The min cap is
+    a 1-row broadcast, never a collect."""
+    from etl_orders_to_bq_spark.operators.sampling import (
+        class_balance_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return class_balance_sample(d, "lang", "doc_id").orderBy(
+        "lang", "pick_rank"
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median of lineitem extended price
+    weighted by quantity (operators/ranking.py weighted_median):
+    per-distinct-value integer weight sums + the two-pass
+    global_cumsum_before, decision by exact long comparison — no
+    global window, no float arithmetic, partitioning-invariant by
+    construction. The oracle states the same definition with a
+    window cumulative."""
+    from etl_orders_to_bq_spark.operators.ranking import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, "l_extendedprice", "qty")
+
+
+def q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-type census over customer and events columns
+    (operators/profile.py semantic_types): first-match detector
+    tagging with engine-portable regexes (explicit classes only — no
+    Java/RE2 divergent shorthands), integer counts, one rounded
+    division per share. Float columns are deliberately excluded:
+    double->string rendering is NOT engine-portable."""
+    from etl_orders_to_bq_spark.operators.profile import semantic_types
+
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    out = semantic_types(
+        c, ["c_custkey", "c_name", "c_mktsegment"], "customer"
+    ).unionByName(
+        semantic_types(e, ["props", "event_type", "user_id"], "events")
+    )
+    return out.orderBy("table_name", "column_name", "sem_type")
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profiles for orders⋈lineitem and
+    part⋈lineitem (operators/audit.py join_cardinality): exact
+    predicted rows Σ ca·cb in decimal(38,0), key overlap, hot-key
+    skew share — per-key count aggregates and a |keys|-row join,
+    data rows never joined."""
+    from etl_orders_to_bq_spark.operators.audit import join_cardinality
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    out = join_cardinality(
+        o, "o_orderkey", li, "l_orderkey", "orders_lineitem"
+    ).unionByName(
+        join_cardinality(p, "p_partkey", li, "l_partkey", "part_lineitem")
+    )
+    return out.orderBy("join_name")
+
+
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between click and purchase daily
+    value at lags -7..7 (operators/timeseries.py xcorr_lags):
+    decimal-exact daily sums per key, explicit both-days-exist
+    pairs, Pearson r from six exact sufficient statistics collapsed
+    once — the acf_lags discipline generalized to two series."""
+    from etl_orders_to_bq_spark.operators.timeseries import xcorr_lags
+
+    e = _t(spark, sf_dir, "events")
+    return xcorr_lags(
+        e, "ts", "value", "event_type", "click", "purchase", max_lag=7
+    )
+
+
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile targeting review (operators/experiment.py
+    uplift_deciles): per-user spend/conversion rollup, exact ntile
+    cuts via the two-pass scalable_ntile (bit-identical to SQL
+    ntile, no global window), per-bucket treated/control rates and
+    their difference — integer counts, one rounded division each."""
+    from etl_orders_to_bq_spark.operators.experiment import uplift_deciles
+
+    e = _t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn("treat", (F.col("user_id") % 2).cast("int"))
+    return uplift_deciles(
+        users, "user_id", "treat", "spend", "converted", n_buckets=10
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6753,6 +7037,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "semantic_types": q_semantic_types,
+        "join_cardinality": q_join_cardinality,
+        "xcorr_lags": q_xcorr_lags,
+        "uplift_deciles": q_uplift_deciles,
+        "naive_bayes": q_naive_bayes,
+        "graph_modularity": q_graph_modularity,
+        "reciprocity": q_reciprocity,
+        "class_balance": q_class_balance,
+        "weighted_median": q_weighted_median,
+        "mann_whitney": q_mann_whitney,
+        "mutual_info": q_mutual_info,
+        "acf_lags": q_acf_lags,
+        "fd_violations": q_fd_violations,
+        "fk_coverage": q_fk_coverage,
+        "code_detect": q_code_detect,
         "fdr_bh": q_fdr_bh,
         "rake_weights": q_rake_weights,
         "column_profile": q_column_profile,
@@ -12077,6 +12376,572 @@ def oracle_sql() -> dict[str, str]:
     # BH-FDR: the oracle rebuilds the engine's deterministic Φ from
     # the same literals (norm_sf_sql)
     from etl_orders_to_bq_spark.operators.multitest import norm_sf_sql
+
+    # Mann-Whitney: exact integer/decimal rank arithmetic; the window
+    # cumulative is fine ORACLE-side (semantics, not plan); z and p
+    # mirror the operator's fixed-order double expressions, p via the
+    # shared deterministic Φ literals
+    _mw_p = norm_sf_sql("abs(z)")
+    out["mann_whitney"] = f"""
+        with f as (
+          select event_type as g, value as v from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 sum(case when g = 'error' then 1 else 0 end) as nb,
+                 count(*) as nt
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below
+          from vc
+        ),
+        agg as (
+          select
+            cast(sum(cast(na as decimal(38,0))
+                     * cast(2 * below + nt + 1 as decimal(38,0)))
+                 as decimal(38,0)) as two_ra,
+            cast(sum(na) as bigint) as n_a,
+            cast(sum(nb) as bigint) as n_b,
+            cast(sum(cast(nt as decimal(38,0))
+                     * cast(nt as decimal(38,0))
+                     * cast(nt as decimal(38,0))
+                     - cast(nt as decimal(38,0)))
+                 as decimal(38,0)) as ties
+          from cum
+        ),
+        s as (
+          select 'click' as group_a, 'error' as group_b, n_a, n_b,
+                 cast(two_ra as double) / 2.0
+                   - cast(n_a as double)
+                     * (cast(n_a as double) + 1.0) / 2.0 as u_stat,
+                 case when n_a > 0 and n_b > 0 then
+                   round(
+                     ((cast(two_ra as double)
+                       - cast(n_a as double)
+                         * (cast(n_a as double) + 1.0))
+                      - cast(n_a as double) * cast(n_b as double))
+                     / sqrt(4.0
+                            * (cast(n_a as double)
+                               * cast(n_b as double) / 12.0)
+                            * ((cast(n_a as double)
+                                + cast(n_b as double) + 1.0)
+                               - cast(ties as double)
+                                 / ((cast(n_a as double)
+                                     + cast(n_b as double))
+                                    * (cast(n_a as double)
+                                       + cast(n_b as double) - 1.0)))),
+                     6)
+                 end as z
+          from agg
+        )
+        select group_a, group_b, n_a, n_b, u_stat, z,
+               round(least(1.0, 2.0 * {_mw_p}), 6) as p_value
+        from s
+    """
+    # mutual information: sorted folds over integer counts — counts
+    # sorted as longs, transformed to -(c/n)log2(c/n), seedless
+    # list_reduce (first element seeds; 0.0 + x == x for the
+    # nonnegative terms, so it matches Spark's 0.0-seeded aggregate)
+    _mi_ent = (
+        "round(list_reduce(list_transform(list_sort({lst}), "
+        "c -> -(cast(c as double) / cast(nn as double)) "
+        "* log2(cast(c as double) / cast(nn as double))), "
+        "(a, b) -> a + b), 6) + 0.0"
+    )
+    out["mutual_info"] = f"""
+        with e as (
+          select coalesce(cast(event_type as varchar), '␀') as x,
+                 coalesce(cast(user_id % 7 as varchar), '␀') as y
+          from events
+        ),
+        cells as (select x, y, count(*) as c from e group by x, y),
+        t as (select sum(c) as nn from cells),
+        ents as (
+          select cast(nn as bigint) as n,
+                 {_mi_ent.format(lst="(select list(c) from (select x, sum(c) as c from cells group by x))")} as h_x,
+                 {_mi_ent.format(lst="(select list(c) from (select y, sum(c) as c from cells group by y))")} as h_y,
+                 {_mi_ent.format(lst="(select list(c) from cells)")} as h_xy
+          from t
+        ),
+        mi as (
+          select *, round(h_x + h_y - h_xy, 6) as mi_bits from ents
+        )
+        select n, h_x, h_y, h_xy, mi_bits,
+               case when h_x + h_y > 0
+                    then round(2.0 * mi_bits / (h_x + h_y), 6)
+                    else 0.0 end as nmi
+        from mi
+    """
+    # ACF: decimal-exact daily sums and sufficient statistics, each
+    # cast to double ONCE, Pearson r in the operator's exact
+    # expression order
+    out["acf_lags"] = """
+        with daily as (
+          select cast(o_orderdate as date) as d,
+                 sum(cast(o_totalprice as decimal(18,2))) as v
+          from orders group by 1
+        ),
+        l as (select unnest(range(1, 8)) as lag),
+        pairs as (
+          select l.lag, a.v as x, b.v as y
+          from daily a join l on true
+          join daily b on b.d = a.d + l.lag * interval 1 day
+        ),
+        agg as (
+          select lag, cast(count(*) as bigint) as n_pairs,
+                 cast(count(*) as double) as n,
+                 cast(sum(x) as double) as sx,
+                 cast(sum(y) as double) as sy,
+                 cast(sum(x * y) as double) as sxy,
+                 cast(sum(x * x) as double) as sxx,
+                 cast(sum(y * y) as double) as syy
+          from pairs group by lag
+        )
+        select cast(lag as int) as lag, n_pairs,
+               case when sqrt(n * sxx - sx * sx)
+                         * sqrt(n * syy - sy * sy) > 0
+                    then round((n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)), 6)
+               end as acf
+        from agg order by lag
+    """
+    # FD audit: one grouped count-distinct per FD, integer counts,
+    # one rounded division
+    _fd = (
+        "select '{name}' as fd, cast(count(*) as bigint) as n_lhs, "
+        "cast(sum(case when k > 1 then 1 else 0 end) as bigint) "
+        "as n_violating, cast(max(k) as bigint) as max_rhs_variants, "
+        "round(sum(case when k > 1 then 1 else 0 end) / count(*), 6) "
+        "as violation_rate from (select count(distinct {rhs}) as k "
+        "from {tbl} group by {lhs})"
+    )
+    out["fd_violations"] = (
+        "select * from ("
+        + " union all ".join(
+            [
+                _fd.format(
+                    name="nation_region",
+                    tbl="nation",
+                    lhs="n_nationkey",
+                    rhs="n_regionkey",
+                ),
+                _fd.format(
+                    name="cust_priority",
+                    tbl="orders",
+                    lhs="o_custkey",
+                    rhs="o_orderpriority",
+                ),
+                _fd.format(
+                    name="nation_segment",
+                    tbl="customer",
+                    lhs="c_nationkey",
+                    rhs="c_mktsegment",
+                ),
+                _fd.format(
+                    name="order_returnflag",
+                    tbl="lineitem",
+                    lhs="l_orderkey",
+                    rhs="l_returnflag",
+                ),
+            ]
+        )
+        + ") order by fd"
+    )
+    # FK coverage: distinct child keys with row counts, anti-join
+    # orphans, one rounded division
+    _fk = (
+        "select '{name}' as fk, "
+        "cast((select coalesce(sum(r), 0) from k) as bigint) "
+        "as n_child_rows, "
+        "cast((select count(*) from k) as bigint) as n_child_keys, "
+        "cast((select count(*) from o) as bigint) as n_orphan_keys, "
+        "cast((select coalesce(sum(r), 0) from o) as bigint) "
+        "as n_orphan_rows, "
+        "case when (select coalesce(sum(r), 0) from k) > 0 then "
+        "round(1.0 - (select coalesce(sum(r), 0) from o) "
+        "/ (select coalesce(sum(r), 0) from k), 6) end as coverage"
+    )
+    _fk_body = (
+        "(with k as (select {ck} as kk, count(*) as r from {child} "
+        "where {ck} is not null group by 1), "
+        "o as (select kk, r from k where kk not in "
+        "(select {pk} from {parent} where {pk} is not null)) "
+        + _fk
+        + ")"
+    )
+    out["fk_coverage"] = (
+        "select * from ("
+        + " union all ".join(
+            [
+                _fk_body.format(
+                    name="lineitem_part",
+                    child="lineitem",
+                    ck="l_partkey",
+                    parent="part",
+                    pk="p_partkey",
+                ),
+                _fk_body.format(
+                    name="lineitem_supplier",
+                    child="lineitem",
+                    ck="l_suppkey",
+                    parent="supplier",
+                    pk="s_suppkey",
+                ),
+                _fk_body.format(
+                    name="orders_customer",
+                    child="orders",
+                    ck="o_custkey",
+                    parent="customer",
+                    pk="c_custkey",
+                ),
+                _fk_body.format(
+                    name="customer_active",
+                    child="customer",
+                    ck="c_custkey",
+                    parent="events",
+                    pk="user_id",
+                ),
+            ]
+        )
+        + ") order by fk"
+    )
+    # code-likeness: both branches rebuilt with pure string/list ops
+    # (translate + substring + token membership — no Java/RE2
+    # divergent classes); score from the ROUNDED ratios, the
+    # operator's weight literals
+    from etl_orders_to_bq_spark.functions.text import _CODE_KEYWORDS
+
+    _kw_list = ", ".join(f"'{w}'" for w in _CODE_KEYWORDS)
+    out["code_detect"] = f"""
+        with twoclass as (
+          select doc_id, 'prose' as kind, text from documents
+          union all
+          select doc_id, 'codeified' as kind,
+                 'def f():' || chr(10) || '  return {{' || text
+                 || '}};' || chr(10) || chr(9) || 'var x = 1;' as text
+          from documents
+        ),
+        feat as (
+          select doc_id, kind,
+            cast(round(1000000.0 * (length(text)
+                   - length(translate(text, '{{}}();=<>[]', '')))
+                  / greatest(length(text), 1), 0) as bigint) as s6,
+            cast(round(1000000.0
+                  * len(list_filter(string_split(text, chr(10)),
+                    l -> substring(l, 1, 2) = '  '
+                         or substring(l, 1, 1) = chr(9)))
+                  / greatest(len(string_split(text, chr(10))), 1), 0)
+              as bigint) as i6,
+            cast(round(1000000.0 * len(list_filter(
+                    regexp_extract_all(lower(text), '\\S+'),
+                    t -> list_contains([{_kw_list}], t)))
+                  / greatest(len(regexp_extract_all(lower(text),
+                                                    '\\S+')), 1), 0)
+              as bigint) as k6
+          from twoclass
+        ),
+        scored as (
+          select doc_id, kind, s6, i6, k6,
+                 40 * s6 + 35 * i6 + 25 * k6 as score_int
+          from feat
+        )
+        select doc_id, kind,
+               s6 / 1000000.0 as symbol_ratio,
+               i6 / 1000000.0 as indent_ratio,
+               k6 / 1000000.0 as keyword_ratio,
+               score_int / 100000000.0 as score,
+               score_int >= 25000000 as is_code
+        from scored order by kind, doc_id
+    """
+
+    # Naive Bayes head: token counts from the shared normalized
+    # tokenizer, single-division log arguments (pmi discipline)
+    out["naive_bayes"] = f"""
+        with tok as (
+          select lang,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        tc as (select lang, w, count(*) as c from tok group by 1, 2),
+        tot as (select lang, sum(c) as t from tc group by 1),
+        v as (select count(distinct w) as v from tc),
+        d as (select lang, count(*) as nd from documents group by 1),
+        nall as (select count(*) as n from documents),
+        ranked as (
+          select *, row_number() over (partition by lang
+                      order by c desc, w asc) as rk
+          from tc
+        )
+        select r.lang, r.w as token, cast(r.c as bigint) as n,
+               round(log10((r.c + 1) / cast(tot.t + v.v as double)), 6)
+                 as loglik,
+               round(log10(d.nd / cast(nall.n as double)), 6) as prior
+        from ranked r
+        join tot using (lang) join d using (lang), v, nall
+        where r.rk <= 10
+        order by lang, token
+    """
+    # modularity: exact integer e_c/d_c over the low->high distinct
+    # edge set, one fixed-order double expression per community
+    out["graph_modularity"] = """
+        with e0 as (
+          select l_orderkey % 6000 as src, l_partkey % 6000 as dst
+          from lineitem
+        ),
+        und as (
+          select distinct least(src, dst) as a, greatest(src, dst) as b
+          from e0 where src <> dst
+        ),
+        tagged as (
+          select a, b, a % 8 as ca, b % 8 as cb from und
+        ),
+        m as (select count(*) as m from tagged),
+        ein as (
+          select ca as community, count(*) as e_in
+          from tagged where ca = cb group by 1
+        ),
+        half as (
+          select a as n, ca as community from tagged
+          union all
+          select b as n, cb as community from tagged
+        ),
+        d as (
+          select community, count(*) as d_tot,
+                 count(distinct n) as n_nodes
+          from half group by 1
+        )
+        select d.community,
+               cast(d.n_nodes as bigint) as n_nodes,
+               cast(coalesce(ein.e_in, 0) as bigint) as e_in,
+               cast(d.d_tot as bigint) as d_tot,
+               case when m.m > 0 then
+                 round(cast(coalesce(ein.e_in, 0) as double)
+                         / cast(m.m as double)
+                       - (cast(d.d_tot as double)
+                          / (2.0 * cast(m.m as double)))
+                         * (cast(d.d_tot as double)
+                            / (2.0 * cast(m.m as double))), 6)
+               end as contribution
+        from d left join ein using (community), m
+        order by community
+    """
+    # reciprocity: distinct directed edges, reversed self-join count
+    out["reciprocity"] = """
+        with e as (
+          select distinct l_orderkey % 500 as a, l_partkey % 500 as b
+          from lineitem where l_orderkey % 500 <> l_partkey % 500
+        ),
+        t as (select count(*) as n_edges from e),
+        r as (
+          select count(*) as n_reciprocated
+          from e x where exists (
+            select 1 from e y where y.a = x.b and y.b = x.a)
+        )
+        select cast(t.n_edges as bigint) as n_edges,
+               cast(r.n_reciprocated as bigint) as n_reciprocated,
+               case when t.n_edges > 0
+                    then round(r.n_reciprocated / t.n_edges, 6)
+               end as reciprocity
+        from t, r
+    """
+    # class rebalance: md5-ordered row_number per class, min-count cap
+    out["class_balance"] = """
+        with counts as (select lang, count(*) as n from documents
+                        group by 1),
+        cap as (select min(n) as cap from counts),
+        ranked as (
+          select lang, doc_id,
+                 row_number() over (partition by lang
+                   order by md5(cast(doc_id as varchar)), doc_id)
+                   as pick_rank
+          from documents
+        )
+        select lang, doc_id, cast(pick_rank as int) as pick_rank
+        from ranked, cap where pick_rank <= cap
+        order by lang, pick_rank
+    """
+    # weighted median: same exact-integer decision rule, window
+    # cumulative oracle-side
+    out["weighted_median"] = """
+        with vc as (
+          select l_extendedprice as v,
+                 sum(cast(cast(l_quantity as bigint) as bigint)) as w
+          from lineitem
+          where l_extendedprice is not null and l_quantity is not null
+          group by 1
+        ),
+        cum as (
+          select *, coalesce(sum(w) over (order by v
+                      rows between unbounded preceding
+                      and 1 preceding), 0) as below
+          from vc
+        ),
+        t as (select cast(coalesce(sum(w), 0) as bigint)
+                as total_weight from vc)
+        select t.total_weight,
+               (select min(v) from cum, t
+                where 2 * (below + w) >= t.total_weight)
+                 as weighted_median
+        from t
+    """
+
+    # semantic types: the CASE replays the operator's first-match
+    # detector priority from the SAME pattern literals
+    from etl_orders_to_bq_spark.operators.profile import (
+        SEMANTIC_DETECTORS,
+    )
+
+    _sem_whens = " ".join(
+        f"when regexp_matches(v, '{pat}') then '{nm}'"
+        for nm, pat in SEMANTIC_DETECTORS
+    )
+    _sem_case = (
+        f"case when v is null then 'null' {_sem_whens} else 'text' end"
+    )
+    _sem_branches = " union all ".join(
+        f"select '{tn}' as tn, '{cn}' as cn, cast({cn} as varchar) as v "
+        f"from {tn}"
+        for tn, cols in [
+            ("customer", ["c_custkey", "c_name", "c_mktsegment"]),
+            ("events", ["props", "event_type", "user_id"]),
+        ]
+        for cn in cols
+    )
+    out["semantic_types"] = f"""
+        with vals as ({_sem_branches}),
+        tagged as (select tn, cn, {_sem_case} as st from vals),
+        counted as (
+          select tn as table_name, cn as column_name, st as sem_type,
+                 count(*) as n
+          from tagged group by 1, 2, 3
+        ),
+        tot as (select table_name, column_name, sum(n) as t
+                from counted group by 1, 2)
+        select c.table_name, c.column_name, c.sem_type,
+               cast(n as bigint) as n, round(n / t, 6) as share
+        from counted c join tot using (table_name, column_name)
+        order by 1, 2, 3
+    """
+    # join cardinality: per-key counts, decimal(38,0) products
+    _jc = (
+        "(with ka as (select {lk} as k, count(*) as ca from {lt} "
+        "where {lk} is not null group by 1), "
+        "kb as (select {rk} as k, count(*) as cb from {rt} "
+        "where {rk} is not null group by 1), "
+        "s as (select count(*) as ns, "
+        "coalesce(sum(cast(ca as decimal(38,0)) "
+        "* cast(cb as decimal(38,0))), 0) as pr, "
+        "max(cast(ca as decimal(38,0)) * cast(cb as decimal(38,0))) "
+        "as mx from ka join kb using (k)) "
+        "select '{name}' as join_name, "
+        "cast((select count(*) from ka) as bigint) as n_keys_left, "
+        "cast((select count(*) from kb) as bigint) as n_keys_right, "
+        "cast(ns as bigint) as n_keys_shared, "
+        "cast(pr as bigint) as predicted_rows, "
+        "cast(mx as bigint) as max_key_rows, "
+        "case when pr > 0 then round(cast(mx as double) "
+        "/ cast(pr as double), 6) end as skew_share from s)"
+    )
+    out["join_cardinality"] = (
+        "select * from ("
+        + _jc.format(
+            name="orders_lineitem",
+            lt="orders",
+            lk="o_orderkey",
+            rt="lineitem",
+            rk="l_orderkey",
+        )
+        + " union all "
+        + _jc.format(
+            name="part_lineitem",
+            lt="part",
+            lk="p_partkey",
+            rt="lineitem",
+            rk="l_partkey",
+        )
+        + ") order by join_name"
+    )
+    # cross-correlation: the acf oracle generalized to two keys and
+    # negative lags
+    out["xcorr_lags"] = """
+        with daily as (
+          select cast(ts as date) as d, event_type as k,
+                 sum(cast(value as decimal(18,2))) as v
+          from events where event_type in ('click', 'purchase')
+          group by 1, 2
+        ),
+        a as (select d, v as x from daily where k = 'click'),
+        b as (select d as d2, v as y from daily where k = 'purchase'),
+        l as (select unnest(range(-7, 8)) as lag),
+        pairs as (
+          select l.lag, a.x, b.y
+          from a join l on true
+          join b on b.d2 = a.d + l.lag * interval 1 day
+        ),
+        agg as (
+          select lag, cast(count(*) as bigint) as n_pairs,
+                 cast(count(*) as double) as n,
+                 cast(sum(x) as double) as sx,
+                 cast(sum(y) as double) as sy,
+                 cast(sum(x * y) as double) as sxy,
+                 cast(sum(x * x) as double) as sxx,
+                 cast(sum(y * y) as double) as syy
+          from pairs group by lag
+        )
+        select cast(lag as int) as lag, n_pairs,
+               case when sqrt(n * sxx - sx * sx)
+                         * sqrt(n * syy - sy * sy) > 0
+                    then round((n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)), 6)
+               end as xcorr
+        from agg order by lag
+    """
+    # uplift deciles: ntile replays scalable_ntile exactly (same
+    # total order, same SQL ntile fill rule)
+    out["uplift_deciles"] = """
+        with users as (
+          select user_id,
+                 sum(cast(value as decimal(18,2))) as spend,
+                 max(case when event_type = 'purchase' then 1
+                     else 0 end) as converted,
+                 cast(user_id % 2 as int) as treat
+          from events group by user_id
+        ),
+        b as (select *, ntile(10) over (order by spend desc, user_id)
+                as bucket from users),
+        agg as (
+          select bucket, count(*) as n,
+                 sum(case when treat = 1 then 1 else 0 end) as n_treat,
+                 sum(case when treat <> 1 then 1 else 0 end) as n_ctrl,
+                 sum(case when treat = 1 and converted = 1 then 1
+                     else 0 end) as ct,
+                 sum(case when treat <> 1 and converted = 1 then 1
+                     else 0 end) as cc
+          from b group by 1
+        ),
+        rates as (
+          select bucket, n, n_treat, n_ctrl,
+                 case when n_treat > 0
+                      then round(ct / n_treat, 6) end as rate_treat,
+                 case when n_ctrl > 0
+                      then round(cc / n_ctrl, 6) end as rate_ctrl
+          from agg
+        )
+        select cast(bucket as int) as bucket, cast(n as bigint) as n,
+               cast(n_treat as bigint) as n_treat,
+               cast(n_ctrl as bigint) as n_ctrl,
+               rate_treat, rate_ctrl,
+               round(rate_treat - rate_ctrl, 6) as uplift
+        from rates order by bucket
+    """
 
     _psf = norm_sf_sql("abs(z)")
     out["fdr_bh"] = f"""

@@ -93,6 +93,11 @@ HEADLINE = [
     "seq_patterns",
     "rfm_segments",
     "perplexity_buckets",
+    # round-7 batch 3: scalable rank statistics (two-pass cumulative,
+    # no global window), constraint-discovery audits, code routing
+    "mann_whitney",
+    "fk_coverage",
+    "code_detect",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -282,3 +282,76 @@ def script_counts(col: Column | str) -> Column:
         han.cast("long").alias("han"),
         other.cast("long").alias("other"),
     )
+
+
+_CODE_KEYWORDS = [
+    "def", "class", "import", "return", "function", "var", "const",
+    "void", "int", "if", "else", "for", "while", "struct", "public",
+    "static", "null", "true", "false", "print", "select", "from",
+]
+
+
+def code_likeness(col: Column | str, threshold: float = 0.25) -> Column:
+    """Code-vs-prose heuristic — the corpus-routing signal an LLM
+    data pipeline uses to send documents to a code-specific cleaning
+    path (CodeParrot / The Stack preprocessing use exactly these
+    surface statistics; public literature). Returns a struct
+    ``(symbol_ratio, indent_ratio, keyword_ratio, score, is_code)``.
+
+    Features (all exact integer counts, one rounded division each —
+    no regex classes that diverge between Java and RE2, see
+    ``tokenize``'s engine-parity note):
+
+    * symbol_ratio — share of characters in ``{}();=<>[]`` (strip
+      and length-diff, no regex);
+    * indent_ratio — share of lines opening with 2+ spaces or a tab
+      (plain substring tests over a ``\\n`` split);
+    * keyword_ratio — share of lowercase tokens that are programming
+      keywords (array membership over the whitespace tokens).
+
+    score = 0.40*symbol + 0.35*indent + 0.25*keyword. ROUNDING-
+    BOUNDARY-PROOF arithmetic: each ratio becomes an exact integer
+    micro-unit count (ONE 0-digit round of 1e6*count/total — a
+    weighted double sum re-rounded to 6dp can straddle a decimal
+    midpoint where Spark's shortest-repr HALF_UP and DuckDB's
+    scaled-multiply round disagree by 1e-6; integer weights over
+    integer micro-units cannot). The score is the exact long
+    40*s6 + 35*i6 + 25*k6 divided ONCE by 1e8; ``is_code`` compares
+    the LONG against the integer threshold. Pure column expressions
+    — whole-stage codegen, no UDF, linear per document.
+    """
+    c = _c(col)
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    sym = (
+        F.length(c)
+        - F.length(F.translate(c, "{}();=<>[]", ""))
+    ).cast("double")
+    s6 = F.round(F.lit(1000000.0) * sym / n_chars, 0).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    indented = F.size(
+        F.filter(
+            lines,
+            lambda ln: (F.substring(ln, 1, 2) == "  ")
+            | (F.substring(ln, 1, 1) == "\t"),
+        )
+    ).cast("double")
+    i6 = F.round(F.lit(1000000.0) * indented / n_lines, 0).cast("long")
+    toks = tokenize(F.lower(c))
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    kw = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(_CODE_KEYWORDS),
+        )
+    ).cast("double")
+    k6 = F.round(F.lit(1000000.0) * kw / n_toks, 0).cast("long")
+    score_int = F.lit(40) * s6 + F.lit(35) * i6 + F.lit(25) * k6
+    thresh_int = int(round(float(threshold) * 1e8))
+    return F.struct(
+        (s6 / F.lit(1000000.0)).alias("symbol_ratio"),
+        (i6 / F.lit(1000000.0)).alias("indent_ratio"),
+        (k6 / F.lit(1000000.0)).alias("keyword_ratio"),
+        (score_int / F.lit(100000000.0)).alias("score"),
+        (score_int >= F.lit(thresh_int)).alias("is_code"),
+    )

@@ -169,3 +169,80 @@ def seeded_weights(dim: int, seed: int = 17) -> list[float]:
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes training table with Laplace smoothing
+    (McCallum & Nigam 1998, public literature) — the classical cheap
+    text router trained at corpus scale: per (class, token),
+
+        loglik = log10((c_tc + 1) / (tot_c + V))
+        prior  = log10(n_docs_c / N)
+
+    with V the global vocabulary size. Output: the ``top_k`` tokens
+    per class by (count desc, token asc) — the model head a scorer
+    joins against; at inference, sum logliks over document tokens.
+
+    Exactness: all ratios are integer-over-integer with one rounded
+    log10 each (the pmi_bigrams discipline — the log-argument is a
+    single division of exact integers).
+
+    Scale: token counts are ONE (class, token) groupBy (map-side
+    combinable, word-count shape); class totals re-aggregate that
+    table; V is a 1-row broadcast. The only window is the top-k,
+    partitioned by class over the already-aggregated count table.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation family).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import normalize_text, tokenize
+
+    toks = df.select(
+        F.col(class_col).alias("__cls"),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("__w"),
+    )
+    tc = toks.groupBy("__cls", "__w").agg(F.count("*").alias("__c"))
+    tot = tc.groupBy("__cls").agg(F.sum("__c").alias("__tot"))
+    vocab = tc.select("__w").distinct().agg(F.count("*").alias("__v"))
+    docs = df.groupBy(F.col(class_col).alias("__cls")).agg(
+        F.count("*").alias("__nd")
+    )
+    n_all = df.agg(F.count("*").alias("__n"))
+    w = Window.partitionBy("__cls").orderBy(
+        F.desc("__c"), F.asc("__w")
+    )
+    ranked = tc.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= int(top_k)
+    )
+    out = (
+        ranked.join(tot, "__cls")
+        .join(docs, "__cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_all))
+    )
+    return out.select(
+        F.col("__cls").alias(class_col),
+        F.col("__w").alias("token"),
+        F.col("__c").cast("long").alias("n"),
+        F.round(
+            F.log10(
+                (F.col("__c") + F.lit(1)).cast("double")
+                / (F.col("__tot") + F.col("__v")).cast("double")
+            ),
+            ndigits,
+        ).alias("loglik"),
+        F.round(
+            F.log10(
+                F.col("__nd").cast("double") / F.col("__n").cast("double")
+            ),
+            ndigits,
+        ).alias("prior"),
+    )

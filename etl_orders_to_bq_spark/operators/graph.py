@@ -1186,3 +1186,123 @@ def local_clustering(
         F.col("triangles").cast("long").alias("triangles"),
         "lcc",
     )
+
+
+def graph_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-community modularity decomposition (Newman & Girvan 2004,
+    public literature) of a GIVEN partition: for each community c,
+
+        contribution_c = e_c/m - (d_c / 2m)^2
+
+    where e_c = intra-community edges, d_c = total degree in c, m =
+    edges of the simple undirected graph. Q = sum of contributions —
+    the quality score a platform tracks for ANY node grouping
+    (tenant, region, detected cluster) over an interaction graph;
+    label_propagation's output plugs straight in as ``communities``.
+
+    Output: one row per community ``(community, n_nodes, e_in,
+    d_tot, contribution)`` — per-community rows keep every float
+    independent (integer counts, one fixed-order double expression
+    each, rounded), so there is NO cross-row float accumulation to
+    pin; callers sum contributions for Q.
+
+    Scale: orient low->high + distinct (one shuffle) for the edge
+    set; two |V|-row joins to attach communities (AQE-planned, no
+    forced broadcast — the neighbor_jaccard policy); degree and the
+    rollups are map-side combinable. Nodes missing from
+    ``communities`` are dropped with their incident edges (inner
+    join — document the coverage upstream).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    com = communities.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    ).distinct()
+    ca = com.select(F.col("__n").alias("a"), F.col("__c").alias("ca"))
+    cb = com.select(F.col("__n").alias("b"), F.col("__c").alias("cb"))
+    tagged = und.join(ca, "a").join(cb, "b")
+    m_row = tagged.agg(F.count("*").alias("__m"))
+    e_in = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    # degree over the tagged simple edges (both endpoints carry a
+    # community), so dropped nodes don't skew d_c
+    half = tagged.select(
+        F.col("a").alias("n"), F.col("ca").alias("community")
+    ).unionByName(
+        tagged.select(F.col("b").alias("n"), F.col("cb").alias("community"))
+    )
+    d_tot = half.groupBy("community").agg(
+        F.count("*").alias("d_tot"),
+        F.count_distinct("n").alias("n_nodes"),
+    )
+    out = d_tot.join(e_in, "community", "left").crossJoin(
+        F.broadcast(m_row)
+    )
+    m = F.col("__m").cast("double")
+    e = F.coalesce(F.col("e_in"), F.lit(0)).cast("double")
+    d = F.col("d_tot").cast("double")
+    contrib = F.round(e / m - (d / (F.lit(2.0) * m)) * (d / (F.lit(2.0) * m)), ndigits)
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+        F.col("d_tot").cast("long").alias("d_tot"),
+        F.when(F.col("__m") > 0, contrib).alias("contribution"),
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Directed-graph reciprocity: the share of distinct directed
+    edges whose reverse edge also exists (Garlaschelli & Loffredo
+    2004, public literature) — the mutual-follow / mutual-trade rate
+    of an interaction graph; near 0 flags broadcast-shaped networks,
+    near 1 conversation-shaped ones.
+
+    Output: one row ``(n_edges, n_reciprocated, reciprocity)``;
+    integer counts, one rounded division. NULL rate on an empty
+    edge set.
+
+    Scale: distinct (one shuffle) then ONE self-semi-join on the
+    reversed key pair — shuffles int pairs only, never all-pairs;
+    both sides partition on the join key so AQE plans it like any
+    equi-join.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.join(rev, ["a", "b"], "left_semi")
+    tot = e.agg(F.count("*").alias("n_edges"))
+    rc = recip.agg(F.count("*").alias("n_reciprocated"))
+    return tot.crossJoin(rc).select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocated").cast("long").alias("n_reciprocated"),
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(F.col("n_reciprocated") / F.col("n_edges"), ndigits),
+        ).alias("reciprocity"),
+    )

@@ -171,3 +171,108 @@ def fdr_bh(
             F.col("p_rank") <= F.col("__rstar"), F.lit(False)
         ).alias("rejected"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing ``value_col``
+    between ``group_a`` and ``group_b`` — the nonparametric two-sample
+    test an experimentation stack reaches for when means are
+    skew-fragile (Mann & Whitney 1947, public literature).
+
+    Exactness: ranks never touch floats. Per DISTINCT value the
+    operator keeps integer counts (n_a, n_b, n_total); "number of
+    items strictly below" comes from the scalable two-pass
+    ``ranking.global_cumsum_before`` (range shuffle + per-partition
+    windows + a bounded offsets collect — no single-partition window,
+    unlike the textbook ``rank() over (order by value)``). Average
+    ranks with ties are half-integers, so the rank sum is carried
+    DOUBLED as an exact decimal(38,0):
+
+        2*R_a = sum_v n_a(v) * (2*below(v) + n_t(v) + 1)
+
+    U_a = R_a - n_a(n_a+1)/2; the normal approximation uses the exact
+    tie correction sum(t^3 - t). z is one fixed-order double
+    expression over these exact integers (rounded ``ndigits``), and
+    the two-sided p replays the engine's deterministic Φ
+    (``norm_sf`` — A&S 26.2.17 + Taylor-Horner exp, shared literals
+    with the oracle).
+
+    Output: one row ``(group_a, group_b, n_a, n_b, u_stat, z,
+    p_value)``. No counterpart in the reference engine (SURVEY.md
+    §2.2 — no aggregation family).
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+        F.count("*").alias("__nt"),
+    )
+    cum = global_cumsum_before(
+        vc, ["__v"], "__nt", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        dec(
+            F.sum(
+                F.col("__na").cast("decimal(38,0)")
+                * (
+                    F.lit(2) * F.col("__below") + F.col("__nt") + F.lit(1)
+                ).cast("decimal(38,0)")
+            )
+        ).alias("two_ra"),
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+        dec(
+            F.sum(
+                F.col("__nt").cast("decimal(38,0)")
+                * F.col("__nt").cast("decimal(38,0)")
+                * F.col("__nt").cast("decimal(38,0)")
+                - F.col("__nt").cast("decimal(38,0)")
+            )
+        ).alias("ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    two_u = F.col("two_ra").cast("double") - na * (na + 1.0)
+    # tie-corrected variance of U (x4, matching the doubled U):
+    # var(2U) = 4 * n_a*n_b/12 * ((n+1) - ties/(n*(n-1)))
+    var4 = (
+        F.lit(4.0)
+        * (na * nb / F.lit(12.0))
+        * ((n + F.lit(1.0)) - F.col("ties").cast("double") / (n * (n - 1.0)))
+    )
+    z = F.round((two_u - na * nb) / F.sqrt(var4), ndigits)
+    out = agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        (F.col("two_ra").cast("double") / 2.0 - na * (na + 1.0) / 2.0).alias(
+            "u_stat"
+        ),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), z).alias("z"),
+    )
+    p = F.round(
+        F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
+        ndigits,
+    )
+    return out.withColumn("p_value", p)

@@ -67,3 +67,76 @@ def column_profile(
         "min_value",
         "max_value",
     )
+
+
+# Fixed-priority semantic detectors. Every pattern uses ONLY
+# explicit character classes and anchors that mean the same thing in
+# Java regex (Spark) and RE2 (DuckDB oracles) — no \d/\s/\w, no
+# unicode properties (functions/text.py tokenize documents the
+# divergences). Order matters: first match wins.
+SEMANTIC_DETECTORS: list[tuple[str, str]] = [
+    ("json_object", r"^\{.*\}$"),
+    ("url", r"^https?://[^ ]+$"),
+    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$"),
+    ("uuid", r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+    ("integer", r"^-?[0-9]+$"),
+    ("decimal", r"^-?[0-9]+\.[0-9]+$"),
+    ("prefixed_id", r"^[A-Za-z]+#[0-9]+$"),
+]
+
+
+def semantic_types(
+    df: DataFrame,
+    columns: list[str],
+    table_name: str = "",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Semantic-type census of string-rendered columns — the
+    profiling step that discovers WHAT a column holds (emails, URLs,
+    JSON blobs, prefixed entity ids …), feeding masking policy and
+    parser routing; the classifier side of column_profile's
+    statistics (same profiling literature: Abedjan et al., VLDB J.
+    2015).
+
+    Each value is tagged with the FIRST matching detector from
+    ``SEMANTIC_DETECTORS`` (nulls -> "null", no match -> "text");
+    output one row per (table, column, sem_type) with count and one
+    rounded-division share.
+
+    Scale: one scan; the stack/unpivot multiplies rows by |columns|
+    BEFORE a map-side-combinable groupBy to |columns| x |types| rows
+    — profile a column sample (hash_sample) when |columns| is wide
+    at 100 TB.
+    """
+    tagged = []
+    for c in columns:
+        v = F.col(c).cast("string")
+        t = F.lit("text")
+        for name, pat in reversed(SEMANTIC_DETECTORS):
+            t = F.when(v.rlike(pat), F.lit(name)).otherwise(t)
+        t = F.when(v.isNull(), F.lit("null")).otherwise(t)
+        tagged.append(
+            df.select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                t.alias("sem_type"),
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    counted = out.groupBy("table_name", "column_name", "sem_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = counted.groupBy("table_name", "column_name").agg(
+        F.sum("n").alias("__tot")
+    )
+    return counted.join(tot, ["table_name", "column_name"]).select(
+        "table_name",
+        "column_name",
+        "sem_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("__tot"), ndigits).alias("share"),
+    )

@@ -107,6 +107,73 @@ def global_row_number(
     return out
 
 
+def global_cumsum_before(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "cum_before",
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Exact running sum of ``value_col`` over all rows STRICTLY
+    BEFORE the current row in the total order of ``order_cols`` —
+    without a single-partition window. Same two-pass shape as
+    ``global_row_number``: range-shuffle, a per-partition exclusive
+    running sum (window partitioned by partition id — parallel), and
+    a bounded driver collect of per-partition TOTALS prefix-summed
+    into offsets. ``value_col`` must be integral; sums are kept as
+    longs (callers needing >int64 headroom cast the value up first).
+
+    This is the rank-statistics primitive: with per-distinct-value
+    count rows, ``cum_before`` is exactly "number of items below
+    this value", which yields average ranks, Mann-Whitney U, and
+    empirical CDFs with no scale cliff."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = stage(
+        df.repartitionByRange(n, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        checkpoint_path,
+        "cumsum_input",
+    )
+    # bounded collect: one (pid, sum) row per partition
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    if not totals:
+        return ranged.drop("__pid").withColumn(
+            out_col, F.lit(None).cast("long")
+        )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off_expr = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+        )
+        .withColumn(
+            out_col,
+            (off_expr[F.col("__pid")] + F.col("__local")).cast("long"),
+        )
+        .drop("__pid", "__local")
+    )
+
+
 def scalable_ntile(
     df: DataFrame,
     order_cols: list,
@@ -199,3 +266,52 @@ def shard_plan(
         .groupBy("shard_id")
         .agg(*aggs)
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact lower weighted median — the robust location estimate for
+    weighted data (sample weights, token counts, monetary volume):
+    the smallest value v whose cumulative weight reaches half the
+    total, computed with NO global window and NO float arithmetic.
+
+    Weights must be integral (cast decimals up by their scale first);
+    the decision ``2*(cum_before(v) + w(v)) >= W`` is an exact long
+    comparison, so the answer is partitioning-invariant by
+    construction. Built on per-distinct-value weight sums +
+    ``global_cumsum_before`` (range shuffle + per-partition windows
+    + a bounded offsets collect).
+
+    Output: one row ``(total_weight, weighted_median)``; NULLs on an
+    empty/all-null input.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation family).
+    """
+    vc = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    cum = global_cumsum_before(
+        vc, ["__v"], "__w", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    tot = cum.agg(
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("total_weight")
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(2) * (F.col("__below") + F.col("__w"))
+            >= F.col("total_weight")
+        )
+        .agg(F.min("__v").alias("weighted_median"))
+    )
+    return tot.crossJoin(med)

@@ -197,3 +197,39 @@ def time_split_embargo(
         .when(ts >= cut, F.lit("test"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def class_balance_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Balanced per-class downsample to the MINORITY class size — the
+    standard rebalancing step before training a classifier on skewed
+    labels: every class keeps exactly min-class-count rows, chosen
+    deterministically by md5(id) order (a seedless, engine-portable
+    shuffle — the hash_sample discipline), so reruns and engines
+    agree row-for-row.
+
+    Output: the surviving ``(class, id)`` rows plus the within-class
+    ``pick_rank``.
+
+    Scale: one groupBy for class counts (tiny — |classes| rows, the
+    min is a 1-row broadcast, NOT a collect), one per-class window
+    over md5 order (partitioned — parallel across classes; a single
+    giant class bounds a task at |class| rows, the same per-key
+    window profile as o4_dedup_first).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(class_col)).agg(F.count("*").alias("__n"))
+    cap = counts.agg(F.min("__n").alias("__cap"))
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(class_col), F.col(id_col)).withColumn(
+        "pick_rank", F.row_number().over(w)
+    )
+    return ranked.crossJoin(F.broadcast(cap)).filter(
+        F.col("pick_rank") <= F.col("__cap")
+    ).drop("__cap")

@@ -126,3 +126,144 @@ def resample_ffill(
         F.last("__obs", ignorenulls=True).over(w).alias(value_col),
         F.col("__obs").isNotNull().alias("is_observed"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of a daily aggregate at lags
+    ``1..max_lag`` — the seasonality probe (a weekly cycle shows as a
+    lag-7 peak) feeding forecast validation and anomaly baselines
+    (Box & Jenkins, public literature).
+
+    Semantics: the daily series is sum(``value_col``) per calendar
+    day as a DECIMAL-exact aggregate; for each lag L the sample is
+    every day pair (t, t+L) where BOTH days exist, and the statistic
+    is the plain Pearson correlation of those pairs (the "pairs that
+    exist" definition makes gaps explicit rather than imputing — pair
+    counts are reported so a sparse series is visible).
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are decimal-exact sums; each collapses to double once, and
+    corr is one fixed-order double expression rounded ``ndigits`` —
+    no float accumulation, so the DuckDB oracle reproduces every
+    digit. Undefined correlations (constant series / n<2) surface as
+    NULL, not NaN.
+
+    Scale: one day-level groupBy (map-side combinable), then the
+    |days| x max_lag pair build is a broadcast-joinable self-equi-join
+    on day arithmetic — |days| rows is calendar-bounded (decades =
+    ~1e4 rows) regardless of corpus size, so every post-aggregation
+    stage is trivially small at 100 TB.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation family).
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = daily.select(F.col("__d"), F.col("__v").alias("__x"), lags)
+    right = daily.select(
+        F.col("__d").alias("__d2"), F.col("__v").alias("__y")
+    )
+    pairs = left.join(
+        right,
+        F.date_add(F.col("__d"), F.col("lag")) == F.col("__d2"),
+        "inner",
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    acf = F.when(den > 0, F.round(num / den, ndigits))
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"), "n_pairs", acf.alias("acf")
+    ).orderBy("lag")
+
+
+def xcorr_lags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-correlation between two keys' daily series at lags
+    ``-max_lag..+max_lag`` — the lead-lag probe (does A's spike
+    precede B's by k days?) behind campaign-attribution and
+    capacity-forecast checks (Box & Jenkins, public literature).
+
+    xcorr(L) = Pearson r of pairs (a_t, b_{t+L}) over every day pair
+    where BOTH exist — the same explicit-pairs, decimal-exact
+    discipline as ``acf_lags``: per-key daily sums are DECIMAL-exact
+    aggregates, six sufficient statistics per lag collapse to double
+    once, r is one fixed-order expression rounded ``ndigits``
+    (NULL when either side is constant). Negative lag = A leads.
+
+    Scale: one day-level groupBy per key from a single scan
+    (map-side combinable); the pair build is a self-equi-join on day
+    arithmetic over calendar-bounded daily tables — broadcast-class
+    at any corpus size.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.filter(F.col(key_col).isin([key_a, key_b]))
+        .groupBy(day, F.col(key_col).alias("__k"))
+        .agg(F.sum(dec).alias("__v"))
+    )
+    a = daily.filter(F.col("__k") == key_a).select(
+        F.col("__d"), F.col("__v").alias("__x")
+    )
+    b = daily.filter(F.col("__k") == key_b).select(
+        F.col("__d").alias("__d2"), F.col("__v").alias("__y")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = a.select(F.col("__d"), F.col("__x"), lags)
+    pairs = left.join(
+        b, F.date_add(F.col("__d"), F.col("lag")) == F.col("__d2"), "inner"
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    xc = F.when(den > 0, F.round(num / den, ndigits))
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"), "n_pairs", xc.alias("xcorr")
+    ).orderBy("lag")
