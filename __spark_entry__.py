@@ -7023,6 +7023,69 @@ def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combiner-style per-group top-k (operators/ranking.py
+    topk_per_group): per-partition top-3 survivors then one bounded
+    merge — at most k rows per group per input partition ever
+    shuffle, vs the window form moving every row of a hot group to
+    one task. Row-for-row equal to the window top-k (tie order
+    (value desc, id asc)); the oracle IS the window form."""
+    from etl_orders_to_bq_spark.operators.ranking import topk_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=3
+    ).orderBy("o_orderpriority", "rank")
+
+
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate/mix revenue decomposition 1995 -> 1996 by order priority
+    (operators/decompose.py mix_shift): integer volumes, decimal-
+    exact revenues, one rounded division per rate, and the exact
+    two-term split (volume at old rate + rate at new volume) whose
+    sum telescopes to rev_b - rev_a per segment."""
+    from etl_orders_to_bq_spark.operators.decompose import mix_shift
+
+    o = _t(spark, sf_dir, "orders")
+    period = F.when(F.year("o_orderdate") == 1995, F.lit("A")).when(
+        F.year("o_orderdate") == 1996, F.lit("B")
+    )
+    return mix_shift(o, "o_orderpriority", period, "o_totalprice").orderBy(
+        "segment"
+    )
+
+
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the median of lineitem extended
+    price (operators/ranking.py median_ci): order-statistic rank
+    bounds from the repr'd z-constant, ranks via the two-pass
+    global_row_number (no single-partition sort), one rank-selection
+    pass. The oracle replays the identical rank formulas with a
+    window over the value order."""
+    from etl_orders_to_bq_spark.operators.ranking import median_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    return median_ci(li, "l_extendedprice")
+
+
+def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate-limit flags through the real streaming engine
+    (streaming/events.py quota_flags): watermarked 6-hour tumbling
+    windows, count-per-(window, user) state, append mode emitting
+    only finalized violations (> 2 events). The oracle computes the
+    batch flags and applies the same finalization filter."""
+    from etl_orders_to_bq_spark.streaming.events import quota_flags
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    flags = quota_flags(stream, quota=2, window="6 hours",
+                        watermark="10 minutes")
+    return _stream_to_batch(flags, "squota", "append")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7037,6 +7100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "topk_pergroup": q_topk_pergroup,
+        "mix_shift": q_mix_shift,
+        "median_ci": q_median_ci,
+        "streaming_quota": q_streaming_quota,
         "semantic_types": q_semantic_types,
         "join_cardinality": q_join_cardinality,
         "xcorr_lags": q_xcorr_lags,
@@ -12941,6 +13008,97 @@ def oracle_sql() -> dict[str, str]:
                rate_treat, rate_ctrl,
                round(rate_treat - rate_ctrl, 6) as uplift
         from rates order by bucket
+    """
+
+    # combiner top-k: the oracle IS the window formulation the
+    # operator must equal row-for-row
+    out["topk_pergroup"] = """
+        select o_orderpriority, cast(rn as int) as rank,
+               o_totalprice, o_orderkey
+        from (
+          select o_orderpriority, o_totalprice, o_orderkey,
+                 row_number() over (partition by o_orderpriority
+                   order by o_totalprice desc, o_orderkey) as rn
+          from orders
+        )
+        where rn <= 3
+        order by o_orderpriority, rank
+    """
+    # mix shift: integer volumes, decimal revenues, one rounded
+    # division per rate, the operator's exact two-term split
+    out["mix_shift"] = """
+        with cells as (
+          select o_orderpriority as segment,
+                 sum(case when year(o_orderdate) = 1995 then 1
+                     else 0 end) as vol_a,
+                 sum(case when year(o_orderdate) = 1996 then 1
+                     else 0 end) as vol_b,
+                 coalesce(sum(case when year(o_orderdate) = 1995
+                   then cast(o_totalprice as decimal(18,2)) end), 0)
+                   as rev_a,
+                 coalesce(sum(case when year(o_orderdate) = 1996
+                   then cast(o_totalprice as decimal(18,2)) end), 0)
+                   as rev_b
+          from orders
+          where year(o_orderdate) in (1995, 1996)
+          group by 1
+        ),
+        rated as (
+          select *,
+                 case when vol_a > 0 then
+                   round(cast(rev_a as double) / vol_a, 6) end as rate_a,
+                 case when vol_b > 0 then
+                   round(cast(rev_b as double) / vol_b, 6) end as rate_b
+          from cells
+        )
+        select segment, cast(vol_a as bigint) as vol_a,
+               cast(vol_b as bigint) as vol_b,
+               cast(rev_a as double) as rev_a,
+               cast(rev_b as double) as rev_b,
+               rate_a, rate_b,
+               round(cast(vol_b - vol_a as double)
+                     * coalesce(rate_a, 0.0), 6) as volume_effect,
+               round(cast(vol_b as double)
+                     * (coalesce(rate_b, 0.0) - coalesce(rate_a, 0.0)),
+                     6) as rate_effect
+        from rated order by segment
+    """
+    # median CI: identical rank formulas over the repr'd z constant
+    from etl_orders_to_bq_spark.operators.ranking import _Z975
+
+    out["median_ci"] = f"""
+        with v as (select l_extendedprice as v from lineitem
+                   where l_extendedprice is not null),
+        n as (select count(*) as n from v),
+        r as (select v, row_number() over (order by v) as rn from v),
+        k as (
+          select n,
+                 greatest(1, cast(floor((n - {_Z975!r} * sqrt(n))
+                   / 2.0) as bigint)) as lo,
+                 least(n, cast(ceil(1.0 + (n + {_Z975!r} * sqrt(n))
+                   / 2.0) as bigint)) as hi,
+                 (n + 1) // 2 as med
+          from n
+        )
+        select cast(k.n as bigint) as n,
+               min(case when rn = lo then v end) as ci_lo,
+               min(case when rn = med then v end) as median,
+               min(case when rn = hi then v end) as ci_hi
+        from r, k group by k.n
+    """
+    # streaming quota flags: batch flags + the finalized-window filter
+    out["streaming_quota"] = """
+        with m as (select max(ts) as mx from events),
+        c as (
+          select time_bucket(interval 6 hour, ts) as ws, user_id,
+                 count(*) as n
+          from events group by 1, 2
+        )
+        select ws as window_start, user_id,
+               cast(n as bigint) as n_events,
+               cast(n - 2 as bigint) as overage
+        from c, m
+        where n > 2 and ws + interval 6 hour <= mx - interval 10 minute
     """
 
     _psf = norm_sf_sql("abs(z)")

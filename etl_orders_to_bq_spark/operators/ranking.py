@@ -315,3 +315,120 @@ def weighted_median(
         .agg(F.min("__v").alias("weighted_median"))
     )
     return tot.crossJoin(med)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact per-group top-k WITHOUT a per-group window shuffle of
+    raw rows — the combiner-style alternative to ``row_number() over
+    (partition by g order by v)`` for heavy groups:
+
+    1. per (group, input-partition) top-k: sort_array + slice over a
+       partition-local collect_list (bounded by the rows one task
+       holds — map-side in spirit, no extra shuffle);
+    2. explode the ≤ k·P survivors and take the final top-k per
+       group with one groupBy over ≤ k·P rows per group.
+
+    The window formulation shuffles EVERY row of a hot group to one
+    task; this shuffles at most k rows per group per input
+    partition. The total order is (value desc-or-asc, id ASC) — the
+    row_number convention — via an ascending sort on the struct
+    (sign-flipped numeric value, id), so the result equals the
+    window top-k row-for-row (pytest-asserted). Numeric order
+    columns only (the sign flip). Output: ``(group..., rank,
+    order_col, id_col)``.
+
+    No counterpart in the reference engine (SURVEY.md §2.2
+    sorts/limits absence family).
+    """
+    groups = [F.col(c) for c in group_cols]
+    v = F.col(order_col)
+    key = (-v) if descending else v
+    item = F.struct(
+        key.alias("k"), F.col(id_col).alias("i"), v.alias("v")
+    )
+    part = df.groupBy(
+        F.spark_partition_id().alias("__pid"), *groups
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(item)), 1, int(k)
+        ).alias("__a")
+    )
+    survivors = part.select(*groups, F.explode("__a").alias("__s"))
+    final = survivors.groupBy(*groups).agg(
+        F.slice(
+            F.sort_array(F.collect_list("__s")), 1, int(k)
+        ).alias("__a")
+    )
+    exploded = final.select(
+        *groups, F.posexplode("__a").alias("__rk", "__s")
+    )
+    return exploded.select(
+        *groups,
+        (F.col("__rk") + 1).cast("int").alias("rank"),
+        F.col("__s.v").alias(order_col),
+        F.col("__s.i").alias(id_col),
+    )
+
+
+# 97.5% normal quantile, repr'd so both engines parse the identical
+# double (the deterministic-constant discipline of operators/multitest)
+_Z975 = 1.959963984540054
+
+
+def median_ci(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact distribution-free 95% confidence interval for the median
+    via order statistics (the binomial/normal-approximation rank
+    bounds — Conover, Practical Nonparametric Statistics, public
+    literature): with n non-null values,
+
+        lo_rank = floor((n - z·√n) / 2),        clamped to ≥ 1
+        hi_rank = ceil (1 + (n + z·√n) / 2),    clamped to ≤ n
+
+    and the interval is [value@lo_rank, value@hi_rank] with the
+    lower median value@((n+1)//2) — pure rank selection, NO
+    bootstrap resampling and NO distributional assumption on the
+    data.
+
+    Ranks come from the two-pass ``global_row_number`` (no
+    single-partition sort); n is the total the two-pass already
+    collected, so the rank arithmetic is exact driver-side integer/
+    IEEE math over the repr'd z — the oracle replays the identical
+    formula in SQL. Output: one row ``(n, ci_lo, median, ci_hi)``;
+    all-NULL/empty input yields n=0 and NULLs.
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v")
+    )
+    ranked, n = _global_row_number_with_total(
+        vals, ["__v"], num_partitions, "__rn", None
+    )
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n long, ci_lo double, median double, ci_hi double",
+        )
+    import math
+
+    half_width = _Z975 * math.sqrt(float(n))
+    lo = max(1, math.floor((n - half_width) / 2.0))
+    hi = min(n, math.ceil(1.0 + (n + half_width) / 2.0))
+    med = (n + 1) // 2
+    picks = ranked.filter(F.col("__rn").isin([lo, med, hi]))
+    return picks.agg(
+        F.lit(n).cast("long").alias("n"),
+        F.min(F.when(F.col("__rn") == lo, F.col("__v"))).alias("ci_lo"),
+        F.min(F.when(F.col("__rn") == med, F.col("__v"))).alias("median"),
+        F.min(F.when(F.col("__rn") == hi, F.col("__v"))).alias("ci_hi"),
+    )

@@ -174,3 +174,38 @@ def sessionize_events(
             "sum_value",
         )
     )
+
+
+def quota_flags(
+    events: DataFrame,
+    quota: int,
+    window: str = "6 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-user rate-limit violations over tumbling windows — the
+    abuse/throttling detector an event platform runs continuously:
+    any (window, user) whose event count exceeds ``quota`` is
+    flagged with its count and overage.
+
+    Works on batch and streaming inputs (same plan, incrementalized
+    when streaming); streaming runs append-mode, so only
+    watermark-finalized windows emit — a flag is final, never
+    retracted. State is one counter per (window, user): bounded by
+    active users per window and evicted by the watermark.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > int(quota))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            (F.col("n_events") - F.lit(int(quota))).alias("overage"),
+        )
+    )
