@@ -7086,6 +7086,44 @@ def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_to_batch(flags, "squota", "append")
 
 
+def q_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval integrity audit (operators/temporal.py
+    interval_audit) over per-customer 30-day order coverage windows:
+    overlap = double-counted history, gap = lost history, half-open
+    semantics; gap lengths in exact integer days. ONE per-key
+    ordered window + a map-side-combinable rollup."""
+    from etl_orders_to_bq_spark.operators.temporal import interval_audit
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey"),
+        F.to_date("o_orderdate").alias("start_d"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("end_d"),
+    )
+    return interval_audit(iv, "o_custkey", "start_d", "end_d")
+
+
+def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue cents
+    (operators/ranking.py abc_classification): exact integer
+    cumulative over the two-pass global_cumsum_before (weight desc,
+    key asc — no single-partition window), class cut by the exact
+    comparison 100·cum ≤ pct·total, share one rounded division."""
+    from etl_orders_to_bq_spark.operators.ranking import (
+        abc_classification,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    return abc_classification(li, "l_partkey", "cents").orderBy(
+        "cum_share", "l_partkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7100,6 +7138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "interval_audit": q_interval_audit,
+        "abc_class": q_abc_class,
         "topk_pergroup": q_topk_pergroup,
         "mix_shift": q_mix_shift,
         "median_ci": q_median_ci,
@@ -13010,6 +13050,63 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # interval audit: lag window over per-key ordered intervals,
+    # integer day arithmetic (date - date)
+    out["interval_audit"] = """
+        with iv as (
+          select o_custkey as k, cast(o_orderdate as date) as s,
+                 cast(o_orderdate as date) + 30 as e
+          from orders
+        ),
+        l as (
+          select k, s, e,
+                 lag(e) over (partition by k order by s, e) as pe
+          from iv
+        ),
+        f as (
+          select k,
+                 case when pe is not null and s < pe then 1 else 0 end
+                   as ov,
+                 case when pe is not null and s > pe then 1 else 0 end
+                   as gp,
+                 case when pe is not null and s > pe then s - pe
+                      else 0 end as gd
+          from l
+        )
+        select cast(count(distinct k) as bigint) as n_keys,
+               cast(count(*) as bigint) as n_intervals,
+               cast(sum(ov) as bigint) as n_overlaps,
+               cast(sum(gp) as bigint) as n_gaps,
+               cast(sum(gd) as bigint) as total_gap_days,
+               cast(max(gd) as bigint) as max_gap_days
+        from f
+    """
+    # ABC classification: exact integer cumulative + integer class
+    # cut, one rounded division for the share
+    out["abc_class"] = """
+        with cents as (
+          select l_partkey,
+                 cast(round(l_extendedprice * 100, 0) as bigint) as c
+          from lineitem
+        ),
+        per as (select l_partkey, sum(c) as w from cents group by 1),
+        cum as (
+          select *,
+                 coalesce(sum(w) over (order by w desc, l_partkey
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below
+          from per
+        ),
+        t as (select sum(w) as tot from per)
+        select l_partkey, cast(w as bigint) as cents,
+               case when tot > 0
+                    then round((below + w) / tot, 6) end as cum_share,
+               case when 100 * (below + w) <= 80 * tot then 'A'
+                    when 100 * (below + w) <= 95 * tot then 'B'
+                    else 'C' end as abc_class
+        from cum, t
+        order by cum_share, l_partkey
+    """
     # combiner top-k: the oracle IS the window formulation the
     # operator must equal row-for-row
     out["topk_pergroup"] = """

@@ -432,3 +432,66 @@ def median_ci(
         F.min(F.when(F.col("__rn") == med, F.col("__v"))).alias("median"),
         F.min(F.when(F.col("__rn") == hi, F.col("__v"))).alias("ci_hi"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ABC / Pareto inventory classification — the 80/15/5 revenue
+    segmentation every supply-chain and catalog team runs (Pareto
+    analysis, public literature): keys sorted by total weight
+    descending; a key is class A while the cumulative share
+    INCLUDING it stays ≤ ``a_pct``%, B while ≤ ``b_pct``%, else C.
+
+    Exactness: weights must be integral (pass cents, not dollars) so
+    per-key totals and the running cumulative are exact longs; the
+    class decision is the exact integer comparison
+    ``100·cum ≤ pct·total`` — no float anywhere in the cut, and the
+    reported ``cum_share`` is one rounded division. Ties break by
+    key ascending (total order), so the classing is deterministic.
+
+    Scale: one per-key groupBy (map-side combinable), then the
+    two-pass ``global_cumsum_before`` over the key table — no
+    single-partition window at any key count. Output: ``(key,
+    weight, cum_share, abc_class)``.
+
+    No counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation family).
+    """
+    per = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    cum = global_cumsum_before(
+        per,
+        [F.col("__w").desc(), F.col("__k")],
+        "__w",
+        num_partitions=num_partitions,
+        out_col="__below",
+    )
+    tot = cum.agg(
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("__tot")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    incl = F.col("__below") + F.col("__w")
+    cls = (
+        F.when(
+            F.lit(100) * incl <= F.lit(int(a_pct)) * F.col("__tot"), "A"
+        )
+        .when(
+            F.lit(100) * incl <= F.lit(int(b_pct)) * F.col("__tot"), "B"
+        )
+        .otherwise("C")
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__w").alias(weight_col),
+        F.when(
+            F.col("__tot") > 0, F.round(incl / F.col("__tot"), 6)
+        ).alias("cum_share"),
+        cls.alias("abc_class"),
+    )

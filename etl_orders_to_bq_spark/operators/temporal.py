@@ -147,3 +147,60 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def interval_audit(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Validity-interval integrity audit — the SCD2/timeline QA an
+    entity store runs after every merge: per key, do consecutive
+    intervals overlap (double-counted history) or leave gaps
+    (lost history)?
+
+    Definition: intervals are ordered per key by (start, end); a pair
+    is an OVERLAP when the next start < previous end, a GAP when the
+    next start > previous end (half-open [start, end) semantics —
+    touching intervals are neither). One global summary row:
+    ``(n_keys, n_intervals, n_overlaps, n_gaps, total_gap_days,
+    max_gap_days)`` — gap lengths in exact integer days
+    (datediff), so the sums are exact.
+
+    Scale: ONE per-key ordered window (partitioned — parallel across
+    keys, a key's history bounds its task) for the lag comparisons,
+    then a map-side-combinable global rollup. The per-key detail
+    frame is the intermediate — callers wanting per-key rows stop
+    before the final agg.
+    """
+    w = Window.partitionBy("__k").orderBy(F.col("__s"), F.col("__e"))
+    lagged = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).withColumn("__pe", F.lag("__e").over(w))
+    flagged = lagged.select(
+        "__k",
+        F.when(F.col("__pe").isNotNull() & (F.col("__s") < F.col("__pe")), 1)
+        .otherwise(0)
+        .alias("__ov"),
+        F.when(F.col("__pe").isNotNull() & (F.col("__s") > F.col("__pe")), 1)
+        .otherwise(0)
+        .alias("__gap"),
+        F.when(
+            F.col("__pe").isNotNull() & (F.col("__s") > F.col("__pe")),
+            F.datediff(F.col("__s"), F.col("__pe")),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("__gapd"),
+    )
+    return flagged.agg(
+        F.count_distinct("__k").cast("long").alias("n_keys"),
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("__ov").cast("long").alias("n_overlaps"),
+        F.sum("__gap").cast("long").alias("n_gaps"),
+        F.sum("__gapd").cast("long").alias("total_gap_days"),
+        F.max("__gapd").cast("long").alias("max_gap_days"),
+    )
