@@ -7124,6 +7124,41 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-class duplicate contamination census (operators/dedup.py
+    cross_class_dups) with planted cross-language copies (every
+    doc_id % 25 == 0 re-labeled 'xx' — the fixture corpus has no
+    natural cross-lang dups, so the gate must see both classes):
+    fingerprint groupBy, HAVING distinct classes > 1, sorted label
+    list. Shuffles hashes + labels, never text."""
+    from etl_orders_to_bq_spark.operators.dedup import cross_class_dups
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "lang", F.lit("xx")
+    )
+    both = d.select("doc_id", "lang", "text").unionByName(
+        planted.select("doc_id", "lang", "text")
+    )
+    return cross_class_dups(both, "lang", "text", "doc_id").orderBy(
+        "fingerprint"
+    )
+
+
+def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest over daily order
+    revenue (operators/timeseries.py backtest_snaive): decimal-exact
+    error sums for MAE/bias, per-day integer micro-unit APEs for
+    MAPE (the boundary-proof discipline), one rounded collapse
+    each. The baseline every forecast model must beat."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        backtest_snaive,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return backtest_snaive(o, "o_orderdate", "o_totalprice", season=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7138,6 +7173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "crosslang_dups": q_crosslang_dups,
+        "backtest_snaive": q_backtest_snaive,
         "interval_audit": q_interval_audit,
         "abc_class": q_abc_class,
         "topk_pergroup": q_topk_pergroup,
@@ -13050,6 +13087,58 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # cross-class dup census: fingerprint groupBy with planted 'xx'
+    # copies, sorted distinct label list
+    out["crosslang_dups"] = f"""
+        with d2 as (
+          select doc_id, lang, text from documents
+          union all
+          select doc_id, 'xx' as lang, text from documents
+          where doc_id % 25 = 0
+        ),
+        f as (
+          select md5({_NORM}) as fingerprint, lang from d2
+        )
+        select fingerprint, cast(count(*) as bigint) as n_docs,
+               cast(count(distinct lang) as bigint) as n_classes,
+               array_to_string(list_sort(list(distinct lang)), ',')
+                 as classes
+        from f group by fingerprint
+        having count(distinct lang) > 1
+        order by fingerprint
+    """
+    # seasonal-naive backtest: decimal error sums, micro-unit APEs
+    out["backtest_snaive"] = """
+        with daily as (
+          select cast(o_orderdate as date) as d,
+                 sum(cast(o_totalprice as decimal(18,2))) as v
+          from orders group by 1
+        ),
+        fc as (select d + 7 as d, v as f from daily),
+        scored as (select daily.d, v, f from daily join fc using (d)),
+        e as (select v - f as err, v from scored),
+        nd as (select cast(count(*) as bigint) as n_days from daily),
+        agg as (
+          select cast(count(*) as bigint) as n_scored,
+                 sum(abs(err)) as sae, sum(err) as se,
+                 sum(case when v > 0 then
+                   cast(round(1000000.0 * cast(abs(err) as double)
+                              / cast(v as double), 0) as bigint) end)
+                   as sape,
+                 count(case when v > 0 then 1 end) as n_mape
+          from e
+        )
+        select n_days, n_scored,
+               case when n_scored > 0 then
+                 round(cast(sae as double) / n_scored, 6) end as mae,
+               case when n_mape > 0 then
+                 round(cast(sape as double)
+                       / (cast(n_mape as double) * 1000000.0), 6)
+                 end as mape,
+               case when n_scored > 0 then
+                 round(cast(se as double) / n_scored, 6) end as bias
+        from nd, agg
+    """
     # interval audit: lag window over per-key ordered intervals,
     # integer day arithmetic (date - date)
     out["interval_audit"] = """

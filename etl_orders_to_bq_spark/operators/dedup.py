@@ -706,3 +706,44 @@ def ngram_containment(
             .alias("containment_b_in_a"),
         )
     )
+
+
+def cross_class_dups(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-class exact-duplicate census — the contamination probe a
+    multilingual / multi-split corpus runs before training: a
+    normalized fingerprint appearing under MORE THAN ONE class label
+    (language, train/eval split, source tier) is either mislabeled
+    or leaked content (Dolma and BigScience data cards both report
+    exactly this table; public literature).
+
+    Output per offending fingerprint: ``(fingerprint, n_docs,
+    n_classes, classes)`` with ``classes`` the sorted distinct
+    labels joined by ',' — deterministic, engine-replayable.
+
+    Scale: ONE fingerprint groupBy (map-side combinable; shuffles
+    16-byte hashes + labels, never text), HAVING on the distinct
+    class count. The same profile as exact dedup.
+    """
+    from ..functions.text import doc_fingerprint
+
+    fp = df.select(
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(class_col).alias("__c"),
+        F.col(id_col).alias("__i"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("__c").cast("long").alias("n_classes"),
+            F.array_join(
+                F.sort_array(F.collect_set("__c")), ","
+            ).alias("classes"),
+        )
+        .filter(F.col("n_classes") > 1)
+    )

@@ -267,3 +267,79 @@ def xcorr_lags(
     return agg.select(
         F.col("lag").cast("int").alias("lag"), "n_pairs", xc.alias("xcorr")
     ).orderBy("lag")
+
+
+def backtest_snaive(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecast
+    must beat (Hyndman & Athanasopoulos, Forecasting: Principles and
+    Practice, public literature): predict each day's total with the
+    value ``season`` days earlier and score the error over every day
+    where both exist.
+
+    Output: one row ``(n_days, n_scored, mae, mape, bias)`` —
+    * mae / bias from DECIMAL-exact error sums, one rounded division
+      each;
+    * mape via per-day integer micro-units (round(1e6·|e|/actual)
+      as long — the code_likeness boundary-proof discipline), summed
+      exactly and collapsed by one division; days with actual <= 0
+      are excluded from mape (division guard) but not from mae.
+
+    Scale: one day-level groupBy (map-side combinable) + one
+    calendar-bounded self-join; everything after is |days|-sized.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    fc = daily.select(
+        F.date_add(F.col("__d"), int(season)).alias("__d"),
+        F.col("__v").alias("__f"),
+    )
+    scored = daily.join(fc, "__d")
+    err = F.col("__v") - F.col("__f")
+    ape6 = F.when(
+        F.col("__v") > 0,
+        F.round(
+            F.lit(1000000.0)
+            * F.abs(err).cast("double")
+            / F.col("__v").cast("double"),
+            0,
+        ).cast("long"),
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.abs(err)).alias("__sae"),
+        F.sum(err).alias("__se"),
+        F.sum(ape6).alias("__sape"),
+        F.count(ape6).cast("long").alias("__n_mape"),
+    )
+    return n_days.crossJoin(agg).select(
+        "n_days",
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(
+                F.col("__sae").cast("double") / F.col("n_scored"), ndigits
+            ),
+        ).alias("mae"),
+        F.when(
+            F.col("__n_mape") > 0,
+            F.round(
+                F.col("__sape").cast("double")
+                / (F.col("__n_mape").cast("double") * F.lit(1000000.0)),
+                ndigits,
+            ),
+        ).alias("mape"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(
+                F.col("__se").cast("double") / F.col("n_scored"), ndigits
+            ),
+        ).alias("bias"),
+    )
