@@ -7159,6 +7159,33 @@ def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backtest_snaive(o, "o_orderdate", "o_totalprice", season=7)
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle over the events stream (operators/
+    attribution.py cohort_ltv): first-active-week cohorts, decimal-
+    exact per-(cohort, age) revenue and running cumulative, one
+    rounded division for LTV-per-user. The cumulative window is
+    calendar-bounded (offsets), never data-sized."""
+    from etl_orders_to_bq_spark.operators.attribution import cohort_ltv
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_ltv(e, "user_id", "ts", "value").orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth (operators/timeseries.py
+    period_over_period): ISO-week decimal sums, adjacency-checked
+    lag (a calendar gap yields NULL, not a misleading jump), one
+    rounded division per pct."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        period_over_period,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return period_over_period(o, "o_orderdate", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7173,6 +7200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "cohort_ltv": q_cohort_ltv,
+        "period_over_period": q_period_over_period,
         "crosslang_dups": q_crosslang_dups,
         "backtest_snaive": q_backtest_snaive,
         "interval_audit": q_interval_audit,
@@ -13087,6 +13116,66 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # cohort LTV: decimal-exact revenue cells + running cumulative,
+    # one rounded division for LTV-per-user
+    out["cohort_ltv"] = """
+        with first_week as (
+          select user_id,
+                 min(cast(date_trunc('week', ts) as date)) as cw
+          from events group by user_id
+        ),
+        act as (
+          select user_id, cast(date_trunc('week', ts) as date) as aw,
+                 cast(value as decimal(18,2)) as v
+          from events
+        ),
+        cells as (
+          select f.cw as cohort_week,
+                 cast((a.aw - f.cw) // 7 as int) as week_offset,
+                 sum(v) as rev
+          from act a join first_week f using (user_id)
+          group by 1, 2
+        ),
+        sizes as (select cw as cohort_week,
+                         cast(count(*) as bigint) as cohort_users
+                  from first_week group by 1),
+        cum as (
+          select *, sum(rev) over (partition by cohort_week
+                     order by week_offset
+                     rows between unbounded preceding and current row)
+                   as cumrev
+          from cells
+        )
+        select c.cohort_week, c.week_offset, s.cohort_users,
+               cast(rev as double) as period_revenue,
+               cast(cumrev as double) as cum_revenue,
+               round(cast(cumrev as double) / s.cohort_users, 6)
+                 as ltv_per_user
+        from cum c join sizes s using (cohort_week)
+        order by cohort_week, week_offset
+    """
+    # WoW growth: adjacency-checked lag over the weekly table
+    out["period_over_period"] = """
+        with weekly as (
+          select cast(date_trunc('week', o_orderdate) as date) as week,
+                 sum(cast(o_totalprice as decimal(18,2))) as rev
+          from orders group by 1
+        ),
+        lagged as (
+          select *, lag(rev) over (order by week) as prev,
+                 lag(week) over (order by week) as prev_wk
+          from weekly
+        )
+        select week, cast(rev as double) as revenue,
+               case when prev_wk is not null and week - prev_wk = 7
+                    then cast(prev as double) end as prev_revenue,
+               case when prev_wk is not null and week - prev_wk = 7
+                         and prev > 0
+                    then round(cast(rev - prev as double)
+                               / cast(prev as double), 6)
+               end as wow_pct
+        from lagged order by week
+    """
     # cross-class dup census: fingerprint groupBy with planted 'xx'
     # copies, sorted distinct label list
     out["crosslang_dups"] = f"""

@@ -81,3 +81,67 @@ def attribute_conversions(
         .filter(F.col("__is_conv") == 1)
         .drop("__is_conv")
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value triangle — the revenue companion to the
+    retention triangle (standard growth-accounting practice, public
+    literature): users cohorted by first-active ISO week, revenue
+    rolled up per (cohort, week offset), and the running cumulative
+    divided by cohort size gives LTV-per-user at each age.
+
+    Output: ``(cohort_week, week_offset, cohort_users,
+    period_revenue, cum_revenue, ltv_per_user)``.
+
+    Exactness: revenue sums and the running cumulative are DECIMAL —
+    exact and order-free — collapsing to double once; LTV is one
+    rounded division. The cumulative window partitions by cohort
+    over week offsets (calendar-bounded, never data-sized).
+
+    Scale: one per-user min (map-side combinable), one join to tag
+    activity with its cohort, one (cohort, offset) groupBy; the
+    triangle is |cohorts| x |offsets| rows.
+    """
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(wk).alias("__cw")
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    act = df.select(
+        F.col(user_col).alias("__u"), wk.alias("__aw"), dec.alias("__v")
+    )
+    tagged = act.join(first, "__u")
+    cells = tagged.groupBy(
+        F.col("__cw").alias("cohort_week"),
+        F.floor(F.datediff(F.col("__aw"), F.col("__cw")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.sum("__v").alias("__rev"))
+    sizes = first.groupBy(F.col("__cw").alias("cohort_week")).agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        cells.withColumn("__cum", F.sum("__rev").over(w))
+        .join(sizes, "cohort_week")
+    )
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "cohort_users",
+        F.col("__rev").cast("double").alias("period_revenue"),
+        F.col("__cum").cast("double").alias("cum_revenue"),
+        F.round(
+            F.col("__cum").cast("double") / F.col("cohort_users"), ndigits
+        ).alias("ltv_per_user"),
+    )

@@ -343,3 +343,53 @@ def backtest_snaive(
             ),
         ).alias("bias"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Week-over-week growth table — the calendar-aligned percent
+    change every metrics dashboard leads with: ISO-week revenue,
+    prior week's value, and one rounded-division pct change (NULL
+    for the first week and when the prior week is zero or absent —
+    an explicit "can't compute", not an Inf).
+
+    Exactness: weekly sums are DECIMAL; the delta is decimal-exact
+    and each side collapses to double once for the single division.
+
+    Scale: one week-level groupBy (map-side combinable); the lag
+    window runs over the calendar-bounded |weeks| table — the
+    bounded-domain window class (fdr_bh), not a data-sized one. A
+    missing calendar week yields NULL (lag is positional over
+    EXISTING weeks only when dense; compose with date_spine + gap
+    fill upstream for sparse calendars).
+    """
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    dec = F.col(value_col).cast("decimal(18,2)")
+    weekly = df.groupBy(wk.alias("week")).agg(F.sum(dec).alias("__rev"))
+    w = Window.orderBy("week")
+    lagged = weekly.withColumn("__prev", F.lag("__rev").over(w)).withColumn(
+        "__prev_wk", F.lag("week").over(w)
+    )
+    adjacent = F.col("__prev_wk").isNotNull() & (
+        F.datediff(F.col("week"), F.col("__prev_wk")) == 7
+    )
+    pct = F.when(
+        adjacent & (F.col("__prev") > 0),
+        F.round(
+            (F.col("__rev") - F.col("__prev")).cast("double")
+            / F.col("__prev").cast("double"),
+            ndigits,
+        ),
+    )
+    return lagged.select(
+        "week",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.when(adjacent, F.col("__prev").cast("double")).alias(
+            "prev_revenue"
+        ),
+        pct.alias("wow_pct"),
+    ).orderBy("week")
