@@ -7027,9 +7027,11 @@ def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combiner-style per-group top-k (operators/ranking.py
     topk_per_group): per-partition top-3 survivors then one bounded
     merge — at most k rows per group per input partition ever
-    shuffle, vs the window form moving every row of a hot group to
-    one task. Row-for-row equal to the window top-k (tie order
-    (value desc, id asc)); the oracle IS the window form."""
+    shuffle. The MEMORY-bounded alternative to the window form (the
+    docstring records the honest wall-time measurement: window wins
+    locally; this one survives a group too big for one task).
+    Row-for-row equal to the window top-k (tie order (value desc,
+    id asc)); the oracle IS the window form."""
     from etl_orders_to_bq_spark.operators.ranking import topk_per_group
 
     o = _t(spark, sf_dir, "orders")
