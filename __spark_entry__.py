@@ -7142,7 +7142,7 @@ def q_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = d.select("doc_id", "lang", "text").unionByName(
         planted.select("doc_id", "lang", "text")
     )
-    return cross_class_dups(both, "lang", "text", "doc_id").orderBy(
+    return cross_class_dups(both, "lang", "text").orderBy(
         "fingerprint"
     )
 
@@ -12595,7 +12595,18 @@ def oracle_sql() -> dict[str, str]:
                  cast(two_ra as double) / 2.0
                    - cast(n_a as double)
                      * (cast(n_a as double) + 1.0) / 2.0 as u_stat,
-                 case when n_a > 0 and n_b > 0 then
+                 case when n_a > 0 and n_b > 0
+                       and (4.0
+                            * (cast(n_a as double)
+                               * cast(n_b as double) / 12.0)
+                            * ((cast(n_a as double)
+                                + cast(n_b as double) + 1.0)
+                               - cast(ties as double)
+                                 / ((cast(n_a as double)
+                                     + cast(n_b as double))
+                                    * (cast(n_a as double)
+                                       + cast(n_b as double) - 1.0))))
+                           > 0 then
                    round(
                      ((cast(two_ra as double)
                        - cast(n_a as double)
@@ -12616,7 +12627,8 @@ def oracle_sql() -> dict[str, str]:
           from agg
         )
         select group_a, group_b, n_a, n_b, u_stat, z,
-               round(least(1.0, 2.0 * {_mw_p}), 6) as p_value
+               case when z is not null then
+                 round(least(1.0, 2.0 * {_mw_p}), 6) end as p_value
         from s
     """
     # mutual information: sorted folds over integer counts — counts
@@ -12679,8 +12691,8 @@ def oracle_sql() -> dict[str, str]:
           from pairs group by lag
         )
         select cast(lag as int) as lag, n_pairs,
-               case when sqrt(n * sxx - sx * sx)
-                         * sqrt(n * syy - sy * sy) > 0
+               case when (n * sxx - sx * sx) > 0
+                         and (n * syy - sy * sy) > 0
                     then round((n * sxy - sx * sy)
                                / (sqrt(n * sxx - sx * sx)
                                   * sqrt(n * syy - sy * sy)), 6)
@@ -13019,8 +13031,8 @@ def oracle_sql() -> dict[str, str]:
         "cast((select count(*) from ka) as bigint) as n_keys_left, "
         "cast((select count(*) from kb) as bigint) as n_keys_right, "
         "cast(ns as bigint) as n_keys_shared, "
-        "cast(pr as bigint) as predicted_rows, "
-        "cast(mx as bigint) as max_key_rows, "
+        "try_cast(pr as bigint) as predicted_rows, "
+        "try_cast(mx as bigint) as max_key_rows, "
         "case when pr > 0 then round(cast(mx as double) "
         "/ cast(pr as double), 6) end as skew_share from s)"
     )
@@ -13071,8 +13083,8 @@ def oracle_sql() -> dict[str, str]:
           from pairs group by lag
         )
         select cast(lag as int) as lag, n_pairs,
-               case when sqrt(n * sxx - sx * sx)
-                         * sqrt(n * syy - sy * sy) > 0
+               case when (n * sxx - sx * sx) > 0
+                         and (n * syy - sy * sy) > 0
                     then round((n * sxy - sx * sy)
                                / (sqrt(n * sxx - sx * sx)
                                   * sqrt(n * syy - sy * sy)), 6)

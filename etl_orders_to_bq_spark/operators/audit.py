@@ -186,8 +186,17 @@ def join_cardinality(
             "n_keys_left",
             "n_keys_right",
             "n_keys_shared",
-            F.col("predicted_rows").cast("long").alias("predicted_rows"),
-            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            # try_cast, not cast: the whole point of the decimal(38,0)
+            # accumulators is surviving >int64 hot keys — an ANSI
+            # CAST_OVERFLOW here would crash exactly at that scale.
+            # Beyond int64 the profile reports NULL counts (with
+            # skew_share still computed from the decimals below).
+            F.expr("try_cast(predicted_rows as long)").alias(
+                "predicted_rows"
+            ),
+            F.expr("try_cast(max_key_rows as long)").alias(
+                "max_key_rows"
+            ),
             F.when(
                 F.col("predicted_rows") > 0,
                 F.round(

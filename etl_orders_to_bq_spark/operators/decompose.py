@@ -45,8 +45,11 @@ def mix_shift(
     neither are dropped). Output per segment: ``(segment, vol_a,
     vol_b, rev_a, rev_b, rate_a, rate_b, volume_effect,
     rate_effect)``; a segment absent from a period carries zero
-    volume/revenue and a NULL rate (its whole move lands in the
-    volume term at rate 0 — explicit, not NaN).
+    volume/revenue and a NULL rate, which the formulas treat as
+    rate 0 — so a NEW segment's whole move lands in the RATE term
+    (volume_effect = vol_b·0 = 0, rate_effect = vol_b·rate_b =
+    rev_b) and a DISAPPEARED segment's in the volume term
+    (-vol_a·rate_a = -rev_a). Explicit zeros, never NaN.
     """
     dec = F.col(revenue_col).cast("decimal(18,2)")
     tagged = df.withColumn("__p", period_col).filter(

@@ -712,7 +712,6 @@ def cross_class_dups(
     df: DataFrame,
     class_col: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cross-class exact-duplicate census — the contamination probe a
     multilingual / multi-split corpus runs before training: a
@@ -734,7 +733,6 @@ def cross_class_dups(
     fp = df.select(
         doc_fingerprint(F.col(text_col)).alias("fingerprint"),
         F.col(class_col).alias("__c"),
-        F.col(id_col).alias("__i"),
     )
     return (
         fp.groupBy("fingerprint")

@@ -260,7 +260,12 @@ def mann_whitney_u(
         * (na * nb / F.lit(12.0))
         * ((n + F.lit(1.0)) - F.col("ties").cast("double") / (n * (n - 1.0)))
     )
-    z = F.round((two_u - na * nb) / F.sqrt(var4), ndigits)
+    # var4 == 0 (every value tied across both groups) is a legal
+    # degenerate input: z is undefined — guard BEFORE dividing (ANSI
+    # mode turns the division into a crash, not an Inf)
+    z = F.when(
+        var4 > 0, F.round((two_u - na * nb) / F.sqrt(var4), ndigits)
+    )
     out = agg.select(
         F.lit(group_a).alias("group_a"),
         F.lit(group_b).alias("group_b"),
@@ -271,8 +276,14 @@ def mann_whitney_u(
         ),
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), z).alias("z"),
     )
-    p = F.round(
-        F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
-        ndigits,
+    # explicit NULL propagation: least() SKIPS nulls, which would
+    # report p = 1.0 ("confidently not significant") for a test that
+    # never ran — an undefined z must yield an undefined p
+    p = F.when(
+        F.col("z").isNotNull(),
+        F.round(
+            F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
+            ndigits,
+        ),
     )
     return out.withColumn("p_value", p)

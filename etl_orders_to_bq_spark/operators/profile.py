@@ -73,17 +73,20 @@ def column_profile(
 # explicit character classes and anchors that mean the same thing in
 # Java regex (Spark) and RE2 (DuckDB oracles) — no \d/\s/\w, no
 # unicode properties (functions/text.py tokenize documents the
-# divergences). Order matters: first match wins.
+# divergences), and \z rather than $ for end-of-value (Java $
+# matches BEFORE a final newline, RE2 $ does not — verified
+# divergent on 'x\n'; \z is absolute end in both). Order matters:
+# first match wins.
 SEMANTIC_DETECTORS: list[tuple[str, str]] = [
-    ("json_object", r"^\{.*\}$"),
-    ("url", r"^https?://[^ ]+$"),
-    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$"),
+    ("json_object", r"^\{.*\}\z"),
+    ("url", r"^https?://[^ ]+\z"),
+    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+\z"),
     ("uuid", r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
-             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z"),
     ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
-    ("integer", r"^-?[0-9]+$"),
-    ("decimal", r"^-?[0-9]+\.[0-9]+$"),
-    ("prefixed_id", r"^[A-Za-z]+#[0-9]+$"),
+    ("integer", r"^-?[0-9]+\z"),
+    ("decimal", r"^-?[0-9]+\.[0-9]+\z"),
+    ("prefixed_id", r"^[A-Za-z]+#[0-9]+\z"),
 ]
 
 
@@ -105,28 +108,27 @@ def semantic_types(
     output one row per (table, column, sem_type) with count and one
     rounded-division share.
 
-    Scale: one scan; the stack/unpivot multiplies rows by |columns|
-    BEFORE a map-side-combinable groupBy to |columns| x |types| rows
-    — profile a column sample (hash_sample) when |columns| is wide
-    at 100 TB.
+    Scale: ONE scan — the native unpivot widens rows by |columns|
+    inside the same stage (a union of per-column selects would scan
+    the table |columns| times; Spark does not fuse union branches
+    into one scan), then a map-side-combinable groupBy to
+    |columns| x |types| rows. Profile a column sample (hash_sample)
+    when |columns| is wide at 100 TB.
     """
-    tagged = []
-    for c in columns:
-        v = F.col(c).cast("string")
-        t = F.lit("text")
-        for name, pat in reversed(SEMANTIC_DETECTORS):
-            t = F.when(v.rlike(pat), F.lit(name)).otherwise(t)
-        t = F.when(v.isNull(), F.lit("null")).otherwise(t)
-        tagged.append(
-            df.select(
-                F.lit(table_name).alias("table_name"),
-                F.lit(c).alias("column_name"),
-                t.alias("sem_type"),
-            )
-        )
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
+    strcols = df.select(
+        *[F.col(c).cast("string").alias(c) for c in columns]
+    )
+    unpiv = strcols.unpivot([], columns, "column_name", "__v")
+    v = F.col("__v")
+    t = F.lit("text")
+    for name, pat in reversed(SEMANTIC_DETECTORS):
+        t = F.when(v.rlike(pat), F.lit(name)).otherwise(t)
+    t = F.when(v.isNull(), F.lit("null")).otherwise(t)
+    out = unpiv.select(
+        F.lit(table_name).alias("table_name"),
+        F.col("column_name"),
+        t.alias("sem_type"),
+    )
     counted = out.groupBy("table_name", "column_name", "sem_type").agg(
         F.count("*").alias("n")
     )

@@ -123,6 +123,11 @@ def global_cumsum_before(
     a bounded driver collect of per-partition TOTALS prefix-summed
     into offsets. ``value_col`` must be integral; sums are kept as
     longs (callers needing >int64 headroom cast the value up first).
+    ``order_cols`` must be a TOTAL order — include a unique
+    tie-break column, the same contract as ``global_row_number``;
+    tied keys would get nondeterministic relative ``cum_before``
+    values. Every in-repo caller passes distinct keys
+    (per-distinct-value count tables / unique key columns).
 
     This is the rank-statistics primitive: with per-distinct-value
     count rows, ``cum_before`` is exactly "number of items below
@@ -359,8 +364,20 @@ def topk_per_group(
     groups = [F.col(c) for c in group_cols]
     v = F.col(order_col)
     key = (-v) if descending else v
+    # NULL placement must mirror the window form: desc = nulls LAST,
+    # asc = nulls FIRST (Spark sort defaults). A leading null-flag
+    # field pins that inside the ascending struct sort; ties among
+    # NULL values still break by id asc, as row_number does.
+    null_flag = (
+        F.when(v.isNull(), 1).otherwise(0)
+        if descending
+        else F.when(v.isNull(), 0).otherwise(1)
+    )
     item = F.struct(
-        key.alias("k"), F.col(id_col).alias("i"), v.alias("v")
+        null_flag.alias("nf"),
+        key.alias("k"),
+        F.col(id_col).alias("i"),
+        v.alias("v"),
     )
     part = df.groupBy(
         F.spark_partition_id().alias("__pid"), *groups

@@ -193,8 +193,14 @@ def acf_lags(
     sxx = F.col("__sxx").cast("double")
     syy = F.col("__syy").cast("double")
     num = n * sxy - sx * sy
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    acf = F.when(den > 0, F.round(num / den, ndigits))
+    # guard the VARIANCES, not the sqrt product: a constant-to-
+    # rounding series can make n*sxx - sx*sx a tiny NEGATIVE double,
+    # sqrt -> NaN, and Spark orders NaN > 0 — the NULL contract
+    # would silently emit NaN
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    den = F.sqrt(vx) * F.sqrt(vy)
+    acf = F.when((vx > 0) & (vy > 0), F.round(num / den, ndigits))
     return agg.select(
         F.col("lag").cast("int").alias("lag"), "n_pairs", acf.alias("acf")
     ).orderBy("lag")
@@ -262,8 +268,11 @@ def xcorr_lags(
     sxx = F.col("__sxx").cast("double")
     syy = F.col("__syy").cast("double")
     num = n * sxy - sx * sy
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    xc = F.when(den > 0, F.round(num / den, ndigits))
+    # same NaN guard as acf_lags: test the variances, not the sqrt
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    den = F.sqrt(vx) * F.sqrt(vy)
+    xc = F.when((vx > 0) & (vy > 0), F.round(num / den, ndigits))
     return agg.select(
         F.col("lag").cast("int").alias("lag"), "n_pairs", xc.alias("xcorr")
     ).orderBy("lag")

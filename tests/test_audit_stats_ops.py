@@ -163,3 +163,39 @@ def test_code_likeness_discriminates(spark):
     assert out["prose"]["score"] == 0.0
     assert out["empty"]["score"] == 0.0  # no division blowup
     assert out["code"]["keyword_ratio"] > 0.2
+
+
+def test_mann_whitney_all_tied_returns_null_not_crash(spark):
+    # every value identical across both groups: variance 0 -> z and p
+    # must be NULL (ANSI mode would otherwise throw DIVIDE_BY_ZERO)
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = mann_whitney_u(df, "g", "value", "a", "b").collect()[0]
+    assert r["z"] is None and r["p_value"] is None
+    assert r["u_stat"] == 4.5  # ranks still well-defined
+
+
+def test_acf_constant_series_is_null_not_nan(spark):
+    import math
+
+    rows = [(f"2024-01-{d:02d} 00:00:00", 10.0) for d in range(1, 15)]
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "v"
+    )
+    out = acf_lags(df, "ts", "v", max_lag=2).collect()
+    for r in out:
+        assert r["acf"] is None  # undefined, not NaN
+        assert not (r["acf"] is not None and math.isnan(r["acf"]))
+
+
+def test_semantic_types_trailing_newline_is_text(spark):
+    from etl_orders_to_bq_spark.operators.profile import semantic_types
+
+    # Java $ matches before a final newline; the detectors use \z so
+    # '123\n' must NOT classify as integer (matches the RE2 oracle)
+    df = spark.createDataFrame([("123\n",), ("123",)], "c string")
+    out = {
+        r["sem_type"]: r["n"]
+        for r in semantic_types(df, ["c"], "t").collect()
+    }
+    assert out == {"integer": 1, "text": 1}

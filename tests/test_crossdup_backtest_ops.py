@@ -16,7 +16,7 @@ def test_cross_class_dups_finds_only_cross_class(spark):
         (5, "de", "unique thing"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
-    out = cross_class_dups(df, "lang", "text", "doc_id").collect()
+    out = cross_class_dups(df, "lang", "text").collect()
     assert len(out) == 1
     r = out[0]
     assert r["n_docs"] == 2 and r["n_classes"] == 2

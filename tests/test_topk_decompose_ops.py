@@ -107,3 +107,32 @@ def test_quota_flags_batch_semantics(spark):
     assert len(out) == 1
     assert out[0]["user_id"] == 1
     assert out[0]["n_events"] == 4 and out[0]["overage"] == 2
+
+
+def test_topk_per_group_null_values_match_window(spark):
+    # NULL order values: window desc = nulls LAST; the combiner must
+    # agree row-for-row (and asc = nulls FIRST)
+    rows = [(1, 5.0, 1), (1, None, 2), (1, 9.0, 3), (1, 7.0, 4),
+            (2, None, 5), (2, None, 6)]
+    df = spark.createDataFrame(rows, "g int, v double, id int")
+    for desc in (True, False):
+        order = (
+            [F.desc("v"), F.asc("id")] if desc else [F.asc("v"), F.asc("id")]
+        )
+        w = Window.partitionBy("g").orderBy(*order)
+        ref = [
+            tuple(r)
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 3")
+            .select("g", "rank", "v", "id")
+            .orderBy("g", "rank")
+            .collect()
+        ]
+        got = [
+            tuple(r)
+            for r in topk_per_group(df, ["g"], "v", "id", k=3,
+                                    descending=desc)
+            .orderBy("g", "rank")
+            .collect()
+        ]
+        assert got == ref, ("desc" if desc else "asc", got, ref)
