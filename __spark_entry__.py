@@ -7188,6 +7188,58 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_over_period(o, "o_orderdate", "o_totalprice")
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-200 tokens
+    (operators/lm.py oov_rate): deterministic vocabulary (count
+    desc, token asc TakeOrdered over the aggregated vocab table),
+    broadcast membership join, one rounded division per doc."""
+    from etl_orders_to_bq_spark.operators.lm import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, "text", "doc_id", vocab_size=200).orderBy(
+        "doc_id"
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication census (operators/dedup.py
+    dup_rate_by_source) with planted copies (every doc_id % 20 == 0
+    re-sourced to 'dupsrc' — the fixture has no natural dups, so the
+    gate must see both dup classes): corpus-wide dup share and
+    cross-source collision share per source, hash-only shuffles."""
+    from etl_orders_to_bq_spark.operators.dedup import dup_rate_by_source
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "source", F.lit("dupsrc")
+    )
+    both = d.select("doc_id", "source", "text").unionByName(
+        planted.select("doc_id", "source", "text")
+    )
+    return dup_rate_by_source(both, "source", "text").orderBy("source")
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL `GROUP BY ALL` + `ORDER BY ALL` (SQL-interface
+    family, alongside sql_pipe / sql_udf): the analyst-ergonomics
+    form resolves every non-aggregate select item as a grouping key
+    — identical text runs on DuckDB, which pioneered the syntax."""
+    from etl_orders_to_bq_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        select o_orderpriority, o_orderstatus,
+               count(*) as n_orders,
+               cast(round(sum(cast(o_totalprice as decimal(18,2))),
+                          2) as double) as total_price
+        from orders
+        group by all
+        order by all
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7202,6 +7254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "oov_rate": q_oov_rate,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "sql_group_by_all": q_sql_group_by_all,
         "cohort_ltv": q_cohort_ltv,
         "period_over_period": q_period_over_period,
         "crosslang_dups": q_crosslang_dups,
@@ -13130,6 +13185,64 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # OOV rate: deterministic top-N vocab, left-join membership
+    out["oov_rate"] = f"""
+        with tok as (
+          select doc_id,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        vc as (select w, count(*) as c from tok group by w),
+        vocab as (select w from vc order by c desc, w asc limit 200),
+        scored as (
+          select t.doc_id, count(*) as n_tokens,
+                 sum(case when v.w is null then 1 else 0 end) as n_oov
+          from tok t left join vocab v on t.w = v.w
+          group by t.doc_id
+        )
+        select d.doc_id,
+               cast(coalesce(n_tokens, 0) as bigint) as n_tokens,
+               cast(coalesce(n_oov, 0) as bigint) as n_oov,
+               case when coalesce(n_tokens, 0) > 0
+                    then round(n_oov / n_tokens, 6) end as oov_ratio
+        from (select distinct doc_id from documents) d
+        left join scored using (doc_id)
+        order by doc_id
+    """
+    # per-source dup census with planted 'dupsrc' copies
+    out["dup_rate_by_source"] = f"""
+        with d2 as (
+          select doc_id, source, text from documents
+          union all
+          select doc_id, 'dupsrc' as source, text from documents
+          where doc_id % 20 = 0
+        ),
+        fp as (select md5({_NORM}) as f, source from d2),
+        stats as (select f, count(*) as n,
+                         count(distinct source) as ns
+                  from fp group by f),
+        tagged as (select fp.source, n, ns from fp join stats using (f))
+        select source, cast(count(*) as bigint) as n_docs,
+               cast(sum(case when n > 1 then 1 else 0 end) as bigint)
+                 as n_dup_docs,
+               cast(sum(case when ns > 1 then 1 else 0 end) as bigint)
+                 as n_crosssource_docs,
+               round(sum(case when n > 1 then 1 else 0 end)
+                     / count(*), 6) as dup_rate,
+               round(sum(case when ns > 1 then 1 else 0 end)
+                     / count(*), 6) as crosssource_rate
+        from tagged group by source order by source
+    """
+    # GROUP BY ALL / ORDER BY ALL: the identical text runs on DuckDB
+    out["sql_group_by_all"] = """
+        select o_orderpriority, o_orderstatus,
+               count(*) as n_orders,
+               cast(round(sum(cast(o_totalprice as decimal(18,2))),
+                          2) as double) as total_price
+        from orders
+        group by all
+        order by all
+    """
     # cohort LTV: decimal-exact revenue cells + running cumulative,
     # one rounded division for LTV-per-user
     out["cohort_ltv"] = """

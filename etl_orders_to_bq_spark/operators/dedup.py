@@ -745,3 +745,62 @@ def cross_class_dups(
         )
         .filter(F.col("n_classes") > 1)
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-source duplication census — the "which feed is sending us
+    copies" table a corpus intake reviews weekly: for each source,
+    how many of its documents are corpus-wide exact duplicates, and
+    how many collide with ANOTHER source (syndication / scraper
+    overlap, a different problem from within-feed retries).
+
+    Output per source: ``(source, n_docs, n_dup_docs,
+    n_crosssource_docs, dup_rate, crosssource_rate)`` — a doc is a
+    dup when its normalized fingerprint appears >1 times anywhere;
+    cross-source when its fingerprint spans >1 distinct sources.
+    Rates are one rounded division each.
+
+    Scale: one fingerprint groupBy for the stats (hash + source
+    shuffle only), one hash join back to the (fingerprint, source)
+    doc table, one source rollup — all map-side combinable.
+    """
+    from ..functions.text import doc_fingerprint
+
+    fp = df.select(
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        F.col(source_col).alias("__src"),
+    )
+    stats = fp.groupBy("__fp").agg(
+        F.count("*").alias("__n"),
+        F.count_distinct("__src").alias("__ns"),
+    )
+    tagged = fp.join(stats, "__fp")
+    return (
+        tagged.groupBy(F.col("__src").alias(source_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("__ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_crosssource_docs"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_dup_docs",
+            "n_crosssource_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), ndigits).alias(
+                "dup_rate"
+            ),
+            F.round(
+                F.col("n_crosssource_docs") / F.col("n_docs"), ndigits
+            ).alias("crosssource_rate"),
+        )
+    )

@@ -565,3 +565,61 @@ def perplexity_buckets(
             ).alias("char_share"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens — the coverage check run before
+    committing to a tokenizer/embedding vocabulary (fastText and
+    word2vec preprocessing report exactly this; public literature):
+    a document full of OOV tokens will train badly and is usually
+    boilerplate, another language, or junk.
+
+    Vocabulary selection is deterministic: top tokens by (count
+    desc, token asc). Output per document: ``(id, n_tokens, n_oov,
+    oov_ratio)`` with one rounded division; empty documents report
+    0 tokens and NULL ratio.
+
+    Scale: one token-count groupBy (word-count shape) for the
+    vocabulary; the top-N is a TakeOrdered over the aggregated
+    vocabulary table (never raw data). Per-doc scoring explodes
+    tokens once and joins the BROADCAST vocab (≤ vocab_size rows).
+    """
+    from ..functions.text import normalize_text, tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("__w"),
+    )
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__w"))
+        .limit(int(vocab_size))
+        .select("__w", F.lit(1).alias("__in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "__w", "left")
+    per_doc = scored.groupBy("__id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    # left join back so token-less documents still appear
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    out = ids.join(per_doc, "__id", "left")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_oov") / F.col("n_tokens"), ndigits),
+        ).alias("oov_ratio"),
+    )
