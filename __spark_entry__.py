@@ -7240,6 +7240,56 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (functions/text.py
+    char_entropy) — the cheap junk detector: fully in-row (no
+    shuffle), counts over the distinct charset, and the
+    mutual-information sorted-fold discipline so the oracle replays
+    every float. '.' extraction is Java/RE2-identical (newline-free
+    after normalize_text)."""
+    from etl_orders_to_bq_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", char_entropy("text").alias("char_entropy")
+    ).orderBy("doc_id")
+
+
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of purchase rate by a user cohort
+    segment (operators/experiment.py simpsons_check): per-segment
+    and pooled treated/control rates from ONE groupBy (the overall
+    row re-aggregates the cells), sign-reversal flag against the
+    broadcast pooled diff. Integer counts, one rounded division per
+    rate."""
+    from etl_orders_to_bq_spark.operators.experiment import simpsons_check
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("converted"),
+        (F.col("user_id") % 3).alias("cohort"),
+    )
+    return simpsons_check(e, "treat", "converted", "cohort").orderBy(
+        "segment"
+    )
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness audit (operators/quality.py
+    freshness_audit): newest event anywhere is the clock (no
+    wall-clock call — deterministic and replayable), integer-minute
+    lags, staleness flag at 30 minutes. One groupBy + a 1-row
+    broadcast."""
+    from etl_orders_to_bq_spark.operators.quality import freshness_audit
+
+    e = _t(spark, sf_dir, "events")
+    return freshness_audit(e, "event_type", "ts", stale_minutes=30).orderBy(
+        "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7254,6 +7304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "char_entropy": q_char_entropy,
+        "simpsons_check": q_simpsons_check,
+        "freshness_audit": q_freshness_audit,
         "oov_rate": q_oov_rate,
         "dup_rate_by_source": q_dup_rate_by_source,
         "sql_group_by_all": q_sql_group_by_all,
@@ -13185,6 +13238,85 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # char entropy: in-row distinct-count fold, the MI discipline
+    out["char_entropy"] = f"""
+        with c as (
+          select doc_id, regexp_extract_all({_NORM}, '.') as chars
+          from documents
+        )
+        select doc_id,
+               case when len(chars) > 0 then
+                 round(list_reduce(list_transform(
+                   list_sort(list_transform(list_distinct(chars),
+                     ch -> len(list_filter(chars, x -> x = ch)))),
+                   cc -> -(cast(cc as double) / len(chars))
+                         * log2(cast(cc as double) / len(chars))),
+                   (a, b) -> a + b), 6) + 0.0
+               end as char_entropy
+        from c order by doc_id
+    """
+    # Simpson audit: one segment groupBy, pooled row re-aggregated
+    out["simpsons_check"] = """
+        with base as (
+          select user_id % 2 as treat,
+                 case when event_type = 'purchase' then 1 else 0 end
+                   as converted,
+                 user_id % 3 as cohort
+          from events
+        ),
+        cells as (
+          select cast(cohort as varchar) as segment,
+                 sum(case when treat = 1 then 1 else 0 end) as n_treat,
+                 sum(case when treat <> 1 then 1 else 0 end) as n_ctrl,
+                 sum(case when treat = 1 and converted = 1 then 1
+                     else 0 end) as ct,
+                 sum(case when treat <> 1 and converted = 1 then 1
+                     else 0 end) as cc
+          from base group by 1
+        ),
+        both_rows as (
+          select * from cells
+          union all
+          select 'OVERALL', sum(n_treat), sum(n_ctrl), sum(ct),
+                 sum(cc) from cells
+        ),
+        rated as (
+          select segment, cast(n_treat as bigint) as n_treat,
+                 cast(n_ctrl as bigint) as n_ctrl,
+                 case when n_treat > 0
+                      then round(ct / n_treat, 6) end as rate_treat,
+                 case when n_ctrl > 0
+                      then round(cc / n_ctrl, 6) end as rate_ctrl
+          from both_rows
+        ),
+        d as (
+          select *, round(rate_treat - rate_ctrl, 6) as rate_diff
+          from rated
+        ),
+        o as (select rate_diff as od from d where segment = 'OVERALL')
+        select segment, n_treat, n_ctrl, rate_treat, rate_ctrl,
+               rate_diff,
+               case when segment = 'OVERALL' then false
+                    when rate_diff is not null and od is not null
+                    then (rate_diff * od) < 0 end as reverses_overall
+        from d, o order by segment
+    """
+    # freshness: epoch-second diffs (date_diff == the unix_timestamp
+    # truncation Spark applies), integer minutes
+    out["freshness_audit"] = """
+        with per as (
+          select event_type, cast(count(*) as bigint) as n_events,
+                 max(ts) as last_ts
+          from events group by 1
+        ),
+        g as (select max(last_ts) as mx from per)
+        select event_type, n_events, last_ts,
+               cast(floor(date_diff('second', last_ts, mx) / 60)
+                    as bigint) as lag_minutes,
+               floor(date_diff('second', last_ts, mx) / 60) > 30
+                 as is_stale
+        from per, g order by event_type
+    """
     # OOV rate: deterministic top-N vocab, left-join membership
     out["oov_rate"] = f"""
         with tok as (

@@ -355,3 +355,38 @@ def code_likeness(col: Column | str, threshold: float = 0.25) -> Column:
         (score_int / F.lit(100000000.0)).alias("score"),
         (score_int >= F.lit(thresh_int)).alias("is_code"),
     )
+
+
+def char_entropy(col: Column | str, ndigits: int = 6) -> Column:
+    """Character-distribution Shannon entropy (bits) of the
+    NORMALIZED text — the classic cheap junk detector (near-zero
+    entropy = repeated filler like 'aaaa…' or '=====', unusually
+    high = base64/binary spill; both route to quarantine in corpus
+    intake pipelines).
+
+    Fully IN-ROW (no shuffle): chars via ``regexp_extract_all('.')``
+    (identical in Java and RE2 — '.' excludes newline, and
+    ``normalize_text`` has already collapsed all whitespace runs to
+    single spaces), per-char counts by counting occurrences over the
+    distinct set (O(distinct·len), distinct bounded by the charset),
+    then the mutual-information discipline: counts sorted ASCENDING
+    AS LONGS, transformed to -(c/n)·log2(c/n), left-folded from 0.0
+    — the DuckDB oracle replays the identical fold. Empty text
+    yields NULL.
+    """
+    c = normalize_text(col)
+    chars = F.regexp_extract_all(c, F.lit("."), F.lit(0))
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("long"),
+    )
+    terms = F.transform(
+        F.sort_array(counts),
+        lambda cc: -(cc.cast("double") / n.cast("double"))
+        * F.log2(cc.cast("double") / n.cast("double")),
+    )
+    ent = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t), ndigits
+    )
+    return F.when(n > 0, ent)

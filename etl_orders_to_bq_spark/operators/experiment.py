@@ -323,3 +323,85 @@ def uplift_deciles(
         )
         .orderBy("bucket")
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    segment_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox audit — does the treated-vs-control rate
+    difference reverse sign inside any segment relative to the
+    pooled table? (Simpson 1951, public literature; the pooled
+    number is the one a dashboard shows, the per-segment ones are
+    the truth when the segment confounds assignment.)
+
+    Output: one row per segment PLUS an 'OVERALL' row — ``(segment,
+    n_treat, n_ctrl, rate_treat, rate_ctrl, rate_diff,
+    reverses_overall)``; the flag is NULL where either arm is empty
+    or the overall diff is NULL (no sign to reverse). Integer
+    counts, one rounded division per rate, diff over the rounded
+    rates.
+
+    Scale: ONE groupBy(segment) + a 1-row pooled rollup of the SAME
+    cells (re-aggregated, not rescanned) broadcast onto the segment
+    rows.
+    """
+    is_t = F.col(treat_col) == 1
+    is_y = F.col(outcome_col) == 1
+    cells = df.groupBy(F.col(segment_col).cast("string").alias("segment")).agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_ctrl"),
+        F.sum(F.when(is_t & is_y, 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~is_t & is_y, 1).otherwise(0)).alias("__cc"),
+    )
+    overall = cells.agg(
+        F.lit("OVERALL").alias("segment"),
+        F.sum("n_treat").cast("long").alias("n_treat"),
+        F.sum("n_ctrl").cast("long").alias("n_ctrl"),
+        F.sum("__ct").alias("__ct"),
+        F.sum("__cc").alias("__cc"),
+    )
+    both = cells.unionByName(overall)
+    rt = F.when(
+        F.col("n_treat") > 0,
+        F.round(F.col("__ct") / F.col("n_treat"), ndigits),
+    )
+    rc = F.when(
+        F.col("n_ctrl") > 0,
+        F.round(F.col("__cc") / F.col("n_ctrl"), ndigits),
+    )
+    rated = (
+        both.withColumn("rate_treat", rt)
+        .withColumn("rate_ctrl", rc)
+        .withColumn(
+            "rate_diff",
+            F.round(F.col("rate_treat") - F.col("rate_ctrl"), ndigits),
+        )
+    )
+    odiff = F.broadcast(
+        rated.filter(F.col("segment") == "OVERALL").select(
+            F.col("rate_diff").alias("__od")
+        )
+    )
+    out = rated.crossJoin(odiff)
+    # the OVERALL row cannot reverse itself: flag is FALSE there (a
+    # typed false, not NULL — engines render null booleans
+    # differently in clients); NULL only where a rate is undefined
+    flag = F.when(F.col("segment") == "OVERALL", F.lit(False)).otherwise(
+        F.when(
+            F.col("rate_diff").isNotNull() & F.col("__od").isNotNull(),
+            (F.col("rate_diff") * F.col("__od")) < 0,
+        )
+    )
+    return out.select(
+        "segment",
+        "n_treat",
+        "n_ctrl",
+        "rate_treat",
+        "rate_ctrl",
+        "rate_diff",
+        flag.alias("reverses_overall"),
+    )

@@ -433,3 +433,45 @@ def ks_drift(
         )
         .orderBy(group_col)
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    stale_minutes: int = 60,
+) -> DataFrame:
+    """Per-stream freshness audit — "which feeds have stopped
+    arriving" relative to the newest event anywhere (the corpus
+    itself is the clock: no wall-clock call, so the audit is
+    deterministic and replayable): per key the event count, last
+    timestamp, integer minutes behind the global max, and a
+    staleness flag at ``stale_minutes``.
+
+    Exactness: lags are ``floor((max_all - max_key) epoch-seconds
+    / 60)`` — pure integer arithmetic.
+
+    Scale: one map-side-combinable groupBy + a 1-row global max
+    broadcast. The global max re-aggregates the per-key maxes,
+    never rescans.
+    """
+    per = df.groupBy(F.col(key_col)).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    glob = F.broadcast(per.agg(F.max("last_ts").alias("__mx")))
+    out = per.crossJoin(glob)
+    lag_min = F.floor(
+        (
+            F.unix_timestamp(F.col("__mx"))
+            - F.unix_timestamp(F.col("last_ts"))
+        )
+        / 60
+    ).cast("long")
+    return out.select(
+        key_col,
+        "n_events",
+        "last_ts",
+        lag_min.alias("lag_minutes"),
+        (lag_min > int(stale_minutes)).alias("is_stale"),
+    )
