@@ -697,6 +697,48 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t10 / max(t1["median"], 1e-9), 1
         )
 
+        # round-7 batch-3 rank-statistics primitive: the two-pass
+        # global_cumsum_before under a 10x distinct-value domain —
+        # growth should track the distinct-value count (the range
+        # shuffle + per-pid windows are linear in it), never n^2
+        from etl_orders_to_bq_spark.operators.multitest import (
+            mann_whitney_u,
+        )
+
+        ev1 = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "value"
+        )
+        ev_parts = [ev1]
+        for i in range(1, 10):
+            # shift each copy so the DISTINCT-VALUE domain really
+            # grows 10x (plain duplication would only grow counts)
+            ev_parts.append(
+                ev1.withColumn(
+                    "value", F.col("value") + F.lit(i * 0.0001)
+                )
+            )
+        ev10 = ev_parts[0]
+        for p in ev_parts[1:]:
+            ev10 = ev10.unionByName(p)
+        ev1 = ev1.localCheckpoint()
+        ev10 = ev10.localCheckpoint()
+        t1 = _timed(
+            lambda: mann_whitney_u(
+                ev1, "event_type", "value", "click", "error"
+            ),
+            runs=2,
+        )
+        t0 = time.perf_counter()
+        _force(
+            mann_whitney_u(ev10, "event_type", "value", "click", "error")
+        )
+        t10 = round(time.perf_counter() - t0, 3)
+        out["mann_whitney_1x"] = t1["median"]
+        out["mann_whitney_10x"] = t10
+        out["mann_whitney_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
         # guard accounting at 10x — caps must be counted, never silent
         bucket_sizes = (
             minhash_band_keys(
