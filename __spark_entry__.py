@@ -7290,6 +7290,89 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of the vec_id % 50 == 0
+    probe set against the labeled embedding corpus (operators/ann.py
+    knn_classify): exact cosine, top-10 by (cos desc, id asc),
+    majority label with label-asc ties — deterministic end to end;
+    probes broadcast, per-probe windows parallel. For corpus-scale
+    classification the IVF/LSH paths apply; this is the exact
+    bounded-probe audit tool."""
+    from etl_orders_to_bq_spark.operators.ann import knn_classify
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    return knn_classify(e, probes, k=10).orderBy("probe_id")
+
+
+def q_group_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quartiles of event value per event type
+    (operators/quality.py group_quartiles): value at rank ceil(q*n)
+    — always an actual data value, no interpolation drift between
+    engines; per-group windows, one conditional rollup."""
+    from etl_orders_to_bq_spark.operators.quality import group_quartiles
+
+    e = _t(spark, sf_dir, "events")
+    return group_quartiles(e, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily revenue anomaly flags (operators/timeseries.py
+    daily_anomalies): median/MAD rank picks over the calendar-
+    bounded daily table (decimal-exact totals), |x - med| > 3*MAD
+    rule, NULL score when MAD degenerates."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        daily_anomalies,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return daily_anomalies(o, "o_orderdate", "o_totalprice", k=3.0)
+
+
+def q_ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 scalar family (functions/net.py): dotted-quad <-> uint32
+    round trip and CIDR containment over per-user synthesized
+    addresses plus one malformed probe (the NULL-not-error
+    contract). Pure integer/string column math — identical
+    arithmetic replayed by the oracle."""
+    from etl_orders_to_bq_spark.functions.net import (
+        ip_in_cidr,
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    ips = users.select(
+        F.col("user_id"),
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 128).cast("string"),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+            ((F.col("user_id") * 13) % 256).cast("string"),
+        ).alias("ip"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "bad.ip")], "user_id long, ip string"
+        )
+    )
+    return ips.select(
+        "user_id",
+        "ip",
+        ipv4_to_long("ip").alias("ip_num"),
+        long_to_ipv4(ipv4_to_long("ip")).alias("ip_roundtrip"),
+        # the FUNCTION yields NULL for malformed input (unit-tested);
+        # the gate coalesces to false because engines render null
+        # booleans differently client-side (the simpsons_check lesson)
+        F.coalesce(
+            ip_in_cidr("ip", "10.64.0.0/10"), F.lit(False)
+        ).alias("in_tenant_block"),
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7304,6 +7387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "knn_classify": q_knn_classify,
+        "group_quartiles": q_group_quartiles,
+        "daily_anomalies": q_daily_anomalies,
+        "ip_funcs": q_ip_funcs,
         "char_entropy": q_char_entropy,
         "simpsons_check": q_simpsons_check,
         "freshness_audit": q_freshness_audit,
@@ -13238,6 +13325,141 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # kNN vote: same cosine expression order as the operator
+    # (dot / (sqrt(pp) * sqrt(cc))), window + vote replayed
+    out["knn_classify"] = """
+        with p as (
+          select vec_id as pid, cast(embedding as double[]) as pv,
+                 label as tl
+          from embeddings where vec_id % 50 = 0
+        ),
+        c as (
+          select vec_id as cid, cast(embedding as double[]) as cv,
+                 label as cl
+          from embeddings
+        ),
+        s as (
+          select pid, tl, cid, cl,
+                 case when sqrt(list_dot_product(pv, pv))
+                           * sqrt(list_dot_product(cv, cv)) > 0 then
+                   round(list_dot_product(pv, cv)
+                         / (sqrt(list_dot_product(pv, pv))
+                            * sqrt(list_dot_product(cv, cv))), 6)
+                 end as cos
+          from c, p where cid <> pid
+        ),
+        r as (
+          select *, row_number() over (partition by pid
+                      order by cos desc nulls last, cid) as rk
+          from s
+        ),
+        v as (
+          select pid, tl, cl, count(*) as votes
+          from r where rk <= 10 group by 1, 2, 3
+        ),
+        b as (
+          select *, row_number() over (partition by pid
+                      order by votes desc, cl) as vr
+          from v
+        )
+        select pid as probe_id, tl as true_label,
+               cl as predicted_label, cast(votes as bigint) as votes,
+               cl = tl as is_correct
+        from b where vr = 1 order by probe_id
+    """
+    # exact type-1 group quartiles: value at rank ceil(q*n)
+    out["group_quartiles"] = """
+        with v as (select event_type as g, value as v from events
+                   where value is not null),
+        r as (
+          select g, v,
+                 row_number() over (partition by g order by v) as rn,
+                 count(*) over (partition by g) as n
+          from v
+        )
+        select g as event_type, cast(max(n) as bigint) as n,
+               min(case when rn = ceil(0.25 * n) then v end) as p25,
+               min(case when rn = ceil(0.5 * n) then v end) as p50,
+               min(case when rn = ceil(0.75 * n) then v end) as p75
+        from r group by g order by event_type
+    """
+    # robust daily anomalies: median/MAD rank picks on the daily table
+    out["daily_anomalies"] = """
+        with daily as (
+          select cast(o_orderdate as date) as day,
+                 sum(cast(o_totalprice as decimal(18,2))) as value
+          from orders group by 1
+        ),
+        r as (
+          select *, row_number() over (order by value, day) as rn,
+                 count(*) over () as n
+          from daily
+        ),
+        m as (select value as med from r where rn = ceil(n / 2)),
+        wm as (
+          select d.day, d.value, med, abs(value - med) as ad
+          from daily d, m
+        ),
+        r2 as (
+          select *, row_number() over (order by ad, day) as rn,
+                 count(*) over () as n
+          from wm
+        ),
+        md as (select ad as mad from r2 where rn = ceil(n / 2))
+        select day, cast(value as double) as value,
+               cast(med as double) as med,
+               cast(mad as double) as mad,
+               case when mad > 0 then
+                 round(cast(ad as double) / cast(mad as double), 6)
+               end as robust_z,
+               case when mad > 0 then
+                 round(cast(ad as double) / cast(mad as double), 6)
+                 > 3.0
+               end as is_anomaly
+        from wm, md order by day
+    """
+    # IPv4 family: identical split + multiply-add arithmetic, digit
+    # guard mirrored with \\z
+    _ip_num = (
+        "case when len(string_split(ip, '.')) = 4"
+        + "".join(
+            f" and regexp_matches(string_split(ip, '.')[{i}],"
+            f" '^[0-9]{{1,3}}\\z')"
+            f" and try_cast(string_split(ip, '.')[{i}] as bigint) <= 255"
+            for i in (1, 2, 3, 4)
+        )
+        + " then try_cast(string_split(ip, '.')[1] as bigint) * 16777216"
+        " + try_cast(string_split(ip, '.')[2] as bigint) * 65536"
+        " + try_cast(string_split(ip, '.')[3] as bigint) * 256"
+        " + try_cast(string_split(ip, '.')[4] as bigint) end"
+    )
+    from etl_orders_to_bq_spark.functions.net import cidr_bounds
+
+    _cidr_lo, _cidr_hi = cidr_bounds("10.64.0.0/10")
+    out["ip_funcs"] = f"""
+        with users as (select distinct user_id from events),
+        ips as (
+          select user_id,
+                 '10.' || cast(user_id % 128 as varchar) || '.'
+                 || cast((user_id * 7) % 256 as varchar) || '.'
+                 || cast((user_id * 13) % 256 as varchar) as ip
+          from users
+          union all
+          select -1, 'bad.ip'
+        ),
+        n as (select user_id, ip, {_ip_num} as ip_num from ips)
+        select user_id, ip, ip_num,
+               case when ip_num is not null then
+                 cast(ip_num // 16777216 as varchar) || '.'
+                 || cast((ip_num // 65536) % 256 as varchar) || '.'
+                 || cast((ip_num // 256) % 256 as varchar) || '.'
+                 || cast(ip_num % 256 as varchar)
+               end as ip_roundtrip,
+               coalesce(case when ip_num is not null then
+                 ip_num >= {_cidr_lo} and ip_num <= {_cidr_hi}
+               end, false) as in_tenant_block
+        from n order by user_id
+    """
     # char entropy: in-row distinct-count fold, the MI discipline
     out["char_entropy"] = f"""
         with c as (

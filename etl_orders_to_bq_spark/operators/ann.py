@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
@@ -651,3 +651,77 @@ def ann_topk_multiprobe_pq(
         F.col("bucket").isin(sorted(probes))
     ).drop("bucket")
     return ann_topk_pq(cands, codebooks, query_vec, k, id_col, vec_col)
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ndigits: int = 6,
+) -> DataFrame:
+    """k-NN majority-vote classification of a bounded PROBE set
+    against a labeled corpus (Fix & Hodges 1951, public literature)
+    — the eval-time companion to the ANN index: "what would the
+    corpus call this vector?" for spot-checks, relabeling audits,
+    and weak-label bootstrapping.
+
+    Per probe: exact cosine against every corpus row (self excluded
+    by id), top-``k`` by (cos desc, id asc), majority label with
+    ties broken by label ascending — fully deterministic. Output:
+    ``(probe_id, true_label, predicted_label, votes, is_correct)``.
+
+    Scale: the probe set BROADCASTS (bounded — spot-check sized, not
+    corpus sized); the corpus is scanned once and the |probes| x n
+    score matrix never materializes beyond the per-probe top-k
+    window (partitioned by probe — parallel across probes). For
+    corpus-x-corpus classification use the IVF/LSH paths
+    (``ann_topk_ivf``) — this operator is deliberately the exact,
+    bounded-probe tool.
+    """
+    from ..functions.vectors import dot, l2_norm
+
+    p = probes.select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).alias("__pv"),
+        F.col(label_col).alias("true_label"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__clabel"),
+    )
+    pairs = c.crossJoin(F.broadcast(p)).filter(
+        F.col("__cid") != F.col("__pid")
+    )
+    denom = l2_norm("__pv") * l2_norm("__cv")
+    cos = F.when(
+        denom > 0, F.round(dot("__pv", "__cv") / denom, ndigits)
+    )
+    scored = pairs.select(
+        "__pid", "true_label", "__cid", "__clabel", cos.alias("__cos")
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.desc_nulls_last("__cos"), F.asc("__cid")
+    )
+    topk = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= int(k)
+    )
+    votes = topk.groupBy("__pid", "true_label", "__clabel").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("__pid").orderBy(
+        F.desc("votes"), F.asc("__clabel")
+    )
+    best = votes.withColumn("__vr", F.row_number().over(wv)).filter(
+        F.col("__vr") == 1
+    )
+    return best.select(
+        F.col("__pid").alias("probe_id"),
+        "true_label",
+        F.col("__clabel").alias("predicted_label"),
+        F.col("votes").cast("long").alias("votes"),
+        (F.col("__clabel") == F.col("true_label")).alias("is_correct"),
+    )

@@ -475,3 +475,45 @@ def freshness_audit(
         lag_min.alias("lag_minutes"),
         (lag_min > int(stale_minutes)).alias("is_stale"),
     )
+
+
+def group_quartiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """EXACT per-group quartiles with explicit type-1 (lower,
+    inverted-ECDF) semantics: the q-quantile of n sorted values is
+    the value at rank ``ceil(q*n)`` — no interpolation, so the
+    answer is always an actual data value and engine-portable
+    (interpolating definitions differ by library; percentile_approx
+    differs by run). The spread table a metrics report shows next
+    to means.
+
+    Output per group: ``(group, n, p25, p50, p75)``; null values
+    excluded.
+
+    Scale: one per-group ordered window (partitioned — parallel
+    across groups; a group's values bound its task, the
+    o4_dedup_first profile) + one conditional rollup. For a single
+    giant group use ``ranking.median_ci``'s two-pass shape instead.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__v"))
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("__g"))
+    )
+    def pick(q: float):
+        target = F.ceil(F.lit(q) * F.col("__n"))
+        return F.min(F.when(F.col("__rn") == target, F.col("__v")))
+
+    return ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__n").cast("long").alias("n"),
+        pick(0.25).alias("p25"),
+        pick(0.5).alias("p50"),
+        pick(0.75).alias("p75"),
+    )

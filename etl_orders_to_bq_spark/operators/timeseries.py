@@ -402,3 +402,72 @@ def period_over_period(
         ),
         pct.alias("wow_pct"),
     ).orderBy("week")
+
+
+def daily_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 3.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust daily-total anomaly flags: a day is anomalous when its
+    total deviates from the median by more than ``k`` x MAD (median
+    absolute deviation — Hampel's robust z, public literature). The
+    median/MAD pair shrugs off the very outliers a mean/stddev rule
+    would be dragged by.
+
+    Exactness: daily totals are DECIMAL sums; median and MAD are
+    type-1 rank picks (actual data values, no interpolation) over
+    the calendar-bounded daily table; the deviation ratio is one
+    rounded division of decimal-exact numerators. MAD == 0 (half
+    the days identical) yields NULL scores, explicit not Inf.
+
+    Output: every day with ``(day, value, med, mad, robust_z,
+    is_anomaly)``; is_anomaly NULL when MAD == 0.
+
+    Scale: one day-level groupBy is the data-sized stage; the rank
+    windows run over |days| rows — the bounded-domain window class
+    (fdr_bh), not a data-sized sort.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("value"))
+    w = Window.orderBy(F.col("value"), F.col("day"))
+    wn = Window.partitionBy(F.lit(1))
+    ranked = daily.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(wn)
+    )
+    med_row = ranked.filter(
+        F.col("__rn") == F.ceil(F.col("__n") / 2)
+    ).select(F.col("value").alias("__med"))
+    with_med = daily.crossJoin(F.broadcast(med_row)).withColumn(
+        "__ad", F.abs(F.col("value") - F.col("__med"))
+    )
+    wa = Window.orderBy(F.col("__ad"), F.col("day"))
+    ranked2 = with_med.withColumn(
+        "__rn", F.row_number().over(wa)
+    ).withColumn("__n", F.count("*").over(wn))
+    mad_row = ranked2.filter(
+        F.col("__rn") == F.ceil(F.col("__n") / 2)
+    ).select(F.col("__ad").alias("__mad"))
+    out = with_med.crossJoin(F.broadcast(mad_row))
+    rz = F.when(
+        F.col("__mad") > 0,
+        F.round(
+            F.col("__ad").cast("double") / F.col("__mad").cast("double"),
+            ndigits,
+        ),
+    )
+    return out.select(
+        "day",
+        F.col("value").cast("double").alias("value"),
+        F.col("__med").cast("double").alias("med"),
+        F.col("__mad").cast("double").alias("mad"),
+        rz.alias("robust_z"),
+        F.when(F.col("__mad") > 0, rz > F.lit(float(k))).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("day")
