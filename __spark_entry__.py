@@ -13463,7 +13463,11 @@ def oracle_sql() -> dict[str, str]:
     # char entropy: in-row distinct-count fold, the MI discipline
     out["char_entropy"] = f"""
         with c as (
-          select doc_id, regexp_extract_all({_NORM}, '.') as chars
+          select doc_id,
+                 regexp_extract_all(
+                   regexp_replace({_NORM},
+                     '[\u0085\u2028\u2029]', '', 'g'),
+                   '.') as chars
           from documents
         )
         select doc_id,
@@ -13574,9 +13578,12 @@ def oracle_sql() -> dict[str, str]:
         fp as (select md5({_NORM}) as f, source from d2),
         stats as (select f, count(*) as n,
                          count(distinct source) as ns
-                  from fp group by f),
-        tagged as (select fp.source, n, ns from fp join stats using (f))
+                  from fp where f is not null group by f),
+        tagged as (select fp.source, fp.f, n, ns
+                   from fp left join stats using (f))
         select source, cast(count(*) as bigint) as n_docs,
+               cast(sum(case when f is null then 1 else 0 end)
+                    as bigint) as n_null_text,
                cast(sum(case when n > 1 then 1 else 0 end) as bigint)
                  as n_dup_docs,
                cast(sum(case when ns > 1 then 1 else 0 end) as bigint)

@@ -64,9 +64,19 @@ def long_to_ipv4(col: Column | str) -> Column:
 def cidr_bounds(cidr: str) -> tuple[int, int]:
     """Driver-side [lo, hi] inclusive uint32 bounds of a CIDR block
     — emit as literals into `ip_in_cidr` and the SQL oracle alike."""
-    base, _, bits_s = cidr.partition("/")
-    bits = int(bits_s) if bits_s else 32
-    parts = [int(p) for p in base.split(".")]
+    base, slash, bits_s = cidr.partition("/")
+    if slash and not bits_s:
+        # '10.0.0.0/' is a typo'd mask, not an implicit /32 — treating
+        # it as a single host would make ip_in_cidr match ~nothing
+        raise ValueError(f"bad CIDR mask: {cidr!r}")
+    try:
+        bits = int(bits_s) if bits_s else 32
+    except ValueError:
+        raise ValueError(f"bad CIDR mask: {cidr!r}") from None
+    try:
+        parts = [int(p) for p in base.split(".")]
+    except ValueError:
+        raise ValueError(f"bad CIDR base: {cidr!r}") from None
     if len(parts) != 4 or not all(0 <= p <= 255 for p in parts):
         raise ValueError(f"bad CIDR base: {cidr!r}")
     if not 0 <= bits <= 32:

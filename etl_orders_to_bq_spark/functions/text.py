@@ -357,7 +357,9 @@ def code_likeness(col: Column | str, threshold: float = 0.25) -> Column:
     )
 
 
-def char_entropy(col: Column | str, ndigits: int = 6) -> Column:
+def char_entropy(
+    col: Column | str, ndigits: int = 6, pre_extracted: bool = False
+) -> Column:
     """Character-distribution Shannon entropy (bits) of the
     NORMALIZED text — the classic cheap junk detector (near-zero
     entropy = repeated filler like 'aaaa…' or '=====', unusually
@@ -365,17 +367,32 @@ def char_entropy(col: Column | str, ndigits: int = 6) -> Column:
     intake pipelines).
 
     Fully IN-ROW (no shuffle): chars via ``regexp_extract_all('.')``
-    (identical in Java and RE2 — '.' excludes newline, and
-    ``normalize_text`` has already collapsed all whitespace runs to
-    single spaces), per-char counts by counting occurrences over the
-    distinct set (O(distinct·len), distinct bounded by the charset),
-    then the mutual-information discipline: counts sorted ASCENDING
-    AS LONGS, transformed to -(c/n)·log2(c/n), left-folded from 0.0
-    — the DuckDB oracle replays the identical fold. Empty text
-    yields NULL.
+    with the Unicode line terminators U+0085/U+2028/U+2029 stripped
+    FIRST — Java '.' excludes all five line terminators while RE2
+    '.' excludes only \n, and Java \s (which normalize_text
+    collapses) is ASCII-only, so without the strip those three chars
+    silently vanish Spark-side while the oracle counts them. After
+    the strip the extraction is engine-identical. Per-char counts
+    count occurrences over the distinct set (O(distinct·len),
+    distinct bounded by the charset), then the mutual-information
+    discipline: counts sorted ASCENDING AS LONGS, transformed to
+    -(c/n)·log2(c/n), left-folded from 0.0 — the DuckDB oracle
+    replays the identical fold. Empty text yields NULL.
+
+    PERF: the higher-order lambdas capture the ``chars`` expression,
+    so the normalize+extract chain re-evaluates ~2·distinct+1 times
+    per row (the _ngram_zip capture trap). Fixture-fine; for a wide-
+    charset corpus stage the extracted array behind a projection
+    barrier and pass it with ``pre_extracted=True`` (the
+    rolling_fingerprints convention).
     """
-    c = normalize_text(col)
-    chars = F.regexp_extract_all(c, F.lit("."), F.lit(0))
+    if pre_extracted:
+        chars = _c(col)
+    else:
+        c = F.regexp_replace(
+            normalize_text(col), "[\u0085\u2028\u2029]", ""
+        )
+        chars = F.regexp_extract_all(c, F.lit("."), F.lit(0))
     n = F.size(chars)
     counts = F.transform(
         F.array_distinct(chars),

@@ -681,7 +681,7 @@ def knn_classify(
     (``ann_topk_ivf``) — this operator is deliberately the exact,
     bounded-probe tool.
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import cosine_similarity
 
     p = probes.select(
         F.col(id_col).alias("__pid"),
@@ -696,10 +696,9 @@ def knn_classify(
     pairs = c.crossJoin(F.broadcast(p)).filter(
         F.col("__cid") != F.col("__pid")
     )
-    denom = l2_norm("__pv") * l2_norm("__cv")
-    cos = F.when(
-        denom > 0, F.round(dot("__pv", "__cv") / denom, ndigits)
-    )
+    # round(NULL) is NULL, so the shared null-safe cosine keeps the
+    # zero-vector semantics without a second guard
+    cos = F.round(cosine_similarity("__pv", "__cv"), ndigits)
     scored = pairs.select(
         "__pid", "true_label", "__cid", "__clabel", cos.alias("__cos")
     )

@@ -759,10 +759,13 @@ def dup_rate_by_source(
     how many collide with ANOTHER source (syndication / scraper
     overlap, a different problem from within-feed retries).
 
-    Output per source: ``(source, n_docs, n_dup_docs,
+    Output per source: ``(source, n_docs, n_null_text, n_dup_docs,
     n_crosssource_docs, dup_rate, crosssource_rate)`` — a doc is a
     dup when its normalized fingerprint appears >1 times anywhere;
     cross-source when its fingerprint spans >1 distinct sources.
+    NULL-text documents stay IN the denominator (a feed sending null
+    payloads must not vanish from its own census) and are surfaced
+    via ``n_null_text``, never counted as duplicates of each other.
     Rates are one rounded division each.
 
     Scale: one fingerprint groupBy for the stats (hash + source
@@ -775,15 +778,20 @@ def dup_rate_by_source(
         doc_fingerprint(F.col(text_col)).alias("__fp"),
         F.col(source_col).alias("__src"),
     )
-    stats = fp.groupBy("__fp").agg(
+    stats = fp.filter(F.col("__fp").isNotNull()).groupBy("__fp").agg(
         F.count("*").alias("__n"),
         F.count_distinct("__src").alias("__ns"),
     )
-    tagged = fp.join(stats, "__fp")
+    # LEFT join: a NULL fingerprint (null text) matches no stats row
+    # and rides through with null __n/__ns — counted, never a dup
+    tagged = fp.join(stats, "__fp", "left")
     return (
         tagged.groupBy(F.col("__src").alias(source_col))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__fp").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_text"),
             F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
             .cast("long")
             .alias("n_dup_docs"),
@@ -794,6 +802,7 @@ def dup_rate_by_source(
         .select(
             source_col,
             "n_docs",
+            "n_null_text",
             "n_dup_docs",
             "n_crosssource_docs",
             F.round(F.col("n_dup_docs") / F.col("n_docs"), ndigits).alias(

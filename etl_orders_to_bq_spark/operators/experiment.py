@@ -356,14 +356,17 @@ def simpsons_check(
         F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_ctrl"),
         F.sum(F.when(is_t & is_y, 1).otherwise(0)).alias("__ct"),
         F.sum(F.when(~is_t & is_y, 1).otherwise(0)).alias("__cc"),
-    )
+    ).withColumn("__ov", F.lit(0))
     overall = cells.agg(
         F.lit("OVERALL").alias("segment"),
         F.sum("n_treat").cast("long").alias("n_treat"),
         F.sum("n_ctrl").cast("long").alias("n_ctrl"),
         F.sum("__ct").alias("__ct"),
         F.sum("__cc").alias("__cc"),
-    )
+    ).withColumn("__ov", F.lit(1))
+    # a MARKER column, not the label, identifies the pooled row — a
+    # data segment literally named 'OVERALL' keeps correct flags
+    # (its label collides visually, its arithmetic does not)
     both = cells.unionByName(overall)
     rt = F.when(
         F.col("n_treat") > 0,
@@ -382,7 +385,7 @@ def simpsons_check(
         )
     )
     odiff = F.broadcast(
-        rated.filter(F.col("segment") == "OVERALL").select(
+        rated.filter(F.col("__ov") == 1).select(
             F.col("rate_diff").alias("__od")
         )
     )
@@ -390,7 +393,7 @@ def simpsons_check(
     # the OVERALL row cannot reverse itself: flag is FALSE there (a
     # typed false, not NULL — engines render null booleans
     # differently in clients); NULL only where a rate is undefined
-    flag = F.when(F.col("segment") == "OVERALL", F.lit(False)).otherwise(
+    flag = F.when(F.col("__ov") == 1, F.lit(False)).otherwise(
         F.when(
             F.col("rate_diff").isNotNull() & F.col("__od").isNotNull(),
             (F.col("rate_diff") * F.col("__od")) < 0,

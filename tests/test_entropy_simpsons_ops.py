@@ -74,3 +74,33 @@ def test_freshness_audit_lags(spark):
     assert out["b"]["lag_minutes"] == 14 and out["b"]["is_stale"] is False
     assert out["c"]["lag_minutes"] == 90 and out["c"]["is_stale"] is True
     assert out["a"]["n_events"] == 2
+
+
+def test_simpsons_check_survives_overall_named_segment(spark):
+    # a DATA segment literally named 'OVERALL' must not corrupt the
+    # pooled comparison (marker column, not the label, drives it)
+    rows = [(1, 1, "OVERALL"), (1, 0, "OVERALL"), (0, 0, "OVERALL"),
+            (1, 1, "x"), (0, 1, "x"), (0, 0, "x")]
+    df = spark.createDataFrame(rows, "treat int, y int, seg string")
+    out = simpsons_check(df, "treat", "y", "seg").collect()
+    # 2 data segments + 1 pooled row, never duplicated
+    assert len(out) == 3
+    labels = sorted(r["segment"] for r in out)
+    assert labels == ["OVERALL", "OVERALL", "x"]
+    for r in out:
+        assert r["reverses_overall"] in (True, False)
+
+
+def test_char_entropy_unicode_line_separators_parity(spark):
+    # U+2028/U+0085 would vanish Spark-side (Java '.' excludes them)
+    # while RE2 counts them — the strip makes both engines see 5 chars
+    t = "ab" + chr(0x2028) + "ab" + chr(0x85) + "x"
+    df = spark.createDataFrame([(t,)], "text string")
+    import math
+
+    got = df.select(char_entropy("text").alias("e")).collect()[0]["e"]
+    expect = round(
+        -(0.4 * math.log2(0.4) + 0.4 * math.log2(0.4)
+          + 0.2 * math.log2(0.2)), 6
+    )
+    assert got == expect

@@ -112,3 +112,13 @@ def test_cidr_bounds():
     assert hi == lo + (1 << 22) - 1  # /10 leaves 22 host bits
     assert cidr_bounds("0.0.0.0/0") == (0, 4294967295)
     assert cidr_bounds("1.2.3.4/32") == (16909060, 16909060)
+
+
+def test_cidr_bounds_malformed_messages():
+    import pytest
+
+    for bad, kind in [("a.b.c.d/8", "base"), ("1.2.3/8", "base"),
+                      ("10.0.0.0/", "mask"), ("10.0.0.0/xx", "mask"),
+                      ("10.0.0.0/33", "mask")]:
+        with pytest.raises(ValueError, match=f"bad CIDR {kind}"):
+            cidr_bounds(bad)

@@ -46,3 +46,20 @@ def test_dup_rate_by_source_cross_and_within(spark):
     assert s1["crosssource_rate"] == round(1 / 3, 6)
     assert s2["n_dup_docs"] == 1 and s2["n_crosssource_docs"] == 1
     assert s2["dup_rate"] == 0.5
+
+
+def test_dup_rate_by_source_null_text_counted_not_dup(spark):
+    rows = [
+        (1, "s1", None),
+        (2, "s1", None),
+        (3, "s1", "real doc"),
+        (4, "s2", "real doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r["source"]: r for r in
+           dup_rate_by_source(df, "source", "text").collect()}
+    s1 = out["s1"]
+    # nulls stay in the denominator, surfaced, never mutual dups
+    assert s1["n_docs"] == 3 and s1["n_null_text"] == 2
+    assert s1["n_dup_docs"] == 1  # only the real cross-source dup
+    assert s1["dup_rate"] == round(1 / 3, 6)
