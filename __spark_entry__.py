@@ -7373,6 +7373,31 @@ def q_ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two sources' top-20 vocabularies
+    (operators/lm.py rbo_overlap): deterministic rankings, ONE join
+    census (a shared term enters both prefixes at max(rank_a,
+    rank_b)), repr'd (1-p)p^(d-1)/d literals, and a fixed d-ascending
+    20-term sum the oracle replays left-to-right."""
+    from etl_orders_to_bq_spark.operators.lm import rbo_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return rbo_overlap(d, "source", "src0", "src1", k=20, p=0.9)
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test, click vs error
+    values (operators/multitest.py ks_two_sample): empirical CDFs
+    from exact integer cumulatives via the scalable two-pass
+    global_cumsum_before (twice — one per group's counts), per-value
+    gaps rounded BEFORE the max, asymptotic 95% bound from a repr'd
+    Smirnov coefficient."""
+    from etl_orders_to_bq_spark.operators.multitest import ks_two_sample
+
+    e = _t(spark, sf_dir, "events")
+    return ks_two_sample(e, "event_type", "value", "click", "error")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7387,6 +7412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "rbo_overlap": q_rbo_overlap,
+        "ks_two_sample": q_ks_two_sample,
         "knn_classify": q_knn_classify,
         "group_quartiles": q_group_quartiles,
         "daily_anomalies": q_daily_anomalies,
@@ -13325,6 +13352,94 @@ def oracle_sql() -> dict[str, str]:
         from rates order by bucket
     """
 
+    # RBO: d-major fixed-order 20-term sum from the SAME repr'd
+    # literals; overlap(d) via the max-rank census
+    _rbo_p = 0.9
+    _rbo_k = 20
+    _rbo_sum = " + ".join(
+        f"{(1.0 - _rbo_p) * (_rbo_p ** (d - 1)) / d!r}"
+        f" * (select count(*) from sh where m <= {d})"
+        for d in range(1, _rbo_k + 1)
+    )
+    out["rbo_overlap"] = f"""
+        with ta as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents where source = 'src0'
+        ),
+        ra0 as (select w, count(*) as c from ta group by w),
+        ra as (select w, row_number() over (order by c desc, w) as r
+               from ra0),
+        tb as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents where source = 'src1'
+        ),
+        rb0 as (select w, count(*) as c from tb group by w),
+        rb as (select w, row_number() over (order by c desc, w) as r
+               from rb0),
+        sh as (
+          select greatest(a.r, b.r) as m
+          from (select * from ra where r <= {_rbo_k}) a
+          join (select * from rb where r <= {_rbo_k}) b using (w)
+        )
+        select 'src0' as class_a, 'src1' as class_b,
+               {_rbo_k} as k,
+               cast((select count(*) from sh) as bigint) as n_shared,
+               round(0.0 + {_rbo_sum}, 6) as rbo
+    """
+    # KS two-sample: exact integer cumulatives, gaps rounded before
+    # the max, repr'd Smirnov bound
+    from etl_orders_to_bq_spark.operators.multitest import _KS_C95
+
+    out["ks_two_sample"] = f"""
+        with f as (
+          select event_type as g, value as v from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 sum(case when g = 'error' then 1 else 0 end) as nb
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(na) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as ba,
+                 coalesce(sum(nb) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bb
+          from vc
+        ),
+        t as (select cast(sum(na) as bigint) as n_a,
+                     cast(sum(nb) as bigint) as n_b from vc),
+        gaps as (
+          select round(abs(cast(ba + na as double)
+                             / cast(n_a as double)
+                           - cast(bb + nb as double)
+                             / cast(n_b as double)), 6) as gap
+          from cum, t
+        )
+        select 'click' as group_a, 'error' as group_b, n_a, n_b,
+               case when n_a > 0 and n_b > 0
+                    then (select max(gap) from gaps) end as d_stat,
+               case when n_a > 0 and n_b > 0 then
+                 round({_KS_C95!r}
+                       * sqrt((cast(n_a as double)
+                               + cast(n_b as double))
+                              / (cast(n_a as double)
+                                 * cast(n_b as double))), 6)
+               end as d_crit_95,
+               case when n_a > 0 and n_b > 0 then
+                 (select max(gap) from gaps)
+                 > round({_KS_C95!r}
+                         * sqrt((cast(n_a as double)
+                                 + cast(n_b as double))
+                                / (cast(n_a as double)
+                                   * cast(n_b as double))), 6)
+               end as reject_95
+        from t
+    """
     # kNN vote: same cosine expression order as the operator
     # (dot / (sqrt(pp) * sqrt(cc))), window + vote replayed
     out["knn_classify"] = """

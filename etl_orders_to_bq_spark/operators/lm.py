@@ -29,7 +29,7 @@ pipelines (CCNet-style perplexity buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokenize
@@ -622,4 +622,81 @@ def oov_rate(
             F.col("n_tokens") > 0,
             F.round(F.col("n_oov") / F.col("n_tokens"), ndigits),
         ).alias("oov_ratio"),
+    )
+
+
+def rbo_overlap(
+    df: DataFrame,
+    class_col: str,
+    class_a: str,
+    class_b: str,
+    text_col: str = "text",
+    k: int = 20,
+    p: float = 0.9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010, public
+    literature) between two classes' top-``k`` token rankings — the
+    principled "how similar are these two sources' vocabularies"
+    score (top-weighted, unlike plain Jaccard of the top-k sets):
+
+        RBO@k = (1-p) * Σ_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d
+
+    Rankings are deterministic (count desc, token asc). The overlap
+    census is ONE join of the two top-k lists: a shared term first
+    appears in both prefixes at depth max(rank_a, rank_b), so
+    |A_d ∩ B_d| is a cumulative count over that max-rank — no
+    per-depth rescans. Every p-power is a repr'd Python literal
+    shared with the oracle; the depth sum is a FIXED-ORDER fold
+    (d ascending) over exact integer overlaps.
+
+    Output: one row ``(class_a, class_b, k, n_shared, rbo)``.
+
+    Scale: two word-count groupBys (map-side combinable); everything
+    after the top-k TakeOrdered is ≤ k rows.
+    """
+    def topk(cls: str) -> DataFrame:
+        toks = df.filter(F.col(class_col) == cls).select(
+            F.explode(tokenize(normalize_text(F.col(text_col)))).alias(
+                "__w"
+            )
+        )
+        counts = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+        w = Window.orderBy(F.desc("__c"), F.asc("__w"))
+        # k is tiny: the global window runs on the ALREADY AGGREGATED
+        # vocab; for huge vocabs swap in ranking.global_row_number
+        return (
+            counts.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(k))
+            .select("__w", "__r")
+        )
+    a = topk(class_a).select(F.col("__w"), F.col("__r").alias("__ra"))
+    b = topk(class_b).select(F.col("__w"), F.col("__r").alias("__rb"))
+    shared = a.join(b, "__w").select(
+        F.greatest(F.col("__ra"), F.col("__rb")).alias("__m")
+    )
+    # overlap(d) = #shared terms with max-rank <= d; collect the max
+    # ranks as a sorted array (<= k values) and fold the RBO sum with
+    # literal p powers — every float op in a pinned order
+    agg = shared.agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+    )
+    pw = [repr((1.0 - p) * (p ** (d - 1)) / d) for d in range(1, k + 1)]
+
+    def _le(depth: int):
+        # a plain closure: a default-arg lambda would read as the
+        # two-parameter (value, index) HOF form to PySpark
+        return lambda m: m <= F.lit(depth)
+
+    rbo = F.lit(0.0)
+    for d in range(1, k + 1):
+        ov = F.size(F.filter(F.col("__ms"), _le(d))).cast("double")
+        rbo = rbo + F.lit(float(pw[d - 1])) * ov
+    return agg.select(
+        F.lit(class_a).alias("class_a"),
+        F.lit(class_b).alias("class_b"),
+        F.lit(int(k)).alias("k"),
+        "n_shared",
+        F.round(rbo, ndigits).alias("rbo"),
     )

@@ -287,3 +287,100 @@ def mann_whitney_u(
         ),
     )
     return out.withColumn("p_value", p)
+
+
+# Kolmogorov-Smirnov 95% two-sample coefficient c(0.05), repr'd so
+# both engines parse the identical double (Smirnov 1948 asymptotics)
+_KS_C95 = 1.3581015157406195
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — "are these two
+    samples from the same distribution" with NO distributional
+    assumption (Smirnov 1939, public literature); the drift test a
+    platform runs between cohorts, time slices, or sources when a
+    mean test is too blunt.
+
+        D = max_v |F_a(v) - F_b(v)|
+
+    over every distinct value, with the empirical CDFs built from
+    EXACT integer cumulative counts via the same scalable two-pass
+    ``ranking.global_cumsum_before`` as mann_whitney_u — no
+    single-partition sort. Each per-value CDF gap is one fixed-order
+    double expression rounded ``ndigits`` BEFORE the max (max of
+    identically-rounded doubles is engine-stable); the 95% rejection
+    bound is the asymptotic c(0.05)*sqrt((n_a+n_b)/(n_a*n_b)) from a
+    repr'd literal.
+
+    Output: one row ``(group_a, group_b, n_a, n_b, d_stat, d_crit_95,
+    reject_95)``; empty arms yield NULL d_stat/verdict.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+    )
+    cum_a = global_cumsum_before(
+        vc, ["__v"], "__na", num_partitions=num_partitions,
+        out_col="__below_a",
+    )
+    cum = global_cumsum_before(
+        cum_a, ["__v"], "__nb", num_partitions=num_partitions,
+        out_col="__below_b",
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+        )
+    )
+    j = cum.crossJoin(tot)
+    fa = (F.col("__below_a") + F.col("__na")).cast("double") / F.col(
+        "n_a"
+    ).cast("double")
+    fb = (F.col("__below_b") + F.col("__nb")).cast("double") / F.col(
+        "n_b"
+    ).cast("double")
+    gap = F.round(F.abs(fa - fb), ndigits)
+    d = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(gap).alias("d_stat"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    crit = F.round(
+        F.lit(_KS_C95) * F.sqrt((na + nb) / (na * nb)), ndigits
+    )
+    return d.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("d_stat"))
+        .alias("d_stat"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), crit).alias(
+            "d_crit_95"
+        ),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("d_stat") > crit,
+        ).alias("reject_95"),
+    )
