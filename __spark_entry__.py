@@ -7412,56 +7412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
-        "rbo_overlap": q_rbo_overlap,
-        "ks_two_sample": q_ks_two_sample,
-        "knn_classify": q_knn_classify,
-        "group_quartiles": q_group_quartiles,
-        "daily_anomalies": q_daily_anomalies,
-        "ip_funcs": q_ip_funcs,
-        "char_entropy": q_char_entropy,
-        "simpsons_check": q_simpsons_check,
-        "freshness_audit": q_freshness_audit,
-        "oov_rate": q_oov_rate,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "sql_group_by_all": q_sql_group_by_all,
-        "cohort_ltv": q_cohort_ltv,
-        "period_over_period": q_period_over_period,
-        "crosslang_dups": q_crosslang_dups,
-        "backtest_snaive": q_backtest_snaive,
-        "interval_audit": q_interval_audit,
-        "abc_class": q_abc_class,
-        "topk_pergroup": q_topk_pergroup,
-        "mix_shift": q_mix_shift,
-        "median_ci": q_median_ci,
-        "streaming_quota": q_streaming_quota,
-        "semantic_types": q_semantic_types,
-        "join_cardinality": q_join_cardinality,
-        "xcorr_lags": q_xcorr_lags,
-        "uplift_deciles": q_uplift_deciles,
-        "naive_bayes": q_naive_bayes,
-        "graph_modularity": q_graph_modularity,
-        "reciprocity": q_reciprocity,
-        "class_balance": q_class_balance,
-        "weighted_median": q_weighted_median,
-        "mann_whitney": q_mann_whitney,
-        "mutual_info": q_mutual_info,
-        "acf_lags": q_acf_lags,
-        "fd_violations": q_fd_violations,
-        "fk_coverage": q_fk_coverage,
-        "code_detect": q_code_detect,
-        "fdr_bh": q_fdr_bh,
-        "rake_weights": q_rake_weights,
-        "column_profile": q_column_profile,
-        "snips_ope": q_snips_ope,
-        "local_clustering": q_local_clustering,
-        "langid_confusion": q_langid_confusion,
-        "perplexity_buckets": q_perplexity_buckets,
-        "token_fertility": q_token_fertility,
-        "seq_patterns": q_seq_patterns,
-        "did_estimator": q_did_estimator,
-        "inverted_index": q_inverted_index,
-        "target_encoding": q_target_encoding,
-        "feature_hash": q_feature_hash,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -7727,6 +7677,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": q_url_funcs,
         "snapshot_diff": q_snapshot_diff,
         "rolling_active_hll": q_rolling_active_hll,
+        # -- last driver-verified in round 7 --
+        "rbo_overlap": q_rbo_overlap,
+        "ks_two_sample": q_ks_two_sample,
+        "knn_classify": q_knn_classify,
+        "group_quartiles": q_group_quartiles,
+        "daily_anomalies": q_daily_anomalies,
+        "ip_funcs": q_ip_funcs,
+        "char_entropy": q_char_entropy,
+        "simpsons_check": q_simpsons_check,
+        "freshness_audit": q_freshness_audit,
+        "oov_rate": q_oov_rate,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "sql_group_by_all": q_sql_group_by_all,
+        "cohort_ltv": q_cohort_ltv,
+        "period_over_period": q_period_over_period,
+        "crosslang_dups": q_crosslang_dups,
+        "backtest_snaive": q_backtest_snaive,
+        "interval_audit": q_interval_audit,
+        "abc_class": q_abc_class,
+        "topk_pergroup": q_topk_pergroup,
+        "mix_shift": q_mix_shift,
+        "median_ci": q_median_ci,
+        "streaming_quota": q_streaming_quota,
+        "semantic_types": q_semantic_types,
+        "join_cardinality": q_join_cardinality,
+        "xcorr_lags": q_xcorr_lags,
+        "uplift_deciles": q_uplift_deciles,
+        "naive_bayes": q_naive_bayes,
+        "graph_modularity": q_graph_modularity,
+        "reciprocity": q_reciprocity,
+        "class_balance": q_class_balance,
+        "weighted_median": q_weighted_median,
+        "mann_whitney": q_mann_whitney,
+        "mutual_info": q_mutual_info,
+        "acf_lags": q_acf_lags,
+        "fd_violations": q_fd_violations,
+        "fk_coverage": q_fk_coverage,
+        "code_detect": q_code_detect,
+        "fdr_bh": q_fdr_bh,
+        "rake_weights": q_rake_weights,
+        "column_profile": q_column_profile,
+        "snips_ope": q_snips_ope,
+        "local_clustering": q_local_clustering,
+        "langid_confusion": q_langid_confusion,
+        "perplexity_buckets": q_perplexity_buckets,
+        "token_fertility": q_token_fertility,
+        "seq_patterns": q_seq_patterns,
+        "did_estimator": q_did_estimator,
+        "inverted_index": q_inverted_index,
+        "target_encoding": q_target_encoding,
+        "feature_hash": q_feature_hash,
     }
 
 
@@ -13996,17 +13997,20 @@ def oracle_sql() -> dict[str, str]:
           from events
         ),
         s as (
-          select g.*, round((mean - m0)
-                            / sqrt((m2 - m0 * m0) / n), 6) as z
+          select g.*, round(case when m2 - m0 * m0 > 0
+                            then (mean - m0)
+                                 / sqrt((m2 - m0 * m0) / n) end, 6) as z
           from g, gl
         ),
         p as (
-          select *, round(least(1.0, 2.0 * {_psf}), 6) as p_value
+          select *, case when z is not null then
+                 round(least(1.0, 2.0 * {_psf}), 6) end as p_value
           from s
         ),
         r as (
           select *,
-                 row_number() over (order by p_value, event_type)
+                 row_number() over (order by p_value nulls last,
+                                    event_type)
                    as p_rank,
                  count(*) over () as m
           from p

@@ -360,7 +360,7 @@ def code_likeness(col: Column | str, threshold: float = 0.25) -> Column:
 def char_entropy(
     col: Column | str, ndigits: int = 6, pre_extracted: bool = False
 ) -> Column:
-    """Character-distribution Shannon entropy (bits) of the
+    r"""Character-distribution Shannon entropy (bits) of the
     NORMALIZED text — the classic cheap junk detector (near-zero
     entropy = repeated filler like 'aaaa…' or '=====', unusually
     high = base64/binary spill; both route to quarantine in corpus

@@ -131,22 +131,31 @@ def fdr_bh(
             ).alias("m2"),
         )
     )
-    z = (F.col("mean") - F.col("m0")) / F.sqrt(
-        (F.col("m2") - F.col("m0") * F.col("m0")) / F.col("n")
+    # a globally (near-)constant metric makes the pooled variance zero
+    # or slightly negative (m0/m2 rounded independently at ndigits) —
+    # z is undefined there; guard BEFORE the sqrt/divide so degenerate
+    # inputs yield NULL z/p, not p_value=1.0 from least() skipping NULL
+    var = F.col("m2") - F.col("m0") * F.col("m0")
+    z = F.when(
+        var > 0,
+        (F.col("mean") - F.col("m0")) / F.sqrt(var / F.col("n")),
     )
     scored = groups.crossJoin(glob).withColumn(
         "z", F.round(z, ndigits)
     )
     # p from the ROUNDED z so the special-function input is a shared
     # 6dp literal, not a long-dependency double
-    p = F.least(
-        F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))
+    p = F.when(
+        F.col("z").isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
     )
     scored = scored.withColumn("p_value", F.round(p, ndigits))
     m = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    wr = Window.orderBy("p_value", group_col)
+    # NULL p (degenerate variance) ranks LAST on both engines —
+    # DuckDB's ascending default is nulls-last, Spark's is nulls-first
+    wr = Window.orderBy(F.col("p_value").asc_nulls_last(), group_col)
     ranked = (
         scored.withColumn("p_rank", F.row_number().over(wr))
         .withColumn("__m", F.count("*").over(m))

@@ -41,6 +41,20 @@ def test_fdr_bh_rejects_only_the_shifted_group(spark):
         assert out[g]["p_value"] > 0.05
 
 
+def test_fdr_bh_constant_metric_yields_null_not_p1(spark):
+    # globally constant metric: pooled variance m2 - m0*m0 is zero (or
+    # slightly negative after independent 6dp rounding) -> z undefined.
+    # The test that never ran must report NULL p, never a confident 1.0.
+    rows = [(g, 7.0) for g in "abcd" for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = fdr_bh(df, "g", "value", q=0.1).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["z"] is None
+        assert r["p_value"] is None
+        assert r["rejected"] is False
+
+
 def test_fdr_bh_null_data_rejects_nothing(spark):
     # all groups identical -> z = 0, p = 1 -> no rejections
     rows = [(g, float(v)) for g in "abcd" for v in (1, 2, 3)]
