@@ -641,6 +641,8 @@ def ngram_containment(
     max_bucket: int = 1000,
     hash_fn: str = "md5",
     ndigits: int = 6,
+    verify: str = "auto",
+    pairs_per_doc_switch: float = 3.0,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT on candidate pairs: C(A,B) =
     |A ∩ B| / |A| over distinct word shingles (Broder 1997's second
@@ -653,18 +655,34 @@ def ngram_containment(
     Candidates come from MinHash LSH banding (or pass precomputed
     ``pairs`` with id_a/id_b columns — e.g. a union of LSH and
     sorted-neighborhood candidates); only candidates pay the exact
-    set intersection, the candidates-then-verify contract.
+    set intersection, the candidates-then-verify contract. Docs are
+    semi-filtered to candidate ids BEFORE shingling, so
+    non-candidates never pay the shingle CPU or enter a shuffle.
 
     Output: (id_a, id_b, n_shingles_a, n_shingles_b, n_common,
     containment_a_in_b, containment_b_in_a), ``ndigits``-rounded.
 
-    Scale: pair set is LSH-bounded (never all-pairs); the verify join
-    ships each doc's DISTINCT shingle array to its candidate pairs —
-    for corpora with huge docs, swap the array intersect for an
-    exploded (pair, shingle) semi-join + count (same result, shuffles
-    shingle rows instead of arrays; the array form wins while docs fit
-    comfortably in an Arrow batch, the einsum-vs-join trade measured
-    for semdedup in SCALING.md).
+    Two verify strategies, identical results (``verify=``):
+
+    - ``"array"`` — join each doc's DISTINCT shingle array onto both
+      sides of the pair list and ``array_intersect``. Each doc's
+      array is re-shipped and re-hashed per PAIR it appears in, so
+      per-candidate cost grows with fan-out (measured r7: 10× stress
+      grew 17.3× while candidates grew 8.7×). Wins when pair fan-out
+      is low (each doc in ~1 pair) because it is a single join tree.
+    - ``"exploded"`` — the scale path: explode to (id, shingle) rows
+      ONCE (size Σ|doc|, each doc paid once, not per pair), expand
+      pairs by side-a shingles, LEFT SEMI join on (id_b, shingle),
+      and count matches per pair (map-side combinable). Ships compact
+      rows instead of duplicated arrays; total shingle-instances
+      shuffled is Σ_pairs |A| + Σ_docs |B| — strictly fewer than the
+      array form's Σ_pairs (|A| + |B|) whenever any doc is in >1 pair.
+    - ``"auto"`` (default) — probe candidate fan-out with one cheap
+      count pass over the (small) pair/id tables and take the
+      exploded path when avg pairs-per-doc exceeds
+      ``pairs_per_doc_switch``; the degenerate fixtures that hurt
+      (banded near-copies: many pairs share the same docs) are
+      exactly the high-fan-out ones.
     """
     from ..functions.text import normalize_text, word_ngrams
 
@@ -674,12 +692,33 @@ def ngram_containment(
             bands=bands, shingle_len=shingle_len, max_bucket=max_bucket,
             hash_fn=hash_fn,
         )
-    sh = df.select(
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if verify == "auto":
+        # fan-out probe: ids-only tables, one tiny job. Pair rows /
+        # distinct ids = avg pairs each doc participates in; the
+        # array form re-ships a doc's array that many times.
+        stats = (
+            pairs.agg(F.count("*").alias("np"))
+            .crossJoin(cand_ids.agg(F.count("*").alias("nd")))
+            .collect()[0]
+        )
+        fanout = (2.0 * stats["np"]) / max(stats["nd"], 1)
+        verify = (
+            "exploded" if fanout > pairs_per_doc_switch else "array"
+        )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(
             word_ngrams(normalize_text(text_col), shingle_len)
         ).alias("__sh"),
     )
+    if verify == "exploded":
+        return _containment_exploded(pairs, sh, id_col, ndigits)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")
     )
@@ -689,7 +728,7 @@ def ngram_containment(
     inter = F.size(F.array_intersect("__sha", "__shb"))
     na, nb = F.size("__sha"), F.size("__shb")
     return (
-        pairs.select("id_a", "id_b")
+        pairs
         .join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -705,6 +744,64 @@ def ngram_containment(
             .otherwise(F.lit(None))
             .alias("containment_b_in_a"),
         )
+    )
+
+
+def _containment_exploded(
+    pairs: DataFrame, sh: DataFrame, id_col: str, ndigits: int
+) -> DataFrame:
+    """Exploded (pair, shingle) semi-join verify for
+    ``ngram_containment`` — see its docstring for the trade. ``sh``
+    is (id, distinct-shingle-array) for candidate docs only.
+
+    Shuffle profile: shingle arrays are exploded ONCE per doc into
+    (id, shingle) rows; the pair expansion carries (id_a, id_b,
+    shingle) int+string tuples; the LEFT SEMI hash join on
+    (id_b, shingle) keeps exactly the common shingles (arrays are
+    distinct per doc, so kept rows = |A ∩ B|); the count groupBy is
+    map-side combinable. No row ever holds more than one shingle.
+    """
+    sh = sh.localCheckpoint(eager=False)  # shingle CPU paid once
+    counts = sh.select(
+        F.col(id_col), F.size("__sh").alias("__n")
+    )
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    pa = pairs.join(
+        ex.select(F.col(id_col).alias("id_a"), "__g"), "id_a"
+    )
+    common = pa.join(
+        ex.select(F.col(id_col).alias("id_b"), "__g"),
+        ["id_b", "__g"],
+        "left_semi",
+    )
+    ncom = common.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("int").alias("__nc")
+    )
+    na_t = counts.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na")
+    )
+    nb_t = counts.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")
+    )
+    out = (
+        pairs.join(ncom, ["id_a", "id_b"], "left")
+        .join(na_t, "id_a")
+        .join(nb_t, "id_b")
+    )
+    inter = F.coalesce(F.col("__nc"), F.lit(0))
+    na, nb = F.col("__na"), F.col("__nb")
+    return out.select(
+        "id_a",
+        "id_b",
+        na.alias("n_shingles_a"),
+        nb.alias("n_shingles_b"),
+        inter.alias("n_common"),
+        F.when(na > 0, F.round(inter / na, ndigits))
+        .otherwise(F.lit(None))
+        .alias("containment_a_in_b"),
+        F.when(nb > 0, F.round(inter / nb, ndigits))
+        .otherwise(F.lit(None))
+        .alias("containment_b_in_a"),
     )
 
 

@@ -1568,6 +1568,37 @@ def test_ngram_containment_prefix_is_contained(spark):
     assert r["containment_a_in_b"] == round(10 / 38, 6)
 
 
+def test_ngram_containment_verify_paths_agree(spark):
+    """array / exploded / auto verify strategies are result-identical,
+    including zero-overlap pairs (exploded's left join must keep them
+    with n_common 0) and empty-text docs (NULL containment, no
+    exploded rows)."""
+    from etl_orders_to_bq_spark.operators.dedup import ngram_containment
+
+    docs = [
+        (1, " ".join(f"tok{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(12))),
+        (3, " ".join(f"zzz{i}" for i in range(20))),  # disjoint
+        (4, ""),  # zero shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    results = {}
+    for mode in ("array", "exploded", "auto"):
+        rows = sorted(
+            ngram_containment(df, pairs=pairs, verify=mode).collect(),
+            key=lambda r: (r["id_a"], r["id_b"]),
+        )
+        results[mode] = [tuple(r) for r in rows]
+    assert results["array"] == results["exploded"] == results["auto"]
+    by_b = {r[1]: r for r in results["exploded"]}
+    assert by_b[3][4] == 0  # n_common for disjoint pair survives
+    assert by_b[4][3] == 0 and by_b[4][6] is None  # empty doc: NULL c
+    assert by_b[2][4] == 10
+
+
 def test_bucket_medoids_contract(spark):
     """Medoid is the most-central member (hand-checkable with one
     dominant direction), singleton buckets keep their only member with
