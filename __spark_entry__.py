@@ -1244,6 +1244,24 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneracy-robust SemDeDup default (operators/semdedup.py
+    semdedup_auto): k derived from the corpus (max(8, ceil(n/128)) —
+    8 at the gate SFs), one probe assignment to seed-11 directions,
+    Lloyd fallback only if the realized per-row pair work Σs²/n blows
+    the 4×target budget. On this fixture the seeds balance (work/row
+    ~67 at sf0.01, budget 512), so the oracle replays the CHEAP
+    branch: seed-11 argmax assignment + the NOT-IN shadow rule at
+    0.85 — and thereby value-pins the probe's branch decision too (a
+    Lloyd fit would move centroids and change the keep-set)."""
+    from etl_orders_to_bq_spark.operators.semdedup import semdedup_auto
+
+    allv = _planted_embeddings(spark, sf_dir).localCheckpoint()
+    return semdedup_auto(
+        allv, dim=64, threshold=0.85, seed=11
+    ).orderBy("vec_id")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality filter
     (operators/classifier.py): unigram+bigram features hashed to 256
@@ -7412,6 +7430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "semdedup_auto": q_semdedup_auto,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -10604,6 +10623,27 @@ def oracle_sql() -> dict[str, str]:
           select distinct y.vec_id
           from g y join g x on x.cluster = y.cluster and x.vec_id < y.vec_id
           where {cos6("y.v", "x.v")} >= 0.75
+        )
+        select g.vec_id, g.cluster from g
+        where g.vec_id not in (select vec_id from sh)
+        order by g.vec_id
+    """
+    # semdedup_auto cheap branch: n<=1024 at the gate SFs so
+    # k = max(8, ceil(n/128)) = 8, and the seed-11 probe histogram is
+    # balanced (work/row 67 < 512) -> assignment stays on the seeds
+    out["semdedup_auto"] = f"""
+        with allv as ({plant}),
+        a as (select vec_id, v,
+                     {_ivf_assign_sql(dim=64, n=8, seed=11, vec_expr="v")}
+                       as cluster
+              from allv),
+        ok as (select cluster from a group by cluster
+               having count(*) <= 1000000),
+        g as (select a.* from a join ok using (cluster)),
+        sh as (
+          select distinct y.vec_id
+          from g y join g x on x.cluster = y.cluster and x.vec_id < y.vec_id
+          where {cos6("y.v", "x.v")} >= 0.85
         )
         select g.vec_id, g.cluster from g
         where g.vec_id not in (select vec_id from sh)

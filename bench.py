@@ -437,6 +437,91 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t10 / max(t1["median"], 1e-9), 1
         )
 
+        # AUTO entry point (r8): NO caller-chosen config — k derived
+        # from n, probe histogram decides seeds-vs-Lloyd. This is the
+        # default a user gets, so ITS growth is the number that has to
+        # hold (<= ~2x; the fixed-bits rows above stay as the recorded
+        # anti-pattern).
+        from etl_orders_to_bq_spark.operators.semdedup import (
+            semdedup_auto,
+        )
+
+        t1 = _timed(
+            lambda: semdedup_auto(e1, dim=64, threshold=0.75, seed=7),
+            runs=2,
+        )
+        t0 = time.perf_counter()
+        _force(semdedup_auto(e10, dim=64, threshold=0.75, seed=7))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["semdedup_auto_1x"] = t1["median"]
+        out["semdedup_auto_10x"] = t10
+        out["semdedup_auto_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
+        # r8 stress rows for the two heavy headline entries that had
+        # none: RFM (three scalable_ntile passes over orders — growth
+        # should track data, the two-pass rank machinery is per-pass
+        # fixed cost) and diverse_sample (bucket_medoids: the RAW
+        # embeddings spread across sign codes, unlike the planted
+        # fixture, so the quadratic term stays per-bucket bounded even
+        # at fixed bits — measured r8: 1.1x both fixed and scaled)
+        from etl_orders_to_bq_spark.operators.encode import rfm_segments
+        from etl_orders_to_bq_spark.operators.semdedup import (
+            bucket_medoids,
+        )
+
+        ofull1 = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .localCheckpoint()
+        )
+        rest = [
+            c for c in ofull1.columns
+            if c not in ("o_orderkey", "o_custkey")
+        ]
+        ofull10 = ofull1
+        for k in range(1, 10):
+            ofull10 = ofull10.unionByName(
+                ofull1.select(
+                    (F.col("o_orderkey") + k * 100_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    (F.col("o_custkey") + k * 10_000_000).alias(
+                        "o_custkey"
+                    ),
+                    *rest,
+                )
+            )
+        ofull10 = ofull10.repartition(cpus).localCheckpoint()
+        t1 = _timed(lambda: rfm_segments(ofull1), runs=2)
+        t0 = time.perf_counter()
+        _force(rfm_segments(ofull10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["rfm_segments_1x"] = t1["median"]
+        out["rfm_segments_10x"] = t10
+        out["rfm_segments_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
+        t1 = _timed(
+            lambda: bucket_medoids(
+                e1, dim=64, bits=6, seed=42, pair_method="numpy"
+            ),
+            runs=2,
+        )
+        t0 = time.perf_counter()
+        _force(
+            bucket_medoids(
+                e10, dim=64, bits=6, seed=42, pair_method="numpy"
+            )
+        )
+        t10 = round(time.perf_counter() - t0, 3)
+        out["diverse_sample_1x"] = t1["median"]
+        out["diverse_sample_10x"] = t10
+        out["diverse_sample_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+
         t1 = _timed(lambda: er(ents1), runs=2)
         t0 = time.perf_counter()
         _force(er(ents10))

@@ -75,9 +75,62 @@ def _det_exp_sql(y: str) -> str:
     return t
 
 
+def with_p_value(
+    df: DataFrame,
+    z_col: str = "z",
+    out_col: str = "p_value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Append the two-sided p = round(min(1, 2·Φc(|z|)), ndigits) as a
+    column via STAGED projections — bit-identical arithmetic to
+    ``norm_sf`` but a plan janino can compile.
+
+    Why not just ``norm_sf`` as one Column: Catalyst has no
+    let-binding, so the T(w)^64 repeated squaring duplicates the
+    entire Horner subtree per squaring — 2^6 copies, ~64·13 copies of
+    the z expression. Measured at sf0.1: janino rejects the generated
+    method (falls back to interpreted) and every fresh plan pays the
+    ~2 s compile-attempt on the driver. Each squaring in its OWN
+    projection keeps every alias a small expression; CollapseProject
+    leaves non-cheap aliases referenced twice alone, so the staged
+    shape survives optimization and whole-stage codegen emits one
+    local variable per stage. NULL z propagates to NULL p (the
+    explicit guard both callers need — least() would skip the NULL)."""
+    z = F.abs(F.col(z_col))
+    df = df.withColumn("__nsf_w", (-(z * z) / 2.0) / 64.0)
+    t: Column = F.lit(float(_EXP_COEFFS[-1]))
+    for coef in reversed(_EXP_COEFFS[:-1]):
+        t = t * F.col("__nsf_w") + F.lit(float(coef))
+    df = df.withColumn("__nsf_t", t)
+    for _ in range(6):  # ^64, one projection per squaring
+        df = df.withColumn(
+            "__nsf_t", F.col("__nsf_t") * F.col("__nsf_t")
+        )
+    df = df.withColumn(
+        "__nsf_u", 1.0 / (F.lit(1.0) + F.lit(float(_AS_P)) * z)
+    )
+    poly: Column = F.lit(float(_AS_B[-1]))
+    for b in reversed(_AS_B[:-1]):
+        poly = poly * F.col("__nsf_u") + F.lit(float(b))
+    poly = poly * F.col("__nsf_u")
+    pdf = F.lit(float(_INV_SQRT_2PI)) * F.col("__nsf_t")
+    p = F.when(
+        F.col(z_col).isNotNull(),
+        F.round(
+            F.least(F.lit(1.0), F.lit(2.0) * (pdf * poly)), ndigits
+        ),
+    )
+    return df.withColumn(out_col, p).drop(
+        "__nsf_w", "__nsf_t", "__nsf_u"
+    )
+
+
 def norm_sf(z: Column) -> Column:
     """Upper-tail P(Z > z) for z >= 0 — the engine's defined Φ
-    complement (A&S 26.2.17 + deterministic exp)."""
+    complement (A&S 26.2.17 + deterministic exp) as ONE Column
+    expression. Fine for oracle parity and tests; inside a query plan
+    prefer ``with_p_value`` (this form's repeated squaring explodes
+    the expression tree — see there)."""
     t = 1.0 / (F.lit(1.0) + F.lit(float(_AS_P)) * z)
     poly = F.lit(float(_AS_B[-1]))
     for b in reversed(_AS_B[:-1]):
@@ -145,11 +198,7 @@ def fdr_bh(
     )
     # p from the ROUNDED z so the special-function input is a shared
     # 6dp literal, not a long-dependency double
-    p = F.when(
-        F.col("z").isNotNull(),
-        F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
-    )
-    scored = scored.withColumn("p_value", F.round(p, ndigits))
+    scored = with_p_value(scored, "z", "p_value", ndigits)
     m = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -288,14 +337,8 @@ def mann_whitney_u(
     # explicit NULL propagation: least() SKIPS nulls, which would
     # report p = 1.0 ("confidently not significant") for a test that
     # never ran — an undefined z must yield an undefined p
-    p = F.when(
-        F.col("z").isNotNull(),
-        F.round(
-            F.least(F.lit(1.0), F.lit(2.0) * norm_sf(F.abs(F.col("z")))),
-            ndigits,
-        ),
-    )
-    return out.withColumn("p_value", p)
+    # (with_p_value guards on z.isNotNull internally)
+    return with_p_value(out, "z", "p_value", ndigits)
 
 
 # Kolmogorov-Smirnov 95% two-sample coefficient c(0.05), repr'd so

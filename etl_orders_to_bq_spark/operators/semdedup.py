@@ -141,6 +141,79 @@ def auto_bits(
     return max(min_bits, min(max_bits, bits))
 
 
+def semdedup_auto(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.85,
+    target_cluster: int = 128,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 1_000_000,
+    pair_method: str = "grouped",
+    assign_method: str = "numpy",
+    degeneracy_factor: float = 4.0,
+    kmeans_rounds: int = 2,
+) -> DataFrame:
+    """Degeneracy-robust SemDeDup — the DEFAULT entry point when the
+    caller has no opinion about clustering. ``semdedup_keep`` takes
+    explicit centroids, and a FIXED centroid count is the measured
+    scale trap (bench r6-r7 ``semdedup_bits8``: 8 centroids for a 10×
+    corpus → per-cluster population grows with n → pair work n²/k →
+    growth 6.1×). This wrapper derives the clustering from the data:
+
+    1. ``k = max(8, ceil(n / target_cluster))`` — centroid count grows
+       LINEARLY with the corpus so expected cluster population (the
+       quadratic term) stays ~target_cluster;
+    2. assign once to k seeded random directions and PROBE the realized
+       histogram: per-row pair work = Σ s²/n (a strictly sharper
+       degeneracy signal than occupied-bucket count — it measures the
+       actual quadratic cost, not just emptiness);
+    3. if work/row ≤ degeneracy_factor × target_cluster the seeds
+       already balance (uniform-ish data) — skip the fit and keep the
+       assignment; otherwise the data clumps harder than random
+       directions can split, so run ``kmeans_rounds`` deterministic
+       Lloyd rounds (centroids move to the density — the SemDeDup
+       paper's own design) and cluster on the learned centroids.
+
+    Both branches end in ``semdedup_keep`` (same shadow rule, same
+    6dp boundary contract) and are fully deterministic given (data,
+    seed), so an oracle can replay whichever branch the fixture takes.
+    Cost: one count job + one assignment scan + tiny histogram agg for
+    the probe; the Lloyd fit (2 extra scans) is paid only when needed.
+    Callers looping over this should localCheckpoint the input.
+    """
+    import math
+
+    from .ann import _hyperplanes, lloyd_kmeans
+
+    n = embeddings.count()
+    k = max(8, math.ceil(n / max(target_cluster, 1)))
+    seeds = _hyperplanes(dim, k, seed)
+    hist = (
+        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method)
+        .groupBy("ivf_cluster")
+        .agg(F.count("*").alias("__s"))
+    )
+    st = hist.agg(
+        F.sum("__s").alias("__n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
+    ).collect()[0]
+    work_per_row = st["__ss"] / max(st["__n"] or 0, 1)
+    if work_per_row > degeneracy_factor * target_cluster:
+        centroids, _ = lloyd_kmeans(
+            embeddings, seeds, rounds=kmeans_rounds,
+            round_ndigits=6, method=assign_method,
+        )
+    else:
+        centroids = seeds
+    return semdedup_keep(
+        embeddings, centroids, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, max_cluster=max_cluster,
+        pair_method=pair_method, assign_method=assign_method,
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     dim: int,

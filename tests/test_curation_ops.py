@@ -118,6 +118,62 @@ def test_semdedup_keep_first_and_shadowing(spark):
     assert 4 not in kept
 
 
+def test_semdedup_auto_branches(spark):
+    """semdedup_auto takes the cheap seeds branch on balanced data and
+    the Lloyd branch when the probe budget is forced to zero — and
+    both produce exactly semdedup_keep's result for their respective
+    centroids (the wrapper adds policy, never semantics)."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        lloyd_kmeans,
+    )
+    from etl_orders_to_bq_spark.operators.semdedup import semdedup_auto
+
+    rows = [
+        (i, [float(i % 7) + 0.1 * j for j in range(8)]) for i in range(30)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    seeds = _hyperplanes(8, 8, 5)  # k floor = 8 for n=30
+
+    # cheap branch: huge budget -> centroids are the raw seeds
+    got = sorted(
+        tuple(r)
+        for r in semdedup_auto(
+            vecs, dim=8, threshold=0.9, seed=5,
+            degeneracy_factor=1e9,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in semdedup_keep(
+            vecs, seeds, threshold=0.9, assign_method="numpy"
+        ).collect()
+    )
+    assert got == want
+
+    # forced-degenerate branch: zero budget -> Lloyd-learned centroids
+    got2 = sorted(
+        tuple(r)
+        for r in semdedup_auto(
+            vecs, dim=8, threshold=0.9, seed=5, degeneracy_factor=0.0,
+        ).collect()
+    )
+    cents, _ = lloyd_kmeans(
+        vecs, seeds, rounds=2, round_ndigits=6, method="numpy"
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in semdedup_keep(
+            vecs, cents, threshold=0.9, assign_method="numpy"
+        ).collect()
+    )
+    assert got2 == want2
+    # ids partition: every input id is either kept or shadowed
+    assert {t[0] for t in got2} <= set(range(30))
+
+
 def test_rrf_fuse_hand_computed(spark):
     lex = spark.createDataFrame(
         [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
