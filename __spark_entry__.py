@@ -1262,6 +1262,119 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering
+    (operators/setjoin.py, Bayardo et al. 2007): word-bigram sets,
+    rarity-ordered prefixes of length |s| - ceil(t|s|) + 1, prefix-
+    token equi-join candidates, exact verify at t=0.4. Unlike MinHash
+    LSH this is lossless — the oracle proves it by brute-forcing ALL
+    shared-token pairs (complete for J >= t > 0) and must get the
+    identical pair set."""
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return set_similarity_join(
+        d, threshold=0.4, ngram=2
+    ).orderBy("id_a", "id_b")
+
+
+def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka retrieval (operators/ann.py
+    ann_topk_matryoshka, Kusupati et al. 2022): coarse top-40 on the
+    first 16 dims, exact 64-dim rerank to top-10 — the truncated-dim
+    prefilter pattern for MRL embeddings. Both stages 6dp-rounded
+    with id tie-breaks; the oracle replays the identical two-stage
+    pipeline with list slicing."""
+    from etl_orders_to_bq_spark.operators.ann import ann_topk_matryoshka
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ann_topk_matryoshka(
+        emb, list(target["embedding"]), k=10, coarse_dim=16, coarse_m=40
+    )
+
+
+def _daily_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day-number, daily count) series — the shared
+    fixture for the trend/forecast operators; t is integer days since
+    2020-01-01 so slopes are per-day units."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__d")
+    ).agg(F.count("*").alias("y")).select(
+        "event_type",
+        F.datediff(F.col("__d"), F.lit("2020-01-01").cast("date"))
+        .cast("double")
+        .alias("t"),
+        F.col("y").cast("double").alias("y"),
+    )
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen daily trend (operators/timeseries.py
+    theilsen_trend): median of all pairwise slopes over the daily
+    count series — the outlier-robust slope vs regression_agg's OLS.
+    Slopes 6dp-rounded; the median averages the (slope, t1, t2)-ranked
+    middle pair; the oracle replays rank -> middle -> avg exactly."""
+    from etl_orders_to_bq_spark.operators.timeseries import theilsen_trend
+
+    s = _daily_event_series(spark, sf_dir)
+    return theilsen_trend(s, "event_type", "t", "y").orderBy("event_type")
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per event type
+    (operators/timeseries.py holt_linear): level+trend recurrence
+    folded over the sorted daily series as EXACT integer micro-units
+    (alpha=1/2, beta=3/10 rationals, floor-quantized per step —
+    per-step 6dp float rounding hits midpoint ties where the engines
+    disagree; measured before switching), 7-day-ahead forecast. The
+    oracle folds the identical integer arithmetic with a [level,
+    trend] bigint list accumulator in list_reduce."""
+    from etl_orders_to_bq_spark.operators.timeseries import holt_linear
+
+    s = _daily_event_series(spark, sf_dir)
+    return holt_linear(
+        s, "event_type", "t", "y", alpha=0.5, beta=0.3, horizon=7
+    ).orderBy("event_type")
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking
+    (operators/fusion.py mmr_rerank, Carbonell & Goldstein 1998):
+    three queries (vec_id 0/1/2), candidate pools vec_id % 3 == q
+    (ids >= 3), rel = 6dp cosine to the query, greedy k=3 at
+    lambda=0.7 with id tie-breaks. One applyInPandas over
+    groupBy(query) — the greedy loop never leaves the executor; the
+    oracle unrolls the 3 selection steps as CTEs."""
+    from etl_orders_to_bq_spark.operators.fusion import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    cands = emb.filter(F.col("vec_id") >= 3).withColumn(
+        "query_id", (F.col("vec_id") % 3).cast("long")
+    )
+    from etl_orders_to_bq_spark.functions.vectors import dot, l2_norm
+
+    joined = cands.join(F.broadcast(queries_df), "query_id")
+    denom = l2_norm(F.col("embedding")) * l2_norm(F.col("__q"))
+    rel = F.when(
+        denom > 0, F.round(dot(F.col("embedding"), F.col("__q")) / denom, 6)
+    ).otherwise(F.lit(0.0))
+    pool = joined.select(
+        "query_id", "vec_id", "embedding", rel.alias("rel")
+    )
+    return mmr_rerank(
+        pool, k=3, lam=0.7
+    ).orderBy("query_id", "rank")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality filter
     (operators/classifier.py): unigram+bigram features hashed to 256
@@ -7431,6 +7544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (new work leads the snapshot) --
         "semdedup_auto": q_semdedup_auto,
+        "set_similarity_join": q_set_similarity_join,
+        "ann_matryoshka": q_ann_matryoshka,
+        "theilsen_trend": q_theilsen_trend,
+        "holt_linear": q_holt_linear,
+        "mmr_rerank": q_mmr_rerank,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -10648,6 +10766,209 @@ def oracle_sql() -> dict[str, str]:
         select g.vec_id, g.cluster from g
         where g.vec_id not in (select vec_id from sh)
         order by g.vec_id
+    """
+    # exact prefix-filter Jaccard join: the oracle brute-forces ALL
+    # shared-token pairs (complete for J >= t > 0 — any pair above
+    # threshold shares a token), which must equal the prefix-filtered
+    # engine result exactly; tokenization replays normalize+bigram
+    out["set_similarity_join"] = """
+        with tok as (
+          select distinct doc_id, t
+          from (
+            select doc_id,
+                   unnest([w[i] || ' ' || w[i+1]
+                           for i in range(1, len(w))]) as t
+            from (select doc_id,
+                         regexp_extract_all(
+                           trim(regexp_replace(lower(text),
+                                               '\\s+', ' ', 'g')),
+                           '\\S+') as w
+                  from documents) _
+          ) _
+        ),
+        sizes as (select doc_id, count(*) as s from tok group by 1),
+        pairs as (
+          select a.doc_id as ia, b.doc_id as ib, count(*) as inter
+          from tok a join tok b on a.t = b.t and a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        j as (
+          select ia as id_a, ib as id_b,
+                 round(inter::double / (sa.s + sb.s - inter), 6)
+                   as jaccard
+          from pairs
+          join sizes sa on sa.doc_id = ia
+          join sizes sb on sb.doc_id = ib
+        )
+        select id_a, id_b, jaccard from j
+        where jaccard >= 0.4 order by id_a, id_b
+    """
+    # Matryoshka two-stage: coarse 16-dim cosine top-40, full rerank
+    # top-10 — identical slicing, rounding, and tie-breaks
+    out["ann_matryoshka"] = """
+        with t as (select cast(embedding as double[]) as q
+                   from embeddings where vec_id = 0),
+        scored as (
+          select vec_id, cast(embedding as double[]) as v, q,
+                 round(list_dot_product(
+                         cast(embedding as double[])[1:16], q[1:16])
+                       / (sqrt(list_dot_product(
+                            cast(embedding as double[])[1:16],
+                            cast(embedding as double[])[1:16]))
+                          * sqrt(list_dot_product(q[1:16], q[1:16]))),
+                       6) as coarse_sim
+          from embeddings, t
+        ),
+        survivors as (
+          select * from scored
+          order by coarse_sim desc, vec_id asc limit 40
+        )
+        select vec_id, coarse_sim,
+               round(list_dot_product(v, q)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(q, q))), 6) as cos_sim
+        from survivors
+        order by cos_sim desc, vec_id asc limit 10
+    """
+    # shared daily series for the trend/forecast oracles
+    _series = """
+          select event_type,
+                 cast(datediff('day', date '2020-01-01',
+                               date_trunc('day', ts)) as double) as t,
+                 cast(count(*) as double) as y
+          from events group by event_type, date_trunc('day', ts)
+    """
+    out["theilsen_trend"] = f"""
+        with s as ({_series}),
+        p as (
+          select a.event_type as g, a.t as t1, b.t as t2,
+                 round((b.y - a.y) / (b.t - a.t), 6) as sl
+          from s a join s b
+            on a.event_type = b.event_type and a.t < b.t
+        ),
+        r as (
+          select *,
+                 row_number() over
+                   (partition by g order by sl, t1, t2) as rn,
+                 count(*) over (partition by g) as n
+          from p
+        ),
+        m as (
+          select g, max(n) as n_pairs, round(avg(sl), 6) as ts_slope
+          from r
+          where rn = (n + 1) // 2 or rn = (n + 2) // 2
+          group by g
+        ),
+        pts as (select event_type, count(*) as n_points
+                from s group by 1)
+        select pts.event_type, cast(n_points as bigint) as n_points,
+               cast(m.n_pairs as bigint) as n_pairs, m.ts_slope
+        from pts left join m on m.g = pts.event_type
+        order by pts.event_type
+    """
+    # Holt linear: EXACT integer micro-unit recurrence (alpha=1/2,
+    # beta=3/10 as rationals, floor-quantized per step) — per-step
+    # 6dp float rounding is NOT engine-replayable (midpoint ties);
+    # the [level, trend] bigint list accumulator replays the
+    # identical floor(num/q) arithmetic
+    _hl = "cast(floor((1*e[1] + 1*(acc[1]+acc[2])) / 2.0) as bigint)"
+    out["holt_linear"] = f"""
+        with s as ({_series}),
+        arr as (
+          select event_type,
+                 list(cast(round(y * 1000000) as bigint)
+                      order by t, y) as ys,
+                 count(*) as n
+          from s group by event_type
+        ),
+        f as (
+          select event_type, n,
+                 case when n >= 2 then
+                   list_reduce(
+                     list_prepend(
+                       [ys[1], ys[2] - ys[1]]::bigint[],
+                       list_transform(ys[2:], x -> [x])),
+                     (acc, e) -> [
+                       {_hl},
+                       cast(floor((3*({_hl} - acc[1])
+                                   + 7*acc[2]) / 10.0) as bigint)
+                     ])
+                 end as st
+          from arr
+        )
+        select event_type, cast(n as bigint) as n_points,
+               st[1] / 1000000.0 as level,
+               st[2] / 1000000.0 as trend,
+               case when n >= 2
+                    then (st[1] + 7*st[2]) / 1000000.0 end as forecast
+        from f order by event_type
+    """
+    # MMR greedy unrolled: 3 selection steps as CTEs; maxsim is the
+    # running greatest of 6dp-rounded cosines; 1-lambda is the Python
+    # double 1.0-0.7
+    _ml, _m1l = repr(0.7), repr(1.0 - 0.7)
+
+    def _mcos(a: str, b: str) -> str:
+        den = (
+            f"(sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+        return (
+            f"round(case when {den} > 0 then "
+            f"list_dot_product({a}, {b}) / {den} else 0.0 end, 6)"
+        )
+
+    out["mmr_rerank"] = f"""
+        with emb as (select vec_id, cast(embedding as double[]) as v
+                     from embeddings),
+        q as (select vec_id as query_id, v as qv from emb
+              where vec_id < 3),
+        pool as (
+          select e.vec_id % 3 as query_id, e.vec_id, e.v,
+                 {_mcos("e.v", "q.qv")} as rel
+          from emb e join q on e.vec_id % 3 = q.query_id
+          where e.vec_id >= 3
+        ),
+        s1 as (
+          select query_id, vec_id, v, round({_ml}*rel, 6) as score
+          from pool
+          qualify row_number() over (partition by query_id
+            order by round({_ml}*rel, 6) desc, vec_id asc) = 1
+        ),
+        p2 as (
+          select p.query_id, p.vec_id, p.v, p.rel,
+                 {_mcos("p.v", "s1.v")} as msim
+          from pool p join s1 using (query_id)
+          where p.vec_id <> s1.vec_id
+        ),
+        s2 as (
+          select query_id, vec_id, v, msim,
+                 round({_ml}*rel - {_m1l}*msim, 6) as score
+          from p2
+          qualify row_number() over (partition by query_id
+            order by round({_ml}*rel - {_m1l}*msim, 6) desc,
+                     vec_id asc) = 1
+        ),
+        p3 as (
+          select p2.query_id, p2.vec_id, p2.rel,
+                 greatest(p2.msim, {_mcos("p2.v", "s2.v")}) as msim
+          from p2 join s2 using (query_id)
+          where p2.vec_id <> s2.vec_id
+        ),
+        s3 as (
+          select query_id, vec_id,
+                 round({_ml}*rel - {_m1l}*msim, 6) as score
+          from p3
+          qualify row_number() over (partition by query_id
+            order by round({_ml}*rel - {_m1l}*msim, 6) desc,
+                     vec_id asc) = 1
+        )
+        select query_id, 1 as rank, vec_id, score as mmr_score from s1
+        union all
+        select query_id, 2, vec_id, score from s2
+        union all
+        select query_id, 3, vec_id, score from s3
+        order by query_id, rank
     """
     # semdedup over LEARNED centroids: the kmeans_lloyd unroll (2
     # rounds over the planted set, byte-identical init literals,

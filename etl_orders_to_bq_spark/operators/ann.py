@@ -99,6 +99,63 @@ def ann_topk_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ann_topk_matryoshka(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    coarse_dim: int = 16,
+    coarse_m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval: coarse top-``coarse_m`` on the
+    FIRST ``coarse_dim`` dimensions, exact full-dim rerank to top-k
+    (Kusupati et al. 2022, "Matryoshka Representation Learning" —
+    public literature; MRL-trained embeddings concentrate signal in
+    the leading dims, so a truncated-dim scan is the cheap filter).
+
+    Scale: stage 1 touches coarse_dim/dim of the multiply-add work
+    per row (the dominant cost of a brute scan) and ends in
+    TakeOrderedAndProject — per-partition top-m, no global shuffle;
+    stage 2 reranks only m rows. The result is exact WITH RESPECT TO
+    THE TWO-STAGE DEFINITION (deterministic: both scores 6dp-rounded,
+    ties broken on id), and equals full brute-force top-k whenever
+    the true top-k survive the coarse filter — the recall knob is
+    ``coarse_m``, same contract as IVF's nprobe.
+
+    Output: (id, coarse_sim, cos_sim), cos_sim desc, id tie-break.
+    """
+    if coarse_dim > len(query_vec):
+        raise ValueError(
+            f"coarse_dim {coarse_dim} > query dim {len(query_vec)}"
+        )
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.slice(F.col(vec_col), 1, coarse_dim)
+        .cast("array<double>")
+        .alias("__vc"),
+    )
+    coarse = scored.withColumn(
+        "coarse_sim",
+        F.round(
+            _query_cosine("__vc", query_vec[:coarse_dim], method), 6
+        ),
+    )
+    survivors = coarse.orderBy(
+        F.desc("coarse_sim"), F.asc(id_col)
+    ).limit(coarse_m)
+    reranked = survivors.withColumn(
+        "cos_sim", F.round(_query_cosine("__v", query_vec, method), 6)
+    )
+    return (
+        reranked.select(id_col, "coarse_sim", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based so the
     same planes are reproducible anywhere, including the SQL oracle)."""

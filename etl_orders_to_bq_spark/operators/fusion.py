@@ -133,3 +133,103 @@ def ranking_metrics(
         F.round(mrr, ndigits).alias("mrr"),
         F.round(prec, ndigits).alias("precision_at_k"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking per query (Carbonell &
+    Goldstein 1998, public literature): greedily select ``k`` items,
+    each maximizing
+
+        mmr(c) = lam * rel(c) - (1 - lam) * max_{s in S} cos(c, s)
+
+    over the already-selected set S — the diversity step between
+    retrieval and context assembly in every RAG stack (near-identical
+    top hits waste the token budget).
+
+    Determinism contract: rel is consumed as given (callers round it;
+    the gate query feeds 6dp cosines), every pairwise cosine is
+    6dp-rounded before entering the max, the mmr margin is one
+    fixed-order double expression, and ties break on the smaller id —
+    an oracle can replay the greedy loop as k unrolled CTEs.
+
+    Scale: inherently sequential in k but embarrassingly parallel
+    over queries — ONE ``applyInPandas`` over groupBy(query), each
+    group a (candidates x dim) matrix; candidate lists are bounded
+    by the upstream retrieval top-n (the contract of rrf_fuse), so
+    the greedy O(k * n * dim) per query is Arrow-batched numpy, not
+    row-Python. The selection never leaves the executor.
+
+    Output: (query, rank, id, mmr_score) with rank 1..k in selection
+    order; rank 1's score is its (lam-scaled) relevance.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lam_f, nd = float(lam), int(ndigits)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = len(pdf)
+        X = np.stack(
+            [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+        )
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        ids = pdf[id_col].to_numpy()
+        chosen: list[int] = []
+        maxsim = np.full(m, -np.inf)
+        rows = []
+        for rank in range(1, min(k, m) + 1):
+            if chosen:
+                last = chosen[-1]
+                denom = norms * norms[last]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, X @ X[last] / denom, 0.0)
+                cos = np.round(cos, nd)
+                maxsim = np.maximum(maxsim, cos)
+                score = lam_f * rel - (1.0 - lam_f) * maxsim
+            else:
+                score = lam_f * rel
+            score = np.round(score, nd)
+            score[chosen] = -np.inf
+            # argmax with smaller-id tie-break: ids ascend with the
+            # row index (sorted above), np.argmax returns the FIRST max
+            pick = int(np.argmax(score))
+            rows.append(
+                (
+                    pdf[query_col].iloc[0],
+                    rank,
+                    ids[pick],
+                    float(score[pick]),
+                )
+            )
+            chosen.append(pick)
+        return pd.DataFrame(
+            rows, columns=[query_col, "rank", id_col, "mmr_score"]
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                query_col, candidates.schema[query_col].dataType, True
+            ),
+            T.StructField("rank", T.IntegerType(), True),
+            T.StructField(
+                id_col, candidates.schema[id_col].dataType, True
+            ),
+            T.StructField("mmr_score", T.DoubleType(), True),
+        ]
+    )
+    return candidates.groupBy(query_col).applyInPandas(
+        _greedy, schema=schema
+    )

@@ -1,0 +1,238 @@
+"""Round-8 operators: prefix-filter set-similarity join, Matryoshka
+two-stage ANN, Theil-Sen robust trend, Holt linear smoothing, MMR
+diversity re-ranking."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_set_similarity_join_finds_only_true_pairs(spark):
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(f"w{i}" for i in range(19)) + " zz"
+    other = " ".join(f"q{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    out = set_similarity_join(df, threshold=0.5, ngram=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # bigrams: base has 19, near has 19 (18 shared + 'w18 zz'),
+    # intersection 18, union 20
+    assert r["jaccard"] == round(18 / 20, 6)
+
+
+def test_set_similarity_join_prefix_filter_is_complete(spark):
+    """Prefix-filtered result == brute-force Jaccard over ALL pairs —
+    the lossless claim, checked on a fixture where many docs share
+    common tokens (so prefixes genuinely prune)."""
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    rows = []
+    for d in range(12):
+        toks = [f"common{i}" for i in range(6)] + [
+            f"rare{d}_{i}" for i in range(d % 4)
+        ]
+        rows.append((d, " ".join(toks)))
+    # two planted near-dups of doc 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1] + " extraword"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, threshold=t, ngram=2).collect()
+    }
+
+    # brute force in python
+    import itertools
+
+    def bigrams(s):
+        w = s.split()
+        return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+    sets = {d: bigrams(s) for d, s in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= t:
+            want[(a, b)] = j
+    assert got == want
+    assert (0, 100) in got  # exact dup present
+
+
+def test_set_similarity_join_strategies_agree(spark):
+    """prefix / count / auto produce the identical pair set — the
+    two physical plans implement one logical operator."""
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    rows = [
+        (d, " ".join(f"w{(d * 7 + i) % 25}" for i in range(15)))
+        for d in range(20)
+    ]
+    rows.append((99, rows[4][1]))  # planted exact dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {}
+    for strat in ("prefix", "count", "auto"):
+        res[strat] = sorted(
+            tuple(r)
+            for r in set_similarity_join(
+                df, threshold=0.5, ngram=2, strategy=strat
+            ).collect()
+        )
+    assert res["prefix"] == res["count"] == res["auto"]
+    assert any(p[:2] == (4, 99) for p in res["count"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        set_similarity_join(df, strategy="bogus")
+
+
+def test_ann_matryoshka_matches_bruteforce_at_full_recall(spark):
+    from etl_orders_to_bq_spark.operators.ann import (
+        ann_topk_bruteforce,
+        ann_topk_matryoshka,
+    )
+
+    rows = [
+        (i, [math.sin(0.1 * i * (j + 1)) for j in range(32)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_topk_bruteforce(df, q, k=5).collect()
+    ]
+    # coarse_m = n -> stage 1 keeps everything -> exact recovery
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_topk_matryoshka(
+            df, q, k=5, coarse_dim=8, coarse_m=60
+        ).collect()
+    ]
+    assert full == brute
+    # tiny coarse_m: result is still deterministic top-k OF THE
+    # SURVIVORS (two-stage definition), k rows, sorted by cos desc
+    small = ann_topk_matryoshka(df, q, k=5, coarse_dim=8, coarse_m=5).collect()
+    assert len(small) == 5
+    sims = [r["cos_sim"] for r in small]
+    assert sims == sorted(sims, reverse=True)
+    with pytest.raises(ValueError, match="coarse_dim"):
+        ann_topk_matryoshka(df, q, coarse_dim=64)
+
+
+def test_theilsen_trend_robust_to_outlier(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import theilsen_trend
+
+    # y = 3t except one wild outlier; OLS would bend, Theil-Sen holds
+    pts = [("a", float(t), 3.0 * t) for t in range(10)]
+    pts[5] = ("a", 5.0, 500.0)
+    df = spark.createDataFrame(pts, "g string, t double, y double")
+    r = theilsen_trend(df, "g", "t", "y").collect()[0]
+    assert r["n_points"] == 10
+    assert r["n_pairs"] == 45
+    assert r["ts_slope"] == 3.0
+
+
+def test_theilsen_trend_even_pair_count_averages_middles(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import theilsen_trend
+
+    # 4 points -> 6 slopes (even): median = mean of 3rd and 4th
+    pts = [("a", 0.0, 0.0), ("a", 1.0, 1.0), ("a", 2.0, 4.0),
+           ("a", 3.0, 9.0)]
+    df = spark.createDataFrame(pts, "g string, t double, y double")
+    slopes = sorted(
+        round((y2 - y1) / (t2 - t1), 6)
+        for i, (_, t1, y1) in enumerate(pts)
+        for (_, t2, y2) in pts[i + 1:]
+    )
+    want = round((slopes[2] + slopes[3]) / 2, 6)
+    r = theilsen_trend(df, "g", "t", "y").collect()[0]
+    assert r["n_pairs"] == 6
+    assert r["ts_slope"] == want
+    # single-point group: NULL slope, not a crash
+    df1 = spark.createDataFrame(
+        [("b", 0.0, 1.0)], "g string, t double, y double"
+    )
+    r1 = theilsen_trend(df1, "g", "t", "y").collect()[0]
+    assert r1["n_points"] == 1 and r1["ts_slope"] is None
+
+
+def test_holt_linear_matches_integer_reference(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import holt_linear
+
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    df = spark.createDataFrame(
+        [("a", float(t), y) for t, y in enumerate(ys)],
+        "g string, t double, y double",
+    )
+    # reference: exact micro-unit recurrence, alpha=1/2 beta=3/10
+    mu = [round(y * 1_000_000) for y in ys]
+    l, b = mu[0], mu[1] - mu[0]
+    for y in mu[1:]:
+        l_new = math.floor((1 * y + 1 * (l + b)) / 2.0)
+        b = math.floor((3 * (l_new - l) + 7 * b) / 10.0)
+        l = l_new
+    r = holt_linear(df, "g", "t", "y", horizon=2).collect()[0]
+    assert r["n_points"] == 6
+    assert r["level"] == l / 1e6
+    assert r["trend"] == b / 1e6
+    assert r["forecast"] == (l + 2 * b) / 1e6
+    # n = 1 -> NULLs
+    d1 = spark.createDataFrame(
+        [("b", 0.0, 5.0)], "g string, t double, y double"
+    )
+    r1 = holt_linear(d1, "g", "t", "y").collect()[0]
+    assert r1["level"] is None and r1["forecast"] is None
+    with pytest.raises(ValueError, match="denominator"):
+        holt_linear(df, "g", "t", "y", alpha=0.123456789)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from etl_orders_to_bq_spark.operators.fusion import mmr_rerank
+
+    # candidates: 10/11 nearly identical high-relevance, 12 distinct
+    # mid-relevance. Plain top-2 by rel = {10, 11}; MMR at lambda 0.5
+    # must pick the distinct one second.
+    rows = [
+        (0, 10, [1.0, 0.0, 0.0], 0.99),
+        (0, 11, [0.999, 0.01, 0.0], 0.98),
+        (0, 12, [0.0, 1.0, 0.0], 0.70),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, embedding array<double>, rel double",
+    )
+    out = sorted(
+        mmr_rerank(df, k=3, lam=0.5).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["vec_id"] for r in out] == [10, 12, 11]
+    assert out[0]["mmr_score"] == round(0.5 * 0.99, 6)
+    # rank-2 score: lam*rel - (1-lam)*cos(12, 10) = 0.5*0.7 - 0.5*0.0
+    assert out[1]["mmr_score"] == round(0.5 * 0.70, 6)
+
+
+def test_mmr_rerank_k_exceeds_pool(spark):
+    from etl_orders_to_bq_spark.operators.fusion import mmr_rerank
+
+    rows = [(0, 1, [1.0, 0.0], 0.9), (0, 2, [0.0, 1.0], 0.8)]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, vec_id long, embedding array<double>, rel double",
+    )
+    out = mmr_rerank(df, k=5, lam=0.7).collect()
+    assert len(out) == 2  # truncates at pool size, no crash
