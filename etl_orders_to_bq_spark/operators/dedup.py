@@ -686,13 +686,22 @@ def ngram_containment(
     """
     from ..functions.text import normalize_text, word_ngrams
 
+    if verify not in ("auto", "array", "exploded"):
+        raise ValueError(f"unknown verify strategy: {verify}")
     if pairs is None:
+        # LSH candidates are already pair-distinct
         pairs = minhash_lsh_candidates(
             df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
             bands=bands, shingle_len=shingle_len, max_bucket=max_bucket,
             hash_fn=hash_fn,
-        )
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+        ).select("id_a", "id_b")
+    else:
+        # caller-supplied pairs (e.g. a UNION of candidate generators)
+        # may repeat: the exploded verify counts (pair, shingle) rows,
+        # so a duplicated pair would multiply n_common — dedup here,
+        # not in the caller's contract
+        pairs = pairs.select("id_a", "id_b").distinct()
+    pairs = pairs.localCheckpoint(eager=False)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -176,6 +176,15 @@ def mmr_rerank(
     from pyspark.sql import types as T
 
     lam_f, nd = float(lam), int(ndigits)
+    pow10 = 10.0 ** nd
+
+    def _round_away(x):
+        # round-half-AWAY-from-zero on the scaled double — mirrors
+        # DuckDB's round() (std::round) and Spark's HALF_UP, unlike
+        # np.round's half-to-even: a midpoint tie inside the greedy
+        # loop would otherwise flip an argmax and change the whole
+        # selection suffix
+        return np.copysign(np.floor(np.abs(x) * pow10 + 0.5), x) / pow10
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -195,12 +204,12 @@ def mmr_rerank(
                 denom = norms * norms[last]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = np.where(denom > 0, X @ X[last] / denom, 0.0)
-                cos = np.round(cos, nd)
+                cos = _round_away(cos)
                 maxsim = np.maximum(maxsim, cos)
                 score = lam_f * rel - (1.0 - lam_f) * maxsim
             else:
                 score = lam_f * rel
-            score = np.round(score, nd)
+            score = _round_away(score)
             score[chosen] = -np.inf
             # argmax with smaller-id tie-break: ids ascend with the
             # row index (sorted above), np.argmax returns the FIRST max

@@ -199,7 +199,9 @@ def semdedup_auto(
         F.sum("__s").alias("__n"),
         F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
     ).collect()[0]
-    work_per_row = st["__ss"] / max(st["__n"] or 0, 1)
+    # empty input: both sums are NULL -> treat as zero work (the
+    # cheap branch; semdedup_keep returns an empty frame either way)
+    work_per_row = (st["__ss"] or 0) / max(st["__n"] or 0, 1)
     if work_per_row > degeneracy_factor * target_cluster:
         centroids, _ = lloyd_kmeans(
             embeddings, seeds, rounds=kmeans_rounds,

@@ -25,9 +25,13 @@ token-frequency distribution:
   token array to ~all-pairs candidates (measured r8: the 31-word
   fixture at sf0.1 ran 9+ min on the array verify vs seconds on
   count).
-- ``auto`` (default): probe both cost estimates from the VOCAB-SIZED
-  frequency tables (sum df^2 for count; sum prefix-df^2 x avg set
-  size for prefix+verify — two tiny aggs, no corpus pass) and pick.
+- ``auto`` (default): staged probe. Stage 1 reads ONLY the
+  vocab-sized df table: if the count plan's total volume sum(df^2)
+  fits ``count_volume_budget``, take count immediately (no per-doc
+  structures are ever built — exactly the degenerate-vocab case).
+  Otherwise build the prefix structures (the prefix path needs them
+  anyway) and compare the measured prefix-candidate volume against
+  sum(df^2) as the tie-break.
 
 Scale notes:
 - tokenize + explode once; the token df table is vocab-sized;
@@ -92,6 +96,7 @@ def set_similarity_join(
     ngram: int = 2,
     ndigits: int = 6,
     strategy: str = "auto",
+    count_volume_budget: int = 200_000_000,
 ) -> DataFrame:
     """All pairs (id_a, id_b, jaccard) with EXACT word-``ngram``
     Jaccard >= ``threshold`` (id_a < id_b, 6dp-rounded similarity —
@@ -120,6 +125,27 @@ def set_similarity_join(
     if strategy == "count":
         return _ssj_count(tok, sizes, id_col, threshold, ndigits)
 
+    if strategy == "auto":
+        # stage-1 probe from the VOCAB-SIZED df table alone (no
+        # corpus pass): if the count plan's total volume sum df^2
+        # fits the budget, it is certainly affordable — take it
+        # without ever building the per-doc prefix structures. Zipf
+        # corpora (where prefix filtering is the win) blow this
+        # budget immediately via their hot tokens and fall through.
+        cc = (
+            dfreq.agg(
+                F.sum(F.col("__df") * F.col("__df")).alias("cc")
+            ).collect()[0]["cc"]
+            or 0
+        )
+        if cc <= count_volume_budget:
+            return _ssj_count(tok, sizes, id_col, threshold, ndigits)
+
+    # the prefix must stay complete for every pair the OUTPUT keeps:
+    # the filter compares the ROUNDED jaccard, which admits exact J
+    # down to t - 0.5*10^-ndigits — size the prefix for that
+    # effective threshold, not t itself
+    t_eff = max(float(threshold) - 0.5 * 10.0 ** (-ndigits), 1e-12)
     # global rarity rank: ties on the token string so the order is
     # total and engine-independent. Vocab-sized window (see module
     # docstring for the >10^8-token swap).
@@ -131,17 +157,19 @@ def set_similarity_join(
         F.sort_array(F.collect_list("__t")).alias("__set"),
     )
     s = F.size("__rs")
-    prefix_len = s - F.ceil(s * F.lit(float(threshold))).cast("int") + 1
+    prefix_len = s - F.ceil(s * F.lit(t_eff)).cast("int") + 1
     pref = per_doc.select(
         F.col(id_col),
         F.explode(F.slice("__rs", 1, prefix_len)).alias("__pr"),
     ).localCheckpoint(eager=False)
 
     if strategy == "auto":
-        # both estimates come from vocab-sized aggregates: candidate
-        # volume ~ sum over prefix tokens of (docs-with-it-in-prefix)^2
-        # and each candidate pays ~avg-set-size verify work; the count
-        # plan's volume is sum df^2 id-pair rows. One tiny collect.
+        # stage-2 probe (the count plan was NOT obviously cheap):
+        # candidate volume ~ sum over prefix tokens of
+        # (docs-with-it-in-prefix)^2, each candidate paying
+        # ~avg-set-size verify work; the prefix structures built here
+        # are exactly the ones the prefix path reuses, so nothing is
+        # wasted when prefix wins (the common case past the budget).
         est = (
             pref.groupBy("__pr")
             .agg(F.count("*").alias("__c"))
@@ -149,17 +177,11 @@ def set_similarity_join(
                 F.sum(F.col("__c") * F.col("__c")).alias("pc")
             )
             .crossJoin(
-                dfreq.agg(
-                    F.sum(F.col("__df") * F.col("__df")).alias("cc")
-                )
-            )
-            .crossJoin(
                 sizes.agg(F.avg("__s").alias("avg_s"))
             )
             .collect()[0]
         )
         pc = (est["pc"] or 0) * max(est["avg_s"] or 1.0, 1.0)
-        cc = est["cc"] or 0
         if cc < pc:
             return _ssj_count(tok, sizes, id_col, threshold, ndigits)
 

@@ -172,6 +172,11 @@ def test_semdedup_auto_branches(spark):
     assert got2 == want2
     # ids partition: every input id is either kept or shadowed
     assert {t[0] for t in got2} <= set(range(30))
+    # empty input: empty keep-set, not a TypeError (review finding r8)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert semdedup_auto(empty, dim=8, seed=5).count() == 0
 
 
 def test_rrf_fuse_hand_computed(spark):
@@ -1622,6 +1627,32 @@ def test_ngram_containment_prefix_is_contained(spark):
     assert r["n_common"] == 10
     assert r["containment_b_in_a"] == 1.0
     assert r["containment_a_in_b"] == round(10 / 38, 6)
+
+
+def test_ngram_containment_duplicate_pairs_not_double_counted(spark):
+    """Caller-supplied pairs may repeat (e.g. a union of candidate
+    generators): the exploded verify counts (pair, shingle) rows, so
+    without the internal distinct a duplicated pair would double
+    n_common (review finding r8: containment_b_in_a came back 2.0)."""
+    from etl_orders_to_bq_spark.operators.dedup import ngram_containment
+
+    docs = [
+        (1, " ".join(f"tok{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2)], "id_a long, id_b long"
+    )
+    for mode in ("array", "exploded"):
+        out = ngram_containment(df, pairs=pairs, verify=mode).collect()
+        assert len(out) == 1, mode
+        assert out[0]["n_common"] == 10, mode
+        assert out[0]["containment_b_in_a"] == 1.0, mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify"):
+        ngram_containment(df, pairs=pairs, verify="explode")
 
 
 def test_ngram_containment_verify_paths_agree(spark):
