@@ -1341,6 +1341,67 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential p-value (operators/experiment.py
+    msprt_test, Johari et al. 2017): mixture-SPRT on the click-vs-
+    error mean difference with a N(0,1) effect prior — the p-value a
+    platform can PEEK at continuously without inflating type-I.
+    Moments are decimal-exact with one 6dp division each; the exp is
+    the engine's staged Taylor-Horner kernel, replayed textually by
+    the oracle (multitest._det_exp_sql)."""
+    from etl_orders_to_bq_spark.operators.experiment import msprt_test
+
+    e = _t(spark, sf_dir, "events")
+    return msprt_test(e, "event_type", "value", "click", "error", tau=1.0)
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day)
+    (operators/timeseries.py twap): each observation weighted by the
+    integer seconds it remained current (lead() to the next event,
+    last one to day end) — decimal-exact weighted sums, one 6dp
+    division. The oracle replays the identical lead/weight/ratio."""
+    from etl_orders_to_bq_spark.operators.timeseries import twap
+
+    e = _t(spark, sf_dir, "events")
+    return twap(e, "event_type", "ts", "value").orderBy(
+        "event_type", "day"
+    )
+
+
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of daily event counts per
+    type (operators/timeseries.py dispersion_index): var/mean of an
+    arrival process — ~1 Poisson, >>1 bursty, <<1 metronomic. Exact
+    integer count moments, two 6dp divisions, fdr_bh's moment
+    discipline."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        dispersion_index,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return dispersion_index(e, "event_type", "ts").orderBy("event_type")
+
+
+def q_rarity_weighted_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rarity-weighted set-similarity join (operators/setjoin.py
+    rarity_weighted_jaccard): bigram sets with integer micro-weights
+    floor(1e6/df) — idf's ordering without libm log, so weight sums
+    stay exact longs and the whole join is order-free. The oracle
+    replays weights, shared-weight sums, and the single rounded
+    division."""
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        rarity_weighted_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rarity_weighted_jaccard(
+        d, threshold=0.2, ngram=2
+    ).orderBy("id_a", "id_b")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking
     (operators/fusion.py mmr_rerank, Carbonell & Goldstein 1998):
@@ -7549,6 +7610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trend": q_theilsen_trend,
         "holt_linear": q_holt_linear,
         "mmr_rerank": q_mmr_rerank,
+        "msprt": q_msprt,
+        "twap": q_twap,
+        "dispersion_index": q_dispersion_index,
+        "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -10969,6 +11034,160 @@ def oracle_sql() -> dict[str, str]:
         union all
         select query_id, 3, vec_id, score from s3
         order by query_id, rank
+    """
+    # mSPRT always-valid p: decimal moments, 6dp delta/V literals,
+    # the deterministic exp replayed textually, convergence clamp
+    # y < -64 -> 0 mirrored
+    from etl_orders_to_bq_spark.operators.multitest import _det_exp_sql
+
+    _msp_exp = _det_exp_sql("yv")
+    out["msprt"] = f"""
+        with a as (
+          select cast(count(*) as bigint) as n_a,
+                 round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(*), 6) as m0_a,
+                 round(cast(sum(cast(value as decimal(18,2))
+                                * cast(value as decimal(18,2)))
+                            as double) / count(*), 6) as m2_a
+          from events
+          where event_type = 'click' and value is not null
+        ),
+        b as (
+          select cast(count(*) as bigint) as n_b,
+                 round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(*), 6) as m0_b,
+                 round(cast(sum(cast(value as decimal(18,2))
+                                * cast(value as decimal(18,2)))
+                            as double) / count(*), 6) as m2_b
+          from events
+          where event_type = 'error' and value is not null
+        ),
+        s as (
+          select n_a, n_b, m0_a, m0_b,
+                 m2_a - m0_a * m0_a as var_a,
+                 m2_b - m0_b * m0_b as var_b
+          from a, b
+        ),
+        d as (
+          select n_a, n_b, round(m0_a - m0_b, 6) as delta,
+                 case when n_a > 0 and n_b > 0
+                           and var_a >= 0 and var_b >= 0
+                      then round(var_a / n_a + var_b / n_b, 6)
+                 end as v_n
+          from s
+        ),
+        yc as (
+          select *, case when v_n > 0 then
+                   -(delta * delta * 1.0)
+                   / (2.0 * v_n * (v_n + 1.0)) end as yv
+          from d
+        ),
+        pc as (
+          select *, case when yv is not null then
+                   case when yv < -64.0 then 0.0
+                        else round(least(1.0,
+                               sqrt((v_n + 1.0) / v_n)
+                               * {_msp_exp}), 6)
+                   end end as p_always_valid
+          from yc
+        )
+        select 'click' as group_a, 'error' as group_b,
+               n_a, n_b, delta, v_n, p_always_valid,
+               case when p_always_valid is not null
+                    then p_always_valid < 0.05 end as reject
+        from pc
+    """
+    # TWAP: lead() to the next same-(type, day) observation, integer
+    # seconds, decimal-exact weighted sum, one rounded division
+    out["twap"] = """
+        with base as (
+          select event_type, ts, value,
+                 date_trunc('day', ts) as day,
+                 lead(ts) over (partition by event_type,
+                                date_trunc('day', ts)
+                                order by ts, value) as nxt
+          from events
+        ),
+        w as (
+          select event_type, day,
+                 cast(value as decimal(18,2)) as v,
+                 date_diff('second', ts,
+                           coalesce(nxt, day + interval 1 day)) as secs
+          from base
+        ),
+        agg as (
+          select event_type, day,
+                 cast(count(*) as bigint) as n_events,
+                 cast(sum(secs) as bigint) as tw,
+                 sum(v * secs) as tvw
+          from w group by 1, 2
+        )
+        select event_type, day, n_events,
+               case when tw > 0
+                    then round(cast(tvw as double) / tw, 6)
+               end as twap
+        from agg order by event_type, day
+    """
+    # Fano factor of daily counts: exact integer moments
+    out["dispersion_index"] = """
+        with daily as (
+          select event_type, date_trunc('day', ts) as d,
+                 count(*) as c
+          from events group by 1, 2
+        ),
+        mom as (
+          select event_type, cast(count(*) as bigint) as n_days,
+                 round(cast(sum(c) as double) / count(*), 6)
+                   as mean_daily,
+                 round(cast(sum(c * c) as double) / count(*), 6)
+                   as m2
+          from daily group by 1
+        )
+        select event_type, n_days, mean_daily,
+               case when mean_daily > 0 then
+                 round((m2 - mean_daily * mean_daily) / mean_daily, 6)
+               end as fano,
+               case when mean_daily > 0 then
+                 round((m2 - mean_daily * mean_daily) / mean_daily, 6)
+                 > 1.0
+               end as overdispersed
+        from mom order by event_type
+    """
+    # rarity-weighted Jaccard: integer micro-weights floor(1e6/df),
+    # exact long weight sums, one rounded division
+    out["rarity_weighted_jaccard"] = """
+        with w as (
+          select doc_id,
+                 regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\S+') as ws
+          from documents
+        ),
+        tok as (
+          select distinct doc_id, ws[i] || ' ' || ws[i+1] as t
+          from w, unnest(generate_series(1, len(ws) - 1)) as g(i)
+        ),
+        wt as (
+          select t, cast(floor(1000000 / count(*)) as bigint) as wv
+          from tok group by t
+        ),
+        tw as (select doc_id, tok.t, wv from tok join wt using (t)),
+        dw as (select doc_id, sum(wv) as dwv from tw group by 1),
+        iw as (
+          select a.doc_id as ia, b.doc_id as ib, sum(a.wv) as iwv
+          from tw a join tw b on a.t = b.t and a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        j as (
+          select ia as id_a, ib as id_b,
+                 round(cast(iwv as double)
+                       / (da.dwv + db.dwv - iwv), 6) as w_jaccard
+          from iw
+          join dw da on da.doc_id = ia
+          join dw db on db.doc_id = ib
+        )
+        select id_a, id_b, w_jaccard from j
+        where w_jaccard >= 0.2 order by id_a, id_b
     """
     # semdedup over LEARNED centroids: the kmeans_lloyd unroll (2
     # rounds over the planted set, byte-identical init literals,

@@ -408,3 +408,114 @@ def simpsons_check(
         "rate_diff",
         flag.alias("reverses_overall"),
     )
+
+
+def msprt_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test — the ALWAYS-VALID
+    p-value for the two-sample mean difference (Johari, Koomen,
+    Pekelis & Walsh 2017, "Peeking at A/B Tests", KDD — public
+    literature): unlike the fixed-horizon z-test (mann_whitney_u /
+    fdr_bh's Φ machinery), this p-value stays valid under CONTINUOUS
+    MONITORING — peek every hour, stop when it crosses alpha, the
+    type-I guarantee holds. With a normal mixture prior N(0, tau²)
+    over the effect, the inverse likelihood ratio gives
+
+        p = min(1, sqrt(V / (V + tau²))
+                   · exp(+Delta²·tau² / (2·V·(V + tau²))))⁻¹
+          = min(1, sqrt((V + tau²) / V)
+                   · exp(−Delta²·tau² / (2·V·(V + tau²))))
+
+    with Delta = mean_a − mean_b and V = var_a/n_a + var_b/n_b (the
+    running variance of Delta).
+
+    Determinism: group moments are DECIMAL-exact sums collapsed by
+    one 6dp-rounded division each (the repo contract); Delta and V
+    are 6dp literals; the exp replays the engine's deterministic
+    Taylor-Horner kernel via ``multitest.with_det_exp`` (staged
+    projections, janino-safe), with the convergence clamp y < −64 →
+    p = 0 mirrored in the oracle. Degenerate inputs (V ≤ 0: constant
+    metric or empty arm) yield NULL p, never a confident value —
+    the fdr_bh/mann_whitney NULL discipline.
+
+    Output: one row (group_a, group_b, n_a, n_b, delta, v_n,
+    p_always_valid, reject).
+
+    Scale: one map-side-combinable groupBy to two moment rows; the
+    test itself is driver-free 1-row column math.
+    """
+    from .multitest import with_det_exp
+
+    dec = F.col(value_col).cast("decimal(18,2)")
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+
+    def _arm(name: str, suf: str) -> DataFrame:
+        g = filt.filter(F.col(group_col) == name).agg(
+            F.count("*").cast("long").alias(f"n_{suf}"),
+            F.round(
+                F.sum(dec).cast("double") / F.count("*"), ndigits
+            ).alias(f"m0_{suf}"),
+            F.round(
+                F.sum(dec * dec).cast("double") / F.count("*"), ndigits
+            ).alias(f"m2_{suf}"),
+        )
+        return g
+
+    j = _arm(group_a, "a").crossJoin(_arm(group_b, "b"))
+    var_a = F.col("m2_a") - F.col("m0_a") * F.col("m0_a")
+    var_b = F.col("m2_b") - F.col("m0_b") * F.col("m0_b")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    t2 = F.lit(float(tau) * float(tau))
+    j = j.withColumn(
+        "delta", F.round(F.col("m0_a") - F.col("m0_b"), ndigits)
+    ).withColumn(
+        "v_n",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0)
+            & (var_a >= 0) & (var_b >= 0),
+            F.round(var_a / na + var_b / nb, ndigits),
+        ),
+    )
+    y = -(
+        F.col("delta") * F.col("delta") * t2
+    ) / (F.lit(2.0) * F.col("v_n") * (F.col("v_n") + t2))
+    j = j.withColumn(
+        "__y", F.when(F.col("v_n") > 0, y)
+    )
+    j = with_det_exp(j, "__y", "__exp")
+    p = F.when(
+        F.col("__y").isNotNull(),
+        F.when(F.col("__y") < -64.0, F.lit(0.0)).otherwise(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt((F.col("v_n") + t2) / F.col("v_n"))
+                    * F.col("__exp"),
+                ),
+                ndigits,
+            )
+        ),
+    )
+    return j.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "delta",
+        "v_n",
+        p.alias("p_always_valid"),
+        F.when(
+            p.isNotNull(), p < F.lit(float(alpha))
+        ).alias("reject"),
+    )

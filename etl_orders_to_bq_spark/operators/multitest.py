@@ -52,6 +52,11 @@ _AS_B = [
     repr(1.330274429),
 ]
 _INV_SQRT_2PI = repr(0.3989422804014327)
+# clamp for the deterministic Φ complement: beyond this |z| the true
+# tail is below every rounding grid in use AND the Taylor-Horner exp
+# leaves its convergence region (|y|/64 > 1 near z ~ 11.3) — return
+# an exact 0.0 instead of divergent-series garbage
+_NSF_ZMAX = 8.0
 
 
 def _det_exp(y: Column) -> Column:
@@ -114,14 +119,44 @@ def with_p_value(
         poly = poly * F.col("__nsf_u") + F.lit(float(b))
     poly = poly * F.col("__nsf_u")
     pdf = F.lit(float(_INV_SQRT_2PI)) * F.col("__nsf_t")
+    # |z| > 8: true 2*sf(8) ~ 1.2e-15 already rounds to 0 at any
+    # ndigits <= 14, and past |z| ~ 11.3 the Taylor argument leaves
+    # the T(y/64)^64 convergence region entirely (garbage, not just
+    # imprecise) — clamp BEFORE the special function, mirrored in
+    # norm_sf / norm_sf_sql so every engine replays the same cliff
     p = F.when(
         F.col(z_col).isNotNull(),
-        F.round(
-            F.least(F.lit(1.0), F.lit(2.0) * (pdf * poly)), ndigits
+        F.when(z > _NSF_ZMAX, F.lit(0.0)).otherwise(
+            F.round(
+                F.least(F.lit(1.0), F.lit(2.0) * (pdf * poly)), ndigits
+            )
         ),
     )
     return df.withColumn(out_col, p).drop(
         "__nsf_w", "__nsf_t", "__nsf_u"
+    )
+
+
+def with_det_exp(
+    df: DataFrame, y_col: str, out_col: str
+) -> DataFrame:
+    """Append exp(y) for y <= 0 as a column via the STAGED
+    T(y/64)^64 projections — same shape (and same janino rationale)
+    as ``with_p_value``, exposed for operators that need the
+    deterministic exp outside a normal tail (mSPRT's mixture
+    likelihood). Callers clamp their own convergence region (|y| <=
+    64; see _NSF_ZMAX for the Φ case)."""
+    df = df.withColumn("__dex_w", F.col(y_col) / 64.0)
+    t: Column = F.lit(float(_EXP_COEFFS[-1]))
+    for coef in reversed(_EXP_COEFFS[:-1]):
+        t = t * F.col("__dex_w") + F.lit(float(coef))
+    df = df.withColumn("__dex_t", t)
+    for _ in range(6):
+        df = df.withColumn(
+            "__dex_t", F.col("__dex_t") * F.col("__dex_t")
+        )
+    return df.withColumn(out_col, F.col("__dex_t")).drop(
+        "__dex_w", "__dex_t"
     )
 
 
@@ -137,7 +172,7 @@ def norm_sf(z: Column) -> Column:
         poly = poly * t + F.lit(float(b))
     poly = poly * t
     pdf = F.lit(float(_INV_SQRT_2PI)) * _det_exp(-(z * z) / 2.0)
-    return pdf * poly
+    return F.when(z > _NSF_ZMAX, F.lit(0.0)).otherwise(pdf * poly)
 
 
 def norm_sf_sql(z: str) -> str:
@@ -148,7 +183,10 @@ def norm_sf_sql(z: str) -> str:
         poly = f"(({poly}) * {t} + {b})"
     poly = f"(({poly}) * {t})"
     pdf = f"({_INV_SQRT_2PI} * {_det_exp_sql(f'(-(({z}) * ({z})) / 2.0)')})"
-    return f"({pdf} * {poly})"
+    return (
+        f"(case when ({z}) > {repr(_NSF_ZMAX)} then 0.0 "
+        f"else ({pdf} * {poly}) end)"
+    )
 
 
 def fdr_bh(

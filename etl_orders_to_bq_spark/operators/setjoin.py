@@ -231,3 +231,78 @@ def _ssj_count(
 
 
 __all__ = ["set_similarity_join"]
+
+
+def rarity_weighted_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    ngram: int = 1,
+    weight_scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Rarity-WEIGHTED Jaccard join: like ``set_similarity_join`` but
+    each token contributes weight ~1/df instead of 1 — two docs
+    sharing a RARE term are more similar than two sharing 'the'
+    (the idf intuition behind every weighted set-similarity join in
+    the record-linkage literature, e.g. Chaudhuri et al. 2006).
+
+        wj(A,B) = sum_{t in A∩B} w(t) / (W_A + W_B - sum_shared),
+        w(t)    = floor(weight_scale / df(t))  — integer micro-weights
+
+    Integer weights instead of the textbook log-idf because log is a
+    libm call with no cross-engine bit guarantee and weight SUMS
+    would be order-dependent doubles; floor(scale/df) keeps every
+    sum an exact long (order-free, map-side combinable) and one
+    6dp-rounded division ends the pipeline — the repo's exactness
+    contract. The 1/df weight is idf without the log: same ordering
+    of token importances, heavier tail emphasis.
+
+    Plan: the count-strategy shape (token equi-join, zero arrays);
+    weights ride the vocab-sized df table. Same Omega(sum df²)
+    caveat — and the weighting is precisely why prefix filtering
+    does NOT apply here (a pair with J_w >= t need not share a
+    rarity-prefix token under the unweighted prefix bound).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    tok = _tokens(df, text_col, id_col, ngram).localCheckpoint(
+        eager=False
+    )
+    wts = tok.groupBy("__t").agg(
+        F.floor(
+            F.lit(int(weight_scale)) / F.count("*")
+        ).cast("long").alias("__w")
+    )
+    tw = tok.join(wts, "__t")
+    doc_w = tw.groupBy(id_col).agg(F.sum("__w").alias("__dw"))
+    a = tw.select(F.col(id_col).alias("id_a"), "__t", "__w")
+    b = tw.select(F.col(id_col).alias("id_b"), "__t")
+    inter_w = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("__w").alias("__iw"))
+    )
+    wa = doc_w.select(
+        F.col(id_col).alias("id_a"), F.col("__dw").alias("__wa")
+    )
+    wb = doc_w.select(
+        F.col(id_col).alias("id_b"), F.col("__dw").alias("__wb")
+    )
+    union_w = F.col("__wa") + F.col("__wb") - F.col("__iw")
+    wj = F.when(
+        union_w > 0,
+        F.round(F.col("__iw").cast("double") / union_w, ndigits),
+    )
+    return (
+        inter_w.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("w_jaccard", wj)
+        .filter(F.col("w_jaccard") >= threshold)
+        .select("id_a", "id_b", "w_jaccard")
+    )
+
+
+__all__ = ["set_similarity_join", "rarity_weighted_jaccard"]

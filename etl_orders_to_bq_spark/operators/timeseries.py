@@ -652,3 +652,119 @@ def holt_linear(
             (state["l"] + F.lit(int(horizon)) * state["b"]) / sc,
         ).alias("forecast"),
     )
+
+
+def twap(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Time-Weighted Average Price/value per (group, day) — the
+    market-data aggregate that weights each observation by how long
+    it REMAINED the current value (public trading-infrastructure
+    convention): a price that held for 6 hours moves the day's
+    average more than a one-second blip, which a plain avg() cannot
+    express.
+
+        twap = sum(v_i * w_i) / sum(w_i),
+        w_i  = seconds from ts_i to the NEXT observation in the same
+               (group, day), the last one extending to day end.
+
+    Exactness: weights are integer seconds (unix_timestamp longs);
+    the weighted sum aggregates DECIMAL(18,2)-cast values times long
+    weights — exact and order-free — collapsed by ONE 6dp-rounded
+    division (the repo contract). Zero-weight days (single
+    observation at exactly midnight of the next day cannot happen —
+    the last interval is always >= 1s unless the event sits ON the
+    boundary, where w = 0 and the day yields NULL).
+
+    Scale: one window shuffle on (group, day) for the lead() and one
+    map-side-combinable groupBy — both keyed on the same columns, so
+    AQE reuses the partitioning. State per key is one row (lead).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    w = Window.partitionBy(F.col(group_col), day).orderBy(
+        F.col(ts_col), F.col(value_col)
+    )
+    nxt = F.lead(F.col(ts_col)).over(w)
+    end = F.coalesce(nxt, day + F.expr("interval 1 day"))
+    secs = (
+        F.unix_timestamp(end) - F.unix_timestamp(F.col(ts_col))
+    ).cast("long")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    per = df.select(
+        F.col(group_col).alias("__g"),
+        day.alias("day"),
+        (dec * secs).alias("__vw"),
+        secs.alias("__w"),
+    )
+    agg = per.groupBy("__g", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("__w").cast("long").alias("__tw"),
+        F.sum("__vw").alias("__tvw"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "day",
+        "n_events",
+        F.when(
+            F.col("__tw") > 0,
+            F.round(
+                F.col("__tvw").cast("double") / F.col("__tw"), ndigits
+            ),
+        ).alias("twap"),
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of DAILY event counts per
+    group — variance-to-mean ratio of a count process (Fano 1947,
+    public literature): ~1 for Poisson arrivals, >> 1 for bursty
+    (retry storms, bot traffic, thundering herds), << 1 for
+    metronomic (schedulers, heartbeats). The first triage statistic
+    on any event feed.
+
+    Exactness: daily counts are exact longs; n, sum(c), sum(c²) are
+    exact integer aggregates; mean and m2 collapse by one 6dp-rounded
+    division each; variance = m2 − mean² and fano = var/mean are pure
+    double arithmetic on those literals (fdr_bh's moment discipline).
+    Zero-mean groups (impossible with count ≥ 1 rows, kept for the
+    contract) yield NULL.
+
+    Scale: two map-side-combinable groupBys — (group, day) then
+    (group); output is |groups| rows.
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("__g"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).agg(F.count("*").alias("__c"))
+    mom = daily.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sum("__c").cast("double") / F.count("*"), ndigits
+        ).alias("mean_daily"),
+        F.round(
+            F.sum(F.col("__c") * F.col("__c")).cast("double")
+            / F.count("*"),
+            ndigits,
+        ).alias("__m2"),
+    )
+    var = F.col("__m2") - F.col("mean_daily") * F.col("mean_daily")
+    fano = F.when(
+        F.col("mean_daily") > 0,
+        F.round(var / F.col("mean_daily"), ndigits),
+    )
+    return mom.select(
+        F.col("__g").alias(group_col),
+        "n_days",
+        "mean_daily",
+        fano.alias("fano"),
+        F.when(fano.isNotNull(), fano > 1.0).alias("overdispersed"),
+    )

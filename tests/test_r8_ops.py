@@ -236,3 +236,119 @@ def test_mmr_rerank_k_exceeds_pool(spark):
     )
     out = mmr_rerank(df, k=5, lam=0.7).collect()
     assert len(out) == 2  # truncates at pool size, no crash
+
+
+def test_msprt_is_conservative_under_null_and_fires_on_effect(spark):
+    from etl_orders_to_bq_spark.operators.experiment import msprt_test
+
+    rows = []
+    for i in range(400):
+        rows.append(("a", 10.0 + (i % 7)))
+        rows.append(("b", 10.0 + ((i + 3) % 7)))   # same distribution
+        rows.append(("c", 25.0 + (i % 7)))         # big shift
+    df = spark.createDataFrame(rows, "g string, value double")
+    null = msprt_test(df, "g", "value", "a", "b").collect()[0]
+    assert null["p_always_valid"] > 0.5
+    assert null["reject"] is False
+    eff = msprt_test(df, "g", "value", "a", "c").collect()[0]
+    assert eff["p_always_valid"] < 0.05
+    assert eff["reject"] is True
+    # constant metric: V = 0 -> NULL p, never a confident number
+    const = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 5.0)] * 10, "g string, value double"
+    )
+    deg = msprt_test(const, "g", "value", "a", "b").collect()[0]
+    assert deg["p_always_valid"] is None and deg["reject"] is None
+
+
+def test_twap_weights_by_holding_time(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import twap
+
+    # value 100 holds 6h, value 0 holds the remaining 18h:
+    # twap = (100*21600 + 0*64800) / 86400 = 25.0
+    rows = [
+        ("x", "2024-03-01 00:00:00", 100.0),
+        ("x", "2024-03-01 06:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = twap(df, "g", "ts", "value").collect()[0]
+    assert r["n_events"] == 2
+    assert r["twap"] == 25.0
+    # plain avg would say 50.0 — the whole point
+    assert r["twap"] != 50.0
+
+
+def test_dispersion_index_poisson_vs_bursty(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        dispersion_index,
+    )
+
+    rows = []
+    for d in range(1, 11):
+        for _ in range(5):  # metronomic: 5/day, var 0
+            rows.append(("steady", f"2024-01-{d:02d} 12:00:00"))
+        n = 46 if d == 1 else 1  # bursty: one huge day
+        for _ in range(n):
+            rows.append(("bursty", f"2024-01-{d:02d} 12:00:00"))
+    df = spark.createDataFrame(rows, "g string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["g"]: r for r in dispersion_index(df, "g", "ts").collect()}
+    assert out["steady"]["fano"] == 0.0
+    assert out["steady"]["overdispersed"] is False
+    assert out["bursty"]["fano"] > 10
+    assert out["bursty"]["overdispersed"] is True
+    assert out["bursty"]["n_days"] == 10
+
+
+def test_rarity_weighted_jaccard_upranks_rare_overlap(spark):
+    from etl_orders_to_bq_spark.operators.setjoin import (
+        rarity_weighted_jaccard,
+    )
+
+    # docs 1/2 share only a RARE token; docs 1/3 share only a COMMON
+    # token (present in every doc). Weighted similarity must rank
+    # (1,2) far above (1,3); unweighted Jaccard would tie them.
+    rows = [
+        (1, "common rareAB fill1a fill1b"),
+        (2, "common rareAB fill2a fill2b"),
+        (3, "common other3 fill3a fill3b"),
+        (4, "common other4 fill4a fill4b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["w_jaccard"]
+        for r in rarity_weighted_jaccard(
+            df, threshold=0.0001, ngram=1
+        ).collect()
+    }
+    assert out[(1, 2)] > 3 * out[(1, 3)]
+
+
+def test_norm_sf_clamps_beyond_taylor_region(spark):
+    """z > 8: true tail rounds to 0 at 6dp anyway, and past ~11.3 the
+    Taylor kernel diverges — the clamp returns exact 0.0 instead of
+    garbage (and the oracle SQL replays the same cliff)."""
+    import duckdb
+
+    from etl_orders_to_bq_spark.operators.multitest import (
+        norm_sf,
+        norm_sf_sql,
+    )
+
+    zs = [7.9, 8.5, 20.0, 40.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["sf"]
+        for r in df.select("z", norm_sf(F.col("z")).alias("sf")).collect()
+    }
+    assert got[8.5] == 0.0 and got[20.0] == 0.0 and got[40.0] == 0.0
+    assert 0 < got[7.9] < 1e-14
+    con = duckdb.connect()
+    for z in zs:
+        sql_val = con.execute(
+            f"select {norm_sf_sql(repr(z))}"
+        ).fetchone()[0]
+        assert abs(sql_val - got[z]) < 1e-18, z
