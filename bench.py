@@ -98,6 +98,22 @@ HEADLINE = [
     "mann_whitney",
     "fk_coverage",
     "code_detect",
+    # round-8: degeneracy-robust SemDeDup default (count + probe +
+    # conditional Lloyd at construction), two-stage Matryoshka
+    # retrieval, MMR diversity re-rank (grouped Arrow greedy),
+    # robust trend + sequential test + TWAP over events.
+    # set_similarity_join is deliberately NOT a headline: exact
+    # all-pairs on this fixture's 31-word vocab is inherently
+    # sum(df^2)-bound (~28 s at sf0.1, measured) — SCALING.md records
+    # the trade instead of hiding it in the suite total.
+    "semdedup_auto",
+    "ann_matryoshka",
+    "mmr_rerank",
+    "theilsen_trend",
+    "holt_linear",
+    "msprt",
+    "twap",
+    "dispersion_index",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -123,6 +139,10 @@ ITERATIVE = {
     # scalable_ntile collects per-partition counts at construction
     "rfm_segments",
     "perplexity_buckets",
+    # count/probe jobs + conditional Lloyd fit run at construction
+    "semdedup_auto",
+    # the query vector is collected at construction
+    "ann_matryoshka",
 }
 
 
