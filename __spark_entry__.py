@@ -1402,6 +1402,29 @@ def q_rarity_weighted_jaccard(
     ).orderBy("id_a", "id_b")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE training loop, value-verified end-to-end
+    (operators/lm.py learn_bpe_merges, Sennrich et al. 2016): three
+    rounds of count-pairs -> take the (n desc, a, b) argmax -> greedy
+    left-to-right re-merge over the VOCABULARY symbol arrays. The
+    registry's bpe_pair_counts entry pins one round's statistic; this
+    entry pins the ITERATION — selection ties, the sequential merge
+    fold ('aaa' + (a,a) -> [aa, a]), and the re-count after each
+    merge — via three unrolled oracle rounds (the kmeans_lloyd unroll
+    discipline). The list-returning trainer is wrapped to a DataFrame
+    at the API shim, like the reference's similarity dict."""
+    from etl_orders_to_bq_spark.operators.lm import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    merges = learn_bpe_merges(d, 3)
+    rows = [
+        (i + 1, a, b, int(n)) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, sym_a string, sym_b string, n_pair long"
+    ).orderBy("merge_rank")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking
     (operators/fusion.py mmr_rerank, Carbonell & Goldstein 1998):
@@ -7614,6 +7637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "dispersion_index": q_dispersion_index,
         "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
+        "bpe_merges": q_bpe_merges,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -11152,6 +11176,66 @@ def oracle_sql() -> dict[str, str]:
                  > 1.0
                end as overdispersed
         from mom order by event_type
+    """
+    # BPE training loop: 3 unrolled rounds (pair counts -> argmax with
+    # (n desc, a, b) ties -> greedy left-to-right merge fold), the
+    # kmeans_lloyd unroll discipline. The merge fold replays
+    # lm._apply_bpe_merge with a varchar[] list_reduce accumulator.
+    def _bpe_pairs(sym_cte: str) -> str:
+        return f"""
+          select u.p.a as a, u.p.b as b,
+                 cast(sum(n_word) as bigint) as n
+          from {sym_cte},
+               unnest([{{'a': s[i], 'b': s[i + 1]}}
+                       for i in range(1, len(s))]) as u(p)
+          group by 1, 2
+        """
+
+    def _bpe_merge_round(prev: str, m: str) -> str:
+        return f"""
+          select n_word,
+                 list_reduce(
+                   list_prepend([]::varchar[],
+                                list_transform(s, x -> [x])),
+                   (acc, e) -> case
+                     when len(acc) > 0
+                          and acc[len(acc)] = {m}.sym_a
+                          and e[1] = {m}.sym_b
+                     then list_concat(acc[1:len(acc) - 1],
+                                      [{m}.sym_a || {m}.sym_b])
+                     else list_append(acc, e[1]) end
+                 ) as s
+          from {prev}, {m}
+        """
+
+    _bpe_rounds = []
+    for _r in range(1, 4):
+        _bpe_rounds.append(f""",
+        p{_r} as ({_bpe_pairs(f"s{_r - 1}")}),
+        m{_r} as (
+          select a as sym_a, b as sym_b, n as n_pair
+          from p{_r} order by n desc, a, b limit 1
+        ),
+        s{_r} as ({_bpe_merge_round(f"s{_r - 1}", f"m{_r}")})""")
+    out["bpe_merges"] = f"""
+        with toks as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        wc as (select w, count(*) as n_word from toks group by w),
+        s0 as (
+          select n_word,
+                 [case when i = length(w) then substr(w, i, 1) || '</w>'
+                       else substr(w, i, 1) end
+                  for i in range(1, length(w) + 1)] as s
+          from wc
+        ){"".join(_bpe_rounds)}
+        select 1 as merge_rank, sym_a, sym_b, n_pair from m1
+        union all
+        select 2, sym_a, sym_b, n_pair from m2
+        union all
+        select 3, sym_a, sym_b, n_pair from m3
+        order by merge_rank
     """
     # rarity-weighted Jaccard: integer micro-weights floor(1e6/df),
     # exact long weight sums, one rounded division
