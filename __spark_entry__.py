@@ -11096,21 +11096,22 @@ def oracle_sql() -> dict[str, str]:
           select n_a, n_b, round(m0_a - m0_b, 6) as delta,
                  case when n_a > 0 and n_b > 0
                            and var_a >= 0 and var_b >= 0
-                      then round(var_a / n_a + var_b / n_b, 6)
-                 end as v_n
+                      then var_a / n_a + var_b / n_b
+                 end as vfull
           from s
         ),
         yc as (
-          select *, case when v_n > 0 then
+          select *, round(vfull, 6) as v_n,
+                 case when vfull > 0 then
                    -(delta * delta * 1.0)
-                   / (2.0 * v_n * (v_n + 1.0)) end as yv
+                   / (2.0 * vfull * (vfull + 1.0)) end as yv
           from d
         ),
         pc as (
           select *, case when yv is not null then
                    case when yv < -64.0 then 0.0
                         else round(least(1.0,
-                               sqrt((v_n + 1.0) / v_n)
+                               sqrt((vfull + 1.0) / vfull)
                                * {_msp_exp}), 6)
                    end end as p_always_valid
           from yc
@@ -11130,7 +11131,7 @@ def oracle_sql() -> dict[str, str]:
                  lead(ts) over (partition by event_type,
                                 date_trunc('day', ts)
                                 order by ts, value) as nxt
-          from events
+          from events where value is not null
         ),
         w as (
           select event_type, day,

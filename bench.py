@@ -541,6 +541,20 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         out["diverse_sample_growth"] = round(
             t10 / max(t1["median"], 1e-9), 1
         )
+        # capacity knob: bits grow with the corpus (auto_bits(n10)=9),
+        # holding the per-bucket quadratic term flat — the SemDeDup
+        # bits-11 discipline applied to the medoid sampler
+        t0 = time.perf_counter()
+        _force(
+            bucket_medoids(
+                e10, dim=64, bits=9, seed=42, pair_method="numpy"
+            )
+        )
+        t10 = round(time.perf_counter() - t0, 3)
+        out["diverse_sample_bits9_10x"] = t10
+        out["diverse_sample_bits9_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
 
         t1 = _timed(lambda: er(ents1), runs=2)
         t0 = time.perf_counter()

@@ -429,8 +429,8 @@ def msprt_test(
     type-I guarantee holds. With a normal mixture prior N(0, tau²)
     over the effect, the inverse likelihood ratio gives
 
-        p = min(1, sqrt(V / (V + tau²))
-                   · exp(+Delta²·tau² / (2·V·(V + tau²))))⁻¹
+        p = min(1, [sqrt(V / (V + tau²))
+                    · exp(+Delta²·tau² / (2·V·(V + tau²)))]⁻¹)
           = min(1, sqrt((V + tau²) / V)
                    · exp(−Delta²·tau² / (2·V·(V + tau²))))
 
@@ -438,8 +438,13 @@ def msprt_test(
     running variance of Delta).
 
     Determinism: group moments are DECIMAL-exact sums collapsed by
-    one 6dp-rounded division each (the repo contract); Delta and V
-    are 6dp literals; the exp replays the engine's deterministic
+    one 6dp-rounded division each (the repo contract); Delta is a
+    6dp literal; V enters the exponent UNROUNDED (at n ~ 10^7 the
+    true V sits below the 6dp grid — rounding it would NULL out or
+    grossly quantize a decisively powered test; it is still a
+    deterministic double over the rounded moments, so both engines
+    replay it bit-for-bit); the reported v_n column is rounded for
+    display. The exp replays the engine's deterministic
     Taylor-Horner kernel via ``multitest.with_det_exp`` (staged
     projections, janino-safe), with the convergence clamp y < −64 →
     p = 0 mirrored in the oracle. Degenerate inputs (V ≤ 0: constant
@@ -480,18 +485,20 @@ def msprt_test(
     j = j.withColumn(
         "delta", F.round(F.col("m0_a") - F.col("m0_b"), ndigits)
     ).withColumn(
-        "v_n",
+        # UNROUNDED V drives the statistic (see docstring); the
+        # rounded v_n below is display-only
+        "__v",
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0)
             & (var_a >= 0) & (var_b >= 0),
-            F.round(var_a / na + var_b / nb, ndigits),
+            var_a / na + var_b / nb,
         ),
-    )
+    ).withColumn("v_n", F.round(F.col("__v"), ndigits))
     y = -(
         F.col("delta") * F.col("delta") * t2
-    ) / (F.lit(2.0) * F.col("v_n") * (F.col("v_n") + t2))
+    ) / (F.lit(2.0) * F.col("__v") * (F.col("__v") + t2))
     j = j.withColumn(
-        "__y", F.when(F.col("v_n") > 0, y)
+        "__y", F.when(F.col("__v") > 0, y)
     )
     j = with_det_exp(j, "__y", "__exp")
     p = F.when(
@@ -500,7 +507,7 @@ def msprt_test(
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.sqrt((F.col("v_n") + t2) / F.col("v_n"))
+                    F.sqrt((F.col("__v") + t2) / F.col("__v"))
                     * F.col("__exp"),
                 ),
                 ndigits,

@@ -230,8 +230,6 @@ def _ssj_count(
     return _jaccard_out(pairs_inter, sizes, id_col, threshold, ndigits)
 
 
-__all__ = ["set_similarity_join"]
-
 
 def rarity_weighted_jaccard(
     df: DataFrame,

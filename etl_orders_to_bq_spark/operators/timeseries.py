@@ -680,10 +680,18 @@ def twap(
     the last interval is always >= 1s unless the event sits ON the
     boundary, where w = 0 and the day yields NULL).
 
+    NULL-value observations are EXCLUDED up front: a NULL carries no
+    price, so letting it hold an interval would silently count as
+    zero-for-its-holding-time (dragging twap toward 0), and a NULL
+    tied on ts would order differently across engines (Spark sorts
+    NULLS FIRST ascending, DuckDB NULLS LAST — review finding r8).
+    n_events therefore counts priced observations only.
+
     Scale: one window shuffle on (group, day) for the lead() and one
     map-side-combinable groupBy — both keyed on the same columns, so
     AQE reuses the partitioning. State per key is one row (lead).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     day = F.date_trunc("day", F.col(ts_col))
     w = Window.partitionBy(F.col(group_col), day).orderBy(
         F.col(ts_col), F.col(value_col)

@@ -261,6 +261,45 @@ def test_msprt_is_conservative_under_null_and_fires_on_effect(spark):
     assert deg["p_always_valid"] is None and deg["reject"] is None
 
 
+def test_msprt_subgrid_variance_still_scores(spark):
+    """V below the 6dp grid (large-n / tiny-variance regime) must
+    still produce a p-value — the exponent uses UNROUNDED V (review
+    finding r8: rounding V to 6dp NULLed decisively powered tests)."""
+    from etl_orders_to_bq_spark.operators.experiment import msprt_test
+
+    # values live on the operator's decimal(18,2) cent grid; the
+    # +-0.005 wiggle gives per-arm var 2.5e-5, so V = var*2/n ~ 2.5e-7
+    # — below the 6dp display grid
+    rows = []
+    for i in range(400):
+        rows.append(("a", 10.0 + (i % 2) * 0.01))
+        rows.append(("b", 10.5 + (i % 2) * 0.01))  # clear shift
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = msprt_test(df, "g", "value", "a", "b").collect()[0]
+    assert r["v_n"] == 0.0          # display column rounds to grid
+    assert r["p_always_valid"] is not None
+    assert r["p_always_valid"] < 0.05 and r["reject"] is True
+
+
+def test_twap_ignores_null_values(spark):
+    """NULL-value observations carry no price: they must not hold an
+    interval (review finding r8: a NULL tied on ts also orders
+    differently across engines)."""
+    from etl_orders_to_bq_spark.operators.timeseries import twap
+
+    rows = [
+        ("x", "2024-03-01 00:00:00", None),
+        ("x", "2024-03-01 00:00:00", 100.0),
+        ("x", "2024-03-01 12:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = twap(df, "g", "ts", "value").collect()[0]
+    assert r["n_events"] == 2
+    assert r["twap"] == 50.0
+
+
 def test_twap_weights_by_holding_time(spark):
     from etl_orders_to_bq_spark.operators.timeseries import twap
 
