@@ -1402,6 +1402,23 @@ def q_rarity_weighted_jaccard(
     ).orderBy("id_a", "id_b")
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window funnel depth per user (operators/seqmine.py
+    window_funnel, ClickHouse windowFunnel semantics): deepest
+    view->click->purchase chain fitting inside 6 hours of its own
+    first step — one in-row integer fold per user, no self-joins.
+    The oracle replays the fold with a bigint-list accumulator
+    (chain-start micros, -1 unset) over the identical (ts, step)
+    order."""
+    from etl_orders_to_bq_spark.operators.seqmine import window_funnel
+
+    e = _t(spark, sf_dir, "events")
+    return window_funnel(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_seconds=6 * 3600,
+    ).orderBy("user_id")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL BPE training loop, value-verified end-to-end
     (operators/lm.py learn_bpe_merges, Sennrich et al. 2016): three
@@ -7638,6 +7655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_index": q_dispersion_index,
         "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
         "bpe_merges": q_bpe_merges,
+        "window_funnel": q_window_funnel,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -11177,6 +11195,47 @@ def oracle_sql() -> dict[str, str]:
                  > 1.0
                end as overdispersed
         from mom order by event_type
+    """
+    # windowFunnel: the chain-start fold replayed with a bigint-list
+    # accumulator; elements are [epoch_us, step] pairs sorted (t, k)
+    _wf_win = 6 * 3600 * 1_000_000
+    out["window_funnel"] = f"""
+        with ev as (
+          select user_id, epoch_us(ts) as t,
+                 case event_type when 'view' then 0
+                                 when 'click' then 1
+                                 when 'purchase' then 2 end as k
+          from events
+          where event_type in ('view', 'click', 'purchase')
+        ),
+        arr as (
+          select user_id,
+                 list([t, k]::bigint[] order by t, k) as es,
+                 cast(count(*) as bigint) as n_step_events
+          from ev group by user_id
+        ),
+        f as (
+          select user_id, n_step_events,
+                 list_reduce(
+                   list_prepend([-1, -1, -1]::bigint[], es),
+                   (acc, e) -> [
+                     case when e[2] = 0 then e[1] else acc[1] end,
+                     case when e[2] = 1 and acc[1] <> -1
+                               and e[1] - acc[1] <= {_wf_win}
+                          then acc[1] else acc[2] end,
+                     case when e[2] = 2 and acc[2] <> -1
+                               and e[1] - acc[2] <= {_wf_win}
+                          then acc[2] else acc[3] end
+                   ]
+                 ) as st
+          from arr
+        )
+        select user_id, n_step_events,
+               cast(case when st[3] <> -1 then 3
+                         when st[2] <> -1 then 2
+                         when st[1] <> -1 then 1
+                         else 0 end as int) as funnel_level
+        from f order by user_id
     """
     # BPE training loop: 3 unrolled rounds (pair counts -> argmax with
     # (n desc, a, b) ties -> greedy left-to-right merge fold), the

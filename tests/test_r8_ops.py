@@ -391,3 +391,45 @@ def test_norm_sf_clamps_beyond_taylor_region(spark):
             f"select {norm_sf_sql(repr(z))}"
         ).fetchone()[0]
         assert abs(sql_val - got[z]) < 1e-18, z
+
+
+def test_window_funnel_depth_and_window(spark):
+    from etl_orders_to_bq_spark.operators.seqmine import window_funnel
+
+    rows = [
+        # u1: full chain inside the window -> 3
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:00:10", "click"),
+        (1, "2024-01-01 00:00:20", "purchase"),
+        # u2: click arrives past the window from its view -> 1
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:02:00", "click"),
+        # u3: a LATER view restarts the chain; click then fits -> 2
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:01:20", "view"),
+        (3, "2024-01-01 00:01:40", "click"),
+        # u4: purchase with no prior chain -> 0 (events counted, no level)
+        (4, "2024-01-01 00:00:00", "purchase"),
+        # u5: out-of-order steps (click before view) -> 1 (view only)
+        (5, "2024-01-01 00:00:00", "click"),
+        (5, "2024-01-01 00:00:10", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: r
+        for r in window_funnel(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], window_seconds=60,
+        ).collect()
+    }
+    assert out[1]["funnel_level"] == 3
+    assert out[2]["funnel_level"] == 1
+    assert out[3]["funnel_level"] == 2
+    assert out[4]["funnel_level"] == 0 and out[4]["n_step_events"] == 1
+    assert out[5]["funnel_level"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, "user_id", "ts", "event_type", ["a", "a"], 60)
