@@ -1402,6 +1402,27 @@ def q_rarity_weighted_jaccard(
     ).orderBy("id_a", "id_b")
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters per event type (operators/timeseries.py
+    holt_winters_seasonal): level + trend + 7-slot weekly seasonal
+    profile over the daily count series, season = day-number % 7 (NOT
+    dayofweek — engine origins differ). Same exact-integer
+    micro-state discipline as holt_linear; init from the first 2m
+    observations; the oracle folds a bigint[9] accumulator
+    ([l, b, s0..s6]) with identical floor arithmetic."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    s = _daily_event_series(spark, sf_dir).withColumn(
+        "j", F.col("t").cast("int") % 7
+    )
+    return holt_winters_seasonal(
+        s, "event_type", "t", "y", "j", m=7,
+        alpha=0.5, beta=0.3, gamma=0.3,
+    ).orderBy("event_type")
+
+
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window funnel depth per user (operators/seqmine.py
     window_funnel, ClickHouse windowFunnel semantics): deepest
@@ -7656,6 +7677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
         "bpe_merges": q_bpe_merges,
         "window_funnel": q_window_funnel,
+        "holt_winters": q_holt_winters,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -11195,6 +11217,80 @@ def oracle_sql() -> dict[str, str]:
                  > 1.0
                end as overdispersed
         from mom order by event_type
+    """
+    # Holt-Winters: bigint[9] accumulator [l, b, s0..s6] folded with
+    # the identical floor-quantized rational arithmetic; l' is
+    # textually inlined where referenced (same expression -> same
+    # value). alpha=1/2, beta=gamma=3/10.
+    _hw_l = (
+        "cast(floor((1*(e[1] - acc[e[2] + 3])"
+        " + 1*(acc[1] + acc[2])) / 2.0) as bigint)"
+    )
+    out["holt_winters"] = f"""
+        with s as ({_series}),
+        sj as (select event_type, t, y,
+                      (cast(t as int) % 7)::bigint as j
+               from s),
+        arr as (
+          select event_type,
+                 list([cast(round(y * 1000000) as bigint), j]
+                      order by t, y) as es,
+                 cast(count(*) as bigint) as n
+          from sj group by event_type
+        ),
+        pre as (
+          select event_type, n, es,
+                 list_reduce(
+                   list_prepend(0::bigint,
+                                list_transform(es[1:7], e -> e[1])),
+                   (a, x) -> a + x) as sum1,
+                 list_reduce(
+                   list_prepend(0::bigint,
+                                list_transform(es[8:14], e -> e[1])),
+                   (a, x) -> a + x) as sum2
+          from arr
+        ),
+        ini as (
+          select event_type, n, es,
+                 cast(floor(sum1 / 7.0) as bigint) as l0,
+                 cast(floor((sum2 - sum1) / 49.0) as bigint) as b0
+          from pre
+        ),
+        s0 as (
+          select event_type, n, es, l0, b0,
+                 list_reduce(
+                   list_prepend([0,0,0,0,0,0,0]::bigint[], es[1:7]),
+                   (acc, e) -> [case when k = e[2] + 1
+                                     then e[1] - l0
+                                     else acc[k] end
+                                for k in range(1, 8)]) as sv
+          from ini
+        ),
+        f as (
+          select event_type, n, es,
+                 list_reduce(
+                   list_prepend(([l0, b0] || sv)::bigint[], es[8:]),
+                   (acc, e) -> [
+                     {_hw_l},
+                     cast(floor((3*({_hw_l} - acc[1])
+                                 + 7*acc[2]) / 10.0) as bigint)
+                   ] || [case when k = e[2] + 3 then
+                           cast(floor((3*(e[1] - {_hw_l})
+                                       + 7*acc[e[2] + 3]) / 10.0)
+                                as bigint)
+                         else acc[k] end
+                         for k in range(3, 10)]) as st
+          from s0
+        )
+        select event_type, n as n_points,
+               case when n >= 14 then st[1] / 1000000.0 end as level,
+               case when n >= 14 then st[2] / 1000000.0 end as trend,
+               case when n >= 14 then
+                 (st[1] + st[2]
+                  + st[((es[len(es)][2] + 1) % 7 + 3)::int])
+                 / 1000000.0
+               end as forecast
+        from f order by event_type
     """
     # windowFunnel: the chain-start fold replayed with a bigint-list
     # accumulator; elements are [epoch_us, step] pairs sorted (t, k)

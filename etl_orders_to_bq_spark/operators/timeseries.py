@@ -776,3 +776,139 @@ def dispersion_index(
         fano.alias("fano"),
         F.when(fano.isNotNull(), fano > 1.0).alias("overdispersed"),
     )
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    season_col: str,
+    m: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing; Winters
+    1960, public literature) per group: level + trend + an m-slot
+    additive seasonal profile — the classic operational forecast for
+    daily series with a weekly shape. Callers supply the season index
+    column (0..m-1, e.g. day-number % 7 — NOT dayofweek(), whose
+    origin differs between engines).
+
+        l_t = a*(y_t - s_j) + (1-a)*(l + b)
+        b_t = B*(l_t - l) + (1-B)*b
+        s_j = G*(y_t - l_t) + (1-G)*s_j
+
+    Determinism: the holt_linear contract — state is EXACT integer
+    micro-units, a/B/G are rationals (Fraction(str(x))), every update
+    floor-quantized; the fold order is the sorted (t, y) order.
+    Init from the first 2m observations: l0 = floor(sum(y_1..m)/m),
+    b0 = floor((sum(y_m+1..2m) - sum(y_1..m))/m²), s_j = y_i - l0
+    for the first m observations (on a gappy series a repeated
+    season's LATER observation wins — deterministic either way);
+    updates fold from observation m+1. Groups with < 2m points yield
+    NULLs.
+
+    Output: (group, n_points, level, trend, forecast) with forecast =
+    (l + b + s_{next})/scale, next = (last observation's season + 1)
+    mod m — the one-step-ahead seasonal forecast.
+
+    Scale: one groupBy(group) shuffle; linear in-row fold per key —
+    entity-grain series, the ewma_last/holt_linear contract.
+    """
+    from fractions import Fraction
+
+    fa = Fraction(str(alpha))
+    fb = Fraction(str(beta))
+    fg = Fraction(str(gamma))
+    for f in (fa, fb, fg):
+        if f.denominator > 1000:
+            raise ValueError(
+                "alpha/beta/gamma must be exact rationals with "
+                f"denominator <= 1000 (got {float(f)})"
+            )
+    pa, qa = fa.numerator, fa.denominator
+    pb, qb = fb.numerator, fb.denominator
+    pg, qg = fg.numerator, fg.denominator
+    series = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.struct(
+                F.col(t_col).alias("t"),
+                F.round(F.col(y_col).cast("double") * scale)
+                .cast("long")
+                .alias("y"),
+                F.col(season_col).cast("int").alias("j"),
+            ).alias("__p"),
+        )
+        .groupBy("__g")
+        .agg(F.sort_array(F.collect_list("__p")).alias("__ps"))
+    )
+    ps = F.col("__ps")
+    n = F.size(ps)
+
+    def _fdiv(num, q: int):
+        return F.floor(num / F.lit(float(q))).cast("long")
+
+    zero = F.lit(0).cast("long")
+    sum1 = F.aggregate(
+        F.slice(ps, 1, m), zero, lambda a, e: a + e["y"]
+    )
+    sum2 = F.aggregate(
+        F.slice(ps, m + 1, m), zero, lambda a, e: a + e["y"]
+    )
+    l0 = _fdiv(sum1, m)
+    b0 = _fdiv(sum2 - sum1, m * m)
+    s0 = F.aggregate(
+        F.slice(ps, 1, m),
+        F.array_repeat(zero, m),
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: F.when(i == e["j"], e["y"] - l0).otherwise(v),
+        ),
+    )
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"))
+
+    def _step(acc, e):
+        sj = F.element_at(acc["s"], e["j"] + 1)
+        l_new = _fdiv(
+            F.lit(pa) * (e["y"] - sj)
+            + F.lit(qa - pa) * (acc["l"] + acc["b"]),
+            qa,
+        )
+        b_new = _fdiv(
+            F.lit(pb) * (l_new - acc["l"]) + F.lit(qb - pb) * acc["b"],
+            qb,
+        )
+        s_new = _fdiv(
+            F.lit(pg) * (e["y"] - l_new) + F.lit(qg - pg) * sj, qg
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, i: F.when(i == e["j"], s_new).otherwise(v),
+            ).alias("s"),
+        )
+
+    state = F.aggregate(F.slice(ps, m + 1, 2_147_483_000), init, _step)
+    nxt = (F.element_at(ps, -1)["j"] + 1) % m
+    sc = F.lit(float(scale))
+    ok = n >= 2 * m
+    return series.select(
+        F.col("__g").alias(group_col),
+        n.cast("long").alias("n_points"),
+        F.when(ok, state["l"] / sc).alias("level"),
+        F.when(ok, state["b"] / sc).alias("trend"),
+        F.when(
+            ok,
+            (
+                state["l"] + state["b"]
+                + F.element_at(state["s"], nxt + 1)
+            )
+            / sc,
+        ).alias("forecast"),
+    )

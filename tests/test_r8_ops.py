@@ -433,3 +433,47 @@ def test_window_funnel_depth_and_window(spark):
 
     with _pytest.raises(ValueError, match="distinct"):
         window_funnel(df, "user_id", "ts", "event_type", ["a", "a"], 60)
+
+
+def test_holt_winters_seasonal_matches_integer_reference(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    m = 3
+    # trend + additive period-3 season + deterministic wiggle
+    ys = [10 + 0.5 * t + [3, -1, -2][t % m] + (t % 2) * 0.25
+          for t in range(9)]
+    rows = [("a", float(t), ys[t], t % m) for t in range(9)]
+    df = spark.createDataFrame(
+        rows, "g string, t double, y double, j int"
+    )
+    # python reference: exact micro recurrence, a=1/2 B=G=3/10
+    mu = [round(y * 1_000_000) for y in ys]
+    l = math.floor(sum(mu[:m]) / float(m))
+    b = math.floor((sum(mu[m:2 * m]) - sum(mu[:m])) / float(m * m))
+    s = [0] * m
+    for t in range(m):
+        s[t % m] = mu[t] - l
+    for t in range(m, 9):
+        j = t % m
+        l_new = math.floor((1 * (mu[t] - s[j]) + 1 * (l + b)) / 2.0)
+        b = math.floor((3 * (l_new - l) + 7 * b) / 10.0)
+        s[j] = math.floor((3 * (mu[t] - l_new) + 7 * s[j]) / 10.0)
+        l = l_new
+    nxt = (8 % m + 1) % m
+    r = holt_winters_seasonal(
+        df, "g", "t", "y", "j", m=m, alpha=0.5, beta=0.3, gamma=0.3
+    ).collect()[0]
+    assert r["n_points"] == 9
+    assert r["level"] == l / 1e6
+    assert r["trend"] == b / 1e6
+    assert r["forecast"] == (l + b + s[nxt]) / 1e6
+    # short series (< 2m): NULLs, not garbage
+    short = spark.createDataFrame(
+        rows[:4], "g string, t double, y double, j int"
+    )
+    r0 = holt_winters_seasonal(
+        short, "g", "t", "y", "j", m=m
+    ).collect()[0]
+    assert r0["level"] is None and r0["forecast"] is None
