@@ -1402,6 +1402,24 @@ def q_rarity_weighted_jaccard(
     ).orderBy("id_a", "id_b")
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint localizer per event type
+    (operators/timeseries.py changepoint_level): argmax over the
+    division-cleared CUSUM curve |n*S_k - k*S_n| on the daily count
+    series — exact decimal integers end-to-end, ties to the smallest
+    k; cusum_drift ALARMS, this LOCATES. The oracle replays the
+    integer curve, the (d desc, k) argmax, and the two rounded
+    segment means."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        changepoint_level,
+    )
+
+    s = _daily_event_series(spark, sf_dir)
+    return changepoint_level(s, "event_type", "t", "y").orderBy(
+        "event_type"
+    )
+
+
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters per event type (operators/timeseries.py
     holt_winters_seasonal): level + trend + 7-slot weekly seasonal
@@ -7678,6 +7696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "window_funnel": q_window_funnel,
         "holt_winters": q_holt_winters,
+        "changepoint": q_changepoint,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -11217,6 +11236,60 @@ def oracle_sql() -> dict[str, str]:
                  > 1.0
                end as overdispersed
         from mom order by event_type
+    """
+    # changepoint localizer: division-cleared CUSUM argmax on exact
+    # decimal integers; ROWS frame spelled out (DuckDB's ordered-sum
+    # default is RANGE, which merges ties)
+    out["changepoint"] = f"""
+        with s as ({_series}),
+        c as (
+          select event_type, t,
+                 cast(round(y * 1000000) as decimal(38,0)) as ymu
+          from s
+        ),
+        cum as (
+          select event_type, t, ymu,
+                 sum(ymu) over (partition by event_type
+                                order by t, ymu
+                                rows between unbounded preceding
+                                and current row) as sk,
+                 row_number() over (partition by event_type
+                                    order by t, ymu) as k,
+                 count(*) over (partition by event_type) as n,
+                 sum(ymu) over (partition by event_type) as tot
+          from c
+        ),
+        cand as (
+          select *,
+                 abs(n::decimal(38,0) * sk
+                     - k::decimal(38,0) * tot) as d
+          from cum where k < n
+        ),
+        best as (
+          select event_type, k, t, sk, n, tot
+          from cand
+          qualify row_number() over (partition by event_type
+            order by d desc, k asc) = 1
+        ),
+        pts as (select event_type,
+                       cast(count(*) as bigint) as n_points
+                from c group by 1),
+        rep as (
+          select pts.event_type, n_points,
+                 case when n_points >= 2
+                      then cast(k as bigint) end as cp_k,
+                 case when n_points >= 2 then t end as cp_t,
+                 case when n_points >= 2 then
+                   round(cast(sk as double) / (k * 1000000.0), 6)
+                 end as left_mean,
+                 case when n_points >= 2 then
+                   round(cast(tot - sk as double)
+                         / ((n - k) * 1000000.0), 6)
+                 end as right_mean
+          from pts left join best using (event_type)
+        )
+        select *, round(right_mean - left_mean, 6) as shift
+        from rep order by event_type
     """
     # Holt-Winters: bigint[9] accumulator [l, b, s0..s6] folded with
     # the identical floor-quantized rational arithmetic; l' is

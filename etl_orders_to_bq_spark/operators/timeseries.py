@@ -912,3 +912,97 @@ def holt_winters_seasonal(
             / sc,
         ).alias("forecast"),
     )
+
+
+def changepoint_level(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Single level-shift changepoint LOCALIZER per group — the
+    binary-segmentation base step (CUSUM estimate of a mean change;
+    Page 1954, Sen & Srivastava 1975, public literature). Where
+    ``cusum_drift`` ALARMS on sustained drift, this answers *where*
+    the level shifted:
+
+        k* = argmax_{1 <= k < n} |n·S_k − k·S_n|
+
+    (S_k = prefix sum in (t, y) order) — the |S_k − (k/n)·S_n| CUSUM
+    curve with the division cleared, so the ENTIRE selection runs on
+    exact integers (values are scaled to 1/``scale`` micro-units and
+    summed as decimal(38,0); no float enters until the reported
+    means). Ties break to the smallest k. Output per group:
+    ``(group, n_points, cp_k, cp_t, left_mean, right_mean, shift)``
+    with cp_t the LAST point of the left segment and means one
+    rounded division each; groups with < 2 points yield NULLs.
+
+    Scale: per-group windows only (cumsum + the argmax struct-min) —
+    series are entity/day grain, the two-pass global machinery is
+    never needed; the shuffle carries (t, y-micro) pairs once.
+    """
+    ymu = F.round(F.col(y_col).cast("double") * scale).cast(
+        "decimal(38,0)"
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).alias("__t"),
+        ymu.alias("__y"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__t", "__y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("__g")
+    cum = (
+        base.withColumn("__s", F.sum("__y").over(w))
+        .withColumn("__k", F.count("*").over(w))
+        .withColumn("__n", F.count("*").over(wg))
+        .withColumn("__tot", F.sum("__y").over(wg))
+    )
+    d = F.abs(
+        F.col("__n").cast("decimal(38,0)") * F.col("__s")
+        - F.col("__k").cast("decimal(38,0)") * F.col("__tot")
+    )
+    cand = cum.filter(F.col("__k") < F.col("__n")).withColumn("__d", d)
+    best = cand.groupBy("__g").agg(
+        F.min(
+            F.struct(
+                (-F.col("__d")).alias("nd"),
+                F.col("__k").alias("k"),
+                F.col("__t").alias("t"),
+                F.col("__s").alias("s"),
+                F.col("__n").alias("n"),
+                F.col("__tot").alias("tot"),
+            )
+        ).alias("__b")
+    )
+    b = F.col("__b")
+    k = b["k"].cast("long")
+    n = b["n"].cast("long")
+    sc = F.lit(float(scale))
+    left = F.round(
+        b["s"].cast("double") / (b["k"].cast("double") * sc), ndigits
+    )
+    right = F.round(
+        (b["tot"] - b["s"]).cast("double")
+        / ((b["n"] - b["k"]).cast("double") * sc),
+        ndigits,
+    )
+    pts = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    out = pts.join(best, "__g", "left")
+    ok = F.col("n_points") >= 2
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n_points",
+        F.when(ok, k).alias("cp_k"),
+        F.when(ok, b["t"]).alias("cp_t"),
+        F.when(ok, left).alias("left_mean"),
+        F.when(ok, right).alias("right_mean"),
+        F.when(ok, F.round(right - left, ndigits)).alias("shift"),
+    )

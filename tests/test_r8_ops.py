@@ -477,3 +477,36 @@ def test_holt_winters_seasonal_matches_integer_reference(spark):
         short, "g", "t", "y", "j", m=m
     ).collect()[0]
     assert r0["level"] is None and r0["forecast"] is None
+
+
+def test_changepoint_level_finds_planted_shift(spark):
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        changepoint_level,
+    )
+
+    # level 10 for 12 points, then 25 for 8 — cp at k=12
+    ys = [10.0] * 12 + [25.0] * 8
+    df = spark.createDataFrame(
+        [("a", float(t), y) for t, y in enumerate(ys)],
+        "g string, t double, y double",
+    )
+    r = changepoint_level(df, "g", "t", "y").collect()[0]
+    assert r["cp_k"] == 12
+    assert r["cp_t"] == 11.0  # last point of the left segment
+    assert r["left_mean"] == 10.0
+    assert r["right_mean"] == 25.0
+    assert r["shift"] == 15.0
+    # constant series: SOME k is reported (d = 0 everywhere, ties to
+    # k=1) with zero shift — not a crash, not a false level
+    const = spark.createDataFrame(
+        [("b", float(t), 5.0) for t in range(6)],
+        "g string, t double, y double",
+    )
+    rc = changepoint_level(const, "g", "t", "y").collect()[0]
+    assert rc["cp_k"] == 1 and rc["shift"] == 0.0
+    # single point: NULLs
+    one = spark.createDataFrame(
+        [("c", 0.0, 3.0)], "g string, t double, y double"
+    )
+    ro = changepoint_level(one, "g", "t", "y").collect()[0]
+    assert ro["cp_k"] is None and ro["shift"] is None
