@@ -11024,8 +11024,12 @@ def oracle_sql() -> dict[str, str]:
         with s as ({_series}),
         arr as (
           select event_type,
+                 -- tie-break on the ROUNDED micro value: Spark's
+                 -- struct sort compares (t, y_micro), not raw y
                  list(cast(round(y * 1000000) as bigint)
-                      order by t, y) as ys,
+                      order by t,
+                               cast(round(y * 1000000) as bigint))
+                   as ys,
                  count(*) as n
           from s group by event_type
         ),
@@ -11306,8 +11310,12 @@ def oracle_sql() -> dict[str, str]:
                from s),
         arr as (
           select event_type,
+                 -- tie-break on (rounded micro, j) — the Spark struct
+                 -- sort order, not raw y
                  list([cast(round(y * 1000000) as bigint), j]
-                      order by t, y) as es,
+                      order by t,
+                               cast(round(y * 1000000) as bigint),
+                               j) as es,
                  cast(count(*) as bigint) as n
           from sj group by event_type
         ),
@@ -11376,6 +11384,7 @@ def oracle_sql() -> dict[str, str]:
                                  when 'purchase' then 2 end as k
           from events
           where event_type in ('view', 'click', 'purchase')
+            and ts is not null
         ),
         arr as (
           select user_id,

@@ -160,7 +160,13 @@ def window_funnel(
             F.unix_micros(F.col(ts_col)).alias("t"),
             code.alias("k"),
         ).alias("__e"),
-    ).filter(F.col("__e.k").isNotNull())
+    ).filter(
+        # null-ts rows have no fold position (Spark struct sort puts
+        # them FIRST, SQL ORDER BY puts them LAST — the ewma_last
+        # contract) and a NULL chain-start would poison every later
+        # promotion: drop them with the non-funnel types
+        F.col("__e.k").isNotNull() & F.col("__e.t").isNotNull()
+    )
     per_user = ev.groupBy("__u").agg(
         F.sort_array(F.collect_list("__e")).alias("__es"),
         F.count("*").cast("long").alias("n_step_events"),

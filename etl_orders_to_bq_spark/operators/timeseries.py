@@ -832,6 +832,12 @@ def holt_winters_seasonal(
     pa, qa = fa.numerator, fa.denominator
     pb, qb = fb.numerator, fb.denominator
     pg, qg = fg.numerator, fg.denominator
+    # defensive pmod: Spark % is sign-of-dividend, so a caller feeding
+    # a negative day-number would produce j = -1 — element_at(s, 0)
+    # throws Spark-side while the oracle's acc[j+3] silently reads the
+    # TREND slot (review finding r8). A no-op when the 0..m-1
+    # contract holds.
+    j_norm = ((F.col(season_col).cast("int") % m) + m) % m
     series = (
         df.select(
             F.col(group_col).alias("__g"),
@@ -840,7 +846,7 @@ def holt_winters_seasonal(
                 F.round(F.col(y_col).cast("double") * scale)
                 .cast("long")
                 .alias("y"),
-                F.col(season_col).cast("int").alias("j"),
+                j_norm.alias("j"),
             ).alias("__p"),
         )
         .groupBy("__g")
@@ -967,22 +973,28 @@ def changepoint_level(
         F.col("__n").cast("decimal(38,0)") * F.col("__s")
         - F.col("__k").cast("decimal(38,0)") * F.col("__tot")
     )
-    cand = cum.filter(F.col("__k") < F.col("__n")).withColumn("__d", d)
-    best = cand.groupBy("__g").agg(
+    # ONE aggregation recovers both the argmax and n_points: min()
+    # skips the NULL structs of the k = n rows (and of n = 1 groups
+    # entirely), so no second groupBy + join-back is needed (review
+    # finding r8 — saves a shuffle and a broadcast join)
+    best = cum.withColumn("__d", d).groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n_points"),
         F.min(
-            F.struct(
-                (-F.col("__d")).alias("nd"),
-                F.col("__k").alias("k"),
-                F.col("__t").alias("t"),
-                F.col("__s").alias("s"),
-                F.col("__n").alias("n"),
-                F.col("__tot").alias("tot"),
+            F.when(
+                F.col("__k") < F.col("__n"),
+                F.struct(
+                    (-F.col("__d")).alias("nd"),
+                    F.col("__k").alias("k"),
+                    F.col("__t").alias("t"),
+                    F.col("__s").alias("s"),
+                    F.col("__n").alias("n"),
+                    F.col("__tot").alias("tot"),
+                ),
             )
-        ).alias("__b")
+        ).alias("__b"),
     )
     b = F.col("__b")
     k = b["k"].cast("long")
-    n = b["n"].cast("long")
     sc = F.lit(float(scale))
     left = F.round(
         b["s"].cast("double") / (b["k"].cast("double") * sc), ndigits
@@ -992,12 +1004,8 @@ def changepoint_level(
         / ((b["n"] - b["k"]).cast("double") * sc),
         ndigits,
     )
-    pts = base.groupBy("__g").agg(
-        F.count("*").cast("long").alias("n_points")
-    )
-    out = pts.join(best, "__g", "left")
     ok = F.col("n_points") >= 2
-    return out.select(
+    return best.select(
         F.col("__g").alias(group_col),
         "n_points",
         F.when(ok, k).alias("cp_k"),
