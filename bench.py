@@ -114,6 +114,14 @@ HEADLINE = [
     "msprt",
     "twap",
     "dispersion_index",
+    # round-8 batch 3: per-user funnel fold, triple smoothing,
+    # changepoint localizer, and the 3-round BPE training loop
+    # (rarity_weighted_jaccard joins set_similarity_join on the
+    # excluded list — same sum(df^2) fixture bound, see SCALING.md)
+    "window_funnel",
+    "holt_winters",
+    "changepoint",
+    "bpe_merges",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -143,6 +151,9 @@ ITERATIVE = {
     "semdedup_auto",
     # the query vector is collected at construction
     "ann_matryoshka",
+    # the 3 training rounds (pair-count argmax collects) run at
+    # construction; the returned frame is a driver-local shim
+    "bpe_merges",
 }
 
 
