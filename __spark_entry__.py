@@ -1402,6 +1402,23 @@ def q_rarity_weighted_jaccard(
     ).orderBy("id_a", "id_b")
 
 
+def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump / best Gini split (operators/classifier.py
+    gini_stump): is n_chars predictive of lang=='en' at all — the
+    one-node CART split on the two-pass cumulative-count primitive
+    (no single-partition window). Exact integer counts, two rounded
+    Ginis per cut, argmax on the rounded gain with smallest-threshold
+    ties; the oracle replays the full gain curve."""
+    from etl_orders_to_bq_spark.operators.classifier import gini_stump
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("n_chars").cast("double").alias("f"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return gini_stump(base, "f", "y")
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-shift changepoint localizer per event type
     (operators/timeseries.py changepoint_level): argmax over the
@@ -7697,6 +7714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "holt_winters": q_holt_winters,
         "changepoint": q_changepoint,
+        "gini_stump": q_gini_stump,
         "rfm_segments": q_rfm_segments,
         "skyline_parts": q_skyline_parts,
         "cuped": q_cuped,
@@ -11240,6 +11258,60 @@ def oracle_sql() -> dict[str, str]:
                  > 1.0
                end as overdispersed
         from mom order by event_type
+    """
+    # decision stump: full Gini gain curve from cumulative integer
+    # counts (window cumulative is fine in an oracle — semantics, not
+    # plan), identical rounding and smallest-threshold ties
+    out["gini_stump"] = """
+        with vc as (
+          select cast(n_chars as double) as v, count(*) as n,
+                 sum(case when lang = 'en' then 1 else 0 end) as p
+          from documents
+          where n_chars is not null and lang is not null
+          group by 1
+        ),
+        cum as (
+          select v, n, p,
+                 coalesce(sum(n) over (order by v
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as bn,
+                 coalesce(sum(p) over (order by v
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as bp,
+                 sum(n) over () as tn, sum(p) over () as tp
+          from vc
+        ),
+        g as (
+          select v,
+                 cast(bn + n as double) as nl,
+                 cast(bp + p as double) as pl,
+                 cast(tn as double) - cast(bn + n as double) as nr,
+                 cast(tp as double) - cast(bp + p as double) as pr,
+                 cast(tn as double) as tnd, cast(tp as double) as tpd
+          from cum
+        ),
+        k as (
+          select v, nl, nr, pl, pr,
+                 round(1.0 - (tpd/tnd)*(tpd/tnd)
+                           - ((tnd-tpd)/tnd)*((tnd-tpd)/tnd), 6)
+                   as parent,
+                 round((nl * (1.0 - (pl/nl)*(pl/nl)
+                              - ((nl-pl)/nl)*((nl-pl)/nl))
+                        + nr * (1.0 - (pr/nr)*(pr/nr)
+                                - ((nr-pr)/nr)*((nr-pr)/nr)))
+                       / tnd, 6) as weighted
+          from g where nr > 0
+        )
+        select v as threshold,
+               round(parent - weighted, 6) as gain,
+               cast(nl as bigint) as n_left,
+               cast(nr as bigint) as n_right,
+               cast(pl as bigint) as pos_left,
+               cast(pr as bigint) as pos_right,
+               parent as parent_gini
+        from k
+        order by round(parent - weighted, 6) desc, v asc
+        limit 1
     """
     # changepoint localizer: division-cleared CUSUM argmax on exact
     # decimal integers; ROWS frame spelled out (DuckDB's ordered-sum

@@ -246,3 +246,116 @@ def naive_bayes_train(
             ndigits,
         ).alias("prior"),
     )
+
+
+def gini_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Best single-threshold binary split on one numeric feature — the
+    decision STUMP (one-node CART; Breiman et al. 1984, public
+    literature): the split every tree/GBM learner evaluates millions
+    of times, and on its own the standard first-cut feature-quality
+    probe ("is n_chars predictive of lang at ALL?").
+
+    For every distinct feature value v (cut: left = feature <= v),
+    the Gini impurity reduction
+
+        gain(v) = G(parent) − (n_l·G(left) + n_r·G(right)) / n
+
+    with G(S) = 1 − p₁² − p₀². Cut counts come from per-distinct-value
+    integer label counts + ``ranking.global_cumsum_before`` twice
+    (row counts and positive counts) — the repo's scalable rank
+    primitive, NO single-partition window — so the full gain curve is
+    one pass over the distinct-value table. The last cut (empty right
+    side) is excluded.
+
+    Determinism: all counts are exact longs; each Gini is a
+    fixed-order double expression over them rounded ``ndigits``; the
+    argmax takes the ROUNDED gain with ties to the SMALLEST threshold
+    (the min-struct pattern). ``label_col`` must be 0/1 integers
+    (callers cast their predicate).
+
+    Output: one row ``(threshold, gain, n_left, n_right, pos_left,
+    pos_right, parent_gini)``; degenerate inputs (single distinct
+    value / empty) yield NULLs.
+
+    Scale: one map-side-combinable groupBy to the distinct-value
+    table, the two-pass cumsum machinery (range shuffle + bounded
+    offsets collect), and a 1-row argmax — feature cardinality, not
+    corpus size, bounds every post-aggregation stage.
+    """
+    from .ranking import global_cumsum_before
+
+    vc = (
+        df.filter(
+            F.col(feature_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(feature_col).alias("__v"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col(label_col).cast("long")).alias("__p"),
+        )
+    )
+    # one fused two-pass cumulates both counts (see the primitive's
+    # multi-column note)
+    cum = global_cumsum_before(
+        vc, ["__v"], ["__n", "__p"], out_col=["__bn", "__bp"]
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("__n").cast("long").alias("__tn"),
+            F.sum("__p").cast("long").alias("__tp"),
+        )
+    )
+    j = cum.crossJoin(tot)
+    nl = (F.col("__bn") + F.col("__n")).cast("double")
+    pl = (F.col("__bp") + F.col("__p")).cast("double")
+    nr = F.col("__tn").cast("double") - nl
+    pr = F.col("__tp").cast("double") - pl
+
+    def gini(n, p):
+        q = p / n
+        r = (n - p) / n
+        return F.lit(1.0) - q * q - r * r
+
+    tn = F.col("__tn").cast("double")
+    tp = F.col("__tp").cast("double")
+    parent = F.round(gini(tn, tp), ndigits)
+    weighted = (nl * gini(nl, pl) + nr * gini(nr, pr)) / tn
+    gain = F.round(parent - F.round(weighted, ndigits), ndigits)
+    cand = j.filter(nr > 0).select(
+        "__v",
+        gain.alias("__g"),
+        nl.cast("long").alias("__nl"),
+        nr.cast("long").alias("__nr"),
+        pl.cast("long").alias("__pl"),
+        pr.cast("long").alias("__pr"),
+        parent.alias("__parent"),
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                (-F.col("__g")).alias("ng"),
+                F.col("__v").alias("v"),
+                F.col("__nl").alias("nl"),
+                F.col("__nr").alias("nr"),
+                F.col("__pl").alias("pl"),
+                F.col("__pr").alias("pr"),
+                F.col("__parent").alias("parent"),
+            )
+        ).alias("__b")
+    )
+    b = F.col("__b")
+    return best.select(
+        b["v"].alias("threshold"),
+        (-b["ng"]).alias("gain"),
+        b["nl"].alias("n_left"),
+        b["nr"].alias("n_right"),
+        b["pl"].alias("pos_left"),
+        b["pr"].alias("pos_right"),
+        b["parent"].alias("parent_gini"),
+    )

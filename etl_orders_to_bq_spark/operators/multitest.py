@@ -427,13 +427,12 @@ def ks_two_sample(
             F.when(F.col(group_col) == group_b, 1).otherwise(0)
         ).alias("__nb"),
     )
-    cum_a = global_cumsum_before(
-        vc, ["__v"], "__na", num_partitions=num_partitions,
-        out_col="__below_a",
-    )
+    # both CDFs cumulate in ONE fused two-pass (one range shuffle,
+    # one totals collect) — chaining single-column calls doubled the
+    # heavy stages (r8)
     cum = global_cumsum_before(
-        cum_a, ["__v"], "__nb", num_partitions=num_partitions,
-        out_col="__below_b",
+        vc, ["__v"], ["__na", "__nb"], num_partitions=num_partitions,
+        out_col=["__below_a", "__below_b"],
     )
     tot = F.broadcast(
         vc.agg(

@@ -110,9 +110,9 @@ def global_row_number(
 def global_cumsum_before(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
+    value_col: str | list,
     num_partitions: int | None = None,
-    out_col: str = "cum_before",
+    out_col: str | list = "cum_before",
     checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Exact running sum of ``value_col`` over all rows STRICTLY
@@ -129,10 +129,26 @@ def global_cumsum_before(
     values. Every in-repo caller passes distinct keys
     (per-distinct-value count tables / unique key columns).
 
+    ``value_col``/``out_col`` also take LISTS (same length): all
+    columns cumulate over ONE range shuffle, one totals collect, and
+    one window pass — chaining single-column calls doubles the
+    heaviest stages (measured r8: ks_two_sample and gini_stump both
+    chained two passes; the fused form removes a range shuffle, a
+    stage materialization, and a driver collect each).
+
     This is the rank-statistics primitive: with per-distinct-value
     count rows, ``cum_before`` is exactly "number of items below
-    this value", which yields average ranks, Mann-Whitney U, and
-    empirical CDFs with no scale cliff."""
+    this value", which yields average ranks, Mann-Whitney U,
+    empirical CDFs, and Gini gain curves with no scale cliff."""
+    value_cols = (
+        [value_col] if isinstance(value_col, str) else list(value_col)
+    )
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"value_col/out_col length mismatch: {value_cols} vs "
+            f"{out_cols}"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -143,40 +159,43 @@ def global_cumsum_before(
         checkpoint_path,
         "cumsum_input",
     )
-    # bounded collect: one (pid, sum) row per partition
+    # bounded collect: one (pid, sums...) row per partition
     totals = {
-        r["__pid"]: r["s"]
+        r["__pid"]: [r[f"s{i}"] for i in range(len(value_cols))]
         for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).cast("long").alias("s"))
+        .agg(
+            *[
+                F.sum(vc).cast("long").alias(f"s{i}")
+                for i, vc in enumerate(value_cols)
+            ]
+        )
         .collect()
     }
     if not totals:
-        return ranged.drop("__pid").withColumn(
-            out_col, F.lit(None).cast("long")
-        )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    off_expr = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
+        out = ranged.drop("__pid")
+        for oc in out_cols:
+            out = out.withColumn(oc, F.lit(None).cast("long"))
+        return out
     w = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        ranged.withColumn(
-            "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    out = ranged
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid][i] or 0
+        off_expr = F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
         )
-        .withColumn(
-            out_col,
-            (off_expr[F.col("__pid")] + F.col("__local")).cast("long"),
+        local = F.coalesce(F.sum(vc).over(w), F.lit(0))
+        out = out.withColumn(
+            oc, (off_expr[F.col("__pid")] + local).cast("long")
         )
-        .drop("__pid", "__local")
-    )
+    return out.drop("__pid")
 
 
 def scalable_ntile(

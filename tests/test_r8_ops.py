@@ -510,3 +510,29 @@ def test_changepoint_level_finds_planted_shift(spark):
     )
     ro = changepoint_level(one, "g", "t", "y").collect()[0]
     assert ro["cp_k"] is None and ro["shift"] is None
+
+
+def test_gini_stump_finds_separating_threshold(spark):
+    from etl_orders_to_bq_spark.operators.classifier import gini_stump
+
+    # feature < 10 -> label 0, feature >= 10 -> label 1 (perfectly
+    # separable): the best cut is the largest left-side value 9.0
+    # with gain == parent gini
+    rows = [(float(v), 0) for v in range(10)] + [
+        (float(v), 1) for v in range(10, 25)
+    ]
+    df = spark.createDataFrame(rows, "f double, y int")
+    r = gini_stump(df, "f", "y").collect()[0]
+    assert r["threshold"] == 9.0
+    assert r["n_left"] == 10 and r["n_right"] == 15
+    assert r["pos_left"] == 0 and r["pos_right"] == 15
+    # parent gini = 1 - (15/25)^2 - (10/25)^2 = 0.48; perfect split
+    # leaves zero child impurity -> gain == parent
+    assert r["parent_gini"] == 0.48
+    assert r["gain"] == 0.48
+    # constant feature: no valid cut -> NULLs
+    const = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1)], "f double, y int"
+    )
+    rc = gini_stump(const, "f", "y").collect()[0]
+    assert rc["threshold"] is None and rc["gain"] is None
