@@ -122,6 +122,7 @@ HEADLINE = [
     "holt_winters",
     "changepoint",
     "bpe_merges",
+    "gini_stump",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
