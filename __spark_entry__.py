@@ -7699,59 +7699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
-        # -- never driver-verified (new work leads the snapshot) --
-        "semdedup_auto": q_semdedup_auto,
-        "set_similarity_join": q_set_similarity_join,
-        "ann_matryoshka": q_ann_matryoshka,
-        "theilsen_trend": q_theilsen_trend,
-        "holt_linear": q_holt_linear,
-        "mmr_rerank": q_mmr_rerank,
-        "msprt": q_msprt,
-        "twap": q_twap,
-        "dispersion_index": q_dispersion_index,
-        "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
-        "bpe_merges": q_bpe_merges,
-        "window_funnel": q_window_funnel,
-        "holt_winters": q_holt_winters,
-        "changepoint": q_changepoint,
-        "gini_stump": q_gini_stump,
-        "rfm_segments": q_rfm_segments,
-        "skyline_parts": q_skyline_parts,
-        "cuped": q_cuped,
-        "degree_assortativity": q_degree_assortativity,
-        "t_closeness": q_t_closeness,
-        "bootstrap_ci": q_bootstrap_ci,
-        "resample_ffill": q_resample_ffill,
-        "tfidf_topterms": q_tfidf_topterms,
-        "vocab_growth": q_vocab_growth,
-        "time_split_embargo": q_time_split_embargo,
-        "repeated_ngram_spans": q_repeated_ngram_spans,
-        "script_profile": q_script_profile,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "group_split": q_group_split,
-        "hits_scores": q_hits_scores,
-        "diverse_sample": q_diverse_sample,
-        "ngram_containment": q_ngram_containment,
-        "shard_plan": q_shard_plan,
-        # -- last driver-verified in round 1 --
-        "text_fingerprint": q_text_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_bucket": q_ann_lsh_bucket,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "sql_interface": q_sql_interface,
-        "window_frames": q_window_frames,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q4_order_priority": q_q4_order_priority,
-        "q10_returned_topk": q_q10_returned_topk,
-        "stats_agg": q_stats_agg,
-        "fuzzy_funcs": q_fuzzy_funcs,
-        "scd2_history": q_scd2_history,
-        "date_funcs": q_date_funcs,
         # -- last driver-verified in round 2 --
-        "o2_cast_repair": q_o2_cast_repair,
-        "o4_dedup_first": q_o4_dedup_first,
-        "dedup_first_minby": q_dedup_first_minby,
         "salted_agg": q_salted_agg,
         "salted_join": q_salted_join,
         "merge_upsert": q_merge_upsert,
@@ -8031,6 +7979,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "target_encoding": q_target_encoding,
         "feature_hash": q_feature_hash,
+        # -- last driver-verified in round 8 --
+        "semdedup_auto": q_semdedup_auto,
+        "set_similarity_join": q_set_similarity_join,
+        "ann_matryoshka": q_ann_matryoshka,
+        "theilsen_trend": q_theilsen_trend,
+        "holt_linear": q_holt_linear,
+        "mmr_rerank": q_mmr_rerank,
+        "msprt": q_msprt,
+        "twap": q_twap,
+        "dispersion_index": q_dispersion_index,
+        "rarity_weighted_jaccard": q_rarity_weighted_jaccard,
+        "bpe_merges": q_bpe_merges,
+        "window_funnel": q_window_funnel,
+        "holt_winters": q_holt_winters,
+        "changepoint": q_changepoint,
+        "gini_stump": q_gini_stump,
+        "rfm_segments": q_rfm_segments,
+        "skyline_parts": q_skyline_parts,
+        "cuped": q_cuped,
+        "degree_assortativity": q_degree_assortativity,
+        "t_closeness": q_t_closeness,
+        "bootstrap_ci": q_bootstrap_ci,
+        "resample_ffill": q_resample_ffill,
+        "tfidf_topterms": q_tfidf_topterms,
+        "vocab_growth": q_vocab_growth,
+        "time_split_embargo": q_time_split_embargo,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "script_profile": q_script_profile,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "group_split": q_group_split,
+        "hits_scores": q_hits_scores,
+        "diverse_sample": q_diverse_sample,
+        "ngram_containment": q_ngram_containment,
+        "shard_plan": q_shard_plan,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sql_interface": q_sql_interface,
+        "window_frames": q_window_frames,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "q10_returned_topk": q_q10_returned_topk,
+        "stats_agg": q_stats_agg,
+        "fuzzy_funcs": q_fuzzy_funcs,
+        "scd2_history": q_scd2_history,
+        "date_funcs": q_date_funcs,
+        "o2_cast_repair": q_o2_cast_repair,
+        "o4_dedup_first": q_o4_dedup_first,
+        "dedup_first_minby": q_dedup_first_minby,
     }
 
 
