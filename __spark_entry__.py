@@ -6508,17 +6508,25 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity/coreset sampling (operators/semdedup.py
-    bucket_medoids): one MEDOID per hyperplane-LSH bucket — max mean
-    cosine to bucket peers, id tie-break — the keep-one-exemplar
-    complement of SemDeDup's drop-near-dups. Per-pair cosine rounds at
-    6dp and the per-id mean folds a SORTED list, so the oracle replays
-    bucket assignment, the pairwise means, and the argmax exactly."""
-    from etl_orders_to_bq_spark.operators.semdedup import bucket_medoids
+    """Diversity/coreset sampling, degeneracy-robust default
+    (operators/semdedup.py bucket_medoids_auto): one MEDOID per
+    region — max mean cosine to region peers, id tie-break — the
+    keep-one-exemplar complement of SemDeDup's drop-near-dups. Regions
+    come from the semdedup_auto policy (k = max(8, ceil(n/128)) seeded
+    directions, Σs²/n probe, Lloyd fallback), NOT caller-fixed LSH
+    bits — the r8-measured 3.9× scale trap. At the gate SFs n=500 →
+    k=8 and the seed-42 probe balances (work/row ~65, budget 512), so
+    the oracle replays the CHEAP branch: seed-42 argmax assignment +
+    6dp pair cosines + sorted-fold means + argmax-by-id — and thereby
+    value-pins the probe's branch decision too (a Lloyd fit would move
+    centroids and change every bucket)."""
+    from etl_orders_to_bq_spark.operators.semdedup import (
+        bucket_medoids_auto,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    return bucket_medoids(
-        e, dim=64, bits=6, seed=42, pair_method="numpy"
+    return bucket_medoids_auto(
+        e, dim=64, seed=42, pair_method="numpy"
     ).orderBy("bucket")
 
 
@@ -13470,14 +13478,15 @@ def oracle_sql() -> dict[str, str]:
         from nodes n join a2 on a2.id = n.id join h2 on h2.id = n.id
         order by n.id
     """
-    # bucket medoids: same planes, 6dp pair cosines, sorted-fold means
-    _dv_bucket = _lsh_bucket_sql(64, 6, 42, "cast(embedding as double[])")
+    # bucket medoids (auto): cheap branch pinned — n=500 -> k=8 seed-42
+    # directions balance (work/row ~65 < 512), so buckets are the
+    # argmax assignment; 6dp pair cosines, sorted-fold means
     out["diverse_sample"] = f"""
         with b as (
           select vec_id, cast(embedding as double[]) as v,
                  sqrt(list_dot_product(cast(embedding as double[]),
                                        cast(embedding as double[]))) as nrm,
-                 {_dv_bucket} as bucket
+                 {_ivf_assign_sql(dim=64, n=8, seed=42)} as bucket
           from embeddings
         ),
         guarded as (

@@ -444,6 +444,17 @@ def bucket_medoids(
         l2_norm(vec_col).alias("__n"),
     )
     b = _bucket_guarded(b, "bucket", max_bucket)
+    return _medoids_over(b, id_col, ndigits, pair_method)
+
+
+def _medoids_over(
+    b: DataFrame, id_col: str, ndigits: int, pair_method: str
+) -> DataFrame:
+    """Medoid-per-bucket over a prepared ``(id, bucket, __v, __n)``
+    frame — the shared quadratic stage of ``bucket_medoids`` (LSH sign
+    buckets) and ``bucket_medoids_auto`` (corpus-sized IVF regions).
+    Same determinism contract as the public docstrings: 6dp pair
+    cosines, sorted-fold means, argmax ties to the smaller id."""
     a = b.select(
         "bucket", F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
@@ -501,3 +512,86 @@ def bucket_medoids(
         F.coalesce("medoid_id", F.col("__only")).alias("medoid_id"),
         F.coalesce("mean_cos", F.lit(0.0)).alias("mean_cos"),
     )
+
+
+def bucket_medoids_auto(
+    embeddings: DataFrame,
+    dim: int,
+    target_bucket: int = 128,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+    ndigits: int = 6,
+    pair_method: str = "numpy",
+    assign_method: str = "numpy",
+    degeneracy_factor: float = 4.0,
+    kmeans_rounds: int = 2,
+) -> DataFrame:
+    """Degeneracy-robust diversity sampling — the DEFAULT entry point
+    when the caller has no opinion about bucketing. ``bucket_medoids``
+    with FIXED ``bits`` is the measured scale trap (bench r8
+    ``diverse_sample``: 64 sign buckets for a 10× corpus → per-bucket
+    population grows with n → the pairwise-mean stage is n²/2^bits →
+    growth 3.9×, and even auto_bits(n)=9 only 3.0× because this
+    fixture's embeddings collapse onto few sign codes). Exactly the
+    failure ``semdedup_auto`` eliminates for SemDeDup, so this wrapper
+    applies the same policy to the medoid sampler:
+
+    1. ``k = max(8, ceil(n / target_bucket))`` — region count grows
+       LINEARLY with the corpus so the expected region population (the
+       quadratic term of the pairwise-mean stage) stays ~target_bucket;
+    2. assign once to k seeded random directions
+       (``assign_ivf_clusters`` argmax — a nearest-region partition,
+       which unlike sign codes cannot leave regions empty by
+       construction) and PROBE the realized histogram: per-row pair
+       work = Σ s²/n;
+    3. if work/row ≤ degeneracy_factor × target_bucket the seeds
+       already balance — keep the assignment; otherwise run
+       ``kmeans_rounds`` deterministic Lloyd rounds so centroids move
+       to the density, then assign on the learned centroids.
+
+    Output schema and semantics match ``bucket_medoids`` — ``bucket``
+    is the region id (here an IVF cluster index rather than a sign
+    code), and the medoid stage is byte-identical (``_medoids_over``):
+    6dp pair cosines, sorted-fold means, id tie-break — so a SQL
+    oracle replays whichever branch the fixture takes (the probe is
+    deterministic given (data, seed)). Cost over the fixed-bits path:
+    one count job + the probe's tiny histogram agg; the Lloyd fit (2
+    extra scans) only when the probe demands it.
+    """
+    import math
+
+    from .ann import _hyperplanes, lloyd_kmeans
+
+    n = embeddings.count()
+    k = max(8, math.ceil(n / max(target_bucket, 1)))
+    seeds = _hyperplanes(dim, k, seed)
+    hist = (
+        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method)
+        .groupBy("ivf_cluster")
+        .agg(F.count("*").alias("__s"))
+    )
+    st = hist.agg(
+        F.sum("__s").alias("__n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
+    ).collect()[0]
+    work_per_row = (st["__ss"] or 0) / max(st["__n"] or 0, 1)
+    if work_per_row > degeneracy_factor * target_bucket:
+        centroids, _ = lloyd_kmeans(
+            embeddings, seeds, rounds=kmeans_rounds,
+            round_ndigits=6, method=assign_method,
+        )
+    else:
+        centroids = seeds
+    v = F.col(vec_col).cast("array<double>")
+    b = assign_ivf_clusters(
+        embeddings, centroids, vec_col, assign_method
+    ).select(
+        F.col(id_col),
+        F.col("ivf_cluster").alias("bucket"),
+        v.alias("__v"),
+        l2_norm(v).alias("__n"),
+    )
+    b = _bucket_guarded(b, "bucket", max_bucket)
+    return _medoids_over(b, id_col, ndigits, pair_method)
