@@ -11308,17 +11308,25 @@ def oracle_sql() -> dict[str, str]:
                                 - ((nr-pr)/nr)*((nr-pr)/nr)))
                        / tnd, 6) as weighted
           from g where nr > 0
+        ),
+        best as (
+          select v as threshold,
+                 round(parent - weighted, 6) as gain,
+                 cast(nl as bigint) as n_left,
+                 cast(nr as bigint) as n_right,
+                 cast(pl as bigint) as pos_left,
+                 cast(pr as bigint) as pos_right,
+                 parent as parent_gini
+          from k
+          order by round(parent - weighted, 6) desc, v asc
+          limit 1
         )
-        select v as threshold,
-               round(parent - weighted, 6) as gain,
-               cast(nl as bigint) as n_left,
-               cast(nr as bigint) as n_right,
-               cast(pl as bigint) as pos_left,
-               cast(pr as bigint) as pos_right,
-               parent as parent_gini
-        from k
-        order by round(parent - weighted, 6) desc, v asc
-        limit 1
+        -- one-row anchor LEFT JOIN mirrors the engine's groupless agg:
+        -- an empty gain curve (single distinct value / empty input)
+        -- yields one all-NULL row, not zero rows
+        select b.threshold, b.gain, b.n_left, b.n_right,
+               b.pos_left, b.pos_right, b.parent_gini
+        from (select 1 as __one) a left join best b on true
     """
     # changepoint localizer: division-cleared CUSUM argmax on exact
     # decimal integers; ROWS frame spelled out (DuckDB's ordered-sum
@@ -11384,8 +11392,12 @@ def oracle_sql() -> dict[str, str]:
     )
     out["holt_winters"] = f"""
         with s as ({_series}),
+        -- positive-mod the season slot exactly like the engine's pmod
+        -- (DuckDB % is sign-of-dividend; a fixture with t before the
+        -- epoch origin would otherwise index slot <= 0 -> NULL and
+        -- sort with a different tie-break)
         sj as (select event_type, t, y,
-                      (cast(t as int) % 7)::bigint as j
+                      (((cast(t as int) % 7) + 7) % 7)::bigint as j
                from s),
         arr as (
           select event_type,
