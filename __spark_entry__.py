@@ -7694,6 +7694,70 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(e, "event_type", "value", "click", "error")
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-exact duplicated spans (operators/suffix.py): every
+    maximal token span [start, end) whose positions lie under some
+    corpus-duplicated 15-token window — the ExactSubstr detection
+    stage of Lee et al. 2021, via the window equivalence (see module
+    docstring). The fixture has ~850 naturally duplicated 15-grams, so
+    the workload is real without planting. Pure integer/string plan;
+    the oracle replays windows, corpus group-count, covered-position
+    islands."""
+    from etl_orders_to_bq_spark.operators.suffix import (
+        exact_substring_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans(d, min_tokens=15).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (operators/suffix.py): per document, delete
+    ALL occurrences of every corpus-duplicated >= 15-token span (the
+    Lee et al. 2021 contract) and re-join survivors — (doc_id,
+    n_tokens, dup_tokens, n_spans, clean_text). The oracle rebuilds
+    clean_text by filtering token indices against the covered-position
+    list."""
+    from etl_orders_to_bq_spark.operators.suffix import (
+        exact_substring_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
+
+
+def q_paragraph_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style per-paragraph curation (operators/paragraphs.py):
+    paragraph split -> corpus-wide exact paragraph dedup (keep first
+    by (doc_id, idx)) -> per-paragraph quality filter at 0.35 ->
+    reassemble. The fixture has no newlines, so the query SYNTHESIZES
+    paragraph structure the oracle replays exactly: 12-word chunks
+    joined by newline (96 naturally duplicated paragraphs; the 0.35
+    threshold keeps ~25% — both drop rules exercised)."""
+    from etl_orders_to_bq_spark.operators.paragraphs import (
+        paragraph_quality_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"(\S+)"), 1)
+    nchunks = F.greatest(F.ceil(F.size(w) / 12).cast("int"), F.lit(1))
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.array_join(F.slice(w, i * 12 + 1, 12), " "),
+        ),
+        "\n",
+    )
+    docs = d.select("doc_id", para_text.alias("text"))
+    return paragraph_quality_filter(docs, min_quality=0.35).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -7707,6 +7771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
+        # -- never driver-verified (new work leads the snapshot) --
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "paragraph_quality_filter": q_paragraph_quality_filter,
         # -- last driver-verified in round 2 --
         "salted_agg": q_salted_agg,
         "salted_join": q_salted_join,
@@ -15596,6 +15664,129 @@ def oracle_sql() -> dict[str, str]:
         from cum
         group by o_orderpriority, o_orderstatus, n_rows, gn
         order by 1, 2
+    """
+
+    # ExactSubstr (Lee et al. 2021) via the window equivalence: a
+    # position is covered by a repeated >=15-token substring iff it is
+    # covered by a repeated 15-token window; spans = islands over the
+    # covered-position set (identical to the engine's interval merge —
+    # every interval has length 15, so intervals merge iff their
+    # covered positions touch)
+    _ess_cov = """
+        toks as (select doc_id,
+                        regexp_extract_all(trim(text), '\\S+') as t
+                 from documents),
+        w as (
+          select doc_id, u.pos as pos,
+                 array_to_string(t[u.pos + 1 : u.pos + 15], ' ') as wstr
+          from toks,
+               lateral (select unnest(range(0, greatest(len(t) - 14, 0)))
+                        as pos) u
+        ),
+        dup as (select wstr from w group by wstr having count(*) >= 2),
+        hit as (select w.doc_id, w.pos from w join dup using (wstr)),
+        cov as (
+          select distinct doc_id, pos + k.k as p
+          from hit, lateral (select unnest(range(0, 15)) as k) k
+        ),
+        isl as (
+          select doc_id, p,
+                 p - row_number() over (partition by doc_id
+                                        order by p) as g
+          from cov
+        )"""
+    out["exact_substring_spans"] = f"""
+        with {_ess_cov}
+        select doc_id,
+               min(p) as span_start,
+               max(p) + 1 as span_end,
+               max(p) + 1 - min(p) as span_tokens
+        from isl group by doc_id, g
+        order by doc_id, span_start
+    """
+    out["exact_substring_dedup"] = f"""
+        with {_ess_cov},
+        cova as (select doc_id, list(p order by p) as ps
+                 from cov group by doc_id),
+        spc as (
+          select doc_id, count(*) as n_spans
+          from (select doc_id, g from isl group by doc_id, g)
+          group by doc_id
+        )
+        select t.doc_id,
+               len(t.t) as n_tokens,
+               coalesce(len(c.ps), 0) as dup_tokens,
+               coalesce(s.n_spans, 0) as n_spans,
+               -- coalesce: DuckDB array_to_string([]) is NULL, the
+               -- engine's array_join([]) is ''
+               coalesce(array_to_string(
+                 list_transform(
+                   list_filter(range(0, len(t.t)),
+                               i -> c.ps is null
+                                    or not list_contains(c.ps, i)),
+                   i -> t.t[i + 1]),
+                 ' '), '') as clean_text
+        from toks t
+        left join cova c using (doc_id)
+        left join spc s using (doc_id)
+        order by t.doc_id
+    """
+    # CCNet per-paragraph curation: replay the query's synthetic
+    # 12-word paragraphing, keep-first dedup by (doc_id, idx), the
+    # quality threshold (paragraph aliased as `text` so quality_expr
+    # applies verbatim), and the in-order reassembly
+    out["paragraph_quality_filter"] = f"""
+        with toks as (select doc_id,
+                             regexp_extract_all(trim(text), '\\S+') as w
+                      from documents),
+        docp as (
+          select doc_id,
+                 array_to_string(
+                   list_transform(
+                     range(0, greatest(cast(ceil(len(w) / 12.0) as int),
+                                       1)),
+                     i -> array_to_string(w[i*12 + 1 : i*12 + 12], ' ')),
+                   chr(10)) as dtext
+          from toks
+        ),
+        split_ as (select doc_id, string_split(dtext, chr(10)) as ps
+                   from docp),
+        paras as (
+          select doc_id, u.i - 1 as idx, trim(ps[u.i]) as text
+          from split_,
+               lateral (select unnest(range(1, len(ps) + 1)) as i) u
+          where trim(ps[u.i]) <> ''
+        ),
+        totals as (select doc_id, count(*) as n_paras
+                   from paras group by doc_id),
+        firsts as (
+          select doc_id, idx, text from paras
+          qualify row_number() over (partition by text
+                                     order by doc_id, idx) = 1
+        ),
+        after_dedup as (select doc_id, count(*) as n_dedup
+                        from firsts group by doc_id),
+        kept as (
+          select doc_id, idx, text from firsts
+          where {quality_expr} >= 0.35
+        ),
+        kept_g as (
+          select doc_id, count(*) as n_kept,
+                 array_to_string(list(text order by idx), chr(10))
+                   as clean_text
+          from kept group by doc_id
+        )
+        select t.doc_id,
+               cast(t.n_paras as bigint) as n_paras,
+               cast(t.n_paras - coalesce(a.n_dedup, 0) as bigint)
+                 as n_dropped_dup,
+               cast(coalesce(a.n_dedup, 0) - coalesce(k.n_kept, 0)
+                    as bigint) as n_dropped_quality,
+               coalesce(k.clean_text, '') as clean_text
+        from totals t
+        left join after_dedup a using (doc_id)
+        left join kept_g k using (doc_id)
+        order by t.doc_id
     """
 
     # identical pipeline through the durable parquet staging path —

@@ -1,0 +1,139 @@
+"""Round-9 operators: exact substring dedup (suffix.py) and CCNet
+per-paragraph quality filtering (paragraphs.py) — hand-computed
+goldens in the reference's test style (SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+from etl_orders_to_bq_spark.operators.paragraphs import (
+    paragraph_quality_filter,
+)
+from etl_orders_to_bq_spark.operators.suffix import (
+    exact_substring_dedup,
+    exact_substring_spans,
+)
+
+
+def test_exact_substring_spans_cross_doc(spark):
+    # docs 0 and 1 share the 10-token prefix a..j; doc 2 is unique
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l"),
+            (1, "a b c d e f g h i j x y"),
+            (2, "u v w x1 y1 z1 q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        exact_substring_spans(df, min_tokens=10).collect(),
+        key=lambda r: (r.doc_id, r.span_start),
+    )
+    assert [(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in rows] == [
+        (0, 0, 10, 10),
+        (1, 0, 10, 10),
+    ]
+
+
+def test_exact_substring_spans_merges_overlaps(spark):
+    # doc 0 repeats an 11-token run inside itself twice -> windows at
+    # consecutive positions merge into ONE maximal span per occurrence
+    # region (here the occurrences are adjacent so they fuse)
+    run = "p q r s t u v w x y"
+    df = spark.createDataFrame(
+        [(0, f"{run} {run}"), (1, "n o filler words only here m1 m2 m3 m4")],
+        ["doc_id", "text"],
+    )
+    rows = exact_substring_spans(df, min_tokens=10).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(0, 0, 20)]
+
+
+def test_exact_substring_dedup_removes_all_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l"),
+            (1, "a b c d e f g h i j x y"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.clean_text)
+        for r in exact_substring_dedup(df, min_tokens=10).collect()
+    }
+    # BOTH copies of the shared prefix die (Lee et al. remove-all)
+    assert got[0] == (12, 10, 1, "k l")
+    assert got[1] == (12, 10, 1, "x y")
+    assert got[2] == (0, 0, 0, "")
+
+
+def test_exact_substring_self_repeat(spark):
+    # a document repeating one token 12 times: every 10-window inside
+    # it has the same content -> duplicated -> the whole doc is one span
+    df = spark.createDataFrame(
+        [(0, " ".join(["z"] * 12)), (1, "b c d e f g h i j k")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+        for r in exact_substring_dedup(df, min_tokens=10).collect()
+    }
+    assert got[0] == (12, 12, 1)
+    assert got[1] == (10, 0, 0)
+
+
+def test_paragraph_filter_dedup_then_quality(spark):
+    good = "the quick brown fox is a good long paragraph right here"
+    df = spark.createDataFrame(
+        [
+            (0, f"{good}\nzz qq 123\n{good}"),
+            (1, f"{good}\nanother decent paragraph with the usual words in it"),
+            (2, "zz\n\n  "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (
+            r.n_paras,
+            r.n_dropped_dup,
+            r.n_dropped_quality,
+            r.clean_text,
+        )
+        for r in paragraph_quality_filter(df, min_quality=0.35).collect()
+    }
+    # doc 0: 3 non-blank paras; its own repeat of `good` dies as dup,
+    # "zz qq 123" dies on quality
+    assert got[0] == (3, 1, 1, good)
+    # doc 1: its copy of `good` lost keep-first to doc 0
+    assert got[1][0:2] == (2, 1)
+    assert got[1][3].startswith("another decent paragraph")
+    # doc 2: blanks are not paragraphs; "zz" fails quality -> empty doc
+    assert got[2] == (1, 0, 1, "")
+
+
+def test_paragraph_filter_no_dedup(spark):
+    good = "the quick brown fox is a good long paragraph right here"
+    df = spark.createDataFrame(
+        [(0, f"{good}\n{good}")], ["doc_id", "text"]
+    )
+    row = paragraph_quality_filter(
+        df, min_quality=0.35, dedup=False
+    ).collect()[0]
+    assert (row.n_paras, row.n_dropped_dup, row.n_dropped_quality) == (
+        2,
+        0,
+        0,
+    )
+    assert row.clean_text == f"{good}\n{good}"
+
+
+def test_paragraph_filter_keep_first_is_global(spark):
+    # the SAME paragraph in two docs: only the (smaller doc_id, idx)
+    # occurrence survives, corpus-wide
+    p = "the quick brown fox is a good long paragraph right here"
+    df = spark.createDataFrame(
+        [(7, p), (3, p)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in paragraph_quality_filter(df, min_quality=0.35).collect()
+    }
+    assert got[3] == p and got[7] == ""
