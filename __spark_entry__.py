@@ -7728,6 +7728,55 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_benchmark_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval n-gram decontamination census (operators/suffix.py
+    benchmark_ngram_contamination): docs with doc_id % 50 == 0 play
+    the benchmark suite, the rest are the training corpus; a train doc
+    is contaminated when it shares any 10-token window with any eval
+    doc (the GPT-3/PaLM hygiene check). A 12-token passage of eval doc
+    0 is PLANTED into train docs 1-9 (broadcast 1-row leak string, no
+    collect) so verbatim leaks sit alongside the fixture's thin
+    natural overlap; both flag states are populated. Oracle replays
+    the plant, the distinct eval-gram join, and the per-doc distinct
+    counts."""
+    from etl_orders_to_bq_spark.operators.suffix import (
+        benchmark_ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    leak = ev.filter(F.col("doc_id") == 0).select(
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(
+                    F.trim(F.col("text")), F.lit(r"(\S+)"), 1
+                ),
+                1,
+                12,
+            ),
+            " ",
+        ).alias("__leak")
+    )
+    train = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < 10,
+                F.concat(F.col("text"), F.lit(" "), F.col("__leak")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return benchmark_ngram_contamination(train, ev, ngram=10).orderBy(
+        "doc_id"
+    )
+
+
 def q_paragraph_quality_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7772,6 +7821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_dedup": q_exact_substring_dedup,
         "paragraph_quality_filter": q_paragraph_quality_filter,
@@ -15729,6 +15779,52 @@ def oracle_sql() -> dict[str, str]:
         from toks t
         left join cova c using (doc_id)
         left join spc s using (doc_id)
+        order by t.doc_id
+    """
+    # GPT-3/PaLM decontamination: distinct eval 10-grams joined to
+    # train windows, per-doc distinct position/eval-doc counts
+    out["benchmark_decontaminate"] = """
+        with leak as (
+          select array_to_string(
+                   (regexp_extract_all(trim(text), '\\S+'))[1:12], ' ')
+                   as s
+          from documents where doc_id = 0
+        ),
+        base as (
+          select doc_id,
+                 case when doc_id % 50 <> 0 and doc_id < 10
+                      then text || ' ' || (select s from leak)
+                      else text end as text
+          from documents
+        ),
+        toks as (select doc_id,
+                        regexp_extract_all(trim(text), '\\S+') as t
+                 from base),
+        w as (
+          select doc_id, u.pos as pos,
+                 array_to_string(t[u.pos + 1 : u.pos + 10], ' ') as wstr
+          from toks,
+               lateral (select unnest(range(0, greatest(len(t) - 9, 0)))
+                        as pos) u
+        ),
+        ew as (select distinct wstr, doc_id as eid from w
+               where doc_id % 50 = 0),
+        tw as (select * from w where doc_id % 50 <> 0),
+        fl as (
+          select tw.doc_id,
+                 count(distinct tw.pos) as flagged_windows,
+                 count(distinct ew.eid) as n_eval_docs
+          from tw join ew using (wstr)
+          group by tw.doc_id
+        )
+        select t.doc_id,
+               cast(greatest(len(t.t) - 9, 0) as bigint) as n_windows,
+               cast(coalesce(f.flagged_windows, 0) as bigint)
+                 as flagged_windows,
+               cast(coalesce(f.n_eval_docs, 0) as bigint) as n_eval_docs,
+               coalesce(f.flagged_windows, 0) > 0 as contaminated
+        from toks t left join fl f using (doc_id)
+        where t.doc_id % 50 <> 0
         order by t.doc_id
     """
     # CCNet per-paragraph curation: replay the query's synthetic

@@ -47,40 +47,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dup_window_hits(
-    df: DataFrame, min_tokens: int, text_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """(tokenized docs, duplicated-window hit positions).
-
-    Tokenized docs: (id, __t) with ``__t`` the ``\\S+`` token array
-    (empty for blank text — ``regexp_extract_all``, matching the
-    oracle's tokenizer, NOT ``split`` which yields ``[""]``).
-    Hits: (id, __pos) for every stride-1 window of ``min_tokens``
-    tokens whose joined content occurs >= 2 times corpus-wide.
-    """
-    toks = df.select(
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __t) with ``__t`` the ``\\S+`` token array (empty for
+    blank text — ``regexp_extract_all``, matching the oracle's
+    tokenizer, NOT ``split`` which yields ``[""]``)."""
+    return df.select(
         F.col(id_col),
         F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"(\S+)"), 1).alias(
             "__t"
         ),
     )
-    w = (
-        toks.filter(F.size("__t") >= min_tokens)
+
+
+def _token_windows(toks: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Stride-1 ``L``-token windows of a ``_tokenized`` frame:
+    (id, __pos, __w) — scan-shaped (in-row slices, no shuffle)."""
+    return (
+        toks.filter(F.size("__t") >= L)
         .select(
             id_col,
             "__t",
-            F.posexplode(
-                F.sequence(F.lit(0), F.size("__t") - min_tokens)
-            ).alias("__i", "__pos"),
+            F.posexplode(F.sequence(F.lit(0), F.size("__t") - L)).alias(
+                "__i", "__pos"
+            ),
         )
         .select(
             id_col,
             F.col("__pos"),
-            F.array_join(
-                F.slice("__t", F.col("__pos") + 1, min_tokens), " "
-            ).alias("__w"),
+            F.array_join(F.slice("__t", F.col("__pos") + 1, L), " ").alias(
+                "__w"
+            ),
         )
     )
+
+
+def _dup_window_hits(
+    df: DataFrame, min_tokens: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tokenized docs, duplicated-window hit positions).
+
+    Hits: (id, __pos) for every stride-1 window of ``min_tokens``
+    tokens whose joined content occurs >= 2 times corpus-wide.
+    """
+    toks = _tokenized(df, text_col, id_col)
+    w = _token_windows(toks, min_tokens, id_col)
     # stage 1: fingerprint-duplicated candidates (8-byte shuffle keys)
     w = w.withColumn("__fp", F.xxhash64("__w"))
     dup_fp = (
@@ -195,4 +205,70 @@ def exact_substring_dedup(
         (F.size("__t") - F.size(kept)).alias("dup_tokens"),
         F.size("__spans").alias("n_spans"),
         F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def benchmark_ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    ngram: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Train/eval n-gram overlap decontamination census — the GPT-3 /
+    PaLM evaluation-hygiene check (Brown et al. 2020 App. C; public
+    literature): a training document is CONTAMINATED when it shares
+    any ``ngram``-token window with any benchmark document.
+
+    One row per train document: (id, n_windows, flagged_windows,
+    n_eval_docs, contaminated) — ``flagged_windows`` counts distinct
+    overlapping train positions, ``n_eval_docs`` the distinct
+    benchmark documents hit (the triage column: one eval doc hit 50
+    times is a verbatim leak; 50 eval docs hit once is boilerplate).
+    Documents shorter than ``ngram`` tokens have ``n_windows = 0`` and
+    are trivially clean. Removal is policy: drop flagged docs
+    (`filter(~contaminated)`), or feed the flagged windows to
+    ``_merged_spans`` for surgical span excision — the census is the
+    operator, exactly as the papers report it.
+
+    Scale: train windows are scan-shaped; the eval side (benchmark
+    suites are ~10^5-10^6 windows, corpus-independent) is DISTINCTED
+    then broadcast, so the overlap join touches each train window
+    in-place — no corpus-sized shuffle; the per-doc rollup ships only
+    flagged (id, pos, eval_id) rows.
+    """
+    eval_text_col = eval_text_col or text_col
+    eval_id_col = eval_id_col or id_col
+
+    ttoks = _tokenized(train, text_col, id_col)
+    tw = _token_windows(ttoks, ngram, id_col)
+    ev = eval_df.select(
+        F.col(eval_id_col).alias("__eid"),
+        F.col(eval_text_col).alias("__etext"),
+    )
+    ew = (
+        _token_windows(_tokenized(ev, "__etext", "__eid"), ngram, "__eid")
+        .select("__w", "__eid")
+        .distinct()
+    )
+    flagged = tw.join(F.broadcast(ew), "__w").groupBy(id_col).agg(
+        F.count_distinct("__pos").cast("long").alias("flagged_windows"),
+        F.count_distinct("__eid").cast("long").alias("n_eval_docs"),
+    )
+    totals = ttoks.select(
+        id_col,
+        F.greatest(
+            F.size("__t") - ngram + 1, F.lit(0)
+        ).cast("long").alias("n_windows"),
+    )
+    return totals.join(flagged, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce("flagged_windows", F.lit(0)).alias("flagged_windows"),
+        F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+        (F.coalesce("flagged_windows", F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
     )

@@ -80,6 +80,39 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_benchmark_ngram_contamination(spark):
+    from etl_orders_to_bq_spark.operators.suffix import (
+        benchmark_ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "a b c d e LEAK1 LEAK2 LEAK3 LEAK4 LEAK5 tail words"),
+            (1, "all clean training words nothing shared here at all ok"),
+            (2, "x y"),  # shorter than ngram -> 0 windows, clean
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "LEAK1 LEAK2 LEAK3 LEAK4 LEAK5")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (
+            r.n_windows,
+            r.flagged_windows,
+            r.n_eval_docs,
+            r.contaminated,
+        )
+        for r in benchmark_ngram_contamination(
+            train, ev, ngram=5
+        ).collect()
+    }
+    assert got[0] == (8, 1, 1, True)  # one 5-window matches, at pos 5
+    assert got[1] == (6, 0, 0, False)
+    assert got[2] == (0, 0, 0, False)
+
+
 def test_paragraph_filter_dedup_then_quality(spark):
     good = "the quick brown fox is a good long paragraph right here"
     df = spark.createDataFrame(
