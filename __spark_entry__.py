@@ -7759,14 +7759,18 @@ def q_benchmark_decontaminate(
             " ",
         ).alias("__leak")
     )
+    # left join on TRUE + concat_ws: a fixture without doc 0 leaves
+    # __leak NULL, which concat_ws skips — train survives un-planted
+    # (matching the oracle's coalesce) instead of being emptied by a
+    # 0-row crossJoin or NULLed by concat
     train = (
         d.filter(F.col("doc_id") % 50 != 0)
-        .crossJoin(F.broadcast(leak))
+        .join(F.broadcast(leak), F.lit(True), "left")
         .select(
             "doc_id",
             F.when(
                 F.col("doc_id") < 10,
-                F.concat(F.col("text"), F.lit(" "), F.col("__leak")),
+                F.concat_ws(" ", F.col("text"), F.col("__leak")),
             )
             .otherwise(F.col("text"))
             .alias("text"),
@@ -13608,15 +13612,24 @@ def oracle_sql() -> dict[str, str]:
         from nodes n join a2 on a2.id = n.id join h2 on h2.id = n.id
         order by n.id
     """
-    # bucket medoids (auto): cheap branch pinned — n=500 -> k=8 seed-42
-    # directions balance (work/row ~65 < 512), so buckets are the
-    # argmax assignment; 6dp pair cosines, sorted-fold means
+    # bucket medoids (auto): cheap branch pinned — the seed-42 probe
+    # balances at every fixture (work/row 65/65/129 vs budget 512), so
+    # buckets are the argmax assignment over k = max(8, ceil(n/128))
+    # seed directions. k is DATA-DEPENDENT, so the oracle replays the
+    # auto-k rule with a count-driven CASE over the two k values the
+    # driver fixtures realize (n<=1024 -> k=8 at sf0.001/0.01;
+    # 1024<n<=2048 -> k=16 at sf0.1 — review finding r9: a fixed k=8
+    # oracle false-failed the sf0.1 sweep); 6dp pair cosines,
+    # sorted-fold means
     out["diverse_sample"] = f"""
         with b as (
           select vec_id, cast(embedding as double[]) as v,
                  sqrt(list_dot_product(cast(embedding as double[]),
                                        cast(embedding as double[]))) as nrm,
-                 {_ivf_assign_sql(dim=64, n=8, seed=42)} as bucket
+                 case when (select count(*) from embeddings) <= 1024
+                      then {_ivf_assign_sql(dim=64, n=8, seed=42)}
+                      else {_ivf_assign_sql(dim=64, n=16, seed=42)}
+                 end as bucket
           from embeddings
         ),
         guarded as (
@@ -15793,7 +15806,8 @@ def oracle_sql() -> dict[str, str]:
         base as (
           select doc_id,
                  case when doc_id % 50 <> 0 and doc_id < 10
-                      then text || ' ' || (select s from leak)
+                      then text
+                           || coalesce(' ' || (select s from leak), '')
                       else text end as text
           from documents
         ),
@@ -15853,8 +15867,14 @@ def oracle_sql() -> dict[str, str]:
                lateral (select unnest(range(1, len(ps) + 1)) as i) u
           where trim(ps[u.i]) <> ''
         ),
-        totals as (select doc_id, count(*) as n_paras
-                   from paras group by doc_id),
+        -- census-complete like the engine: totals driven by the input
+        -- docs, not by surviving paragraphs
+        totals as (
+          select d.doc_id, coalesce(c.n, 0) as n_paras
+          from docp d
+          left join (select doc_id, count(*) as n from paras
+                     group by doc_id) c using (doc_id)
+        ),
         firsts as (
           select doc_id, idx, text from paras
           qualify row_number() over (partition by text

@@ -60,14 +60,23 @@ def paragraph_quality_filter(
     the delimiter in original order ('' when nothing survives — the
     row is kept so the census is complete).
     """
+    # \Q...\E-quote the delimiter: F.split takes a Java REGEX, but the
+    # reassembly join below uses the delimiter literally — an unquoted
+    # '.' or '|' would shred the text while rejoining with the literal
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "__idx", "__p"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+        ).alias("__idx", "__p"),
     ).withColumn("__p", F.trim("__p")).filter(F.col("__p") != "")
 
-    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    # census-complete: drive totals from the INPUT docs so an
+    # empty/all-blank document keeps its row (n_paras = 0)
+    totals = df.select(id_col).join(
+        paras.groupBy(id_col).agg(F.count("*").alias("__n")),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("__n", F.lit(0)).alias("n_paras"))
 
     if dedup:
         first = paras.groupBy("__p").agg(

@@ -48,14 +48,13 @@ from pyspark.sql import functions as F
 
 
 def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, __t) with ``__t`` the ``\\S+`` token array (empty for
-    blank text — ``regexp_extract_all``, matching the oracle's
-    tokenizer, NOT ``split`` which yields ``[""]``)."""
+    """(id, __t) with ``__t`` the shared ``\\S+`` token array (empty
+    for blank text — extraction, NOT ``split`` which yields ``[""]``;
+    VT caveat documented at ``functions.text.tokenize``)."""
+    from ..functions.text import tokenize
+
     return df.select(
-        F.col(id_col),
-        F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"(\S+)"), 1).alias(
-            "__t"
-        ),
+        F.col(id_col), tokenize(F.col(text_col)).alias("__t")
     )
 
 
@@ -91,7 +90,11 @@ def _dup_window_hits(
     """
     toks = _tokenized(df, text_col, id_col)
     w = _token_windows(toks, min_tokens, id_col)
-    # stage 1: fingerprint-duplicated candidates (8-byte shuffle keys)
+    # stage 1: fingerprint-duplicated candidates (8-byte shuffle keys).
+    # NO forced broadcast: the duplicated-fingerprint set scales with
+    # corpus duplicate volume (boilerplate-heavy crawls reach 10^8+
+    # distinct duplicated windows, past the 8 GB broadcast ceiling) —
+    # Catalyst/AQE picks broadcast when the set is actually small
     w = w.withColumn("__fp", F.xxhash64("__w"))
     dup_fp = (
         w.groupBy("__fp")
@@ -99,7 +102,7 @@ def _dup_window_hits(
         .filter(F.col("__c") >= 2)
         .select("__fp")
     )
-    cand = w.join(F.broadcast(dup_fp), "__fp", "left_semi")
+    cand = w.join(dup_fp, "__fp", "left_semi")
     # stage 2: exact content verify on candidates only
     dup_w = (
         cand.groupBy("__w")
@@ -107,9 +110,7 @@ def _dup_window_hits(
         .filter(F.col("__c") >= 2)
         .select("__w")
     )
-    hits = cand.join(F.broadcast(dup_w), "__w", "left_semi").select(
-        id_col, "__pos"
-    )
+    hits = cand.join(dup_w, "__w", "left_semi").select(id_col, "__pos")
     return toks, hits
 
 

@@ -158,6 +158,23 @@ def test_paragraph_filter_no_dedup(spark):
     assert row.clean_text == f"{good}\n{good}"
 
 
+def test_paragraph_filter_census_complete_and_literal_delim(spark):
+    # empty/blank docs keep their row (n_paras = 0); a regex-special
+    # delimiter is treated literally
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the quick brown fox is a good long paragraph right here|zz")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.clean_text)
+        for r in paragraph_quality_filter(
+            df, min_quality=0.35, delimiter="|"
+        ).collect()
+    }
+    assert got[0] == (0, "") and got[1] == (0, "")
+    assert got[2][0] == 2 and got[2][1].startswith("the quick")
+
+
 def test_paragraph_filter_keep_first_is_global(spark):
     # the SAME paragraph in two docs: only the (smaller doc_id, idx)
     # occurrence survives, corpus-wide
