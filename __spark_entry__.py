@@ -7728,6 +7728,22 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first component (operators/embstats.py
+    pca_pc1_scores): integer-exact scatter matrix (one dim²-key
+    aggregation of micro-unit products — no float accumulation in any
+    shuffle), 8 driver-side power-iteration rounds with per-round
+    trunc-rescale + exact-integer norm + micro re-quantization, then a
+    pure-integer projection. Every arithmetic step is replayed by the
+    oracle bit-for-bit (the only float ops are sqrt/divide on
+    bit-identical inputs), so the gate pins the full eigensolve, not
+    just the scores' shape."""
+    from etl_orders_to_bq_spark.operators.embstats import pca_pc1_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_pc1_scores(e, dim=64, rounds=8).orderBy("vec_id")
+
+
 def q_benchmark_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7825,6 +7841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
         "exact_substring_dedup": q_exact_substring_dedup,
@@ -8233,6 +8250,106 @@ def _ivf_assign_sql(
         )
     arr = "list_value(" + ", ".join(scores) + ")"
     return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
+def _pca_pc1_sql(dim: int = 64, rounds: int = 8) -> str:
+    """Oracle for q_pca_pc1: the ENTIRE eigensolve replayed in SQL on
+    hugeint arithmetic — exact integer scatter matrix (n*P - S*S'),
+    per-round matvec / trunc-rescale (`//` truncates toward zero,
+    mirrored by the engine's sign-aware floor) / exact norm² / 6dp
+    re-quantization (round() is half-away on both engines), and the
+    pure-integer final projection. The only floats are sqrt and a
+    division on bit-identical integers."""
+    import math
+
+    v0 = int(round(1e6 / math.sqrt(dim)))
+    parts = [
+        f"""
+        with m as materialized (
+          select vec_id,
+                 list_transform(cast(embedding as double[]),
+                                x -> cast(round(x * 1000000, 0)
+                                          as hugeint)) as xm
+          from embeddings where embedding is not null
+        ),
+        nn as materialized (select cast(count(*) as hugeint) as n from m),
+        su as materialized (
+          select u.i as i, sum(xm[u.i + 1])::hugeint as s
+          from m, lateral (select unnest(range(0, {dim})) as i) u
+          group by 1
+        ),
+        pu as materialized (
+          select i, j, sum(p)::hugeint as p
+          from (
+            select u1.i as i, u2.j as j,
+                   xm[u1.i + 1] * xm[u2.j + 1] as p
+            from m,
+                 lateral (select unnest(range(0, {dim})) as i) u1,
+                 lateral (select unnest(range(0, {dim})) as j) u2
+            where u2.j >= u1.i
+          ) group by i, j
+        ),
+        ct as materialized (
+          select pu.i, pu.j, (select n from nn) * p - si.s * sj.s as c
+          from pu
+          join su si on si.i = pu.i
+          join su sj on sj.i = pu.j
+        ),
+        cm as materialized (
+          select i, j, c from ct
+          union all
+          select j as i, i as j, c from ct where i <> j
+        ),
+        v0 as materialized (select unnest(range(0, {dim})) as i,
+                      cast({v0} as hugeint) as v)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        w{r} as materialized (
+          select cm.i, sum(cm.c * vp.v)::hugeint as w
+          from cm join v{r - 1} vp on vp.i = cm.j
+          group by 1
+        ),
+        p{r} as materialized (
+          select max(abs(w)) as m,
+                 greatest(len(cast(max(abs(w)) as varchar)) - 7, 0) as k
+          from w{r}
+        ),
+        s{r} as materialized (
+          select i, w // cast(power(10, (select k from p{r}))
+                              as hugeint) as w2
+          from w{r}
+        ),
+        q{r} as materialized (select sum(w2 * w2)::hugeint as norm2 from s{r}),
+        v{r} as materialized (
+          select s{r}.i,
+                 case when (select m from p{r}) = 0
+                      then (select v from v{r - 1} vv
+                            where vv.i = s{r}.i)
+                      else cast(round((cast(w2 as double)
+                                       / sqrt(cast((select norm2
+                                                    from q{r})
+                                                   as double)))
+                                      * 1000000, 0) as hugeint)
+                 end as v
+          from s{r}
+        )"""
+        )
+    parts.append(
+        f""",
+        vl as materialized (select list(v order by i) as vl from v{rounds})
+        select m.vec_id,
+               round(cast(list_reduce(
+                       list_prepend(cast(0 as hugeint),
+                         list_transform(range(0, {dim}),
+                                        i -> xm[i + 1] * vl[i + 1])),
+                       (a, b) -> a + b) as double)
+                     / 1000000000000.0, 6) as pc1_score
+        from m, vl
+        order by m.vec_id"""
+    )
+    return "".join(parts)
 
 
 def _pq_topk_sql() -> str:
@@ -15794,6 +15911,8 @@ def oracle_sql() -> dict[str, str]:
         left join spc s using (doc_id)
         order by t.doc_id
     """
+    # distributed PCA: full integer-exact eigensolve replay
+    out["pca_pc1"] = _pca_pc1_sql(dim=64, rounds=8)
     # GPT-3/PaLM decontamination: distinct eval 10-grams joined to
     # train windows, per-doc distinct position/eval-doc counts
     out["benchmark_decontaminate"] = """

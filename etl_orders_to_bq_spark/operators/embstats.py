@@ -81,3 +81,162 @@ def embedding_drift(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: integer-exact covariance + driver-side power iteration
+# ---------------------------------------------------------------------------
+
+
+def _pc1_fit(
+    embeddings: DataFrame,
+    dim: int,
+    rounds: int = 8,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Top principal direction as INTEGER MICRO-UNITS (v_i in
+    [-1e6, 1e6], ||v|| ~ 1e6) — the fit half of ``pca_pc1_scores``.
+
+    Distributed part (the textbook PCA-at-scale shape): quantize each
+    vector to 6dp micro-units, then ONE map-side-combinable
+    aggregation produces the exact integer sufficient statistics
+    (n, per-dim sums S_i, upper-triangle product sums P_ij). The
+    centered scatter matrix C_ij = n*P_ij - S_i*S_j is then EXACT
+    integer arithmetic — no float accumulation anywhere in the
+    shuffle, so two engines (or two partitionings) cannot disagree
+    even at the last bit.
+
+    Driver part (bounded: dim^2 numbers, like ``lloyd_kmeans``'s
+    centroid reads): ``rounds`` power-iteration steps on C, every
+    step re-quantized so an external SQL oracle replays it
+    bit-for-bit:
+      w = C v                    (exact int)
+      k = max(0, digits(max|w|) - 7); w' = trunc(w / 10^k)
+                                 (trunc-toward-zero — DuckDB's `//`)
+      norm2 = sum w'^2           (exact int, <= 64e14 by the rescale)
+      v'_i = half-away-round((w'_i / sqrt(norm2)) * 1e6)
+                                 (the ONLY float ops: a sqrt and a
+                                  division on bit-identical inputs)
+    v0 = [round(1e6/sqrt(dim))] * dim; a zero iterate keeps the
+    previous v (degenerate all-equal input). Sign convention is
+    whatever the fixed v0 converges to — deterministic, like any
+    eigensolver's.
+    """
+    import math
+
+    v_arr = F.col(vec_col).cast("array<double>")
+    xm = F.transform(
+        v_arr, lambda x: F.round(x * 1e6, 0).cast("long")
+    )
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        xm.alias("__xm")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at("__xm", (i + 1).cast("int"))
+                        * F.element_at("__xm", (j + 1).cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    stats = (
+        base.select(F.explode(tri).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum(F.col("e.p").cast("decimal(38,0)")).alias("p"))
+    )
+    sums = (
+        base.select(F.posexplode("__xm").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    n = 0
+    S = [0] * dim
+    for r in sums.collect():
+        S[r["i"]] = int(r["s"])
+        n = max(n, r["c"])
+    P = {}
+    for r in stats.collect():
+        P[(r["i"], r["j"])] = int(r["p"])
+    C = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            c = n * P.get((i, j), 0) - S[i] * S[j]
+            C[i][j] = c
+            C[j][i] = c
+
+    v = [int(round(1e6 / math.sqrt(dim)))] * dim
+    for _ in range(rounds):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        k = max(0, len(str(m)) - 7)
+        d10 = 10 ** k
+        w2 = [(abs(x) // d10) * (1 if x >= 0 else -1) for x in w]
+        norm2 = sum(x * x for x in w2)
+        if norm2 == 0:
+            break
+        norm = math.sqrt(float(norm2))
+        v = [
+            int(
+                math.copysign(
+                    math.floor(abs((float(x) / norm) * 1e6) + 0.5), x
+                )
+            )
+            for x in w2
+        ]
+    return v
+
+
+def pca_pc1_scores(
+    embeddings: DataFrame,
+    dim: int,
+    rounds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-principal-component scores per vector: (id, pc1_score) —
+    the embedding-analytics workhorse (dominant-direction audits,
+    1-D diversity binning, outlier triage by |score|).
+
+    Scores project the 6dp-QUANTIZED vectors onto the fitted micro
+    direction with pure integer arithmetic (score_micro = sum
+    xm_i * v_i, |.| <= 64e12 — exact in long), then one rounded
+    division — so engine and oracle agree bit-for-bit; there is no
+    float summation over dimensions anywhere. NULL vectors are
+    excluded from both fit and output (documented contract).
+
+    Scale: the fit is one scan + one dim^2-key aggregation (see
+    ``_pc1_fit``); scoring is a scan with an in-row fold. The dim^2
+    in-row product expansion is the standard outer-product flat-map
+    of distributed PCA — per-row work O(dim^2), no shuffle wider
+    than dim^2 keys.
+    """
+    v = _pc1_fit(embeddings, dim, rounds, vec_col)
+    v_lit = F.array(*[F.lit(int(x)) for x in v])
+    xm = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1e6, 0).cast("long"),
+    )
+    score_micro = F.aggregate(
+        F.zip_with(xm, v_lit, lambda x, vv: x * vv),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.round(score_micro / F.lit(1e12), ndigits).alias("pc1_score"),
+    )

@@ -80,6 +80,45 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_pca_pc1_matches_numpy_direction(spark):
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.embstats import (
+        _pc1_fit,
+        pca_pc1_scores,
+    )
+
+    rng = np.random.RandomState(7)
+    d = 8
+    base = np.array([1.0, 2.0, 0.5, -1.0, 0.0, 0.3, -0.2, 1.5])
+    base /= np.linalg.norm(base)
+    X = np.outer(rng.randn(200) * 2.0, base) + rng.randn(200, d) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    v = np.array(_pc1_fit(df, dim=d, rounds=8), dtype=float)
+    v /= np.linalg.norm(v)
+    Xq = np.round(X * 1e6) / 1e6
+    evals, evecs = np.linalg.eigh(np.cov(Xq.T, bias=True))
+    assert abs(float(v @ evecs[:, -1])) > 0.9999
+    sc = pca_pc1_scores(df, dim=d, rounds=8).orderBy("vec_id").toPandas()
+    assert len(sc) == 200 and sc.pc1_score.abs().max() > 0
+
+
+def test_pca_pc1_degenerate_all_equal(spark):
+    # identical vectors -> zero scatter -> w = 0 every round -> v stays
+    # at v0 and scores are the (equal) v0 projections, no crash
+    from etl_orders_to_bq_spark.operators.embstats import pca_pc1_scores
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    sc = pca_pc1_scores(df, dim=4, rounds=8).toPandas()
+    assert len(sc) == 5 and sc.pc1_score.nunique() == 1
+
+
 def test_benchmark_ngram_contamination(spark):
     from etl_orders_to_bq_spark.operators.suffix import (
         benchmark_ngram_contamination,
