@@ -123,6 +123,13 @@ HEADLINE = [
     "changepoint",
     "bpe_merges",
     "gini_stump",
+    # round-9: stride-1 exact substring dedup (two-stage window
+    # group-count + island merge), CCNet per-paragraph curation,
+    # eval-set n-gram decontamination, integer-exact distributed PCA
+    "exact_substring_dedup",
+    "paragraph_quality_filter",
+    "benchmark_decontaminate",
+    "pca_pc1",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -160,6 +167,8 @@ ITERATIVE = {
     # the 3 training rounds (pair-count argmax collects) run at
     # construction; the returned frame is a driver-local shim
     "bpe_merges",
+    # the scatter-matrix collect + power iteration run at construction
+    "pca_pc1",
 }
 
 
@@ -999,6 +1008,29 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 .first()
             )
             out[f"dedup_embedding_{tag}_candidates"] = int(sizes["p"] or 0)
+
+        # r9: stride-1 exact substring dedup — window extraction is
+        # scan-shaped and the word-suffixed copies keep windows
+        # copy-disjoint, so the per-copy dup structure replicates and
+        # growth should track data; the dup-window census is the
+        # operator's work term
+        from etl_orders_to_bq_spark.operators.suffix import (
+            _dup_window_hits,
+            exact_substring_dedup,
+        )
+
+        t1 = _timed(lambda: exact_substring_dedup(d1, min_tokens=15), runs=2)
+        t0 = time.perf_counter()
+        _force(exact_substring_dedup(d10, min_tokens=15))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["exact_substring_1x"] = t1["median"]
+        out["exact_substring_10x"] = t10
+        out["exact_substring_growth"] = round(
+            t10 / max(t1["median"], 1e-9), 1
+        )
+        for tag, d in (("1x", d1), ("10x", d10)):
+            _, hits = _dup_window_hits(d, 15, "text", "doc_id")
+            out[f"exact_substring_{tag}_dup_windows"] = hits.count()
 
         def perp(d):
             return perplexity_buckets(
