@@ -7728,6 +7728,22 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid Backoff trigram scoring (operators/lm.py
+    stupid_backoff_scores, Brants et al. 2007): even doc_ids train the
+    count tables, odd doc_ids are scored — the split makes the backoff
+    cascade actually fire (self-scoring never leaves the trigram
+    level). Per-position 6dp rounding before the sorted fold; the
+    oracle replays counts, the three-level case cascade, and the
+    fold."""
+    from etl_orders_to_bq_spark.operators.lm import stupid_backoff_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return stupid_backoff_scores(test, train).orderBy("doc_id")
+
+
 def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA, first component (operators/embstats.py
     pca_pc1_scores): integer-exact scatter matrix (one dim²-key
@@ -7841,6 +7857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "stupid_backoff": q_stupid_backoff,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -15910,6 +15927,76 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # held-out Stupid Backoff: counts from even docs, odd docs scored;
+    # raw ratios at tri/bi levels, add-one floor at the unigram level,
+    # alpha = 0.4 per backoff step; 6dp per-position round BEFORE the
+    # sorted fold so sort keys and sums are engine-identical
+    out["stupid_backoff"] = f"""
+        with tok as (
+          select doc_id, regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        tr as (select * from tok where doc_id % 2 = 0),
+        te as (select * from tok where doc_id % 2 = 1),
+        uni as (select unnest(ts) as w from tr),
+        uc as (select w, count(*) as c1 from uni group by w),
+        k as (select count(*) as vv, sum(c1) as n from uc),
+        bgr as (
+          select unnest(list_transform(
+                   range(1, len(ts)),
+                   i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) as p
+          from tr
+        ),
+        bc as (select p.w1 as w1, p.w2 as w2, count(*) as c2
+               from bgr group by 1, 2),
+        tgr as (
+          select unnest(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> struct_pack(w1 := ts[i], w2 := ts[i + 1],
+                                    w3 := ts[i + 2]))) as p
+          from tr
+        ),
+        tc as (select p.w1 as w1, p.w2 as w2, p.w3 as w3,
+                      count(*) as c3
+               from tgr group by 1, 2, 3),
+        pos as (
+          select doc_id,
+                 unnest(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> struct_pack(w1 := ts[i], w2 := ts[i + 1],
+                                    w3 := ts[i + 2]))) as p
+          from te
+        ),
+        posf as (select doc_id, p.w1 as w1, p.w2 as w2, p.w3 as w3
+                 from pos),
+        sc as (
+          select doc_id,
+                 round(log10(
+                   case when coalesce(tc.c3, 0) > 0
+                             and coalesce(b12.c2, 0) > 0
+                        then tc.c3 / cast(b12.c2 as double)
+                        else 0.4 * (
+                          case when coalesce(b23.c2, 0) > 0
+                                    and coalesce(u2.c1, 0) > 0
+                               then b23.c2 / cast(u2.c1 as double)
+                               else 0.4 * ((coalesce(u3.c1, 0) + 1.0)
+                                           / (k.n + k.vv))
+                          end)
+                   end), 6) as v
+          from posf
+          left join tc using (w1, w2, w3)
+          left join bc b12 on b12.w1 = posf.w1 and b12.w2 = posf.w2
+          left join bc b23 on b23.w1 = posf.w2 and b23.w2 = posf.w3
+          left join uc u2 on u2.w = posf.w2
+          left join uc u3 on u3.w = posf.w3, k
+        )
+        select doc_id,
+               round(list_reduce(
+                       list_prepend(0.0, list(v order by v)),
+                       (a, b) -> a + b) / count(*), 6) + 0.0
+                 as sb_logprob
+        from sc group by doc_id order by doc_id
     """
     # distributed PCA: full integer-exact eigensolve replay
     out["pca_pc1"] = _pca_pc1_sql(dim=64, rounds=8)

@@ -479,6 +479,163 @@ def bigram_logprob_scores(
     )
 
 
+def stupid_backoff_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    out_col: str = "sb_logprob",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Stupid Backoff trigram LM scores (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale LM scheme
+    built for exactly this engine shape: NO normalization pass, just
+    raw count ratios with a fixed backoff penalty):
+
+        S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)        if the trigram is
+                                                   in the TRAIN counts
+                    = alpha * S(w3|w2)             otherwise
+        S(w3|w2)    = c(w2 w3)/c(w2)              if the bigram is
+                    = alpha * S(w3)                otherwise
+        S(w3)       = (c(w3) + 1)/(N + V)          (add-one floor — the
+                       one departure from the paper, so an OOV token
+                       scores finitely instead of log10(0); documented)
+
+        score(d) = mean over trigram positions of
+                   round(log10(S), 6)
+
+    Counts come from ``train_df`` (a HELD-OUT corpus — the
+    configuration where backoff actually fires; scoring a corpus with
+    its own counts never leaves the trigram level and the operator
+    degenerates to a ratio scan). Documents with < 3 tokens have no
+    trigram positions and are absent, the ``bigram_logprob_scores``
+    contract. Per-position values are 6dp-rounded BEFORE the sorted
+    fold, so sort keys and the folded sum are cross-engine identical.
+
+    Data flow: trigram/bigram projections are in-row zip-with-shifted
+    slices (no lag windows); the three count tables are map-side
+    combinable groupBys over the train corpus; scoring is three LEFT
+    token-key joins plus one broadcast constants row; the per-document
+    mean folds a sorted rounded list. Swap ``train_df`` for a
+    pretrained broadcast count table and this IS the KenLM-style
+    production filter.
+    """
+    if train_df is None:
+        train_df = df
+
+    def _toked(frame: DataFrame) -> DataFrame:
+        ts = tokenize(normalize_text(text_col))
+        return frame.select(F.col(id_col), ts.alias("__ts"))
+
+    def _grams(frame: DataFrame, n: int):
+        sl = [
+            F.slice(
+                F.col("__ts"), k + 1,
+                F.greatest(F.size("__ts") - (n - 1), F.lit(0)),
+            )
+            for k in range(n)
+        ]
+        if n == 1:
+            g = F.transform(sl[0], lambda a: F.struct(a.alias("w1")))
+        elif n == 2:
+            g = F.zip_with(
+                sl[0], sl[1],
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        else:
+            g = F.zip_with(
+                F.zip_with(
+                    sl[0], sl[1],
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                sl[2],
+                lambda p, c: F.struct(
+                    p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+                ),
+            )
+        return frame.select(F.col(id_col), F.explode(g).alias("g"))
+
+    tr = _toked(train_df)
+    uc = _grams(tr, 1).groupBy(F.col("g.w1").alias("w")).agg(
+        F.count("*").alias("__c1")
+    )
+    consts = uc.agg(
+        F.count("*").alias("__v"), F.sum("__c1").alias("__n")
+    )
+    bc = _grams(tr, 2).groupBy(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    ).agg(F.count("*").alias("__c2"))
+    tc = _grams(tr, 3).groupBy(
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    ).agg(F.count("*").alias("__c3"))
+
+    pos = _grams(_toked(df), 3).select(
+        id_col,
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+    c3 = F.coalesce("__c3", F.lit(0))
+    c12 = F.coalesce("__c12", F.lit(0))
+    c23 = F.coalesce("__c23", F.lit(0))
+    c2 = F.coalesce("__cw2", F.lit(0))
+    c3u = F.coalesce("__cw3", F.lit(0))
+    uni_floor = (c3u + 1.0) / (F.col("__n") + F.col("__v"))
+    s = F.when((c3 > 0) & (c12 > 0), c3 / c12.cast("double")).otherwise(
+        F.lit(alpha)
+        * F.when((c23 > 0) & (c2 > 0), c23 / c2.cast("double")).otherwise(
+            F.lit(alpha) * uni_floor
+        )
+    )
+    val = F.round(F.log10(s), 6)
+    vals = F.sort_array(F.collect_list(val))
+    mean = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / F.size(
+        vals
+    )
+    scored = (
+        pos.join(
+            tc.select(
+                "w1", "w2", "w3", F.col("__c3").alias("__c3")
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bc.select(
+                F.col("w1"), F.col("w2"), F.col("__c2").alias("__c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bc.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("__c2").alias("__c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uc.select(F.col("w").alias("w2"), F.col("__c1").alias("__cw2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uc.select(F.col("w").alias("w3"), F.col("__c1").alias("__cw3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(mean, ndigits).alias(out_col)
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

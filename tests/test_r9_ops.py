@@ -80,6 +80,28 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_stupid_backoff_hand_case(spark):
+    import math
+
+    from etl_orders_to_bq_spark.operators.lm import stupid_backoff_scores
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c a b d")], ["doc_id", "text"]
+    )
+    # train: N=9 tokens, V=4; c(abc)=2, c(ab)=3, c(cab)=2, c(ca)=2
+    test = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "c a b")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.sb_logprob
+        for r in stupid_backoff_scores(test, train).collect()
+    }
+    assert got[1] == round(round(math.log10(2 / 3), 6), 6)
+    # abx: trigram unseen, bigram bx unseen, x OOV -> a^2 * 1/(9+4)
+    assert got[2] == round(round(math.log10(0.4 * 0.4 / 13), 6), 6)
+    assert got[3] == 0.0  # S(b|ca) = 2/2 = 1
+
+
 def test_pca_pc1_matches_numpy_direction(spark):
     import numpy as np
 
