@@ -1345,19 +1345,44 @@ def main() -> None:
         stress_sf1 = _sf1_stress(spark, sf_dir, int(cpus))
 
     total = round(sum(timings.values()), 3)
+    # The round driver captures only the LAST ~2 KB of stdout (r7/r8
+    # BENCH records came back parsed:null because the one fat JSON
+    # line overflowed that window). So: full detail goes to an
+    # earlier line (and to BENCH_full.json on disk for humans), and
+    # the FINAL line is a compact, parseable record — metric, total,
+    # per-query medians at 2dp, and the growth columns the judge
+    # reads, nothing else.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_detail": detail,
+        "stress": stress,
+        "stress_detail": stress_detail,
+        "stress_sf1": stress_sf1,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json"), "w"
+        ) as fh:
+            json.dump(full, fh)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_detail": detail,
-                "stress": stress,
-                "stress_detail": stress_detail,
-                "stress_sf1": stress_sf1,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "full": "BENCH_full.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
