@@ -564,13 +564,23 @@ def bucket_medoids_auto(
 
     from .ann import _hyperplanes, lloyd_kmeans
 
+    from .staging import stage
+
     n = embeddings.count()
     k = max(8, math.ceil(n / max(target_bucket, 1)))
     seeds = _hyperplanes(dim, k, seed)
-    hist = (
-        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method)
-        .groupBy("ivf_cluster")
-        .agg(F.count("*").alias("__s"))
+    # the probe assignment is STAGED and reused when the seeds pass —
+    # the cheap branch then pays ONE Arrow assignment scan total, not
+    # two (one corpus scan saved; at 100 TB the staged frame is the
+    # cluster-partitioned persisted assignment)
+    probe_assigned = stage(
+        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method),
+        None,
+        "bucket_medoids_probe",
+        eager=False,
+    )
+    hist = probe_assigned.groupBy("ivf_cluster").agg(
+        F.count("*").alias("__s")
     )
     st = hist.agg(
         F.sum("__s").alias("__n"),
@@ -582,12 +592,13 @@ def bucket_medoids_auto(
             embeddings, seeds, rounds=kmeans_rounds,
             round_ndigits=6, method=assign_method,
         )
+        assigned = assign_ivf_clusters(
+            embeddings, centroids, vec_col, assign_method
+        )
     else:
-        centroids = seeds
+        assigned = probe_assigned
     v = F.col(vec_col).cast("array<double>")
-    b = assign_ivf_clusters(
-        embeddings, centroids, vec_col, assign_method
-    ).select(
+    b = assigned.select(
         F.col(id_col),
         F.col("ivf_cluster").alias("bucket"),
         v.alias("__v"),
