@@ -7728,6 +7728,25 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference (operators/lm.py bpe_encode): apply a fixed
+    5-merge list — the artifact a trained tokenizer ships as — to
+    every document; vocabulary encoded once (one staged vocab-sized
+    fold per merge), token stream pays a word join + one reassembly
+    groupBy. Merges chosen to cascade on the fixture vocabulary
+    (k+e -> ke, ke+y</w> -> key</w>, ...). The oracle replays the
+    per-merge greedy fold with wrapped-element list_reduce and the
+    in-order flatten."""
+    from etl_orders_to_bq_spark.operators.lm import bpe_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        ("k", "e"), ("ke", "y</w>"), ("a", "g"),
+        ("ag", "g</w>"), ("t", "a"),
+    ]
+    return bpe_encode(d, merges).orderBy("doc_id")
+
+
 def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out Stupid Backoff trigram scoring (operators/lm.py
     stupid_backoff_scores, Brants et al. 2007): even doc_ids train the
@@ -7858,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (new work leads the snapshot) --
         "stupid_backoff": q_stupid_backoff,
+        "bpe_encode": q_bpe_encode,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -15927,6 +15947,68 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # BPE inference: the 5-merge cascade applied per DISTINCT word via
+    # wrapped-element greedy folds (acc/elements both varchar[] so
+    # list_reduce type-checks), then the in-order flatten per doc
+    _bpe_enc_merges = [
+        ("k", "e"), ("ke", "y</w>"), ("a", "g"),
+        ("ag", "g</w>"), ("t", "a"),
+    ]
+    _bpe_enc_steps = []
+    for _i, (_a, _b) in enumerate(_bpe_enc_merges):
+        _bpe_enc_steps.append(f""",
+        v{_i + 1} as (
+          select w,
+                 list_reduce(
+                   list_prepend([]::varchar[],
+                                list_transform(syms, s -> [s])),
+                   (acc, x) -> case
+                     when len(acc) > 0 and acc[-1] = '{_a}'
+                          and x[1] = '{_b}'
+                     then acc[1:len(acc) - 1] || ['{_a}{_b}']
+                     else acc || x end) as syms
+          from v{_i}
+        )""")
+    out["bpe_encode"] = f"""
+        with tok as (
+          select doc_id, regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        words as (select distinct unnest(ts) as w from tok),
+        v0 as (
+          select w,
+                 list_append(
+                   c[1:len(c) - 1],
+                   c[-1] || '</w>') as syms
+          from (select w, regexp_extract_all(w, '.') as c from words)
+          where len(c) > 0
+        ){"".join(_bpe_enc_steps)},
+        toks as (
+          select doc_id, u.i - 1 as pos, ts[u.i] as w
+          from tok,
+               lateral (select unnest(range(1, len(ts) + 1)) as i) u
+        ),
+        j as (select doc_id, pos, syms
+              from toks join v{len(_bpe_enc_merges)} using (w)),
+        g as (
+          select doc_id,
+                 cast(count(*) as bigint) as n_words,
+                 list(syms order by pos) as ss
+          from j group by doc_id
+        )
+        select doc_id, n_words,
+               cast(list_reduce(
+                 list_prepend(0::bigint,
+                   list_transform(ss, s -> cast(len(s) as bigint))),
+                 (a, b) -> a + b) as bigint) as n_subwords,
+               round(list_reduce(
+                 list_prepend(0::bigint,
+                   list_transform(ss, s -> cast(len(s) as bigint))),
+                 (a, b) -> a + b) / cast(n_words as double), 6)
+                 as fertility,
+               array_to_string(flatten(ss), ' ') as encoded_text
+        from g order by doc_id
     """
     # held-out Stupid Backoff: counts from even docs, odd docs scored;
     # raw ratios at tri/bi levels, add-one floor at the unigram level,

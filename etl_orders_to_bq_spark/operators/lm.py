@@ -246,6 +246,78 @@ def _apply_bpe_merge(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+    checkpoint_path: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Apply a learned BPE merge list to a corpus — the inference half
+    of the Sennrich pipeline (``learn_bpe_merges`` is the trainer; a
+    production tokenizer arrives as exactly this artifact, an ordered
+    merge list). Output one row per document with at least one token:
+    ``(id, n_words, n_subwords, fertility, encoded_text)`` —
+    ``encoded_text`` is the subword stream in original word order
+    joined with spaces, ``fertility`` the rounded subwords-per-word
+    ratio (the number a tokenizer review reads per corpus slice).
+
+    Scale shape — encode the VOCABULARY, not the token stream: merges
+    fold over the DISTINCT-word table (Zipf: tiny relative to the
+    corpus; one staged vocab-sized pass per merge so lineage never
+    stacks folds), and the token stream only pays a word-key join plus
+    one per-document reassembly groupBy. Applying the fold per token
+    occurrence would redo identical work millions of times — the same
+    argument that makes corpus-scale BPE training tractable.
+
+    Merges apply in LIST ORDER, each greedy left-to-right over the
+    word's symbol array (``_apply_bpe_merge`` — 'aaa' + (a,a) ->
+    [aa, a]); the reference semantics, and what a SQL oracle replays
+    with the wrapped-element list fold.
+    """
+    from .staging import stage
+
+    vocab = bpe_word_symbols(df, text_col, eow).select("w", "syms")
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        vocab = stage(
+            vocab.withColumn(
+                "syms", _apply_bpe_merge(F.col("syms"), a, b)
+            ),
+            checkpoint_path,
+            f"bpe_enc_v{i + 1}",
+            eager=False,
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(normalize_text(text_col))).alias(
+            "__pos", "w"
+        ),
+    )
+    joined = toks.join(vocab, "w")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos"), F.col("syms")))
+        ),
+        lambda s: s["syms"],
+    )
+    n_sub = F.aggregate(
+        ordered,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(s),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.round(
+            n_sub / F.count("*").cast("double"), ndigits
+        ).alias("fertility"),
+        F.array_join(F.flatten(ordered), " ").alias("encoded_text"),
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int,

@@ -80,6 +80,24 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_bpe_encode_hand_case(spark):
+    from etl_orders_to_bq_spark.operators.lm import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "the then than"), (1, "aaa the")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.fertility, r.encoded_text)
+        for r in bpe_encode(
+            df, [("t", "h"), ("th", "e</w>"), ("a", "a")]
+        ).collect()
+    }
+    # the->the</w>; then->th,e,n</w>; than->th,a,n</w>
+    assert got[0] == (3, 7, 2.333333, "the</w> th e n</w> th a n</w>")
+    # greedy left-to-right: aaa + (a,a) -> [aa, a</w>], not [a, aa</w>]
+    assert got[1] == (2, 3, 1.5, "aa a</w> the</w>")
+
+
 def test_stupid_backoff_hand_case(spark):
     import math
 
