@@ -7728,6 +7728,18 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive reproducibility manifest (operators/dedup.py
+    corpus_manifest): per source, an exact commutative content digest
+    (sum of 60-bit md5 values binding id+text) + row census — equal
+    corpora give equal manifests under ANY partitioning or engine.
+    Oracle replays the hex-parse sum exactly."""
+    from etl_orders_to_bq_spark.operators.dedup import corpus_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_manifest(d).orderBy("source")
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE inference (operators/lm.py bpe_encode): apply a fixed
     5-merge list — the artifact a trained tokenizer ships as — to
@@ -7878,6 +7890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-verified (new work leads the snapshot) --
         "stupid_backoff": q_stupid_backoff,
         "bpe_encode": q_bpe_encode,
+        "corpus_manifest": q_corpus_manifest,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -15947,6 +15960,31 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # order-insensitive manifest: commutative 60-bit md5 sum, exact
+    out["corpus_manifest"] = """
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when text is null then 1 else 0 end)
+                    as bigint) as n_null_text,
+               cast(sum(case when text is null
+                             then cast(0 as hugeint)
+                             else cast(('0x' || substr(
+                                     md5(cast(doc_id as varchar)
+                                         || '|' || text),
+                                     1, 15))::bigint as hugeint)
+                        end) as varchar) as content_sum,
+               md5(cast(sum(case when text is null
+                                 then cast(0 as hugeint)
+                                 else cast(('0x' || substr(
+                                         md5(cast(doc_id as varchar)
+                                             || '|' || text),
+                                         1, 15))::bigint as hugeint)
+                            end) as varchar)
+                   || ':' || cast(count(*) as varchar)) as manifest
+        from documents
+        group by source
+        order by source
     """
     # BPE inference: the 5-merge cascade applied per DISTINCT word via
     # wrapped-element greedy folds (acc/elements both varchar[] so

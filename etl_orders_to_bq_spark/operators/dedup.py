@@ -919,3 +919,69 @@ def dup_rate_by_source(
             ).alias("crosssource_rate"),
         )
     )
+
+
+def corpus_manifest(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-insensitive corpus manifest — the reproducibility audit a
+    100 TB pipeline runs before and after every rebuild ("is this the
+    same corpus?", data-versioning discipline per public lakehouse
+    practice): per group, ``(group, n_docs, n_null_text, content_sum,
+    manifest)`` where ``content_sum`` is the SUM of a 60-bit
+    md5-derived value of ``id || '|' || text`` over the group's rows
+    and ``manifest`` hashes (content_sum, n_docs) into one comparable
+    string.
+
+    Binding the id into the row hash makes id/content swaps visible
+    (two rows exchanging texts leaves a bag-of-texts hash unchanged);
+    summation makes the digest independent of row order, partitioning,
+    and engine — equal corpora give equal manifests ANYWHERE, which a
+    concatenation hash cannot (it would need a global sort). NULL text
+    contributes a counted column, never a hash (the dup_rate_by_source
+    null discipline).
+
+    Scale: one scan + one map-side-combinable groupBy carrying
+    (group, 16-byte partial sums); the exact decimal(38) sum cannot
+    overflow below ~10^18 rows per group.
+    """
+    val = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.col(text_col)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col).isNull().cast("long").alias("__isnull"),
+        F.when(F.col(text_col).isNotNull(), val)
+        .otherwise(F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__v"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__isnull").alias("n_null_text"),
+        F.sum("__v").alias("__sum"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_null_text",
+        F.col("__sum").cast("string").alias("content_sum"),
+        F.md5(
+            F.concat_ws(
+                ":", F.col("__sum").cast("string"), F.col("n_docs")
+            )
+        ).alias("manifest"),
+    )

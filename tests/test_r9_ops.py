@@ -80,6 +80,28 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_corpus_manifest_order_insensitive_and_binding(spark):
+    from etl_orders_to_bq_spark.operators.dedup import corpus_manifest
+
+    a = spark.createDataFrame(
+        [(1, "s", "x"), (2, "s", "y"), (3, "s", None)],
+        ["doc_id", "source", "text"],
+    )
+    b = spark.createDataFrame(  # same rows, different order
+        [(3, "s", None), (2, "s", "y"), (1, "s", "x")],
+        ["doc_id", "source", "text"],
+    )
+    swapped = spark.createDataFrame(  # texts exchanged between ids
+        [(1, "s", "y"), (2, "s", "x"), (3, "s", None)],
+        ["doc_id", "source", "text"],
+    )
+    ma = corpus_manifest(a).collect()[0]
+    mb = corpus_manifest(b).collect()[0]
+    ms = corpus_manifest(swapped).collect()[0]
+    assert ma.manifest == mb.manifest and ma.n_null_text == 1
+    assert ms.manifest != ma.manifest  # id<->text swap is visible
+
+
 def test_bpe_encode_hand_case(spark):
     from etl_orders_to_bq_spark.operators.lm import bpe_encode
 
