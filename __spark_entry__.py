@@ -7728,6 +7728,31 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based near-dup representative selection
+    (operators/dedup.py dedup_keep_best, the RefinedWeb/FineWeb keep
+    rule): the dedup_clusters pipeline (planted dups, 4-hash/2-band
+    MinHash, connected components) but the kept member is the MAX
+    quality_score (6dp), ties to the smaller id — not min-id. Oracle
+    replays signatures, banding, the recursive-CTE closure, and the
+    argmax."""
+    from etl_orders_to_bq_spark.functions.text import quality_score
+    from etl_orders_to_bq_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_lsh_candidates,
+    )
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", num_hashes=4, bands=2,
+        shingle_len=3,
+    )
+    scored = d.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    return dedup_keep_best(pairs, scored).orderBy("component")
+
+
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive reproducibility manifest (operators/dedup.py
     corpus_manifest): per source, an exact commutative content digest
@@ -7891,6 +7916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         "bpe_encode": q_bpe_encode,
         "corpus_manifest": q_corpus_manifest,
+        "dedup_keep_best": q_dedup_keep_best,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -15960,6 +15986,63 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # keep-best rep: the dedup_clusters closure + quality argmax
+    out["dedup_keep_best"] = f"""
+        with recursive docs2 as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 100000, text from documents where doc_id < 10
+        ),
+        sig as (
+            select doc_id,
+                   {_mh_sql(0)} as mh_0, {_mh_sql(1)} as mh_1,
+                   {_mh_sql(2)} as mh_2, {_mh_sql(3)} as mh_3
+            from docs2
+        ),
+        banded as (
+            select doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) as bk
+            from sig where mh_0 is not null
+            union all
+            select doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) as bk
+            from sig where mh_0 is not null
+        ),
+        prs as (
+            select distinct l.doc_id as id_a, r.doc_id as id_b
+            from banded l join banded r
+              on l.bk = r.bk and l.doc_id < r.doc_id
+        ),
+        edges as (
+            select id_a as a, id_b as b from prs
+            union
+            select id_b as a, id_a as b from prs
+        ),
+        reach as (
+            select a, a as b from edges
+            union
+            select a, b from edges
+            union
+            select r.a, e.b from reach r join edges e on r.b = e.a
+        ),
+        comp as (select a as id, min(b) as component
+                 from reach group by a),
+        q as (select doc_id as id, {quality_expr} as quality
+              from (select doc_id, text from docs2) documents_alias
+                   (doc_id, text)),
+        mem as (select comp.component, comp.id, q.quality
+                from comp join q using (id))
+        select component, id as rep_id,
+               cast(nm as bigint) as n_members,
+               mq as rep_score
+        from (
+          select component, id, quality,
+                 row_number() over (partition by component
+                                    order by quality desc, id asc) as rn,
+                 count(*) over (partition by component) as nm,
+                 max(quality) over (partition by component) as mq
+          from mem
+        ) where rn = 1
+        order by component
     """
     # order-insensitive manifest: commutative 60-bit md5 sum, exact
     out["corpus_manifest"] = """

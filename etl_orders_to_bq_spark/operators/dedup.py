@@ -985,3 +985,45 @@ def corpus_manifest(
             )
         ).alias("manifest"),
     )
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster representative by QUALITY, not by id — the
+    curation policy most public pipelines actually want (RefinedWeb /
+    FineWeb keep the best-scoring member of each duplicate cluster;
+    min-id keep is reproducible but quality-blind). Input: candidate
+    ``pairs`` (any blocking-first generator) and a ``scored`` doc
+    table; output one row per cluster: ``(component, rep_id,
+    n_members, rep_score)`` with rep = max score, ties to the smaller
+    id — deterministic and oracle-reproducible.
+
+    Scale: connected components is the existing iterative operator
+    (pairs-sized, staged per round); the rep pick is ONE combinable
+    max-struct groupBy over (component, score, id) rows — never text.
+    """
+    from .graph import connected_components
+
+    cc = connected_components(pairs, left_col, right_col)
+    members = cc.join(
+        scored.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__q")
+        ),
+        "id",
+    )
+    best = F.max(
+        F.struct(
+            F.col("__q").alias("q"), (-F.col("id")).alias("nid")
+        )
+    )
+    return members.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (-best.getField("nid")).alias("rep_id"),
+        best.getField("q").alias("rep_score"),
+    ).select("component", "rep_id", "n_members", "rep_score")

@@ -80,6 +80,25 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_dedup_keep_best_picks_max_quality(spark):
+    from etl_orders_to_bq_spark.operators.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        ["doc_id", "quality"],
+    )
+    got = {
+        r.component: (r.rep_id, r.n_members, r.rep_score)
+        for r in dedup_keep_best(pairs, scored).collect()
+    }
+    # cluster {1,2,3}: quality tie 2 vs 3 -> smaller id 2 wins
+    assert got[1] == (2, 3, 0.9)
+    assert got[10] == (10, 2, 0.5)
+
+
 def test_corpus_manifest_order_insensitive_and_binding(spark):
     from etl_orders_to_bq_spark.operators.dedup import corpus_manifest
 
