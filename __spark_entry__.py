@@ -7728,6 +7728,28 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hard-negative mining (operators/ann.py hard_negatives,
+    the DPR recipe): queries = vec_id % 100 == 0, positives = (q,
+    q+1); per query the top-3 same-region cosine neighbors excluding
+    self and positives. Regions come from the shared
+    auto_region_assign policy (seed-42 cheap branch at the gate SFs,
+    same count-driven k as diverse_sample), so the oracle replays
+    assignment, the anti-join, 6dp cosines, and the rank window."""
+    from etl_orders_to_bq_spark.operators.ann import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    pos = qs.select(
+        "query_id", (F.col("query_id") + 1).alias("pos_id")
+    )
+    return hard_negatives(e, qs, pos, dim=64, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based near-dup representative selection
     (operators/dedup.py dedup_keep_best, the RefinedWeb/FineWeb keep
@@ -7917,6 +7939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "corpus_manifest": q_corpus_manifest,
         "dedup_keep_best": q_dedup_keep_best,
+        "hard_negatives": q_hard_negatives,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -15986,6 +16009,40 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # hard negatives: region assign (count-driven k like
+    # diverse_sample), self/positive exclusion, 6dp cosine topk
+    out["hard_negatives"] = f"""
+        with b as (
+          select vec_id, cast(embedding as double[]) as v,
+                 sqrt(list_dot_product(cast(embedding as double[]),
+                                       cast(embedding as double[])))
+                   as nrm,
+                 case when (select count(*) from embeddings) <= 1024
+                      then {_ivf_assign_sql(dim=64, n=8, seed=42)}
+                      else {_ivf_assign_sql(dim=64, n=16, seed=42)}
+                 end as r
+          from embeddings
+        ),
+        q as (select vec_id as qid, v as qv, nrm as qn, r
+              from b where vec_id % 100 = 0),
+        cand as (
+          select q.qid, b.vec_id as neg_id,
+                 case when q.qn * b.nrm > 0
+                      then round(list_dot_product(q.qv, b.v)
+                                 / (q.qn * b.nrm), 6)
+                      else -2.0 end as cos_sim
+          from q join b on b.r = q.r
+          where b.vec_id <> q.qid and b.vec_id <> q.qid + 1
+        )
+        select qid as query_id, neg_id,
+               cast(rn as int) as rank, cos_sim
+        from (
+          select *, row_number() over (partition by qid
+                       order by cos_sim desc, neg_id asc) as rn
+          from cand
+        ) where rn <= 3
+        order by query_id, rank
     """
     # keep-best rep: the dedup_clusters closure + quality argmax
     out["dedup_keep_best"] = f"""

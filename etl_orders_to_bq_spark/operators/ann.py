@@ -781,3 +781,107 @@ def knn_classify(
         F.col("votes").cast("long").alias("votes"),
         (F.col("__clabel") == F.col("true_label")).alias("is_correct"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    dim: int,
+    k: int = 5,
+    target_bucket: int = 128,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    max_bucket: int = 1_000_000,
+    pair_method: str = "numpy",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Batch hard-negative mining for retrieval/embedding training
+    (the DPR / sentence-transformers recipe, public literature): for
+    every query vector, the top-``k`` most-similar corpus items that
+    are NOT the query itself and NOT its labeled positives — the
+    negatives that actually move a contrastive loss.
+
+    Output: ``(query_id, neg_id, rank, cos_sim)``, rank 1..k by
+    6dp-rounded cosine desc with id tie-break — fully
+    oracle-reproducible. Candidates are REGION-BLOCKED with the
+    degeneracy-robust ``auto_region_assign`` policy (semdedup.py):
+    region count grows with the corpus, so per-query candidate work
+    stays ~target_bucket instead of n — the all-pairs batch top-k this
+    operator replaces is the textbook n² trap. Recall is
+    within-region, the standard IVF nprobe=1 trade; widen
+    ``target_bucket`` for more.
+
+    Scale: one region assignment scan (staged by the policy), a
+    region equi-join whose shuffle carries bucketed vectors once per
+    side, per-pair cosine on candidates only, and one per-query top-k
+    window over candidate rows (bounded by region population).
+    ``queries`` is usually small (a training batch) — Catalyst
+    broadcasts it into the region join unaided.
+    """
+    from .semdedup import _pair_cosine, auto_region_assign
+
+    v = F.col(vec_col).cast("array<double>")
+    assigned = auto_region_assign(
+        embeddings, dim, target_bucket, seed, vec_col, "numpy",
+    ).select(
+        F.col(id_col),
+        F.col("ivf_cluster").alias("__r"),
+        v.alias("__v"),
+        l2_norm(v).alias("__n"),
+    )
+    sizes = (
+        assigned.groupBy("__r")
+        .agg(F.count("*").alias("__rs"))
+        .filter(F.col("__rs") <= max_bucket)
+        .select("__r")
+    )
+    assigned = assigned.join(F.broadcast(sizes), "__r", "left_semi")
+    q = queries.select(F.col(query_id_col).alias("__qid")).join(
+        assigned.select(
+            F.col(id_col).alias("__qid"),
+            F.col("__r"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+        ),
+        "__qid",
+    )
+    cand = q.join(assigned, "__r").filter(
+        F.col("__qid") != F.col(id_col)
+    )
+    cand = cand.join(
+        positives.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(pos_id_col).alias(id_col),
+        ),
+        ["__qid", id_col],
+        "left_anti",
+    )
+    cos = F.round(
+        F.coalesce(
+            _pair_cosine(
+                F.col("__qv"), F.col("__v"), F.col("__qn"),
+                F.col("__n"), pair_method,
+            ),
+            F.lit(-2.0),
+        ),
+        ndigits,
+    )
+    ranked = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neg_id"),
+        cos.alias("cos_sim"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.desc("cos_sim"), F.asc("neg_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col, "neg_id", "rank", "cos_sim"
+    )

@@ -514,6 +514,58 @@ def _medoids_over(
     )
 
 
+def auto_region_assign(
+    embeddings: DataFrame,
+    dim: int,
+    target_bucket: int = 128,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    assign_method: str = "numpy",
+    degeneracy_factor: float = 4.0,
+    kmeans_rounds: int = 2,
+) -> DataFrame:
+    """The degeneracy-robust region policy, factored out for every
+    region-blocked embedding operator (``bucket_medoids_auto``,
+    ``hard_negatives``): k = max(8, ceil(n/target)) seeded directions,
+    one STAGED probe assignment (reused directly when the seeds pass —
+    the cheap branch pays ONE Arrow scan total), Σs²/n histogram probe,
+    deterministic Lloyd fallback when the data clumps. Returns the
+    input columns plus ``ivf_cluster``. Deterministic given (data,
+    seed), so an oracle can replay whichever branch the fixture takes.
+    """
+    import math
+
+    from .ann import _hyperplanes, lloyd_kmeans
+    from .staging import stage
+
+    n = embeddings.count()
+    k = max(8, math.ceil(n / max(target_bucket, 1)))
+    seeds = _hyperplanes(dim, k, seed)
+    probe_assigned = stage(
+        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method),
+        None,
+        "auto_region_probe",
+        eager=False,
+    )
+    hist = probe_assigned.groupBy("ivf_cluster").agg(
+        F.count("*").alias("__s")
+    )
+    st = hist.agg(
+        F.sum("__s").alias("__n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
+    ).collect()[0]
+    work_per_row = (st["__ss"] or 0) / max(st["__n"] or 0, 1)
+    if work_per_row > degeneracy_factor * target_bucket:
+        centroids, _ = lloyd_kmeans(
+            embeddings, seeds, rounds=kmeans_rounds,
+            round_ndigits=6, method=assign_method,
+        )
+        return assign_ivf_clusters(
+            embeddings, centroids, vec_col, assign_method
+        )
+    return probe_assigned
+
+
 def bucket_medoids_auto(
     embeddings: DataFrame,
     dim: int,
@@ -560,43 +612,10 @@ def bucket_medoids_auto(
     one count job + the probe's tiny histogram agg; the Lloyd fit (2
     extra scans) only when the probe demands it.
     """
-    import math
-
-    from .ann import _hyperplanes, lloyd_kmeans
-
-    from .staging import stage
-
-    n = embeddings.count()
-    k = max(8, math.ceil(n / max(target_bucket, 1)))
-    seeds = _hyperplanes(dim, k, seed)
-    # the probe assignment is STAGED and reused when the seeds pass —
-    # the cheap branch then pays ONE Arrow assignment scan total, not
-    # two (one corpus scan saved; at 100 TB the staged frame is the
-    # cluster-partitioned persisted assignment)
-    probe_assigned = stage(
-        assign_ivf_clusters(embeddings, seeds, vec_col, assign_method),
-        None,
-        "bucket_medoids_probe",
-        eager=False,
+    assigned = auto_region_assign(
+        embeddings, dim, target_bucket, seed, vec_col, assign_method,
+        degeneracy_factor, kmeans_rounds,
     )
-    hist = probe_assigned.groupBy("ivf_cluster").agg(
-        F.count("*").alias("__s")
-    )
-    st = hist.agg(
-        F.sum("__s").alias("__n"),
-        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
-    ).collect()[0]
-    work_per_row = (st["__ss"] or 0) / max(st["__n"] or 0, 1)
-    if work_per_row > degeneracy_factor * target_bucket:
-        centroids, _ = lloyd_kmeans(
-            embeddings, seeds, rounds=kmeans_rounds,
-            round_ndigits=6, method=assign_method,
-        )
-        assigned = assign_ivf_clusters(
-            embeddings, centroids, vec_col, assign_method
-        )
-    else:
-        assigned = probe_assigned
     v = F.col(vec_col).cast("array<double>")
     b = assigned.select(
         F.col(id_col),

@@ -80,6 +80,31 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_hard_negatives_excludes_self_and_positives(spark):
+    from etl_orders_to_bq_spark.operators.ann import hard_negatives
+
+    # 4-dim toy: vec 0 is the query; 1 is its positive (closest); 2 is
+    # nearly identical to 0 (the hard negative); 3 is orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = spark.createDataFrame([(0,)], ["query_id"])
+    pos = spark.createDataFrame([(0, 1)], ["query_id", "pos_id"])
+    got = [
+        (r.neg_id, r.rank)
+        for r in hard_negatives(e, qs, pos, dim=4, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    ids = [g[0] for g in got]
+    assert 0 not in ids and 1 not in ids  # self + positive excluded
+    assert ids[0] == 2  # the near-duplicate is the top hard negative
+
+
 def test_dedup_keep_best_picks_max_quality(spark):
     from etl_orders_to_bq_spark.operators.dedup import dedup_keep_best
 
