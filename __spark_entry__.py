@@ -8369,7 +8369,9 @@ def _pca_pc1_sql(dim: int = 64, rounds: int = 8) -> str:
                  list_transform(cast(embedding as double[]),
                                 x -> cast(round(x * 1000000, 0)
                                           as hugeint)) as xm
-          from embeddings where embedding is not null
+          from embeddings
+          where embedding is not null
+            and len(cast(embedding as double[])) = {dim}
         ),
         nn as materialized (select cast(count(*) as hugeint) as n from m),
         su as materialized (
@@ -8416,7 +8418,9 @@ def _pca_pc1_sql(dim: int = 64, rounds: int = 8) -> str:
           from w{r}
         ),
         s{r} as materialized (
-          select i, w // cast(power(10, (select k from p{r}))
+          -- exact 10^k: power() is a double (inexact at k >= 23,
+          -- i.e. ~30-digit matvec magnitudes); build the literal
+          select i, w // cast('1' || repeat('0', (select k from p{r}))
                               as hugeint) as w2
           from w{r}
         ),
@@ -16110,14 +16114,14 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(case when text is null
                              then cast(0 as hugeint)
                              else cast(('0x' || substr(
-                                     md5(cast(doc_id as varchar)
+                                     md5(coalesce(cast(doc_id as varchar), '')
                                          || '|' || text),
                                      1, 15))::bigint as hugeint)
                         end) as varchar) as content_sum,
                md5(cast(sum(case when text is null
                                  then cast(0 as hugeint)
                                  else cast(('0x' || substr(
-                                         md5(cast(doc_id as varchar)
+                                         md5(coalesce(cast(doc_id as varchar), '')
                                              || '|' || text),
                                          1, 15))::bigint as hugeint)
                             end) as varchar)

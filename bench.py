@@ -1347,11 +1347,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # The round driver captures only the LAST ~2 KB of stdout (r7/r8
     # BENCH records came back parsed:null because the one fat JSON
-    # line overflowed that window). So: full detail goes to an
-    # earlier line (and to BENCH_full.json on disk for humans), and
-    # the FINAL line is a compact, parseable record — metric, total,
-    # per-query medians at 2dp, and the growth columns the judge
-    # reads, nothing else.
+    # line overflowed that window). So: full detail goes to an early
+    # line AND to BENCH_full.json on disk (the canonical record —
+    # growth tables, run lists, censuses live there); a growth-only
+    # compact line prints second-to-last (best effort: the tail
+    # window catches whatever of it fits behind the final line); the
+    # FINAL line is the parseable driver record — metric, total,
+    # per-query medians at 2dp, and a pointer to the full file.
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -1372,6 +1374,13 @@ def main() -> None:
             json.dump(full, fh)
     except OSError:
         pass
+    growth = {
+        k.removesuffix("_growth"): v
+        for k, v in stress_sf1.items()
+        if k.endswith("_growth")
+    }
+    print(json.dumps({"metric": "stress_10x_growth", "growth": growth},
+                     separators=(",", ":")))
     print(
         json.dumps(
             {

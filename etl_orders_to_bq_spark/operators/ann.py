@@ -822,7 +822,7 @@ def hard_negatives(
     ``queries`` is usually small (a training batch) — Catalyst
     broadcasts it into the region join unaided.
     """
-    from .semdedup import _pair_cosine, auto_region_assign
+    from .semdedup import _bucket_guarded, _pair_cosine, auto_region_assign
 
     v = F.col(vec_col).cast("array<double>")
     assigned = auto_region_assign(
@@ -833,13 +833,7 @@ def hard_negatives(
         v.alias("__v"),
         l2_norm(v).alias("__n"),
     )
-    sizes = (
-        assigned.groupBy("__r")
-        .agg(F.count("*").alias("__rs"))
-        .filter(F.col("__rs") <= max_bucket)
-        .select("__r")
-    )
-    assigned = assigned.join(F.broadcast(sizes), "__r", "left_semi")
+    assigned = _bucket_guarded(assigned, "__r", max_bucket)
     q = queries.select(F.col(query_id_col).alias("__qid")).join(
         assigned.select(
             F.col(id_col).alias("__qid"),

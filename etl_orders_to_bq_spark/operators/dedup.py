@@ -948,11 +948,17 @@ def corpus_manifest(
     (group, 16-byte partial sums); the exact decimal(38) sum cannot
     overflow below ~10^18 rows per group.
     """
+    # explicit coalesce, not concat_ws: concat_ws SKIPS a NULL id
+    # (hashing the bare text, which an oracle's NULL-propagating ||
+    # cannot replay) — a NULL id hashes as the empty string on both
+    # engines instead (review finding r9)
     val = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    "|", F.col(id_col).cast("string"), F.col(text_col)
+                F.concat(
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                    F.lit("|"),
+                    F.col(text_col),
                 )
             ),
             1,
@@ -1008,6 +1014,8 @@ def dedup_keep_best(
     (pairs-sized, staged per round); the rep pick is ONE combinable
     max-struct groupBy over (component, score, id) rows — never text.
     """
+    from pyspark.sql import Window
+
     from .graph import connected_components
 
     cc = connected_components(pairs, left_col, right_col)
@@ -1017,13 +1025,25 @@ def dedup_keep_best(
         ),
         "id",
     )
-    best = F.max(
-        F.struct(
-            F.col("__q").alias("q"), (-F.col("id")).alias("nid")
+    # rank window, not a negated-id struct max: unary minus NULLs a
+    # string id (review finding r9) — this form works for any
+    # orderable id type; the window is per-component, bounded by
+    # cluster size
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__q"), F.asc("id")
+    )
+    reps = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("rep_id"),
+            F.col("__q").alias("rep_score"),
         )
     )
-    return members.groupBy("component").agg(
-        F.count("*").cast("long").alias("n_members"),
-        (-best.getField("nid")).alias("rep_id"),
-        best.getField("q").alias("rep_score"),
-    ).select("component", "rep_id", "n_members", "rep_score")
+    counts = members.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return counts.join(reps, "component").select(
+        "component", "rep_id", "n_members", "rep_score"
+    )

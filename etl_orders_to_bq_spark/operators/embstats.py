@@ -128,47 +128,60 @@ def _pc1_fit(
     xm = F.transform(
         v_arr, lambda x: F.round(x * 1e6, 0).cast("long")
     )
-    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        xm.alias("__xm")
-    )
+    # contract: NULL vectors and wrong-length arrays are EXCLUDED
+    # (a ragged row would otherwise silently corrupt the scatter
+    # matrix — or crash the driver loop on an over-long array)
+    base = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(v_arr) == dim)
+    ).select(xm.alias("__xm"))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    tri = F.flatten(
+    # ONE in-row expansion carries all sufficient statistics: the
+    # upper-triangle products (i, j, xi*xj) PLUS per-dim sum rows
+    # (i, -1, xi) — so n, S and P come out of a single scan + a
+    # single combinable groupBy, and no second corpus pass exists
+    tri = F.concat(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            F.element_at("__xm", (i + 1).cast("int"))
+                            * F.element_at("__xm", (j + 1).cast("int"))
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        ),
         F.transform(
             idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at("__xm", (i + 1).cast("int"))
-                        * F.element_at("__xm", (j + 1).cast("int"))
-                    ).alias("p"),
-                ),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.lit(-1).alias("j"),
+                F.element_at("__xm", (i + 1).cast("int")).alias("p"),
             ),
-        )
+        ),
     )
     stats = (
         base.select(F.explode(tri).alias("e"))
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(F.sum(F.col("e.p").cast("decimal(38,0)")).alias("p"))
-    )
-    sums = (
-        base.select(F.posexplode("__xm").alias("i", "x"))
-        .groupBy("i")
         .agg(
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("e.p").cast("decimal(38,0)")).alias("p"),
             F.count("*").alias("c"),
         )
     )
     n = 0
     S = [0] * dim
-    for r in sums.collect():
-        S[r["i"]] = int(r["s"])
-        n = max(n, r["c"])
     P = {}
     for r in stats.collect():
-        P[(r["i"], r["j"])] = int(r["p"])
+        if r["j"] == -1:
+            S[r["i"]] = int(r["p"])
+            n = max(n, r["c"])
+        else:
+            P[(r["i"], r["j"])] = int(r["p"])
     C = [[0] * dim for _ in range(dim)]
     for i in range(dim):
         for j in range(i, dim):
@@ -236,7 +249,10 @@ def pca_pc1_scores(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return embeddings.filter(F.col(vec_col).isNotNull()).select(
+    varr = F.col(vec_col).cast("array<double>")
+    return embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(varr) == dim)
+    ).select(
         F.col(id_col),
         F.round(score_micro / F.lit(1e12), ndigits).alias("pc1_score"),
     )

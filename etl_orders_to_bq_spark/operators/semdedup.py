@@ -556,12 +556,39 @@ def auto_region_assign(
     ).collect()[0]
     work_per_row = (st["__ss"] or 0) / max(st["__n"] or 0, 1)
     if work_per_row > degeneracy_factor * target_bucket:
-        centroids, _ = lloyd_kmeans(
-            embeddings, seeds, rounds=kmeans_rounds,
-            round_ndigits=6, method=assign_method,
+        if kmeans_rounds <= 0:
+            return probe_assigned
+        # the staged probe IS Lloyd round 1's assignment (same seeds),
+        # so its per-cluster means are round 1's centroids — computed
+        # here from the ALREADY-MATERIALIZED frame instead of paying
+        # lloyd_kmeans a fresh assignment scan, and keeping the
+        # checkpointed blocks productive on this branch too (they are
+        # freed by the ContextCleaner once unreferenced). Bitwise
+        # identical to lloyd_kmeans(embeddings, seeds, kmeans_rounds):
+        # same avg expression, same 6dp round, same empty-cluster
+        # keep-previous rule.
+        def _mean(i: int):
+            return F.round(
+                F.avg(F.element_at(F.col(vec_col), i + 1)), 6
+            ).alias(f"m{i}")
+
+        mean_rows = (
+            probe_assigned.groupBy("ivf_cluster")
+            .agg(*[_mean(i) for i in range(dim)])
+            .collect()
         )
+        new = {
+            r["ivf_cluster"]: [float(r[f"m{i}"]) for i in range(dim)]
+            for r in mean_rows
+        }
+        cents = [new.get(j, seeds[j]) for j in range(len(seeds))]
+        if kmeans_rounds > 1:
+            cents, _ = lloyd_kmeans(
+                embeddings, cents, rounds=kmeans_rounds - 1,
+                round_ndigits=6, method=assign_method,
+            )
         return assign_ivf_clusters(
-            embeddings, centroids, vec_col, assign_method
+            embeddings, cents, vec_col, assign_method
         )
     return probe_assigned
 

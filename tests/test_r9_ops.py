@@ -80,6 +80,76 @@ def test_exact_substring_self_repeat(spark):
     assert got[1] == (10, 0, 0)
 
 
+def test_dedup_keep_best_string_ids(spark):
+    from etl_orders_to_bq_spark.operators.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    scored = spark.createDataFrame(
+        [("a", 0.3), ("b", 0.8)], ["doc_id", "quality"]
+    )
+    row = dedup_keep_best(pairs, scored).collect()[0]
+    assert row.rep_id == "b" and row.n_members == 2
+
+
+def test_auto_region_lloyd_branch_matches_lloyd_kmeans(spark):
+    # force the Lloyd branch (degeneracy_factor=0 makes ANY histogram
+    # fail the probe) and check the inlined first round reproduces
+    # lloyd_kmeans-from-seeds exactly
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        assign_ivf_clusters,
+        lloyd_kmeans,
+    )
+    from etl_orders_to_bq_spark.operators.semdedup import (
+        auto_region_assign,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+        .localCheckpoint()
+    )
+    got = (
+        auto_region_assign(
+            e, dim=64, target_bucket=128, seed=42,
+            degeneracy_factor=0.0, kmeans_rounds=2,
+        )
+        .select("vec_id", "ivf_cluster")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents, _ = lloyd_kmeans(
+        e, _hyperplanes(64, 8, 42), rounds=2, round_ndigits=6,
+        method="numpy",
+    )
+    ref = (
+        assign_ivf_clusters(e, cents, "embedding", "numpy")
+        .select("vec_id", "ivf_cluster")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [(r.vec_id, r.ivf_cluster) for r in got] == [
+        (r.vec_id, r.ivf_cluster) for r in ref
+    ]
+
+
+def test_pca_pc1_excludes_ragged_rows(spark):
+    from etl_orders_to_bq_spark.operators.embstats import pca_pc1_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 0.5, -1.0]),
+            (1, [1.1, 2.1, 0.4, -0.9]),
+            (2, [9.0, 9.0]),  # wrong length: excluded, no crash
+            (3, None),
+        ],
+        ["vec_id", "embedding"],
+    )
+    sc = pca_pc1_scores(df, dim=4, rounds=4).toPandas()
+    assert sorted(sc.vec_id.tolist()) == [0, 1]
+
+
 def test_hard_negatives_excludes_self_and_positives(spark):
     from etl_orders_to_bq_spark.operators.ann import hard_negatives
 
