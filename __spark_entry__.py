@@ -7728,6 +7728,39 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta census (operators/dedup.py corpus_diff): old =
+    the documents table; new = the same minus doc_id % 97 == 0
+    (removed), with ' v2' appended to text where doc_id % 13 == 0
+    (changed), plus five re-keyed copies of docs 0-4 (added). One
+    full-outer hash join on 16-byte fingerprints; the oracle replays
+    the synthetic snapshot and the status case."""
+    from etl_orders_to_bq_spark.operators.dedup import corpus_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+    )
+    return corpus_diff(d, new).orderBy("source")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch hard-negative mining (operators/ann.py hard_negatives,
     the DPR recipe): queries = vec_id % 100 == 0, positives = (q,
@@ -7940,6 +7973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
+        "corpus_diff": q_corpus_diff,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -16013,6 +16047,46 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # snapshot diff: synthetic new snapshot + full-outer status census
+    out["corpus_diff"] = """
+        with old_ as (select doc_id, source, text from documents),
+        new_ as (
+          select doc_id, source,
+                 case when doc_id % 13 = 0 then text || ' v2'
+                      else text end as text
+          from documents where doc_id % 97 <> 0
+          union all
+          select doc_id + 500000 as doc_id, source, text
+          from documents where doc_id < 5
+        ),
+        ho as (select doc_id as id, source as g_old,
+                      md5(coalesce(cast(doc_id as varchar), '') || '|'
+                          || coalesce(text, chr(0) || 'null')) as h_old
+               from old_),
+        hn as (select doc_id as id, source as g_new,
+                      md5(coalesce(cast(doc_id as varchar), '') || '|'
+                          || coalesce(text, chr(0) || 'null')) as h_new
+               from new_),
+        j as (select * from ho full outer join hn using (id)),
+        st as (
+          select coalesce(g_new, g_old) as grp,
+                 case when h_old is null then 'added'
+                      when h_new is null then 'removed'
+                      when h_old <> h_new then 'changed'
+                      else 'unchanged' end as s
+          from j
+        )
+        select grp as source,
+               cast(sum(case when s = 'added' then 1 else 0 end)
+                    as bigint) as n_added,
+               cast(sum(case when s = 'removed' then 1 else 0 end)
+                    as bigint) as n_removed,
+               cast(sum(case when s = 'changed' then 1 else 0 end)
+                    as bigint) as n_changed,
+               cast(sum(case when s = 'unchanged' then 1 else 0 end)
+                    as bigint) as n_unchanged
+        from st group by grp order by grp
     """
     # hard negatives: region assign (count-driven k like
     # diverse_sample), self/positive exclusion, 6dp cosine topk

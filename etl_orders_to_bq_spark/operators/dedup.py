@@ -1047,3 +1047,77 @@ def dedup_keep_best(
     return counts.join(reps, "component").select(
         "component", "rep_id", "n_members", "rep_score"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot delta census — ``corpus_manifest``'s companion when
+    two manifests DISAGREE and the pipeline needs to know how: per
+    group, ``(group, n_added, n_removed, n_changed, n_unchanged)``
+    from a full-outer id join comparing content fingerprints. The
+    data-versioning diff every incremental-crawl pipeline reports
+    (added = id only in new, removed = only in old, changed = same id
+    with different text hash).
+
+    A document whose GROUP changed between snapshots counts under the
+    new snapshot's group for added/changed and under the old group
+    for removed — each side's census uses its own group label, so the
+    totals reconcile per snapshot.
+
+    Scale: two fingerprint projections + ONE full-outer hash join on
+    the id (16-byte hashes, never text) + one combinable rollup.
+    """
+
+    def _fp(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias(f"__g_{side}"),
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                    F.lit("|"),
+                    F.coalesce(F.col(text_col), F.lit("\x00null")),
+                )
+            ).alias(f"__h_{side}"),
+        )
+
+    j = _fp(old, "old").join(_fp(new, "new"), "__id", "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    rows = j.select(
+        F.coalesce("__g_new", "__g_old").alias("grp"),
+        status.alias("__st"),
+    )
+    return (
+        rows.groupBy("grp")
+        .agg(
+            F.sum((F.col("__st") == "added").cast("long")).alias(
+                "n_added"
+            ),
+            F.sum((F.col("__st") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("__st") == "changed").cast("long")).alias(
+                "n_changed"
+            ),
+            F.sum((F.col("__st") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_added",
+            "n_removed",
+            "n_changed",
+            "n_unchanged",
+        )
+    )

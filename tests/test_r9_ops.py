@@ -194,6 +194,24 @@ def test_dedup_keep_best_picks_max_quality(spark):
     assert got[10] == (10, 2, 0.5)
 
 
+def test_corpus_diff_statuses(spark):
+    from etl_orders_to_bq_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "a"), (2, "s", "b"), (3, "s", "c"), (4, "t", "d")],
+        ["doc_id", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [(2, "s", "b"), (3, "s", "c2"), (5, "s", "e"), (4, "t", "d")],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r.source: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
+        for r in corpus_diff(old, new).collect()
+    }
+    assert got["s"] == (1, 1, 1, 1) and got["t"] == (0, 0, 0, 1)
+
+
 def test_corpus_manifest_order_insensitive_and_binding(spark):
     from etl_orders_to_bq_spark.operators.dedup import corpus_manifest
 
