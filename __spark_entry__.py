@@ -7728,6 +7728,19 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head fit (operators/lm.py zipf_slope): least-squares
+    log10(freq) ~ log10(rank) over the top-1000 terms — top-k via
+    TakeOrderedAndProject (no vocabulary-wide rank window), 6dp
+    micro-unit logs, EXACT decimal regression sums, one double
+    division. The oracle replays ranks, quantization, sums, and both
+    formulas."""
+    from etl_orders_to_bq_spark.operators.lm import zipf_slope
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return zipf_slope(d, top_k=1000)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta census (operators/dedup.py corpus_diff): old =
     the documents table; new = the same minus doc_id % 97 == 0
@@ -7974,6 +7987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
         "corpus_diff": q_corpus_diff,
+        "zipf_slope": q_zipf_slope,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -16047,6 +16061,47 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # Zipf head fit: top-1000 terms, 6dp micro logs, exact decimal sums
+    out["zipf_slope"] = f"""
+        with uni as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        wc as (select w, count(*) as c from uni group by w),
+        topk as (
+          select w, c,
+                 row_number() over (order by c desc, w asc) as r
+          from wc
+          qualify row_number() over (order by c desc, w asc) <= 1000
+        ),
+        pts as (
+          select cast(round(log10(cast(r as double)) * 1000000, 0)
+                      as hugeint) as x,
+                 cast(round(log10(cast(c as double)) * 1000000, 0)
+                      as hugeint) as y
+          from topk
+        ),
+        s as (
+          select cast(count(*) as hugeint) as n,
+                 sum(x)::hugeint as sx, sum(y)::hugeint as sy,
+                 sum(x * y)::hugeint as sxy,
+                 sum(x * x)::hugeint as sxx
+          from pts
+        )
+        select cast(n as bigint) as n_terms,
+               case when n * sxx - sx * sx <> 0 then
+                 round(cast(n * sxy - sx * sy as double)
+                       / cast(n * sxx - sx * sx as double), 6)
+               end as slope,
+               case when n * sxx - sx * sx <> 0 then
+                 round((cast(sy as double) / 1000000.0
+                        - round(cast(n * sxy - sx * sy as double)
+                                / cast(n * sxx - sx * sx as double), 6)
+                          * (cast(sx as double) / 1000000.0))
+                       / cast(n as double), 6)
+               end as intercept
+        from s
     """
     # snapshot diff: synthetic new snapshot + full-outer status census
     out["corpus_diff"] = """

@@ -361,6 +361,83 @@ def learn_bpe_merges(
     return merges
 
 
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Zipf power-law fit over the HEAD of the term-frequency
+    distribution: least-squares slope/intercept of log10(freq) vs
+    log10(rank) across the ``top_k`` most frequent terms — the
+    vocabulary-health number (natural language sits near slope -1;
+    template farms and synthetic spam bend it) that complements
+    ``powerlaw_alpha``'s tail-index MLE on degree data.
+
+    Output: one row ``(n_terms, slope, intercept)``.
+
+    Head-only fitting is the standard methodology (the tail deviates
+    from Zipf in every real corpus) AND the scalable shape: the top-k
+    is a TakeOrderedAndProject (no vocabulary-wide rank window — the
+    c=1 frequency class holds most of a web-scale vocabulary and would
+    single-partition a rank window); the k-row fit frame is bounded by
+    construction, so its row_number window is safe.
+
+    Determinism: per-term log10(rank)/log10(freq) are 6dp-rounded and
+    lifted to integer micro-units; all regression sums are EXACT
+    decimal arithmetic; slope is one double division of bit-identical
+    integers, intercept reuses the ROUNDED slope — an oracle replays
+    every step.
+    """
+    counts = (
+        df.select(F.explode(tokenize(normalize_text(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("w"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("__c"), F.asc("w"))
+    pts = counts.withColumn("__r", F.row_number().over(w)).select(
+        F.round(F.log10(F.col("__r").cast("double")) * 1e6, 0)
+        .cast("decimal(38,0)")
+        .alias("__x"),
+        F.round(F.log10(F.col("__c").cast("double")) * 1e6, 0)
+        .cast("decimal(38,0)")
+        .alias("__y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        den != 0,
+        F.round(num.cast("double") / den.cast("double"), ndigits),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        F.when(
+            den != 0,
+            F.round(
+                (
+                    F.col("__sy").cast("double") / 1e6
+                    - F.round(
+                        num.cast("double") / den.cast("double"), ndigits
+                    )
+                    * (F.col("__sx").cast("double") / 1e6)
+                )
+                / F.col("__n").cast("double"),
+                ndigits,
+            ),
+        ).alias("intercept"),
+    )
+
+
 def source_kl_divergence(
     df: DataFrame,
     group_col: str = "source",

@@ -194,6 +194,26 @@ def test_dedup_keep_best_picks_max_quality(spark):
     assert got[10] == (10, 2, 0.5)
 
 
+def test_zipf_slope_exact_power_law(spark):
+    import math
+
+    from etl_orders_to_bq_spark.operators.lm import zipf_slope
+
+    # construct counts following freq(r) = 1000 / r exactly for 4 terms
+    # (w_r repeated 1000/r times) -> slope should be ~-1
+    words = []
+    for r, w in enumerate(["a", "b", "c", "d"], start=1):
+        words += [w] * (1000 // r)
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    row = zipf_slope(df, top_k=10).collect()[0]
+    assert row.n_terms == 4
+    # freq = [1000, 500, 333, 250]: not a perfect power law (floor on
+    # 1000/3), so allow a small band around -1
+    assert -1.01 < row.slope < -0.98
+    # intercept ~ log10(1000) = 3
+    assert abs(row.intercept - math.log10(1000)) < 0.02
+
+
 def test_corpus_diff_statuses(spark):
     from etl_orders_to_bq_spark.operators.dedup import corpus_diff
 
