@@ -130,6 +130,12 @@ HEADLINE = [
     "paragraph_quality_filter",
     "benchmark_decontaminate",
     "pca_pc1",
+    # round-9 batch 2: held-out trigram LM scoring, BPE inference,
+    # region-blocked hard-negative mining, Zipf head fit
+    "stupid_backoff",
+    "bpe_encode",
+    "hard_negatives",
+    "zipf_slope",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -169,6 +175,10 @@ ITERATIVE = {
     "bpe_merges",
     # the scatter-matrix collect + power iteration run at construction
     "pca_pc1",
+    # vocab-fold staging (localCheckpoints) runs at construction
+    "bpe_encode",
+    # region count/probe jobs run at construction
+    "hard_negatives",
 }
 
 
