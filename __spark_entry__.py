@@ -7728,6 +7728,28 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_tokens=15).orderBy("doc_id")
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave (operators/ranking.py curriculum_order):
+    documents difficulty-tiled by (quality_score 6dp, doc_id) into 10
+    exact ntiles, round-robin curriculum_key = (cycle-1)*10 + bucket —
+    everything a closed-form projection over ONE global row number (no
+    global or per-bucket window). Oracle replays the window ntile
+    arithmetic and both derived columns."""
+    from etl_orders_to_bq_spark.functions.text import quality_score
+    from etl_orders_to_bq_spark.operators.ranking import (
+        curriculum_order,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("difficulty")
+    )
+    return curriculum_order(
+        d, ["difficulty", "doc_id"], n_buckets=10
+    ).select(
+        "doc_id", "difficulty", "bucket", "cycle", "curriculum_key"
+    ).orderBy("doc_id")
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf head fit (operators/lm.py zipf_slope): least-squares
     log10(freq) ~ log10(rank) over the top-1000 terms — top-k via
@@ -7988,6 +8010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "corpus_diff": q_corpus_diff,
         "zipf_slope": q_zipf_slope,
+        "curriculum_order": q_curriculum_order,
         "pca_pc1": q_pca_pc1,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "exact_substring_spans": q_exact_substring_spans,
@@ -16061,6 +16084,41 @@ def oracle_sql() -> dict[str, str]:
         left join cova c using (doc_id)
         left join spc s using (doc_id)
         order by t.doc_id
+    """
+    # curriculum interleave: window ntile arithmetic + derived columns
+    out["curriculum_order"] = f"""
+        with d as (select doc_id, {quality_expr} as difficulty
+                   from documents),
+        rn as (
+          select doc_id, difficulty,
+                 row_number() over (order by difficulty, doc_id) as rn,
+                 count(*) over () as t
+          from d
+        ),
+        p as (
+          select *,
+                 t // 10 as q, t % 10 as r,
+                 (t % 10) * (t // 10 + 1) as head
+          from rn
+        ),
+        b as (
+          select *,
+                 case when q = 0 then rn
+                      when rn <= head then (rn - 1) // (q + 1) + 1
+                      else r + (rn - 1 - head) // q + 1 end as bucket,
+                 case when q = 0 then rn - 1
+                      when rn <= head then
+                        ((rn - 1) // (q + 1)) * (q + 1)
+                      else head
+                           + ((rn - 1 - head) // q) * q end as start
+          from p
+        )
+        select doc_id, difficulty,
+               cast(bucket as int) as bucket,
+               cast(rn - start as bigint) as cycle,
+               cast((rn - start - 1) * 10 + bucket as bigint)
+                 as curriculum_key
+        from b order by doc_id
     """
     # Zipf head fit: top-1000 terms, 6dp micro logs, exact decimal sums
     out["zipf_slope"] = f"""

@@ -540,3 +540,63 @@ def abc_classification(
         ).alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int = 10,
+    num_partitions: int | None = None,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Curriculum interleave: difficulty-tile the corpus by
+    ``order_cols`` (ascending = easiest first), then emit a
+    deterministic round-robin training order that cycles one item per
+    difficulty tile — the standard curriculum/anti-curriculum data
+    ordering (public training-recipe literature) that keeps every
+    batch difficulty-mixed while still sweeping easy-to-hard within
+    each cycle.
+
+    Appends three columns: ``bucket`` (the exact ntile, 1..n),
+    ``cycle`` (the row's 1-based position within its bucket), and
+    ``curriculum_key = (cycle - 1) * n_buckets + bucket`` — sorting by
+    it yields bucket 1's first item, bucket 2's first, ..., then every
+    bucket's second item, and so on. Keys are unique ((cycle, bucket)
+    is) but SPARSE once the small buckets run dry (the last r buckets
+    hold one fewer row when n doesn't divide T): the key is an
+    ORDERING, not a dense position — a consumer needing dense ids
+    re-ranks by it (one more global numbering).
+
+    Scale: everything derives arithmetically from ONE global row
+    number (``_global_row_number_with_total`` — range repartition +
+    per-partition windows + a collected offset map; no global window,
+    no per-bucket window: the bucket's start offset is a closed-form
+    function of q, r, so ``cycle = rn - start`` is a projection).
+    """
+    ranked, total = _global_row_number_with_total(
+        df, order_cols, num_partitions, "__rn", checkpoint_path
+    )
+    q, r = divmod(total, n_buckets)
+    rn = F.col("__rn")
+    if q == 0:
+        bucket = rn
+        start = rn - 1
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            rn <= head, F.floor((rn - 1) / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rn - 1 - head) / q) + 1)
+        start = F.when(
+            rn <= head, (bucket - 1) * (q + 1)
+        ).otherwise(F.lit(head) + (bucket - 1 - r) * q)
+    cycle = (rn - start).cast("long")
+    b = bucket.cast("int")
+    return (
+        ranked.withColumn("bucket", b)
+        .withColumn("cycle", cycle)
+        .withColumn(
+            "curriculum_key",
+            ((cycle - 1) * n_buckets + F.col("bucket")).cast("long"),
+        )
+        .drop("__rn")
+    )

@@ -194,6 +194,26 @@ def test_dedup_keep_best_picks_max_quality(spark):
     assert got[10] == (10, 2, 0.5)
 
 
+def test_curriculum_order_round_robin(spark):
+    from etl_orders_to_bq_spark.operators.ranking import curriculum_order
+
+    # 7 rows, 3 buckets: T=7 -> q=2, r=1 -> bucket sizes [3, 2, 2]
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 8)], ["id", "difficulty"]
+    )
+    rows = curriculum_order(
+        df, ["difficulty", "id"], n_buckets=3
+    ).collect()
+    got = {r.id: (r.bucket, r.cycle, r.curriculum_key) for r in rows}
+    # bucket 1 = ids 1-3 (cycles 1-3), bucket 2 = ids 4-5, bucket 3 = 6-7
+    assert got[1] == (1, 1, 1) and got[4] == (2, 1, 2) and got[6] == (3, 1, 3)
+    assert got[2] == (1, 2, 4) and got[5] == (2, 2, 5) and got[7] == (3, 2, 6)
+    assert got[3] == (1, 3, 7)
+    # sorting by curriculum_key interleaves one item per bucket per cycle
+    order = [r.id for r in sorted(rows, key=lambda r: r.curriculum_key)]
+    assert order == [1, 4, 6, 2, 5, 7, 3]
+
+
 def test_zipf_slope_exact_power_law(spark):
     import math
 
