@@ -8002,58 +8002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
-        # -- never driver-verified (new work leads the snapshot) --
-        "stupid_backoff": q_stupid_backoff,
-        "bpe_encode": q_bpe_encode,
-        "corpus_manifest": q_corpus_manifest,
-        "dedup_keep_best": q_dedup_keep_best,
-        "hard_negatives": q_hard_negatives,
-        "corpus_diff": q_corpus_diff,
-        "zipf_slope": q_zipf_slope,
-        "curriculum_order": q_curriculum_order,
-        "pca_pc1": q_pca_pc1,
-        "benchmark_decontaminate": q_benchmark_decontaminate,
-        "exact_substring_spans": q_exact_substring_spans,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        "paragraph_quality_filter": q_paragraph_quality_filter,
         # -- last driver-verified in round 2 --
-        "salted_agg": q_salted_agg,
-        "salted_join": q_salted_join,
-        "merge_upsert": q_merge_upsert,
-        "frame_sample": q_frame_sample,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_assign": q_ivf_assign,
-        "o6_clean_name": q_o6_clean_name,
-        "o6_clean_name_unescape": q_o6_clean_name_unescape,
-        "o7_left_join": q_o7_left_join,
-        "o11_similarity": q_o11_similarity,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_top_revenue": q_q3_top_revenue,
-        "window_rank": q_window_rank,
-        "rollup_agg": q_rollup_agg,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "set_ops": q_set_ops,
-        "topk_orders": q_topk_orders,
-        "date_trunc_agg": q_date_trunc_agg,
-        "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neighbors": q_embedding_neighbors,
-        "sessionize": q_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "stream_stream_join": q_stream_stream_join,
-        "streaming_window_watermark": q_streaming_window_watermark,
-        "streaming_running_totals": q_streaming_running_totals,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_file_sink": q_streaming_file_sink,
-        "stream_static_join": q_stream_static_join,
-        "cube_agg": q_cube_agg,
-        "intersect_ops": q_intersect_ops,
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
         "math_funcs": q_math_funcs,
@@ -8347,6 +8296,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_cast_repair": q_o2_cast_repair,
         "o4_dedup_first": q_o4_dedup_first,
         "dedup_first_minby": q_dedup_first_minby,
+        # -- last driver-verified in round 9 --
+        "stupid_backoff": q_stupid_backoff,
+        "bpe_encode": q_bpe_encode,
+        "corpus_manifest": q_corpus_manifest,
+        "dedup_keep_best": q_dedup_keep_best,
+        "hard_negatives": q_hard_negatives,
+        "corpus_diff": q_corpus_diff,
+        "zipf_slope": q_zipf_slope,
+        "curriculum_order": q_curriculum_order,
+        "pca_pc1": q_pca_pc1,
+        "benchmark_decontaminate": q_benchmark_decontaminate,
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "paragraph_quality_filter": q_paragraph_quality_filter,
+        "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
+        "merge_upsert": q_merge_upsert,
+        "frame_sample": q_frame_sample,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_assign": q_ivf_assign,
+        "o6_clean_name": q_o6_clean_name,
+        "o6_clean_name_unescape": q_o6_clean_name_unescape,
+        "o7_left_join": q_o7_left_join,
+        "o11_similarity": q_o11_similarity,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "window_rank": q_window_rank,
+        "rollup_agg": q_rollup_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
+        "topk_orders": q_topk_orders,
+        "date_trunc_agg": q_date_trunc_agg,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neighbors": q_embedding_neighbors,
+        "sessionize": q_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "stream_stream_join": q_stream_stream_join,
+        "streaming_window_watermark": q_streaming_window_watermark,
+        "streaming_running_totals": q_streaming_running_totals,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_file_sink": q_streaming_file_sink,
+        "stream_static_join": q_stream_static_join,
+        "cube_agg": q_cube_agg,
+        "intersect_ops": q_intersect_ops,
     }
 
 
