@@ -35,8 +35,9 @@ token-frequency distribution:
 
 Scale notes:
 - tokenize + explode once; the token df table is vocab-sized;
-- the global rarity rank is a window over the VOCAB table only (swap
-  for ranking.global_row_number past ~10^8 distinct tokens);
+- the global rarity rank uses ``ranking.global_row_number`` (ranged
+  two-pass numbering) so even a >10^8-distinct-token web vocabulary
+  never single-partitions;
 - exact all-pairs similarity is inherently Omega(pairs-sharing-a-
   token); when even ``count`` is too hot (planet-scale corpora with
   mandatory-hot tokens), the exact problem is the wrong tool — use
@@ -48,7 +49,7 @@ reference has no similarity machinery beyond the weighted scorer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -147,10 +148,12 @@ def set_similarity_join(
     # effective threshold, not t itself
     t_eff = max(float(threshold) - 0.5 * 10.0 ** (-ndigits), 1e-12)
     # global rarity rank: ties on the token string so the order is
-    # total and engine-independent. Vocab-sized window (see module
-    # docstring for the >10^8-token swap).
-    rank_w = Window.orderBy("__df", "__t")
-    ranked = dfreq.withColumn("__r", F.row_number().over(rank_w))
+    # total and engine-independent. Ranged two-pass numbering (never
+    # a single-partition window) so a >10^8-token web vocabulary
+    # ranks in parallel.
+    from .ranking import global_row_number
+
+    ranked = global_row_number(dfreq, ["__df", "__t"], out_col="__r")
     tokr = tok.join(ranked.select("__t", "__r"), "__t")
     per_doc = tokr.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__r")).alias("__rs"),
