@@ -822,9 +822,26 @@ def adamic_adar(
             (F.lit(1.0) / F.log(F.col("__dz").cast("double"))).alias("__w"),
         )
     )
-    ws = F.sort_array(F.collect_list("__w"))
-    aa = wedges.groupBy("node_a", "node_b").agg(
-        F.count("*").alias("common_neighbors"),
+    # pre-aggregate by (pair, weight) first: the count is map-side
+    # combinable, so the wedge-sized stream collapses to distinct
+    # (pair, degree) rows BEFORE the shuffle; the exact sorted weight
+    # multiset is rebuilt reducer-side (array_repeat + flatten over
+    # the weight-sorted runs), so the fold — and every output bit —
+    # is identical to folding the raw per-wedge weights.
+    wcounts = wedges.groupBy("node_a", "node_b", "__w").agg(
+        F.count("*").alias("__c")
+    )
+    runs = F.sort_array(
+        F.collect_list(F.struct(F.col("__w"), F.col("__c")))
+    )
+    ws = F.flatten(
+        F.transform(
+            runs,
+            lambda s: F.array_repeat(s["__w"], s["__c"].cast("int")),
+        )
+    )
+    aa = wcounts.groupBy("node_a", "node_b").agg(
+        F.sum("__c").alias("common_neighbors"),
         F.round(
             F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x), ndigits
         ).alias("aa_score"),

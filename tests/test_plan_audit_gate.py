@@ -32,7 +32,9 @@ SF_FALLBACK = "/root/testdata/sf0.01"
 # broadcast-nested-loop joins are banned outright for all ten.
 EXPENSIVE = {
     "corpus_pipeline": (2, 0, False),
-    "adamic_adar": (4, 0, False),
+    # r10: +1 exchange — the (pair, weight) pre-count groupBy that
+    # collapses the wedge-sized shuffle map-side (wall halved at 10x)
+    "adamic_adar": (5, 0, False),
     "semdedup_kmeans": (3, 5, False),
     "semdedup": (3, 1, False),
     "span_dedup": (4, 0, False),
