@@ -8422,6 +8422,45 @@ def _ivf_assign_sql(
     return f"(list_position({arr}, list_max({arr})) - 1)"
 
 
+def _ivf_assign_autok_sql(
+    dim: int = 64,
+    max_k: int = 32,
+    seed: int = 42,
+    vec_expr: str = "cast(embedding as double[])",
+    count_sql: str = "(select count(*) from embeddings)",
+    target: int = 128,
+) -> str:
+    """Count-driven auto-k argmax assignment, k = max(8,
+    ceil(n/target)), exact for EVERY realizable k <= max_k in one
+    expression: the LCG hyperplane stream is prefix-stable
+    (_hyperplanes(d, k) == _hyperplanes(d, max_k)[:k]), so slicing the
+    max_k score array to the count-driven k is bit-identical to
+    generating k centroids. Replaces the two-arm CASE (k=8 / k=16)
+    that was wrong for fixtures with 1024 < n <= 1920 (engine k =
+    9..15 there — r10 advisor finding). Past n > target*max_k the
+    expression yields NULL so the sweep fails LOUDLY instead of
+    silently truncating the centroid set."""
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+
+    cents = _hyperplanes(dim, max_k, seed)
+    scores = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        c2 = sum(float(x) * float(x) for x in c)
+        scores.append(
+            f"list_dot_product({vec_expr}, {lit}) * 2.0"
+            f" - {repr(c2)}"
+        )
+    arr = "list_value(" + ", ".join(scores) + ")"
+    k = (
+        f"case when {count_sql} <= {target * max_k} then "
+        f"greatest(8, cast(ceil({count_sql} / {target}.0) as int)) "
+        f"else null end"
+    )
+    sliced = f"list_slice({arr}, 1, {k})"
+    return f"(list_position({sliced}, list_max({sliced})) - 1)"
+
+
 def _pca_pc1_sql(dim: int = 64, rounds: int = 8) -> str:
     """Oracle for q_pca_pc1: the ENTIRE eigensolve replayed in SQL on
     hugeint arithmetic — exact integer scatter matrix (n*P - S*S'),
@@ -13907,20 +13946,16 @@ def oracle_sql() -> dict[str, str]:
     # balances at every fixture (work/row 65/65/129 vs budget 512), so
     # buckets are the argmax assignment over k = max(8, ceil(n/128))
     # seed directions. k is DATA-DEPENDENT, so the oracle replays the
-    # auto-k rule with a count-driven CASE over the two k values the
-    # driver fixtures realize (n<=1024 -> k=8 at sf0.001/0.01;
-    # 1024<n<=2048 -> k=16 at sf0.1 — review finding r9: a fixed k=8
-    # oracle false-failed the sf0.1 sweep); 6dp pair cosines,
-    # sorted-fold means
+    # auto-k rule exactly for every k <= 32 via the count-driven slice
+    # (_ivf_assign_autok_sql — the r9 two-arm CASE false-covered
+    # 1024 < n <= 1920); 6dp pair cosines, sorted-fold means
     out["diverse_sample"] = f"""
         with b as (
           select vec_id, cast(embedding as double[]) as v,
                  sqrt(list_dot_product(cast(embedding as double[]),
                                        cast(embedding as double[]))) as nrm,
-                 case when (select count(*) from embeddings) <= 1024
-                      then {_ivf_assign_sql(dim=64, n=8, seed=42)}
-                      else {_ivf_assign_sql(dim=64, n=16, seed=42)}
-                 end as bucket
+                 {_ivf_assign_autok_sql(dim=64, max_k=32, seed=42)}
+                   as bucket
           from embeddings
         ),
         guarded as (
@@ -16201,7 +16236,7 @@ def oracle_sql() -> dict[str, str]:
                     as bigint) as n_unchanged
         from st group by grp order by grp
     """
-    # hard negatives: region assign (count-driven k like
+    # hard negatives: region assign (count-driven auto-k slice like
     # diverse_sample), self/positive exclusion, 6dp cosine topk
     out["hard_negatives"] = f"""
         with b as (
@@ -16209,10 +16244,8 @@ def oracle_sql() -> dict[str, str]:
                  sqrt(list_dot_product(cast(embedding as double[]),
                                        cast(embedding as double[])))
                    as nrm,
-                 case when (select count(*) from embeddings) <= 1024
-                      then {_ivf_assign_sql(dim=64, n=8, seed=42)}
-                      else {_ivf_assign_sql(dim=64, n=16, seed=42)}
-                 end as r
+                 {_ivf_assign_autok_sql(dim=64, max_k=32, seed=42)}
+                   as r
           from embeddings
         ),
         q as (select vec_id as qid, v as qv, nrm as qn, r
