@@ -7767,9 +7767,11 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta census (operators/dedup.py corpus_diff): old =
     the documents table; new = the same minus doc_id % 97 == 0
     (removed), with ' v2' appended to text where doc_id % 13 == 0
-    (changed), plus five re-keyed copies of docs 0-4 (added). One
+    (changed), moved to the neighboring source group where
+    doc_id % 11 == 0 (n_moved_in at the new group / n_moved_out at
+    the old), plus five re-keyed copies of docs 0-4 (added). One
     full-outer hash join on 16-byte fingerprints; the oracle replays
-    the synthetic snapshot and the status case."""
+    the synthetic snapshot, the status case and the move rows."""
     from etl_orders_to_bq_spark.operators.dedup import corpus_diff
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -7777,7 +7779,15 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 97 != 0)
         .select(
             "doc_id",
-            "source",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit("src"),
+                    ((F.col("doc_id") + 1) % 20).cast("string"),
+                ),
+            )
+            .otherwise(F.col("source"))
+            .alias("source"),
             F.when(
                 F.col("doc_id") % 13 == 0,
                 F.concat(F.col("text"), F.lit(" v2")),
@@ -16196,11 +16206,16 @@ def oracle_sql() -> dict[str, str]:
                end as intercept
         from s
     """
-    # snapshot diff: synthetic new snapshot + full-outer status census
+    # snapshot diff: synthetic new snapshot (removals, edits, group
+    # moves, additions) + full-outer status census with per-group
+    # moved_in/moved_out rows on both sides of each move
     out["corpus_diff"] = """
         with old_ as (select doc_id, source, text from documents),
         new_ as (
-          select doc_id, source,
+          select doc_id,
+                 case when doc_id % 11 = 0
+                      then 'src' || cast((doc_id + 1) % 20 as varchar)
+                      else source end as source,
                  case when doc_id % 13 = 0 then text || ' v2'
                       else text end as text
           from documents where doc_id % 97 <> 0
@@ -16222,8 +16237,17 @@ def oracle_sql() -> dict[str, str]:
                  case when h_old is null then 'added'
                       when h_new is null then 'removed'
                       when h_old <> h_new then 'changed'
-                      else 'unchanged' end as s
+                      else 'unchanged' end as s,
+                 case when h_old is not null and h_new is not null
+                           and g_old is distinct from g_new
+                      then 1 else 0 end as mi,
+                 0 as mo
           from j
+          union all
+          select g_old as grp, null as s, 0 as mi, 1 as mo
+          from j
+          where h_old is not null and h_new is not null
+            and g_old is distinct from g_new
         )
         select grp as source,
                cast(sum(case when s = 'added' then 1 else 0 end)
@@ -16233,7 +16257,9 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(case when s = 'changed' then 1 else 0 end)
                     as bigint) as n_changed,
                cast(sum(case when s = 'unchanged' then 1 else 0 end)
-                    as bigint) as n_unchanged
+                    as bigint) as n_unchanged,
+               cast(sum(mi) as bigint) as n_moved_in,
+               cast(sum(mo) as bigint) as n_moved_out
         from st group by grp order by grp
     """
     # hard negatives: region assign (count-driven auto-k slice like

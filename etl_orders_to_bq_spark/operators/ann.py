@@ -797,6 +797,7 @@ def hard_negatives(
     pos_id_col: str = "pos_id",
     max_bucket: int = 1_000_000,
     pair_method: str = "numpy",
+    assign_method: str = "numpy",
     ndigits: int = 6,
 ) -> DataFrame:
     """Batch hard-negative mining for retrieval/embedding training
@@ -820,13 +821,25 @@ def hard_negatives(
     side, per-pair cosine on candidates only, and one per-query top-k
     window over candidate rows (bounded by region population).
     ``queries`` is usually small (a training batch) — Catalyst
-    broadcasts it into the region join unaided.
+    broadcasts it into the region join unaided. ``assign_method``
+    picks the region-assignment kernel ('numpy' Arrow batches or the
+    pure-'column' expression), forwarded to ``auto_region_assign``;
+    ``pair_method`` independently picks the candidate-cosine kernel.
+
+    Queries can DROP from the output entirely (not error) in two
+    documented cases: (a) a query id absent from ``embeddings`` has no
+    vector to rank with — the lookup inner join removes it; (b) the
+    ``max_bucket`` hub guard removes whole oversized regions, queries
+    inside them included (the same explicit cap every guarded operator
+    here carries). Callers needing an accounting can left-anti join
+    their query ids against the returned ``query_id`` column — one
+    small-side join, no extra corpus scan.
     """
     from .semdedup import _bucket_guarded, _pair_cosine, auto_region_assign
 
     v = F.col(vec_col).cast("array<double>")
     assigned = auto_region_assign(
-        embeddings, dim, target_bucket, seed, vec_col, "numpy",
+        embeddings, dim, target_bucket, seed, vec_col, assign_method,
     ).select(
         F.col(id_col),
         F.col("ivf_cluster").alias("__r"),

@@ -1058,19 +1058,26 @@ def corpus_diff(
 ) -> DataFrame:
     """Snapshot delta census — ``corpus_manifest``'s companion when
     two manifests DISAGREE and the pipeline needs to know how: per
-    group, ``(group, n_added, n_removed, n_changed, n_unchanged)``
-    from a full-outer id join comparing content fingerprints. The
-    data-versioning diff every incremental-crawl pipeline reports
-    (added = id only in new, removed = only in old, changed = same id
-    with different text hash).
+    group, ``(group, n_added, n_removed, n_changed, n_unchanged,
+    n_moved_in, n_moved_out)`` from a full-outer id join comparing
+    content fingerprints. The data-versioning diff every
+    incremental-crawl pipeline reports (added = id only in new,
+    removed = only in old, changed = same id with different text
+    hash).
 
-    A document whose GROUP changed between snapshots counts under the
-    new snapshot's group for added/changed and under the old group
-    for removed — each side's census uses its own group label, so the
-    totals reconcile per snapshot.
+    Group moves are accounted on BOTH sides (r10 advisor finding —
+    attributing a moved document only to its new group left the old
+    group's census blind to the departure): a document present in
+    both snapshots with a different group label counts
+    changed/unchanged under the NEW group as before, plus
+    ``n_moved_in`` at the new group and ``n_moved_out`` at the old
+    group, so every group's census reconciles against
+    ``corpus_manifest`` deltas, not just the corpus-wide totals.
 
     Scale: two fingerprint projections + ONE full-outer hash join on
-    the id (16-byte hashes, never text) + one combinable rollup.
+    the id (16-byte hashes, never text) + one combinable rollup; the
+    move rows add one explode whose fan-out is bounded by the moved
+    count.
     """
 
     def _fp(df: DataFrame, side: str) -> DataFrame:
@@ -1093,25 +1100,56 @@ def corpus_diff(
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    rows = j.select(
+    moved = (
+        F.col("__h_old").isNotNull()
+        & F.col("__h_new").isNotNull()
+        & ~F.col("__g_old").eqNullSafe(F.col("__g_new"))
+    )
+    prim = F.struct(
         F.coalesce("__g_new", "__g_old").alias("grp"),
         status.alias("__st"),
+        moved.alias("__mi"),
+        F.lit(False).alias("__mo"),
     )
+    sec = F.struct(
+        F.col("__g_old").alias("grp"),
+        F.lit(None).cast("string").alias("__st"),
+        F.lit(False).alias("__mi"),
+        F.lit(True).alias("__mo"),
+    )
+    rows = j.select(
+        F.explode(
+            F.when(moved, F.array(prim, sec)).otherwise(F.array(prim))
+        ).alias("__e")
+    ).select("__e.*")
     return (
         rows.groupBy("grp")
         .agg(
-            F.sum((F.col("__st") == "added").cast("long")).alias(
-                "n_added"
-            ),
-            F.sum((F.col("__st") == "removed").cast("long")).alias(
-                "n_removed"
-            ),
-            F.sum((F.col("__st") == "changed").cast("long")).alias(
-                "n_changed"
-            ),
-            F.sum((F.col("__st") == "unchanged").cast("long")).alias(
-                "n_unchanged"
-            ),
+            # when/otherwise(0), not a bare boolean cast: the move-only
+            # rows carry a NULL status, and an all-NULL sum is NULL —
+            # a group seeing only departures must census zeros
+            F.sum(
+                F.when(F.col("__st") == "added", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_added"),
+            F.sum(
+                F.when(F.col("__st") == "removed", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_removed"),
+            F.sum(
+                F.when(F.col("__st") == "changed", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_changed"),
+            F.sum(
+                F.when(F.col("__st") == "unchanged", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_unchanged"),
+            F.sum(F.col("__mi").cast("long")).alias("n_moved_in"),
+            F.sum(F.col("__mo").cast("long")).alias("n_moved_out"),
         )
         .select(
             F.col("grp").alias(group_col),
@@ -1119,5 +1157,7 @@ def corpus_diff(
             "n_removed",
             "n_changed",
             "n_unchanged",
+            "n_moved_in",
+            "n_moved_out",
         )
     )

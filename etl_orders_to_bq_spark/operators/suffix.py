@@ -217,6 +217,7 @@ def benchmark_ngram_contamination(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     eval_id_col: str | None = None,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train/eval n-gram overlap decontamination census — the GPT-3 /
     PaLM evaluation-hygiene check (Brown et al. 2020 App. C; public
@@ -238,7 +239,12 @@ def benchmark_ngram_contamination(
     suites are ~10^5-10^6 windows, corpus-independent) is DISTINCTED
     then broadcast, so the overlap join touches each train window
     in-place — no corpus-sized shuffle; the per-doc rollup ships only
-    flagged (id, pos, eval_id) rows.
+    flagged (id, pos, eval_id) rows. ``broadcast_eval=True`` (the
+    documented default, sized for benchmark suites) FORCES that
+    broadcast; an eval corpus past the executor broadcast ceiling
+    (~100s of MB of distinct windows) would fail the job there — pass
+    ``broadcast_eval=False`` to let AQE pick the join strategy, the
+    same discipline as the sibling dedup path in this module.
     """
     eval_text_col = eval_text_col or text_col
     eval_id_col = eval_id_col or id_col
@@ -254,7 +260,9 @@ def benchmark_ngram_contamination(
         .select("__w", "__eid")
         .distinct()
     )
-    flagged = tw.join(F.broadcast(ew), "__w").groupBy(id_col).agg(
+    if broadcast_eval:
+        ew = F.broadcast(ew)
+    flagged = tw.join(ew, "__w").groupBy(id_col).agg(
         F.count_distinct("__pos").cast("long").alias("flagged_windows"),
         F.count_distinct("__eid").cast("long").alias("n_eval_docs"),
     )

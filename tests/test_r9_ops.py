@@ -241,15 +241,28 @@ def test_corpus_diff_statuses(spark):
         [(1, "s", "a"), (2, "s", "b"), (3, "s", "c"), (4, "t", "d")],
         ["doc_id", "source", "text"],
     )
+    # doc 4 moves group t -> u (unchanged text): the new group sees
+    # n_moved_in + the unchanged count, the OLD group sees n_moved_out
+    # (r10 advisor finding: moves used to be invisible to the old
+    # group's census)
     new = spark.createDataFrame(
-        [(2, "s", "b"), (3, "s", "c2"), (5, "s", "e"), (4, "t", "d")],
+        [(2, "s", "b"), (3, "s", "c2"), (5, "s", "e"), (4, "u", "d")],
         ["doc_id", "source", "text"],
     )
     got = {
-        r.source: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
+        r.source: (
+            r.n_added,
+            r.n_removed,
+            r.n_changed,
+            r.n_unchanged,
+            r.n_moved_in,
+            r.n_moved_out,
+        )
         for r in corpus_diff(old, new).collect()
     }
-    assert got["s"] == (1, 1, 1, 1) and got["t"] == (0, 0, 0, 1)
+    assert got["s"] == (1, 1, 1, 1, 0, 0)
+    assert got["t"] == (0, 0, 0, 0, 0, 1)
+    assert got["u"] == (0, 0, 0, 1, 1, 0)
 
 
 def test_corpus_manifest_order_insensitive_and_binding(spark):
