@@ -7900,6 +7900,24 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_scores(test, train).orderBy("doc_id")
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (operators/lm.py
+    kneser_ney_scores; Kneser & Ney 1995, Chen & Goodman 1999 — the
+    KenLM/CCNet smoothing): even doc_ids train the count + continuation
+    tables, odd doc_ids are scored, same held-out split as
+    stupid_backoff so the interpolation cascade carries real mass.
+    Every probability is a fixed +,-,*,/ dag over exact integer counts
+    (D = 0.75 binary-exact); per-position 6dp rounding before the
+    sorted fold. The oracle replays the five type censuses and the
+    two-level interpolation verbatim."""
+    from etl_orders_to_bq_spark.operators.lm import kneser_ney_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return kneser_ney_scores(test, train).orderBy("doc_id")
+
+
 def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA, first component (operators/embstats.py
     pca_pc1_scores): integer-exact scatter matrix (one dim²-key
@@ -8012,6 +8030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
+        # -- never driver-verified (new work leads the snapshot) --
+        "kneser_ney": q_kneser_ney,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -16507,6 +16527,102 @@ def oracle_sql() -> dict[str, str]:
                        (a, b) -> a + b) / count(*), 6) + 0.0
                  as sb_logprob
         from sc group by doc_id order by doc_id
+    """
+    # Kneser-Ney: type censuses + the two-level interpolation cascade,
+    # operation-for-operation the engine's double dag (left-assoc
+    # D*f/den*p products, greatest-with-0.0 discounts, add-one floor)
+    out["kneser_ney"] = f"""
+        with tok as (
+          select doc_id, regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        tr as (select * from tok where doc_id % 2 = 0),
+        te as (select * from tok where doc_id % 2 = 1),
+        uc as (select unnest(ts) as w from tr),
+        bc as (
+          select p.w1 as w1, p.w2 as w2, count(*) as c2
+          from (
+            select unnest(list_transform(
+                     range(1, len(ts)),
+                     i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) as p
+            from tr) group by 1, 2
+        ),
+        tc as (
+          select p.w1 as w1, p.w2 as w2, p.w3 as w3, count(*) as c3
+          from (
+            select unnest(list_transform(
+                     range(1, len(ts) - 1),
+                     i -> struct_pack(w1 := ts[i], w2 := ts[i + 1],
+                                      w3 := ts[i + 2]))) as p
+            from tr) group by 1, 2, 3
+        ),
+        f3 as (select w1, w2, count(*) as f3 from tc group by 1, 2),
+        k32 as (select w2, w3, count(*) as k32 from tc group by 1, 2),
+        mid as (select w2, count(*) as mid from tc group by 1),
+        f2 as (select w1 as w2, count(*) as f2 from bc group by 1),
+        ku as (select w2 as w3, count(*) as ku from bc group by 1),
+        k as (select (select count(distinct w) from uc) as vv,
+                     (select count(*) from bc) as btot),
+        posf as (
+          select doc_id, p.w1 as w1, p.w2 as w2, p.w3 as w3
+          from (
+            select doc_id,
+                   unnest(list_transform(
+                     range(1, len(ts) - 1),
+                     i -> struct_pack(w1 := ts[i], w2 := ts[i + 1],
+                                      w3 := ts[i + 2]))) as p
+            from te)
+        ),
+        sc as (
+          select doc_id,
+                 round(log10(
+                   case when coalesce(b12.c2, 0) > 0
+                             and coalesce(f3.f3, 0) > 0
+                        then greatest(coalesce(tc.c3, 0) - 0.75, 0.0)
+                               / cast(b12.c2 as double)
+                             + 0.75 * f3.f3 / cast(b12.c2 as double)
+                               * (case when coalesce(mid.mid, 0) > 0
+                                  then greatest(coalesce(k32.k32, 0)
+                                                - 0.75, 0.0)
+                                         / cast(mid.mid as double)
+                                       + 0.75 * coalesce(f2.f2, 0)
+                                         / cast(mid.mid as double)
+                                         * ((coalesce(ku.ku, 0) + 1.0)
+                                            / (k.btot + k.vv + 1.0))
+                                  else (coalesce(ku.ku, 0) + 1.0)
+                                       / (k.btot + k.vv + 1.0) end)
+                        else (case when coalesce(mid.mid, 0) > 0
+                              then greatest(coalesce(k32.k32, 0)
+                                            - 0.75, 0.0)
+                                     / cast(mid.mid as double)
+                                   + 0.75 * coalesce(f2.f2, 0)
+                                     / cast(mid.mid as double)
+                                     * ((coalesce(ku.ku, 0) + 1.0)
+                                        / (k.btot + k.vv + 1.0))
+                              else (coalesce(ku.ku, 0) + 1.0)
+                                   / (k.btot + k.vv + 1.0) end)
+                   end), 6) as v
+          from posf
+          left join tc using (w1, w2, w3)
+          left join bc b12 on b12.w1 = posf.w1 and b12.w2 = posf.w2
+          left join f3 on f3.w1 = posf.w1 and f3.w2 = posf.w2
+          left join k32 on k32.w2 = posf.w2 and k32.w3 = posf.w3
+          left join mid on mid.w2 = posf.w2
+          left join f2 on f2.w2 = posf.w2
+          left join ku on ku.w3 = posf.w3, k
+        )
+        , micro as (
+          select doc_id,
+                 sum(cast(round(v * 1000000, 0) as bigint)) as s,
+                 count(*) as n
+          from sc group by doc_id
+        )
+        select doc_id,
+               (case when s >= 0
+                     then floor((2 * s + n) / (2.0 * n))
+                     else -floor((2 * (-s) + n) / (2.0 * n)) end
+                / 1000000.0) + 0.0 as kn_logprob
+        from micro order by doc_id
     """
     # distributed PCA: full integer-exact eigensolve replay
     out["pca_pc1"] = _pca_pc1_sql(dim=64, rounds=8)

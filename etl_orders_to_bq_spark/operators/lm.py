@@ -628,6 +628,46 @@ def bigram_logprob_scores(
     )
 
 
+def _lm_tokenized(
+    frame: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, token-array) projection shared by the n-gram LM scorers."""
+    ts = tokenize(normalize_text(text_col))
+    return frame.select(F.col(id_col), ts.alias("__ts"))
+
+
+def _lm_grams(frame: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Explode the in-row n-gram positions (zip-with-shifted slices —
+    no lag window) of a ``_lm_tokenized`` frame as struct column
+    ``g`` with fields w1..wn."""
+    sl = [
+        F.slice(
+            F.col("__ts"), k + 1,
+            F.greatest(F.size("__ts") - (n - 1), F.lit(0)),
+        )
+        for k in range(n)
+    ]
+    if n == 1:
+        g = F.transform(sl[0], lambda a: F.struct(a.alias("w1")))
+    elif n == 2:
+        g = F.zip_with(
+            sl[0], sl[1],
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    else:
+        g = F.zip_with(
+            F.zip_with(
+                sl[0], sl[1],
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            sl[2],
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+    return frame.select(F.col(id_col), F.explode(g).alias("g"))
+
+
 def stupid_backoff_scores(
     df: DataFrame,
     train_df: DataFrame | None = None,
@@ -674,36 +714,10 @@ def stupid_backoff_scores(
         train_df = df
 
     def _toked(frame: DataFrame) -> DataFrame:
-        ts = tokenize(normalize_text(text_col))
-        return frame.select(F.col(id_col), ts.alias("__ts"))
+        return _lm_tokenized(frame, text_col, id_col)
 
     def _grams(frame: DataFrame, n: int):
-        sl = [
-            F.slice(
-                F.col("__ts"), k + 1,
-                F.greatest(F.size("__ts") - (n - 1), F.lit(0)),
-            )
-            for k in range(n)
-        ]
-        if n == 1:
-            g = F.transform(sl[0], lambda a: F.struct(a.alias("w1")))
-        elif n == 2:
-            g = F.zip_with(
-                sl[0], sl[1],
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        else:
-            g = F.zip_with(
-                F.zip_with(
-                    sl[0], sl[1],
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-                sl[2],
-                lambda p, c: F.struct(
-                    p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
-                ),
-            )
-        return frame.select(F.col(id_col), F.explode(g).alias("g"))
+        return _lm_grams(frame, n, id_col)
 
     tr = _toked(train_df)
     uc = _grams(tr, 1).groupBy(F.col("g.w1").alias("w")).agg(
@@ -782,6 +796,154 @@ def stupid_backoff_scores(
     )
     return scored.groupBy(id_col).agg(
         F.round(mean, ndigits).alias(out_col)
+    )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    out_col: str = "kn_logprob",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM scores (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the smoothing KenLM ships and CCNet's
+    perplexity filter runs on; public literature). The canonical
+    upgrade over :func:`stupid_backoff_scores`: absolute discounting
+    redistributes exactly ``D`` of each seen n-gram's mass to an
+    interpolated lower order whose counts are CONTINUATION counts
+    ("how many distinct contexts precede this gram"), so 'Francisco'
+    (frequent, but only ever after 'San') stops stealing unigram mass.
+
+    With T = train trigram types, B = train bigram types, D the
+    discount:
+
+        P(w3|w1 w2) = max(c3 - D, 0)/c2(w1 w2)
+                      + D * foll3(w1 w2)/c2(w1 w2) * P(w3|w2)
+            when c2(w1 w2) > 0 and foll3(w1 w2) > 0, else P(w3|w2)
+        P(w3|w2)    = max(cont32(w2 w3) - D, 0)/mid(w2)
+                      + D * foll2(w2)/mid(w2) * Pc(w3)
+            when mid(w2) > 0, else Pc(w3)
+        Pc(w3)      = (contU(w3) + 1)/(|B| + V + 1)
+
+    where foll3(u v) = |{w: (u,v,w) in T}|, cont32(v w) =
+    |{u: (u,v,w) in T}|, mid(v) = |{(u,w): (u,v,w) in T}|, foll2(v) =
+    |{w: (v,w) in B}|, contU(w) = |{v: (v,w) in B}|, V = train
+    vocabulary size. The unigram level carries the same add-one floor
+    as ``stupid_backoff_scores`` (the one departure from the paper,
+    documented there) so OOV tokens score finitely; the ``foll3 = 0``
+    guard (a bigram seen only document-final has count but no
+    continuation mass) backs off instead of emitting probability 0.
+
+        score(d) = mean over trigram positions of round(log10(P), 6)
+
+    Counts come from ``train_df`` (HELD-OUT, the stupid_backoff
+    contract — self-scoring never leaves the trigram level); documents
+    with < 3 tokens are absent. Every probability is a fixed dag of
+    +,-,*,/ over exact integer counts (D = 0.75 is binary-exact), so
+    the value is bit-identical cross-engine; per-position values are
+    6dp-rounded BEFORE the sorted fold, the repo's float discipline.
+
+    Data flow: the count tables are five map-side-combinable groupBys
+    over train trigram/bigram TYPES (type tables are distinct-gram
+    sized, far below token count); scoring is left joins on gram keys
+    plus one broadcast constants row — the stupid_backoff plan shape
+    with continuation tables instead of raw lower-order counts.
+    """
+    if train_df is None:
+        train_df = df
+    d_lit = F.lit(float(discount))
+
+    tr = _lm_tokenized(train_df, text_col, id_col)
+    # type tables: trigram types once, bigram types once
+    tc = _lm_grams(tr, 3, id_col).groupBy(
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    ).agg(F.count("*").alias("__c3"))
+    bc = _lm_grams(tr, 2, id_col).groupBy(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    ).agg(F.count("*").alias("__c2"))
+    # continuation / follower censuses over the TYPE tables
+    foll3 = tc.groupBy("w1", "w2").agg(
+        F.count("*").alias("__f3")
+    )
+    cont32 = tc.groupBy("w2", "w3").agg(
+        F.count("*").alias("__k32")
+    )
+    mid = tc.groupBy("w2").agg(F.count("*").alias("__mid"))
+    foll2 = bc.groupBy(F.col("w1").alias("w2")).agg(
+        F.count("*").alias("__f2")
+    )
+    contu = bc.groupBy(F.col("w2").alias("w3")).agg(
+        F.count("*").alias("__ku")
+    )
+    vocab = _lm_grams(tr, 1, id_col).groupBy(F.col("g.w1").alias("w")).agg(
+        F.count("*").alias("__c1")
+    )
+    consts = vocab.agg(F.count("*").alias("__v")).crossJoin(
+        bc.agg(F.count("*").alias("__btot"))
+    )
+
+    pos = _lm_grams(_lm_tokenized(df, text_col, id_col), 3, id_col).select(
+        id_col,
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+    scored = (
+        pos.join(tc, ["w1", "w2", "w3"], "left")
+        .join(bc.withColumnRenamed("__c2", "__c12"), ["w1", "w2"], "left")
+        .join(foll3, ["w1", "w2"], "left")
+        .join(cont32, ["w2", "w3"], "left")
+        .join(mid, "w2", "left")
+        .join(foll2, "w2", "left")
+        .join(contu, "w3", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    c3 = F.coalesce("__c3", F.lit(0)).cast("double")
+    c12 = F.coalesce("__c12", F.lit(0)).cast("double")
+    f3 = F.coalesce("__f3", F.lit(0)).cast("double")
+    k32 = F.coalesce("__k32", F.lit(0)).cast("double")
+    midc = F.coalesce("__mid", F.lit(0)).cast("double")
+    f2 = F.coalesce("__f2", F.lit(0)).cast("double")
+    ku = F.coalesce("__ku", F.lit(0)).cast("double")
+    pc = (ku + F.lit(1.0)) / (
+        F.col("__btot") + F.col("__v") + F.lit(1.0)
+    )
+    p2 = F.when(
+        midc > 0,
+        F.greatest(k32 - d_lit, F.lit(0.0)) / midc
+        + d_lit * f2 / midc * pc,
+    ).otherwise(pc)
+    p3 = F.when(
+        (c12 > 0) & (f3 > 0),
+        F.greatest(c3 - d_lit, F.lit(0.0)) / c12
+        + d_lit * f3 / c12 * p2,
+    ).otherwise(p2)
+    # per-position 6dp values as exact micro-unit longs: the per-doc
+    # MEAN of 6dp grid values lands exactly on a 6dp midpoint whenever
+    # 2n divides the sum's last digit pattern (observed at sf0.1,
+    # doc mean -1.5819955), and there Spark's BigDecimal half-up on
+    # the slightly-off double disagrees with DuckDB's multiply-based
+    # round — the repo's midpoint trap. Integer sum + explicit
+    # half-away division is exact on both engines AND order-free
+    # (map-side combinable; no collect_list fold at all).
+    val = F.round(F.log10(p3), ndigits)
+    vm = F.round(val * F.lit(float(10 ** ndigits)), 0).cast("long")
+    agged = scored.groupBy(id_col).agg(
+        F.sum(vm).alias("__s"), F.count("*").alias("__n")
+    )
+    m = F.floor(
+        (2 * F.abs(F.col("__s")) + F.col("__n"))
+        / (2.0 * F.col("__n"))
+    )
+    mean_micro = F.when(F.col("__s") >= 0, m).otherwise(-m)
+    return agged.select(
+        id_col,
+        (mean_micro / F.lit(10.0 ** ndigits)).alias(out_col),
     )
 
 

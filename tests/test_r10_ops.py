@@ -72,3 +72,43 @@ def test_autok_slice_oracle_nulls_loudly_past_bound():
         f"select {sql} as b from embeddings limit 1"
     ).fetchone()
     assert out[0] is None
+
+
+def test_kneser_ney_hand_computed_golden(spark):
+    """Hand-derived interpolated-KN cascade on a 3-doc train corpus.
+
+    Train: 'a b c', 'a b d', 'x b c' gives trigram types
+    {(a,b,c),(a,b,d),(x,b,c)}, bigram types {(a,b):2,(b,c):2,(b,d):1,
+    (x,b):1} (Btot=4), V=5. Hence Pc(c)=(1+1)/(4+5+1)=0.2,
+    P(c|b) = (2-0.75)/3 + 0.75*2/3*0.2 = 31/60,
+    P(c|a,b) = (1-0.75)/2 + 0.75*2/2*(31/60) = 0.5125.
+    'q q q' never backs onto any table: Pc(q)=1/10 -> score -1.0 flat.
+    'b c d' hits the foll3=0 guard ((b,c) is a bigram but never a
+    trigram prefix) -> P(d|c) falls through mid(c)=0 to Pc(d)=0.2.
+    """
+    import math
+
+    from etl_orders_to_bq_spark.operators.lm import kneser_ney_scores
+
+    train = spark.createDataFrame(
+        [(0, "a b c"), (2, "a b d"), (4, "x b c")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(1, "a b c"), (3, "q q q"), (5, "a b c d")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.kn_logprob
+        for r in kneser_ney_scores(test, train).collect()
+    }
+    p_abc = 0.25 / 2 + 0.75 * 2 / 2 * (1.25 / 3 + 0.75 * 2 / 3 * 0.2)
+    assert abs(p_abc - 0.5125) < 1e-12
+    assert got[1] == round(math.log10(0.5125), 6)
+    assert got[3] == -1.0
+    # doc 5: positions (a,b,c) -> 0.5125 and (b,c,d) -> Pc(d) = 0.2;
+    # half-away mean of the micro-rounded pair
+    v1 = round(math.log10(0.5125), 6)
+    v2 = round(math.log10(0.2), 6)
+    s = round(v1 * 1e6) + round(v2 * 1e6)
+    m = -((2 * (-s) + 2) // 4) if s < 0 else (2 * s + 2) // 4
+    assert got[5] == m / 1e6
