@@ -6459,6 +6459,53 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain governance census (functions/urls.py
+    domain_census + registrable_domain — the PSL eTLD+1 walk C4 /
+    RefinedWeb blocklists and per-domain caps operate on). Four host
+    shapes per doc_id % 4: a multi-label ccTLD suffix
+    ({source}-shop.co.uk), a merging generic TLD (everything under
+    example.com), a private multi-label suffix (cdn.{source}.github.io
+    -> {source}.github.io), and an unlisted TLD hitting the PSL
+    implicit-* rule ({source}.internal). Tracking params / fragments
+    collapse pairs of raw urls into one canonical page; doc_id % 10
+    < 3 plants exact-dup texts per source. The oracle replays url
+    construction, canonicalization, the longest-suffix walk over the
+    same suffix VALUES, and the exact micro-unit dup rate."""
+    from etl_orders_to_bq_spark.functions.urls import domain_census
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    page = F.floor(F.col("doc_id") / 40).cast("long").cast("string")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("www."), F.col("source"), F.lit("-shop.CO.UK:443")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("source"), F.lit(".Example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("cdn."), F.col("source"), F.lit(".github.io")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".internal")))
+    )
+    q = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("?b=2&utm_source=feed&a=1"),
+    ).otherwise(F.lit("?a=1&b=2#f"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), page, q)
+    text = F.when(
+        F.col("doc_id") % 10 < 3,
+        F.concat(F.lit("dup "), F.col("source")),
+    ).otherwise(F.col("text"))
+    raw = d.select("doc_id", url.alias("url"), text.alias("text"))
+    return domain_census(raw).orderBy("domain")
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free group split (operators/sampling.py group_split):
     ORDERS assigned to train/val/test by a pure hash of o_custkey —
@@ -8032,6 +8079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (new work leads the snapshot) --
         "kneser_ney": q_kneser_ney,
+        "domain_census": q_domain_census,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -13893,6 +13941,104 @@ def oracle_sql() -> dict[str, str]:
                count(distinct url) as n_raw_forms,
                min(doc_id) as first_id
         from canon group by canonical_url order by canonical_url
+    """
+    # domain census: same canonicalizer macros + the PSL longest-match
+    # walk over the engine's PUBLIC_SUFFIXES_MIN values; exact
+    # micro-unit dup rate (floor half-away) mirrors the engine
+    from etl_orders_to_bq_spark.functions.urls import (
+        PUBLIC_SUFFIXES_MIN as _psl_min,
+    )
+
+    _suf_values = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in _psl_min
+    )
+    out["domain_census"] = f"""
+        with d0 as (
+          select doc_id,
+                 case when doc_id % 10 < 3 then 'dup ' || source
+                      else text end as text,
+                 'https://' ||
+                 (case when doc_id % 4 = 0
+                       then 'www.' || source || '-shop.CO.UK:443'
+                       when doc_id % 4 = 1
+                       then source || '.Example.com'
+                       when doc_id % 4 = 2
+                       then 'cdn.' || source || '.github.io'
+                       else source || '.internal' end) ||
+                 '/p/' ||
+                 cast(cast(floor(doc_id / 40) as bigint) as varchar) ||
+                 (case when doc_id % 2 = 0
+                       then '?b=2&utm_source=feed&a=1'
+                       else '?a=1&b=2#f' end) as url
+          from documents
+        ),
+        parts as (
+          select doc_id, text,
+                 lower(regexp_extract(url, '{_url_re}', 1)) as scheme,
+                 lower(regexp_extract(url, '{_url_re}', 2)) as host0,
+                 regexp_extract(url, '{_url_re}', 3) as path,
+                 regexp_extract(url, '{_url_re}', 4) as query
+          from d0
+        ),
+        base as (
+          select doc_id,
+                 scheme || '://' ||
+                 (case when scheme = 'http'
+                            and regexp_matches(host0, ':80$')
+                       then regexp_replace(host0, ':80$', '')
+                       when scheme = 'https'
+                            and regexp_matches(host0, ':443$')
+                       then regexp_replace(host0, ':443$', '')
+                       else host0 end) ||
+                 (case when path = '' then '/' else path end) ||
+                 (case when len(list_filter(string_split(query, '&'),
+                         p -> p <> '' and
+                              not regexp_matches(p, '{_trk_re}'))) > 0
+                  then '?' || array_to_string(
+                         list_sort(list_filter(string_split(query, '&'),
+                           p -> p <> '' and
+                                not regexp_matches(p, '{_trk_re}'))),
+                         '&')
+                  else '' end) as canon,
+                 regexp_replace(host0, ':[0-9]+$', '') as host,
+                 md5(coalesce(text, chr(0) || 'null')) as fp,
+                 len(regexp_extract_all({_NORM}, '\\S+')) as ntok
+          from parts
+        ),
+        suf(sfx, sk) as (values {_suf_values}),
+        hosts as (select distinct host from base),
+        dom as (
+          select host,
+                 case when len(l) > best
+                      then array_to_string(
+                             l[len(l) - best : len(l)], '.')
+                      else host end as domain
+          from (
+            select host, string_split(host, '.') as l,
+                   coalesce(
+                     (select max(s.sk) from suf s
+                      where s.sk <= len(string_split(host, '.'))
+                        and s.sfx = array_to_string(
+                              (string_split(host, '.'))[
+                                len(string_split(host, '.'))
+                                  - s.sk + 1
+                                : len(string_split(host, '.'))], '.')),
+                     1) as best
+            from hosts)
+        )
+        select dom.domain as domain,
+               cast(count(*) as bigint) as n_docs,
+               cast(count(distinct canon) as bigint) as n_pages,
+               cast(sum(ntok) as bigint) as n_tokens,
+               cast(count(*) - count(distinct fp) as bigint)
+                 as n_dup_docs,
+               floor((2 * (count(*) - count(distinct fp)) * 1000000
+                      + count(*)) / (2.0 * count(*))) / 1000000.0
+                 as dup_rate,
+               cast(sum(case when ntok >= 20 then 1 else 0 end)
+                    as bigint) as n_quality
+        from base join dom using (host)
+        group by 1 order by 1
     """
     # group split: identical md5 hash + the SAME accumulated cut
     # literals (repr'd floats, the linkage_score lesson)

@@ -112,3 +112,33 @@ def test_kneser_ney_hand_computed_golden(spark):
     s = round(v1 * 1e6) + round(v2 * 1e6)
     m = -((2 * (-s) + 2) // 4) if s < 0 else (2 * s + 2) // 4
     assert got[5] == m / 1e6
+
+
+def test_registrable_domain_psl_rules(spark):
+    """PSL semantics: longest rule wins, implicit-* for unlisted TLDs,
+    a bare suffix returns itself, single labels pass through."""
+    from etl_orders_to_bq_spark.functions.urls import registrable_domain
+
+    hosts = spark.createDataFrame(
+        [
+            ("cdn.alice.github.io",),
+            ("a.b.example.co.uk",),
+            ("example.com",),
+            ("com",),
+            ("weird.internal",),
+            ("single",),
+        ],
+        ["host"],
+    )
+    got = {
+        r.host: r.domain
+        for r in registrable_domain(hosts, "host").collect()
+    }
+    assert got == {
+        "cdn.alice.github.io": "alice.github.io",  # private multi-label
+        "a.b.example.co.uk": "example.co.uk",  # ccTLD 2-label rule
+        "example.com": "example.com",  # already eTLD+1
+        "com": "com",  # bare suffix: itself
+        "weird.internal": "weird.internal",  # implicit-* rule
+        "single": "single",  # no dots: itself
+    }
