@@ -2626,6 +2626,57 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair (functions/encoding.py, the ftfy
+    shape): five planted damage classes per doc_id % 7 — Latin-1
+    mojibake (control-char bytes included), sloppy-cp1252 mojibake
+    (curly quotes through the UNDEFINED 0x9D byte), genuine accented
+    text whose round-trip is invalid UTF-8 (must NOT be touched), CJK
+    text (unmappable, untouched), and a bare invalid lead (untouched).
+    The oracle replays the cp1252 translate table, the byte
+    round-trip, and a full strict UTF-8 DFA (overlongs/surrogates
+    rejected, matching Spark's is_valid_utf8)."""
+    from etl_orders_to_bq_spark.functions.encoding import (
+        is_mojibake,
+        repair_mojibake,
+        sloppy_cp1252_mojibake,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    m_latin1 = "caf\u00e9 cr\u00e8me \u2014 na\u00efve\u2026".encode(
+        "utf-8"
+    ).decode("latin-1")
+    m_1252 = sloppy_cp1252_mojibake(
+        "it\u2019s \u201cfine\u201d \u2013 ok"
+    )
+    did = F.col("doc_id")
+    planted = (
+        F.when(did % 7 == 0, F.concat(F.lit(m_latin1 + " "), F.col("source")))
+        .when(did % 7 == 1, F.concat(F.lit(m_1252 + " "), F.col("source")))
+        .when(
+            did % 7 == 2,
+            F.concat(
+                F.lit("d\u00e9j\u00e0 vu \u2013 caf\u00e9 "),
+                F.col("source"),
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat(F.lit("\u6c49\u5b57 mixed \u6587\u672c "), F.col("source")),
+        )
+        .when(did % 7 == 4, F.concat(F.lit("broken \u00c3 lone "), F.col("source")))
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", planted.alias("text"))
+    return base.select(
+        "doc_id",
+        F.coalesce(is_mojibake("text"), F.lit(False)).alias(
+            "was_mojibake"
+        ),
+        repair_mojibake("text").alias("text_fixed"),
+    ).orderBy("doc_id")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8080,6 +8131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-verified (new work leads the snapshot) --
         "kneser_ney": q_kneser_ney,
         "domain_census": q_domain_census,
+        "mojibake_repair": q_mojibake_repair,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14039,6 +14091,117 @@ def oracle_sql() -> dict[str, str]:
                     as bigint) as n_quality
         from base join dom using (host)
         group by 1 order by 1
+    """
+    # mojibake repair: cp1252 translate table, byte round-trip, and a
+    # full strict UTF-8 DFA (overlongs + surrogates rejected — the
+    # is_valid_utf8 semantics) replayed over the planted damage classes
+    from etl_orders_to_bq_spark.functions.encoding import (
+        CP1252_BYTE_TO_CHAR as _cp1252,
+        sloppy_cp1252_mojibake as _sloppy,
+    )
+
+    def _sql_lit(s: str) -> str:
+        parts: list[str] = []
+        run: list[str] = []
+
+        def _flush() -> None:
+            if run:
+                parts.append(
+                    "'" + "".join(run).replace("'", "''") + "'"
+                )
+                run.clear()
+
+        for ch in s:
+            o = ord(ch)
+            if o < 0x20 or 0x7F <= o <= 0xA0:
+                _flush()
+                parts.append(f"chr({o})")
+            else:
+                run.append(ch)
+        _flush()
+        if not parts:
+            return "''"
+        return (
+            "(" + " || ".join(parts) + ")"
+            if len(parts) > 1
+            else parts[0]
+        )
+
+    _m_latin1 = (
+        "caf\u00e9 cr\u00e8me \u2014 na\u00efve\u2026".encode("utf-8").decode("latin-1")
+    )
+    _m_1252 = _sloppy("it\u2019s \u201cfine\u201d \u2013 ok")
+    _lit0 = _sql_lit(_m_latin1 + " ")
+    _lit1 = _sql_lit(_m_1252 + " ")
+    _lit2 = _sql_lit("d\u00e9j\u00e0 vu \u2013 caf\u00e9 ")
+    _lit3 = _sql_lit("\u6c49\u5b57 mixed \u6587\u672c ")
+    _lit4 = _sql_lit("broken \u00c3 lone ")
+    _sig_re = "[\u00c2-\u00f4]" 
+    _mapped = "text"
+    for _b, _ch in _cp1252.items():
+        _mapped = f"replace({_mapped}, {_sql_lit(_ch)}, chr({_b}))"
+    out["mojibake_repair"] = f"""
+        with d0 as (
+          select doc_id,
+                 case when doc_id % 7 = 0
+                      then {_lit0} || source
+                      when doc_id % 7 = 1
+                      then {_lit1} || source
+                      when doc_id % 7 = 2
+                      then {_lit2} || source
+                      when doc_id % 7 = 3
+                      then {_lit3} || source
+                      when doc_id % 7 = 4
+                      then {_lit4} || source
+                      else text end as text
+          from documents
+        ),
+        tr as (select doc_id, text, {_mapped} as mapped from d0),
+        b as (select doc_id, text,
+                     list_transform(range(1, len(mapped) + 1),
+                                    i -> unicode(substr(mapped, i, 1)))
+                       as bl
+              from tr),
+        g as (select doc_id, text, bl,
+                     coalesce(regexp_matches(text, '{_sig_re}'), false)
+                       as sig,
+                     len(list_filter(bl, x -> x > 255)) = 0 as mappable,
+                     list_reduce(
+                       list_prepend([0, 0, 0, 1],
+                                    list_transform(bl, x -> [x])),
+                       (acc, xe) -> case
+                         when acc[4] = 0 then [0, 0, 0, 0]
+                         when acc[1] > 0 then
+                           (case when xe[1] >= acc[2] and xe[1] <= acc[3]
+                                 then [acc[1] - 1, 128, 191, 1]
+                                 else [0, 0, 0, 0] end)
+                         else (case
+                           when xe[1] <= 127 then [0, 0, 0, 1]
+                           when xe[1] >= 194 and xe[1] <= 223
+                                then [1, 128, 191, 1]
+                           when xe[1] = 224 then [2, 160, 191, 1]
+                           when xe[1] >= 225 and xe[1] <= 236
+                                then [2, 128, 191, 1]
+                           when xe[1] = 237 then [2, 128, 159, 1]
+                           when xe[1] >= 238 and xe[1] <= 239
+                                then [2, 128, 191, 1]
+                           when xe[1] = 240 then [3, 144, 191, 1]
+                           when xe[1] >= 241 and xe[1] <= 243
+                                then [3, 128, 191, 1]
+                           when xe[1] = 244 then [3, 128, 143, 1]
+                           else [0, 0, 0, 0] end) end) as st
+              from b),
+        a as (select doc_id, text, bl,
+                     sig and mappable and st[4] = 1 and st[1] = 0 as hit
+              from g)
+        select doc_id,
+               coalesce(hit, false) as was_mojibake,
+               case when coalesce(hit, false)
+                    then decode(from_hex(array_to_string(
+                           list_transform(bl,
+                             x -> format('{{:02x}}', x)), '')))
+                    else text end as text_fixed
+        from a order by doc_id
     """
     # group split: identical md5 hash + the SAME accumulated cut
     # literals (repr'd floats, the linkage_score lesson)

@@ -142,3 +142,52 @@ def test_registrable_domain_psl_rules(spark):
         "weird.internal": "weird.internal",  # implicit-* rule
         "single": "single",  # no dots: itself
     }
+
+
+def test_mojibake_repair_damage_classes(spark):
+    """ftfy-shape repair: Latin-1 and sloppy-cp1252 damage (incl. the
+    UNDEFINED 0x9D byte) invert exactly; genuine accented text, CJK,
+    invalid leads and plain ASCII pass through untouched."""
+    from etl_orders_to_bq_spark.functions.encoding import (
+        is_mojibake,
+        repair_mojibake,
+        sloppy_cp1252_mojibake,
+    )
+    from pyspark.sql import functions as F
+
+    orig1 = "café crème — naïve…"
+    orig2 = "it’s “fine” – ok"
+    rows = [
+        (1, orig1.encode("utf-8").decode("latin-1")),
+        (2, sloppy_cp1252_mojibake(orig2)),
+        (3, "déjà vu – café"),
+        (4, "汉字 mixed"),
+        (5, "broken Ã lone"),
+        (6, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r.id: (r.hit, r.fixed)
+        for r in df.select(
+            "id",
+            is_mojibake("text").alias("hit"),
+            repair_mojibake("text").alias("fixed"),
+        ).collect()
+    }
+    assert got[1] == (True, orig1)
+    assert got[2] == (True, orig2)
+    for i in (3, 4, 5, 6):
+        assert got[i] == (False, rows[i - 1][1])
+
+
+def test_mojibake_repair_false_positive_class_documented(spark):
+    """The documented undecidable class: text that literally SPELLS a
+    valid mojibake byte sequence is repaired — byte-level detection
+    cannot distinguish it (the ftfy caveat, kept as the contract)."""
+    from etl_orders_to_bq_spark.functions.encoding import repair_mojibake
+
+    df = spark.createDataFrame(
+        [(1, "literal \u00c3\u00a9 here")], ["id", "text"]
+    )
+    out = df.select(repair_mojibake("text").alias("t")).collect()[0].t
+    assert out == "literal \u00e9 here"
