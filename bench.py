@@ -136,6 +136,10 @@ HEADLINE = [
     "bpe_encode",
     "hard_negatives",
     "zipf_slope",
+    # round-10: Kneser-Ney LM, domain governance census, ftfy repair
+    "kneser_ney",
+    "domain_census",
+    "mojibake_repair",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -968,21 +972,37 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 )
             )
         dc10 = dc10.repartition(cpus).localCheckpoint()
+        # r10: the >10x extrapolation demo for the flagship dedup
+        # composition — 30 lang-safe disjoint copies (the same
+        # every-3rd-word suffix family, so the survivor census scales
+        # with the copies and shingles stay copy-disjoint)
+        dc30 = d1
+        for k in range(1, 30):
+            dc30 = dc30.unionByName(
+                d1.select(
+                    (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                    _suffix3(k).alias("text"),
+                )
+            )
+        dc30 = dc30.repartition(cpus).localCheckpoint()
         t1 = _timed(lambda: corpus(d1), runs=2)
-        t0 = time.perf_counter()
-        _force(corpus(dc10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed(lambda: corpus(dc10), runs=2)["median"]
+        t30 = _timed(lambda: corpus(dc30), runs=2)["median"]
         out["corpus_pipeline_1x"] = t1["median"]
         out["corpus_pipeline_10x"] = t10
         out["corpus_pipeline_growth"] = round(
             t10 / max(t1["median"], 1e-9), 1
+        )
+        out["corpus_pipeline_30x"] = t30
+        out["corpus_pipeline_30x_growth"] = round(
+            t30 / max(t1["median"], 1e-9), 1
         )
         from etl_orders_to_bq_spark.functions.text import (
             language_id,
             quality_score,
         )
 
-        for tag, d in (("1x", d1), ("10x", dc10)):
+        for tag, d in (("1x", d1), ("10x", dc10), ("30x", dc30)):
             out[f"corpus_pipeline_{tag}_gate_survivors"] = d.filter(
                 (language_id("text") == "en")
                 & (quality_score("text") >= 0.5)
