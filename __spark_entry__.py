@@ -2677,6 +2677,109 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _multiline_fixture(d):
+    """Deterministic multi-line text over documents for the line-rule
+    entries (gopher_quality / c4_line_filter): 8-word lines from the
+    raw token stream; (doc_id + line) % 7 plants a bullet prefix,
+    % 3 a terminal period, % 11 a 'javascript.' tail, % 5 an
+    ellipsis; doc_id % 41 / % 43 plant the C4 page-level offenders.
+    Both oracles replay this construction verbatim."""
+    did = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+
+    def line(i):
+        prefix = F.when(
+            (did + i) % 7 == 0, F.lit("\u2022 ")
+        ).otherwise(F.lit(""))
+        suffix = (
+            F.when((did + i) % 3 == 0, F.lit("."))
+            .when((did + i) % 11 == 0, F.lit(" javascript."))
+            .when((did + i) % 5 == 0, F.lit("..."))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(
+            prefix, F.array_join(F.slice(toks, i * 8 + 1, 8), " "), suffix
+        )
+
+    t2 = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"
+    )
+    t2 = (
+        F.when(
+            did % 41 == 0,
+            F.concat(t2, F.lit("\nlorem ipsum dolor sit amet ok.")),
+        )
+        .when(
+            did % 43 == 0,
+            F.concat(t2, F.lit("\nif (x) { return x } done ok.")),
+        )
+        .otherwise(t2)
+    )
+    # the synthetic corpus has no English function words, which would
+    # make the Gopher stop-word rule vacuously all-false — plant a
+    # stopword-bearing lead line on the even half so the rule
+    # discriminates
+    t2 = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("the counts of that run have to be read with care.\n"),
+            t2,
+        ),
+    ).otherwise(t2)
+    return d.select("doc_id", t2.alias("text"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb quality rule battery (functions/text.py
+    gopher_quality_flags; Rae et al. 2021 App. A): every ratio rule
+    evaluated as an exact integer cross-multiply, so the oracle is
+    bit-exact with zero float handling. Runs on the synthesized
+    multi-line fixture so the bullet/ellipsis LINE rules carry real
+    signal."""
+    from etl_orders_to_bq_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    d = _multiline_fixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    g = gopher_quality_flags("text")
+    return d.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["word_count_ok"].alias("word_count_ok"),
+        g["mean_word_len_ok"].alias("mean_word_len_ok"),
+        g["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+        g["bullet_ok"].alias("bullet_ok"),
+        g["ellipsis_ok"].alias("ellipsis_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stopword_ok"].alias("stopword_ok"),
+        g["passes"].alias("passes"),
+    ).orderBy("doc_id")
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/text.py c4_line_clean;
+    Raffel et al. 2020 \u00a72.2): terminal-punctuation / five-word /
+    javascript line rules, three-kept-lines + lorem-ipsum +
+    curly-brace page rules, cleaned text re-joined. Same synthesized
+    multi-line fixture as gopher_quality."""
+    from etl_orders_to_bq_spark.functions.text import c4_line_clean
+
+    d = _multiline_fixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    s = c4_line_clean("text")
+    return d.select(
+        "doc_id",
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        s["page_ok"].alias("page_ok"),
+        s["cleaned"].alias("cleaned"),
+    ).orderBy("doc_id")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8132,6 +8235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney": q_kneser_ney,
         "domain_census": q_domain_census,
         "mojibake_repair": q_mojibake_repair,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14202,6 +14307,155 @@ def oracle_sql() -> dict[str, str]:
                              x -> format('{{:02x}}', x)), '')))
                     else text end as text_fixed
         from a order by doc_id
+    """
+    # Gopher rule battery: integer cross-multiplied ratios over the
+    # shared multi-line fixture CTE — zero floats, trivially bit-exact
+    out["gopher_quality"] = """
+        with t0 as (
+          select doc_id, regexp_extract_all(trim(text), '\\S+') as toks
+          from documents
+        ),
+        t1 as (
+          select doc_id,
+                 list_transform(
+                   range(0, cast(ceil(len(toks) / 8.0) as int)),
+                   i -> (case when (doc_id + i) % 7 = 0
+                              then '\u2022 ' else '' end)
+                        || array_to_string(
+                             toks[i * 8 + 1
+                                  : least((i + 1) * 8, len(toks))],
+                             ' ')
+                        || (case when (doc_id + i) % 3 = 0 then '.'
+                                 when (doc_id + i) % 11 = 0
+                                 then ' javascript.'
+                                 when (doc_id + i) % 5 = 0 then '...'
+                                 else '' end)) as lines0
+          from t0
+        ),
+        fix as (
+          select doc_id,
+                 (case when doc_id % 2 = 0
+                       then 'the counts of that run have to be read '
+                            || 'with care.' || chr(10)
+                       else '' end) ||
+                 array_to_string(lines0, chr(10)) ||
+                 (case when doc_id % 41 = 0
+                       then chr(10) || 'lorem ipsum dolor sit amet ok.'
+                       when doc_id % 43 = 0
+                       then chr(10) || 'if (x) ' || chr(123)
+                            || ' return x ' || chr(125) || ' done ok.'
+                       else '' end) as t2
+          from t1
+        ),
+        g as (
+          select doc_id, t2,
+                 regexp_extract_all(trim(t2), '\\S+') as words,
+                 list_filter(string_split(t2, chr(10)),
+                             ln -> trim(ln) <> '') as lines
+          from fix
+        ),
+        m as (
+          select doc_id,
+                 len(words) as nw,
+                 coalesce(list_aggregate(
+                   list_transform(words, w -> len(w)), 'sum'), 0)
+                   as total_chars,
+                 len(regexp_extract_all(t2,
+                     '(#|\\.\\.\\.|\u2026)')) as nsym,
+                 greatest(len(lines), 1) as nl,
+                 len(list_filter(lines, ln ->
+                   regexp_matches(trim(ln),
+                     '^([\u2022\u2023\u25aa-]\\s)'))) as nb,
+                 len(list_filter(lines, ln ->
+                   regexp_matches(ln,
+                     '(\\.\\.\\.|\u2026)\\s*$'))) as ne,
+                 len(list_filter(words, w ->
+                   regexp_matches(w, '[A-Za-z]'))) as na,
+                 len(list_distinct(regexp_extract_all(lower(t2),
+                   '\\b(the|be|to|of|and|that|have|with)\\b')))
+                   as ns
+          from g
+        )
+        select doc_id,
+               cast(nw as bigint) as n_words,
+               nw >= 50 and nw <= 100000 as word_count_ok,
+               total_chars >= 3 * nw and total_chars <= 10 * nw
+                 as mean_word_len_ok,
+               10 * nsym <= nw as symbol_ratio_ok,
+               10 * nb <= 9 * nl as bullet_ok,
+               10 * ne <= 3 * nl as ellipsis_ok,
+               5 * na >= 4 * nw as alpha_ok,
+               ns >= 2 as stopword_ok,
+               (nw >= 50 and nw <= 100000)
+                 and (total_chars >= 3 * nw and total_chars <= 10 * nw)
+                 and 10 * nsym <= nw
+                 and 10 * nb <= 9 * nl
+                 and 10 * ne <= 3 * nl
+                 and 5 * na >= 4 * nw
+                 and ns >= 2 as passes
+        from m order by doc_id
+    """
+    # C4 line rules: same fixture CTE; empty-kept array_to_string is
+    # NULL in DuckDB vs '' in Spark — coalesce (r9 trap)
+    out["c4_line_filter"] = """
+        with t0 as (
+          select doc_id, regexp_extract_all(trim(text), '\\S+') as toks
+          from documents
+        ),
+        t1 as (
+          select doc_id,
+                 list_transform(
+                   range(0, cast(ceil(len(toks) / 8.0) as int)),
+                   i -> (case when (doc_id + i) % 7 = 0
+                              then '\u2022 ' else '' end)
+                        || array_to_string(
+                             toks[i * 8 + 1
+                                  : least((i + 1) * 8, len(toks))],
+                             ' ')
+                        || (case when (doc_id + i) % 3 = 0 then '.'
+                                 when (doc_id + i) % 11 = 0
+                                 then ' javascript.'
+                                 when (doc_id + i) % 5 = 0 then '...'
+                                 else '' end)) as lines0
+          from t0
+        ),
+        fix as (
+          select doc_id,
+                 (case when doc_id % 2 = 0
+                       then 'the counts of that run have to be read '
+                            || 'with care.' || chr(10)
+                       else '' end) ||
+                 array_to_string(lines0, chr(10)) ||
+                 (case when doc_id % 41 = 0
+                       then chr(10) || 'lorem ipsum dolor sit amet ok.'
+                       when doc_id % 43 = 0
+                       then chr(10) || 'if (x) ' || chr(123)
+                            || ' return x ' || chr(125) || ' done ok.'
+                       else '' end) as t2
+          from t1
+        ),
+        g as (
+          select doc_id, t2,
+                 list_filter(string_split(t2, chr(10)),
+                             ln -> trim(ln) <> '') as lines
+          from fix
+        ),
+        k as (
+          select doc_id, t2, lines,
+                 list_filter(lines, ln ->
+                   regexp_matches(trim(ln), '[.!?\"]$')
+                   and len(regexp_extract_all(trim(ln), '\\S+')) >= 5
+                   and not regexp_matches(ln, '(?i)javascript'))
+                   as kept
+          from g
+        )
+        select doc_id,
+               cast(len(lines) as bigint) as n_lines,
+               cast(len(kept) as bigint) as n_kept,
+               len(kept) >= 3 and not regexp_matches(t2,
+                 '(?i)(lorem ipsum|' || chr(123) || ')') as page_ok,
+               coalesce(array_to_string(kept, chr(10)), '') as cleaned
+        from k order by doc_id
     """
     # group split: identical md5 hash + the SAME accumulated cut
     # literals (repr'd floats, the linkage_score lesson)

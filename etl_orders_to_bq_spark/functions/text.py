@@ -407,3 +407,165 @@ def char_entropy(
         F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t), ndigits
     )
     return F.when(n > 0, ent)
+
+
+# the Gopher/MassiveWeb repetition-free stopword octet (Rae et al.
+# 2021, Table A1 — public): a document passes the stop-word rule when
+# it contains at least 2 DISTINCT members
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The Gopher / MassiveWeb document-quality rule set (Rae et al.
+    2021, Appendix A — the public filter battery most LLM corpus
+    pipelines start from), as ONE struct column of booleans:
+
+    - ``word_count_ok``: ``min_words <= n <= max_words``;
+    - ``mean_word_len_ok``: mean word length in [3, 10] characters;
+    - ``symbol_ratio_ok``: (# of '#' or '…'/'...' symbols) / words
+      <= 0.1;
+    - ``bullet_ok``: <= 90% of LINES start with a bullet marker;
+    - ``ellipsis_ok``: <= 30% of lines end with an ellipsis;
+    - ``alpha_ok``: >= 80% of words contain at least one alphabetic
+      character;
+    - ``stopword_ok``: >= 2 distinct members of the Gopher stop-word
+      octet present;
+    - ``passes``: the conjunction.
+
+    Every ratio rule is evaluated as an exact INTEGER cross-multiply
+    (``10 * symbols <= words`` instead of ``symbols/words <= 0.1``),
+    so no float ever exists and the SQL oracle is trivially
+    bit-exact. Lines split on newline; a document with no newline is
+    one line. Pure Column math in one projection — at 100 TB this is
+    scan-shaped with zero shuffle.
+    """
+    c = _c(col)
+    words = F.split(F.trim(c), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # mean in [3, 10]  <=>  3n <= total <= 10n (exact integers)
+    mean_len_ok = (total_chars >= 3 * n_words) & (
+        total_chars <= 10 * n_words
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"(#|\.\.\.|…)"), 0)
+    )
+    symbol_ok = 10 * n_symbols.cast("long") <= n_words.cast("long")
+    lines = F.filter(
+        F.split(c, r"\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"^([•‣▪-]\s)"),
+        )
+    )
+    bullet_ok = (
+        10 * n_bullet.cast("long") <= 9 * n_lines.cast("long")
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")
+        )
+    )
+    ellipsis_ok = (
+        10 * n_ellipsis.cast("long") <= 3 * n_lines.cast("long")
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_ok = (
+        5 * n_alpha_words.cast("long") >= 4 * n_words.cast("long")
+    )
+    distinct_stops = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(c),
+                F.lit(r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"),
+                0,
+            )
+        )
+    )
+    stopword_ok = distinct_stops >= 2
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    passes = (
+        word_count_ok
+        & mean_len_ok
+        & symbol_ok
+        & bullet_ok
+        & ellipsis_ok
+        & alpha_ok
+        & stopword_ok
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        passes.alias("passes"),
+    )
+
+
+def c4_line_clean(
+    col: Column | str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    banned_line_re: str = r"(?i)javascript",
+    banned_page_re: str = r"(?i)(lorem ipsum|\{)",
+) -> Column:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
+    public) as one struct column:
+
+    - a LINE is kept iff it ends in a terminal punctuation mark
+      (``. ! ? "``), has at least ``min_words_per_line`` words, and
+      does not match ``banned_line_re`` (the 'javascript' rule);
+    - the PAGE is kept iff at least ``min_kept_lines`` lines survive
+      (C4's three-sentence floor, counted on kept lines) and the raw
+      text does not match ``banned_page_re`` (the 'lorem ipsum' /
+      curly-brace rules);
+    - ``cleaned`` is the kept lines re-joined with newlines ('' when
+      nothing survives — the page flag is the drop signal).
+
+    Returns struct ``(n_lines, n_kept, page_ok, cleaned)``. Pure
+    in-row array combinators over the newline split: scan-shaped at
+    any scale, no shuffle, no UDF; the SQL oracle replays the split,
+    the three line predicates and the page rules verbatim.
+    """
+    c = _c(col)
+    lines = F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != "")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"[.!?\"]$")
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(ln), r"\s+"), lambda w: w != ""
+                )
+            )
+            >= min_words_per_line
+        )
+        & ~ln.rlike(banned_line_re),
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    page_ok = (n_kept >= min_kept_lines) & ~c.rlike(banned_page_re)
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        page_ok.alias("page_ok"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )

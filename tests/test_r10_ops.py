@@ -191,3 +191,86 @@ def test_mojibake_repair_false_positive_class_documented(spark):
     )
     out = df.select(repair_mojibake("text").alias("t")).collect()[0].t
     assert out == "literal \u00e9 here"
+
+
+def test_gopher_quality_flags_hand_goldens(spark):
+    """Each Gopher rule flips on a purpose-built document."""
+    from etl_orders_to_bq_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from pyspark.sql import functions as F
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and friends "
+        * 6
+    ).strip()  # 60 words, stopwords present, clean lines
+    short = "the tiny and that doc"  # < 50 words
+    symbols = ("the data and that " + "# " * 20 + "word " * 46).strip()
+    bullets = "\n".join(
+        "• the point and that " + str(i) + " word word word word"
+        for i in range(10)
+    )
+    no_stop = ("alpha beta gamma delta epsilon zeta " * 10).strip()
+    rows = [
+        (1, good),
+        (2, short),
+        (3, symbols),
+        (4, bullets),
+        (5, no_stop),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    g = gopher_quality_flags("text")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            g["passes"].alias("passes"),
+            g["word_count_ok"].alias("wc"),
+            g["symbol_ratio_ok"].alias("sym"),
+            g["bullet_ok"].alias("bul"),
+            g["stopword_ok"].alias("stop"),
+        ).collect()
+    }
+    assert got[1].passes
+    assert not got[2].wc and not got[2].passes
+    assert not got[3].sym and not got[3].passes
+    assert not got[4].bul and not got[4].passes  # 10/10 bullet lines
+    assert not got[5].stop and not got[5].passes
+
+
+def test_c4_line_clean_hand_goldens(spark):
+    """Line keep/drop per rule, page rules, empty-cleaned contract."""
+    from etl_orders_to_bq_spark.functions.text import c4_line_clean
+    from pyspark.sql import functions as F
+
+    page = "\n".join(
+        [
+            "this line has enough words and punctuation.",  # keep
+            "no terminal punctuation here at all",  # drop: punct
+            "too short.",  # drop: < 5 words
+            "please enable javascript to view this content.",  # drop
+            "another perfectly reasonable sentence right here!",
+            'a quoted line with plenty of words inside."',
+        ]
+    )
+    lorem = page + "\nlorem ipsum dolor sit amet."
+    braces = page + "\nfunction f() { return 1; } ok."
+    nothing = "short.\nno punct here"
+    rows = [(1, page), (2, lorem), (3, braces), (4, nothing)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    s = c4_line_clean("text")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            s["n_lines"].alias("nl"),
+            s["n_kept"].alias("nk"),
+            s["page_ok"].alias("ok"),
+            s["cleaned"].alias("cleaned"),
+        ).collect()
+    }
+    assert (got[1].nl, got[1].nk, got[1].ok) == (6, 3, True)
+    assert got[1].cleaned.split("\n")[0].endswith("punctuation.")
+    assert got[2].ok is False  # lorem ipsum page rule
+    assert got[3].ok is False  # curly brace page rule
+    assert (got[4].nk, got[4].ok, got[4].cleaned) == (0, False, "")
