@@ -2780,6 +2780,18 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT-style MLM masking (operators/lm.py mlm_mask;
+    Devlin et al. 2019, 15% / 80-10-10): per (doc, position) decisions
+    from one md5-derived integer, so masking is reproducible across
+    engines/partitionings and the oracle replays every branch — mask
+    token, document-local random replacement, keep-as-label."""
+    from etl_orders_to_bq_spark.operators.lm import mlm_mask
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mlm_mask(d).orderBy("doc_id")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8237,6 +8249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "gopher_quality": q_gopher_quality,
         "c4_line_filter": q_c4_line_filter,
+        "mlm_mask": q_mlm_mask,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14307,6 +14320,42 @@ def oracle_sql() -> dict[str, str]:
                              x -> format('{{:02x}}', x)), '')))
                     else text end as text_fixed
         from a order by doc_id
+    """
+    # MLM masking: the md5 decision integer, both branch digits and
+    # the in-doc random index replayed; '0x'-prefix through ::bigint
+    # (the r9 hugeint-cast trap); empty array_to_string coalesced
+    _mh10 = "('0x' || substr(md5(doc_id || ':' || p || ':7'), 1, 8))::bigint"
+    out["mlm_mask"] = f"""
+        with tok as (
+          select doc_id,
+                 regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        m as (
+          select doc_id, len(ts) as n,
+                 list_transform(range(1, len(ts) + 1), p ->
+                   case when {_mh10} % 100 < 15
+                        then (case
+                          when ({_mh10} // 100) % 10 <= 7 then '[MASK]'
+                          when ({_mh10} // 100) % 10 = 8
+                               then ts[cast(({_mh10} // 1000) % len(ts)
+                                           as int) + 1]
+                          else ts[p] end)
+                        else ts[p] end) as masked,
+                 list_filter(
+                   list_transform(range(1, len(ts) + 1), p ->
+                     case when {_mh10} % 100 < 15
+                          then p || ':' || ts[p] else null end),
+                   x -> x is not null) as labs
+          from tok
+        )
+        select doc_id,
+               cast(n as bigint) as n_tokens,
+               cast(len(labs) as bigint) as n_masked,
+               coalesce(array_to_string(masked, ' '), '')
+                 as masked_text,
+               coalesce(array_to_string(labs, ' '), '') as labels
+        from m order by doc_id
     """
     # Gopher rule battery: integer cross-multiplied ratios over the
     # shared multi-line fixture CTE — zero floats, trivially bit-exact

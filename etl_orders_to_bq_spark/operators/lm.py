@@ -1168,3 +1168,100 @@ def rbo_overlap(
         "n_shared",
         F.round(rbo, ndigits).alias("rbo"),
     )
+
+
+def mlm_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_pct: int = 15,
+    seed: int = 7,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """Deterministic BERT-style MLM masking (Devlin et al. 2019 §3.1,
+    public — the 15% / 80-10-10 recipe) as a pure projection: every
+    (document, position) draws its decisions from one md5-derived
+    integer, so the SAME masking reproduces on any engine, any
+    partitioning, any rerun — the property a training-data pipeline
+    needs for resumable preprocessing (true RNG masking is
+    partitioning-dependent and un-oracle-able).
+
+    Per 1-based position p: h = first 8 md5 hex digits of
+    ``"{id}:{p}:{seed}"`` as an integer;
+
+    - selected iff ``h % 100 < mask_pct``;
+    - branch ``(h // 100) % 10``: 0-7 → ``mask_token`` (80%), 8 → a
+      random IN-DOCUMENT token at index ``(h // 1000) % n`` (the 10%
+      random-replacement arm; document-local so no vocabulary
+      broadcast is needed), 9 → keep (the 10% unchanged arm — still a
+      label position, per the paper).
+
+    Output: ``(id, n_tokens, n_masked, masked_text, labels)`` with
+    labels ``pos:original`` space-joined. Tokens are staged in a
+    column BEFORE the index lambdas (referencing the tokenize chain
+    inside a lambda re-evaluates it per element — the r6 measured
+    trap, 10x on quality_classifier).
+    """
+    base = df.select(
+        F.col(id_col),
+        tokenize(normalize_text(text_col)).alias("__ts"),
+    )
+    ts = F.col("__ts")
+    n = F.size("__ts")
+
+    def _h(i):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        (i + 1).cast("string"),
+                        F.lit(":"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _sel(i):
+        return _h(i) % 100 < mask_pct
+
+    def _branch(i):
+        return F.floor(_h(i) / 100).cast("long") % 10
+
+    def _rand_idx(i):
+        return (F.floor(_h(i) / 1000).cast("long") % n).cast(
+            "int"
+        ) + 1
+
+    masked = F.transform(
+        ts,
+        lambda t, i: F.when(
+            _sel(i),
+            F.when(_branch(i) <= 7, F.lit(mask_token))
+            .when(_branch(i) == 8, F.element_at(ts, _rand_idx(i)))
+            .otherwise(t),
+        ).otherwise(t),
+    )
+    labels = F.filter(
+        F.transform(
+            ts,
+            lambda t, i: F.when(
+                _sel(i),
+                F.concat((i + 1).cast("string"), F.lit(":"), t),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(labels).cast("long").alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(labels, " ").alias("labels"),
+    )

@@ -274,3 +274,31 @@ def test_c4_line_clean_hand_goldens(spark):
     assert got[2].ok is False  # lorem ipsum page rule
     assert got[3].ok is False  # curly brace page rule
     assert (got[4].nk, got[4].ok, got[4].cleaned) == (0, False, "")
+
+
+def test_mlm_mask_deterministic_and_recipe_shaped(spark):
+    """Masking reproduces exactly across runs; the selected share is
+    near 15% and every label position differs-or-keeps per its branch
+    digit; n_masked == len(labels)."""
+    from etl_orders_to_bq_spark.operators.lm import mlm_mask
+
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(40))) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = mlm_mask(df).orderBy("doc_id").collect()
+    b = mlm_mask(df).orderBy("doc_id").collect()
+    assert a == b  # bit-for-bit deterministic
+    total = sum(r.n_tokens for r in a)
+    masked = sum(r.n_masked for r in a)
+    assert 0.10 < masked / total < 0.20  # ~15%
+    for r in a:
+        labs = r.labels.split(" ") if r.labels else []
+        assert len(labs) == r.n_masked
+        out_toks = r.masked_text.split(" ")
+        assert len(out_toks) == r.n_tokens
+        for lab in labs:
+            pos, orig = lab.split(":", 1)
+            got = out_toks[int(pos) - 1]
+            # branch: mask token, an in-doc token, or kept original
+            assert got == "[MASK]" or got.startswith("tok")
