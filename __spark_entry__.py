@@ -2685,7 +2685,10 @@ def _multiline_fixture(d):
     ellipsis; doc_id % 41 / % 43 plant the C4 page-level offenders.
     Both oracles replay this construction verbatim."""
     did = F.col("doc_id")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # regexp tokenizer, NOT split-on-trim: split('') is [''] while the
+    # oracle's regexp_extract_all('') is [] — a latent divergence on
+    # empty docs (r10 review)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
 
     def line(i):
@@ -2702,9 +2705,13 @@ def _multiline_fixture(d):
             prefix, F.array_join(F.slice(toks, i * 8 + 1, 8), " "), suffix
         )
 
-    t2 = F.array_join(
-        F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"
-    )
+    # sequence(0, -1) counts DOWN in Spark — guard the empty doc
+    t2 = F.when(
+        nl > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"
+        ),
+    ).otherwise(F.lit(""))
     t2 = (
         F.when(
             did % 41 == 0,
@@ -8700,11 +8707,12 @@ def _ivf_assign_autok_sql(
             f" - {repr(c2)}"
         )
     arr = "list_value(" + ", ".join(scores) + ")"
-    k = (
-        f"case when {count_sql} <= {target * max_k} then "
-        f"greatest(8, cast(ceil({count_sql} / {target}.0) as int)) "
-        f"else null end"
-    )
+    # guard the K EXPRESSION, not just n: greatest(8, ...) can exceed
+    # max_k even when n <= target*max_k (r10 review — list_slice would
+    # then silently truncate the centroid set, the exact failure this
+    # NULL exists to surface)
+    k_raw = f"greatest(8, cast(ceil({count_sql} / {target}.0) as int))"
+    k = f"case when {k_raw} <= {max_k} then {k_raw} else null end"
     sliced = f"list_slice({arr}, 1, {k})"
     return f"(list_position({sliced}, list_max({sliced})) - 1)"
 
@@ -14357,9 +14365,11 @@ def oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(labs, ' '), '') as labels
         from m order by doc_id
     """
-    # Gopher rule battery: integer cross-multiplied ratios over the
-    # shared multi-line fixture CTE — zero floats, trivially bit-exact
-    out["gopher_quality"] = """
+    # the multiline fixture CTE shared by gopher_quality and
+    # c4_line_filter (hoisted — r10 review: the two copies had to be
+    # hand-mirrored); empty docs coalesce to '' matching the Spark
+    # fixture's empty-sequence guard
+    _mlfix_cte = """
         with t0 as (
           select doc_id, regexp_extract_all(trim(text), '\\S+') as toks
           from documents
@@ -14387,7 +14397,7 @@ def oracle_sql() -> dict[str, str]:
                        then 'the counts of that run have to be read '
                             || 'with care.' || chr(10)
                        else '' end) ||
-                 array_to_string(lines0, chr(10)) ||
+                 coalesce(array_to_string(lines0, chr(10)), '') ||
                  (case when doc_id % 41 = 0
                        then chr(10) || 'lorem ipsum dolor sit amet ok.'
                        when doc_id % 43 = 0
@@ -14395,7 +14405,10 @@ def oracle_sql() -> dict[str, str]:
                             || ' return x ' || chr(125) || ' done ok.'
                        else '' end) as t2
           from t1
-        ),
+        )"""
+    # Gopher rule battery: integer cross-multiplied ratios over the
+    # shared multi-line fixture CTE — zero floats, trivially bit-exact
+    out["gopher_quality"] = f"""{_mlfix_cte},
         g as (
           select doc_id, t2,
                  regexp_extract_all(trim(t2), '\\S+') as words,
@@ -14446,43 +14459,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # C4 line rules: same fixture CTE; empty-kept array_to_string is
     # NULL in DuckDB vs '' in Spark — coalesce (r9 trap)
-    out["c4_line_filter"] = """
-        with t0 as (
-          select doc_id, regexp_extract_all(trim(text), '\\S+') as toks
-          from documents
-        ),
-        t1 as (
-          select doc_id,
-                 list_transform(
-                   range(0, cast(ceil(len(toks) / 8.0) as int)),
-                   i -> (case when (doc_id + i) % 7 = 0
-                              then '\u2022 ' else '' end)
-                        || array_to_string(
-                             toks[i * 8 + 1
-                                  : least((i + 1) * 8, len(toks))],
-                             ' ')
-                        || (case when (doc_id + i) % 3 = 0 then '.'
-                                 when (doc_id + i) % 11 = 0
-                                 then ' javascript.'
-                                 when (doc_id + i) % 5 = 0 then '...'
-                                 else '' end)) as lines0
-          from t0
-        ),
-        fix as (
-          select doc_id,
-                 (case when doc_id % 2 = 0
-                       then 'the counts of that run have to be read '
-                            || 'with care.' || chr(10)
-                       else '' end) ||
-                 array_to_string(lines0, chr(10)) ||
-                 (case when doc_id % 41 = 0
-                       then chr(10) || 'lorem ipsum dolor sit amet ok.'
-                       when doc_id % 43 = 0
-                       then chr(10) || 'if (x) ' || chr(123)
-                            || ' return x ' || chr(125) || ' done ok.'
-                       else '' end) as t2
-          from t1
-        ),
+    out["c4_line_filter"] = f"""{_mlfix_cte},
         g as (
           select doc_id, t2,
                  list_filter(string_split(t2, chr(10)),

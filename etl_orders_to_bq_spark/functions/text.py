@@ -444,8 +444,7 @@ def gopher_quality_flags(
     scan-shaped with zero shuffle.
     """
     c = _c(col)
-    words = F.split(F.trim(c), r"\s+")
-    words = F.filter(words, lambda w: w != "")
+    words = tokenize(c)
     n_words = F.size(words)
     total_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w).cast("long")),
@@ -550,14 +549,7 @@ def c4_line_clean(
     kept = F.filter(
         lines,
         lambda ln: F.trim(ln).rlike(r"[.!?\"]$")
-        & (
-            F.size(
-                F.filter(
-                    F.split(F.trim(ln), r"\s+"), lambda w: w != ""
-                )
-            )
-            >= min_words_per_line
-        )
+        & (F.size(tokenize(ln)) >= min_words_per_line)
         & ~ln.rlike(banned_line_re),
     )
     n_lines = F.size(lines)

@@ -127,52 +127,87 @@ def registrable_domain(
     corpus governance in every public pipeline (C4's blocklists,
     RefinedWeb's per-domain caps operate on eTLD+1, not raw hosts).
 
-    Suffix matching follows the PSL algorithm (publicsuffix.org/list):
-    longest matching rule wins; a host with NO matching rule uses the
-    implicit ``*`` rule (the last label is the suffix, so eTLD+1 is
-    the last TWO labels); a host that IS a suffix outright returns
-    itself. ``suffixes`` defaults to :data:`PUBLIC_SUFFIXES_MIN`;
-    pass the full PSL for production.
+    The FULL PSL rule grammar is supported (publicsuffix.org/list):
+    literal rules, wildcard rules (``*.ck`` — ``*`` matches exactly
+    one label, so every ``<x>.ck`` is itself a public suffix), and
+    exception rules (``!www.ck`` — prevails over any wildcard; the
+    public suffix is the rule minus its leftmost label). Longest
+    matching rule wins; a host with NO matching rule uses the
+    implicit ``*`` rule (eTLD+1 = the last TWO labels); a host that
+    IS a suffix outright returns itself. ``suffixes`` defaults to
+    :data:`PUBLIC_SUFFIXES_MIN`; pass the full PSL for production.
+    Rules with more than ``max_suffix_labels`` labels need that knob
+    raised (the real PSL maxes at 5).
+
+    Rows with a NULL host are KEPT with a NULL ``out_col`` (an inner
+    join here silently dropped them — r10 review finding — which made
+    a census stop reconciling with ``count(*)``).
 
     Scale: the suffix walk runs on the DISTINCT host table (domain
-    cardinality, orders below row count), as in-row candidate tails
-    (the last 1..``max_suffix_labels`` labels) joined against the
-    BROADCAST suffix table — rule count is bounded (full PSL ~9k), the
-    corpus-sized side pays one hash join back on the host key.
+    cardinality, orders below row count), as in-row candidate keys
+    (the literal tail of 1..``max_suffix_labels`` labels, plus the
+    wildcarded form with the leftmost label replaced by ``*``) joined
+    against the BROADCAST rule table — rule count is bounded (full
+    PSL ~9k), the corpus-sized side pays one hash join back on the
+    host key.
     """
     rules = suffixes if suffixes is not None else PUBLIC_SUFFIXES_MIN
     spark = df.sparkSession
+    parsed = []
+    for s in rules:
+        kind = "e" if s.startswith("!") else "r"
+        key = s.lstrip("!")
+        parsed.append((key, len(key.split(".")), kind))
     sfx = F.broadcast(
-        spark.createDataFrame(
-            [(s,) for s in rules], ["__sfx"]
-        ).withColumn("__sk", F.size(F.split("__sfx", r"\.")))
+        spark.createDataFrame(parsed, ["__sfx", "__sk", "__kind"])
     )
     hosts = df.select(F.col(host_col).alias("__h")).distinct()
     labels = F.split(F.col("__h"), r"\.")
     n = F.size(labels)
+    kmax = F.least(F.lit(max_suffix_labels), n)
+    lit_keys = F.transform(
+        F.sequence(F.lit(1), kmax),
+        lambda k: F.array_join(F.slice(labels, -k, k), "."),
+    )
+    # wildcard candidate of length k: '*.' + the last k-1 labels
+    # (k >= 2; sequence(2, 1) would count DOWN, hence the guard)
+    wild_keys = F.when(
+        kmax >= 2,
+        F.transform(
+            F.sequence(F.lit(2), kmax),
+            lambda k: F.concat(
+                F.lit("*."),
+                F.array_join(F.slice(labels, -(k - 1), k - 1), "."),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     cands = hosts.select(
         "__h",
         F.explode(
             F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.least(F.lit(max_suffix_labels), n),
-                    ),
-                    lambda k: F.array_join(
-                        F.slice(labels, -k, k), "."
-                    ),
-                ),
-                lambda t: t != "",
+                F.concat(lit_keys, wild_keys),
+                lambda t: (t != "") & (t != "*."),
             )
-        ).alias("__tail"),
+        ).alias("__key"),
     )
     matched = (
-        cands.join(sfx, F.col("__tail") == F.col("__sfx"))
+        cands.join(sfx, F.col("__key") == F.col("__sfx"))
         .groupBy("__h")
-        .agg(F.max("__sk").alias("__best"))
+        .agg(
+            F.max(
+                F.when(F.col("__kind") == "r", F.col("__sk"))
+            ).alias("__rk"),
+            F.max(
+                F.when(F.col("__kind") == "e", F.col("__sk"))
+            ).alias("__ek"),
+        )
     )
-    k = F.coalesce(F.col("__best"), F.lit(1))
+    # exception prevails: its public suffix is the rule minus the
+    # leading label; otherwise longest normal rule; otherwise the
+    # implicit-* rule (suffix = last label)
+    k = F.when(
+        F.col("__ek").isNotNull(), F.col("__ek") - 1
+    ).otherwise(F.coalesce(F.col("__rk"), F.lit(1)))
     dom = hosts.join(matched, "__h", "left").select(
         "__h",
         F.when(
@@ -182,7 +217,7 @@ def registrable_domain(
         .alias(out_col),
     )
     return df.join(
-        dom.withColumnRenamed("__h", host_col), host_col
+        dom.withColumnRenamed("__h", host_col), host_col, "left"
     )
 
 

@@ -1206,11 +1206,13 @@ def mlm_mask(
         F.col(id_col),
         tokenize(normalize_text(text_col)).alias("__ts"),
     )
-    ts = F.col("__ts")
-    n = F.size("__ts")
-
-    def _h(i):
-        return F.conv(
+    # stage the per-position decision integers ONCE as an array column
+    # (r10 review: computing the md5 hash inside the masked/labels
+    # lambdas re-evaluates it up to 5x per token — interpreted
+    # higher-order lambdas get no common-subexpression elimination)
+    hashes = F.transform(
+        F.col("__ts"),
+        lambda t, i: F.conv(
             F.substring(
                 F.md5(
                     F.concat(
@@ -1226,7 +1228,15 @@ def mlm_mask(
             ),
             16,
             10,
-        ).cast("long")
+        ).cast("long"),
+    )
+    staged = base.withColumn("__h", hashes)
+    ts = F.col("__ts")
+    hs = F.col("__h")
+    n = F.size("__ts")
+
+    def _h(i):
+        return F.element_at(hs, i + 1)
 
     def _sel(i):
         return _h(i) % 100 < mask_pct
@@ -1258,7 +1268,7 @@ def mlm_mask(
         ),
         lambda x: x.isNotNull(),
     )
-    return base.select(
+    return staged.select(
         id_col,
         n.cast("long").alias("n_tokens"),
         F.size(labels).cast("long").alias("n_masked"),

@@ -302,3 +302,72 @@ def test_mlm_mask_deterministic_and_recipe_shaped(spark):
             got = out_toks[int(pos) - 1]
             # branch: mask token, an in-doc token, or kept original
             assert got == "[MASK]" or got.startswith("tok")
+
+
+def test_registrable_domain_wildcard_and_exception_rules(spark):
+    """Full PSL grammar: wildcard rules make every <x>.suffix its own
+    public suffix; exception rules prevail and shorten by one label;
+    NULL hosts are kept with NULL domain (not dropped)."""
+    from etl_orders_to_bq_spark.functions.urls import registrable_domain
+
+    rules = ["com", "*.ck", "!www.ck", "*.compute.example"]
+    hosts = spark.createDataFrame(
+        [
+            ("a.b.ck",),
+            ("www.ck",),
+            ("foo.x.compute.example",),
+            ("bar.com",),
+            ("a.b.unknowntld",),
+            (None,),
+        ],
+        "host string",
+    )
+    got = {
+        r.host: r.domain
+        for r in registrable_domain(hosts, "host", rules).collect()
+    }
+    assert got["a.b.ck"] == "a.b.ck"  # *.ck: b.ck is a suffix
+    assert got["www.ck"] == "www.ck"  # !www.ck: suffix is ck
+    assert got["foo.x.compute.example"] == "foo.x.compute.example"
+    assert got["bar.com"] == "bar.com"
+    assert got["a.b.unknowntld"] == "b.unknowntld"  # implicit *
+    assert got[None] is None and len(got) == 6  # NULL kept
+
+
+def test_domain_census_keeps_null_url_docs(spark):
+    """A NULL url must not vanish from the census (r10 review)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.functions.urls import domain_census
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x", "one two three"),
+            (2, None, "four five six"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = domain_census(df).collect()
+    assert sum(r.n_docs for r in out) == 2
+
+
+def test_autok_slice_oracle_nulls_when_k_exceeds_max_k():
+    """n under target*max_k but k floor (8) above max_k must also be
+    NULL, not a silently truncated slice (r10 review)."""
+    import duckdb
+
+    from __spark_entry__ import _ivf_assign_autok_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "create table embeddings as "
+        "select i as vec_id, [0.1, 0.2]::DOUBLE[] as embedding "
+        "from range(400) t(i)"
+    )  # n=400 <= 512 = target*max_k, but k = max(8, 4) = 8 > max_k=4
+    sql = _ivf_assign_autok_sql(dim=2, max_k=4, seed=42, target=128)
+    assert (
+        con.execute(
+            f"select {sql} as b from embeddings limit 1"
+        ).fetchone()[0]
+        is None
+    )
