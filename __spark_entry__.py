@@ -2799,6 +2799,32 @@ def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlm_mask(d).orderBy("doc_id")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/embstats.py
+    jl_project): 64-dim embeddings onto 8 seeded LCG unit directions
+    (the shared _hyperplanes stream), flattened to (id, component,
+    value) scalars, 6dp components. The oracle inlines the same plane
+    literals as list_dot_product structs."""
+    from etl_orders_to_bq_spark.operators.embstats import jl_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return jl_project(e, dim=64, out_dim=8, seed=31).orderBy(
+        "vec_id", "component"
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/lm.py vocab_coverage):
+    corpus-token share covered by the top-k frequency types, ranked
+    via the ranged global_row_number (never an unpartitioned window),
+    exact micro-unit coverage division. ks include one above the
+    fixture's 31-type vocabulary so the n_types clamp is exercised."""
+    from etl_orders_to_bq_spark.operators.lm import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return vocab_coverage(d, ks=(5, 10, 20, 40)).orderBy("k")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8257,6 +8283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_filter": q_c4_line_filter,
         "mlm_mask": q_mlm_mask,
+        "jl_project": q_jl_project,
+        "vocab_coverage": q_vocab_coverage,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14328,6 +14356,59 @@ def oracle_sql() -> dict[str, str]:
                              x -> format('{{:02x}}', x)), '')))
                     else text end as text_fixed
         from a order by doc_id
+    """
+    # JL projection: the 8 seeded plane literals inlined, same dot
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes as _hp_jl,
+    )
+
+    _jl_structs = ", ".join(
+        "struct_pack(c := {i}, v := round(list_dot_product(v, [{lits}]"
+        "::DOUBLE[]), 6))".format(
+            i=i, lits=", ".join(repr(x) for x in p)
+        )
+        for i, p in enumerate(_hp_jl(64, 8, 31))
+    )
+    out["jl_project"] = f"""
+        with b as (
+          select vec_id, cast(embedding as double[]) as v
+          from embeddings
+        ),
+        e as (
+          select vec_id, unnest(list_value({_jl_structs})) as s from b
+        )
+        select vec_id, s.c as component, s.v as value
+        from e order by vec_id, component
+    """
+    # vocab coverage: frequency rank + per-k covered sums, exact
+    # micro-unit half-away coverage
+    out["vocab_coverage"] = f"""
+        with tok as (
+          select unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        c as (select w, count(*) as c from tok group by w),
+        r as (select w, c,
+                     row_number() over (order by c desc, w) as rn
+              from c),
+        t as (select sum(c) as total, count(*) as v from c),
+        ks(k) as (values (5), (10), (20), (40)),
+        agg as (
+          select ks.k as k,
+                 least(cast(ks.k as bigint), (select v from t))
+                   as n_types,
+                 coalesce((select sum(c) from r where rn <= ks.k), 0)
+                   as covered,
+                 (select total from t) as total
+          from ks
+        )
+        select k,
+               cast(n_types as bigint) as n_types,
+               cast(covered as bigint) as covered_tokens,
+               cast(total as bigint) as total_tokens,
+               floor((2 * covered * 1000000 + total) / (2.0 * total))
+                 / 1000000.0 as coverage
+        from agg order by k
     """
     # MLM masking: the md5 decision integer, both branch digits and
     # the in-doc random index replayed; '0x'-prefix through ::bigint

@@ -256,3 +256,55 @@ def pca_pc1_scores(
         F.col(id_col),
         F.round(score_micro / F.lit(1e12), ndigits).alias("pc1_score"),
     )
+
+
+def jl_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Johnson &
+    Lindenstrauss 1984; Achlioptas 2003 database-friendly variant —
+    public literature): project ``dim``-dimensional embeddings onto
+    ``out_dim`` seeded random unit directions, preserving pairwise
+    distances within (1±ε) w.h.p. — the standard cheap dimensionality
+    squeeze before LSH banding, coarse clustering, or shipping vectors
+    across a shuffle (a 64→16 projection cuts shuffle bytes 4×).
+
+    Directions come from the repo's shared LCG hyperplane family
+    (``ann._hyperplanes`` — the same stream LSH/IVF/diverse-sample
+    seed from), so determinism and the SQL oracle are free: each
+    component is one inlined-literal dot product, 6dp-rounded.
+
+    Output: ``(id, component, value)`` — flattened long form (one row
+    per component) so every downstream consumer and the correctness
+    hash see scalars, not nested arrays. Pure projection: no shuffle,
+    no UDF; at 100 TB this is scan-shaped and pairs with a
+    repartition ONLY if the caller wants co-location afterwards.
+    """
+    from .ann import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    from ..functions.vectors import dot
+
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(
+            dot(
+                v,
+                F.array(*[F.lit(float(x)) for x in p]).cast(
+                    "array<double>"
+                ),
+            ),
+            ndigits,
+        )
+        for p in planes
+    ]
+    exploded = F.posexplode(F.array(*comps))
+    return df.select(
+        F.col(id_col), exploded.alias("component", "value")
+    )

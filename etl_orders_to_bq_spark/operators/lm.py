@@ -1275,3 +1275,83 @@ def mlm_mask(
         F.array_join(masked, " ").alias("masked_text"),
         F.array_join(labels, " ").alias("labels"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple = (100, 1000, 10000),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning table:
+    for each candidate vocabulary size k, what fraction of the corpus
+    token stream the k most frequent types cover (the knee of this
+    curve is where subword tokenizers set their merges; a corpus whose
+    top-10k coverage is LOW is multilingual or noisy).
+
+    Output per k: ``(k, n_types, covered_tokens, total_tokens,
+    coverage)`` with ``n_types = min(k, |V|)`` and coverage the exact
+    half-away micro-unit division (a covered/total ratio can sit
+    exactly on the 6dp midpoint — the kneser_ney trap).
+
+    Scale: one word-count groupBy (map-side combinable), then the
+    frequency ranking via ``ranking.global_row_number`` — a ranged
+    two-pass numbering, NEVER an unpartitioned window, so a >10^8-type
+    web vocabulary ranks in parallel (the same setjoin discipline) —
+    and ONE aggregate producing every k at once.
+    """
+    from .ranking import global_row_number
+
+    counts = (
+        df.select(
+            F.explode(tokenize(normalize_text(text_col))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("__c"))
+    )
+    ranked = global_row_number(
+        counts, [F.col("__c").desc(), F.col("w")], out_col="__rn"
+    )
+    scale = int(10 ** ndigits)
+    aggs = [
+        F.sum("__c").alias("__total"),
+        F.count("*").alias("__v"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("__rn") <= k, F.col("__c"))).alias(
+                f"__cov{k}"
+            )
+        )
+    wide = ranked.agg(*aggs)
+    per_k = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(k)).alias("k"),
+                    F.least(
+                        F.lit(int(k)).cast("long"), F.col("__v")
+                    ).alias("n_types"),
+                    F.coalesce(F.col(f"__cov{k}"), F.lit(0))
+                    .cast("long")
+                    .alias("covered_tokens"),
+                )
+                for k in ks
+            ]
+        )
+    )
+    row = wide.select(
+        per_k.alias("s"), F.col("__total").cast("long").alias("total_tokens")
+    )
+    cov = F.col("s.covered_tokens")
+    tot = F.col("total_tokens")
+    micro = F.floor(
+        (2 * cov * F.lit(scale) + tot) / (2.0 * tot)
+    )
+    return row.select(
+        F.col("s.k").alias("k"),
+        F.col("s.n_types").alias("n_types"),
+        cov.alias("covered_tokens"),
+        tot,
+        (micro / F.lit(float(scale))).alias("coverage"),
+    )
