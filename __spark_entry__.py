@@ -2825,6 +2825,23 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, ks=(5, 10, 20, 40)).orderBy("k")
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-frequency boilerplate removal
+    (operators/paragraphs.py boilerplate_line_filter, the RefinedWeb
+    rule): every line whose trimmed form appears in >= 5 distinct
+    documents dies in ALL of them. Runs on the shared multi-line
+    fixture, whose planted stopword lead line (half the corpus) and
+    lorem-ipsum / brace lines are exactly such boilerplate."""
+    from etl_orders_to_bq_spark.operators.paragraphs import (
+        boilerplate_line_filter,
+    )
+
+    d = _multiline_fixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return boilerplate_line_filter(d, min_docs=5).orderBy("doc_id")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8285,6 +8302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlm_mask": q_mlm_mask,
         "jl_project": q_jl_project,
         "vocab_coverage": q_vocab_coverage,
+        "boilerplate_lines": q_boilerplate_lines,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14563,6 +14581,40 @@ def oracle_sql() -> dict[str, str]:
                  '(?i)(lorem ipsum|' || chr(123) || ')') as page_ok,
                coalesce(array_to_string(kept, chr(10)), '') as cleaned
         from k order by doc_id
+    """
+    # boilerplate lines: doc-frequency census on 16-byte line hashes,
+    # anti-join, order-preserving string_agg reassembly
+    out["boilerplate_lines"] = f"""{_mlfix_cte},
+        lx as (
+          select doc_id, j - 1 as i,
+                 string_split(t2, chr(10))[j] as ln
+          from fix, lateral (
+            select unnest(range(1, len(string_split(t2, chr(10))) + 1))
+              as j)
+          where trim(string_split(t2, chr(10))[j]) <> ''
+        ),
+        fr as (
+          select md5(trim(ln)) as h, count(distinct doc_id) as dfc
+          from lx group by 1
+        ),
+        banned as (select h from fr where dfc >= 5),
+        kept as (
+          select doc_id, i, ln from lx
+          where md5(trim(ln)) not in (select h from banned)
+        ),
+        tot as (select doc_id, count(*) as n_lines from lx group by 1),
+        rb as (
+          select doc_id, count(*) as nk,
+                 string_agg(ln, chr(10) order by i) as cleaned
+          from kept group by 1
+        )
+        select t.doc_id,
+               cast(t.n_lines as bigint) as n_lines,
+               cast(t.n_lines - coalesce(rb.nk, 0) as bigint)
+                 as n_removed,
+               coalesce(rb.cleaned, '') as cleaned
+        from tot t left join rb using (doc_id)
+        order by doc_id
     """
     # group split: identical md5 hash + the SAME accumulated cut
     # literals (repr'd floats, the linkage_score lesson)

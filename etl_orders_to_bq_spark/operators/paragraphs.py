@@ -126,3 +126,68 @@ def paragraph_quality_filter(
             F.coalesce("__clean", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    min_docs: int = 5,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line-FREQUENCY boilerplate removal (the
+    RefinedWeb / MassiveWeb rule, Penedo et al. 2023 — public): a line
+    whose trimmed form appears in at least ``min_docs`` DISTINCT
+    documents is navigation/cookie-banner/footer boilerplate and is
+    dropped from EVERY document — unlike keep-first paragraph dedup
+    (:func:`paragraph_quality_filter`), which would keep the first
+    copy of the cookie banner as if it were content.
+
+    One row per input document: ``(id, n_lines, n_removed, cleaned)``
+    with surviving lines re-joined in original order.
+
+    Scale: lines explode scan-shaped; the doc-frequency census is a
+    two-stage map-side-combinable aggregate on 16-byte line hashes
+    (distinct (hash, doc) pairs, then counts — text never shuffles);
+    membership is a hash equi-join back (NOT a broadcast — the banned
+    set of a 100 TB crawl is itself large); reassembly is one
+    groupBy(doc) whose payload is only surviving text.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "__i", "__ln"
+        ),
+    ).filter(F.trim("__ln") != "")
+    keyed = lines.withColumn("__h", F.md5(F.trim("__ln")))
+    freq = (
+        keyed.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+    )
+    banned = freq.filter(F.col("__df") >= min_docs).select("__h")
+    kept = keyed.join(banned, "__h", "left_anti")
+    totals = keyed.groupBy(id_col).agg(
+        F.count("*").alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__i"), F.col("__ln")))
+                ),
+                lambda s: s["__ln"],
+            ),
+            delimiter,
+        ).alias("cleaned"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (
+            F.col("n_lines") - F.coalesce(F.col("__nk"), F.lit(0))
+        ).cast("long").alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
