@@ -14380,10 +14380,13 @@ def oracle_sql() -> dict[str, str]:
         _hyperplanes as _hp_jl,
     )
 
+    import math as _math_jl
+
+    _jl_scale = repr(float(_math_jl.sqrt(64 / 8)))
     _jl_structs = ", ".join(
         "struct_pack(c := {i}, v := round(list_dot_product(v, [{lits}]"
-        "::DOUBLE[]), 6))".format(
-            i=i, lits=", ".join(repr(x) for x in p)
+        "::DOUBLE[]) * {s}, 6))".format(
+            i=i, lits=", ".join(repr(x) for x in p), s=_jl_scale
         )
         for i, p in enumerate(_hp_jl(64, 8, 31))
     )
@@ -14602,7 +14605,12 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, i, ln from lx
           where md5(trim(ln)) not in (select h from banned)
         ),
-        tot as (select doc_id, count(*) as n_lines from lx group by 1),
+        tot as (
+          select f.doc_id, coalesce(c.n_lines, 0) as n_lines
+          from (select distinct doc_id from fix) f
+          left join (select doc_id, count(*) as n_lines
+                     from lx group by 1) c using (doc_id)
+        ),
         rb as (
           select doc_id, count(*) as nk,
                  string_agg(ln, chr(10) order by i) as cleaned

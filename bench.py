@@ -136,10 +136,15 @@ HEADLINE = [
     "bpe_encode",
     "hard_negatives",
     "zipf_slope",
-    # round-10: Kneser-Ney LM, domain governance census, ftfy repair
+    # round-10: Kneser-Ney LM, domain governance census, ftfy repair,
+    # MLM masking, JL projection, vocab coverage, boilerplate lines
     "kneser_ney",
     "domain_census",
     "mojibake_repair",
+    "mlm_mask",
+    "jl_project",
+    "vocab_coverage",
+    "boilerplate_lines",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -275,11 +275,13 @@ def domain_census(
             F.floor(
                 (
                     2
-                    * (F.count("*") - F.countDistinct("__fp"))
+                    * (
+                        F.count("*") - F.countDistinct("__fp")
+                    ).cast("decimal(38,0)")
                     * F.lit(int(10 ** ndigits))
-                    + F.count("*")
+                    + F.count("*").cast("decimal(38,0)")
                 )
-                / (2.0 * F.count("*"))
+                / (2 * F.count("*").cast("decimal(38,0)"))
             )
             / F.lit(float(10 ** ndigits))
         ).alias("dup_rate"),

@@ -277,8 +277,15 @@ def jl_project(
 
     Directions come from the repo's shared LCG hyperplane family
     (``ann._hyperplanes`` — the same stream LSH/IVF/diverse-sample
-    seed from), so determinism and the SQL oracle are free: each
-    component is one inlined-literal dot product, 6dp-rounded.
+    seed from), each dot product scaled by the JL factor
+    ``sqrt(dim / out_dim)`` so expected pairwise distances are
+    preserved (without it they shrink by that constant — r10 review;
+    cosine/LSH-sign consumers would not care, distance-threshold
+    consumers would). Determinism and the SQL oracle stay free: each
+    component is one inlined-literal dot product times one python-
+    computed literal, 6dp-rounded — the identical float dag on both
+    engines (the repo-wide single-dot tolerance argument, NOT a
+    many-term sum needing the sorted-fold discipline).
 
     Output: ``(id, component, value)`` — flattened long form (one row
     per component) so every downstream consumer and the correctness
@@ -286,11 +293,14 @@ def jl_project(
     no UDF; at 100 TB this is scan-shaped and pairs with a
     repartition ONLY if the caller wants co-location afterwards.
     """
+    import math
+
     from .ann import _hyperplanes
 
     planes = _hyperplanes(dim, out_dim, seed)
     from ..functions.vectors import dot
 
+    scale = float(math.sqrt(dim / out_dim))
     v = F.col(vec_col).cast("array<double>")
     comps = [
         F.round(
@@ -299,7 +309,8 @@ def jl_project(
                 F.array(*[F.lit(float(x)) for x in p]).cast(
                     "array<double>"
                 ),
-            ),
+            )
+            * F.lit(scale),
             ndigits,
         )
         for p in planes

@@ -1345,8 +1345,15 @@ def vocab_coverage(
     )
     cov = F.col("s.covered_tokens")
     tot = F.col("total_tokens")
+    # decimal(38,0) numerator: 2 * cov * 10^6 wraps int64 past ~4.6e12
+    # covered tokens (a few-trillion-token crawl — r10 review); the
+    # rational's distance from any integer is >= 1/(2*tot), far above
+    # the decimal division's rounding granularity, so the floor is
+    # still exact
+    covd = cov.cast("decimal(38,0)")
+    totd = tot.cast("decimal(38,0)")
     micro = F.floor(
-        (2 * cov * F.lit(scale) + tot) / (2.0 * tot)
+        (2 * covd * F.lit(scale) + totd) / (2 * totd)
     )
     return row.select(
         F.col("s.k").alias("k"),

@@ -143,8 +143,13 @@ def boilerplate_line_filter(
     (:func:`paragraph_quality_filter`), which would keep the first
     copy of the cookie banner as if it were content.
 
-    One row per input document: ``(id, n_lines, n_removed, cleaned)``
-    with surviving lines re-joined in original order.
+    One row per input document — INCLUDING documents with no
+    non-empty lines, which census as ``(id, 0, 0, '')`` (r10 review:
+    building totals from the exploded frame silently dropped them).
+    Output: ``(id, n_lines, n_removed, cleaned)`` with surviving
+    lines re-joined in original order. ``delimiter`` is taken
+    LITERALLY (regex-quoted for the split — F.split takes a regex,
+    the r9 trap — and joined back verbatim).
 
     Scale: lines explode scan-shaped; the doc-frequency census is a
     two-stage map-side-combinable aggregate on 16-byte line hashes
@@ -155,9 +160,9 @@ def boilerplate_line_filter(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "__i", "__ln"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+        ).alias("__i", "__ln"),
     ).filter(F.trim("__ln") != "")
     keyed = lines.withColumn("__h", F.md5(F.trim("__ln")))
     freq = (
@@ -168,8 +173,14 @@ def boilerplate_line_filter(
     )
     banned = freq.filter(F.col("__df") >= min_docs).select("__h")
     kept = keyed.join(banned, "__h", "left_anti")
-    totals = keyed.groupBy(id_col).agg(
-        F.count("*").alias("n_lines")
+    line_counts = keyed.groupBy(id_col).agg(
+        F.count("*").alias("__ntot")
+    )
+    totals = df.select(F.col(id_col)).distinct().join(
+        line_counts, id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("__ntot", F.lit(0)).alias("n_lines"),
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("__nk"),

@@ -371,3 +371,92 @@ def test_autok_slice_oracle_nulls_when_k_exceeds_max_k():
         ).fetchone()[0]
         is None
     )
+
+
+def test_jl_project_scale_and_determinism(spark):
+    """Components equal sqrt(dim/out_dim) * <x, plane_j> computed in
+    python from the same LCG planes; projecting a plane itself gives
+    ~sqrt(dim/out_dim) on its own axis."""
+    import math
+
+    from etl_orders_to_bq_spark.operators.ann import _hyperplanes
+    from etl_orders_to_bq_spark.operators.embstats import jl_project
+
+    dim, out_dim, seed = 8, 4, 31
+    planes = _hyperplanes(dim, out_dim, seed)
+    vecs = [(0, planes[0]), (1, [0.5] * dim)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (r.vec_id, r.component): r.value
+        for r in jl_project(
+            df, dim=dim, out_dim=out_dim, seed=seed
+        ).collect()
+    }
+    scale = math.sqrt(dim / out_dim)
+    for vid, v in vecs:
+        for j, p in enumerate(planes):
+            expect = round(
+                sum(a * b for a, b in zip(v, p)) * scale, 6
+            )
+            assert got[(vid, j)] == expect
+    # a unit plane projected onto itself carries the full JL factor
+    assert abs(got[(0, 0)] - scale) < 1e-6
+
+
+def test_vocab_coverage_hand_golden(spark):
+    """Counts: a:4, b:2, c:1 (7 tokens). top-1 covers 4/7, top-2 6/7,
+    top-5 everything with n_types clamped to 3."""
+    from etl_orders_to_bq_spark.operators.lm import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c a")], ["doc_id", "text"]
+    )
+    got = {
+        r.k: (r.n_types, r.covered_tokens, r.total_tokens, r.coverage)
+        for r in vocab_coverage(df, ks=(1, 2, 5)).collect()
+    }
+    # half-away micro: floor((2*4*1e6 + 7) / 14) / 1e6 = 0.571429
+    assert got[1] == (1, 4, 7, 0.571429)
+    assert got[2] == (2, 6, 7, 0.857143)
+    assert got[5] == (3, 7, 7, 1.0)
+
+
+def test_boilerplate_line_filter_hand_golden(spark):
+    """The shared banner dies in every doc (including the first), the
+    unique lines survive, an all-banner doc empties but is KEPT, and
+    an empty doc censuses (0, 0, '') instead of vanishing."""
+    from etl_orders_to_bq_spark.operators.paragraphs import (
+        boilerplate_line_filter,
+    )
+
+    banner = "accept our cookies"
+    rows = [
+        (1, banner + "\nunique one"),
+        (2, banner + "\nunique two"),
+        (3, banner),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned)
+        for r in boilerplate_line_filter(df, min_docs=3).collect()
+    }
+    assert got[1] == (2, 1, "unique one")
+    assert got[2] == (2, 1, "unique two")
+    assert got[3] == (1, 1, "")
+    assert got[4] == (0, 0, "")
+
+
+def test_boilerplate_line_filter_literal_delimiter(spark):
+    """A regex metacharacter delimiter ('|') splits literally."""
+    from etl_orders_to_bq_spark.operators.paragraphs import (
+        boilerplate_line_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "keep this|only here")], ["doc_id", "text"]
+    )
+    out = boilerplate_line_filter(
+        df, min_docs=9, delimiter="|"
+    ).collect()[0]
+    assert out.n_lines == 2 and out.cleaned == "keep this|only here"
