@@ -367,7 +367,11 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             seeded_weights,
         )
         from etl_orders_to_bq_spark.operators.dedup import hamming_pairs
-        from etl_orders_to_bq_spark.operators.lm import bigram_logprob_scores
+        from etl_orders_to_bq_spark.operators.lm import (
+            bigram_logprob_scores,
+            kneser_ney_scores,
+            mlm_mask,
+        )
 
         def _phash_pairs(d):
             media = d.select(
@@ -424,6 +428,15 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 d, span_tokens=20, stride=10
             ),
             "url_canonical_dedup": _url_probe,
+            # r10: held-out KN scoring (type censuses + 7-table score
+            # join — the heaviest new entry) and the linear MLM
+            # masking projection; both split even-train/odd-score
+            # inside the probe so train AND score sides scale together
+            "kneser_ney": lambda d: kneser_ney_scores(
+                d.filter(F.col("doc_id") % 2 == 1),
+                d.filter(F.col("doc_id") % 2 == 0),
+            ),
+            "mlm_mask": lambda d: mlm_mask(d),
         }
         # warm the Arrow worker pool once (numpy path) so the 10x run
         # does not charge daemon startup to the operator
