@@ -2842,6 +2842,19 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_line_filter(d, min_docs=5).orderBy("doc_id")
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/lm.py span_corrupt, Raffel
+    et al. 2020): deterministic greedy non-overlapping spans from
+    per-position md5 integers (5% start rate, span length 1..5 —
+    ~15% corruption), ordered <extra_id_k> sentinels + the targets
+    string. The oracle replays the hash stream, the in-row greedy
+    fold, and both reassemblies."""
+    from etl_orders_to_bq_spark.operators.lm import span_corrupt
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corrupt(d).orderBy("doc_id")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8303,6 +8316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "vocab_coverage": q_vocab_coverage,
         "boilerplate_lines": q_boilerplate_lines,
+        "span_corrupt": q_span_corrupt,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14430,6 +14444,89 @@ def oracle_sql() -> dict[str, str]:
                floor((2 * covered * 1000000 + total) / (2.0 * total))
                  / 1000000.0 as coverage
         from agg order by k
+    """
+    # T5 span corruption: hash stream + the greedy no-overlap fold
+    # (list-wrapped positions, acc = [next_free, s1, l1, ...]) + both
+    # reassemblies; all-bigint acc, nonneg // == floor
+    out["span_corrupt"] = f"""
+        with recursive tok as (
+          select doc_id,
+                 regexp_extract_all({_NORM}, '\\S+') as ts
+          from documents
+        ),
+        -- fully RELATIONAL replay (no list_reduce): DuckDB 1.0's
+        -- vectorized list_reduce returns garbage for sporadic rows in
+        -- full-size chunks (correct under a pushed-down row filter —
+        -- r10 trap, one poisoned doc per ~500). The greedy no-overlap
+        -- scan is a per-doc recursive CTE over candidate positions;
+        -- corrupted/targets reassemble via range joins + ordered
+        -- string_agg (which skips the NULL span interiors).
+        pos as (
+          select doc_id, u.p as p, ts[u.p] as w,
+                 ('0x' || substr(md5(doc_id || ':' || u.p
+                                     || ':11'), 1, 8))::bigint as h
+          from tok,
+               lateral (select unnest(range(1, len(ts) + 1)) as p) u
+        ),
+        cand as (
+          select doc_id, p, (h // 100) % 5 + 1 as len_
+          from pos where h % 100 < 5
+        ),
+        spans(doc_id, p, len_) as (
+          select doc_id, p, len_ from cand
+          qualify row_number() over (partition by doc_id
+                                     order by p) = 1
+          union all
+          select c.doc_id, c.p, c.len_
+          from spans s join cand c
+            on c.doc_id = s.doc_id and c.p >= s.p + s.len_
+          qualify row_number() over (partition by c.doc_id
+                                     order by c.p) = 1
+        ),
+        sp2 as (
+          select doc_id, p as s, len_,
+                 row_number() over (partition by doc_id
+                                    order by p) - 1 as k
+          from spans
+        ),
+        cj as (
+          select pos.doc_id, pos.p,
+                 case when sp2.s = pos.p
+                      then '<extra_id_' || sp2.k || '>'
+                      when sp2.s is not null then null
+                      else pos.w end as val
+          from pos left join sp2
+            on sp2.doc_id = pos.doc_id
+           and pos.p >= sp2.s and pos.p <= sp2.s + sp2.len_ - 1
+        ),
+        corr as (
+          select doc_id, string_agg(val, ' ' order by p) as corrupted
+          from cj group by doc_id
+        ),
+        tg1 as (
+          select sp2.doc_id, sp2.k,
+                 '<extra_id_' || sp2.k || '> ' ||
+                 string_agg(pos.w, ' ' order by pos.p) as t
+          from sp2 join pos
+            on pos.doc_id = sp2.doc_id
+           and pos.p >= sp2.s and pos.p <= sp2.s + sp2.len_ - 1
+          group by sp2.doc_id, sp2.k
+        ),
+        tg as (
+          select doc_id, string_agg(t, ' ' order by k) as targets
+          from tg1 group by doc_id
+        ),
+        nsp as (select doc_id, count(*) as ns from sp2 group by doc_id)
+        select b.doc_id,
+               cast(len(b.ts) as bigint) as n_tokens,
+               cast(coalesce(nsp.ns, 0) as bigint) as n_spans,
+               coalesce(corr.corrupted, '') as corrupted,
+               coalesce(tg.targets, '') as targets
+        from tok b
+        left join nsp using (doc_id)
+        left join corr using (doc_id)
+        left join tg using (doc_id)
+        order by b.doc_id
     """
     # MLM masking: the md5 decision integer, both branch digits and
     # the in-doc random index replayed; '0x'-prefix through ::bigint

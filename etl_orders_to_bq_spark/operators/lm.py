@@ -1362,3 +1362,148 @@ def vocab_coverage(
         tot,
         (micro / F.lit(float(scale))).alias("coverage"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_pct: int = 5,
+    max_span: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic T5-style span corruption (Raffel et al. 2020
+    §3.1.4, public — the denoising objective): contiguous token spans
+    are replaced by ordered sentinels ``<extra_id_k>`` and the targets
+    string carries each sentinel followed by its removed tokens — the
+    encoder/decoder pair the objective trains on.
+
+    Decisions are the :func:`mlm_mask` discipline: per (doc, position)
+    md5 integers, staged ONCE as an array column. A span STARTS at
+    position p when ``h % 100 < start_pct`` and p is past the previous
+    span's end (greedy left-to-right, no overlaps); its length is
+    ``1 + (h // 100) % max_span`` (uniform 1..max_span, mean 3 at the
+    default — with a 5% start rate that corrupts ~15% of tokens, the
+    paper's setting). The no-overlap scan is a sequential recurrence,
+    expressed as ONE in-row ``aggregate`` fold carrying
+    ``[next_free, start1, len1, ...]`` — bounded by document length,
+    zero shuffle, and replayable fold-for-fold by the SQL oracle.
+
+    Output: ``(id, n_tokens, n_spans, corrupted, targets)``.
+    """
+    base = df.select(
+        F.col(id_col),
+        tokenize(normalize_text(text_col)).alias("__ts"),
+    )
+    hashes = F.transform(
+        F.col("__ts"),
+        lambda t, i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        (i + 1).cast("string"),
+                        F.lit(":"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    staged = base.withColumn("__h", hashes)
+    ts = F.col("__ts")
+    hs = F.col("__h")
+    n = F.size("__ts")
+
+    def _step(acc, p):
+        h = F.element_at(hs, p)
+        span_len = F.floor(h / 100).cast("long") % max_span + 1
+        start = (h % 100 < start_pct) & (
+            p.cast("long") >= F.element_at(acc, 1)
+        )
+        return F.when(
+            start,
+            F.concat(
+                F.array(p.cast("long") + span_len),
+                F.slice(
+                    acc, 2, F.greatest(F.size(acc) - 1, F.lit(0))
+                ),
+                F.array(p.cast("long"), span_len),
+            ),
+        ).otherwise(acc)
+
+    acc = F.when(
+        n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.lit(1).cast("long")),
+            _step,
+        ),
+    ).otherwise(F.array(F.lit(1).cast("long")))
+    spans = F.slice(
+        acc, 2, F.greatest(F.size(acc) - 1, F.lit(0))
+    )
+    staged = staged.withColumn("__sp", spans)
+    sp = F.col("__sp")
+    ns = (F.size("__sp") / 2).cast("int")
+    kseq = F.when(ns > 0, F.sequence(F.lit(0), ns - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    staged = staged.withColumn("__ks", kseq)
+    ks = F.col("__ks")
+
+    def _start_of(k):
+        return F.element_at(sp, 2 * k + 1)
+
+    def _len_of(k):
+        return F.element_at(sp, 2 * k + 2)
+
+    corrupted_toks = F.filter(
+        F.transform(
+            ts,
+            lambda t, i: F.when(
+                F.exists(ks, lambda k: _start_of(k) == (i + 1)),
+                F.concat(
+                    F.lit("<extra_id_"),
+                    F.filter(ks, lambda k: _start_of(k) == (i + 1))[
+                        0
+                    ].cast("string"),
+                    F.lit(">"),
+                ),
+            ).otherwise(
+                F.when(
+                    F.exists(
+                        ks,
+                        lambda k: (_start_of(k) < (i + 1))
+                        & ((i + 1) < _start_of(k) + _len_of(k)),
+                    ),
+                    F.lit(None).cast("string"),
+                ).otherwise(t)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    targets = F.transform(
+        ks,
+        lambda k: F.concat(
+            F.lit("<extra_id_"),
+            k.cast("string"),
+            F.lit("> "),
+            F.array_join(
+                F.slice(ts, _start_of(k).cast("int"), _len_of(k).cast("int")),
+                " ",
+            ),
+        ),
+    )
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(ks).cast("long").alias("n_spans"),
+        F.array_join(corrupted_toks, " ").alias("corrupted"),
+        F.array_join(targets, " ").alias("targets"),
+    )

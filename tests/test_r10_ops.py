@@ -460,3 +460,44 @@ def test_boilerplate_line_filter_literal_delimiter(spark):
         df, min_docs=9, delimiter="|"
     ).collect()[0]
     assert out.n_lines == 2 and out.cleaned == "keep this|only here"
+
+
+def test_span_corrupt_roundtrip_and_recipe(spark):
+    """Determinism; spans non-overlap with ordered sentinels; and the
+    T5 invariant: substituting each <extra_id_k> in `corrupted` with
+    its targets span reconstructs the original token stream."""
+    import re
+
+    from etl_orders_to_bq_spark.operators.lm import span_corrupt
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(80))) for i in range(20)
+    ] + [(99, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = span_corrupt(df).orderBy("doc_id").collect()
+    b = span_corrupt(df).orderBy("doc_id").collect()
+    assert a == b
+    got = {r.doc_id: r for r in a}
+    assert (got[99].n_tokens, got[99].n_spans, got[99].corrupted) == (
+        0, 0, "",
+    )
+    total_spans = 0
+    for i in range(20):
+        r = got[i]
+        total_spans += r.n_spans
+        # parse targets into {k: tokens}
+        parts = re.split(r"<extra_id_(\d+)> ?", r.targets)
+        spans = {}
+        for k, seg in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = seg.strip()
+        assert sorted(spans) == list(range(r.n_spans))
+        # reconstruct
+        out = []
+        for tk in r.corrupted.split(" ") if r.corrupted else []:
+            m = re.fullmatch(r"<extra_id_(\d+)>", tk)
+            if m:
+                out.extend(spans[int(m.group(1))].split(" "))
+            else:
+                out.append(tk)
+        assert out == rows[i][1].split(" "), f"doc {i} roundtrip"
+    assert total_spans > 0  # the recipe actually fires
