@@ -145,6 +145,7 @@ HEADLINE = [
     "jl_project",
     "vocab_coverage",
     "boilerplate_lines",
+    "span_corrupt",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -1430,19 +1431,33 @@ def main() -> None:
     }
     print(json.dumps({"metric": "stress_10x_growth", "growth": growth},
                      separators=(",", ":")))
-    print(
-        json.dumps(
+    # the driver's stdout window is ~2 KB; degrade precision, then
+    # drop the cheapest entries (full detail is always in
+    # BENCH_full.json) rather than ever overflowing into parsed:null
+    def _final_line(qmap: dict) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": qmap,
                 "full": "BENCH_full.json",
                 "sf": sf,
             },
             separators=(",", ":"),
         )
-    )
+
+    qmap = {k: round(v, 2) for k, v in timings.items()}
+    if len(_final_line(qmap)) > 1850:
+        qmap = {k: round(v, 1) for k, v in timings.items()}
+    while len(_final_line(qmap)) > 1850 and len(qmap) > 8:
+        cheapest = min(
+            (k for k in qmap if k != "omitted"),
+            key=lambda k: timings[k],
+        )
+        del qmap[cheapest]
+        qmap["omitted"] = qmap.get("omitted", 0) + 1
+    print(_final_line(qmap))
 
 
 if __name__ == "__main__":
