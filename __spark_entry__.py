@@ -2855,6 +2855,27 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt(d).orderBy("doc_id")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (operators/mix.py
+    temperature_sample, the mC4/mT5 alpha-mixing recipe at alpha=0.5
+    so the weight is IEEE-exact sqrt): sources remapped to three big
+    groups plus a rare one (doc_id % 50 == 0), whose keep RATE the
+    boost visibly raises relative to its natural share. Oracle
+    replays the source-ordered sqrt fold, the micro-rate floor, and
+    the md5 keep predicate."""
+    from etl_orders_to_bq_spark.operators.mix import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("rare"))
+        .otherwise(
+            F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"))
+        )
+        .alias("source"),
+    )
+    return temperature_sample(d, target_total=300).orderBy("source")
+
+
 def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL scalar family: parse_url HOST/PATH/QUERY-param extraction
     plus url_decode over deterministic per-document URLs, rolled up to
@@ -8317,6 +8338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "boilerplate_lines": q_boilerplate_lines,
         "span_corrupt": q_span_corrupt,
+        "temperature_mix": q_temperature_mix,
         # -- last driver-verified in round 2 --
         "union_distinct": q_union_distinct,
         "string_funcs": q_string_funcs,
@@ -14527,6 +14549,43 @@ def oracle_sql() -> dict[str, str]:
         left join corr using (doc_id)
         left join tg using (doc_id)
         order by b.doc_id
+    """
+    # temperature mixing: source-ordered sqrt fold (single-row
+    # list_reduce, the safe ewma class), micro-rate floor, md5 keep
+    out["temperature_mix"] = """
+        with d as (
+          select doc_id,
+                 case when doc_id % 50 = 0 then 'rare'
+                      else 'g' || cast(doc_id % 3 as varchar) end
+                   as src
+          from documents
+        ),
+        c as (select src, count(*) as n from d group by src),
+        k as (
+          select list_reduce(
+                   list_prepend(0.0::double,
+                     list(sqrt(cast(n as double)) order by src)),
+                   (a, b) -> a + b) as sw
+          from c
+        ),
+        r as (
+          select src, n,
+                 least(cast(floor(300.0 * sqrt(cast(n as double))
+                                  / (select sw from k) / n
+                                  * 1000000.0) as bigint),
+                       1000000) as rate_micro
+          from c
+        ),
+        j as (select d.doc_id, d.src, r.n, r.rate_micro
+              from d join r using (src))
+        select src as source,
+               cast(max(n) as bigint) as n_docs,
+               max(rate_micro) as rate_micro,
+               cast(sum(case when ('0x' || substr(md5(doc_id
+                        || ':ts17'), 1, 8))::bigint % 1000000
+                        < rate_micro then 1 else 0 end) as bigint)
+                 as n_kept
+        from j group by src order by src
     """
     # MLM masking: the md5 decision integer, both branch digits and
     # the in-doc random index replayed; '0x'-prefix through ::bigint

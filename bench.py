@@ -146,6 +146,7 @@ HEADLINE = [
     "vocab_coverage",
     "boilerplate_lines",
     "span_corrupt",
+    "temperature_mix",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

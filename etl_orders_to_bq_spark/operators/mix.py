@@ -60,3 +60,93 @@ def token_budget_mix(
     name = cum_col or "__cum_before"
     out = df.withColumn(name, cum_before).filter(F.col(name) < budget_expr)
     return out if cum_col else out.drop(name)
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int = 300,
+    seed: int = 17,
+) -> DataFrame:
+    """Temperature-scaled source sampling — the multilingual mixing
+    recipe (mC4/mT5, Xue et al. 2021; also the GPT-3 dataset-weight
+    shape): sample source s proportionally to ``p_s^alpha`` so
+    low-resource sources are boosted relative to their natural share.
+    This implementation pins ``alpha = 0.5``: the weight is then
+    ``sqrt(n_s)``, and IEEE sqrt is CORRECTLY ROUNDED on every engine
+    — an exactly-reproducible rate with no cross-engine ``pow``
+    hazard (general alpha would put a libm pow in the rate; document
+    the tolerance or precompute rates driver-side if you need it).
+
+    Per-source keep rate: ``min(1, target_total * sqrt(n_s) / SW /
+    n_s)`` with ``SW = sum over sources of sqrt(n_s)`` folded in
+    SOURCE ORDER (a float sum over groups is shuffle-order-dependent
+    — the repo's sorted-fold discipline), quantized to an integer
+    micro-rate by ``floor(rate * 1e6)``. Each document keeps iff its
+    md5 decision integer mod 1e6 falls under its source's micro-rate
+    — deterministic across runs, engines and partitionings.
+
+    Output census per source: ``(source, n_docs, rate_micro,
+    n_kept)`` — expected kept ∝ sqrt(n_s), i.e. equal-share at equal
+    sizes and boosted tails. The kept DOCUMENT SET is recoverable by
+    re-applying the decision predicate; the census is the gated,
+    size-stable surface.
+
+    Scale: one count groupBy, one source-count-sized fold broadcast
+    back, one scan with the decision predicate, one census groupBy —
+    no corpus-sized shuffle beyond the counts.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    sw = counts.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(source_col).alias("s"),
+                        F.sqrt(F.col("__n").cast("double")).alias(
+                            "w"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("__sw")
+    )
+    rate = (
+        F.lit(float(target_total))
+        * F.sqrt(F.col("__n").cast("double"))
+        / F.col("__sw")
+        / F.col("__n")
+        * F.lit(1000000.0)
+    )
+    rates = counts.crossJoin(F.broadcast(sw)).select(
+        source_col,
+        F.col("__n"),
+        F.least(
+            F.floor(rate).cast("long"), F.lit(1000000).cast("long")
+        ).alias("rate_micro"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":ts"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    joined = df.select(id_col, source_col).join(rates, source_col)
+    kept = (h % 1000000) < F.col("rate_micro")
+    return joined.groupBy(source_col).agg(
+        F.max("__n").cast("long").alias("n_docs"),
+        F.max("rate_micro").alias("rate_micro"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )

@@ -501,3 +501,26 @@ def test_span_corrupt_roundtrip_and_recipe(spark):
                 out.append(tk)
         assert out == rows[i][1].split(" "), f"doc {i} roundtrip"
     assert total_spans > 0  # the recipe actually fires
+
+
+def test_temperature_sample_boosts_rare_sources(spark):
+    """alpha=0.5: with n_big=400, n_rare=16, rates scale as
+    sqrt(n)/n = 1/sqrt(n) -> the rare source's keep RATE is
+    sqrt(400/16) = 5x the big one's; equal sizes give equal rates."""
+    from etl_orders_to_bq_spark.operators.mix import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r.source: r
+        for r in temperature_sample(df, target_total=96).collect()
+    }
+    assert got["big"].n_docs == 400 and got["rare"].n_docs == 16
+    # SW = 24; rare rate = 96*4/24/16 = 1.0 (the cap boundary),
+    # big rate = 96*20/24/400 = 0.2 -> exactly the 5x = sqrt(400/16)
+    assert got["rare"].rate_micro == 1000000
+    assert got["big"].rate_micro == 200000
+    assert got["rare"].n_kept == 16  # rate 1.0 keeps everything
+    assert 55 <= got["big"].n_kept <= 105  # ~80 expected, md5 draw
