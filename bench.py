@@ -1458,6 +1458,11 @@ def main() -> None:
         )
         del qmap[cheapest]
         qmap["omitted"] = qmap.get("omitted", 0) + 1
+    if len(_final_line(qmap)) > 1850:
+        # 8 pathologically long names can still overflow: last
+        # resort, drop the queries map entirely — the totals alone
+        # always fit, and BENCH_full.json keeps the detail
+        qmap = {"omitted": len(timings)}
     print(_final_line(qmap))
 
 

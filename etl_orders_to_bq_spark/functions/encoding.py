@@ -65,11 +65,16 @@ def is_mojibake(col: Column | str) -> Column:
     UTF-8 (the ftfy acceptance gate)."""
     c = F.col(col) if isinstance(col, str) else col
     mapped = F.translate(c, _CP1252_CHARS, _CP1252_BYTES)
-    return (
-        c.rlike(MOJIBAKE_SIGNATURE_RE)
-        & mapped.rlike(_LATIN1_RANGE_RE)
-        & F.is_valid_utf8(F.encode(mapped, "ISO-8859-1"))
-    )
+    # the strict Latin-1 encode THROWS on chars > U+00FF under Spark
+    # 4's strict codingErrorAction, so its mappability guard must be
+    # STRUCTURAL (a lazily-evaluated CaseWhen branch), not a mere
+    # earlier conjunct: Catalyst is free to split and reorder the
+    # conjuncts of an AND chain when the predicate reaches a filter.
+    safe_roundtrip = F.when(
+        mapped.rlike(_LATIN1_RANGE_RE),
+        F.is_valid_utf8(F.encode(mapped, "ISO-8859-1")),
+    ).otherwise(F.lit(False))
+    return c.rlike(MOJIBAKE_SIGNATURE_RE) & safe_roundtrip
 
 
 def repair_mojibake(col: Column | str) -> Column:

@@ -118,7 +118,7 @@ def registrable_domain(
     host_col: str = "host",
     suffixes: list[str] | None = None,
     out_col: str = "domain",
-    max_suffix_labels: int = 4,
+    max_suffix_labels: int | None = None,
 ) -> DataFrame:
     """Append the REGISTRABLE domain (PSL "eTLD+1") of ``host_col``:
     the label immediately before the longest matching public suffix,
@@ -136,8 +136,11 @@ def registrable_domain(
     implicit ``*`` rule (eTLD+1 = the last TWO labels); a host that
     IS a suffix outright returns itself. ``suffixes`` defaults to
     :data:`PUBLIC_SUFFIXES_MIN`; pass the full PSL for production.
-    Rules with more than ``max_suffix_labels`` labels need that knob
-    raised (the real PSL maxes at 5).
+    ``max_suffix_labels`` defaults to the longest rule actually
+    supplied, so passing the full PSL (which maxes at 5 labels)
+    generates every candidate key it needs with no knob to remember;
+    set it explicitly only to CAP candidate generation below the
+    rule table's own depth.
 
     Rows with a NULL host are KEPT with a NULL ``out_col`` (an inner
     join here silently dropped them — r10 review finding — which made
@@ -158,6 +161,8 @@ def registrable_domain(
         kind = "e" if s.startswith("!") else "r"
         key = s.lstrip("!")
         parsed.append((key, len(key.split(".")), kind))
+    if max_suffix_labels is None:
+        max_suffix_labels = max((p[1] for p in parsed), default=1)
     sfx = F.broadcast(
         spark.createDataFrame(parsed, ["__sfx", "__sk", "__kind"])
     )

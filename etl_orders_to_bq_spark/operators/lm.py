@@ -1177,6 +1177,7 @@ def mlm_mask(
     mask_pct: int = 15,
     seed: int = 7,
     mask_token: str = "[MASK]",
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic BERT-style MLM masking (Devlin et al. 2019 §3.1,
     public — the 15% / 80-10-10 recipe) as a pure projection: every
@@ -1191,10 +1192,17 @@ def mlm_mask(
 
     - selected iff ``h % 100 < mask_pct``;
     - branch ``(h // 100) % 10``: 0-7 → ``mask_token`` (80%), 8 → a
-      random IN-DOCUMENT token at index ``(h // 1000) % n`` (the 10%
-      random-replacement arm; document-local so no vocabulary
-      broadcast is needed), 9 → keep (the 10% unchanged arm — still a
-      label position, per the paper).
+      random-replacement token at index ``(h // 1000) % V`` (the 10%
+      random arm), 9 → keep (the 10% unchanged arm — still a label
+      position, per the paper).
+
+    The random arm draws from ``vocab_df`` when supplied (one string
+    column; sorted, broadcast as a single array row — the exact BERT
+    recipe, which samples from the CORPUS vocabulary) and from the
+    document's own tokens otherwise (document-local: no broadcast
+    needed, but short or low-diversity documents often redraw the
+    original token — a documented fidelity gap vs the paper, the r10
+    advisor note).
 
     Output: ``(id, n_tokens, n_masked, masked_text, labels)`` with
     labels ``pos:original`` space-joined. Tokens are staged in a
@@ -1231,9 +1239,23 @@ def mlm_mask(
         ).cast("long"),
     )
     staged = base.withColumn("__h", hashes)
+    if vocab_df is not None:
+        # corpus-vocabulary random arm: sort for determinism,
+        # collapse to ONE array row, broadcast — a BERT vocab is
+        # ~30k strings, far under any broadcast threshold, and the
+        # corpus side pays a broadcast nested-loop join against a
+        # single row (no shuffle)
+        vcol = vocab_df.columns[0]
+        vrow = vocab_df.select(
+            F.sort_array(F.collect_list(F.col(vcol).cast("string")))
+            .alias("__vocab")
+        )
+        staged = staged.join(F.broadcast(vrow))
     ts = F.col("__ts")
     hs = F.col("__h")
     n = F.size("__ts")
+    rand_pool = F.col("__vocab") if vocab_df is not None else ts
+    pool_n = F.size("__vocab") if vocab_df is not None else n
 
     def _h(i):
         return F.element_at(hs, i + 1)
@@ -1245,7 +1267,7 @@ def mlm_mask(
         return F.floor(_h(i) / 100).cast("long") % 10
 
     def _rand_idx(i):
-        return (F.floor(_h(i) / 1000).cast("long") % n).cast(
+        return (F.floor(_h(i) / 1000).cast("long") % pool_n).cast(
             "int"
         ) + 1
 
@@ -1254,7 +1276,10 @@ def mlm_mask(
         lambda t, i: F.when(
             _sel(i),
             F.when(_branch(i) <= 7, F.lit(mask_token))
-            .when(_branch(i) == 8, F.element_at(ts, _rand_idx(i)))
+            .when(
+                _branch(i) == 8,
+                F.element_at(rand_pool, _rand_idx(i)),
+            )
             .otherwise(t),
         ).otherwise(t),
     )
