@@ -67,3 +67,111 @@ def chunk_documents(
             F.col("__n_doc") - F.col("chunk_idx") * stride,
         ).cast("int").alias("n_tokens"),
     )
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+    max_len: int = 256,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rolling-hash boundary idea behind
+    LBFS/rsync/FastCDC, public literature): a chunk boundary falls
+    after position p whenever the hash of the ``window`` characters
+    ending at p is ≡ 0 mod ``divisor`` — so boundaries move WITH the
+    content, and two documents sharing a long substring produce
+    identical chunks for its interior regardless of how insertions
+    shifted the offsets. Fixed-size chunking (``chunk_documents``)
+    loses all alignment after one inserted character; CDC is what
+    makes chunk-hash dedup robust to near-duplicate text.
+
+    Expected chunk length is ``divisor`` characters; chunks longer
+    than ``max_len`` (hash never fired) are force-split at fixed
+    offsets. No minimum-length gate: a greedy min-length skip is a
+    sequential fold, and omitting it keeps boundaries strictly
+    content-local (documented departure from FastCDC's min/max
+    normalization; the max here is a hard cap, applied AFTER the
+    content boundaries, so it only touches degenerate runs).
+
+    The boundary hash here is md5 of the w-char window (one in-row
+    ``transform``; exact, oracle-replayable). At production scale the
+    same plan swaps in a gear/buzhash ROLLING hash — O(1) per
+    position instead of O(w) — without changing anything downstream.
+
+    Output: one row per chunk ``(id, chunk_idx, chunk_start,
+    chunk_len, chunk_hash)`` (1-based start; hash = md5 of the chunk
+    text). Empty documents produce no rows.
+
+    Scale: scan-shaped in-row array work, no shuffle at all — the
+    chunk table feeds whatever groupBy the caller needs (dedup census
+    by chunk_hash, per-doc stats). Memory per row is O(n) positions,
+    the same order as the text itself.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    # boundary AFTER position p (p = window..n-1): md5 of the window
+    # ending at p, taken as the usual first-8-hex integer
+    hpos = lambda p: F.conv(
+        F.substring(F.md5(F.substring(t, p - window + 1, F.lit(window))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bounds = F.when(
+        n >= window + 1,
+        F.filter(
+            F.sequence(F.lit(window), n - 1),
+            lambda p: hpos(p) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # chunk bounds: 0 ++ content boundaries ++ n, then each (s, e)
+    # force-split at max_len offsets
+    cuts = F.concat(
+        F.array(F.lit(0).cast("int")),
+        bounds.cast("array<int>"),
+        F.array(n.cast("int")),
+    )
+    pairs = F.when(
+        n > 0,
+        F.flatten(
+            F.transform(
+                F.slice(cuts, 1, F.size(cuts) - 1),
+                lambda s, i: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            (F.element_at(cuts, i + 2) - s)
+                            / F.lit(float(max_len))
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda j: F.struct(
+                        (s + j * max_len).alias("s"),
+                        F.least(
+                            F.element_at(cuts, i + 2),
+                            s + (j + 1) * max_len,
+                        ).alias("e"),
+                    ),
+                ),
+            )
+        ),
+    )
+    staged = df.select(
+        F.col(id_col), t.alias("__t"), pairs.alias("__ps")
+    ).filter(F.size("__ps") > 0)
+    ex = staged.select(
+        id_col,
+        "__t",
+        F.posexplode("__ps").alias("chunk_idx", "__p"),
+    )
+    s, e = F.col("__p.s"), F.col("__p.e")
+    return ex.select(
+        id_col,
+        F.col("chunk_idx"),
+        (s + 1).cast("long").alias("chunk_start"),
+        (e - s).cast("long").alias("chunk_len"),
+        F.md5(F.substring(F.col("__t"), s + 1, e - s)).alias(
+            "chunk_hash"
+        ),
+    )

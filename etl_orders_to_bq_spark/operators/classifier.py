@@ -359,3 +359,80 @@ def gini_stump(
         b["pr"].alias("pos_right"),
         b["parent"].alias("parent_gini"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    p_micro_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + per-bin Brier score — the standard
+    calibration audit for any probabilistic classifier (Murphy 1973,
+    DeGroot & Fienberg 1983, public): bucket predictions by
+    probability, compare each bucket's mean predicted probability to
+    its observed positive rate; a calibrated model tracks the
+    diagonal, and the per-bin |gap| weighted by count is ECE.
+
+    ``p_micro_col`` is the prediction as an INTEGER micro-probability
+    (0..1e6 — the repo's exactness contract: a double probability
+    column would make every bin mean partition-order dependent);
+    ``label_col`` is 0/1. Bin b = p_micro * n_bins div (1e6 + 1),
+    so p = 1.0 lands in the last bin.
+
+    Per bin: ``(bin, n, p_mean, y_rate, gap, brier)`` — p_mean and
+    y_rate exact half-away 6dp micro means, gap their exact integer
+    difference, brier the exact mean of (p - y)^2. The brier division
+    runs as integral decimal(38,0) ``div`` — its micro^2 sums pass
+    the 2^53 double-exactness line at ~4e3 rows per bin, so a float
+    path would silently mis-floor at real scales (the permutation_
+    test discipline).
+
+    Scale: ONE groupBy on the bin id (n_bins groups, map-side
+    combinable) — scan-shaped, no window, no collect.
+    """
+    m1 = 1_000_000
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("long")
+    binc = F.floor(p * n_bins / (m1 + 1.0)).cast("int")
+    agged = (
+        df.select(
+            binc.alias("bin"),
+            p.alias("__p"),
+            y.alias("__y"),
+            ((p - y * m1) * (p - y * m1)).alias("__sq"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum("__p").alias("__sp"),
+            F.sum("__y").alias("__sy"),
+            F.sum("__sq").alias("__ssq"),
+        )
+    )
+    n = F.col("__n")
+    # all sums are non-negative: plain half-away floors
+    p_mean_mi = F.floor((2 * F.col("__sp") + n) / (2.0 * n)).cast(
+        "long"
+    )
+    y_rate_mi = F.floor(
+        (2 * F.col("__sy") * m1 + n) / (2.0 * n)
+    ).cast("long")
+    # brier mean = ssq / (n * 1e12) -> micro = ssq / (n * 1e6);
+    # exact integral decimal division (the quotient fits long)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    staged = agged.withColumns(
+        {
+            "__bn": 2 * dec(F.col("__ssq")) + dec(n) * m1,
+            "__bd": 2 * dec(n) * m1,
+        }
+    ).withColumn("__brier_mi", F.expr("__bn div __bd"))
+    brier_mi = F.col("__brier_mi")
+    return staged.select(
+        F.col("bin"),
+        n.cast("long").alias("n"),
+        (p_mean_mi / float(m1)).alias("p_mean"),
+        (y_rate_mi / float(m1)).alias("y_rate"),
+        ((p_mean_mi - y_rate_mi) / float(m1)).alias("gap"),
+        (brier_mi / float(m1)).alias("brier"),
+    )

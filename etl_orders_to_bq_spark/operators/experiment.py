@@ -526,3 +526,143 @@ def msprt_test(
             p.isNotNull(), p < F.lit(float(alpha))
         ).alias("reject"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    id_col: str,
+    alpha_pct: int = 10,
+    seed: str = "cf17",
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    the split/inductive variant popularized by Lei et al. 2018,
+    public): hash-split each group 60/20/20 into train/calibration/
+    test, fit the trivial regressor (the train mean), take q_hat as
+    the k-th smallest calibration residual with k = ceil((n_cal+1) *
+    (1-alpha)), and report the finite-sample-guaranteed interval and
+    its observed test coverage — the distribution-free uncertainty
+    wrapper every ML-adjacent pipeline should ship next to its point
+    predictions.
+
+    Determinism: the split is md5(id:seed) % 5 (0-2 train, 3 calib,
+    4 test — partitioning-free); ``y_col`` must be integer-valued, so
+    the train mean is an exact half-away micro division, residuals
+    are exact micro longs, q_hat is an exact order statistic
+    (row_number tie-broken on id), and coverage is an exact micro
+    ratio. Zero floats anywhere before the final /1e6 display cast.
+
+    Groups whose calibration set is too small for the requested level
+    (k > n_cal — the conformal interval is then infinite) report NULL
+    q_hat and NULL coverage.
+
+    Output per group: ``(group, n_train, n_calib, n_test, y_hat,
+    q_hat, coverage)``.
+
+    Scale: one groupBy for the means, one PARTITIONED window for the
+    order statistic (never global), one groupBy for coverage — all on
+    the group key.
+    """
+    from pyspark.sql import Window
+
+    m1 = 1_000_000
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.lit(seed),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(id_col).cast("string").alias("__id"),
+        bucket.alias("__b"),
+    )
+    train = base.filter(F.col("__b") <= 2)
+    calib = base.filter(F.col("__b") == 3)
+    test = base.filter(F.col("__b") == 4)
+    mean_mag = F.floor(
+        (2 * F.abs(F.col("__s")) * m1 + F.col("__nt"))
+        / (2.0 * F.col("__nt"))
+    ).cast("long")
+    model = (
+        train.groupBy("__g")
+        .agg(F.sum("__y").alias("__s"), F.count("*").alias("__nt"))
+        .select(
+            "__g",
+            F.col("__nt").alias("n_train"),
+            F.when(F.col("__s") >= 0, mean_mag)
+            .otherwise(-mean_mag)
+            .alias("__yhat"),
+        )
+    )
+    resid = lambda: F.abs(  # noqa: E731
+        F.col("__y") * m1 - F.col("__yhat")
+    )
+    cal = calib.join(model, "__g").withColumn("__r", resid())
+    w = Window.partitionBy("__g").orderBy("__r", "__id")
+    ncal = Window.partitionBy("__g")
+    ranked = cal.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__ncal", F.count("*").over(ncal)
+    )
+    k = F.floor(
+        ((F.col("__ncal") + 1) * (100 - int(alpha_pct)) + 99) / 100.0
+    ).cast("long")
+    qrow = (
+        ranked.withColumn("__k", k)
+        .groupBy("__g")
+        .agg(
+            F.max("__ncal").alias("n_calib"),
+            F.max(
+                F.when(F.col("__rn") == F.col("__k"), F.col("__r"))
+            ).alias("__q"),
+        )
+    )
+    tst = (
+        test.join(model, "__g")
+        .join(qrow, "__g")
+        .groupBy("__g")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("__q").isNotNull()
+                    & (resid() <= F.col("__q")),
+                    1,
+                ).otherwise(0)
+            ).alias("__ncov"),
+        )
+    )
+    cov_mag = F.floor(
+        (2 * F.col("__ncov") * m1 + F.col("n_test"))
+        / (2.0 * F.col("n_test"))
+    ).cast("long")
+    return (
+        model.join(qrow, "__g")
+        .join(tst, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_calib").cast("long").alias("n_calib"),
+            F.col("n_test").cast("long").alias("n_test"),
+            (F.col("__yhat") / float(m1)).alias("y_hat"),
+            (F.col("__q") / float(m1)).alias("q_hat"),
+            F.when(
+                F.col("__q").isNotNull() & (F.col("n_test") > 0),
+                cov_mag / float(m1),
+            ).alias("coverage"),
+        )
+    )

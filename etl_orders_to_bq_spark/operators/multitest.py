@@ -473,3 +473,152 @@ def ks_two_sample(
             F.col("d_stat") > crit,
         ).alias("reject_95"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    id_col: str,
+    n_perms: int = 200,
+    seed: str = "pt17",
+) -> DataFrame:
+    """Randomization (permutation) test for a difference in means —
+    the assumption-free two-sample test (Fisher 1935, public): the
+    observed |mean_A - mean_B| is compared against its null
+    distribution under random relabeling; p = (1 + #{j : stat_j >=
+    stat_obs}) / (n_perms + 1) (the add-one form that keeps the test
+    exact-level).
+
+    Relabeling is the Bernoulli(1/2) randomization variant (each row
+    redraws its side per permutation via md5(id:j:seed) parity) — the
+    standard approximation that avoids the sequential bookkeeping of
+    size-preserving shuffles and is itself a valid randomization test.
+    Deterministic by construction: no RNG state, no partitioning
+    dependence.
+
+    Exactness: ``value_col`` must be integer-valued. stat_j >=
+    stat_obs is decided by CROSS-MULTIPLIED exact integers — with
+    num = |S_A*n_B - S_B*n_A| and den = n_A*n_B, the comparison is
+    num_j * den_obs >= num_obs * den_j in decimal(38,0) — so not one
+    float enters the decision; the reported means and p-value are
+    half-away 6dp micro divisions.
+
+    Output: one row ``(n_a, n_b, mean_a, mean_b, stat_obs, n_perms,
+    n_ge, p_value)``.
+
+    Scale: the permutation table is data x n_perms rows BEFORE
+    partial aggregation, but groupBy(j, side) map-side-combines to
+    2*n_perms rows per task — the shuffle carries O(n_perms), not
+    O(rows). n_perms is a resolution knob (p floor = 1/(m+1)), not a
+    data knob.
+    """
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    base = filt.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("long").alias("__y"),
+        (F.col(group_col) == group_a).alias("__isa"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = base.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("__isa"), F.col("__y")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~F.col("__isa"), F.col("__y")).otherwise(0)).alias("sb"),
+    ).select(
+        "na", "nb", "sa", "sb",
+        F.abs(
+            dec(F.col("sa")) * dec(F.col("nb"))
+            - dec(F.col("sb")) * dec(F.col("na"))
+        ).alias("num_o"),
+        (dec(F.col("na")) * dec(F.col("nb"))).alias("den_o"),
+    )
+    spark = df.sparkSession
+    perms = spark.range(int(n_perms)).select(
+        F.col("id").cast("int").alias("__j")
+    )
+    assigned = base.crossJoin(perms).withColumn(
+        "__side",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__id"), F.lit(":"),
+                        F.col("__j").cast("string"),
+                        F.lit(":"), F.lit(seed),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2,
+    )
+    per_j = assigned.groupBy("__j").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__nb"),
+        F.sum(
+            F.when(F.col("__side") == 0, F.col("__y")).otherwise(0)
+        ).alias("__sa"),
+        F.sum(
+            F.when(F.col("__side") == 1, F.col("__y")).otherwise(0)
+        ).alias("__sb"),
+    )
+    scored = per_j.crossJoin(F.broadcast(obs)).select(
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.abs(
+                dec(F.col("__sa")) * dec(F.col("__nb"))
+                - dec(F.col("__sb")) * dec(F.col("__na"))
+            )
+            * F.col("den_o")
+            >= F.col("num_o")
+            * dec(F.col("__na"))
+            * dec(F.col("__nb")),
+        ).otherwise(F.lit(False)).alias("__ge")
+    )
+    ge = scored.agg(
+        F.sum(F.when(F.col("__ge"), 1).otherwise(0)).alias("n_ge")
+    )
+
+    def _mean6(s: Column, n: Column) -> Column:
+        mag = F.floor(
+            (2 * F.abs(s) * 1_000_000 + n) / (2.0 * n)
+        )
+        return (
+            F.when(s >= 0, mag).otherwise(-mag) / 1_000_000.0
+        )
+
+    m1 = 1_000_000
+    # the 6dp micro of num_o/den_o via EXACT integral decimal
+    # division ("div"): a float or decimal-scale division rounds the
+    # quotient before the floor, and with den_o = n_a*n_b > 1e6 the
+    # rational can sit closer to an integer than the 6dp rounding
+    # granularity — the vocab_coverage caveat made structural. div's
+    # quotient (the micro value) fits long by construction.
+    staged = obs.crossJoin(F.broadcast(ge)).withColumns(
+        {
+            "__qn": 2 * F.col("num_o") * m1 + F.col("den_o"),
+            "__qd": 2 * F.col("den_o"),
+        }
+    )
+    return staged.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _mean6(F.col("sa"), F.col("na")).alias("mean_a"),
+        _mean6(F.col("sb"), F.col("nb")).alias("mean_b"),
+        (F.expr("__qn div __qd") / float(m1)).alias("stat_obs"),
+        F.lit(int(n_perms)).cast("long").alias("n_perms"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        (
+            F.floor(
+                (
+                    2 * (1 + F.col("n_ge")) * m1
+                    + (int(n_perms) + 1)
+                )
+                / (2.0 * (int(n_perms) + 1))
+            ).cast("long")
+            / float(m1)
+        ).alias("p_value"),
+    )

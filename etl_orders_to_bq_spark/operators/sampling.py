@@ -233,3 +233,141 @@ def class_balance_sample(
     return ranked.crossJoin(F.broadcast(cap)).filter(
         F.col("pick_rank") <= F.col("__cap")
     ).drop("__cap")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    y_col: str,
+    id_col: str,
+    total_n: int,
+    seed: str = "ney17",
+) -> DataFrame:
+    """Stratified sampling with NEYMAN optimal allocation (Neyman
+    1934, public): stratum h of size N_h and std-dev S_h gets
+    n_h ∝ N_h·S_h of the ``total_n`` budget — minimum-variance
+    estimation of the population mean under a fixed sample budget,
+    the principled upgrade over proportional allocation whenever
+    strata differ in spread (a quality-audit sampler should read MANY
+    docs from high-variance sources and few from uniform ones).
+
+    ``y_col`` must be INTEGER-valued (quantize upstream): the
+    variance comes from exact integer sums (N·Σy² − (Σy)²), so S_h =
+    sqrt(num/den) is one correctly-rounded double from identical
+    integer operands on any engine — no float-accumulation order
+    anywhere. Single-row strata get S_h = 0 (no spread evidence, no
+    budget). The cross-strata normalizer folds in stratum order (the
+    temperature_mix discipline); n_h = min(N_h, floor(total·w_h/Σw
+    + 0.5)), so rounding means Σn_h ≈ total_n, not exactly.
+
+    The draw itself ranks rows inside each stratum by md5(id:seed)
+    (partitioned window — never global) and keeps the first n_h.
+
+    Output per stratum: ``(stratum, n_pop, s_dev, n_alloc,
+    n_sampled, sample_y_mean)`` with s_dev rounded half-away to 6dp
+    via its micro-unit long and sample_y_mean the exact half-away
+    integer mean of the kept rows.
+
+    Scale: two shuffles — one groupBy(stratum) for the moments (map-
+    side combinable; stratum cardinality is small), one window on the
+    stratum key for the ranked draw. The rank window partitions by
+    stratum; a pathologically dominant stratum can salt the draw by
+    ranking on md5 ranges (the salted_agg pattern) without changing
+    the kept set.
+    """
+    from pyspark.sql import Window
+
+    sc, yc = F.col(stratum_col), F.col(y_col).cast("long")
+    moments = (
+        df.groupBy(sc.alias("__s"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(yc).alias("__sy"),
+            F.sum(yc * yc).alias("__syy"),
+        )
+    )
+    num = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    den = F.col("__n") * (F.col("__n") - 1)
+    sdev = F.when(
+        F.col("__n") > 1,
+        F.sqrt(num.cast("double") / den.cast("double")),
+    ).otherwise(F.lit(0.0))
+    m = moments.select(
+        "__s", "__n", sdev.alias("__sd"),
+        (F.col("__n").cast("double") * sdev).alias("__w"),
+    )
+    # stratum-ordered fold for the normalizer: one tiny collect_list
+    # over stratum cardinality, never over rows
+    tot = m.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__s", "__w"))
+                ),
+                lambda x: x["__w"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("__wsum")
+    )
+    alloc = m.crossJoin(F.broadcast(tot)).select(
+        "__s", "__n", "__sd",
+        F.when(
+            F.col("__wsum") > 0,
+            F.least(
+                F.col("__n"),
+                F.floor(
+                    F.lit(float(total_n)) * F.col("__w")
+                    / F.col("__wsum")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("__alloc"),
+    )
+    rk = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.lit(seed)
+        )
+    )
+    ranked = df.select(
+        sc.alias("__s"), yc.alias("__y"), rk.alias("__rk")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__s").orderBy("__rk")
+        ),
+    )
+    kept = (
+        ranked.join(F.broadcast(alloc.select("__s", "__alloc")), "__s")
+        .filter(F.col("__rn") <= F.col("__alloc"))
+        .groupBy("__s")
+        .agg(
+            F.count("*").alias("__ns"),
+            F.sum("__y").alias("__ssum"),
+        )
+    )
+    mean_mag = F.floor(
+        (2 * F.abs(F.col("__ssum")) * 1_000_000 + F.col("__ns"))
+        / (2.0 * F.col("__ns"))
+    )
+    sample_mean = F.when(
+        F.col("__ns") > 0,
+        F.when(F.col("__ssum") >= 0, mean_mag).otherwise(-mean_mag)
+        / 1_000_000.0,
+    )
+    sd_micro = F.floor(
+        F.abs(F.col("__sd")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        alloc.join(kept, "__s", "left")
+        .select(
+            F.col("__s").alias(stratum_col),
+            F.col("__n").cast("long").alias("n_pop"),
+            (sd_micro / 1_000_000.0).alias("s_dev"),
+            F.col("__alloc").cast("long").alias("n_alloc"),
+            F.coalesce(F.col("__ns"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            sample_mean.alias("sample_y_mean"),
+        )
+    )

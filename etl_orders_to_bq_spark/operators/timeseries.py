@@ -1014,3 +1014,101 @@ def changepoint_level(
         F.when(ok, right).alias("right_mean"),
         F.when(ok, F.round(right - left, ndigits)).alias("shift"),
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    m: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method textbooks call "classical decomposition"; Hyndman & A.,
+    Forecasting: Principles and Practice §3.4, public):
+
+    - trend_t   = centered m-term moving average (m odd; defined only
+      where the full window exists),
+    - seasonal_j = the per-slot mean of (y - trend) over season index
+      j = t mod m, re-centered so the m seasonal effects sum to ~0,
+    - remainder = y - trend - seasonal.
+
+    Determinism: y is quantized to exact micro-units; every mean is
+    an integer half-away division (the kneser_ney midpoint-trap
+    pattern) — order-free, partition-free, bit-identical on any
+    engine. Requires a REGULAR series per group (the moving average
+    is ROWS-based): aggregate to the grain first (gap_fill for
+    holes).
+
+    Output per input row: ``(group, t, y, trend, seasonal,
+    remainder)`` — trend/remainder NULL at the edges (no full
+    window), seasonal NULL only for slots that never saw a full
+    window anywhere in the group.
+
+    Scale: series live at entity grain (a daily series over a decade
+    is ~3.7k rows), so the per-group ROWS window is the ewma/holt
+    contract — one shuffle on the group key, bounded partitions; the
+    slot means are one more groupBy on (group, j). Nothing here
+    scales with corpus size, only with groups x series length.
+    """
+    if m % 2 != 1:
+        raise ValueError("classical_decompose needs odd m")
+    h = m // 2
+
+    def _half_away(s: Column, n) -> Column:
+        mag = F.floor((2 * F.abs(s) + n) / (2.0 * n)).cast("long")
+        return F.when(s >= 0, mag).otherwise(-mag)
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__t"),
+        (((F.col(t_col).cast("long") % m) + m) % m).alias("__j"),
+        F.round(F.col(y_col).cast("double") * scale)
+        .cast("long")
+        .alias("__y"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(-h, h)
+    )
+    trended = base.withColumn(
+        "__trend",
+        F.when(
+            F.count("*").over(w) == m,
+            _half_away(F.sum("__y").over(w), F.lit(m)),
+        ),
+    ).withColumn("__det", F.col("__y") - F.col("__trend"))
+    raw = (
+        trended.filter(F.col("__det").isNotNull())
+        .groupBy("__g", "__j")
+        .agg(
+            _half_away(F.sum("__det"), F.count("*")).alias("__sraw")
+        )
+    )
+    centered = raw.withColumn(
+        "__soff",
+        _half_away(
+            F.sum("__sraw").over(
+                Window.partitionBy("__g")
+            ),
+            F.lit(m),
+        ),
+    ).select(
+        "__g",
+        "__j",
+        (F.col("__sraw") - F.col("__soff")).alias("__seas"),
+    )
+    out = trended.join(centered, ["__g", "__j"], "left")
+    dn = float(scale)
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(t_col),
+        (F.col("__y") / dn).alias("y"),
+        (F.col("__trend") / dn).alias("trend"),
+        (F.col("__seas") / dn).alias("seasonal"),
+        (
+            (F.col("__y") - F.col("__trend") - F.col("__seas")) / dn
+        ).alias("remainder"),
+    )
