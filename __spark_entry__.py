@@ -8314,6 +8314,205 @@ def q_paragraph_quality_filter(
     )
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data-layout census (functions/zorder.py
+    with_hilbert_key) — the locality-preserving upgrade over
+    q_zorder_layout's Morton key (same bucket shape on purpose, so
+    the two entries are directly comparable): normalize
+    (o_custkey, o_totalprice) to 8 bits each, walk the public xy2d
+    loop as staged Column bit math (one withColumns projection per
+    bit level — never one janino-busting nested expression), bucket
+    on the key's top 4 bits and report each bucket's min/max
+    rectangle on BOTH dimensions. tests/test_r11_ops.py proves the
+    Hilbert buckets' total span <= Morton's on a full grid. The
+    oracle replays the normalization and all 8 loop levels as
+    chained CTEs. No counterpart in the reference engine (SURVEY.md
+    §2.2 — single-file pandas, no layout control)."""
+    from etl_orders_to_bq_spark.functions.zorder import (
+        normalize_to_bits,
+        with_hilbert_key,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    lo_c, hi_c, lo_p, hi_p = o.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min("o_totalprice"),
+        F.max("o_totalprice"),
+    ).first()
+    h = with_hilbert_key(
+        o,
+        normalize_to_bits(F.col("o_custkey"), lo_c, hi_c, bits=8),
+        normalize_to_bits(F.col("o_totalprice"), lo_p, hi_p, bits=8),
+        bits=8,
+    )
+    return (
+        h.groupBy(F.shiftright("hkey", 12).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression via distributed normal equations
+    (operators/ridge.py): extendedprice ~ quantity + discount-cents
+    over lineitem, lam=10. ONE 9-sum scan (exact int64 Gram/moment
+    sums — features quantized with floor(x+0.5)/floor(x*100+0.5),
+    pure double ops identical on both engines, never round()),
+    driver-side Cramer in unbounded Python ints, half-away 6dp
+    coefficients. The oracle replays the sums and determinants in
+    hugeint with // division. Nothing downstream of the single scan
+    grows with the data."""
+    from etl_orders_to_bq_spark.operators.ridge import ridge_normal
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") + 0.5).cast("long").alias("y"),
+    )
+    return ridge_normal(d, "x1", "x2", "y", lam=10)
+
+
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/
+    timeseries.py classical_decompose) of the daily event count:
+    trend = centered 7-day moving average, weekly seasonal effects
+    from per-slot means of the detrended series (re-centered to sum
+    ~0), remainder = y - trend - seasonal. Every mean is an exact
+    integer half-away micro division, so the oracle replays the
+    identical windows and slot means bit-for-bit. Edge days (no full
+    window) report NULL trend/remainder by construction."""
+    import datetime
+
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        classical_decompose,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.datediff(
+                F.to_date("ts"), F.lit(datetime.date(1970, 1, 1))
+            ).alias("t")
+        )
+        .agg(F.count("*").alias("y"))
+        .withColumn("g", F.lit("all"))
+    )
+    return classical_decompose(daily, "g", "t", "y", m=7).orderBy("t")
+
+
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling (operators/sampling.py
+    neyman_allocation): a 100-doc audit budget split across the 20
+    sources in proportion to N_h*S_h (exact integer variance sums;
+    sqrt of identical integer-derived operands is one correctly-
+    rounded double on both engines), drawn per stratum by md5 rank.
+    The oracle replays the moments, the stratum-ordered normalizer
+    fold, the floor(+0.5) allocation, and the qualify-style ranked
+    draw."""
+    from etl_orders_to_bq_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return neyman_allocation(
+        d, "source", "n_chars", "doc_id", total_n=100
+    ).orderBy("source")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunk.py
+    cdc_chunk_documents — the LBFS/FastCDC boundary idea): chunk
+    boundaries fall where the hash of the trailing 8-char window is
+    = 0 mod 64, so chunk hashes survive insertions and power
+    chunk-level near-dup detection; >256-char runs force-split.
+    Scan-shaped in-row array work, zero shuffle. The oracle replays
+    boundaries, cuts, force-splits and chunk md5s with DuckDB list
+    functions (list_transform/list_filter — the vectorized-safe
+    family, NOT list_reduce)."""
+    from etl_orders_to_bq_spark.operators.chunk import (
+        cdc_chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunk_documents(d).orderBy("doc_id", "chunk_idx")
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the en-vs-de mean document length
+    difference (operators/multitest.py permutation_test): 200
+    deterministic md5 relabelings; stat_j >= stat_obs decided by
+    cross-multiplied decimal(38,0) integers (no float touches the
+    decision) and the 6dp stat via integral decimal div. The oracle
+    replays every permutation in hugeint."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        permutation_test,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return permutation_test(
+        d, "lang", "n_chars", "en", "de", "doc_id", n_perms=200
+    )
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language split-conformal prediction intervals (operators/
+    experiment.py conformal_interval) on document length: md5 60/20/
+    20 split, train-mean regressor, q_hat = the exact k-th smallest
+    calibration residual (k = ceil((n+1)*0.9), partitioned window,
+    id tie-break), observed test coverage as an exact micro ratio.
+    Languages whose calibration set is too small for the level
+    report NULL (infinite interval) on both engines."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        conformal_interval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return conformal_interval(
+        d, "lang", "n_chars", "doc_id", alpha_pct=10
+    ).orderBy("lang")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + per-bin Brier (operators/
+    classifier.py calibration_bins) over a synthetic well-calibrated
+    scorer: p = md5('p:'||doc_id) micro-probability, y ~
+    Bernoulli(p) via an independent md5 draw — E[y|p] = p by
+    construction, so the bins hug the diagonal. All means are exact
+    half-away micro divisions; the Brier mean runs as integral
+    decimal div (its micro^2 sums pass 2^53 at ~4e3 rows/bin). The
+    oracle rebuilds the same fixture and folds in hugeint."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        calibration_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = lambda pfx: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(pfx), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % 1000001
+    scored = d.select(
+        h("p").alias("p_micro"),
+        F.when(h("y") < h("p"), 1).otherwise(0).alias("y"),
+    )
+    return calibration_bins(scored, "p_micro", "y").orderBy("bin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8328,58 +8527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
-        "kneser_ney": q_kneser_ney,
-        "domain_census": q_domain_census,
-        "mojibake_repair": q_mojibake_repair,
-        "gopher_quality": q_gopher_quality,
-        "c4_line_filter": q_c4_line_filter,
-        "mlm_mask": q_mlm_mask,
-        "jl_project": q_jl_project,
-        "vocab_coverage": q_vocab_coverage,
-        "boilerplate_lines": q_boilerplate_lines,
-        "span_corrupt": q_span_corrupt,
-        "temperature_mix": q_temperature_mix,
-        # -- last driver-verified in round 2 --
-        "union_distinct": q_union_distinct,
-        "string_funcs": q_string_funcs,
-        "math_funcs": q_math_funcs,
-        "array_funcs": q_array_funcs,
-        "percentile_agg": q_percentile_agg,
-        "case_bucket": q_case_bucket,
-        "coalesce_funcs": q_coalesce_funcs,
-        "text_stats": q_text_stats,
-        "text_language_id": q_text_language_id,
-        "text_quality": q_text_quality,
+        "hilbert_layout": q_hilbert_layout,
+        "ridge_normal": q_ridge_normal,
+        "stl_decompose": q_stl_decompose,
+        "neyman_sample": q_neyman_sample,
+        "cdc_chunks": q_cdc_chunks,
+        "permutation_test": q_permutation_test,
+        "conformal_interval": q_conformal_interval,
+        "calibration_bins": q_calibration_bins,
         # -- last driver-verified in round 3 --
-        "corpus_pipeline": q_corpus_pipeline,
-        "pagerank": q_pagerank,
-        "dedup_clusters": q_dedup_clusters,
-        "recursive_cte": q_recursive_cte,
-        "python_datasource": q_python_datasource,
-        "pit_join": q_pit_join,
-        "cdc_apply": q_cdc_apply,
-        "dedup_clusters_durable": q_dedup_clusters_durable,
-        "python_datasource_stream": q_python_datasource_stream,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_lsh": q_incremental_lsh,
-        "ivf_search_fixed": q_ivf_search_fixed,
-        "streaming_full_outer_join": q_streaming_full_outer_join,
-        "incremental_refresh": q_incremental_refresh,
-        "q21_suppliers_waiting": q_q21_suppliers_waiting,
-        "q20_potential_promotion": q_q20_potential_promotion,
-        "q12_late_shipments": q_q12_late_shipments,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "q11_important_parts": q_q11_important_parts,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
-        "q5_region_revenue": q_q5_region_revenue,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q8_market_share": q_q8_market_share,
-        "q13_custdist": q_q13_custdist,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "q22_sales_opportunity": q_q22_sales_opportunity,
         "text_winnow": q_text_winnow,
@@ -8684,6 +8840,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": q_stream_static_join,
         "cube_agg": q_cube_agg,
         "intersect_ops": q_intersect_ops,
+        # -- last driver-verified in round 10 --
+        "kneser_ney": q_kneser_ney,
+        "domain_census": q_domain_census,
+        "mojibake_repair": q_mojibake_repair,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "mlm_mask": q_mlm_mask,
+        "jl_project": q_jl_project,
+        "vocab_coverage": q_vocab_coverage,
+        "boilerplate_lines": q_boilerplate_lines,
+        "span_corrupt": q_span_corrupt,
+        "temperature_mix": q_temperature_mix,
+        "union_distinct": q_union_distinct,
+        "string_funcs": q_string_funcs,
+        "math_funcs": q_math_funcs,
+        "array_funcs": q_array_funcs,
+        "percentile_agg": q_percentile_agg,
+        "case_bucket": q_case_bucket,
+        "coalesce_funcs": q_coalesce_funcs,
+        "text_stats": q_text_stats,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "corpus_pipeline": q_corpus_pipeline,
+        "pagerank": q_pagerank,
+        "dedup_clusters": q_dedup_clusters,
+        "recursive_cte": q_recursive_cte,
+        "python_datasource": q_python_datasource,
+        "pit_join": q_pit_join,
+        "cdc_apply": q_cdc_apply,
+        "dedup_clusters_durable": q_dedup_clusters_durable,
+        "python_datasource_stream": q_python_datasource_stream,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_lsh": q_incremental_lsh,
+        "ivf_search_fixed": q_ivf_search_fixed,
+        "streaming_full_outer_join": q_streaming_full_outer_join,
+        "incremental_refresh": q_incremental_refresh,
+        "q21_suppliers_waiting": q_q21_suppliers_waiting,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q12_late_shipments": q_q12_late_shipments,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_parts": q_q11_important_parts,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q18_large_orders": q_q18_large_orders,
     }
 
 
@@ -17629,4 +17836,441 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_clusters_durable"] = out["dedup_clusters"]
     # the streaming read drains the identical synthetic corpus
     out["python_datasource_stream"] = out["python_datasource"]
+    # ---- round 11 oracles ----
+    # Hilbert layout: replay normalize_to_bits, then all 8 levels of
+    # the public xy2d loop as chained CTEs (reflect-then-swap frame
+    # transform; integer-only, so nothing can drift)
+    _hil_ctes = []
+    _hprev = "hnorm"
+    for _idx, _i in enumerate(range(7, -1, -1)):
+        _s = 1 << _i
+        _hil_ctes.append(f"""
+        h{_idx} as (
+          select o_custkey, o_totalprice,
+                 case when ry = 0
+                      then case when rx = 1 then {_s - 1} - hy
+                                else hy end
+                      else hx end as hx,
+                 case when ry = 0
+                      then case when rx = 1 then {_s - 1} - hx
+                                else hx end
+                      else hy end as hy,
+                 hd + {_s * _s} * xor(3 * rx, ry) as hd
+          from (
+            select o_custkey, o_totalprice, hx, hy, hd,
+                   case when (hx & {_s}) > 0 then 1 else 0 end as rx,
+                   case when (hy & {_s}) > 0 then 1 else 0 end as ry
+            from {_hprev}
+          )
+        )""")
+        _hprev = f"h{_idx}"
+    out["hilbert_layout"] = f"""
+        with bounds as (
+          select min(o_custkey)::double as lo_c,
+                 max(o_custkey)::double as hi_c,
+                 min(o_totalprice)::double as lo_p,
+                 max(o_totalprice)::double as hi_p
+          from orders
+        ),
+        hnorm as (
+          select o_custkey, o_totalprice,
+                 greatest(0, least(255, floor(
+                   (o_custkey::double - lo_c) / (hi_c - lo_c) * 256
+                 )))::bigint as hx,
+                 greatest(0, least(255, floor(
+                   (o_totalprice::double - lo_p) / (hi_p - lo_p) * 256
+                 )))::bigint as hy,
+                 0::bigint as hd
+          from orders, bounds
+        ),{",".join(_hil_ctes)}
+        select (hd >> 12)::int as bucket,
+               count(*) as n_rows,
+               min(o_custkey) as min_custkey,
+               max(o_custkey) as max_custkey,
+               min(o_totalprice) as min_price,
+               max(o_totalprice) as max_price
+        from {_hprev}
+        group by 1
+        order by 1
+    """
+    # ridge via hugeint Cramer; coefficients as half-away 6dp using
+    # exact // integral division (sign split because // truncates)
+    _rg_half = (
+        "case when {n} >= 0 "
+        "then ((2 * {n} * 1000000 + {d}) // (2 * {d})) "
+        "else -((2 * (-({n})) * 1000000 + {d}) // (2 * {d})) end"
+        " / 1000000.0"
+    )
+    out["ridge_normal"] = f"""
+        with q as (
+          select l_quantity::bigint as x1,
+                 floor(l_discount * 100 + 0.5)::bigint as x2,
+                 floor(l_extendedprice + 0.5)::bigint as y
+          from lineitem
+        ),
+        s as (
+          select count(*)::hugeint as n,
+                 sum(x1)::hugeint as s1, sum(x2)::hugeint as s2,
+                 sum(x1 * x1)::hugeint as s11,
+                 sum(x1 * x2)::hugeint as s12,
+                 sum(x2 * x2)::hugeint as s22,
+                 sum(y)::hugeint as sy,
+                 sum(x1 * y)::hugeint as s1y,
+                 sum(x2 * y)::hugeint as s2y
+          from q
+        ),
+        d as (
+          select n, s1, s2, s11 + 10 as a11, s12, s22 + 10 as a22,
+                 sy, s1y, s2y,
+                 n * ((s11 + 10) * (s22 + 10) - s12 * s12)
+                 - s1 * (s1 * (s22 + 10) - s12 * s2)
+                 + s2 * (s1 * s12 - (s11 + 10) * s2) as det,
+                 sy * ((s11 + 10) * (s22 + 10) - s12 * s12)
+                 - s1 * (s1y * (s22 + 10) - s12 * s2y)
+                 + s2 * (s1y * s12 - (s11 + 10) * s2y) as det0,
+                 n * (s1y * (s22 + 10) - s12 * s2y)
+                 - sy * (s1 * (s22 + 10) - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) as det1,
+                 n * ((s11 + 10) * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - (s11 + 10) * s2) as det2
+          from s
+        ),
+        e as (
+          select n,
+                 case when det >= 0 then det0 else -det0 end as n0,
+                 case when det >= 0 then det1 else -det1 end as n1,
+                 case when det >= 0 then det2 else -det2 end as n2,
+                 abs(det) as dd
+          from d
+        )
+        select n::bigint as n_rows,
+               {_rg_half.format(n="n0", d="dd")} as b0,
+               {_rg_half.format(n="n1", d="dd")} as b1,
+               {_rg_half.format(n="n2", d="dd")} as b2
+        from e
+    """
+    # classical decomposition: same centered window, same half-away
+    # integer means, same slot re-centering
+    _sd_half = (
+        "case when {s} >= 0 "
+        "then ((2 * {s} + {n}) // (2 * {n})) "
+        "else -((2 * (-({s})) + {n}) // (2 * {n})) end"
+    )
+    out["stl_decompose"] = f"""
+        with daily as (
+          select date_diff('day', DATE '1970-01-01', ts::date)
+                   as t,
+                 count(*)::bigint as y
+          from events group by 1
+        ),
+        base as (
+          select 'all' as g, t, ((t % 7) + 7) % 7 as j,
+                 y * 1000000 as ym
+          from daily
+        ),
+        tr as (
+          select g, t, j, ym,
+                 case when count(*) over w = 7
+                      then {_sd_half.format(s="sum(ym) over w", n="7")}
+                 end as trend
+          from base
+          window w as (partition by g order by t
+                       rows between 3 preceding and 3 following)
+        ),
+        raw as (
+          select g, j,
+                 {_sd_half.format(s="sum(ym - trend)",
+                                  n="count(*)")} as sraw
+          from tr where trend is not null
+          group by g, j
+        ),
+        cent as (
+          select g, j,
+                 sraw - {_sd_half.format(
+                     s="sum(sraw) over (partition by g)", n="7"
+                 )} as seas
+          from raw
+        )
+        select tr.g as g, tr.t as t,
+               ym / 1000000.0 as y,
+               trend / 1000000.0 as trend,
+               seas / 1000000.0 as seasonal,
+               (ym - trend - seas) / 1000000.0 as remainder
+        from tr left join cent on tr.g = cent.g and tr.j = cent.j
+        order by t
+    """
+    # Neyman: exact integer moments, one correctly-rounded sqrt,
+    # stratum-ordered normalizer fold (short list — list_reduce is
+    # safe at stratum cardinality), qualify-style ranked draw
+    out["neyman_sample"] = """
+        with m as (
+          select source as s, count(*)::bigint as n,
+                 sum(n_chars)::bigint as sy,
+                 sum(n_chars * n_chars)::bigint as syy
+          from documents group by 1
+        ),
+        sd as (
+          select s, n,
+                 case when n > 1
+                      then sqrt((n * syy - sy * sy)::double
+                                / (n * (n - 1))::double)
+                      else 0.0 end as sdev
+          from m
+        ),
+        w as (select s, n, sdev, n::double * sdev as w from sd),
+        k as (
+          select list_reduce(
+                   list_prepend(0.0::double,
+                                list(w order by s)),
+                   (a, b) -> a + b) as wsum
+          from w
+        ),
+        alloc as (
+          select s, n, sdev,
+                 case when (select wsum from k) > 0
+                      then least(n, floor(100.0 * w
+                                 / (select wsum from k)
+                                 + 0.5)::bigint)
+                      else 0 end as n_alloc
+          from w
+        ),
+        ranked as (
+          select source as s, n_chars as y,
+                 row_number() over (
+                   partition by source
+                   order by md5(doc_id::varchar || ':ney17')
+                 ) as rn
+          from documents
+        ),
+        kept as (
+          select r.s, count(*)::bigint as ns,
+                 sum(r.y)::bigint as ssum
+          from ranked r join alloc a on r.s = a.s
+          where r.rn <= a.n_alloc
+          group by r.s
+        )
+        select a.s as source,
+               a.n as n_pop,
+               floor(abs(a.sdev) * 1000000 + 0.5) / 1000000.0
+                 as s_dev,
+               a.n_alloc as n_alloc,
+               coalesce(k.ns, 0)::bigint as n_sampled,
+               case when k.ns > 0 then
+                 (case when k.ssum >= 0
+                       then ((2 * k.ssum * 1000000 + k.ns)
+                             // (2 * k.ns))
+                       else -((2 * (-k.ssum) * 1000000 + k.ns)
+                              // (2 * k.ns)) end) / 1000000.0
+               end as sample_y_mean
+        from alloc a left join kept k on a.s = k.s
+        order by a.s
+    """
+    # CDC chunking: boundaries via list_filter over range (the
+    # vectorized-SAFE list family), cuts, force-split, chunk md5s
+    out["cdc_chunks"] = """
+        with d as (
+          select doc_id, text, length(text)::bigint as n
+          from documents
+        ),
+        b as (
+          select doc_id, text, n,
+                 case when n >= 9 then
+                   list_filter(range(8, n), p ->
+                     ('0x' || substr(md5(substr(text,
+                        (p - 7)::int, 8)), 1, 8))::bigint % 64 = 0)
+                 else [] end as bounds
+          from d where n > 0
+        ),
+        c as (
+          select doc_id, text,
+                 list_concat(list_concat([0::bigint], bounds),
+                             [n]) as cuts
+          from b
+        ),
+        pr as (
+          select doc_id, text,
+                 flatten(list_transform(range(1, len(cuts)), i ->
+                   list_transform(
+                     range(0, ceil((cuts[(i + 1)::int]
+                                    - cuts[i::int]) / 256.0)::bigint),
+                     j -> struct_pack(
+                       s := cuts[i::int] + j * 256,
+                       e := least(cuts[(i + 1)::int],
+                                  cuts[i::int] + (j + 1) * 256))
+                   ))) as ps
+          from c
+        ),
+        px as (
+          select doc_id, text,
+                 unnest(list_transform(range(1, len(ps) + 1), i ->
+                   struct_pack(idx := i - 1,
+                               s := ps[i::int].s,
+                               e := ps[i::int].e))) as p
+          from pr
+        )
+        select doc_id,
+               p.idx::int as chunk_idx,
+               (p.s + 1)::bigint as chunk_start,
+               (p.e - p.s)::bigint as chunk_len,
+               md5(substr(text, (p.s + 1)::int,
+                          (p.e - p.s)::int)) as chunk_hash
+        from px
+        order by doc_id, chunk_idx
+    """
+    # permutation test: every relabeling replayed; the >= decision in
+    # hugeint cross-multiplication, the 6dp stat via exact //
+    out["permutation_test"] = """
+        with base as (
+          select doc_id::varchar as id, n_chars::bigint as y,
+                 (lang = 'en') as isa
+          from documents where lang in ('en', 'de')
+        ),
+        obs as (
+          select sum(case when isa then 1 else 0 end)::hugeint as na,
+                 sum(case when isa then 0 else 1 end)::hugeint as nb,
+                 sum(case when isa then y else 0 end)::hugeint as sa,
+                 sum(case when isa then 0 else y end)::hugeint as sb
+          from base
+        ),
+        obs2 as (
+          select na, nb, sa, sb,
+                 abs(sa * nb - sb * na) as num_o,
+                 na * nb as den_o
+          from obs
+        ),
+        asg as (
+          select b.id, b.y, j.j,
+                 ('0x' || substr(md5(b.id || ':' || j.j
+                    || ':pt17'), 1, 8))::bigint % 2 as side
+          from base b, (select unnest(range(0, 200)) as j) j
+        ),
+        perj as (
+          select j,
+                 sum(case when side = 0 then 1 else 0 end)::hugeint
+                   as pna,
+                 sum(case when side = 1 then 1 else 0 end)::hugeint
+                   as pnb,
+                 sum(case when side = 0 then y else 0 end)::hugeint
+                   as psa,
+                 sum(case when side = 1 then y else 0 end)::hugeint
+                   as psb
+          from asg group by j
+        ),
+        ge as (
+          select count(*) filter (
+                   where pna > 0 and pnb > 0
+                     and abs(psa * pnb - psb * pna) * den_o
+                         >= num_o * (pna * pnb)
+                 )::bigint as n_ge
+          from perj, obs2
+        )
+        select na::bigint as n_a, nb::bigint as n_b,
+               (case when sa >= 0
+                     then ((2 * sa * 1000000 + na) // (2 * na))
+                     else -((2 * (-sa) * 1000000 + na)
+                            // (2 * na)) end) / 1000000.0 as mean_a,
+               (case when sb >= 0
+                     then ((2 * sb * 1000000 + nb) // (2 * nb))
+                     else -((2 * (-sb) * 1000000 + nb)
+                            // (2 * nb)) end) / 1000000.0 as mean_b,
+               ((2 * num_o * 1000000 + den_o) // (2 * den_o))
+                 / 1000000.0 as stat_obs,
+               200::bigint as n_perms,
+               n_ge,
+               ((2 * (1 + n_ge) * 1000000 + 201) // (2 * 201))
+                 / 1000000.0 as p_value
+        from obs2, ge
+    """
+    # split-conformal: same md5 buckets, exact train-mean micro, the
+    # k-th order statistic via row_number, exact coverage ratio
+    out["conformal_interval"] = """
+        with base as (
+          select lang as g, n_chars::bigint as y,
+                 doc_id::varchar as id,
+                 ('0x' || substr(md5(doc_id::varchar || ':cf17'),
+                                 1, 8))::bigint % 5 as b
+          from documents
+        ),
+        model as (
+          select g, count(*)::bigint as n_train,
+                 ((2 * sum(y) * 1000000 + count(*))
+                  // (2 * count(*)))::bigint as yhat
+          from base where b <= 2 group by g
+        ),
+        cal as (
+          select c.g, abs(c.y * 1000000 - m.yhat) as r, c.id
+          from base c join model m using (g) where c.b = 3
+        ),
+        ranked as (
+          select g, r,
+                 row_number() over (partition by g
+                                    order by r, id) as rn,
+                 count(*) over (partition by g) as ncal
+          from cal
+        ),
+        q as (
+          select g, max(ncal)::bigint as n_calib,
+                 max(case when rn = ((ncal + 1) * 90 + 99) // 100
+                          then r end) as qh
+          from ranked group by g
+        ),
+        tst as (
+          select t.g, count(*)::bigint as n_test,
+                 sum(case when q.qh is not null
+                          and abs(t.y * 1000000 - m.yhat) <= q.qh
+                          then 1 else 0 end)::bigint as ncov
+          from base t
+          join model m using (g) join q using (g)
+          where t.b = 4
+          group by t.g
+        )
+        select m.g as lang,
+               m.n_train as n_train,
+               q.n_calib as n_calib,
+               t.n_test as n_test,
+               m.yhat / 1000000.0 as y_hat,
+               q.qh / 1000000.0 as q_hat,
+               case when q.qh is not null and t.n_test > 0 then
+                 ((2 * t.ncov * 1000000 + t.n_test)
+                  // (2 * t.n_test)) / 1000000.0
+               end as coverage
+        from model m join q using (g) join tst t using (g)
+        order by m.g
+    """
+    # calibration bins: rebuild the synthetic calibrated scorer from
+    # the same md5 draws; exact micro means, hugeint Brier //
+    out["calibration_bins"] = """
+        with scored as (
+          select ('0x' || substr(md5('p:' || doc_id::varchar),
+                                 1, 8))::bigint % 1000001 as p,
+                 case when ('0x' || substr(md5('y:'
+                        || doc_id::varchar), 1, 8))::bigint % 1000001
+                      < ('0x' || substr(md5('p:'
+                        || doc_id::varchar), 1, 8))::bigint % 1000001
+                      then 1 else 0 end as y
+          from documents
+        ),
+        agged as (
+          select floor(p * 10 / 1000001.0)::int as bin,
+                 count(*)::bigint as n,
+                 sum(p)::bigint as sp,
+                 sum(y)::bigint as sy,
+                 sum((p - y * 1000000)::hugeint
+                     * (p - y * 1000000)) as ssq
+          from scored group by 1
+        )
+        select bin, n,
+               ((2 * sp + n) // (2 * n)) / 1000000.0 as p_mean,
+               ((2 * sy * 1000000 + n) // (2 * n)) / 1000000.0
+                 as y_rate,
+               (((2 * sp + n) // (2 * n))
+                - ((2 * sy * 1000000 + n) // (2 * n)))
+                 / 1000000.0 as gap,
+               ((2 * ssq + n::hugeint * 1000000)
+                // (2 * n::hugeint * 1000000)) / 1000000.0 as brier
+        from agged
+        order by bin
+    """
+
     return out

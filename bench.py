@@ -147,6 +147,17 @@ HEADLINE = [
     "boilerplate_lines",
     "span_corrupt",
     "temperature_mix",
+    # round-11: Hilbert layout census, closed-form ridge, classical
+    # decomposition, Neyman sampling, content-defined chunking,
+    # randomization test, split-conformal, calibration bins
+    "hilbert_layout",
+    "ridge_normal",
+    "stl_decompose",
+    "neyman_sample",
+    "cdc_chunks",
+    "permutation_test",
+    "conformal_interval",
+    "calibration_bins",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

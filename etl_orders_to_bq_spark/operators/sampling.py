@@ -359,7 +359,7 @@ def neyman_allocation(
         F.abs(F.col("__sd")) * 1_000_000 + F.lit(0.5)
     ).cast("long")
     return (
-        alloc.join(kept, "__s", "left")
+        alloc.join(F.broadcast(kept), "__s", "left")
         .select(
             F.col("__s").alias(stratum_col),
             F.col("__n").cast("long").alias("n_pop"),
