@@ -8513,6 +8513,41 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "p_micro", "y").orderBy("bin")
 
 
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve (operators/classifier.py roc_curve) for the
+    weak length-predicts-English classifier: one point per distinct
+    n_chars threshold, cumulative >= counts from the scalable
+    two-pass global_cumsum_before (never a single-partition rank
+    window), TPR/FPR as exact half-away micro ratios. The oracle
+    replays the cumulative counts with a window (fixture-sized
+    curve; the engine path stays partitioned)."""
+    from etl_orders_to_bq_spark.operators.classifier import roc_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return roc_curve(d, "n_chars", "y")
+
+
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (operators/mix.py
+    doremi_mixture_weights, Xie et al. 2023): 3 exponentiated-
+    gradient rounds over per-source unigram cross-entropy, reference
+    loss re-weighted by the CURRENT alpha each round. Losses are
+    exact half-away micro means of 6dp token logprobs; the array
+    stage folds in source order and the exp is the engine's staged
+    Taylor-Horner kernel (shared literals with the oracle's
+    _det_exp_sql replay). Upweights hard domains — the mixture knob
+    of a pretraining data pipeline."""
+    from etl_orders_to_bq_spark.operators.mix import (
+        doremi_mixture_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return doremi_mixture_weights(d, "source", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8535,6 +8570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "conformal_interval": q_conformal_interval,
         "calibration_bins": q_calibration_bins,
+        "roc_curve": q_roc_curve,
+        "doremi_mix": q_doremi_mix,
         # -- last driver-verified in round 3 --
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "q22_sales_opportunity": q_q22_sales_opportunity,
@@ -18271,6 +18308,140 @@ def oracle_sql() -> dict[str, str]:
                 // (2 * n::hugeint * 1000000)) / 1000000.0 as brier
         from agged
         order by bin
+    """
+
+    # ROC curve: cumulative ">= threshold" counts; the oracle may use
+    # a plain window (fixture-sized curve), the engine path is the
+    # two-pass partitioned cumsum
+    out["roc_curve"] = """
+        with per as (
+          select n_chars::bigint as s,
+                 sum(case when lang = 'en' then 1 else 0 end)::bigint
+                   as np,
+                 sum(case when lang = 'en' then 0 else 1 end)::bigint
+                   as nn
+          from documents group by 1
+        ),
+        tot as (
+          select sum(np)::bigint as tp, sum(nn)::bigint as tn
+          from per
+        ),
+        cum as (
+          select s, np, nn,
+                 coalesce(sum(np) over (order by s
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as bp,
+                 coalesce(sum(nn) over (order by s
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as bn
+          from per
+        )
+        select s as score,
+               (tp - bp)::bigint as n_pos_ge,
+               (tn - bn)::bigint as n_neg_ge,
+               case when tp > 0 then
+                 ((2 * (tp - bp) * 1000000 + tp) // (2 * tp))
+                   / 1000000.0 end as tpr,
+               case when tn > 0 then
+                 ((2 * (tn - bn) * 1000000 + tn) // (2 * tn))
+                   / 1000000.0 end as fpr
+        from cum, tot
+        order by score desc
+    """
+    # DoReMi: per-domain unigram cross-entropy, then 3 rounds of the
+    # exponentiated-gradient update in source-ordered list arithmetic
+    # (k = 20 elements — the SAFE short-list regime for list_reduce);
+    # exp is the shared Taylor-Horner kernel, textually inlined
+    from etl_orders_to_bq_spark.operators.multitest import (
+        _det_exp_sql,
+    )
+
+    _dm_exp = _det_exp_sql("(1.0 * ((e) - mx))")
+    _dm_rounds = []
+    _dm_prev = "r0"
+    for _t_ in range(1, 4):
+        _dm_rounds.append(f"""
+        s{_t_}a as (
+          select *, list_reduce(list_prepend(0.0::double,
+                   list_transform(range(1, k + 1),
+                     i -> alpha[i::int] * L[i::int])),
+                 (x, y) -> x + y) as lref
+          from {_dm_prev}
+        ),
+        s{_t_}b as (
+          select *, list_transform(L, l ->
+                   case when l - lref > 0.0
+                        then l - lref else 0.0 end) as ex
+          from s{_t_}a
+        ),
+        s{_t_}c as (
+          select *, list_reduce(list_prepend(0.0::double, ex),
+                 (x, y) -> case when y > x then y else x end) as mx
+          from s{_t_}b
+        ),
+        s{_t_}d as (
+          select *, list_transform(ex, e -> {_dm_exp}) as tt
+          from s{_t_}c
+        ),
+        s{_t_}e as (
+          select *, list_transform(range(1, k + 1),
+                   i -> alpha[i::int] * tt[i::int]) as wgt
+          from s{_t_}d
+        ),
+        s{_t_}f as (
+          select *, list_reduce(list_prepend(0.0::double, wgt),
+                 (x, y) -> x + y) as z
+          from s{_t_}e
+        ),
+        r{_t_} as (
+          select a, k, L,
+                 list_transform(wgt,
+                   w -> 0.9 * (w / z) + 0.1 / k) as alpha
+          from s{_t_}f
+        )""")
+        _dm_prev = f"r{_t_}"
+    out["doremi_mix"] = f"""
+        with tok as (
+          select source as d,
+                 unnest(regexp_extract_all({_NORM}, '\\S+')) as w
+          from documents
+        ),
+        cnt as (select w, count(*)::bigint as c from tok group by w),
+        tt0 as (select sum(c)::bigint as t from cnt),
+        sc as (
+          select d,
+                 cast(round(round(log10(c / (select t from tt0)), 6)
+                            * 1000000, 0) as bigint) as lp
+          from tok join cnt using (w)
+        ),
+        dom as (
+          select d, count(*)::bigint as n,
+                 ((2 * -sum(lp) + count(*))
+                  // (2 * count(*)))::bigint as lm
+          from sc group by d
+        ),
+        one as (
+          select list(struct_pack(d := d, n := n, lm := lm)
+                      order by d) as a
+          from dom
+        ),
+        r0 as (
+          select a, len(a) as k,
+                 list_transform(a, x -> x.lm / 1000000.0) as L,
+                 list_transform(a, x -> 1.0 / len(a)) as alpha
+          from one
+        ),{",".join(_dm_rounds)},
+        numbered as (
+          select d, n, lm,
+                 row_number() over (order by d) as rn
+          from dom
+        )
+        select numbered.d as source,
+               numbered.n as n_tokens,
+               numbered.lm / 1000000.0 as loss,
+               round(alpha[numbered.rn::int], 6) as alpha
+        from numbered, {_dm_prev}
+        order by source
     """
 
     return out

@@ -158,6 +158,8 @@ HEADLINE = [
     "permutation_test",
     "conformal_interval",
     "calibration_bins",
+    "roc_curve",
+    "doremi_mix",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

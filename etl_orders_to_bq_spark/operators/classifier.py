@@ -436,3 +436,74 @@ def calibration_bins(
         ((p_mean_mi - y_rate_mi) / float(m1)).alias("gap"),
         (brier_mi / float(m1)).alias("brier"),
     )
+
+
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC curve — one point per DISTINCT score threshold s
+    (predict positive iff score >= s): cumulative true/false
+    positives, TPR and FPR. The classifier-eval staple (Fawcett 2006,
+    public), and the curve behind the AUC the rank tests summarize.
+
+    Exactness: scores must be integer-valued (the repo's contract —
+    float scores make threshold identity engine-dependent); per
+    distinct score the operator keeps integer (n_pos, n_neg) counts,
+    and ">= s" counts come from TOTALS minus the scalable two-pass
+    ``ranking.global_cumsum_before`` (range shuffle + partitioned
+    windows + a bounded offsets collect — NEVER a single-partition
+    ``rank() over (order by score)``). TPR/FPR are exact half-away
+    6dp micro ratios.
+
+    Output, ordered by threshold descending (curve order from (0,0)
+    corner): ``(score, n_pos_ge, n_neg_ge, tpr, fpr)``.
+
+    Scale: the curve has one row per distinct score — vocabulary-
+    sized, not corpus-sized; bucket scores upstream (e.g. to 1e4
+    grid) when the score domain is dense.
+    """
+    from .ranking import global_cumsum_before
+
+    m1 = 1_000_000
+    per = (
+        df.groupBy(F.col(score_col).cast("long").alias("__s"))
+        .agg(
+            F.sum(
+                F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("__np"),
+            F.sum(
+                F.when(F.col(label_col).cast("int") == 1, 0).otherwise(1)
+            ).alias("__nn"),
+        )
+    )
+    cum = global_cumsum_before(
+        per,
+        ["__s"],
+        ["__np", "__nn"],
+        num_partitions=num_partitions,
+        out_col=["__bp", "__bn"],
+    )
+    tot = per.agg(
+        F.sum("__np").alias("__tp"), F.sum("__nn").alias("__tn")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("__s").alias("score"),
+        (F.col("__tp") - F.col("__bp")).cast("long").alias("n_pos_ge"),
+        (F.col("__tn") - F.col("__bn")).cast("long").alias("n_neg_ge"),
+        F.col("__tp"),
+        F.col("__tn"),
+    )
+    rate = lambda n, d: F.when(  # noqa: E731
+        d > 0,
+        F.floor((2 * n * m1 + d) / (2.0 * d)).cast("long") / float(m1),
+    ).otherwise(F.lit(None).cast("double"))
+    return j.select(
+        "score",
+        "n_pos_ge",
+        "n_neg_ge",
+        rate(F.col("n_pos_ge"), F.col("__tp")).alias("tpr"),
+        rate(F.col("n_neg_ge"), F.col("__tn")).alias("fpr"),
+    ).orderBy(F.desc("score"))

@@ -342,3 +342,51 @@ def test_cdc_chunks_golden_and_shift_robust(spark):
     h1 = {r.chunk_hash for r in by[1]}
     h2 = {r.chunk_hash for r in by[2]}
     assert len(h1 & h2) >= len(h1) - 1
+
+
+def test_roc_curve_exact_counts_and_monotone(spark):
+    from etl_orders_to_bq_spark.operators.classifier import roc_curve
+
+    rows = [(i, (i * 37) % 100,
+             1 if ((i * 37) % 100) + (i % 40) > 70 else 0)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    cur = roc_curve(df, "score", "y").collect()
+    assert len(cur) == 100  # one row per distinct score
+    # ends anchored: top threshold ~ (small, 0-ish), bottom = (1, 1)
+    assert cur[-1].tpr == 1.0 and cur[-1].fpr == 1.0
+    # monotone non-decreasing along descending thresholds
+    assert all(
+        cur[i].tpr <= cur[i + 1].tpr and cur[i].fpr <= cur[i + 1].fpr
+        for i in range(len(cur) - 1)
+    )
+    # exact counts at one hand-checked threshold
+    P = sum(r[2] for r in rows)
+    at50 = next(r for r in cur if r.score == 50)
+    assert at50.n_pos_ge == sum(
+        1 for r in rows if r[1] >= 50 and r[2] == 1
+    )
+    assert P == cur[-1].n_pos_ge
+
+
+def test_doremi_upweights_hard_domain_and_sums_to_one(spark):
+    from etl_orders_to_bq_spark.operators.mix import (
+        doremi_mixture_weights,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((f"d{i}", "easy1", "common words common words common"))
+        rows.append((f"e{i}", "easy2",
+                     "common words appear here often common words"))
+        rows.append((f"h{i}", "hard",
+                     " ".join(f"rare{i}_{j}" for j in range(8))))
+    df = spark.createDataFrame(rows, ["id", "source", "text"])
+    out = doremi_mixture_weights(df).collect()
+    a = {r.source: r.alpha for r in out}
+    assert a["hard"] > a["easy1"] and a["hard"] > a["easy2"]
+    assert abs(sum(a.values()) - 1.0) < 1e-6
+    # smoothing floor: no domain below c/k
+    assert min(a.values()) >= 0.1 / 3 - 1e-9
+    # deterministic rerun
+    assert out == doremi_mixture_weights(df).collect()
