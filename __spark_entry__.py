@@ -8548,6 +8548,78 @@ def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_mixture_weights(d, "source", "text")
 
 
+def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 over threshold stumps (operators/classifier.py
+    adaboost_stumps — the original Freund-Schapire beta form, chosen
+    BECAUSE beta = err/(1-err) is a ratio of exact integers here):
+    3 boosting rounds on a planted length rule with 10% md5 label
+    noise, so round 1 recovers the split and later rounds fight the
+    reweighted noise. Per round: one groupBy(feature), the two-pass
+    partitioned cumsum for the threshold sweep, a 1-row argmin
+    collect; weights update by exact integral decimal div. The
+    oracle replays all three rounds as chained CTEs in hugeint."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        adaboost_stumps,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    planted = F.col("n_chars") >= 250
+    lab = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(planted != noise, 1).otherwise(0).alias("y"),
+    )
+    return adaboost_stumps(lab, "x", "y", rounds=3)
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration via the closed minimax form
+    (operators/classifier.py isotonic_calibration) of a deliberately
+    NON-monotone scorer: p = md5 micro-probability but y fires at
+    the tent-map rate f(p) = p below 0.5 and 1-p above, so the upper
+    deciles' rates fall and the fit must pool them. Interval
+    averages quantize half-away to the 6dp grid before the min/max;
+    the input is the model-sized decile table, so the bins^3 minimax
+    join is constant work. iso_rate is monotone by construction."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        isotonic_calibration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = lambda pfx: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(pfx), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % 1000001
+    p = h("p")
+    tent = F.when(p < 500000, p).otherwise(F.lit(1000000) - p)
+    scored = d.select(
+        F.floor(p * 10 / 1000001.0).cast("int").alias("bin"),
+        F.when(h("y") < tent, 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("n")
+    )
+    return isotonic_calibration(bins, "bin", "pos", "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8572,6 +8644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "roc_curve": q_roc_curve,
         "doremi_mix": q_doremi_mix,
+        "adaboost_stumps": q_adaboost_stumps,
+        "isotonic_calibration": q_isotonic_calibration,
         # -- last driver-verified in round 3 --
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "q22_sales_opportunity": q_q22_sales_opportunity,
@@ -18442,6 +18516,146 @@ def oracle_sql() -> dict[str, str]:
                round(alpha[numbered.rn::int], 6) as alpha
         from numbered, {_dm_prev}
         order by source
+    """
+
+    # AdaBoost.M1: all three rounds replayed as chained CTEs — per
+    # round a weighted class-sum per threshold, a window cumsum
+    # threshold sweep, the (err, s, pol) argmin, and the exact
+    # hugeint // downweight of correct rows
+    _ab_rounds = []
+    _ab_finals = []
+    for _t_ in range(1, 4):
+        _ab_rounds.append(f"""
+        per{_t_} as (
+          select x,
+                 sum(case when p then w else 0 end)::hugeint as wp,
+                 sum(case when p then 0 else w end)::hugeint as wn
+          from w{_t_} group by x
+        ),
+        cum{_t_} as (
+          select x, wp, wn,
+                 coalesce(sum(wp) over (order by x
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as cp,
+                 coalesce(sum(wn) over (order by x
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as cn
+          from per{_t_}
+        ),
+        tot{_t_} as (
+          select sum(wp)::hugeint as tp, sum(wn)::hugeint as tn
+          from per{_t_}
+        ),
+        cand{_t_} as (
+          select e, s, pol from (
+            select (cp + tn - cn) as e, x as s, 0 as pol
+            from cum{_t_}, tot{_t_}
+            union all
+            select (tp + tn) - (cp + tn - cn) as e, x as s, 1 as pol
+            from cum{_t_}, tot{_t_}
+          )
+        ),
+        best{_t_} as (
+          select e, s, pol,
+                 (select tp + tn from tot{_t_}) as wt,
+                 greatest(e, 1) as en,
+                 (select tp + tn from tot{_t_}) - greatest(e, 1)
+                   as ed
+          from cand{_t_}
+          order by e, s, pol limit 1
+        ),
+        w{_t_ + 1} as (
+          select w.x, w.p,
+                 case when (b.pol = 0 and ((w.x >= b.s) = w.p))
+                        or (b.pol = 1 and ((w.x < b.s) = w.p))
+                      then (w.w::hugeint * b.en) // b.ed
+                      else w.w end as w
+          from w{_t_} w, best{_t_} b
+        )""")
+        _ab_finals.append(f"""
+        select {_t_} as round, s::bigint as split_at,
+               case when pol = 0 then 'ge' else 'lt' end as polarity,
+               ((2 * e * 1000000 + wt) // (2 * wt)) / 1000000.0
+                 as weighted_err,
+               ((2 * en * 1000000 + ed) // (2 * ed)) / 1000000.0
+                 as beta
+        from best{_t_}""")
+    out["adaboost_stumps"] = f"""
+        with lab as (
+          select n_chars::bigint as x,
+                 ((n_chars >= 250)
+                  != (('0x' || substr(md5('ab:' || doc_id::varchar),
+                       1, 8))::bigint % 10 = 0)) as p
+          from documents
+        ),
+        w1 as (select x, p, 1000000::bigint as w from lab),
+        {",".join(_ab_rounds)}
+        {" union all ".join(_ab_finals)}
+        order by round
+    """
+    # isotonic minimax: same prefix sums, same 6dp-grid interval
+    # rates, same max-of-min over the (i <= k <= j) lattice
+    out["isotonic_calibration"] = """
+        with scored as (
+          select floor((('0x' || substr(md5('p:' || doc_id::varchar),
+                   1, 8))::bigint % 1000001) * 10 / 1000001.0)::int
+                   as bin,
+                 case when ('0x' || substr(md5('y:'
+                        || doc_id::varchar), 1, 8))::bigint % 1000001
+                      < (case when ('0x' || substr(md5('p:'
+                           || doc_id::varchar), 1, 8))::bigint
+                           % 1000001 < 500000
+                         then ('0x' || substr(md5('p:'
+                           || doc_id::varchar), 1, 8))::bigint
+                           % 1000001
+                         else 1000000 - ('0x' || substr(md5('p:'
+                           || doc_id::varchar), 1, 8))::bigint
+                           % 1000001 end)
+                      then 1 else 0 end as y
+          from documents
+        ),
+        bins as (
+          select bin, sum(y)::bigint as p, count(*)::bigint as n
+          from scored group by bin
+        ),
+        pref as (
+          select bin, p, n,
+                 row_number() over (order by bin) as rn,
+                 sum(p) over (order by bin
+                   rows between unbounded preceding
+                   and current row) as cp,
+                 sum(n) over (order by bin
+                   rows between unbounded preceding
+                   and current row) as cn
+          from bins
+        ),
+        iv as (
+          select li.rn as i, rj.rn as j,
+                 (rj.cp - (li.cp - li.p)) as ip,
+                 (rj.cn - (li.cn - li.n)) as xn
+          from pref li join pref rj on li.rn <= rj.rn
+        ),
+        ivr as (
+          select i, j,
+                 ((2 * ip * 1000000 + xn) // (2 * xn)) as r
+          from iv
+        ),
+        fitted as (
+          select k, max(mn) as iso from (
+            select g.rn as k, ivr.i, min(ivr.r) as mn
+            from ivr join pref g
+              on ivr.i <= g.rn and g.rn <= ivr.j
+            group by g.rn, ivr.i
+          ) group by k
+        )
+        select pref.bin as bin,
+               pref.p as pos,
+               pref.n as n,
+               ((2 * pref.p * 1000000 + pref.n) // (2 * pref.n))
+                 / 1000000.0 as rate,
+               fitted.iso / 1000000.0 as iso_rate
+        from pref join fitted on pref.rn = fitted.k
+        order by bin
     """
 
     return out

@@ -160,6 +160,8 @@ HEADLINE = [
     "calibration_bins",
     "roc_curve",
     "doremi_mix",
+    "adaboost_stumps",
+    "isotonic_calibration",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -507,3 +507,245 @@ def roc_curve(
         rate(F.col("n_pos_ge"), F.col("__tp")).alias("tpr"),
         rate(F.col("n_neg_ge"), F.col("__tn")).alias("fpr"),
     ).orderBy(F.desc("score"))
+
+
+def adaboost_stumps(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """AdaBoost.M1 over threshold stumps (Freund & Schapire 1997,
+    public — the ORIGINAL beta-form: correct examples are downweighted
+    by beta_t = err_t/(1-err_t), which is a RATIO OF EXACT INTEGERS
+    here, so the whole boost replays bit-for-bit on any engine; the
+    exp/alpha reformulation would drag order-dependent float sums
+    into every round).
+
+    Stump family per round: predict +1 iff feature >= s ("ge"
+    polarity) or its complement ("lt"), s ranging over the distinct
+    feature values; the round picks (err, s, polarity)-lexicographic
+    minimum weighted error. ``feature_col`` must be integer-valued,
+    ``label_col`` 0/1. Weights start at 1e6 micro-units and correct
+    rows take w <- w*err_num // err_den (floor — the deterministic
+    quantization; err_num clamped to >= 1 so a perfect stump cannot
+    zero the distribution).
+
+    Output: one row per round ``(round, split_at, polarity,
+    weighted_err, beta)`` with weighted_err/beta exact half-away 6dp
+    of their integer rationals.
+
+    Scale per round: one groupBy(feature) for weighted class sums
+    (map-side combinable), the two-pass partitioned
+    ``global_cumsum_before`` for the threshold sweep (never a
+    single-partition window), and a ONE-ROW argmin collect. Weights
+    are never materialized per row: round t's weight is a chained
+    literal-parameter expression over (feature, label) — the stump
+    params are model-sized, so the lineage is 3 small projections.
+    """
+    from .ranking import global_cumsum_before
+
+    m1 = 1_000_000
+    x = F.col(feature_col).cast("long")
+    ypos = F.col(label_col).cast("int") == 1
+    cur = df.select(x.alias("__x"), ypos.alias("__p")).withColumn(
+        "__w", F.lit(m1).cast("long")
+    )
+    results = []
+    for t in range(1, int(rounds) + 1):
+        per = (
+            cur.groupBy("__x")
+            .agg(
+                F.sum(F.when(F.col("__p"), F.col("__w")).otherwise(0))
+                .alias("__wp"),
+                F.sum(F.when(~F.col("__p"), F.col("__w")).otherwise(0))
+                .alias("__wn"),
+            )
+        )
+        cum = global_cumsum_before(
+            per,
+            ["__x"],
+            ["__wp", "__wn"],
+            num_partitions=num_partitions,
+            out_col=["__cp", "__cn"],
+        )
+        tot = per.agg(
+            F.sum("__wp").alias("__tp"), F.sum("__wn").alias("__tn")
+        )
+        errs = cum.crossJoin(F.broadcast(tot)).select(
+            "__x",
+            (F.col("__cp") + F.col("__tn") - F.col("__cn")).alias(
+                "__ege"
+            ),
+            (
+                F.col("__tp") + F.col("__tn")
+                - (F.col("__cp") + F.col("__tn") - F.col("__cn"))
+            ).alias("__elt"),
+        )
+        cand = errs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__ege").alias("e"),
+                        F.col("__x").alias("s"),
+                        F.lit(0).alias("pol"),
+                    ),
+                    F.struct(
+                        F.col("__elt").alias("e"),
+                        F.col("__x").alias("s"),
+                        F.lit(1).alias("pol"),
+                    ),
+                )
+            ).alias("c")
+        )
+        best = cand.agg(F.min("c").alias("b")).first().b
+        e_min, s_min, pol = int(best.e), int(best.s), int(best.pol)
+        w_tot = int(cur.agg(F.sum("__w")).first()[0])
+        err_num = max(e_min, 1)  # perfect-stump clamp
+        err_den = w_tot - err_num
+        if err_den <= 0:
+            raise ValueError("degenerate boost: err >= total weight")
+        # half-away 6dp of the exact rationals (unbounded ints)
+        em = (2 * e_min * m1 + w_tot) // (2 * w_tot)
+        bm = (2 * err_num * m1 + err_den) // (2 * err_den)
+        results.append(
+            (t, s_min, "ge" if pol == 0 else "lt", em / 1e6, bm / 1e6)
+        )
+        # correct under this stump: (x >= s) == predicted positive.
+        # The downweight is EXACT integral decimal division ("div") —
+        # a decimal `*`/`/` pair rounds the quotient at scale-6 before
+        # any floor (the permutation_test discipline), and a double
+        # floor-division loses exactness past 2^53.
+        pred_pos = (
+            F.col("__x") >= s_min
+            if pol == 0
+            else F.col("__x") < s_min
+        )
+        correct = pred_pos == F.col("__p")
+        cur = cur.withColumn(
+            "__w",
+            F.when(
+                correct,
+                F.expr(
+                    f"(cast(__w as decimal(38,0)) * {err_num})"
+                    f" div {err_den}"
+                ),
+            ).otherwise(F.col("__w")),
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        results,
+        "round int, split_at long, polarity string, "
+        "weighted_err double, beta double",
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    order_col: str,
+    pos_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Isotonic (PAVA) calibration of a binned rate table — the
+    standard monotone recalibration of classifier scores (Zadrozny &
+    Elkan 2002, public). Instead of the sequential pool-adjacent-
+    violators loop, the fit uses its closed MINIMAX form (Robertson
+    et al., Order Restricted Statistical Inference):
+
+        iso(k) = max_{i<=k} min_{j>=k} (sum pos[i..j] / sum n[i..j])
+
+    which is pure joins + aggregates — engine-replayable with no
+    fold. Interval averages are exact integer rationals quantized
+    half-away to the 6dp micro grid BEFORE the min/max (so the
+    min/max order is engine-independent; the fit is isotonic on the
+    grid).
+
+    INPUT CONTRACT: ``df`` is an already-aggregated model-sized bin
+    table (calibration bins, score deciles — tens of rows, never
+    corpus rows), so the O(bins^2) interval build, the single-
+    partition prefix window and the bins^3 minimax join are all
+    constant-sized; do NOT point this at raw data — bin first
+    (calibration_bins).
+
+    Output per bin: ``(order_col, pos, n, rate, iso_rate)`` with
+    iso_rate monotone non-decreasing in ``order_col``.
+    """
+    from pyspark.sql import Window
+
+    m1 = 1_000_000
+    w = Window.orderBy(order_col)
+    pref = df.select(
+        F.col(order_col).alias("__b"),
+        F.col(pos_col).cast("long").alias("__p"),
+        F.col(n_col).cast("long").alias("__n"),
+    ).withColumns(
+        {
+            "__rn": F.row_number().over(w.orderBy("__b")),
+            "__cp": F.sum("__p").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+            "__cn": F.sum("__n").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        }
+    )
+    li = pref.select(
+        F.col("__rn").alias("__i"),
+        (F.col("__cp") - F.col("__p")).alias("__xp"),
+        (F.col("__cn") - F.col("__n")).alias("__xn"),
+    )
+    rj = pref.select(
+        F.col("__rn").alias("__j"),
+        F.col("__cp").alias("__jp"),
+        F.col("__cn").alias("__jn"),
+    )
+    iv = (
+        li.join(rj, F.col("__i") <= F.col("__j"))
+        .select(
+            "__i",
+            "__j",
+            (F.col("__jp") - F.col("__xp")).alias("__ip"),
+            (F.col("__jn") - F.col("__xn")).alias("__in"),
+        )
+        .withColumn(
+            "__r",
+            F.floor(
+                (2 * F.col("__ip") * m1 + F.col("__in"))
+                / (2.0 * F.col("__in"))
+            ).cast("long"),
+        )
+    )
+    grid = pref.select(F.col("__rn").alias("__k"))
+    fitted = (
+        iv.join(
+            grid,
+            (F.col("__i") <= F.col("__k"))
+            & (F.col("__k") <= F.col("__j")),
+        )
+        .groupBy("__k", "__i")
+        .agg(F.min("__r").alias("__mn"))
+        .groupBy("__k")
+        .agg(F.max("__mn").alias("__iso"))
+    )
+    return (
+        pref.join(fitted, pref["__rn"] == fitted["__k"])
+        .select(
+            F.col("__b").alias(order_col),
+            F.col("__p").alias("pos"),
+            F.col("__n").alias("n"),
+            (
+                F.floor(
+                    (2 * F.col("__p") * m1 + F.col("__n"))
+                    / (2.0 * F.col("__n"))
+                ).cast("long")
+                / float(m1)
+            ).alias("rate"),
+            (F.col("__iso") / float(m1)).alias("iso_rate"),
+        )
+        .orderBy(order_col)
+    )

@@ -390,3 +390,41 @@ def test_doremi_upweights_hard_domain_and_sums_to_one(spark):
     assert min(a.values()) >= 0.1 / 3 - 1e-9
     # deterministic rerun
     assert out == doremi_mixture_weights(df).collect()
+
+
+def test_adaboost_recovers_planted_split_under_noise(spark):
+    from etl_orders_to_bq_spark.operators.classifier import (
+        adaboost_stumps,
+    )
+
+    rows = [(i, (i * 37) % 100, 1 if ((i * 37) % 100) >= 55 else 0)
+            for i in range(400)]
+    rows = [(i, x, (1 - y) if i % 17 == 0 else y) for i, x, y in rows]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = adaboost_stumps(df, "x", "y", rounds=3).collect()
+    assert out[0].split_at == 55 and out[0].polarity == "ge"
+    # round-1 error ~ the planted noise rate (24/400 flipped)
+    assert abs(out[0].weighted_err - 0.06) < 1e-9
+    assert out[0].beta < 0.1
+    # beta-downweighting makes later rounds fight the noise
+    assert out[1].weighted_err > out[0].weighted_err
+    assert out == adaboost_stumps(df, "x", "y", rounds=3).collect()
+
+
+def test_isotonic_calibration_pools_violators_exactly(spark):
+    from etl_orders_to_bq_spark.operators.classifier import (
+        isotonic_calibration,
+    )
+
+    bins = [(0, 5, 100), (1, 15, 100), (2, 25, 100), (3, 45, 100),
+            (4, 40, 100), (5, 30, 100), (6, 50, 100), (7, 70, 100)]
+    bdf = spark.createDataFrame(bins, ["bin", "pos", "n"])
+    out = isotonic_calibration(bdf, "bin", "pos", "n").collect()
+    vals = [r.iso_rate for r in out]
+    assert all(vals[i] <= vals[i + 1] + 1e-12
+               for i in range(len(vals) - 1))
+    # the (45, 40, 30) violator block pools to its weighted mean
+    assert vals[3] == vals[4] == vals[5] == 0.383333
+    # monotone prefix/suffix untouched
+    assert vals[:3] == [0.05, 0.15, 0.25]
+    assert vals[6:] == [0.5, 0.7]
