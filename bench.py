@@ -1140,6 +1140,26 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 .first()
             )
             out[f"semdedup_10x_max_cluster_bits{bits}"] = int(sizes["mx"])
+
+        # r11: content-defined chunking is char-linear scan work with
+        # zero shuffle — growth must track the char census (the
+        # per-position window md5 is the work term; the gear-hash
+        # production swap removes the O(w) factor, not the O(n))
+        from etl_orders_to_bq_spark.operators.chunk import (
+            cdc_chunk_documents,
+        )
+
+        t1 = _timed(lambda: cdc_chunk_documents(d1), runs=2)
+        t0 = time.perf_counter()
+        _force(cdc_chunk_documents(d10))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["cdc_chunks_1x"] = t1["median"]
+        out["cdc_chunks_10x"] = t10
+        out["cdc_chunks_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        for tag, d in (("1x", d1), ("10x", d10)):
+            out[f"cdc_chunks_{tag}_chars"] = int(
+                d.agg(F.sum(F.length("text"))).first()[0] or 0
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
