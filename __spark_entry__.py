@@ -8441,8 +8441,18 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_chunk_documents,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    return cdc_chunk_documents(d).orderBy("doc_id", "chunk_idx")
+    d = _spread_if_underpartitioned(
+        spark, _t(spark, sf_dir, "documents")
+    )
+    # checkpoint BARRIER after the spread: Catalyst pushes the cheap
+    # projection below the round-robin exchange, and with it the
+    # whole per-position hash chain lands on the ONE input split
+    # (measured 13 s vs 1.2 s at sf0.1); the barrier pins the heavy
+    # map work above the 32-way exchange. No orderBy: the compare is
+    # order-insensitive and a range sort would sample-evaluate the
+    # projection twice.
+    d = d.localCheckpoint()
+    return cdc_chunk_documents(d)
 
 
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,38 +127,50 @@ def cdc_chunk_documents(
     ).otherwise(F.array().cast("array<int>"))
     # chunk bounds: 0 ++ content boundaries ++ n, then each (s, e)
     # force-split at max_len offsets
+    # STAGE the cut list as a real column BEFORE any lambda touches
+    # it: `cuts` embeds the whole per-position md5 boundary scan, and
+    # referencing it via element_at inside the pair lambdas
+    # re-evaluates that scan PER ELEMENT (interpreted HOFs get no CSE
+    # — the r6/r10 measured trap; here it was 253 s -> ~3 s at sf0.1)
     cuts = F.concat(
         F.array(F.lit(0).cast("int")),
         bounds.cast("array<int>"),
         F.array(n.cast("int")),
     )
-    pairs = F.when(
-        n > 0,
-        F.flatten(
-            F.transform(
-                F.slice(cuts, 1, F.size(cuts) - 1),
-                lambda s, i: F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.ceil(
-                            (F.element_at(cuts, i + 2) - s)
-                            / F.lit(float(max_len))
-                        ).cast("int")
-                        - 1,
-                    ),
-                    lambda j: F.struct(
-                        (s + j * max_len).alias("s"),
-                        F.least(
-                            F.element_at(cuts, i + 2),
-                            s + (j + 1) * max_len,
-                        ).alias("e"),
-                    ),
-                ),
-            )
-        ),
+    cut_df = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.when(n > 0, cuts).alias("__cuts"),
     )
-    staged = df.select(
-        F.col(id_col), t.alias("__t"), pairs.alias("__ps")
+    # zip the cut list with its own tail instead of element_at
+    # indexing: element_at(cc, i+2) inside the lambda re-evaluates
+    # the (possibly re-inlined) cut expression PER ELEMENT —
+    # CollapseProject can fold the staging projection away, and the
+    # measured cost was 47 s vs ~3 s at sf0.1. The zip form touches
+    # cc a constant number of times per row no matter what the
+    # optimizer inlines.
+    cc = F.col("__cuts")
+    pairs = F.flatten(
+        F.zip_with(
+            F.slice(cc, 1, F.size(cc) - 1),
+            F.slice(cc, 2, F.size(cc) - 1),
+            lambda s, e: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(
+                        (e - s) / F.lit(float(max_len))
+                    ).cast("int")
+                    - 1,
+                ),
+                lambda j: F.struct(
+                    (s + j * max_len).alias("s"),
+                    F.least(e, s + (j + 1) * max_len).alias("e"),
+                ),
+            ),
+        )
+    )
+    staged = cut_df.select(
+        F.col(id_col), F.col("__t"), pairs.alias("__ps")
     ).filter(F.size("__ps") > 0)
     ex = staged.select(
         id_col,
