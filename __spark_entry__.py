@@ -8444,14 +8444,11 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread_if_underpartitioned(
         spark, _t(spark, sf_dir, "documents")
     )
-    # checkpoint BARRIER after the spread: Catalyst pushes the cheap
-    # projection below the round-robin exchange, and with it the
-    # whole per-position hash chain lands on the ONE input split
-    # (measured 13 s vs 1.2 s at sf0.1); the barrier pins the heavy
-    # map work above the 32-way exchange. No orderBy: the compare is
-    # order-insensitive and a range sort would sample-evaluate the
-    # projection twice.
-    d = d.localCheckpoint()
+    # no orderBy: the compare is order-insensitive and a range sort
+    # would sample-evaluate the hash projection a second time (the
+    # empty-doc filter lives INSIDE the operator as a cheap length
+    # predicate — a size(pairs) filter pushed the whole boundary
+    # scan below the spread exchange; see cdc_chunk_documents)
     return cdc_chunk_documents(d)
 
 
