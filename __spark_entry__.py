@@ -8627,6 +8627,46 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(bins, "bin", "pos", "n")
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths via the MM algorithm
+    (operators/preference.py bradley_terry, Hunter 2004 — the
+    pairwise-preference fit behind reward-model data work): each
+    document synthesizes one comparison between its source and an
+    md5-drawn opponent source, with the winner drawn by the EXACT
+    integer rational h % (s_a+s_b) < s_a against planted strengths
+    s(srcK) = K+1 — so the fit must recover an increasing ladder.
+    The comparison stream collapses to the item-PAIR table first
+    (one map-side groupBy); 3 MM rounds run on the 20-item table
+    with opponent-ordered folds and per-round 6dp re-quantization.
+    The oracle replays the draw and all rounds in list arithmetic."""
+    from etl_orders_to_bq_spark.operators.preference import (
+        bradley_terry,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = lambda pfx: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(pfx), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    bk = h("b") % 20
+    sa = F.substring(F.col("source"), 4, 10).cast("long") + 1
+    sb = bk + 1
+    comp = d.select(
+        F.col("source").alias("a"),
+        F.concat(F.lit("src"), bk.cast("string")).alias("b"),
+        F.when(h("w") % (sa + sb) < sa, 1).otherwise(0).alias("win"),
+    ).filter(F.col("a") != F.col("b"))
+    return bradley_terry(comp, "a", "b", "win", rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8653,6 +8693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_mix": q_doremi_mix,
         "adaboost_stumps": q_adaboost_stumps,
         "isotonic_calibration": q_isotonic_calibration,
+        "bradley_terry": q_bradley_terry,
         # -- last driver-verified in round 3 --
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "q22_sales_opportunity": q_q22_sales_opportunity,
@@ -18663,6 +18704,86 @@ def oracle_sql() -> dict[str, str]:
                fitted.iso / 1000000.0 as iso_rate
         from pref join fitted on pref.rn = fitted.k
         order by bin
+    """
+
+    # Bradley-Terry: the comparison fixture (exact integer-rational
+    # winner draw), the undirected pair census, and 3 MM rounds with
+    # opponent-ordered folds + per-round micro re-quantization
+    _bt_rounds = []
+    _bt_prev = "w0"
+    for _t_ in range(1, 4):
+        _bt_rounds.append(f"""
+        d{_t_} as (
+          select dd.i,
+                 list_reduce(list_prepend(0.0::double,
+                   list(dd.n::double
+                        / ((wi.s + wj.s) / 1000000.0)
+                        order by dd.j)),
+                   (x, y) -> x + y) as den
+          from directed dd
+          join {_bt_prev} wi on dd.i = wi.i
+          join {_bt_prev} wj on dd.j = wj.i
+          group by dd.i
+        ),
+        r{_t_} as (
+          select t.i, t.wins::double / d{_t_}.den as r
+          from totals t join d{_t_} using (i)
+        ),
+        n{_t_} as (
+          select count(*)::bigint as k,
+                 list_reduce(list_prepend(0.0::double,
+                   list(r order by i)), (x, y) -> x + y) as s
+          from r{_t_}
+        ),
+        w{_t_} as (
+          select i,
+                 floor(r * (select k from n{_t_})
+                       / (select s from n{_t_})
+                       * 1000000.0 + 0.5)::bigint as s
+          from r{_t_}
+        )""")
+        _bt_prev = f"w{_t_}"
+    out["bradley_terry"] = f"""
+        with comp as (
+          select source as a,
+                 'src' || cast(('0x' || substr(md5('b:'
+                    || doc_id::varchar), 1, 8))::bigint % 20
+                    as varchar) as b,
+                 case when ('0x' || substr(md5('w:'
+                        || doc_id::varchar), 1, 8))::bigint
+                      % ((cast(substr(source, 4) as bigint) + 1)
+                         + (('0x' || substr(md5('b:'
+                            || doc_id::varchar), 1, 8))::bigint % 20
+                            + 1))
+                      < cast(substr(source, 4) as bigint) + 1
+                      then 1 else 0 end as win
+          from documents
+        ),
+        filt as (select * from comp where a != b),
+        pairs as (
+          select least(a, b) as lo, greatest(a, b) as hi,
+                 count(*)::bigint as n,
+                 sum(case when a < b then win
+                          else 1 - win end)::bigint as wlo
+          from filt group by 1, 2
+        ),
+        directed as (
+          select lo as i, hi as j, n, wlo as w from pairs
+          union all
+          select hi as i, lo as j, n, n - wlo as w from pairs
+        ),
+        totals as (
+          select i, sum(n)::bigint as nc, sum(w)::bigint as wins
+          from directed group by i
+        ),
+        w0 as (select i, 1000000::bigint as s from totals),
+        {",".join(_bt_rounds)}
+        select t.i as item,
+               t.nc as n_comparisons,
+               t.wins as n_wins,
+               w.s / 1000000.0 as strength
+        from totals t join {_bt_prev} w using (i)
+        order by item
     """
 
     return out

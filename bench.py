@@ -162,6 +162,7 @@ HEADLINE = [
     "doremi_mix",
     "adaboost_stumps",
     "isotonic_calibration",
+    "bradley_terry",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -205,6 +206,12 @@ ITERATIVE = {
     "bpe_encode",
     # region count/probe jobs run at construction
     "hard_negatives",
+    # r11: the 9-sum collect + driver Cramer run at construction
+    "ridge_normal",
+    # r11: 3 boosting rounds of argmin/total collects at construction
+    "adaboost_stumps",
+    # r11: 3 MM rounds with per-round localCheckpoints at construction
+    "bradley_terry",
 }
 
 

@@ -428,3 +428,34 @@ def test_isotonic_calibration_pools_violators_exactly(spark):
     # monotone prefix/suffix untouched
     assert vals[:3] == [0.05, 0.15, 0.25]
     assert vals[6:] == [0.5, 0.7]
+
+
+def test_bradley_terry_recovers_planted_ladder(spark):
+    import hashlib
+
+    from etl_orders_to_bq_spark.operators.preference import (
+        bradley_terry,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    items = [f"it{k}" for k in range(5)]
+    rows = []
+    for rep in range(400):
+        a, b = items[h(f"a{rep}") % 5], items[h(f"b{rep}") % 5]
+        if a == b:
+            continue
+        sa, sb = int(a[2:]) + 1, int(b[2:]) + 1
+        rows.append((a, b, 1 if h(f"w{rep}") % (sa + sb) < sa else 0))
+    df = spark.createDataFrame(rows, ["a", "b", "win"])
+    out = bradley_terry(df, "a", "b", "win").collect()
+    s = {r.item: r.strength for r in out}
+    # strengths normalized to sum = k and the extremes in order
+    assert abs(sum(s.values()) - 5.0) < 1e-6
+    assert s["it4"] > s["it3"] > s["it0"]
+    assert s["it4"] > 3 * s["it0"]
+    # counts are the exact census
+    assert sum(r.n_comparisons for r in out) == 2 * len(rows)
+    # deterministic rerun
+    assert out == bradley_terry(df, "a", "b", "win").collect()
