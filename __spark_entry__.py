@@ -8667,6 +8667,49 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(comp, "a", "b", "win", rounds=3)
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across every event_type's value distribution
+    (operators/multitest.py kruskal_wallis) — the k-group rank test.
+    Same exact-rank machinery as mann_whitney (two-pass
+    global_cumsum_before, doubled decimal(38,0) rank sums, exact tie
+    correction); the cross-group sum R_g^2/n_g is a SORTED FOLD over
+    the bounded group domain so float order is engine-pinned. The
+    oracle replays the cumsum with a window (semantics, not plan) and
+    the fold with list_reduce(list_transform(list_sort(...)))."""
+    from etl_orders_to_bq_spark.operators.multitest import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events")
+    return kruskal_wallis(e, "event_type", "value")
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over lineitem revenue by return flag
+    (operators/multitest.py anova_oneway). Group moments are EXACT
+    decimal sums (S_g at (38,2), sum of squares at (38,4) — the
+    money-exact fixture contract); the only float mixing,
+    sum_g S_g^2/n_g, is the sorted-fold-over-groups discipline, and
+    F is a fixed-order double expression over the two 6dp-rounded
+    sums of squares."""
+    from etl_orders_to_bq_spark.operators.multitest import anova_oneway
+
+    li = _t(spark, sf_dir, "lineitem")
+    return anova_oneway(li, "l_returnflag", "l_extendedprice")
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudomedian of supplier balances per nation
+    (operators/multitest.py hodges_lehmann): median of all n(n+1)/2
+    Walsh averages via a bounded within-group self-join, the two
+    middle order statistics picked by a row_number tie-broken on
+    (i, j), collapsed with ONE rounded /4 division over exact
+    decimal(38,2) sums. Groups are nation-sized (bounded-domain
+    contract, documented)."""
+    from etl_orders_to_bq_spark.operators.multitest import hodges_lehmann
+
+    s = _t(spark, sf_dir, "supplier")
+    return hodges_lehmann(s, "s_nationkey", "s_acctbal", "s_suppkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8681,6 +8724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "kruskal_wallis": q_kruskal_wallis,
+        "anova_oneway": q_anova_oneway,
+        "hodges_lehmann": q_hodges_lehmann,
         "hilbert_layout": q_hilbert_layout,
         "ridge_normal": q_ridge_normal,
         "stl_decompose": q_stl_decompose,
@@ -18784,6 +18830,161 @@ def oracle_sql() -> dict[str, str]:
                w.s / 1000000.0 as strength
         from totals t join {_bt_prev} w using (i)
         order by item
+    """
+
+    out["kruskal_wallis"] = """
+        with f as (
+          select event_type as g, value as v from events
+          where value is not null and event_type is not null
+        ),
+        vc as (
+          select v, g, count(*) as ngv from f group by v, g
+        ),
+        vt as (select v, sum(ngv) as nt from vc group by v),
+        cum as (
+          select *,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below
+          from vt
+        ),
+        perg as (
+          select g,
+                 cast(sum(cast(ngv as decimal(38,0))
+                          * cast(2 * below + nt + 1 as decimal(38,0)))
+                      as decimal(38,0)) as two_rg,
+                 cast(sum(ngv) as bigint) as ng
+          from vc join cum using (v) group by g
+        ),
+        tie as (
+          select cast(sum(cast(nt as decimal(38,0))
+                          * cast(nt as decimal(38,0))
+                          * cast(nt as decimal(38,0))
+                          - cast(nt as decimal(38,0)))
+                      as decimal(38,0)) as ties,
+                 cast(sum(nt) as bigint) as n
+          from cum
+        ),
+        folded as (
+          select count(*)::bigint as k_groups,
+                 list_sort(list(struct_pack(g := g,
+                                            two_rg := two_rg,
+                                            ng := ng))) as gs
+          from perg
+        ),
+        j as (select * from folded cross join tie),
+        hh as (
+          select k_groups, n,
+                 12.0 / (cast(n as double) * (cast(n as double) + 1.0))
+                   * list_reduce(
+                       list_transform(gs, s ->
+                         (cast(s.two_rg as double)
+                          * cast(s.two_rg as double))
+                         / (4.0 * cast(s.ng as double))),
+                       (acc, t) -> acc + t)
+                 - 3.0 * (cast(n as double) + 1.0) as h,
+                 1.0 - cast(ties as double)
+                   / (cast(n as double) * cast(n as double)
+                      * cast(n as double) - cast(n as double)) as c
+          from j
+        )
+        select k_groups, n,
+               case when k_groups >= 2 and n > k_groups
+                    then round(h, 6) end as h_stat,
+               case when k_groups >= 2 and n > k_groups and c > 0
+                    then round(h / c, 6) end as h_adj
+        from hh
+    """
+
+    out["anova_oneway"] = """
+        with f as (
+          select l_returnflag as g,
+                 cast(l_extendedprice as decimal(18,2)) as y
+          from lineitem
+          where l_extendedprice is not null
+            and l_returnflag is not null
+        ),
+        perg as (
+          select g, count(*)::bigint as ng,
+                 cast(sum(y) as decimal(38,2)) as sg,
+                 cast(sum(y * y) as decimal(38,4)) as qg
+          from f group by g
+        ),
+        folded as (
+          select count(*)::bigint as k_groups,
+                 cast(sum(ng) as bigint) as n,
+                 cast(sum(sg) as decimal(38,2)) as s,
+                 cast(sum(qg) as decimal(38,4)) as q,
+                 list_sort(list(struct_pack(g := g, sg := sg,
+                                            ng := ng))) as gs
+          from perg
+        ),
+        mid as (
+          select k_groups, n,
+                 list_reduce(
+                   list_transform(gs, t ->
+                     (cast(t.sg as double) * cast(t.sg as double))
+                     / cast(t.ng as double)),
+                   (acc, t) -> acc + t) as sg2,
+                 cast(s as double) as sd,
+                 cast(q as double) as qd
+          from folded
+        ),
+        ss as (
+          select k_groups, n,
+                 case when n > 0 then
+                   round(sg2 - sd * sd / cast(n as double), 6)
+                 end as ssb,
+                 case when n > 0 then round(qd - sg2, 6) end as ssw
+          from mid
+        )
+        select k_groups, n, ssb, ssw,
+               case when k_groups >= 2 and n > k_groups and ssw > 0
+                    then round(
+                      (ssb / (cast(k_groups as double) - 1.0))
+                      / (ssw / (cast(n as double)
+                                - cast(k_groups as double))), 6)
+               end as f_stat
+        from ss
+    """
+
+    out["hodges_lehmann"] = """
+        with base as (
+          select cast(s_nationkey as varchar) as g,
+                 cast(s_suppkey as bigint) as i,
+                 cast(s_acctbal as decimal(18,2)) as y
+          from supplier
+          where s_acctbal is not null and s_nationkey is not null
+            and s_suppkey is not null
+        ),
+        pairs as (
+          select a.g, a.i, b.i as j,
+                 cast(a.y + b.y as decimal(38,2)) as w
+          from base a join base b on a.g = b.g and a.i <= b.i
+        ),
+        ranked as (
+          select *, row_number() over (
+            partition by g order by w, i, j) as rn
+          from pairs
+        ),
+        counts as (select g, count(*)::bigint as m from pairs group by g),
+        mid as (
+          select g, max(m) as n_pairs,
+                 cast(sum(case when rn = (m + 1) // 2
+                                and rn = (m + 2) // 2
+                               then w + w else w end)
+                      as decimal(38,2)) as wmid
+          from ranked join counts using (g)
+          where rn = (m + 1) // 2 or rn = (m + 2) // 2
+          group by g
+        ),
+        ns as (
+          select g, count(*)::bigint as n from base group by g
+        )
+        select ns.g as "group", n, n_pairs,
+               round(cast(wmid as double) / 4.0, 6) as hl_estimate
+        from ns join mid using (g)
+        order by "group"
     """
 
     return out

@@ -622,3 +622,308 @@ def permutation_test(
             / float(m1)
         ).alias("p_value"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalization of
+    ``mann_whitney_u`` (Kruskal & Wallis 1952, public literature):
+    "did ANY of these k segments shift" on ranks, with no normality
+    assumption. The one-way-ANOVA-on-ranks every experimentation
+    stack runs before pairwise drill-downs.
+
+    Exactness: identical rank discipline to mann_whitney_u — per
+    DISTINCT value the operator keeps integer counts, "items strictly
+    below" comes from the scalable two-pass
+    ``ranking.global_cumsum_before`` (no single-partition rank
+    window), and each group's rank sum is carried DOUBLED as an exact
+    decimal(38,0):
+
+        2*R_g = sum_v n_gv * (2*below(v) + n_t(v) + 1)
+
+    The cross-group reduction sum_g R_g^2/n_g mixes per-group
+    divisions, so it is a SORTED FOLD over the bounded group domain
+    (structs sorted by group name — the mutual_information
+    discipline), making float addition order engine-pinned:
+
+        H = 12/(N(N+1)) * sum_g (2R_g)^2/(4 n_g) - 3(N+1)
+
+    with the exact tie correction C = 1 - sum(t^3-t)/(N^3-N) and
+    h_adj = H/C. decimal(38,0) headroom: (2R_g)^2 ~ N^4 caps the
+    exact path at ~10^9 rows per test cell; beyond that, pre-bucket
+    values (the ks_drift discipline) before testing.
+
+    Output: one row ``(k_groups, n, h_stat, h_adj)``; fewer than two
+    non-empty groups yields NULL statistics.
+
+    Scale: one groupBy to |distinct values x groups| cells, the
+    two-pass cumsum over |distinct values|, one equi-join of the two
+    distinct-value-sized tables, and a fold over |groups|. No
+    counterpart in the reference engine (SURVEY.md §2.2 — no
+    aggregation family).
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vc = filt.groupBy(
+        F.col(value_col).alias("__v"),
+        F.col(group_col).cast("string").alias("__g"),
+    ).agg(F.count("*").alias("__ngv"))
+    vt = vc.groupBy("__v").agg(F.sum("__ngv").alias("__nt"))
+    cum = global_cumsum_before(
+        vt, ["__v"], "__nt", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    per_g = (
+        vc.join(cum, "__v")
+        .groupBy("__g")
+        .agg(
+            dec(
+                F.sum(
+                    dec(F.col("__ngv"))
+                    * dec(
+                        F.lit(2) * F.col("__below")
+                        + F.col("__nt")
+                        + F.lit(1)
+                    )
+                )
+            ).alias("__two_rg"),
+            F.sum("__ngv").cast("long").alias("__ng"),
+        )
+    )
+    ties = cum.agg(
+        dec(
+            F.sum(
+                dec(F.col("__nt")) * dec(F.col("__nt")) * dec(F.col("__nt"))
+                - dec(F.col("__nt"))
+            )
+        ).alias("__ties"),
+        F.sum("__nt").cast("long").alias("n"),
+    )
+    folded = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__two_rg", "__ng"))
+        ).alias("__gs"),
+    )
+    j = folded.crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    rterm = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda s: (
+                s["__two_rg"].cast("double")
+                * s["__two_rg"].cast("double")
+            )
+            / (F.lit(4.0) * s["__ng"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    h = (
+        F.lit(12.0) / (nn * (nn + F.lit(1.0))) * rterm
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("__ties").cast("double") / (
+        nn * nn * nn - nn
+    )
+    ok = (F.col("k_groups") >= 2) & (F.col("n") > F.col("k_groups"))
+    return j.select(
+        "k_groups",
+        "n",
+        F.when(ok, F.round(h, ndigits)).alias("h_stat"),
+        F.when(ok & (c > 0), F.round(h / c, ndigits)).alias("h_adj"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across every level of ``group_col``
+    (Fisher, public literature) — the parametric "did any segment's
+    MEAN move" companion to ``kruskal_wallis``.
+
+    Exactness: ``value_col`` is money-like (exact at decimal(18,2),
+    the repo's fixture contract), so every group moment is an exact
+    decimal sum — S_g at (38,2), Q_g = sum(y*y) at (38,4) — and the
+    decomposition uses the computational identity
+
+        SSB = sum_g S_g^2/n_g - S^2/N        SSW = Q - sum_g S_g^2/n_g
+
+    where the only float mixing, sum_g S_g^2/n_g, is a SORTED FOLD
+    over the bounded group domain (structs sorted by group name, the
+    kruskal_wallis/mutual_information discipline). SSB/SSW round once
+    at ``ndigits``; F = (SSB/(k-1))/(SSW/(N-k)) is a fixed-order
+    double expression over the two rounded sums, rounded ``ndigits``.
+
+    Output: one row ``(k_groups, n, ssb, ssw, f_stat)``; degenerate
+    inputs (k < 2, N <= k, SSW = 0) yield NULL f_stat.
+
+    Scale: ONE map-side-combinable groupBy to |groups| rows, then a
+    fold over the bounded group domain. No counterpart in the
+    reference engine (SURVEY.md §2.2 — no aggregation family).
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    per_g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).cast("string").alias("__g"))
+        .agg(
+            F.count("*").cast("long").alias("__ng"),
+            F.sum(y).cast("decimal(38,2)").alias("__sg"),
+            F.sum(y * y).cast("decimal(38,4)").alias("__qg"),
+        )
+    )
+    folded = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum("__sg").cast("decimal(38,2)").alias("__s"),
+        F.sum("__qg").cast("decimal(38,4)").alias("__q"),
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__sg", "__ng"))
+        ).alias("__gs"),
+    )
+    nn = F.col("n").cast("double")
+    sg2 = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda s: (s["__sg"].cast("double") * s["__sg"].cast("double"))
+            / s["__ng"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    ssb = F.round(
+        sg2 - F.col("__s").cast("double") * F.col("__s").cast("double") / nn,
+        ndigits,
+    )
+    ssw = F.round(F.col("__q").cast("double") - sg2, ndigits)
+    kk = F.col("k_groups").cast("double")
+    ok = (F.col("k_groups") >= 2) & (F.col("n") > F.col("k_groups"))
+    staged = folded.select(
+        "k_groups",
+        "n",
+        F.when(F.col("n") > 0, ssb).alias("ssb"),
+        F.when(F.col("n") > 0, ssw).alias("ssw"),
+        kk.alias("__k"),
+        nn.alias("__n"),
+        ok.alias("__ok"),
+    )
+    return staged.select(
+        "k_groups",
+        "n",
+        "ssb",
+        "ssw",
+        F.when(
+            F.col("__ok") & (F.col("ssw") > 0),
+            F.round(
+                (F.col("ssb") / (F.col("__k") - 1.0))
+                / (F.col("ssw") / (F.col("__n") - F.col("__k"))),
+                ndigits,
+            ),
+        ).alias("f_stat"),
+    )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Hodges-Lehmann location estimator — the median of
+    the n(n+1)/2 Walsh averages (x_i+x_j)/2, i <= j (Hodges &
+    Lehmann 1963, public literature): the robust "typical value" that
+    pairs with the Wilcoxon/Mann-Whitney family the way the mean
+    pairs with the t-test. A platform reports it where one whale
+    order would drag the mean and the plain median wastes half the
+    sample's efficiency.
+
+    Exactness: ``value_col`` is money-like (exact at decimal(18,2));
+    each Walsh SUM x_i+x_j is an exact decimal, the median picks the
+    two middle order statistics by a window row_number tie-broken on
+    (i, j), and the estimate collapses with ONE rounded division
+    round((w_lo + w_hi)/4, ndigits) — the repo's exact-sums /
+    one-rounded-division contract (w_lo + w_hi is a sum of FOUR
+    original values, so /4, never a chained half division).
+
+    Contract: the pair build is a within-group self-join — O(n_g^2)
+    rows per group — so groups must be BOUNDED (the kendall_tau /
+    isotonic_calibration model-sized-domain class; ~10^4 rows per
+    group is the practical ceiling). For corpus-scale groups, use the
+    weighted_median family on distinct-value counts instead.
+
+    Output per group: ``(group, n, n_pairs, hl_estimate)``.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(id_col).cast("long").alias("__i"),
+        F.col(value_col).cast("decimal(18,2)").alias("__y"),
+    )
+    rhs = base.select(
+        F.col("__g"),
+        F.col("__i").alias("__j"),
+        F.col("__y").alias("__y2"),
+    )
+    pairs = base.join(rhs, "__g").filter(F.col("__i") <= F.col("__j"))
+    walsh = pairs.select(
+        "__g",
+        "__i",
+        "__j",
+        (F.col("__y") + F.col("__y2")).cast("decimal(38,2)").alias("__w"),
+    )
+    w = Window.partitionBy("__g").orderBy("__w", "__i", "__j")
+    ranked = walsh.withColumn("__rn", F.row_number().over(w))
+    counts = walsh.groupBy("__g").agg(F.count("*").alias("__m"))
+    lo = F.floor((F.col("__m") + 1) / 2)
+    hi = F.floor((F.col("__m") + 2) / 2)
+    mid = (
+        ranked.join(counts, "__g")
+        .filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+        .groupBy("__g")
+        .agg(
+            F.max("__m").cast("long").alias("n_pairs"),
+            # odd m: the single middle IS both order statistics —
+            # count it twice so the /4 collapse is uniform
+            F.sum(
+                F.when(
+                    (F.col("__rn") == lo) & (F.col("__rn") == hi),
+                    F.col("__w") + F.col("__w"),
+                ).otherwise(F.col("__w"))
+            ).cast("decimal(38,2)").alias("__wmid"),
+        )
+    )
+    ns = base.groupBy(F.col("__g").alias("group")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        ns.join(
+            mid.withColumnRenamed("__g", "group"), "group"
+        )
+        .select(
+            "group",
+            "n",
+            "n_pairs",
+            F.round(F.col("__wmid").cast("double") / 4.0, ndigits).alias(
+                "hl_estimate"
+            ),
+        )
+        .orderBy("group")
+    )

@@ -1,0 +1,114 @@
+"""Goldens for the k-group rank/variance statistics batch:
+kruskal_wallis, anova_oneway, hodges_lehmann."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def kw_df(spark):
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),
+        ("b", 2.0), ("b", 4.0), ("b", 5.0),
+        ("c", 6.0), ("c", 7.0), ("c", 2.0),
+    ]
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_kruskal_wallis_golden(kw_df):
+    """Hand-computed H on a 9-row, 3-group sample with a 3-way tie at
+    v=2.0: H = 2.755556, tie-adjusted H/C = 2.850575 (scipy.stats
+    kruskal gives the adjusted value)."""
+    from etl_orders_to_bq_spark.operators.multitest import kruskal_wallis
+
+    row = kruskal_wallis(kw_df, "g", "v").collect()[0]
+    assert row.k_groups == 3 and row.n == 9
+    assert row.h_stat == pytest.approx(2.755556, abs=1e-6)
+    assert row.h_adj == pytest.approx(2.850575, abs=1e-6)
+
+
+def test_kruskal_wallis_degenerate_single_group(spark):
+    """One non-empty group: the statistic is undefined — NULL, never
+    a crash or a fabricated 0."""
+    from etl_orders_to_bq_spark.operators.multitest import kruskal_wallis
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert row.k_groups == 1
+    assert row.h_stat is None and row.h_adj is None
+
+
+def test_kruskal_wallis_matches_mann_whitney_direction(spark):
+    """Two clearly separated groups: H must be large (the k=2 case is
+    the Mann-Whitney setting; H = z^2 asymptotically)."""
+    from etl_orders_to_bq_spark.operators.multitest import kruskal_wallis
+
+    rows = [("lo", float(i)) for i in range(10)] + [
+        ("hi", float(i + 100)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert row.h_stat > 10  # far beyond the 3.84 chi2(1) 95% cut
+
+
+def test_anova_oneway_golden(kw_df):
+    """Same 9-row sample: SSB = 13.555556, SSW = 20.666667,
+    F = 1.967742 (textbook one-way decomposition)."""
+    from etl_orders_to_bq_spark.operators.multitest import anova_oneway
+
+    row = anova_oneway(kw_df, "g", "v").collect()[0]
+    assert (row.k_groups, row.n) == (3, 9)
+    assert row.ssb == pytest.approx(13.555556, abs=1e-6)
+    assert row.ssw == pytest.approx(20.666667, abs=1e-6)
+    assert row.f_stat == pytest.approx(1.967742, abs=1e-6)
+
+
+def test_anova_oneway_zero_within_variance(spark):
+    """Constant values inside each group: SSW = 0 — F undefined,
+    reported NULL (ANSI mode would otherwise crash the division)."""
+    from etl_orders_to_bq_spark.operators.multitest import anova_oneway
+
+    rows = [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)]
+    row = anova_oneway(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert row.ssw == 0.0 and row.f_stat is None
+    assert row.ssb == pytest.approx(16.0, abs=1e-6)
+
+
+def test_hodges_lehmann_golden(spark):
+    """Walsh-average medians: group a = [1,3,5,7] has 10 pairwise
+    means with median 4.0; group b = [2,4,6] has 6 with median 4.0;
+    group c = [1,2,10] -> walsh means [1,1.5,2,5.5,6,10] -> (2+5.5)/2
+    = 3.75 (even count exercises the two-middle average)."""
+    from etl_orders_to_bq_spark.operators.multitest import hodges_lehmann
+
+    rows = (
+        [("a", i, float(v)) for i, v in enumerate([1, 3, 5, 7])]
+        + [("b", 10 + i, float(v)) for i, v in enumerate([2, 4, 6])]
+        + [("c", 20 + i, float(v)) for i, v in enumerate([1, 2, 10])]
+    )
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    got = {
+        r.group: (r.n, r.n_pairs, r.hl_estimate)
+        for r in hodges_lehmann(df, "g", "v", "i").collect()
+    }
+    assert got == {
+        "a": (4, 10, 4.0),
+        "b": (3, 6, 4.0),
+        "c": (3, 6, 3.75),
+    }
+
+
+def test_hodges_lehmann_robust_to_outlier(spark):
+    """The defining property: one whale barely moves HL while the
+    mean doubles."""
+    from etl_orders_to_bq_spark.operators.multitest import hodges_lehmann
+
+    clean = [("g", i, 10.0 + (i % 5)) for i in range(20)]
+    spiked = clean + [("g", 99, 100000.0)]
+    df_c = spark.createDataFrame(clean, ["g", "i", "v"])
+    df_s = spark.createDataFrame(spiked, ["g", "i", "v"])
+    hl_c = hodges_lehmann(df_c, "g", "v", "i").collect()[0].hl_estimate
+    hl_s = hodges_lehmann(df_s, "g", "v", "i").collect()[0].hl_estimate
+    assert abs(hl_s - hl_c) < 1.0
