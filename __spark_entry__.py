@@ -8710,6 +8710,43 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hodges_lehmann(s, "s_nationkey", "s_acctbal", "s_suppkey")
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Spearman rho between quantity and revenue per return
+    flag (operators/rankcorr.py spearman_rho). Ranks never touch
+    floats: doubled average ranks (2r = 2*below + t + 1) from
+    per-group distinct-value cumsums, six exact decimal(38,0)
+    moments, ONE rounded double expression. The oracle replays the
+    identical rank/moment arithmetic with window cumsums."""
+    from etl_orders_to_bq_spark.operators.rankcorr import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between customer count and balance mass across
+    nations, per market segment (operators/rankcorr.py kendall_tau):
+    exact concordant/discordant/tie-pair integers from a bounded
+    within-group pair join over the nation-level cell table
+    (25 rows/group — the documented bounded-domain contract), tau_b
+    one rounded double."""
+    from etl_orders_to_bq_spark.operators.rankcorr import kendall_tau
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("bal"),
+        )
+    )
+    return kendall_tau(cells, "c_mktsegment", "cnt", "bal", "n_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8724,6 +8761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "spearman_corr": q_spearman_corr,
+        "kendall_tau": q_kendall_tau,
         "kruskal_wallis": q_kruskal_wallis,
         "anova_oneway": q_anova_oneway,
         "hodges_lehmann": q_hodges_lehmann,
@@ -18984,6 +19023,134 @@ def oracle_sql() -> dict[str, str]:
         select ns.g as "group", n, n_pairs,
                round(cast(wmid as double) / 4.0, 6) as hl_estimate
         from ns join mid using (g)
+        order by "group"
+    """
+
+    out["spearman_corr"] = """
+        with base as (
+          select l_returnflag as g, l_quantity as x,
+                 l_extendedprice as y
+          from lineitem
+          where l_returnflag is not null and l_quantity is not null
+            and l_extendedprice is not null
+        ),
+        cx as (
+          select g, x, count(*) as t from base group by g, x
+        ),
+        rx as (
+          select g, x,
+                 cast(2 * coalesce(sum(t) over (partition by g order by x
+                        rows between unbounded preceding and 1 preceding), 0)
+                      + t + 1 as bigint) as a
+          from cx
+        ),
+        cy as (
+          select g, y, count(*) as t from base group by g, y
+        ),
+        ry as (
+          select g, y,
+                 cast(2 * coalesce(sum(t) over (partition by g order by y
+                        rows between unbounded preceding and 1 preceding), 0)
+                      + t + 1 as bigint) as b
+          from cy
+        ),
+        ranked as (
+          select base.g, a, b
+          from base join rx using (g, x) join ry using (g, y)
+        ),
+        m as (
+          select g as "group", count(*)::bigint as n,
+                 cast(sum(cast(a as decimal(38,0))) as decimal(38,0)) as sa,
+                 cast(sum(cast(b as decimal(38,0))) as decimal(38,0)) as sb,
+                 cast(sum(cast(a as decimal(38,0))
+                          * cast(b as decimal(38,0))) as decimal(38,0)) as sab,
+                 cast(sum(cast(a as decimal(38,0))
+                          * cast(a as decimal(38,0))) as decimal(38,0)) as saa,
+                 cast(sum(cast(b as decimal(38,0))
+                          * cast(b as decimal(38,0))) as decimal(38,0)) as sbb
+          from ranked group by g
+        )
+        select "group", n,
+               case when cast(n as double) * cast(saa as double)
+                         - cast(sa as double) * cast(sa as double) > 0
+                     and cast(n as double) * cast(sbb as double)
+                         - cast(sb as double) * cast(sb as double) > 0
+                    then round(
+                      (cast(n as double) * cast(sab as double)
+                       - cast(sa as double) * cast(sb as double))
+                      / sqrt((cast(n as double) * cast(saa as double)
+                              - cast(sa as double) * cast(sa as double))
+                             * (cast(n as double) * cast(sbb as double)
+                                - cast(sb as double) * cast(sb as double))),
+                      6)
+               end as rho
+        from m
+        order by "group"
+    """
+
+    out["kendall_tau"] = """
+        with cells as (
+          select n_nationkey, c_mktsegment,
+                 count(*)::bigint as cnt,
+                 cast(sum(cast(c_acctbal as decimal(18,2)))
+                      as decimal(38,2)) as bal
+          from customer join nation on c_nationkey = n_nationkey
+          group by n_nationkey, c_mktsegment
+        ),
+        base as (
+          select c_mktsegment as g, cast(n_nationkey as bigint) as i,
+                 cnt as x, bal as y
+          from cells
+          where c_mktsegment is not null and cnt is not null
+            and bal is not null and n_nationkey is not null
+        ),
+        pairs as (
+          select a.g,
+                 case when a.x < b.x then 1
+                      when a.x > b.x then -1 else 0 end
+                 * case when a.y < b.y then 1
+                        when a.y > b.y then -1 else 0 end as s
+          from base a join base b on a.g = b.g and a.i < b.i
+        ),
+        cd as (
+          select g as "group",
+                 cast(sum(case when s > 0 then 1 else 0 end) as bigint)
+                   as concordant,
+                 cast(sum(case when s < 0 then 1 else 0 end) as bigint)
+                   as discordant
+          from pairs group by g
+        ),
+        t1 as (
+          select g as "group",
+                 cast(sum(t * (t - 1) // 2) as bigint) as n1
+          from (select g, x, count(*) as t from base group by g, x)
+          group by g
+        ),
+        t2 as (
+          select g as "group",
+                 cast(sum(t * (t - 1) // 2) as bigint) as n2
+          from (select g, y, count(*) as t from base group by g, y)
+          group by g
+        ),
+        ns as (
+          select g as "group", count(*)::bigint as n from base group by g
+        )
+        select "group", n, concordant, discordant,
+               case when cast(n as double) * (cast(n as double) - 1.0) / 2.0
+                         - cast(n1 as double) > 0
+                     and cast(n as double) * (cast(n as double) - 1.0) / 2.0
+                         - cast(n2 as double) > 0
+                    then round(
+                      (cast(concordant as double)
+                       - cast(discordant as double))
+                      / sqrt((cast(n as double) * (cast(n as double) - 1.0)
+                              / 2.0 - cast(n1 as double))
+                             * (cast(n as double) * (cast(n as double) - 1.0)
+                                / 2.0 - cast(n2 as double))),
+                      6)
+               end as tau_b
+        from ns join cd using ("group") join t1 using ("group")
+               join t2 using ("group")
         order by "group"
     """
 

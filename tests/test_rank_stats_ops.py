@@ -112,3 +112,62 @@ def test_hodges_lehmann_robust_to_outlier(spark):
     hl_c = hodges_lehmann(df_c, "g", "v", "i").collect()[0].hl_estimate
     hl_s = hodges_lehmann(df_s, "g", "v", "i").collect()[0].hl_estimate
     assert abs(hl_s - hl_c) < 1.0
+
+
+def test_spearman_rho_golden(spark):
+    """7-point sample with ties in both columns: scipy.stats
+    spearmanr gives 0.833333; exact tie handling via doubled average
+    ranks must reproduce it."""
+    from etl_orders_to_bq_spark.operators.rankcorr import spearman_rho
+
+    pts = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 5), (2, 2), (3, 3)]
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts], ["g", "x", "y"]
+    )
+    row = spearman_rho(df, "g", "x", "y").collect()[0]
+    assert row.n == 7
+    assert row.rho == pytest.approx(0.833333, abs=1e-6)
+
+
+def test_spearman_rho_perfect_and_constant(spark):
+    """Monotone map -> rho exactly 1.0 regardless of nonlinearity;
+    constant y -> zero rank variance -> NULL."""
+    from etl_orders_to_bq_spark.operators.rankcorr import spearman_rho
+
+    mono = [("m", float(i), float(i * i)) for i in range(1, 9)]
+    const = [("c", float(i), 7.0) for i in range(1, 9)]
+    got = {
+        r.group: r.rho
+        for r in spearman_rho(
+            spark.createDataFrame(mono + const, ["g", "x", "y"]),
+            "g", "x", "y",
+        ).collect()
+    }
+    assert got["m"] == 1.0 and got["c"] is None
+
+
+def test_kendall_tau_golden(spark):
+    """Same 7-point sample: C=15, D=2, tau_b = 0.684211 (matches
+    scipy.stats.kendalltau with tie correction)."""
+    from etl_orders_to_bq_spark.operators.rankcorr import kendall_tau
+
+    pts = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 5), (2, 2), (3, 3)]
+    df = spark.createDataFrame(
+        [("g", i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        ["g", "i", "x", "y"],
+    )
+    row = kendall_tau(df, "g", "x", "y", "i").collect()[0]
+    assert (row.concordant, row.discordant) == (15, 2)
+    assert row.tau_b == pytest.approx(0.684211, abs=1e-6)
+
+
+def test_kendall_tau_reversal(spark):
+    """Strictly decreasing y: every pair discordant, tau_b = -1."""
+    from etl_orders_to_bq_spark.operators.rankcorr import kendall_tau
+
+    rows = [("g", i, float(i), float(-i)) for i in range(6)]
+    row = kendall_tau(
+        spark.createDataFrame(rows, ["g", "i", "x", "y"]),
+        "g", "x", "y", "i",
+    ).collect()[0]
+    assert row.tau_b == -1.0 and row.concordant == 0
