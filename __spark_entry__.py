@@ -8747,6 +8747,34 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau(cells, "c_mktsegment", "cnt", "bal", "n_nationkey")
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* = (r+1)N_{r+1}/N_r over the
+    corpus trigram-shingle stream (operators/lm.py good_turing —
+    the fixture's closed 31-word vocabulary makes unigram GT
+    degenerate, so the entry smooths the dedup-relevant shingle
+    distribution): explode, one
+    vocabulary groupBy, one counts-of-counts groupBy (O(sqrt N)
+    rows), a self-join on r+1 over that tiny table. Every N_r is an
+    exact integer; r*/p_gt are single rounded doubles. N_{r+1}=0
+    reports the literal GT estimate 0, not NULL."""
+    from etl_orders_to_bq_spark.operators.lm import good_turing
+
+    d = _t(spark, sf_dir, "documents")
+    return good_turing(d, "text", max_r=15, ngram=3)
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness + Turing coverage of the corpus trigram-shingle
+    space (operators/lm.py chao1_richness): bias-corrected
+    S_obs + f1(f1-1)/(2(f2+1)) and 1 - f1/N from exact singleton/
+    doubleton integers — the vocabulary-sizing / crawl-saturation
+    report."""
+    from etl_orders_to_bq_spark.operators.lm import chao1_richness
+
+    d = _t(spark, sf_dir, "documents")
+    return chao1_richness(d, "text", ngram=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8761,6 +8789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "good_turing": q_good_turing,
+        "chao1_richness": q_chao1_richness,
         "spearman_corr": q_spearman_corr,
         "kendall_tau": q_kendall_tau,
         "kruskal_wallis": q_kruskal_wallis,
@@ -19152,6 +19182,58 @@ def oracle_sql() -> dict[str, str]:
         from ns join cd using ("group") join t1 using ("group")
                join t2 using ("group")
         order by "group"
+    """
+
+    out["good_turing"] = """
+        with tw as (
+          select regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+') as ws
+          from documents
+        ),
+        tok as (
+          select ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as w
+          from tw, unnest(range(1, greatest(len(ws) - 1, 1))) as t(i)
+        ),
+        vocab as (select w, count(*) as r from tok group by w),
+        cc as (select r, count(*) as nr from vocab group by r),
+        tot as (select cast(sum(r * nr) as bigint) as n from cc)
+        select cast(cc.r as bigint) as r,
+               cast(cc.nr as bigint) as n_r,
+               round((cc.r + 1)::double * coalesce(nx.nr, 0)::double
+                     / cc.nr::double, 6) as r_star,
+               round((cc.r + 1)::double * coalesce(nx.nr, 0)::double
+                     / (cc.nr::double * tot.n::double), 9) as p_gt
+        from cc left join cc nx on nx.r = cc.r + 1, tot
+        where cc.r <= 15
+        order by r
+    """
+
+    out["chao1_richness"] = """
+        with tw as (
+          select regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+') as ws
+          from documents
+        ),
+        tok as (
+          select ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as w
+          from tw, unnest(range(1, greatest(len(ws) - 1, 1))) as t(i)
+        ),
+        vocab as (select w, count(*) as r from tok group by w),
+        agg as (
+          select cast(sum(r) as bigint) as n_tokens,
+                 count(*)::bigint as s_obs,
+                 cast(sum(case when r = 1 then 1 else 0 end) as bigint) as f1,
+                 cast(sum(case when r = 2 then 1 else 0 end) as bigint) as f2
+          from vocab
+        )
+        select n_tokens, s_obs, f1, f2,
+               round(s_obs::double
+                     + f1::double * (f1::double - 1.0)
+                       / (2.0 * (f2::double + 1.0)), 6) as chao1,
+               case when n_tokens > 0
+                    then round(1.0 - f1::double / n_tokens::double, 6)
+               end as coverage
+        from agg
     """
 
     return out

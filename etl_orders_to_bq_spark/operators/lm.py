@@ -1532,3 +1532,142 @@ def span_corrupt(
         F.array_join(corrupted_toks, " ").alias("corrupted"),
         F.array_join(targets, " ").alias("targets"),
     )
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 15,
+    ngram: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Good-Turing adjusted counts from the counts-of-counts table
+    (Good 1953, public literature; the smoothing behind Katz backoff
+    and the classic "how much probability mass belongs to unseen
+    tokens" answer a corpus pipeline needs when sizing vocabularies):
+
+        r* = (r + 1) * N_{r+1} / N_r        p_gt(r) = r* / N
+
+    for token frequencies r = 1..max_r, where N_r is the number of
+    DISTINCT tokens seen exactly r times and N the corpus token
+    count.
+
+    Exactness: every N_r and N is an exact integer; r* and p_gt are
+    single fixed-order double expressions over those integers,
+    rounded once at ``ndigits``. r values with no successor class
+    (N_{r+1} = 0) report the literal Good-Turing r* = 0 rather than
+    NULL — that zero IS the estimate (the classic reason production
+    smoothers switch to Simple GT's regression for sparse high-r
+    classes).
+
+    Scale: explode to the token stream, ONE map-side-combinable
+    groupBy to the vocabulary, a second to the counts-of-counts
+    table (O(sqrt N) rows — r classes thin out hyperbolically), and
+    a self-join on r+1 over that tiny table. The max_r cut bounds the
+    output, not the computation.
+
+    ``ngram > 1`` smooths the n-gram SHINGLE distribution instead of
+    unigrams (word_ngrams over the normalized token stream) — the
+    unit whose unseen-mass estimate drives dedup-threshold and
+    contamination sizing; small closed vocabularies have empty low-r
+    classes and make unigram GT degenerate.
+
+    Output per r: ``(r, n_r, r_star, p_gt)``, ordered by r.
+    """
+    toks = df.select(F.explode(_units(text_col, ngram)).alias("__w"))
+    vocab = toks.groupBy("__w").agg(F.count("*").alias("__r"))
+    cc = vocab.groupBy("__r").agg(F.count("*").alias("__nr"))
+    total = F.broadcast(
+        cc.agg(F.sum(F.col("__r") * F.col("__nr")).cast("long").alias("__n"))
+    )
+    nxt = cc.select(
+        (F.col("__r") - 1).alias("__r"), F.col("__nr").alias("__nr1")
+    )
+    j = (
+        cc.filter(F.col("__r") <= max_r)
+        .join(nxt, "__r", "left")
+        .crossJoin(total)
+    )
+    rs = (
+        (F.col("__r") + 1).cast("double")
+        * F.coalesce(F.col("__nr1"), F.lit(0)).cast("double")
+        / F.col("__nr").cast("double")
+    )
+    return j.select(
+        F.col("__r").cast("long").alias("r"),
+        F.col("__nr").cast("long").alias("n_r"),
+        F.round(rs, ndigits).alias("r_star"),
+        F.round(
+            (F.col("__r") + 1).cast("double")
+            * F.coalesce(F.col("__nr1"), F.lit(0)).cast("double")
+            / (F.col("__nr").cast("double") * F.col("__n").cast("double")),
+            ndigits + 3,
+        ).alias("p_gt"),
+    ).orderBy("r")
+
+
+def _units(text_col: str, ngram: int):
+    """Token stream (ngram=1) or word-shingle stream for the
+    counts-of-counts estimators; one shared definition so good_turing
+    and chao1_richness always count the same units."""
+    from ..functions.text import word_ngrams
+
+    if ngram <= 1:
+        return tokenize(normalize_text(text_col))
+    return word_ngrams(normalize_text(text_col), ngram)
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate and Turing sample coverage
+    (Chao 1984 / Good 1953, public literature) — "how many distinct
+    tokens does this corpus REALLY have, and what share of the next
+    document's tokens will be ones we've already seen": the two
+    numbers that size a tokenizer vocabulary and decide whether more
+    crawl data still adds vocabulary.
+
+        chao1    = S_obs + f1 * (f1 - 1) / (2 * (f2 + 1))
+        coverage = 1 - f1 / N
+
+    (the bias-corrected Chao1 form, defined even when no token occurs
+    exactly twice; f1/f2 = singleton/doubleton counts.)
+
+    Exactness: S_obs, f1, f2, N are exact integers from two
+    map-side-combinable groupBys; both estimates are single rounded
+    double expressions.
+
+    Output: one row ``(n_tokens, s_obs, f1, f2, chao1, coverage)``.
+    """
+    toks = df.select(F.explode(_units(text_col, ngram)).alias("__w"))
+    vocab = toks.groupBy("__w").agg(F.count("*").alias("__r"))
+    agg = vocab.agg(
+        F.sum("__r").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("__r") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("__r") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return agg.select(
+        "n_tokens",
+        "s_obs",
+        "f1",
+        "f2",
+        F.round(
+            F.col("s_obs").cast("double")
+            + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)),
+            ndigits,
+        ).alias("chao1"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(1.0 - f1 / F.col("n_tokens").cast("double"), ndigits),
+        ).alias("coverage"),
+    )

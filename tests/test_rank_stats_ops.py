@@ -171,3 +171,47 @@ def test_kendall_tau_reversal(spark):
         "g", "x", "y", "i",
     ).collect()[0]
     assert row.tau_b == -1.0 and row.concordant == 0
+
+
+def test_good_turing_golden(spark):
+    """Textbook counts-of-counts: corpus 'a a a b b c d e' ->
+    N_1 = 3 (c,d,e), N_2 = 1 (b), N_3 = 1 (a), N = 8.
+    r*(1) = 2*1/3 = 0.666667, r*(2) = 3*1/1 = 3.0, r*(3) = 4*0/1 = 0
+    (no successor class -> the literal GT zero)."""
+    from etl_orders_to_bq_spark.operators.lm import good_turing
+
+    df = spark.createDataFrame([("a a a b b c d e",)], ["text"])
+    got = {r.r: (r.n_r, r.r_star) for r in good_turing(df).collect()}
+    assert got == {1: (3, 0.666667), 2: (1, 3.0), 3: (1, 0.0)}
+
+
+def test_good_turing_ngram_units(spark):
+    """ngram=2 counts bigram shingles: 'x y x y' -> shingles
+    [x y, y x, x y] -> N_1 = 1 (y x), N_2 = 1 (x y)."""
+    from etl_orders_to_bq_spark.operators.lm import good_turing
+
+    df = spark.createDataFrame([("x y x y",)], ["text"])
+    got = {r.r: r.n_r for r in good_turing(df, ngram=2).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_chao1_golden(spark):
+    """Same corpus: S_obs = 5, f1 = 3, f2 = 1, N = 8 ->
+    chao1 = 5 + 3*2/(2*2) = 6.5; coverage = 1 - 3/8 = 0.625."""
+    from etl_orders_to_bq_spark.operators.lm import chao1_richness
+
+    df = spark.createDataFrame([("a a a b b c d e",)], ["text"])
+    row = chao1_richness(df).collect()[0]
+    assert (row.n_tokens, row.s_obs, row.f1, row.f2) == (8, 5, 3, 1)
+    assert row.chao1 == 6.5 and row.coverage == 0.625
+
+
+def test_chao1_no_doubletons_defined(spark):
+    """All-distinct corpus (f2 = 0): the bias-corrected form stays
+    finite — chao1 = S + f1(f1-1)/2."""
+    from etl_orders_to_bq_spark.operators.lm import chao1_richness
+
+    df = spark.createDataFrame([("p q r s",)], ["text"])
+    row = chao1_richness(df).collect()[0]
+    assert row.s_obs == 4 and row.f2 == 0
+    assert row.chao1 == 4 + 4 * 3 / 2
