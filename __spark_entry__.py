@@ -8775,6 +8775,30 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao1_richness(d, "text", ngram=3)
 
 
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified IPW treatment effect of urgent order priority on
+    order value, strata = market segment (operators/experiment.py
+    ipw_ate): exact decimal(38,2) per-stratum outcome sums, Hajek
+    normalization collapsing the weight denominators to exact stratum
+    sizes, per-stratum divisions as a sorted fold over the bounded
+    stratum domain; overlap-violating strata dropped and counted."""
+    from etl_orders_to_bq_spark.operators.experiment import ipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        (F.substring("o_orderpriority", 1, 1) <= "2")
+        .cast("int")
+        .alias("treated"),
+        "o_totalprice",
+        "c_mktsegment",
+    )
+    return ipw_ate(j, "treated", "o_totalprice", "c_mktsegment")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8789,6 +8813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "ipw_ate": q_ipw_ate,
         "good_turing": q_good_turing,
         "chao1_richness": q_chao1_richness,
         "spearman_corr": q_spearman_corr,
@@ -19234,6 +19259,59 @@ def oracle_sql() -> dict[str, str]:
                     then round(1.0 - f1::double / n_tokens::double, 6)
                end as coverage
         from agg
+    """
+
+    out["ipw_ate"] = """
+        with base as (
+          select case when substr(o_orderpriority, 1, 1) <= '2'
+                      then 1 else 0 end as t,
+                 cast(o_totalprice as decimal(18,2)) as y,
+                 c_mktsegment as s
+          from orders join customer on o_custkey = c_custkey
+          where o_totalprice is not null and c_mktsegment is not null
+        ),
+        per_s as (
+          select s,
+                 count(*)::bigint as n,
+                 cast(sum(t) as bigint) as ts,
+                 cast(sum(case when t = 1 then y else 0 end)
+                      as decimal(38,2)) as y1,
+                 cast(sum(case when t = 0 then y else 0 end)
+                      as decimal(38,2)) as y0
+          from base group by s
+        ),
+        folded as (
+          select count(*)::bigint as n_strata,
+                 cast(sum(case when ts > 0 and ts < n then 1 else 0 end)
+                      as bigint) as n_used_strata,
+                 cast(sum(case when ts > 0 and ts < n then n else 0 end)
+                      as bigint) as n,
+                 cast(sum(case when ts > 0 and ts < n then ts else 0 end)
+                      as bigint) as n_treated,
+                 list_sort(list(struct_pack(s := s, y1 := y1, y0 := y0,
+                                            n := n, ts := ts))
+                           filter (ts > 0 and ts < n)) as gs
+          from per_s
+        ),
+        m as (
+          select n_strata, n_used_strata, n, n_treated,
+                 case when n > 0 then round(
+                   list_reduce(list_transform(gs, g ->
+                     cast(g.y1 as double) * cast(g.n as double)
+                     / cast(g.ts as double)), (acc, v) -> acc + v)
+                   / cast(n as double), 6) end as mu_treated,
+                 case when n > 0 then round(
+                   list_reduce(list_transform(gs, g ->
+                     cast(g.y0 as double) * cast(g.n as double)
+                     / (cast(g.n as double) - cast(g.ts as double))),
+                     (acc, v) -> acc + v)
+                   / cast(n as double), 6) end as mu_control
+          from folded
+        )
+        select n_strata, n_used_strata, n, n_treated,
+               mu_treated, mu_control,
+               round(mu_treated - mu_control, 6) as ate
+        from m
     """
 
     return out

@@ -666,3 +666,130 @@ def conformal_interval(
             ).alias("coverage"),
         )
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with
+    stratum propensities (Horvitz & Thompson 1952 / Hájek
+    normalization, public literature) — the observational "did the
+    treatment move the metric" estimator when assignment is only
+    ignorable WITHIN strata.
+
+    With e_s = t_s/n_s estimated per stratum, the Hájek-normalized
+    IPW means collapse to exact rationals:
+
+        mu1 = sum_s Y1_s * n_s/t_s / N        (sum_s w*T = n_s exactly)
+        mu0 = sum_s Y0_s * n_s/(n_s-t_s) / N
+        ate = mu1 - mu0
+
+    Exactness: per-stratum moments are exact decimal(38,2) sums of
+    money-grade outcomes; the only float mixing — the per-stratum
+    division by t_s — is a SORTED FOLD over the bounded stratum
+    domain (structs sorted by stratum name, the kruskal_wallis
+    discipline; outcome terms must be nonnegative for the seedless
+    DuckDB fold to replay bit-identically, which money outcomes are).
+    mu1/mu0/ate round once at ``ndigits``.
+
+    Positivity: strata with no treated or no control rows have
+    undefined weights and are DROPPED (reported via n_strata vs
+    n_used_strata — a large gap is the standard overlap-violation
+    red flag); N counts only used strata.
+
+    Output: one row ``(n_strata, n_used_strata, n, n_treated,
+    mu_treated, mu_control, ate)``.
+
+    Scale: ONE map-side-combinable groupBy to |strata| rows plus a
+    fold over the bounded stratum domain. No counterpart in the
+    reference engine (SURVEY.md §2.2 — no aggregation family).
+    """
+    y = F.col(outcome_col).cast("decimal(18,2)")
+    t = F.col(treatment_col).cast("int")
+    per_s = (
+        df.filter(
+            F.col(outcome_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).cast("string").alias("__s"))
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(t).cast("long").alias("__t"),
+            F.sum(F.when(t == 1, y).otherwise(F.lit(0)))
+            .cast("decimal(38,2)")
+            .alias("__y1"),
+            F.sum(F.when(t == 0, y).otherwise(F.lit(0)))
+            .cast("decimal(38,2)")
+            .alias("__y0"),
+        )
+    )
+    used = (F.col("__t") > 0) & (F.col("__t") < F.col("__n"))
+    folded = per_s.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias(
+            "n_used_strata"
+        ),
+        F.sum(F.when(used, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(used, F.col("__t")).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    used,
+                    F.struct("__s", "__y1", "__y0", "__n", "__t"),
+                )
+            )
+        ).alias("__gs"),
+    )
+    num1 = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda s: s["__y1"].cast("double")
+            * s["__n"].cast("double")
+            / s["__t"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    num0 = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda s: s["__y0"].cast("double")
+            * s["__n"].cast("double")
+            / (s["__n"].cast("double") - s["__t"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nn = F.col("n").cast("double")
+    staged = folded.select(
+        "n_strata",
+        "n_used_strata",
+        "n",
+        "n_treated",
+        F.when(F.col("n") > 0, F.round(num1 / nn, ndigits)).alias(
+            "mu_treated"
+        ),
+        F.when(F.col("n") > 0, F.round(num0 / nn, ndigits)).alias(
+            "mu_control"
+        ),
+    )
+    return staged.select(
+        "n_strata",
+        "n_used_strata",
+        "n",
+        "n_treated",
+        "mu_treated",
+        "mu_control",
+        F.round(F.col("mu_treated") - F.col("mu_control"), ndigits).alias(
+            "ate"
+        ),
+    )

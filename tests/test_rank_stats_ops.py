@@ -215,3 +215,43 @@ def test_chao1_no_doubletons_defined(spark):
     row = chao1_richness(df).collect()[0]
     assert row.s_obs == 4 and row.f2 == 0
     assert row.chao1 == 4 + 4 * 3 / 2
+
+
+def test_ipw_ate_recovers_planted_effect(spark):
+    """Confounded design: stratum A is 75% treated, B 25%; treatment
+    adds exactly +10 inside every stratum but strata have different
+    baselines (A=100, B=0) — the naive diff-in-means is biased, IPW
+    with stratum propensities must recover exactly 10.0."""
+    from etl_orders_to_bq_spark.operators.experiment import ipw_ate
+
+    rows = []
+    for i in range(8):
+        t = 1 if i < 6 else 0          # stratum A: 6/8 treated
+        rows.append(("A", t, 100.0 + 10.0 * t))
+    for i in range(8):
+        t = 1 if i < 2 else 0          # stratum B: 2/8 treated
+        rows.append(("B", t, 0.0 + 10.0 * t))
+    df = spark.createDataFrame(rows, ["s", "t", "y"])
+    row = ipw_ate(df, "t", "y", "s").collect()[0]
+    assert (row.n_strata, row.n_used_strata, row.n) == (2, 2, 16)
+    assert row.ate == pytest.approx(10.0, abs=1e-6)
+    # the naive estimate is confounded upward: treated skew toward
+    # the high-baseline stratum
+    naive = (sum(y for _, t, y in rows if t) / 8) - (
+        sum(y for _, t, y in rows if not t) / 8
+    )
+    assert naive > 40
+
+
+def test_ipw_ate_drops_no_overlap_strata(spark):
+    """A stratum with zero treated rows has undefined weights: it is
+    excluded from the estimate and surfaced in the strata counts."""
+    from etl_orders_to_bq_spark.operators.experiment import ipw_ate
+
+    rows = [("A", 1, 20.0), ("A", 0, 10.0), ("C", 0, 999.0),
+            ("C", 0, 999.0)]
+    row = ipw_ate(
+        spark.createDataFrame(rows, ["s", "t", "y"]), "t", "y", "s"
+    ).collect()[0]
+    assert (row.n_strata, row.n_used_strata, row.n) == (2, 1, 2)
+    assert row.ate == pytest.approx(10.0, abs=1e-6)
