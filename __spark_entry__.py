@@ -8799,6 +8799,24 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_ate(j, "treated", "o_totalprice", "c_mktsegment")
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-truss of the 1000-node lineitem projection graph
+    (operators/graph.py k_truss): iterative support peeling — each
+    round one oriented-wedge triangle enumeration (Cohen plan, each
+    triangle found once), one exploded support groupBy, one filter at
+    support >= 6, staged per round, fixpoint by edge count (4 rounds
+    on this fixture at sf0.01). The oracle unrolls 6 peel rounds as
+    chained materialized CTEs with an error() fixpoint guard and
+    recomputes the surviving edges' support inside the truss."""
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return k_truss(li, k=8).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8813,6 +8831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "k_truss": q_k_truss,
         "ipw_ate": q_ipw_ate,
         "good_turing": q_good_turing,
         "chao1_richness": q_chao1_richness,
@@ -19313,5 +19332,63 @@ def oracle_sql() -> dict[str, str]:
                round(mu_treated - mu_control, 6) as ate
         from m
     """
+
+    _kt_depth = 6
+    _kt_parts = ["""
+        with base as materialized (
+          select distinct least(l_orderkey % 1000, l_partkey % 1000) as a,
+                 greatest(l_orderkey % 1000, l_partkey % 1000) as b
+          from lineitem
+          where l_orderkey % 1000 <> l_partkey % 1000
+        ),
+        u0 as materialized (select a, b from base)"""]
+    for _i in range(_kt_depth):
+        _kt_parts.append(f"""
+        t{_i} as materialized (
+          select e1.a as x, e1.b as y, e2.b as z
+          from u{_i} e1
+          join u{_i} e2 on e1.a = e2.a and e1.b < e2.b
+          join u{_i} e3 on e3.a = e1.b and e3.b = e2.b
+        ),
+        s{_i} as materialized (
+          select a, b, count(*) as sup from (
+            select x as a, y as b from t{_i}
+            union all select x as a, z as b from t{_i}
+            union all select y as a, z as b from t{_i}
+          ) group by a, b
+        ),
+        u{_i + 1} as materialized (
+          select u.a, u.b
+          from u{_i} u join s{_i} using (a, b)
+          where sup >= 6
+        )""")
+    _kt_final = f"""
+        stable as (
+          select case when (select count(*) from u{_kt_depth}) =
+                      (select count(*) from u{_kt_depth - 1})
+                 then 1
+                 else error('k_truss oracle: unroll depth {_kt_depth} not '
+                            'at fixpoint on this fixture - raise rounds')
+            end as ok
+        ),
+        tf as materialized (
+          select e1.a as x, e1.b as y, e2.b as z
+          from u{_kt_depth} e1
+          join u{_kt_depth} e2 on e1.a = e2.a and e1.b < e2.b
+          join u{_kt_depth} e3 on e3.a = e1.b and e3.b = e2.b
+        ),
+        sf as materialized (
+          select a, b, count(*) as sup from (
+            select x as a, y as b from tf
+            union all select x as a, z as b from tf
+            union all select y as a, z as b from tf
+          ) group by a, b
+        )
+        select u.a, u.b, cast(sf.sup as bigint) as support
+        from u{_kt_depth} u join sf using (a, b), stable
+        where stable.ok = 1
+        order by a, b
+    """
+    out["k_truss"] = ",".join(_kt_parts) + "," + _kt_final
 
     return out

@@ -255,3 +255,51 @@ def test_ipw_ate_drops_no_overlap_strata(spark):
     ).collect()[0]
     assert (row.n_strata, row.n_used_strata, row.n) == (2, 1, 2)
     assert row.ate == pytest.approx(10.0, abs=1e-6)
+
+
+def test_k_truss_golden_k4_with_pendant_triangle(spark):
+    """K4 {0,1,2,3} plus a pendant triangle {2,3,4}: edges (2,4) and
+    (3,4) sit in one triangle each, so the 4-truss (support >= 2)
+    peels them; the peel must then STILL keep K4 (whose edges each
+    sat in 2 K4-triangles after the cascade)."""
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.a, r.b): r.support for r in k_truss(df, k=4).collect()}
+    assert set(got) == set(k4)
+    assert all(v == 2 for v in got.values())
+
+
+def test_k_truss_cascade_to_empty(spark):
+    """A single triangle: every edge has support 1, so k=4 peels the
+    whole graph (cascade to empty, no crash)."""
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    assert k_truss(df, k=4).count() == 0
+    # and the triangle itself is the 3-truss (support >= 1)
+    assert k_truss(df, k=3).count() == 3
+
+
+def test_k_truss_local_matches_distributed(spark):
+    """The numpy fast path and the staged distributed peel must agree
+    edge-for-edge and support-for-support (the kcore equivalence
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select(
+        (F.col("l_orderkey") % 200).alias("src"),
+        (F.col("l_partkey") % 200).alias("dst"),
+    )
+    loc = sorted(tuple(r) for r in k_truss(li, k=6).collect())
+    dist = sorted(
+        tuple(r)
+        for r in k_truss(li, k=6, local_threshold=None).collect()
+    )
+    assert loc == dist and len(loc) > 100
