@@ -8817,6 +8817,23 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(li, k=8).orderBy("a", "b")
 
 
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation of the corpus
+    vocabulary (operators/lm.py wordpiece_segment): piece vocab =
+    prefixes + ##-substrings of the top-10 words (count desc, word
+    tie-break), encoding on DISTINCT words only (the bpe_encode
+    discipline) — bounded candidate explode, one broadcast vocab
+    join, per-position maximal-munch jump table, one bounded fold
+    per word; whole-word [UNK] on any failure. The oracle replays
+    the greedy walk as a RECURSIVE CTE over the jump table (the
+    span_corrupt relational-replay pattern — never a full-chunk
+    list_reduce)."""
+    from etl_orders_to_bq_spark.operators.lm import wordpiece_segment
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_segment(d, "text", top_k=10, max_piece=6, max_word=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8831,6 +8848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "wordpiece_encode": q_wordpiece_encode,
         "k_truss": q_k_truss,
         "ipw_ate": q_ipw_ate,
         "good_turing": q_good_turing,
@@ -19390,5 +19408,85 @@ def oracle_sql() -> dict[str, str]:
         order by a, b
     """
     out["k_truss"] = ",".join(_kt_parts) + "," + _kt_final
+
+    out["wordpiece_encode"] = """
+        with tok as (
+          select unnest(regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+')) as w
+          from documents
+        ),
+        words as materialized (
+          select w, count(*)::bigint as n from tok group by w
+        ),
+        topk as materialized (
+          select w from words order by n desc, w limit 10
+        ),
+        init as (
+          select substr(w, 1, l) as p
+          from topk, unnest(range(1, least(length(w), 6) + 1)) as t(l)
+        ),
+        cont as (
+          select '##' || substr(w, i, l) as p
+          from topk,
+               unnest(range(2, length(w) + 1)) as ti(i),
+               unnest(range(1, least(6, length(w) - i + 1) + 1)) as tl(l)
+          where length(w) >= 2
+        ),
+        vocab as materialized (
+          select distinct p from init union select distinct p from cont
+        ),
+        inlen as materialized (
+          select w, n from words where length(w) <= 24
+        ),
+        cand as (
+          select w, i as pos, l,
+                 case when i = 1 then substr(w, 1, l)
+                      else '##' || substr(w, i, l) end as piece
+          from inlen,
+               unnest(range(1, length(w) + 1)) as ti(i),
+               unnest(range(1, least(6, length(w) - i + 1) + 1)) as tl(l)
+        ),
+        jumps as materialized (
+          select w, pos, max(l) as jump
+          from cand join vocab on piece = p
+          group by w, pos
+        ),
+        rec as (
+          with recursive walk as (
+            select w, 1 as pos, ''::varchar as pieces, 0 as np, true as ok
+            from inlen
+            union all
+            select r.w,
+                   cast(r.pos + coalesce(j.jump, 0) as int),
+                   case when j.jump is null then r.pieces
+                        when r.pos = 1 then substr(r.w, 1, j.jump)
+                        else r.pieces || ' ##'
+                             || substr(r.w, r.pos, j.jump) end,
+                   case when j.jump is null then r.np else r.np + 1 end,
+                   j.jump is not null
+            from walk r
+            left join jumps j on j.w = r.w and j.pos = r.pos
+            where r.ok and r.pos <= length(r.w)
+          )
+          select * from walk
+        ),
+        term as (
+          select w, pieces, np, ok from rec
+          where not ok or pos > length(w)
+        ),
+        encoded as (
+          select i.w as word, i.n,
+                 case when t.ok then cast(t.np as bigint)
+                      else 1 end as n_pieces,
+                 case when t.ok then t.pieces else '[UNK]' end as pieces
+          from inlen i join term t on t.w = i.w
+          union all
+          select w as word, n, 1 as n_pieces, '[UNK]' as pieces
+          from words where length(w) > 24
+        )
+        select word, n, n_pieces, pieces
+        from encoded
+        order by n desc, word
+    """
 
     return out

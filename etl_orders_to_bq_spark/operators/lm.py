@@ -1671,3 +1671,206 @@ def chao1_richness(
             F.round(1.0 - f1 / F.col("n_tokens").cast("double"), ndigits),
         ).alias("coverage"),
     )
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10,
+    max_piece: int = 6,
+    max_word: int = 24,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """WordPiece greedy longest-match-first segmentation (Wu et al.
+    2016 / the BERT tokenizer, public literature) over a
+    corpus-derived piece vocabulary — the OTHER subword family next
+    to ``bpe_encode``: BPE applies learned merges bottom-up,
+    WordPiece walks each word left-to-right taking the LONGEST vocab
+    piece at every position ("maximal munch"), with ``##``-marked
+    continuation pieces and whole-word ``[UNK]`` on any failure.
+
+    Vocabulary (deterministic, corpus-derived): the ``top_k`` most
+    frequent words (count desc, word asc tie-break) contribute every
+    prefix up to ``max_piece`` chars as word-initial pieces and every
+    interior substring up to ``max_piece`` as ``##``-continuation
+    pieces — a model-sized table (<= top_k * max_piece * max word
+    length entries) built from two explodes over the top-k list.
+
+    Encoding runs on DISTINCT words (the bpe_encode
+    vocabulary-encode-then-join discipline — the token stream never
+    pays per-occurrence work): candidate (word, pos, len) pieces
+    explode bounded by ``max_word * max_piece`` per word, one
+    broadcast join against the vocabulary, a groupBy (word, pos) max
+    for the per-position maximal-munch jump table, and ONE bounded
+    fold (``aggregate`` over the word's character positions) that
+    walks the jumps and assembles pieces. Words longer than
+    ``max_word`` are ``[UNK]`` by contract (BERT's
+    max_input_chars_per_word rule).
+
+    Output per distinct word: ``(word, n, n_pieces, pieces)`` with
+    ``pieces`` space-joined, ordered by (n desc, word).
+
+    Scale: everything downstream of the distinct-word groupBy is
+    bounded by |vocabulary of the corpus|, not corpus size; the
+    explodes and the fold are per-distinct-word and clamped by
+    max_word/max_piece. No counterpart in the reference engine
+    (SURVEY.md §2.2).
+    """
+    toks = df.select(
+        F.explode(tokenize(normalize_text(text_col))).alias("__w")
+    )
+    words = toks.groupBy("__w").agg(F.count("*").alias("__n"))
+    topk = words.orderBy(F.desc("__n"), "__w").limit(int(top_k))
+    lens = F.length("__w")
+    init = topk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(lens, F.lit(int(max_piece)))),
+                lambda l: F.substring(F.col("__w"), F.lit(1), l),
+            )
+        ).alias("__p")
+    )
+    cont = (
+        topk.filter(lens >= 2)
+        .select(
+            F.col("__w"),
+            F.explode(F.sequence(F.lit(2), lens)).alias("__i"),
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(
+                            F.lit(int(max_piece)),
+                            F.length("__w") - F.col("__i") + 1,
+                        ),
+                    ),
+                    lambda l: F.concat(
+                        F.lit("##"),
+                        F.substring(F.col("__w"), F.col("__i"), l),
+                    ),
+                )
+            ).alias("__p")
+        )
+    )
+    vocab = init.unionByName(cont).distinct()
+
+    dw = words.withColumn("__len", F.length("__w"))
+    inlen = dw.filter(F.col("__len") <= int(max_word))
+    cand = inlen.select(
+        "__w",
+        "__len",
+        F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__pos"),
+    ).select(
+        "__w",
+        "__pos",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(int(max_piece)),
+                    F.col("__len") - F.col("__pos") + 1,
+                ),
+            )
+        ).alias("__l"),
+    )
+    piece = F.when(
+        F.col("__pos") == 1,
+        F.substring(F.col("__w"), F.col("__pos"), F.col("__l")),
+    ).otherwise(
+        F.concat(
+            F.lit("##"),
+            F.substring(F.col("__w"), F.col("__pos"), F.col("__l")),
+        )
+    )
+    jumps = (
+        cand.join(F.broadcast(vocab), piece == F.col("__p"))
+        .groupBy("__w", "__pos")
+        .agg(F.max("__l").alias("__jump"))
+    )
+    jmap = jumps.groupBy("__w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__pos", "__jump"))
+        ).alias("__jm")
+    )
+    walked = inlen.join(jmap, "__w", "left").withColumn(
+        "__state",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("__len")),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+                F.lit(True).alias("ok"),
+            ),
+            lambda acc, i: F.when(
+                ~acc["ok"] | (i != acc["pos"]), acc
+            ).otherwise(
+                F.when(
+                    F.coalesce(
+                        F.element_at(F.col("__jm"), i), F.lit(0)
+                    )
+                    == 0,
+                    F.struct(
+                        acc["pos"].alias("pos"),
+                        acc["pieces"].alias("pieces"),
+                        F.lit(False).alias("ok"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (
+                            acc["pos"]
+                            + F.element_at(F.col("__jm"), i)
+                        ).cast("int").alias("pos"),
+                        F.concat(
+                            acc["pieces"],
+                            F.array(
+                                F.when(
+                                    i == 1,
+                                    F.substring(
+                                        F.col("__w"),
+                                        i,
+                                        F.element_at(F.col("__jm"), i),
+                                    ),
+                                ).otherwise(
+                                    F.concat(
+                                        F.lit("##"),
+                                        F.substring(
+                                            F.col("__w"),
+                                            i,
+                                            F.element_at(
+                                                F.col("__jm"), i
+                                            ),
+                                        ),
+                                    )
+                                )
+                            ),
+                        ).alias("pieces"),
+                        F.lit(True).alias("ok"),
+                    )
+                )
+            ),
+        ),
+    )
+    encoded = walked.select(
+        F.col("__w").alias("word"),
+        F.col("__n").alias("n"),
+        F.when(
+            F.col("__state")["ok"], F.col("__state")["pieces"]
+        ).otherwise(F.array(F.lit(unk))).alias("__pieces"),
+    )
+    toolong = dw.filter(F.col("__len") > int(max_word)).select(
+        F.col("__w").alias("word"),
+        F.col("__n").alias("n"),
+        F.array(F.lit(unk)).alias("__pieces"),
+    )
+    return (
+        encoded.unionByName(toolong)
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n"),
+            F.size("__pieces").cast("long").alias("n_pieces"),
+            F.array_join("__pieces", " ").alias("pieces"),
+        )
+        .orderBy(F.desc("n"), "word")
+    )

@@ -303,3 +303,60 @@ def test_k_truss_local_matches_distributed(spark):
         for r in k_truss(li, k=6, local_threshold=None).collect()
     )
     assert loc == dist and len(loc) > 100
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Maximal munch on a planted vocabulary: corpus dominated by
+    'unable' (pieces: u, un, una, ..., ##n, ##a, ##able, ...) makes
+    'unably' segment as [un ##ably]? No — greedy takes the LONGEST
+    piece at each position: 'unable'-derived pieces give un->'unabl'
+    (5 <= max_piece 6)... assert the exact walk instead."""
+    from etl_orders_to_bq_spark.operators.lm import wordpiece_segment
+
+    # top-1 word is 'unable'; 'nable' appears once to be segmented
+    docs = [("unable " * 5 + "nable",)]
+    df = spark.createDataFrame(docs, ["text"])
+    got = {
+        r.word: (r.n_pieces, r.pieces)
+        for r in wordpiece_segment(df, top_k=1).collect()
+    }
+    # 'unable' is its own prefix-piece (len 6 = max_piece): 1 piece
+    assert got["unable"] == (1, "unable")
+    # 'nable': initial pieces are PREFIXES of 'unable' only, so pos 1
+    # has no match ('n' is not a prefix of 'unable') -> whole-word UNK
+    assert got["nable"] == (1, "[UNK]")
+
+
+def test_wordpiece_continuation_and_unk_char(spark):
+    """'abc' as the top word gives initial pieces {a, ab, abc} and
+    continuations {##b, ##bc, ##c}. 'abb' must take the LONGEST
+    initial piece 'ab' (maximal munch, NOT a ##b ##b), then ##b.
+    'aab' fails at position 2 ('##a' never occurs interior in 'abc')
+    and 'axb' at 'x' — both whole-word UNK."""
+    from etl_orders_to_bq_spark.operators.lm import wordpiece_segment
+
+    docs = [("abc abc abc abb aab axb",)]
+    df = spark.createDataFrame(docs, ["text"])
+    got = {
+        r.word: r.pieces
+        for r in wordpiece_segment(df, top_k=1).collect()
+    }
+    assert got["abc"] == "abc"
+    assert got["abb"] == "ab ##b"
+    assert got["aab"] == "[UNK]"
+    assert got["axb"] == "[UNK]"
+
+
+def test_wordpiece_max_word_clamp(spark):
+    """Words beyond max_word chars are whole-word [UNK] by contract
+    (BERT's max_input_chars_per_word rule)."""
+    from etl_orders_to_bq_spark.operators.lm import wordpiece_segment
+
+    docs = [("ab ab ab " + "ab" * 20,)]
+    df = spark.createDataFrame(docs, ["text"])
+    got = {
+        r.word: r.pieces
+        for r in wordpiece_segment(df, top_k=1, max_word=10).collect()
+    }
+    assert got["ab" * 20] == "[UNK]"
+    assert got["ab"] == "ab"
