@@ -8834,6 +8834,38 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_segment(d, "text", top_k=10, max_piece=6, max_word=24)
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the fixture's lang label
+    and the engine's cheap language_id classifier
+    (operators/classifier.py cohens_kappa): confusion cells, row/col
+    marginals over the label UNION, and kappa as ONE rounded division
+    of two exact decimal(38,0) integers (the algebraic clearing of
+    (po-pe)/(1-pe)) — the annotator/LLM-judge agreement gate."""
+    from etl_orders_to_bq_spark.functions.text import language_id
+    from etl_orders_to_bq_spark.operators.classifier import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", language_id("text").alias("lang_pred")
+    )
+    return cohens_kappa(d, "lang", "lang_pred")
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar marginal-homogeneity test between two cheap document
+    classifiers on the same corpus (operators/classifier.py
+    mcnemar_test): exact discordant counts, continuity-corrected
+    chi2, and the two-sided p via z = sqrt(chi2) through the engine's
+    deterministic Phi (shared literals with the oracle)."""
+    from etl_orders_to_bq_spark.functions.text import token_count
+    from etl_orders_to_bq_spark.operators.classifier import mcnemar_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 300).alias("clf_a"),
+        (token_count(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))) > 55).alias("clf_b"),
+    )
+    return mcnemar_test(d, "clf_a", "clf_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8848,6 +8880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "cohens_kappa": q_cohens_kappa,
+        "mcnemar": q_mcnemar,
         "wordpiece_encode": q_wordpiece_encode,
         "k_truss": q_k_truss,
         "ipw_ate": q_ipw_ate,
@@ -19487,6 +19521,82 @@ def oracle_sql() -> dict[str, str]:
         select word, n, n_pieces, pieces
         from encoded
         order by n desc, word
+    """
+
+    out["cohens_kappa"] = f"""
+        with base as (
+          select lang as a, {lang_case} as b from documents
+          where lang is not null
+        ),
+        cells as (
+          select a, b, count(*) as c from base group by a, b
+        ),
+        r as (select a, sum(c) as r from cells group by a),
+        k as (select b, sum(c) as k from cells group by b),
+        marg as (
+          select count(*)::bigint as n_categories,
+                 cast(sum(cast(coalesce(r.r, 0) as decimal(38,0))
+                          * cast(coalesce(k.k, 0) as decimal(38,0)))
+                      as decimal(38,0)) as rc
+          from r full join k on r.a = k.b
+        ),
+        diag as (
+          select cast(sum(c) as bigint) as n,
+                 cast(sum(case when a = b then c else 0 end)
+                      as bigint) as agree
+          from cells
+        )
+        select n, n_categories,
+               case when n > 0
+                    then round(agree::double / n::double, 6) end as po,
+               case when n > 0
+                    then round(cast(rc as double)
+                               / (n::double * n::double), 6) end as pe,
+               case when cast(cast(n as decimal(38,0))
+                             * cast(n as decimal(38,0)) - rc as double)
+                         != 0
+                    then round(
+                      cast(cast(n as decimal(38,0))
+                           * cast(agree as decimal(38,0)) - rc as double)
+                      / cast(cast(n as decimal(38,0))
+                             * cast(n as decimal(38,0)) - rc as double), 6)
+               end as kappa
+        from diag, marg
+    """
+
+    from etl_orders_to_bq_spark.operators.multitest import (
+        norm_sf_sql as _nsf,
+    )
+
+    _mcn_p = _nsf("sqrt(chi2)")
+    out["mcnemar"] = f"""
+        with base as (
+          select n_chars > 300 as a,
+                 len(regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+')) > 55 as b
+          from documents
+        ),
+        agg as (
+          select count(*)::bigint as n,
+                 cast(sum(case when a and not b then 1 else 0 end)
+                      as bigint) as b,
+                 cast(sum(case when not a and b then 1 else 0 end)
+                      as bigint) as c
+          from base
+        ),
+        s as (
+          select n, b, c,
+                 case when b + c > 0 then round(
+                   greatest(abs(b::double - c::double) - 1.0, 0.0)
+                   * greatest(abs(b::double - c::double) - 1.0, 0.0)
+                   / (b::double + c::double), 6) end as chi2
+          from agg
+        )
+        select n, b, c, chi2,
+               case when chi2 is not null
+                    then round(least(1.0, 2.0 * {_mcn_p}), 6)
+               end as p_value
+        from s
     """
 
     return out

@@ -749,3 +749,151 @@ def isotonic_calibration(
         )
         .orderBy(order_col)
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater1_col: str,
+    rater2_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    / classifiers over the same items (Cohen 1960, public
+    literature): THE number a data-curation stack reports when two
+    labelers (human or LLM-judge) grade the same documents, before
+    trusting either.
+
+    Exactness: with confusion counts n_ij, row sums r_i, column sums
+    c_i, and N all exact integers,
+
+        kappa = (N * sum_i n_ii - sum_i r_i*c_i)
+              / (N^2        - sum_i r_i*c_i)
+
+    is ONE rounded division of two exact decimal(38,0) integers (the
+    algebraic clearing of (po-pe)/(1-pe)); po and pe are each one
+    rounded division as well. Perfect chance agreement (pe = 1, the
+    degenerate single-category case) yields NULL kappa.
+
+    Output: one row ``(n, n_categories, po, pe, kappa)`` where
+    n_categories counts the UNION of labels either rater used.
+
+    Scale: one map-side-combinable groupBy to the |labels|^2
+    confusion table; every later aggregate runs on that bounded
+    table. No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    base = df.filter(
+        F.col(rater1_col).isNotNull() & F.col(rater2_col).isNotNull()
+    ).select(
+        F.col(rater1_col).cast("string").alias("__a"),
+        F.col(rater2_col).cast("string").alias("__b"),
+    )
+    cells = base.groupBy("__a", "__b").agg(F.count("*").alias("__c"))
+    rows = cells.groupBy("__a").agg(F.sum("__c").alias("__r"))
+    cols = cells.groupBy("__b").agg(F.sum("__c").alias("__k"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    marg = (
+        rows.join(cols, rows.__a == cols.__b, "full")
+        .select(
+            F.coalesce(F.col("__a"), F.col("__b")).alias("__lab"),
+            F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+            F.coalesce(F.col("__k"), F.lit(0)).alias("__k"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_categories"),
+            dec(F.sum(dec(F.col("__r")) * dec(F.col("__k")))).alias(
+                "__rc"
+            ),
+        )
+    )
+    diag = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__agree"),
+    )
+    j = diag.crossJoin(F.broadcast(marg))
+    nn = dec(F.col("n"))
+    num = nn * dec(F.col("__agree")) - F.col("__rc")
+    den = nn * nn - F.col("__rc")
+    return j.select(
+        "n",
+        "n_categories",
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("__agree").cast("double") / F.col("n").cast("double"),
+                ndigits,
+            ),
+        ).alias("po"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("__rc").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                ndigits,
+            ),
+        ).alias("pe"),
+        F.when(
+            den.cast("double") != 0,
+            F.round(num.cast("double") / den.cast("double"), ndigits),
+        ).alias("kappa"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    rater1_col: str,
+    rater2_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """McNemar's test for marginal homogeneity of two BINARY
+    classifiers on the same items (McNemar 1947, public literature)
+    — "is classifier A actually better than B" decided only by the
+    discordant pairs:
+
+        chi2 = (|b - c| - 1)^2 / (b + c)      (continuity-corrected)
+
+    with b/c the exact discordant counts. The two-sided p replays the
+    engine's deterministic Phi via z = sqrt(chi2) (P(chi2(1) > x) =
+    2*Phic(sqrt(x)) — the multitest.with_p_value kernel, shared
+    literals with the oracle). b + c = 0 (no discordant pairs) yields
+    NULL chi2/p.
+
+    Output: one row ``(n, b, c, chi2, p_value)``.
+
+    Scale: one map-side-combinable aggregate; nothing downstream of
+    exact integers. No counterpart in the reference engine
+    (SURVEY.md §2.2).
+    """
+    from .multitest import with_p_value
+
+    base = df.filter(
+        F.col(rater1_col).isNotNull() & F.col(rater2_col).isNotNull()
+    ).select(
+        F.col(rater1_col).cast("boolean").alias("__a"),
+        F.col(rater2_col).cast("boolean").alias("__b"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") & ~F.col("__b"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("__a") & F.col("__b"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    dev = F.greatest(F.abs(bd - cd) - 1.0, F.lit(0.0))
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        F.round(dev * dev / (bd + cd), ndigits),
+    )
+    staged = agg.select(
+        "n",
+        "b",
+        "c",
+        chi2.alias("chi2"),
+        F.when(chi2.isNotNull(), F.sqrt(chi2)).alias("__z"),
+    )
+    return with_p_value(staged, "__z", "p_value", ndigits).drop("__z")

@@ -360,3 +360,68 @@ def test_wordpiece_max_word_clamp(spark):
     }
     assert got["ab" * 20] == "[UNK]"
     assert got["ab"] == "ab"
+
+
+def test_cohens_kappa_golden(spark):
+    """2x2 case: 45 yes-yes, 15 yes-no, 25 no-yes, 15 no-no ->
+    marginals 60/40 x 70/30, po = 0.6, pe = (60*70 + 40*30)/100^2 =
+    0.54, kappa = 0.06/0.46 = 0.130435."""
+    from etl_orders_to_bq_spark.operators.classifier import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 45 + [("y", "n")] * 15
+        + [("n", "y")] * 25 + [("n", "n")] * 15
+    )
+    row = cohens_kappa(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert (row.n, row.n_categories) == (100, 2)
+    assert (row.po, row.pe) == (0.6, 0.54)
+    assert row.kappa == pytest.approx(0.130435, abs=1e-6)
+
+
+def test_cohens_kappa_label_union_and_degenerate(spark):
+    """A label only rater 2 uses still counts in n_categories; total
+    agreement on a single shared label makes pe = 1 -> NULL kappa."""
+    from etl_orders_to_bq_spark.operators.classifier import cohens_kappa
+
+    rows = [("x", "x"), ("x", "x"), ("x", "z")]
+    row = cohens_kappa(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert row.n_categories == 2
+    assert row.kappa is not None
+    one = [("x", "x")] * 4
+    row2 = cohens_kappa(
+        spark.createDataFrame(one, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert row2.pe == 1.0 and row2.kappa is None
+
+
+def test_mcnemar_golden(spark):
+    """Textbook discordants b=10, c=2: chi2 = (8-1)^2/12 = 4.083333;
+    p ~ 0.0433 (reject at 5%)."""
+    from etl_orders_to_bq_spark.operators.classifier import mcnemar_test
+
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 10
+        + [(False, True)] * 2 + [(False, False)] * 8
+    )
+    row = mcnemar_test(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert (row.b, row.c) == (10, 2)
+    assert row.chi2 == pytest.approx(4.083333, abs=1e-6)
+    assert row.p_value == pytest.approx(0.0433, abs=2e-4)
+
+
+def test_mcnemar_no_discordance_null(spark):
+    """Identical classifiers: b + c = 0 -> NULL chi2 and p, never a
+    division crash."""
+    from etl_orders_to_bq_spark.operators.classifier import mcnemar_test
+
+    rows = [(True, True)] * 5 + [(False, False)] * 5
+    row = mcnemar_test(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert row.chi2 is None and row.p_value is None
