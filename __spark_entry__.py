@@ -8866,6 +8866,24 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(d, "clf_a", "clf_b")
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect multi-touch attribution over the first-order
+    Markov journey model (operators/attribution.py
+    markov_attribution): Spark builds exact per-user journey
+    transition counts (two keyed windows + one groupBy); the
+    absorption solve runs 25 synchronous micro-integer value-iteration
+    rounds over the (|channels|+2)^2-bounded count table driver-side
+    (ridge/kmeans bounded-collect discipline). The oracle rebuilds
+    the transitions and unrolls all 25 rounds as chained CTEs in
+    hugeint arithmetic — every digit replays."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return markov_attribution(e).orderBy("channel")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8880,6 +8898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "markov_attribution": q_markov_attribution,
         "cohens_kappa": q_cohens_kappa,
         "mcnemar": q_mcnemar,
         "wordpiece_encode": q_wordpiece_encode,
@@ -19598,5 +19617,135 @@ def oracle_sql() -> dict[str, str]:
                end as p_value
         from s
     """
+
+    _mk_rounds = 25
+    _mk_parts = ["""
+        with base as materialized (
+          select user_id as u, ts, event_id as id, event_type as c,
+                 event_type = 'purchase' as conv
+          from events
+          where event_type in ('click', 'view', 'signup', 'purchase')
+        ),
+        pu as materialized (
+          select u, min(case when conv then ts end) as cts
+          from base group by u
+        ),
+        puid as materialized (
+          select b.u, p.cts, min(b.id) as cid
+          from base b join pu p on b.u = p.u and b.conv
+                               and b.ts = p.cts
+          group by b.u, p.cts
+        ),
+        touches as materialized (
+          select b.u, b.ts, b.id, b.c, (p.u is not null) as conv_user
+          from base b
+          left join puid p on b.u = p.u
+          where not b.conv
+            and (p.u is null
+                 or b.ts < p.cts
+                 or (b.ts = p.cts and b.id < p.cid))
+        ),
+        seq as materialized (
+          select u, conv_user,
+                 coalesce(lag(c) over (partition by u
+                            order by ts, id), '__START__') as src,
+                 c as dst,
+                 lead(c) over (partition by u order by ts, id)
+                   is null as is_last
+          from touches
+        ),
+        trans as materialized (
+          select src, dst, count(*)::bigint as n from (
+            select src, dst from seq
+            union all
+            select dst as src,
+                   case when conv_user then '__CONV__'
+                        else '__NULL__' end as dst
+            from seq where is_last
+            union all
+            select '__START__' as src, '__CONV__' as dst
+            from puid p
+            where not exists (select 1 from touches t where t.u = p.u)
+          ) group by src, dst
+        ),
+        chan as materialized (
+          select distinct src as ch from trans where src <> '__START__'
+          union
+          select distinct dst from trans
+          where dst not in ('__CONV__', '__NULL__')
+        ),
+        scen as materialized (
+          select '__FULL__' as sc union all select ch from chan
+        ),
+        strans as materialized (
+          select s.sc, t.src as f,
+                 case when t.dst = s.sc then '__NULL__'
+                      else t.dst end as t,
+                 sum(n)::bigint as n
+          from trans t cross join scen s
+          where t.src <> s.sc
+          group by 1, 2, 3
+        ),
+        outs as materialized (
+          select sc, f, sum(n)::bigint as o from strans group by sc, f
+        ),
+        states as materialized (
+          select distinct sc, f as st from strans
+          union select sc, '__CONV__' from scen
+          union select sc, '__NULL__' from scen
+        ),
+        v0 as materialized (
+          select sc, st,
+                 case when st = '__CONV__' then 1000000::hugeint
+                      else 0::hugeint end as v
+          from states
+        )"""]
+    for _r in range(1, _mk_rounds + 1):
+        _mk_parts.append(f"""
+        v{_r} as materialized (
+          select v.sc, v.st,
+                 case when v.st in ('__CONV__', '__NULL__') then v.v
+                      when upd.nv is not null then upd.nv
+                      else v.v end as v
+          from v{_r - 1} v
+          left join (
+            select s.sc, s.f as st,
+                   (2 * sum(s.n::hugeint * pv.v)
+                    + max(o.o)::hugeint)
+                   // (2 * max(o.o)::hugeint) as nv
+            from strans s
+            join v{_r - 1} pv on pv.sc = s.sc and pv.st = s.t
+            join outs o on o.sc = s.sc and o.f = s.f
+            group by s.sc, s.f
+          ) upd on upd.sc = v.sc and upd.st = v.st
+        )""")
+    _mk_final = f"""
+        pf as (
+          select v as p_full from v{_mk_rounds}
+          where sc = '__FULL__' and st = '__START__'
+        ),
+        pr as (
+          select sc as channel, v as p_rem from v{_mk_rounds}
+          where sc <> '__FULL__' and st = '__START__'
+        ),
+        rem as (
+          select channel, greatest(p_full - p_rem, 0) as r, p_full
+          from pr, pf
+        ),
+        tot as (select sum(r)::hugeint as tr from rem)
+        select channel,
+               cast(p_full as double) / 1000000.0 as p_full,
+               cast(p_full - r as double) / 1000000.0 as p_removed,
+               cast(r as double) / 1000000.0 as removal_effect,
+               case when tr > 0 then
+                 cast((2 * r * 1000000::hugeint + tr) // (2 * tr)
+                      as double) / 1000000.0
+               end as share
+        from rem, tot
+        order by channel
+    """
+    out["markov_attribution"] = (
+        ",".join(_mk_parts) + "," + _mk_final
+    )
 
     return out

@@ -145,3 +145,178 @@ def cohort_ltv(
             F.col("__cum").cast("double") / F.col("cohort_users"), ndigits
         ).alias("ltv_per_user"),
     )
+
+
+_MK_START = "__START__"
+_MK_CONV = "__CONV__"
+_MK_NULL = "__NULL__"
+_MK_MICRO = 1_000_000
+
+
+def markov_transitions(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("click", "view", "signup"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user journeys —
+    the data-sized half of removal-effect attribution (Anderl et al.
+    2014 shape, public literature).
+
+    A journey is each user's ordered touch sequence STRICTLY BEFORE
+    their first conversion (order ``(ts, id)`` — the attribution
+    tie-break discipline), ending in ``__CONV__`` if the user
+    converted, else ``__NULL__``; ``__START__`` precedes the first
+    touch, and a touchless conversion contributes the direct
+    ``__START__ -> __CONV__`` edge. Later conversions re-use no
+    touches (first-journey-only, documented).
+
+    Output: ``(src, dst, n)`` exact integer counts — a
+    (|channels|+2)^2-bounded table.
+
+    Scale: one filter, two keyed windows on the user key (lag +
+    running min of the conversion stamp), one map-side-combinable
+    groupBy. Hot users concentrate a partition like any keyed window
+    — cap or salt upstream.
+    """
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            f"touch_types {list(touch_types)!r}"
+        )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    is_conv = F.col(type_col) == conversion_type
+    base = events.filter(is_touch | is_conv).select(
+        F.col(user_col).alias("__u"),
+        F.struct(F.col(ts_col), F.col(id_col)).alias("__k"),
+        F.col(type_col).alias("__c"),
+        is_conv.alias("__conv"),
+    )
+    per_user = base.groupBy("__u").agg(
+        F.min(F.when(F.col("__conv"), F.col("__k"))).alias("__ck")
+    )
+    touches = (
+        base.filter(~F.col("__conv"))
+        .join(per_user, "__u")
+        .filter(F.col("__ck").isNull() | (F.col("__k") < F.col("__ck")))
+    )
+    w = Window.partitionBy("__u").orderBy("__k")
+    seq = touches.select(
+        "__u",
+        "__ck",
+        F.coalesce(F.lag("__c").over(w), F.lit(_MK_START)).alias("src"),
+        F.col("__c").alias("dst"),
+        F.lead("__c").over(w).isNull().alias("__last"),
+    )
+    inner = seq.select("src", "dst")
+    last = seq.filter(F.col("__last")).select(
+        F.col("dst").alias("src"),
+        F.when(F.col("__ck").isNotNull(), F.lit(_MK_CONV))
+        .otherwise(F.lit(_MK_NULL))
+        .alias("dst"),
+    )
+    direct = (
+        touches.groupBy("__u").agg(F.count("*").alias("__nt"))
+        .join(per_user.filter(F.col("__ck").isNotNull()), "__u", "right")
+        .filter(F.col("__nt").isNull())
+        .select(
+            F.lit(_MK_START).alias("src"), F.lit(_MK_CONV).alias("dst")
+        )
+    )
+    return (
+        inner.unionByName(last)
+        .unionByName(direct)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def markov_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("click", "view", "signup"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    rounds: int = 25,
+) -> DataFrame:
+    """Removal-effect multi-touch attribution over the first-order
+    Markov journey model (Anderl et al. 2014, public literature) —
+    the principled successor to first/last-touch
+    (``attribute_conversions``): a channel's credit is how much the
+    START -> CONV absorption probability DROPS when the channel is
+    removed (its in-edges redirected to ``__NULL__``, its out-edges
+    dropped).
+
+    Determinism contract: the transition table is exact integers
+    (``markov_transitions``); the absorption probabilities run
+    ``rounds`` synchronous value-iteration steps in MICRO-INTEGER
+    state — v_x <- half_away((sum_y n_xy * v_y) / out_x) on the 1e-6
+    grid, the holt_linear integer-recurrence discipline — so every
+    digit replays on both engines. ``rounds`` is a resolution knob
+    (paths longer than ``rounds`` hops contribute nothing on either
+    engine), not a data knob. The solve itself runs DRIVER-SIDE over
+    the (|channels|+2)^2-bounded count table (the ridge/kmeans
+    bounded-collect discipline, documented); Spark does the
+    data-sized journey work.
+
+    Output per channel: ``(channel, p_full, p_removed,
+    removal_effect, share)`` — share = removal / sum(removals), NULL
+    when no channel has positive removal effect; ordered by channel.
+    """
+    trans = markov_transitions(
+        events, touch_types, conversion_type,
+        user_col, ts_col, type_col, id_col,
+    )
+    rows = [(r["src"], r["dst"], r["n"]) for r in trans.collect()]
+    chans = sorted(
+        {f for f, _, _ in rows if f != _MK_START}
+        | {t for _, t, _ in rows if t not in (_MK_CONV, _MK_NULL)}
+    )
+
+    def _absorb(removed: str | None) -> int:
+        tr: dict[str, dict[str, int]] = {}
+        for f, t, n in rows:
+            if f == removed:
+                continue
+            tt = _MK_NULL if t == removed else t
+            tr.setdefault(f, {})
+            tr[f][tt] = tr[f].get(tt, 0) + n
+        v = {f: 0 for f in tr}
+        v[_MK_CONV] = _MK_MICRO
+        v[_MK_NULL] = 0
+        for _ in range(rounds):
+            nv = {}
+            for f, outs in tr.items():
+                out = sum(outs.values())
+                ssum = sum(n * v.get(t, 0) for t, n in outs.items())
+                nv[f] = (2 * ssum + out) // (2 * out)
+            v.update(nv)
+        return v.get(_MK_START, 0)
+
+    p_full = _absorb(None)
+    rem = {c: max(p_full - _absorb(c), 0) for c in chans}
+    tot = sum(rem.values())
+    out_rows = []
+    for c in chans:
+        share = (
+            (2 * rem[c] * _MK_MICRO + tot) // (2 * tot) if tot > 0 else None
+        )
+        out_rows.append(
+            (
+                c,
+                p_full / _MK_MICRO,
+                (p_full - rem[c]) / _MK_MICRO,
+                rem[c] / _MK_MICRO,
+                share / _MK_MICRO if share is not None else None,
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        out_rows,
+        schema="channel string, p_full double, p_removed double, "
+        "removal_effect double, share double",
+    )

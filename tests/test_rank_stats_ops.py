@@ -425,3 +425,83 @@ def test_mcnemar_no_discordance_null(spark):
         spark.createDataFrame(rows, ["a", "b"]), "a", "b"
     ).collect()[0]
     assert row.chi2 is None and row.p_value is None
+
+
+def _mk_events(spark):
+    import datetime
+
+    T = lambda s_: datetime.datetime(2024, 1, 1, 0, 0, s_)  # noqa: E731
+    rows = [
+        (1, T(1), 1, "click"), (1, T(2), 2, "view"),
+        (1, T(3), 3, "purchase"),
+        (2, T(1), 4, "view"),
+        (3, T(1), 5, "purchase"),
+        (4, T(1), 6, "click"),
+    ]
+    return spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+
+
+def test_markov_transitions_golden(spark):
+    """Four journeys: click->view->CONV, view->NULL, direct CONV,
+    click->NULL — every edge count hand-traced."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        markov_transitions,
+    )
+
+    got = {
+        (r.src, r.dst): r.n
+        for r in markov_transitions(_mk_events(spark)).collect()
+    }
+    assert got == {
+        ("__START__", "__CONV__"): 1,
+        ("__START__", "click"): 2,
+        ("__START__", "view"): 1,
+        ("click", "view"): 1,
+        ("click", "__NULL__"): 1,
+        ("view", "__CONV__"): 1,
+        ("view", "__NULL__"): 1,
+    }
+
+
+def test_markov_attribution_golden(spark):
+    """Hand-solved absorption: P_full = 0.5; removing click gives
+    0.375 (effect 0.125), removing view gives 0.25 (effect 0.25) —
+    shares 1/3 and 2/3."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    got = {
+        r.channel: (r.p_full, r.p_removed, r.removal_effect, r.share)
+        for r in markov_attribution(_mk_events(spark)).collect()
+    }
+    assert got["click"] == (0.5, 0.375, 0.125, 0.333333)
+    assert got["view"] == (0.5, 0.25, 0.25, 0.666667)
+
+
+def test_markov_attribution_first_journey_only(spark):
+    """Touches AFTER the first conversion contribute no transitions
+    (first-journey-only contract)."""
+    import datetime
+
+    from etl_orders_to_bq_spark.operators.attribution import (
+        markov_transitions,
+    )
+
+    T = lambda s_: datetime.datetime(2024, 1, 1, 0, 0, s_)  # noqa: E731
+    rows = [
+        (1, T(1), 1, "click"), (1, T(2), 2, "purchase"),
+        (1, T(3), 3, "view"), (1, T(4), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+    got = {
+        (r.src, r.dst): r.n for r in markov_transitions(df).collect()
+    }
+    assert got == {
+        ("__START__", "click"): 1,
+        ("click", "__CONV__"): 1,
+    }
