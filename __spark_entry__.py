@@ -8884,6 +8884,21 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(e).orderBy("channel")
 
 
+def q_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-value series via
+    Durbin-Levinson (operators/timeseries.py pacf_durbin): day-indexed
+    daily sums, lag covariances EXACT at scale n^2 (decimal products
+    of centered terms), rho as one rounded division per lag, and the
+    recursion over the rounded rho literals driver-side (ridge Cramer
+    discipline). The oracle replays the identical chained-subtraction
+    IEEE expression tree level by level — float order is part of the
+    contract."""
+    from etl_orders_to_bq_spark.operators.timeseries import pacf_durbin
+
+    e = _t(spark, sf_dir, "events")
+    return pacf_durbin(e, "ts", "value", max_lag=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8898,6 +8913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "pacf_durbin": q_pacf_durbin,
         "markov_attribution": q_markov_attribution,
         "cohens_kappa": q_cohens_kappa,
         "mcnemar": q_mcnemar,
@@ -19746,6 +19762,86 @@ def oracle_sql() -> dict[str, str]:
     """
     out["markov_attribution"] = (
         ",".join(_mk_parts) + "," + _mk_final
+    )
+
+    _pd_m = 5
+    _pd_head = f"""
+        with daily as (
+          select cast(ts as date) as d,
+                 sum(cast(value as decimal(18,2))) as v
+          from events group by 1
+        ),
+        idx as (
+          select row_number() over (order by d) as t, v from daily
+        ),
+        tot as (
+          select count(*)::bigint as n,
+                 cast(sum(v) as decimal(38,2)) as s
+          from idx
+        ),
+        cent as (
+          select t, cast(tot.n * v - tot.s as decimal(19,2)) as c
+          from idx, tot
+        ),
+        cl as materialized (
+          select tl.lag, count(*)::bigint as n_pairs,
+                 cast(sum(a.c * b.c) as decimal(38,4)) as c
+          from cent a, unnest(range(0, {_pd_m + 1})) as tl(lag)
+          join cent b on a.t + tl.lag = b.t
+          group by tl.lag
+        ),
+        rho as (
+          select lag, n_pairs,
+                 case when (select cast(c as double) from cl
+                            where lag = 0) != 0
+                      then round(cast(c as double)
+                                 / (select cast(c as double) from cl
+                                    where lag = 0), 6)
+                 end as rho
+          from cl where lag >= 1
+        ),
+        rl as (
+          select list(rho order by lag) as r,
+                 list(n_pairs order by lag) as np
+          from rho
+        ),
+        l1 as (
+          select r, np, [r[1]]::double[] as phi, r[1] as pk1 from rl
+        )"""
+    _pd_parts = [_pd_head]
+    for _k in range(2, _pd_m + 1):
+        _prev_pks = ", ".join(f"pk{_j}" for _j in range(1, _k))
+        _num = f"r[{_k}]"
+        for _j in range(1, _k):
+            _num = f"({_num} - phi[{_j}] * r[{_k - _j}])"
+        _den = "1.0"
+        for _j in range(1, _k):
+            _den = f"({_den} - phi[{_j}] * r[{_j}])"
+        _newphi = ", ".join(
+            [f"phi[{_j}] - pk * phi[{_k - _j}]" for _j in range(1, _k)]
+            + ["pk"]
+        )
+        _pd_parts.append(f"""
+        l{_k} as (
+          select r, np, {_prev_pks},
+                 [{_newphi}]::double[] as phi,
+                 pk as pk{_k}
+          from (
+            select r, np, phi, {_prev_pks},
+                   case when {_den} != 0
+                        then {_num} / {_den} end as pk
+            from l{_k - 1}
+          )
+        )""")
+    _pd_final = "\n        union all\n".join(
+        f"""
+        select {_l} as lag, np[{_l}] as n_pairs, r[{_l}] as rho,
+               round(pk{_l}, 6) as pacf
+        from l{_pd_m}"""
+        for _l in range(1, _pd_m + 1)
+    )
+    out["pacf_durbin"] = (
+        ",".join(_pd_parts) + _pd_final + " order by lag"
     )
 
     return out

