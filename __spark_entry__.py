@@ -8899,6 +8899,20 @@ def q_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_durbin(e, "ts", "value", max_lag=5)
 
 
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Burrows' Delta style distance between sources
+    (operators/stylometry.py burrows_delta) — provenance forensics:
+    exact micro-integer relative frequencies (decimal div), per-word
+    moments from exact integer sums, z-scores as fixed-order doubles,
+    and the per-pair |dz| sum as a sorted fold over the bounded
+    top-word list. Only the token explode + (source, word) groupBy
+    are corpus-sized."""
+    from etl_orders_to_bq_spark.operators.stylometry import burrows_delta
+
+    d = _t(spark, sf_dir, "documents")
+    return burrows_delta(d, "source", "text", top_n=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8913,6 +8927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "burrows_delta": q_burrows_delta,
         "pacf_durbin": q_pacf_durbin,
         "markov_attribution": q_markov_attribution,
         "cohens_kappa": q_cohens_kappa,
@@ -19843,5 +19858,70 @@ def oracle_sql() -> dict[str, str]:
     out["pacf_durbin"] = (
         ",".join(_pd_parts) + _pd_final + " order by lag"
     )
+
+    out["burrows_delta"] = """
+        with tok as (
+          select source as s,
+                 unnest(regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+')) as w
+          from documents where source is not null
+        ),
+        cnt as (
+          select s, w, count(*)::bigint as c from tok group by s, w
+        ),
+        tot as (select s, sum(c)::bigint as t from cnt group by s),
+        topw as (
+          select w from (
+            select w, sum(c) as cw from cnt group by w
+            order by cw desc, w limit 20
+          )
+        ),
+        dense as (
+          select tot.s, topw.w, tot.t,
+                 cast((2 * coalesce(cnt.c, 0)::hugeint * 1000000
+                       + tot.t)
+                      // (2 * tot.t::hugeint) as bigint) as f
+          from tot cross join topw
+          left join cnt on cnt.s = tot.s and cnt.w = topw.w
+        ),
+        stats as (
+          select w, count(*)::bigint as nsrc,
+                 cast(sum(cast(f as decimal(38,0)))
+                      as decimal(38,0)) as sf,
+                 cast(sum(cast(f as decimal(38,0))
+                          * cast(f as decimal(38,0)))
+                      as decimal(38,0)) as sff
+          from dense group by w
+        ),
+        z as (
+          select d.s, d.w,
+                 (cast(d.f as double) - cast(sf as double) / nsrc)
+                 / sqrt(cast(cast(nsrc as decimal(38,0)) * sff
+                             - sf * sf as double)
+                        / (cast(nsrc as double)
+                           * cast(nsrc as double))) as z
+          from dense d join stats using (w)
+          where cast(cast(nsrc as decimal(38,0)) * sff - sf * sf
+                     as double)
+                / (cast(nsrc as double) * cast(nsrc as double)) > 0
+        ),
+        folded as (
+          select a.s as source_a, b.s as source_b,
+                 count(*)::bigint as n_words,
+                 list_sort(list(struct_pack(w := a.w,
+                                            d := abs(a.z - b.z))))
+                   as ds
+          from z a join z b on a.w = b.w and a.s < b.s
+          group by a.s, b.s
+        )
+        select source_a, source_b, n_words,
+               case when n_words > 0 then
+                 round(list_reduce(list_transform(ds, x -> x.d),
+                                   (acc, v) -> acc + v)
+                       / cast(n_words as double), 6)
+               end as delta
+        from folded
+        order by source_a, source_b
+    """
 
     return out

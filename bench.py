@@ -180,6 +180,8 @@ HEADLINE = [
     "cohens_kappa",
     "mcnemar",
     "markov_attribution",
+    "pacf_durbin",
+    "burrows_delta",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -235,6 +237,9 @@ ITERATIVE = {
     # r12: the bounded transition collect + driver micro-solve run at
     # construction
     "markov_attribution",
+    # r12: the lag-covariance collect + driver Durbin-Levinson run at
+    # construction
+    "pacf_durbin",
 }
 
 

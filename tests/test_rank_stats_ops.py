@@ -558,3 +558,38 @@ def test_pacf_durbin_ar1_signature(spark):
         assert got[k][1] == pytest.approx(ref[k][1], abs=1e-6)
     assert got[1][0] == got[1][1]          # lag-1 identity
     assert abs(got[2][1]) < 0.15           # AR(1) cutoff
+
+
+def test_burrows_delta_same_generator_near_zero(spark):
+    """Provenance forensics property: two sources emitting the SAME
+    word distribution have near-zero Delta; a style outlier sits far
+    from both."""
+    from etl_orders_to_bq_spark.operators.stylometry import burrows_delta
+
+    same = "the cat sat on the mat and the dog sat too"
+    other = "quantum flux harmonics perturb the manifold spectra"
+    rows = (
+        [("a", same)] * 10 + [("b", same)] * 10 + [("c", other)] * 10
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r.source_a, r.source_b): r.delta
+        for r in burrows_delta(df, top_n=10).collect()
+    }
+    assert got[("a", "b")] < 0.01
+    assert got[("a", "c")] > 1.0 and got[("b", "c")] > 1.0
+    # symmetry-by-construction: each unordered pair appears once
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_burrows_delta_excludes_flat_words(spark):
+    """A word with identical relative frequency in every source has
+    zero variance and must be excluded from n_words."""
+    from etl_orders_to_bq_spark.operators.stylometry import burrows_delta
+
+    rows = [("a", "same extra extra"), ("b", "same word other")]
+    row = burrows_delta(
+        spark.createDataFrame(rows, ["source", "text"]), top_n=10
+    ).collect()[0]
+    # 'same' is 1/3 of both sources -> excluded
+    assert row.n_words < 4
