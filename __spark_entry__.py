@@ -8913,6 +8913,31 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burrows_delta(d, "source", "text", top_n=20)
 
 
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line recovery through planted gross outliers
+    (operators/ridge.py ransac_line): y = 3x + 5 with deterministic
+    half-unit noise and every 7th order shifted +500 — least squares
+    would chase the shift, RANSAC's 64 md5-argmin minimal samples
+    recover the line. Trial draws map-side combine to 2 struct minima
+    per trial (permutation_test shuffle shape); the inlier test is
+    exact decimal cross-multiplication, no division until the winning
+    trial's one rounded slope/intercept."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("pid"),
+        (F.col("o_orderkey") % 100).cast("double").alias("x"),
+        (
+            3.0 * (F.col("o_orderkey") % 100).cast("double")
+            + 5.0
+            + ((F.col("o_orderkey") % 3) - 1).cast("double") * 0.5
+            + F.when(F.col("o_orderkey") % 7 == 0, 500.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    return ransac_line(pts, "x", "y", "pid", eps=2.0, n_trials=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8927,6 +8952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "ransac_line": q_ransac_line,
         "burrows_delta": q_burrows_delta,
         "pacf_durbin": q_pacf_durbin,
         "markov_attribution": q_markov_attribution,
@@ -19922,6 +19948,59 @@ def oracle_sql() -> dict[str, str]:
                end as delta
         from folded
         order by source_a, source_b
+    """
+
+    out["ransac_line"] = """
+        with base as (
+          select cast(o_orderkey as varchar) as id,
+                 cast(cast(o_orderkey % 100 as double)
+                      as decimal(18,2)) as x,
+                 cast(3.0 * cast(o_orderkey % 100 as double) + 5.0
+                      + cast((o_orderkey % 3) - 1 as double) * 0.5
+                      + case when o_orderkey % 7 = 0
+                             then 500.0 else 0.0 end
+                      as decimal(18,2)) as y
+          from orders
+        ),
+        trials as (select unnest(range(0, 64))::int as t),
+        drawn as (
+          select t,
+                 min_by(struct_pack(id := id, x := x, y := y),
+                        md5('rl17:' || t || ':a:' || id)) as p1,
+                 min_by(struct_pack(id := id, x := x, y := y),
+                        md5('rl17:' || t || ':b:' || id)) as p2
+          from base cross join trials
+          group by t
+        ),
+        lines as (
+          select t, p1.x as x1, p1.y as y1,
+                 p2.x - p1.x as dx, p2.y - p1.y as dy
+          from drawn where p2.x - p1.x <> 0
+        ),
+        scored as (
+          select l.t, count(*)::bigint as inl
+          from base b cross join lines l
+          where abs((b.y - l.y1) * l.dx - (b.x - l.x1) * l.dy)
+                <= cast(2.0 as decimal(18,6)) * abs(l.dx)
+          group by l.t
+        ),
+        best as (
+          select l.t, l.x1, l.y1, l.dx, l.dy,
+                 coalesce(s.inl, 0) as inl
+          from lines l left join scored s using (t)
+          order by inl desc, t limit 1
+        ),
+        nn as (select count(*)::bigint as n from base)
+        select n,
+               cast(t as bigint) as best_trial,
+               cast(inl as bigint) as n_inliers,
+               round(cast(dy as double) / cast(dx as double), 6)
+                 as slope,
+               round(cast(y1 as double)
+                     - cast(x1 as double)
+                       * (cast(dy as double) / cast(dx as double)), 6)
+                 as intercept
+        from nn left join best on true
     """
 
     return out

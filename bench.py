@@ -182,6 +182,7 @@ HEADLINE = [
     "markov_attribution",
     "pacf_durbin",
     "burrows_delta",
+    "ransac_line",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -110,3 +110,116 @@ def ridge_normal(
         "n_rows long, b0 double, b1 double, b2 double",
     )
     return out
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    eps: float = 2.0,
+    n_trials: int = 64,
+    seed: str = "rl17",
+    ndigits: int = 6,
+) -> DataFrame:
+    """RANSAC line fit (Fischler & Bolles 1981, public literature) —
+    the robust regressor for data where a MINORITY of rows follow no
+    model at all (bot traffic, sensor glitches, merged corpora): fit
+    the line with the most inliers over ``n_trials`` minimal samples,
+    where least squares would chase the outliers and Theil-Sen's
+    breakdown tops out at 29%.
+
+    Determinism contract: trial t draws its two anchor points as the
+    md5-argmin rows under two independent keyed hashes
+    (md5(seed:t:a:id) / md5(seed:t:b:id)) — no RNG state, no
+    partition dependence; the argmin is a min(struct(hash, id, x, y))
+    whose 32-hex-digit key is collision-free in practice and
+    string-compares identically on both engines. Degenerate trials
+    (same point twice, vertical pair) are discarded. The inlier test
+    is EXACT decimal arithmetic — |(y-y1)*dx - (x-x1)*dy| <=
+    eps*|dx| clears the division — so not one float enters the count;
+    slope/intercept of the winning trial (max inliers, trial-index
+    tie-break) are fixed-order doubles over exact decimals, rounded
+    once.
+
+    Output: one row ``(n, best_trial, n_inliers, slope, intercept)``;
+    no valid trial (all degenerate) yields NULL fit columns.
+
+    Scale: the trial-draw stage crossJoins n_trials x rows but
+    map-side combines to 2*n_trials struct minima per task (the
+    permutation_test shape — shuffle carries O(n_trials), not
+    O(rows)); the inlier count broadcasts the n_trials-row line table
+    against the data, one map-side-combinable groupBy. n_trials is a
+    confidence knob, not a data knob.
+    """
+    eps_str = repr(float(eps))
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(x_col).cast("decimal(18,2)").alias("__x"),
+        F.col(y_col).cast("decimal(18,2)").alias("__y"),
+    )
+    trials = df.sparkSession.range(int(n_trials)).select(
+        F.col("id").cast("int").alias("__t")
+    )
+    h = lambda arm: F.md5(  # noqa: E731
+        F.concat(
+            F.lit(seed), F.lit(":"), F.col("__t").cast("string"),
+            F.lit(f":{arm}:"), F.col("__id"),
+        )
+    )
+    drawn = base.crossJoin(trials).groupBy("__t").agg(
+        F.min(F.struct(h("a").alias("h"), "__id", "__x", "__y")).alias(
+            "__p1"
+        ),
+        F.min(F.struct(h("b").alias("h"), "__id", "__x", "__y")).alias(
+            "__p2"
+        ),
+    )
+    lines = drawn.select(
+        "__t",
+        F.col("__p1.__x").alias("__x1"),
+        F.col("__p1.__y").alias("__y1"),
+        (F.col("__p2.__x") - F.col("__p1.__x")).alias("__dx"),
+        (F.col("__p2.__y") - F.col("__p1.__y")).alias("__dy"),
+    ).filter(F.col("__dx") != 0)
+    scored = (
+        base.crossJoin(F.broadcast(lines))
+        .filter(
+            F.abs(
+                (F.col("__y") - F.col("__y1")) * F.col("__dx")
+                - (F.col("__x") - F.col("__x1")) * F.col("__dy")
+            )
+            <= F.expr(f"cast({eps_str} as decimal(18,6))")
+            * F.abs(F.col("__dx"))
+        )
+        .groupBy("__t")
+        .agg(F.count("*").alias("__inl"))
+    )
+    best = (
+        lines.join(scored, "__t", "left")
+        .select(
+            "__t", "__x1", "__y1", "__dx", "__dy",
+            F.coalesce(F.col("__inl"), F.lit(0)).alias("__inl"),
+        )
+        .orderBy(F.desc("__inl"), "__t")
+        .limit(1)
+    )
+    n = base.agg(F.count("*").cast("long").alias("n"))
+    slope = F.col("__dy").cast("double") / F.col("__dx").cast("double")
+    # LEFT join on true: an all-degenerate trial set leaves `best`
+    # empty and the contract is one row with NULL fit, not zero rows
+    return n.join(F.broadcast(best), F.lit(True), "left").select(
+        "n",
+        F.col("__t").cast("long").alias("best_trial"),
+        F.col("__inl").cast("long").alias("n_inliers"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(
+            F.col("__y1").cast("double")
+            - F.col("__x1").cast("double") * slope,
+            ndigits,
+        ).alias("intercept"),
+    )

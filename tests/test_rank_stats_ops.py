@@ -593,3 +593,38 @@ def test_burrows_delta_excludes_flat_words(spark):
     ).collect()[0]
     # 'same' is 1/3 of both sources -> excluded
     assert row.n_words < 4
+
+
+def test_ransac_recovers_planted_line(spark):
+    """y = 3x + 5 with half-unit noise and 1-in-7 gross (+500)
+    outliers: RANSAC must land within the noise band of the truth
+    and count most non-outliers as inliers; OLS on the same data is
+    dragged far above slope 3 intercept 5 (sanity contrast)."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    rows = []
+    for i in range(200):
+        x = float(i % 100)
+        y = 3.0 * x + 5.0 + ((i % 3) - 1) * 0.5
+        if i % 7 == 0:
+            y += 500.0
+        rows.append((i, x, round(y, 2)))
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    row = ransac_line(df, "x", "y", "id", eps=2.0).collect()[0]
+    assert abs(row.slope - 3.0) < 0.05
+    assert abs(row.intercept - 5.0) < 2.0
+    assert row.n_inliers > 150  # 171 of 200 are on-line
+
+
+def test_ransac_degenerate_vertical_data(spark):
+    """All points share one x: every trial is vertical and discarded
+    -> one row with NULL fit, never zero rows or a crash."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 1.0, 3.0), (3, 1.0, 9.0)],
+        ["id", "x", "y"],
+    )
+    rows = ransac_line(df, "x", "y", "id").collect()
+    assert len(rows) == 1
+    assert rows[0].slope is None and rows[0].n_inliers is None
