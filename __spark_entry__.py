@@ -8938,6 +8938,23 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ransac_line(pts, "x", "y", "pid", eps=2.0, n_trials=64)
 
 
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the event types keep a consistent daily
+    magnitude ordering (operators/multitest.py friedman_test)?
+    Blocks = days, treatments = event types, values = exact daily
+    decimal sums; doubled within-block ranks from a bounded k^2
+    self-join, and the tie-general statistic as ONE division of exact
+    decimal(38,0) integers; Kendall's W alongside. Incomplete days
+    are dropped and counted."""
+    from etl_orders_to_bq_spark.operators.multitest import friedman_test
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    return friedman_test(daily, "day", "event_type", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8952,6 +8969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "friedman_test": q_friedman_test,
         "ransac_line": q_ransac_line,
         "burrows_delta": q_burrows_delta,
         "pacf_durbin": q_pacf_durbin,
@@ -20001,6 +20019,79 @@ def oracle_sql() -> dict[str, str]:
                        * (cast(dy as double) / cast(dx as double)), 6)
                  as intercept
         from nn left join best on true
+    """
+
+    out["friedman_test"] = """
+        with daily as (
+          select cast(ts as date) as b, event_type as j,
+                 sum(cast(value as decimal(18,2))) as v
+          from events
+          where ts is not null and event_type is not null
+            and value is not null
+          group by 1, 2
+        ),
+        kk as (select count(distinct j)::bigint as k from daily),
+        bc as (
+          select b, count(*) as nb, count(distinct j) as nj
+          from daily group by b
+        ),
+        nblocks as (select count(*)::bigint as n_blocks from bc),
+        complete as (
+          select b from bc, kk where nb = k and nj = k
+        ),
+        kept as (select d.* from daily d join complete using (b)),
+        ranked as (
+          select a.b, a.j,
+                 cast(2 * sum(case when c.v < a.v then 1 else 0 end)
+                      + sum(case when c.v = a.v then 1 else 0 end)
+                      + 1 as bigint) as r2
+          from kept a join kept c on a.b = c.b
+          group by a.b, a.j
+        ),
+        perj as (
+          select j,
+                 cast(sum(r2) as decimal(38,0)) as R2,
+                 count(*)::bigint as n
+          from ranked group by j
+        ),
+        ssq as (
+          select cast(sum(cast(r2 as decimal(38,0))
+                          * cast(r2 as decimal(38,0)))
+                      as decimal(38,0)) as ssq
+          from ranked
+        ),
+        agg as (
+          select max(k) as k_treatments,
+                 max(n)::bigint as n_blocks_used,
+                 cast(sum((R2 - cast(n * (k + 1) as decimal(38,0)))
+                          * (R2 - cast(n * (k + 1) as decimal(38,0))))
+                      as decimal(38,0)) as sdev
+          from perj, kk
+        ),
+        q as (
+          select k_treatments, n_blocks_used,
+                 case when cast(ssq - cast(n_blocks_used * k_treatments
+                        * (k_treatments + 1) * (k_treatments + 1)
+                        as decimal(38,0)) as double) > 0
+                      then round(
+                        cast(k_treatments - 1 as double)
+                        * cast(sdev as double)
+                        / cast(ssq - cast(n_blocks_used * k_treatments
+                            * (k_treatments + 1) * (k_treatments + 1)
+                            as decimal(38,0)) as double), 6)
+                 end as q_stat
+          from agg, ssq
+        )
+        select k_treatments, n_blocks,
+               coalesce(n_blocks_used, 0) as n_blocks_used, q_stat,
+               case when n_blocks_used > 0 and k_treatments > 1
+                         and q_stat is not null
+                    then round(q_stat
+                               / cast(n_blocks_used
+                                      * (k_treatments - 1) as double),
+                               6)
+               end as kendalls_w
+        from q, nblocks
     """
 
     return out

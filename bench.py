@@ -183,6 +183,7 @@ HEADLINE = [
     "pacf_durbin",
     "burrows_delta",
     "ransac_line",
+    "friedman_test",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -241,6 +242,8 @@ ITERATIVE = {
     # r12: the lag-covariance collect + driver Durbin-Levinson run at
     # construction
     "pacf_durbin",
+    # r12: the complete-block census count runs at construction
+    "friedman_test",
 }
 
 

@@ -927,3 +927,126 @@ def hodges_lehmann(
         )
         .orderBy("group")
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Friedman test for k paired treatments over n blocks (Friedman
+    1937, public literature) — "do the treatments rank consistently
+    across blocks": the repeated-measures counterpart to
+    ``kruskal_wallis`` (which assumes independent groups), e.g. "do
+    the event types keep the same daily magnitude ordering".
+
+    Blocks must carry EVERY treatment once; incomplete or duplicated
+    blocks are DROPPED and surfaced via n_blocks vs n_blocks_used.
+
+    Exactness — the tie-general Friedman statistic clears to ONE
+    division of exact integers when ranks are carried DOUBLED
+    (2r = 2*below + t + 1 from a within-block self-join over the
+    bounded treatment domain):
+
+        Q = (k-1) * sum_j (2R_j - n(k+1))^2
+          / (sum_ij (2r_ij)^2 - n*k*(k+1)^2)
+
+    and Kendall's W (concordance) = Q / (n*(k-1)) is a second exact
+    ratio. Zero denominator (all blocks fully tied) yields NULL.
+
+    Output: one row ``(k_treatments, n_blocks, n_blocks_used,
+    q_stat, kendalls_w)``.
+
+    Scale: the rank join is O(k^2) per block with k = |treatments|
+    (bounded by contract); one groupBy per reduction, everything
+    map-side combinable. No counterpart in the reference engine
+    (SURVEY.md §2.2 — no aggregation family).
+    """
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).cast("string").alias("__b"),
+        F.col(treatment_col).cast("string").alias("__j"),
+        F.col(value_col).alias("__v"),
+    )
+    k_row = base.agg(
+        F.countDistinct("__j").cast("long").alias("k_treatments")
+    )
+    bc = base.groupBy("__b").agg(
+        F.count("*").alias("__nb"),
+        F.countDistinct("__j").alias("__nj"),
+    )
+    n_blocks = bc.count()
+    complete = bc.crossJoin(F.broadcast(k_row)).filter(
+        (F.col("__nb") == F.col("k_treatments"))
+        & (F.col("__nj") == F.col("k_treatments"))
+    ).select("__b")
+    kept = base.join(complete, "__b")
+    rhs = kept.select(
+        "__b", F.col("__j").alias("__j2"), F.col("__v").alias("__v2")
+    )
+    ranked = (
+        kept.join(rhs, "__b")
+        .groupBy("__b", "__j")
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(F.when(F.col("__v2") < F.col("__v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("__v2") == F.col("__v"), 1).otherwise(0))
+                + F.lit(1)
+            ).cast("long").alias("__2r")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_j = ranked.groupBy("__j").agg(
+        dec(F.sum("__2r")).alias("__2R"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    sq = ranked.agg(
+        dec(F.sum(dec(F.col("__2r")) * dec(F.col("__2r")))).alias("__ssq")
+    )
+    agg = (
+        per_j.crossJoin(F.broadcast(k_row))
+        .select(
+            "k_treatments",
+            "__n",
+            (
+                F.col("__2R")
+                - dec(F.col("__n") * (F.col("k_treatments") + 1))
+            ).alias("__dev"),
+        )
+        .agg(
+            F.max("k_treatments").alias("k_treatments"),
+            F.max("__n").cast("long").alias("n_blocks_used"),
+            dec(F.sum(F.col("__dev") * F.col("__dev"))).alias("__sdev"),
+        )
+        .crossJoin(F.broadcast(sq))
+    )
+    kk = F.col("k_treatments")
+    nn = F.col("n_blocks_used")
+    den = F.col("__ssq") - dec(nn * kk * (kk + 1) * (kk + 1))
+    q = F.when(
+        den.cast("double") > 0,
+        F.round(
+            (kk - 1).cast("double")
+            * F.col("__sdev").cast("double")
+            / den.cast("double"),
+            ndigits,
+        ),
+    )
+    return agg.select(
+        "k_treatments",
+        F.lit(int(n_blocks)).cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_blocks_used"), F.lit(0)).alias(
+            "n_blocks_used"
+        ),
+        q.alias("q_stat"),
+        F.when(
+            (nn > 0) & (kk > 1) & q.isNotNull(),
+            F.round(q / (nn * (kk - 1)).cast("double"), ndigits),
+        ).alias("kendalls_w"),
+    )

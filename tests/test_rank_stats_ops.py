@@ -628,3 +628,42 @@ def test_ransac_degenerate_vertical_data(spark):
     rows = ransac_line(df, "x", "y", "id").collect()
     assert len(rows) == 1
     assert rows[0].slope is None and rows[0].n_inliers is None
+
+
+def test_friedman_golden_no_ties(spark):
+    """Textbook 3x4 layout with perfectly consistent ranking:
+    Q = 8.0 exactly, Kendall's W = 1.0 (complete concordance)."""
+    from etl_orders_to_bq_spark.operators.multitest import friedman_test
+
+    data = {1: (9, 4, 1), 2: (8, 5, 2), 3: (7, 6, 3), 4: (6, 5, 4)}
+    rows = [
+        (b, f"t{j + 1}", float(v))
+        for b, vs in data.items()
+        for j, v in enumerate(vs)
+    ]
+    row = friedman_test(
+        spark.createDataFrame(rows, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert (row.k_treatments, row.n_blocks_used) == (3, 4)
+    assert row.q_stat == 8.0 and row.kendalls_w == 1.0
+
+
+def test_friedman_tie_correction_and_incomplete_block(spark):
+    """A tied block contributes average ranks (hand value: Q =
+    364/38 = 9.578947); a block missing one treatment is dropped and
+    surfaced in the counts."""
+    from etl_orders_to_bq_spark.operators.multitest import friedman_test
+
+    data = {1: (9, 4, 1), 2: (8, 5, 2), 3: (7, 6, 3), 4: (6, 5, 4)}
+    rows = [
+        (b, f"t{j + 1}", float(v))
+        for b, vs in data.items()
+        for j, v in enumerate(vs)
+    ]
+    rows += [(5, "t1", 2.0), (5, "t2", 2.0), (5, "t3", 1.0)]
+    rows += [(6, "t1", 1.0), (6, "t2", 2.0)]  # incomplete
+    row = friedman_test(
+        spark.createDataFrame(rows, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert (row.n_blocks, row.n_blocks_used) == (6, 5)
+    assert row.q_stat == pytest.approx(9.578947, abs=1e-6)
