@@ -8955,6 +8955,29 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_test(daily, "day", "event_type", "v")
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the deterministic Lloyd fit
+    (operators/ann.py simplified_silhouette over lloyd_kmeans, k=8,
+    seed-7 init): per-point distances to all centroids as fixed-order
+    folds against the 6dp-snapped centroid literals, s = (b-a)/max
+    quantized half-away to micro integers, per-cluster means as exact
+    integer divisions. One linear projection + one groupBy — the
+    O(n^2) pairwise silhouette collapsed against the k-row centroid
+    list. The oracle replays the ENTIRE fit (the kmeans_lloyd
+    unrolled chain) and then the same distance/micro arithmetic."""
+    from etl_orders_to_bq_spark.operators.ann import (
+        _hyperplanes,
+        lloyd_kmeans,
+        simplified_silhouette,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents, assigned = lloyd_kmeans(
+        e, _hyperplanes(64, 8, seed=7), rounds=3, round_ndigits=6
+    )
+    return simplified_silhouette(assigned, cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8969,6 +8992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "silhouette": q_silhouette,
         "friedman_test": q_friedman_test,
         "ransac_line": q_ransac_line,
         "burrows_delta": q_burrows_delta,
@@ -9774,7 +9798,8 @@ def _lang_hits(lang: str) -> str:
 
 
 def _lloyd_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7,
-                      rounds: int = 3) -> str:
+                      rounds: int = 3,
+                      final_select: str | None = None) -> str:
     """Unrolled Lloyd k-means oracle: per round, assignment replays the
     engine's argmax exactly (scores LISTED in cluster order, first-max
     index — the same tie-break as Spark's array_position) and new
@@ -9820,24 +9845,27 @@ def _lloyd_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7,
           from c{r} c left join m{r} m using (cluster)
         )""")
     sql.append(f""",
-        afinal as (
-          select vec_id,
+        afinal as materialized (
+          select vec_id, v,
                  list_position(s, list_aggregate(s, 'max')) - 1 as cluster
           from (
-            select vec_id,
+            select vec_id, v,
                    (select list(2.0 * list_dot_product(e2.v, c.vec)
                                 - list_dot_product(c.vec, c.vec)
                           order by c.cluster)
                     from c{rounds} c) as s
             from e e2
           )
-        )
+        )""")
+    if final_select is None:
+        final_select = f"""
         select a.cluster as ivf_cluster, count(*) as n,
                round(sqrt(list_dot_product(c.vec, c.vec)), 6)
                  as centroid_norm
         from afinal a join c{rounds} c on c.cluster = a.cluster
         group by a.cluster, c.vec
-        order by ivf_cluster""")
+        order by ivf_cluster"""
+    sql.append(final_select)
     return "".join(sql)
 
 
@@ -20093,5 +20121,51 @@ def oracle_sql() -> dict[str, str]:
                end as kendalls_w
         from q, nblocks
     """
+
+    _sil_final = """
+        ,
+        sil as (
+          select cluster,
+                 case when s >= 0
+                      then cast(floor(s * 1000000 + 0.5) as bigint)
+                      else -cast(floor(-s * 1000000 + 0.5) as bigint)
+                 end as sm
+          from (
+            select cluster,
+                   case when greatest(ld[cluster + 1], bo) > 0
+                        then (bo - ld[cluster + 1])
+                             / greatest(ld[cluster + 1], bo)
+                        else 0.0 end as s
+            from (
+              select a.cluster,
+                     (select list(sqrt(greatest(
+                          list_dot_product(a.v, a.v)
+                          - 2.0 * list_dot_product(a.v, c.vec)
+                          + list_dot_product(c.vec, c.vec), 0.0))
+                            order by c.cluster)
+                      from c3 c) as ld
+              from afinal a
+            ),
+            lateral (select list_aggregate(
+                       list_filter(ld, (x, i) -> i != cluster + 1),
+                       'min') as bo)
+          )
+        ),
+        agg as (
+          select cluster, count(*)::bigint as n,
+                 sum(sm)::hugeint as ssum
+          from sil group by cluster
+        )
+        select cluster, n,
+               cast(case when ssum >= 0
+                         then (2 * abs(ssum) + n) // (2 * n::hugeint)
+                         else -((2 * abs(ssum) + n) // (2 * n::hugeint))
+                    end as double) / 1000000.0 as mean_silhouette
+        from agg
+        order by cluster
+    """
+    out["silhouette"] = _lloyd_oracle_sql(
+        dim=64, k=8, seed=7, rounds=3, final_select=_sil_final
+    )
 
     return out

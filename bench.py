@@ -184,6 +184,7 @@ HEADLINE = [
     "burrows_delta",
     "ransac_line",
     "friedman_test",
+    "silhouette",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -244,6 +245,9 @@ ITERATIVE = {
     "pacf_durbin",
     # r12: the complete-block census count runs at construction
     "friedman_test",
+    # r12: the Lloyd fit's per-round centroid collects run at
+    # construction
+    "silhouette",
 }
 
 

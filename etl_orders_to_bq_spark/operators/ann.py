@@ -892,3 +892,99 @@ def hard_negatives(
     return ranked.filter(F.col("rank") <= k).select(
         query_id_col, "neg_id", "rank", "cos_sim"
     )
+
+
+def simplified_silhouette(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster (Hruschka et
+    al. 2004 variant of Rousseeuw 1987, public literature) — the
+    cluster-quality score that tells a SemDeDup/IVF pipeline whether
+    its k actually separated anything: s = (b - a)/max(a, b) with
+    a = distance to the OWN centroid and b = the nearest OTHER
+    centroid, so the full O(n^2) pairwise silhouette collapses to
+    one LINEAR pass against the k-row centroid list.
+
+    Determinism contract: distances are fixed-order folds over the
+    vector dims against the 6dp-snapped centroid literals (the
+    lloyd_kmeans round_ndigits discipline — identical literals on
+    both engines); each point's s quantizes half-away to a micro
+    integer, and per-cluster means are exact integer divisions (sign
+    split + decimal div). Points landing exactly ON a centroid
+    (a = b = 0 after a degenerate fit) score 0 by convention.
+
+    Output per cluster: ``(cluster, n, mean_silhouette)``, ordered by
+    cluster; append an overall row via a second aggregate if needed.
+
+    Scale: one projection over the assigned frame (k*dim literal
+    arithmetic per row, no join) + one map-side-combinable groupBy.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    vv = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dists = []
+    for c in centroids:
+        lit_arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(v, lit_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        cc = 0.0
+        for x in c:
+            cc = cc + float(x) * float(x)
+        dists.append(
+            F.sqrt(
+                F.greatest(
+                    F.col("__vv") - 2.0 * dot + F.lit(cc), F.lit(0.0)
+                )
+            )
+        )
+    staged = assigned.withColumn("__vv", vv).withColumn(
+        "__d", F.array(*dists)
+    )
+    # element_at requires an INT ordinal; assigned frames may carry
+    # the cluster as long
+    a = F.element_at(
+        F.col("__d"), (F.col(cluster_col) + 1).cast("int")
+    )
+    b = F.array_min(
+        F.filter(
+            F.col("__d"), lambda x, i: i != F.col(cluster_col)
+        )
+    )
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    scored = staged.select(
+        F.col(cluster_col).alias("cluster"),
+        F.when(
+            s >= 0, F.floor(s * 1_000_000 + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-s * 1_000_000 + F.lit(0.5)))
+        .cast("long")
+        .alias("__sm"),
+    )
+    agg = scored.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__sm").cast("decimal(38,0)").alias("__ssum"),
+    )
+    mag = F.expr(
+        "cast((2 * abs(__ssum) * 1 + n) div (2 * cast(n as "
+        "decimal(38,0))) as long)"
+    )
+    return agg.select(
+        "cluster",
+        "n",
+        (
+            F.when(F.col("__ssum") >= 0, mag).otherwise(-mag)
+            / 1_000_000.0
+        ).alias("mean_silhouette"),
+    ).orderBy("cluster")

@@ -667,3 +667,46 @@ def test_friedman_tie_correction_and_incomplete_block(spark):
     ).collect()[0]
     assert (row.n_blocks, row.n_blocks_used) == (6, 5)
     assert row.q_stat == pytest.approx(9.578947, abs=1e-6)
+
+
+def test_simplified_silhouette_separated_vs_merged(spark):
+    """Well-separated planted clusters score near 1; assigning HALF
+    of each blob to the wrong centroid drives its score negative —
+    the property a SemDeDup pipeline reads k-quality from."""
+    from etl_orders_to_bq_spark.operators.ann import simplified_silhouette
+
+    good = [([0.0, 0.0], 0)] * 10 + [([10.0, 10.0], 1)] * 10
+    rows = [(i, v, c) for i, (v, c) in enumerate(good)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "ivf_cluster"])
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {
+        r.cluster: r.mean_silhouette
+        for r in simplified_silhouette(df, cents).collect()
+    }
+    assert got == {0: 1.0, 1: 1.0}
+
+    bad_rows = [
+        (i, [0.0, 0.0], i % 2) for i in range(10)
+    ]  # half of the origin blob mis-assigned to the far centroid
+    df2 = spark.createDataFrame(
+        bad_rows, ["vec_id", "embedding", "ivf_cluster"]
+    )
+    got2 = {
+        r.cluster: r.mean_silhouette
+        for r in simplified_silhouette(df2, cents).collect()
+    }
+    assert got2[0] == 1.0 and got2[1] == -1.0
+
+
+def test_simplified_silhouette_on_centroid_zero(spark):
+    """A point exactly on its centroid with another centroid at the
+    same spot (degenerate fit): a = b = 0 -> s = 0 by convention."""
+    from etl_orders_to_bq_spark.operators.ann import simplified_silhouette
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0], 0)], ["vec_id", "embedding", "ivf_cluster"]
+    )
+    got = simplified_silhouette(
+        df, [[5.0, 5.0], [5.0, 5.0]]
+    ).collect()[0]
+    assert got.mean_silhouette == 0.0
