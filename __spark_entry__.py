@@ -8978,6 +8978,35 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplified_silhouette(assigned, cents)
 
 
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the event types' daily success indicators
+    (did the type spike past 150 that day) —
+    operators/multitest.py cochran_q: the k-ary paired-binary test,
+    ONE rounded division of exact decimal(38,0) row/column/total
+    sums; incomplete days dropped and surfaced."""
+    from etl_orders_to_bq_spark.operators.multitest import cochran_q
+
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg((F.max("value") > 150).alias("spiked"))
+    return cochran_q(cells, "day", "event_type", "spiked")
+
+
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise z after Kruskal-Wallis, over every
+    event-type pair (operators/multitest.py dunn_posthoc): the SAME
+    global mean ranks as kruskal_wallis (doubled decimal rank sums,
+    two-pass cumsum, exact tie sum); each pair's z is one fixed-order
+    double over exact integers, p through the shared deterministic
+    Phi. The pair build self-joins the k-row group table, never the
+    data."""
+    from etl_orders_to_bq_spark.operators.multitest import dunn_posthoc
+
+    e = _t(spark, sf_dir, "events")
+    return dunn_posthoc(e, "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -8992,6 +9021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "cochran_q": q_cochran_q,
+        "dunn_posthoc": q_dunn_posthoc,
         "silhouette": q_silhouette,
         "friedman_test": q_friedman_test,
         "ransac_line": q_ransac_line,
@@ -20167,5 +20198,123 @@ def oracle_sql() -> dict[str, str]:
     out["silhouette"] = _lloyd_oracle_sql(
         dim=64, k=8, seed=7, rounds=3, final_select=_sil_final
     )
+
+    out["cochran_q"] = """
+        with cells as (
+          select cast(ts as date) as b, event_type as j,
+                 case when max(value) > 150 then 1 else 0 end as x
+          from events
+          where ts is not null and event_type is not null
+          group by 1, 2
+        ),
+        kk as (select count(distinct j)::bigint as k from cells),
+        bc as (
+          select b, count(*) as nb, count(distinct j) as nj,
+                 sum(x) as r
+          from cells group by b
+        ),
+        nblocks as (select count(*)::bigint as n_blocks from bc),
+        complete as (select * from bc, kk where nb = k and nj = k),
+        rows_agg as (
+          select count(*)::bigint as n_blocks_used,
+                 cast(sum(r) as decimal(38,0)) as n_tot,
+                 cast(sum(cast(r as decimal(38,0))
+                          * cast(r as decimal(38,0)))
+                      as decimal(38,0)) as sr2
+          from complete
+        ),
+        cols_agg as (
+          select cast(sum(cast(c as decimal(38,0))
+                          * cast(c as decimal(38,0)))
+                      as decimal(38,0)) as sc2
+          from (
+            select j, sum(x) as c
+            from cells join (select b from complete) using (b)
+            group by j
+          )
+        )
+        select k as k_treatments, n_blocks,
+               coalesce(n_blocks_used, 0) as n_blocks_used,
+               case when k > 1 then cast(k - 1 as bigint) end as df,
+               case when k > 1
+                     and cast(cast(k as decimal(38,0)) * n_tot - sr2
+                              as double) > 0
+                    then round(
+                      cast(cast(k - 1 as decimal(38,0))
+                           * (cast(k as decimal(38,0)) * sc2
+                              - n_tot * n_tot) as double)
+                      / cast(cast(k as decimal(38,0)) * n_tot - sr2
+                             as double), 6)
+               end as q_stat
+        from rows_agg, cols_agg, kk, nblocks
+    """
+
+    _dn_p = _nsf("abs(z)")
+    out["dunn_posthoc"] = f"""
+        with f as (
+          select event_type as g, value as v from events
+          where value is not null and event_type is not null
+        ),
+        vc as (
+          select v, g, count(*) as ngv from f group by v, g
+        ),
+        vt as (select v, sum(ngv) as nt from vc group by v),
+        cum as (
+          select *,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below
+          from vt
+        ),
+        perg as (
+          select g,
+                 cast(sum(cast(ngv as decimal(38,0))
+                          * cast(2 * below + nt + 1 as decimal(38,0)))
+                      as decimal(38,0)) as two_rg,
+                 cast(sum(ngv) as bigint) as ng
+          from vc join cum using (v) group by g
+        ),
+        tie as (
+          select cast(sum(cast(nt as decimal(38,0))
+                          * cast(nt as decimal(38,0))
+                          * cast(nt as decimal(38,0))
+                          - cast(nt as decimal(38,0)))
+                      as decimal(38,0)) as ties,
+                 cast(sum(nt) as bigint) as n
+          from cum
+        ),
+        pairs as (
+          select a.g as group_a, b.g as group_b,
+                 a.ng as n_a, b.ng as n_b,
+                 cast(a.two_rg as double) / (2.0 * cast(a.ng as double))
+                   as ra,
+                 cast(b.two_rg as double) / (2.0 * cast(b.ng as double))
+                   as rb,
+                 cast(n as double) * (cast(n as double) + 1.0) / 12.0
+                   - cast(ties as double)
+                     / (12.0 * (cast(n as double) - 1.0)) as s2,
+                 n
+          from perg a join perg b on a.g < b.g, tie
+        ),
+        staged as (
+          select group_a, group_b, n_a, n_b,
+                 round(ra, 6) as mean_rank_a,
+                 round(rb, 6) as mean_rank_b,
+                 case when n > 1 and s2 > 0 then
+                   round((ra - rb)
+                         / sqrt(s2 * (1.0 / cast(n_a as double)
+                                      + 1.0 / cast(n_b as double))),
+                         6)
+                 end as z
+          from pairs
+        )
+        select group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+               z,
+               case when z is not null
+                    then round(least(1.0, 2.0 * {_dn_p}), 6)
+               end as p_value
+        from staged
+        order by group_a, group_b
+    """
 
     return out

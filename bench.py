@@ -185,6 +185,8 @@ HEADLINE = [
     "ransac_line",
     "friedman_test",
     "silhouette",
+    "cochran_q",
+    "dunn_posthoc",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -248,6 +250,8 @@ ITERATIVE = {
     # r12: the Lloyd fit's per-round centroid collects run at
     # construction
     "silhouette",
+    # r12: the complete-block census count runs at construction
+    "cochran_q",
 }
 
 

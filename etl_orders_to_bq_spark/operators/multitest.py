@@ -1050,3 +1050,209 @@ def friedman_test(
             F.round(q / (nn * (kk - 1)).cast("double"), ndigits),
         ).alias("kendalls_w"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cochran's Q for k paired BINARY treatments over n blocks
+    (Cochran 1950, public literature) — "do these k classifiers /
+    variants succeed at different rates on the same items": the
+    k-treatment generalization of ``mcnemar_test`` (k = 2 reduces to
+    it) and the binary sibling of ``friedman_test``.
+
+    Blocks must carry every treatment once (incomplete or duplicated
+    blocks are DROPPED and surfaced); all-success and all-failure
+    blocks contribute nothing (the standard property — Q is computed
+    on the discordant blocks implicitly).
+
+        Q = (k-1) * (k * sum_j C_j^2 - N^2) / (k*N - sum_i R_i^2)
+
+    with C_j the per-treatment success totals, R_i the per-block
+    success totals, and N the grand total — every term an exact
+    integer, so Q is ONE rounded division of exact decimal(38,0)
+    values. The two-sided p replays the deterministic Phi via
+    z = sqrt(Q) for k = 2 only; for k > 2 the chi2(k-1) tail is not
+    engine-deterministic, so the statistic and df are reported and
+    the caller brings the cut-off (the kruskal_wallis contract).
+
+    Output: one row ``(k_treatments, n_blocks, n_blocks_used, df,
+    q_stat)``.
+
+    Scale: one bounded-k census per block + two map-side-combinable
+    groupBys. No counterpart in the reference engine (SURVEY.md
+    §2.2).
+    """
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(success_col).isNotNull()
+    ).select(
+        F.col(block_col).cast("string").alias("__b"),
+        F.col(treatment_col).cast("string").alias("__j"),
+        F.col(success_col).cast("boolean").cast("int").alias("__x"),
+    )
+    k_row = base.agg(
+        F.countDistinct("__j").cast("long").alias("k_treatments")
+    )
+    bc = base.groupBy("__b").agg(
+        F.count("*").alias("__nb"),
+        F.countDistinct("__j").alias("__nj"),
+        F.sum("__x").alias("__r"),
+    )
+    n_blocks = bc.count()
+    complete = bc.crossJoin(F.broadcast(k_row)).filter(
+        (F.col("__nb") == F.col("k_treatments"))
+        & (F.col("__nj") == F.col("k_treatments"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rows_agg = complete.agg(
+        F.count("*").cast("long").alias("n_blocks_used"),
+        dec(F.sum("__r")).alias("__n_tot"),
+        dec(F.sum(dec(F.col("__r")) * dec(F.col("__r")))).alias("__sr2"),
+    )
+    kept = base.join(complete.select("__b"), "__b")
+    cols_agg = kept.groupBy("__j").agg(F.sum("__x").alias("__c")).agg(
+        dec(F.sum(dec(F.col("__c")) * dec(F.col("__c")))).alias("__sc2")
+    )
+    j = (
+        rows_agg.crossJoin(F.broadcast(cols_agg))
+        .crossJoin(F.broadcast(k_row))
+    )
+    kk = F.col("k_treatments")
+    num = (kk - 1).cast("decimal(38,0)") * (
+        dec(kk) * F.col("__sc2") - F.col("__n_tot") * F.col("__n_tot")
+    )
+    den = dec(kk) * F.col("__n_tot") - F.col("__sr2")
+    return j.select(
+        "k_treatments",
+        F.lit(int(n_blocks)).cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_blocks_used"), F.lit(0)).alias(
+            "n_blocks_used"
+        ),
+        F.when(kk > 1, (kk - 1).cast("long")).alias("df"),
+        F.when(
+            (kk > 1) & (den.cast("double") > 0),
+            F.round(num.cast("double") / den.cast("double"), ndigits),
+        ).alias("q_stat"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after a significant
+    Kruskal-Wallis result (Dunn 1964, public literature) — WHICH
+    segments differ, using the same global mean ranks (never
+    re-ranking per pair, the property that distinguishes Dunn from
+    pairwise Mann-Whitney):
+
+        z_ij = (Rbar_i - Rbar_j)
+             / sqrt(sigma2 * (1/n_i + 1/n_j))
+        sigma2 = N(N+1)/12 - sum(t^3 - t) / (12(N-1))
+
+    Exactness: identical rank machinery to ``kruskal_wallis`` —
+    doubled decimal(38,0) rank sums from the scalable two-pass
+    cumsum, exact tie sums — and each pair's z is ONE fixed-order
+    double expression over those exact integers, with the two-sided p
+    through the engine's deterministic Phi. Adjust for multiplicity
+    downstream (``fdr_bh`` composes on the p column).
+
+    Output per pair (group_a < group_b): ``(group_a, group_b, n_a,
+    n_b, mean_rank_a, mean_rank_b, z, p_value)``, ordered.
+
+    Scale: the pair build is a self-join over the bounded GROUP
+    table (k rows), not the data. No counterpart in the reference
+    engine (SURVEY.md §2.2).
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vc = filt.groupBy(
+        F.col(value_col).alias("__v"),
+        F.col(group_col).cast("string").alias("__g"),
+    ).agg(F.count("*").alias("__ngv"))
+    vt = vc.groupBy("__v").agg(F.sum("__ngv").alias("__nt"))
+    cum = global_cumsum_before(
+        vt, ["__v"], "__nt", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    per_g = (
+        vc.join(cum, "__v")
+        .groupBy("__g")
+        .agg(
+            dec(
+                F.sum(
+                    dec(F.col("__ngv"))
+                    * dec(
+                        F.lit(2) * F.col("__below")
+                        + F.col("__nt")
+                        + F.lit(1)
+                    )
+                )
+            ).alias("__two_rg"),
+            F.sum("__ngv").cast("long").alias("__ng"),
+        )
+    )
+    ties = cum.agg(
+        dec(
+            F.sum(
+                dec(F.col("__nt")) * dec(F.col("__nt")) * dec(F.col("__nt"))
+                - dec(F.col("__nt"))
+            )
+        ).alias("__ties"),
+        F.sum("__nt").cast("long").alias("__n"),
+    )
+    rhs = per_g.select(
+        F.col("__g").alias("__g2"),
+        F.col("__two_rg").alias("__two_rg2"),
+        F.col("__ng").alias("__ng2"),
+    )
+    pairs = (
+        per_g.crossJoin(rhs)
+        .filter(F.col("__g") < F.col("__g2"))
+        .crossJoin(F.broadcast(ties))
+    )
+    nn = F.col("__n").cast("double")
+    sigma2 = nn * (nn + 1.0) / 12.0 - F.col("__ties").cast(
+        "double"
+    ) / (12.0 * (nn - 1.0))
+    ra = F.col("__two_rg").cast("double") / (
+        2.0 * F.col("__ng").cast("double")
+    )
+    rb = F.col("__two_rg2").cast("double") / (
+        2.0 * F.col("__ng2").cast("double")
+    )
+    se = F.sqrt(
+        sigma2
+        * (
+            1.0 / F.col("__ng").cast("double")
+            + 1.0 / F.col("__ng2").cast("double")
+        )
+    )
+    staged = pairs.select(
+        F.col("__g").alias("group_a"),
+        F.col("__g2").alias("group_b"),
+        F.col("__ng").alias("n_a"),
+        F.col("__ng2").alias("n_b"),
+        F.round(ra, ndigits).alias("mean_rank_a"),
+        F.round(rb, ndigits).alias("mean_rank_b"),
+        F.when(
+            (F.col("__n") > 1) & (sigma2 > 0),
+            F.round((ra - rb) / se, ndigits),
+        ).alias("z"),
+    )
+    return with_p_value(staged, "z", "p_value", ndigits).orderBy(
+        "group_a", "group_b"
+    )

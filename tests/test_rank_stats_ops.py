@@ -710,3 +710,68 @@ def test_simplified_silhouette_on_centroid_zero(spark):
         df, [[5.0, 5.0], [5.0, 5.0]]
     ).collect()[0]
     assert got.mean_silhouette == 0.0
+
+
+def test_cochran_q_golden(spark):
+    """12x3 binary layout: hand/NumPy value Q = 8.333333, df = 2;
+    an incomplete block is dropped and surfaced."""
+    from etl_orders_to_bq_spark.operators.multitest import cochran_q
+
+    data = [
+        (1, 1, 0), (1, 1, 0), (1, 1, 0), (0, 1, 0), (1, 1, 1),
+        (1, 1, 1), (1, 1, 1), (1, 1, 0), (0, 0, 0), (1, 0, 0),
+        (1, 1, 1), (1, 1, 1),
+    ]
+    rows = [
+        (b, f"t{j + 1}", v)
+        for b, vs in enumerate(data)
+        for j, v in enumerate(vs)
+    ]
+    rows += [(99, "t1", 1)]  # incomplete block
+    row = cochran_q(
+        spark.createDataFrame(rows, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert (row.n_blocks, row.n_blocks_used, row.df) == (13, 12, 2)
+    assert row.q_stat == pytest.approx(8.333333, abs=1e-6)
+
+
+def test_cochran_q_mcnemar_equivalence(spark):
+    """k = 2 reduces to McNemar's UNcorrected chi2 = (b-c)^2/(b+c):
+    10 vs 2 discordants -> Q = 64/12 = 5.333333."""
+    from etl_orders_to_bq_spark.operators.multitest import cochran_q
+
+    rows = []
+    blk = 0
+    for n, (x, y) in ((30, (1, 1)), (10, (1, 0)), (2, (0, 1)),
+                      (8, (0, 0))):
+        for _ in range(n):
+            rows += [(blk, "A", x), (blk, "B", y)]
+            blk += 1
+    row = cochran_q(
+        spark.createDataFrame(rows, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert row.q_stat == pytest.approx(64 / 12, abs=1e-6)
+
+
+def test_dunn_posthoc_golden(spark):
+    """Three groups on a shared global ranking: hand-computed
+    z(a,c) = -2.952082 with p < 0.01 while (a,b) is not significant
+    — the drill-down KW motivates."""
+    from etl_orders_to_bq_spark.operators.multitest import dunn_posthoc
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", float(v)) for v in (3, 4, 5, 6)]
+        + [("c", float(v)) for v in (10, 11, 12, 13)]
+    )
+    got = {
+        (r.group_a, r.group_b): (r.mean_rank_a, r.mean_rank_b, r.z,
+                                 r.p_value)
+        for r in dunn_posthoc(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+        ).collect()
+    }
+    assert got[("a", "c")][0] == 3.0 and got[("a", "c")][1] == 10.5
+    assert got[("a", "c")][2] == pytest.approx(-2.952082, abs=1e-6)
+    assert got[("a", "c")][3] < 0.01
+    assert got[("a", "b")][3] > 0.2
