@@ -9007,6 +9007,25 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dunn_posthoc(e, "event_type", "value")
 
 
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming funnel (CEP-lite) through the real engine
+    (streaming/stateful.py funnel_stream, applyInPandasWithState):
+    per user a greedy non-overlapping view->click->purchase stage
+    machine over the (ts, event_id)-ordered stream — two integers of
+    state per user. One availableNow batch => the final update per
+    user equals the batch greedy machine, which the oracle replays
+    as a recursive CTE over per-user ordered step events."""
+    from etl_orders_to_bq_spark.streaming.stateful import funnel_stream
+
+    path = _stage_event_stream(spark, sf_dir, "plain")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+    out = _stream_to_batch(funnel_stream(stream), "sfunnel", "update")
+    return out.orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9021,6 +9040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "streaming_funnel": q_streaming_funnel,
         "cochran_q": q_cochran_q,
         "dunn_posthoc": q_dunn_posthoc,
         "silhouette": q_silhouette,
@@ -20315,6 +20335,53 @@ def oracle_sql() -> dict[str, str]:
                end as p_value
         from staged
         order by group_a, group_b
+    """
+
+    out["streaming_funnel"] = """
+        with steps as (
+          select user_id,
+                 row_number() over (partition by user_id
+                                    order by ts, event_id) as rn,
+                 event_type
+          from events
+          where event_type in ('view', 'click', 'purchase')
+        ),
+        nper as (
+          select user_id, count(*) as nr from steps group by user_id
+        ),
+        users as (select distinct user_id from events),
+        m as (
+          with recursive walk as (
+            select user_id, 0 as rn, 0 as stage,
+                   0::bigint as done
+            from users
+            union all
+            select w.user_id, w.rn + 1,
+                   case when s.event_type =
+                          case w.stage when 0 then 'view'
+                                       when 1 then 'click'
+                                       else 'purchase' end
+                        then case when w.stage = 2 then 0
+                                  else w.stage + 1 end
+                        else w.stage end,
+                   case when w.stage = 2 and s.event_type = 'purchase'
+                        then w.done + 1 else w.done end
+            from walk w
+            join steps s on s.user_id = w.user_id
+                        and s.rn = w.rn + 1
+          )
+          select * from walk
+        )
+        select m.user_id, m.done as n_completions,
+               cast(m.stage as int) as stage
+        from m join nper on nper.user_id = m.user_id
+                        and nper.nr = m.rn
+        union all
+        select u.user_id, 0 as n_completions, 0 as stage
+        from users u
+        where not exists (select 1 from steps s
+                          where s.user_id = u.user_id)
+        order by user_id
     """
 
     return out

@@ -159,3 +159,69 @@ def running_user_totals_tws(
         outputMode="Update",
         timeMode="ProcessingTime" if timeout_minutes is not None else "None",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, n_completions long, stage int"
+)
+FUNNEL_STATE_SCHEMA = "stage int, n_completions long"
+
+
+def _make_funnel_fn(steps: list[str]):
+    n_steps = len(steps)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stage, done = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # group iterators carry no intra-key order guarantee: pin the
+        # event order explicitly (ts, event_id) — the same total
+        # order every batch funnel in the repo uses
+        batch = batch.sort_values(["ts", "event_id"])
+        for et in batch["event_type"]:
+            if et == steps[stage]:
+                stage += 1
+                if stage == n_steps:
+                    done += 1
+                    stage = 0
+        state.update((stage, done))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_completions": [done],
+                "stage": [stage],
+            }
+        )
+
+    return update
+
+
+def funnel_stream(
+    events: DataFrame, steps: list[str] | None = None
+) -> DataFrame:
+    """Streaming funnel detector (CEP-lite) via
+    ``applyInPandasWithState``: per user, a greedy non-overlapping
+    stage machine over the ordered event stream — advance on the next
+    expected step, count a completion and reset when the last step
+    lands. The streaming counterpart of the batch ``window_funnel``
+    (no time bound: the stream's watermark/timeout policy bounds
+    state instead — state is TWO integers per user, the smallest
+    possible CEP state).
+
+    Emits one UPDATE row per user per micro-batch:
+    ``(user_id, n_completions, stage)`` — with the whole fixture in
+    one availableNow batch the final update equals the batch greedy
+    machine, which is what the oracle replays (the
+    running_user_totals contract).
+    """
+    steps = steps or ["view", "click", "purchase"]
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_fn(list(steps)),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

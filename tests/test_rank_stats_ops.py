@@ -775,3 +775,47 @@ def test_dunn_posthoc_golden(spark):
     assert got[("a", "c")][2] == pytest.approx(-2.952082, abs=1e-6)
     assert got[("a", "c")][3] < 0.01
     assert got[("a", "b")][3] > 0.2
+
+
+def test_funnel_stream_greedy_machine(spark, tmp_path):
+    """Hand-traced journeys through the real streaming engine: user 1
+    completes view->click->purchase twice (greedy, non-overlapping);
+    user 2 stalls mid-funnel at stage 1; out-of-pattern events never
+    reset progress."""
+    import datetime
+
+    from etl_orders_to_bq_spark.streaming.stateful import funnel_stream
+
+    T = lambda s_: datetime.datetime(2024, 1, 1, 0, 0, s_)  # noqa: E731
+    rows = [
+        # user 1: V C (err) P | V (signup) C P  -> 2 completions
+        (1, T(1), 1, "view", 1.0, ""), (2, T(2), 1, "click", 1.0, ""),
+        (3, T(3), 1, "error", 1.0, ""), (4, T(4), 1, "purchase", 1.0, ""),
+        (5, T(5), 1, "view", 1.0, ""), (6, T(6), 1, "signup", 1.0, ""),
+        (7, T(7), 1, "click", 1.0, ""), (8, T(8), 1, "purchase", 1.0, ""),
+        # user 2: purchase first (ignored at stage 0), then view -> stage 1
+        (9, T(1), 2, "purchase", 1.0, ""), (10, T(2), 2, "view", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tfunnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_completions, r.stage)
+        for r in spark.table("tfunnel").collect()
+    }
+    assert got == {1: (2, 0), 2: (0, 1)}
