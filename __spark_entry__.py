@@ -9026,6 +9026,34 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife SE for revenue-per-unit by return flag
+    (operators/bootstrap.py jackknife_ratio): the closed-form one-pass
+    jackknife — exact cent-integer leave-one-out sums, half-away
+    micro pseudo-values via decimal div, variance from exact micro
+    moments. The honest uncertainty for a ratio metric."""
+    from etl_orders_to_bq_spark.operators.bootstrap import jackknife_ratio
+
+    li = _t(spark, sf_dir, "lineitem")
+    return jackknife_ratio(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation customer balance means
+    (operators/experiment.py james_stein_means): method-of-moments
+    tau2 from sorted folds over the bounded nation domain, exact
+    micro-integer group means, per-group precision weights — the
+    small-segment dashboard fix."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        james_stein_means,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return james_stein_means(c, "c_nationkey", "c_acctbal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9040,6 +9068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "jackknife_ratio": q_jackknife_ratio,
+        "james_stein": q_james_stein,
         "streaming_funnel": q_streaming_funnel,
         "cochran_q": q_cochran_q,
         "dunn_posthoc": q_dunn_posthoc,
@@ -20382,6 +20412,129 @@ def oracle_sql() -> dict[str, str]:
         where not exists (select 1 from steps s
                           where s.user_id = u.user_id)
         order by user_id
+    """
+
+    out["jackknife_ratio"] = """
+        with base as (
+          select l_returnflag as g,
+                 cast(cast(l_extendedprice as decimal(18,2)) * 100
+                      as hugeint) as y,
+                 cast(cast(l_quantity as decimal(18,2)) * 100
+                      as hugeint) as x
+          from lineitem
+          where l_returnflag is not null
+            and l_extendedprice is not null and l_quantity is not null
+        ),
+        sums as (
+          select g, count(*)::bigint as n,
+                 sum(y)::hugeint as sy, sum(x)::hugeint as sx
+          from base group by g
+        ),
+        pseudo as (
+          select base.g, n, sy, sx,
+                 case when sx - x <> 0 then
+                   (case when ((sy - y) < 0) != ((sx - x) < 0)
+                         then -1 else 1 end)
+                   * ((2 * abs(sy - y) * 1000000 + abs(sx - x))
+                      // (2 * abs(sx - x)))
+                 end as r
+          from base join sums using (g)
+        ),
+        agg as (
+          select g as "group", max(n) as n,
+                 cast(sum(case when r is not null then 1 else 0 end)
+                      as bigint) as n_defined,
+                 sum(r)::hugeint as sr,
+                 sum(r * r)::hugeint as srr,
+                 max(sy) as sy, max(sx) as sx
+          from pseudo group by g
+        )
+        select "group", n, n_defined,
+               case when cast(sx as double) != 0
+                    then round(cast(sy as double) / cast(sx as double),
+                               6) end as ratio,
+               case when n_defined = n and n > 1 then
+                 round(sqrt(greatest(
+                   (cast(n as double) - 1.0) / cast(n as double)
+                   * (cast(srr as double)
+                      - cast(sr as double) * cast(sr as double)
+                        / cast(n as double)), 0.0)) / 1000000, 6)
+               end as se_jackknife
+        from agg
+        order by "group"
+    """
+
+    out["james_stein"] = """
+        with perg as (
+          select cast(c_nationkey as varchar) as g,
+                 count(*)::bigint as n,
+                 cast(sum(cast(c_acctbal as decimal(18,2)))
+                      as decimal(38,2)) as s,
+                 cast(sum(cast(c_acctbal as decimal(18,2))
+                          * cast(c_acctbal as decimal(18,2)))
+                      as decimal(38,4)) as q
+          from customer
+          where c_nationkey is not null and c_acctbal is not null
+          group by 1
+        ),
+        pg as (
+          select g, n, s, q,
+                 (case when s >= 0 then 1 else -1 end)
+                 * cast((2 * cast(abs(s) * 100 as hugeint) * 10000
+                         + cast(n as hugeint))
+                        // (2 * cast(n as hugeint)) as bigint)
+                   as mean_micro,
+                 case when n > 1 then
+                   cast(cast(n as decimal(38,0)) * q - s * s as double)
+                   / (cast(n as double) * cast(n as double)
+                      * (cast(n as double) - 1.0))
+                 end as se2
+          from perg
+        ),
+        folded as (
+          select count(*)::bigint as k,
+                 sum(mean_micro)::hugeint as sm,
+                 list_sort(list(struct_pack(g := g,
+                                            mm := mean_micro,
+                                            se2 := se2))) as gs
+          from pg
+        ),
+        hyper as (
+          select k, gs,
+                 (case when sm >= 0 then 1 else -1 end)
+                 * cast((2 * abs(sm) + k) // (2 * k::hugeint)
+                        as bigint) as m_micro
+          from folded
+        ),
+        hyper2 as (
+          select m_micro,
+                 greatest(
+                   list_reduce(list_transform(gs, t ->
+                     (cast(t.mm - m_micro as double) / 1000000.0)
+                     * (cast(t.mm - m_micro as double) / 1000000.0)),
+                     (acc, v) -> acc + v)
+                   / greatest(cast(k as double) - 1.0, 1.0)
+                   - list_reduce(list_transform(gs, t ->
+                       coalesce(t.se2, 0.0)), (acc, v) -> acc + v)
+                     / cast(k as double),
+                   0.0) as tau2
+          from hyper
+        )
+        select g as "group", n,
+               cast(mean_micro as double) / 1000000 as mean,
+               case when n > 1 then
+                 round(case when tau2 + se2 > 0
+                            then tau2 / (tau2 + se2) else 0.0 end, 6)
+               end as weight,
+               case when n > 1 then
+                 round(cast(m_micro as double) / 1000000
+                       + (case when tau2 + se2 > 0
+                               then tau2 / (tau2 + se2) else 0.0 end)
+                         * (cast(mean_micro as double) / 1000000
+                            - cast(m_micro as double) / 1000000), 6)
+               end as shrunk_mean
+        from pg, hyper2
+        order by "group"
     """
 
     return out

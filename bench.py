@@ -187,6 +187,9 @@ HEADLINE = [
     "silhouette",
     "cochran_q",
     "dunn_posthoc",
+    "streaming_funnel",
+    "jackknife_ratio",
+    "james_stein",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

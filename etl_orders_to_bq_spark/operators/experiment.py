@@ -793,3 +793,152 @@ def ipw_ate(
             "ate"
         ),
     )
+
+
+def james_stein_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-group
+    means toward the cross-group center (Efron & Morris 1975, public
+    literature) — the fix for the "small segments always top the
+    dashboard" artifact: a 10-row group's extreme mean is mostly
+    noise, so it borrows strength from the other groups.
+
+    Model (documented precisely so the oracle replays it): normal
+    means with method-of-moments hyperparameters —
+
+        m        = unweighted mean of the group means
+        tau2     = max(0, var_between - mean_g(se2_g))
+        w_g      = tau2 / (tau2 + se2_g)
+        shrunk_g = m + w_g * (mean_g - m)
+
+    with se2_g = s2_g / n_g (variance of the group mean, pooled
+    nothing — each group brings its own).
+
+    Determinism contract: group means quantize half-away to micro
+    integers from exact decimal sums (so m is an exact integer mean);
+    s2_g comes from exact decimal moments collapsing to double once;
+    var_between and mean(se2_g) are SORTED FOLDS over the bounded
+    group domain (the kruskal_wallis discipline). tau2 = 0 (no
+    real between-group signal) legitimately shrinks every group all
+    the way to m. Groups with n < 2 have no se2 and report NULL
+    shrunk mean.
+
+    Output per group: ``(group, n, mean, weight, shrunk_mean)``,
+    ordered by group.
+
+    Scale: ONE map-side-combinable groupBy + folds over |groups|.
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    m = 1_000_000
+    y = F.col(value_col).cast("decimal(18,2)")
+    per_g = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).cast("string").alias("__g"))
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(y).cast("decimal(38,2)").alias("__s"),
+            F.sum(y * y).cast("decimal(38,4)").alias("__q"),
+        )
+        .withColumn(
+            "__mean_micro",
+            F.when(
+                F.col("__s") >= 0,
+                F.expr(
+                    f"cast((2 * abs(__s) * {m} + __n) div (2 * __n) "
+                    "as long)"
+                ),
+            ).otherwise(
+                -F.expr(
+                    f"cast((2 * abs(__s) * {m} + __n) div (2 * __n) "
+                    "as long)"
+                )
+            ),
+        )
+        .withColumn(
+            "__se2",
+            F.when(
+                F.col("__n") > 1,
+                # s2/n = (n*Q - S^2) / (n^2 * (n-1)), exact numerator
+                (
+                    F.col("__n").cast("decimal(38,0)") * F.col("__q")
+                    - F.col("__s") * F.col("__s")
+                ).cast("double")
+                / (
+                    F.col("__n").cast("double")
+                    * F.col("__n").cast("double")
+                    * (F.col("__n").cast("double") - 1.0)
+                ),
+            ),
+        )
+    )
+    folded = per_g.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__mean_micro").cast("decimal(38,0)").alias("__sm"),
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__mean_micro", "__se2"))
+        ).alias("__gs"),
+    )
+    kk = F.col("__k").cast("double")
+    # m as an exact half-away micro integer mean of micro means
+    m_micro = F.when(
+        F.col("__sm") >= 0,
+        F.expr(
+            "cast((2 * abs(__sm) + __k) div (2 * cast(__k as "
+            "decimal(38,0))) as long)"
+        ),
+    ).otherwise(
+        -F.expr(
+            "cast((2 * abs(__sm) + __k) div (2 * cast(__k as "
+            "decimal(38,0))) as long)"
+        )
+    )
+    staged = folded.withColumn("__m_micro", m_micro)
+    vb = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda s_: (
+                (s_["__mean_micro"] - F.col("__m_micro")).cast("double")
+                / F.lit(float(m))
+            )
+            * (
+                (s_["__mean_micro"] - F.col("__m_micro")).cast("double")
+                / F.lit(float(m))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.greatest(kk - 1.0, F.lit(1.0))
+    mean_se2 = F.aggregate(
+        F.transform(
+            F.col("__gs"), lambda s_: F.coalesce(s_["__se2"], F.lit(0.0))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / kk
+    tau2 = F.greatest(vb - mean_se2, F.lit(0.0))
+    hyper = staged.select(
+        F.col("__m_micro"), tau2.alias("__tau2"), "__k"
+    )
+    out = per_g.crossJoin(F.broadcast(hyper))
+    w = F.when(
+        F.col("__tau2") + F.col("__se2") > 0,
+        F.col("__tau2") / (F.col("__tau2") + F.col("__se2")),
+    ).otherwise(F.lit(0.0))
+    mean_d = F.col("__mean_micro").cast("double") / m
+    m_d = F.col("__m_micro").cast("double") / m
+    return out.select(
+        F.col("__g").alias("group"),
+        F.col("__n").alias("n"),
+        mean_d.alias("mean"),
+        F.when(F.col("__n") > 1, F.round(w, ndigits)).alias("weight"),
+        F.when(
+            F.col("__n") > 1,
+            F.round(m_d + w * (mean_d - m_d), ndigits),
+        ).alias("shrunk_mean"),
+    ).orderBy("group")

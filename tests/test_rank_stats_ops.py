@@ -819,3 +819,59 @@ def test_funnel_stream_greedy_machine(spark, tmp_path):
         for r in spark.table("tfunnel").collect()
     }
     assert got == {1: (2, 0), 2: (0, 1)}
+
+
+def test_jackknife_ratio_golden(spark):
+    """5-point ratio 50/20 = 2.5... hand value: closed-form delete-1
+    pseudo-values quantized to micro, SE = 0.709044 for the
+    (10,20,30,15,25)/(2,5,4,3,6) sample (ratio 5.0)."""
+    from etl_orders_to_bq_spark.operators.bootstrap import jackknife_ratio
+
+    pts = [(10, 2), (20, 5), (30, 4), (15, 3), (25, 6)]
+    df = spark.createDataFrame(
+        [("g", float(y), float(x)) for y, x in pts], ["g", "y", "x"]
+    )
+    row = jackknife_ratio(df, "g", "y", "x").collect()[0]
+    assert (row.n, row.n_defined, row.ratio) == (5, 5, 5.0)
+    assert row.se_jackknife == pytest.approx(0.709044, abs=1e-6)
+
+
+def test_jackknife_ratio_undefined_on_zero_denominator(spark):
+    """A leave-one-out denominator of zero makes the jackknife
+    undefined: NULL se, surfaced via n_defined."""
+    from etl_orders_to_bq_spark.operators.bootstrap import jackknife_ratio
+
+    # dropping the x=3 row leaves sum(x)=0
+    df = spark.createDataFrame(
+        [("g", 1.0, 3.0), ("g", 2.0, -1.0), ("g", 3.0, 1.0)],
+        ["g", "y", "x"],
+    )
+    row = jackknife_ratio(df, "g", "y", "x").collect()[0]
+    assert row.n_defined == 2 and row.se_jackknife is None
+
+
+def test_james_stein_shrinks_small_groups_more(spark):
+    """The defining EB property: a small noisy group's mean moves
+    toward the center much more than a large tight group's."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        james_stein_means,
+    )
+
+    rows = (
+        [("a", 10.0 + (i % 5)) for i in range(50)]     # big, tight
+        + [("b", 30.0), ("b", 25.0), ("b", 35.0)]       # small
+        + [("c", 12.0 + (i % 3)) for i in range(30)]    # big, tight
+    )
+    got = {
+        r.group: (r.mean, r.weight, r.shrunk_mean)
+        for r in james_stein_means(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+        ).collect()
+    }
+    # big tight groups barely move
+    assert abs(got["a"][2] - got["a"][0]) < 0.5
+    assert abs(got["c"][2] - got["c"][0]) < 0.5
+    # the small group shrinks visibly toward the center (~18.3)
+    assert got["b"][0] == 30.0
+    assert got["b"][2] < 30.0 - 0.5
+    assert got["b"][1] < got["a"][1]  # lower precision -> lower weight
