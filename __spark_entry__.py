@@ -9054,6 +9054,61 @@ def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return james_stein_means(c, "c_nationkey", "c_acctbal")
 
 
+def q_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by Dunning's log-likelihood ratio
+    (operators/lm.py dunning_llr_collocations): exact 2x2 contingency
+    integers per pair, LLR one fixed-order double over the four
+    cells (the mutual_information ln-parity precedent), top-k on the
+    ROUNDED score with (w1, w2) tie-break."""
+    from etl_orders_to_bq_spark.operators.lm import (
+        dunning_llr_collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dunning_llr_collocations(d, "text", top_k=20)
+
+
+def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile of the trigram-shingle
+    distribution (operators/lm.py hill_diversity): q0/q1/q2 effective
+    vocabulary sizes + Pielou evenness — Shannon H as a sorted fold,
+    exp through the engine's deterministic Taylor-Horner kernel,
+    inverse Simpson from exact decimal sums. Completes the
+    chao1_richness corpus-saturation report."""
+    from etl_orders_to_bq_spark.operators.lm import hill_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return hill_diversity(d, "text", ngram=3)
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the true corpus size
+    from two simulated overlapping crawls (operators/dedup.py
+    capture_recapture): crawl A keeps docs with md5(a:id) % 3 < 2,
+    crawl B with md5(b:id) % 3 < 2 (independent 2/3 samples), keys =
+    doc fingerprints; N_hat must land near the actual 100-per-sf0.001
+    document count. Exact integer counts, one rounded expression per
+    estimate."""
+    from etl_orders_to_bq_spark.operators.dedup import capture_recapture
+
+    d = _t(spark, sf_dir, "documents")
+    h = lambda pfx: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(pfx), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    a = d.filter(h("a") % 3 < 2).select(F.md5("text").alias("fp"))
+    b = d.filter(h("b") % 3 < 2).select(F.md5("text").alias("fp"))
+    return capture_recapture(a, b, "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9068,6 +9123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "dunning_llr": q_dunning_llr,
+        "hill_diversity": q_hill_diversity,
+        "capture_recapture": q_capture_recapture,
         "jackknife_ratio": q_jackknife_ratio,
         "james_stein": q_james_stein,
         "streaming_funnel": q_streaming_funnel,
@@ -20535,6 +20593,122 @@ def oracle_sql() -> dict[str, str]:
                end as shrunk_mean
         from pg, hyper2
         order by "group"
+    """
+
+    out["dunning_llr"] = """
+        with tw as (
+          select regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+') as ws
+          from documents
+        ),
+        bg as (
+          select ws[i] as w1, ws[i+1] as w2
+          from tw, unnest(range(1, greatest(len(ws), 1))) as t(i)
+        ),
+        pairs as (
+          select w1, w2, count(*)::bigint as c12 from bg group by w1, w2
+        ),
+        lefts as (select w1, sum(c12) as c1 from pairs group by w1),
+        rights as (select w2, sum(c12) as c2 from pairs group by w2),
+        tot as (select cast(sum(c12) as bigint) as n from pairs),
+        scored as (
+          select w1, w2, c12,
+                 round(2.0 * (
+                   (case when c12::double > 0 then c12::double
+                     * ln(c12::double * n::double
+                          / (c1::double * c2::double)) else 0.0 end)
+                   + (case when (c1 - c12)::double > 0
+                      then (c1 - c12)::double
+                        * ln((c1 - c12)::double * n::double
+                             / (c1::double * (n - c2)::double))
+                      else 0.0 end)
+                   + (case when (c2 - c12)::double > 0
+                      then (c2 - c12)::double
+                        * ln((c2 - c12)::double * n::double
+                             / ((n - c1)::double * c2::double))
+                      else 0.0 end)
+                   + (case when (n - c1 - c2 + c12)::double > 0
+                      then (n - c1 - c2 + c12)::double
+                        * ln((n - c1 - c2 + c12)::double * n::double
+                             / ((n - c1)::double * (n - c2)::double))
+                      else 0.0 end)
+                 ), 6) as llr
+          from pairs join lefts using (w1) join rights using (w2), tot
+        )
+        select w1, w2, c12 as n_pair, llr
+        from scored
+        order by llr desc, w1, w2
+        limit 20
+    """
+
+    _hd_exp = _det_exp_sql("h")
+    out["hill_diversity"] = f"""
+        with tw as (
+          select regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+') as ws
+          from documents
+        ),
+        tok as (
+          select ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as w
+          from tw, unnest(range(1, greatest(len(ws) - 1, 1))) as t(i)
+        ),
+        vocab as (select w, count(*)::bigint as c from tok group by w),
+        agg as (
+          select cast(sum(c) as bigint) as n_units,
+                 count(*)::bigint as q0_richness,
+                 cast(sum(cast(c as decimal(38,0))
+                          * cast(c as decimal(38,0)))
+                      as decimal(38,0)) as sc2,
+                 list_sort(list(c)) as cs
+          from vocab
+        ),
+        hh as (
+          select *,
+                 round(-list_reduce(list_transform(cs, c ->
+                   (c::double / n_units::double)
+                   * ln(c::double / n_units::double)),
+                   (acc, t) -> acc + t), 6) as h
+          from agg
+        )
+        select n_units, q0_richness, h as shannon_h,
+               round({_hd_exp}, 6) as q1_shannon_eff,
+               round(n_units::double * n_units::double
+                     / cast(sc2 as double), 6) as q2_inv_simpson,
+               case when q0_richness > 1
+                    then round(h / ln(q0_richness::double), 6)
+               end as pielou_evenness
+        from hh
+    """
+
+    out["capture_recapture"] = """
+        with a as (
+          select distinct md5(text) as fp from documents
+          where ('0x' || substr(md5('a:' || doc_id::varchar), 1, 8))
+                ::bigint % 3 < 2
+        ),
+        b as (
+          select distinct md5(text) as fp from documents
+          where ('0x' || substr(md5('b:' || doc_id::varchar), 1, 8))
+                ::bigint % 3 < 2
+        ),
+        counts as (
+          select (select count(*) from a)::bigint as n1,
+                 (select count(*) from b)::bigint as n2,
+                 (select count(*) from a join b using (fp))::bigint as m
+        )
+        select n1, n2, m as m_overlap,
+               round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6)
+                 as n_hat,
+               round(sqrt((n1 + 1.0) * (n2 + 1.0)
+                          * (n1 - m) * (n2 - m)
+                          / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6)
+                 as se,
+               case when (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 > 0
+                    then round((n1 + n2 - m)
+                               / ((n1 + 1.0) * (n2 + 1.0)
+                                  / (m + 1.0) - 1.0), 6)
+               end as coverage
+        from counts
     """
 
     return out

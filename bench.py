@@ -190,6 +190,9 @@ HEADLINE = [
     "streaming_funnel",
     "jackknife_ratio",
     "james_stein",
+    "dunning_llr",
+    "hill_diversity",
+    "capture_recapture",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -255,6 +258,8 @@ ITERATIVE = {
     "silhouette",
     # r12: the complete-block census count runs at construction
     "cochran_q",
+    # r12: the two distinct counts + overlap count run at construction
+    "capture_recapture",
 }
 
 

@@ -1161,3 +1161,67 @@ def corpus_diff(
             "n_moved_out",
         )
     )
+
+
+def capture_recapture(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    key_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chapman's bias-corrected Lincoln-Petersen estimator of a
+    population's true size from two overlapping samples (Chapman
+    1951, public literature) — the dedup-QA trick: two independent
+    crawls of the same corpus are a capture-recapture experiment, so
+    the fingerprint overlap estimates how many documents exist that
+    NEITHER crawl saw:
+
+        N_hat = (n1+1)(n2+1)/(m+1) - 1
+        se    = sqrt((n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2)))
+
+    with n1/n2 the distinct key counts and m the distinct overlap —
+    every term an exact integer (Chapman's +1s keep m = 0 defined),
+    each estimate ONE fixed-order double expression rounded once.
+
+    Output: one row ``(n1, n2, m_overlap, n_hat, se, coverage)`` with
+    coverage = (n1 + n2 - m) / N_hat, the estimated fraction of the
+    population either crawl captured.
+
+    Scale: two distinct groupBys + one key-equi semi-join; shuffles
+    carry keys only. No counterpart in the reference engine
+    (SURVEY.md §2.2).
+    """
+    a = sample_a.select(F.col(key_col).alias("__k")).distinct()
+    b = sample_b.select(F.col(key_col).alias("__k")).distinct()
+    n1 = a.count()
+    n2 = b.count()
+    m = a.join(b, "__k", "left_semi").count()
+    nh = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    import math
+
+    se = math.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+
+    def _r6(x: float) -> float:
+        scale = 10.0 ** ndigits
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    cov = (n1 + n2 - m) / nh if nh > 0 else None
+    row = (
+        int(n1),
+        int(n2),
+        int(m),
+        _r6(nh),
+        _r6(se),
+        _r6(cov) if cov is not None else None,
+    )
+    return sample_a.sparkSession.createDataFrame(
+        [row],
+        schema="n1 bigint, n2 bigint, m_overlap bigint, n_hat double, "
+        "se double, coverage double",
+    )

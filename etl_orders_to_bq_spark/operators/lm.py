@@ -1874,3 +1874,165 @@ def wordpiece_segment(
         )
         .orderBy(F.desc("n"), "word")
     )
+
+
+def dunning_llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio (Dunning
+    1993, public literature) — the statistically sound "which word
+    pairs belong together" score (raw PMI over-rewards rare pairs;
+    LLR is the fix): over the corpus bigram stream, each pair (w1,
+    w2) gets
+
+        LLR = 2 * sum_cells k * ln(k * N / (R * C))
+
+    from the exact 2x2 contingency (k11 = bigram count, margins from
+    the positional unigram counts, 0*ln(0) = 0).
+
+    Determinism: every cell count is an exact integer; LLR is one
+    fixed-order double expression over the four cells (engine ``ln``
+    parity is the mutual_information precedent), rounded once; the
+    top-k cut orders by (rounded LLR desc, w1, w2) so the selected
+    set is engine-stable.
+
+    Output: top-k rows ``(w1, w2, n_pair, llr)``.
+
+    Scale: one bigram-explode groupBy + two keyed joins against the
+    positional unigram tables; everything map-side combinable. No
+    counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from ..functions.text import word_ngrams
+
+    toks = df.select(
+        F.explode(word_ngrams(normalize_text(text_col), 2)).alias("__bg")
+    ).select(
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("__w1"),
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(2)).alias("__w2"),
+    )
+    pairs = toks.groupBy("__w1", "__w2").agg(
+        F.count("*").alias("__c12")
+    )
+    lefts = pairs.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    rights = pairs.groupBy("__w2").agg(F.sum("__c12").alias("__c2"))
+    total = F.broadcast(
+        pairs.agg(F.sum("__c12").cast("long").alias("__n"))
+    )
+    j = (
+        pairs.join(lefts, "__w1")
+        .join(rights, "__w2")
+        .crossJoin(total)
+    )
+    nd = F.col("__n").cast("double")
+    k11 = F.col("__c12").cast("double")
+    k12 = (F.col("__c1") - F.col("__c12")).cast("double")
+    k21 = (F.col("__c2") - F.col("__c12")).cast("double")
+    k22 = (
+        F.col("__n") - F.col("__c1") - F.col("__c2") + F.col("__c12")
+    ).cast("double")
+    r1 = F.col("__c1").cast("double")
+    r2 = (F.col("__n") - F.col("__c1")).cast("double")
+    c1 = F.col("__c2").cast("double")
+    c2 = (F.col("__n") - F.col("__c2")).cast("double")
+
+    def term(k, r, c):
+        return F.when(k > 0, k * F.log(k * nd / (r * c))).otherwise(
+            F.lit(0.0)
+        )
+
+    llr = F.round(
+        2.0
+        * (
+            term(k11, r1, c1)
+            + term(k12, r1, c2)
+            + term(k21, r2, c1)
+            + term(k22, r2, c2)
+        ),
+        ndigits,
+    )
+    return (
+        j.select(
+            F.col("__w1").alias("w1"),
+            F.col("__w2").alias("w2"),
+            F.col("__c12").cast("long").alias("n_pair"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(int(top_k))
+    )
+
+
+def hill_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hill-number diversity profile of the corpus unit distribution
+    (Hill 1973 / Jost 2006, public literature) — the "effective
+    vocabulary sizes" that complete the ``chao1_richness`` report:
+
+        q0 = S_obs                       (richness)
+        q1 = exp(H)    H = -sum p ln p   (Shannon effective units)
+        q2 = N^2 / sum c^2               (inverse Simpson)
+
+    plus Pielou evenness H / ln(S). A flat distribution has
+    q0 = q1 = q2; q1/q0 collapsing toward 0 means the corpus is
+    template-dominated.
+
+    Determinism: counts are exact integers; H is a SORTED FOLD over
+    counts (the mutual_information discipline); exp replays the
+    engine's deterministic Taylor-Horner kernel (multitest._det_exp —
+    convergent for |H| < 64, i.e. any vocabulary below e^64); q2's
+    numerator and denominator are exact decimals collapsing once.
+
+    Output: one row ``(n_units, q0_richness, shannon_h,
+    q1_shannon_eff, q2_inv_simpson, pielou_evenness)``.
+
+    Scale: one explode + one unit groupBy; folds run over the unit
+    DOMAIN. No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from .multitest import _det_exp
+
+    toks = df.select(F.explode(_units(text_col, ngram)).alias("__w"))
+    vocab = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+    agg = vocab.agg(
+        F.sum("__c").cast("long").alias("n_units"),
+        F.count("*").cast("long").alias("q0_richness"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__c").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sc2"),
+        F.sort_array(F.collect_list("__c")).alias("__cs"),
+    )
+    nn = F.col("n_units").cast("double")
+    h = -F.aggregate(
+        F.transform(
+            F.col("__cs"),
+            lambda c: (c.cast("double") / nn)
+            * F.log(c.cast("double") / nn),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    staged = agg.withColumn("__h", F.round(h, ndigits))
+    return staged.select(
+        "n_units",
+        "q0_richness",
+        F.col("__h").alias("shannon_h"),
+        F.round(_det_exp(F.col("__h")), ndigits).alias("q1_shannon_eff"),
+        F.round(
+            nn * nn / F.col("__sc2").cast("double"), ndigits
+        ).alias("q2_inv_simpson"),
+        F.when(
+            F.col("q0_richness") > 1,
+            F.round(
+                F.col("__h")
+                / F.log(F.col("q0_richness").cast("double")),
+                ndigits,
+            ),
+        ).alias("pielou_evenness"),
+    )

@@ -875,3 +875,54 @@ def test_james_stein_shrinks_small_groups_more(spark):
     assert got["b"][0] == 30.0
     assert got["b"][2] < 30.0 - 0.5
     assert got["b"][1] < got["a"][1]  # lower precision -> lower weight
+
+
+def test_dunning_llr_ranks_true_collocation_over_rare_pair(spark):
+    """The Dunning property vs PMI: a pair seen 20 times together
+    out-scores a hapax pair even though the hapax has higher PMI."""
+    from etl_orders_to_bq_spark.operators.lm import (
+        dunning_llr_collocations,
+    )
+
+    text = " ".join(
+        ["strong coffee"] * 20
+        + ["weak tea"] * 1
+        + ["strong tea", "weak coffee"] * 5
+        + ["noise word"] * 30
+    )
+    df = spark.createDataFrame([(text,)], ["text"])
+    rows = dunning_llr_collocations(df, top_k=5).collect()
+    top = (rows[0].w1, rows[0].w2)
+    scores = {(r.w1, r.w2): r.llr for r in rows}
+    assert top == ("noise", "word") or top == ("strong", "coffee")
+    assert scores.get(("strong", "coffee"), 0) > scores.get(
+        ("weak", "tea"), 0
+    )
+
+
+def test_hill_diversity_flat_distribution(spark):
+    """A perfectly flat unigram distribution: q0 = q1 = q2 = S and
+    evenness = 1 (the Hill-number identity)."""
+    from etl_orders_to_bq_spark.operators.lm import hill_diversity
+
+    df = spark.createDataFrame([("a b c d " * 25,)], ["text"])
+    row = hill_diversity(df, ngram=1).collect()[0]
+    assert row.q0_richness == 4
+    assert row.q1_shannon_eff == pytest.approx(4.0, abs=1e-4)
+    assert row.q2_inv_simpson == pytest.approx(4.0, abs=1e-6)
+    assert row.pielou_evenness == pytest.approx(1.0, abs=1e-4)
+
+
+def test_capture_recapture_recovers_population(spark):
+    """Two deterministic ~2/3 samples of 300 keys: Chapman's
+    estimator must land near 300 with a small SE."""
+    from etl_orders_to_bq_spark.operators.dedup import capture_recapture
+
+    keys = [(f"k{i}", i) for i in range(300)]
+    df = spark.createDataFrame(keys, ["k", "i"])
+    a = df.filter((F.crc32(F.col("k")) % 3) < 2)
+    b = df.filter((F.crc32(F.concat(F.lit("x"), F.col("k"))) % 3) < 2)
+    row = capture_recapture(a, b, "k").collect()[0]
+    assert abs(row.n_hat - 300) < 30
+    assert row.se < 15
+    assert 0.8 < row.coverage <= 1.0
