@@ -8924,7 +8924,7 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     trial's one rounded slope/intercept."""
     from etl_orders_to_bq_spark.operators.ridge import ransac_line
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "orders"))
     pts = o.select(
         F.col("o_orderkey").alias("pid"),
         (F.col("o_orderkey") % 100).cast("double").alias("x"),
@@ -8935,6 +8935,8 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("o_orderkey") % 7 == 0, 500.0).otherwise(0.0)
         ).alias("y"),
     )
+    # single-file local fixtures arrive as ONE split; the 64x trial
+    # expansion would serialize on one core without the spread
     return ransac_line(pts, "x", "y", "pid", eps=2.0, n_trials=64)
 
 
@@ -9109,6 +9111,43 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capture_recapture(a, b, "fp")
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic trend test on daily event value sums
+    (operators/timeseries.py mann_kendall_trend): exact integer S and
+    tie sums from a pair join over the calendar-bounded daily table,
+    continuity-corrected z, p through the shared deterministic Phi —
+    the hypothesis-test companion to theilsen_trend."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return mann_kendall_trend(e, "ts", "value")
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer lifetime revenue, decomposed
+    within/between nations (operators/inequality.py
+    theil_decomposition) — the decomposable alternative to
+    gini_concentration, with the additivity identity reported as the
+    __TOTAL__ row. Per-row terms quantize half-away to micro
+    integers before summation (order-free exact sums); the between
+    term folds over the bounded nation domain."""
+    from etl_orders_to_bq_spark.operators.inequality import (
+        theil_decomposition,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    j = rev.join(broadcast(c), rev.o_custkey == c.c_custkey).select(
+        "c_nationkey", "rev"
+    )
+    return theil_decomposition(j, "c_nationkey", "rev")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9123,6 +9162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "mann_kendall": q_mann_kendall,
+        "theil_index": q_theil_index,
         "dunning_llr": q_dunning_llr,
         "hill_diversity": q_hill_diversity,
         "capture_recapture": q_capture_recapture,
@@ -20148,13 +20189,23 @@ def oracle_sql() -> dict[str, str]:
           from orders
         ),
         trials as (select unnest(range(0, 64))::int as t),
+        hashed as (
+          select id, x, y,
+                 ('0x' || substr(md5('rl17:a:' || id), 1, 8))::bigint
+                   % 2147483648 as ha,
+                 ('0x' || substr(md5('rl17:b:' || id), 1, 8))::bigint
+                   % 2147483648 as hb
+          from base
+        ),
         drawn as (
           select t,
-                 min_by(struct_pack(id := id, x := x, y := y),
-                        md5('rl17:' || t || ':a:' || id)) as p1,
-                 min_by(struct_pack(id := id, x := x, y := y),
-                        md5('rl17:' || t || ':b:' || id)) as p2
-          from base cross join trials
+                 min(struct_pack(
+                   h := (ha * (2 * t + 1) + 1000003 * t) % 2147483647,
+                   id := id, x := x, y := y)) as p1,
+                 min(struct_pack(
+                   h := (hb * (2 * t + 1) + 1000003 * t) % 2147483647,
+                   id := id, x := x, y := y)) as p2
+          from hashed cross join trials
           group by t
         ),
         lines as (
@@ -20709,6 +20760,126 @@ def oracle_sql() -> dict[str, str]:
                                   / (m + 1.0) - 1.0), 6)
                end as coverage
         from counts
+    """
+
+    _mk2_p = _nsf("abs(z)")
+    out["mann_kendall"] = f"""
+        with daily as (
+          select cast(ts as date) as d,
+                 sum(cast(value as decimal(18,2))) as v
+          from events group by 1
+        ),
+        s as (
+          select cast(sum(case when b.v > a.v then 1
+                               when b.v < a.v then -1
+                               else 0 end) as bigint) as s_stat
+          from daily a join daily b on a.d < b.d
+        ),
+        tie as (
+          select cast(sum(t * (t - 1) * (2 * t + 5)) as bigint)
+                   as tsum
+          from (select v, count(*) as t from daily group by v)
+        ),
+        nr as (select count(*)::bigint as n_days from daily),
+        j as (
+          select n_days, s_stat,
+                 (cast(n_days as double) * (cast(n_days as double) - 1.0)
+                  * (2.0 * cast(n_days as double) + 5.0)
+                  - cast(tsum as double)) / 18.0 as vs
+          from nr, s, tie
+        ),
+        staged as (
+          select n_days, s_stat, round(vs, 6) as var_s,
+                 case when vs > 0 then round(
+                   (case when s_stat > 0
+                         then cast(s_stat as double) - 1.0
+                         when s_stat < 0
+                         then cast(s_stat as double) + 1.0
+                         else 0.0 end) / sqrt(vs), 6)
+                 end as z
+          from j
+        )
+        select n_days, s_stat, var_s, z,
+               case when z is not null
+                    then round(least(1.0, 2.0 * {_mk2_p}), 6)
+               end as p_value
+        from staged
+    """
+
+    out["theil_index"] = """
+        with rev as (
+          select o_custkey, sum(o_totalprice) as rv
+          from orders group by o_custkey
+        ),
+        base as (
+          select cast(c_nationkey as varchar) as g,
+                 cast(rv as decimal(18,2)) as x
+          from rev join customer on o_custkey = c_custkey
+          where c_nationkey is not null and rv is not null
+            and cast(rv as double) > 0
+        ),
+        totals as (
+          select g, count(*)::bigint as ng,
+                 cast(sum(x) as decimal(38,2)) as xg
+          from base group by g
+        ),
+        terms as (
+          select b.g,
+                 (cast(b.x as double) / cast(t.xg as double))
+                 * ln(cast(b.x as double) * cast(t.ng as double)
+                      / cast(t.xg as double)) as term
+          from base b join totals t using (g)
+        ),
+        perg as (
+          select g,
+                 cast(sum(case when term >= 0
+                          then cast(floor(term * 1000000 + 0.5)
+                                    as bigint)
+                          else -cast(floor(-term * 1000000 + 0.5)
+                                     as bigint) end)
+                      as decimal(38,0)) as tsum
+          from terms group by g
+        ),
+        grand as (
+          select cast(sum(ng) as bigint) as n,
+                 cast(sum(xg) as decimal(38,2)) as xx
+          from totals
+        ),
+        g_rows as (
+          select p.g as "group", t.ng as n,
+                 round(cast(t.xg as double) / cast(xx as double), 6)
+                   as share,
+                 round(cast(tsum as double) / 1000000.0, 6) as theil
+          from perg p join totals t using (g), grand
+        ),
+        folded as (
+          select max(n) as n,
+                 list_sort(list(struct_pack(
+                   g := p.g,
+                   s := cast(t.xg as double) / cast(xx as double),
+                   ng := t.ng,
+                   tw := cast(tsum as double) / 1000000.0))) as gs
+          from perg p join totals t using (g), grand
+        ),
+        summ as (
+          select n,
+                 list_reduce(list_transform(gs, e ->
+                   e.s * ln(e.s * cast(n as double)
+                            / cast(e.ng as double))),
+                   (acc, v) -> acc + v) as between_t,
+                 list_reduce(list_transform(gs, e -> e.s * e.tw),
+                   (acc, v) -> acc + v) as within_t
+          from folded
+        )
+        select * from (
+          select "group", n, share, theil from g_rows
+          union all
+          select '__BETWEEN__', n, 1.0, round(between_t, 6) from summ
+          union all
+          select '__TOTAL__', n, 1.0, round(between_t + within_t, 6)
+          from summ
+        )
+        order by "group"
     """
 
     return out

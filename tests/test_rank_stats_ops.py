@@ -926,3 +926,58 @@ def test_capture_recapture_recovers_population(spark):
     assert abs(row.n_hat - 300) < 30
     assert row.se < 15
     assert 0.8 < row.coverage <= 1.0
+
+
+def test_mann_kendall_golden_and_no_trend(spark):
+    """Upward series with one tie: hand values S = 23,
+    var = 64.333333, z = 2.742866; a constant series reports S = 0
+    and NULL z (zero variance)."""
+    import datetime
+
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    vals = [2.0, 3.0, 1.0, 4.0, 5.0, 5.0, 7.0, 8.0]
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    row = mann_kendall_trend(
+        spark.createDataFrame(rows, ["ts", "v"]), "ts", "v"
+    ).collect()[0]
+    assert row.s_stat == 23
+    assert row.var_s == pytest.approx(64.333333, abs=1e-6)
+    assert row.z == pytest.approx(2.742866, abs=1e-6)
+    assert row.p_value < 0.01
+
+    flat = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         5.0)
+        for i in range(6)
+    ]
+    row2 = mann_kendall_trend(
+        spark.createDataFrame(flat, ["ts", "v"]), "ts", "v"
+    ).collect()[0]
+    assert row2.s_stat == 0 and row2.z is None
+
+
+def test_theil_decomposition_identity(spark):
+    """Hand-traced: an equal group contributes 0 within-Theil; equal
+    shares and sizes make between = 0; and the reported __TOTAL__
+    equals between + share-weighted within (additivity)."""
+    from etl_orders_to_bq_spark.operators.inequality import (
+        theil_decomposition,
+    )
+
+    rows = [("a", 10.0)] * 3 + [("b", 1.0), ("b", 1.0), ("b", 28.0)]
+    got = {
+        r.group: (r.n, r.share, r.theil)
+        for r in theil_decomposition(
+            spark.createDataFrame(rows, ["g", "x"]), "g", "x"
+        ).collect()
+    }
+    assert got["a"] == (3, 0.5, 0.0)
+    assert got["b"][2] == pytest.approx(0.807472, abs=1e-6)
+    assert got["__BETWEEN__"][2] == 0.0
+    assert got["__TOTAL__"][2] == pytest.approx(0.403736, abs=1e-6)
