@@ -9148,6 +9148,56 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_decomposition(j, "c_nationkey", "rev")
 
 
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test on signup->purchase conversion time
+    with right-censoring (operators/survival.py log_rank_test,
+    cohorts = user parity): risk sets from the fused two-pass cumsum
+    over the distinct-duration table, per-time E/V terms quantized to
+    micro integers before order-free exact summation, z through the
+    shared deterministic Phi — the hypothesis-test companion to the
+    Kaplan-Meier survival_curve entry."""
+    from etl_orders_to_bq_spark.operators.survival import log_rank_test
+
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    obs_end = e.agg(F.max("ts").alias("end_ts"))
+    subj = (
+        su.join(
+            pu,
+            (su.user_id == F.col("p_uid")) & (F.col("p_ts") >= su.s_ts),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .crossJoin(broadcast(obs_end))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("cohort"),
+            F.floor(
+                (
+                    F.unix_timestamp(
+                        F.coalesce(F.col("first_p"), F.col("end_ts"))
+                    )
+                    - F.unix_timestamp(F.col("s_ts"))
+                )
+                / 60
+            ).cast("long").alias("minutes"),
+            F.col("first_p").isNotNull().cast("int").alias("converted"),
+        )
+    )
+    return log_rank_test(
+        subj, "cohort", "minutes", "converted", "even", "odd"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9162,6 +9212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "log_rank": q_log_rank,
         "mann_kendall": q_mann_kendall,
         "theil_index": q_theil_index,
         "dunning_llr": q_dunning_llr,
@@ -20880,6 +20931,96 @@ def oracle_sql() -> dict[str, str]:
           from summ
         )
         order by "group"
+    """
+
+    _lr_p = _nsf("abs(z)")
+    out["log_rank"] = f"""
+        with su as (
+          select user_id, min(ts) as s_ts from events
+          where event_type = 'signup' group by user_id
+        ),
+        oe as (select max(ts) as end_ts from events),
+        subj as (
+          select case when su.user_id % 2 = 0 then 'even'
+                      else 'odd' end as cohort,
+                 cast(floor((epoch(coalesce(fp.first_p, oe.end_ts))
+                             - epoch(su.s_ts)) / 60) as bigint)
+                   as d,
+                 (fp.first_p is not null) as e
+          from su
+          left join (
+            select su2.user_id, min(p.ts) as first_p
+            from su su2 join events p
+              on p.user_id = su2.user_id
+             and p.event_type = 'purchase' and p.ts >= su2.s_ts
+            group by su2.user_id
+          ) fp on fp.user_id = su.user_id, oe
+        ),
+        isa as (
+          select cohort = 'even' as a, d, e from subj
+        ),
+        vc as (
+          select d,
+                 sum(case when a and e then 1 else 0 end) as ea,
+                 sum(case when not a and e then 1 else 0 end) as eb,
+                 sum(case when a then 1 else 0 end) as ta,
+                 sum(case when not a then 1 else 0 end) as tb
+          from isa group by d
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(ta) over (order by d
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below_a,
+                 coalesce(sum(tb) over (order by d
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below_b
+          from vc
+        ),
+        tot as (
+          select cast(sum(ta) as bigint) as n_a,
+                 cast(sum(tb) as bigint) as n_b
+          from vc
+        ),
+        terms as (
+          select cum.*, n_a, n_b,
+                 cast(n_a - below_a as double) as nat,
+                 cast(n_b - below_b as double) as nbt
+          from cum, tot
+          where ea + eb > 0
+        ),
+        agg as (
+          select max(n_a) as n_a, max(n_b) as n_b,
+                 cast(sum(ea + eb) as bigint) as n_events,
+                 cast(sum(ea) as bigint) as observed_a,
+                 cast(sum(floor(nat * cast(ea + eb as double)
+                                / (nat + nbt) * 1000000 + 0.5))
+                      as decimal(38,0)) as em,
+                 cast(sum(floor(case when nat + nbt > 1.0 then
+                     cast(ea + eb as double)
+                     * (nat + nbt - cast(ea + eb as double))
+                     * nat * nbt
+                     / ((nat + nbt) * (nat + nbt)
+                        * (nat + nbt - 1.0))
+                   else 0.0 end * 1000000 + 0.5))
+                      as decimal(38,0)) as vm
+          from terms
+        ),
+        staged as (
+          select n_a, n_b, n_events, observed_a,
+                 round(cast(em as double) / 1000000, 6) as expected_a,
+                 case when cast(vm as double) / 1000000 > 0 then
+                   round((cast(observed_a as double)
+                          - cast(em as double) / 1000000)
+                         / sqrt(cast(vm as double) / 1000000), 6)
+                 end as z
+          from agg
+        )
+        select n_a, n_b, n_events, observed_a, expected_a, z,
+               case when z is not null
+                    then round(least(1.0, 2.0 * {_lr_p}), 6)
+               end as p_value
+        from staged
     """
 
     return out

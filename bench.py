@@ -195,6 +195,7 @@ HEADLINE = [
     "capture_recapture",
     "mann_kendall",
     "theil_index",
+    "log_rank",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

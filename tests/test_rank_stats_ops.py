@@ -981,3 +981,36 @@ def test_theil_decomposition_identity(spark):
     assert got["b"][2] == pytest.approx(0.807472, abs=1e-6)
     assert got["__BETWEEN__"][2] == 0.0
     assert got["__TOTAL__"][2] == pytest.approx(0.403736, abs=1e-6)
+
+
+def test_log_rank_golden(spark):
+    """Hand-replayed 8-subject layout (events at 1,3,5 vs 2,4 with
+    censorings): O_A = 3, E_A = 2.328571, z = 0.604205 — and the
+    censored subjects verifiably stay in the risk sets (dropping
+    them would change E)."""
+    from etl_orders_to_bq_spark.operators.survival import log_rank_test
+
+    rows = [("A", 1, 1), ("A", 3, 1), ("A", 5, 1), ("A", 7, 0),
+            ("B", 2, 1), ("B", 4, 1), ("B", 6, 0), ("B", 8, 0)]
+    row = log_rank_test(
+        spark.createDataFrame(rows, ["g", "d", "e"]),
+        "g", "d", "e", "A", "B",
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.n_events, row.observed_a) == (4, 4, 5, 3)
+    assert row.expected_a == pytest.approx(2.328571, abs=1e-6)
+    assert row.z == pytest.approx(0.604205, abs=1e-6)
+
+
+def test_log_rank_detects_separated_curves(spark):
+    """Cohort A converts uniformly earlier than B: strongly negative
+    expected-vs-observed gap for B, significant p."""
+    from etl_orders_to_bq_spark.operators.survival import log_rank_test
+
+    rows = [("A", i, 1) for i in range(1, 21)] + [
+        ("B", 100 + i, 1) for i in range(1, 21)
+    ]
+    row = log_rank_test(
+        spark.createDataFrame(rows, ["g", "d", "e"]),
+        "g", "d", "e", "A", "B",
+    ).collect()[0]
+    assert row.p_value < 0.001
