@@ -1218,6 +1218,106 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             out[f"cdc_chunks_{tag}_chars"] = int(
                 d.agg(F.sum(F.length("text"))).first()[0] or 0
             )
+
+        # r12: k-truss peeling — 10 node-offset copies of the mod-1000
+        # lineitem projection give 10 DISJOINT graphs (the prefix-copy
+        # discipline: edge/wedge work replicates instead of saturating
+        # the bounded node domain); the triangle census is the work
+        # term, and the local fast path must hand off to the
+        # distributed peel past its 2^20-edge bound without a cliff
+        from etl_orders_to_bq_spark.operators.graph import k_truss
+
+        li1 = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                (F.col("l_orderkey") % 1000).alias("src"),
+                (F.col("l_partkey") % 1000).alias("dst"),
+            )
+            .repartition(cpus)
+            .localCheckpoint()
+        )
+        li10 = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .crossJoin(
+                spark.range(10).select(F.col("id").alias("__copy"))
+            )
+            .select(
+                (F.col("l_orderkey") % 1000 + F.col("__copy") * 1000)
+                .alias("src"),
+                (F.col("l_partkey") % 1000 + F.col("__copy") * 1000)
+                .alias("dst"),
+            )
+            .repartition(cpus)
+            .localCheckpoint()
+        )
+        t1 = _timed(lambda: k_truss(li1, k=8), runs=2)
+        # same-backend baseline: the 10x graph exceeds the local
+        # fast-path bound and runs the distributed peel, so growth is
+        # judged distributed-vs-distributed (the shipped 1x config is
+        # ALSO recorded — mixing backends would fake a cliff)
+        t1d = _timed(
+            lambda: k_truss(li1, k=8, local_threshold=None), runs=2
+        )
+        t0 = time.perf_counter()
+        _force(k_truss(li10, k=8))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["k_truss_1x"] = t1["median"]
+        out["k_truss_1x_distributed"] = t1d["median"]
+        out["k_truss_10x"] = t10
+        out["k_truss_growth"] = round(t10 / max(t1d["median"], 1e-9), 1)
+        from etl_orders_to_bq_spark.operators.graph import triangle_count
+
+        for tag, li in (("1x", li1), ("10x", li10)):
+            out[f"k_truss_{tag}_triangles"] = int(
+                triangle_count(li, "src", "dst")
+                .agg((F.sum("n_triangles") / 3).cast("long"))
+                .first()[0]
+                or 0
+            )
+
+        # r12: RANSAC — trial expansion is rows x n_trials with
+        # map-side struct-min combine; 10 pid-offset copies replicate
+        # the scan linearly, so growth must track rows
+        from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+        def _ransac_pts(mult):
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+            if mult > 1:
+                o = o.crossJoin(
+                    spark.range(mult).select(F.col("id").alias("__c"))
+                ).select(
+                    (F.col("o_orderkey") * mult + F.col("__c")).alias(
+                        "o_orderkey"
+                    )
+                )
+            return (
+                o.select(
+                    F.col("o_orderkey").alias("pid"),
+                    (F.col("o_orderkey") % 100).cast("double").alias("x"),
+                    (
+                        3.0 * (F.col("o_orderkey") % 100).cast("double")
+                        + 5.0
+                        + ((F.col("o_orderkey") % 3) - 1).cast("double")
+                        * 0.5
+                    ).alias("y"),
+                )
+                .repartition(cpus)
+                .localCheckpoint()
+            )
+
+        r1 = _ransac_pts(1)
+        r10 = _ransac_pts(10)
+        t1 = _timed(
+            lambda: ransac_line(r1, "x", "y", "pid", eps=2.0), runs=2
+        )
+        t0 = time.perf_counter()
+        _force(ransac_line(r10, "x", "y", "pid", eps=2.0))
+        t10 = round(time.perf_counter() - t0, 3)
+        out["ransac_1x"] = t1["median"]
+        out["ransac_10x"] = t10
+        out["ransac_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["ransac_1x_rows"] = r1.count()
+        out["ransac_10x_rows"] = r10.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
