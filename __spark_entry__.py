@@ -9198,6 +9198,42 @@ def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate mining over the schema's key columns
+    (operators/profile.py inclusion_dependencies): every ordered
+    same-typed pair of 7 curated key columns gets an exact
+    (n_distinct, n_violations, holds) verdict from one distinct
+    projection per column + one anti-join per pair — the true FKs
+    (custkey -> c_custkey, l_orderkey -> o_orderkey, nationkeys)
+    must hold and the reversed/unrelated directions must not."""
+    from etl_orders_to_bq_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    cols = [
+        ("nation.n_nationkey", _t(spark, sf_dir, "nation"),
+         "n_nationkey"),
+        ("customer.c_custkey", _t(spark, sf_dir, "customer"),
+         "c_custkey"),
+        ("customer.c_nationkey", _t(spark, sf_dir, "customer"),
+         "c_nationkey"),
+        ("supplier.s_nationkey", _t(spark, sf_dir, "supplier"),
+         "s_nationkey"),
+        ("orders.o_orderkey", _t(spark, sf_dir, "orders"),
+         "o_orderkey"),
+        ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+        ("lineitem.l_orderkey", _t(spark, sf_dir, "lineitem"),
+         "l_orderkey"),
+    ]
+    # int vs bigint keys profile as distinct dtypes; align to long so
+    # same-domain candidates actually pair up
+    cols = [
+        (lab, fr.withColumn(c, F.col(c).cast("long")), c)
+        for lab, fr, c in cols
+    ]
+    return inclusion_dependencies(cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9212,6 +9248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "inclusion_deps": q_inclusion_deps,
         "log_rank": q_log_rank,
         "mann_kendall": q_mann_kendall,
         "theil_index": q_theil_index,
@@ -21022,5 +21059,39 @@ def oracle_sql() -> dict[str, str]:
                end as p_value
         from staged
     """
+
+    _id_cols = [
+        ("nation.n_nationkey", "nation", "n_nationkey"),
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ]
+    _id_pairs = []
+    for _la, _tba, _ca in _id_cols:
+        for _lb, _tbb, _cb in _id_cols:
+            if _la == _lb:
+                continue
+            _id_pairs.append(f"""
+        select '{_la}' as from_col, '{_lb}' as to_col,
+               (select count(*) from (
+                  select distinct cast({_ca} as bigint) as v
+                  from {_tba} where {_ca} is not null))::bigint
+                 as n_distinct,
+               (select count(*) from (
+                  select distinct cast({_ca} as bigint) as v
+                  from {_tba} where {_ca} is not null) a
+                where not exists (
+                  select 1 from {_tbb} b
+                  where cast(b.{_cb} as bigint) = a.v))::bigint
+                 as n_violations""")
+    out["inclusion_deps"] = (
+        "select from_col, to_col, n_distinct, n_violations, "
+        "n_violations = 0 as holds from ("
+        + " union all ".join(_id_pairs)
+        + ") order by from_col, to_col"
+    )
 
     return out

@@ -196,6 +196,7 @@ HEADLINE = [
     "mann_kendall",
     "theil_index",
     "log_rank",
+    "inclusion_deps",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

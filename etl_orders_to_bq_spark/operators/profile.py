@@ -142,3 +142,72 @@ def semantic_types(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("__tot"), ndigits).alias("share"),
     )
+
+
+def inclusion_dependencies(
+    columns: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """Unary inclusion-dependency discovery — foreign-key CANDIDATE
+    mining (De Marchi et al. 2002, public literature): for every
+    ordered pair of profiled columns, does every distinct value of A
+    appear in B? The schema-archaeology pass a platform runs on an
+    undocumented lake before trusting any join (``fk_coverage``
+    checks a DECLARED key; this finds the candidates).
+
+    ``columns`` is a bounded, curated list of (label, frame, column)
+    triples — the discovery matrix is O(|columns|^2) anti-joins by
+    design, so the contract is profiling a schema's plausible key
+    columns (tens), not every column of a lake.
+
+    Exactness: per pair, ``n_distinct`` and ``n_violations`` (distinct
+    A-values absent from B) are exact integers from one distinct
+    projection per column (computed once, reused across pairs) and
+    one left-anti join per pair; ``holds`` is n_violations = 0.
+
+    Output per ordered pair: ``(from_col, to_col, n_distinct,
+    n_violations, holds)``, ordered — a compatible-type pair only
+    (cross-type pairs are skipped, not reported false).
+
+    Scale: distinct projections shuffle per column once; anti-joins
+    are keyed. At lake scale, replace pairwise anti-joins with a
+    single exploded (value-hash, column) inverted table and one
+    groupBy — the documented upgrade path when |columns| grows.
+    """
+    dcols = []
+    for label, frame, col in columns:
+        dtype = dict(frame.dtypes)[col]
+        dcols.append(
+            (
+                label,
+                dtype,
+                frame.select(F.col(col).alias("__v"))
+                .filter(F.col("__v").isNotNull())
+                .distinct(),
+            )
+        )
+    rows = None
+    for la, ta, da in dcols:
+        for lb, tb, db in dcols:
+            if la == lb or ta != tb:
+                continue
+            nd = da.agg(F.count("*").cast("long").alias("n_distinct"))
+            viol = (
+                da.join(db, "__v", "left_anti")
+                .agg(F.count("*").cast("long").alias("n_violations"))
+            )
+            pair = (
+                nd.crossJoin(viol)
+                .select(
+                    F.lit(la).alias("from_col"),
+                    F.lit(lb).alias("to_col"),
+                    "n_distinct",
+                    "n_violations",
+                    (F.col("n_violations") == 0).alias("holds"),
+                )
+            )
+            rows = pair if rows is None else rows.unionByName(pair)
+    if rows is None:
+        raise ValueError(
+            "inclusion_dependencies needs >= 2 same-typed columns"
+        )
+    return rows.orderBy("from_col", "to_col")

@@ -1014,3 +1014,23 @@ def test_log_rank_detects_separated_curves(spark):
         "g", "d", "e", "A", "B",
     ).collect()[0]
     assert row.p_value < 0.001
+
+
+def test_inclusion_dependencies_direction(spark):
+    """A true FK holds one way and fails the reverse; cross-typed
+    columns never pair."""
+    from etl_orders_to_bq_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    fact = spark.createDataFrame([(1,), (1,), (2,)], ["fk"])
+    other = spark.createDataFrame([("x",)], ["s"])
+    out = inclusion_dependencies(
+        [("dim.k", dim, "k"), ("fact.fk", fact, "fk"),
+         ("other.s", other, "s")]
+    ).collect()
+    got = {(r.from_col, r.to_col): (r.n_violations, r.holds) for r in out}
+    assert got[("fact.fk", "dim.k")] == (0, True)
+    assert got[("dim.k", "fact.fk")] == (1, False)  # 3 is absent
+    assert not any("other.s" in k for pair in got for k in pair)
