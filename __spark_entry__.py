@@ -9234,6 +9234,20 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_dependencies(cols)
 
 
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix of the event types' daily value series
+    (operators/timeseries.py daily_metric_corr): per unordered pair,
+    exact decimal sufficient statistics over the days both reported,
+    one rounded expression — the metrics-that-move-together
+    dashboard."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        daily_metric_corr,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return daily_metric_corr(e, "ts", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9248,6 +9262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "metric_corr": q_metric_corr,
         "inclusion_deps": q_inclusion_deps,
         "log_rank": q_log_rank,
         "mann_kendall": q_mann_kendall,
@@ -21093,5 +21108,43 @@ def oracle_sql() -> dict[str, str]:
         + " union all ".join(_id_pairs)
         + ") order by from_col, to_col"
     )
+
+    out["metric_corr"] = """
+        with daily as (
+          select cast(ts as date) as d, event_type as k,
+                 sum(cast(value as decimal(18,2))) as v
+          from events where event_type is not null
+          group by 1, 2
+        ),
+        pairs as (
+          select a.k as key_a, b.k as key_b, a.v as x, b.v as y
+          from daily a join daily b on a.d = b.d and a.k < b.k
+        ),
+        agg as (
+          select key_a, key_b, count(*)::bigint as n_days,
+                 sum(x) as sx, sum(y) as sy, sum(x * y) as sxy,
+                 sum(x * x) as sxx, sum(y * y) as syy
+          from pairs group by key_a, key_b
+        )
+        select key_a, key_b, n_days,
+               case when n_days > 1
+                     and cast(n_days as double) * cast(sxx as double)
+                         - cast(sx as double) * cast(sx as double) > 0
+                     and cast(n_days as double) * cast(syy as double)
+                         - cast(sy as double) * cast(sy as double) > 0
+                    then round(
+                      (cast(n_days as double) * cast(sxy as double)
+                       - cast(sx as double) * cast(sy as double))
+                      / sqrt((cast(n_days as double)
+                              * cast(sxx as double)
+                              - cast(sx as double) * cast(sx as double))
+                             * (cast(n_days as double)
+                                * cast(syy as double)
+                                - cast(sy as double)
+                                  * cast(sy as double))), 6)
+               end as corr
+        from agg
+        order by key_a, key_b
+    """
 
     return out

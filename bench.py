@@ -197,6 +197,7 @@ HEADLINE = [
     "theil_index",
     "log_rank",
     "inclusion_deps",
+    "metric_corr",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

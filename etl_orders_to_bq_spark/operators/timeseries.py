@@ -1318,3 +1318,66 @@ def mann_kendall_trend(
         ),
     )
     return with_p_value(staged, "z", "p_value", ndigits)
+
+
+def daily_metric_corr(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of per-key daily series —
+    the metrics-that-move-together dashboard (leading indicators,
+    redundant alerts, cannibalization): for every unordered key pair,
+    correlate their daily sums over the days BOTH reported (gaps
+    explicit, the acf_lags "pairs that exist" convention).
+
+    Exactness: daily sums are exact decimals; per pair the five
+    sufficient statistics are exact decimal sums collapsing to double
+    once, and corr is one fixed-order expression rounded once (the
+    acf_lags discipline). Constant series / n < 2 yield NULL.
+
+    Output per pair (key_a < key_b): ``(key_a, key_b, n_days,
+    corr)``, ordered.
+
+    Scale: one (day, key) groupBy; the pair build self-joins the
+    calendar-bounded daily table on the DAY key (|days| x |keys|^2
+    rows — both factors bounded: calendar and metric registry).
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.filter(F.col(key_col).isNotNull()).groupBy(
+        day, F.col(key_col).cast("string").alias("__k")
+    ).agg(F.sum(dec).alias("__v"))
+    rhs = daily.select(
+        F.col("__d"),
+        F.col("__k").alias("__k2"),
+        F.col("__v").alias("__v2"),
+    )
+    pairs = daily.join(rhs, "__d").filter(F.col("__k") < F.col("__k2"))
+    agg = pairs.groupBy(
+        F.col("__k").alias("key_a"), F.col("__k2").alias("key_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("__v").alias("__sx"),
+        F.sum("__v2").alias("__sy"),
+        F.sum(F.col("__v") * F.col("__v2")).alias("__sxy"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sxx"),
+        F.sum(F.col("__v2") * F.col("__v2")).alias("__syy"),
+    )
+    nn = F.col("n_days").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = nn * F.col("__sxy").cast("double") - sx * sy
+    vx = nn * F.col("__sxx").cast("double") - sx * sx
+    vy = nn * F.col("__syy").cast("double") - sy * sy
+    return agg.select(
+        "key_a",
+        "key_b",
+        "n_days",
+        F.when(
+            (F.col("n_days") > 1) & (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), ndigits),
+        ).alias("corr"),
+    ).orderBy("key_a", "key_b")

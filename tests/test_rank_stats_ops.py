@@ -1034,3 +1034,29 @@ def test_inclusion_dependencies_direction(spark):
     assert got[("fact.fk", "dim.k")] == (0, True)
     assert got[("dim.k", "fact.fk")] == (1, False)  # 3 is absent
     assert not any("other.s" in k for pair in got for k in pair)
+
+
+def test_daily_metric_corr_signs(spark):
+    """Planted relationships: metric b tracks a (corr ~ +1), metric c
+    mirrors a (corr ~ -1); days where a key is absent are excluded
+    per pair (gaps explicit, never imputed)."""
+    import datetime
+
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        daily_metric_corr,
+    )
+
+    rows = []
+    for i in range(10):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        rows.append((day, "a", float(i)))
+        rows.append((day, "b", float(2 * i + 3)))
+        rows.append((day, "c", float(100 - i)))
+    df = spark.createDataFrame(rows, ["ts", "k", "v"])
+    got = {
+        (r.key_a, r.key_b): (r.n_days, r.corr)
+        for r in daily_metric_corr(df, "ts", "k", "v").collect()
+    }
+    assert got[("a", "b")] == (10, 1.0)
+    assert got[("a", "c")] == (10, -1.0)
+    assert got[("b", "c")] == (10, -1.0)
