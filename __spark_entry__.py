@@ -9248,6 +9248,21 @@ def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_metric_corr(e, "ts", "event_type", "value")
 
 
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth mover's distance between click and error value
+    distributions (operators/multitest.py wasserstein_1d) — the
+    integral drift companion to ks_two_sample, in the metric's own
+    units. FULLY exact: per-segment |CDF gap| numerators and value
+    gaps are exact decimals, the sum is exact, and W1 is ONE rounded
+    division by N_a*N_b; cumulative counts via the fused two-pass
+    cumsum, consecutive values via global_row_number + rn+1 join (no
+    single-partition lead window)."""
+    from etl_orders_to_bq_spark.operators.multitest import wasserstein_1d
+
+    e = _t(spark, sf_dir, "events")
+    return wasserstein_1d(e, "event_type", "value", "click", "error")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9262,6 +9277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "wasserstein": q_wasserstein,
         "metric_corr": q_metric_corr,
         "inclusion_deps": q_inclusion_deps,
         "log_rank": q_log_rank,
@@ -21145,6 +21161,55 @@ def oracle_sql() -> dict[str, str]:
                end as corr
         from agg
         order by key_a, key_b
+    """
+
+    out["wasserstein"] = """
+        with f as (
+          select event_type as g,
+                 cast(value as decimal(18,2)) as v
+          from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 sum(case when g = 'error' then 1 else 0 end) as nb
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(na) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as ba,
+                 coalesce(sum(nb) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bb,
+                 lead(v) over (order by v) as vn
+          from vc
+        ),
+        tot as (
+          select cast(sum(na) as bigint) as n_a,
+                 cast(sum(nb) as bigint) as n_b
+          from vc
+        ),
+        agg as (
+          select max(n_a) as n_a, max(n_b) as n_b,
+                 cast(sum(abs(cast(ba + na as decimal(38,0))
+                              * cast(n_b as decimal(38,0))
+                              - cast(bb + nb as decimal(38,0))
+                                * cast(n_a as decimal(38,0)))
+                          * cast(vn - v as decimal(18,2)))
+                      as decimal(38,2)) as num
+          from cum, tot
+          where vn is not null
+        )
+        select coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b,
+               case when n_a > 0 and n_b > 0 then
+                 round(cast(num as double)
+                       / (cast(n_a as double) * cast(n_b as double)),
+                       6)
+               end as w1_distance
+        from agg
     """
 
     return out

@@ -198,6 +198,7 @@ HEADLINE = [
     "log_rank",
     "inclusion_deps",
     "metric_corr",
+    "wasserstein",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -1060,3 +1060,24 @@ def test_daily_metric_corr_signs(spark):
     assert got[("a", "b")] == (10, 1.0)
     assert got[("a", "c")] == (10, -1.0)
     assert got[("b", "c")] == (10, -1.0)
+
+
+def test_wasserstein_golden(spark):
+    """Equal-size samples: W1 = mean of sorted pairwise differences —
+    (0,1,3) vs (5,6,8) gives exactly 5.0; identical samples give 0;
+    a constant unit shift gives exactly 1.0 (translation property)."""
+    from etl_orders_to_bq_spark.operators.multitest import wasserstein_1d
+
+    def w1(xs, ys):
+        rows = [("a", float(v)) for v in xs] + [
+            ("b", float(v)) for v in ys
+        ]
+        return wasserstein_1d(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+        ).collect()[0].w1_distance
+
+    assert w1((0, 1, 3), (5, 6, 8)) == 5.0
+    assert w1((1, 2, 7), (1, 2, 7)) == 0.0
+    assert w1((1, 2, 7), (2, 3, 8)) == 1.0
+    # unequal sizes: (0,0) vs (1,) -> |F gap| of 1 over [0,1) -> 1.0
+    assert w1((0, 0), (1,)) == 1.0
