@@ -1222,12 +1222,15 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
                 d.agg(F.sum(F.length("text"))).first()[0] or 0
             )
 
-        # r12: k-truss peeling — 10 node-offset copies of the mod-1000
-        # lineitem projection give 10 DISJOINT graphs (the prefix-copy
+        # r12: k-truss peeling — node-offset copies of the mod-1000
+        # lineitem projection give DISJOINT graphs (the prefix-copy
         # discipline: edge/wedge work replicates instead of saturating
         # the bounded node domain); the triangle census is the work
-        # term, and the local fast path must hand off to the
-        # distributed peel past its 2^20-edge bound without a cliff
+        # term. 4 copies suffice to push past the 2^20-edge local
+        # bound (10 copies = 810M wedges = minutes of probe for no
+        # extra information); growth is judged distributed-vs-
+        # distributed — the shipped 1x config is ALSO recorded, since
+        # mixing backends would fake a cliff
         from etl_orders_to_bq_spark.operators.graph import k_truss
 
         li1 = (
@@ -1239,10 +1242,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             .repartition(cpus)
             .localCheckpoint()
         )
-        li10 = (
+        li4 = (
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .crossJoin(
-                spark.range(10).select(F.col("id").alias("__copy"))
+                spark.range(4).select(F.col("id").alias("__copy"))
             )
             .select(
                 (F.col("l_orderkey") % 1000 + F.col("__copy") * 1000)
@@ -1254,23 +1257,19 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             .localCheckpoint()
         )
         t1 = _timed(lambda: k_truss(li1, k=8), runs=2)
-        # same-backend baseline: the 10x graph exceeds the local
-        # fast-path bound and runs the distributed peel, so growth is
-        # judged distributed-vs-distributed (the shipped 1x config is
-        # ALSO recorded — mixing backends would fake a cliff)
         t1d = _timed(
             lambda: k_truss(li1, k=8, local_threshold=None), runs=2
         )
         t0 = time.perf_counter()
-        _force(k_truss(li10, k=8))
-        t10 = round(time.perf_counter() - t0, 3)
+        _force(k_truss(li4, k=8))
+        t4 = round(time.perf_counter() - t0, 3)
         out["k_truss_1x"] = t1["median"]
         out["k_truss_1x_distributed"] = t1d["median"]
-        out["k_truss_10x"] = t10
-        out["k_truss_growth"] = round(t10 / max(t1d["median"], 1e-9), 1)
+        out["k_truss_4x"] = t4
+        out["k_truss_growth"] = round(t4 / max(t1d["median"], 1e-9), 1)
         from etl_orders_to_bq_spark.operators.graph import triangle_count
 
-        for tag, li in (("1x", li1), ("10x", li10)):
+        for tag, li in (("1x", li1), ("4x", li4)):
             out[f"k_truss_{tag}_triangles"] = int(
                 triangle_count(li, "src", "dst")
                 .agg((F.sum("n_triangles") / 3).cast("long"))
@@ -1335,6 +1334,10 @@ def main() -> None:
     import __spark_entry__ as entry
     from etl_orders_to_bq_spark.session import get_spark
 
+    # a 32-thread local "cluster" on an 8g heap is under-provisioned
+    # (production sizes ~1g/core); the truss growth probe's partial
+    # aggregation maps OOM'd it — match heap to the thread count
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
