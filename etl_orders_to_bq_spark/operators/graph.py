@@ -1373,21 +1373,33 @@ def _k_truss_local(pdf, k: int, spark) -> DataFrame:
                 idx_i = order[(base + ii[None, :]).ravel()]
                 idx_j = order[(base + jj[None, :]).ravel()]
                 wpack = b[idx_i] * (np.int64(1) << 32) + b[idx_j]
-                # binary search with RANDOM queries is DRAM-latency
-                # bound (measured ~1.3us/probe on this host); sorting
-                # the batch's queries first makes successive probes
-                # walk adjacent tree paths — bandwidth-bound instead
-                qord = np.argsort(wpack, kind="stable")
-                wp_s = wpack[qord]
-                pos = np.searchsorted(sp, wp_s)
-                pos[pos >= m] = m - 1
-                hit_s = sp[pos] == wp_s
-                if not hit_s.any():
-                    continue
-                orig = qord[hit_s]
-                hit_parts.append(order[pos[hit_s]])
-                hit_parts.append(idx_i[orig])
-                hit_parts.append(idx_j[orig])
+                # binary search with RANDOM queries into a BIG sorted
+                # array is DRAM-latency bound (measured ~1.3us/probe
+                # at 28 MB+); sorting the batch's queries first makes
+                # successive probes walk adjacent tree paths. Below
+                # ~2M edges sp fits cache and the argsort costs more
+                # than it saves — probe directly.
+                if m > 2_000_000:
+                    qord = np.argsort(wpack, kind="stable")
+                    wp_s = wpack[qord]
+                    pos = np.searchsorted(sp, wp_s)
+                    pos[pos >= m] = m - 1
+                    hit_s = sp[pos] == wp_s
+                    if not hit_s.any():
+                        continue
+                    orig = qord[hit_s]
+                    hit_parts.append(order[pos[hit_s]])
+                    hit_parts.append(idx_i[orig])
+                    hit_parts.append(idx_j[orig])
+                else:
+                    pos = np.searchsorted(sp, wpack)
+                    pos[pos >= m] = m - 1
+                    hit = sp[pos] == wpack
+                    if not hit.any():
+                        continue
+                    hit_parts.append(order[pos[hit]])
+                    hit_parts.append(idx_i[hit])
+                    hit_parts.append(idx_j[hit])
         # ONE full-length scatter per round: per-batch bincounts each
         # pay an m-length alloc+sum pass, and np.add.at is a slow
         # scalar scatter — a single bincount over the concatenated
