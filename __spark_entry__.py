@@ -9263,6 +9263,19 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_1d(e, "event_type", "value", "click", "error")
 
 
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between click and error value
+    distributions (operators/multitest.py cliffs_delta) — the number
+    to gate on once everything is "significant": exact decimal(38,0)
+    greater/less pair counts from the mann_whitney cumsum machinery,
+    ONE rounded division, Romano magnitude bands on the rounded
+    value."""
+    from etl_orders_to_bq_spark.operators.multitest import cliffs_delta
+
+    e = _t(spark, sf_dir, "events")
+    return cliffs_delta(e, "event_type", "value", "click", "error")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9277,6 +9290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "cliffs_delta": q_cliffs_delta,
         "wasserstein": q_wasserstein,
         "metric_corr": q_metric_corr,
         "inclusion_deps": q_inclusion_deps,
@@ -21210,6 +21224,59 @@ def oracle_sql() -> dict[str, str]:
                        6)
                end as w1_distance
         from agg
+    """
+
+    out["cliffs_delta"] = """
+        with f as (
+          select event_type as g, value as v from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 sum(case when g = 'error' then 1 else 0 end) as nb
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(nb) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bb
+          from vc
+        ),
+        tot as (
+          select cast(sum(na) as bigint) as n_a,
+                 cast(sum(nb) as bigint) as n_b
+          from vc
+        ),
+        agg as (
+          select max(n_a) as n_a, max(n_b) as n_b,
+                 cast(sum(cast(na as decimal(38,0))
+                          * cast(bb as decimal(38,0)))
+                      as decimal(38,0)) as n_greater,
+                 cast(sum(cast(na as decimal(38,0))
+                          * cast(n_b - bb - nb as decimal(38,0)))
+                      as decimal(38,0)) as n_less
+          from cum, tot
+        ),
+        staged as (
+          select n_a, n_b,
+                 cast(n_greater as bigint) as n_greater,
+                 cast(n_less as bigint) as n_less,
+                 case when n_a > 0 and n_b > 0 then
+                   round(cast(n_greater - n_less as double)
+                         / (cast(n_a as double) * cast(n_b as double)),
+                         6)
+                 end as delta
+          from agg
+        )
+        select *,
+               case when delta is null then null
+                    when abs(delta) < 0.147 then 'negligible'
+                    when abs(delta) < 0.33 then 'small'
+                    when abs(delta) < 0.474 then 'medium'
+                    else 'large' end as magnitude
+        from staged
     """
 
     return out

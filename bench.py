@@ -199,6 +199,7 @@ HEADLINE = [
     "inclusion_deps",
     "metric_corr",
     "wasserstein",
+    "cliffs_delta",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

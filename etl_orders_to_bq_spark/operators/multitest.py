@@ -1354,3 +1354,101 @@ def wasserstein_1d(
             ),
         ).alias("w1_distance"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cliff's delta — the nonparametric EFFECT SIZE that belongs
+    next to ``mann_whitney_u``'s p-value (Cliff 1993, public
+    literature): delta = P(X_a > X_b) - P(X_a < X_b), the number a
+    platform should gate rollouts on once n is large enough that any
+    difference is "significant".
+
+    Exactness: from the same per-distinct-value machinery as
+    mann_whitney_u — greater/less pair counts are exact
+    decimal(38,0) sums
+
+        G = sum_v n_a(v) * below_b(v)
+        L = sum_v n_a(v) * (N_b - below_b(v) - n_b(v))
+
+    and delta = (G - L) / (n_a * n_b) is ONE rounded division. The
+    standard magnitude bands (|d| < 0.147 negligible / < 0.33 small /
+    < 0.474 medium / else large — Romano et al. 2006) are reported on
+    the ROUNDED delta so the label is engine-stable.
+
+    Output: one row ``(n_a, n_b, n_greater, n_less, delta,
+    magnitude)``; an empty arm yields NULLs.
+
+    Scale: the mann_whitney class — distinct-value counts, ONE fused
+    two-pass cumsum, one map-side-combinable reduction.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+    )
+    cum = global_cumsum_before(
+        vc, ["__v"], "__nb", num_partitions=num_partitions,
+        out_col="__bb",
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cum.crossJoin(tot)
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        dec(F.sum(dec(F.col("__na")) * dec(F.col("__bb")))).alias(
+            "n_greater"
+        ),
+        dec(
+            F.sum(
+                dec(F.col("__na"))
+                * dec(F.col("n_b") - F.col("__bb") - F.col("__nb"))
+            )
+        ).alias("n_less"),
+    )
+    delta = F.round(
+        (F.col("n_greater") - F.col("n_less")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ndigits,
+    )
+    staged = agg.select(
+        "n_a",
+        "n_b",
+        F.col("n_greater").cast("long").alias("n_greater"),
+        F.col("n_less").cast("long").alias("n_less"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), delta).alias(
+            "delta"
+        ),
+    )
+    ad = F.abs(F.col("delta"))
+    return staged.select(
+        "*",
+        F.when(F.col("delta").isNull(), F.lit(None).cast("string"))
+        .when(ad < 0.147, "negligible")
+        .when(ad < 0.33, "small")
+        .when(ad < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

@@ -1081,3 +1081,27 @@ def test_wasserstein_golden(spark):
     assert w1((1, 2, 7), (2, 3, 8)) == 1.0
     # unequal sizes: (0,0) vs (1,) -> |F gap| of 1 over [0,1) -> 1.0
     assert w1((0, 0), (1,)) == 1.0
+
+
+def test_cliffs_delta_golden(spark):
+    """Hand-enumerated 4x3 pair table: G = 3, L = 7, delta = -1/3
+    (medium); identical samples give exactly 0 (negligible)."""
+    from etl_orders_to_bq_spark.operators.multitest import cliffs_delta
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (2.0, 3.0, 5.0)
+    ]
+    row = cliffs_delta(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert (row.n_greater, row.n_less) == (3, 7)
+    assert row.delta == pytest.approx(-1 / 3, abs=1e-6)
+    assert row.magnitude == "medium"
+
+    same = [("a", float(v)) for v in (1, 2)] + [
+        ("b", float(v)) for v in (1, 2)
+    ]
+    row2 = cliffs_delta(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert row2.delta == 0.0 and row2.magnitude == "negligible"
