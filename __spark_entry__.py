@@ -9276,6 +9276,38 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cliffs_delta(e, "event_type", "value", "click", "error")
 
 
+def q_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion-rate z-test between the md5-parity
+    experiment arms (operators/multitest.py two_proportion_test):
+    converted = user made a purchase; exact integer successes/trials,
+    micro-exact proportions via decimal div, pooled-variance z over
+    the micro literals, p through the shared deterministic Phi — the
+    RATE readout next to ab_test's Welch t on values."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        two_proportion_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        "control",
+    ).otherwise("treatment")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted", "user_id")
+    return two_proportion_test(
+        per_user, "arm", "converted", "control", "treatment"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9290,6 +9322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "two_proportion": q_two_proportion,
         "cliffs_delta": q_cliffs_delta,
         "wasserstein": q_wasserstein,
         "metric_corr": q_metric_corr,
@@ -21276,6 +21309,72 @@ def oracle_sql() -> dict[str, str]:
                     when abs(delta) < 0.33 then 'small'
                     when abs(delta) < 0.474 then 'medium'
                     else 'large' end as magnitude
+        from staged
+    """
+
+    _tp_p = _nsf("abs(z)")
+    out["two_proportion"] = f"""
+        with per_user as (
+          select case when ('0x' || substr(md5('ab:'
+                   || user_id::varchar), 1, 8))::bigint % 2 = 0
+                 then 'control' else 'treatment' end as arm,
+                 max(case when event_type = 'purchase'
+                     then 1 else 0 end) as converted
+          from events group by user_id
+        ),
+        agg as (
+          select cast(sum(case when arm = 'control' then 1 else 0 end)
+                      as bigint) as n_a,
+                 cast(sum(case when arm = 'treatment' then 1 else 0 end)
+                      as bigint) as n_b,
+                 cast(sum(case when arm = 'control' then converted
+                          else 0 end) as bigint) as successes_a,
+                 cast(sum(case when arm = 'treatment' then converted
+                          else 0 end) as bigint) as successes_b
+          from per_user
+        ),
+        mic as (
+          select *,
+                 case when n_a > 0 then
+                   cast((2 * cast(successes_a as hugeint) * 1000000
+                         + n_a) // (2 * cast(n_a as hugeint))
+                        as bigint) end as pam,
+                 case when n_b > 0 then
+                   cast((2 * cast(successes_b as hugeint) * 1000000
+                         + n_b) // (2 * cast(n_b as hugeint))
+                        as bigint) end as pbm,
+                 case when n_a + n_b > 0 then
+                   cast((2 * cast(successes_a + successes_b as hugeint)
+                         * 1000000 + (n_a + n_b))
+                        // (2 * cast(n_a + n_b as hugeint))
+                        as bigint) end as ppm
+          from agg
+        ),
+        staged as (
+          select n_a, n_b, successes_a, successes_b,
+                 cast(pam as double) / 1000000 as p_a,
+                 cast(pbm as double) / 1000000 as p_b,
+                 cast(ppm as double) / 1000000 as p_pool,
+                 case when n_a > 0 and n_b > 0
+                       and (cast(ppm as double) / 1000000)
+                           * (1.0 - cast(ppm as double) / 1000000)
+                           * (1.0 / cast(n_a as double)
+                              + 1.0 / cast(n_b as double)) > 0
+                      then round(
+                        (cast(pam as double) / 1000000
+                         - cast(pbm as double) / 1000000)
+                        / sqrt((cast(ppm as double) / 1000000)
+                               * (1.0 - cast(ppm as double) / 1000000)
+                               * (1.0 / cast(n_a as double)
+                                  + 1.0 / cast(n_b as double))), 6)
+                 end as z
+          from mic
+        )
+        select n_a, n_b, successes_a, successes_b, p_a, p_b, p_pool,
+               z,
+               case when z is not null
+                    then round(least(1.0, 2.0 * {_tp_p}), 6)
+               end as p_value
         from staged
     """
 

@@ -200,6 +200,7 @@ HEADLINE = [
     "metric_corr",
     "wasserstein",
     "cliffs_delta",
+    "two_proportion",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

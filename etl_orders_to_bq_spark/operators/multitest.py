@@ -1452,3 +1452,102 @@ def cliffs_delta(
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-RATE readout next to
+    ``ab_test``'s Welch t on values (standard pooled-variance form,
+    public literature): for exact integer successes/trials per arm,
+
+        z = (p_a - p_b) / sqrt(p_pool (1 - p_pool) (1/n_a + 1/n_b))
+
+    with every proportion an exact micro-integer half-away division
+    (decimal ``div``) and z one fixed-order double expression over
+    those micro literals; the two-sided p replays the engine's
+    deterministic Phi. Degenerate pools (p_pool in {0, 1}) yield NULL
+    z/p.
+
+    Output: one row ``(n_a, n_b, successes_a, successes_b, p_a, p_b,
+    p_pool, z, p_value)``.
+
+    Scale: ONE map-side-combinable aggregate. No counterpart in the
+    reference engine (SURVEY.md §2.2).
+    """
+    m = 1_000_000
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(success_col).isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("__isa"),
+        F.col(success_col).cast("boolean").cast("int").alias("__x"),
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__isa"), F.col("__x")).otherwise(0))
+        .cast("long")
+        .alias("successes_a"),
+        F.sum(F.when(~F.col("__isa"), F.col("__x")).otherwise(0))
+        .cast("long")
+        .alias("successes_b"),
+    )
+
+    def micro(num, den):
+        return F.expr(
+            f"cast((2 * cast({num} as decimal(38,0)) * {m} + {den}) "
+            f"div (2 * cast({den} as decimal(38,0))) as long)"
+        )
+
+    staged = agg.withColumns(
+        {
+            "__pa": F.when(
+                F.col("n_a") > 0, micro("successes_a", "n_a")
+            ),
+            "__pb": F.when(
+                F.col("n_b") > 0, micro("successes_b", "n_b")
+            ),
+            "__pp": F.when(
+                F.col("n_a") + F.col("n_b") > 0,
+                micro(
+                    "successes_a + successes_b", "n_a + n_b"
+                ),
+            ),
+        }
+    )
+    pa = F.col("__pa").cast("double") / m
+    pb = F.col("__pb").cast("double") / m
+    pp = F.col("__pp").cast("double") / m
+    var = (
+        pp
+        * (1.0 - pp)
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        F.round((pa - pb) / F.sqrt(var), ndigits),
+    )
+    out = staged.select(
+        "n_a",
+        "n_b",
+        "successes_a",
+        "successes_b",
+        (pa).alias("p_a"),
+        (pb).alias("p_b"),
+        (pp).alias("p_pool"),
+        z.alias("z"),
+    )
+    return with_p_value(out, "z", "p_value", ndigits)

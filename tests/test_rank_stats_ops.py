@@ -1105,3 +1105,28 @@ def test_cliffs_delta_golden(spark):
         spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b"
     ).collect()[0]
     assert row2.delta == 0.0 and row2.magnitude == "negligible"
+
+
+def test_two_proportion_golden(spark):
+    """60/100 vs 45/100: pooled p = 0.525, z = 2.123977,
+    p ~ 0.0337 (reject at 5%); equal rates give z = 0, p = 1."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        two_proportion_test,
+    )
+
+    rows = (
+        [("a", 1)] * 60 + [("a", 0)] * 40
+        + [("b", 1)] * 45 + [("b", 0)] * 55
+    )
+    row = two_proportion_test(
+        spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b"
+    ).collect()[0]
+    assert (row.p_a, row.p_b, row.p_pool) == (0.6, 0.45, 0.525)
+    assert row.z == pytest.approx(2.123977, abs=1e-6)
+    assert row.p_value == pytest.approx(0.033672, abs=1e-4)
+
+    eq = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+    row2 = two_proportion_test(
+        spark.createDataFrame(eq, ["g", "x"]), "g", "x", "a", "b"
+    ).collect()[0]
+    assert row2.z == 0.0 and row2.p_value == 1.0
