@@ -9321,58 +9321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
-        # -- never driver-verified (new work leads the snapshot) --
-        "two_proportion": q_two_proportion,
-        "cliffs_delta": q_cliffs_delta,
-        "wasserstein": q_wasserstein,
-        "metric_corr": q_metric_corr,
-        "inclusion_deps": q_inclusion_deps,
-        "log_rank": q_log_rank,
-        "mann_kendall": q_mann_kendall,
-        "theil_index": q_theil_index,
-        "dunning_llr": q_dunning_llr,
-        "hill_diversity": q_hill_diversity,
-        "capture_recapture": q_capture_recapture,
-        "jackknife_ratio": q_jackknife_ratio,
-        "james_stein": q_james_stein,
-        "streaming_funnel": q_streaming_funnel,
-        "cochran_q": q_cochran_q,
-        "dunn_posthoc": q_dunn_posthoc,
-        "silhouette": q_silhouette,
-        "friedman_test": q_friedman_test,
-        "ransac_line": q_ransac_line,
-        "burrows_delta": q_burrows_delta,
-        "pacf_durbin": q_pacf_durbin,
-        "markov_attribution": q_markov_attribution,
-        "cohens_kappa": q_cohens_kappa,
-        "mcnemar": q_mcnemar,
-        "wordpiece_encode": q_wordpiece_encode,
-        "k_truss": q_k_truss,
-        "ipw_ate": q_ipw_ate,
-        "good_turing": q_good_turing,
-        "chao1_richness": q_chao1_richness,
-        "spearman_corr": q_spearman_corr,
-        "kendall_tau": q_kendall_tau,
-        "kruskal_wallis": q_kruskal_wallis,
-        "anova_oneway": q_anova_oneway,
-        "hodges_lehmann": q_hodges_lehmann,
-        "hilbert_layout": q_hilbert_layout,
-        "ridge_normal": q_ridge_normal,
-        "stl_decompose": q_stl_decompose,
-        "neyman_sample": q_neyman_sample,
-        "cdc_chunks": q_cdc_chunks,
-        "permutation_test": q_permutation_test,
-        "conformal_interval": q_conformal_interval,
-        "calibration_bins": q_calibration_bins,
-        "roc_curve": q_roc_curve,
-        "doremi_mix": q_doremi_mix,
-        "adaboost_stumps": q_adaboost_stumps,
-        "isotonic_calibration": q_isotonic_calibration,
-        "bradley_terry": q_bradley_terry,
         # -- last driver-verified in round 3 --
-        "q19_disjunctive_join": q_q19_disjunctive_join,
-        "q22_sales_opportunity": q_q22_sales_opportunity,
-        "text_winnow": q_text_winnow,
         "fuzzy_join": q_fuzzy_join,
         "udtf_sentences": q_udtf_sentences,
         "incremental_agg": q_incremental_agg,
@@ -9725,6 +9674,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q17_small_quantity": q_q17_small_quantity,
         "q18_large_orders": q_q18_large_orders,
+        # -- last driver-verified in round 11 --
+        "two_proportion": q_two_proportion,
+        "cliffs_delta": q_cliffs_delta,
+        "wasserstein": q_wasserstein,
+        "metric_corr": q_metric_corr,
+        "inclusion_deps": q_inclusion_deps,
+        "log_rank": q_log_rank,
+        "mann_kendall": q_mann_kendall,
+        "theil_index": q_theil_index,
+        "dunning_llr": q_dunning_llr,
+        "hill_diversity": q_hill_diversity,
+        "capture_recapture": q_capture_recapture,
+        "jackknife_ratio": q_jackknife_ratio,
+        "james_stein": q_james_stein,
+        "streaming_funnel": q_streaming_funnel,
+        "cochran_q": q_cochran_q,
+        "dunn_posthoc": q_dunn_posthoc,
+        "silhouette": q_silhouette,
+        "friedman_test": q_friedman_test,
+        "ransac_line": q_ransac_line,
+        "burrows_delta": q_burrows_delta,
+        "pacf_durbin": q_pacf_durbin,
+        "markov_attribution": q_markov_attribution,
+        "cohens_kappa": q_cohens_kappa,
+        "mcnemar": q_mcnemar,
+        "wordpiece_encode": q_wordpiece_encode,
+        "k_truss": q_k_truss,
+        "ipw_ate": q_ipw_ate,
+        "good_turing": q_good_turing,
+        "chao1_richness": q_chao1_richness,
+        "spearman_corr": q_spearman_corr,
+        "kendall_tau": q_kendall_tau,
+        "kruskal_wallis": q_kruskal_wallis,
+        "anova_oneway": q_anova_oneway,
+        "hodges_lehmann": q_hodges_lehmann,
+        "hilbert_layout": q_hilbert_layout,
+        "ridge_normal": q_ridge_normal,
+        "stl_decompose": q_stl_decompose,
+        "neyman_sample": q_neyman_sample,
+        "cdc_chunks": q_cdc_chunks,
+        "permutation_test": q_permutation_test,
+        "conformal_interval": q_conformal_interval,
+        "calibration_bins": q_calibration_bins,
+        "roc_curve": q_roc_curve,
+        "doremi_mix": q_doremi_mix,
+        "adaboost_stumps": q_adaboost_stumps,
+        "isotonic_calibration": q_isotonic_calibration,
+        "bradley_terry": q_bradley_terry,
+        "q19_disjunctive_join": q_q19_disjunctive_join,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
+        "text_winnow": q_text_winnow,
     }
 
 
