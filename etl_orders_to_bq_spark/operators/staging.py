@@ -24,6 +24,59 @@ import uuid
 from pyspark.sql import DataFrame
 
 
+def _rebound_checkpoint_stats(df: DataFrame) -> None:
+    """Replace the Catalyst size estimate a localCheckpoint INHERITS
+    from its origin plan (``LogicalRDD.originStats``, Spark 3.4+) with
+    the checkpoint's ACTUAL materialized byte size.
+
+    Size-only estimation multiplies child estimates through joins, and
+    the checkpoint carries the origin plan's COMPUTED estimate — so an
+    iterative loop that stages a join output every round compounds the
+    estimate geometrically. Measured on the k_truss cascade fixture:
+    constant plan, constant 170-row data, constant lineage depth, yet
+    round time went 0.6 s -> 60 s by round 11, with jstack pinning the
+    driver in SizeInBytesOnlyStatsPlanVisitor BigInteger.multiply on
+    million-bit numbers (the estimate TRIPLED in bit-length per round;
+    parquet staging, which resets stats to file size, stays flat).
+
+    Rebinding to the real block-manager size keeps the estimate both
+    BOUNDED (kills the compounding) and HONEST (a small staged frame
+    still auto-broadcasts — clearing the stats outright regressed
+    adamic_adar's dim join to sort-merge). The replacement Statistics
+    object is borrowed from a throwaway ``spark.range(bytes/8)`` plan
+    (Range's estimate is exactly 8 bytes/element), because py4j cannot
+    construct Scala BigInt arguments directly. Reflection is
+    version-guarded — on any mismatch the stats are left as-is (the
+    pre-fix behavior), never an error. Lazy checkpoints (eager=False)
+    have no blocks yet and are left alone; their consumer is staged
+    eagerly downstream, which rebounds the chain there."""
+    try:
+        jlp = df._jdf.queryExecution().logical()
+        if jlp.getClass().getSimpleName() != "LogicalRDD":
+            return
+        rdd_id = jlp.rdd().id()
+        infos = df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+        size = None
+        for i in range(len(infos)):
+            if infos[i].id() == rdd_id:
+                size = infos[i].memSize() + infos[i].diskSize()
+                break
+        if size is None:
+            return
+        donor = (
+            df.sparkSession.range(max(int(size) // 8, 1))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        fld = jlp.getClass().getDeclaredField("originStats")
+        fld.setAccessible(True)
+        fld.set(jlp, df.sparkSession._jvm.scala.Option.apply(donor))
+        jlp.invalidateStatsCache()
+    except Exception:
+        pass
+
+
 def stage(
     df: DataFrame,
     checkpoint_path: str | None = None,
@@ -43,7 +96,10 @@ def stage(
     ``localCheckpoint(eager=eager)``.
     """
     if checkpoint_path is None:
-        return df.localCheckpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager)
+        if eager:
+            _rebound_checkpoint_stats(out)
+        return out
     stem = f"{name}_" if name else ""
     target = f"{checkpoint_path.rstrip('/')}/{stem}{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(target)

@@ -808,3 +808,36 @@ def test_adamic_adar_no_nested_loop_and_bounded_exchanges(spark):
     # deg groupBy + deg join + wedge join + pair groupBy + anti join:
     # all reusing node-keyed partitioning where AQE allows
     assert s["exchanges"] <= 7, s
+
+
+def test_stage_localcheckpoint_stats_do_not_compound(spark):
+    """r12 regression: Dataset.localCheckpoint inherits the origin
+    plan's Catalyst size estimate, and size-only estimation multiplies
+    through joins — so staging a self-join output each round compounds
+    the estimate geometrically (measured: millions of bits by round
+    ~11, the driver 100% in BigInteger.multiply inside the stats
+    visitor). stage() must strip the inherited estimate: after several
+    join-then-stage rounds the staged frame's sizeInBytes stays a
+    bounded default, not a compounding product."""
+    from etl_orders_to_bq_spark.operators.staging import stage
+
+    df = stage(
+        spark.range(64).selectExpr("id as a", "id % 7 as b"),
+        None,
+        "s0",
+    )
+    for r in range(5):
+        nxt = (
+            df.alias("l")
+            .join(df.alias("r"), "b")
+            .groupBy("b")
+            .agg(F.count("*").alias("a"))
+            .select("a", "b")
+        )
+        df = stage(nxt, None, f"s{r + 1}")
+    bits = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    # pre-fix this compounds to thousands of bits by round 5; the
+    # leaf default (and any honest size) stays under 64 bits
+    assert bits <= 64
