@@ -808,10 +808,14 @@ def james_stein_means(
     noise, so it borrows strength from the other groups.
 
     Model (documented precisely so the oracle replays it): normal
-    means with method-of-moments hyperparameters —
+    means with method-of-moments hyperparameters, estimated over the
+    groups with n >= 2 ONLY (advisor r11: an n = 1 group has no
+    within-group variance, so folding its se2 as 0 would deflate
+    mean(se2) and inflate tau2 — and thus every group's weight —
+    even though the group itself reports NULL shrunk_mean) —
 
-        m        = unweighted mean of the group means
-        tau2     = max(0, var_between - mean_g(se2_g))
+        m        = unweighted mean of the n>=2 group means
+        tau2     = max(0, var_between - mean_g(se2_g))   over n>=2
         w_g      = tau2 / (tau2 + se2_g)
         shrunk_g = m + w_g * (mean_g - m)
 
@@ -879,29 +883,46 @@ def james_stein_means(
     )
     folded = per_g.agg(
         F.count("*").cast("long").alias("__k"),
-        F.sum("__mean_micro").cast("decimal(38,0)").alias("__sm"),
+        # hyperparameters come from the n >= 2 groups only (advisor
+        # r11) — k2/sm2 are their count and micro-mean sum
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__k2"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__mean_micro")))
+        .cast("decimal(38,0)")
+        .alias("__sm2"),
         F.sort_array(
             F.collect_list(F.struct("__g", "__mean_micro", "__se2"))
         ).alias("__gs"),
     )
-    kk = F.col("__k").cast("double")
-    # m as an exact half-away micro integer mean of micro means
+    kk2 = F.col("__k2").cast("double")
+    # m as an exact half-away micro integer mean of the CONTRIBUTING
+    # micro means; greatest() keeps the div ANSI-safe when k2 = 0
+    # (the when-guard makes the result NULL there)
     m_micro = F.when(
-        F.col("__sm") >= 0,
-        F.expr(
-            "cast((2 * abs(__sm) + __k) div (2 * cast(__k as "
-            "decimal(38,0))) as long)"
+        F.col("__k2") > 0,
+        F.when(
+            F.col("__sm2") >= 0,
+            F.expr(
+                "cast((2 * abs(__sm2) + __k2) div (2 * "
+                "cast(greatest(__k2, 1) as decimal(38,0))) as long)"
+            ),
+        ).otherwise(
+            -F.expr(
+                "cast((2 * abs(__sm2) + __k2) div (2 * "
+                "cast(greatest(__k2, 1) as decimal(38,0))) as long)"
+            )
         ),
-    ).otherwise(
-        -F.expr(
-            "cast((2 * abs(__sm) + __k) div (2 * cast(__k as "
-            "decimal(38,0))) as long)"
-        )
     )
-    staged = folded.withColumn("__m_micro", m_micro)
+    staged = folded.withColumn("__m_micro", m_micro).withColumn(
+        # the fold domain: structs of the n >= 2 groups (se2 is
+        # non-NULL exactly for them)
+        "__gs2",
+        F.filter(F.col("__gs"), lambda s_: s_["__se2"].isNotNull()),
+    )
     vb = F.aggregate(
         F.transform(
-            F.col("__gs"),
+            F.col("__gs2"),
             lambda s_: (
                 (s_["__mean_micro"] - F.col("__m_micro")).cast("double")
                 / F.lit(float(m))
@@ -913,15 +934,17 @@ def james_stein_means(
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    ) / F.greatest(kk - 1.0, F.lit(1.0))
+    ) / F.greatest(kk2 - 1.0, F.lit(1.0))
     mean_se2 = F.aggregate(
         F.transform(
-            F.col("__gs"), lambda s_: F.coalesce(s_["__se2"], F.lit(0.0))
+            F.col("__gs2"), lambda s_: F.coalesce(s_["__se2"], F.lit(0.0))
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    ) / kk
-    tau2 = F.greatest(vb - mean_se2, F.lit(0.0))
+    ) / F.greatest(kk2, F.lit(1.0))
+    tau2 = F.when(
+        F.col("__k2") > 0, F.greatest(vb - mean_se2, F.lit(0.0))
+    )
     hyper = staged.select(
         F.col("__m_micro"), tau2.alias("__tau2"), "__k"
     )

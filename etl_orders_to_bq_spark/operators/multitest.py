@@ -1081,7 +1081,8 @@ def cochran_q(
     the caller brings the cut-off (the kruskal_wallis contract).
 
     Output: one row ``(k_treatments, n_blocks, n_blocks_used, df,
-    q_stat)``.
+    q_stat, p_value)`` — ``p_value`` populated for k = 2 only, NULL
+    for k > 2.
 
     Scale: one bounded-k census per block + two map-side-combinable
     groupBys. No counterpart in the reference engine (SURVEY.md
@@ -1128,7 +1129,7 @@ def cochran_q(
         dec(kk) * F.col("__sc2") - F.col("__n_tot") * F.col("__n_tot")
     )
     den = dec(kk) * F.col("__n_tot") - F.col("__sr2")
-    return j.select(
+    res = j.select(
         "k_treatments",
         F.lit(int(n_blocks)).cast("long").alias("n_blocks"),
         F.coalesce(F.col("n_blocks_used"), F.lit(0)).alias(
@@ -1140,6 +1141,18 @@ def cochran_q(
             F.round(num.cast("double") / den.cast("double"), ndigits),
         ).alias("q_stat"),
     )
+    # k = 2 reduces to McNemar (Q = z^2 without continuity
+    # correction), where the two-sided p IS engine-deterministic via
+    # the shared Phi; NULL otherwise (the kruskal_wallis contract —
+    # the chi2(k-1) tail for k > 2 is the caller's cut-off)
+    res = res.withColumn(
+        "__z",
+        F.when(
+            (F.col("k_treatments") == 2) & F.col("q_stat").isNotNull(),
+            F.sqrt(F.col("q_stat")),
+        ),
+    )
+    return with_p_value(res, "__z", ndigits=ndigits).drop("__z")
 
 
 def dunn_posthoc(
@@ -1290,7 +1303,8 @@ def wasserstein_1d(
     single-partition lead window).
 
     Output: one row ``(n_a, n_b, w1_distance)``; an empty arm yields
-    NULL.
+    NULL; two identical point masses (one distinct value overall, so
+    zero consecutive-value segments) yield the true counts and 0.0.
 
     Scale: the mann_whitney class — everything runs on the
     distinct-value table with keyed shuffles only.
@@ -1334,18 +1348,23 @@ def wasserstein_1d(
         - dec(F.col("__bb") + F.col("__nb")) * dec(F.col("n_a"))
     )
     gap = (F.col("__vn") - F.col("__v")).cast("decimal(18,2)")
-    agg = seg.agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.sum(d_i * gap).cast("decimal(38,2)").alias("__num"),
-    )
-    return agg.select(
+    # counts come from the broadcast totals, NOT from the segment
+    # aggregation (advisor r11): with one distinct value across both
+    # arms there are no consecutive-value segments, seg is empty, and
+    # a max() over it would report n_a=0/n_b=0 and a NULL distance —
+    # the true answer there is the real counts and W1 = 0.0 (identical
+    # point masses). sum() over the empty seg yields NULL; coalesce to
+    # 0 once the arms are known non-empty.
+    num = seg.agg(F.sum(d_i * gap).cast("decimal(38,2)").alias("__num"))
+    return tot.crossJoin(num).select(
         F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.round(
-                F.col("__num").cast("double")
+                F.coalesce(
+                    F.col("__num"), F.lit(0).cast("decimal(38,2)")
+                ).cast("double")
                 / (
                     F.col("n_a").cast("double")
                     * F.col("n_b").cast("double")

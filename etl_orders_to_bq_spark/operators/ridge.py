@@ -121,6 +121,7 @@ def ransac_line(
     n_trials: int = 64,
     seed: str = "rl17",
     ndigits: int = 6,
+    subsample_mod: int | None = None,
 ) -> DataFrame:
     """RANSAC line fit (Fischler & Bolles 1981, public literature) —
     the robust regressor for data where a MINORITY of rows follow no
@@ -154,6 +155,18 @@ def ransac_line(
     O(rows)); the inlier count broadcasts the n_trials-row line table
     against the data, one map-side-combinable groupBy. n_trials is a
     confidence knob, not a data knob.
+
+    ``subsample_mod`` (advisor r11, the standard RANSAC scoring
+    shortcut): when set to d > 1, every trial is SCORED on the
+    deterministic 1/d row subset (md5(seed:s:id) mod d == 0 — its own
+    hash arm, independent of the point draws), the argmax trial wins
+    on subset inliers (trial-index tie-break), and only the winning
+    line is re-counted on the FULL data — so ``n_inliers`` stays
+    exact for the reported fit while the trial-scoring work drops
+    from n_trials x rows to n_trials x rows/d + rows. The winner can
+    differ from the exhaustive argmax when two lines' subset counts
+    invert their full-data order — the documented trade-off; the
+    fit itself is verified on everything.
     """
     eps_str = repr(float(eps))
     base = df.filter(
@@ -205,28 +218,64 @@ def ransac_line(
         (F.col("__p2.__x") - F.col("__p1.__x")).alias("__dx"),
         (F.col("__p2.__y") - F.col("__p1.__y")).alias("__dy"),
     ).filter(F.col("__dx") != 0)
-    scored = (
-        base.crossJoin(F.broadcast(lines))
-        .filter(
-            F.abs(
-                (F.col("__y") - F.col("__y1")) * F.col("__dx")
-                - (F.col("__x") - F.col("__x1")) * F.col("__dy")
-            )
-            <= F.expr(f"cast({eps_str} as decimal(18,6))")
-            * F.abs(F.col("__dx"))
+    inl_cond = (
+        F.abs(
+            (F.col("__y") - F.col("__y1")) * F.col("__dx")
+            - (F.col("__x") - F.col("__x1")) * F.col("__dy")
         )
-        .groupBy("__t")
-        .agg(F.count("*").alias("__inl"))
+        <= F.expr(f"cast({eps_str} as decimal(18,6))")
+        * F.abs(F.col("__dx"))
     )
-    best = (
-        lines.join(scored, "__t", "left")
-        .select(
+    if subsample_mod is not None and int(subsample_mod) > 1:
+        d = int(subsample_mod)
+        sub = (
+            base.withColumn("__hs", rowh("s"))
+            .filter(F.col("__hs") % d == 0)
+            .drop("__hs")
+        )
+        scored_sub = (
+            sub.crossJoin(F.broadcast(lines))
+            .filter(inl_cond)
+            .groupBy("__t")
+            .agg(F.count("*").alias("__inl_sub"))
+        )
+        best_line = (
+            lines.join(scored_sub, "__t", "left")
+            .select(
+                "__t", "__x1", "__y1", "__dx", "__dy",
+                F.coalesce(F.col("__inl_sub"), F.lit(0))
+                .alias("__inl_sub"),
+            )
+            .orderBy(F.desc("__inl_sub"), "__t")
+            .limit(1)
+        )
+        # exact full-data inlier count for the ONE winning line
+        recount = (
+            base.crossJoin(F.broadcast(best_line))
+            .filter(inl_cond)
+            .groupBy("__t")
+            .agg(F.count("*").alias("__inl"))
+        )
+        best = best_line.join(recount, "__t", "left").select(
             "__t", "__x1", "__y1", "__dx", "__dy",
             F.coalesce(F.col("__inl"), F.lit(0)).alias("__inl"),
         )
-        .orderBy(F.desc("__inl"), "__t")
-        .limit(1)
-    )
+    else:
+        scored = (
+            base.crossJoin(F.broadcast(lines))
+            .filter(inl_cond)
+            .groupBy("__t")
+            .agg(F.count("*").alias("__inl"))
+        )
+        best = (
+            lines.join(scored, "__t", "left")
+            .select(
+                "__t", "__x1", "__y1", "__dx", "__dy",
+                F.coalesce(F.col("__inl"), F.lit(0)).alias("__inl"),
+            )
+            .orderBy(F.desc("__inl"), "__t")
+            .limit(1)
+        )
     n = base.agg(F.count("*").cast("long").alias("n"))
     slope = F.col("__dy").cast("double") / F.col("__dx").cast("double")
     # LEFT join on true: an all-degenerate trial set leaves `best`

@@ -1130,3 +1130,179 @@ def test_two_proportion_golden(spark):
         spark.createDataFrame(eq, ["g", "x"]), "g", "x", "a", "b"
     ).collect()[0]
     assert row2.z == 0.0 and row2.p_value == 1.0
+
+
+def _truss_cascade_chain(n):
+    """Sequential-cascade k-truss fixture (r12): a 6-clique hub pool
+    {0..5}, chain vertices 100..100+n-1 where even chain vertices
+    connect to hubs {0,1,2} and odd ones to {3,4,5} (disjoint groups,
+    so no hub triangle ever touches a PATH edge), plus path edges
+    (v_i, v_i+1) and chords (v_i, v_i+2). Path edge e_i sits in
+    exactly the two strip triangles T_{i-1}, T_i (support 2 = the
+    k=4 margin); the end edges e_0 / e_{n-2} sit in one — so the
+    peel removes exactly one edge per round from each end, giving
+    ~ (n-1)/2 guaranteed rounds. Chords and hub edges are
+    permanently >= the margin and survive."""
+    import itertools
+
+    edges = list(itertools.combinations(range(6), 2))
+    v = [100 + i for i in range(n)]
+    for i, x in enumerate(v):
+        for c in ((0, 1, 2) if i % 2 == 0 else (3, 4, 5)):
+            edges.append((c, x))
+    edges += [(v[i], v[i + 1]) for i in range(n - 1)]
+    edges += [(v[i], v[i + 2]) for i in range(n - 2)]
+    return edges
+
+
+def test_k_truss_incremental_multi_round_cascade(spark):
+    """>3-round sequential peel on the cascade-chain fixture: the
+    incremental distributed path must (a) need more than 3 rounds
+    (max_rounds=3 raises), (b) converge to the same edges+supports
+    as the local numpy peel, and (c) remove exactly the path edges."""
+    import pytest as _pytest
+
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    n = 13  # 7 peel rounds (validated by the pure-python oracle)
+    df = spark.createDataFrame(_truss_cascade_chain(n), ["src", "dst"])
+    with _pytest.raises(RuntimeError):
+        k_truss(df, k=4, local_threshold=None, max_rounds=3).count()
+    dist = sorted(
+        tuple(r)
+        for r in k_truss(
+            df, k=4, local_threshold=None, max_rounds=20
+        ).collect()
+    )
+    loc = sorted(tuple(r) for r in k_truss(df, k=4).collect())
+    assert dist == loc and len(dist) > 0
+    surv = {(a, b) for a, b, _ in dist}
+    path = {(100 + i, 100 + i + 1) for i in range(n - 1)}
+    assert not (surv & path)
+    chords = {(100 + i, 100 + i + 2) for i in range(n - 2)}
+    assert chords <= surv
+
+
+def test_k_truss_local_guard_rejects_wide_and_negative_ids(spark):
+    """Advisor r11: the local peel packs edges as a*(2^32)+b in
+    int64, so ids >= 2^31 wrap and negative ids break the packed
+    sort order. The guard must route such graphs to the distributed
+    peel and still return the right truss: K4 shifted by 2^33 (and
+    by -7) keeps all 6 edges at support 2 for k=4."""
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    for off in (1 << 33, -7):
+        df = spark.createDataFrame(
+            [(a + off, b + off) for a, b in k4], ["src", "dst"]
+        )
+        got = {
+            (r.a, r.b): r.support for r in k_truss(df, k=4).collect()
+        }
+        assert set(got) == {(a + off, b + off) for a, b in k4}
+        assert all(s == 2 for s in got.values())
+
+
+def test_wasserstein_single_point_mass(spark):
+    """Advisor r11: exactly one distinct value across both arms means
+    zero consecutive-value segments — the counts must still come from
+    the totals and W1 must be 0.0, not (0, 0, NULL)."""
+    from etl_orders_to_bq_spark.operators.multitest import wasserstein_1d
+
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 2
+    row = wasserstein_1d(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.w1_distance) == (3, 2, 0.0)
+    # one arm empty: true count reported, distance NULL
+    row2 = wasserstein_1d(
+        spark.createDataFrame([("a", 5.0)], ["g", "v"]),
+        "g", "v", "a", "b",
+    ).collect()[0]
+    assert (row2.n_a, row2.n_b, row2.w1_distance) == (1, 0, None)
+
+
+def test_cochran_q_k2_p_matches_mcnemar_phi(spark):
+    """Advisor r11 doc/code mismatch: the k=2 p must now be REPORTED
+    via z = sqrt(Q) through the shared deterministic Phi. Q = 64/12
+    -> z = 2.309401, two-sided p = 0.020921 (scipy cross-check);
+    k = 3 keeps p_value NULL (caller brings the chi2 cut-off)."""
+    from etl_orders_to_bq_spark.operators.multitest import cochran_q
+
+    rows = []
+    blk = 0
+    for n, (x, y) in ((30, (1, 1)), (10, (1, 0)), (2, (0, 1)),
+                      (8, (0, 0))):
+        for _ in range(n):
+            rows += [(blk, "A", x), (blk, "B", y)]
+            blk += 1
+    row = cochran_q(
+        spark.createDataFrame(rows, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert row.p_value == pytest.approx(0.020921, abs=2e-6)
+
+    rows3 = [(b, t, 1 if (b + len(t)) % 2 else 0)
+             for b in range(6) for t in ("t1", "t2", "t33")]
+    row3 = cochran_q(
+        spark.createDataFrame(rows3, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert row3.p_value is None and row3.k_treatments == 3
+
+
+def test_james_stein_singleton_groups_dont_move_hyperparams(spark):
+    """Advisor r11: an n = 1 group must be EXCLUDED from the
+    method-of-moments hyperparameters (its se2 folded as 0 would
+    deflate mean(se2) and inflate tau2/weights). Adding a singleton
+    whose mean equals the n>=2 center must leave every other group's
+    weight and shrunk_mean bit-identical; the singleton itself
+    reports NULL weight/shrunk_mean."""
+    from etl_orders_to_bq_spark.operators.experiment import (
+        james_stein_means,
+    )
+
+    base = (
+        [("a", 10.0 + (i % 5)) for i in range(50)]
+        + [("b", 30.0), ("b", 25.0), ("b", 35.0)]
+        + [("c", 12.0 + (i % 3)) for i in range(30)]
+    )
+    ref = {
+        r.group: (r.weight, r.shrunk_mean)
+        for r in james_stein_means(
+            spark.createDataFrame(base, ["g", "v"]), "g", "v"
+        ).collect()
+    }
+    # singleton far from the center: under the old fold it would
+    # shift m AND inflate tau2; now it must change nothing
+    with_singleton = base + [("z", 99.0)]
+    got = {
+        r.group: (r.weight, r.shrunk_mean)
+        for r in james_stein_means(
+            spark.createDataFrame(with_singleton, ["g", "v"]), "g", "v"
+        ).collect()
+    }
+    assert got["z"] == (None, None)
+    for g in ("a", "b", "c"):
+        assert got[g] == ref[g]
+
+
+def test_ransac_subsample_recovers_line_with_exact_full_count(spark):
+    """Advisor r12: subsample_mod scores trials on the 1/d md5 subset
+    but must (a) still recover the planted line and (b) report the
+    winning line's inlier count over the FULL data — the same
+    magnitude as the exhaustive path's, not a subset-sized number."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    rows = []
+    for i in range(400):
+        x = float(i % 100)
+        y = 3.0 * x + 5.0 + ((i % 3) - 1) * 0.5
+        if i % 7 == 0:
+            y += 500.0
+        rows.append((i, x, round(y, 2)))
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    row = ransac_line(
+        df, "x", "y", "id", eps=2.0, subsample_mod=4
+    ).collect()[0]
+    assert abs(row.slope - 3.0) < 0.05
+    assert abs(row.intercept - 5.0) < 2.0
+    assert row.n == 400 and row.n_inliers > 300  # full-data count
