@@ -8940,6 +8940,182 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ransac_line(pts, "x", "y", "pid", eps=2.0, n_trials=64)
 
 
+def q_ransac_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC with deterministic 1/8 subset scoring (advisor r12:
+    operators/ridge.py ransac_line subsample_mod) — every trial is
+    scored on the md5(seed:s:id) mod 8 == 0 rows, the argmax line
+    alone is re-counted on the FULL data, so n_inliers stays exact
+    while trial-scoring work drops ~8x. Same planted y = 3x + 5
+    fixture as ransac_line."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    o = _spread_if_underpartitioned(spark, _t(spark, sf_dir, "orders"))
+    pts = o.select(
+        F.col("o_orderkey").alias("pid"),
+        (F.col("o_orderkey") % 100).cast("double").alias("x"),
+        (
+            3.0 * (F.col("o_orderkey") % 100).cast("double")
+            + 5.0
+            + ((F.col("o_orderkey") % 3) - 1).cast("double") * 0.5
+            + F.when(F.col("o_orderkey") % 7 == 0, 500.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    return ransac_line(
+        pts, "x", "y", "pid", eps=2.0, n_trials=64, subsample_mod=8
+    )
+
+
+
+def _unigram_lm_oracle_sql(
+    seed_size: int, vocab_size: int, rounds: int, mp: int, mw: int
+) -> str:
+    """DuckDB replay of unigram_lm_train (operators/lm.py): the hard-EM
+    Viterbi loop with the DP UNROLLED into mw pure-projection steps per
+    round (DuckDB 1.0 mis-binds correlated subqueries and join columns
+    inside recursive CTEs — verified with a 2-word repro — so the
+    recursion is replaced by a fixed-depth chain over a per-word
+    key->prob map, which is also exactly the Spark side's fold shape).
+    All scores are fixed-order IEEE double products, so decisions are
+    bit-identical to the engine's."""
+    K = mp + 1
+
+    def cand(k: int, l: int) -> str:
+        key = k * K + l
+        return (
+            f"case when {l} <= {k} and "
+            f"list_extract(m[{key}], 1) is not null then "
+            f"struct_pack(s := list_extract(dp, {k - l + 1}).s * "
+            f"list_extract(m[{key}], 1), bl := {l}) end"
+        )
+
+    sql = f"""
+        with tok as (
+          select unnest(regexp_extract_all(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '\\S+')) as w
+          from documents
+        ),
+        words as materialized (
+          select w, count(*)::bigint as n, length(w) as len from tok
+          group by w
+          having length(w) between 1 and {mw}
+        ),
+        cand as materialized (
+          select w, n, pos, l, substr(w, pos::int, l::int) as piece
+          from words,
+               unnest(range(1, len + 1)) as tp(pos),
+               unnest(range(1, least({mp}, len - pos + 1) + 1)) as tl(l)
+        ),
+        chars as materialized (
+          select distinct piece from cand where l = 1
+        ),
+        seed as materialized (
+          select piece, sum(n)::bigint as c from cand group by piece
+          order by c desc, piece limit {seed_size}
+        ),
+        vocab0 as materialized (
+          select piece, c from seed
+          union all
+          select piece, 1::bigint as c from chars
+          where piece not in (select piece from seed)
+        )"""
+    for r in range(1, rounds + 1):
+        prev = f"vocab{r - 1}"
+        sql += f""",
+        probs{r} as materialized (
+          select piece,
+                 c::double / (select sum(c)::double from {prev}) as prob
+          from {prev}
+        ),
+        pm{r} as materialized (
+          select c.w,
+                 map_from_entries(list(struct_pack(
+                   k := ((c.pos + c.l - 1) * {K} + c.l)::bigint,
+                   v := p.prob))) as m
+          from cand c join probs{r} p using (piece)
+          group by c.w
+        ),
+        fwd{r}_0 as materialized (
+          select w.w, w.n, w.len, p.m,
+                 [struct_pack(s := 1.0, bl := 0)] as dp
+          from words w join pm{r} p using (w)
+        )"""
+        for k in range(1, mw + 1):
+            cands = ", ".join(cand(k, l) for l in range(1, mp + 1))
+            sql += f""",
+        fwd{r}_{k} as materialized (
+          select w, n, len, m,
+            case when len < {k} then dp else list_append(dp,
+              coalesce(list_reduce(
+                list_filter([{cands}], x -> x.bl is not null),
+                (a, b) -> case when b.s > a.s
+                                 or (b.s = a.s and b.bl > a.bl)
+                          then b else a end),
+                struct_pack(s := -1.0, bl := 0))) end as dp
+          from fwd{r}_{k - 1}
+        )"""
+        sql += f""",
+        bt{r}_0 as materialized (
+          select w, n, len as pos, dp,
+                 cast([] as varchar[]) as ps
+          from fwd{r}_{mw}
+        )"""
+        for k in range(1, mw + 1):
+            sql += f""",
+        bt{r}_{k} as materialized (
+          select w, n,
+            case when pos <= 0 then pos
+                 else pos - list_extract(dp, pos + 1).bl end as pos,
+            dp,
+            case when pos <= 0 then ps
+                 else list_append(ps, substr(w,
+                   (pos - list_extract(dp, pos + 1).bl + 1)::int,
+                   list_extract(dp, pos + 1).bl::int)) end as ps
+          from bt{r}_{k - 1}
+        )"""
+        sql += f""",
+        seg{r} as materialized (
+          select w, n, unnest(ps) as piece from bt{r}_{mw}
+        ),
+        cnt{r} as materialized (
+          select piece, sum(n)::bigint as c from seg{r} group by piece
+        ),
+        top{r} as materialized (
+          select piece, c from cnt{r}
+          order by c desc, piece limit {vocab_size}
+        ),
+        vocab{r} as materialized (
+          select piece, c from top{r}
+          union all
+          select piece, 1::bigint as c from chars
+          where piece not in (select piece from top{r})
+        )"""
+    sql += f"""
+        select piece, c as "count",
+               round(c::double / (select sum(c)::double from
+                     vocab{rounds}), 6) as p
+        from vocab{rounds}
+        order by "count" desc, piece
+    """
+    return sql
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword vocabulary training
+    (operators/lm.py unigram_lm_train): 3 hard-EM rounds — Viterbi
+    re-segmentation of the distinct words under the current piece
+    probabilities, exact integer recounts, prune to 16 pieces with
+    single-char coverage floor. All DP scores are fixed-order IEEE
+    double products of count ratios, so the oracle's recursive-CTE
+    replay is bit-identical."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_lm_train
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        d, "text", seed_size=40, vocab_size=16, rounds=3,
+        max_piece=4, max_word=16,
+    )
+
+
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman test: do the event types keep a consistent daily
     magnitude ordering (operators/multitest.py friedman_test)?
@@ -9321,6 +9497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
+        # -- never driver-verified (new work leads the snapshot) --
+        "ransac_subsampled": q_ransac_subsampled,
+        "unigram_lm": q_unigram_lm,
         # -- last driver-verified in round 3 --
         "fuzzy_join": q_fuzzy_join,
         "udtf_sentences": q_udtf_sentences,
@@ -20405,6 +20584,90 @@ def oracle_sql() -> dict[str, str]:
         from nn left join best on true
     """
 
+    out["ransac_subsampled"] = """
+        with base as (
+          select cast(o_orderkey as varchar) as id,
+                 cast(cast(o_orderkey % 100 as double)
+                      as decimal(18,2)) as x,
+                 cast(3.0 * cast(o_orderkey % 100 as double) + 5.0
+                      + cast((o_orderkey % 3) - 1 as double) * 0.5
+                      + case when o_orderkey % 7 = 0
+                             then 500.0 else 0.0 end
+                      as decimal(18,2)) as y
+          from orders
+        ),
+        trials as (select unnest(range(0, 64))::int as t),
+        hashed as (
+          select id, x, y,
+                 ('0x' || substr(md5('rl17:a:' || id), 1, 8))::bigint
+                   % 2147483648 as ha,
+                 ('0x' || substr(md5('rl17:b:' || id), 1, 8))::bigint
+                   % 2147483648 as hb
+          from base
+        ),
+        drawn as (
+          select t,
+                 min(struct_pack(
+                   h := (ha * (2 * t + 1) + 1000003 * t) % 2147483647,
+                   id := id, x := x, y := y)) as p1,
+                 min(struct_pack(
+                   h := (hb * (2 * t + 1) + 1000003 * t) % 2147483647,
+                   id := id, x := x, y := y)) as p2
+          from hashed cross join trials
+          group by t
+        ),
+        lines as (
+          select t, p1.x as x1, p1.y as y1,
+                 p2.x - p1.x as dx, p2.y - p1.y as dy
+          from drawn where p2.x - p1.x <> 0
+        ),
+        sub as (
+          select * from base
+          where ('0x' || substr(md5('rl17:s:' || id), 1, 8))::bigint
+                % 2147483648 % 8 = 0
+        ),
+        scored_sub as (
+          select l.t, count(*)::bigint as inl_sub
+          from sub b cross join lines l
+          where abs((b.y - l.y1) * l.dx - (b.x - l.x1) * l.dy)
+                <= cast(2.0 as decimal(18,6)) * abs(l.dx)
+          group by l.t
+        ),
+        best_line as (
+          select l.t, l.x1, l.y1, l.dx, l.dy,
+                 coalesce(s.inl_sub, 0) as inl_sub
+          from lines l left join scored_sub s using (t)
+          order by inl_sub desc, t limit 1
+        ),
+        recount as (
+          select l.t, count(*)::bigint as inl
+          from base b cross join best_line l
+          where abs((b.y - l.y1) * l.dx - (b.x - l.x1) * l.dy)
+                <= cast(2.0 as decimal(18,6)) * abs(l.dx)
+          group by l.t
+        ),
+        best as (
+          select l.t, l.x1, l.y1, l.dx, l.dy,
+                 coalesce(r.inl, 0) as inl
+          from best_line l left join recount r using (t)
+        ),
+        nn as (select count(*)::bigint as n from base)
+        select n,
+               cast(t as bigint) as best_trial,
+               cast(inl as bigint) as n_inliers,
+               round(cast(dy as double) / cast(dx as double), 6)
+                 as slope,
+               round(cast(y1 as double)
+                     - cast(x1 as double)
+                       * (cast(dy as double) / cast(dx as double)), 6)
+                 as intercept
+        from nn left join best on true
+    """
+
+    out["unigram_lm"] = _unigram_lm_oracle_sql(40, 16, 3, 4, 16)
+
+
+
     out["friedman_test"] = """
         with daily as (
           select cast(ts as date) as b, event_type as j,
@@ -20524,7 +20787,8 @@ def oracle_sql() -> dict[str, str]:
         dim=64, k=8, seed=7, rounds=3, final_select=_sil_final
     )
 
-    out["cochran_q"] = """
+    _cq_sf = norm_sf_sql("sqrt(q_stat)")
+    out["cochran_q"] = f"""
         with cells as (
           select cast(ts as date) as b, event_type as j,
                  case when max(value) > 150 then 1 else 0 end as x
@@ -20557,21 +20821,29 @@ def oracle_sql() -> dict[str, str]:
             from cells join (select b from complete) using (b)
             group by j
           )
+        ),
+        base as (
+          select k as k_treatments, n_blocks,
+                 coalesce(n_blocks_used, 0) as n_blocks_used,
+                 case when k > 1 then cast(k - 1 as bigint) end as df,
+                 case when k > 1
+                       and cast(cast(k as decimal(38,0)) * n_tot - sr2
+                                as double) > 0
+                      then round(
+                        cast(cast(k - 1 as decimal(38,0))
+                             * (cast(k as decimal(38,0)) * sc2
+                                - n_tot * n_tot) as double)
+                        / cast(cast(k as decimal(38,0)) * n_tot - sr2
+                               as double), 6)
+                 end as q_stat
+          from rows_agg, cols_agg, kk, nblocks
         )
-        select k as k_treatments, n_blocks,
-               coalesce(n_blocks_used, 0) as n_blocks_used,
-               case when k > 1 then cast(k - 1 as bigint) end as df,
-               case when k > 1
-                     and cast(cast(k as decimal(38,0)) * n_tot - sr2
-                              as double) > 0
-                    then round(
-                      cast(cast(k - 1 as decimal(38,0))
-                           * (cast(k as decimal(38,0)) * sc2
-                              - n_tot * n_tot) as double)
-                      / cast(cast(k as decimal(38,0)) * n_tot - sr2
-                             as double), 6)
-               end as q_stat
-        from rows_agg, cols_agg, kk, nblocks
+        select k_treatments, n_blocks, n_blocks_used, df, q_stat,
+               case when k_treatments = 2 and q_stat is not null
+                    then round(least(1.0,
+                      2.0 * {_cq_sf}), 6)
+               end as p_value
+        from base
     """
 
     _dn_p = _nsf("abs(z)")
@@ -20767,32 +21039,37 @@ def oracle_sql() -> dict[str, str]:
           from perg
         ),
         folded as (
-          select count(*)::bigint as k,
-                 sum(mean_micro)::hugeint as sm,
+          select sum(case when n > 1 then 1 else 0 end)::bigint as k2,
+                 sum(case when n > 1 then mean_micro end)::hugeint
+                   as sm2,
                  list_sort(list(struct_pack(g := g,
                                             mm := mean_micro,
                                             se2 := se2))) as gs
           from pg
         ),
         hyper as (
-          select k, gs,
-                 (case when sm >= 0 then 1 else -1 end)
-                 * cast((2 * abs(sm) + k) // (2 * k::hugeint)
-                        as bigint) as m_micro
+          select k2,
+                 list_filter(gs, t -> t.se2 is not null) as gs2,
+                 case when k2 > 0 then
+                   (case when sm2 >= 0 then 1 else -1 end)
+                   * cast((2 * abs(sm2) + k2)
+                          // (2 * greatest(k2, 1)::hugeint)
+                          as bigint)
+                 end as m_micro
           from folded
         ),
         hyper2 as (
           select m_micro,
-                 greatest(
-                   list_reduce(list_transform(gs, t ->
+                 case when k2 > 0 then greatest(
+                   list_reduce(list_transform(gs2, t ->
                      (cast(t.mm - m_micro as double) / 1000000.0)
                      * (cast(t.mm - m_micro as double) / 1000000.0)),
                      (acc, v) -> acc + v)
-                   / greatest(cast(k as double) - 1.0, 1.0)
-                   - list_reduce(list_transform(gs, t ->
+                   / greatest(cast(k2 as double) - 1.0, 1.0)
+                   - list_reduce(list_transform(gs2, t ->
                        coalesce(t.se2, 0.0)), (acc, v) -> acc + v)
-                     / cast(k as double),
-                   0.0) as tau2
+                     / greatest(cast(k2 as double), 1.0),
+                   0.0) end as tau2
           from hyper
         )
         select g as "group", n,

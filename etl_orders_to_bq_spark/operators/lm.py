@@ -2036,3 +2036,272 @@ def hill_diversity(
             ),
         ).alias("pielou_evenness"),
     )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    seed_size: int = 200,
+    vocab_size: int = 80,
+    rounds: int = 3,
+    max_piece: int = 4,
+    max_word: int = 16,
+) -> DataFrame:
+    """Unigram-LM subword vocabulary training (Kudo 2018 / the
+    SentencePiece trainer, public literature) — the third of the three
+    standard subword trainers next to ``bpe_train`` (bottom-up merges)
+    and ``wordpiece_segment`` (greedy munch over a frequency vocab):
+    seed a large substring candidate set, then alternate
+    (re-)segmenting the corpus under the current piece probabilities
+    with re-estimating those probabilities from the segmentations,
+    pruning the vocabulary each round.
+
+    Deterministic hard-EM variant (Viterbi EM, public concept): the
+    E-step uses each word's single BEST segmentation (ties broken
+    toward the longer final piece) instead of Kudo's forward-backward
+    expected counts — expectation terms are engine-dependent
+    transcendentals, while the Viterbi path needs only IEEE-exact
+    double products of count ratios, so Spark and the SQL oracle
+    replay bit-identical decisions. Probabilities p = c/T and DP
+    scores are fixed-order double arithmetic; counts are exact
+    integers; every tie-break is (count desc, piece asc) or
+    (score, piece-length) lexicographic.
+
+    Per round: Viterbi-segment every DISTINCT word (the bpe_encode /
+    wordpiece vocabulary-sized-work discipline — candidates explode
+    bounded by max_word * max_piece, one broadcast join against the
+    piece table, a bounded double fold per word: forward DP then
+    backtrack), recount pieces from the best paths weighted by word
+    frequency, keep the ``vocab_size`` most frequent (count desc,
+    piece asc), and re-add any missing single characters at a count
+    floor of 1 (coverage is non-negotiable — Kudo's required-chars
+    rule).
+
+    Output per surviving piece: ``(piece, count, p)`` with p one
+    rounded division by the final total, ordered (count desc, piece).
+
+    Scale: one corpus-sized tokenize+groupBy; everything after is
+    bounded by |distinct words| with model-sized broadcasts and
+    driver-free folds — the loop shuffles (piece, count) pairs only.
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from .staging import stage
+
+    mp = int(max_piece)
+    toks = df.select(
+        F.explode(tokenize(normalize_text(text_col))).alias("__w")
+    )
+    words = stage(
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__n"))
+        .filter(
+            (F.length("__w") <= int(max_word)) & (F.length("__w") >= 1)
+        )
+        .withColumn("__len", F.length("__w")),
+        None,
+        "uni_words",
+    )
+
+    # candidate (pos, len) substrings per distinct word — reused every
+    # round for the DP join (pos is the piece's START, 1-based)
+    cand = words.select(
+        "__w",
+        "__n",
+        "__len",
+        F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__pos"),
+    ).select(
+        "__w",
+        "__n",
+        "__pos",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(mp), F.col("__len") - F.col("__pos") + 1),
+            )
+        ).alias("__l"),
+    ).withColumn(
+        "__piece", F.substring("__w", F.col("__pos"), F.col("__l"))
+    )
+    cand = stage(cand, None, "uni_cand")
+
+    # required single characters (always kept, floor count 1)
+    chars = cand.filter(F.col("__l") == 1).select("__piece").distinct()
+
+    # seed: occurrence-weighted substring counts, top seed_size
+    seed = (
+        cand.groupBy("__piece")
+        .agg(F.sum("__n").alias("__c"))
+        .orderBy(F.desc("__c"), "__piece")
+        .limit(int(seed_size))
+    )
+    vocab = stage(
+        seed.unionByName(
+            chars.join(seed.select("__piece"), "__piece", "left_anti")
+            .select("__piece", F.lit(1).cast("long").alias("__c"))
+        ),
+        None,
+        "uni_vocab0",
+    )
+
+    for rnd in range(int(rounds)):
+        tot = F.broadcast(
+            vocab.agg(F.sum("__c").cast("double").alias("__T"))
+        )
+        probs = vocab.crossJoin(tot).select(
+            "__piece",
+            (F.col("__c").cast("double") / F.col("__T")).alias("__prob"),
+        )
+        # per-word DP lookup map: key = end_pos * (mp+1) + piece_len
+        ent = cand.join(F.broadcast(probs), "__piece").select(
+            "__w",
+            (
+                (F.col("__pos") + F.col("__l") - 1) * (mp + 1)
+                + F.col("__l")
+            ).alias("__k"),
+            "__prob",
+        )
+        pm = ent.groupBy("__w").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__k", "__prob"))
+            ).alias("__pm")
+        )
+        # forward DP: dp[i] = best (score, piece_len) over l of
+        # dp[i-l] * p(piece ending at i with length l); dp[0] = 1.0.
+        # acc is the 1-based dp array (dp[j] at element j+1); ties
+        # prefer the LONGER final piece — fixed lexicographic
+        # (score, l) max, identical in the oracle's order by
+        seg = words.join(pm, "__w").withColumn(
+            "__dp",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("__len")),
+                F.array(
+                    F.struct(
+                        F.lit(1.0).alias("s"),
+                        F.lit(0).cast("int").alias("bl"),
+                    )
+                ),
+                lambda acc, i: F.concat(
+                    acc,
+                    F.array(
+                        F.aggregate(
+                            F.sequence(F.lit(1), F.least(F.lit(mp), i)),
+                            F.struct(
+                                F.lit(-1.0).alias("s"),
+                                F.lit(0).cast("int").alias("bl"),
+                            ),
+                            lambda best, l: F.when(
+                                F.element_at(
+                                    F.col("__pm"), i * (mp + 1) + l
+                                ).isNull(),
+                                best,
+                            ).otherwise(
+                                F.when(
+                                    (
+                                        F.element_at(acc, i - l + 1)["s"]
+                                        * F.element_at(
+                                            F.col("__pm"),
+                                            i * (mp + 1) + l,
+                                        )
+                                        > best["s"]
+                                    )
+                                    | (
+                                        (
+                                            F.element_at(
+                                                acc, i - l + 1
+                                            )["s"]
+                                            * F.element_at(
+                                                F.col("__pm"),
+                                                i * (mp + 1) + l,
+                                            )
+                                            == best["s"]
+                                        )
+                                        & (l > best["bl"])
+                                    ),
+                                    F.struct(
+                                        (
+                                            F.element_at(
+                                                acc, i - l + 1
+                                            )["s"]
+                                            * F.element_at(
+                                                F.col("__pm"),
+                                                i * (mp + 1) + l,
+                                            )
+                                        ).alias("s"),
+                                        l.cast("int").alias("bl"),
+                                    ),
+                                ).otherwise(best)
+                            ),
+                        )
+                    ),
+                ),
+            ),
+        )
+        # backtrack: walk back-lengths from the end, collecting pieces
+        pieces = seg.select(
+            "__w",
+            "__n",
+            F.explode(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.col("__len")),
+                    F.struct(
+                        F.col("__len").cast("int").alias("pos"),
+                        F.array().cast("array<string>").alias("ps"),
+                    ),
+                    lambda acc, _i: F.when(
+                        acc["pos"] <= 0, acc
+                    ).otherwise(
+                        F.struct(
+                            (
+                                acc["pos"]
+                                - F.element_at(
+                                    F.col("__dp"), acc["pos"] + 1
+                                )["bl"]
+                            ).cast("int").alias("pos"),
+                            F.concat(
+                                acc["ps"],
+                                F.array(
+                                    F.substring(
+                                        F.col("__w"),
+                                        acc["pos"]
+                                        - F.element_at(
+                                            F.col("__dp"),
+                                            acc["pos"] + 1,
+                                        )["bl"]
+                                        + 1,
+                                        F.element_at(
+                                            F.col("__dp"),
+                                            acc["pos"] + 1,
+                                        )["bl"],
+                                    )
+                                ),
+                            ).alias("ps"),
+                        )
+                    ),
+                )["ps"]
+            ).alias("__piece"),
+        )
+        newc = pieces.groupBy("__piece").agg(F.sum("__n").alias("__c"))
+        top = newc.orderBy(F.desc("__c"), "__piece").limit(
+            int(vocab_size)
+        )
+        vocab = stage(
+            top.unionByName(
+                chars.join(top.select("__piece"), "__piece", "left_anti")
+                .select("__piece", F.lit(1).cast("long").alias("__c"))
+            ),
+            None,
+            f"uni_vocab{rnd + 1}",
+        )
+
+    tot = F.broadcast(vocab.agg(F.sum("__c").cast("double").alias("__T")))
+    return (
+        vocab.crossJoin(tot)
+        .select(
+            F.col("__piece").alias("piece"),
+            F.col("__c").cast("long").alias("count"),
+            F.round(F.col("__c").cast("double") / F.col("__T"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy(F.desc("count"), "piece")
+    )

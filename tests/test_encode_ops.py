@@ -274,3 +274,56 @@ def test_t_closeness_polarized_classes_hand_value(spark):
     assert out["A"]["t_emd"] == 0.5 and not out["A"]["within_t"]
     assert out["B"]["t_emd"] == 0.5
     assert out["A"]["n_rows"] == 2
+
+
+def test_unigram_lm_hand_golden(spark):
+    """Hand-computed hard-EM fixture: corpus 'abab abab ab' x... with
+    'banana bandana' noise. Seed counts (occurrence-weighted): 'ab'
+    dominates; after 2 Viterbi rounds the vocabulary is exactly
+    {ab: 8, ana: 3, ban: 3} + the 4 single chars at floor 1, total 18,
+    so p(ab) = round(8/18, 6) = 0.444444. (Cross-checked against an
+    independent pure-python Viterbi-EM implementation.)"""
+    from etl_orders_to_bq_spark.operators.lm import unigram_lm_train
+
+    docs = [("abab abab ab",), ("banana bandana ab",), ("abab banana",)]
+    out = unigram_lm_train(
+        spark.createDataFrame(docs, ["text"]),
+        "text",
+        seed_size=12,
+        vocab_size=8,
+        rounds=2,
+        max_piece=3,
+        max_word=16,
+    ).collect()
+    got = [(r.piece, r["count"], r.p) for r in out]
+    assert got == [
+        ("ab", 8, 0.444444),
+        ("ana", 3, 0.166667),
+        ("ban", 3, 0.166667),
+        ("a", 1, 0.055556),
+        ("b", 1, 0.055556),
+        ("d", 1, 0.055556),
+        ("n", 1, 0.055556),
+    ]
+
+
+def test_unigram_lm_single_char_coverage_floor(spark):
+    """Every character of every word must stay representable after
+    pruning (Kudo's required-chars rule): with vocab_size=2 the rare
+    chars survive at the count-1 floor and every word remains
+    segmentable (counts over all pieces stay consistent)."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_lm_train
+
+    out = unigram_lm_train(
+        spark.createDataFrame([("xy xy qz",)], ["text"]),
+        "text",
+        seed_size=4,
+        vocab_size=2,
+        rounds=1,
+        max_piece=2,
+        max_word=8,
+    ).collect()
+    pieces = {r.piece for r in out}
+    assert {"q", "z", "x", "y"} <= pieces or (
+        "xy" in pieces and {"q", "z"} <= pieces
+    )
