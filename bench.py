@@ -7,15 +7,22 @@ Each query is forced with the `noop` sink — full plan execution
 (scan → shuffle → agg) without driver-side collection, so the number
 measures the engine, not result transfer.
 
-Methodology: every headline/stress entry runs n=3 and reports the
-MEDIAN (host noise on this box swings single runs 2-4x; medians stop
-30 ms movers from reading as regressions round-over-round). The
-scalar maps keep name -> median for cross-round comparability;
-`queries_detail` / `stress_detail` carry {median, min, runs} per
-entry. The `stress_sf1` section scales the corpus 10x and re-times
-the pair-stage dedup operators (single 10x run each — they are the
-expensive rows; growth = t_10x / median(t_1x)); set
-SPARK_GRAFT_SKIP_SF1=1 to skip it.
+Methodology (r12): every headline entry runs n=3 and reports the
+MIN as the headline scalar (r11's driver sessions showed 2-17x
+median swings on UNCHANGED code from host contention; min-of-n is
+the standard contention-robust statistic — a query can run slow by
+accident, never fast by accident). The three runs are INTERLEAVED
+across queries (pass 1 over all queries, then pass 2, then pass 3)
+so a transient host-load burst contaminates at most one pass of
+every query instead of all three runs of a few. `queries_detail` /
+`stress_detail` still carry {median, min, runs} per entry. A
+host-noise CANARY — a fixed-size single-thread numpy matmul plus a
+fixed Spark range-sum job — is timed at suite start, middle, and
+end and recorded under `canary` in BENCH_full.json: on a quiet host
+the three samples agree within ~20%, so a contaminated session is
+self-labeling. The `stress_sf1` section scales the corpus 10x and
+re-times the pair-stage dedup operators (growth = t_10x /
+min(t_1x)); set SPARK_GRAFT_SKIP_SF1=1 to skip it.
 """
 
 from __future__ import annotations
@@ -275,6 +282,28 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canary(spark) -> dict:
+    """Host-noise probe: a fixed-size single-thread numpy matmul and a
+    fixed Spark range-sum job (codegen + 32-way scheduling). Pure CPU,
+    zero data dependence — identical work every call. On a quiet host
+    repeated samples agree within ~20%; spread across the suite's
+    start/middle/end samples labels the session as contaminated by
+    external load, so a slow round is distinguishable from a slow
+    engine without re-running anything."""
+    import numpy as np
+
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    eye = np.eye(512)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ eye
+    np_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(20_000_000).selectExpr("sum(id * 3 + 1) as s").collect()
+    jvm_s = time.perf_counter() - t0
+    return {"numpy_sec": round(np_s, 3), "jvm_sec": round(jvm_s, 3)}
+
+
 def _timed(build, runs: int = 3, rebuild: bool = True) -> dict:
     """{median, min, runs} over ``runs`` executions. ``rebuild`` re-runs
     the builder each time (needed when construction itself does work —
@@ -352,7 +381,7 @@ def _scaled_corpus(spark, sf_dir: str, out_dir: str, copies: int = 10):
 def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
     """Scale-growth probe for the pair-stage dedup operators: time each
     at 1x (the sf_dir fixture) and on a 10x derived corpus, and report
-    growth = t_10x / median(t_1x). Sub-quadratic means growth stays
+    growth = t_10x / min(t_1x). Sub-quadratic means growth stays
     ~O(copies) (the judge bound: <= ~12x wall for 10x data). Bucket
     guards are COUNTED, not silent: the section reports how many LSH
     band buckets the max_bucket cap dropped and the largest SemDeDup
@@ -531,9 +560,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t0 = time.perf_counter()
             _force(probe(d10))
             t10 = round(time.perf_counter() - t0, 3)
-            out[f"{name}_1x"] = t1["median"]
+            out[f"{name}_1x"] = t1["min"]
             out[f"{name}_10x"] = t10
-            out[f"{name}_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+            out[f"{name}_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
 
         # SemDeDup NEGATIVE CONTROLS (deliberately kept, deliberately
         # labeled): fixed 8-bit buckets at both scales and the 11-bit
@@ -547,7 +576,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ),
             runs=2,
         )
-        out["semdedup_bits8_control_1x"] = t1["median"]
+        out["semdedup_bits8_control_1x"] = t1["min"]
         for bits in (8, 11):
             t0 = time.perf_counter()
             _force(
@@ -559,7 +588,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t10 = round(time.perf_counter() - t0, 3)
             out[f"semdedup_bits{bits}_control_10x"] = t10
             out[f"semdedup_bits{bits}_control_growth"] = round(
-                t10 / max(t1["median"], 1e-9), 1
+                t10 / max(t1["min"], 1e-9), 1
             )
 
         # AUTO-K: the production configuration — k-means cluster COUNT
@@ -591,10 +620,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(autok(e10, k10_))
         t10 = round(time.perf_counter() - t0, 3)
-        out["semdedup_autok_1x"] = t1["median"]
+        out["semdedup_autok_1x"] = t1["min"]
         out["semdedup_autok_10x"] = t10
         out["semdedup_autok_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # AUTO entry point (r8): NO caller-chosen config — k derived
@@ -613,10 +642,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(semdedup_auto(e10, dim=64, threshold=0.75, seed=7))
         t10 = round(time.perf_counter() - t0, 3)
-        out["semdedup_auto_1x"] = t1["median"]
+        out["semdedup_auto_1x"] = t1["min"]
         out["semdedup_auto_10x"] = t10
         out["semdedup_auto_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # r8 stress rows for the two heavy headline entries that had
@@ -662,10 +691,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(rfm_segments(ofull10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["rfm_segments_1x"] = t1["median"]
+        out["rfm_segments_1x"] = t1["min"]
         out["rfm_segments_10x"] = t10
         out["rfm_segments_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # the SHIPPED default (bucket_medoids_auto: count + probe +
@@ -683,10 +712,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
         )
         t10 = round(time.perf_counter() - t0, 3)
-        out["diverse_sample_1x"] = t1["median"]
+        out["diverse_sample_1x"] = t1["min"]
         out["diverse_sample_10x"] = t10
         out["diverse_sample_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         # NEGATIVE CONTROLS: caller-fixed LSH bits (the r8 trap the
         # auto default routes around) — bits=6 frozen and the bits=9
@@ -698,7 +727,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ),
             runs=2,
         )
-        out["diverse_sample_bits6_control_1x"] = t1c["median"]
+        out["diverse_sample_bits6_control_1x"] = t1c["min"]
         for bits in (6, 9):
             t0 = time.perf_counter()
             _force(
@@ -709,17 +738,17 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             t10 = round(time.perf_counter() - t0, 3)
             out[f"diverse_sample_bits{bits}_control_10x"] = t10
             out[f"diverse_sample_bits{bits}_control_growth"] = round(
-                t10 / max(t1c["median"], 1e-9), 1
+                t10 / max(t1c["min"], 1e-9), 1
             )
 
         t1 = _timed(lambda: er(ents1), runs=2)
         t0 = time.perf_counter()
         _force(er(ents10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["entity_resolution_1x"] = t1["median"]
+        out["entity_resolution_1x"] = t1["min"]
         out["entity_resolution_10x"] = t10
         out["entity_resolution_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         # candidate census: the in-block pair count IS the quadratic
         # term fuzzy blocking governs — counted, never silent
@@ -782,10 +811,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         # r9 drift postmortem: the single-shot 10x numerator swung the
         # growth ratio 3.9 -> 5.0 at an identical wedge census — take
         # the same 2-run median as the denominator
-        t10 = _timed(lambda: adamic_adar(o10), runs=2)["median"]
-        out["adamic_adar_1x"] = t1["median"]
+        t10 = _timed(lambda: adamic_adar(o10), runs=2)["min"]
+        out["adamic_adar_1x"] = t1["min"]
         out["adamic_adar_10x"] = t10
-        out["adamic_adar_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["adamic_adar_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
         # wedge census: sum_z C(deg(z), 2) IS the join's work — with
         # disjoint copies it grows exactly 10x, so wall growth above
         # it means plan overhead, below it means improving throughput
@@ -827,9 +856,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(ivfpq(e10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["ann_ivfpq_1x"] = t1["median"]
+        out["ann_ivfpq_1x"] = t1["min"]
         out["ann_ivfpq_10x"] = t10
-        out["ann_ivfpq_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["ann_ivfpq_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
 
         # linkage: customer pairs blocked on (nation, segment); copies
         # shift nationkey so blocks stay copy-disjoint (pair count
@@ -889,10 +918,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(fs(c10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["linkage_score_1x"] = t1["median"]
+        out["linkage_score_1x"] = t1["min"]
         out["linkage_score_10x"] = t10
         out["linkage_score_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         def snp(ents):
@@ -904,10 +933,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(snp(ents10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["sorted_neighborhood_1x"] = t1["median"]
+        out["sorted_neighborhood_1x"] = t1["min"]
         out["sorted_neighborhood_10x"] = t10
         out["sorted_neighborhood_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # round-7 heavies: HITS on the disjoint-copy graph (per-round
@@ -922,9 +951,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(hits_scores(o10, rounds=2))
         t10 = round(time.perf_counter() - t0, 3)
-        out["hits_scores_1x"] = t1["median"]
+        out["hits_scores_1x"] = t1["min"]
         out["hits_scores_10x"] = t10
-        out["hits_scores_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["hits_scores_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
 
         t1 = _timed(
             lambda: ngram_containment(d1, num_hashes=4, bands=2), runs=2
@@ -932,10 +961,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(ngram_containment(d10, num_hashes=4, bands=2))
         t10 = round(time.perf_counter() - t0, 3)
-        out["ngram_containment_1x"] = t1["median"]
+        out["ngram_containment_1x"] = t1["min"]
         out["ngram_containment_10x"] = t10
         out["ngram_containment_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         # candidate census: wall growth here is CANDIDATE growth (the
         # word-suffixed copies band together within a copy), not plan
@@ -957,20 +986,20 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(feature_hash(d10, "doc_id", "text"))
         t10 = round(time.perf_counter() - t0, 3)
-        out["feature_hash_1x"] = t1["median"]
+        out["feature_hash_1x"] = t1["min"]
         out["feature_hash_10x"] = t10
         out["feature_hash_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         t1 = _timed(lambda: inverted_index(d1), runs=2)
         t0 = time.perf_counter()
         _force(inverted_index(d10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["inverted_index_1x"] = t1["median"]
+        out["inverted_index_1x"] = t1["min"]
         out["inverted_index_10x"] = t10
         out["inverted_index_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # round-7 batch-3 rank-statistics primitive: the two-pass
@@ -1009,10 +1038,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             mann_whitney_u(ev10, "event_type", "value", "click", "error")
         )
         t10 = round(time.perf_counter() - t0, 3)
-        out["mann_whitney_1x"] = t1["median"]
+        out["mann_whitney_1x"] = t1["min"]
         out["mann_whitney_10x"] = t10
         out["mann_whitney_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # r9 stress rows for the remaining heavy headline entries that
@@ -1084,16 +1113,16 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
         dc30 = dc30.repartition(cpus).localCheckpoint()
         t1 = _timed(lambda: corpus(d1), runs=2)
-        t10 = _timed(lambda: corpus(dc10), runs=2)["median"]
-        t30 = _timed(lambda: corpus(dc30), runs=2)["median"]
-        out["corpus_pipeline_1x"] = t1["median"]
+        t10 = _timed(lambda: corpus(dc10), runs=2)["min"]
+        t30 = _timed(lambda: corpus(dc30), runs=2)["min"]
+        out["corpus_pipeline_1x"] = t1["min"]
         out["corpus_pipeline_10x"] = t10
         out["corpus_pipeline_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         out["corpus_pipeline_30x"] = t30
         out["corpus_pipeline_30x_growth"] = round(
-            t30 / max(t1["median"], 1e-9), 1
+            t30 / max(t1["min"], 1e-9), 1
         )
         from etl_orders_to_bq_spark.functions.text import (
             language_id,
@@ -1115,10 +1144,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(neardup(e10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["dedup_embedding_1x"] = t1["median"]
+        out["dedup_embedding_1x"] = t1["min"]
         out["dedup_embedding_10x"] = t10
         out["dedup_embedding_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         # candidate census: within-bucket ordered pairs ARE the
         # operator's work term — wall growth must track this, and a
@@ -1152,10 +1181,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(exact_substring_dedup(d10, min_tokens=15))
         t10 = round(time.perf_counter() - t0, 3)
-        out["exact_substring_1x"] = t1["median"]
+        out["exact_substring_1x"] = t1["min"]
         out["exact_substring_10x"] = t10
         out["exact_substring_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
         for tag, d in (("1x", d1), ("10x", d10)):
             _, hits = _dup_window_hits(d, 15, "text", "doc_id")
@@ -1170,10 +1199,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(perp(d10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["perplexity_buckets_1x"] = t1["median"]
+        out["perplexity_buckets_1x"] = t1["min"]
         out["perplexity_buckets_10x"] = t10
         out["perplexity_buckets_growth"] = round(
-            t10 / max(t1["median"], 1e-9), 1
+            t10 / max(t1["min"], 1e-9), 1
         )
 
         # guard accounting at 10x — caps must be counted, never silent
@@ -1216,9 +1245,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(cdc_chunk_documents(d10))
         t10 = round(time.perf_counter() - t0, 3)
-        out["cdc_chunks_1x"] = t1["median"]
+        out["cdc_chunks_1x"] = t1["min"]
         out["cdc_chunks_10x"] = t10
-        out["cdc_chunks_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["cdc_chunks_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
         for tag, d in (("1x", d1), ("10x", d10)):
             out[f"cdc_chunks_{tag}_chars"] = int(
                 d.agg(F.sum(F.length("text"))).first()[0] or 0
@@ -1265,10 +1294,48 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(k_truss(li4, k=8))
         t4 = round(time.perf_counter() - t0, 3)
-        out["k_truss_1x"] = t1["median"]
-        out["k_truss_1x_distributed"] = t1d["median"]
+        out["k_truss_1x"] = t1["min"]
+        out["k_truss_1x_distributed"] = t1d["min"]
         out["k_truss_4x"] = t4
-        out["k_truss_growth"] = round(t4 / max(t1d["median"], 1e-9), 1)
+        out["k_truss_growth"] = round(t4 / max(t1d["min"], 1e-9), 1)
+
+        # r12: MULTI-ROUND cascade probe — the dense fixtures above
+        # converge in a handful of rounds, so they never exercise the
+        # incremental-maintenance win (advisor r11: the old peel
+        # re-ran the full wedge census every round). The cascade
+        # chain (tests/test_rank_stats_ops.py:_truss_cascade_chain —
+        # path edges at exactly the k=4 support margin, each round's
+        # removal un-supporting the next edge) peels ONE edge per
+        # round per end: n=9 -> 5 rounds, n=33 -> 17 rounds. Growth
+        # at ~3.4x the rounds should be ~linear in rounds (per-round
+        # cost is now bounded by the removed edges' degree sum, not
+        # the census); the old plan was rounds x full census here.
+        def _cascade_edges(n: int):
+            import itertools as _it
+
+            ed = list(_it.combinations(range(6), 2))
+            v = [100 + i for i in range(n)]
+            for i, x in enumerate(v):
+                for c in (0, 1, 2) if i % 2 == 0 else (3, 4, 5):
+                    ed.append((c, x))
+            ed += [(v[i], v[i + 1]) for i in range(n - 1)]
+            ed += [(v[i], v[i + 2]) for i in range(n - 2)]
+            return spark.createDataFrame(
+                ed, "src bigint, dst bigint"
+            ).localCheckpoint()
+
+        c1, c4 = _cascade_edges(9), _cascade_edges(33)
+        t0 = time.perf_counter()
+        _force(k_truss(c1, k=4, local_threshold=None, max_rounds=30))
+        tc1 = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _force(k_truss(c4, k=4, local_threshold=None, max_rounds=30))
+        tc4 = round(time.perf_counter() - t0, 3)
+        out["k_truss_cascade_5r"] = tc1
+        out["k_truss_cascade_17r"] = tc4
+        out["k_truss_cascade_rounds_growth"] = round(
+            tc4 / max(tc1, 1e-9), 1
+        )
         from etl_orders_to_bq_spark.operators.graph import triangle_count
 
         for tag, li in (("1x", li1), ("4x", li4)):
@@ -1317,11 +1384,33 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t0 = time.perf_counter()
         _force(ransac_line(r10, "x", "y", "pid", eps=2.0))
         t10 = round(time.perf_counter() - t0, 3)
-        out["ransac_1x"] = t1["median"]
+        out["ransac_1x"] = t1["min"]
         out["ransac_10x"] = t10
-        out["ransac_growth"] = round(t10 / max(t1["median"], 1e-9), 1)
+        out["ransac_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
         out["ransac_1x_rows"] = r1.count()
         out["ransac_10x_rows"] = r10.count()
+
+        # r12 (advisor): the subsample-scored variant — trials score
+        # on the deterministic 1/16 subset, only the argmax line is
+        # re-counted on the full data, so scoring work drops ~16x and
+        # the 10x growth should read near-overhead instead of the
+        # exhaustive path's work-dominated ~10
+        t1s = _timed(
+            lambda: ransac_line(
+                r1, "x", "y", "pid", eps=2.0, subsample_mod=16
+            ),
+            runs=2,
+        )
+        t0 = time.perf_counter()
+        _force(
+            ransac_line(r10, "x", "y", "pid", eps=2.0, subsample_mod=16)
+        )
+        t10s = round(time.perf_counter() - t0, 3)
+        out["ransac_sub16_1x"] = t1s["min"]
+        out["ransac_sub16_10x"] = t10s
+        out["ransac_sub16_growth"] = round(
+            t10s / max(t1s["min"], 1e-9), 1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1352,14 +1441,41 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in HEADLINE:
-        d = _timed(
-            lambda n=name: qs[n](spark, sf_dir),
-            runs=3,
-            rebuild=name in ITERATIVE,
-        )
-        timings[name] = d["median"]
-        detail[name] = d
+    # Interleaved passes: pass p runs every query once, so a transient
+    # host-load burst hits at most one of each query's three samples.
+    # Non-iterative queries reuse one built frame across passes (plan
+    # construction is not the thing being timed); ITERATIVE entries
+    # rebuild per run because their work happens at construction.
+    _canary(spark)  # untimed probe warmup: the first range-sum pays
+    # codegen + numpy thread-pool spinup; without this the start
+    # sample reads 5-7x the steady state and the spread false-flags
+    # a quiet host
+    canary_samples = [_canary(spark)]
+    run_lists: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    frames: dict[str, object] = {}
+    n_passes = 3
+    for p in range(n_passes):
+        for name in HEADLINE:
+            if name in ITERATIVE:
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+            else:
+                if name not in frames:
+                    frames[name] = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                _force(frames[name])
+            run_lists[name].append(round(time.perf_counter() - t0, 3))
+        if p == n_passes - 2:
+            canary_samples.append(_canary(spark))
+    canary_samples.append(_canary(spark))
+    frames.clear()
+    for name, ts in run_lists.items():
+        detail[name] = {
+            "median": round(statistics.median(ts), 3),
+            "min": round(min(ts), 3),
+            "runs": ts,
+        }
+        timings[name] = detail[name]["min"]
 
     # end-to-end reference-parity pipeline (CSV scan -> repair -> dedup
     # -> clean -> broadcast join -> parquet sink) on the reference data;
@@ -1389,7 +1505,7 @@ def main() -> None:
             "min": round(min(ts), 3),
             "runs": ts,
         }
-        timings["orders_pipeline_e2e"] = d["median"]
+        timings["orders_pipeline_e2e"] = d["min"]
         detail["orders_pipeline_e2e"] = d
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1421,7 +1537,7 @@ def main() -> None:
 
     def stress_timed(name: str, build, rebuild: bool = True) -> None:
         d = _timed(build, runs=3, rebuild=rebuild)
-        stress[name] = d["median"]
+        stress[name] = d["min"]
         stress_detail[name] = d
 
     for fn in ("md5", "xxhash64", "numpy"):
@@ -1596,6 +1712,20 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         stress_sf1 = _sf1_stress(spark, sf_dir, int(cpus))
 
+    # final canary sample after ALL timed work (the middle samples
+    # bracket the headline passes; this one brackets stress + sf1)
+    canary_samples.append(_canary(spark))
+    canary = {
+        "probe": "512x512 numpy matmul x8 (single-thread) + "
+                 "spark.range(20M) sum collect",
+        "samples": canary_samples,
+        "spread": round(
+            max(s["jvm_sec"] for s in canary_samples)
+            / max(min(s["jvm_sec"] for s in canary_samples), 1e-9),
+            2,
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     # The round driver captures only the LAST ~2 KB of stdout (r7/r8
     # BENCH records came back parsed:null because the one fat JSON
@@ -1615,6 +1745,7 @@ def main() -> None:
         "stress": stress,
         "stress_detail": stress_detail,
         "stress_sf1": stress_sf1,
+        "canary": canary,
         "sf": sf,
     }
     print(json.dumps(full))
@@ -1644,6 +1775,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qmap,
                 "full": "BENCH_full.json",
+                "canary_spread": canary["spread"],
                 "sf": sf,
             },
             separators=(",", ":"),
