@@ -108,3 +108,56 @@ def test_pushdown_reaches_scan_on_fact_queries(spark):
         "projection pruning lost: scan reads l_comment for a "
         "3-column aggregate"
     )
+
+
+def _committed_sh_bytes():
+    """name -> sh-bytes as committed in PLANS.md (the plan-volume
+    baseline the r11 verdict asked to gate against)."""
+    out = {}
+    with open(os.path.join(HERE, "PLANS.md")) as fh:
+        for line in fh:
+            if not line.startswith("| "):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) != 8 or cells[0] in ("query", "---"):
+                continue
+            try:
+                out[cells[0]] = int(cells[7])
+            except ValueError:
+                continue
+    return out
+
+
+def test_shuffle_volume_within_3x_of_committed_plans(spark):
+    """r11 verdict #8: a refactor that re-inlines a scan, loses a
+    broadcast, or starts shuffling text instead of fingerprints shows
+    up first as shuffle VOLUME. Gate the heaviest committed shufflers
+    (top 15 by sh-bytes in PLANS.md, plus the EXPENSIVE set) at 3x
+    their committed sh-bytes, with a 4 KiB floor so byte-level jitter
+    on near-empty exchanges never trips it."""
+    import plan_audit
+
+    import __spark_entry__ as entry
+
+    committed = _committed_sh_bytes()
+    assert len(committed) > 300, "PLANS.md parse failed"
+    top = sorted(committed, key=committed.get, reverse=True)[:15]
+    names = sorted(set(top) | set(EXPENSIVE))
+    qs = entry.queries()
+    failures = []
+    for name in names:
+        if name not in qs or name not in committed:
+            continue
+        summary, plan = plan_audit._audit_one(spark, qs[name], SF_DIR)
+        if "EmptyRelation" in plan and os.path.isdir(SF_FALLBACK):
+            summary, plan = plan_audit._audit_one(
+                spark, qs[name], SF_FALLBACK
+            )
+        got = summary[6]
+        ceiling = max(3 * committed[name], 4096)
+        if got > ceiling:
+            failures.append(
+                f"{name}: shuffle bytes {got} > ceiling {ceiling} "
+                f"(committed {committed[name]})"
+            )
+    assert not failures, "; ".join(failures)
