@@ -8967,7 +8967,8 @@ def q_ransac_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_lm_oracle_sql(
-    seed_size: int, vocab_size: int, rounds: int, mp: int, mw: int
+    seed_size: int, vocab_size: int, rounds: int, mp: int, mw: int,
+    final: str = "vocab",
 ) -> str:
     """DuckDB replay of unigram_lm_train (operators/lm.py): the hard-EM
     Viterbi loop with the DP UNROLLED into mw pure-projection steps per
@@ -9089,6 +9090,72 @@ def _unigram_lm_oracle_sql(
           select piece, 1::bigint as c from chars
           where piece not in (select piece from top{r})
         )"""
+    if final == "encode":
+        # one more Viterbi pass under the FINAL vocabulary, output in
+        # the wordpiece_segment shape (pieces left-to-right, so the
+        # end->start backtrack list reverses once)
+        r = rounds + 1
+        prev = f"vocab{rounds}"
+        sql += f""",
+        probs{r} as materialized (
+          select piece,
+                 c::double / (select sum(c)::double from {prev}) as prob
+          from {prev}
+        ),
+        pm{r} as materialized (
+          select c.w,
+                 map_from_entries(list(struct_pack(
+                   k := ((c.pos + c.l - 1) * {K} + c.l)::bigint,
+                   v := p.prob))) as m
+          from cand c join probs{r} p using (piece)
+          group by c.w
+        ),
+        fwd{r}_0 as materialized (
+          select w.w, w.n, w.len, p.m,
+                 [struct_pack(s := 1.0, bl := 0)] as dp
+          from words w join pm{r} p using (w)
+        )"""
+        for k in range(1, mw + 1):
+            cands = ", ".join(cand(k, l) for l in range(1, mp + 1))
+            sql += f""",
+        fwd{r}_{k} as materialized (
+          select w, n, len, m,
+            case when len < {k} then dp else list_append(dp,
+              coalesce(list_reduce(
+                list_filter([{cands}], x -> x.bl is not null),
+                (a, b) -> case when b.s > a.s
+                                 or (b.s = a.s and b.bl > a.bl)
+                          then b else a end),
+                struct_pack(s := -1.0, bl := 0))) end as dp
+          from fwd{r}_{k - 1}
+        )"""
+        sql += f""",
+        bt{r}_0 as materialized (
+          select w, n, len as pos, dp,
+                 cast([] as varchar[]) as ps
+          from fwd{r}_{mw}
+        )"""
+        for k in range(1, mw + 1):
+            sql += f""",
+        bt{r}_{k} as materialized (
+          select w, n,
+            case when pos <= 0 then pos
+                 else pos - list_extract(dp, pos + 1).bl end as pos,
+            dp,
+            case when pos <= 0 then ps
+                 else list_append(ps, substr(w,
+                   (pos - list_extract(dp, pos + 1).bl + 1)::int,
+                   list_extract(dp, pos + 1).bl::int)) end as ps
+          from bt{r}_{k - 1}
+        )"""
+        sql += f"""
+        select w as word, n,
+               len(ps)::bigint as n_pieces,
+               array_to_string(list_reverse(ps), ' ') as pieces
+        from bt{r}_{mw}
+        order by n desc, word
+    """
+        return sql
     sql += f"""
         select piece, c as "count",
                round(c::double / (select sum(c)::double from
@@ -9113,6 +9180,85 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_train(
         d, "text", seed_size=40, vocab_size=16, rounds=3,
         max_piece=4, max_word=16,
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi segmentation of the distinct words under the trained
+    unigram LM (operators/lm.py unigram_encode) — the encode half of
+    the bpe_train/bpe_encode pairing; same fit as unigram_lm plus one
+    final DP pass, output in the wordpiece_segment shape."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_encode(
+        d, "text", seed_size=40, vocab_size=16, rounds=3,
+        max_piece=4, max_word=16,
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square + Cramér's V between order status and
+    priority (operators/multitest.py chi2_independence): exact
+    decimal(38,0) cell numerators, one double division per cell,
+    SORTED fold over the bounded category grid."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        chi2_independence,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of account balances across market segments
+    (operators/multitest.py mood_median_test): exact lower grand
+    median from the fused two-pass cumsum, k x 2 above/not-above
+    table, exact-integer chi-square cells, sorted fold."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        mood_median_test,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return mood_median_test(c, "c_mktsegment", "c_acctbal")
+
+
+def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity of extended prices
+    (operators/audit.py benford_digits): digits from the decimal
+    STRING (never log10), expected probabilities as fixed shared
+    literals, chi2 + Nigrini MAD via one sorted 9-row fold."""
+    from etl_orders_to_bq_spark.operators.audit import benford_digits
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_digits(li, "l_extendedprice")
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift location over the daily event value series
+    (operators/timeseries.py cusum_changepoint): the argmax of
+    |n*cum_t - t*total| compares exact decimal(38,0) integers —
+    no float enters the location decision."""
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(e, "ts", "value")
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary functional-dependency mining over four orders columns
+    (operators/profile.py fd_discovery): A -> B iff
+    |distinct A| = |distinct (A,B)|, with the violating-determinant
+    census from the same groupBy — the KEY-structure complement to
+    inclusion_dependencies."""
+    from etl_orders_to_bq_spark.operators.profile import fd_discovery
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_discovery(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
 
 
@@ -9500,6 +9646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-verified (new work leads the snapshot) --
         "ransac_subsampled": q_ransac_subsampled,
         "unigram_lm": q_unigram_lm,
+        "unigram_encode": q_unigram_encode,
+        "cramers_v": q_cramers_v,
+        "mood_median": q_mood_median,
+        "benford_mad": q_benford_mad,
+        "cusum_changepoint": q_cusum_changepoint,
+        "fd_discovery": q_fd_discovery,
         # -- last driver-verified in round 3 --
         "fuzzy_join": q_fuzzy_join,
         "udtf_sentences": q_udtf_sentences,
@@ -20665,6 +20817,319 @@ def oracle_sql() -> dict[str, str]:
     """
 
     out["unigram_lm"] = _unigram_lm_oracle_sql(40, 16, 3, 4, 16)
+    out["unigram_encode"] = _unigram_lm_oracle_sql(
+        40, 16, 3, 4, 16, final="encode"
+    )
+
+    out["cramers_v"] = """
+        with base as (
+          select cast(o_orderstatus as varchar) as a,
+                 cast(o_orderpriority as varchar) as b
+          from orders
+          where o_orderstatus is not null
+            and o_orderpriority is not null
+        ),
+        cells as (
+          select a, b, count(*)::bigint as n from base group by a, b
+        ),
+        ra as (select a, sum(n)::bigint as r from cells group by a),
+        cb as (select b, sum(n)::bigint as c from cells group by b),
+        grid as (
+          select ra.a, cb.b, coalesce(cells.n, 0)::bigint as n,
+                 ra.r, cb.c
+          from ra cross join cb
+          left join cells on cells.a = ra.a and cells.b = cb.b
+        ),
+        folded as (
+          select count(distinct a)::bigint as n_rows,
+                 count(distinct b)::bigint as n_cols,
+                 sum(n)::bigint as n,
+                 list(struct_pack(a := a, b := b, n := n,
+                                  r := r, c := c)
+                      order by a, b, n, r, c) as cells
+          from grid
+        ),
+        stat as (
+          select n, n_rows, n_cols,
+                 (n_rows - 1) * (n_cols - 1) as dof,
+                 list_reduce(list_transform(cells, t ->
+                   cast((n::hugeint * t.n::hugeint
+                         - t.r::hugeint * t.c::hugeint)
+                        * (n::hugeint * t.n::hugeint
+                           - t.r::hugeint * t.c::hugeint) as double)
+                   / cast(n::hugeint * t.r::hugeint * t.c::hugeint
+                          as double)),
+                   (acc, v) -> acc + v) as chi2_raw
+          from folded
+        )
+        select n, n_rows, n_cols, cast(dof as bigint) as dof,
+               case when dof > 0 and n > 0
+                    then round(chi2_raw, 6) end as chi2,
+               case when dof > 0 and n > 0 then
+                 round(sqrt(round(chi2_raw, 6)
+                   / (n::double
+                      * least(n_rows - 1, n_cols - 1)::double)), 6)
+               end as cramers_v
+        from stat
+    """
+
+    _mood_p = norm_sf_sql("sqrt(chi2)")
+    out["mood_median"] = f"""
+        with filt as (
+          select cast(c_mktsegment as varchar) as g,
+                 cast(c_acctbal as decimal(18,2)) as v
+          from customer
+          where c_mktsegment is not null and c_acctbal is not null
+        ),
+        vt as (select v, count(*)::bigint as nt from filt group by v),
+        cum as (
+          select v, nt,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as below
+          from vt
+        ),
+        tot as (select count(*)::bigint as N from filt),
+        med as (
+          select v as med from cum, tot
+          where below + nt >= (N + 1) // 2
+          order by v limit 1
+        ),
+        split as (
+          select g,
+                 sum(case when v > med then 1 else 0 end)::bigint
+                   as ab,
+                 sum(case when v <= med then 1 else 0 end)::bigint
+                   as le
+          from filt, med group by g
+        ),
+        folded as (
+          select count(*)::bigint as k_groups,
+                 sum(ab + le)::bigint as n,
+                 sum(ab)::bigint as n_above,
+                 list(struct_pack(g := g, ab := ab, le := le)
+                      order by g, ab, le) as rows_
+          from split
+        ),
+        stat as (
+          select n, k_groups, n_above,
+                 list_reduce(list_transform(rows_, t ->
+                   cast((n::hugeint * t.ab::hugeint
+                         - (t.ab + t.le)::hugeint * n_above::hugeint)
+                        * (n::hugeint * t.ab::hugeint
+                           - (t.ab + t.le)::hugeint
+                             * n_above::hugeint) as double)
+                   / cast(n::hugeint * (t.ab + t.le)::hugeint
+                          * n_above::hugeint as double)
+                   + cast((n::hugeint * t.le::hugeint
+                           - (t.ab + t.le)::hugeint
+                             * (n - n_above)::hugeint)
+                          * (n::hugeint * t.le::hugeint
+                             - (t.ab + t.le)::hugeint
+                               * (n - n_above)::hugeint) as double)
+                   / cast(n::hugeint * (t.ab + t.le)::hugeint
+                          * (n - n_above)::hugeint as double)),
+                   (acc, v) -> acc + v) as chi2_raw
+          from folded
+        ),
+        res as (
+          select n, k_groups,
+                 cast(med as double) as grand_median, n_above,
+                 case when k_groups > 1 and n_above > 0
+                       and n_above < n
+                      then round(chi2_raw, 6) end as chi2,
+                 case when k_groups > 1
+                      then cast(k_groups - 1 as bigint) end as df
+          from stat, med
+        )
+        select n, k_groups, grand_median, n_above, chi2, df,
+               case when k_groups = 2 and chi2 is not null
+                    then round(least(1.0, 2.0 * {_mood_p}), 6)
+               end as p_value
+        from res
+    """
+
+    from etl_orders_to_bq_spark.operators.audit import BENFORD_P
+
+    _bp = ", ".join(
+        f"({d + 1}, {p!r})" for d, p in enumerate(BENFORD_P)
+    )
+    out["benford_mad"] = f"""
+        with digits as (
+          select d::varchar as d, e
+          from (values {_bp}) v(d, e)
+        ),
+        base as (
+          select regexp_extract(
+                   cast(abs(cast(l_extendedprice as decimal(18,2)))
+                        as varchar), '[1-9]', 0) as d
+          from lineitem
+        ),
+        obs as (
+          select d, count(*)::bigint as n from base
+          where d <> '' group by d
+        ),
+        grid as (
+          select digits.d, digits.e, coalesce(obs.n, 0)::bigint as n
+          from digits left join obs using (d)
+        ),
+        folded as (
+          select sum(n)::bigint as N,
+                 list(struct_pack(d := d, n := n, e := e)
+                      order by d, n, e) as rows_
+          from grid
+        ),
+        stat as (
+          select N,
+                 list_reduce(list_transform(rows_, t ->
+                   (t.n::double / N::double - t.e)
+                   * (t.n::double / N::double - t.e) / t.e),
+                   (acc, v) -> acc + v) * N::double as chi2_raw,
+                 list_reduce(list_transform(rows_, t ->
+                   abs(t.n::double / N::double - t.e)),
+                   (acc, v) -> acc + v) / 9.0 as mad_raw
+          from folded
+        )
+        select cast(g.d as int) as digit, g.n as n_obs,
+               case when s.N > 0
+                    then round(g.n::double / s.N::double, 6)
+               end as p_obs,
+               round(g.e, 6) as p_expected,
+               case when s.N > 0 then round(s.chi2_raw, 6) end as chi2,
+               case when s.N > 0 then round(s.mad_raw, 6) end as mad
+        from grid g, stat s
+        order by digit
+    """
+
+    out["cusum_changepoint"] = """
+        with daily as (
+          select cast(ts as date) as day,
+                 sum(cast(cast(value as decimal(18,2)) * 100
+                          as bigint))::bigint as cents
+          from events
+          where ts is not null and value is not null
+          group by 1
+        ),
+        cum as (
+          select day,
+                 row_number() over (order by day) as t,
+                 sum(cents) over (order by day
+                   rows between unbounded preceding
+                   and current row) as cum
+          from daily
+        ),
+        tot as (
+          select count(*)::bigint as n, sum(cents)::bigint as tot
+          from daily
+        ),
+        scored as (
+          select day, t, cum, n, tot,
+                 abs(n::hugeint * cum::hugeint
+                     - t::hugeint * tot::hugeint) as ns_abs
+          from cum, tot
+        ),
+        best as (
+          select * from scored where t < n
+          order by ns_abs desc, day limit 1
+        )
+        select tot.n as n_days, best.day as change_day,
+               case when best.day is not null then
+                 round(cast(best.ns_abs as double)
+                       / (tot.n::double * 100.0), 6) end as cusum_max,
+               case when best.day is not null then
+                 round(best.cum::double
+                       / (best.t::double * 100.0), 6)
+               end as mean_before,
+               case when best.day is not null then
+                 round((tot.tot - best.cum)::double
+                       / ((tot.n - best.t)::double * 100.0), 6)
+               end as mean_after
+        from tot left join best on true
+    """
+
+    out["fd_discovery"] = """
+        with cols as (
+          select cast(o_orderkey as varchar) as c1,
+                 cast(o_custkey as varchar) as c2,
+                 cast(o_orderstatus as varchar) as c3,
+                 cast(o_orderpriority as varchar) as c4
+          from orders
+        ),
+        longf as (
+          select 'o_orderkey' as col, c1 as v, c2, c3, c4 from cols
+        ),
+        pairs as (
+          select det, dep, a, nb from (
+            select 'o_orderkey' as det, 'o_custkey' as dep,
+                   c1 as a, count(distinct c2) as nb
+            from cols where c1 is not null and c2 is not null
+            group by c1
+            union all
+            select 'o_orderkey', 'o_orderstatus', c1,
+                   count(distinct c3)
+            from cols where c1 is not null and c3 is not null
+            group by c1
+            union all
+            select 'o_orderkey', 'o_orderpriority', c1,
+                   count(distinct c4)
+            from cols where c1 is not null and c4 is not null
+            group by c1
+            union all
+            select 'o_custkey', 'o_orderkey', c2, count(distinct c1)
+            from cols where c2 is not null and c1 is not null
+            group by c2
+            union all
+            select 'o_custkey', 'o_orderstatus', c2,
+                   count(distinct c3)
+            from cols where c2 is not null and c3 is not null
+            group by c2
+            union all
+            select 'o_custkey', 'o_orderpriority', c2,
+                   count(distinct c4)
+            from cols where c2 is not null and c4 is not null
+            group by c2
+            union all
+            select 'o_orderstatus', 'o_orderkey', c3,
+                   count(distinct c1)
+            from cols where c3 is not null and c1 is not null
+            group by c3
+            union all
+            select 'o_orderstatus', 'o_custkey', c3,
+                   count(distinct c2)
+            from cols where c3 is not null and c2 is not null
+            group by c3
+            union all
+            select 'o_orderstatus', 'o_orderpriority', c3,
+                   count(distinct c4)
+            from cols where c3 is not null and c4 is not null
+            group by c3
+            union all
+            select 'o_orderpriority', 'o_orderkey', c4,
+                   count(distinct c1)
+            from cols where c4 is not null and c1 is not null
+            group by c4
+            union all
+            select 'o_orderpriority', 'o_custkey', c4,
+                   count(distinct c2)
+            from cols where c4 is not null and c2 is not null
+            group by c4
+            union all
+            select 'o_orderpriority', 'o_orderstatus', c4,
+                   count(distinct c3)
+            from cols where c4 is not null and c3 is not null
+            group by c4
+          )
+        )
+        select det, dep,
+               count(*)::bigint as n_distinct_det,
+               sum(nb)::bigint as n_distinct_pair,
+               sum(case when nb > 1 then 1 else 0 end)::bigint
+                 as n_violating_det,
+               sum(case when nb > 1 then 1 else 0 end) = 0 as holds
+        from pairs
+        group by det, dep
+        order by det, dep
+    """
 
 
 

@@ -207,3 +207,109 @@ def join_cardinality(
             ).alias("skew_share"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d): transcendental,
+# so they are FIXED SHARED LITERALS (computed once here, embedded
+# identically in the SQL oracle) rather than engine log() calls —
+# the norm_sf discipline.
+BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit conformity audit (Newcomb 1881 /
+    Benford 1938; Nigrini's MAD bands, public literature) — the
+    classic fabricated-amounts screen: organically-grown magnitudes
+    follow p(d) = log10(1 + 1/d), invented ones rarely do.
+
+    The first significant digit comes from the value's DECIMAL STRING
+    (cast to decimal(18,2), regexp for the first [1-9]) — never from
+    log10/pow, which are engine-dependent; zero and null values carry
+    no significant digit and are excluded (reported). Expected
+    probabilities are fixed shared literals (``BENFORD_P``). Reported
+    per digit: observed count, observed/expected proportions; summary
+    columns replicate on each row (the roc_curve shape): chi2 =
+    N * sum (o_d - e_d)^2 / e_d via one sorted fold over the 9-row
+    digit table, and MAD = mean |o_d - e_d| (Nigrini's conformity
+    measure, <= 0.006 "close", >= 0.015 "nonconformity").
+
+    Output: 9 rows ``(digit, n_obs, p_obs, p_expected, chi2, mad)``
+    ordered by digit (digits with zero observations still appear).
+
+    Scale: one map-side-combinable 9-bucket census; everything after
+    runs on 9 rows. No counterpart in the reference engine
+    (SURVEY.md §2.2).
+    """
+    first = F.regexp_extract(
+        F.abs(F.col(value_col).cast("decimal(18,2)")).cast("string"),
+        "[1-9]",
+        0,
+    )
+    base = df.select(first.alias("__d")).filter(F.col("__d") != "")
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("string").alias("__d"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_P]),
+            F.col("id").cast("int"),
+        ).alias("__e"),
+    )
+    obs = base.groupBy("__d").agg(F.count("*").alias("__n"))
+    grid = digits.join(obs, "__d", "left").select(
+        "__d", "__e", F.coalesce(F.col("__n"), F.lit(0)).alias("__n")
+    )
+    folded = F.broadcast(
+        grid.agg(
+            F.sum("__n").cast("long").alias("__bn"),
+            F.sort_array(
+                F.collect_list(F.struct("__d", "__n", "__e"))
+            ).alias("__rows"),
+        )
+    )
+    po = lambda s_: (  # noqa: E731
+        s_["__n"].cast("double") / F.col("__bn").cast("double")
+    )
+    chi2 = F.aggregate(
+        F.col("__rows"),
+        F.lit(0.0),
+        lambda acc, s_: acc
+        + (po(s_) - s_["__e"]) * (po(s_) - s_["__e"]) / s_["__e"],
+    ) * F.col("__bn").cast("double")
+    mad = (
+        F.aggregate(
+            F.col("__rows"),
+            F.lit(0.0),
+            lambda acc, s_: acc + F.abs(po(s_) - s_["__e"]),
+        )
+        / 9.0
+    )
+    return (
+        grid.crossJoin(folded)
+        .select(
+            F.col("__d").cast("int").alias("digit"),
+            F.col("__n").cast("long").alias("n_obs"),
+            F.when(
+                F.col("__bn") > 0,
+                F.round(
+                    F.col("__n").cast("double")
+                    / F.col("__bn").cast("double"),
+                    ndigits,
+                ),
+            ).alias("p_obs"),
+            F.round(F.col("__e"), ndigits).alias("p_expected"),
+            F.when(F.col("__bn") > 0, F.round(chi2, ndigits)).alias(
+                "chi2"
+            ),
+            F.when(F.col("__bn") > 0, F.round(mad, ndigits)).alias(
+                "mad"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -2038,6 +2038,235 @@ def hill_diversity(
     )
 
 
+def _unigram_viterbi_dp(words: DataFrame, pm: DataFrame, mp: int):
+    """Forward Viterbi DP shared by ``unigram_lm_train`` and
+    ``unigram_encode``: given the distinct-word table and the per-word
+    key->prob map (key = end_pos * (mp+1) + piece_len), append the
+    1-based dp array of (score, back_len) structs — dp[i] = the best
+    (max score, ties to the LONGER final piece) segmentation of the
+    word's first i chars. Fixed-order IEEE double products only."""
+    return words.join(pm, "__w").withColumn(
+        "__dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("__len")),
+            F.array(
+                F.struct(
+                    F.lit(1.0).alias("s"),
+                    F.lit(0).cast("int").alias("bl"),
+                )
+            ),
+            lambda acc, i: F.concat(
+                acc,
+                F.array(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.least(F.lit(mp), i)),
+                        F.struct(
+                            F.lit(-1.0).alias("s"),
+                            F.lit(0).cast("int").alias("bl"),
+                        ),
+                        lambda best, l: F.when(
+                            F.element_at(
+                                F.col("__pm"), i * (mp + 1) + l
+                            ).isNull(),
+                            best,
+                        ).otherwise(
+                            F.when(
+                                (
+                                    F.element_at(acc, i - l + 1)["s"]
+                                    * F.element_at(
+                                        F.col("__pm"),
+                                        i * (mp + 1) + l,
+                                    )
+                                    > best["s"]
+                                )
+                                | (
+                                    (
+                                        F.element_at(acc, i - l + 1)[
+                                            "s"
+                                        ]
+                                        * F.element_at(
+                                            F.col("__pm"),
+                                            i * (mp + 1) + l,
+                                        )
+                                        == best["s"]
+                                    )
+                                    & (l > best["bl"])
+                                ),
+                                F.struct(
+                                    (
+                                        F.element_at(acc, i - l + 1)[
+                                            "s"
+                                        ]
+                                        * F.element_at(
+                                            F.col("__pm"),
+                                            i * (mp + 1) + l,
+                                        )
+                                    ).alias("s"),
+                                    l.cast("int").alias("bl"),
+                                ),
+                            ).otherwise(best)
+                        ),
+                    )
+                ),
+            ),
+        ),
+    )
+
+
+def _unigram_backtrack(col_w, col_len, col_dp):
+    """Walk the dp back-lengths from the end of the word, collecting
+    pieces in REVERSE (end -> start) order — counting callers don't
+    care, segmentation callers reverse once."""
+    return F.aggregate(
+        F.sequence(F.lit(1), col_len),
+        F.struct(
+            col_len.cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        lambda acc, _i: F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                (
+                    acc["pos"]
+                    - F.element_at(col_dp, acc["pos"] + 1)["bl"]
+                ).cast("int").alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.substring(
+                            col_w,
+                            acc["pos"]
+                            - F.element_at(col_dp, acc["pos"] + 1)[
+                                "bl"
+                            ]
+                            + 1,
+                            F.element_at(col_dp, acc["pos"] + 1)[
+                                "bl"
+                            ],
+                        )
+                    ),
+                ).alias("ps"),
+            )
+        ),
+    )["ps"]
+
+
+def _unigram_fit(
+    df: DataFrame,
+    text_col: str,
+    seed_size: int,
+    vocab_size: int,
+    rounds: int,
+    mp: int,
+    mw: int,
+):
+    """Shared trainer: returns (words, cand, final vocab). See
+    unigram_lm_train for the algorithm contract."""
+    from .staging import stage
+
+    toks = df.select(
+        F.explode(tokenize(normalize_text(text_col))).alias("__w")
+    )
+    words = stage(
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.length("__w") <= mw) & (F.length("__w") >= 1))
+        .withColumn("__len", F.length("__w")),
+        None,
+        "uni_words",
+    )
+    cand = stage(
+        words.select(
+            "__w",
+            "__n",
+            "__len",
+            F.explode(F.sequence(F.lit(1), F.col("__len"))).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            "__w",
+            "__n",
+            "__pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(mp), F.col("__len") - F.col("__pos") + 1
+                    ),
+                )
+            ).alias("__l"),
+        )
+        .withColumn(
+            "__piece", F.substring("__w", F.col("__pos"), F.col("__l"))
+        ),
+        None,
+        "uni_cand",
+    )
+    chars = cand.filter(F.col("__l") == 1).select("__piece").distinct()
+    seed = (
+        cand.groupBy("__piece")
+        .agg(F.sum("__n").alias("__c"))
+        .orderBy(F.desc("__c"), "__piece")
+        .limit(seed_size)
+    )
+    vocab = stage(
+        seed.unionByName(
+            chars.join(seed.select("__piece"), "__piece", "left_anti")
+            .select("__piece", F.lit(1).cast("long").alias("__c"))
+        ),
+        None,
+        "uni_vocab0",
+    )
+    for rnd in range(rounds):
+        pm = _unigram_prob_map(cand, vocab, mp)
+        seg = _unigram_viterbi_dp(words, pm, mp)
+        pieces = seg.select(
+            "__w",
+            "__n",
+            F.explode(
+                _unigram_backtrack(
+                    F.col("__w"), F.col("__len"), F.col("__dp")
+                )
+            ).alias("__piece"),
+        )
+        newc = pieces.groupBy("__piece").agg(F.sum("__n").alias("__c"))
+        top = newc.orderBy(F.desc("__c"), "__piece").limit(vocab_size)
+        vocab = stage(
+            top.unionByName(
+                chars.join(
+                    top.select("__piece"), "__piece", "left_anti"
+                ).select("__piece", F.lit(1).cast("long").alias("__c"))
+            ),
+            None,
+            f"uni_vocab{rnd + 1}",
+        )
+    return words, cand, vocab
+
+
+def _unigram_prob_map(cand: DataFrame, vocab: DataFrame, mp: int):
+    """Per-word DP lookup map from the current vocabulary: key =
+    end_pos * (mp+1) + piece_len -> p = c / T (double)."""
+    tot = F.broadcast(
+        vocab.agg(F.sum("__c").cast("double").alias("__T"))
+    )
+    probs = vocab.crossJoin(tot).select(
+        "__piece",
+        (F.col("__c").cast("double") / F.col("__T")).alias("__prob"),
+    )
+    ent = cand.join(F.broadcast(probs), "__piece").select(
+        "__w",
+        (
+            (F.col("__pos") + F.col("__l") - 1) * (mp + 1) + F.col("__l")
+        ).alias("__k"),
+        "__prob",
+    )
+    return ent.groupBy("__w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__k", "__prob"))
+        ).alias("__pm")
+    )
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str = "text",
@@ -2085,223 +2314,65 @@ def unigram_lm_train(
     driver-free folds — the loop shuffles (piece, count) pairs only.
     No counterpart in the reference engine (SURVEY.md §2.2).
     """
-    from .staging import stage
-
-    mp = int(max_piece)
-    toks = df.select(
-        F.explode(tokenize(normalize_text(text_col))).alias("__w")
+    _, _, vocab = _unigram_fit(
+        df, text_col, int(seed_size), int(vocab_size), int(rounds),
+        int(max_piece), int(max_word),
     )
-    words = stage(
-        toks.groupBy("__w")
-        .agg(F.count("*").alias("__n"))
-        .filter(
-            (F.length("__w") <= int(max_word)) & (F.length("__w") >= 1)
-        )
-        .withColumn("__len", F.length("__w")),
-        None,
-        "uni_words",
+    tot = F.broadcast(
+        vocab.agg(F.sum("__c").cast("double").alias("__T"))
     )
-
-    # candidate (pos, len) substrings per distinct word — reused every
-    # round for the DP join (pos is the piece's START, 1-based)
-    cand = words.select(
-        "__w",
-        "__n",
-        "__len",
-        F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__pos"),
-    ).select(
-        "__w",
-        "__n",
-        "__pos",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.least(F.lit(mp), F.col("__len") - F.col("__pos") + 1),
-            )
-        ).alias("__l"),
-    ).withColumn(
-        "__piece", F.substring("__w", F.col("__pos"), F.col("__l"))
-    )
-    cand = stage(cand, None, "uni_cand")
-
-    # required single characters (always kept, floor count 1)
-    chars = cand.filter(F.col("__l") == 1).select("__piece").distinct()
-
-    # seed: occurrence-weighted substring counts, top seed_size
-    seed = (
-        cand.groupBy("__piece")
-        .agg(F.sum("__n").alias("__c"))
-        .orderBy(F.desc("__c"), "__piece")
-        .limit(int(seed_size))
-    )
-    vocab = stage(
-        seed.unionByName(
-            chars.join(seed.select("__piece"), "__piece", "left_anti")
-            .select("__piece", F.lit(1).cast("long").alias("__c"))
-        ),
-        None,
-        "uni_vocab0",
-    )
-
-    for rnd in range(int(rounds)):
-        tot = F.broadcast(
-            vocab.agg(F.sum("__c").cast("double").alias("__T"))
-        )
-        probs = vocab.crossJoin(tot).select(
-            "__piece",
-            (F.col("__c").cast("double") / F.col("__T")).alias("__prob"),
-        )
-        # per-word DP lookup map: key = end_pos * (mp+1) + piece_len
-        ent = cand.join(F.broadcast(probs), "__piece").select(
-            "__w",
-            (
-                (F.col("__pos") + F.col("__l") - 1) * (mp + 1)
-                + F.col("__l")
-            ).alias("__k"),
-            "__prob",
-        )
-        pm = ent.groupBy("__w").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__k", "__prob"))
-            ).alias("__pm")
-        )
-        # forward DP: dp[i] = best (score, piece_len) over l of
-        # dp[i-l] * p(piece ending at i with length l); dp[0] = 1.0.
-        # acc is the 1-based dp array (dp[j] at element j+1); ties
-        # prefer the LONGER final piece — fixed lexicographic
-        # (score, l) max, identical in the oracle's order by
-        seg = words.join(pm, "__w").withColumn(
-            "__dp",
-            F.aggregate(
-                F.sequence(F.lit(1), F.col("__len")),
-                F.array(
-                    F.struct(
-                        F.lit(1.0).alias("s"),
-                        F.lit(0).cast("int").alias("bl"),
-                    )
-                ),
-                lambda acc, i: F.concat(
-                    acc,
-                    F.array(
-                        F.aggregate(
-                            F.sequence(F.lit(1), F.least(F.lit(mp), i)),
-                            F.struct(
-                                F.lit(-1.0).alias("s"),
-                                F.lit(0).cast("int").alias("bl"),
-                            ),
-                            lambda best, l: F.when(
-                                F.element_at(
-                                    F.col("__pm"), i * (mp + 1) + l
-                                ).isNull(),
-                                best,
-                            ).otherwise(
-                                F.when(
-                                    (
-                                        F.element_at(acc, i - l + 1)["s"]
-                                        * F.element_at(
-                                            F.col("__pm"),
-                                            i * (mp + 1) + l,
-                                        )
-                                        > best["s"]
-                                    )
-                                    | (
-                                        (
-                                            F.element_at(
-                                                acc, i - l + 1
-                                            )["s"]
-                                            * F.element_at(
-                                                F.col("__pm"),
-                                                i * (mp + 1) + l,
-                                            )
-                                            == best["s"]
-                                        )
-                                        & (l > best["bl"])
-                                    ),
-                                    F.struct(
-                                        (
-                                            F.element_at(
-                                                acc, i - l + 1
-                                            )["s"]
-                                            * F.element_at(
-                                                F.col("__pm"),
-                                                i * (mp + 1) + l,
-                                            )
-                                        ).alias("s"),
-                                        l.cast("int").alias("bl"),
-                                    ),
-                                ).otherwise(best)
-                            ),
-                        )
-                    ),
-                ),
-            ),
-        )
-        # backtrack: walk back-lengths from the end, collecting pieces
-        pieces = seg.select(
-            "__w",
-            "__n",
-            F.explode(
-                F.aggregate(
-                    F.sequence(F.lit(1), F.col("__len")),
-                    F.struct(
-                        F.col("__len").cast("int").alias("pos"),
-                        F.array().cast("array<string>").alias("ps"),
-                    ),
-                    lambda acc, _i: F.when(
-                        acc["pos"] <= 0, acc
-                    ).otherwise(
-                        F.struct(
-                            (
-                                acc["pos"]
-                                - F.element_at(
-                                    F.col("__dp"), acc["pos"] + 1
-                                )["bl"]
-                            ).cast("int").alias("pos"),
-                            F.concat(
-                                acc["ps"],
-                                F.array(
-                                    F.substring(
-                                        F.col("__w"),
-                                        acc["pos"]
-                                        - F.element_at(
-                                            F.col("__dp"),
-                                            acc["pos"] + 1,
-                                        )["bl"]
-                                        + 1,
-                                        F.element_at(
-                                            F.col("__dp"),
-                                            acc["pos"] + 1,
-                                        )["bl"],
-                                    )
-                                ),
-                            ).alias("ps"),
-                        )
-                    ),
-                )["ps"]
-            ).alias("__piece"),
-        )
-        newc = pieces.groupBy("__piece").agg(F.sum("__n").alias("__c"))
-        top = newc.orderBy(F.desc("__c"), "__piece").limit(
-            int(vocab_size)
-        )
-        vocab = stage(
-            top.unionByName(
-                chars.join(top.select("__piece"), "__piece", "left_anti")
-                .select("__piece", F.lit(1).cast("long").alias("__c"))
-            ),
-            None,
-            f"uni_vocab{rnd + 1}",
-        )
-
-    tot = F.broadcast(vocab.agg(F.sum("__c").cast("double").alias("__T")))
     return (
         vocab.crossJoin(tot)
         .select(
             F.col("__piece").alias("piece"),
             F.col("__c").cast("long").alias("count"),
-            F.round(F.col("__c").cast("double") / F.col("__T"), 6).alias(
-                "p"
-            ),
+            F.round(
+                F.col("__c").cast("double") / F.col("__T"), 6
+            ).alias("p"),
         )
         .orderBy(F.desc("count"), "piece")
     )
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    seed_size: int = 200,
+    vocab_size: int = 80,
+    rounds: int = 3,
+    max_piece: int = 4,
+    max_word: int = 16,
+) -> DataFrame:
+    """Segment the corpus's distinct words under a freshly-trained
+    unigram LM (``unigram_lm_train``'s fit, then ONE more Viterbi
+    pass with the FINAL vocabulary) — the encode companion in the
+    bpe_train/bpe_encode pairing, and the piece-level view a
+    tokenization QA pass reads (pieces-per-word distribution,
+    compression ratio).
+
+    Output per distinct word: ``(word, n, n_pieces, pieces)`` with
+    ``pieces`` space-joined left-to-right, ordered (n desc, word) —
+    the wordpiece_segment output shape, so the two tokenizers diff
+    directly.
+
+    Scale: identical to the trainer — everything after the distinct
+    groupBy is vocabulary-sized, one bounded fold per word.
+    """
+    words, cand, vocab = _unigram_fit(
+        df, text_col, int(seed_size), int(vocab_size), int(rounds),
+        int(max_piece), int(max_word),
+    )
+    pm = _unigram_prob_map(cand, vocab, int(max_piece))
+    seg = _unigram_viterbi_dp(words, pm, int(max_piece))
+    # stage the backtrack fold ONCE (interpreted HOFs get no CSE —
+    # referencing it from two output columns would run it twice)
+    staged = seg.withColumn(
+        "__ps",
+        _unigram_backtrack(F.col("__w"), F.col("__len"), F.col("__dp")),
+    )
+    return staged.select(
+        F.col("__w").alias("word"),
+        F.col("__n").alias("n"),
+        F.size("__ps").cast("long").alias("n_pieces"),
+        F.array_join(F.reverse("__ps"), " ").alias("pieces"),
+    ).orderBy(F.desc("n"), "word")

@@ -1570,3 +1570,233 @@ def two_proportion_test(
         z.alias("z"),
     )
     return with_p_value(out, "z", "p_value", ndigits)
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence over two categorical
+    columns plus Cramér's V effect size (Pearson 1900 / Cramér 1946,
+    public literature) — "does segment relate to outcome at all",
+    the categorical sibling of ``daily_metric_corr``.
+
+    Exactness: with r_i, c_j, N exact integer marginals, each cell's
+    term is
+
+        (N*n_ij - r_i*c_j)^2 / (N * r_i * c_j)
+
+    whose numerator is an exact decimal(38,0) (N*n <= 2^62, squared
+    < 10^38) and whose division is ONE double per cell; the cell
+    terms are summed by a SORTED FOLD over the bounded category
+    domain (the kruskal_wallis discipline — never an order-dependent
+    double groupBy sum). Zero cells contribute their exact expected
+    mass (r_i*c_j/N) through the same formula via the full marginal
+    cross join. The chi2(dof) tail is not engine-deterministic, so
+    the statistic and dof are reported and the caller brings the
+    cut-off (the kruskal_wallis contract); Cramér's V =
+    sqrt(chi2 / (N * min(r-1, c-1))) is IEEE-exact given chi2.
+
+    Output: one row ``(n, n_rows, n_cols, dof, chi2, cramers_v)``;
+    a single-category row or column yields dof 0 and NULL chi2/V.
+
+    Scale: one groupBy over observed cells + two marginal rollups of
+    that bounded cell table; the cross join and fold run on the
+    category domain, never the data. No counterpart in the reference
+    engine (SURVEY.md §2.2).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    )
+    cells = base.groupBy("__a", "__b").agg(F.count("*").alias("__n"))
+    ra = cells.groupBy("__a").agg(F.sum("__n").alias("__r"))
+    cb = cells.groupBy("__b").agg(F.sum("__n").alias("__c"))
+    # full marginal cross join: zero observed cells still carry
+    # expected mass; both sides are bounded category tables
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["__a", "__b"], "left")
+        .select(
+            "__a",
+            "__b",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+            "__r",
+            "__c",
+        )
+    )
+    folded = grid.agg(
+        F.countDistinct("__a").cast("long").alias("n_rows"),
+        F.countDistinct("__b").cast("long").alias("n_cols"),
+        F.sum(F.col("__n")).cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("__a", "__b", "__n", "__r", "__c"))
+        ).alias("__cells"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    term = lambda s_: (  # noqa: E731
+        (
+            (nn * dec(s_["__n"]) - dec(s_["__r"]) * dec(s_["__c"]))
+            * (nn * dec(s_["__n"]) - dec(s_["__r"]) * dec(s_["__c"]))
+        ).cast("double")
+        / (nn * dec(s_["__r"]) * dec(s_["__c"])).cast("double")
+    )
+    chi2 = F.aggregate(
+        F.col("__cells"), F.lit(0.0), lambda acc, s_: acc + term(s_)
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    out = folded.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.when((dof > 0) & (F.col("n") > 0), F.round(chi2, ndigits))
+        .alias("chi2"),
+    )
+    return out.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "dof",
+        "chi2",
+        F.when(
+            F.col("chi2").isNotNull(),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * mind.cast("double")
+                    )
+                ),
+                ndigits,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mood's median test across k groups (Mood 1950, public
+    literature) — the blunt-but-robust "do the groups straddle the
+    same median" check next to ``kruskal_wallis`` (which needs
+    comparable shapes); the one to reach for under wild outliers or
+    heavy censoring at a bound.
+
+    The pooled GRAND median is the exact lower median (the value
+    whose cumulative count first reaches floor((N+1)/2) — integer
+    rank arithmetic on the distinct-value cumsum, no interpolation,
+    documented contract). Each group's (above, not-above) split then
+    forms a k x 2 table whose chi-square uses the same exact-integer
+    cell terms and sorted fold as ``chi2_independence``. Statistic +
+    dof reported; for k = 2 the two-sided p replays the
+    deterministic Phi via z = sqrt(chi2).
+
+    Output: one row ``(n, k_groups, grand_median, n_above, chi2, df,
+    p_value)``; degenerate splits (every value on one side, e.g. a
+    constant metric) yield NULL chi2/p.
+
+    Scale: the mann_whitney class — distinct-value counts, ONE fused
+    two-pass cumsum for the median, then bounded-k folds. No
+    counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from .ranking import global_cumsum_before
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    filt = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    vt = filt.groupBy("__v").agg(F.count("*").alias("__nt"))
+    cum = global_cumsum_before(
+        vt, ["__v"], "__nt", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    tot = F.broadcast(
+        filt.agg(F.count("*").cast("long").alias("__N"))
+    )
+    # lower median: first value whose cumulative reach covers rank
+    # floor((N+1)/2)
+    med = F.broadcast(
+        cum.crossJoin(tot)
+        .filter(
+            (F.col("__below") + F.col("__nt"))
+            >= F.expr("cast((__N + 1) div 2 as bigint)")
+        )
+        .orderBy("__v")
+        .limit(1)
+        .select(F.col("__v").alias("__med"))
+    )
+    split = (
+        filt.crossJoin(med)
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(F.col("__v") > F.col("__med"), 1).otherwise(0)
+            ).cast("long").alias("__ab"),
+            F.sum(
+                F.when(F.col("__v") <= F.col("__med"), 1).otherwise(0)
+            ).cast("long").alias("__le"),
+        )
+    )
+    folded = split.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("__ab") + F.col("__le")).cast("long").alias("n"),
+        F.sum("__ab").cast("long").alias("n_above"),
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__ab", "__le"))
+        ).alias("__rows"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    ca = F.col("n_above").cast("decimal(38,0)")
+    cl = (F.col("n") - F.col("n_above")).cast("decimal(38,0)")
+    cell = lambda obs, rtot, ctot: (  # noqa: E731
+        (
+            (nn * dec(obs) - dec(rtot) * ctot)
+            * (nn * dec(obs) - dec(rtot) * ctot)
+        ).cast("double")
+        / (nn * dec(rtot) * ctot).cast("double")
+    )
+    chi2 = F.aggregate(
+        F.col("__rows"),
+        F.lit(0.0),
+        lambda acc, s_: acc
+        + cell(s_["__ab"], s_["__ab"] + s_["__le"], ca)
+        + cell(s_["__le"], s_["__ab"] + s_["__le"], cl),
+    )
+    ok = (
+        (F.col("k_groups") > 1)
+        & (F.col("n_above") > 0)
+        & (F.col("n_above") < F.col("n"))
+    )
+    staged = folded.crossJoin(med).select(
+        "n",
+        "k_groups",
+        F.col("__med").cast("double").alias("grand_median"),
+        "n_above",
+        F.when(ok, F.round(chi2, ndigits)).alias("chi2"),
+        F.when(
+            F.col("k_groups") > 1, (F.col("k_groups") - 1)
+        ).cast("long").alias("df"),
+    )
+    staged = staged.withColumn(
+        "__z",
+        F.when(
+            (F.col("k_groups") == 2) & F.col("chi2").isNotNull(),
+            F.sqrt(F.col("chi2")),
+        ),
+    )
+    return with_p_value(staged, "__z", ndigits=ndigits).drop("__z")

@@ -211,3 +211,68 @@ def inclusion_dependencies(
             "inclusion_dependencies needs >= 2 same-typed columns"
         )
     return rows.orderBy("from_col", "to_col")
+
+
+def fd_discovery(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Unary functional-dependency discovery over a bounded column
+    list (Huhtala et al. TANE 1999 / Abedjan et al. VLDB J. 2015,
+    public literature): for every ordered pair (A, B), does A -> B
+    hold (every A value maps to exactly one B value)? The
+    schema-archaeology complement to ``inclusion_dependencies`` —
+    that finds JOIN candidates, this finds KEY/denormalization
+    structure (``audit.fd_violations`` then audits a CHOSEN FD in
+    row-level detail).
+
+    ``columns`` is a bounded, curated list by design (the discovery
+    matrix is O(k^2) aggregates over the k-column projection); the
+    documented lake-scale upgrade is the same as
+    inclusion_dependencies' inverted-table path.
+
+    Exactness: A -> B holds iff |distinct A| = |distinct (A, B)| —
+    two exact countDistincts; ``n_violating_lhs`` (A values mapping
+    to >1 B) comes from ONE groupBy(A) countDistinct(B), so the
+    violation census and the verdict are the same integers the TANE
+    partition refinement would produce.
+
+    Output per ordered pair: ``(det, dep, n_distinct_det,
+    n_distinct_pair, n_violating_det, holds)``, ordered (det, dep);
+    NULLs in either column ignore that row for the pair (the SQL
+    FD-on-non-null convention, documented).
+
+    Scale: one projection of the k columns feeds k^2 small aggregate
+    plans; each is a map-side-combinable groupBy on its determinant.
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    base = df.select(*[F.col(c) for c in columns])
+    out = None
+    for a in columns:
+        for b in columns:
+            if a == b:
+                continue
+            pair = (
+                base.filter(
+                    F.col(a).isNotNull() & F.col(b).isNotNull()
+                )
+                .groupBy(F.col(a).alias("__a"))
+                .agg(F.countDistinct(F.col(b)).alias("__nb"))
+                .agg(
+                    F.count("*").cast("long").alias("n_distinct_det"),
+                    F.sum("__nb").cast("long").alias("n_distinct_pair"),
+                    F.sum(
+                        F.when(F.col("__nb") > 1, 1).otherwise(0)
+                    ).cast("long").alias("n_violating_det"),
+                )
+                .select(
+                    F.lit(a).alias("det"),
+                    F.lit(b).alias("dep"),
+                    "n_distinct_det",
+                    "n_distinct_pair",
+                    "n_violating_det",
+                    (F.col("n_violating_det") == 0).alias("holds"),
+                )
+            )
+            out = pair if out is None else out.unionByName(pair)
+    return out.orderBy("det", "dep")

@@ -1,0 +1,189 @@
+"""Round-12 operator goldens: chi-square independence + Cramér's V,
+Mood's median test, Benford first-digit conformity, CUSUM changepoint,
+functional-dependency discovery, unigram encode."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_chi2_independence_2x2_golden(spark):
+    """Hand-computed 2x2: cells (30,10 / 10,30), N=80 — the classic
+    shortcut chi2 = N(ad-bc)^2 / (r1 r2 c1 c2) = 80*640000/2560000
+    = 20.0; Cramér's V = sqrt(20/80) = 0.5; dof 1."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    r = chi2_independence(
+        spark.createDataFrame(rows, ["g", "o"]), "g", "o"
+    ).collect()[0]
+    assert (r.n, r.n_rows, r.n_cols, r.dof) == (80, 2, 2, 1)
+    assert r.chi2 == pytest.approx(20.0, abs=1e-6)
+    assert r.cramers_v == pytest.approx(0.5, abs=1e-6)
+
+
+def test_chi2_independence_zero_cell_and_degenerate(spark):
+    """A never-observed cell still carries expected mass through the
+    marginal cross join; a single-category column yields dof 0 and
+    NULL chi2/V."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        chi2_independence,
+    )
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5
+    r = chi2_independence(
+        spark.createDataFrame(rows, ["g", "o"]), "g", "o"
+    ).collect()[0]
+    # 2x2 shortcut: chi2 = N(ad-bc)^2/(r1 r2 c1 c2)
+    #             = 15*(5*0-5*5)^2/(10*5*10*5) = 3.75
+    assert r.chi2 == pytest.approx(3.75, abs=1e-6)
+    const = spark.createDataFrame([("a", "x"), ("a", "y")], ["g", "o"])
+    r2 = chi2_independence(const, "g", "o").collect()[0]
+    assert r2.dof == 0 and r2.chi2 is None and r2.cramers_v is None
+
+
+def test_mood_median_perfect_split_golden(spark):
+    """Groups 1..10 vs 11..20: pooled lower median = 10 (rank-10
+    value), split (0,10 / 10,0), chi2 = 20 exactly; k=2 p via
+    z = sqrt(20): two-sided Phi = 7.7e-06 (scipy cross-check)."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        mood_median_test,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", float(v)) for v in range(11, 21)
+    ]
+    r = mood_median_test(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert (r.n, r.k_groups, r.grand_median, r.n_above) == (
+        20, 2, 10.0, 10,
+    )
+    assert r.chi2 == pytest.approx(20.0, abs=1e-6)
+    assert r.df == 1
+    assert r.p_value == pytest.approx(7.7e-06, abs=2e-6)
+    # constant metric: every value on one side -> NULL chi2/p
+    const = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    r2 = mood_median_test(
+        spark.createDataFrame(const, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert r2.chi2 is None and r2.p_value is None
+
+
+def test_benford_digit_extraction_and_uniform_stats(spark):
+    """Digit comes from the decimal STRING: 0.05 -> 5, 123.45 -> 1,
+    -23 -> 2, 0/NULL excluded. A uniform 1..9 census has p_obs = 1/9
+    each; chi2 and MAD equal the literal-derived constants (computed
+    here from the same shared BENFORD_P)."""
+    from etl_orders_to_bq_spark.operators.audit import (
+        BENFORD_P,
+        benford_digits,
+    )
+
+    vals = [(0.05,), (123.45,), (-23.0,), (0.0,), (None,)]
+    got = {
+        r.digit: r.n_obs
+        for r in benford_digits(
+            spark.createDataFrame(vals, ["v"]), "v"
+        ).collect()
+    }
+    assert got[5] == 1 and got[1] == 1 and got[2] == 1
+    assert sum(got.values()) == 3
+
+    uni = [(float(d),) for d in range(1, 10)]
+    rows = benford_digits(
+        spark.createDataFrame(uni, ["v"]), "v"
+    ).collect()
+    chi2_ref = 9.0 * sum(
+        (1 / 9 - p) ** 2 / p for p in BENFORD_P
+    )
+    mad_ref = sum(abs(1 / 9 - p) for p in BENFORD_P) / 9
+    assert rows[0].chi2 == pytest.approx(chi2_ref, abs=1e-5)
+    assert rows[0].mad == pytest.approx(mad_ref, abs=1e-6)
+    assert all(r.p_obs == pytest.approx(1 / 9, abs=1e-6) for r in rows)
+
+
+def test_cusum_changepoint_step_series_golden(spark):
+    """Level shift 1,1,1 -> 5,5,5 over six days: |n*cum - t*tot| in
+    dollars is 12,24,36,24,12 (exact integers, x100 in cents), peaking
+    at t=3 — the change locates after day 3 with means 1.0 / 5.0 and
+    cusum_max = |S_3| = 36/6 = 6.0."""
+    import datetime as dt
+
+    from etl_orders_to_bq_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, d + 1, 12, 0), v)
+        for d, v in enumerate([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])
+    ]
+    r = cusum_changepoint(
+        spark.createDataFrame(rows, ["ts", "v"]), "ts", "v"
+    ).collect()[0]
+    assert r.n_days == 6
+    assert r.change_day == dt.date(2024, 1, 3)
+    assert r.cusum_max == pytest.approx(6.0, abs=1e-6)
+    assert r.mean_before == pytest.approx(1.0, abs=1e-6)
+    assert r.mean_after == pytest.approx(5.0, abs=1e-6)
+    # single day: location columns NULL, never a crash
+    one = cusum_changepoint(
+        spark.createDataFrame(rows[:1], ["ts", "v"]), "ts", "v"
+    ).collect()[0]
+    assert one.n_days == 1 and one.change_day is None
+
+
+def test_fd_discovery_key_vs_denormalized(spark):
+    """id -> g holds (id is a key); g -> id is violated by the 'a'
+    group (2 ids), with the violating-determinant census exact."""
+    from etl_orders_to_bq_spark.operators.profile import fd_discovery
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x")],
+        ["id", "g", "c"],
+    )
+    got = {
+        (r.det, r.dep): (
+            r.n_distinct_det,
+            r.n_distinct_pair,
+            r.n_violating_det,
+            r.holds,
+        )
+        for r in fd_discovery(df, ["id", "g", "c"]).collect()
+    }
+    assert got[("id", "g")] == (3, 3, 0, True)
+    assert got[("g", "id")] == (2, 3, 1, False)
+    assert got[("g", "c")] == (2, 2, 0, True)
+    assert got[("c", "g")] == (1, 2, 1, False)
+    assert len(got) == 6
+
+
+def test_unigram_encode_segments_left_to_right(spark):
+    """The trained 'ab' piece segments abab as 'ab ab' (2 pieces,
+    left-to-right order after the backtrack reversal); the noise word
+    'bandana' mixes trained pieces and char floor."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_encode
+
+    docs = [("abab abab ab",), ("banana bandana ab",), ("abab banana",)]
+    got = {
+        r.word: (r.n_pieces, r.pieces)
+        for r in unigram_encode(
+            spark.createDataFrame(docs, ["text"]),
+            "text",
+            seed_size=12,
+            vocab_size=8,
+            rounds=2,
+            max_piece=3,
+            max_word=16,
+        ).collect()
+    }
+    assert got["abab"] == (2, "ab ab")
+    assert got["ab"] == (1, "ab")
+    assert got["banana"] == (2, "b ana") or got["banana"][1].startswith(
+        "ban"
+    )
