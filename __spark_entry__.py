@@ -9234,19 +9234,6 @@ def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(li, "l_extendedprice")
 
 
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM mean-shift location over the daily event value series
-    (operators/timeseries.py cusum_changepoint): the argmax of
-    |n*cum_t - t*total| compares exact decimal(38,0) integers —
-    no float enters the location decision."""
-    from etl_orders_to_bq_spark.operators.timeseries import (
-        cusum_changepoint,
-    )
-
-    e = _t(spark, sf_dir, "events")
-    return cusum_changepoint(e, "ts", "value")
-
-
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unary functional-dependency mining over four orders columns
     (operators/profile.py fd_discovery): A -> B iff
@@ -9650,7 +9637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "mood_median": q_mood_median,
         "benford_mad": q_benford_mad,
-        "cusum_changepoint": q_cusum_changepoint,
         "fd_discovery": q_fd_discovery,
         # -- last driver-verified in round 3 --
         "fuzzy_join": q_fuzzy_join,
@@ -20999,52 +20985,6 @@ def oracle_sql() -> dict[str, str]:
                case when s.N > 0 then round(s.mad_raw, 6) end as mad
         from grid g, stat s
         order by digit
-    """
-
-    out["cusum_changepoint"] = """
-        with daily as (
-          select cast(ts as date) as day,
-                 sum(cast(cast(value as decimal(18,2)) * 100
-                          as bigint))::bigint as cents
-          from events
-          where ts is not null and value is not null
-          group by 1
-        ),
-        cum as (
-          select day,
-                 row_number() over (order by day) as t,
-                 sum(cents) over (order by day
-                   rows between unbounded preceding
-                   and current row) as cum
-          from daily
-        ),
-        tot as (
-          select count(*)::bigint as n, sum(cents)::bigint as tot
-          from daily
-        ),
-        scored as (
-          select day, t, cum, n, tot,
-                 abs(n::hugeint * cum::hugeint
-                     - t::hugeint * tot::hugeint) as ns_abs
-          from cum, tot
-        ),
-        best as (
-          select * from scored where t < n
-          order by ns_abs desc, day limit 1
-        )
-        select tot.n as n_days, best.day as change_day,
-               case when best.day is not null then
-                 round(cast(best.ns_abs as double)
-                       / (tot.n::double * 100.0), 6) end as cusum_max,
-               case when best.day is not null then
-                 round(best.cum::double
-                       / (best.t::double * 100.0), 6)
-               end as mean_before,
-               case when best.day is not null then
-                 round((tot.tot - best.cum)::double
-                       / ((tot.n - best.t)::double * 100.0), 6)
-               end as mean_after
-        from tot left join best on true
     """
 
     out["fd_discovery"] = """

@@ -1381,114 +1381,3 @@ def daily_metric_corr(
             F.round(num / F.sqrt(vx * vy), ndigits),
         ).alias("corr"),
     ).orderBy("key_a", "key_b")
-
-
-def cusum_changepoint(
-    df: DataFrame,
-    ts_col: str,
-    value_col: str,
-    ndigits: int = 6,
-) -> DataFrame:
-    """CUSUM mean-shift changepoint over a daily series (Page 1954 /
-    the offline "argmax of the cumulative deviation" estimator, public
-    literature) — WHEN did the metric's level change, the follow-up
-    question to ``mann_kendall``'s "is there a trend at all".
-
-        S_t = sum_{i<=t} (x_i - xbar),  t* = argmax_t |S_t|
-
-    and the change is located AFTER day t*. Exactness: daily sums in
-    exact cents, and n*S_t = n*cum_t - t*total is an exact
-    decimal(38,0) — the argmax compares exact integers (|n*S_t| desc,
-    earliest day tie-break), so not one float enters the location
-    decision; the reported magnitude and the before/after means are
-    each ONE rounded double division.
-
-    Output: one row ``(n_days, change_day, cusum_max, mean_before,
-    mean_after)``; fewer than 2 days yields NULL location columns.
-
-    Scale: one map-side-combinable daily groupBy; the cumulative and
-    the argmax run on the calendar-bounded daily table (a year is 365
-    rows), the documented bounded-window contract shared with the
-    seasonality operators.
-    """
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    daily = (
-        df.filter(
-            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(F.to_date(ts_col).alias("__day"))
-        .agg(
-            F.sum(
-                (F.col(value_col).cast("decimal(18,2)") * 100)
-                .cast("long")
-            ).alias("__cents")
-        )
-    )
-    w = Window.orderBy("__day")
-    # bounded daily table (calendar-sized): the unpartitioned window
-    # is the documented contract here
-    cum = daily.select(
-        "__day",
-        F.row_number().over(w).alias("__t"),
-        F.sum("__cents").over(w).alias("__cum"),
-    )
-    tot = F.broadcast(
-        daily.agg(
-            F.count("*").cast("long").alias("__n"),
-            F.sum("__cents").cast("long").alias("__tot"),
-        )
-    )
-    scored = cum.crossJoin(tot).select(
-        "__day",
-        "__t",
-        "__cum",
-        "__n",
-        "__tot",
-        F.abs(
-            dec(F.col("__n")) * dec(F.col("__cum"))
-            - dec(F.col("__t")) * dec(F.col("__tot"))
-        ).alias("__ns_abs"),
-    )
-    best = (
-        scored.filter(F.col("__t") < F.col("__n"))
-        .orderBy(F.desc("__ns_abs"), "__day")
-        .limit(1)
-        # drop the tot columns the final join re-supplies (Spark
-        # resolution is case-insensitive and duplicate __n across the
-        # join sides is AMBIGUOUS_REFERENCE)
-        .select("__day", "__t", "__cum", "__ns_abs")
-    )
-    return (
-        tot.join(F.broadcast(best), F.lit(True), "left")
-        .select(
-            F.col("__n").alias("n_days"),
-            F.col("__day").alias("change_day"),
-            F.when(
-                F.col("__day").isNotNull(),
-                F.round(
-                    F.col("__ns_abs").cast("double")
-                    / (F.col("__n").cast("double") * 100.0),
-                    ndigits,
-                ),
-            ).alias("cusum_max"),
-            F.when(
-                F.col("__day").isNotNull(),
-                F.round(
-                    F.col("__cum").cast("double")
-                    / (F.col("__t").cast("double") * 100.0),
-                    ndigits,
-                ),
-            ).alias("mean_before"),
-            F.when(
-                F.col("__day").isNotNull(),
-                F.round(
-                    (F.col("__tot") - F.col("__cum")).cast("double")
-                    / (
-                        (F.col("__n") - F.col("__t")).cast("double")
-                        * 100.0
-                    ),
-                    ndigits,
-                ),
-            ).alias("mean_after"),
-        )
-    )

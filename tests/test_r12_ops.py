@@ -1,5 +1,5 @@
 """Round-12 operator goldens: chi-square independence + Cramér's V,
-Mood's median test, Benford first-digit conformity, CUSUM changepoint,
+Mood's median test, Benford first-digit conformity,
 functional-dependency discovery, unigram encode."""
 
 from __future__ import annotations
@@ -106,36 +106,6 @@ def test_benford_digit_extraction_and_uniform_stats(spark):
     assert rows[0].chi2 == pytest.approx(chi2_ref, abs=1e-5)
     assert rows[0].mad == pytest.approx(mad_ref, abs=1e-6)
     assert all(r.p_obs == pytest.approx(1 / 9, abs=1e-6) for r in rows)
-
-
-def test_cusum_changepoint_step_series_golden(spark):
-    """Level shift 1,1,1 -> 5,5,5 over six days: |n*cum - t*tot| in
-    dollars is 12,24,36,24,12 (exact integers, x100 in cents), peaking
-    at t=3 — the change locates after day 3 with means 1.0 / 5.0 and
-    cusum_max = |S_3| = 36/6 = 6.0."""
-    import datetime as dt
-
-    from etl_orders_to_bq_spark.operators.timeseries import (
-        cusum_changepoint,
-    )
-
-    rows = [
-        (dt.datetime(2024, 1, d + 1, 12, 0), v)
-        for d, v in enumerate([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])
-    ]
-    r = cusum_changepoint(
-        spark.createDataFrame(rows, ["ts", "v"]), "ts", "v"
-    ).collect()[0]
-    assert r.n_days == 6
-    assert r.change_day == dt.date(2024, 1, 3)
-    assert r.cusum_max == pytest.approx(6.0, abs=1e-6)
-    assert r.mean_before == pytest.approx(1.0, abs=1e-6)
-    assert r.mean_after == pytest.approx(5.0, abs=1e-6)
-    # single day: location columns NULL, never a crash
-    one = cusum_changepoint(
-        spark.createDataFrame(rows[:1], ["ts", "v"]), "ts", "v"
-    ).collect()[0]
-    assert one.n_days == 1 and one.change_day is None
 
 
 def test_fd_discovery_key_vs_denormalized(spark):
