@@ -9234,6 +9234,33 @@ def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(li, "l_extendedprice")
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clusters over the deterministic embedding
+    subset (operators/ann.py dbscan_labels): eps-graph on the 6dp
+    distance grid, core = >= 3 in-eps neighbors (self included),
+    clusters = min-id connected components, border ties to the
+    smallest core label, noise explicit."""
+    from etl_orders_to_bq_spark.operators.ann import dbscan_labels
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 8 == 0
+    )
+    return dbscan_labels(e, eps=1.25, min_pts=3)
+
+
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over a deterministic embedding subset
+    (operators/ann.py lof_scores): exact euclidean kNN with 6dp-grid
+    distances, micro-integer reachability/lrd sums (order-free), LOF
+    as one double division — the density-relative anomaly score."""
+    from etl_orders_to_bq_spark.operators.ann import lof_scores
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 8 == 0
+    )
+    return lof_scores(e, k=5)
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unary functional-dependency mining over four orders columns
     (operators/profile.py fd_discovery): A -> B iff
@@ -9637,6 +9664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "mood_median": q_mood_median,
         "benford_mad": q_benford_mad,
+        "dbscan": q_dbscan,
+        "lof_outliers": q_lof_outliers,
         "fd_discovery": q_fd_discovery,
         # -- last driver-verified in round 3 --
         "fuzzy_join": q_fuzzy_join,
@@ -21069,6 +21098,132 @@ def oracle_sql() -> dict[str, str]:
         from pairs
         group by det, dep
         order by det, dep
+    """
+
+    out["lof_outliers"] = """
+        with e as (
+          select vec_id as id,
+                 list_transform(cast(embedding as double[]),
+                   x -> cast(round(x * 1e6, 0) as bigint)) as v
+          from embeddings where vec_id % 8 = 0
+        ),
+        pairs as (
+          select a.id as a, b.id as b,
+                 round(sqrt(list_dot_product(
+                   list_transform(list_zip(a.v, b.v),
+                                  x -> x[1] - x[2]),
+                   list_transform(list_zip(a.v, b.v),
+                                  x -> x[1] - x[2]))) / 1e6, 6)
+                   as dist
+          from e a, e b where a.id <> b.id
+        ),
+        knn as (
+          select a, b, dist from (
+            select a, b, dist,
+                   row_number() over (partition by a
+                     order by dist, b) as rk
+            from pairs
+          ) where rk <= 5
+        ),
+        kd as (
+          select a, max(dist) as k_dist, count(*)::bigint as keff
+          from knn group by a
+        ),
+        reach as (
+          select k.a,
+                 cast(round(greatest(kb.k_dist, k.dist) * 1e6, 0)
+                      as bigint) as reach_mu
+          from knn k join kd kb on kb.a = k.b
+        ),
+        rsum as (
+          select a, sum(reach_mu)::bigint as rsum_mu
+          from reach group by a
+        ),
+        lrd as (
+          select kd.a, kd.k_dist, kd.keff,
+                 case when r.rsum_mu > 0 then
+                   round(kd.keff::double * 1e6 / r.rsum_mu::double, 6)
+                 end as lrd
+          from kd join rsum r using (a)
+        ),
+        nbr as (
+          select k.a,
+                 cast(round(lb.lrd * 1e6, 0) as bigint) as lrd_b_mu
+          from knn k join lrd lb on lb.a = k.b
+        ),
+        nsum as (
+          select a, sum(lrd_b_mu)::bigint as nsum_mu
+          from nbr group by a
+        )
+        select l.a as vec_id, l.k_dist, l.lrd,
+               case when l.lrd is not null and l.lrd > 0 then
+                 round(n.nsum_mu::double
+                       / (l.keff::double * l.lrd * 1e6), 6)
+               end as lof
+        from lrd l join nsum n using (a)
+        order by lof desc, vec_id
+    """
+
+    out["dbscan"] = """
+        with recursive e as (
+          select vec_id as id,
+                 list_transform(cast(embedding as double[]),
+                   x -> cast(round(x * 1e6, 0) as bigint)) as v
+          from embeddings where vec_id % 8 = 0
+        ),
+        near as (
+          select a.id as a, b.id as b
+          from e a, e b
+          where a.id <> b.id
+            and round(sqrt(list_dot_product(
+                  list_transform(list_zip(a.v, b.v), x -> x[1] - x[2]),
+                  list_transform(list_zip(a.v, b.v), x -> x[1] - x[2])
+                )) / 1e6, 6) <= 1.25
+        ),
+        core as (
+          select a from near group by a
+          having count(*) + 1 >= 3
+        ),
+        ce as (
+          select n.a, n.b from near n
+          join core ca on ca.a = n.a
+          join core cb on cb.a = n.b
+          where n.a < n.b
+        ),
+        sym as (
+          select a, b from ce union select b as a, a as b from ce
+        ),
+        reach as (
+          select a, a as b from sym
+          union
+          select a, b from sym
+          union
+          select r.a, s.b from reach r join sym s on r.b = s.a
+        ),
+        comp0 as (
+          select a, min(b) as label from reach group by a
+        ),
+        comp as (
+          select a, label from comp0
+          union all
+          select core.a, core.a as label from core
+          where core.a not in (select a from comp0)
+        ),
+        border as (
+          select n.a, min(c.label) as label
+          from near n join comp c on c.a = n.b
+          where n.a not in (select a from comp)
+          group by n.a
+        ),
+        labeled as (
+          select a, label, 'core' as role from comp
+          union all
+          select a, label, 'border' as role from border
+        )
+        select e.id as vec_id, l.label,
+               coalesce(l.role, 'noise') as role
+        from e left join labeled l on l.a = e.id
+        order by label nulls last, vec_id
     """
 
 

@@ -988,3 +988,270 @@ def simplified_silhouette(
             / 1_000_000.0
         ).alias("mean_silhouette"),
     ).orderBy("cluster")
+
+
+def lof_scores(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Local Outlier Factor over an embedding column (Breunig et al.
+    2000, public literature) — the density-RELATIVE anomaly score a
+    global distance threshold gets wrong on multi-density corpora
+    (a point at a tight cluster's edge is stranger than the same
+    gap in a sparse cluster): LOF(p) = mean lrd of p's k neighbors
+    / lrd(p), ~1 for inliers, >> 1 for outliers.
+
+    Deterministic simplification (documented): the neighbor set is
+    EXACTLY k (ties past rank k broken by (distance, id) — classic
+    LOF includes all distance ties); distances are euclidean,
+    rounded to ``ndigits`` BEFORE any comparison so both engines
+    rank identical grids. Order-free sums: reachability distances
+    and lrd values are exact 6dp-grid numbers, so each per-point sum
+    runs over exact micro-integer longs (the unigram_logprob
+    discipline) and the final lrd / LOF are ONE double division
+    each — LOF = mean(lrd(o)) / lrd(p) because lrd(p) is constant
+    across p's neighbors.
+
+    Output per point: ``(vec_id, k_dist, lrd, lof)``, ordered
+    (lof desc, vec_id) — the anomaly report.
+
+    Scale: the all-pairs scoring is quadratic by nature; this
+    operator is the EXACT tool for bounded audit sets (the gated
+    entry scores a deterministic subset). At corpus scale, build the
+    kNN edge list with the blocked ANN paths (``ann_topk_ivf`` /
+    ``auto_region_assign`` candidates-then-verify) and feed the same
+    lrd/LOF tail — the math downstream of the edge list is identical
+    and everything shuffles (id, id, micro-int) triples only.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+
+    # distances on EXACT micro-integer components: coordinates
+    # quantize to 1e-6 longs, the squared sum is an order-free exact
+    # integer (< 2^53, so even a double-accumulating engine is
+    # exact), and ONE IEEE sqrt + round lands on the same 6dp grid
+    # in every engine — a float fold here differs between engines at
+    # ULP level and flips roundings near grid midpoints (caught by
+    # the sf0.001 oracle sweep)
+    mu = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x * 1e6).cast("long")
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("__a"), mu(F.col(vec_col)).alias("__av")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("__b"), mu(F.col(vec_col)).alias("__bv")
+    )
+    d2mu = F.aggregate(
+        F.zip_with("__av", "__bv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                F.sqrt(d2mu.cast("double")) / 1e6, ndigits
+            ).alias("__dist"),
+        )
+    )
+    w = Window.partitionBy("__a").orderBy(F.asc("__dist"), F.asc("__b"))
+    knn = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= int(k)
+    )
+    kd = knn.groupBy("__a").agg(
+        F.max("__dist").alias("k_dist"),
+        F.count("*").cast("long").alias("__keff"),
+    )
+    # reachability: max(k_dist(neighbor), dist) — exact 6dp grid, so
+    # the per-point sum is an exact integer in micros
+    reach = (
+        knn.join(
+            kd.select(
+                F.col("__a").alias("__b"),
+                F.col("k_dist").alias("__kd_b"),
+            ),
+            "__b",
+        )
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                F.greatest(F.col("__kd_b"), F.col("__dist")) * 1e6
+            ).cast("long").alias("__reach_mu"),
+        )
+    )
+    lrd = (
+        reach.groupBy("__a")
+        .agg(F.sum("__reach_mu").alias("__rsum_mu"))
+        .join(kd, "__a")
+        .select(
+            "__a",
+            "k_dist",
+            "__keff",
+            F.when(
+                F.col("__rsum_mu") > 0,
+                F.round(
+                    F.col("__keff").cast("double")
+                    * 1e6
+                    / F.col("__rsum_mu").cast("double"),
+                    ndigits,
+                ),
+            ).alias("lrd"),
+        )
+    )
+    # LOF = mean(lrd(o) for o in kNN(p)) / lrd(p); lrd is a 6dp grid
+    # value, so the neighbor sum is again an exact micro-long
+    nbr = knn.join(
+        lrd.select(
+            F.col("__a").alias("__b"),
+            F.round(F.col("lrd") * 1e6).cast("long").alias("__lrd_b_mu"),
+        ),
+        "__b",
+    )
+    nsum = nbr.groupBy("__a").agg(
+        F.sum("__lrd_b_mu").alias("__nsum_mu")
+    )
+    return (
+        lrd.join(nsum, "__a")
+        .select(
+            F.col("__a").alias(id_col),
+            "k_dist",
+            "lrd",
+            F.when(
+                F.col("lrd").isNotNull() & (F.col("lrd") > 0),
+                F.round(
+                    F.col("__nsum_mu").cast("double")
+                    / (
+                        F.col("__keff").cast("double")
+                        * F.col("lrd").cast("double")
+                        * 1e6
+                    ),
+                    ndigits,
+                ),
+            ).alias("lof"),
+        )
+        .orderBy(F.desc("lof"), id_col)
+    )
+
+
+def dbscan_labels(
+    embeddings: DataFrame,
+    eps: float,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    max_iter: int = 20,
+) -> DataFrame:
+    """DBSCAN density clustering over an embedding column (Ester et
+    al. 1996, public literature) — clusters of ANY shape plus an
+    explicit noise bucket, the complement to ``lloyd_kmeans``'s fixed
+    spherical k: core points have >= ``min_pts`` neighbors within
+    ``eps`` (self included, the classic convention), clusters are the
+    connected components of the core-core eps-graph, border points
+    attach to their smallest core neighbor's cluster, the rest is
+    noise.
+
+    Determinism: distances are euclidean rounded to ``ndigits``
+    before the eps comparison (both engines cut the same 6dp grid);
+    the cluster label is the component's SMALLEST core id (the
+    ``connected_components`` contract); border ties resolve to the
+    smallest candidate label. Classic DBSCAN's border assignment is
+    scan-order-dependent — this min-label rule is the deterministic
+    refinement, documented.
+
+    Output per point: ``(vec_id, label, role)`` with role in
+    core/border/noise and label NULL for noise, ordered
+    (label nulls last, vec_id).
+
+    Scale: the all-pairs eps-join is the exact tool for bounded audit
+    sets (the gated entry scores a deterministic subset); at corpus
+    scale build the eps-edge list with the blocked ANN machinery
+    (region assign, candidates-then-verify) and feed the same
+    CC + border tail — everything downstream shuffles id pairs only,
+    and the CC rounds are O(log diameter) pointer-doubling hops.
+    """
+    from .graph import connected_components
+
+    # exact micro-integer distance grid — see lof_scores for why a
+    # float fold is not cross-engine safe here
+    mu = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x * 1e6).cast("long")
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("__a"), mu(F.col(vec_col)).alias("__av")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("__b"), mu(F.col(vec_col)).alias("__bv")
+    )
+    d2mu = F.aggregate(
+        F.zip_with("__av", "__bv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    near = (
+        a.crossJoin(b)
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                F.sqrt(d2mu.cast("double")) / 1e6, ndigits
+            ).alias("__dist"),
+        )
+        .filter(F.col("__dist") <= float(eps))
+        .select("__a", "__b")
+    )
+    near = near.localCheckpoint(eager=True)
+    counts = near.groupBy("__a").agg(
+        (F.count("*") + 1).alias("__nn")  # +1: self counts
+    )
+    core = counts.filter(F.col("__nn") >= int(min_pts)).select("__a")
+    core_edges = (
+        near.join(core, "__a")
+        .join(core.select(F.col("__a").alias("__b")), "__b")
+        .filter(F.col("__a") < F.col("__b"))
+    )
+    comp = connected_components(
+        core_edges, src="__a", dst="__b", max_iter=max_iter
+    ).select(F.col("id").alias("__a"), F.col("component").alias("label"))
+    # isolated core points (no core neighbor) form singleton clusters
+    comp = comp.unionByName(
+        core.join(comp.select("__a"), "__a", "left_anti").select(
+            "__a", F.col("__a").alias("label")
+        )
+    )
+    ids = embeddings.select(F.col(id_col).alias("__a"))
+    border = (
+        near.join(comp.select("__a"), "__a", "left_anti")
+        .join(
+            comp.select(
+                F.col("__a").alias("__b"), F.col("label").alias("__bl")
+            ),
+            "__b",
+        )
+        .groupBy("__a")
+        .agg(F.min("__bl").alias("label"))
+    )
+    labeled = comp.select(
+        "__a", "label", F.lit("core").alias("role")
+    ).unionByName(
+        border.select("__a", "label", F.lit("border").alias("role"))
+    )
+    return (
+        ids.join(labeled, "__a", "left")
+        .select(
+            F.col("__a").alias(id_col),
+            "label",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+        )
+        .orderBy(F.asc_nulls_last("label"), id_col)
+    )

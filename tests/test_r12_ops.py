@@ -157,3 +157,53 @@ def test_unigram_encode_segments_left_to_right(spark):
     assert got["banana"] == (2, "b ana") or got["banana"][1].startswith(
         "ban"
     )
+
+
+def test_lof_flags_planted_outlier(spark):
+    """A tight 6-point cluster plus one far point: the far point's
+    LOF is far above 1 (its density is a fraction of its neighbors'),
+    cluster members sit near 1, and k_dist is on the 6dp grid."""
+    from etl_orders_to_bq_spark.operators.ann import lof_scores
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (4, [0.1, 0.1]), (5, [0.05, 0.05]), (6, [0.0, 0.05]),
+        (99, [5.0, 5.0]),
+    ]
+    rows = lof_scores(
+        spark.createDataFrame(pts, ["vec_id", "embedding"]), k=3
+    ).collect()
+    byid = {r.vec_id: r for r in rows}
+    assert rows[0].vec_id == 99  # ordered lof desc
+    assert byid[99].lof > 5.0
+    assert all(
+        0.5 < byid[i].lof < 2.0 for i in (1, 2, 3, 4, 5, 6)
+    )
+
+
+def test_dbscan_two_blobs_border_and_noise(spark):
+    """Two separated blobs cluster under their smallest core id; a
+    point within eps of exactly one core (but itself sub-min_pts)
+    is border; a far point is noise."""
+    from etl_orders_to_bq_spark.operators.ann import dbscan_labels
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (10, [5.0, 5.0]), (11, [5.1, 5.0]), (12, [5.0, 5.1]),
+        (20, [0.45, 0.0]),   # border: within eps of (2) only
+        (99, [9.0, 9.0]),    # noise
+    ]
+    got = {
+        r.vec_id: (r.label, r.role)
+        for r in dbscan_labels(
+            spark.createDataFrame(pts, ["vec_id", "embedding"]),
+            eps=0.4,
+            min_pts=3,
+        ).collect()
+    }
+    assert got[1] == (1, "core") and got[2] == (1, "core")
+    assert got[3] == (1, "core")
+    assert got[10] == (10, "core") and got[11] == (10, "core")
+    assert got[12] == (10, "core")
+    assert got[20] == (1, "border")
+    assert got[99] == (None, "noise")
