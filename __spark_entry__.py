@@ -9234,6 +9234,37 @@ def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(li, "l_extendedprice")
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler near-name pairs over the part-name color
+    vocabulary (operators/fuzzy.py jaro_winkler): the record-linkage
+    metric as a pure Column fold (window matching, transpositions,
+    prefix boost). The oracle scores the same pairs with DuckDB's
+    NATIVE jaro_winkler_similarity — two independent implementations
+    agreeing to 6dp, not a replay."""
+    from etl_orders_to_bq_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from etl_orders_to_bq_spark.operators.fuzzy import jaro_winkler
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(tokenize(normalize_text("text"))).alias("w")
+    ).distinct()
+    pairs = words.crossJoin(
+        words.select(F.col("w").alias("w2"))
+    ).filter(F.col("w") < F.col("w2"))
+    return (
+        pairs.select(
+            F.col("w").alias("name_a"),
+            F.col("w2").alias("name_b"),
+            jaro_winkler("w", "w2").alias("jw"),
+        )
+        .filter(F.col("jw") >= 0.7)
+        .orderBy(F.desc("jw"), "name_a", "name_b")
+    )
+
+
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN density clusters over the deterministic embedding
     subset (operators/ann.py dbscan_labels): eps-graph on the 6dp
@@ -9664,6 +9695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "mood_median": q_mood_median,
         "benford_mad": q_benford_mad,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "dbscan": q_dbscan,
         "lof_outliers": q_lof_outliers,
         "fd_discovery": q_fd_discovery,
@@ -21224,6 +21256,23 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.role, 'noise') as role
         from e left join labeled l on l.a = e.id
         order by label nulls last, vec_id
+    """
+
+    out["jaro_winkler_pairs"] = """
+        with words as (
+          select distinct unnest(regexp_extract_all(trim(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\S+')) as w
+          from documents
+        ),
+        pairs as (
+          select a.w as name_a, b.w as name_b,
+                 round(jaro_winkler_similarity(a.w, b.w), 6) as jw
+          from words a, words b where a.w < b.w
+        )
+        select name_a, name_b, jw from pairs
+        where jw >= 0.7
+        order by jw desc, name_a, name_b
     """
 
 

@@ -207,3 +207,29 @@ def test_dbscan_two_blobs_border_and_noise(spark):
     assert got[12] == (10, "core")
     assert got[20] == (1, "border")
     assert got[99] == (None, "noise")
+
+
+def test_jaro_winkler_classic_goldens(spark):
+    """Literature values: MARTHA/MARHTA 0.961111, DIXON/DICKSONX
+    0.813333 (Winkler 1990 examples); slow/sort stays at its plain
+    jaro 2/3 because the prefix boost applies only above the 0.7
+    boost threshold; identical strings 1.0; disjoint strings 0.0."""
+    from etl_orders_to_bq_spark.operators.fuzzy import jaro_winkler
+
+    pairs = [
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("slow", "sort"), ("same", "same"), ("abc", "xyz"),
+        ("", "abc"),
+    ]
+    got = {
+        (r.a, r.b): r.jw
+        for r in spark.createDataFrame(pairs, ["a", "b"])
+        .withColumn("jw", jaro_winkler("a", "b"))
+        .collect()
+    }
+    assert got[("martha", "marhta")] == pytest.approx(0.961111, abs=1e-6)
+    assert got[("dixon", "dicksonx")] == pytest.approx(0.813333, abs=1e-6)
+    assert got[("slow", "sort")] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[("same", "same")] == 1.0
+    assert got[("abc", "xyz")] == 0.0
+    assert got[("", "abc")] == 0.0
