@@ -20796,13 +20796,18 @@ def oracle_sql() -> dict[str, str]:
           from orders
         ),
         trials as (select unnest(range(0, 64))::int as t),
+        sub as (
+          select * from base
+          where ('0x' || substr(md5('rl17:s:' || id), 1, 8))::bigint
+                % 2147483648 % 8 = 0
+        ),
         hashed as (
           select id, x, y,
                  ('0x' || substr(md5('rl17:a:' || id), 1, 8))::bigint
                    % 2147483648 as ha,
                  ('0x' || substr(md5('rl17:b:' || id), 1, 8))::bigint
                    % 2147483648 as hb
-          from base
+          from sub
         ),
         drawn as (
           select t,
@@ -20819,11 +20824,6 @@ def oracle_sql() -> dict[str, str]:
           select t, p1.x as x1, p1.y as y1,
                  p2.x - p1.x as dx, p2.y - p1.y as dy
           from drawn where p2.x - p1.x <> 0
-        ),
-        sub as (
-          select * from base
-          where ('0x' || substr(md5('rl17:s:' || id), 1, 8))::bigint
-                % 2147483648 % 8 = 0
         ),
         scored_sub as (
           select l.t, count(*)::bigint as inl_sub

@@ -1452,7 +1452,10 @@ def k_truss(
     surviving edges' supports — per-round cost is proportional to
     the removed edges' degree sum, not the full wedge census, which
     is what keeps long cascade chains affordable at 100x graph
-    scale. Convergence costs one count per round; each round's
+    scale. Mass-removal rounds (removed > ~1/4 of edges — dense
+    graphs shedding most of the graph at once) fall back to a full
+    survivor recount instead: censusing the small kept set is
+    cheaper than enumerating the huge removed set's triangles. Convergence costs one count per round; each round's
     support frame is staged (localCheckpoint or durable parquet via
     ``checkpoint_path`` — the kcore discipline). Peeling removes
     >= 1 edge per non-final round, so rounds <= |peeled edges|;
@@ -1557,11 +1560,34 @@ def k_truss(
         checkpoint_path,
         "truss_sup0",
     )
+    n_cur = sup.count()
     for rnd in range(max_rounds):
         removed = sup.filter(F.col("support") < k - 2).select("a", "b")
-        if removed.count() == 0:
+        n_removed = removed.count()
+        if n_removed == 0:
             return sup.select("a", "b", "support")
         kept = sup.filter(F.col("support") >= k - 2)
+        n_cur -= n_removed
+        if n_removed * 3 > n_cur:
+            # mass-removal round (dense graphs peel most edges at
+            # once): the removed set's triangle enumeration would
+            # cost MORE than a full census of the small survivor set
+            # — recount survivors directly (measured: the always-
+            # incremental peel took the dense 4x growth probe from
+            # 2.2x to 3.5x; this hybrid keeps sparse cascades
+            # incremental and dense mass-peels census-based)
+            sup = stage(
+                kept.select("a", "b")
+                .join(_support(kept.select("a", "b")), ["a", "b"], "left")
+                .select(
+                    "a",
+                    "b",
+                    F.coalesce("support", F.lit(0)).alias("support"),
+                ),
+                checkpoint_path,
+                f"truss_sup{rnd + 1}",
+            )
+            continue
         # symmetrized adjacency of the ROUND-START graph (kept +
         # removed): lost triangles existed before this round's removal
         ed = sup.select("a", "b")

@@ -156,17 +156,18 @@ def ransac_line(
     against the data, one map-side-combinable groupBy. n_trials is a
     confidence knob, not a data knob.
 
-    ``subsample_mod`` (advisor r11, the standard RANSAC scoring
-    shortcut): when set to d > 1, every trial is SCORED on the
-    deterministic 1/d row subset (md5(seed:s:id) mod d == 0 — its own
-    hash arm, independent of the point draws), the argmax trial wins
-    on subset inliers (trial-index tie-break), and only the winning
-    line is re-counted on the FULL data — so ``n_inliers`` stays
-    exact for the reported fit while the trial-scoring work drops
-    from n_trials x rows to n_trials x rows/d + rows. The winner can
-    differ from the exhaustive argmax when two lines' subset counts
-    invert their full-data order — the documented trade-off; the
-    fit itself is verified on everything.
+    ``subsample_mod`` (advisor r11, the standard RANSAC shortcut):
+    when set to d > 1, the deterministic 1/d row subset
+    (md5(seed:s:id) mod d == 0 — its own hash arm) feeds BOTH the
+    minimal-sample draws and the trial scoring, the argmax trial
+    wins on subset inliers (trial-index tie-break), and only the
+    winning line is re-counted on the FULL data — so ``n_inliers``
+    stays exact for the reported fit while the n_trials x rows
+    expansion (draw + score, the dominant cost) drops d-fold to
+    n_trials x rows/d + rows. Drawing from a deterministic subset is
+    simply a different (equally valid) sampling scheme; the winner
+    can differ from the exhaustive argmax — the documented
+    trade-off, with the fit itself verified on everything.
     """
     eps_str = repr(float(eps))
     base = df.filter(
@@ -195,7 +196,20 @@ def ransac_line(
         ).cast("long")
         % F.lit(2147483648)
     )
-    hashed = base.withColumns({"__ha": rowh("a"), "__hb": rowh("b")})
+    # with subsample_mod, the deterministic 1/d subset feeds BOTH the
+    # minimal-sample draws and the trial scoring — the 64x trial
+    # expansion is the dominant cost and it must shrink with d, not
+    # just the scoring scan (drawing from a deterministic subset is
+    # just a different, equally valid sampling scheme; the winning
+    # line still re-verifies on the full data)
+    subbed = base
+    if subsample_mod is not None and int(subsample_mod) > 1:
+        subbed = (
+            base.withColumn("__hs", rowh("s"))
+            .filter(F.col("__hs") % int(subsample_mod) == 0)
+            .drop("__hs")
+        )
+    hashed = subbed.withColumns({"__ha": rowh("a"), "__hb": rowh("b")})
     remix = lambda hc: (  # noqa: E731
         hc * (2 * F.col("__t") + 1) + F.lit(1000003) * F.col("__t")
     ) % F.lit(2147483647)
@@ -227,14 +241,8 @@ def ransac_line(
         * F.abs(F.col("__dx"))
     )
     if subsample_mod is not None and int(subsample_mod) > 1:
-        d = int(subsample_mod)
-        sub = (
-            base.withColumn("__hs", rowh("s"))
-            .filter(F.col("__hs") % d == 0)
-            .drop("__hs")
-        )
         scored_sub = (
-            sub.crossJoin(F.broadcast(lines))
+            subbed.crossJoin(F.broadcast(lines))
             .filter(inl_cond)
             .groupBy("__t")
             .agg(F.count("*").alias("__inl_sub"))
