@@ -9234,6 +9234,52 @@ def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(li, "l_extendedprice")
 
 
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down FWER control over per-segment balance z-tests
+    (operators/multitest.py holm_bonferroni): same deterministic-Phi
+    p-values as fdr_bh, the stricter family-wise rejection rule —
+    the first rank failing alpha/(m-r+1) stops all later
+    rejections."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        holm_bonferroni,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return holm_bonferroni(
+        c, "c_mktsegment", "c_acctbal", alpha=0.05
+    ).orderBy("c_mktsegment")
+
+
+def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered systematic PPS sample of orders by total price
+    (operators/sampling.py pps_systematic_sample): n=200 sample
+    points at the interval midpoints, every selection decision exact
+    integer arithmetic over cumulative cents (decimal div), big
+    units hit multiply (the PPS-with-certainty property)."""
+    from etl_orders_to_bq_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return pps_systematic_sample(o, "o_orderkey", "o_totalprice", n=200)
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution over the events journeys
+    (operators/attribution.py shapley_attribution): per-mask converted
+    user counts, driver-side exact zeta transform + factorial-weighted
+    marginals over the 2^C coalition lattice (C = distinct touch
+    types, model-sized), one exact micro division per channel. The
+    oracle rebuilds the lattice with data-derived C (recursive
+    factorial CTE, bit_count weights, hugeint sums)."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return shapley_attribution(e).orderBy("channel")
+
+
 def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro-Winkler near-name pairs over the part-name color
     vocabulary (operators/fuzzy.py jaro_winkler): the record-linkage
@@ -9695,6 +9741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "mood_median": q_mood_median,
         "benford_mad": q_benford_mad,
+        "holm_bonferroni": q_holm_bonferroni,
+        "pps_systematic": q_pps_systematic,
+        "shapley_attribution": q_shapley_attribution,
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "dbscan": q_dbscan,
         "lof_outliers": q_lof_outliers,
@@ -21273,6 +21322,166 @@ def oracle_sql() -> dict[str, str]:
         select name_a, name_b, jw from pairs
         where jw >= 0.7
         order by jw desc, name_a, name_b
+    """
+
+    out["shapley_attribution"] = """
+        with recursive conv_users as (
+          select distinct user_id as u from events
+          where event_type = 'purchase'
+        ),
+        touches as (
+          select distinct user_id as u, event_type as c from events
+          where event_type is not null and event_type <> 'purchase'
+        ),
+        chans as (
+          select c, (row_number() over (order by c) - 1)::int as i
+          from (select distinct c from touches)
+        ),
+        cc as (select count(*)::int as nc from chans),
+        fact as (
+          select 0 as k, 1::hugeint as f
+          union all
+          select k + 1, f * (k + 1)::hugeint
+          from fact, cc where k < nc
+        ),
+        masks as (
+          select cu.u,
+                 coalesce(bit_or(1::bigint << ch.i), 0) as mask
+          from conv_users cu
+          left join touches t on t.u = cu.u
+          left join chans ch on ch.c = t.c
+          group by cu.u
+        ),
+        mc as (
+          select mask, count(*)::bigint as n from masks group by mask
+        ),
+        subsets as (
+          select unnest(range(0,
+            (select 1::bigint << nc from cc))) as s
+        ),
+        vtab as (
+          select s.s, coalesce(sum(mc.n), 0)::hugeint as v
+          from subsets s
+          left join mc on mc.mask > 0 and (mc.mask & s.s) = mc.mask
+          group by s.s
+        ),
+        unattr as (
+          select coalesce(
+            (select n from mc where mask = 0), 0)::bigint as un
+        ),
+        tot as (
+          select v.v as total from vtab v, cc
+          where v.s = (1::bigint << nc) - 1
+        ),
+        contrib as (
+          select ch.c as channel,
+                 sum(f1.f * f2.f * (v2.v - v1.v))::hugeint as num
+          from chans ch
+          cross join cc
+          join vtab v1 on (v1.s & (1::bigint << ch.i)) = 0
+          join vtab v2 on v2.s = (v1.s | (1::bigint << ch.i))
+          join fact f1 on f1.k = bit_count(v1.s)
+          join fact f2 on f2.k = nc - 1 - bit_count(v1.s)
+          group by ch.c
+        )
+        select co.channel,
+               cast((2 * co.num * 1000000 + cf.f) // (2 * cf.f)
+                    as double) / 1000000.0 as shapley,
+               (select total from tot)::bigint as n_attributable,
+               (select un from unattr) as n_unattributable
+        from contrib co, cc
+        join fact cf on cf.k = nc
+        order by channel
+    """
+
+    _hb_sf = norm_sf_sql("abs(z)")
+    out["holm_bonferroni"] = f"""
+        with g as (
+          select c_mktsegment, count(c_acctbal) as n,
+                 round(cast(sum(cast(c_acctbal as decimal(18,2)))
+                            as double) / count(c_acctbal), 6) as mean
+          from customer group by 1
+        ),
+        gl as (
+          select round(cast(sum(cast(c_acctbal as decimal(18,2)))
+                            as double) / count(c_acctbal), 6) as m0,
+                 round(cast(sum(cast(c_acctbal as decimal(18,2))
+                                * cast(c_acctbal as decimal(18,2)))
+                            as double) / count(c_acctbal), 6) as m2
+          from customer
+        ),
+        s as (
+          select g.*, round(case when m2 - m0 * m0 > 0
+                            then (mean - m0)
+                                 / sqrt((m2 - m0 * m0) / n) end, 6) as z
+          from g, gl
+        ),
+        p as (
+          select *, case when z is not null then
+                 round(least(1.0, 2.0 * {_hb_sf}), 6) end as p_value
+          from s
+        ),
+        r as (
+          select *,
+                 row_number() over (order by p_value nulls last,
+                                    c_mktsegment) as p_rank,
+                 count(*) over () as m
+          from p
+        ),
+        flagged as (
+          select *, case when p_value <= 0.05 / (m - p_rank + 1)
+                         then 1 else 0 end as ok
+          from r
+        ),
+        stepped as (
+          select *, min(ok) over (order by p_value nulls last,
+                        c_mktsegment rows between unbounded preceding
+                        and current row) as all_ok
+          from flagged
+        )
+        select c_mktsegment, cast(n as bigint) as n, mean, z,
+               p_value, p_rank, all_ok = 1 as rejected
+        from stepped order by c_mktsegment
+    """
+
+    out["pps_systematic"] = """
+        with base as (
+          select o_orderkey as id,
+                 cast(cast(o_totalprice as decimal(18,2)) * 100
+                      as bigint) as w
+          from orders
+          where o_totalprice is not null
+            and cast(o_totalprice as decimal(18,2)) > 0
+            and o_orderkey is not null
+        ),
+        cum as (
+          select id, w,
+                 coalesce(sum(w) over (order by id
+                   rows between unbounded preceding
+                   and 1 preceding), 0) as below
+          from base
+        ),
+        tot as (select sum(w)::bigint as tw from base),
+        scored as (
+          select id, w, tw,
+            case when 400::hugeint * (below + w)::hugeint < tw
+                 then -1
+                 else ((400::hugeint * (below + w)::hugeint
+                        - tw::hugeint) // (2 * tw::hugeint))::bigint
+            end as khi,
+            case when 400::hugeint * below::hugeint < tw then -1
+                 else ((400::hugeint * below::hugeint
+                        - tw::hugeint) // (2 * tw::hugeint))::bigint
+            end as klo
+          from cum, tot
+        )
+        select id as o_orderkey, w::double / 100.0 as weight,
+               (least(khi, 199) - least(klo, 199))::bigint as n_hits,
+               round(least(1.0,
+                 200.0 * w::double / tw::double), 6) as pi
+        from scored
+        where least(khi, 199) - least(klo, 199) > 0
+        order by o_orderkey
     """
 
 

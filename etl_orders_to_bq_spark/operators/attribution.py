@@ -320,3 +320,130 @@ def markov_attribution(
         schema="channel string, p_full double, p_removed double, "
         "removal_effect double, share double",
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    max_channels: int = 16,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Shapley-value multi-touch attribution (Shapley 1953; the
+    coalition formulation standard in marketing measurement, public
+    literature) — the OTHER principled multi-touch split next to
+    ``markov_attribution``'s removal effects: credit channel i with
+    its average marginal contribution over all orderings,
+
+        phi_i = sum over S not containing i of
+                |S|! (C-|S|-1)! / C! * (v(S+i) - v(S))
+
+    with the standard set-function v(S) = converted users whose
+    touched-channel set is contained in S (a user converts with a
+    coalition iff the coalition covers every channel they touched).
+    Efficiency holds by construction: sum phi_i = v(all channels) =
+    the attributable conversions (pytest-pinned).
+
+    Exactness: per-user channel masks and per-mask converted-user
+    counts are exact integers; the subset-sum (zeta) transform and
+    the factorial-weighted numerators run in unbounded Python ints on
+    the driver over the <= 2^C mask table (the ridge/markov
+    bounded-collect discipline — ``max_channels`` guards the 2^C
+    blowup, C = |distinct touch types| is model-sized by contract);
+    each phi is ONE exact half-away micro division by C!. Users who
+    converted with NO prior touch are the unattributable bucket,
+    reported per row.
+
+    Output per channel (name order): ``(channel, shapley,
+    n_attributable, n_unattributable)``.
+
+    Scale: one distinct (user, channel) projection + one user-mask
+    groupBy (map-side combinable) + a <= 2^C collect; nothing
+    downstream of the groupBy grows with the data.
+    """
+    is_conv = F.col(type_col) == conversion_type
+    touches = (
+        events.filter(~is_conv & F.col(type_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), F.col(type_col).alias("__c"))
+        .distinct()
+    )
+    channels = sorted(
+        r["__c"] for r in touches.select("__c").distinct().collect()
+    )
+    C = len(channels)
+    if C > int(max_channels):
+        raise ValueError(
+            f"{C} channels exceeds max_channels={max_channels}: "
+            "Shapley enumerates 2^C coalitions — bucket channels "
+            "upstream or raise the guard deliberately"
+        )
+    idx = {c: i for i, c in enumerate(channels)}
+    conv_users = (
+        events.filter(is_conv)
+        .select(F.col(user_col).alias("__u"))
+        .distinct()
+    )
+    # per-user mask from the touch rows alone (joining conversions
+    # to touches first would feed a NULL channel through the bit map
+    # for untouched converters — they must land at mask 0 instead)
+    user_masks = touches.groupBy("__u").agg(
+        F.sum(
+            F.element_at(
+                F.array(*[F.lit(1 << idx[c]) for c in channels]),
+                # element_at is 1-based; map channel -> its ordinal
+                F.array_position(
+                    F.array(*[F.lit(c) for c in channels]),
+                    F.col("__c"),
+                ).cast("int"),
+            )
+        ).cast("long").alias("__mask")
+    )
+    masks = (
+        conv_users.join(user_masks, "__u", "left")
+        .select(F.coalesce(F.col("__mask"), F.lit(0)).alias("__mask"))
+        .groupBy("__mask")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    rows = masks.collect()
+    cnt = {int(r["__mask"]): int(r["__n"]) for r in rows}
+    unattributable = cnt.get(0, 0)
+    # zeta transform: v[S] = sum of cnt[m] over m subset of S
+    v = [0] * (1 << C)
+    for m, n in cnt.items():
+        if m > 0:
+            v[m] = n
+    for b in range(C):
+        bit = 1 << b
+        for s in range(1 << C):
+            if s & bit:
+                v[s] += v[s ^ bit]
+    import math
+
+    cfact = math.factorial(C)
+    out_rows = []
+    total_attr = v[(1 << C) - 1] if C else 0
+    for c in channels:
+        bit = 1 << idx[c]
+        num = 0
+        for s in range(1 << C):
+            if s & bit:
+                continue
+            w = math.factorial(bin(s).count("1")) * math.factorial(
+                C - 1 - bin(s).count("1")
+            )
+            num += w * (v[s | bit] - v[s])
+        micro = (2 * num * 10**ndigits + cfact) // (2 * cfact)
+        out_rows.append(
+            (
+                c,
+                micro / float(10**ndigits),
+                int(total_attr),
+                int(unattributable),
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        out_rows,
+        schema="channel string, shapley double, "
+        "n_attributable long, n_unattributable long",
+    )

@@ -189,21 +189,14 @@ def norm_sf_sql(z: str) -> str:
     )
 
 
-def fdr_bh(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    q: float = 0.1,
-    ndigits: int = 6,
+def _group_mean_pvalues(
+    df: DataFrame, group_col: str, value_col: str, ndigits: int
 ) -> DataFrame:
-    """Per-group two-sided z-test of the group mean against the
-    global mean (variance pooled from the global moments), then
-    Benjamini-Hochberg at FDR ``q``: reject every group whose p-rank
-    r satisfies p_(r) <= r/m * q for the LARGEST such r.
-
-    Output per group: ``(group, n, mean, z, p_value, p_rank,
-    rejected)``; ranks break ties on the group key.
-    """
+    """Shared front end of the multiple-testing procedures (fdr_bh,
+    holm_bonferroni): per-group two-sided z-test of the group mean
+    against the global mean with globally pooled variance — exact
+    decimal moments collapsing to double once, z rounded, p from the
+    ROUNDED z through the deterministic Phi."""
     dec = F.col(value_col).cast("decimal(18,2)")
     groups = df.groupBy(group_col).agg(
         F.count(value_col).alias("n"),
@@ -236,7 +229,25 @@ def fdr_bh(
     )
     # p from the ROUNDED z so the special-function input is a shared
     # 6dp literal, not a long-dependency double
-    scored = with_p_value(scored, "z", "p_value", ndigits)
+    return with_p_value(scored, "z", "p_value", ndigits)
+
+
+def fdr_bh(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group two-sided z-test of the group mean against the
+    global mean (variance pooled from the global moments), then
+    Benjamini-Hochberg at FDR ``q``: reject every group whose p-rank
+    r satisfies p_(r) <= r/m * q for the LARGEST such r.
+
+    Output per group: ``(group, n, mean, z, p_value, p_rank,
+    rejected)``; ranks break ties on the group key.
+    """
+    scored = _group_mean_pvalues(df, group_col, value_col, ndigits)
     m = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1800,3 +1811,67 @@ def mood_median_test(
         ),
     )
     return with_p_value(staged, "__z", ndigits=ndigits).drop("__z")
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Holm's step-down multiple-testing correction (Holm 1979,
+    public literature) over the same per-group z-tests as ``fdr_bh``
+    — the FAMILY-WISE error control to BH's false-discovery control:
+    the stricter guarantee a platform wants when ANY false alert is
+    expensive (paging, auto-rollbacks), uniformly more powerful than
+    plain Bonferroni at the same guarantee.
+
+    Step-down rule: sort p ascending (NULL p ranks last — the shared
+    engine convention), reject hypotheses 1..R where R is the LAST
+    rank such that every p_(r <= R) satisfies p_(r) <= alpha/(m-r+1)
+    — the first failure stops all later rejections regardless of
+    their own p (the defining difference from BH's step-up).
+
+    Output per group: ``(group, n, mean, z, p_value, p_rank,
+    rejected)`` — the fdr_bh shape, so dashboards swap procedures by
+    swapping the operator.
+
+    Scale: identical to fdr_bh — one map-side-combinable groupBy +
+    windows over the BOUNDED group table. No counterpart in the
+    reference engine (SURVEY.md §2.2).
+    """
+    scored = _group_mean_pvalues(df, group_col, value_col, ndigits)
+    m = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy(F.col("p_value").asc_nulls_last(), group_col)
+    prefix = Window.orderBy(
+        F.col("p_value").asc_nulls_last(), group_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        scored.withColumn("p_rank", F.row_number().over(wr))
+        .withColumn("__m", F.count("*").over(m))
+        .withColumn(
+            "__ok",
+            F.coalesce(
+                F.col("p_value")
+                <= F.lit(float(alpha))
+                / (F.col("__m") - F.col("p_rank") + 1),
+                F.lit(False),
+            ).cast("int"),
+        )
+    )
+    # step-down: rejected iff EVERY rank up to mine passed its bar
+    stepped = ranked.withColumn(
+        "__all_ok", F.min("__ok").over(prefix)
+    )
+    return stepped.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        "mean",
+        "z",
+        "p_value",
+        "p_rank",
+        (F.col("__all_ok") == 1).alias("rejected"),
+    )

@@ -371,3 +371,113 @@ def neyman_allocation(
             sample_mean.alias("sample_y_mean"),
         )
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949 / the classic PPS survey design, public literature) — draw
+    ``n`` sample points from units whose inclusion probability is
+    proportional to a size measure (revenue-weighted order audits,
+    token-weighted document QA): big units are near-certain, small
+    ones enter at rate n*w/T, and the systematic spacing guarantees
+    lower variance than independent PPS draws.
+
+    Deterministic CENTERED variant (no RNG anywhere): sample points
+    sit at p_k = (2k+1)T/(2n) for k = 0..n-1 — the "random start" of
+    the textbook design pinned to the interval midpoints, documented.
+    Units order by id; unit i covers the cumulative-weight interval
+    (W_{i-1}, W_i] in exact integer cents, and its hit count is the
+    exact count of k with W_{i-1} < p_k <= W_i, computed by clearing
+    denominators: k <= (2nW - T)/(2T) with decimal(38,0) `div` —
+    every selection decision is integer arithmetic, no float enters.
+    Units with weight >= T/n can be hit more than once (the standard
+    PPS-with-certainty property; n_hits reports it).
+
+    Output: the hit units ``(id, weight, n_hits, pi)`` ordered by id,
+    with pi = min(1, n*w/T) the first-order inclusion probability
+    (one rounded division, reporting only).
+
+    Scale: one filter + the fused two-pass ``global_cumsum_before``
+    (range shuffle on the id order), then per-row integer math — no
+    windows over the data, no collects; the mann_whitney machinery
+    pointed at sampling.
+    """
+    from .ranking import global_cumsum_before
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("decimal(18,2)") > 0)
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        (F.col(weight_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__w"),
+    )
+    cum = global_cumsum_before(
+        base, ["__id"], "__w", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    tot = F.broadcast(base.agg(F.sum("__w").cast("long").alias("__T")))
+    nn = F.lit(int(n)).cast("long")
+    # k_max(W) = floor((2nW - T) / (2T)) for 2nW >= T, else -1; the
+    # numerators stage as NAMED decimal columns (no shared temp — the
+    # case-insensitive resolver would collide __W with the weight
+    # column __w) and the nonneg numerator makes decimal `div`
+    # (truncation) == floor
+    t2 = dec(F.lit(2)) * dec(F.col("__T"))
+    numhi = dec(2 * nn) * dec(F.col("__below") + F.col("__w")) - dec(
+        F.col("__T")
+    )
+    numlo = dec(2 * nn) * dec(F.col("__below")) - dec(F.col("__T"))
+    scored = (
+        cum.crossJoin(tot)
+        .withColumn("__t2", t2)
+        .withColumn("__numhi", numhi)
+        .withColumn("__numlo", numlo)
+        .withColumn(
+            "__khi",
+            F.when(F.col("__numhi") < 0, F.lit(-1).cast("long")).otherwise(
+                F.expr("cast(__numhi div __t2 as long)")
+            ),
+        )
+        .withColumn(
+            "__klo",
+            F.when(F.col("__numlo") < 0, F.lit(-1).cast("long")).otherwise(
+                F.expr("cast(__numlo div __t2 as long)")
+            ),
+        )
+        .withColumn(
+            "__hits",
+            F.least(F.col("__khi"), nn - 1)
+            - F.least(F.col("__klo"), nn - 1),
+        )
+    )
+    return (
+        scored.filter(F.col("__hits") > 0)
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__w").cast("double") / 100.0).alias("weight"),
+            F.col("__hits").cast("long").alias("n_hits"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    nn.cast("double")
+                    * F.col("__w").cast("double")
+                    / F.col("__T").cast("double"),
+                ),
+                ndigits,
+            ).alias("pi"),
+        )
+        .orderBy(id_col)
+    )

@@ -233,3 +233,90 @@ def test_jaro_winkler_classic_goldens(spark):
     assert got[("same", "same")] == 1.0
     assert got[("abc", "xyz")] == 0.0
     assert got[("", "abc")] == 0.0
+
+
+def test_shapley_attribution_hand_golden_and_efficiency(spark):
+    """Two channels: u1 converts touching {A}, u2 converts touching
+    {A,B}, u3 touches {B} without converting, u4 converts untouched.
+    v(A)=1, v(B)=0, v(AB)=2 -> phi_A = 0.5*1 + 0.5*(2-0) = 1.5,
+    phi_B = 0.5*0 + 0.5*(2-1) = 0.5; efficiency: sum = v(AB) = 2;
+    the untouched conversion lands in the unattributable bucket."""
+    from etl_orders_to_bq_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    rows = [
+        ("u1", "A"), ("u1", "purchase"),
+        ("u2", "A"), ("u2", "B"), ("u2", "purchase"),
+        ("u3", "B"),
+        ("u4", "purchase"),
+    ]
+    got = {
+        r.channel: (r.shapley, r.n_attributable, r.n_unattributable)
+        for r in shapley_attribution(
+            spark.createDataFrame(rows, ["user_id", "event_type"])
+        ).collect()
+    }
+    assert got["A"] == (1.5, 2, 1)
+    assert got["B"] == (0.5, 2, 1)
+    assert sum(v[0] for v in got.values()) == 2.0  # efficiency
+
+
+def test_pps_systematic_hand_golden(spark):
+    """Weights (1,1,2), n=2, T=4: centered points at 1 and 3 land in
+    unit 1 (covers (0,1]) and unit 3 (covers (2,4]); a unit holding
+    more than T/n of the mass is hit multiply (weights (10,1,1),
+    n=3: points 2,6,10 all fall in the first unit)."""
+    from etl_orders_to_bq_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 2.0)], ["id", "w"]
+    )
+    got = {
+        r.id: (r.n_hits, r.pi)
+        for r in pps_systematic_sample(df, "id", "w", n=2).collect()
+    }
+    assert got == {1: (1, 0.5), 3: (1, 1.0)}
+
+    big = spark.createDataFrame(
+        [(1, 10.0), (2, 1.0), (3, 1.0)], ["id", "w"]
+    )
+    got2 = {
+        r.id: r.n_hits
+        for r in pps_systematic_sample(big, "id", "w", n=3).collect()
+    }
+    assert got2 == {1: 3}
+    # total hits always equal n
+    assert sum(got2.values()) == 3
+
+
+def test_holm_stops_at_first_failure(spark):
+    """Step-down property: Holm rejects a PREFIX of the p-ordering —
+    once a rank fails alpha/(m-r+1), later (larger) p-values cannot
+    be rejected even if they'd pass their own bar. On a fixture with
+    one extreme group and several null groups, exactly the extreme
+    groups at the head of the ordering reject."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        holm_bonferroni,
+    )
+
+    rows = (
+        [("hot", 1000.0 + i) for i in range(40)]
+        + [("a", 10.0 + (i % 3)) for i in range(40)]
+        + [("b", 11.0 + (i % 3)) for i in range(40)]
+        + [("c", 9.0 + (i % 3)) for i in range(40)]
+    )
+    res = {
+        r[0]: (r.p_rank, r.rejected)
+        for r in holm_bonferroni(
+            spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+        ).collect()
+    }
+    assert res["hot"][1] is True
+    # the rejected set is a prefix of the p_rank order
+    ranks_rejected = sorted(
+        rank for rank, rej in res.values() if rej
+    )
+    assert ranks_rejected == list(range(1, len(ranks_rejected) + 1))
