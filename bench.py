@@ -208,6 +208,20 @@ HEADLINE = [
     "wasserstein",
     "cliffs_delta",
     "two_proportion",
+    # r13 additions
+    "ransac_subsampled",
+    "unigram_lm",
+    "unigram_encode",
+    "cramers_v",
+    "mood_median",
+    "benford_mad",
+    "fd_discovery",
+    "lof_outliers",
+    "dbscan",
+    "jaro_winkler_pairs",
+    "shapley_attribution",
+    "holm_bonferroni",
+    "pps_systematic",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -275,6 +289,18 @@ ITERATIVE = {
     "cochran_q",
     # r12: the two distinct counts + overlap count run at construction
     "capture_recapture",
+    # r13: EM-round staging (localCheckpoints) runs at construction
+    "unigram_lm",
+    "unigram_encode",
+    # r13: eps-graph localCheckpoint + CC rounds run at construction
+    "dbscan",
+    # r13: the 2^C mask collect + driver zeta/Shapley run at
+    # construction
+    "shapley_attribution",
+    # r13: global_cumsum_before's per-partition totals collect runs
+    # at construction
+    "mood_median",
+    "pps_systematic",
 }
 
 
