@@ -9734,59 +9734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
-        # -- never driver-verified (new work leads the snapshot) --
-        "ransac_subsampled": q_ransac_subsampled,
-        "unigram_lm": q_unigram_lm,
-        "unigram_encode": q_unigram_encode,
-        "cramers_v": q_cramers_v,
-        "mood_median": q_mood_median,
-        "benford_mad": q_benford_mad,
-        "holm_bonferroni": q_holm_bonferroni,
-        "pps_systematic": q_pps_systematic,
-        "shapley_attribution": q_shapley_attribution,
-        "jaro_winkler_pairs": q_jaro_winkler_pairs,
-        "dbscan": q_dbscan,
-        "lof_outliers": q_lof_outliers,
-        "fd_discovery": q_fd_discovery,
-        # -- last driver-verified in round 3 --
-        "fuzzy_join": q_fuzzy_join,
-        "udtf_sentences": q_udtf_sentences,
-        "incremental_agg": q_incremental_agg,
-        "embedding_centroids": q_embedding_centroids,
-        "basket_pairs": q_basket_pairs,
-        "events_hopping": q_events_hopping,
-        "try_cast": q_try_cast,
-        "collect_agg": q_collect_agg,
-        "window_range_frame": q_window_range_frame,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "data_quality": q_data_quality,
-        "correlated_subquery": q_correlated_subquery,
-        "hash_sample": q_hash_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "source_quota": q_source_quota,
         # -- last driver-verified in round 4 --
-        "grouping_sets": q_grouping_sets,
-        "unpivot": q_unpivot,
-        "regex_extract": q_regex_extract,
-        "map_funcs": q_map_funcs,
-        "nullsafe_join": q_nullsafe_join,
-        "filtered_agg": q_filtered_agg,
-        "explode_tokens": q_explode_tokens,
-        "pivot_agg": q_pivot_agg,
-        "grouped_zscore": q_grouped_zscore,
-        "events_window": q_events_window,
-        "analytic_funcs": q_analytic_funcs,
-        "cross_join": q_cross_join,
-        "bitwise_funcs": q_bitwise_funcs,
-        "interval_arith": q_interval_arith,
-        "posexplode_tokens": q_posexplode_tokens,
-        "struct_funcs": q_struct_funcs,
-        "stratified_sample": q_stratified_sample,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "gap_fill": q_gap_fill,
-        "date_spine": q_date_spine,
         "variant_json": q_variant_json,
         "pii_redact": q_pii_redact,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -10152,6 +10100,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_join": q_q19_disjunctive_join,
         "q22_sales_opportunity": q_q22_sales_opportunity,
         "text_winnow": q_text_winnow,
+        # -- last driver-verified in round 12 --
+        "ransac_subsampled": q_ransac_subsampled,
+        "unigram_lm": q_unigram_lm,
+        "unigram_encode": q_unigram_encode,
+        "cramers_v": q_cramers_v,
+        "mood_median": q_mood_median,
+        "benford_mad": q_benford_mad,
+        "holm_bonferroni": q_holm_bonferroni,
+        "pps_systematic": q_pps_systematic,
+        "shapley_attribution": q_shapley_attribution,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "dbscan": q_dbscan,
+        "lof_outliers": q_lof_outliers,
+        "fd_discovery": q_fd_discovery,
+        "fuzzy_join": q_fuzzy_join,
+        "udtf_sentences": q_udtf_sentences,
+        "incremental_agg": q_incremental_agg,
+        "embedding_centroids": q_embedding_centroids,
+        "basket_pairs": q_basket_pairs,
+        "events_hopping": q_events_hopping,
+        "try_cast": q_try_cast,
+        "collect_agg": q_collect_agg,
+        "window_range_frame": q_window_range_frame,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "data_quality": q_data_quality,
+        "correlated_subquery": q_correlated_subquery,
+        "hash_sample": q_hash_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "source_quota": q_source_quota,
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "regex_extract": q_regex_extract,
+        "map_funcs": q_map_funcs,
+        "nullsafe_join": q_nullsafe_join,
+        "filtered_agg": q_filtered_agg,
+        "explode_tokens": q_explode_tokens,
+        "pivot_agg": q_pivot_agg,
+        "grouped_zscore": q_grouped_zscore,
+        "events_window": q_events_window,
+        "analytic_funcs": q_analytic_funcs,
+        "cross_join": q_cross_join,
+        "bitwise_funcs": q_bitwise_funcs,
+        "interval_arith": q_interval_arith,
+        "posexplode_tokens": q_posexplode_tokens,
+        "struct_funcs": q_struct_funcs,
+        "stratified_sample": q_stratified_sample,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "gap_fill": q_gap_fill,
+        "date_spine": q_date_spine,
     }
 
 
