@@ -21232,11 +21232,16 @@ def oracle_sql() -> dict[str, str]:
           from knn k join lrd lb on lb.a = k.b
         ),
         nsum as (
-          select a, sum(lrd_b_mu)::bigint as nsum_mu
+          -- count() skips NULL lrd (duplicate-cluster neighbors);
+          -- LOF is NULL unless every neighbor lrd is defined
+          -- (mirrors operators/ann.py lof_scores, advisor r12)
+          select a, sum(lrd_b_mu)::bigint as nsum_mu,
+                 count(lrd_b_mu)::bigint as ncnt
           from nbr group by a
         )
         select l.a as vec_id, l.k_dist, l.lrd,
-               case when l.lrd is not null and l.lrd > 0 then
+               case when l.lrd is not null and l.lrd > 0
+                         and n.ncnt = l.keff then
                  round(n.nsum_mu::double
                        / (l.keff::double * l.lrd * 1e6), 6)
                end as lof
@@ -22334,8 +22339,12 @@ def oracle_sql() -> dict[str, str]:
           from vc
         ),
         agg as (
-          select max(n_a) as n_a, max(n_b) as n_b,
-                 cast(sum(abs(cast(ba + na as decimal(38,0))
+          -- counts come from tot, NOT max() over this segment table:
+          -- with one distinct value overall there are no consecutive
+          -- segments, this CTE is empty, and max() would misreport
+          -- (0, 0, NULL) where the engine returns (n_a, n_b, 0.0)
+          -- (advisor r12; mirrors operators/multitest.py wasserstein_1d)
+          select cast(sum(abs(cast(ba + na as decimal(38,0))
                               * cast(n_b as decimal(38,0))
                               - cast(bb + nb as decimal(38,0))
                                 * cast(n_a as decimal(38,0)))
@@ -22344,13 +22353,15 @@ def oracle_sql() -> dict[str, str]:
           from cum, tot
           where vn is not null
         )
-        select coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b,
-               case when n_a > 0 and n_b > 0 then
-                 round(cast(num as double)
-                       / (cast(n_a as double) * cast(n_b as double)),
+        select coalesce(tot.n_a, 0) as n_a, coalesce(tot.n_b, 0) as n_b,
+               case when tot.n_a > 0 and tot.n_b > 0 then
+                 round(cast(coalesce(agg.num,
+                                     cast(0 as decimal(38,2))) as double)
+                       / (cast(tot.n_a as double)
+                          * cast(tot.n_b as double)),
                        6)
                end as w1_distance
-        from agg
+        from tot, agg
     """
 
     out["cliffs_delta"] = """

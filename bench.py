@@ -1762,9 +1762,22 @@ def main() -> None:
     # window catches whatever of it fits behind the final line); the
     # FINAL line is the parseable driver record — metric, total,
     # per-query medians at 2dp, and a pointer to the full file.
+    # metric transition record (advisor r12): the headline scalar
+    # switched from median-of-3 (r01-r11) to min-of-3 in r12, so
+    # cross-round totals straddling r12 are metric-changed. Emit BOTH
+    # totals so any round can be compared on either basis.
+    median_total = round(
+        sum(
+            d["median"] for d in detail.values()
+            if isinstance(d, dict) and "median" in d
+        ),
+        3,
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_basis": "min_of_3",
+        "median_total": median_total,
         "unit": "sec",
         "queries": timings,
         "queries_detail": detail,

@@ -1116,8 +1116,14 @@ def lof_scores(
         ),
         "__b",
     )
+    # count() skips NULL lrd neighbors (a neighbor inside a cluster of
+    # >= k exact duplicates has reach-sum 0, hence NULL lrd = infinite
+    # density); if ANY neighbor lrd is NULL the mean is undefined, so
+    # LOF propagates NULL rather than silently averaging over fewer
+    # neighbors while dividing by the full k (advisor r12)
     nsum = nbr.groupBy("__a").agg(
-        F.sum("__lrd_b_mu").alias("__nsum_mu")
+        F.sum("__lrd_b_mu").alias("__nsum_mu"),
+        F.count("__lrd_b_mu").alias("__ncnt"),
     )
     return (
         lrd.join(nsum, "__a")
@@ -1126,7 +1132,9 @@ def lof_scores(
             "k_dist",
             "lrd",
             F.when(
-                F.col("lrd").isNotNull() & (F.col("lrd") > 0),
+                F.col("lrd").isNotNull()
+                & (F.col("lrd") > 0)
+                & (F.col("__ncnt") == F.col("__keff")),
                 F.round(
                     F.col("__nsum_mu").cast("double")
                     / (
@@ -1211,8 +1219,21 @@ def dbscan_labels(
         .select("__a", "__b")
     )
     near = near.localCheckpoint(eager=True)
-    counts = near.groupBy("__a").agg(
-        (F.count("*") + 1).alias("__nn")  # +1: self counts
+    # counts cover EVERY point, not just those with an eps-neighbor:
+    # a zero-neighbor point still counts itself (__nn = 1), so with
+    # min_pts = 1 it is a singleton CORE cluster per classic DBSCAN,
+    # not noise (advisor r12)
+    counts = (
+        embeddings.select(F.col(id_col).alias("__a"))
+        .join(
+            near.groupBy("__a").agg(F.count("*").alias("__k")),
+            "__a",
+            "left",
+        )
+        .select(
+            "__a",
+            (F.coalesce(F.col("__k"), F.lit(0)) + 1).alias("__nn"),
+        )
     )
     core = counts.filter(F.col("__nn") >= int(min_pts)).select("__a")
     core_edges = (

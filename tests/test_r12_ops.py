@@ -181,6 +181,38 @@ def test_lof_flags_planted_outlier(spark):
     )
 
 
+def test_lof_null_propagates_through_duplicate_neighbors(spark):
+    """>= k exact duplicates give each duplicate reach-sum 0, hence
+    NULL lrd (infinite density). A point whose kNN include such a
+    duplicate must report NULL lof — not a mean silently shrunk by
+    skipping the NULL while still dividing by k (advisor r12)."""
+    from etl_orders_to_bq_spark.operators.ann import lof_scores
+
+    pts = [
+        # k+1 = 4 exact duplicates: each one's kNN are the OTHER three
+        # duplicates (dist 0, k_dist 0), so its reach-sum is 0
+        (1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0]),
+        (4, [0.0, 0.0]),
+        (5, [0.1, 0.0]),     # kNN = three of the duplicates
+        (6, [5.0, 5.0]), (7, [5.1, 5.0]),
+        (8, [5.0, 5.1]), (9, [5.1, 5.1]),
+    ]
+    byid = {
+        r.vec_id: r
+        for r in lof_scores(
+            spark.createDataFrame(pts, ["vec_id", "embedding"]), k=3
+        ).collect()
+    }
+    # duplicates themselves: reach-sum 0 -> NULL lrd -> NULL lof
+    assert all(byid[i].lrd is None and byid[i].lof is None
+               for i in (1, 2, 3, 4))
+    # point 5 has defined lrd but NULL-lrd neighbors -> NULL lof
+    assert byid[5].lrd is not None and byid[5].lof is None
+    # the far blob is unaffected and stays near 1
+    assert all(byid[i].lof is not None and 0.5 < byid[i].lof < 2.0
+               for i in (6, 7, 8, 9))
+
+
 def test_dbscan_two_blobs_border_and_noise(spark):
     """Two separated blobs cluster under their smallest core id; a
     point within eps of exactly one core (but itself sub-min_pts)
@@ -207,6 +239,29 @@ def test_dbscan_two_blobs_border_and_noise(spark):
     assert got[12] == (10, "core")
     assert got[20] == (1, "border")
     assert got[99] == (None, "noise")
+
+
+def test_dbscan_min_pts_one_isolated_point_is_singleton_core(spark):
+    """Classic DBSCAN with min_pts=1 makes EVERY point core (it is
+    its own neighborhood), so an isolated point is a singleton core
+    cluster, never noise (advisor r12 — counts previously came only
+    from the eps-pair table, which omits zero-neighbor points)."""
+    from etl_orders_to_bq_spark.operators.ann import dbscan_labels
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]),
+        (99, [9.0, 9.0]),    # no eps-neighbor at all
+    ]
+    got = {
+        r.vec_id: (r.label, r.role)
+        for r in dbscan_labels(
+            spark.createDataFrame(pts, ["vec_id", "embedding"]),
+            eps=0.4,
+            min_pts=1,
+        ).collect()
+    }
+    assert got[1] == (1, "core") and got[2] == (1, "core")
+    assert got[99] == (99, "core")
 
 
 def test_jaro_winkler_classic_goldens(spark):
