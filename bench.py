@@ -348,6 +348,17 @@ def _timed(build, runs: int = 3, rebuild: bool = True) -> dict:
     }
 
 
+def _timed10(build, runs: int = 2) -> float:
+    """min-of-``runs`` wall for the scaled (10x/4x) side of a growth
+    row. The 1x side was always a min-of-2, but the scaled side used
+    to be ONE sample — so a single host-load burst could masquerade as
+    superlinear growth (r12: span_dedup was flagged at "11.6x"; a
+    min-of-3 remeasure with a work census gave 1.76x over perfectly
+    linear span/dup-group counts). Growth rows now apply the same
+    min-of-n discipline to BOTH sides."""
+    return _timed(build, runs=runs)["min"]
+
+
 def _scaled_corpus(spark, sf_dir: str, out_dir: str, copies: int = 10):
     """Write a ``copies``x scaled corpus derived from ``sf_dir`` into
     ``out_dir``: documents with every word suffixed by the copy index
@@ -583,12 +594,39 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
         for name, probe in probes.items():
             t1 = _timed(lambda p=probe: p(d1), runs=2)
-            t0 = time.perf_counter()
-            _force(probe(d10))
-            t10 = round(time.perf_counter() - t0, 3)
+            t10 = _timed10(lambda: probe(d10))
             out[f"{name}_1x"] = t1["min"]
             out[f"{name}_10x"] = t10
             out[f"{name}_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
+
+        # span_dedup WORK CENSUS (r12 verdict #1): growth must be
+        # attributable to work, not taken from the wall alone — count
+        # the spans hashed, the fingerprint groups shuffled, and the
+        # duplicate groups (the join fan-in). The suffixed 10x corpus
+        # replicates per-copy dup structure, so every census row must
+        # read ~10x its 1x value; a superlinear WALL against a linear
+        # census is host noise, not the operator.
+        from etl_orders_to_bq_spark.operators.chunk import chunk_documents
+
+        for tag, d in (("1x", d1), ("10x", d10)):
+            sp = chunk_documents(
+                d, text_col="text", id_col="doc_id",
+                chunk_tokens=20, overlap=0,
+            ).select(F.md5("chunk_text").alias("fp"))
+            row = (
+                sp.groupBy("fp").agg(F.count("*").alias("n"))
+                .agg(
+                    F.coalesce(F.sum("n"), F.lit(0)).alias("spans"),
+                    F.count("*").alias("groups"),
+                    F.coalesce(
+                        F.sum((F.col("n") > 1).cast("long")), F.lit(0)
+                    ).alias("dup_groups"),
+                )
+                .first()
+            )
+            out[f"span_dedup_{tag}_spans"] = int(row["spans"])
+            out[f"span_dedup_{tag}_fp_groups"] = int(row["groups"])
+            out[f"span_dedup_{tag}_dup_groups"] = int(row["dup_groups"])
 
         # SemDeDup NEGATIVE CONTROLS (deliberately kept, deliberately
         # labeled): fixed 8-bit buckets at both scales and the 11-bit
@@ -604,14 +642,10 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
         out["semdedup_bits8_control_1x"] = t1["min"]
         for bits in (8, 11):
-            t0 = time.perf_counter()
-            _force(
-                semdedup_keep(
+            t10 = _timed10(lambda: semdedup_keep(
                     e10, _hyperplanes(dim=64, bits=bits, seed=7),
                     threshold=0.75,
-                )
-            )
-            t10 = round(time.perf_counter() - t0, 3)
+                ))
             out[f"semdedup_bits{bits}_control_10x"] = t10
             out[f"semdedup_bits{bits}_control_growth"] = round(
                 t10 / max(t1["min"], 1e-9), 1
@@ -643,9 +677,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
 
         t1 = _timed(lambda: autok(e1, k1_), runs=2)
-        t0 = time.perf_counter()
-        _force(autok(e10, k10_))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: autok(e10, k10_))
         out["semdedup_autok_1x"] = t1["min"]
         out["semdedup_autok_10x"] = t10
         out["semdedup_autok_growth"] = round(
@@ -665,9 +697,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             lambda: semdedup_auto(e1, dim=64, threshold=0.75, seed=7),
             runs=2,
         )
-        t0 = time.perf_counter()
-        _force(semdedup_auto(e10, dim=64, threshold=0.75, seed=7))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: semdedup_auto(e10, dim=64, threshold=0.75, seed=7))
         out["semdedup_auto_1x"] = t1["min"]
         out["semdedup_auto_10x"] = t10
         out["semdedup_auto_growth"] = round(
@@ -714,9 +744,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
         ofull10 = ofull10.repartition(cpus).localCheckpoint()
         t1 = _timed(lambda: rfm_segments(ofull1), runs=2)
-        t0 = time.perf_counter()
-        _force(rfm_segments(ofull10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: rfm_segments(ofull10))
         out["rfm_segments_1x"] = t1["min"]
         out["rfm_segments_10x"] = t10
         out["rfm_segments_growth"] = round(
@@ -731,13 +759,9 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ),
             runs=2,
         )
-        t0 = time.perf_counter()
-        _force(
-            bucket_medoids_auto(
+        t10 = _timed10(lambda: bucket_medoids_auto(
                 e10, dim=64, seed=42, pair_method="numpy"
-            )
-        )
-        t10 = round(time.perf_counter() - t0, 3)
+            ))
         out["diverse_sample_1x"] = t1["min"]
         out["diverse_sample_10x"] = t10
         out["diverse_sample_growth"] = round(
@@ -755,22 +779,16 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
         out["diverse_sample_bits6_control_1x"] = t1c["min"]
         for bits in (6, 9):
-            t0 = time.perf_counter()
-            _force(
-                bucket_medoids(
+            t10 = _timed10(lambda: bucket_medoids(
                     e10, dim=64, bits=bits, seed=42, pair_method="numpy"
-                )
-            )
-            t10 = round(time.perf_counter() - t0, 3)
+                ))
             out[f"diverse_sample_bits{bits}_control_10x"] = t10
             out[f"diverse_sample_bits{bits}_control_growth"] = round(
                 t10 / max(t1c["min"], 1e-9), 1
             )
 
         t1 = _timed(lambda: er(ents1), runs=2)
-        t0 = time.perf_counter()
-        _force(er(ents10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: er(ents10))
         out["entity_resolution_1x"] = t1["min"]
         out["entity_resolution_10x"] = t10
         out["entity_resolution_growth"] = round(
@@ -879,9 +897,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
 
         t1 = _timed(lambda: ivfpq(e1), runs=2)
-        t0 = time.perf_counter()
-        _force(ivfpq(e10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: ivfpq(e10))
         out["ann_ivfpq_1x"] = t1["min"]
         out["ann_ivfpq_10x"] = t10
         out["ann_ivfpq_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
@@ -941,9 +957,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ).select("id_a", "id_b", "fs_score", "is_match")
 
         t1 = _timed(lambda: fs(c1), runs=2)
-        t0 = time.perf_counter()
-        _force(fs(c10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: fs(c10))
         out["linkage_score_1x"] = t1["min"]
         out["linkage_score_10x"] = t10
         out["linkage_score_growth"] = round(
@@ -956,9 +970,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
 
         t1 = _timed(lambda: snp(ents1), runs=2)
-        t0 = time.perf_counter()
-        _force(snp(ents10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: snp(ents10))
         out["sorted_neighborhood_1x"] = t1["min"]
         out["sorted_neighborhood_10x"] = t10
         out["sorted_neighborhood_growth"] = round(
@@ -974,9 +986,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         from etl_orders_to_bq_spark.operators.graph import hits_scores
 
         t1 = _timed(lambda: hits_scores(o1, rounds=2), runs=2)
-        t0 = time.perf_counter()
-        _force(hits_scores(o10, rounds=2))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: hits_scores(o10, rounds=2))
         out["hits_scores_1x"] = t1["min"]
         out["hits_scores_10x"] = t10
         out["hits_scores_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
@@ -984,9 +994,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t1 = _timed(
             lambda: ngram_containment(d1, num_hashes=4, bands=2), runs=2
         )
-        t0 = time.perf_counter()
-        _force(ngram_containment(d10, num_hashes=4, bands=2))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: ngram_containment(d10, num_hashes=4, bands=2))
         out["ngram_containment_1x"] = t1["min"]
         out["ngram_containment_10x"] = t10
         out["ngram_containment_growth"] = round(
@@ -1009,9 +1017,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         from etl_orders_to_bq_spark.operators.encode import feature_hash
 
         t1 = _timed(lambda: feature_hash(d1, "doc_id", "text"), runs=2)
-        t0 = time.perf_counter()
-        _force(feature_hash(d10, "doc_id", "text"))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: feature_hash(d10, "doc_id", "text"))
         out["feature_hash_1x"] = t1["min"]
         out["feature_hash_10x"] = t10
         out["feature_hash_growth"] = round(
@@ -1019,9 +1025,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
 
         t1 = _timed(lambda: inverted_index(d1), runs=2)
-        t0 = time.perf_counter()
-        _force(inverted_index(d10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: inverted_index(d10))
         out["inverted_index_1x"] = t1["min"]
         out["inverted_index_10x"] = t10
         out["inverted_index_growth"] = round(
@@ -1059,11 +1063,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ),
             runs=2,
         )
-        t0 = time.perf_counter()
-        _force(
-            mann_whitney_u(ev10, "event_type", "value", "click", "error")
-        )
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: mann_whitney_u(ev10, "event_type", "value", "click", "error"))
         out["mann_whitney_1x"] = t1["min"]
         out["mann_whitney_10x"] = t10
         out["mann_whitney_growth"] = round(
@@ -1167,9 +1167,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
 
         t1 = _timed(lambda: neardup(e1), runs=2)
-        t0 = time.perf_counter()
-        _force(neardup(e10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: neardup(e10))
         out["dedup_embedding_1x"] = t1["min"]
         out["dedup_embedding_10x"] = t10
         out["dedup_embedding_growth"] = round(
@@ -1204,9 +1202,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
 
         t1 = _timed(lambda: exact_substring_dedup(d1, min_tokens=15), runs=2)
-        t0 = time.perf_counter()
-        _force(exact_substring_dedup(d10, min_tokens=15))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: exact_substring_dedup(d10, min_tokens=15))
         out["exact_substring_1x"] = t1["min"]
         out["exact_substring_10x"] = t10
         out["exact_substring_growth"] = round(
@@ -1222,9 +1218,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             )
 
         t1 = _timed(lambda: perp(d1), runs=2)
-        t0 = time.perf_counter()
-        _force(perp(d10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: perp(d10))
         out["perplexity_buckets_1x"] = t1["min"]
         out["perplexity_buckets_10x"] = t10
         out["perplexity_buckets_growth"] = round(
@@ -1268,9 +1262,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         )
 
         t1 = _timed(lambda: cdc_chunk_documents(d1), runs=2)
-        t0 = time.perf_counter()
-        _force(cdc_chunk_documents(d10))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: cdc_chunk_documents(d10))
         out["cdc_chunks_1x"] = t1["min"]
         out["cdc_chunks_10x"] = t10
         out["cdc_chunks_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
@@ -1317,9 +1309,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t1d = _timed(
             lambda: k_truss(li1, k=8, local_threshold=None), runs=2
         )
-        t0 = time.perf_counter()
-        _force(k_truss(li4, k=8))
-        t4 = round(time.perf_counter() - t0, 3)
+        t4 = _timed10(lambda: k_truss(li4, k=8))
         out["k_truss_1x"] = t1["min"]
         out["k_truss_1x_distributed"] = t1d["min"]
         out["k_truss_4x"] = t4
@@ -1351,12 +1341,8 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ).localCheckpoint()
 
         c1, c4 = _cascade_edges(9), _cascade_edges(33)
-        t0 = time.perf_counter()
-        _force(k_truss(c1, k=4, local_threshold=None, max_rounds=30))
-        tc1 = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        _force(k_truss(c4, k=4, local_threshold=None, max_rounds=30))
-        tc4 = round(time.perf_counter() - t0, 3)
+        tc1 = _timed10(lambda: k_truss(c1, k=4, local_threshold=None, max_rounds=30))
+        tc4 = _timed10(lambda: k_truss(c4, k=4, local_threshold=None, max_rounds=30))
         out["k_truss_cascade_5r"] = tc1
         out["k_truss_cascade_17r"] = tc4
         out["k_truss_cascade_rounds_growth"] = round(
@@ -1407,14 +1393,32 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
         t1 = _timed(
             lambda: ransac_line(r1, "x", "y", "pid", eps=2.0), runs=2
         )
-        t0 = time.perf_counter()
-        _force(ransac_line(r10, "x", "y", "pid", eps=2.0))
-        t10 = round(time.perf_counter() - t0, 3)
+        t10 = _timed10(lambda: ransac_line(r10, "x", "y", "pid", eps=2.0))
         out["ransac_1x"] = t1["min"]
         out["ransac_10x"] = t10
         out["ransac_growth"] = round(t10 / max(t1["min"], 1e-9), 1)
         out["ransac_1x_rows"] = r1.count()
         out["ransac_10x_rows"] = r10.count()
+        # trial-expansion WORK CENSUS (r12 verdict #2): the draw and
+        # score stages each expand rows x n_trials, so the attributable
+        # work at each scale is 2 * rows * 64 expansion rows (the
+        # subsampled variant draws AND scores on rows/16, plus one
+        # full-data recount of the winning line). A wall that moves
+        # while these rows don't is suite/host state, not the operator
+        # (r12's 8.5 s headline reproduced at 2.9 s standalone with an
+        # identical census).
+        out["ransac_1x_expansion_rows"] = 2 * out["ransac_1x_rows"] * 64
+        out["ransac_10x_expansion_rows"] = (
+            2 * out["ransac_10x_rows"] * 64
+        )
+        out["ransac_sub16_1x_expansion_rows"] = (
+            2 * (out["ransac_1x_rows"] // 16) * 64
+            + out["ransac_1x_rows"]
+        )
+        out["ransac_sub16_10x_expansion_rows"] = (
+            2 * (out["ransac_10x_rows"] // 16) * 64
+            + out["ransac_10x_rows"]
+        )
 
         # r12 (advisor): the subsample-scored variant — trials score
         # on the deterministic 1/16 subset, only the argmax line is
@@ -1427,11 +1431,7 @@ def _sf1_stress(spark, sf_dir: str, cpus: int) -> dict:
             ),
             runs=2,
         )
-        t0 = time.perf_counter()
-        _force(
-            ransac_line(r10, "x", "y", "pid", eps=2.0, subsample_mod=16)
-        )
-        t10s = round(time.perf_counter() - t0, 3)
+        t10s = _timed10(lambda: ransac_line(r10, "x", "y", "pid", eps=2.0, subsample_mod=16))
         out["ransac_sub16_1x"] = t1s["min"]
         out["ransac_sub16_10x"] = t10s
         out["ransac_sub16_growth"] = round(

@@ -213,24 +213,57 @@ def ransac_line(
     remix = lambda hc: (  # noqa: E731
         hc * (2 * F.col("__t") + 1) + F.lit(1000003) * F.col("__t")
     ) % F.lit(2147483647)
+    # SLIM draw payload (r12 verdict #2): the n_trials x rows
+    # expansion carries only (remixed hash, id) per arm — ids are
+    # unique, so min(struct(h, id)) picks the same winner as the old
+    # min(struct(h, id, x, y)) while the per-row expansion builds
+    # half-size structs (measured 1.69 s -> 1.17 s for the draw stage
+    # at sf0.1) and the map-side combine payload drops to 2 longs +
+    # a string per trial. Coordinates join back afterwards: one scan
+    # of the (subsampled) base against a broadcast of the <= 2 *
+    # n_trials winning ids.
     drawn = hashed.crossJoin(trials).groupBy("__t").agg(
         F.min(
-            F.struct(
-                remix(F.col("__ha")).alias("h"), "__id", "__x", "__y"
-            )
+            F.struct(remix(F.col("__ha")).alias("h"), "__id")
         ).alias("__p1"),
         F.min(
-            F.struct(
-                remix(F.col("__hb")).alias("h"), "__id", "__x", "__y"
-            )
+            F.struct(remix(F.col("__hb")).alias("h"), "__id")
         ).alias("__p2"),
     )
-    lines = drawn.select(
+    winners = drawn.select(
         "__t",
-        F.col("__p1.__x").alias("__x1"),
-        F.col("__p1.__y").alias("__y1"),
-        (F.col("__p2.__x") - F.col("__p1.__x")).alias("__dx"),
-        (F.col("__p2.__y") - F.col("__p1.__y")).alias("__dy"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("__arm"),
+                    F.col("__p1.__id").alias("__id"),
+                ),
+                F.struct(
+                    F.lit(2).alias("__arm"),
+                    F.col("__p2.__id").alias("__id"),
+                ),
+            )
+        ).alias("__w"),
+    ).select("__t", F.col("__w.__arm").alias("__arm"),
+             F.col("__w.__id").alias("__id"))
+    coords = (
+        subbed.join(F.broadcast(winners), "__id")
+        .groupBy("__t")
+        .agg(
+            F.min(
+                F.when(F.col("__arm") == 1, F.struct("__x", "__y"))
+            ).alias("__c1"),
+            F.min(
+                F.when(F.col("__arm") == 2, F.struct("__x", "__y"))
+            ).alias("__c2"),
+        )
+    )
+    lines = coords.select(
+        "__t",
+        F.col("__c1.__x").alias("__x1"),
+        F.col("__c1.__y").alias("__y1"),
+        (F.col("__c2.__x") - F.col("__c1.__x")).alias("__dx"),
+        (F.col("__c2.__y") - F.col("__c1.__y")).alias("__dy"),
     ).filter(F.col("__dx") != 0)
     inl_cond = (
         F.abs(
