@@ -1338,6 +1338,43 @@ def _k_truss_local(pdf, k: int, spark) -> DataFrame:
 
     a = pdf["a"].to_numpy(dtype=np.int64)
     b = pdf["b"].to_numpy(dtype=np.int64)
+
+    # Dense-domain fast path (r12 verdict #3): when every node id fits
+    # a small dense domain, edge support IS the adjacency-matrix
+    # square — support(a, b) = |N(a) ∩ N(b)| = (A @ A)[a, b] — so one
+    # BLAS matmul replaces the whole wedge-probe census. Profiled on
+    # the sf0.1 gated fixture (1000 nodes, 348,728 edges, 81M wedges,
+    # 56.5M triangles, converges in ONE round): 27.5 s of searchsorted
+    # probes -> 0.17 s of matmul, with support totals identical
+    # (3 x triangle count). Exactness: counts are small integers, and
+    # float64 sums of integers < 2^53 are exact in ANY accumulation
+    # order, so BLAS threading cannot perturb the result. The 2048
+    # bound keeps A + A@A at ~66 MB and one round's matmul at ~1.7e10
+    # flops; larger-domain graphs fall through to the wedge census.
+    n_ids = int(max(a.max(), b.max())) + 1 if len(a) else 0
+    if 0 < n_ids <= 2048:
+        A = np.zeros((n_ids, n_ids), dtype=np.float64)
+        while True:
+            if len(a) == 0:
+                break
+            A[:] = 0.0
+            A[a, b] = 1.0
+            A[b, a] = 1.0
+            sup = (A @ A)[a, b].astype(np.int64)
+            keep = sup >= k - 2
+            if keep.all():
+                out = pd.DataFrame(
+                    {"a": a, "b": b, "support": sup}
+                ).sort_values(["a", "b"])
+                return spark.createDataFrame(
+                    out, schema="a bigint, b bigint, support bigint"
+                )
+            a, b = a[keep], b[keep]
+        out = pd.DataFrame({"a": [], "b": [], "support": []})
+        return spark.createDataFrame(
+            out, schema="a bigint, b bigint, support bigint"
+        )
+
     while True:
         m = len(a)
         if m == 0:
