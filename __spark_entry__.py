@@ -9721,6 +9721,196 @@ def q_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BY FDR control under arbitrary dependence
+    (operators/multitest.py benjamini_yekutieli): fdr_bh's per-event-
+    type z-tests with the threshold divided by the harmonic number
+    c(m) — the harmonic fold runs ascending i=1..m in both engines,
+    so the cut is bit-identical; p comes from the engine's
+    deterministic Φ (norm_sf_sql shared-literal discipline)."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        benjamini_yekutieli,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return benjamini_yekutieli(e, "event_type", "value", q=0.1).orderBy(
+        "event_type"
+    )
+
+
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel heteroscedastic rank test, click vs error
+    values (operators/multitest.py brunner_munzel): doubled midranks
+    from the fused cumsum, variance deviations scaled to exact
+    decimal(38,0) integers (A_i = 2*n_i*deviation), one fixed-order
+    double for W and the engine Φ for p — the oracle replays the
+    identical integer machinery with window sums."""
+    from etl_orders_to_bq_spark.operators.multitest import brunner_munzel
+
+    e = _t(spark, sf_dir, "events")
+    return brunner_munzel(e, "event_type", "value", "click", "error")
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend across the five event types
+    (alphabetical order — data-derived, operators/multitest.py
+    jonckheere_terpstra): doubled JT from per-distinct-value group
+    counts riding ONE fused cumsum as k parallel columns; the
+    tie-corrected variance is three exact integer censuses. The
+    oracle replays on a dense value x group grid with window
+    cumsums and dense_rank-derived group ordinals."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        jonckheere_terpstra,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return jonckheere_terpstra(e, "event_type", "value")
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend of a binary rate over the 1..5 priority
+    tiers (operators/multitest.py cochran_armitage): integer scores
+    from the priority prefix digit, outcome = order value above 200k;
+    T*N and Var*N^3 exact decimal integers, one double z, engine Φ
+    p."""
+    from etl_orders_to_bq_spark.operators.multitest import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("tier"),
+        (F.col("o_totalprice") > 200000).alias("big"),
+    )
+    return cochran_armitage(o, "tier", "big")
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a synthesized 3-judge panel
+    (operators/classifier.py fleiss_kappa): every order is an item
+    with EXACTLY three integer-derived categorical votes (key mod 5,
+    key//7 mod 5, cents mod 5 — deterministic, engine-free), so the
+    constant-rater contract holds by construction. po/pe/kappa are
+    each one rounded division of exact decimal integers."""
+    from etl_orders_to_bq_spark.operators.classifier import fleiss_kappa
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    votes = None
+    for expr in (
+        F.col("o_orderkey") % 5,
+        (F.col("o_orderkey") / 7).cast("long") % 5,
+        cents % 5,
+    ):
+        part = o.select(
+            F.col("o_orderkey").alias("item"),
+            expr.cast("string").alias("cat"),
+        )
+        votes = part if votes is None else votes.unionByName(part)
+    return fleiss_kappa(votes, "item", "cat")
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha with VARYING raters per item
+    (operators/classifier.py krippendorff_alpha): vote 1 always,
+    vote 2 on even keys, vote 3 on keys divisible by 3 — m_u in
+    {1,2,3}, the m_u=1 units dropping as unpairable per the canonical
+    rule. O_d folds the per-rater-count census sorted by m (the
+    sorted-fold discipline)."""
+    from etl_orders_to_bq_spark.operators.classifier import (
+        krippendorff_alpha,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.select(
+        F.col("o_orderkey").alias("item"),
+        (F.col("o_orderkey") % 5).cast("string").alias("cat"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("item"),
+        ((F.col("o_orderkey") / 7).cast("long") % 5)
+        .cast("string")
+        .alias("cat"),
+    )
+    v3 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("item"),
+        (cents % 5).cast("string").alias("cat"),
+    )
+    return krippendorff_alpha(
+        v1.unionByName(v2).unionByName(v3), "item", "cat"
+    )
+
+
+def q_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between src0 and src1 unigram
+    distributions (operators/lm.py jensen_shannon_divergence):
+    add-one smoothing over the union vocabulary, log2 terms summed
+    once, one rounded division — the symmetric bounded companion to
+    source_kl_divergence on the same census plan."""
+    from etl_orders_to_bq_spark.operators.lm import (
+        jensen_shannon_divergence,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return jensen_shannon_divergence(d, "source", "text", "src0", "src1")
+
+
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 of each document against its doc_id+1 neighbor
+    (operators/lm.py rouge_n): clipped bigram counts from one
+    exploded census per side joined on (id, gram) — integer clip,
+    three rounded ratios. Ordered by id; the self-join fixture keeps
+    the pair table data-derived at every SF."""
+    from etl_orders_to_bq_spark.operators.lm import rouge_n
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id"), F.col("text").alias("cand"))
+        .join(
+            d.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("text").alias("ref"),
+            ),
+            "doc_id",
+        )
+    )
+    return rouge_n(pairs, "doc_id", "cand", "ref", n=2).orderBy("doc_id")
+
+
+def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words per event-type series (operators/timeseries.py
+    sax_symbolize): 8-segment PAA over the (ts, value)-ordered
+    series, alphabet-4 letters cut at the shared 6dp Gaussian
+    breakpoints; mu/sigma from exact decimal sums so both engines
+    build identical doubles."""
+    from etl_orders_to_bq_spark.operators.timeseries import sax_symbolize
+
+    e = _t(spark, sf_dir, "events")
+    return sax_symbolize(
+        e, "event_type", "ts", "value", n_segments=8, alphabet=4
+    )
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-aware outliers over (quantity, extendedprice)
+    (operators/quality.py mahalanobis_outliers_2d): moment sums are
+    exact decimals, the 2x2 inverse is the cleared adjugate form,
+    d2 one fixed-order double per row; threshold 4.61 = chi2(2df)
+    90% (the synthetic pair is well-conditioned — d2 tops out near
+    5.9, so the 99% cut would be an empty, trivially-matching
+    oracle). Row ids pack (orderkey, linenumber) uniquely."""
+    from etl_orders_to_bq_spark.operators.quality import (
+        mahalanobis_outliers_2d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return mahalanobis_outliers_2d(
+        li, "rid", "qty", "price", threshold=4.61
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9734,6 +9924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history accumulates.
     """
     return {
+        # -- never driver-verified (new work leads the snapshot) --
+        "benjamini_yekutieli": q_benjamini_yekutieli,
+        "brunner_munzel": q_brunner_munzel,
+        "jonckheere_terpstra": q_jonckheere_terpstra,
+        "cochran_armitage": q_cochran_armitage,
+        "fleiss_kappa": q_fleiss_kappa,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "jensen_shannon": q_jensen_shannon,
+        "rouge_n": q_rouge_n,
+        "sax_symbolize": q_sax_symbolize,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
         # -- last driver-verified in round 4 --
         "variant_json": q_variant_json,
         "pii_redact": q_pii_redact,
@@ -17819,6 +18020,629 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _psf = norm_sf_sql("abs(z)")
+
+    # Benjamini-Yekutieli: the fdr_bh replay with the threshold divided
+    # by the harmonic number c(m); the harmonic folds ascending i=1..m
+    # as ONE single-row list fold (bounded m — the r10 full-chunk
+    # list_reduce trap does not apply), seed 0.0 like the engine's
+    # F.aggregate, so the cut is bit-identical.
+    out["benjamini_yekutieli"] = f"""
+        with g as (
+          select event_type, count(value) as n,
+                 round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as mean
+          from events group by 1
+        ),
+        gl as (
+          select round(cast(sum(cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as m0,
+                 round(cast(sum(cast(value as decimal(18,2))
+                                * cast(value as decimal(18,2)))
+                            as double) / count(value), 6) as m2
+          from events
+        ),
+        s as (
+          select g.*, round(case when m2 - m0 * m0 > 0
+                            then (mean - m0)
+                                 / sqrt((m2 - m0 * m0) / n) end, 6) as z
+          from g, gl
+        ),
+        p as (
+          select *, case when z is not null then
+                 round(least(1.0, 2.0 * {_psf}), 6) end as p_value
+          from s
+        ),
+        mm as (select count(*) as m from p),
+        hm as (
+          select list_reduce(
+                   list_prepend(0.0::double,
+                     list_transform(range(1, (select m from mm) + 1),
+                                    i -> 1.0 / cast(i as double))),
+                   (a, x) -> a + x) as cm
+        ),
+        r as (
+          select p.*, (select m from mm) as m, (select cm from hm) as cm,
+                 row_number() over (order by p_value nulls last,
+                                    event_type)
+                   as p_rank
+          from p
+        ),
+        rs as (
+          select *,
+                 max(case when p_value <= p_rank / (m * cm) * 0.1
+                     then p_rank end) over () as rstar
+          from r
+        )
+        select event_type, cast(n as bigint) as n, mean, z,
+               p_value, p_rank,
+               coalesce(p_rank <= rstar, false) as rejected
+        from rs order by event_type
+    """
+
+    _wpsf = norm_sf_sql("abs(w_round)")
+    out["brunner_munzel"] = f"""
+        with f as (
+          select event_type as g, value as v from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 sum(case when g = 'error' then 1 else 0 end) as nb,
+                 count(*) as nt
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bt,
+                 coalesce(sum(na) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as ba,
+                 coalesce(sum(nb) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bb
+          from vc
+        ),
+        tot as (
+          select cast(sum(na) as bigint) as n_a,
+                 cast(sum(nb) as bigint) as n_b,
+                 cast(sum(cast(na as decimal(38,0))
+                          * cast(2*bt + nt + 1 as decimal(38,0)))
+                      as decimal(38,0)) as ta,
+                 cast(sum(cast(nb as decimal(38,0))
+                          * cast(2*bt + nt + 1 as decimal(38,0)))
+                      as decimal(38,0)) as tb
+          from cum
+        ),
+        ss as (
+          select
+            cast(sum(cast(na as decimal(38,0))
+                     * (cast(n_a as decimal(38,0))
+                        * cast(2*(bt - ba) + (nt - na) as decimal(38,0))
+                        - ta
+                        + cast(n_a as decimal(38,0))
+                          * cast(n_a + 1 as decimal(38,0)))
+                     * (cast(n_a as decimal(38,0))
+                        * cast(2*(bt - ba) + (nt - na) as decimal(38,0))
+                        - ta
+                        + cast(n_a as decimal(38,0))
+                          * cast(n_a + 1 as decimal(38,0))))
+                 as decimal(38,0)) as ssa,
+            cast(sum(cast(nb as decimal(38,0))
+                     * (cast(n_b as decimal(38,0))
+                        * cast(2*(bt - bb) + (nt - nb) as decimal(38,0))
+                        - tb
+                        + cast(n_b as decimal(38,0))
+                          * cast(n_b + 1 as decimal(38,0)))
+                     * (cast(n_b as decimal(38,0))
+                        * cast(2*(bt - bb) + (nt - nb) as decimal(38,0))
+                        - tb
+                        + cast(n_b as decimal(38,0))
+                          * cast(n_b + 1 as decimal(38,0))))
+                 as decimal(38,0)) as ssb
+          from cum, tot
+        ),
+        stat as (
+          select n_a, n_b,
+                 cast(ssa as double)
+                   / (4.0 * n_a * n_a * (n_a - 1.0)) as s_a,
+                 cast(ssb as double)
+                   / (4.0 * n_b * n_b * (n_b - 1.0)) as s_b,
+                 (cast(tb as double) / n_b
+                  - cast(ta as double) / n_a) / 2.0 as rdiff,
+                 (cast(tb as double) / n_b - (n_b + 1.0))
+                   / (2.0 * n_a) as phat
+          from tot, ss
+        ),
+        wv as (
+          select *,
+                 n_a * s_a + n_b * s_b as var_term
+          from stat
+        ),
+        wr as (
+          select *,
+                 case when n_a > 1 and n_b > 1 and var_term > 0 then
+                   round((n_a * n_b * rdiff)
+                         / ((n_a + n_b) * sqrt(var_term)), 6)
+                 end as w_round
+          from wv
+        )
+        select 'click' as group_a, 'error' as group_b, n_a, n_b,
+               case when n_a > 0 and n_b > 0
+                    then round(phat, 6) end as p_hat,
+               w_round as w_stat,
+               case when w_round is not null then
+                 round(least(1.0, 2.0 * {_wpsf}), 6) end as p_value
+        from wr
+    """
+
+    out["jonckheere_terpstra"] = f"""
+        with f as (
+          select event_type as g, value as v from events
+          where value is not null
+        ),
+        gi as (
+          select g, dense_rank() over (order by g) - 1 as j
+          from (select distinct g from f)
+        ),
+        cnt as (
+          select v, j, count(*) as n
+          from f join gi using (g) group by 1, 2
+        ),
+        grid as (
+          select v, j, coalesce(n, 0) as n
+          from (select distinct v from cnt)
+          cross join (select j from gi)
+          left join cnt using (v, j)
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(n) over (partition by j order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as below
+          from grid
+        ),
+        prev as (
+          select *,
+                 coalesce(sum(cast(2*below + n as decimal(38,0)))
+                   over (partition by v order by j
+                     rows between unbounded preceding and 1 preceding),
+                   cast(0 as decimal(38,0))) as prevterm
+          from cum
+        ),
+        jt as (
+          select cast(sum(cast(n as decimal(38,0)) * prevterm)
+                      as decimal(38,0)) as jt2
+          from prev
+        ),
+        gsz as (select j, sum(n) as gn from grid group by j),
+        tsz as (select v, sum(n) as tn from grid group by v),
+        cg as (
+          select cast(sum(cast(gn as decimal(38,0))
+                          * cast(gn - 1 as decimal(38,0))
+                          * cast(2*gn + 5 as decimal(38,0)))
+                      as decimal(38,0)) as g2,
+                 cast(sum(cast(gn as decimal(38,0))
+                          * cast(gn - 1 as decimal(38,0))
+                          * cast(gn - 2 as decimal(38,0)))
+                      as decimal(38,0)) as g3,
+                 cast(sum(cast(gn as decimal(38,0))
+                          * cast(gn - 1 as decimal(38,0)))
+                      as decimal(38,0)) as g1,
+                 cast(sum(cast(gn as decimal(38,0))
+                          * cast(gn as decimal(38,0)))
+                      as decimal(38,0)) as sumsq,
+                 cast(sum(gn) as bigint) as n,
+                 cast(count(*) as bigint) as k
+          from gsz
+        ),
+        ct as (
+          select cast(sum(cast(tn as decimal(38,0))
+                          * cast(tn - 1 as decimal(38,0))
+                          * cast(2*tn + 5 as decimal(38,0)))
+                      as decimal(38,0)) as t2,
+                 cast(sum(cast(tn as decimal(38,0))
+                          * cast(tn - 1 as decimal(38,0))
+                          * cast(tn - 2 as decimal(38,0)))
+                      as decimal(38,0)) as t3,
+                 cast(sum(cast(tn as decimal(38,0))
+                          * cast(tn - 1 as decimal(38,0)))
+                      as decimal(38,0)) as t1
+          from tsz
+        ),
+        vz as (
+          select jt2, n, k,
+                 cast(cast(n as decimal(38,0)) * cast(n as decimal(38,0))
+                      - sumsq as double) / 2.0 as e2,
+                 cast(cast(n as decimal(38,0))
+                      * cast(n - 1 as decimal(38,0))
+                      * cast(2*n + 5 as decimal(38,0))
+                      - g2 - t2 as double) / 72.0
+                 + case when n > 2 then
+                     cast(g3 * t3 as double)
+                     / (36.0 * n * (n - 1.0) * (n - 2.0))
+                   else 0.0 end
+                 + case when n > 1 then
+                     cast(g1 * t1 as double)
+                     / (8.0 * n * (n - 1.0))
+                   else 0.0 end as var
+          from jt, cg, ct
+        ),
+        zr as (
+          select n, k, jt2,
+                 case when var > 0 then
+                   round((cast(jt2 as double) - e2)
+                         / (2.0 * sqrt(var)), 6)
+                 end as z
+          from vz
+        )
+        select n, k as n_groups, cast(jt2 as bigint) as jt2, z,
+               case when z is not null then
+                 round(least(1.0, 2.0 * {_psf}), 6) end as p_value
+        from zr
+    """
+
+    out["cochran_armitage"] = f"""
+        with g as (
+          select cast(substr(o_orderpriority, 1, 1) as bigint) as w,
+                 case when o_totalprice > 200000 then 1 else 0 end as y
+          from orders
+          where o_orderpriority is not null
+        ),
+        cen as (
+          select w, count(*) as n, sum(y) as r from g group by w
+        ),
+        agg as (
+          select cast(sum(n) as bigint) as n,
+                 cast(sum(r) as bigint) as n_success,
+                 cast(sum(cast(w as decimal(38,0))
+                          * cast(n as decimal(38,0)))
+                      as decimal(38,0)) as swn,
+                 cast(sum(cast(w as decimal(38,0))
+                          * cast(w as decimal(38,0))
+                          * cast(n as decimal(38,0)))
+                      as decimal(38,0)) as sw2n,
+                 cast(sum(cast(w as decimal(38,0))
+                          * cast(r as decimal(38,0)))
+                      as decimal(38,0)) as swr
+          from cen
+        ),
+        st as (
+          select n, n_success,
+                 swr * cast(n as decimal(38,0))
+                   - swn * cast(n_success as decimal(38,0)) as tn,
+                 cast(n_success as decimal(38,0))
+                   * cast(n - n_success as decimal(38,0))
+                   * (cast(n as decimal(38,0)) * sw2n - swn * swn)
+                   as vn3
+          from agg
+        ),
+        zr as (
+          select n, n_success,
+                 case when vn3 > 0 then
+                   round(cast(tn as double) * sqrt(cast(n as double))
+                         / sqrt(cast(vn3 as double)), 6)
+                 end as z
+          from st
+        )
+        select n, n_success, z,
+               case when z is not null then
+                 round(least(1.0, 2.0 * {_psf}), 6) end as p_value
+        from zr
+    """
+
+    # shared 3-vote panel fixture for the agreement coefficients
+    _votes3 = """
+          select o_orderkey as item,
+                 cast(o_orderkey % 5 as varchar) as cat from orders
+          union all
+          select o_orderkey,
+                 cast((o_orderkey // 7) % 5 as varchar) from orders
+          union all
+          select o_orderkey,
+                 cast(cast(round(o_totalprice * 100, 0) as bigint) % 5
+                      as varchar) from orders
+    """
+    out["fleiss_kappa"] = f"""
+        with votes as ({_votes3}),
+        cells as (
+          select item, cat, count(*) as c from votes group by 1, 2
+        ),
+        per_item as (
+          select item, sum(c) as m, sum(c * c) as s
+          from cells group by item
+        ),
+        margins as (select cat, sum(c) as cc from cells group by cat),
+        ia as (
+          select cast(count(*) as bigint) as n_items,
+                 cast(sum(s) as decimal(38,0)) as ssum
+          from per_item
+        ),
+        mb as (
+          select cast(sum(cast(cc as decimal(38,0))
+                          * cast(cc as decimal(38,0)))
+                      as decimal(38,0)) as b
+          from margins
+        ),
+        st as (
+          select n_items, ssum, b,
+                 cast(n_items as decimal(38,0)) * 3 as nn,
+                 ssum - cast(n_items as decimal(38,0)) * 3 as a
+          from ia, mb
+        ),
+        st2 as (
+          select *, nn * 2 as den_o, nn * nn as nn2 from st
+        )
+        select n_items, cast(3 as bigint) as n_raters,
+               round(cast(a as double) / cast(den_o as double), 6)
+                 as po,
+               round(cast(b as double) / cast(nn2 as double), 6) as pe,
+               case when nn2 != b then
+                 round(cast(a * nn2 - b * den_o as double)
+                       / cast(den_o * (nn2 - b) as double), 6)
+               end as kappa
+        from st2
+    """
+
+    out["krippendorff_alpha"] = """
+        with votes as (
+          select o_orderkey as item,
+                 cast(o_orderkey % 5 as varchar) as cat from orders
+          union all
+          select o_orderkey,
+                 cast((o_orderkey // 7) % 5 as varchar) from orders
+          where o_orderkey % 2 = 0
+          union all
+          select o_orderkey,
+                 cast(cast(round(o_totalprice * 100, 0) as bigint) % 5
+                      as varchar) from orders
+          where o_orderkey % 3 = 0
+        ),
+        cells as (
+          select item, cat, count(*) as c from votes group by 1, 2
+        ),
+        per_item as (
+          select item, sum(c) as m, sum(c * c) as s
+          from cells group by item
+          having sum(c) >= 2
+        ),
+        margins as (
+          select cat, sum(c) as cc
+          from cells join per_item using (item)
+          group by cat
+        ),
+        bym as (
+          select m,
+                 cast(sum(cast(m as decimal(38,0))
+                          * cast(m as decimal(38,0))
+                          - cast(s as decimal(38,0)))
+                      as decimal(38,0)) as anum
+          from per_item group by m
+        ),
+        od as (
+          select list_reduce(
+                   list_prepend(0.0::double,
+                     list(cast(anum as double) / (m - 1.0) order by m)),
+                   (a, x) -> a + x) as od
+          from bym
+        ),
+        tots as (
+          select cast(count(*) as bigint) as n_units,
+                 cast(sum(m) as bigint) as n_pairable
+          from per_item
+        ),
+        mb as (
+          select cast(sum(cast(cc as decimal(38,0))
+                          * cast(cc as decimal(38,0)))
+                      as decimal(38,0)) as b
+          from margins
+        )
+        select n_units, n_pairable,
+               case when cast(cast(n_pairable as decimal(38,0))
+                             * cast(n_pairable as decimal(38,0))
+                             - b as double) > 0 then
+                 round(1.0 - (n_pairable - 1.0) * od
+                       / cast(cast(n_pairable as decimal(38,0))
+                              * cast(n_pairable as decimal(38,0))
+                              - b as double), 6)
+               end as alpha
+        from tots, od, mb
+    """
+
+    out["jensen_shannon"] = """
+        with toks as (
+          select source as g,
+                 unnest(regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\S+')) as w
+          from documents where source in ('src0', 'src1')
+        ),
+        cnt as (
+          select w,
+                 sum(case when g = 'src0' then 1 else 0 end) as ca,
+                 sum(case when g = 'src1' then 1 else 0 end) as cb
+          from toks group by w
+        ),
+        consts as (
+          select count(*) as v, sum(ca) as ta, sum(cb) as tb from cnt
+        ),
+        terms as (
+          select ((ca + 1.0) / (ta + v)) as p,
+                 ((cb + 1.0) / (tb + v)) as q,
+                 ta, tb
+          from cnt, consts
+        )
+        select 'src0' as group_a, 'src1' as group_b,
+               cast(max(ta) as bigint) as n_tokens_a,
+               cast(max(tb) as bigint) as n_tokens_b,
+               round(sum(p * (log2(p) - log2((p + q) / 2.0))
+                         + q * (log2(q) - log2((p + q) / 2.0))) / 2.0,
+                     6) as jsd
+        from terms
+    """
+
+    out["rouge_n"] = """
+        with pairs as (
+          select a.doc_id, a.text as cand, b.text as ref
+          from documents a join documents b on b.doc_id = a.doc_id + 1
+        ),
+        toked as (
+          select doc_id,
+                 regexp_extract_all(trim(regexp_replace(lower(cand),
+                   '\\s+', ' ', 'g')), '\\S+') as ct,
+                 regexp_extract_all(trim(regexp_replace(lower(ref),
+                   '\\s+', ' ', 'g')), '\\S+') as rt
+          from pairs
+        ),
+        grammed as (
+          select doc_id,
+                 case when len(ct) >= 2 then
+                   [ct[i] || ' ' || ct[i+1] for i in range(1, len(ct))]
+                 else [] end as cg,
+                 case when len(rt) >= 2 then
+                   [rt[i] || ' ' || rt[i+1] for i in range(1, len(rt))]
+                 else [] end as rg
+          from toked
+        ),
+        cand_c as (
+          select doc_id, g, count(*) as cc
+          from (select doc_id, unnest(cg) as g from grammed)
+          group by 1, 2
+        ),
+        ref_c as (
+          select doc_id, g, count(*) as rc
+          from (select doc_id, unnest(rg) as g from grammed)
+          group by 1, 2
+        ),
+        clipt as (
+          select doc_id, sum(least(cc, rc)) as clip
+          from ref_c join cand_c using (doc_id, g)
+          group by doc_id
+        ),
+        tots as (
+          select doc_id, len(cg) as n_cand, len(rg) as n_ref
+          from grammed
+        ),
+        scored as (
+          select t.doc_id,
+                 cast(t.n_cand as bigint) as n_cand,
+                 cast(t.n_ref as bigint) as n_ref,
+                 cast(coalesce(c.clip, 0) as bigint) as clip,
+                 case when t.n_cand > 0 then
+                   coalesce(c.clip, 0) / cast(t.n_cand as double) end
+                   as p,
+                 case when t.n_ref > 0 then
+                   coalesce(c.clip, 0) / cast(t.n_ref as double) end
+                   as r
+          from tots t left join clipt c using (doc_id)
+        )
+        select doc_id, n_cand, n_ref, clip,
+               round(p, 6) as precision,
+               round(r, 6) as recall,
+               case when (p + r) > 0 then
+                 round(2.0 * p * r / (p + r), 6)
+               when p is not null and r is not null then 0.0
+               end as f1
+        from scored order by doc_id
+    """
+
+    out["sax_symbolize"] = """
+        with base as (
+          select event_type as s, ts as t,
+                 cast(value as decimal(18,2)) as v
+          from events where value is not null and ts is not null
+        ),
+        ranked as (
+          select *, row_number() over (partition by s order by t, v)
+                     as rn
+          from base
+        ),
+        stats as (
+          select s, cast(count(*) as bigint) as n,
+                 sum(v) as vsum,
+                 sum(cast(v as decimal(38,4)) * v) as vsumsq
+          from base group by s
+        ),
+        seg as (
+          select r.s, ((r.rn - 1) * 8) // st.n as sg,
+                 sum(r.v) as segsum, count(*) as segn
+          from ranked r join stats st using (s)
+          group by 1, 2
+        ),
+        zs as (
+          select seg.s, seg.sg,
+                 case when (cast(vsumsq as double)
+                            - n * (cast(vsum as double) / n)
+                                * (cast(vsum as double) / n)) / n > 0
+                 then (cast(segsum as double) / segn
+                       - cast(vsum as double) / n)
+                      / sqrt((cast(vsumsq as double)
+                              - n * (cast(vsum as double) / n)
+                                  * (cast(vsum as double) / n)) / n)
+                 else 0.0 end as z
+          from seg join stats using (s)
+        ),
+        lettered as (
+          select s, sg,
+                 case when z <= -0.674490 then 'a'
+                      when z <= 0.0 then 'b'
+                      when z <= 0.674490 then 'c'
+                      else 'd' end as l
+          from zs
+        )
+        select s as event_type,
+               cast(count(*) as bigint) as n_segments_out,
+               string_agg(l, '' order by sg) as word
+        from lettered group by s order by s
+    """
+
+    out["mahalanobis_outliers"] = """
+        with base as (
+          select l_orderkey * 10 + l_linenumber as rid,
+                 cast(l_quantity as decimal(18,2)) as x,
+                 cast(l_extendedprice as decimal(18,2)) as y
+          from lineitem
+          where l_quantity is not null and l_extendedprice is not null
+        ),
+        mom as (
+          select cast(count(*) as bigint) as n,
+                 sum(x) as sx, sum(y) as sy,
+                 sum(cast(x as decimal(38,4)) * x) as sxx,
+                 sum(cast(y as decimal(38,4)) * y) as syy,
+                 sum(cast(x as decimal(38,4)) * y) as sxy
+          from base
+        ),
+        cen as (
+          select n,
+                 n * cast(sxx as double)
+                   - cast(sx as double) * cast(sx as double) as cxx,
+                 n * cast(syy as double)
+                   - cast(sy as double) * cast(sy as double) as cyy,
+                 n * cast(sxy as double)
+                   - cast(sx as double) * cast(sy as double) as cxy,
+                 cast(sx as double) as sxd, cast(sy as double) as syd
+          from mom
+        ),
+        scored as (
+          select rid, cast(x as double) as x, cast(y as double) as y,
+                 round((n - 1.0)
+                       * (cyy * (n * cast(b.x as double) - sxd)
+                            * (n * cast(b.x as double) - sxd)
+                          - 2.0 * cxy * (n * cast(b.x as double) - sxd)
+                            * (n * cast(b.y as double) - syd)
+                          + cxx * (n * cast(b.y as double) - syd)
+                            * (n * cast(b.y as double) - syd))
+                       / (n * (cxx * cyy - cxy * cxy)), 6) as d2
+          from base b, cen
+          where n >= 3 and cxx * cyy - cxy * cxy > 0
+        )
+        select rid, x, y, d2 from scored
+        where d2 > 4.61
+        order by d2 desc, rid
+    """
+
     out["fdr_bh"] = f"""
         with g as (
           select event_type, count(value) as n,

@@ -897,3 +897,210 @@ def mcnemar_test(
         F.when(chi2.isNotNull(), F.sqrt(chi2)).alias("__z"),
     )
     return with_p_value(staged, "__z", "p_value", ndigits).drop("__z")
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for a FIXED number
+    of raters per item (Fleiss 1971, public literature): the
+    multi-rater generalization a labeling pipeline reports when every
+    document gets the same n judge votes (n-way LLM-judge panels,
+    triple-annotation batches). Input: one row per (item, assigned
+    category) rating.
+
+    Exactness: with cell counts n_ic, per-item squared sums
+    s_i = sum_c n_ic^2, category column sums C_c, N items and n
+    raters, the algebraically cleared form
+
+        kappa = (A*(N*n)^2 - B*N*n*(n-1))
+              / (N*n*(n-1) * ((N*n)^2 - B))
+
+    with A = sum_i s_i - N*n and B = sum_c C_c^2 is ONE rounded
+    division of exact decimal(38,0) integers; the observed and
+    expected agreements (po = A/(N*n*(n-1)), pe = B/(N*n)^2) are each
+    one rounded division too. Perfect chance agreement (pe = 1)
+    yields NULL kappa. A varying rater count raises ValueError —
+    that is krippendorff_alpha's contract, not Fleiss'.
+
+    Output: one row ``(n_items, n_raters, po, pe, kappa)``.
+
+    Scale: one groupBy to the (item, category) cell table, one
+    per-item aggregate, bounded category margins.
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(category_col).cast("string").alias("__c"),
+    )
+    cells = base.groupBy("__i", "__c").agg(F.count("*").alias("__n"))
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__n").cast("long").alias("__m"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__s"),
+    )
+    rc = per_item.agg(
+        F.count_distinct("__m").alias("__k"),
+        F.min("__m").alias("__n_raters"),
+    ).first()
+    if rc["__k"] == 0:
+        raise ValueError("fleiss_kappa: no ratings")
+    if rc["__k"] > 1 or rc["__n_raters"] < 2:
+        raise ValueError(
+            "fleiss_kappa: every item needs the SAME rater count >= 2 "
+            "(varying counts are krippendorff_alpha's contract)"
+        )
+    n_raters = int(rc["__n_raters"])
+    margins = cells.groupBy("__c").agg(
+        F.sum("__n").cast("long").alias("__cc")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ia = per_item.agg(
+        F.count("*").cast("long").alias("n_items"),
+        dec(F.sum(F.col("__s"))).alias("__ssum"),
+    )
+    mb = margins.agg(
+        dec(F.sum(dec(F.col("__cc")) * dec(F.col("__cc")))).alias(
+            "__b"
+        )
+    )
+    out = ia.crossJoin(F.broadcast(mb)).withColumns(
+        {
+            "__nn": dec(F.col("n_items")) * F.lit(n_raters),
+            "__a": F.col("__ssum")
+            - dec(F.col("n_items")) * F.lit(n_raters),
+        }
+    )
+    out = out.withColumns(
+        {
+            "__den_o": F.col("__nn") * F.lit(n_raters - 1),
+            "__nn2": F.col("__nn") * F.col("__nn"),
+        }
+    )
+    po = F.round(
+        F.col("__a").cast("double") / F.col("__den_o").cast("double"),
+        ndigits,
+    )
+    pe = F.round(
+        F.col("__b").cast("double") / F.col("__nn2").cast("double"),
+        ndigits,
+    )
+    kappa_num = (
+        F.col("__a") * F.col("__nn2") - F.col("__b") * F.col("__den_o")
+    )
+    kappa_den = F.col("__den_o") * (F.col("__nn2") - F.col("__b"))
+    return out.select(
+        "n_items",
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(
+            F.col("__nn2") != F.col("__b"),
+            F.round(
+                kappa_num.cast("double") / kappa_den.cast("double"),
+                ndigits,
+            ),
+        ).alias("kappa"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data with a varying number of
+    raters per item (Krippendorff 1970/2004, public literature) — the
+    agreement coefficient that tolerates missing ratings, the real
+    shape of crowd/LLM-judge labels where items get 2..n votes.
+    Units with fewer than 2 ratings are unpairable and drop (the
+    canonical rule).
+
+        alpha = 1 - (n-1) * O_d / (n^2 - sum_c C_c^2)
+        O_d   = sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)
+
+    with n = total pairable ratings, m_u ratings in unit u, C_c the
+    category margins. Exactness: every numerator is an exact integer;
+    O_d's per-unit rationals share denominators within each rater
+    count m, so the fold groups units BY m (a census bounded by the
+    max rater count), sorts by m, and left-folds the per-m doubles —
+    the sorted-fold discipline (infotheory), bit-identical
+    cross-engine. The final alpha is one fixed-order double
+    expression, rounded once.
+
+    Output: one row ``(n_units, n_pairable, alpha)``; alpha is NULL
+    when expected disagreement is zero (a single category overall).
+
+    Scale: one groupBy to (item, category) cells, one per-item
+    aggregate, a rater-count census fold, bounded margins.
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(category_col).cast("string").alias("__c"),
+    )
+    cells = base.groupBy("__i", "__c").agg(F.count("*").alias("__n"))
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__n").cast("long").alias("__m"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__s"),
+    ).filter(F.col("__m") >= 2)
+    pairable = per_item.select("__i")
+    margins = (
+        cells.join(pairable, "__i")
+        .groupBy("__c")
+        .agg(F.sum("__n").cast("long").alias("__cc"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # per-rater-count census: units with the same m share the
+    # denominator (m - 1), so O_d folds the SORTED per-m doubles
+    bym = per_item.groupBy("__m").agg(
+        dec(
+            F.sum(
+                dec(F.col("__m")) * dec(F.col("__m")) - dec(F.col("__s"))
+            )
+        ).alias("__anum")
+    )
+    od = bym.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__m", "__anum"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["__anum"].cast("double")
+            / (s["__m"].cast("double") - F.lit(1.0)),
+        ).alias("__od"),
+        F.count("*").alias("__dummy"),
+    ).select("__od")
+    tots = per_item.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("n_pairable"),
+    )
+    mb = margins.agg(
+        dec(F.sum(dec(F.col("__cc")) * dec(F.col("__cc")))).alias(
+            "__b"
+        )
+    )
+    out = tots.crossJoin(F.broadcast(od)).crossJoin(F.broadcast(mb))
+    nn = F.col("n_pairable").cast("double")
+    de = (
+        dec(F.col("n_pairable")) * dec(F.col("n_pairable"))
+        - F.col("__b")
+    ).cast("double")
+    return out.select(
+        "n_units",
+        "n_pairable",
+        F.when(
+            de > 0,
+            F.round(
+                F.lit(1.0)
+                - (nn - F.lit(1.0)) * F.col("__od") / de,
+                ndigits,
+            ),
+        ).alias("alpha"),
+    )

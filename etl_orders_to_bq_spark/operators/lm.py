@@ -2376,3 +2376,171 @@ def unigram_encode(
         F.size("__ps").cast("long").alias("n_pieces"),
         F.array_join(F.reverse("__ps"), " ").alias("pieces"),
     ).orderBy(F.desc("n"), "word")
+
+
+def jensen_shannon_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' add-one-smoothed
+    unigram distributions (Lin 1991, public literature) — the
+    SYMMETRIC, bounded [0,1] (log2) companion to
+    ``source_kl_divergence``: the number to threshold when deciding
+    whether two corpus slices are interchangeable for mixing (JSD is
+    finite even where one source has zero mass, which raw KL is not).
+
+        p(w) = (c_a(w)+1)/(T_a+V)   q(w) = (c_b(w)+1)/(T_b+V)
+        m(w) = (p+q)/2
+        JSD  = 0.5*sum p*log2(p/m) + 0.5*sum q*log2(q/m)
+
+    over the UNION vocabulary of the two sources (the smoothing gives
+    absent words mass, so dropping them biases the estimate — same
+    contract as source_kl_divergence, including the top-V truncation
+    advice at extreme vocabulary sizes).
+
+    Output: one row ``(group_a, group_b, n_tokens_a, n_tokens_b,
+    jsd)``.
+
+    Scale: one corpus scan to the (source, word) census; everything
+    after runs on the vocabulary-sized table.
+    """
+    toks = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokenize(normalize_text(text_col))).alias("w"),
+    )
+    cnt = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias(
+            "__ca"
+        ),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias(
+            "__cb"
+        ),
+    )
+    consts = F.broadcast(
+        cnt.agg(
+            F.count("*").alias("__v"),
+            F.sum("__ca").alias("__ta"),
+            F.sum("__cb").alias("__tb"),
+        )
+    )
+    grid = cnt.crossJoin(consts)
+    p = (F.col("__ca") + 1.0) / (F.col("__ta") + F.col("__v"))
+    q = (F.col("__cb") + 1.0) / (F.col("__tb") + F.col("__v"))
+    m = (p + q) / 2.0
+    term = p * (F.log2(p) - F.log2(m)) + q * (F.log2(q) - F.log2(m))
+    return grid.agg(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.max("__ta").cast("long").alias("n_tokens_a"),
+        F.max("__tb").cast("long").alias("n_tokens_b"),
+        F.round(F.sum(term) / 2.0, ndigits).alias("jsd"),
+    )
+
+
+def rouge_n(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ROUGE-N overlap between a candidate and a reference text per
+    row (Lin 2004, public literature) — the n-gram recall family an
+    eval pipeline scores summaries/generations with, and a curation
+    pipeline reuses as a near-verbatim leak detector between splits.
+
+    Clipped counting (the canonical rule): each distinct n-gram
+    contributes min(count in candidate, count in reference).
+
+        recall    = clip / #ref_ngrams
+        precision = clip / #cand_ngrams
+        f1        = 2pr/(p+r)
+
+    Exactness: counts are integers from one exploded
+    (id, gram) census per side joined on (id, gram) — the
+    scale-correct plan (linear in tokens, one keyed shuffle), never a
+    per-row quadratic in-row scan; the three ratios are one rounded
+    division each.
+
+    Output: ``(id_col, n_cand, n_ref, clip, precision, recall, f1)``
+    — one row per input row, zero-ngram sides yield NULL ratios.
+    """
+    def grams(c):
+        ts = tokenize(normalize_text(c))
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - n + 1),
+                lambda i: F.array_join(F.slice(ts, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        grams(cand_col).alias("__cg"),
+        grams(ref_col).alias("__rg"),
+    )
+    cand = (
+        base.select("__id", F.explode("__cg").alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count("*").alias("__cc"))
+    )
+    ref = (
+        base.select("__id", F.explode("__rg").alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count("*").alias("__rc"))
+    )
+    clip = (
+        ref.join(cand, ["__id", "__g"])
+        .groupBy("__id")
+        .agg(
+            F.sum(F.least("__rc", "__cc")).cast("long").alias("clip")
+        )
+    )
+    tots = base.select(
+        "__id",
+        F.size("__cg").cast("long").alias("n_cand"),
+        F.size("__rg").cast("long").alias("n_ref"),
+    )
+    out = tots.join(clip, "__id", "left").withColumn(
+        "clip", F.coalesce("clip", F.lit(0))
+    )
+    p = F.when(
+        F.col("n_cand") > 0,
+        F.col("clip").cast("double") / F.col("n_cand").cast("double"),
+    )
+    r = F.when(
+        F.col("n_ref") > 0,
+        F.col("clip").cast("double") / F.col("n_ref").cast("double"),
+    )
+    out = out.withColumns(
+        {"__p": p, "__r": r}
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_cand",
+        "n_ref",
+        "clip",
+        F.round("__p", ndigits).alias("precision"),
+        F.round("__r", ndigits).alias("recall"),
+        F.when(
+            (F.col("__p") + F.col("__r")) > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("__p")
+                * F.col("__r")
+                / (F.col("__p") + F.col("__r")),
+                ndigits,
+            ),
+        ).otherwise(
+            F.when(
+                F.col("__p").isNotNull() & F.col("__r").isNotNull(),
+                F.lit(0.0),
+            )
+        ).alias("f1"),
+    )

@@ -1875,3 +1875,484 @@ def holm_bonferroni(
         "p_rank",
         (F.col("__all_ok") == 1).alias("rejected"),
     )
+
+
+def benjamini_yekutieli(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR control under ARBITRARY dependence
+    (Benjamini & Yekutieli 2001, public literature) over the same
+    per-group z-tests as ``fdr_bh`` — the correction to reach for
+    when the per-group tests share data (overlapping cohorts,
+    correlated metrics) and BH's independence/PRDS assumption is not
+    defensible: the BH threshold divides by the harmonic number
+    c(m) = sum_{i=1..m} 1/i, trading power for a guarantee that
+    holds under any correlation structure.
+
+    Step-up rule: reject ranks 1..R where R is the LARGEST r with
+    p_(r) <= r / (m * c(m)) * q. The harmonic sum folds ascending
+    i = 1..m in both engines — identical IEEE double addition order,
+    so the threshold is bit-identical cross-engine.
+
+    Output per group: ``(group, n, mean, z, p_value, p_rank,
+    rejected)`` — the fdr_bh/holm shape, so dashboards swap
+    procedures by swapping the operator.
+
+    Scale: identical to fdr_bh — one map-side-combinable groupBy +
+    windows over the BOUNDED group table. No counterpart in the
+    reference engine (SURVEY.md §2.2).
+    """
+    scored = _group_mean_pvalues(df, group_col, value_col, ndigits)
+    m = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy(F.col("p_value").asc_nulls_last(), group_col)
+    harmonic = F.aggregate(
+        F.sequence(F.lit(1), F.col("__m")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
+    ranked = (
+        scored.withColumn("p_rank", F.row_number().over(wr))
+        .withColumn("__m", F.count("*").over(m))
+        .withColumn(
+            "__ok",
+            F.col("p_value")
+            <= F.col("p_rank")
+            / (F.col("__m") * harmonic)
+            * F.lit(float(q)),
+        )
+    )
+    rstar = ranked.withColumn(
+        "__rstar",
+        F.max(F.when(F.col("__ok"), F.col("p_rank"))).over(m),
+    )
+    return rstar.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        "mean",
+        "z",
+        "p_value",
+        "p_rank",
+        F.coalesce(
+            F.col("p_rank") <= F.col("__rstar"), F.lit(False)
+        ).alias("rejected"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Brunner-Munzel test (Brunner & Munzel 2000, public literature)
+    — the nonparametric two-sample test that, unlike Mann-Whitney,
+    does NOT assume equal variances/shapes under the null: it tests
+    P(X < Y) + 0.5*P(X = Y) = 0.5 directly, the robust default when
+    the two arms can differ in spread (heteroscedastic metrics,
+    mixed-source corpora). Normal-approximation p-value (the
+    large-sample form; both engines share the deterministic Φ).
+
+    Exactness: all rank machinery is integer. Per distinct value the
+    combined and within-sample midranks are carried DOUBLED
+    (2R = 2*below + n + 1); the variance deviations scale by 4*n_i so
+    every squared term is an exact decimal(38,0):
+
+        A_i(v) = n_i*(2R(v) - 2r_i(v)) - T_i + n_i*(n_i+1)
+                 (= 2*n_i * the deviation, so)
+        S_i    = sum_v n_i(v)*A_i(v)^2 / (4*n_i^2*(n_i-1))
+
+    with T_i = sum_v n_i(v)*2R(v) (the doubled rank sum). The
+    statistic (scipy's formulation, public)
+
+        W = n_a*n_b*(Rbar_b - Rbar_a)
+            / ((n_a+n_b) * sqrt(n_a*S_a + n_b*S_b))
+
+    is one fixed-order double expression over those exact integers.
+
+    Output: one row ``(group_a, group_b, n_a, n_b, p_hat, w_stat,
+    p_value)`` where p_hat is the estimated P(X<Y)+.5P(X=Y).
+    Degenerate variance (every arm constant) yields NULL w/p.
+
+    Scale: the mann_whitney class — everything runs on the
+    distinct-value table with keyed shuffles only.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+        F.count("*").alias("__nt"),
+    )
+    cum = global_cumsum_before(
+        vc, ["__v"], ["__nt", "__na", "__nb"],
+        num_partitions=num_partitions,
+        out_col=["__bt", "__ba", "__bb"],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two_r = F.lit(2) * F.col("__bt") + F.col("__nt") + F.lit(1)
+    two_ra = F.lit(2) * F.col("__ba") + F.col("__na") + F.lit(1)
+    two_rb = F.lit(2) * F.col("__bb") + F.col("__nb") + F.lit(1)
+    tot = F.broadcast(
+        cum.agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+            dec(F.sum(dec(F.col("__na")) * dec(two_r))).alias("__t_a"),
+            dec(F.sum(dec(F.col("__nb")) * dec(two_r))).alias("__t_b"),
+        )
+    )
+    seg = cum.crossJoin(tot)
+    a_dev = (
+        dec(F.col("n_a")) * dec(two_r - two_ra)
+        - F.col("__t_a")
+        + dec(F.col("n_a")) * dec(F.col("n_a") + F.lit(1))
+    )
+    b_dev = (
+        dec(F.col("n_b")) * dec(two_r - two_rb)
+        - F.col("__t_b")
+        + dec(F.col("n_b")) * dec(F.col("n_b") + F.lit(1))
+    )
+    ss = seg.groupBy().agg(
+        dec(F.sum(dec(F.col("__na")) * a_dev * a_dev)).alias("__ss_a"),
+        dec(F.sum(dec(F.col("__nb")) * b_dev * b_dev)).alias("__ss_b"),
+    )
+    out = tot.crossJoin(F.broadcast(ss))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # staged projections (the with_p_value discipline): each alias is
+    # referenced more than once below, so it must be its own
+    # withColumn — inlining the whole tree duplicates the decimal
+    # casts per reference and janino rejects the generated method
+    out = out.withColumns(
+        {
+            "__s_a": F.col("__ss_a").cast("double")
+            / (F.lit(4.0) * na * na * (na - F.lit(1.0))),
+            "__s_b": F.col("__ss_b").cast("double")
+            / (F.lit(4.0) * nb * nb * (nb - F.lit(1.0))),
+            "__rbar_diff": (
+                F.col("__t_b").cast("double") / nb
+                - F.col("__t_a").cast("double") / na
+            )
+            / F.lit(2.0),
+            "p_hat": F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    (
+                        F.col("__t_b").cast("double") / nb
+                        - (nb + F.lit(1.0))
+                    )
+                    / (F.lit(2.0) * na),
+                    ndigits,
+                ),
+            ),
+        }
+    )
+    out = out.withColumn(
+        "__var_term", na * F.col("__s_a") + nb * F.col("__s_b")
+    )
+    out = out.withColumn(
+        "w_stat",
+        F.when(
+            (F.col("n_a") > 1)
+            & (F.col("n_b") > 1)
+            & (F.col("__var_term") > 0),
+            F.round(
+                (na * nb * F.col("__rbar_diff"))
+                / ((na + nb) * F.sqrt(F.col("__var_term"))),
+                ndigits,
+            ),
+        ),
+    )
+    out = with_p_value(out, z_col="w_stat", ndigits=ndigits)
+    return out.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        "p_hat",
+        "w_stat",
+        "p_value",
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list | None = None,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test (Jonckheere 1954 / Terpstra
+    1952, public literature) — the ordered-alternative k-sample test:
+    where Kruskal-Wallis asks "do these dose/tier groups differ at
+    all", JT asks "do values INCREASE along the given group order",
+    which is the actual question for dose-response, pricing tiers, or
+    model-size ladders. JT = sum over group pairs i<j of the
+    Mann-Whitney count #{x_i < x_j} + 0.5*#{x_i = x_j}.
+
+    Exactness: JT is carried DOUBLED (2*JT, an exact decimal) from
+    per-distinct-value integer counts. ``groups`` fixes the order
+    (defaults to the sorted distinct groups — a bounded driver
+    collect, <= ``max_groups``, the adaboost/kmeans model-size
+    discipline). Each group's per-value counts ride ONE
+    ``global_cumsum_before`` pass as k parallel columns; the
+    per-value pair fold is a bounded k^2 in-row loop. The normal
+    approximation uses the tie-corrected variance (Kendall's
+    three-term form with group sizes as the second tie family):
+
+        E   = (N^2 - sum n_i^2) / 4
+        var = [N(N-1)(2N+5) - S_g(2) - S_t(2)] / 72
+              + S_g(3)*S_t(3) / (36 N(N-1)(N-2))
+              + S_g(1)*S_t(1) / (8 N(N-1))
+
+    with S_g(2) = sum n_i(n_i-1)(2n_i+5) etc. over group sizes and
+    tie sizes — all exact integer censuses, one double division at
+    the end; z and the two-sided p (deterministic Φ) round once.
+
+    Output: one row ``(n, n_groups, jt2, z, p_value)`` where jt2 is
+    the doubled JT statistic. Degenerate variance yields NULL z/p.
+
+    Scale: one groupBy to the (group, value) census, one fused
+    cumsum over the distinct-value table, bounded in-row folds —
+    the mann_whitney class.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(F.col(value_col).isNotNull())
+    if groups is None:
+        head = (
+            filt.select(F.col(group_col).alias("__g"))
+            .distinct()
+            .orderBy("__g")
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(head) > max_groups:
+            raise ValueError(
+                f"jonckheere_terpstra: > {max_groups} distinct groups; "
+                "pass an explicit ordered `groups` list"
+            )
+        groups = [r["__g"] for r in head]
+    k = len(groups)
+    gidx = F.create_map(
+        *[x for i, g in enumerate(groups) for x in (F.lit(g), F.lit(i))]
+    )
+    vc = (
+        filt.filter(F.col(group_col).isin(list(groups)))
+        .select(
+            gidx[F.col(group_col)].alias("__gi"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__v")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__gi") == i, 1).otherwise(0)
+                ).alias(f"__n{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    cum = global_cumsum_before(
+        vc,
+        ["__v"],
+        [f"__n{i}" for i in range(k)],
+        num_partitions=num_partitions,
+        out_col=[f"__b{i}" for i in range(k)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # per-value doubled-JT contribution: for each later group j, its
+    # n_j(v) obs sit above 2*below_i(v) + ... of every earlier group i
+    contrib = None
+    for j in range(1, k):
+        inner = None
+        for i in range(j):
+            term = F.lit(2) * F.col(f"__b{i}") + F.col(f"__n{i}")
+            inner = term if inner is None else inner + term
+        t = dec(F.col(f"__n{j}")) * dec(inner)
+        contrib = t if contrib is None else contrib + t
+    nt = None
+    for i in range(k):
+        nt = F.col(f"__n{i}") if nt is None else nt + F.col(f"__n{i}")
+    agg = cum.agg(
+        dec(F.sum(contrib)).alias("jt2"),
+        *[
+            F.sum(f"__n{i}").cast("long").alias(f"__gn{i}")
+            for i in range(k)
+        ],
+        F.sum(nt).cast("long").alias("n"),
+        dec(F.sum(dec(nt) * dec(nt - 1) * dec(2 * nt + 5))).alias(
+            "__t2"
+        ),
+        dec(F.sum(dec(nt) * dec(nt - 1) * dec(nt - 2))).alias("__t3"),
+        dec(F.sum(dec(nt) * dec(nt - 1))).alias("__t1"),
+    )
+    g2 = g3 = g1 = sq = None
+    for i in range(k):
+        gn = F.col(f"__gn{i}")
+        a2 = dec(gn) * dec(gn - 1) * dec(2 * gn + 5)
+        a3 = dec(gn) * dec(gn - 1) * dec(gn - 2)
+        a1 = dec(gn) * dec(gn - 1)
+        s = dec(gn) * dec(gn)
+        g2 = a2 if g2 is None else g2 + a2
+        g3 = a3 if g3 is None else g3 + a3
+        g1 = a1 if g1 is None else g1 + a1
+        sq = s if sq is None else sq + s
+    staged = agg.withColumns(
+        {
+            "__g2": g2,
+            "__g3": g3,
+            "__g1": g1,
+            "__sumsq": sq,
+        }
+    )
+    nn = F.col("n").cast("double")
+    staged = staged.withColumns(
+        {
+            "__e2": (
+                dec(F.col("n")) * dec(F.col("n")) - F.col("__sumsq")
+            ).cast("double")
+            / F.lit(2.0),
+            "__var": (
+                dec(F.col("n"))
+                * dec(F.col("n") - 1)
+                * dec(2 * F.col("n") + 5)
+                - F.col("__g2")
+                - F.col("__t2")
+            ).cast("double")
+            / F.lit(72.0)
+            + F.when(
+                F.col("n") > 2,
+                (F.col("__g3") * F.col("__t3")).cast("double")
+                / (F.lit(36.0) * nn * (nn - 1.0) * (nn - 2.0)),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("n") > 1,
+                (F.col("__g1") * F.col("__t1")).cast("double")
+                / (F.lit(8.0) * nn * (nn - 1.0)),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+    staged = staged.withColumn(
+        "z",
+        F.when(
+            F.col("__var") > 0,
+            F.round(
+                (F.col("jt2").cast("double") - F.col("__e2"))
+                / (F.lit(2.0) * F.sqrt(F.col("__var"))),
+                ndigits,
+            ),
+        ),
+    )
+    staged = with_p_value(staged, z_col="z", ndigits=ndigits)
+    return staged.select(
+        "n",
+        F.lit(k).cast("long").alias("n_groups"),
+        F.col("jt2").cast("long").alias("jt2"),
+        "z",
+        "p_value",
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954 / Armitage 1955,
+    public literature) — does a BINARY rate trend monotonically with
+    an ordered integer score (dose level, pricing tier, bucket
+    index)? The 2xk analogue of jonckheere_terpstra when the outcome
+    is a flag rather than a value; chi-square-vs-trend is the classic
+    toxicology/conversion-funnel split.
+
+    Exactness: with integer scores w_i, group sizes n_i and successes
+    r_i (one map-side-combinable groupBy), every moment is an exact
+    decimal: T*N = sum w_i*(r_i*N - n_i*R) and
+    Var*N^3 = R*(N-R)*(N*sum w_i^2 n_i - (sum w_i n_i)^2), so
+
+        z = (T*N) * sqrt(N) / sqrt(Var*N^3)
+
+    is one fixed-order double expression over exact integers; z and
+    the two-sided p (deterministic Φ) round once. ``score_col`` must
+    be integral (cast upstream — cents-scale fractional doses);
+    ``outcome_col`` is coerced with ``!= 0`` / boolean truth.
+
+    Output: one row ``(n, n_success, z, p_value)``; degenerate
+    variance (all-success, all-failure, or a single score) yields
+    NULL z/p.
+
+    Scale: one groupBy to the score census (bounded by the score
+    domain), then single-row arithmetic.
+    """
+    g = df.select(
+        F.col(score_col).cast("long").alias("__w"),
+        F.when(
+            F.col(outcome_col).cast("boolean"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("__y"),
+    ).filter(F.col("__w").isNotNull() & F.col("__y").isNotNull())
+    cen = g.groupBy("__w").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__r"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cen.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("n_success"),
+        dec(F.sum(dec(F.col("__w")) * dec(F.col("__n")))).alias(
+            "__swn"
+        ),
+        dec(
+            F.sum(dec(F.col("__w")) * dec(F.col("__w")) * dec(F.col("__n")))
+        ).alias("__sw2n"),
+        dec(F.sum(dec(F.col("__w")) * dec(F.col("__r")))).alias(
+            "__swr"
+        ),
+    )
+    staged = agg.withColumns(
+        {
+            # T*N = sum w_i r_i * N - sum w_i n_i * R
+            "__tn": dec(F.col("__swr")) * dec(F.col("n"))
+            - dec(F.col("__swn")) * dec(F.col("n_success")),
+            # Var*N^3 = R(N-R)(N*sum w^2 n - (sum w n)^2)
+            "__vn3": dec(F.col("n_success"))
+            * dec(F.col("n") - F.col("n_success"))
+            * (
+                dec(F.col("n")) * F.col("__sw2n")
+                - F.col("__swn") * F.col("__swn")
+            ),
+        }
+    )
+    staged = staged.withColumn(
+        "z",
+        F.when(
+            F.col("__vn3") > 0,
+            F.round(
+                F.col("__tn").cast("double")
+                * F.sqrt(F.col("n").cast("double"))
+                / F.sqrt(F.col("__vn3").cast("double")),
+                ndigits,
+            ),
+        ),
+    )
+    staged = with_p_value(staged, z_col="z", ndigits=ndigits)
+    return staged.select("n", "n_success", "z", "p_value")

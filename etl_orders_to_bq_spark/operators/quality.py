@@ -517,3 +517,108 @@ def group_quartiles(
         pick(0.5).alias("p50"),
         pick(0.75).alias("p75"),
     )
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    threshold: float = 9.21,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mahalanobis-distance outliers over a 2-column metric pair
+    (Mahalanobis 1936, public literature) — the correlation-aware
+    upgrade to per-column z-scores: a point can be 2σ on each axis
+    yet wildly anomalous AGAINST THE CORRELATION (refund amount high
+    while quantity low), which axis-aligned rules never see. The
+    default threshold 9.21 is the chi-square(2df) 99% cut.
+
+    Exactness: values quantize to exact cents (decimal 18,2), so the
+    moment sums (Σx, Σy, Σx², Σy², Σxy) are exact decimals; the
+    closed-form 2x2 inverse clears the division:
+
+        d²·det = n·[Syy·dx² - 2·Sxy·dx·dy + Sxx·dy²] / n²  (doubles)
+
+    where dx = n·x - Σx (exact decimal), Sxx = n·Σx² - (Σx)², etc. —
+    one fixed-order double expression per row over exact integers,
+    identical cross-engine. Degenerate covariance (det <= 0:
+    collinear or constant columns) yields zero rows (no metric
+    exists), n < 3 likewise.
+
+    Output: rows with d2 > threshold — ``(id_col, x, y, d2)``,
+    ordered d2 desc, id. d2 is the squared Mahalanobis distance.
+
+    Scale: one map-side-combinable moment aggregate broadcast against
+    one scan — the covariance never leaves 5 numbers.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("decimal(18,2)").alias("__x"),
+        F.col(y_col).cast("decimal(18,2)").alias("__y"),
+    )
+    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    mom = F.broadcast(
+        base.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+            F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
+        )
+    )
+    j = base.crossJoin(mom).filter(F.col("__n") >= 3)
+    nn = F.col("__n").cast("double")
+    # centered second moments x n^2: Sxx = n*Σx² - (Σx)² etc.
+    j = j.withColumns(
+        {
+            "__cxx": nn * F.col("__sxx").cast("double")
+            - F.col("__sx").cast("double")
+            * F.col("__sx").cast("double"),
+            "__cyy": nn * F.col("__syy").cast("double")
+            - F.col("__sy").cast("double")
+            * F.col("__sy").cast("double"),
+            "__cxy": nn * F.col("__sxy").cast("double")
+            - F.col("__sx").cast("double")
+            * F.col("__sy").cast("double"),
+            "__dx": nn * F.col("__x").cast("double")
+            - F.col("__sx").cast("double"),
+            "__dy": nn * F.col("__y").cast("double")
+            - F.col("__sy").cast("double"),
+        }
+    )
+    # sample covariance is C/(n*(n-1)) per entry (C carries one factor
+    # n from the n-scaling and one from the centering), the deviations
+    # carry a factor n each, so
+    #   d2 = n*(n-1) * (quad/n^2) / det = (n-1) * quad / (n * det)
+    # with quad the adjugate quadratic form over the scaled entries
+    # (verified against the numpy inv-covariance reference)
+    j = j.withColumn(
+        "__det",
+        F.col("__cxx") * F.col("__cyy")
+        - F.col("__cxy") * F.col("__cxy"),
+    ).filter(F.col("__det") > 0)
+    quad = (
+        F.col("__cyy") * F.col("__dx") * F.col("__dx")
+        - F.lit(2.0) * F.col("__cxy") * F.col("__dx") * F.col("__dy")
+        + F.col("__cxx") * F.col("__dy") * F.col("__dy")
+    )
+    d2 = F.round(
+        (nn - F.lit(1.0)) * quad / (nn * F.col("__det")),
+        ndigits,
+    )
+    return (
+        j.select(
+            F.col("__id").alias(id_col),
+            F.col("__x").cast("double").alias("x"),
+            F.col("__y").cast("double").alias("y"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") > float(threshold))
+        .orderBy(F.desc("d2"), id_col)
+    )

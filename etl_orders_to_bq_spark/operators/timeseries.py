@@ -1381,3 +1381,140 @@ def daily_metric_corr(
             F.round(num / F.sqrt(vx * vy), ndigits),
         ).alias("corr"),
     ).orderBy("key_a", "key_b")
+
+
+# Gaussian breakpoints for SAX alphabets (Lin, Keogh, Lonardi & Chiu
+# 2003, public literature), truncated to 6dp — FIXED literals shared
+# with the oracle so both engines cut the identical grid.
+_SAX_BREAKPOINTS = {
+    3: [-0.430727, 0.430727],
+    4: [-0.674490, 0.0, 0.674490],
+    5: [-0.841621, -0.253347, 0.253347, 0.841621],
+    8: [
+        -1.150349, -0.674490, -0.318639, 0.0,
+        0.318639, 0.674490, 1.150349,
+    ],
+}
+
+
+def sax_symbolize(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    n_segments: int = 8,
+    alphabet: int = 4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Symbolic Aggregate approXimation — Lin,
+    Keogh, Lonardi & Chiu 2003, public literature): z-normalize each
+    series, average it into ``n_segments`` equal-count PAA segments,
+    and map each segment mean to a letter by fixed Gaussian
+    breakpoints — the discretization that turns raw telemetry into
+    strings amenable to motif mining, hashing, and cheap
+    similarity-by-edit-distance.
+
+    Determinism: ranks come from a per-series row_number over
+    (ts, value) — NULL values are filtered FIRST (the
+    ewma_last/struct-sort contract); segment assignment is integer
+    floor((rank-1)*w / n); mu/sigma derive from exact decimal(18,2)
+    sums cast once, so both engines build the identical doubles, and
+    the breakpoints are shared 6dp literals. A zero-variance series
+    yields the all-middle-letter word (z = 0 everywhere, the
+    canonical convention).
+
+    Output: one row per series ``(series_col, n_segments_out, word)``
+    where word is the length-``n_segments`` letter string (a..),
+    ordered by series. Series shorter than ``n_segments`` emit a
+    shorter word (one letter per non-empty segment).
+
+    Scale: one keyed window per series for ranks (partition =
+    series), one groupBy per (series, segment), one groupBy per
+    series — telemetry series are bounded per key; cross-series
+    parallelism is the scale axis (the acf/holt contract).
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(
+            f"sax_symbolize: alphabet must be one of "
+            f"{sorted(_SAX_BREAKPOINTS)}"
+        )
+    bps = _SAX_BREAKPOINTS[alphabet]
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(series_col).alias("__s"),
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    w = Window.partitionBy("__s").orderBy("__t", "__v")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    stats = base.groupBy("__s").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v").cast("decimal(38,4)") * F.col("__v")).alias(
+            "__sumsq"
+        ),
+    )
+    seg = (
+        ranked.join(stats.select("__s", "__n"), "__s")
+        .withColumn(
+            # exact integral division (the r11 `div` discipline): a
+            # double quotient that lands epsilon below an integer
+            # would floor into the wrong segment
+            "__seg",
+            F.expr(f"((__rn - 1) * {int(n_segments)}) div __n"),
+        )
+        .groupBy("__s", "__seg")
+        .agg(
+            F.sum("__v").alias("__segsum"),
+            F.count("*").cast("long").alias("__segn"),
+        )
+    )
+    joined = seg.join(stats, "__s")
+    nn = F.col("__n").cast("double")
+    mu = F.col("__sum").cast("double") / nn
+    var = (
+        F.col("__sumsq").cast("double") - nn * mu * mu
+    ) / nn
+    joined = joined.withColumns(
+        {
+            "__mu": mu,
+            "__sd": F.when(var > 0, F.sqrt(var)),
+        }
+    )
+    zmean = F.when(
+        F.col("__sd").isNotNull(),
+        (
+            F.col("__segsum").cast("double")
+            / F.col("__segn").cast("double")
+            - F.col("__mu")
+        )
+        / F.col("__sd"),
+    ).otherwise(F.lit(0.0))
+    letter = F.lit(chr(ord("a") + len(bps)))
+    for i in range(len(bps) - 1, -1, -1):
+        letter = F.when(
+            zmean <= F.lit(float(bps[i])), F.lit(chr(ord("a") + i))
+        ).otherwise(letter)
+    lettered = joined.select("__s", "__seg", letter.alias("__l"))
+    return (
+        lettered.groupBy("__s")
+        .agg(
+            F.count("*").cast("long").alias("n_segments_out"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seg", "__l"))
+                    ),
+                    lambda s: s["__l"],
+                ),
+                "",
+            ).alias("word"),
+        )
+        .select(
+            F.col("__s").alias(series_col),
+            "n_segments_out",
+            "word",
+        )
+        .orderBy(series_col)
+    )
