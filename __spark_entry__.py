@@ -9911,6 +9911,65 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered trend over the friedman fixture (blocks =
+    days, treatments = event types alphabetically, values = exact
+    daily decimal sums; operators/multitest.py page_trend): doubled
+    within-block midranks from the bounded k^2 self-join, 2L exact,
+    classic no-tie moments for z, engine Φ for p."""
+    from etl_orders_to_bq_spark.operators.multitest import page_trend
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    return page_trend(daily, "day", "event_type", "v")
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) spread-homogeneity W
+    across event types (operators/multitest.py brown_forsythe_levene):
+    exact per-group medians from integer cumulative counts (two
+    order-statistic picks averaged at decimal(19,3)), exact deviation
+    moments, anova's cleared identity with the sorted-fold mixing
+    discipline. Statistic only — the anova_oneway no-portable-F-CDF
+    convention."""
+    from etl_orders_to_bq_spark.operators.multitest import (
+        brown_forsythe_levene,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return brown_forsythe_levene(e, "event_type", "value")
+
+
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity T across event types
+    (operators/multitest.py bartlett_test): exact decimal group
+    moments, per-group fixed-order s^2 doubles, three sorted folds
+    (pooled numerator, ln terms, reciprocals), one rounded T.
+    Statistic only — the kruskal_wallis no-portable-chi2-CDF
+    convention."""
+    from etl_orders_to_bq_spark.operators.multitest import bartlett_test
+
+    e = _t(spark, sf_dir, "events")
+    return bartlett_test(e, "event_type", "value")
+
+
+def q_sax_mindist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINDIST between every pair of event-type SAX words
+    (operators/timeseries.py sax_mindist over the sax_symbolize
+    fixture): per-position cell distances from the shared 6dp
+    breakpoint literals, sqrt(min(n)/w) scaling, one rounded double
+    per pair — the lower-bounding screen that makes the words
+    useful."""
+    from etl_orders_to_bq_spark.operators.timeseries import sax_mindist
+
+    e = _t(spark, sf_dir, "events")
+    return sax_mindist(
+        e, "event_type", "ts", "value", n_segments=8, alphabet=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY.md §2).
 
@@ -9925,6 +9984,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "page_trend": q_page_trend,
+        "brown_forsythe": q_brown_forsythe,
+        "bartlett": q_bartlett,
+        "sax_mindist": q_sax_mindist,
         "benjamini_yekutieli": q_benjamini_yekutieli,
         "brunner_munzel": q_brunner_munzel,
         "jonckheere_terpstra": q_jonckheere_terpstra,
@@ -18548,8 +18611,10 @@ def oracle_sql() -> dict[str, str]:
         from scored order by doc_id
     """
 
-    out["sax_symbolize"] = """
-        with base as (
+    # shared SAX word pipeline (events, 8 segments, alphabet 4) —
+    # ONE constant interpolated into both sax oracles (the _mlfix_cte
+    # shared-fixture discipline)
+    _sax_cte = """base as (
           select event_type as s, ts as t,
                  cast(value as decimal(18,2)) as v
           from events where value is not null and ts is not null
@@ -18591,11 +18656,239 @@ def oracle_sql() -> dict[str, str]:
                       when z <= 0.674490 then 'c'
                       else 'd' end as l
           from zs
+        ),
+        saxwords as (
+          select s,
+                 cast(count(*) as bigint) as n_segments_out,
+                 string_agg(l, '' order by sg) as word
+          from lettered group by s
+        )"""
+    out["sax_symbolize"] = f"""
+        with {_sax_cte}
+        select s as event_type, n_segments_out, word
+        from saxwords order by s
+    """
+
+    # MINDIST cell: bp(hi-1) - bp(lo) over the alphabet-4 breakpoints,
+    # zero for adjacent letters; one term per word position
+    _sax_bps = [-0.674490, 0.0, 0.674490]
+
+    def _mind_cell(i: int) -> str:
+        r = f"(ascii(substr(word_a, {i}, 1)) - 97)"
+        c = f"(ascii(substr(word_b, {i}, 1)) - 97)"
+        hi = f"greatest({r}, {c})"
+        lo = f"least({r}, {c})"
+        bp_hi = "0.0"
+        bp_lo = "0.0"
+        for j, v in enumerate(_sax_bps):
+            bp_hi = (
+                f"case when {hi} - 1 = {j} then {v!r} else {bp_hi} end"
+            )
+            bp_lo = f"case when {lo} = {j} then {v!r} else {bp_lo} end"
+        return (
+            f"power(case when {hi} - {lo} <= 1 then 0.0 "
+            f"else ({bp_hi}) - ({bp_lo}) end, 2)"
         )
-        select s as event_type,
-               cast(count(*) as bigint) as n_segments_out,
-               string_agg(l, '' order by sg) as word
-        from lettered group by s order by s
+
+    _mind_sum = " + ".join(_mind_cell(i) for i in range(1, 9))
+    out["sax_mindist"] = f"""
+        with {_sax_cte},
+        lens as (
+          select s, cast(count(*) as bigint) as len from base group by s
+        ),
+        wt as (
+          select saxwords.s, word, n_segments_out, len
+          from saxwords join lens using (s)
+        ),
+        pairs as (
+          select a.s as series_a, b.s as series_b,
+                 a.word as word_a, b.word as word_b,
+                 a.len as na, b.len as nb,
+                 a.n_segments_out as wa, b.n_segments_out as wb
+          from wt a, wt b where a.s < b.s
+        )
+        select series_a, series_b, word_a, word_b,
+               case when wa = 8 and wb = 8 then
+                 round(sqrt(least(na, nb) / 8.0)
+                       * sqrt({_mind_sum}), 6)
+               end as mindist
+        from pairs order by series_a, series_b
+    """
+
+    out["page_trend"] = f"""
+        with daily as (
+          select cast(ts as date) as b, event_type as j,
+                 sum(cast(value as decimal(18,2))) as v
+          from events
+          where ts is not null and event_type is not null
+            and value is not null
+          group by 1, 2
+        ),
+        kk as (select count(distinct j)::bigint as k from daily),
+        ord as (
+          select j, dense_rank() over (order by j) as oj
+          from (select distinct j from daily)
+        ),
+        bc as (
+          select b, count(*) as nb, count(distinct j) as nj
+          from daily group by b
+        ),
+        nblocks as (select count(*)::bigint as n_blocks from bc),
+        complete as (
+          select b from bc, kk where nb = k and nj = k
+        ),
+        kept as (select d.* from daily d join complete using (b)),
+        ranked as (
+          select a.b, a.j,
+                 cast(2 * sum(case when c.v < a.v then 1 else 0 end)
+                      + sum(case when c.v = a.v then 1 else 0 end)
+                      + 1 as bigint) as r2
+          from kept a join kept c on a.b = c.b
+          group by a.b, a.j
+        ),
+        agg as (
+          select cast(sum(cast(oj as decimal(38,0))
+                          * cast(r2 as decimal(38,0)))
+                      as decimal(38,0)) as l2,
+                 cast(count(*) / max(k) as bigint) as n_complete
+          from ranked join ord using (j), kk
+        ),
+        zr as (
+          select n_blocks, n_complete, k as k_treatments, l2,
+                 case when k >= 2 and n_complete > 0
+                           and n_complete * k * k * (k + 1.0)
+                               * (k * k - 1.0) / 144.0 > 0 then
+                   round((cast(l2 as double)
+                          - n_complete * k * (k + 1.0) * (k + 1.0)
+                            / 2.0)
+                         / (2.0 * sqrt(n_complete * k * k * (k + 1.0)
+                                       * (k * k - 1.0) / 144.0)), 6)
+                 end as z
+          from agg, kk, nblocks
+        )
+        select n_blocks, n_complete, k_treatments,
+               cast(l2 as bigint) as l2, z,
+               case when z is not null then
+                 round(least(1.0, 2.0 * {_psf}), 6) end as p_value
+        from zr
+    """
+
+    out["brown_forsythe"] = """
+        with base as (
+          select event_type as g, cast(value as decimal(18,2)) as v
+          from events
+          where value is not null and event_type is not null
+        ),
+        vc as (
+          select g, v, count(*) as c from base group by 1, 2
+        ),
+        cum as (
+          select *, sum(c) over (partition by g order by v
+                   rows between unbounded preceding and current row)
+                 as cm
+          from vc
+        ),
+        tot as (select g, cast(sum(c) as bigint) as n from vc group by g),
+        med as (
+          select cum.g,
+                 cast((min(case when cm >= (n + 1) // 2 then v end)
+                         ::decimal(19,3)
+                       + min(case when cm >= n // 2 + 1 then v end)
+                         ::decimal(19,3)) / 2
+                      as decimal(19,3)) as med
+          from cum join tot using (g)
+          group by cum.g
+        ),
+        z as (
+          select base.g,
+                 abs(cast(v as decimal(19,3)) - med) as z
+          from base join med using (g)
+        ),
+        perg as (
+          select g, cast(count(*) as bigint) as n,
+                 cast(sum(z) as decimal(38,3)) as s,
+                 cast(sum(cast(z as decimal(38,6)) * z)
+                      as decimal(38,6)) as q
+          from z group by g
+        ),
+        folded as (
+          select cast(count(*) as bigint) as k_groups,
+                 cast(sum(n) as bigint) as n,
+                 cast(sum(s) as decimal(38,3)) as stot,
+                 cast(sum(q) as decimal(38,6)) as qtot,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list(cast(s as double) * cast(s as double)
+                          / cast(n as double) order by g)),
+                   (a, x) -> a + x) as mix
+          from perg
+        ),
+        ss as (
+          select k_groups, n,
+                 round(mix - cast(stot as double) * cast(stot as double)
+                             / n, 6) as ssb,
+                 round(cast(qtot as double) - mix, 6) as ssw
+          from folded
+        )
+        select k_groups, n,
+               case when k_groups >= 2 and n > k_groups and ssw > 0
+               then round((ssb / (k_groups - 1.0))
+                          / (ssw / (n - cast(k_groups as double))), 6)
+               end as w_stat
+        from ss
+    """
+
+    out["bartlett"] = """
+        with base as (
+          select event_type as g, cast(value as decimal(18,2)) as v
+          from events
+          where value is not null and event_type is not null
+        ),
+        perg as (
+          select g, cast(count(*) as bigint) as n,
+                 cast(sum(v) as decimal(38,2)) as s,
+                 cast(sum(cast(v as decimal(38,4)) * v)
+                      as decimal(38,4)) as q
+          from base group by g
+        ),
+        scored as (
+          select g, n,
+                 (cast(q as double)
+                  - cast(s as double) * cast(s as double)
+                    / cast(n as double))
+                 / (cast(n as double) - 1.0) as s2
+          from perg
+        ),
+        folded as (
+          select cast(count(*) as bigint) as k_groups,
+                 cast(sum(n) as bigint) as n,
+                 cast(min(n) as bigint) as minn,
+                 min(s2) as mins2,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list((n - 1.0) * s2 order by g)),
+                   (a, x) -> a + x) as pool_num,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list((n - 1.0) * (case when s2 > 0 then ln(s2)
+                                       else 0.0 end) order by g)),
+                   (a, x) -> a + x) as ln_sum,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list(1.0 / (n - 1.0) order by g)),
+                   (a, x) -> a + x) as recip
+          from scored
+        )
+        select k_groups, n,
+               case when k_groups >= 2 and minn >= 2 and mins2 > 0
+               then round(
+                 ((n - cast(k_groups as double))
+                    * ln(pool_num / (n - cast(k_groups as double)))
+                  - ln_sum)
+                 / (1.0 + (recip - 1.0 / (n - cast(k_groups as double)))
+                          / (3.0 * (k_groups - 1.0))), 6)
+               end as t_stat
+        from folded
     """
 
     out["mahalanobis_outliers"] = """

@@ -2356,3 +2356,367 @@ def cochran_armitage(
     )
     staged = with_p_value(staged, z_col="z", ndigits=ndigits)
     return staged.select("n", "n_success", "z", "p_value")
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatments: list | None = None,
+    ndigits: int = 6,
+    max_treatments: int = 64,
+) -> DataFrame:
+    """Page's L trend test (Page 1963, public literature) — the
+    ORDERED-alternative companion to ``friedman_test``, completing
+    the family the way ``jonckheere_terpstra`` completes
+    ``kruskal_wallis``: across matched blocks, do the treatments'
+    within-block ranks INCREASE along the given treatment order?
+    L = sum_j j * R_j over treatment ordinals j = 1..k.
+
+    Mechanics shared with friedman_test: only COMPLETE blocks (all k
+    treatments exactly once) participate; within-block midranks are
+    carried DOUBLED from the bounded k^2 self-join, so 2L is an exact
+    decimal. ``treatments`` fixes the order (defaults to sorted
+    distinct treatments — a bounded driver collect). The normal
+    approximation uses the classic NO-TIE moments
+
+        E(L)   = b*k*(k+1)^2 / 4
+        Var(L) = b*k^2*(k+1)*(k^2-1) / 144
+
+    (ties within a block get midranks in L itself, but the variance
+    keeps the standard no-tie form — the convention of published
+    implementations; exact-decimal block sums make within-block ties
+    measure-zero in practice, and the oracle replays the identical
+    formula either way).
+
+    Output: one row ``(n_blocks, n_complete, k_treatments, l2, z,
+    p_value)`` with l2 the doubled L. Degenerate (k < 2 or no
+    complete blocks) yields NULL z/p.
+
+    Scale: the friedman contract — a bounded k^2 join per block, one
+    groupBy per (block, treatment), treatment-sized everything after.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(block_col).cast("string").alias("__b"),
+        F.col(treatment_col).cast("string").alias("__j"),
+        F.col(value_col).alias("__v"),
+    )
+    if treatments is None:
+        head = (
+            base.select(F.col("__j"))
+            .distinct()
+            .orderBy("__j")
+            .limit(max_treatments + 1)
+            .collect()
+        )
+        if len(head) > max_treatments:
+            raise ValueError(
+                f"page_trend: > {max_treatments} distinct treatments; "
+                "pass an explicit ordered `treatments` list"
+            )
+        treatments = [r["__j"] for r in head]
+    k = len(treatments)
+    ordmap = F.create_map(
+        *[
+            x
+            for i, t in enumerate(treatments)
+            for x in (F.lit(str(t)), F.lit(i + 1))
+        ]
+    )
+    base = base.filter(
+        F.col("__j").isin([str(t) for t in treatments])
+    )
+    bc = base.groupBy("__b").agg(
+        F.count("*").alias("__nb"),
+        F.countDistinct("__j").alias("__nj"),
+    )
+    n_blocks = bc.count()
+    complete = bc.filter(
+        (F.col("__nb") == k) & (F.col("__nj") == k)
+    ).select("__b")
+    kept = base.join(complete, "__b")
+    rhs = kept.select(
+        "__b", F.col("__j").alias("__j2"), F.col("__v").alias("__v2")
+    )
+    ranked = (
+        kept.join(rhs, "__b")
+        .groupBy("__b", "__j")
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(
+                    F.when(F.col("__v2") < F.col("__v"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("__v2") == F.col("__v"), 1).otherwise(0)
+                )
+                + F.lit(1)
+            ).cast("long").alias("__2r")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        dec(F.sum(dec(ordmap[F.col("__j")]) * dec(F.col("__2r")))).alias(
+            "l2"
+        ),
+        (F.count("*") / F.lit(k)).cast("long").alias("n_complete"),
+    )
+    b = F.col("n_complete").cast("double")
+    e2 = b * k * (k + 1.0) * (k + 1.0) / 2.0
+    var = b * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    staged = agg.withColumn(
+        "z",
+        F.when(
+            (F.lit(int(k)) >= 2) & (F.col("n_complete") > 0) & (var > 0),
+            F.round(
+                (F.col("l2").cast("double") - e2)
+                / (F.lit(2.0) * F.sqrt(var)),
+                ndigits,
+            ),
+        ),
+    )
+    staged = with_p_value(staged, z_col="z", ndigits=ndigits)
+    return staged.select(
+        F.lit(n_blocks).cast("long").alias("n_blocks"),
+        "n_complete",
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.col("l2").cast("long").alias("l2"),
+        "z",
+        "p_value",
+    )
+
+
+def brown_forsythe_levene(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974 — Levene's test with MEDIAN centering, the robust default
+    scipy ships): did the SPREAD move across segments, the question
+    behind every "metric got noisier" alert where anova_oneway only
+    watches means. W is the one-way ANOVA F computed on absolute
+    deviations from each group's median.
+
+    Exactness: per-group medians are exact — each group's distinct
+    values carry integer cumulative counts, the two middle order
+    statistics are min-value picks at the floor((n+1)/2) and
+    floor(n/2)+1 ranks, and their average is an exact decimal(19,3)
+    (money-grade values land on half-cents at worst). Deviations
+    |y - med| are exact decimals, so the Z-moments reuse
+    ``anova_oneway``'s cleared identity with its sorted-fold mixing
+    discipline; W rounds once.
+
+    Output: one row ``(k_groups, n, w_stat)``; degenerate inputs
+    (k < 2, N <= k, zero within-group deviation) yield NULL w_stat.
+    The F(k-1, N-k) p-value is deliberately not emitted — the
+    anova_oneway convention (no portable F CDF).
+
+    Scale: the distinct-value census shuffles once on (group, value);
+    the per-group cumsum window partitions on the BOUNDED group
+    domain (the friedman/mood contract — per-group value lists are
+    the partition, so a single gigantic group serializes; pre-bucket
+    upstream if groups are unbounded).
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).cast("string").alias("__g"), y.alias("__v"))
+    vc = base.groupBy("__g", "__v").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("__cum", F.sum("__c").over(wcum))
+    tot = vc.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    med = (
+        cum.join(tot, "__g")
+        .groupBy("__g")
+        .agg(
+            # floor((n+1)/2): Spark / on longs is DOUBLE division (the
+            # r8 theilsen rank trap) — without the floor, even n picks
+            # the UPPER middle for both order statistics
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor((F.col("__n") + 1) / 2),
+                    F.col("__v"),
+                )
+            ).alias("__lo"),
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor(F.col("__n") / 2) + F.lit(1),
+                    F.col("__v"),
+                )
+            ).alias("__hi"),
+        )
+        .select(
+            "__g",
+            (
+                (
+                    F.col("__lo").cast("decimal(19,3)")
+                    + F.col("__hi").cast("decimal(19,3)")
+                )
+                / 2
+            ).cast("decimal(19,3)").alias("__med"),
+        )
+    )
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.abs(
+            F.col("__v").cast("decimal(19,3)") - F.col("__med")
+        ).alias("__z"),
+    )
+    per_g = z.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__z").cast("decimal(38,3)").alias("__s"),
+        F.sum(
+            F.col("__z").cast("decimal(38,6)") * F.col("__z")
+        ).cast("decimal(38,6)").alias("__q"),
+    )
+    # sorted fold over the bounded group domain (anova discipline):
+    # sum_g S_g^2/n_g mixes decimal into double per group, so pin the
+    # addition order by group name
+    folded = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").cast("decimal(38,3)").alias("__stot"),
+        F.sum("__q").cast("decimal(38,6)").alias("__qtot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__g", "__s", "__n"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["__s"].cast("double")
+            * s["__s"].cast("double")
+            / s["__n"].cast("double"),
+        ).alias("__mix"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k_groups").cast("double")
+    ssb = F.round(
+        F.col("__mix")
+        - F.col("__stot").cast("double")
+        * F.col("__stot").cast("double")
+        / nn,
+        ndigits,
+    )
+    ssw = F.round(
+        F.col("__qtot").cast("double") - F.col("__mix"), ndigits
+    )
+    staged = folded.withColumns({"__ssb": ssb, "__ssw": ssw})
+    return staged.select(
+        "k_groups",
+        "n",
+        F.when(
+            (F.col("k_groups") >= 2)
+            & (F.col("n") > F.col("k_groups"))
+            & (F.col("__ssw") > 0),
+            F.round(
+                (F.col("__ssb") / (kk - 1.0))
+                / (F.col("__ssw") / (nn - kk)),
+                ndigits,
+            ),
+        ).alias("w_stat"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Bartlett's variance-homogeneity test (Bartlett 1937, public
+    literature) — the parametric, normality-assuming companion to
+    ``brown_forsythe_levene``, more powerful when the data really is
+    Gaussian (the classic pairing: Bartlett when QQ plots are clean,
+    Brown-Forsythe when they are not).
+
+        T = [(N-k)*ln(s_p^2) - sum_i (n_i-1)*ln(s_i^2)] / C
+        C = 1 + (sum_i 1/(n_i-1) - 1/(N-k)) / (3*(k-1))
+
+    Exactness: group moments are exact decimals; each s_i^2 is one
+    fixed-order double expression; the three group-indexed float
+    sums (pooled numerator, ln terms, reciprocals) are SORTED FOLDS
+    over the bounded group domain (the anova/infotheory discipline —
+    ln itself matches across engines the same way the entropy
+    operators' log2 does). T rounds once; the chi2(k-1) p-value is
+    deliberately not emitted (no portable chi2 CDF — the
+    kruskal_wallis convention).
+
+    Output: one row ``(k_groups, n, t_stat)``; degenerate inputs
+    (k < 2, any n_i < 2, any zero variance) yield NULL t_stat.
+
+    Scale: one map-side-combinable groupBy to |groups| rows, folds
+    over the bounded group table.
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).cast("string").alias("__g"), y.alias("__v"))
+    per_g = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__v").cast("decimal(38,2)").alias("__s"),
+        F.sum(
+            F.col("__v").cast("decimal(38,4)") * F.col("__v")
+        ).cast("decimal(38,4)").alias("__q"),
+    )
+    s2 = (
+        F.col("__q").cast("double")
+        - F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+    ) / (F.col("__n").cast("double") - 1.0)
+    scored = per_g.select(
+        "__g", "__n", s2.alias("__s2")
+    )
+    folded = scored.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n"),
+        F.min("__n").cast("long").alias("__minn"),
+        F.min("__s2").alias("__mins2"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__g", "__n", "__s2"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (s["__n"].cast("double") - 1.0) * s["__s2"],
+        ).alias("__pool_num"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__g", "__n", "__s2"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (s["__n"].cast("double") - 1.0)
+            * F.when(s["__s2"] > 0, F.log(s["__s2"])).otherwise(0.0),
+        ).alias("__ln_sum"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__g", "__n"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + 1.0 / (s["__n"].cast("double") - 1.0),
+        ).alias("__recip"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k_groups").cast("double")
+    sp2 = F.col("__pool_num") / (nn - kk)
+    c = 1.0 + (F.col("__recip") - 1.0 / (nn - kk)) / (
+        3.0 * (kk - 1.0)
+    )
+    t = ((nn - kk) * F.log(sp2) - F.col("__ln_sum")) / c
+    return folded.select(
+        "k_groups",
+        "n",
+        F.when(
+            (F.col("k_groups") >= 2)
+            & (F.col("__minn") >= 2)
+            & (F.col("__mins2") > 0),
+            F.round(t, ndigits),
+        ).alias("t_stat"),
+    )

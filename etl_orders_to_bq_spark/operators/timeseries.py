@@ -1518,3 +1518,111 @@ def sax_symbolize(
         )
         .orderBy(series_col)
     )
+
+
+def sax_mindist(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    n_segments: int = 8,
+    alphabet: int = 4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """MINDIST between every pair of series' SAX words (Lin, Keogh,
+    Lonardi & Chiu 2003, public literature) — the lower-bounding
+    distance that makes SAX words USEFUL: cheap all-pairs screening
+    whose distance never exceeds the true z-normalized euclidean
+    distance, so pruning on it is exact.
+
+        MINDIST = sqrt(n/w) * sqrt(sum_i cell(a_i, b_i)^2)
+        cell(r, c) = 0 if |r - c| <= 1 else bp_max(r,c)-1 - bp_min(r,c)
+
+    with the same 6dp breakpoint literals as :func:`sax_symbolize`.
+    n is the series length; for pairs of different lengths the
+    canonical formula assumes equal n, so this uses min(n_1, n_2)
+    (documented, conservative — keeps the lower bound property for
+    the shorter series' resolution).
+
+    Output: one row per unordered pair ``(series_a, series_b,
+    word_a, word_b, mindist)``, ordered (series_a, series_b). Pairs
+    whose words differ in length (short series) yield NULL mindist.
+
+    Scale: the word table is |series|-sized; the pair stage is a
+    bounded self-join over it — series count is the scale axis, not
+    rows.
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(
+            f"sax_mindist: alphabet must be one of "
+            f"{sorted(_SAX_BREAKPOINTS)}"
+        )
+    bps = _SAX_BREAKPOINTS[alphabet]
+    words = sax_symbolize(
+        df, series_col, ts_col, value_col,
+        n_segments=n_segments, alphabet=alphabet, ndigits=ndigits,
+    )
+    lens = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(series_col).alias("__s"))
+        .agg(F.count("*").cast("long").alias("__len"))
+    )
+    wt = words.select(
+        F.col(series_col).alias("__s"), F.col("word").alias("__w")
+    ).join(lens, "__s")
+    a = wt.select(
+        F.col("__s").alias("series_a"),
+        F.col("__w").alias("word_a"),
+        F.col("__len").alias("__na"),
+    )
+    b = wt.select(
+        F.col("__s").alias("series_b"),
+        F.col("__w").alias("word_b"),
+        F.col("__len").alias("__nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("series_a") < F.col("series_b"))
+    # letter ordinals per position; the cell distance is a bounded
+    # CASE over the shared breakpoint literals
+    idx = lambda w, i: F.ascii(F.substring(w, i, 1)) - 97  # noqa: E731
+    cell_sq = None
+    for i in range(1, n_segments + 1):
+        r = idx(F.col("word_a"), F.lit(i))
+        c = idx(F.col("word_b"), F.lit(i))
+        hi = F.greatest(r, c)
+        lo = F.least(r, c)
+        bp_hi = F.lit(0.0)
+        bp_lo = F.lit(0.0)
+        for j, v in enumerate(bps):
+            bp_hi = F.when(hi - 1 == j, F.lit(float(v))).otherwise(
+                bp_hi
+            )
+            bp_lo = F.when(lo == j, F.lit(float(v))).otherwise(bp_lo)
+        cell = F.when(hi - lo <= 1, F.lit(0.0)).otherwise(
+            bp_hi - bp_lo
+        )
+        term = cell * cell
+        cell_sq = term if cell_sq is None else cell_sq + term
+    return (
+        pairs.withColumn("__csq", cell_sq)
+        .select(
+            "series_a",
+            "series_b",
+            "word_a",
+            "word_b",
+            F.when(
+                (F.length("word_a") == n_segments)
+                & (F.length("word_b") == n_segments),
+                F.round(
+                    F.sqrt(
+                        F.least("__na", "__nb").cast("double")
+                        / F.lit(float(n_segments))
+                    )
+                    * F.sqrt(F.col("__csq")),
+                    ndigits,
+                ),
+            ).alias("mindist"),
+        )
+        .orderBy("series_a", "series_b")
+    )

@@ -300,3 +300,105 @@ def test_mahalanobis_matches_numpy_inverse_covariance(spark):
         want = float((X[i] - mu) @ ci @ (X[i] - mu))
         assert got[p[0]] == pytest.approx(want, abs=1e-4)
     assert max(got, key=got.get) == 99
+
+
+def test_page_trend_perfect_ascending_blocks(spark):
+    """Four complete blocks with a perfect ascending treatment trend:
+    L = sum j*R_j = 56 (doubled 112), z = sqrt(8) under the classic
+    no-tie moments."""
+    from etl_orders_to_bq_spark.operators.multitest import page_trend
+
+    rows = [
+        (f"b{b}", t, float(j * 10 + b))
+        for b in range(4)
+        for j, t in enumerate(["t1", "t2", "t3"])
+    ]
+    got = page_trend(
+        spark.createDataFrame(rows, ["blk", "trt", "v"]),
+        "blk", "trt", "v",
+    ).collect()[0]
+    assert got.n_blocks == 4 and got.n_complete == 4
+    assert got.k_treatments == 3 and got.l2 == 112
+    assert got.z == pytest.approx(math.sqrt(8), abs=1e-6)
+
+
+def test_brown_forsythe_matches_brute_force_median_centering(spark):
+    """W against an independent numpy implementation (median-centered
+    Levene) on three 10-point groups; the 9e-6 slack is the
+    documented 6dp intermediate rounding of SSB/SSW (the anova
+    discipline)."""
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.multitest import (
+        brown_forsythe_levene,
+    )
+
+    g1 = [8.88, 9.12, 9.04, 8.98, 9.00, 9.08, 9.01, 8.85, 9.06, 8.99]
+    g2 = [8.88, 8.95, 9.29, 9.44, 9.15, 9.58, 8.36, 9.18, 8.67, 9.05]
+    g3 = [8.95, 9.12, 8.95, 8.85, 9.03, 8.84, 9.07, 8.98, 8.86, 8.98]
+    rows = (
+        [("a", v) for v in g1]
+        + [("b", v) for v in g2]
+        + [("c", v) for v in g3]
+    )
+    got = brown_forsythe_levene(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    Z = [np.abs(np.array(g) - np.median(g)) for g in (g1, g2, g3)]
+    allz = np.concatenate(Z)
+    N, k = len(allz), 3
+    num = sum(len(z) * (z.mean() - allz.mean()) ** 2 for z in Z) / (k - 1)
+    den = sum(((z - z.mean()) ** 2).sum() for z in Z) / (N - k)
+    assert got.k_groups == 3 and got.n == 30
+    assert got.w_stat == pytest.approx(num / den, abs=1e-4)
+
+
+def test_bartlett_matches_brute_force(spark):
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.multitest import bartlett_test
+
+    g1 = [8.88, 9.12, 9.04, 8.98, 9.00, 9.08, 9.01, 8.85, 9.06, 8.99]
+    g2 = [8.88, 8.95, 9.29, 9.44, 9.15, 9.58, 8.36, 9.18, 8.67, 9.05]
+    g3 = [8.95, 9.12, 8.95, 8.85, 9.03, 8.84, 9.07, 8.98, 8.86, 8.98]
+    rows = (
+        [("a", v) for v in g1]
+        + [("b", v) for v in g2]
+        + [("c", v) for v in g3]
+    )
+    got = bartlett_test(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    groups = [g1, g2, g3]
+    k, N = 3, 30
+    s2 = [np.var(g, ddof=1) for g in groups]
+    sp2 = sum((len(g) - 1) * v for g, v in zip(groups, s2)) / (N - k)
+    T = (N - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(v) for g, v in zip(groups, s2)
+    )
+    C = 1 + (sum(1 / (len(g) - 1) for g in groups) - 1 / (N - k)) / (
+        3 * (k - 1)
+    )
+    assert got.t_stat == pytest.approx(T / C, abs=1e-5)
+
+
+def test_sax_mindist_lower_bound_and_adjacency(spark):
+    """Ramp ('abcd') vs constant ('bbbb'): only the d/b cell is
+    non-adjacent, so MINDIST = sqrt(min(n)/w) * (bp_2 - bp_1); the
+    lower-bound property holds against the true z-euclidean."""
+    from etl_orders_to_bq_spark.operators.timeseries import sax_mindist
+
+    rows = [("s1", t, float(t)) for t in range(16)] + [
+        ("s2", t, 5.0) for t in range(8)
+    ]
+    got = sax_mindist(
+        spark.createDataFrame(rows, ["s", "t", "v"]),
+        "s", "t", "v", n_segments=4, alphabet=4,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.series_a, r.series_b) == ("s1", "s2")
+    assert (r.word_a, r.word_b) == ("abcd", "bbbb")
+    assert r.mindist == pytest.approx(
+        math.sqrt(8 / 4) * 0.674490, abs=1e-6
+    )
