@@ -9911,6 +9911,33 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way F* across event types
+    (operators/multitest.py welch_anova): exact decimal group
+    moments, per-group fixed-order mean/s^2 doubles, sorted folds
+    for W / the weighted mean / the B sum. Statistic only — the
+    anova_oneway no-portable-F-CDF convention."""
+    from etl_orders_to_bq_spark.operators.multitest import welch_anova
+
+    e = _t(spark, sf_dir, "events")
+    return welch_anova(e, "event_type", "value")
+
+
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade range-weighted block test on the friedman fixture
+    (blocks = days, treatments = event types;
+    operators/multitest.py quade_test): doubled within-block and
+    block-range midranks make 4*S_ij exact integers, and F is ONE
+    rounded division of exact decimal aggregates."""
+    from etl_orders_to_bq_spark.operators.multitest import quade_test
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    return quade_test(daily, "day", "event_type", "v")
+
+
 def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's L ordered trend over the friedman fixture (blocks =
     days, treatments = event types alphabetically, values = exact
@@ -9984,6 +10011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "welch_anova": q_welch_anova,
+        "quade_test": q_quade_test,
         "page_trend": q_page_trend,
         "brown_forsythe": q_brown_forsythe,
         "bartlett": q_bartlett,
@@ -18836,6 +18865,145 @@ def oracle_sql() -> dict[str, str]:
                           / (ssw / (n - cast(k_groups as double))), 6)
                end as w_stat
         from ss
+    """
+
+    out["welch_anova"] = """
+        with base as (
+          select event_type as g, cast(value as decimal(18,2)) as v
+          from events
+          where value is not null and event_type is not null
+        ),
+        perg as (
+          select g, cast(count(*) as bigint) as n,
+                 cast(sum(v) as decimal(38,2)) as s,
+                 cast(sum(cast(v as decimal(38,4)) * v)
+                      as decimal(38,4)) as q
+          from base group by g
+        ),
+        scored as (
+          select g, n,
+                 cast(s as double) / cast(n as double) as mean,
+                 (cast(q as double)
+                  - cast(s as double) * cast(s as double)
+                    / cast(n as double))
+                 / (cast(n as double) - 1.0) as s2
+          from perg
+        ),
+        folded as (
+          select cast(count(*) as bigint) as k_groups,
+                 cast(sum(n) as bigint) as n,
+                 cast(min(n) as bigint) as minn,
+                 min(s2) as mins2,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list(n / s2 order by g)),
+                   (a, x) -> a + x) as w,
+                 list_reduce(
+                   list_prepend(0.0::double,
+                     list((n / s2) * mean order by g)),
+                   (a, x) -> a + x) as wm
+          from scored
+        ),
+        terms as (
+          select s.g, f.k_groups, f.n, f.minn, f.mins2,
+                 (s.n / s.s2) * (s.mean - f.wm / f.w)
+                   * (s.mean - f.wm / f.w) as aterm,
+                 (1.0 - (s.n / s.s2) / f.w)
+                   * (1.0 - (s.n / s.s2) / f.w)
+                   / (s.n - 1.0) as bterm
+          from scored s, folded f
+        ),
+        final as (
+          select k_groups, n, minn, mins2,
+                 list_reduce(
+                   list_prepend(0.0::double, list(aterm order by g)),
+                   (a, x) -> a + x) as asum,
+                 list_reduce(
+                   list_prepend(0.0::double, list(bterm order by g)),
+                   (a, x) -> a + x) as bsum
+          from terms group by 1, 2, 3, 4
+        )
+        select k_groups, n,
+               case when k_groups >= 2 and minn >= 2 and mins2 > 0
+               then round(
+                 (asum / (k_groups - 1.0))
+                 / (1.0 + (2.0 * (k_groups - 2.0)
+                           / (cast(k_groups as double) * k_groups - 1.0))
+                        * bsum), 6)
+               end as f_stat
+        from final
+    """
+
+    out["quade_test"] = """
+        with daily as (
+          select cast(ts as date) as b, event_type as j,
+                 sum(cast(value as decimal(18,2))) as v
+          from events
+          where ts is not null and event_type is not null
+            and value is not null
+          group by 1, 2
+        ),
+        kk as (select count(distinct j)::bigint as k from daily),
+        bc as (
+          select b, count(*) as nb, count(distinct j) as nj
+          from daily group by b
+        ),
+        nblocks as (select count(*)::bigint as n_blocks from bc),
+        complete as (
+          select b from bc, kk where nb = k and nj = k
+        ),
+        kept as (select d.* from daily d join complete using (b)),
+        ranked as (
+          select a.b, a.j,
+                 cast(2 * sum(case when c.v < a.v then 1 else 0 end)
+                      + sum(case when c.v = a.v then 1 else 0 end)
+                      + 1 as bigint) as r2
+          from kept a join kept c on a.b = c.b
+          group by a.b, a.j
+        ),
+        ranges as (
+          select b, max(v) - min(v) as d from kept group by b
+        ),
+        qrank as (
+          select a.b,
+                 cast(2 * sum(case when c.d < a.d then 1 else 0 end)
+                      + sum(case when c.d = a.d then 1 else 0 end)
+                      + 1 as bigint) as q2
+          from ranges a cross join ranges c
+          group by a.b
+        ),
+        scored as (
+          select r.b, r.j,
+                 cast(q2 as decimal(38,0))
+                   * cast(r2 - (k + 1) as decimal(38,0)) as s4
+          from ranked r join qrank using (b), kk
+        ),
+        perj as (
+          select j, cast(sum(s4) as decimal(38,0)) as s4j
+          from scored group by j
+        ),
+        a16 as (
+          select cast(sum(s4 * s4) as decimal(38,0)) as a16,
+                 cast(count(*) / max(k) as bigint) as n_complete,
+                 max(k) as k_treatments
+          from scored, kk
+        ),
+        b16b as (
+          select cast(sum(s4j * s4j) as decimal(38,0)) as b16b
+          from perj
+        )
+        select k_treatments,
+               (select n_blocks from nblocks) as n_blocks,
+               n_complete,
+               case when k_treatments >= 2 and n_complete > 1
+                         and cast(n_complete as decimal(38,0)) * a16
+                             - b16b > 0 then
+                 round(cast(cast(n_complete - 1 as decimal(38,0)) * b16b
+                            as double)
+                       / cast(cast(n_complete as decimal(38,0)) * a16
+                              - b16b as double), 6)
+               end as f_stat
+        from a16, b16b
     """
 
     out["bartlett"] = """

@@ -2720,3 +2720,267 @@ def bartlett_test(
             F.round(t, ndigits),
         ).alias("t_stat"),
     )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951, public
+    literature) — the k-group generalization of the Welch t that
+    ``ab_test`` already ships: when ``brown_forsythe_levene`` says
+    variances DIFFER, classic ``anova_oneway`` is invalid and this
+    F* is the statistic to report.
+
+        w_i = n_i/s_i^2          W = sum w_i
+        xb* = sum w_i*xb_i / W
+        A   = sum w_i*(xb_i - xb*)^2 / (k-1)
+        B   = 1 + (2(k-2)/(k^2-1)) * sum (1-w_i/W)^2/(n_i-1)
+        F*  = A/B
+
+    Exactness: group moments are exact decimals; each group's mean
+    and variance are fixed-order doubles; the three group-indexed
+    float reductions (W, weighted mean numerator, the B sum) are
+    SORTED FOLDS over the bounded group domain (the anova
+    discipline). F* rounds once; the F(k-1, df2) p-value is
+    deliberately not emitted (no portable F CDF).
+
+    Output: one row ``(k_groups, n, f_stat)``; degenerate inputs
+    (k < 2, any n_i < 2, any zero variance) yield NULL f_stat.
+
+    Scale: one map-side-combinable groupBy to |groups| rows, folds
+    over the bounded group table.
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).cast("string").alias("__g"), y.alias("__v"))
+    per_g = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__v").cast("decimal(38,2)").alias("__s"),
+        F.sum(
+            F.col("__v").cast("decimal(38,4)") * F.col("__v")
+        ).cast("decimal(38,4)").alias("__q"),
+    )
+    nn_g = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nn_g
+    s2 = (
+        F.col("__q").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / nn_g
+    ) / (nn_g - 1.0)
+    scored = per_g.select(
+        "__g",
+        "__n",
+        mean.alias("__mean"),
+        s2.alias("__s2"),
+    )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("__g", "__n", "__mean", "__s2"))
+    )
+    wterm = lambda s: s["__n"].cast("double") / s["__s2"]  # noqa: E731
+    folded = scored.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n"),
+        F.min("__n").cast("long").alias("__minn"),
+        F.min("__s2").alias("__mins2"),
+        F.aggregate(
+            sorted_structs, F.lit(0.0),
+            lambda acc, s: acc + wterm(s),
+        ).alias("__w"),
+        F.aggregate(
+            sorted_structs, F.lit(0.0),
+            lambda acc, s: acc + wterm(s) * s["__mean"],
+        ).alias("__wm"),
+    )
+    # second pass over the same bounded structs for the terms that
+    # need W and xb*: rejoin the per-group table against the 1-row
+    # totals (a broadcast of 2 doubles)
+    joined = scored.crossJoin(
+        F.broadcast(
+            folded.select(
+                "k_groups", "n", "__minn", "__mins2", "__w", "__wm"
+            )
+        )
+    )
+    xbstar = F.col("__wm") / F.col("__w")
+    a_term = (
+        (F.col("__n").cast("double") / F.col("__s2"))
+        * (F.col("__mean") - xbstar)
+        * (F.col("__mean") - xbstar)
+    )
+    b_term = (
+        (
+            1.0
+            - (F.col("__n").cast("double") / F.col("__s2"))
+            / F.col("__w")
+        )
+        * (
+            1.0
+            - (F.col("__n").cast("double") / F.col("__s2"))
+            / F.col("__w")
+        )
+        / (F.col("__n").cast("double") - 1.0)
+    )
+    final = joined.groupBy(
+        "k_groups", "n", "__minn", "__mins2"
+    ).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__g", a_term.alias("__a")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__a"],
+        ).alias("__asum"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__g", b_term.alias("__b")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__b"],
+        ).alias("__bsum"),
+    )
+    kk = F.col("k_groups").cast("double")
+    fstar = (F.col("__asum") / (kk - 1.0)) / (
+        1.0
+        + (2.0 * (kk - 2.0) / (kk * kk - 1.0)) * F.col("__bsum")
+    )
+    return final.select(
+        "k_groups",
+        "n",
+        F.when(
+            (F.col("k_groups") >= 2)
+            & (F.col("__minn") >= 2)
+            & (F.col("__mins2") > 0),
+            F.round(fstar, ndigits),
+        ).alias("f_stat"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Quade test (Quade 1979, public literature) — the block-design
+    companion to ``friedman_test`` that WEIGHTS blocks by how much
+    they discriminate: blocks with a wide value range carry more
+    evidence than near-flat ones, which makes Quade more powerful
+    than Friedman at small k. Same complete-block contract.
+
+    Mechanics: within-block midranks r_ij and block-range midranks
+    Q_i (range = max - min, ranked across blocks) are both carried
+    DOUBLED from bounded self-joins, so the scaled scores
+
+        4*S_ij = 2Q_i * (2r_ij - (k+1))
+
+    are exact integers; A = sum S_ij^2 and B = (1/b) sum_j S_j^2
+    stay exact decimals (x16, xb), and
+
+        F = (b-1) * B / (A - B)
+
+    is ONE rounded division of exact decimal integers. Perfect
+    treatment agreement (A = B) yields NULL f_stat (the statistic is
+    infinite — every implementation special-cases it); the
+    F((k-1),(b-1)(k-1)) p-value is deliberately not emitted.
+
+    Output: one row ``(k_treatments, n_blocks, n_complete, f_stat)``.
+
+    Scale: the friedman contract — a bounded k^2 join per block for
+    value ranks, one block-count-sized self-join for range ranks.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(block_col).cast("string").alias("__b"),
+        F.col(treatment_col).cast("string").alias("__j"),
+        F.col(value_col).alias("__v"),
+    )
+    k_row = base.agg(
+        F.countDistinct("__j").cast("long").alias("k_treatments")
+    )
+    bc = base.groupBy("__b").agg(
+        F.count("*").alias("__nb"),
+        F.countDistinct("__j").alias("__nj"),
+    )
+    n_blocks = bc.count()
+    complete = bc.crossJoin(F.broadcast(k_row)).filter(
+        (F.col("__nb") == F.col("k_treatments"))
+        & (F.col("__nj") == F.col("k_treatments"))
+    ).select("__b")
+    kept = base.join(complete, "__b")
+    rhs = kept.select(
+        "__b", F.col("__j").alias("__j2"), F.col("__v").alias("__v2")
+    )
+    ranked = (
+        kept.join(rhs, "__b")
+        .groupBy("__b", "__j")
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(
+                    F.when(F.col("__v2") < F.col("__v"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("__v2") == F.col("__v"), 1).otherwise(0)
+                )
+                + F.lit(1)
+            ).cast("long").alias("__2r"),
+            F.min("__v").alias("__vkeep"),
+        )
+    )
+    ranges = kept.groupBy("__b").agg(
+        (F.max("__v") - F.min("__v")).alias("__d")
+    )
+    r2 = ranges.select(
+        F.col("__b").alias("__b2"), F.col("__d").alias("__d2")
+    )
+    qrank = (
+        ranges.crossJoin(r2)
+        .groupBy("__b")
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(F.when(F.col("__d2") < F.col("__d"), 1).otherwise(0))
+                + F.sum(F.when(F.col("__d2") == F.col("__d"), 1).otherwise(0))
+                + F.lit(1)
+            ).cast("long").alias("__2q")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = ranked.join(qrank, "__b").crossJoin(F.broadcast(k_row))
+    s4 = dec(F.col("__2q")) * dec(
+        F.col("__2r") - (F.col("k_treatments") + 1)
+    )
+    per_j = scored.groupBy("__j").agg(
+        dec(F.sum(s4)).alias("__s4j"),
+        F.count("*").cast("long").alias("__bj"),
+    )
+    a16 = scored.agg(
+        dec(F.sum(s4 * s4)).alias("__a16"),
+        (F.count("*") / F.max("k_treatments")).cast("long").alias(
+            "n_complete"
+        ),
+        F.max("k_treatments").cast("long").alias("k_treatments"),
+    )
+    b16b = per_j.agg(
+        dec(F.sum(F.col("__s4j") * F.col("__s4j"))).alias("__b16b")
+    )
+    out = a16.crossJoin(F.broadcast(b16b))
+    bb = F.col("n_complete")
+    # F = (b-1) * B / (A - B) with A16 = 16A, B16b = 16*B*b:
+    #   = (b-1) * B16b / (A16*b - B16b)
+    num = dec(bb - 1) * F.col("__b16b")
+    den = dec(bb) * F.col("__a16") - F.col("__b16b")
+    return out.select(
+        "k_treatments",
+        F.lit(n_blocks).cast("long").alias("n_blocks"),
+        "n_complete",
+        F.when(
+            (F.col("k_treatments") >= 2)
+            & (F.col("n_complete") > 1)
+            & (den > 0),
+            F.round(num.cast("double") / den.cast("double"), ndigits),
+        ).alias("f_stat"),
+    )

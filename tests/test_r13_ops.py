@@ -402,3 +402,56 @@ def test_sax_mindist_lower_bound_and_adjacency(spark):
     assert r.mindist == pytest.approx(
         math.sqrt(8 / 4) * 0.674490, abs=1e-6
     )
+
+
+def test_welch_anova_matches_brute_force(spark):
+    """F* against an independent numpy implementation of Welch 1951
+    on three heteroscedastic 10-point groups."""
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.multitest import welch_anova
+
+    g1 = [8.88, 9.12, 9.04, 8.98, 9.00, 9.08, 9.01, 8.85, 9.06, 8.99]
+    g2 = [8.88, 8.95, 9.29, 9.44, 9.15, 9.58, 8.36, 9.18, 8.67, 9.05]
+    g3 = [8.95, 9.12, 8.95, 8.85, 9.03, 8.84, 9.07, 8.98, 8.86, 8.98]
+    rows = (
+        [("a", v) for v in g1]
+        + [("b", v) for v in g2]
+        + [("c", v) for v in g3]
+    )
+    got = welch_anova(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    groups, k = [g1, g2, g3], 3
+    w = [len(g) / np.var(g, ddof=1) for g in groups]
+    xb = [float(np.mean(g)) for g in groups]
+    W = sum(w)
+    xbs = sum(wi * x for wi, x in zip(w, xb)) / W
+    A = sum(wi * (x - xbs) ** 2 for wi, x in zip(w, xb)) / (k - 1)
+    B = 1 + (2 * (k - 2) / (k * k - 1)) * sum(
+        (1 - wi / W) ** 2 / (len(g) - 1) for wi, g in zip(w, groups)
+    )
+    assert got.k_groups == 3 and got.n == 30
+    assert got.f_stat == pytest.approx(A / B, abs=1e-5)
+
+
+def test_quade_conover_textbook_dataset(spark):
+    """Conover's 7-block 3-treatment dataset: the published Quade
+    F = 20.69 (exact integer replay gives 20.692483)."""
+    from etl_orders_to_bq_spark.operators.multitest import quade_test
+
+    data = [
+        [52, 45, 38], [63, 62, 45], [45, 46, 33], [53, 47, 36],
+        [47, 21, 12], [62, 58, 44], [49, 32, 27],
+    ]
+    rows = [
+        (f"b{i}", f"t{j}", float(v))
+        for i, blk in enumerate(data)
+        for j, v in enumerate(blk)
+    ]
+    got = quade_test(
+        spark.createDataFrame(rows, ["blk", "trt", "v"]),
+        "blk", "trt", "v",
+    ).collect()[0]
+    assert got.k_treatments == 3 and got.n_complete == 7
+    assert got.f_stat == pytest.approx(20.692483, abs=1e-6)
