@@ -9861,7 +9861,11 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair table data-derived at every SF."""
     from etl_orders_to_bq_spark.operators.lm import rouge_n
 
-    d = _t(spark, sf_dir, "documents")
+    # single-file local fixtures arrive as ONE split; the two exploded
+    # bigram censuses would serialize on one core without the spread
+    d = _spread_if_underpartitioned(
+        spark, _t(spark, sf_dir, "documents")
+    )
     pairs = (
         d.select(F.col("doc_id"), F.col("text").alias("cand"))
         .join(

@@ -222,6 +222,23 @@ HEADLINE = [
     "shapley_attribution",
     "holm_bonferroni",
     "pps_systematic",
+    # r14 additions (the 16 round-13 operators)
+    "benjamini_yekutieli",
+    "brunner_munzel",
+    "jonckheere_terpstra",
+    "cochran_armitage",
+    "fleiss_kappa",
+    "krippendorff_alpha",
+    "jensen_shannon",
+    "rouge_n",
+    "sax_symbolize",
+    "sax_mindist",
+    "mahalanobis_outliers",
+    "page_trend",
+    "brown_forsythe",
+    "bartlett",
+    "welch_anova",
+    "quade_test",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the
@@ -282,6 +299,14 @@ ITERATIVE = {
     "pacf_durbin",
     # r12: the complete-block census count runs at construction
     "friedman_test",
+    # r13: the sorted-distinct treatment/group collects and
+    # complete-block census counts run at construction
+    "jonckheere_terpstra",
+    "page_trend",
+    "quade_test",
+    # r13: the constant-rater-count validation .first() runs at
+    # construction
+    "fleiss_kappa",
     # r12: the Lloyd fit's per-round centroid collects run at
     # construction
     "silhouette",

@@ -2480,35 +2480,51 @@ def rouge_n(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        grams(cand_col).alias("__cg"),
-        grams(ref_col).alias("__rg"),
-    )
+    # each side is tokenized exactly ONCE: the census feeds both the
+    # clip join and (via a per-id rollup) the total gram counts — the
+    # naive shape re-derived the tokenize+gram projection three times
+    # (cand census, ref census, sizes), tripling the regex work, the
+    # dominant cost (measured 13 s -> ~6 s at sf0.1)
     cand = (
-        base.select("__id", F.explode("__cg").alias("__g"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(grams(cand_col)).alias("__g"),
+        )
         .groupBy("__id", "__g")
         .agg(F.count("*").alias("__cc"))
     )
     ref = (
-        base.select("__id", F.explode("__rg").alias("__g"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(grams(ref_col)).alias("__g"),
+        )
         .groupBy("__id", "__g")
         .agg(F.count("*").alias("__rc"))
     )
     clip = (
-        ref.join(cand, ["__id", "__g"])
+        ref.filter(F.col("__g").isNotNull())
+        .join(cand, ["__id", "__g"])
         .groupBy("__id")
         .agg(
             F.sum(F.least("__rc", "__cc")).cast("long").alias("clip")
         )
     )
-    tots = base.select(
-        "__id",
-        F.size("__cg").cast("long").alias("n_cand"),
-        F.size("__rg").cast("long").alias("n_ref"),
+    # explode_outer keeps zero-gram docs as one NULL-gram row, so the
+    # per-id rollup covers EVERY input row with its true gram count
+    ctot = cand.groupBy("__id").agg(
+        F.sum(
+            F.when(F.col("__g").isNotNull(), F.col("__cc")).otherwise(0)
+        ).cast("long").alias("n_cand")
     )
-    out = tots.join(clip, "__id", "left").withColumn(
-        "clip", F.coalesce("clip", F.lit(0))
+    rtot = ref.groupBy("__id").agg(
+        F.sum(
+            F.when(F.col("__g").isNotNull(), F.col("__rc")).otherwise(0)
+        ).cast("long").alias("n_ref")
+    )
+    out = (
+        ctot.join(rtot, "__id")
+        .join(clip, "__id", "left")
+        .withColumn("clip", F.coalesce("clip", F.lit(0)))
     )
     p = F.when(
         F.col("n_cand") > 0,
