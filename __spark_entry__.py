@@ -9905,7 +9905,9 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mahalanobis_outliers_2d,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _spread_if_underpartitioned(
+        spark, _t(spark, sf_dir, "lineitem")
+    ).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
         F.col("l_quantity").alias("qty"),
         F.col("l_extendedprice").alias("price"),
