@@ -2933,20 +2933,20 @@ def quade_test(
     ranges = kept.groupBy("__b").agg(
         (F.max("__v") - F.min("__v")).alias("__d")
     )
-    r2 = ranges.select(
-        F.col("__b").alias("__b2"), F.col("__d").alias("__d2")
+    # block-range midranks via the distinct-value cumsum machinery
+    # (NOT a b x b self-join — blocks are data-sized at 100 TB):
+    # 2Q = 2*below(d) + count(d) + 1 over the range-value census
+    from .ranking import global_cumsum_before
+
+    dcnt = ranges.groupBy("__d").agg(F.count("*").alias("__dc"))
+    dcum = global_cumsum_before(
+        dcnt, ["__d"], "__dc", out_col="__dbelow"
     )
-    qrank = (
-        ranges.crossJoin(r2)
-        .groupBy("__b")
-        .agg(
-            (
-                F.lit(2)
-                * F.sum(F.when(F.col("__d2") < F.col("__d"), 1).otherwise(0))
-                + F.sum(F.when(F.col("__d2") == F.col("__d"), 1).otherwise(0))
-                + F.lit(1)
-            ).cast("long").alias("__2q")
-        )
+    qrank = ranges.join(dcum, "__d").select(
+        "__b",
+        (
+            F.lit(2) * F.col("__dbelow") + F.col("__dc") + F.lit(1)
+        ).cast("long").alias("__2q"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     scored = ranked.join(qrank, "__b").crossJoin(F.broadcast(k_row))

@@ -1582,7 +1582,11 @@ def sax_mindist(
         F.col("__w").alias("word_b"),
         F.col("__len").alias("__nb"),
     )
-    pairs = a.crossJoin(b).filter(F.col("series_a") < F.col("series_b"))
+    # broadcast the build side: the word table is |series|-sized, so
+    # this plans as a BroadcastNestedLoopJoin, not a CartesianProduct
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("series_a") < F.col("series_b")
+    )
     # letter ordinals per position; the cell distance is a bounded
     # CASE over the shared breakpoint literals
     idx = lambda w, i: F.ascii(F.substring(w, i, 1)) - 97  # noqa: E731
