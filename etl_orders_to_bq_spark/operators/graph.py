@@ -1327,6 +1327,12 @@ def reciprocity(
 
 
 
+# matmul-path node-domain cap: A and A@A at float64 are ~134 MB each
+# at this bound, and one support round is ~1.4e11 flops — cheaper than
+# any wedge census a graph this dense implies
+_DENSE_DOMAIN_IDS = 4096
+
+
 def _k_truss_local(pdf, k: int, spark) -> DataFrame:
     """Driver-local truss peel over a contracted edge list (the kcore
     fast-path discipline): wedge enumeration per low node with packed
@@ -1348,11 +1354,12 @@ def _k_truss_local(pdf, k: int, spark) -> DataFrame:
     # probes -> 0.17 s of matmul, with support totals identical
     # (3 x triangle count). Exactness: counts are small integers, and
     # float64 sums of integers < 2^53 are exact in ANY accumulation
-    # order, so BLAS threading cannot perturb the result. The 2048
-    # bound keeps A + A@A at ~66 MB and one round's matmul at ~1.7e10
-    # flops; larger-domain graphs fall through to the wedge census.
+    # order, so BLAS threading cannot perturb the result. The 4096
+    # bound keeps A + A@A at ~268 MB and one round's matmul at
+    # ~1.4e11 flops (~2-4 s multithreaded); larger-domain graphs fall
+    # through to the wedge census.
     n_ids = int(max(a.max(), b.max())) + 1 if len(a) else 0
-    if 0 < n_ids <= 2048:
+    if 0 < n_ids <= _DENSE_DOMAIN_IDS:
         A = np.zeros((n_ids, n_ids), dtype=np.float64)
         while True:
             if len(a) == 0:
@@ -1574,6 +1581,30 @@ def k_truss(
                 and int(head["b"].max()) < (1 << 31)
             ):
                 return _k_truss_local(head, k, edges.sparkSession)
+        else:
+            # dense-domain probe (r13): past the edge-count bound a
+            # SMALL NODE DOMAIN still admits the local A@A matmul path
+            # — a 4096-node graph supports at most ~8.4M canonical
+            # edges (~130 MB pulled), and one matmul round is ~1.4e11
+            # flops, far cheaper than a distributed wedge census over
+            # hundreds of millions of triangles (measured: the 4x
+            # dense growth probe, 1.4M edges / 226M triangles, 37 s
+            # distributed -> ~3 s matmul). One tiny agg job decides;
+            # huge-domain graphs fall through unchanged.
+            rng = e.agg(
+                F.min("a").alias("lo"),
+                F.max("b").alias("hi"),
+                F.count("*").alias("m"),
+            ).first()
+            if (
+                rng["lo"] is not None
+                and int(rng["lo"]) >= 0
+                and int(rng["hi"]) < _DENSE_DOMAIN_IDS
+                and int(rng["m"]) <= (1 << 23)
+            ):
+                return _k_truss_local(
+                    e.toPandas(), k, edges.sparkSession
+                )
 
     # Incremental support maintenance (advisor r11): the full
     # oriented-wedge census runs ONCE; every later round recounts only

@@ -335,6 +335,31 @@ def test_k_truss_dense_matmul_matches_wedge_census(spark):
     assert dense == wedge and len(dense) > 50
 
 
+def test_k_truss_dense_probe_past_edge_threshold(spark):
+    """Graphs OVER the pulled-edge threshold but on a small node
+    domain take the r13 dense-domain probe into the matmul path — a
+    tiny local_threshold forces the probe branch, and the result must
+    match the distributed peel edge-for-edge."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_to_bq_spark.operators.graph import k_truss
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    probed = sorted(
+        tuple(r) for r in k_truss(li, k=4, local_threshold=100).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in k_truss(li, k=4, local_threshold=None).collect()
+    )
+    assert probed == dist and len(probed) > 100
+
+
 def test_wordpiece_greedy_longest_match(spark):
     """Maximal munch on a planted vocabulary: corpus dominated by
     'unable' (pieces: u, un, una, ..., ##n, ##a, ##able, ...) makes
