@@ -9917,6 +9917,41 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale statistic, click vs error values
+    (operators/multitest.py ansari_bradley): inward-counting midrank
+    scores from the closed-form triangular prefix over the fused
+    cumsum — every S(x) an exact long, each tied-block average ONE
+    double division of identical integers, quantized to micro-longs
+    before the sum. Statistic-only (bartlett convention)."""
+    from etl_orders_to_bq_spark.operators.multitest import ansari_bradley
+
+    e = _t(spark, sf_dir, "events")
+    return ansari_bradley(e, "event_type", "value", "click", "error")
+
+
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' worst-point outlier score over order totals
+    (operators/quality.py grubbs_test): the suspect argmax decides on
+    the EXACT decimal |n*x - S| with a value tie-break; one final
+    double division for G. Statistic-only."""
+    from etl_orders_to_bq_spark.operators.quality import grubbs_test
+
+    o = _t(spark, sf_dir, "orders")
+    return grubbs_test(o, "o_totalprice")
+
+
+def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap ratios over order totals (operators/quality.py
+    dixon_q): four exact decimal order-statistic picks (duplicated
+    extremes give the gap-0 convention), two rounded divisions.
+    Statistic-only."""
+    from etl_orders_to_bq_spark.operators.quality import dixon_q
+
+    o = _t(spark, sf_dir, "orders")
+    return dixon_q(o, "o_totalprice")
+
+
 def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's heteroscedastic one-way F* across event types
     (operators/multitest.py welch_anova): exact decimal group
@@ -10017,6 +10052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified (new work leads the snapshot) --
+        "ansari_bradley": q_ansari_bradley,
+        "grubbs_test": q_grubbs_test,
+        "dixon_q": q_dixon_q,
         "welch_anova": q_welch_anova,
         "quade_test": q_quade_test,
         "page_trend": q_page_trend,
@@ -18871,6 +18909,138 @@ def oracle_sql() -> dict[str, str]:
                           / (ssw / (n - cast(k_groups as double))), 6)
                end as w_stat
         from ss
+    """
+
+    out["ansari_bradley"] = """
+        with f as (
+          select event_type as g, value as v from events
+          where event_type in ('click', 'error') and value is not null
+        ),
+        vc as (
+          select v,
+                 sum(case when g = 'click' then 1 else 0 end) as na,
+                 count(*) as nt
+          from f group by v
+        ),
+        cum as (
+          select *,
+                 coalesce(sum(nt) over (order by v
+                   rows between unbounded preceding and 1 preceding),
+                   0) as bt
+          from vc
+        ),
+        tot as (
+          select cast(sum(na) as bigint) as n_a,
+                 cast(sum(nt) - sum(na) as bigint) as n_b,
+                 cast(sum(nt) as bigint) as nn
+          from vc
+        ),
+        seg as (
+          select na, nt, bt, nn, n_a, n_b,
+                 (nn + 1) // 2 as h
+          from cum, tot
+        ),
+        sc as (
+          select *,
+                 -- S(x) = tri(min(x,h)) + [x>h] * (cnt*first - tri(cnt-1))
+                 (least(bt + nt, h) * (least(bt + nt, h) + 1)) // 2
+                   + case when (bt + nt) - h > 0 then
+                       ((bt + nt) - h) * (nn - h)
+                       - (((bt + nt) - h - 1) * ((bt + nt) - h)) // 2
+                     else 0 end
+                 - ((least(bt, h) * (least(bt, h) + 1)) // 2
+                   + case when bt - h > 0 then
+                       (bt - h) * (nn - h)
+                       - ((bt - h - 1) * (bt - h)) // 2
+                     else 0 end) as rs
+          from seg
+        ),
+        ab as (
+          select max(n_a) as n_a, max(n_b) as n_b,
+                 sum(na * cast(round(cast(rs as double)
+                                     / cast(nt as double) * 1e6, 0)
+                               as bigint)) as ab_micro
+          from sc
+        )
+        select 'click' as group_a, 'error' as group_b, n_a, n_b,
+               case when n_a > 0 and n_b > 0 then
+                 round(cast(ab_micro as double) / 1e6, 6)
+               end as ab_stat
+        from ab
+    """
+
+    out["grubbs_test"] = """
+        with base as (
+          select cast(o_totalprice as decimal(18,2)) as v
+          from orders where o_totalprice is not null
+        ),
+        mom as (
+          select cast(count(*) as bigint) as n,
+                 cast(sum(v) as decimal(38,2)) as s,
+                 cast(sum(cast(v as decimal(38,4)) * v)
+                      as decimal(38,4)) as q
+          from base
+        ),
+        picked as (
+          select max(struct_pack(
+                   d := abs(cast(n as decimal(38,4))
+                            * cast(v as decimal(38,4))
+                            - cast(s as decimal(38,4))),
+                   v := v)) as top,
+                 max(n) as n, max(s) as s, max(q) as q
+          from base, mom
+        ),
+        st as (
+          select n, s, q, top,
+                 cast(s as double) / n as mean,
+                 (cast(q as double)
+                  - cast(s as double) * cast(s as double) / n)
+                 / (n - 1.0) as var
+          from picked
+        )
+        select n,
+               round(mean, 6) as mean,
+               case when var > 0 then round(sqrt(var), 6) end as stddev,
+               case when n >= 3 and var > 0
+                    then cast(top.v as double) end as suspect_value,
+               case when n >= 3 and var > 0 then
+                 round(cast(top.d as double) / (n * sqrt(var)), 6)
+               end as g_stat
+        from st
+    """
+
+    out["dixon_q"] = """
+        with base as (
+          select cast(o_totalprice as decimal(18,2)) as v
+          from orders where o_totalprice is not null
+        ),
+        ext as (
+          select cast(count(*) as bigint) as n,
+                 min(v) as lo, max(v) as hi
+          from base
+        ),
+        stats as (
+          select max(n) as n, max(lo) as lo, max(hi) as hi,
+                 sum(case when v = lo then 1 else 0 end) as nlo,
+                 sum(case when v = hi then 1 else 0 end) as nhi,
+                 min(case when v > lo then v end) as x2,
+                 max(case when v < hi then v end) as xn1
+          from base, ext
+        )
+        select n,
+               cast(lo as double) as x_min,
+               cast(hi as double) as x_max,
+               case when n >= 3 and hi > lo then
+                 round(cast((case when nlo > 1 then lo else x2 end) - lo
+                            as double)
+                       / cast(hi - lo as double), 6)
+               end as q_low,
+               case when n >= 3 and hi > lo then
+                 round(cast(hi - (case when nhi > 1 then hi else xn1 end)
+                            as double)
+                       / cast(hi - lo as double), 6)
+               end as q_high
+        from stats
     """
 
     out["welch_anova"] = """

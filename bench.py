@@ -239,6 +239,9 @@ HEADLINE = [
     "bartlett",
     "welch_anova",
     "quade_test",
+    "ansari_bradley",
+    "grubbs_test",
+    "dixon_q",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -2984,3 +2984,99 @@ def quade_test(
             F.round(num.cast("double") / den.cast("double"), ndigits),
         ).alias("f_stat"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Ansari-Bradley scale test (Ansari & Bradley 1960, public
+    literature) — do two samples with a COMMON center differ in
+    SPREAD? The rank-based companion to brunner_munzel's location
+    question: ranks count inward from both ends (min(r, N+1-r)), so
+    a dispersed sample collects small scores. Statistic-only output
+    (the exact null distribution / tie-conditional variance is not
+    portably replayable — the bartlett convention).
+
+    Exactness: per distinct value the positions below+1 .. below+nt
+    share the midscore a_v = (S(hi) - S(lo-1))/nt, where
+    S(x) = sum_{r<=x} min(r, N+1-r) is the closed-form triangular
+    prefix (split at the midpoint) — S is an exact integer, so a_v is
+    ONE double division of identical integers in both engines; each
+    a_v quantizes half-away to a micro-long and AB is an exact
+    integer micro sum (the pacf/mmr quantization discipline).
+
+    Output: one row ``(group_a, group_b, n_a, n_b, ab_stat)`` with
+    ab_stat = sum of group-a scores rounded at ``ndigits``.
+
+    Scale: the mann_whitney class — one distinct-value census, one
+    fused cumsum, keyed shuffles only.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+        F.count("*").alias("__nt"),
+    )
+    cum = global_cumsum_before(
+        vc, ["__v"], "__nt", num_partitions=num_partitions,
+        out_col="__bt",
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+            F.sum("__nt").cast("long").alias("__n"),
+        )
+    )
+    seg = cum.crossJoin(tot)
+
+    # S(x) = sum_{r=1..x} min(r, N+1-r), exact longs: let h =
+    # floor((N+1)/2) (the peak); for x <= h it is the triangle
+    # x(x+1)/2; past the peak add the descending tail
+    def s_prefix(x):
+        h = F.floor((F.col("__n") + 1) / 2).cast("long")
+        tri = lambda t: (t * (t + 1) / 2).cast("long")  # noqa: E731
+        asc = tri(F.least(x, h))
+        # descending part: positions h+1..x get N+1-r, i.e. values
+        # N-h, N-h-1, ..., N+1-x  (count = x-h)
+        cnt = F.greatest(x - h, F.lit(0).cast("long"))
+        first = F.col("__n") - h  # value at position h+1
+        desc = (cnt * first - tri(cnt - 1)).cast("long")
+        return asc + F.when(cnt > 0, desc).otherwise(F.lit(0))
+
+    lo = F.col("__bt").cast("long")          # = below, S(lo-1) -> S(below)
+    hi = (F.col("__bt") + F.col("__nt")).cast("long")
+    rs = s_prefix(hi) - s_prefix(lo)
+    a_micro = F.round(
+        rs.cast("double") / F.col("__nt").cast("double") * 1e6
+    ).cast("long")
+    agg = seg.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("__na") * a_micro).alias("__ab_micro"),
+    )
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(F.col("__ab_micro").cast("double") / 1e6, ndigits),
+        ).alias("ab_stat"),
+    )

@@ -622,3 +622,164 @@ def mahalanobis_outliers_2d(
         .filter(F.col("d2") > float(threshold))
         .orderBy(F.desc("d2"), id_col)
     )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Grubbs' single-outlier statistic (Grubbs 1950, public
+    literature): G = max|x - mean|/s — the classic "is the most
+    extreme point an outlier" score a metrics pipeline puts next to
+    ``mad_outliers`` (MAD flags many, Grubbs scores THE worst one).
+    Statistic-only output (the t-based critical value is not
+    portably replayable — the bartlett convention).
+
+    Exactness: with money-grade decimals, n*x - S is an EXACT decimal
+    per row, so the argmax (the suspect) is an exact-integer decision
+    with a value tie-break — no float enters until the single final
+    division G = max|n*x - S| / (n * s), rounded once.
+
+    Output: one row ``(n, mean, stddev, suspect_value, g_stat)``;
+    n < 3 or zero variance yields NULL g_stat/suspect.
+
+    Scale: one moment aggregate + one max(struct) over the scan —
+    both map-side combinable.
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        y.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    mom = F.broadcast(
+        base.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").cast("decimal(38,2)").alias("__s"),
+            F.sum(dec(F.col("__v")) * F.col("__v")).cast(
+                "decimal(38,4)"
+            ).alias("__q"),
+        )
+    )
+    j = base.crossJoin(mom)
+    ndev = F.abs(
+        dec(F.col("__n")) * dec(F.col("__v")) - dec(F.col("__s"))
+    )
+    picked = j.agg(
+        F.max(F.struct(ndev.alias("d"), F.col("__v").alias("v"))).alias(
+            "__top"
+        ),
+        F.max("__n").alias("n"),
+        F.max("__s").alias("__s"),
+        F.max("__q").alias("__q"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / nn
+    var = (
+        F.col("__q").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / nn
+    ) / (nn - 1.0)
+    picked = picked.withColumns(
+        {"__mean": mean, "__var": var}
+    )
+    ok = (F.col("n") >= 3) & (F.col("__var") > 0)
+    return picked.select(
+        "n",
+        F.round(F.col("__mean"), ndigits).alias("mean"),
+        F.when(
+            F.col("__var") > 0,
+            F.round(F.sqrt(F.col("__var")), ndigits),
+        ).alias("stddev"),
+        F.when(ok, F.col("__top.v").cast("double")).alias(
+            "suspect_value"
+        ),
+        F.when(
+            ok,
+            F.round(
+                F.col("__top.d").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.sqrt(F.col("__var"))
+                ),
+                ndigits,
+            ),
+        ).alias("g_stat"),
+    )
+
+
+def dixon_q(
+    df: DataFrame,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Dixon's Q ratios (Dixon 1950, public literature) — the
+    gap-over-range outlier score for SMALL samples where Grubbs'
+    normality machinery is shaky: Q_low = (x(2)-x(1))/(x(n)-x(1)),
+    Q_high = (x(n)-x(n-1))/(x(n)-x(1)). Statistic-only (Dixon's
+    critical table is not portably replayable).
+
+    Exactness: the four order statistics are exact decimal min/max
+    picks — with duplicated extremes the neighbor order statistic IS
+    the extreme (gap 0, the order-statistic convention); each Q is
+    one rounded division of exact decimals.
+
+    Output: one row ``(n, x_min, x_max, q_low, q_high)``; n < 3 or
+    zero range yields NULL ratios.
+
+    Scale: two aggregates over the scan (extremes, then neighbor
+    picks against the broadcast extremes).
+    """
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        y.alias("__v")
+    )
+    # neighbor order statistics: if the extreme repeats, the neighbor
+    # is the extreme itself (gap 0)
+    stats = base.crossJoin(
+        F.broadcast(
+            base.agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("__v").alias("__lo"),
+                F.max("__v").alias("__hi"),
+            )
+        )
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("__lo").alias("__lo"),
+        F.max("__hi").alias("__hi"),
+        F.sum(
+            F.when(F.col("__v") == F.col("__lo"), 1).otherwise(0)
+        ).alias("__nlo"),
+        F.sum(
+            F.when(F.col("__v") == F.col("__hi"), 1).otherwise(0)
+        ).alias("__nhi"),
+        F.min(
+            F.when(F.col("__v") > F.col("__lo"), F.col("__v"))
+        ).alias("__x2"),
+        F.max(
+            F.when(F.col("__v") < F.col("__hi"), F.col("__v"))
+        ).alias("__xn1"),
+    )
+    x2 = F.when(F.col("__nlo") > 1, F.col("__lo")).otherwise(
+        F.col("__x2")
+    )
+    xn1 = F.when(F.col("__nhi") > 1, F.col("__hi")).otherwise(
+        F.col("__xn1")
+    )
+    rng = (F.col("__hi") - F.col("__lo")).cast("double")
+    ok = (F.col("n") >= 3) & (rng > 0)
+    return stats.select(
+        "n",
+        F.col("__lo").cast("double").alias("x_min"),
+        F.col("__hi").cast("double").alias("x_max"),
+        F.when(
+            ok,
+            F.round((x2 - F.col("__lo")).cast("double") / rng, ndigits),
+        ).alias("q_low"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("__hi") - xn1).cast("double") / rng, ndigits
+            ),
+        ).alias("q_high"),
+    )

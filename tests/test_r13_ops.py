@@ -455,3 +455,67 @@ def test_quade_conover_textbook_dataset(spark):
     ).collect()[0]
     assert got.k_treatments == 3 and got.n_complete == 7
     assert got.f_stat == pytest.approx(20.692483, abs=1e-6)
+
+
+def test_ansari_bradley_matches_brute_force_with_ties(spark):
+    """Inward-rank midscores against an independent positional
+    implementation, on data with cross-group ties."""
+    from collections import defaultdict
+
+    from etl_orders_to_bq_spark.operators.multitest import ansari_bradley
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    y = [2.0, 4.0, 9.0, 11.0, -1.0, 2.5]
+    rows = [("a", v) for v in x] + [("b", v) for v in y]
+    got = ansari_bradley(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    allv = sorted(x + y)
+    N = len(allv)
+    pos = defaultdict(list)
+    for r, v in enumerate(allv, 1):
+        pos[v].append(min(r, N + 1 - r))
+    avg = {v: sum(ps) / len(ps) for v, ps in pos.items()}
+    assert got.n_a == 6 and got.n_b == 6
+    assert got.ab_stat == pytest.approx(sum(avg[v] for v in x),
+                                        abs=1e-6)
+
+
+def test_grubbs_flags_the_planted_extreme(spark):
+    import numpy as np
+
+    from etl_orders_to_bq_spark.operators.quality import grubbs_test
+
+    vals = [8.0, 8.1, 8.05, 7.95, 8.02, 12.0]
+    got = grubbs_test(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v"
+    ).collect()[0]
+    x = np.array(vals)
+    assert got.suspect_value == 12.0
+    assert got.g_stat == pytest.approx(
+        float(max(abs(x - x.mean())) / x.std(ddof=1)), abs=1e-6
+    )
+
+
+def test_dixon_q_gap_ratios_and_duplicate_extremes(spark):
+    from etl_orders_to_bq_spark.operators.quality import dixon_q
+
+    vals = [8.0, 8.1, 8.05, 7.95, 8.02, 12.0]
+    got = dixon_q(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v"
+    ).collect()[0]
+    s = sorted(vals)
+    assert got.q_low == pytest.approx(
+        (s[1] - s[0]) / (s[-1] - s[0]), abs=1e-6
+    )
+    assert got.q_high == pytest.approx(
+        (s[-1] - s[-2]) / (s[-1] - s[0]), abs=1e-6
+    )
+    # duplicated max: the neighbor order statistic IS the extreme
+    dup = dixon_q(
+        spark.createDataFrame(
+            [(1.0,), (2.0,), (9.0,), (9.0,)], ["v"]
+        ),
+        "v",
+    ).collect()[0]
+    assert dup.q_high == 0.0
