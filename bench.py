@@ -242,6 +242,16 @@ HEADLINE = [
     "ansari_bradley",
     "grubbs_test",
     "dixon_q",
+    "durbin_watson",
+    "ljung_box",
+    "runs_test",
+    "jarque_bera",
+    "chatterjee_xi",
+    "rosner_esd",
+    "cramer_von_mises",
+    "kuiper_two_sample",
+    "hbos_outliers",
+    "ecod_outliers",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

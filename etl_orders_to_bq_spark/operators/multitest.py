@@ -3080,3 +3080,504 @@ def ansari_bradley(
             F.round(F.col("__ab_micro").cast("double") / 1e6, ndigits),
         ).alias("ab_stat"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for sequence randomness (Wald &
+    Wolfowitz 1940; mean-cut form per the NIST/SEMATECH e-Handbook,
+    public literature) — "do above-mean and below-mean observations
+    alternate like a random sequence, or do they clump (trend/
+    autocorrelation)?" The nonparametric companion to
+    ``durbin_watson`` that needs no regression fit.
+
+    Semantics: observations ordered by ``order_cols`` (MUST be a
+    total order — include a unique tie-break column, the
+    ``global_row_number`` contract) are cut at the sample mean into
+    above (v > m) / below (v <= m); R = number of maximal same-side
+    runs; z = (R - mu) / sigma with mu = 1 + 2*n1*n2/n and
+    sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1)).
+
+    Exactness: the mean cut m = Sv/n is ONE double division of a
+    decimal-exact sum, compared against each value's exact decimal
+    cast as double — both engines evaluate the identical IEEE
+    comparison; R, n1, n2 are exact integers, z one fixed-order
+    double expression, p via the engine's deterministic normal tail.
+
+    Scale: one ``global_row_number`` range shuffle, one equi-join of
+    the sequence against itself shifted by one (key shuffle on rn) —
+    no single-partition window anywhere, so a billion-row event
+    stream keeps every stage parallel.
+
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from .ranking import global_row_number
+
+    filt = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("decimal(18,2)").alias("__v"), *order_cols
+    )
+    rn = global_row_number(
+        filt, order_cols, num_partitions=num_partitions, out_col="__rn"
+    )
+    stats = F.broadcast(
+        rn.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").alias("__sv"),
+        )
+    )
+    marked = rn.crossJoin(stats).select(
+        "__rn",
+        (
+            F.col("__v").cast("double")
+            > F.col("__sv").cast("double") / F.col("__n").cast("double")
+        ).alias("__abv"),
+        "__n",
+    )
+    nxt = marked.select(
+        (F.col("__rn") - 1).alias("__rn"), F.col("__abv").alias("__abv2")
+    )
+    joined = marked.join(nxt, "__rn", "left")
+    agg = joined.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.when(F.col("__abv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("__abv2").isNotNull()
+                    & (F.col("__abv") != F.col("__abv2")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("n") - F.col("n_above")).cast("double")
+    two = 2.0 * n1 * n2
+    mu = 1.0 + two / n
+    var = two * (two - n) / (n * n * (n - 1.0))
+    out = agg.select(
+        "n",
+        "n_above",
+        (F.col("n") - F.col("n_above")).alias("n_below"),
+        "runs",
+        F.when(
+            (F.col("n") >= 2)
+            & (F.col("n_above") > 0)
+            & (F.col("n") > F.col("n_above"))
+            & (var > 0),
+            (F.col("runs").cast("double") - mu) / F.sqrt(var),
+        ).alias("__z"),
+    )
+    out = with_p_value(out, "__z", "p_value", ndigits)
+    return out.select(
+        "n",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(F.col("__z"), ndigits).alias("z"),
+        "p_value",
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Jarque-Bera normality statistic (Jarque & Bera 1980, public
+    literature) — the moment-based "is this distribution normal?"
+    gate: JB = n * (skew^2 / 6 + excess_kurtosis^2 / 24), chi2(2)
+    under the null, whose tail IS closed-form (exp(-JB/2)) and so,
+    uniquely among the engine's chi2-class tests, ships a
+    deterministic p_value.
+
+    Exactness: values quantize to exact integer cents (skewness and
+    kurtosis are scale-invariant, so the cents domain changes
+    nothing); the four power sums accumulate as exact
+    decimal(38,0)/long integers; the central moments, skew, kurtosis
+    and JB collapse to double in fixed-order expressions; the chi2(2)
+    tail replays through the engine's deterministic exp
+    (``with_det_exp``) with the |y| <= 64 convergence clamp.
+
+    Scale: ONE map-side-combinable aggregate over the scan — nothing
+    else. The cents-long squares cap |v| at ~3e7 currency units
+    (c^2 must fit a long); beyond that cast down first.
+
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    c = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    c2 = (c * c).cast("long")
+    d2 = c2.cast("decimal(38,0)")
+    agg = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("__s1"),
+        F.sum(d2).alias("__s2"),
+        F.sum(d2 * c.cast("decimal(19,0)")).alias("__s3"),
+        F.sum(d2 * d2).alias("__s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m
+    m4 = (
+        s4 / n
+        - 4.0 * m * s3 / n
+        + 6.0 * m * m * s2 / n
+        - 3.0 * m * m * m * m
+    )
+    staged = (
+        agg.withColumn("__m2", m2)
+        .withColumn(
+            "__skew",
+            F.when(
+                F.col("__m2") > 0,
+                m3 / (F.sqrt(F.col("__m2")) * F.col("__m2")),
+            ),
+        )
+        .withColumn(
+            "__kurt",
+            F.when(
+                F.col("__m2") > 0, m4 / (F.col("__m2") * F.col("__m2")) - 3.0
+            ),
+        )
+        .withColumn(
+            "__jb",
+            F.when(
+                (F.col("n") >= 2) & (F.col("__m2") > 0),
+                F.col("n").cast("double")
+                * (
+                    F.col("__skew") * F.col("__skew") / 6.0
+                    + F.col("__kurt") * F.col("__kurt") / 24.0
+                ),
+            ),
+        )
+    )
+    staged = staged.withColumn(
+        "__y",
+        F.when(F.col("__jb").isNotNull(), -F.least(F.col("__jb"), F.lit(128.0)) / 2.0),
+    )
+    staged = with_det_exp(staged, "__y", "__p")
+    return staged.select(
+        "n",
+        F.round(F.col("__skew"), ndigits).alias("skewness"),
+        F.round(F.col("__kurt"), ndigits).alias("kurtosis_excess"),
+        F.round(F.col("__jb"), ndigits).alias("jb_stat"),
+        F.when(
+            F.col("__jb").isNotNull(),
+            F.when(F.col("__jb") > 128.0, F.lit(0.0)).otherwise(
+                F.round(F.col("__p"), ndigits)
+            ),
+        ).alias("p_value"),
+    )
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Chatterjee's xi rank correlation (Chatterjee, JASA 2021,
+    public literature) — the modern "is Y a FUNCTION of X?"
+    coefficient: ~0 for independence, -> 1 iff Y is a measurable
+    function of X (monotone or not), where Pearson/Spearman see only
+    monotone signal. Tie-robust form:
+
+        xi = 1 - n * sum_{i=1..n-1} |r_{i+1} - r_i|
+                 / (2 * sum_i l_i * (n - l_i))
+
+    with rows ordered by X, r_i = #{j: y_j <= y_i},
+    l_i = #{j: y_j >= y_i}. X-ties are broken by ``id_col`` —
+    deterministic where the paper randomizes (documented engine
+    contract; the effect vanishes as duplicate-X mass shrinks).
+
+    Exactness: r and l come from the fused distinct-value cumsum
+    (exact longs); the numerator and the tie-aware denominator are
+    exact integer sums promoted to decimal(38,0) for n^3 headroom;
+    xi is ONE double expression rounded at ``ndigits``.
+
+    Scale: one distinct-Y census + ``global_cumsum_before`` range
+    shuffle, one key shuffle joining ranks back on Y, one
+    ``global_row_number`` over (X, id), one rn+1 equi-join — the
+    mann_whitney class, every stage parallel at any corpus size.
+
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    from .ranking import global_cumsum_before, global_row_number
+
+    filt = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).cast("decimal(18,2)").alias("__y"),
+        F.col(id_col).alias("__id"),
+    )
+    vc = filt.groupBy("__y").agg(F.count("*").cast("long").alias("__cnt"))
+    cum = global_cumsum_before(
+        vc, ["__y"], "__cnt", num_partitions=num_partitions, out_col="__bt"
+    )
+    tot = F.broadcast(cum.agg(F.sum("__cnt").cast("long").alias("__n")))
+    ranks = cum.crossJoin(tot).select(
+        "__y",
+        "__cnt",
+        "__n",
+        (F.col("__bt") + F.col("__cnt")).cast("long").alias("__r"),
+        (F.col("__n") - F.col("__bt")).cast("long").alias("__l"),
+    )
+    den = ranks.agg(
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)")
+            * (F.col("__l") * (F.col("__n") - F.col("__l"))).cast(
+                "decimal(19,0)"
+            )
+        ).alias("__d")
+    )
+    rows = filt.join(
+        ranks.select("__y", "__r", "__n"), "__y", "inner"
+    )
+    seq = global_row_number(
+        rows,
+        ["__x", "__id"],
+        num_partitions=num_partitions,
+        out_col="__rn",
+    )
+    nxt = seq.select(
+        (F.col("__rn") - 1).alias("__rn"), F.col("__r").alias("__r2")
+    )
+    adj = seq.join(nxt, "__rn", "inner")
+    num = adj.agg(
+        F.max("__n").alias("n"),
+        F.sum(
+            F.abs(F.col("__r2") - F.col("__r")).cast("decimal(38,0)")
+        ).alias("__s"),
+    )
+    out = num.crossJoin(F.broadcast(den))
+    return out.select(
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (F.col("__d") > 0),
+            F.round(
+                1.0
+                - F.col("n").cast("double")
+                * F.col("__s").cast("double")
+                / (2.0 * F.col("__d").cast("double")),
+                ndigits,
+            ),
+        ).alias("xi"),
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (Anderson 1962, public
+    literature) — the INTEGRATED-squared-CDF-gap companion to
+    ``ks_two_sample``'s single worst gap: sensitive to many small
+    distributional differences a max-statistic misses.
+
+        T = U / (n*m*(n+m)) - (4*n*m - 1) / (6*(n+m))
+        U = n * sum_i (r_i - i)^2 + m * sum_j (s_j - j)^2
+
+    with r/s the combined-sample MIDRANKS and i/j each observation's
+    rank within its own sample. Statistic-only output (the
+    tie-conditional null distribution is not portably replayable —
+    the bartlett convention).
+
+    Exactness: midranks over a tied block are arithmetic sequences,
+    so each block's sum of squared gaps has a CLOSED FORM in doubled
+    units — with A = 2*r - 2*below_own (all exact longs from the
+    fused three-column cumsum) the block contributes
+    c*A^2 - 2*A*c*(c+1) + (2/3)c(c+1)(2c+1) in x4 units, an exact
+    integer accumulated as decimal(38,0); one double division at the
+    end.
+
+    Output: one row ``(group_a, group_b, n_a, n_b, u_stat, t_stat)``;
+    an empty arm yields NULLs.
+
+    Scale: the mann_whitney class — one distinct-value census, one
+    fused cumsum (nt, na, nb in a single range shuffle), keyed
+    reductions only.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+        F.count("*").alias("__nt"),
+    )
+    cum = global_cumsum_before(
+        vc,
+        ["__v"],
+        ["__na", "__nb", "__nt"],
+        num_partitions=num_partitions,
+        out_col=["__ba", "__bb", "__bt"],
+    )
+
+    # block contribution in x12 units (x4 for doubled ranks, x3 to
+    # clear the sum-of-squares denominator — NO division anywhere, so
+    # every engine sums identical exact integers): positions j = 1..c
+    # within the tied block, own-rank 2*(below_own + j), combined
+    # midrank2 r2 = 2*bt + nt + 1; q_j = (r2 - 2*below_own) - 2j
+    # 3 * sum q_j^2 = 3*c*A^2 - 6*A*c*(c+1) + 2*c*(c+1)*(2c+1)
+    def block12(c, below_own):
+        a = (
+            2 * F.col("__bt") + F.col("__nt") + 1 - 2 * below_own
+        ).cast("decimal(38,0)")
+        cc = c.cast("decimal(38,0)")
+        c1 = (c + 1).cast("decimal(38,0)")
+        return (
+            3 * cc * a * a
+            - 6 * a * cc * c1
+            + 2 * cc * c1 * (2 * c + 1).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+
+    agg = cum.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("__na") > 0, block12(F.col("__na"), F.col("__ba"))
+            )
+        ).alias("__sa12"),
+        F.sum(
+            F.when(
+                F.col("__nb") > 0, block12(F.col("__nb"), F.col("__bb"))
+            )
+        ).alias("__sb12"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    u = (
+        na * F.col("__sa12").cast("double")
+        + nb * F.col("__sb12").cast("double")
+    ) / 12.0
+    staged = agg.withColumn(
+        "__u", F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u)
+    )
+    t = F.col("__u") / (na * nb * (na + nb)) - (4.0 * na * nb - 1.0) / (
+        6.0 * (na + nb)
+    )
+    return staged.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        F.round(F.col("__u"), ndigits).alias("u_stat"),
+        F.when(F.col("__u").isNotNull(), F.round(t, ndigits)).alias(
+            "t_stat"
+        ),
+    )
+
+
+def kuiper_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kuiper statistic V = D+ + D- (Kuiper 1960, public
+    literature) — the rotation-invariant KS variant: where KS takes
+    the single worst CDF gap, Kuiper adds the worst gap in EACH
+    direction, giving equal sensitivity in the distribution's tails
+    and center (the classic test for cyclic data — hour-of-day,
+    day-of-week effects). Statistic-only output.
+
+    Exactness: the ``ks_two_sample`` discipline verbatim — exact
+    integer CDFs from the fused cumsum, each signed gap ONE
+    fixed-order double rounded ``ndigits`` BEFORE the max, V the sum
+    of two engine-stable maxima.
+
+    Output: one row ``(group_a, group_b, n_a, n_b, d_plus, d_minus,
+    v_stat)``; empty arms yield NULLs.
+
+    Scale: identical to ``ks_two_sample`` — one census, one fused
+    cumsum range shuffle, keyed reductions.
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vc = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+    )
+    cum = global_cumsum_before(
+        vc,
+        ["__v"],
+        ["__na", "__nb"],
+        num_partitions=num_partitions,
+        out_col=["__ba", "__bb"],
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+        )
+    )
+    j = cum.crossJoin(tot)
+    fa = (F.col("__ba") + F.col("__na")).cast("double") / F.col(
+        "n_a"
+    ).cast("double")
+    fb = (F.col("__bb") + F.col("__nb")).cast("double") / F.col(
+        "n_b"
+    ).cast("double")
+    gp = F.round(fa - fb, ndigits)
+    gm = F.round(fb - fa, ndigits)
+    d = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.greatest(F.max(gp), F.lit(0.0)).alias("d_plus"),
+        F.greatest(F.max(gm), F.lit(0.0)).alias("d_minus"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return d.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        F.when(ok, F.col("d_plus")).alias("d_plus"),
+        F.when(ok, F.col("d_minus")).alias("d_minus"),
+        F.when(
+            ok, F.round(F.col("d_plus") + F.col("d_minus"), ndigits)
+        ).alias("v_stat"),
+    )

@@ -783,3 +783,324 @@ def dixon_q(
             ),
         ).alias("q_high"),
     )
+
+
+def rosner_esd(
+    df: DataFrame,
+    value_col: str,
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Generalized ESD (Rosner 1983, public literature) — the
+    many-outlier extension of ``grubbs_test``: k rounds, each scoring
+    the remaining sample's most extreme point R_i = max|x - mean|/s
+    and then removing ONE occurrence of it. Statistic-only rows (the
+    lambda_i critical values are t-quantiles, not portably
+    replayable — the bartlett convention).
+
+    Exactness: every round's argmax decides on the EXACT decimal
+    |n*x - S| with a value tie-break (the grubbs discipline), and the
+    removal updates the moment triple (n, S, Q) by exact decimal
+    subtraction — no rescan, no float until each round's single final
+    division. Rounds run on the distinct-value census, so duplicated
+    extremes are naturally removed one copy at a time.
+
+    Output: k rows ``(iteration, n_used, mean, stddev, suspect_value,
+    r_stat)``; a round with n < 3 or zero variance reports NULL
+    mean/stddev/suspect/r_stat but still consumes its pick so later
+    rounds replay identically in every engine.
+
+    Scale: ONE value census shuffle up front; each round is a
+    broadcast of a 1-row moment struct + one map-side-combinable max
+    over the census — k is a literal (2..5 in practice), so the whole
+    chain is k tiny stages after a single pass over the data.
+    """
+    dec = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(y.alias("__v"))
+    census = base.groupBy("__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    mom = census.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(dec(F.col("__v")) * F.col("__c"))
+        .cast("decimal(38,4)")
+        .alias("__s"),
+        F.sum(dec(F.col("__v")) * F.col("__v") * F.col("__c"))
+        .cast("decimal(38,4)")
+        .alias("__q"),
+    )
+    out_rows = []
+    for it in range(1, int(k) + 1):
+        j = census.crossJoin(F.broadcast(mom))
+        ndev = F.abs(
+            dec(F.col("__n")) * dec(F.col("__v")) - dec(F.col("__s"))
+        )
+        picked = j.agg(
+            F.max(
+                F.struct(ndev.alias("d"), F.col("__v").alias("v"))
+            ).alias("__top"),
+            F.max("__n").alias("__n"),
+            F.max("__s").alias("__s"),
+            F.max("__q").alias("__q"),
+        )
+        nn = F.col("__n").cast("double")
+        mean = F.col("__s").cast("double") / nn
+        var = (
+            F.col("__q").cast("double")
+            - F.col("__s").cast("double")
+            * F.col("__s").cast("double")
+            / nn
+        ) / (nn - 1.0)
+        staged = picked.withColumns({"__mean": mean, "__var": var})
+        ok = (F.col("__n") >= 3) & (F.col("__var") > 0)
+        out_rows.append(
+            staged.select(
+                F.lit(it).cast("int").alias("iteration"),
+                F.col("__n").alias("n_used"),
+                F.when(ok, F.round(F.col("__mean"), ndigits)).alias(
+                    "mean"
+                ),
+                F.when(ok, F.round(F.sqrt(F.col("__var")), ndigits)).alias(
+                    "stddev"
+                ),
+                F.when(ok, F.col("__top.v").cast("double")).alias(
+                    "suspect_value"
+                ),
+                F.when(
+                    ok,
+                    F.round(
+                        F.col("__top.d").cast("double")
+                        / (nn * F.sqrt(F.col("__var"))),
+                        ndigits,
+                    ),
+                ).alias("r_stat"),
+            )
+        )
+        mom = picked.select(
+            (F.col("__n") - 1).cast("long").alias("__n"),
+            (F.col("__s") - dec(F.col("__top.v")))
+            .cast("decimal(38,4)")
+            .alias("__s"),
+            (
+                F.col("__q")
+                - dec(F.col("__top.v")) * F.col("__top.v")
+            )
+            .cast("decimal(38,4)")
+            .alias("__q"),
+        )
+        census = (
+            census.crossJoin(
+                F.broadcast(picked.select(F.col("__top.v").alias("__pv")))
+            )
+            .withColumn(
+                "__c",
+                F.when(
+                    F.col("__pv").isNotNull()
+                    & (F.col("__v") == F.col("__pv")),
+                    F.col("__c") - 1,
+                ).otherwise(F.col("__c")),
+            )
+            .filter(F.col("__c") > 0)
+            .drop("__pv")
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iteration")
+
+
+def hbos_outliers(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list,
+    n_bins: int = 10,
+    top_n: int = 20,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012, public
+    literature) — the linear-time density-free outlier scorer: per
+    feature, fixed-width histogram; a point's score sums
+    log(max_bin_count / its_bin_count) over features, so points in
+    sparse bins across many features float to the top. The cheap
+    first-pass screen next to ``lof_outliers`` (which prices locality
+    at kNN cost).
+
+    Exactness: binning is EXACT integral division over integer cents
+    — bin = ((xc - minc) * n_bins) div (maxc - minc + 1), the r13 sax
+    `div`-discipline, so no double quotient ever decides a bin; each
+    feature's log-ratio term quantizes half-away to a micro-long and
+    the per-point score is an exact integer sum (order-free), making
+    the top-N cut an exact-integer decision with an id tie-break.
+
+    Output: ``top_n`` rows ``(id, score)`` ordered by (score desc,
+    id); a constant feature (max == min) contributes 0 to every
+    point.
+
+    Scale: one melt (|features| x rows, narrow), one per-feature
+    min/max aggregate (broadcast back), one (feature, bin) count
+    groupBy whose result is model-sized (|features| * n_bins rows,
+    broadcast-joined back), one final groupBy(id) — no windows, no
+    self-joins; at 100 TB every stage is a map-side-combinable
+    aggregate or a broadcast hash join.
+    """
+    melted = None
+    for c in feature_cols:
+        part = df.filter(F.col(c).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.lit(c).alias("__f"),
+            (F.col(c).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("__xc"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    rng = F.broadcast(
+        melted.groupBy("__f").agg(
+            F.min("__xc").alias("__lo"), F.max("__xc").alias("__hi")
+        )
+    )
+    b = melted.join(rng, "__f")
+    binned = b.withColumn(
+        "__bin",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.expr(
+                f"((__xc - __lo) * {int(n_bins)}) div (__hi - __lo + 1)"
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    counts = binned.groupBy("__f", "__bin").agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    fmax = counts.groupBy("__f").agg(F.max("__cnt").alias("__mx"))
+    scored_bins = F.broadcast(
+        counts.join(fmax, "__f").select(
+            "__f",
+            "__bin",
+            F.round(
+                F.log(
+                    F.col("__mx").cast("double")
+                    / F.col("__cnt").cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__term"),
+        )
+    )
+    per_point = binned.join(scored_bins, ["__f", "__bin"]).groupBy(
+        "__id"
+    ).agg(F.sum("__term").alias("__sm"))
+    return (
+        per_point.orderBy(F.desc("__sm"), F.asc("__id"))
+        .limit(int(top_n))
+        .select(
+            F.col("__id").alias("id"),
+            F.round(F.col("__sm").cast("double") / 1e6, ndigits).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def ecod_outliers(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list,
+    top_n: int = 20,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ECOD outlier score (Li, Zhao et al., TKDE 2022, public
+    literature), two-sided simplification: per feature the empirical
+    tail probabilities p_left = P(X <= x), p_right = P(X >= x);
+    a point's left (right) score sums -log p_left (-log p_right)
+    over features, and the final score is max(O_left, O_right) — the
+    parameter-free ECDF outlier detector (the paper's third,
+    skewness-selected term is omitted; documented engine contract).
+
+    Exactness: tail counts are exact integers from one fused
+    (feature, value) cumulative pass; each -log(tail/n) term
+    quantizes half-away to a micro-long, per-point sums are exact
+    integers (order-free), and the top-N cut decides on exact
+    integers with an id tie-break.
+
+    Output: ``top_n`` rows ``(id, score)`` by (score desc, id),
+    score = max(left, right) sum in nats rounded ``ndigits``.
+
+    Scale: one distinct-(feature, value) census, ONE
+    ``global_cumsum_before`` range shuffle over (feature, value)
+    (per-feature offsets subtracted from a broadcast feature-total
+    table — bounded by |features|), one key-shuffle join back, one
+    groupBy(id). The mann_whitney machinery applied per feature at
+    zero extra passes.
+    """
+    from .ranking import global_cumsum_before
+
+    melted = None
+    for c in feature_cols:
+        part = df.filter(F.col(c).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.lit(c).alias("__f"),
+            F.col(c).cast("decimal(18,2)").alias("__x"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    vc = melted.groupBy("__f", "__x").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    cum = global_cumsum_before(vc, ["__f", "__x"], "__c", out_col="__bt")
+    ftot = vc.groupBy("__f").agg(F.sum("__c").cast("long").alias("__n"))
+    w = Window.orderBy("__f").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = F.broadcast(
+        ftot.withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("long")
+        )
+    )
+    tails = cum.join(offs, "__f").select(
+        "__f",
+        "__x",
+        F.col("__n"),
+        (F.col("__bt") - F.col("__off") + F.col("__c")).alias("__le"),
+        (F.col("__n") - (F.col("__bt") - F.col("__off"))).alias("__ge"),
+    )
+    terms = tails.select(
+        "__f",
+        "__x",
+        F.round(
+            -F.log(
+                F.col("__le").cast("double") / F.col("__n").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__tl"),
+        F.round(
+            -F.log(
+                F.col("__ge").cast("double") / F.col("__n").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__tr"),
+    )
+    per_point = (
+        melted.join(terms, ["__f", "__x"])
+        .groupBy("__id")
+        .agg(
+            F.sum("__tl").alias("__ol"),
+            F.sum("__tr").alias("__or"),
+        )
+    )
+    sc = F.greatest(F.col("__ol"), F.col("__or"))
+    return (
+        per_point.withColumn("__sc", sc)
+        .orderBy(F.desc("__sc"), F.asc("__id"))
+        .limit(int(top_n))
+        .select(
+            F.col("__id").alias("id"),
+            F.round(F.col("__sc").cast("double") / 1e6, ndigits).alias(
+                "score"
+            ),
+        )
+    )

@@ -1630,3 +1630,207 @@ def sax_mindist(
         )
         .orderBy("series_a", "series_b")
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic of the
+    detrended daily series (Durbin & Watson 1950, public literature)
+    — the classic "are my regression residuals serially correlated?"
+    probe: DW ~ 2 means none, -> 0 positive, -> 4 negative serial
+    correlation.
+
+    Semantics: the daily series is sum(``value_col``) per calendar
+    day (decimal-exact, the ``acf_lags`` convention), indexed i =
+    1..n in day order; residuals come from the OLS line of value on
+    i; DW = sum((e_i - e_{i-1})^2) / sum(e_i^2) over consecutive
+    index positions (calendar gaps are treated as consecutive steps,
+    like the pair-that-exists convention made explicit).
+
+    Exactness: St = n(n+1)/2 and Stt = n(n+1)(2n+1)/6 are closed-form
+    longs, Sv / Stv decimal-exact sums; slope and intercept collapse
+    to double once; each residual is ONE fixed-order double
+    expression, quantized half-away to micro-longs, and both DW sums
+    are exact decimal(38,0) sums of micro-integer squares — the
+    DuckDB oracle replays every digit (the pacf/mmr quantization
+    discipline).
+
+    Scale: one calendar-day groupBy (map-side combinable); everything
+    after runs on the calendar-bounded daily table (decades = ~1e4
+    rows), where the single-partition window is free by construction
+    (the ``acf_lags`` argument).
+
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy("__d")
+    idx = daily.withColumn("__i", F.row_number().over(w).cast("long"))
+    stats = F.broadcast(
+        idx.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").alias("__sv"),
+            F.sum(F.col("__i").cast("decimal(19,0)") * F.col("__v")).alias(
+                "__stv"
+            ),
+        )
+    )
+    r = idx.crossJoin(stats)
+    n = F.col("__n").cast("double")
+    st = (F.col("__n") * (F.col("__n") + 1) / 2).cast("long").cast("double")
+    stt = (
+        (F.col("__n") * (F.col("__n") + 1) * (2 * F.col("__n") + 1) / 6)
+        .cast("long")
+        .cast("double")
+    )
+    sv = F.col("__sv").cast("double")
+    stv = F.col("__stv").cast("double")
+    slope = (n * stv - st * sv) / (n * stt - st * st)
+    r = r.withColumn("__b", slope).withColumn(
+        "__a", (sv - F.col("__b") * st) / n
+    )
+    e = (
+        F.col("__v").cast("double")
+        - F.col("__a")
+        - F.col("__b") * F.col("__i").cast("double")
+    )
+    r = r.withColumn("__em", F.round(e * 1e6).cast("long"))
+    r = r.withColumn("__ep", F.lag("__em").over(w))
+    d = (F.col("__em") - F.col("__ep")).cast("decimal(38,0)")
+    em = F.col("__em").cast("decimal(38,0)")
+    out = r.agg(
+        F.max("__n").alias("n_days"),
+        F.max(F.round(F.col("__b"), ndigits)).alias("slope"),
+        F.max(
+            F.round((F.col("__sv").cast("double") - F.col("__b") * st) / n, ndigits)
+        ).alias("intercept"),
+        F.sum(F.when(F.col("__ep").isNotNull(), d * d)).alias("__num"),
+        F.sum(em * em).alias("__den"),
+    )
+    return out.select(
+        "n_days",
+        "slope",
+        "intercept",
+        F.when(
+            (F.col("n_days") >= 3) & (F.col("__den") > 0),
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"),
+                ndigits,
+            ),
+        ).alias("dw_stat"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness statistic over the daily
+    aggregate series (Ljung & Box 1978, public literature) — "is
+    there ANY autocorrelation in the first h lags?", the standard
+    residual-whiteness gate after a forecast fit (``holt_linear``,
+    ``backtest_snaive``).
+
+    Semantics: the daily series is sum(``value_col``) per calendar
+    day indexed i = 1..n in day order; r_k is the lag-k sample
+    autocorrelation with the FULL-series mean and denominator (the
+    textbook estimator, unlike ``acf_lags``'s pairwise Pearson);
+    Q = n(n+2) * sum_{k=1..h} r_k^2 / (n-k), chi2(h) under the null.
+    Statistic-only output (the chi2(h) tail is not portably
+    replayable for h > 2 — the bartlett convention).
+
+    Exactness: per-lag sufficient statistics (cnt, Sx, Sy, Sxy) are
+    decimal-exact sums; each r_k collapses to double in ONE
+    fixed-order expression; the k-sum folds over an array_sort'ed
+    collect_list (the bartlett fold discipline), so the DuckDB oracle
+    replays digit-for-digit.
+
+    Scale: one calendar-day groupBy; the |days| x h pair build is a
+    self-equi-join on index arithmetic over the calendar-bounded
+    daily table — broadcast-class at any corpus size.
+
+    No counterpart in the reference engine (SURVEY.md §2.2).
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy("__d")
+    idx = daily.withColumn("__i", F.row_number().over(w).cast("long"))
+    stats = F.broadcast(
+        idx.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").alias("__sv"),
+            F.sum(F.col("__v").cast("decimal(38,4)") * F.col("__v")).alias(
+                "__svv"
+            ),
+        )
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag")
+    left = idx.select("__i", F.col("__v").alias("__x"), lags)
+    right = idx.select(
+        F.col("__i").alias("__i2"), F.col("__v").alias("__y")
+    )
+    pairs = left.join(
+        right, F.col("__i") + F.col("lag") == F.col("__i2"), "inner"
+    )
+    perk = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("__cnt"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x").cast("decimal(38,4)") * F.col("__y")).alias(
+            "__sxy"
+        ),
+    )
+    perk = perk.crossJoin(stats)
+    n = F.col("__n").cast("double")
+    m = F.col("__sv").cast("double") / n
+    den0 = (
+        F.col("__svv").cast("double")
+        - F.col("__sv").cast("double") * F.col("__sv").cast("double") / n
+    )
+    rk = F.when(
+        den0 > 0,
+        (
+            F.col("__sxy").cast("double")
+            - m * F.col("__sx").cast("double")
+            - m * F.col("__sy").cast("double")
+            + F.col("__cnt").cast("double") * m * m
+        )
+        / den0,
+    )
+    scored = perk.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("__n").alias("__n"),
+        rk.alias("__r"),
+    )
+    folded = scored.agg(
+        F.max("__n").alias("n_days"),
+        F.count("*").cast("int").alias("df"),
+        F.min("__r").alias("__minr"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lag", "__n", "__r"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["__r"]
+            * s["__r"]
+            / (s["__n"].cast("double") - s["lag"].cast("double")),
+        ).alias("__qsum"),
+    )
+    nn = F.col("n_days").cast("double")
+    return folded.select(
+        "n_days",
+        "df",
+        F.when(
+            (F.col("n_days") > F.lit(int(max_lag)))
+            & F.col("__minr").isNotNull(),
+            F.round(nn * (nn + 2.0) * F.col("__qsum"), ndigits),
+        ).alias("q_stat"),
+    )

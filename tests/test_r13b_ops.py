@@ -1,0 +1,482 @@
+"""Round-13 second-batch operators: Durbin-Watson, Ljung-Box, runs
+test, Jarque-Bera, Chatterjee's xi — each pinned to an independent
+brute-force replay (numpy / pure Python) of the published formulas,
+plus shape/edge goldens."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _daily(spark, rows):
+    """rows: list[(date_str, value)] -> a raw 'event' frame whose
+    per-day sums are exactly the given values (one row per day)."""
+    return spark.createDataFrame(
+        [(d, float(v)) for d, v in rows], "d string, value double"
+    ).select(F.to_timestamp("d").alias("ts"), "value")
+
+
+class TestDurbinWatson:
+    def test_matches_numpy_brute_force(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import durbin_watson
+
+        rng = np.random.RandomState(7)
+        vals = np.round(rng.uniform(10, 500, 40), 2)
+        days = [
+            (f"2024-03-{d+1:02d}" if d < 31 else f"2024-04-{d-30:02d}", v)
+            for d, v in enumerate(vals)
+        ]
+        got = durbin_watson(_daily(spark, days), "ts", "value").collect()[0]
+
+        # brute force: OLS on index, micro-quantized residual sums
+        n = len(vals)
+        i = np.arange(1, n + 1, dtype=float)
+        st, stt = i.sum(), (i * i).sum()
+        sv, stv = vals.sum(), (i * vals).sum()
+        slope = (n * stv - st * sv) / (n * stt - st * st)
+        a = (sv - slope * st) / n
+        e = vals - a - slope * i
+        em = np.round(e * 1e6)
+        dw = np.sum(np.diff(em) ** 2) / np.sum(em**2)
+        assert got["n_days"] == n
+        assert got["dw_stat"] == pytest.approx(dw, abs=2e-6)
+        assert got["slope"] == pytest.approx(slope, abs=2e-6)
+
+    def test_alternating_series_dw_near_4(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import durbin_watson
+
+        days = [
+            (f"2024-03-{d+1:02d}", 100.0 if d % 2 == 0 else 200.0)
+            for d in range(20)
+        ]
+        got = durbin_watson(_daily(spark, days), "ts", "value").collect()[0]
+        assert got["dw_stat"] > 3.5  # perfect alternation -> DW ~ 4
+
+    def test_short_series_null(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import durbin_watson
+
+        got = durbin_watson(
+            _daily(spark, [("2024-03-01", 10.0), ("2024-03-02", 20.0)]),
+            "ts",
+            "value",
+        ).collect()[0]
+        assert got["dw_stat"] is None
+
+
+class TestLjungBox:
+    def test_matches_numpy_brute_force(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import ljung_box
+
+        rng = np.random.RandomState(11)
+        vals = np.round(rng.uniform(50, 150, 36), 2)
+        days = [
+            (f"2024-0{1 + d // 28}-{d % 28 + 1:02d}", v)
+            for d, v in enumerate(vals)
+        ]
+        h = 5
+        got = ljung_box(_daily(spark, days), "ts", "value", h).collect()[0]
+
+        n = len(vals)
+        m = vals.mean()
+        den = np.sum((vals - m) ** 2)
+        q = 0.0
+        for k in range(1, h + 1):
+            rk = np.sum((vals[:-k] - m) * (vals[k:] - m)) / den
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        assert got["n_days"] == n
+        assert got["df"] == h
+        assert got["q_stat"] == pytest.approx(q, abs=1e-4)
+
+    def test_strong_ar1_large_q(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import ljung_box
+
+        # trending ramp: heavy autocorrelation at all lags
+        days = [(f"2024-03-{d+1:02d}", 100.0 + 10 * d) for d in range(28)]
+        got = ljung_box(_daily(spark, days), "ts", "value", 3).collect()[0]
+        assert got["q_stat"] > 30.0
+
+    def test_series_shorter_than_lags_null(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import ljung_box
+
+        days = [(f"2024-03-{d+1:02d}", float(d)) for d in range(4)]
+        got = ljung_box(_daily(spark, days), "ts", "value", 7).collect()[0]
+        assert got["q_stat"] is None
+
+
+class TestRunsTest:
+    def test_textbook_sequence(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import runs_test
+
+        # mean of [12,13,...,21] = 16.5; sequence sides:
+        # 12 18 13 19 14 20 15 21 16 17 -> B A B A B A B A B A
+        # runs = 10 (perfect alternation)
+        vals = [12, 18, 13, 19, 14, 20, 15, 21, 16, 17]
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+        )
+        got = runs_test(df, "v", ["i"]).collect()[0]
+        n1 = sum(1 for v in vals if v > 16.5)
+        n2 = len(vals) - n1
+        assert (got["n_above"], got["n_below"]) == (n1, n2)
+        assert got["runs"] == 10
+        two = 2.0 * n1 * n2
+        n = float(len(vals))
+        mu = 1.0 + two / n
+        var = two * (two - n) / (n * n * (n - 1.0))
+        z = (10 - mu) / math.sqrt(var)
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+        # perfect alternation is significantly non-random
+        assert got["p_value"] < 0.05
+
+    def test_clumped_sequence_low_runs(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import runs_test
+
+        vals = [1.0] * 10 + [100.0] * 10
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, v double"
+        )
+        got = runs_test(df, "v", ["i"]).collect()[0]
+        assert got["runs"] == 2
+        assert got["z"] < -3
+        assert got["p_value"] < 0.001
+
+    def test_one_sided_sample_null_z(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import runs_test
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(6)], "i long, v double"
+        )
+        got = runs_test(df, "v", ["i"]).collect()[0]
+        assert got["z"] is None and got["p_value"] is None
+
+
+class TestJarqueBera:
+    def test_matches_numpy_brute_force(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import jarque_bera
+
+        rng = np.random.RandomState(3)
+        vals = np.round(rng.exponential(100, 500), 2)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        )
+        got = jarque_bera(df, "v").collect()[0]
+
+        c = np.round(vals * 100)  # exact cents, the engine's domain
+        n = len(c)
+        m = c.mean()
+        m2 = np.mean((c - m) ** 2)
+        skew = np.mean((c - m) ** 3) / m2**1.5
+        kurt = np.mean((c - m) ** 4) / m2**2 - 3.0
+        jb = n * (skew**2 / 6 + kurt**2 / 24)
+        assert got["n"] == n
+        assert got["skewness"] == pytest.approx(skew, abs=1e-5)
+        assert got["kurtosis_excess"] == pytest.approx(kurt, abs=1e-5)
+        assert got["jb_stat"] == pytest.approx(jb, rel=1e-6)
+        assert got["p_value"] == pytest.approx(
+            math.exp(-min(jb, 128.0) / 2), abs=1e-6
+        )
+
+    def test_symmetric_flat_sample_small_jb(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import jarque_bera
+
+        # symmetric two-point mass: skew 0, kurtosis -2, JB = n/6
+        df = spark.createDataFrame(
+            [(1.0,), (3.0,)] * 30, "v double"
+        )
+        got = jarque_bera(df, "v").collect()[0]
+        assert got["skewness"] == 0.0
+        assert got["kurtosis_excess"] == -2.0
+        assert got["jb_stat"] == pytest.approx(60 * 4 / 24, abs=1e-6)
+
+    def test_constant_null(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import jarque_bera
+
+        df = spark.createDataFrame([(7.0,)] * 10, "v double")
+        got = jarque_bera(df, "v").collect()[0]
+        assert got["jb_stat"] is None and got["p_value"] is None
+
+
+class TestChatterjeeXi:
+    @staticmethod
+    def _brute(xs, ys):
+        """Tie-robust xi per Chatterjee 2021 eq. (1.1), x-ties broken
+        by input order (the engine's id tiebreak)."""
+        n = len(xs)
+        order = sorted(range(n), key=lambda i: (xs[i], i))
+        r = [sum(1 for j in range(n) if ys[j] <= ys[i]) for i in order]
+        l = [sum(1 for j in range(n) if ys[j] >= ys[i]) for i in order]
+        num = sum(abs(r[i + 1] - r[i]) for i in range(n - 1))
+        den = 2.0 * sum(li * (n - li) for li in l)
+        return 1.0 - n * num / den
+
+    def test_matches_brute_force_with_ties(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import chatterjee_xi
+
+        rng = np.random.RandomState(5)
+        xs = rng.randint(0, 20, 60).tolist()  # heavy x-ties
+        ys = np.round(
+            np.sin(np.array(xs, dtype=float)) * 50
+            + rng.uniform(-5, 5, 60),
+            2,
+        ).tolist()
+        df = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+            "id long, x double, y double",
+        )
+        got = chatterjee_xi(df, "x", "y", "id").collect()[0]
+        assert got["n"] == 60
+        assert got["xi"] == pytest.approx(self._brute(xs, ys), abs=1e-6)
+
+    def test_functional_dependence_high_xi(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import chatterjee_xi
+
+        # y = (x - 50)^2: non-monotone function, Pearson ~ 0, xi high
+        rows = [(i, float(i), float((i - 50) ** 2)) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = chatterjee_xi(df, "x", "y", "id").collect()[0]
+        assert got["xi"] > 0.8
+
+    def test_constant_y_null(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import chatterjee_xi
+
+        rows = [(i, float(i), 3.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = chatterjee_xi(df, "x", "y", "id").collect()[0]
+        assert got["xi"] is None
+
+
+class TestRosnerEsd:
+    def test_matches_iterative_numpy_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import rosner_esd
+
+        rng = np.random.RandomState(9)
+        vals = np.round(rng.normal(100, 10, 50), 2).tolist()
+        vals += [220.5, 230.25, 15.75]  # three planted outliers
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = rosner_esd(df, "v", k=3).collect()
+
+        work = sorted(vals)
+        for it in range(3):
+            arr = np.array(work)
+            n, m, s = len(arr), arr.mean(), arr.std(ddof=1)
+            dev = np.abs(arr - m)
+            # argmax with value tie-break toward the LARGER value
+            best = max(range(n), key=lambda i: (dev[i], arr[i]))
+            r = got[it]
+            assert r["iteration"] == it + 1
+            assert r["n_used"] == n
+            assert r["suspect_value"] == pytest.approx(arr[best])
+            assert r["r_stat"] == pytest.approx(dev[best] / s, abs=1e-6)
+            assert r["mean"] == pytest.approx(m, abs=1e-6)
+            work.remove(arr[best])
+
+    def test_duplicate_extreme_removed_one_copy_per_round(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import rosner_esd
+
+        vals = [10.0] * 20 + [99.0, 99.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = rosner_esd(df, "v", k=2).collect()
+        assert got[0]["suspect_value"] == 99.0
+        assert got[1]["suspect_value"] == 99.0
+        assert got[0]["n_used"] == 22 and got[1]["n_used"] == 21
+
+    def test_degenerate_round_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import rosner_esd
+
+        df = spark.createDataFrame([(5.0,)] * 4, "v double")
+        got = rosner_esd(df, "v", k=2).collect()
+        assert all(r["r_stat"] is None for r in got)
+        assert [r["n_used"] for r in got] == [4, 3]
+
+
+class TestCramerVonMises:
+    @staticmethod
+    def _brute(a, b):
+        """scipy.stats.cramervonmises_2samp semantics: combined
+        midranks, per-sample own ranks 1..n on the sorted sample."""
+        import itertools
+
+        n, m = len(a), len(b)
+        comb = sorted(a + b)
+
+        def midrank(v):
+            lo = sum(1 for c in comb if c < v)
+            eq = sum(1 for c in comb if c == v)
+            return lo + (eq + 1) / 2.0
+
+        ra = [midrank(v) for v in sorted(a)]
+        rb = [midrank(v) for v in sorted(b)]
+        u = n * sum((r - (i + 1)) ** 2 for i, r in enumerate(ra)) + m * sum(
+            (s - (j + 1)) ** 2 for j, s in enumerate(rb)
+        )
+        t = u / (n * m * (n + m)) - (4.0 * n * m - 1) / (6.0 * (n + m))
+        return u, t
+
+    def test_matches_brute_force_with_ties(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            cramer_von_mises,
+        )
+
+        rng = np.random.RandomState(13)
+        a = np.round(rng.uniform(0, 30, 40), 0).tolist()  # heavy ties
+        b = np.round(rng.uniform(5, 35, 35), 0).tolist()
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = cramer_von_mises(df, "g", "v", "a", "b").collect()[0]
+        u, t = self._brute(a, b)
+        assert (got["n_a"], got["n_b"]) == (40, 35)
+        assert float(got["u_stat"]) == pytest.approx(u, abs=1e-4)
+        assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+
+    def test_identical_samples_small_t(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            cramer_von_mises,
+        )
+
+        rows = [("a", float(v)) for v in range(20)] + [
+            ("b", float(v)) for v in range(20)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = cramer_von_mises(df, "g", "v", "a", "b").collect()[0]
+        u, t = self._brute(
+            [float(v) for v in range(20)], [float(v) for v in range(20)]
+        )
+        assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+        assert got["t_stat"] < 0.05
+
+
+class TestKuiper:
+    def test_matches_brute_force(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            kuiper_two_sample,
+        )
+
+        rng = np.random.RandomState(17)
+        a = np.round(rng.normal(50, 10, 60), 1).tolist()
+        b = np.round(rng.normal(55, 12, 45), 1).tolist()
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = kuiper_two_sample(df, "g", "v", "a", "b").collect()[0]
+
+        vals = sorted(set(a + b))
+        dplus = max(
+            round(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b),
+                6,
+            )
+            for v in vals
+        )
+        dminus = max(
+            round(
+                sum(1 for x in b if x <= v) / len(b)
+                - sum(1 for x in a if x <= v) / len(a),
+                6,
+            )
+            for v in vals
+        )
+        assert got["d_plus"] == pytest.approx(max(dplus, 0.0), abs=1e-9)
+        assert got["d_minus"] == pytest.approx(max(dminus, 0.0), abs=1e-9)
+        assert got["v_stat"] == pytest.approx(
+            round(max(dplus, 0) + max(dminus, 0), 6), abs=1e-9
+        )
+
+    def test_shifted_sample_v_exceeds_ks_d(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            ks_two_sample,
+            kuiper_two_sample,
+        )
+
+        rows = [("a", float(v)) for v in range(40)] + [
+            ("b", float(v) + 5.5) for v in range(40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        v = kuiper_two_sample(df, "g", "v", "a", "b").collect()[0]
+        d = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert v["v_stat"] >= d["d_stat"]
+
+
+class TestHbos:
+    def test_matches_numpy_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import hbos_outliers
+
+        rng = np.random.RandomState(21)
+        xs = np.round(rng.normal(100, 15, 200), 2)
+        ys = np.round(rng.exponential(50, 200), 2)
+        xs[7], ys[7] = 400.0, 900.0  # planted outlier
+        rows = [
+            (i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = hbos_outliers(df, "id", ["x", "y"], n_bins=10, top_n=5)
+        got = got.collect()
+
+        k = 10
+        scores = np.zeros(len(rows))
+        for col in (xs, ys):
+            c = np.round(col * 100).astype(np.int64)
+            lo, hi = c.min(), c.max()
+            bins = ((c - lo) * k) // (hi - lo + 1)
+            cnt = {b: int((bins == b).sum()) for b in set(bins.tolist())}
+            mx = max(cnt.values())
+            for i, b in enumerate(bins.tolist()):
+                t = np.floor(abs(np.log(mx / cnt[b])) * 1e6 + 0.5) / 1e6
+                scores[i] += t
+        order = sorted(
+            range(len(rows)), key=lambda i: (-scores[i], i)
+        )[:5]
+        assert [r["id"] for r in got] == order
+        assert got[0]["id"] == 7
+        for r, i in zip(got, order):
+            assert r["score"] == pytest.approx(scores[i], abs=2e-6)
+
+    def test_constant_feature_contributes_zero(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import hbos_outliers
+
+        rows = [(i, float(i % 3), 5.0) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = hbos_outliers(df, "id", ["x", "y"], n_bins=5, top_n=3)
+        rows_out = got.collect()
+        # x is uniform over 3 values (max/cnt = 1 -> log 0); y constant
+        assert all(r["score"] == 0.0 for r in rows_out)
+
+
+class TestEcod:
+    def test_matches_numpy_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.quality import ecod_outliers
+
+        rng = np.random.RandomState(23)
+        xs = np.round(rng.normal(100, 15, 150), 2)
+        ys = np.round(rng.normal(40, 5, 150), 2)
+        xs[3] = 350.0  # right-tail outlier in x
+        ys[11] = 2.0  # left-tail outlier in y
+        rows = [
+            (i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = ecod_outliers(df, "id", ["x", "y"], top_n=5).collect()
+
+        n = len(rows)
+        ol = np.zeros(n)
+        orr = np.zeros(n)
+        for col in (xs, ys):
+            c = np.round(col * 100).astype(np.int64)
+            for i in range(n):
+                le = int((c <= c[i]).sum())
+                ge = int((c >= c[i]).sum())
+                tl = np.floor(abs(-np.log(le / n)) * 1e6 + 0.5)
+                tr = np.floor(abs(-np.log(ge / n)) * 1e6 + 0.5)
+                ol[i] += tl
+                orr[i] += tr
+        sc = np.maximum(ol, orr)
+        order = sorted(range(n), key=lambda i: (-sc[i], i))[:5]
+        assert [r["id"] for r in got] == order
+        assert {3, 11} <= set(r["id"] for r in got)
+        for r, i in zip(got, order):
+            assert r["score"] == pytest.approx(sc[i] / 1e6, abs=2e-6)
