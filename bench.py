@@ -252,6 +252,11 @@ HEADLINE = [
     "kuiper_two_sample",
     "hbos_outliers",
     "ecod_outliers",
+    "theta_forecast",
+    "croston_forecast",
+    "hurst_exponent",
+    "nelson_aalen",
+    "rdd_estimate",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

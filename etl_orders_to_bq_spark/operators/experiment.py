@@ -965,3 +965,102 @@ def james_stein_means(
             F.round(m_d + w * (mean_d - m_d), ndigits),
         ).alias("shrunk_mean"),
     ).orderBy("group")
+
+
+def rdd_estimate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cutoff: float,
+    bandwidth: float,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008, public literature) — the
+    causal jump at a threshold rule: fit a separate OLS line of y on
+    the centered running variable (x - cutoff) within ``bandwidth``
+    on each side; the treatment effect is the difference of the two
+    intercepts AT the cutoff. The design a platform uses when a
+    discount/credit/limit kicks in at a score boundary.
+
+    Exactness: both sides' five sufficient statistics accumulate as
+    exact decimals in ONE conditional aggregate over a single scan;
+    slopes, intercepts and the effect collapse to double in
+    fixed-order expressions rounded once — the regression_agg
+    discipline, two-sided.
+
+    Output: one row ``(n_left, n_right, slope_left, slope_right,
+    intercept_left, intercept_right, effect)``; a side with < 2
+    points or zero x-variance yields NULLs (and a NULL effect).
+
+    Scale: ONE map-side-combinable aggregate over the filtered scan;
+    the bandwidth filter pushes to the parquet reader.
+    """
+    c = F.lit(float(cutoff))
+    xc = (
+        F.col(x_col).cast("decimal(18,2)") - F.lit(float(cutoff)).cast("decimal(18,2)")
+    ).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    filt = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & (F.col(x_col).cast("decimal(18,2)") >= c - F.lit(float(bandwidth)))
+        & (F.col(x_col).cast("decimal(18,2)") <= c + F.lit(float(bandwidth)))
+    ).select(
+        xc.alias("__x"),
+        y.alias("__y"),
+        (F.col(x_col).cast("decimal(18,2)") >= c).alias("__r"),
+    )
+    dec = lambda col: col.cast("decimal(38,4)")  # noqa: E731
+
+    def side(flag: bool, name: str):
+        m = F.col("__r") == F.lit(flag)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("long").alias(f"__n{name}"),
+            F.sum(F.when(m, F.col("__x"))).cast("decimal(38,2)").alias(f"__sx{name}"),
+            F.sum(F.when(m, F.col("__y"))).cast("decimal(38,2)").alias(f"__sy{name}"),
+            F.sum(F.when(m, dec(F.col("__x")) * F.col("__x")))
+            .cast("decimal(38,4)")
+            .alias(f"__sxx{name}"),
+            F.sum(F.when(m, dec(F.col("__x")) * F.col("__y")))
+            .cast("decimal(38,4)")
+            .alias(f"__sxy{name}"),
+        ]
+
+    agg = filt.agg(*(side(False, "l") + side(True, "r")))
+
+    def fit(name: str):
+        n = F.col(f"__n{name}").cast("double")
+        sx = F.col(f"__sx{name}").cast("double")
+        sy = F.col(f"__sy{name}").cast("double")
+        sxx = F.col(f"__sxx{name}").cast("double")
+        sxy = F.col(f"__sxy{name}").cast("double")
+        den = n * sxx - sx * sx
+        slope = F.when(
+            (F.col(f"__n{name}") >= 2) & (den != 0),
+            (n * sxy - sx * sy) / den,
+        )
+        return slope, n, sx, sy
+
+    sl, nl, sxl, syl = fit("l")
+    sr, nr, sxr, syr = fit("r")
+    staged = agg.withColumns(
+        {
+            "__bl": sl,
+            "__br": sr,
+        }
+    ).withColumns(
+        {
+            "__al": (syl - F.col("__bl") * sxl) / nl,
+            "__ar": (syr - F.col("__br") * sxr) / nr,
+        }
+    )
+    return staged.select(
+        F.col("__nl").alias("n_left"),
+        F.col("__nr").alias("n_right"),
+        F.round(F.col("__bl"), ndigits).alias("slope_left"),
+        F.round(F.col("__br"), ndigits).alias("slope_right"),
+        F.round(F.col("__al"), ndigits).alias("intercept_left"),
+        F.round(F.col("__ar"), ndigits).alias("intercept_right"),
+        F.round(F.col("__ar") - F.col("__al"), ndigits).alias("effect"),
+    )

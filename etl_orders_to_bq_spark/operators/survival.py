@@ -132,3 +132,93 @@ def log_rank_test(
         ).alias("z"),
     )
     return with_p_value(staged, "z", "p_value", ndigits)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    time_divisor: float = 1.0,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978, public literature) — the additive companion to the
+    Kaplan-Meier product curve: H(t) = sum_{t_i <= t} d_i / n_i with
+    right-censoring handled by the same risk sets; preferred when
+    hazards are the modelling target (H is unbiased where -ln S(KM)
+    is not), with Aalen's variance sum d_i / n_i^2 alongside.
+
+    Determinism contract (the log_rank machinery): per-distinct-
+    duration integer counts; at-risk via ONE fused two-pass
+    ``ranking.global_cumsum_before``; each d/n and d/n^2 term
+    quantizes half-away to a micro integer BEFORE the cumulative sum,
+    and the RUNNING sums are themselves a second fused cumsum over
+    exact integers — no single-partition window anywhere, so the
+    event-time table may be unbounded.
+
+    Output: one row per distinct EVENT time ``(t, d, n_risk,
+    cum_hazard, hazard_se)``, ordered by t (t = duration /
+    ``time_divisor`` rounded 2dp for reporting).
+
+    Scale: one duration-level groupBy, two fused range-shuffle
+    cumsums, keyed reductions only — the mann_whitney class.
+    """
+    from .ranking import global_cumsum_before
+
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per_t = base.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("__d"),
+        F.count("*").cast("long").alias("__c"),
+    )
+    cum = global_cumsum_before(
+        per_t, ["__t"], "__c", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    tot = F.broadcast(
+        per_t.agg(F.sum("__c").cast("long").alias("__n"))
+    )
+    risk = cum.crossJoin(tot).withColumn(
+        "__nr", F.col("__n") - F.col("__below")
+    )
+    nr = F.col("__nr").cast("double")
+    dd = F.col("__d").cast("double")
+    terms = risk.select(
+        "__t",
+        "__d",
+        "__nr",
+        F.round(dd / nr * F.lit(float(_M))).cast("long").alias("__h"),
+        F.round(dd / (nr * nr) * F.lit(float(_M * 1000)))
+        .cast("long")
+        .alias("__v"),
+    )
+    cum2 = global_cumsum_before(
+        terms,
+        ["__t"],
+        ["__h", "__v"],
+        num_partitions=num_partitions,
+        out_col=["__hb", "__vb"],
+    )
+    out = cum2.filter(F.col("__d") > 0).select(
+        F.round(
+            F.col("__t").cast("double") / F.lit(float(time_divisor)), 2
+        ).alias("t"),
+        F.col("__d").alias("d"),
+        F.col("__nr").alias("n_risk"),
+        F.round(
+            (F.col("__hb") + F.col("__h")).cast("double")
+            / F.lit(float(_M)),
+            ndigits,
+        ).alias("cum_hazard"),
+        F.round(
+            F.sqrt(
+                (F.col("__vb") + F.col("__v")).cast("double")
+                / F.lit(float(_M * 1000))
+            ),
+            ndigits,
+        ).alias("hazard_se"),
+    )
+    return out.orderBy("t")

@@ -1834,3 +1834,367 @@ def ljung_box(
             F.round(nn * (nn + 2.0) * F.col("__qsum"), ndigits),
         ).alias("q_stat"),
     )
+
+
+def theta_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    horizon: int = 7,
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Theta-method forecast of the daily series (Assimakopoulos &
+    Nikolopoulos 2000, public literature) — the M3-competition
+    winner: average the linear-trend extrapolation (theta = 0) with
+    an SES over the double-curvature theta = 2 line
+    (y_i = 2*x_i - trend_i), capturing level persistence AND drift
+    with two cheap components.
+
+    Exactness: trend coefficients from the durbin_watson discipline
+    (closed-form integer index moments + decimal-exact value sums,
+    double collapse once); each theta2 point quantizes to a micro
+    long in ONE double expression; the SES recurrence folds exact
+    integers with rational alpha and floor quantization (the
+    holt_linear integer-grid discipline — per-step 6dp rounding is
+    NOT engine-replayable, integer state is); the forecast combines
+    state and trend in one final double expression.
+
+    Output: one row ``(n_days, slope, intercept, ses_level,
+    forecast_1, forecast_h)`` (h = ``horizon``); n < 3 yields NULLs.
+
+    Scale: one calendar-day groupBy; the fold runs on the bounded
+    daily array (the ewma_last argument).
+    """
+    from fractions import Fraction
+
+    fa = Fraction(str(alpha))
+    pa, qa = fa.numerator, fa.denominator
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy("__d")
+    idx = daily.withColumn("__i", F.row_number().over(w).cast("long"))
+    stats = F.broadcast(
+        idx.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").alias("__sv"),
+            F.sum(
+                F.col("__i").cast("decimal(19,0)") * F.col("__v")
+            ).alias("__stv"),
+        )
+    )
+    r = idx.crossJoin(stats)
+    n = F.col("__n").cast("double")
+    st = (F.col("__n") * (F.col("__n") + 1) / 2).cast("long").cast("double")
+    stt = (
+        (F.col("__n") * (F.col("__n") + 1) * (2 * F.col("__n") + 1) / 6)
+        .cast("long")
+        .cast("double")
+    )
+    sv = F.col("__sv").cast("double")
+    stv = F.col("__stv").cast("double")
+    r = r.withColumn(
+        "__b", (n * stv - st * sv) / (n * stt - st * st)
+    ).withColumn("__a", (sv - F.col("__b") * st) / n)
+    theta2 = (
+        2.0 * F.col("__v").cast("double")
+        - (F.col("__a") + F.col("__b") * F.col("__i").cast("double"))
+    )
+    r = r.withColumn(
+        "__ym", F.round(theta2 * F.lit(float(scale))).cast("long")
+    )
+    packed = r.groupBy().agg(
+        F.max("__n").alias("n_days"),
+        F.max("__a").alias("__a"),
+        F.max("__b").alias("__b"),
+        F.sort_array(
+            F.collect_list(F.struct("__i", "__ym"))
+        ).alias("__ps"),
+    )
+    ys = F.transform(F.col("__ps"), lambda p: p["__ym"])
+
+    def _step(acc, y):
+        return F.floor(
+            (F.lit(pa) * y + F.lit(qa - pa) * acc) / F.lit(float(qa))
+        ).cast("long")
+
+    level = F.aggregate(
+        F.slice(ys, 2, 2_147_483_000), F.element_at(ys, 1), _step
+    )
+    packed = packed.withColumn("__l", level)
+    nn = F.col("n_days").cast("double")
+    sc = F.lit(float(scale))
+
+    def _fc(h: int):
+        return F.round(
+            0.5
+            * (
+                F.col("__l").cast("double") / sc
+                + (F.col("__a") + F.col("__b") * (nn + float(h)))
+            ),
+            ndigits,
+        )
+
+    ok = F.col("n_days") >= 3
+    return packed.select(
+        "n_days",
+        F.when(ok, F.round(F.col("__b"), ndigits)).alias("slope"),
+        F.when(ok, F.round(F.col("__a"), ndigits)).alias("intercept"),
+        F.when(ok, F.round(F.col("__l").cast("double") / sc, ndigits)).alias(
+            "ses_level"
+        ),
+        F.when(ok, _fc(1)).alias("forecast_1"),
+        F.when(ok, _fc(int(horizon))).alias("forecast_h"),
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    demand_threshold: float = 0.0,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Croston's intermittent-demand forecast (Croston 1972, public
+    literature) — THE estimator for sparse series (spare parts, rare
+    large purchases) where SES over the raw series is biased by the
+    zeros: smooth demand SIZE and demand INTERVAL separately at
+    demand points only; forecast per period = size / interval.
+
+    Demand days are calendar days whose value sum exceeds
+    ``demand_threshold``; intervals come from day OFFSETS against the
+    first observed day, so zero-demand gaps need no calendar spine.
+
+    Exactness: sizes quantize to micro longs; both recurrences fold
+    exact integers with rational alpha and floor quantization (the
+    holt_linear integer-grid discipline), state carried as a 3-long
+    array (last_index, size_state, interval_state_micro_days); one
+    double division at the end.
+
+    Output: one row ``(n_days, n_demand_days, level_size,
+    level_interval_days, forecast_per_day)``; fewer than 2 demand
+    days yields NULLs.
+
+    Scale: one calendar-day groupBy; the fold runs on the bounded
+    demand-day array.
+    """
+    from fractions import Fraction
+
+    fa = Fraction(str(alpha))
+    pa, qa = fa.numerator, fa.denominator
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    first = F.broadcast(
+        daily.agg(
+            F.min("__d").alias("__d0"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+    dd = (
+        daily.crossJoin(first)
+        .filter(
+            F.col("__v").cast("double") > F.lit(float(demand_threshold))
+        )
+        .select(
+            "n_days",
+            (F.datediff(F.col("__d"), F.col("__d0")) + 1)
+            .cast("long")
+            .alias("__i"),
+            (F.col("__v").cast("decimal(28,2)") * F.lit(int(scale)))
+            .cast("long")
+            .alias("__dm"),
+        )
+    )
+    packed = dd.groupBy().agg(
+        F.max("n_days").alias("n_days"),
+        F.count("*").cast("long").alias("n_demand_days"),
+        F.sort_array(F.collect_list(F.struct("__i", "__dm"))).alias(
+            "__ps"
+        ),
+    )
+    # state = [last_i, z (micro size), p (micro days)]
+    init = F.array(
+        F.element_at(F.col("__ps"), 1)["__i"],
+        F.element_at(F.col("__ps"), 1)["__dm"],
+        F.element_at(F.col("__ps"), 1)["__i"] * F.lit(int(scale)),
+    )
+
+    def _step(acc, e):
+        gap = (e["__i"] - F.element_at(acc, 1)) * F.lit(int(scale))
+        z = F.floor(
+            (
+                F.lit(pa) * e["__dm"]
+                + F.lit(qa - pa) * F.element_at(acc, 2)
+            )
+            / F.lit(float(qa))
+        ).cast("long")
+        p = F.floor(
+            (F.lit(pa) * gap + F.lit(qa - pa) * F.element_at(acc, 3))
+            / F.lit(float(qa))
+        ).cast("long")
+        return F.array(e["__i"], z, p)
+
+    state = F.aggregate(
+        F.slice(F.col("__ps"), 2, 2_147_483_000), init, _step
+    )
+    packed = packed.withColumn("__st", state)
+    z = F.element_at(F.col("__st"), 2).cast("double")
+    p = F.element_at(F.col("__st"), 3).cast("double")
+    sc = F.lit(float(scale))
+    ok = F.col("n_demand_days") >= 2
+    return packed.select(
+        "n_days",
+        "n_demand_days",
+        F.when(ok, F.round(z / sc, ndigits)).alias("level_size"),
+        F.when(ok, F.round(p / sc, ndigits)).alias(
+            "level_interval_days"
+        ),
+        F.when(ok & (p > 0), F.round(z / p, ndigits)).alias(
+            "forecast_per_day"
+        ),
+    )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969, public literature) — the long-memory
+    probe: H ~ 0.5 for a random walk, > 0.5 for trending
+    (persistent), < 0.5 for mean-reverting series; the diagnostic a
+    forecasting pipeline runs before trusting an AR-family model.
+
+    Method: for each block size s (complete blocks only), split the
+    day-indexed series, compute R/S per block (range of cumulative
+    mean deviations over the population std), average per size, and
+    take H as the OLS slope of log(mean R/S) on log(s).
+
+    Exactness: within a block every cumulative deviation is the exact
+    integer sum of (s*c_j - S_c) in cents (no float until the single
+    per-block R/S expression); per-block R/S quantizes to micro
+    longs, per-size means are exact integer sums divided once, and
+    the final tiny regression folds over an array_sort'ed
+    collect_list (the bartlett fold discipline).
+
+    Output: one row ``(n_days, n_sizes, h_exponent)``; fewer than 2
+    usable sizes yields NULL H.
+
+    Scale: one calendar-day groupBy; block windows partition by
+    (size, block) so every stage stays parallel; the per-size tables
+    are |sizes| rows.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(day).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy("__d")
+    idx = daily.withColumn(
+        "__i", (F.row_number().over(w) - 1).cast("long")
+    ).withColumn(
+        "__c", (F.col("__v").cast("decimal(28,2)") * 100).cast("long")
+    )
+    tot = F.broadcast(idx.agg(F.count("*").cast("long").alias("__n")))
+    sizes = F.explode(
+        F.array(*[F.lit(int(s)) for s in block_sizes])
+    ).alias("__s")
+    expanded = idx.crossJoin(tot).select(
+        "__i", "__c", "__n", sizes
+    ).filter(
+        # complete blocks only
+        (F.col("__i") < (F.col("__n") / F.col("__s")).cast("long")
+         * F.col("__s"))
+        & (F.col("__n") >= F.col("__s"))
+    )
+    expanded = expanded.withColumn(
+        "__blk", F.expr("__i div __s")
+    ).withColumn("__j", F.col("__i") % F.col("__s"))
+    bstats = expanded.groupBy("__s", "__blk").agg(
+        F.sum("__c").alias("__sc"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__c")
+        ).alias("__qc"),
+    )
+    joined = expanded.join(bstats, ["__s", "__blk"])
+    # exact integer cumdev in (cents * s) units
+    dev = F.col("__s").cast("long") * F.col("__c") - F.col("__sc")
+    wb = (
+        Window.partitionBy("__s", "__blk")
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.withColumn("__cum", F.sum(dev).over(wb))
+    per_block = cum.groupBy("__s", "__blk").agg(
+        F.max("__cum").alias("__mx"),
+        F.min("__cum").alias("__mn"),
+        F.max("__sc").alias("__sc"),
+        F.max("__qc").alias("__qc"),
+    )
+    s_d = F.col("__s").cast("double")
+    rng = (
+        F.greatest(F.col("__mx"), F.lit(0).cast("long"))
+        - F.least(F.col("__mn"), F.lit(0).cast("long"))
+    ).cast("double") / s_d
+    var = (
+        F.col("__qc").cast("double")
+        - F.col("__sc").cast("double")
+        * F.col("__sc").cast("double")
+        / s_d
+    ) / s_d
+    rs = F.when(var > 0, rng / F.sqrt(var))
+    scored = per_block.select(
+        "__s",
+        "__blk",
+        F.round(rs * 1e6).cast("long").alias("__rsm"),
+    )
+    per_size = scored.filter(F.col("__rsm").isNotNull()).groupBy(
+        "__s"
+    ).agg(
+        F.count("*").cast("long").alias("__nb"),
+        F.sum("__rsm").alias("__sum"),
+    )
+    per_size = per_size.filter(F.col("__sum") > 0).select(
+        "__s",
+        F.log(F.col("__s").cast("double")).alias("__lx"),
+        F.log(
+            F.col("__sum").cast("double")
+            / F.col("__nb").cast("double")
+            / 1e6
+        ).alias("__ly"),
+    )
+    folded = per_size.agg(
+        F.count("*").cast("long").alias("n_sizes"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__s", "__lx", "__ly"))),
+            F.struct(
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("sxx"),
+                F.lit(0.0).alias("sxy"),
+            ),
+            lambda acc, e: F.struct(
+                (acc["sx"] + e["__lx"]).alias("sx"),
+                (acc["sy"] + e["__ly"]).alias("sy"),
+                (acc["sxx"] + e["__lx"] * e["__lx"]).alias("sxx"),
+                (acc["sxy"] + e["__lx"] * e["__ly"]).alias("sxy"),
+            ),
+        ).alias("__f"),
+    )
+    k = F.col("n_sizes").cast("double")
+    num = k * F.col("__f.sxy") - F.col("__f.sx") * F.col("__f.sy")
+    den = k * F.col("__f.sxx") - F.col("__f.sx") * F.col("__f.sx")
+    out = folded.crossJoin(F.broadcast(tot)).select(
+        F.col("__n").alias("n_days"),
+        "n_sizes",
+        F.when((F.col("n_sizes") >= 2) & (den != 0), F.round(num / den, ndigits)).alias(
+            "h_exponent"
+        ),
+    )
+    return out

@@ -480,3 +480,227 @@ class TestEcod:
         assert {3, 11} <= set(r["id"] for r in got)
         for r, i in zip(got, order):
             assert r["score"] == pytest.approx(sc[i] / 1e6, abs=2e-6)
+
+
+class TestThetaForecast:
+    def test_matches_integer_fold_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            theta_forecast,
+        )
+
+        rng = np.random.RandomState(29)
+        vals = np.round(rng.uniform(100, 300, 30) + np.arange(30) * 5, 2)
+        days = [(f"2024-03-{d+1:02d}", v) for d, v in enumerate(vals)]
+        got = theta_forecast(
+            _daily(spark, days), "ts", "value", alpha=0.5, horizon=7
+        ).collect()[0]
+
+        n = len(vals)
+        i = np.arange(1, n + 1, dtype=float)
+        st, stt = i.sum(), (i * i).sum()
+        sv, stv = vals.sum(), (i * vals).sum()
+        b = (n * stv - st * sv) / (n * stt - st * st)
+        a = (sv - b * st) / n
+        theta2 = 2 * vals - (a + b * i)
+        ym = [
+            int(np.floor(abs(v) * 1e6 + 0.5) * np.sign(v))
+            if v >= 0
+            else -int(np.floor(abs(v) * 1e6 + 0.5))
+            for v in theta2
+        ]
+        l = ym[0]
+        for y in ym[1:]:
+            l = int(np.floor((y + l) / 2.0))
+        fc1 = 0.5 * (l / 1e6 + (a + b * (n + 1)))
+        fc7 = 0.5 * (l / 1e6 + (a + b * (n + 7)))
+        assert got["n_days"] == n
+        assert got["slope"] == pytest.approx(b, abs=1e-6)
+        assert got["ses_level"] == pytest.approx(l / 1e6, abs=1e-6)
+        assert got["forecast_1"] == pytest.approx(fc1, abs=2e-6)
+        assert got["forecast_h"] == pytest.approx(fc7, abs=2e-6)
+
+    def test_linear_series_forecast_extends_line(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            theta_forecast,
+        )
+
+        days = [(f"2024-03-{d+1:02d}", 100.0 + 10 * d) for d in range(20)]
+        got = theta_forecast(_daily(spark, days), "ts", "value").collect()[0]
+        # exact line: theta2 == line, SES trails but forecast stays close
+        assert got["forecast_1"] == pytest.approx(300.0, abs=12.0)
+
+    def test_short_series_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            theta_forecast,
+        )
+
+        got = theta_forecast(
+            _daily(spark, [("2024-03-01", 5.0), ("2024-03-02", 6.0)]),
+            "ts",
+            "value",
+        ).collect()[0]
+        assert got["forecast_1"] is None
+
+
+class TestCroston:
+    def test_hand_sequence(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            croston_forecast,
+        )
+
+        # demand on days 1, 4, 6 (offsets), sizes 10, 20, 30
+        days = [
+            ("2024-03-01", 10.0),
+            ("2024-03-02", 0.0),
+            ("2024-03-03", 0.0),
+            ("2024-03-04", 20.0),
+            ("2024-03-05", 0.0),
+            ("2024-03-06", 30.0),
+        ]
+        got = croston_forecast(
+            _daily(spark, days), "ts", "value", demand_threshold=0.0
+        ).collect()[0]
+        # fold: z0=10e6, p0=1e6 (first demand at offset 1)
+        # day4: gap=3: z=floor((20e6+10e6)/2)=15e6, p=floor((3e6+1e6)/2)=2e6
+        # day6: gap=2: z=floor((30e6+15e6)/2)=22.5e6, p=floor((2e6+2e6)/2)=2e6
+        assert got["n_demand_days"] == 3
+        assert got["level_size"] == pytest.approx(22.5)
+        assert got["level_interval_days"] == pytest.approx(2.0)
+        assert got["forecast_per_day"] == pytest.approx(11.25)
+
+    def test_single_demand_day_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            croston_forecast,
+        )
+
+        days = [("2024-03-01", 0.0), ("2024-03-02", 7.0)]
+        got = croston_forecast(
+            _daily(spark, days), "ts", "value", demand_threshold=0.0
+        ).collect()[0]
+        assert got["forecast_per_day"] is None
+
+
+class TestHurst:
+    def test_matches_numpy_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            hurst_exponent,
+        )
+
+        rng = np.random.RandomState(31)
+        vals = np.round(np.cumsum(rng.normal(0, 10, 64)) + 500, 2)
+        days = []
+        for d in range(64):
+            m, dd = divmod(d, 28)
+            days.append((f"2024-{3+m:02d}-{dd+1:02d}", float(vals[d])))
+        got = hurst_exponent(
+            _daily(spark, days), "ts", "value", block_sizes=(8, 16, 32)
+        ).collect()[0]
+
+        pts = []
+        for s in (8, 16, 32):
+            nb = 64 // s
+            terms = []
+            for b in range(nb):
+                c = np.round(vals[b * s : (b + 1) * s] * 100).astype(
+                    np.int64
+                )
+                sc = c.sum()
+                cum = np.cumsum(s * c - sc)
+                rng_u = max(cum.max(), 0) - min(cum.min(), 0)
+                var = (
+                    float((c.astype(object) ** 2).sum())
+                    - float(sc) ** 2 / s
+                ) / s
+                rs = (rng_u / s) / np.sqrt(var)
+                terms.append(np.floor(rs * 1e6 + 0.5))
+            pts.append((np.log(s), np.log(sum(terms) / nb / 1e6)))
+        k = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert got["n_sizes"] == 3
+        assert got["h_exponent"] == pytest.approx(h, abs=1e-6)
+        # a random walk's H should be meaningfully above 0.5 noise floor
+        assert 0.3 < got["h_exponent"] < 1.2
+
+    def test_too_short_null(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            hurst_exponent,
+        )
+
+        days = [(f"2024-03-{d+1:02d}", float(d)) for d in range(6)]
+        got = hurst_exponent(_daily(spark, days), "ts", "value").collect()[
+            0
+        ]
+        assert got["h_exponent"] is None
+
+
+class TestNelsonAalen:
+    def test_hand_example_with_censoring(self, spark):
+        from etl_orders_to_bq_spark.operators.survival import nelson_aalen
+
+        durs = [(5, 1), (5, 1), (8, 0), (12, 1), (15, 0), (20, 1)]
+        df = spark.createDataFrame(durs, "dur long, ev int")
+        got = nelson_aalen(df, "dur", "ev").collect()
+        # t=5: d=2 n=6 -> 1/3; t=12: d=1 n=3 -> +1/3; t=20: d=1 n=1 -> +1
+        assert [r["t"] for r in got] == [5.0, 12.0, 20.0]
+        assert [r["n_risk"] for r in got] == [6, 3, 1]
+        assert got[0]["cum_hazard"] == pytest.approx(1 / 3, abs=1e-5)
+        assert got[1]["cum_hazard"] == pytest.approx(2 / 3, abs=1e-5)
+        assert got[2]["cum_hazard"] == pytest.approx(5 / 3, abs=1e-5)
+        assert got[0]["hazard_se"] == pytest.approx(
+            math.sqrt(2 / 36), abs=1e-5
+        )
+
+    def test_monotone_nondecreasing(self, spark):
+        from etl_orders_to_bq_spark.operators.survival import nelson_aalen
+
+        rng = np.random.RandomState(37)
+        rows = [
+            (int(d), int(e))
+            for d, e in zip(
+                rng.randint(1, 50, 80), rng.randint(0, 2, 80)
+            )
+        ]
+        df = spark.createDataFrame(rows, "dur long, ev int")
+        got = nelson_aalen(df, "dur", "ev").collect()
+        hz = [r["cum_hazard"] for r in got]
+        assert hz == sorted(hz)
+
+
+class TestRddEstimate:
+    def test_recovers_planted_jump(self, spark):
+        from etl_orders_to_bq_spark.operators.experiment import rdd_estimate
+
+        rows = []
+        for x in range(300, 701):
+            y = 50.0 + 0.1 * (x - 500)  # common slope
+            if x >= 500:
+                y += 25.0  # planted discontinuity
+            rows.append((float(x), round(y, 2)))
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = rdd_estimate(df, "x", "y", 500.0, 200.0).collect()[0]
+        assert got["n_left"] == 200 and got["n_right"] == 201
+        assert got["slope_left"] == pytest.approx(0.1, abs=1e-6)
+        assert got["slope_right"] == pytest.approx(0.1, abs=1e-6)
+        assert got["effect"] == pytest.approx(25.0, abs=1e-6)
+
+    def test_no_jump_zero_effect(self, spark):
+        from etl_orders_to_bq_spark.operators.experiment import rdd_estimate
+
+        rows = [
+            (float(x), round(10.0 + 0.5 * x, 2)) for x in range(0, 200)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = rdd_estimate(df, "x", "y", 100.0, 80.0).collect()[0]
+        assert got["effect"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_empty_side_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.experiment import rdd_estimate
+
+        rows = [(float(x), 5.0) for x in range(0, 50)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = rdd_estimate(df, "x", "y", 100.0, 30.0).collect()[0]
+        assert got["effect"] is None
