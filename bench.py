@@ -257,6 +257,9 @@ HEADLINE = [
     "hurst_exponent",
     "nelson_aalen",
     "rdd_estimate",
+    "personalized_pagerank",
+    "slope_one",
+    "lb_keogh",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

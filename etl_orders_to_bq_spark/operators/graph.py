@@ -1727,3 +1727,152 @@ def k_truss(
         "(raise max_rounds or pass on_exhaustion='return' for the "
         "partial subgraph)"
     )
+
+
+def _ppr_local(
+    pairs: list[tuple], seed_set: set, iterations: int, damping: float,
+    spark,
+) -> DataFrame:
+    """The identical personalized update rule over a driver-small
+    contracted edge list, vectorized in numpy (the _pagerank_local
+    discipline): float64 throughout, dangling mass not
+    redistributed, teleport mass split uniformly over the seed set."""
+    import numpy as np
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    seeds = [idx[v] for v in nodes if v in seed_set]
+    m = len(seeds)
+    s = np.fromiter(
+        (idx[a] for a, b in pairs), dtype=np.int64, count=len(pairs)
+    )
+    d = np.fromiter(
+        (idx[b] for a, b in pairs), dtype=np.int64, count=len(pairs)
+    )
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    reset = np.zeros(n)
+    if m:
+        reset[seeds] = 1.0 / m
+    rank = reset.copy()
+    for _ in range(iterations):
+        contrib = rank[s] / outdeg[s]
+        acc = np.zeros(n)
+        np.add.at(acc, d, contrib)
+        rank = (1.0 - damping) * reset + damping * acc
+    first = nodes[0] if nodes else 0
+    typ = "string" if isinstance(first, str) else "long"
+    return spark.createDataFrame(
+        [(v, float(rank[idx[v]])) for v in nodes], f"id {typ}, rank double"
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_path: str | None = None,
+    local_threshold: int | None = SMALL_GRAPH_EDGES,
+    stage_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; Haveliwala 2002,
+    public literature): PageRank whose teleport lands UNIFORMLY ON A
+    SEED SET instead of all nodes — "importance relative to THESE
+    nodes", the standard graph-proximity scorer behind related-item
+    and who-to-follow features:
+
+        rank(v) <- (1-d)*s_v + d * sum over in-edges rank(u)/outdeg(u)
+
+    with s_v = 1/|S| for seeds (restricted to nodes present in the
+    edge set), 0 elsewhere; rank0 = s. Dangling mass is not
+    redistributed and iterations are fixed — the ``pagerank``
+    contract, so the same unrolled-CTE oracle shape replays it.
+
+    Returns (id, rank). Seeds arrive as a DataFrame (column
+    ``seed_col``) and stay distributed: the reset vector is a left
+    join against the node list, never a driver collect (the local
+    fast path intersects seeds with the contracted node set, which is
+    driver-small by the threshold's definition).
+
+    Scale: identical to ``pagerank`` — static edge+outdeg side staged
+    once, one |edges| shuffle per round, lineage truncated every
+    ``stage_every`` rounds.
+    """
+    e = stage(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct(),
+        checkpoint_path,
+        "ppr_edges",
+    )
+    sd = seeds.select(F.col(seed_col).alias("id")).distinct()
+    if checkpoint_path is None and local_threshold is not None:
+        head = e.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            node_set = {x for r in head for x in (r["src"], r["dst"])}
+            seed_set = {
+                r["id"]
+                for r in sd.filter(
+                    F.col("id").isin(list(node_set))
+                ).collect()
+            }
+            return _ppr_local(
+                [(r["src"], r["dst"]) for r in head],
+                seed_set, iterations, damping, edges.sparkSession,
+            )
+    nodes = stage(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        checkpoint_path,
+        "ppr_nodes",
+    )
+    seeded = stage(
+        nodes.join(sd.withColumn("__seed", F.lit(1)), "id", "left"),
+        checkpoint_path,
+        "ppr_seeded",
+    )
+    m = seeded.filter(F.col("__seed").isNotNull()).count()
+    reset = F.when(
+        F.col("__seed").isNotNull(), F.lit(1.0 / m if m else 0.0)
+    ).otherwise(F.lit(0.0))
+    ed = stage(
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"),
+        checkpoint_path,
+        "ppr_outdeg",
+    )
+    ranks = seeded.select("id", reset.alias("rank"), "__seed")
+    for rnd in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(
+                F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = seeded.join(
+            contribs, seeded.id == contribs.dst, "left"
+        ).select(
+            "id",
+            (
+                F.lit(1.0 - damping) * reset
+                + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+            ).alias("rank"),
+            "__seed",
+        )
+        if (
+            checkpoint_path is not None
+            or (rnd + 1) % max(stage_every, 1) == 0
+            or rnd == iterations - 1
+        ):
+            new_ranks = stage(
+                new_ranks, checkpoint_path, f"ppr_ranks_r{rnd}",
+                eager=False,
+            )
+        ranks = new_ranks
+    return ranks.select("id", "rank")

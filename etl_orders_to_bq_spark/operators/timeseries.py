@@ -2198,3 +2198,81 @@ def hurst_exponent(
         ),
     )
     return out
+
+
+def lb_keogh_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    radius: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """LB_Keogh lower bound on DTW distance between every ordered
+    pair of keys' daily series (Keogh & Ratanamahatana 2005, public
+    literature) — THE pruning screen for dynamic-time-warping search:
+    cheap (linear, no DP), never overestimates, so any pair whose
+    LB_Keogh already exceeds a candidate's true DTW can be discarded
+    unexamined.
+
+        LB(A, B) = sqrt( sum_t  (a_t - U_t)^2  if a_t > U_t
+                               (L_t - a_t)^2  if a_t < L_t
+                               0              otherwise )
+
+    with U/L the +-``radius``-day envelope of B's OWN series and the
+    sum over calendar days both series share (explicit pairs — gaps
+    don't impute).
+
+    Exactness: series are exact cents; envelopes are integer min/max
+    over a bounded row window (key-partitioned — parallel); each gap
+    term is an exact integer square summed as decimal(38,0); one
+    sqrt at the end (bit-identical given an exact radicand).
+
+    Output: one row per ordered pair ``(key_a, key_b, n_days,
+    lb_dist)``, ordered; the key domain is bounded by contract (the
+    sax_mindist convention).
+
+    Scale: one (key, day) groupBy; envelope windows partition by key;
+    the pair stage joins per-day rows on the calendar-bounded day
+    key — |keys|^2 * |days| rows at most, broadcast-class for
+    bounded key domains.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.groupBy(F.col(key_col).alias("__k"), day).agg(
+        (F.sum(dec).cast("decimal(28,2)") * 100)
+        .cast("long")
+        .alias("__c")
+    )
+    wenv = (
+        Window.partitionBy("__k")
+        .orderBy("__d")
+        .rowsBetween(-int(radius), int(radius))
+    )
+    env = daily.select(
+        F.col("__k").alias("__kb"),
+        F.col("__d"),
+        F.max("__c").over(wenv).alias("__u"),
+        F.min("__c").over(wenv).alias("__l"),
+    )
+    a = daily.select(
+        F.col("__k").alias("key_a"), "__d", F.col("__c").alias("__a")
+    )
+    j = a.join(env, "__d").filter(F.col("key_a") != F.col("__kb"))
+    gap = F.when(
+        F.col("__a") > F.col("__u"), F.col("__a") - F.col("__u")
+    ).when(
+        F.col("__a") < F.col("__l"), F.col("__l") - F.col("__a")
+    ).otherwise(F.lit(0).cast("long"))
+    agg = j.groupBy("key_a", F.col("__kb").alias("key_b")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(gap.cast("decimal(38,0)") * gap).alias("__s"),
+    )
+    return agg.select(
+        "key_a",
+        "key_b",
+        "n_days",
+        F.round(F.sqrt(F.col("__s").cast("double")) / 100.0, ndigits).alias(
+            "lb_dist"
+        ),
+    ).orderBy("key_a", "key_b")

@@ -704,3 +704,179 @@ class TestRddEstimate:
         df = spark.createDataFrame(rows, "x double, y double")
         got = rdd_estimate(df, "x", "y", 100.0, 30.0).collect()[0]
         assert got["effect"] is None
+
+
+class TestPersonalizedPagerank:
+    @staticmethod
+    def _brute(pairs, seeds, iters=10, d=0.85):
+        nodes = sorted({x for p in pairs for x in p})
+        out = {v: [b for a, b in pairs if a == v] for v in nodes}
+        m = len([v for v in nodes if v in seeds])
+        reset = {v: (1.0 / m if v in seeds else 0.0) for v in nodes}
+        rank = dict(reset)
+        for _ in range(iters):
+            acc = {v: 0.0 for v in nodes}
+            for u in nodes:
+                if out[u]:
+                    c = rank[u] / len(out[u])
+                    for v in out[u]:
+                        acc[v] += c
+            rank = {v: (1 - d) * reset[v] + d * acc[v] for v in nodes}
+        return rank
+
+    def test_matches_brute_force(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (4, 5), (5, 3)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (5,)], "id long")
+        got = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(edges, seeds).collect()
+        }
+        want = self._brute(pairs, {1, 5})
+        for v, w in want.items():
+            assert got[v] == pytest.approx(w, abs=1e-9)
+        # teleport mass concentrates near the seeds
+        assert got[1] > got[2]
+
+    def test_local_matches_distributed(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        pairs = [(i, (i * 3 + 1) % 11) for i in range(11)] + [
+            (i, (i + 5) % 11) for i in range(11)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (7,)], "id long")
+        loc = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(edges, seeds).collect()
+        }
+        dist = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(
+                edges, seeds, local_threshold=None
+            ).collect()
+        }
+        assert set(loc) == set(dist)
+        for v in loc:
+            assert round(loc[v], 6) == round(dist[v], 6)
+
+    def test_seed_outside_graph_ignored(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (99,)], "id long")
+        got = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(edges, seeds).collect()
+        }
+        # 99 not a node: teleport mass all on node 1
+        want = self._brute([(1, 2), (2, 1)], {1})
+        assert got[1] == pytest.approx(want[1], abs=1e-9)
+
+
+class TestSlopeOne:
+    def test_hand_example(self, spark):
+        from etl_orders_to_bq_spark.operators.recs import slope_one
+
+        # Lemire's classic shape: users A,B rate both; C lacks target
+        rows = [
+            ("A", "t", 1.0), ("A", "j", 1.5),
+            ("B", "t", 2.0), ("B", "j", 4.0),
+            ("C", "j", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "u string, i string, r double")
+        got = slope_one(df, "u", "i", "r", "t").collect()
+        # dev(t, j): ((1-1.5)+(2-4))/2 = -1.25; pred(C) = 3 - 1.25
+        assert len(got) == 1
+        assert got[0]["user"] == "C"
+        assert got[0]["prediction"] == pytest.approx(1.75)
+
+    def test_weighted_multi_item(self, spark):
+        from etl_orders_to_bq_spark.operators.recs import slope_one
+
+        rows = [
+            ("A", "t", 5.0), ("A", "j", 3.0), ("A", "k", 4.0),
+            ("B", "t", 3.0), ("B", "j", 4.0),
+            ("C", "j", 2.0), ("C", "k", 5.0),
+        ]
+        df = spark.createDataFrame(rows, "u string, i string, r double")
+        got = slope_one(df, "u", "i", "r", "t").collect()
+        # dev sums in cents: j: (500-300)+(300-400)=100, c=2
+        #                    k: (500-400)=100, c=1
+        # pred(C) = (100 + 2*200 + 100 + 1*500) / 3 = 1100/3 cents
+        assert got[0]["user"] == "C"
+        assert got[0]["n_items_used"] == 2
+        assert got[0]["prediction"] == pytest.approx(1100 / 3 / 100, abs=1e-6)
+
+    def test_no_cold_users_empty(self, spark):
+        from etl_orders_to_bq_spark.operators.recs import slope_one
+
+        rows = [("A", "t", 1.0), ("A", "j", 2.0)]
+        df = spark.createDataFrame(rows, "u string, i string, r double")
+        assert slope_one(df, "u", "i", "r", "t").count() == 0
+
+
+class TestLbKeogh:
+    def test_matches_numpy_replay(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            lb_keogh_pairs,
+        )
+
+        rng = np.random.RandomState(41)
+        days = []
+        series = {}
+        for k in ("a", "b"):
+            vals = np.round(rng.uniform(50, 150, 20), 2)
+            series[k] = np.round(vals * 100).astype(np.int64)
+            for d, v in enumerate(vals):
+                days.append((k, f"2024-03-{d+1:02d}", float(v)))
+        df = spark.createDataFrame(days, "k string, d string, value double")
+        df = df.select(
+            "k", F.to_timestamp("d").alias("ts"), "value"
+        )
+        got = {
+            (r["key_a"], r["key_b"]): r["lb_dist"]
+            for r in lb_keogh_pairs(df, "k", "ts", "value", radius=2).collect()
+        }
+
+        def lb(a, b, r=2):
+            s = 0
+            for t in range(len(a)):
+                lo, hi = max(0, t - r), min(len(b), t + r + 1)
+                u, l = b[lo:hi].max(), b[lo:hi].min()
+                if a[t] > u:
+                    s += int(a[t] - u) ** 2
+                elif a[t] < l:
+                    s += int(l - a[t]) ** 2
+            return math.sqrt(s) / 100.0
+
+        assert got[("a", "b")] == pytest.approx(
+            lb(series["a"], series["b"]), abs=1e-6
+        )
+        assert got[("b", "a")] == pytest.approx(
+            lb(series["b"], series["a"]), abs=1e-6
+        )
+
+    def test_identical_series_zero(self, spark):
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            lb_keogh_pairs,
+        )
+
+        days = []
+        for k in ("a", "b"):
+            for d in range(10):
+                days.append((k, f"2024-03-{d+1:02d}", 100.0 + d))
+        df = spark.createDataFrame(
+            days, "k string, d string, value double"
+        ).select("k", F.to_timestamp("d").alias("ts"), "value")
+        got = lb_keogh_pairs(df, "k", "ts", "value").collect()
+        assert all(r["lb_dist"] == 0.0 for r in got)
