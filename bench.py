@@ -260,6 +260,7 @@ HEADLINE = [
     "personalized_pagerank",
     "slope_one",
     "lb_keogh",
+    "fisher_exact",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -3581,3 +3581,186 @@ def kuiper_two_sample(
             ok, F.round(F.col("d_plus") + F.col("d_minus"), ndigits)
         ).alias("v_stat"),
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    success_threshold: float,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-sided Fisher exact test for a 2x2 contingency table
+    (Fisher 1935, public literature) — the small-cell replacement for
+    ``chi2_independence``/``two_proportion_test``: exact
+    hypergeometric tail P(X >= a), no normal approximation, valid at
+    any cell size. Rows: ``group_a`` vs ``group_b``; columns:
+    value > ``success_threshold``.
+
+    Determinism contract — the whole computation is integer-exact up
+    to ONE defined quantization grid:
+
+    - log-factorials come from a LF table built by ONE
+      ``global_cumsum_before`` over round(ln(j) * 1e9) nano-longs
+      (j = 0..n), so LF(j) is an exact integer in every engine and
+      the quantization error is bounded by 5e-10 * n in log space;
+    - each tail term's log-probability is exact integer arithmetic
+      over eight LF lookups; the term replays through the
+      deterministic staged exp (clamped to its |y| <= 64 convergence
+      region; terms below e^-64 contribute exact 0);
+    - terms quantize to pico-longs (1e12) and the tail p is their
+      exact decimal(38,0) sum divided once.
+
+    Output: one row ``(a, b, c, d, odds_ratio, p_greater)``;
+    odds_ratio = ad/bc (NULL when bc = 0); degenerate margins yield
+    p_greater = 1.0 (the whole mass is at the observed table).
+
+    Scale: the LF table is O(n) rows built by one range + one fused
+    cumsum (both fully parallel); the tail has at most
+    min(r1, c1) - a + 1 terms joined against LF by key — linear
+    passes only. The single driver-side scalar is n (the kmeans
+    bounded-collect discipline).
+    """
+    from .ranking import global_cumsum_before
+
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    succ = F.col(value_col).cast("double") > F.lit(
+        float(success_threshold)
+    )
+    tab = filt.agg(
+        F.sum(
+            F.when((F.col(group_col) == group_a) & succ, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when((F.col(group_col) == group_a) & ~succ, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col(group_col) == group_b) & succ, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when((F.col(group_col) == group_b) & ~succ, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    row = tab.first()
+    a, b, c, d = row["a"], row["b"], row["c"], row["d"]
+    n = a + b + c + d
+    spark = df.sparkSession
+    lf_src = spark.range(0, n + 1).select(
+        F.col("id").alias("__j"),
+        F.when(
+            F.col("id") >= 1, F.round(F.log(F.col("id").cast("double")) * 1e9)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("long")
+        .alias("__lnj"),
+    )
+    lf = global_cumsum_before(
+        lf_src, ["__j"], "__lnj", num_partitions=num_partitions,
+        out_col="__bt",
+    ).select(
+        "__j", (F.col("__bt") + F.col("__lnj")).alias("__lf")
+    )
+    r1, r2, c1 = a + b, c + d, a + c
+    kmax = min(r1, c1)
+    stats = F.broadcast(tab)
+    consts = F.broadcast(
+        lf.crossJoin(stats)
+        .filter(
+            F.col("__j").isin([r1, r2, c1, n - c1, n])
+        )
+        .agg(
+            F.max(F.when(F.col("__j") == r1, F.col("__lf"))).alias("__lr1"),
+            F.max(F.when(F.col("__j") == r2, F.col("__lf"))).alias("__lr2"),
+            F.max(F.when(F.col("__j") == c1, F.col("__lf"))).alias("__lc1"),
+            F.max(F.when(F.col("__j") == n - c1, F.col("__lf"))).alias(
+                "__lc2"
+            ),
+            F.max(F.when(F.col("__j") == n, F.col("__lf"))).alias("__ln"),
+        )
+    )
+    if kmax < a or n == 0:
+        ks = spark.range(0, 0).select(F.col("id").alias("__k"))
+    else:
+        ks = spark.range(a, kmax + 1).select(F.col("id").alias("__k"))
+    j1 = lf.select(F.col("__j").alias("__k"), F.col("__lf").alias("__l1"))
+    j2 = lf.select(
+        F.col("__j").alias("__a2"), F.col("__lf").alias("__l2")
+    )
+    j3 = lf.select(
+        F.col("__j").alias("__a3"), F.col("__lf").alias("__l3")
+    )
+    j4 = lf.select(
+        F.col("__j").alias("__a4"), F.col("__lf").alias("__l4")
+    )
+    kt = (
+        ks.withColumn("__a2", F.lit(r1) - F.col("__k"))
+        .withColumn("__a3", F.lit(c1) - F.col("__k"))
+        .withColumn("__a4", F.lit(r2 - c1) + F.col("__k"))
+        .join(j1, "__k")
+        .join(j2, "__a2")
+        .join(j3, "__a3")
+        .join(j4, "__a4")
+        .crossJoin(consts)
+    )
+    logp = (
+        F.col("__lr1")
+        + F.col("__lr2")
+        + F.col("__lc1")
+        + F.col("__lc2")
+        - F.col("__ln")
+        - F.col("__l1")
+        - F.col("__l2")
+        - F.col("__l3")
+        - F.col("__l4")
+    )
+    kt = kt.withColumn("__lp", logp).withColumn(
+        "__y",
+        F.greatest(
+            F.least(F.col("__lp").cast("double") / 1e9, F.lit(0.0)),
+            F.lit(-64.0),
+        ),
+    )
+    kt = with_det_exp(kt, "__y", "__ex")
+    term = F.when(
+        F.col("__lp").cast("double") / 1e9 < -64.0, F.lit(0).cast("long")
+    ).otherwise(F.round(F.col("__ex") * 1e12).cast("long"))
+    summed = kt.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("__ps")
+    )
+    p = F.least(
+        F.lit(1.0), F.col("__ps").cast("double") / 1e12
+    )
+    out = summed.select(
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(c).cast("long").alias("c"),
+        F.lit(d).cast("long").alias("d"),
+        (
+            F.when(
+                F.lit(b * c) > 0,
+                F.round(
+                    F.lit(float(a) * float(d))
+                    / F.lit(float(b) * float(c)),
+                    ndigits,
+                ),
+            )
+        ).alias("odds_ratio"),
+        F.when(F.col("__ps").isNotNull(), F.round(p, ndigits))
+        .otherwise(F.lit(1.0))
+        .alias("p_greater"),
+    )
+    return out

@@ -880,3 +880,56 @@ class TestLbKeogh:
         ).select("k", F.to_timestamp("d").alias("ts"), "value")
         got = lb_keogh_pairs(df, "k", "ts", "value").collect()
         assert all(r["lb_dist"] == 0.0 for r in got)
+
+
+class TestFisherExact:
+    @staticmethod
+    def _exact(a, b, c, d):
+        from math import comb
+
+        r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+        kmax = min(r1, c1)
+        num = sum(
+            comb(r1, k) * comb(r2, c1 - k) for k in range(a, kmax + 1)
+        )
+        return num / comb(n, c1)
+
+    def test_matches_math_comb(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import fisher_exact
+
+        rows = (
+            [("a", 150.0)] * 12 + [("a", 50.0)] * 18
+            + [("b", 150.0)] * 5 + [("b", 50.0)] * 25
+        )
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = fisher_exact(df, "g", "v", "a", "b", 100.0).collect()[0]
+        assert (got["a"], got["b"], got["c"], got["d"]) == (12, 18, 5, 25)
+        assert got["p_greater"] == pytest.approx(
+            self._exact(12, 18, 5, 25), abs=2e-4
+        )
+        assert got["odds_ratio"] == pytest.approx(
+            (12 * 25) / (18 * 5), abs=1e-6
+        )
+
+    def test_tea_tasting_lady(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import fisher_exact
+
+        # Fisher's original 4/4 table: a=3,b=1,c=1,d=3
+        rows = (
+            [("m", 1.5)] * 3 + [("m", 0.5)] * 1
+            + [("t", 1.5)] * 1 + [("t", 0.5)] * 3
+        )
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = fisher_exact(df, "g", "v", "m", "t", 1.0).collect()[0]
+        # P(X >= 3) = (C(4,3)C(4,1) + C(4,4)C(4,0)) / C(8,4) = 17/70
+        assert got["p_greater"] == pytest.approx(17 / 70, abs=1e-4)
+
+    def test_observed_minimum_p_one(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import fisher_exact
+
+        # a = 0: the whole upper tail is the full distribution
+        rows = [("a", 0.5)] * 10 + [("b", 1.5)] * 5 + [("b", 0.5)] * 5
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = fisher_exact(df, "g", "v", "a", "b", 1.0).collect()[0]
+        assert got["a"] == 0
+        assert got["p_greater"] == pytest.approx(1.0, abs=1e-4)
