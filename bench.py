@@ -261,6 +261,8 @@ HEADLINE = [
     "slope_one",
     "lb_keogh",
     "fisher_exact",
+    "wilcoxon_signed_rank",
+    "sign_test",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

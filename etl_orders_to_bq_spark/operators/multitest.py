@@ -3583,6 +3583,36 @@ def kuiper_two_sample(
     )
 
 
+def _log_factorial_table(
+    spark, n: int, num_partitions: int | None = None
+) -> DataFrame:
+    """LF table (``__j``, ``__lf``) for j = 0..n where __lf is the
+    nano-quantized log-factorial: the exact integer cumulative sum of
+    round(ln(j) * 1e9) — every engine replaying the same per-term
+    rounding lands on the identical integer, and the quantization
+    error is bounded by 5e-10 * n in log space. Built by one range +
+    one fused ``global_cumsum_before`` (both fully parallel); shared
+    by the exact hypergeometric / binomial tails (``fisher_exact``,
+    ``sign_test``)."""
+    from .ranking import global_cumsum_before
+
+    lf_src = spark.range(0, n + 1).select(
+        F.col("id").alias("__j"),
+        F.when(
+            F.col("id") >= 1, F.round(F.log(F.col("id").cast("double")) * 1e9)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("long")
+        .alias("__lnj"),
+    )
+    return global_cumsum_before(
+        lf_src, ["__j"], "__lnj", num_partitions=num_partitions,
+        out_col="__bt",
+    ).select(
+        "__j", (F.col("__bt") + F.col("__lnj")).alias("__lf")
+    )
+
+
 def fisher_exact(
     df: DataFrame,
     group_col: str,
@@ -3624,8 +3654,6 @@ def fisher_exact(
     passes only. The single driver-side scalar is n (the kmeans
     bounded-collect discipline).
     """
-    from .ranking import global_cumsum_before
-
     filt = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -3659,21 +3687,7 @@ def fisher_exact(
     a, b, c, d = row["a"], row["b"], row["c"], row["d"]
     n = a + b + c + d
     spark = df.sparkSession
-    lf_src = spark.range(0, n + 1).select(
-        F.col("id").alias("__j"),
-        F.when(
-            F.col("id") >= 1, F.round(F.log(F.col("id").cast("double")) * 1e9)
-        )
-        .otherwise(F.lit(0.0))
-        .cast("long")
-        .alias("__lnj"),
-    )
-    lf = global_cumsum_before(
-        lf_src, ["__j"], "__lnj", num_partitions=num_partitions,
-        out_col="__bt",
-    ).select(
-        "__j", (F.col("__bt") + F.col("__lnj")).alias("__lf")
-    )
+    lf = _log_factorial_table(spark, n, num_partitions)
     r1, r2, c1 = a + b, c + d, a + c
     kmax = min(r1, c1)
     stats = F.broadcast(tab)
@@ -3764,3 +3778,217 @@ def fisher_exact(
         .alias("p_greater"),
     )
     return out
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on paired columns (Wilcoxon 1945,
+    public literature) — the paired counterpart of ``mann_whitney_u``:
+    d = x - y per row, zero differences dropped (the standard Wilcoxon
+    reduction), |d| ranked with average ranks, W+ = rank sum over
+    d > 0, normal approximation with the exact tie correction.
+
+    Exactness: d and |d| are single IEEE subtractions over the same
+    operands in every engine (identical bit patterns — grouping on the
+    raw double is cross-engine safe; no quantization grid needed).
+    Ranks never touch floats: per DISTINCT |d| the operator keeps
+    integer counts (n_pos, n_t) and "strictly below" comes from the
+    scalable two-pass ``ranking.global_cumsum_before`` (no
+    single-partition rank window). The rank sum is carried DOUBLED as
+    exact decimal(38,0):
+
+        2*W+ = sum_v n_pos(v) * (2*below(v) + n_t(v) + 1)
+
+    z = (2W+ - n(n+1)/2) / sqrt(4*(n(n+1)(2n+1)/24 - ties/48)) with
+    ties = sum(t^3 - t); the two-sided p replays the engine's
+    deterministic Φ (``with_p_value``). All-zero-differences input
+    (n = 0) and the fully-tied degenerate variance yield NULL z/p —
+    guarded BEFORE dividing (ANSI mode).
+
+    Output: one row ``(n, w_plus, z, p_value)``; w_plus is the exact
+    half-integer rank sum as double. No counterpart in the reference
+    engine (SURVEY.md §2.2 — no aggregation family).
+    """
+    from .ranking import global_cumsum_before
+
+    d = F.col(x_col).cast("double") - F.col(y_col).cast("double")
+    filt = (
+        df.filter(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+        .select(d.alias("__d"))
+        .filter(F.col("__d") != 0.0)
+    )
+    vc = filt.groupBy(F.abs(F.col("__d")).alias("__a")).agg(
+        F.sum(F.when(F.col("__d") > 0, 1).otherwise(0)).alias("__npos"),
+        F.count("*").alias("__nt"),
+    )
+    cum = global_cumsum_before(
+        vc, ["__a"], "__nt", num_partitions=num_partitions,
+        out_col="__below",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        F.coalesce(
+            dec(
+                F.sum(
+                    F.col("__npos").cast("decimal(38,0)")
+                    * (
+                        F.lit(2) * F.col("__below")
+                        + F.col("__nt")
+                        + F.lit(1)
+                    ).cast("decimal(38,0)")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("two_wp"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            dec(
+                F.sum(
+                    F.col("__nt").cast("decimal(38,0)")
+                    * F.col("__nt").cast("decimal(38,0)")
+                    * F.col("__nt").cast("decimal(38,0)")
+                    - F.col("__nt").cast("decimal(38,0)")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("ties"),
+    )
+    nn = F.col("n").cast("double")
+    # var(2W+) = 4 * (n(n+1)(2n+1)/24 - ties/48)
+    var4 = F.lit(4.0) * (
+        nn * (nn + 1.0) * (2.0 * nn + 1.0) / F.lit(24.0)
+        - F.col("ties").cast("double") / F.lit(48.0)
+    )
+    z = F.when(
+        (F.col("n") > 0) & (var4 > 0),
+        F.round(
+            (
+                F.col("two_wp").cast("double")
+                - nn * (nn + 1.0) / F.lit(2.0)
+            )
+            / F.sqrt(var4),
+            ndigits,
+        ),
+    )
+    out = agg.select(
+        F.col("n"),
+        F.round(F.col("two_wp").cast("double") / 2.0, 1).alias("w_plus"),
+        z.alias("z"),
+    )
+    return with_p_value(out, "z", "p_value", ndigits)
+
+
+def sign_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sided sign test on paired columns (Arbuthnott 1710 /
+    Dixon & Mood 1946, public literature): under H0 the sign of
+    d = x - y is Bernoulli(1/2); zero differences are dropped; the
+    p-value is the exact binomial two-sided tail
+    p = min(1, 2 * P(X <= min(n+, n-))), X ~ Bin(n, 1/2) — no normal
+    approximation, valid at any n.
+
+    Determinism contract (shares the ``fisher_exact`` machinery):
+    log C(n, j) comes from the nano-quantized log-factorial cumsum
+    table (``_log_factorial_table``); the n*ln(2) offset uses the SAME
+    nano grid (round(ln 2 * 1e9) * n — exact integer product); each
+    tail term replays the deterministic staged exp (clamped to its
+    |y| <= 64 convergence region; terms below e^-64 contribute exact
+    0), quantizes to pico-longs, and the tail sums as exact
+    decimal(38,0) before ONE final division.
+
+    Output: one row ``(n, n_plus, n_minus, p_two_sided)``; n = 0
+    (all differences zero) yields p = 1.0.
+
+    Scale: the LF table is O(n) rows built by one range + one fused
+    cumsum; the tail has at most floor(n/2) + 1 terms joined against
+    LF by key — linear passes only; the single driver-side scalar is
+    the (n+, n-) pair (bounded-collect discipline).
+    """
+    d = F.col(x_col).cast("double") - F.col(y_col).cast("double")
+    filt = (
+        df.filter(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+        .select(d.alias("__d"))
+        .filter(F.col("__d") != 0.0)
+    )
+    tab = filt.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__d") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_plus"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d") < 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_minus"),
+    )
+    row = tab.first()
+    npos, nneg = row["n_plus"], row["n_minus"]
+    n = npos + nneg
+    kmin = min(npos, nneg)
+    spark = df.sparkSession
+    lf = _log_factorial_table(spark, n, num_partitions)
+    ln2_nano = round(math.log(2.0) * 1e9)
+    consts = F.broadcast(
+        lf.filter(F.col("__j") == n).select(F.col("__lf").alias("__ln"))
+    )
+    if n == 0:
+        ks = spark.range(0, 0).select(F.col("id").alias("__k"))
+    else:
+        ks = spark.range(0, kmin + 1).select(F.col("id").alias("__k"))
+    j1 = lf.select(F.col("__j").alias("__k"), F.col("__lf").alias("__l1"))
+    j2 = lf.select(
+        F.col("__j").alias("__a2"), F.col("__lf").alias("__l2")
+    )
+    kt = (
+        ks.withColumn("__a2", F.lit(n) - F.col("__k"))
+        .join(j1, "__k")
+        .join(j2, "__a2")
+        .crossJoin(consts)
+    )
+    logp = (
+        F.col("__ln")
+        - F.col("__l1")
+        - F.col("__l2")
+        - F.lit(int(ln2_nano * n)).cast("long")
+    )
+    kt = kt.withColumn("__lp", logp).withColumn(
+        "__y",
+        F.greatest(
+            F.least(F.col("__lp").cast("double") / 1e9, F.lit(0.0)),
+            F.lit(-64.0),
+        ),
+    )
+    kt = with_det_exp(kt, "__y", "__ex")
+    term = F.when(
+        F.col("__lp").cast("double") / 1e9 < -64.0, F.lit(0).cast("long")
+    ).otherwise(F.round(F.col("__ex") * 1e12).cast("long"))
+    summed = kt.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("__ps")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.col("__ps").cast("double") / 1e12,
+    )
+    return summed.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(npos).cast("long").alias("n_plus"),
+        F.lit(nneg).cast("long").alias("n_minus"),
+        F.when(F.col("__ps").isNotNull(), F.round(p, ndigits))
+        .otherwise(F.lit(1.0))
+        .alias("p_two_sided"),
+    )

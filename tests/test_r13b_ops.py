@@ -933,3 +933,214 @@ class TestFisherExact:
         got = fisher_exact(df, "g", "v", "a", "b", 1.0).collect()[0]
         assert got["a"] == 0
         assert got["p_greater"] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestWilcoxonSignedRank:
+    ROWS = [
+        (1.2, 1.0), (0.8, 1.0), (2.0, 1.5), (1.0, 1.0), (3.0, 2.0),
+        (0.5, 1.5), (2.2, 2.0), (1.1, 0.9), (4.0, 4.5), (2.5, 2.0),
+    ]
+
+    @classmethod
+    def _ref(cls, rows):
+        import math
+        from collections import Counter
+
+        ds = [x - y for x, y in rows if x != y]
+        cnt = Counter(abs(d) for d in ds)
+        below, c = {}, 0
+        for v in sorted(cnt):
+            below[v] = c
+            c += cnt[v]
+        wp = sum(
+            below[abs(d)] + (cnt[abs(d)] + 1) / 2.0 for d in ds if d > 0
+        )
+        n = len(ds)
+        ties = sum(t**3 - t for t in cnt.values())
+        var = n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+        z = (wp - n * (n + 1) / 4) / math.sqrt(var)
+        return n, wp, z
+
+    def test_matches_bruteforce(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "x double, y double")
+        got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        n, wp, z = self._ref(self.ROWS)
+        assert got["n"] == n == 9  # the (1.0, 1.0) zero pair drops
+        assert got["w_plus"] == wp
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+
+    def test_all_zero_diffs_null_z(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0)] * 5, "x double, y double"
+        )
+        got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        assert (got["n"], got["w_plus"]) == (0, 0.0)
+        assert got["z"] is None and got["p_value"] is None
+
+    def test_ties_exact_correction(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            wilcoxon_signed_rank,
+        )
+
+        rows = [(2.0, 1.0)] * 3 + [(0.0, 1.0)] * 2 + [(3.0, 1.0)] * 2
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        n, wp, z = self._ref(rows)
+        assert got["w_plus"] == wp
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+
+
+class TestSignTest:
+    def test_exact_binomial(self, spark):
+        from math import comb
+
+        from etl_orders_to_bq_spark.operators.multitest import sign_test
+
+        rows = (
+            [(1.2, 1.0), (0.8, 1.0), (2.0, 1.5), (1.0, 1.0), (3.0, 2.0),
+             (0.5, 1.5), (2.2, 2.0), (1.1, 0.9), (4.0, 4.5), (2.5, 2.0)]
+        )
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = sign_test(df, "x", "y").collect()[0]
+        assert (got["n"], got["n_plus"], got["n_minus"]) == (9, 6, 3)
+        pref = min(
+            1.0, 2 * sum(comb(9, j) for j in range(3 + 1)) / 2**9
+        )
+        assert got["p_two_sided"] == pytest.approx(pref, abs=2e-5)
+
+    def test_lopsided_small_p(self, spark):
+        from math import comb
+
+        from etl_orders_to_bq_spark.operators.multitest import sign_test
+
+        rows = [(2.0, 1.0)] * 18 + [(0.5, 1.0)] * 2
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = sign_test(df, "x", "y").collect()[0]
+        pref = min(1.0, 2 * sum(comb(20, j) for j in range(3)) / 2**20)
+        assert got["p_two_sided"] == pytest.approx(pref, abs=2e-5)
+
+    def test_all_zero_diffs_p_one(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import sign_test
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0)] * 4, "x double, y double"
+        )
+        got = sign_test(df, "x", "y").collect()[0]
+        assert (got["n"], got["p_two_sided"]) == (0, 1.0)
+
+
+class TestAssocMeasures:
+    @staticmethod
+    def _xyz():
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        z = rng.uniform(0, 10, 200)
+        x = np.round(2 * z + rng.normal(0, 2, 200), 6)
+        y = np.round(-1.5 * z + rng.normal(0, 3, 200), 6)
+        return x, y, np.round(z, 6)
+
+    def test_partial_correlation_matches_numpy(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.assoc import (
+            partial_correlation,
+        )
+
+        x, y, z = self._xyz()
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double",
+        )
+        got = partial_correlation(df, "x", "y", "z").collect()[0]
+
+        def corr(a, b):
+            return float(np.corrcoef(a, b)[0, 1])
+
+        rxy, rxz, ryz = corr(x, y), corr(x, z), corr(y, z)
+        pr = (rxy - rxz * ryz) / (
+            ((1 - rxz**2) * (1 - ryz**2)) ** 0.5
+        )
+        assert got["r_xy"] == pytest.approx(rxy, abs=1e-6)
+        assert got["partial_r"] == pytest.approx(pr, abs=1e-6)
+
+    def test_partial_constant_column_null(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import (
+            partial_correlation,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 5.0), (2.0, 3.0, 5.0), (3.0, 5.0, 5.0)],
+            "x double, y double, z double",
+        )
+        got = partial_correlation(df, "x", "y", "z").collect()[0]
+        assert got["r_xz"] is None and got["partial_r"] is None
+        assert got["r_xy"] is not None
+
+    def test_lins_ccc_matches_definition(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import lins_ccc
+
+        x, y, _ = self._xyz()
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        )
+        got = lins_ccc(df, "x", "y").collect()[0]
+        mx, my = x.mean(), y.mean()
+        sxy = ((x - mx) * (y - my)).mean()
+        vx, vy = ((x - mx) ** 2).mean(), ((y - my) ** 2).mean()
+        ccc = 2 * sxy / (vx + vy + (mx - my) ** 2)
+        assert got["ccc"] == pytest.approx(ccc, abs=1e-6)
+
+    def test_ccc_perfect_agreement_is_one(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import lins_ccc
+
+        df = spark.createDataFrame(
+            [(float(i), float(i)) for i in range(1, 20)],
+            "x double, y double",
+        )
+        got = lins_ccc(df, "x", "y").collect()[0]
+        assert got["ccc"] == 1.0 and got["pearson_r"] == 1.0
+
+    def test_icc_oneway_matches_numpy(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.assoc import icc_oneway
+
+        rng = np.random.RandomState(7)
+        g = rng.randint(0, 3, 200)
+        v = np.round(g * 2.0 + rng.normal(0, 1, 200), 6)
+        df = spark.createDataFrame(
+            [(int(a), float(b)) for a, b in zip(g, v)],
+            "g int, v double",
+        )
+        got = icc_oneway(df, "g", "v").collect()[0]
+        k, N = 3, 200
+        ni = np.array([np.sum(g == i) for i in range(3)])
+        si = np.array([v[g == i].sum() for i in range(3)])
+        ssi = np.array([(v[g == i] ** 2).sum() for i in range(3)])
+        bsum = (si**2 / ni).sum()
+        msb = (bsum - v.sum() ** 2 / N) / (k - 1)
+        msw = (ssi.sum() - bsum) / (N - k)
+        k0 = (N - (ni**2).sum() / N) / (k - 1)
+        icc = (msb - msw) / (msb + (k0 - 1) * msw)
+        assert got["msb"] == pytest.approx(msb, abs=1e-4)
+        assert got["msw"] == pytest.approx(msw, abs=1e-4)
+        assert got["icc1"] == pytest.approx(icc, abs=1e-5)
+
+    def test_icc_single_group_null(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import icc_oneway
+
+        df = spark.createDataFrame(
+            [(1, float(i)) for i in range(10)], "g int, v double"
+        )
+        got = icc_oneway(df, "g", "v").collect()[0]
+        assert got["k"] == 1 and got["icc1"] is None
