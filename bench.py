@@ -263,6 +263,11 @@ HEADLINE = [
     "fisher_exact",
     "wilcoxon_signed_rank",
     "sign_test",
+    "partial_correlation",
+    "lins_ccc",
+    "icc_oneway",
+    "adf_test",
+    "kpss_test",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

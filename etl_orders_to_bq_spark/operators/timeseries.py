@@ -2276,3 +2276,191 @@ def lb_keogh_pairs(
             "lb_dist"
         ),
     ).orderBy("key_a", "key_b")
+
+
+def adf_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test on the DAILY sum series of
+    ``value_col`` (Dickey & Fuller 1979, public literature; the
+    lag-0 "ADF(0)" regression):
+
+        dy_t = alpha + beta * y_{t-1} + e_t
+
+    A clearly negative t(beta) rejects the unit root — the
+    stationarity check a forecasting pipeline runs before trusting
+    differenced models. Statistic-only output (the DF distribution is
+    nonstandard — no portable CDF; the r13 convention shared with
+    anova_oneway / bartlett).
+
+    Exactness: daily sums are exact decimal(18,2) cents collapsed to
+    integer cents longs; day indexing uses the scalable
+    ``ranking.global_row_number`` (range shuffle, no single-partition
+    window); the lag join is an equi-join on idx-1. All OLS moments
+    (sums of cents and cents-products) are exact decimal(38,0);
+    beta, RSS and the t-statistic are fixed-order double expressions
+    over those exact integers, rounded once:
+
+        beta = Sxd / Sxx,  RSS = Sdd - beta * Sxd,
+        t    = beta / sqrt((RSS / (n - 2)) / Sxx)
+
+    Output: one row ``(n, beta, t_stat)`` where n counts (lag,
+    diff) pairs; n < 3 or a constant lag series yields NULLs.
+
+    Scale: one date groupBy (map-side combinable, calendar-bounded
+    output), one range shuffle for the index, one self-equi-join on
+    the index, one 1-row agg.
+    """
+    from .ranking import global_row_number
+
+    cents = F.sum(
+        F.col(value_col).cast("decimal(18,2)")
+    ).cast("decimal(18,2)") * 100
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(cents.cast("long").alias("__y"))
+    )
+    idx = global_row_number(
+        daily, ["__d"], num_partitions=num_partitions, out_col="__i"
+    )
+    nxt = idx.select(
+        (F.col("__i") - 1).alias("__i"), F.col("__y").alias("__y1")
+    )
+    pairs = idx.join(nxt, "__i").select(
+        F.col("__y").alias("__x"),
+        (F.col("__y1") - F.col("__y")).alias("__dy"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(dec(F.col("__x"))), F.lit(0).cast("decimal(38,0)")).alias("__sx"),
+        F.coalesce(F.sum(dec(F.col("__dy"))), F.lit(0).cast("decimal(38,0)")).alias("__sd"),
+        F.coalesce(
+            F.sum(dec(F.col("__x")) * dec(F.col("__x"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__sxx"),
+        F.coalesce(
+            F.sum(dec(F.col("__dy")) * dec(F.col("__dy"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__sdd"),
+        F.coalesce(
+            F.sum(dec(F.col("__x")) * dec(F.col("__dy"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__sxd"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxx_c = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    sxd_c = (nd * F.col("__sxd") - F.col("__sx") * F.col("__sd")).cast(
+        "double"
+    )
+    sdd_c = (nd * F.col("__sdd") - F.col("__sd") * F.col("__sd")).cast(
+        "double"
+    )
+    nn = F.col("n").cast("double")
+    # centered moments carry the shared n factor; it cancels in beta
+    # and scales RSS by n (divided back out in the variance)
+    beta = F.when((F.col("n") > 2) & (sxx_c > 0), sxd_c / sxx_c)
+    rss_n = sdd_c - beta * sxd_c  # = n * RSS (the shared n factor)
+    t = F.when(
+        beta.isNotNull() & (rss_n > 0),
+        beta / F.sqrt(rss_n / (nn - F.lit(2.0)) / sxx_c),
+    )
+    return agg.select(
+        "n",
+        F.round(beta, ndigits).alias("beta"),
+        F.round(t, ndigits).alias("t_stat"),
+    )
+
+
+def kpss_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """KPSS level-stationarity statistic on the DAILY sum series of
+    ``value_col`` (Kwiatkowski, Phillips, Schmidt & Shin 1992, public
+    literature; the lag-0 short-run variance variant):
+
+        eta = sum_t S_t^2 / (n^2 * sigma2),  S_t = sum_{i<=t} e_i,
+        e_i = y_i - mean(y),  sigma2 = sum(e^2) / n
+
+    Large eta rejects stationarity — the complement to ``adf_test``
+    (KPSS's null IS stationarity). Statistic-only output (nonstandard
+    distribution, fixed critical values in the literature).
+
+    Exactness — the whole statistic is ONE division of exact
+    integers: residuals are scaled by n (e'_i = n*y_i - S with S the
+    exact cents total, an exact integer), partial sums of e' come
+    from the scalable ``ranking.global_cumsum_before``, and
+
+        eta = sum(S'_t^2) / (n * sum(e'^2))
+
+    (the n-scaling contributes n^2 to both numerator and denominator
+    sums; the leftover factor is exactly n). Degenerate zero variance
+    yields NULL.
+
+    Output: one row ``(n, kpss_stat)``.
+
+    Scale: one date groupBy, one bounded-collect total, one range
+    shuffle for the cumsum, one 1-row agg.
+    """
+    from .ranking import global_cumsum_before
+
+    cents = F.sum(
+        F.col(value_col).cast("decimal(18,2)")
+    ).cast("decimal(18,2)") * 100
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(cents.cast("long").alias("__y"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.coalesce(F.sum("__y"), F.lit(0)).cast("long").alias("__s"),
+    )
+    scaled = daily.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        (F.col("__y") * F.col("__n") - F.col("__s")).alias("__e"),
+        "__n",
+    )
+    cum = global_cumsum_before(
+        scaled, ["__d"], "__e", num_partitions=num_partitions,
+        out_col="__sb",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.select(
+        "__n",
+        (F.col("__sb") + F.col("__e")).alias("__st"),
+        "__e",
+    ).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(dec(F.col("__st")) * dec(F.col("__st"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ssq"),
+        F.coalesce(
+            F.sum(dec(F.col("__e")) * dec(F.col("__e"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__esq"),
+    )
+    eta = F.when(
+        (F.col("n") > 0) & (F.col("__esq").cast("double") > 0),
+        F.round(
+            F.col("__ssq").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("__esq").cast("double")
+            ),
+            ndigits,
+        ),
+    )
+    return agg.select("n", eta.alias("kpss_stat"))

@@ -1144,3 +1144,93 @@ class TestAssocMeasures:
         )
         got = icc_oneway(df, "g", "v").collect()[0]
         assert got["k"] == 1 and got["icc1"] is None
+
+
+class TestUnitRoot:
+    @staticmethod
+    def _series():
+        import datetime
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        n = 300
+        y = np.zeros(n)
+        for i in range(1, n):
+            y[i] = 0.5 * y[i - 1] + rng.normal(0, 1)
+        y = np.round(y + 10, 2)
+        base = datetime.datetime(2020, 1, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), float(v))
+            for i, v in enumerate(y)
+        ]
+        return rows, y
+
+    def test_adf_matches_ols(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import adf_test
+
+        rows, y = self._series()
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        got = adf_test(df, "ts", "v").collect()[0]
+        yc = np.round(y * 100).astype(np.int64).astype(float)
+        x, d = yc[:-1], np.diff(yc)
+        nn = len(x)
+        sxx = nn * np.sum(x * x) - np.sum(x) ** 2
+        sxd = nn * np.sum(x * d) - np.sum(x) * np.sum(d)
+        sdd = nn * np.sum(d * d) - np.sum(d) ** 2
+        beta = sxd / sxx
+        t = beta / np.sqrt((sdd - beta * sxd) / (nn - 2) / sxx)
+        assert got["n"] == nn
+        assert got["beta"] == pytest.approx(beta, abs=1e-6)
+        assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+        # stationary AR(1): strongly negative t
+        assert got["t_stat"] < -5
+
+    def test_adf_random_walk_near_zero(self, spark):
+        import datetime
+
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import adf_test
+
+        rng = np.random.RandomState(11)
+        y = np.round(np.cumsum(rng.normal(0, 1, 300)) + 100, 2)
+        base = datetime.datetime(2020, 1, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), float(v))
+            for i, v in enumerate(y)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        got = adf_test(df, "ts", "v").collect()[0]
+        # unit root: t stays above the 1% DF critical value (-3.46)
+        assert got["t_stat"] > -3.46
+
+    def test_kpss_matches_definition(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import kpss_test
+
+        rows, y = self._series()
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        got = kpss_test(df, "ts", "v").collect()[0]
+        yc = np.round(y * 100).astype(np.int64).astype(float)
+        e = yc - yc.mean()
+        S = np.cumsum(e)
+        eta = np.sum(S**2) / (len(yc) * np.sum(e**2))
+        assert got["n"] == len(yc)
+        assert got["kpss_stat"] == pytest.approx(eta, abs=1e-6)
+
+    def test_kpss_constant_series_null(self, spark):
+        import datetime
+
+        from etl_orders_to_bq_spark.operators.timeseries import kpss_test
+
+        base = datetime.datetime(2020, 1, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), 5.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        got = kpss_test(df, "ts", "v").collect()[0]
+        assert got["kpss_stat"] is None
