@@ -268,6 +268,7 @@ HEADLINE = [
     "icc_oneway",
     "adf_test",
     "kpss_test",
+    "dtw_distance",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

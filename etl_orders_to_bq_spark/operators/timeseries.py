@@ -2464,3 +2464,189 @@ def kpss_test(
         ),
     )
     return agg.select("n", eta.alias("kpss_stat"))
+
+
+_DTW_INF = 4_000_000_000_000_000_000  # > any reachable path cost
+
+
+def dtw_distance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_segments: int = 16,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Dynamic-time-warping distance between every ordered pair of
+    keys' z-normalized daily series (Sakoe & Chiba 1978; the
+    PAA-compressed form of Keogh & Pazzani 2000 — public literature):
+    each series is reduced to ``n_segments`` equal-count segment
+    means, z-normalized, and the classic DP
+
+        D(i,j) = c_ij + min(D(i-1,j), D(i,j-1), D(i-1,j-1))
+
+    is evaluated with squared-difference costs; the reported distance
+    is sqrt(D(m,m)). The exact companion to ``lb_keogh_pairs`` (the
+    lower bound prunes; this ranks the survivors).
+
+    Exactness — the WHOLE DP is integer min-plus arithmetic:
+    z-normalized segment means quantize to 1e-6 micro-longs (mu/sigma
+    are fixed-order doubles over exact decimal cents moments; the
+    segment mean is ONE double division of exact integers — identical
+    in every engine), costs are exact integer squares, and each DP
+    row is a min-plus expression over longs (sentinel 4e18 stands in
+    for +inf; reachable path costs stay < 5e15 by the |z| <= ~30
+    envelope, so the sentinel never collides). No float accumulates
+    across data-dependent order anywhere.
+
+    The row recurrence is evaluated WITHOUT sequential dependence via
+    the min-plus prefix identity (the warping path enters row i at
+    some column l then runs right):
+
+        D(i,j) = min_{l<=j} [ prefC(j) - prefC(l-1)
+                              + min(D(i-1,l), D(i-1,l-1)) ]
+
+    — O(m^2) per row but closed-form per element, so the m DP rows
+    unroll as m array-transform projections (the hilbert/with_p_value
+    staging discipline; NO per-row Python, NO iterative driver loop).
+
+    Keys with fewer than ``n_segments`` days or zero variance are
+    dropped (z undefined / segments empty). Key domain bounded by
+    contract (the sax_mindist / lb_keogh convention).
+
+    Output: one row per ordered pair ``(key_a, key_b, dtw)``.
+
+    Scale: one (key, day) groupBy; per-key windows partition by key;
+    the pair stage is a broadcast-class product of the bounded key
+    domain; the DP runs in ONE projection chain over |keys|^2 rows
+    with m+1-element long arrays — no shuffle inside the DP.
+    """
+    m = int(n_segments)
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    dec = F.col(value_col).cast("decimal(18,2)")
+    daily = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).groupBy(F.col(key_col).alias("__k"), day).agg(
+        (F.sum(dec).cast("decimal(28,2)") * 100)
+        .cast("long")
+        .alias("__c")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.groupBy("__k").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(d38(F.col("__c"))).alias("__s"),
+        F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__ss"),
+    ).filter(
+        (F.col("__n") >= m)
+        & (
+            (
+                d38(F.col("__n")) * F.col("__ss")
+                - F.col("__s") * F.col("__s")
+            ).cast("double")
+            > 0
+        )
+    )
+    wrank = Window.partitionBy("__k").orderBy("__d")
+    ranked = daily.join(stats, "__k").select(
+        "__k", "__c", "__n", "__s", "__ss",
+        (F.row_number().over(wrank) - 1).cast("long").alias("__r"),
+    )
+    seg = ranked.select(
+        "__k", "__n", "__s", "__ss",
+        F.expr(f"(__r * {m}) div __n").cast("int").alias("__g"),
+        "__c",
+    ).groupBy("__k", "__g", "__n", "__s", "__ss").agg(
+        F.sum("__c").cast("long").alias("__sg"),
+        F.count("*").cast("long").alias("__kg"),
+    )
+    nn = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nn
+    var = (
+        d38(F.col("__n")) * F.col("__ss") - F.col("__s") * F.col("__s")
+    ).cast("double") / (nn * nn)
+    zseg = (
+        F.col("__sg").cast("double") / F.col("__kg").cast("double") - mu
+    ) / F.sqrt(var)
+    qseg = seg.select(
+        "__k", "__g",
+        F.round(zseg * 1e6, 0).cast("long").alias("__q"),
+    )
+    arrs = qseg.groupBy("__k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__g", "__q"))),
+            lambda s: s["__q"],
+        ).alias("__arr")
+    )
+    rhs = arrs.select(
+        F.col("__k").alias("__k2"), F.col("__arr").alias("__b")
+    )
+    pairs = (
+        arrs.select(F.col("__k").alias("__k1"), F.col("__arr").alias("__a"))
+        .join(F.broadcast(rhs), F.col("__k1") < F.col("__k2"))
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.array_repeat(inf, m),
+    )
+    dp = pairs.withColumn("__dp", init)
+    for i in range(1, m + 1):
+        ai = F.element_at(F.col("__a"), i)
+        c = F.transform(F.col("__b"), lambda x: (ai - x) * (ai - x))
+        dp = dp.withColumn("__c", c).withColumn(
+            "__pc",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda j: F.aggregate(
+                    F.slice(F.col("__c"), F.lit(1), j),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ).withColumn(
+            "__en",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda l: F.least(
+                    F.element_at(F.col("__dp"), (l + 1).cast("int")),
+                    F.element_at(F.col("__dp"), l.cast("int")),
+                ),
+            ),
+        ).withColumn(
+            "__dp",
+            F.concat(
+                F.array(inf),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(F.lit(1), j),
+                            lambda l: F.element_at(
+                                F.col("__pc"), j.cast("int")
+                            )
+                            - F.when(
+                                l == 1, F.lit(0).cast("long")
+                            ).otherwise(
+                                F.element_at(
+                                    F.col("__pc"), (l - 1).cast("int")
+                                )
+                            )
+                            + F.element_at(F.col("__en"), l.cast("int")),
+                        )
+                    ),
+                ),
+            ),
+        )
+    return dp.select(
+        F.col("__k1").alias("key_a"),
+        F.col("__k2").alias("key_b"),
+        F.round(
+            F.sqrt(
+                F.element_at(F.col("__dp"), m + 1).cast("double")
+            )
+            / 1e6,
+            ndigits,
+        ).alias("dtw"),
+    ).orderBy("key_a", "key_b")

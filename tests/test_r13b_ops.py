@@ -1234,3 +1234,122 @@ class TestUnitRoot:
         df = spark.createDataFrame(rows, "ts timestamp, v double")
         got = kpss_test(df, "ts", "v").collect()[0]
         assert got["kpss_stat"] is None
+
+
+class TestDtwDistance:
+    @staticmethod
+    def _mk(series):
+        import datetime
+
+        base = datetime.datetime(2020, 1, 1)
+        rows = []
+        for k, v in series.items():
+            rows += [
+                (k, base + datetime.timedelta(days=int(i)), float(x))
+                for i, x in enumerate(v)
+            ]
+        return rows
+
+    @staticmethod
+    def _ref_arr(v, m=16):
+        import numpy as np
+
+        c = np.round(np.asarray(v) * 100).astype(np.int64)
+        n = len(c)
+        s, ss = int(c.sum()), int((c.astype(object) ** 2).sum())
+        mu, var = s / n, (n * ss - s * s) / (n * n)
+        out = []
+        for g in range(m):
+            idx = [i for i in range(n) if (i * m) // n == g]
+            z = (int(c[idx].sum()) / len(idx) - mu) / var**0.5
+            out.append(
+                int(
+                    np.copysign(np.floor(abs(z * 1e6) + 0.5), z * 1e6)
+                )
+            )
+        return out
+
+    @staticmethod
+    def _ref_dtw(a, b):
+        m = len(a)
+        inf = float("inf")
+        dp = [[inf] * (m + 1) for _ in range(m + 1)]
+        dp[0][0] = 0
+        for i in range(1, m + 1):
+            for j in range(1, m + 1):
+                cst = (a[i - 1] - b[j - 1]) ** 2
+                dp[i][j] = cst + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                )
+        return (dp[m][m] ** 0.5) / 1e6
+
+    def test_matches_full_dp(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            dtw_distance,
+        )
+
+        rng = np.random.RandomState(5)
+        t = np.arange(64)
+        series = {
+            "sine": np.round(
+                100 + 10 * np.sin(2 * np.pi * t / 16)
+                + rng.normal(0, 0.5, 64), 2
+            ),
+            "shift": np.round(
+                100 + 10 * np.sin(2 * np.pi * (t - 3) / 16)
+                + rng.normal(0, 0.5, 64), 2
+            ),
+            "ramp": np.round(50 + 2.0 * t + rng.normal(0, 0.5, 64), 2),
+        }
+        df = spark.createDataFrame(
+            self._mk(series), "k string, ts timestamp, v double"
+        )
+        got = {
+            (r["key_a"], r["key_b"]): r["dtw"]
+            for r in dtw_distance(df, "k", "ts", "v").collect()
+        }
+        arrs = {k: self._ref_arr(v) for k, v in series.items()}
+        import itertools
+
+        for ka, kb in itertools.combinations(sorted(series), 2):
+            ref = round(self._ref_dtw(arrs[ka], arrs[kb]), 6)
+            assert got[(ka, kb)] == pytest.approx(ref, abs=1e-6), (
+                ka, kb,
+            )
+        # a time-shifted copy warps closer than a different shape
+        assert got[("shift", "sine")] < got[("ramp", "sine")]
+
+    def test_identical_series_zero(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            dtw_distance,
+        )
+
+        v = np.round(np.sin(np.arange(32)) * 10 + 50, 2)
+        series = {"a": v, "b": v}
+        df = spark.createDataFrame(
+            self._mk(series), "k string, ts timestamp, v double"
+        )
+        got = dtw_distance(df, "k", "ts", "v").collect()
+        assert len(got) == 1 and got[0]["dtw"] == 0.0
+
+    def test_short_or_constant_series_dropped(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            dtw_distance,
+        )
+
+        series = {
+            "ok": np.round(np.sin(np.arange(32)) * 10 + 50, 2),
+            "short": np.arange(5, dtype=float),
+            "const": np.full(32, 7.0),
+        }
+        df = spark.createDataFrame(
+            self._mk(series), "k string, ts timestamp, v double"
+        )
+        got = dtw_distance(df, "k", "ts", "v").collect()
+        assert got == []
