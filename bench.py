@@ -269,6 +269,7 @@ HEADLINE = [
     "adf_test",
     "kpss_test",
     "dtw_distance",
+    "logistic_irls",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -1104,3 +1104,154 @@ def krippendorff_alpha(
             ),
         ).alias("alpha"),
     )
+
+
+def _det3_f(m: list[list[float]]) -> float:
+    """3x3 determinant, FIXED expansion order — this exact op order is
+    mirrored textually in the logistic_irls oracle SQL; do not
+    'simplify' one side without the other."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _round6_half_away(x: float) -> float:
+    """Half-away 6dp rounding of a double (the pacf_durbin driver-side
+    discipline — Python round() is half-to-even and would diverge from
+    both engines' SQL round)."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def logistic_irls(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col,
+    iterations: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distributed logistic-regression fit ``P(y=1) = sigmoid(b0 +
+    b1*x1 + b2*x2)`` by iteratively reweighted least squares /
+    Newton-Raphson (public literature; the classic GLM fit) — the
+    TRAINING side of the hashed quality classifier this module
+    otherwise only scores with.
+
+    Per iteration the corpus is touched ONCE: a 9-sum aggregate
+    (map-side combinable) of the weighted Gram matrix X'WX and
+    gradient X'(y - p), followed by a bounded 1-row driver collect and
+    a 3x3 Cramer solve (the lloyd_kmeans / ridge_normal
+    bounded-collect discipline). Nothing downstream of the scan grows
+    with the data.
+
+    Cross-engine determinism (the lloyd round-the-state recipe):
+    - p comes from the engine's deterministic staged exp
+      (``with_det_exp``): eta outside +-64 clamps p to exact 0/1
+      (w = 0 — those rows contribute nothing, mirroring the Taylor
+      convergence region);
+    - every per-row term (w, w*x, w*x*x, (y-p), (y-p)*x) quantizes to
+      1e-6 micro-longs and sums as exact decimal(38,0) — order-free;
+    - the Newton step solves in fixed-order double arithmetic over
+      those exact integers (``_det3_f``'s expansion order is mirrored
+      textually in the oracle), and the updated coefficients ROUND
+      half-away to 6dp before the next iteration — the inter-round
+      state is snapped to shared literals, so an external engine
+      replays the whole fit exactly (unrolled CTEs), not just the
+      final score.
+
+    A singular / non-finite Newton system stops the iteration early
+    (coefficients keep their last value — documented contract).
+
+    Output: one row ``(n_rows, iters_run, b0, b1, b2)``.
+    """
+    y = (
+        F.col(label_col).cast("double")
+        if isinstance(label_col, str)
+        else label_col.cast("double")
+    )
+    base = df.filter(
+        F.col(x1_col).isNotNull() & F.col(x2_col).isNotNull()
+    ).select(
+        y.alias("__y"),
+        F.col(x1_col).cast("double").alias("__x1"),
+        F.col(x2_col).cast("double").alias("__x2"),
+    ).filter(F.col("__y").isNotNull())
+    from .multitest import with_det_exp
+
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = [0.0, 0.0, 0.0]
+    n_rows = None
+    iters_run = 0
+    for _ in range(int(iterations)):
+        eta = (
+            F.lit(b[0])
+            + F.lit(b[1]) * F.col("__x1")
+            + F.lit(b[2]) * F.col("__x2")
+        )
+        cur = base.withColumn("__eta", eta).withColumn(
+            "__yc", F.greatest(F.lit(-64.0), -F.abs(F.col("__eta")))
+        )
+        cur = with_det_exp(cur, "__yc", "__ex")
+        p = (
+            F.when(F.col("__eta") > 64.0, F.lit(1.0))
+            .when(F.col("__eta") < -64.0, F.lit(0.0))
+            .otherwise(
+                F.when(
+                    F.col("__eta") >= 0.0,
+                    F.lit(1.0) / (F.lit(1.0) + F.col("__ex")),
+                ).otherwise(
+                    F.col("__ex") / (F.lit(1.0) + F.col("__ex"))
+                )
+            )
+        )
+        cur = cur.withColumn("__p", p).withColumn(
+            "__w", F.col("__p") * (F.lit(1.0) - F.col("__p"))
+        ).withColumn("__r", F.col("__y") - F.col("__p"))
+
+        def q(expr):
+            return F.round(expr * F.lit(1e6), 0).cast("long")
+
+        w, x1c, x2c, r = (
+            F.col("__w"), F.col("__x1"), F.col("__x2"), F.col("__r"),
+        )
+        row = cur.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum(dec38(q(w))), F.lit(0).cast("decimal(38,0)")).alias("sww"),
+            F.coalesce(F.sum(dec38(q(w * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sw1"),
+            F.coalesce(F.sum(dec38(q(w * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw2"),
+            F.coalesce(F.sum(dec38(q(w * x1c * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sw11"),
+            F.coalesce(F.sum(dec38(q(w * x1c * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw12"),
+            F.coalesce(F.sum(dec38(q(w * x2c * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw22"),
+            F.coalesce(F.sum(dec38(q(r))), F.lit(0).cast("decimal(38,0)")).alias("sr"),
+            F.coalesce(F.sum(dec38(q(r * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sr1"),
+            F.coalesce(F.sum(dec38(q(r * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sr2"),
+        ).first()
+        n_rows = int(row["n"])
+        h = [
+            [float(row["sww"]), float(row["sw1"]), float(row["sw2"])],
+            [float(row["sw1"]), float(row["sw11"]), float(row["sw12"])],
+            [float(row["sw2"]), float(row["sw12"]), float(row["sw22"])],
+        ]
+        g = [float(row["sr"]), float(row["sr1"]), float(row["sr2"])]
+        det = _det3_f(h)
+        if det == 0.0 or not math.isfinite(det):
+            break
+        deltas = []
+        for j in range(3):
+            m = [
+                [g[i] if k == j else h[i][k] for k in range(3)]
+                for i in range(3)
+            ]
+            deltas.append(_det3_f(m) / det)
+        if not all(math.isfinite(d) for d in deltas):
+            break
+        b = [_round6_half_away(b[j] + deltas[j]) for j in range(3)]
+        iters_run += 1
+    if n_rows is None:
+        n_rows = base.count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_rows, iters_run, b[0], b[1], b[2])],
+        "n_rows long, iters_run long, b0 double, b1 double, b2 double",
+    )

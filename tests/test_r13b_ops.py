@@ -1353,3 +1353,64 @@ class TestDtwDistance:
         )
         got = dtw_distance(df, "k", "ts", "v").collect()
         assert got == []
+
+
+class TestLogisticIrls:
+    def test_recovers_mle(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.classifier import (
+            logistic_irls,
+        )
+
+        rng = np.random.RandomState(9)
+        n = 2000
+        x1 = np.round(rng.uniform(-2, 2, n), 4)
+        x2 = np.round(rng.uniform(-2, 2, n), 4)
+        p = 1 / (1 + np.exp(-(0.5 + 1.2 * x1 - 0.8 * x2)))
+        yv = (rng.uniform(0, 1, n) < p).astype(int)
+        df = spark.createDataFrame(
+            [(int(a), float(b), float(c)) for a, b, c in zip(yv, x1, x2)],
+            "y int, x1 double, x2 double",
+        )
+        got = logistic_irls(df, "x1", "x2", "y", iterations=8).collect()[0]
+        # converged numpy IRLS reference (float, 25 iterations)
+        X = np.column_stack([np.ones(n), x1, x2])
+        b = np.zeros(3)
+        for _ in range(25):
+            e = X @ b
+            pp = 1 / (1 + np.exp(-e))
+            H = (X * (pp * (1 - pp))[:, None]).T @ X
+            b = b + np.linalg.solve(H, X.T @ (yv - pp))
+        assert got["iters_run"] == 8
+        assert got["b0"] == pytest.approx(b[0], abs=2e-5)
+        assert got["b1"] == pytest.approx(b[1], abs=2e-5)
+        assert got["b2"] == pytest.approx(b[2], abs=2e-5)
+
+    def test_separable_data_does_not_crash(self, spark):
+        from etl_orders_to_bq_spark.operators.classifier import (
+            logistic_irls,
+        )
+
+        # perfectly separable in x1: coefficients diverge but every
+        # step stays finite through the clamped-p region (x2 carries
+        # unrelated variation so the Gram matrix stays regular)
+        rows = [
+            (0, float(i), 0.1 * (i % 3)) for i in range(-10, 0)
+        ] + [(1, float(i), 0.1 * (i % 3)) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+        got = logistic_irls(df, "x1", "x2", "y", iterations=4).collect()[0]
+        assert got["n_rows"] == 20
+        assert got["b1"] is not None and got["b1"] > 0
+
+    def test_constant_feature_degenerate_stops(self, spark):
+        from etl_orders_to_bq_spark.operators.classifier import (
+            logistic_irls,
+        )
+
+        # x2 constant 0 -> singular Gram -> det == 0 -> early stop
+        rows = [(i % 2, 1.0, 0.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+        got = logistic_irls(df, "x1", "x2", "y", iterations=4).collect()[0]
+        assert got["iters_run"] == 0
+        assert (got["b0"], got["b1"], got["b2"]) == (0.0, 0.0, 0.0)
