@@ -270,6 +270,7 @@ HEADLINE = [
     "kpss_test",
     "dtw_distance",
     "logistic_irls",
+    "closeness_centrality",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

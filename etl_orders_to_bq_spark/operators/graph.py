@@ -1876,3 +1876,122 @@ def personalized_pagerank(
             )
         ranks = new_ranks
     return ranks.select("id", "rank")
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    k_sources: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_hops: int = 8,
+    checkpoint_path: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact closeness and harmonic centrality of the ``k_sources``
+    highest-degree nodes (Bavelas 1950 closeness; Marchiori & Latora
+    2000 harmonic — public literature), via ONE multi-source BFS:
+
+        closeness(s) = n_reached / sum(dist),
+        harmonic(s)  = sum(1 / dist)
+
+    over nodes within ``max_hops`` of s (dist > 0). All-pairs
+    closeness is quadratic; the standard scalable form computes it
+    exactly for a deterministic source set — here the top-k by
+    (degree desc, node asc), a bounded model-sized driver read (the
+    IVF probe discipline).
+
+    The BFS carries (source, node, dist) frontiers — the
+    ``shortest_paths`` Pregel shape lifted to k simultaneous sources:
+    per hop one frontier-to-edges join + one anti-join against the
+    visited set, rounds staged, early exit on an empty frontier.
+
+    Exactness: distances are integers; harmonic sums are EXACT — each
+    term is L div dist with L = lcm(1..max_hops) (every hop count
+    divides L), summed as longs, divided by L once. closeness is one
+    integer/integer division. No float accumulates in data order.
+
+    Output: one row per source ``(node, n_reached, closeness,
+    harmonic)``, ordered by node; sources reaching nothing emit NULL
+    ratios.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = stage(
+        e.filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        ).distinct(),
+        checkpoint_path,
+        "cc_edges",
+    )
+    deg = (
+        e.groupBy("a")
+        .agg(F.count("*").alias("__deg"))
+        .orderBy(F.col("__deg").desc(), F.col("a").asc())
+        .limit(int(k_sources))
+    )
+    srcs = [int(r["a"]) for r in deg.collect()]  # bounded: k rows
+    spark = edges.sparkSession
+    frontier = stage(
+        spark.createDataFrame(
+            [(s, s, 0) for s in srcs], "s long, node long, dist int"
+        ),
+        checkpoint_path,
+        "cc_f0",
+    )
+    visited = frontier
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.a)
+            .select("s", F.col("b").alias("node"))
+            .distinct()
+            .join(
+                visited.select("s", "node"), ["s", "node"], "left_anti"
+            )
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = stage(nxt, checkpoint_path, f"cc_f{hop}")
+        if nxt.limit(1).count() == 0:
+            break
+        visited = stage(
+            visited.unionByName(nxt), checkpoint_path, f"cc_v{hop}"
+        )
+        frontier = nxt
+    lcm = 1
+    for d in range(2, int(max_hops) + 1):
+        g, a_, b_ = d, lcm, d
+        while b_:
+            a_, b_ = b_, a_ % b_
+        lcm = lcm * d // a_
+    per = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.col("dist").cast("long")).alias("__sd"),
+            F.sum(F.expr(f"{lcm} div cast(dist as long)")).alias("__h"),
+        )
+    )
+    base = spark.createDataFrame([(s,) for s in srcs], "s long")
+    out = base.join(per, "s", "left")
+    return out.select(
+        F.col("s").alias("node"),
+        F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
+        F.when(
+            F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+            F.round(
+                F.col("n_reached").cast("double")
+                / F.col("__sd").cast("double"),
+                ndigits,
+            ),
+        ).alias("closeness"),
+        F.when(
+            F.col("__h").isNotNull(),
+            F.round(F.col("__h").cast("double") / F.lit(float(lcm)), ndigits),
+        ).alias("harmonic"),
+    ).orderBy("node")

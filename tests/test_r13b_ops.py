@@ -1414,3 +1414,65 @@ class TestLogisticIrls:
         got = logistic_irls(df, "x1", "x2", "y", iterations=4).collect()[0]
         assert got["iters_run"] == 0
         assert (got["b0"], got["b1"], got["b2"]) == (0.0, 0.0, 0.0)
+
+
+class TestClosenessCentrality:
+    def test_hub_and_path(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            closeness_centrality,
+        )
+
+        edges = [
+            (0, 1), (1, 2), (2, 3), (3, 4),
+            (5, 0), (5, 1), (5, 2), (5, 3), (5, 4),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r
+            for r in closeness_centrality(df, k_sources=3).collect()
+        }
+        # top-3 by (degree desc, node asc): hub 5 (deg 5), then 1, 2
+        assert set(got) == {5, 1, 2}
+        assert got[5]["closeness"] == 1.0 and got[5]["harmonic"] == 5.0
+        assert got[1]["closeness"] == pytest.approx(5 / 7, abs=1e-6)
+        assert got[1]["harmonic"] == 4.0
+
+    def test_disconnected_component(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            closeness_centrality,
+        )
+
+        edges = [(0, 1), (0, 2), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r
+            for r in closeness_centrality(df, k_sources=2).collect()
+        }
+        # node 0 (deg 2) and then node 1 (deg 1, lowest id tie-break)
+        assert set(got) == {0, 1}
+        # node 0 reaches only its component: 1, 2 at dist 1
+        assert got[0]["n_reached"] == 2
+        assert got[0]["closeness"] == 1.0
+
+    def test_max_hops_truncates(self, spark):
+        from etl_orders_to_bq_spark.operators.graph import (
+            closeness_centrality,
+        )
+
+        edges = [(i, i + 1) for i in range(6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r
+            for r in closeness_centrality(
+                df, k_sources=1, max_hops=2
+            ).collect()
+        }
+        # chain 0-1-2-3-4-5-6; top degree node 1 (deg 2, lowest id);
+        # within 2 hops of 1: 0,2 at 1; 3 at 2  -> plus 6? no
+        (node,) = got
+        r = got[node]
+        assert r["n_reached"] == sum(
+            1
+            for d in [abs(x - node) for x in range(7) if x != node]
+            if d <= 2
+        )
