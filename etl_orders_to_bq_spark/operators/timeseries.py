@@ -2650,3 +2650,113 @@ def dtw_distance(
             ndigits,
         ).alias("dtw"),
     ).orderBy("key_a", "key_b")
+
+
+def granger_lag1(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    cause_key: str,
+    effect_key: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Lag-1 Granger causality F-statistic (Granger 1969, public
+    literature): does yesterday's ``cause_key`` daily series improve
+    the one-step forecast of ``effect_key`` beyond the effect's own
+    lag?
+
+        restricted: y_t = a + b*y_{t-1}
+        full:       y_t = a + b*y_{t-1} + c*x_{t-1}
+        F = (RSS0 - RSS1) / (RSS1 / (n - 3))
+
+    Statistic-only output (F distribution — the anova_oneway
+    convention). Days are the SHARED calendar days of both keys
+    (pairs-that-exist, the daily_metric_corr convention), indexed by
+    the scalable ``ranking.global_row_number``; the lag join is an
+    equi-join on idx-1.
+
+    Exactness: daily sums are exact integer cents; all centered
+    moments are n-scaled exact decimal(38,0) integers (the shared n
+    factor cancels inside F); the 2x2 solve, both RSS forms, and F
+    are fixed-order double expressions rounded once. n <= 3, a
+    singular Gram, or zero residual variance yield NULLs.
+
+    Output: one row ``(n, beta_ylag, beta_xlag, f_stat)``.
+
+    Scale: one (key, day) groupBy, one day-key join of the two
+    bounded daily series, one range shuffle for the index, one lag
+    equi-join, one 1-row agg.
+    """
+    from .ranking import global_row_number
+
+    day = F.to_date(F.col(ts_col)).alias("__d")
+    cents = (
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)") * 100
+    ).cast("long")
+    daily = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(key_col).isin([cause_key, effect_key])
+        )
+        .groupBy(F.col(key_col).alias("__k"), day)
+        .agg(cents.alias("__c"))
+    )
+    x = daily.filter(F.col("__k") == cause_key).select(
+        "__d", F.col("__c").alias("__x")
+    )
+    y = daily.filter(F.col("__k") == effect_key).select(
+        "__d", F.col("__c").alias("__yv")
+    )
+    both = y.join(x, "__d")
+    idx = global_row_number(
+        both, ["__d"], num_partitions=num_partitions, out_col="__i"
+    )
+    nxt = idx.select(
+        (F.col("__i") - 1).alias("__i"),
+        F.col("__yv").alias("__y1"),
+    )
+    rows = idx.join(nxt, "__i").select(
+        F.col("__y1").alias("__t"),   # y_t (next step's value)
+        F.col("__yv").alias("__yl"),  # y_{t-1}
+        F.col("__x").alias("__xl"),   # x_{t-1}
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z = F.lit(0).cast("decimal(38,0)")
+    agg = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(dec(F.col("__t"))), z).alias("__st"),
+        F.coalesce(F.sum(dec(F.col("__yl"))), z).alias("__s1"),
+        F.coalesce(F.sum(dec(F.col("__xl"))), z).alias("__s2"),
+        F.coalesce(F.sum(dec(F.col("__t")) * dec(F.col("__t"))), z).alias("__stt"),
+        F.coalesce(F.sum(dec(F.col("__yl")) * dec(F.col("__yl"))), z).alias("__s11"),
+        F.coalesce(F.sum(dec(F.col("__xl")) * dec(F.col("__xl"))), z).alias("__s22"),
+        F.coalesce(F.sum(dec(F.col("__yl")) * dec(F.col("__xl"))), z).alias("__s12"),
+        F.coalesce(F.sum(dec(F.col("__yl")) * dec(F.col("__t"))), z).alias("__s1t"),
+        F.coalesce(F.sum(dec(F.col("__xl")) * dec(F.col("__t"))), z).alias("__s2t"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    syy = (nd * F.col("__stt") - F.col("__st") * F.col("__st")).cast("double")
+    s11 = (nd * F.col("__s11") - F.col("__s1") * F.col("__s1")).cast("double")
+    s22 = (nd * F.col("__s22") - F.col("__s2") * F.col("__s2")).cast("double")
+    s12 = (nd * F.col("__s12") - F.col("__s1") * F.col("__s2")).cast("double")
+    s1t = (nd * F.col("__s1t") - F.col("__s1") * F.col("__st")).cast("double")
+    s2t = (nd * F.col("__s2t") - F.col("__s2") * F.col("__st")).cast("double")
+    det = s11 * s22 - s12 * s12
+    b = F.when((F.col("n") > 3) & (det > 0), (s1t * s22 - s12 * s2t) / det)
+    c = F.when((F.col("n") > 3) & (det > 0), (s11 * s2t - s12 * s1t) / det)
+    rss1 = syy - b * s1t - c * s2t
+    rss0 = F.when(s11 > 0, syy - (s1t / s11) * s1t)
+    fstat = F.when(
+        b.isNotNull() & rss0.isNotNull() & (rss1 > 0),
+        (rss0 - rss1) / (rss1 / (F.col("n").cast("double") - F.lit(3.0))),
+    )
+    return agg.select(
+        "n",
+        F.round(b, ndigits).alias("beta_ylag"),
+        F.round(c, ndigits).alias("beta_xlag"),
+        F.round(fstat, ndigits).alias("f_stat"),
+    )

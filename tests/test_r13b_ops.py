@@ -1476,3 +1476,66 @@ class TestClosenessCentrality:
             for d in [abs(x - node) for x in range(7) if x != node]
             if d <= 2
         )
+
+
+class TestGrangerLag1:
+    def test_causal_direction_detected(self, spark):
+        import datetime
+
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            granger_lag1,
+        )
+
+        rng = np.random.RandomState(13)
+        n = 200
+        x, y = np.zeros(n), np.zeros(n)
+        for i in range(1, n):
+            x[i] = 0.4 * x[i - 1] + rng.normal(0, 1)
+            y[i] = 0.3 * y[i - 1] + 0.6 * x[i - 1] + rng.normal(0, 1)
+        x, y = np.round(x + 50, 2), np.round(y + 50, 2)
+        base = datetime.datetime(2021, 1, 1)
+        rows = []
+        for i in range(n):
+            d = base + datetime.timedelta(days=i)
+            rows += [("xx", d, float(x[i])), ("yy", d, float(y[i]))]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        fwd = granger_lag1(df, "ts", "k", "v", "xx", "yy").collect()[0]
+        rev = granger_lag1(df, "ts", "k", "v", "yy", "xx").collect()[0]
+
+        # reference OLS on exact cents
+        xc, yc = np.round(x * 100), np.round(y * 100)
+        t, yl, xl = yc[1:], yc[:-1], xc[:-1]
+        nn = len(t)
+
+        def cm(a, b_):
+            return nn * np.sum(a * b_) - a.sum() * b_.sum()
+
+        syy, s11, s22 = cm(t, t), cm(yl, yl), cm(xl, xl)
+        s12, s1t, s2t = cm(yl, xl), cm(yl, t), cm(xl, t)
+        det = s11 * s22 - s12 * s12
+        b = (s1t * s22 - s12 * s2t) / det
+        c = (s11 * s2t - s12 * s1t) / det
+        rss1 = syy - b * s1t - c * s2t
+        f = (syy - (s1t / s11) * s1t - rss1) / (rss1 / (nn - 3))
+        assert fwd["beta_xlag"] == pytest.approx(c, abs=1e-6)
+        assert fwd["f_stat"] == pytest.approx(f, rel=1e-6)
+        # the true causal direction dominates
+        assert fwd["f_stat"] > 50 and rev["f_stat"] < 5
+
+    def test_too_short_null(self, spark):
+        import datetime
+
+        from etl_orders_to_bq_spark.operators.timeseries import (
+            granger_lag1,
+        )
+
+        base = datetime.datetime(2021, 1, 1)
+        rows = []
+        for i in range(3):
+            d = base + datetime.timedelta(days=i)
+            rows += [("a", d, float(i + 1)), ("b", d, float(2 * i + 1))]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = granger_lag1(df, "ts", "k", "v", "a", "b").collect()[0]
+        assert got["f_stat"] is None
