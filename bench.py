@@ -271,6 +271,8 @@ HEADLINE = [
     "dtw_distance",
     "logistic_irls",
     "closeness_centrality",
+    "granger_lag1",
+    "gmm_em",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -1539,3 +1539,41 @@ class TestGrangerLag1:
         df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
         got = granger_lag1(df, "ts", "k", "v", "a", "b").collect()[0]
         assert got["f_stat"] is None
+
+
+class TestGmmEm1d:
+    def test_recovers_bimodal_mixture(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.mixture import gmm_em_1d
+
+        rng = np.random.RandomState(21)
+        v = np.round(
+            np.concatenate(
+                [rng.normal(20, 3, 1500), rng.normal(80, 8, 500)]
+            ),
+            2,
+        )
+        df = spark.createDataFrame([(float(x),) for x in v], "v double")
+        got = gmm_em_1d(df, "v", rounds=6).collect()[0]
+        assert got["rounds_run"] == 6
+        assert got["weight_1"] == pytest.approx(0.75, abs=0.02)
+        assert got["mu_1"] == pytest.approx(20, abs=0.5)
+        assert got["sigma_1"] == pytest.approx(3, abs=0.3)
+        assert got["mu_2"] == pytest.approx(80, abs=1.0)
+        assert got["sigma_2"] == pytest.approx(8, abs=1.0)
+
+    def test_constant_input_freezes(self, spark):
+        from etl_orders_to_bq_spark.operators.mixture import gmm_em_1d
+
+        df = spark.createDataFrame([(5.0,)] * 50, "v double")
+        got = gmm_em_1d(df, "v", rounds=6).collect()[0]
+        assert got["rounds_run"] == 0
+        assert got["mu_1"] == 5.0 and got["sigma_1"] == 0.0
+
+    def test_empty_input_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.mixture import gmm_em_1d
+
+        df = spark.createDataFrame([], "v double")
+        got = gmm_em_1d(df, "v", rounds=6).collect()[0]
+        assert got["n"] == 0 and got["weight_1"] is None
