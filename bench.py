@@ -273,6 +273,7 @@ HEADLINE = [
     "closeness_centrality",
     "granger_lag1",
     "gmm_em",
+    "gamma_somers_d",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -1577,3 +1577,62 @@ class TestGmmEm1d:
         df = spark.createDataFrame([], "v double")
         got = gmm_em_1d(df, "v", rounds=6).collect()[0]
         assert got["n"] == 0 and got["weight_1"] is None
+
+
+class TestGammaSomersD:
+    def test_matches_pair_brute_force(self, spark):
+        import itertools
+
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.rankcorr import (
+            gamma_somers_d,
+        )
+
+        rng = np.random.RandomState(2)
+        x = rng.randint(1, 5, 300)
+        y = np.clip(x + rng.randint(-1, 2, 300), 0, 6)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(x, y)], "x int, y int"
+        )
+        got = gamma_somers_d(df, "x", "y").collect()[0]
+        C = D = Tx = Ty = 0
+        for (a, b), (c, d) in itertools.combinations(zip(x, y), 2):
+            if a == c and b == d:
+                continue
+            if a == c:
+                Tx += 1
+            elif b == d:
+                Ty += 1
+            elif (a < c) == (b < d):
+                C += 1
+            else:
+                D += 1
+        assert (got["concordant"], got["discordant"]) == (C, D)
+        assert (got["tied_x_only"], got["tied_y_only"]) == (Tx, Ty)
+        assert got["gamma"] == pytest.approx((C - D) / (C + D), abs=1e-6)
+        assert got["somers_dyx"] == pytest.approx(
+            (C - D) / (C + D + Ty), abs=1e-6
+        )
+
+    def test_perfect_order_gamma_one(self, spark):
+        from etl_orders_to_bq_spark.operators.rankcorr import (
+            gamma_somers_d,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "x int, y int"
+        )
+        got = gamma_somers_d(df, "x", "y").collect()[0]
+        assert got["gamma"] == 1.0 and got["somers_dyx"] == 1.0
+
+    def test_all_tied_null(self, spark):
+        from etl_orders_to_bq_spark.operators.rankcorr import (
+            gamma_somers_d,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1)] * 10, "x int, y int"
+        )
+        got = gamma_somers_d(df, "x", "y").collect()[0]
+        assert got["gamma"] is None and got["somers_dyx"] is None
