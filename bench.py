@@ -274,6 +274,8 @@ HEADLINE = [
     "granger_lag1",
     "gmm_em",
     "gamma_somers_d",
+    "effect_sizes",
+    "brier_decomposition",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

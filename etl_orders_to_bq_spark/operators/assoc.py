@@ -277,3 +277,221 @@ def icc_oneway(
         F.round(msw / F.lit(1e12), ndigits).alias("msw"),
         icc.alias("icc1"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Standardized two-group effect sizes (public literature):
+
+        cohen_d     = (mean_a - mean_b) / s_pooled         (Cohen 1969)
+        hedges_g    = cohen_d * (1 - 3/(4*(na+nb) - 9))    (Hedges 1981)
+        glass_delta = (mean_a - mean_b) / s_b              (Glass 1976)
+
+    with s_pooled^2 = ((na-1)*s_a^2 + (nb-1)*s_b^2) / (na+nb-2) over
+    SAMPLE variances — the practical-significance companion to this
+    module's tests (a tiny p on 10^8 rows says nothing about size).
+
+    Exactness: per-group micro-grid integer moments (n, s, ss) are
+    exact decimal(38,0); each variance and every ratio is one
+    fixed-order double expression over those integers, rounded once.
+    Sample variance uses the n-scaled identity
+    s^2 = (n*ss - s*s) / (n * (n-1)). Degenerate inputs (a group
+    with n < 2, zero pooled variance, zero s_b) yield NULL for the
+    affected statistic only.
+
+    Output: one row ``(n_a, n_b, cohen_d, hedges_g, glass_delta)``.
+
+    Scale: one filter + one global conditional agg — map-side
+    combinable, no joins, no windows.
+    """
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), _micro(value_col).alias("__v")
+    )
+    isa = F.col("__g") == group_a
+    z38 = F.lit(0).cast("decimal(38,0)")
+    agg = filt.agg(
+        F.sum(F.when(isa, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~isa, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(isa, _d38(F.col("__v")))), z38
+        ).alias("__sa"),
+        F.coalesce(
+            F.sum(F.when(~isa, _d38(F.col("__v")))), z38
+        ).alias("__sb"),
+        F.coalesce(
+            F.sum(F.when(isa, _d38(F.col("__v")) * _d38(F.col("__v")))),
+            z38,
+        ).alias("__ssa"),
+        F.coalesce(
+            F.sum(
+                F.when(~isa, _d38(F.col("__v")) * _d38(F.col("__v")))
+            ),
+            z38,
+        ).alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nad = _d38(F.col("n_a"))
+    nbd = _d38(F.col("n_b"))
+    va = (nad * F.col("__ssa") - F.col("__sa") * F.col("__sa")).cast(
+        "double"
+    ) / (na * (na - 1.0))
+    vb = (nbd * F.col("__ssb") - F.col("__sb") * F.col("__sb")).cast(
+        "double"
+    ) / (nb * (nb - 1.0))
+    dm = (
+        F.col("__sa").cast("double") / na
+        - F.col("__sb").cast("double") / nb
+    )
+    sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    ok2 = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    d = F.when(ok2 & (sp2 > 0), dm / F.sqrt(sp2))
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    )
+    gl = F.when(ok2 & (vb > 0), dm / F.sqrt(vb))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(d, ndigits).alias("cohen_d"),
+        F.round(g, ndigits).alias("hedges_g"),
+        F.round(gl, ndigits).alias("glass_delta"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    forecast_col,
+    outcome_col,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — forecast
+    verification for a probabilistic binary classifier (public
+    literature):
+
+        brier       = mean((p - y)^2)
+        reliability = sum_k n_k * (pbar_k - obar_k)^2 / N   (calibration)
+        resolution  = sum_k n_k * (obar_k - obar)^2 / N     (sharpness)
+        uncertainty = obar * (1 - obar)
+
+    binned by forecast decile (k = least(floor(p * n_bins),
+    n_bins - 1)); for binned forecasts brier = reliability -
+    resolution + uncertainty exactly.
+
+    Exactness: p quantizes to the micro grid once; the Brier sum is
+    micro^2 integers (exact); per-bin means are one double division
+    of exact integers each, the per-bin decomposition terms collapse
+    to double, round to 1e-12 integer units and sum exactly
+    (order-free — the icc_oneway per-group-term discipline).
+
+    Output: one row ``(n, brier, reliability, resolution,
+    uncertainty)``; empty input yields NULLs.
+
+    Scale: one projection + one n_bins-row groupBy + one 1-row agg.
+    """
+    p = (
+        F.col(forecast_col)
+        if isinstance(forecast_col, str)
+        else forecast_col
+    )
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    )
+    base = df.select(
+        F.round(p.cast("double") * 1e6, 0).cast("long").alias("__p"),
+        y.cast("long").alias("__y"),
+    ).filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    m = int(n_bins)
+    binned = base.select(
+        F.least(
+            F.expr(f"(__p * {m}) div 1000000").cast("long"),
+            F.lit(m - 1).cast("long"),
+        ).alias("__k"),
+        "__p",
+        "__y",
+    )
+    z38 = F.lit(0).cast("decimal(38,0)")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = binned.groupBy("__k").agg(
+        F.count("*").cast("long").alias("__nk"),
+        F.coalesce(F.sum(d38(F.col("__p"))), z38).alias("__sp"),
+        F.coalesce(F.sum(F.col("__y")), F.lit(0)).cast("long").alias(
+            "__sy"
+        ),
+        F.coalesce(
+            F.sum(
+                d38(F.col("__p") - F.col("__y") * 1_000_000)
+                * d38(F.col("__p") - F.col("__y") * 1_000_000)
+            ),
+            z38,
+        ).alias("__sq"),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("__nk"), F.lit(0)).cast("long").alias("__n"),
+        F.coalesce(F.sum("__sy"), F.lit(0)).cast("long").alias("__ty"),
+    )
+    pb = per.crossJoin(F.broadcast(tot))
+    nk = F.col("__nk").cast("double")
+    pbar = F.col("__sp").cast("double") / nk / F.lit(1e6)
+    obar_k = F.col("__sy").cast("double") / nk
+    obar = F.col("__ty").cast("double") / F.col("__n").cast("double")
+    rel_t = nk * (pbar - obar_k) * (pbar - obar_k)
+    res_t = nk * (obar_k - obar) * (obar_k - obar)
+    staged = pb.select(
+        "__n",
+        "__ty",
+        "__sq",
+        F.round(rel_t * F.lit(1e12), 0).cast("decimal(38,0)").alias(
+            "__relq"
+        ),
+        F.round(res_t * F.lit(1e12), 0).cast("decimal(38,0)").alias(
+            "__resq"
+        ),
+    )
+    agg = staged.groupBy("__n", "__ty").agg(
+        F.coalesce(F.sum("__sq"), z38).alias("__bsum"),
+        F.coalesce(F.sum("__relq"), z38).alias("__rel"),
+        F.coalesce(F.sum("__resq"), z38).alias("__res"),
+    )
+    nn = F.col("__n").cast("double")
+    ob = F.col("__ty").cast("double") / nn
+    return agg.select(
+        F.col("__n").alias("n"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__bsum").cast("double") / nn / F.lit(1e12),
+                ndigits,
+            ),
+        ).alias("brier"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__rel").cast("double") / F.lit(1e12) / nn,
+                ndigits,
+            ),
+        ).alias("reliability"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__res").cast("double") / F.lit(1e12) / nn,
+                ndigits,
+            ),
+        ).alias("resolution"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(ob * (F.lit(1.0) - ob), ndigits),
+        ).alias("uncertainty"),
+    )

@@ -1636,3 +1636,85 @@ class TestGammaSomersD:
         )
         got = gamma_somers_d(df, "x", "y").collect()[0]
         assert got["gamma"] is None and got["somers_dyx"] is None
+
+
+class TestEffectSizes:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.assoc import effect_sizes
+
+        rng = np.random.RandomState(4)
+        a = np.round(rng.normal(10, 2, 150), 4)
+        b = np.round(rng.normal(8.5, 3, 100), 4)
+        rows = [("a", float(v)) for v in a] + [
+            ("b", float(v)) for v in b
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+        na, nb = len(a), len(b)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        sp = (((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) ** 0.5
+        d = (a.mean() - b.mean()) / sp
+        assert got["cohen_d"] == pytest.approx(d, abs=1e-6)
+        assert got["hedges_g"] == pytest.approx(
+            d * (1 - 3 / (4 * (na + nb) - 9)), abs=1e-6
+        )
+        assert got["glass_delta"] == pytest.approx(
+            (a.mean() - b.mean()) / vb**0.5, abs=1e-6
+        )
+
+    def test_tiny_group_nulls(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import effect_sizes
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+        )
+        got = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+        assert got["cohen_d"] is None and got["glass_delta"] is None
+
+
+class TestBrierDecomposition:
+    def test_matches_murphy_decomposition(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.assoc import (
+            brier_decomposition,
+        )
+
+        rng = np.random.RandomState(4)
+        p = np.round(rng.uniform(0, 1, 3000), 4)
+        yv = (rng.uniform(0, 1, 3000) < p).astype(int)
+        df = spark.createDataFrame(
+            [(float(x), int(t)) for x, t in zip(p, yv)],
+            "p double, y int",
+        )
+        got = brier_decomposition(df, "p", "y").collect()[0]
+        brier = np.mean((p - yv) ** 2)
+        k = np.minimum((p * 10).astype(int), 9)
+        ob = yv.mean()
+        rel = res = 0.0
+        for kk in range(10):
+            idx = k == kk
+            if idx.sum():
+                rel += idx.sum() * (p[idx].mean() - yv[idx].mean()) ** 2
+                res += idx.sum() * (yv[idx].mean() - ob) ** 2
+        assert got["brier"] == pytest.approx(brier, abs=1e-5)
+        assert got["reliability"] == pytest.approx(rel / 3000, abs=1e-5)
+        assert got["resolution"] == pytest.approx(res / 3000, abs=1e-5)
+        assert got["uncertainty"] == pytest.approx(
+            ob * (1 - ob), abs=1e-6
+        )
+
+    def test_perfect_forecast(self, spark):
+        from etl_orders_to_bq_spark.operators.assoc import (
+            brier_decomposition,
+        )
+
+        rows = [(1.0, 1)] * 30 + [(0.0, 0)] * 70
+        df = spark.createDataFrame(rows, "p double, y int")
+        got = brier_decomposition(df, "p", "y").collect()[0]
+        assert got["brier"] == 0.0
+        assert got["reliability"] == 0.0
+        # resolution equals uncertainty for a perfect binned forecast
+        assert got["resolution"] == got["uncertainty"]
