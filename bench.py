@@ -276,6 +276,7 @@ HEADLINE = [
     "gamma_somers_d",
     "effect_sizes",
     "brier_decomposition",
+    "anderson_darling",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

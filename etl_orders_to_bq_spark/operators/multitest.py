@@ -3992,3 +3992,125 @@ def sign_test(
         .otherwise(F.lit(1.0))
         .alias("p_two_sided"),
     )
+
+
+def anderson_darling_k(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-sample Anderson-Darling statistic, midrank (tie-adjusted)
+    version A2_akN (Scholz & Stephens 1987, public literature) — the
+    heavier-tailed alternative to ``ks_two_sample``/``kruskal_wallis``
+    that weights the distribution tails, generalized to k groups:
+
+        A2 = (N-1)/N * sum_i (1/n_i) * sum_j (l_j / N)
+             * (N*M_ij - n_i*B_j)^2 / (B_j*(N-B_j) - N*l_j/4)
+
+    over the pooled distinct values j, with l_j the pooled count at j,
+    B_j the pooled midrank cumulative (count before j + l_j/2), and
+    M_ij group i's midrank cumulative. Statistic-only output (the
+    A2 distribution is nonstandard — the anova_oneway convention).
+
+    Exactness: the half-integer midranks are carried DOUBLED
+    (2B = 2*before + l — exact longs, the mann_whitney trick), so the
+    numerator X = N*2M - n_i*2B and the 4x-scaled denominator
+    den4 = 2B*(2N - 2B) - N*l_j are exact decimal(38,0) integers and
+
+        term_ij = l_j * X^2 / (N * den4) / n_i
+
+    is ONE rational per (group, value) collapsing to double once,
+    quantized to 1e-12 and summed order-free (the icc/brier per-term
+    discipline). Pooled "before" counts come from the scalable
+    ``ranking.global_cumsum_before``; per-group cumulatives use a
+    group-partitioned window over the pooled-value grid (parallel —
+    one group's distinct values must fit a task, the spearman_rho
+    contract).
+
+    Output: one row ``(k, n, a2_stat)``; k < 2 or fewer than 2
+    pooled distinct values yields NULL.
+    """
+    from .ranking import global_cumsum_before
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    gv = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("long").alias("__lg")
+    )
+    pooled = base.groupBy("__v").agg(
+        F.count("*").cast("long").alias("__l")
+    )
+    cum = global_cumsum_before(
+        pooled, ["__v"], "__l", num_partitions=num_partitions,
+        out_col="__cb",
+    ).select(
+        "__v", "__l",
+        (F.lit(2) * F.col("__cb") + F.col("__l")).alias("__2b"),
+    )
+    groups = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__ng")
+    )
+    tot = groups.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.coalesce(F.sum("__ng"), F.lit(0)).cast("long").alias("__N"),
+        F.coalesce(F.min("__ng"), F.lit(0)).cast("long").alias("__minn"),
+    )
+    grid = (
+        cum.crossJoin(F.broadcast(groups))
+        .join(gv, ["__g", "__v"], "left")
+        .withColumn("__lg", F.coalesce(F.col("__lg"), F.lit(0)))
+    )
+    wg = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "__2m",
+        F.lit(2) * F.coalesce(F.sum("__lg").over(wg), F.lit(0))
+        + F.col("__lg"),
+    ).crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = dec(F.col("__N")) * dec(F.col("__2m")) - dec(
+        F.col("__ng")
+    ) * dec(F.col("__2b"))
+    lx2 = dec(F.col("__l")) * x * x
+    den4 = dec(F.col("__2b")) * (
+        F.lit(2).cast("decimal(38,0)") * dec(F.col("__N"))
+        - dec(F.col("__2b"))
+    ) - dec(F.col("__N")) * dec(F.col("__l"))
+    nden = dec(F.col("__N")) * den4
+    term = (
+        lx2.cast("double") / nden.cast("double")
+    ) / F.col("__ng").cast("double")
+    tq = F.when(
+        nden.cast("double") > 0,
+        F.round(term * F.lit(1e12), 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = grid.agg(
+        F.max("__k").alias("k"),
+        F.max("__N").alias("n"),
+        F.max("__minn").alias("__mn"),
+        F.countDistinct("__v").cast("long").alias("__nv"),
+        F.coalesce(
+            F.sum(tq.cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ts"),
+    )
+    nn = F.col("n").cast("double")
+    a2 = F.when(
+        (F.col("k") > 1) & (F.col("__nv") > 1) & (F.col("__mn") > 0),
+        F.round(
+            (nn - F.lit(1.0))
+            / nn
+            * (F.col("__ts").cast("double") / F.lit(1e12)),
+            ndigits,
+        ),
+    )
+    return agg.select("k", "n", a2.alias("a2_stat"))

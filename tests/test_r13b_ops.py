@@ -1718,3 +1718,77 @@ class TestBrierDecomposition:
         assert got["reliability"] == 0.0
         # resolution equals uncertainty for a perfect binned forecast
         assert got["resolution"] == got["uncertainty"]
+
+
+class TestAndersonDarlingK:
+    @staticmethod
+    def _ref(samples):
+        import numpy as np
+
+        pooled = np.concatenate(samples)
+        N = len(pooled)
+        vals = np.unique(pooled)
+        A2 = 0.0
+        for s in samples:
+            ni = len(s)
+            inner = 0.0
+            for v in vals:
+                lj = np.sum(pooled == v)
+                Bj = np.sum(pooled < v) + lj / 2.0
+                Mij = np.sum(s < v) + np.sum(s == v) / 2.0
+                den = Bj * (N - Bj) - N * lj / 4.0
+                if den <= 0:
+                    continue
+                inner += (lj / N) * (N * Mij - ni * Bj) ** 2 / den
+            A2 += inner / ni
+        return A2 * (N - 1) / N
+
+    def test_two_sample_with_ties(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.multitest import (
+            anderson_darling_k,
+        )
+
+        rng = np.random.RandomState(8)
+        a = np.round(rng.normal(10, 2, 80), 1)
+        b = np.round(rng.normal(11, 2, 60), 1)
+        rows = [("a", float(v)) for v in a] + [
+            ("b", float(v)) for v in b
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = anderson_darling_k(df, "g", "v").collect()[0]
+        assert (got["k"], got["n"]) == (2, 140)
+        assert got["a2_stat"] == pytest.approx(
+            self._ref([a, b]), abs=1e-5
+        )
+
+    def test_three_samples(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.multitest import (
+            anderson_darling_k,
+        )
+
+        rng = np.random.RandomState(5)
+        gs = [
+            np.round(rng.normal(m, 1.5, 50), 1) for m in (5, 5.5, 7)
+        ]
+        rows = [
+            (f"g{i}", float(v)) for i, s in enumerate(gs) for v in s
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = anderson_darling_k(df, "g", "v").collect()[0]
+        assert got["k"] == 3
+        assert got["a2_stat"] == pytest.approx(self._ref(gs), abs=1e-5)
+
+    def test_single_distinct_value_null(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            anderson_darling_k,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "g string, v double"
+        )
+        got = anderson_darling_k(df, "g", "v").collect()[0]
+        assert got["a2_stat"] is None
