@@ -1179,7 +1179,11 @@ def logistic_irls(
     ).filter(F.col("__y").isNotNull())
     from .multitest import with_det_exp
 
-    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # every Newton iteration rescans the projected base; persist the
+    # 3-column frame once (storage is O(rows * 3 doubles) — at cluster
+    # scale swap for a durable staged parquet, the shortest_paths
+    # checkpoint_path pattern)
+    base = base.persist()
     b = [0.0, 0.0, 0.0]
     n_rows = None
     iters_run = 0
@@ -1215,17 +1219,24 @@ def logistic_irls(
         w, x1c, x2c, r = (
             F.col("__w"), F.col("__x1"), F.col("__x2"), F.col("__r"),
         )
+        # sums are LONGS for codegen-primitive speed (the ridge_normal
+        # recipe): micro terms bounded by |x| <= ~5e3 keep every sum
+        # inside int64 up to ~1e9 rows; beyond that ANSI mode throws
+        # loudly rather than wrapping — quantize features down first.
+        # Values are identical to decimal sums, so the oracle replay
+        # (decimal side) hash-matches unchanged.
+        zl = F.lit(0).cast("long")
         row = cur.agg(
             F.count("*").cast("long").alias("n"),
-            F.coalesce(F.sum(dec38(q(w))), F.lit(0).cast("decimal(38,0)")).alias("sww"),
-            F.coalesce(F.sum(dec38(q(w * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sw1"),
-            F.coalesce(F.sum(dec38(q(w * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw2"),
-            F.coalesce(F.sum(dec38(q(w * x1c * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sw11"),
-            F.coalesce(F.sum(dec38(q(w * x1c * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw12"),
-            F.coalesce(F.sum(dec38(q(w * x2c * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sw22"),
-            F.coalesce(F.sum(dec38(q(r))), F.lit(0).cast("decimal(38,0)")).alias("sr"),
-            F.coalesce(F.sum(dec38(q(r * x1c))), F.lit(0).cast("decimal(38,0)")).alias("sr1"),
-            F.coalesce(F.sum(dec38(q(r * x2c))), F.lit(0).cast("decimal(38,0)")).alias("sr2"),
+            F.coalesce(F.sum(q(w)), zl).alias("sww"),
+            F.coalesce(F.sum(q(w * x1c)), zl).alias("sw1"),
+            F.coalesce(F.sum(q(w * x2c)), zl).alias("sw2"),
+            F.coalesce(F.sum(q(w * x1c * x1c)), zl).alias("sw11"),
+            F.coalesce(F.sum(q(w * x1c * x2c)), zl).alias("sw12"),
+            F.coalesce(F.sum(q(w * x2c * x2c)), zl).alias("sw22"),
+            F.coalesce(F.sum(q(r)), zl).alias("sr"),
+            F.coalesce(F.sum(q(r * x1c)), zl).alias("sr1"),
+            F.coalesce(F.sum(q(r * x2c)), zl).alias("sr2"),
         ).first()
         n_rows = int(row["n"])
         h = [
@@ -1250,6 +1261,7 @@ def logistic_irls(
         iters_run += 1
     if n_rows is None:
         n_rows = base.count()
+    base.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(n_rows, iters_run, b[0], b[1], b[2])],
