@@ -3605,12 +3605,18 @@ def _log_factorial_table(
         .cast("long")
         .alias("__lnj"),
     )
-    return global_cumsum_before(
+    from .staging import stage
+
+    lf = global_cumsum_before(
         lf_src, ["__j"], "__lnj", num_partitions=num_partitions,
         out_col="__bt",
     ).select(
         "__j", (F.col("__bt") + F.col("__lnj")).alias("__lf")
     )
+    # callers join this table 2-4 times (one branch per factorial in
+    # the tail term); stage once so the range shuffle + offsets
+    # collect run once, not per branch
+    return stage(lf, None, "lf_table")
 
 
 def fisher_exact(
