@@ -277,6 +277,7 @@ HEADLINE = [
     "effect_sizes",
     "brier_decomposition",
     "anderson_darling",
+    "mantel_haenszel",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

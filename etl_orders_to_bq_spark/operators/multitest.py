@@ -4120,3 +4120,121 @@ def anderson_darling_k(
         ),
     )
     return agg.select("k", "n", a2.alias("a2_stat"))
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    success_threshold: float,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio and Cochran-Mantel-Haenszel
+    chi-square (Mantel & Haenszel 1959; public literature) — the
+    stratified 2x2 analysis that controls a confounder (day, cohort,
+    platform) before declaring a treatment effect; the Simpson's-
+    paradox guard (``simpsons_check``'s inferential sibling):
+
+        OR_MH = sum_s(a_s d_s / n_s) / sum_s(b_s c_s / n_s)
+        CMH   = (sum_s(a_s - E_s))^2 / sum_s V_s
+        E_s   = (a+b)(a+c)/n
+        V_s   = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+
+    Rows: ``group_a`` vs ``group_b``; columns: value >
+    ``success_threshold``; strata from ``stratum_col`` (column name or
+    expression). Statistic-only CMH (chi-square distribution — the
+    anova_oneway convention).
+
+    Exactness: per-stratum cells are exact integers from ONE
+    conditional aggregate; each stratum's rationals (ad/n, bc/n,
+    a - E, V) collapse to double once (exact-integer numerators — the
+    icc per-group-term discipline), quantize to 1e-9 units, and sum
+    order-free as exact decimal(38,0); the two output statistics are
+    one rounded division each. Degenerate strata (n < 2) contribute
+    nothing (dropped — the standard MH convention for empty margins);
+    zero denominators yield NULLs.
+
+    Output: one row ``(n_strata, or_mh, cmh_stat)``.
+
+    Scale: one groupBy on the stratum key, one 1-row agg — map-side
+    combinable throughout, no joins.
+    """
+    strat = (
+        F.col(stratum_col)
+        if isinstance(stratum_col, str)
+        else stratum_col
+    )
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        strat.alias("__s"),
+        (F.col(group_col) == group_a).alias("__ga"),
+        (
+            F.col(value_col).cast("double")
+            > F.lit(float(success_threshold))
+        ).alias("__su"),
+    ).filter(F.col("__s").isNotNull())
+    cells = filt.groupBy("__s").agg(
+        F.sum(F.when(F.col("__ga") & F.col("__su"), 1).otherwise(0))
+        .cast("long")
+        .alias("__a"),
+        F.sum(F.when(F.col("__ga") & ~F.col("__su"), 1).otherwise(0))
+        .cast("long")
+        .alias("__b"),
+        F.sum(F.when(~F.col("__ga") & F.col("__su"), 1).otherwise(0))
+        .cast("long")
+        .alias("__c"),
+        F.sum(F.when(~F.col("__ga") & ~F.col("__su"), 1).otherwise(0))
+        .cast("long")
+        .alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    d = F.col("__d").cast("double")
+    n = (
+        F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+    ).cast("double")
+    keep = (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")) > 1
+    adn = a * d / n
+    bcn = b * c / n
+    e_s = (a + b) * (a + c) / n
+    v_s = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0))
+    q9 = lambda x: F.round(x * F.lit(1e9), 0).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    z38 = F.lit(0).cast("decimal(38,0)")
+    agg = cells.agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(
+            "n_strata"
+        ),
+        F.coalesce(F.sum(F.when(keep, q9(adn))), z38).alias("__adn"),
+        F.coalesce(F.sum(F.when(keep, q9(bcn))), z38).alias("__bcn"),
+        F.coalesce(
+            F.sum(F.when(keep, q9(a - e_s))), z38
+        ).alias("__dev"),
+        F.coalesce(F.sum(F.when(keep, q9(v_s))), z38).alias("__v"),
+    )
+    or_mh = F.when(
+        F.col("__bcn").cast("double") > 0,
+        F.round(
+            F.col("__adn").cast("double")
+            / F.col("__bcn").cast("double"),
+            ndigits,
+        ),
+    )
+    dev = F.col("__dev").cast("double") / F.lit(1e9)
+    cmh = F.when(
+        F.col("__v").cast("double") > 0,
+        F.round(
+            dev * dev / (F.col("__v").cast("double") / F.lit(1e9)),
+            ndigits,
+        ),
+    )
+    return agg.select(
+        "n_strata", or_mh.alias("or_mh"), cmh.alias("cmh_stat")
+    )

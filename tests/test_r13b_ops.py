@@ -1792,3 +1792,63 @@ class TestAndersonDarlingK:
         )
         got = anderson_darling_k(df, "g", "v").collect()[0]
         assert got["a2_stat"] is None
+
+
+class TestMantelHaenszel:
+    def test_matches_hand_tables(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            mantel_haenszel,
+        )
+
+        rows = []
+        tables = {"s1": (30, 20, 20, 30), "s2": (8, 12, 5, 15)}
+        for s, (a, b, c, d) in tables.items():
+            rows += [(s, "t", 150.0)] * a + [(s, "t", 50.0)] * b
+            rows += [(s, "c", 150.0)] * c + [(s, "c", 50.0)] * d
+        df = spark.createDataFrame(rows, "s string, g string, v double")
+        got = mantel_haenszel(
+            df, "s", "g", "v", "t", "c", 100.0
+        ).collect()[0]
+        num = den = dev = V = 0.0
+        for a, b, c, d in tables.values():
+            n = a + b + c + d
+            num += a * d / n
+            den += b * c / n
+            dev += a - (a + b) * (a + c) / n
+            V += (
+                (a + b) * (c + d) * (a + c) * (b + d)
+                / (n * n * (n - 1))
+            )
+        assert got["n_strata"] == 2
+        assert got["or_mh"] == pytest.approx(num / den, abs=1e-6)
+        assert got["cmh_stat"] == pytest.approx(dev * dev / V, abs=1e-5)
+
+    def test_no_association_small_cmh(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            mantel_haenszel,
+        )
+
+        rows = []
+        for s in ("s1", "s2"):
+            rows += [(s, "t", 150.0)] * 10 + [(s, "t", 50.0)] * 10
+            rows += [(s, "c", 150.0)] * 10 + [(s, "c", 50.0)] * 10
+        df = spark.createDataFrame(rows, "s string, g string, v double")
+        got = mantel_haenszel(
+            df, "s", "g", "v", "t", "c", 100.0
+        ).collect()[0]
+        assert got["or_mh"] == 1.0
+        assert got["cmh_stat"] == 0.0
+
+    def test_degenerate_strata_dropped(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            mantel_haenszel,
+        )
+
+        rows = [("s1", "t", 150.0), ("lone", "t", 150.0)] + [
+            ("s1", "t", 50.0), ("s1", "c", 150.0), ("s1", "c", 50.0),
+        ]
+        df = spark.createDataFrame(rows, "s string, g string, v double")
+        got = mantel_haenszel(
+            df, "s", "g", "v", "t", "c", 100.0
+        ).collect()[0]
+        assert got["n_strata"] == 1
