@@ -278,6 +278,7 @@ HEADLINE = [
     "brier_decomposition",
     "anderson_darling",
     "mantel_haenszel",
+    "fligner_killeen",
 ]
 
 # Iterative queries run driver-side rounds (with checkpoints) while the

@@ -4238,3 +4238,268 @@ def mantel_haenszel(
     return agg.select(
         "n_strata", or_mh.alias("or_mh"), cmh.alias("cmh_stat")
     )
+
+
+# Acklam's rational approximation to the inverse normal CDF (public
+# literature; widely reproduced — relative error < 1.15e-9 over
+# (0, 1)). Literals are repr-shared with the SQL mirror so both
+# engines evaluate the identical fixed-order expression; ln is the
+# only non-IEEE-pinned op, so CALLERS MUST QUANTIZE ppf outputs
+# (>= 1e-9 grid) before accumulating — the LF-table discipline.
+_PPF_A = [
+    repr(-3.969683028665376e+01), repr(2.209460984245205e+02),
+    repr(-2.759285104469687e+02), repr(1.383577518672690e+02),
+    repr(-3.066479806614716e+01), repr(2.506628277459239e+00),
+]
+_PPF_B = [
+    repr(-5.447609879822406e+01), repr(1.615858368580409e+02),
+    repr(-1.556989798598866e+02), repr(6.680131188771972e+01),
+    repr(-1.328068155288572e+01),
+]
+_PPF_C = [
+    repr(-7.784894002430293e-03), repr(-3.223964580411365e-01),
+    repr(-2.400758277161838e+00), repr(-2.549732539343734e+00),
+    repr(4.374664141464968e+00), repr(2.938163982698783e+00),
+]
+_PPF_D = [
+    repr(7.784695709041462e-03), repr(3.224671290700398e-01),
+    repr(2.445134137142996e+00), repr(3.754408661907416e+00),
+]
+_PPF_PLOW = repr(0.02425)
+
+
+def norm_ppf(p: Column) -> Column:
+    """Deterministic Φ^-1(p) for p in (0, 1) — Acklam's piecewise
+    rational approximation as ONE fixed-order Column expression
+    (central region + both tails). NULL-safe only through the
+    caller's guards; quantize the output before any data-ordered
+    accumulation (see the module constant note)."""
+    def _horner(coeffs, x):
+        acc: Column = F.lit(float(coeffs[0]))
+        for cc in coeffs[1:]:
+            acc = acc * x + F.lit(float(cc))
+        return acc
+
+    plow = F.lit(float(_PPF_PLOW))
+    qc = p - F.lit(0.5)
+    rc = qc * qc
+    central = (
+        _horner(_PPF_A, rc) * qc
+        / (_horner(_PPF_B, rc) * rc + F.lit(1.0))
+    )
+    ql = F.sqrt(F.lit(-2.0) * F.log(p))
+    lower = _horner(_PPF_C, ql) / (
+        _horner(_PPF_D, ql) * ql + F.lit(1.0)
+    )
+    qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    upper = -(
+        _horner(_PPF_C, qu)
+        / (_horner(_PPF_D, qu) * qu + F.lit(1.0))
+    )
+    return F.when(p < plow, lower).when(
+        p <= F.lit(1.0) - plow, central
+    ).otherwise(upper)
+
+
+def norm_ppf_sql(p: str) -> str:
+    """The identical Acklam expression as SQL text (oracle side)."""
+    def _horner(coeffs, x):
+        acc = coeffs[0]
+        for cc in coeffs[1:]:
+            acc = f"(({acc}) * {x} + {cc})"
+        return acc
+
+    qc = f"(({p}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    central = (
+        f"(({_horner(_PPF_A, rc)}) * {qc}"
+        f" / (({_horner(_PPF_B, rc)}) * {rc} + 1.0))"
+    )
+    ql = f"sqrt(-2.0 * ln({p}))"
+    lower = (
+        f"(({_horner(_PPF_C, ql)})"
+        f" / (({_horner(_PPF_D, ql)}) * {ql} + 1.0))"
+    )
+    qu = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    upper = (
+        f"(-(({_horner(_PPF_C, qu)})"
+        f" / (({_horner(_PPF_D, qu)}) * {qu} + 1.0)))"
+    )
+    return (
+        f"(case when ({p}) < {_PPF_PLOW} then {lower} "
+        f"when ({p}) <= 1.0 - {_PPF_PLOW} then {central} "
+        f"else {upper} end)"
+    )
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fligner-Killeen scale-homogeneity test statistic (Fligner &
+    Killeen 1976, the Conover-Johnson-Johnson chi-square form scipy
+    ships; public literature) — the rank-based, most
+    outlier-robust member of the variance-equality family
+    (vs ``bartlett_test``'s normality assumption and
+    ``brown_forsythe_levene``'s raw deviations): absolute deviations
+    from group MEDIANS are pooled-ranked and mapped through normal
+    scores
+
+        a_v = Φ^-1(1/2 + r_v / (2(N+1)))
+
+    (midranks for ties), and the statistic is the normal-scores ANOVA
+
+        X2 = sum_i n_i (Abar_i - abar)^2 / s^2 .
+
+    Statistic-only output (chi-square(k-1) — the anova_oneway
+    convention).
+
+    Exactness: group medians reuse the ``brown_forsythe_levene``
+    exact order-statistic pick; |v - med| is an exact decimal;
+    pooled midranks are carried DOUBLED from
+    ``ranking.global_cumsum_before`` (exact longs); each distinct
+    deviation's p is one fixed-order double, its normal score comes
+    from the shared deterministic ``norm_ppf`` and QUANTIZES to
+    1e-9 longs (absorbing the ln ulp risk — the module-constant
+    note), and every downstream moment is an exact decimal(38,0)
+    sum; the cleared identity
+
+        X2 = (sum_i S_i^2/n_i - S^2/N) / ((N*SS - S^2) / (N(N-1)))
+
+    collapses per-group rationals to double once each (rounded to
+    integer score^2 units — the icc discipline).
+
+    Output: one row ``(k, n, fk_stat)``; k < 2, N <= k, or zero
+    score variance yields NULL.
+
+    Scale: one (group, value) census, one pooled distinct-deviation
+    cumsum (range shuffle), one broadcast medians join, two bounded
+    aggregates. The per-group median window partitions on the
+    bounded group domain (the brown_forsythe contract).
+    """
+    from .ranking import global_cumsum_before
+
+    y = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"), y.alias("__v")
+    )
+    vc = base.groupBy("__g", "__v").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("__cum", F.sum("__c").over(wcum))
+    tot = vc.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    med = (
+        cum.join(tot, "__g")
+        .groupBy("__g")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.floor((F.col("__n") + 1) / 2),
+                    F.col("__v"),
+                )
+            ).alias("__lo"),
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor(F.col("__n") / 2) + F.lit(1),
+                    F.col("__v"),
+                )
+            ).alias("__hi"),
+        )
+        .select(
+            "__g",
+            (
+                (
+                    F.col("__lo").cast("decimal(19,3)")
+                    + F.col("__hi").cast("decimal(19,3)")
+                )
+                / 2
+            ).cast("decimal(19,3)").alias("__med"),
+        )
+    )
+    u = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.abs(
+            F.col("__v").cast("decimal(19,3)") - F.col("__med")
+        ).alias("__u"),
+    )
+    # pooled distinct-deviation census -> doubled midranks
+    uc = u.groupBy("__u").agg(F.count("*").cast("long").alias("__t"))
+    ucum = global_cumsum_before(
+        uc, ["__u"], "__t", num_partitions=num_partitions,
+        out_col="__below",
+    ).select(
+        "__u",
+        (
+            F.lit(2) * F.col("__below") + F.col("__t") + F.lit(1)
+        ).cast("long").alias("__2r"),
+    )
+    ntot = u.agg(F.count("*").cast("long").alias("__N"))
+    scored = ucum.crossJoin(F.broadcast(ntot)).select(
+        "__u",
+        F.round(
+            norm_ppf(
+                F.lit(0.5)
+                + F.col("__2r").cast("double")
+                / (
+                    F.lit(4.0)
+                    * (F.col("__N").cast("double") + F.lit(1.0))
+                )
+            )
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("__a"),
+    )
+    gu = u.groupBy("__g", "__u").agg(
+        F.count("*").cast("long").alias("__m")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        gu.join(scored, "__u")
+        .groupBy("__g")
+        .agg(
+            F.sum("__m").cast("long").alias("__ni"),
+            F.sum(d38(F.col("__m")) * d38(F.col("__a"))).alias("__si"),
+            F.sum(
+                d38(F.col("__m"))
+                * d38(F.col("__a"))
+                * d38(F.col("__a"))
+            ).alias("__ssi"),
+        )
+    )
+    term = (
+        (F.col("__si") * F.col("__si")).cast("double")
+        / F.col("__ni").cast("double")
+    )
+    staged = per_g.withColumn(
+        "__ti", F.round(term, 0).cast("decimal(38,0)")
+    )
+    z38 = F.lit(0).cast("decimal(38,0)")
+    agg = staged.agg(
+        F.count("*").cast("long").alias("k"),
+        F.coalesce(F.sum("__ni"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("__si"), z38).alias("__s"),
+        F.coalesce(F.sum("__ssi"), z38).alias("__ss"),
+        F.coalesce(F.sum("__ti"), z38).alias("__b"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("__s").cast("double")
+    num = F.col("__b").cast("double") - sd * sd / nd
+    varn = (
+        F.col("__ss").cast("double") * nd - sd * sd
+    ) / (nd * (nd - F.lit(1.0)))
+    fk = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (varn > 0),
+        F.round(num / varn, ndigits),
+    )
+    return agg.select("k", "n", fk.alias("fk_stat"))

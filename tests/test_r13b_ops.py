@@ -1852,3 +1852,120 @@ class TestMantelHaenszel:
             df, "s", "g", "v", "t", "c", 100.0
         ).collect()[0]
         assert got["n_strata"] == 1
+
+
+class TestFlignerKilleen:
+    @staticmethod
+    def _ppf(p):
+        import numpy as np
+
+        a = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+        b = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+        c = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+        d = [7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00]
+
+        def hor(cs, x):
+            acc = cs[0]
+            for cc in cs[1:]:
+                acc = acc * x + cc
+            return acc
+
+        if p < 0.02425:
+            q = np.sqrt(-2 * np.log(p))
+            return hor(c, q) / (hor(d, q) * q + 1)
+        if p <= 1 - 0.02425:
+            q = p - 0.5
+            r = q * q
+            return hor(a, r) * q / (hor(b, r) * r + 1)
+        q = np.sqrt(-2 * np.log(1 - p))
+        return -(hor(c, q) / (hor(d, q) * q + 1))
+
+    def test_matches_normal_scores_anova(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.multitest import (
+            fligner_killeen,
+        )
+
+        rng = np.random.RandomState(6)
+        gs = {
+            "a": np.round(rng.normal(10, 1, 70), 2),
+            "b": np.round(rng.normal(12, 3, 60), 2),
+            "c": np.round(rng.normal(11, 1, 50), 2),
+        }
+        rows = [(g, float(v)) for g, s in gs.items() for v in s]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = fligner_killeen(df, "g", "v").collect()[0]
+
+        def med(x):
+            xs = np.sort(x)
+            n = len(xs)
+            return (xs[(n + 1) // 2 - 1] + xs[n // 2]) / 2.0
+
+        pooled, glab = [], []
+        for g, s in gs.items():
+            m = med(s)
+            for v in s:
+                pooled.append(
+                    abs(round(v * 1000) - round(m * 1000)) / 1000.0
+                )
+                glab.append(g)
+        pooled, glab = np.array(pooled), np.array(glab)
+        N = len(pooled)
+        vals, inv, cnts = np.unique(
+            pooled, return_inverse=True, return_counts=True
+        )
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        aval = np.array(
+            [
+                self._ppf(
+                    0.5 + (2 * below[i] + cnts[i] + 1) / (4.0 * (N + 1))
+                )
+                for i in range(len(vals))
+            ]
+        )
+        a = (np.round(aval * 1e9) / 1e9)[inv]
+        abar = a.mean()
+        ss = sum(
+            (glab == g).sum() * (a[glab == g].mean() - abar) ** 2
+            for g in gs
+        )
+        ref = ss / a.var(ddof=1)
+        assert (got["k"], got["n"]) == (3, 180)
+        assert got["fk_stat"] == pytest.approx(ref, rel=1e-6)
+        # variance genuinely differs across groups -> large statistic
+        assert got["fk_stat"] > 20
+
+    def test_equal_scales_small_stat(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.multitest import (
+            fligner_killeen,
+        )
+
+        rng = np.random.RandomState(12)
+        rows = [
+            (f"g{i % 3}", float(np.round(rng.normal(5, 2), 2)))
+            for i in range(240)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = fligner_killeen(df, "g", "v").collect()[0]
+        assert got["fk_stat"] is not None and got["fk_stat"] < 8
+
+    def test_degenerate_null(self, spark):
+        from etl_orders_to_bq_spark.operators.multitest import (
+            fligner_killeen,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0)] * 6 + [("b", 1.0)] * 6, "g string, v double"
+        )
+        got = fligner_killeen(df, "g", "v").collect()[0]
+        assert got["fk_stat"] is None
