@@ -357,6 +357,23 @@ ITERATIVE = {
     # r13: EM-round staging (localCheckpoints) runs at construction
     "unigram_lm",
     "unigram_encode",
+    # r13b: global_cumsum/row_number offset collects (and for the
+    # combinatoric tails, the 2x2/count .first()) run at construction
+    "fisher_exact",
+    "sign_test",
+    "wilcoxon_signed_rank",
+    "adf_test",
+    "kpss_test",
+    "granger_lag1",
+    "anderson_darling",
+    "fligner_killeen",
+    # r13b: the per-iteration 9-sum collects + driver Cramer solves
+    # (logistic) / 7-sum EM collects (gmm) run at construction
+    "logistic_irls",
+    "gmm_em",
+    # r13b: the top-k source collect + BFS frontier loop run at
+    # construction
+    "closeness_centrality",
     # r13: eps-graph localCheckpoint + CC rounds run at construction
     "dbscan",
     # r13: the 2^C mask collect + driver zeta/Shapley run at
