@@ -1187,13 +1187,27 @@ def logistic_irls(
     b = [0.0, 0.0, 0.0]
     n_rows = None
     iters_run = 0
+    spark0 = df.sparkSession
     for _ in range(int(iterations)):
-        eta = (
-            F.lit(b[0])
-            + F.lit(b[1]) * F.col("__x1")
-            + F.lit(b[2]) * F.col("__x2")
+        # coefficients ride a broadcast 1-row parameter frame, NOT
+        # literals: literal betas change every iteration, so each
+        # round's plan text (and generated code) would be unique and
+        # janino recompiles 8 times (~1-2 s/round measured at sf0.1);
+        # parameter columns keep the generated code identical across
+        # rounds — one compile, 8 executions. The oracle already
+        # replays with a cross-joined parameter CTE, so nothing moves.
+        params = F.broadcast(
+            spark0.createDataFrame(
+                [(b[0], b[1], b[2])],
+                "__b0 double, __b1 double, __b2 double",
+            )
         )
-        cur = base.withColumn("__eta", eta).withColumn(
+        eta = (
+            F.col("__b0")
+            + F.col("__b1") * F.col("__x1")
+            + F.col("__b2") * F.col("__x2")
+        )
+        cur = base.crossJoin(params).withColumn("__eta", eta).withColumn(
             "__yc", F.greatest(F.lit(-64.0), -F.abs(F.col("__eta")))
         )
         cur = with_det_exp(cur, "__yc", "__ex")
@@ -1213,8 +1227,7 @@ def logistic_irls(
             "__w", F.col("__p") * (F.lit(1.0) - F.col("__p"))
         ).withColumn("__r", F.col("__y") - F.col("__p"))
 
-        def q(expr):
-            return F.round(expr * F.lit(1e6), 0).cast("long")
+        from .multitest import micro_half_away as q
 
         w, x1c, x2c, r = (
             F.col("__w"), F.col("__x1"), F.col("__x2"), F.col("__r"),

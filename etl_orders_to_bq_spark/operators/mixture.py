@@ -67,7 +67,7 @@ def gmm_em_1d(
         (F.col(value_col).cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("__v")
-    )
+    ).persist()  # every EM round rescans; one long column cached
     dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     z38 = F.lit(0).cast("decimal(38,0)")
     mom = base.agg(
@@ -79,6 +79,7 @@ def gmm_em_1d(
     ).first()
     n = int(mom["n"])
     if n < 2:
+        base.unpersist()
         return df.sparkSession.createDataFrame(
             [(n, 0, None, None, None, None, None)],
             "n long, rounds_run long, weight_1 double, mu_1 double, "
@@ -124,9 +125,9 @@ def gmm_em_1d(
             (F.col("__p1") + F.col("__p2")) > 0.0,
             F.col("__p1") / (F.col("__p1") + F.col("__p2")),
         ).otherwise(F.lit(0.5))
-        cur = cur.withColumn(
-            "__r", F.round(r1 * F.lit(1e6), 0).cast("long")
-        )
+        from .multitest import micro_half_away
+
+        cur = cur.withColumn("__r", micro_half_away(r1))
         row = cur.agg(
             F.coalesce(F.sum(dec38(F.col("__r"))), z38).alias("r1s"),
             F.coalesce(
@@ -164,6 +165,7 @@ def gmm_em_1d(
         mu1, s1 = _round6(nmu1), _round6(math.sqrt(nvar1))
         mu2, s2 = _round6(nmu2), _round6(math.sqrt(nvar2))
         rounds_run += 1
+    base.unpersist()
     return df.sparkSession.createDataFrame(
         [
             (

@@ -4503,3 +4503,29 @@ def fligner_killeen(
         F.round(num / varn, ndigits),
     )
     return agg.select("k", "n", fk.alias("fk_stat"))
+
+
+def micro_half_away(e: Column, scale: float = 1e6) -> Column:
+    """Half-away integer quantization as PURE double arithmetic:
+    sign(x) * floor(|x * scale| + 0.5), cast long. ~2x cheaper per
+    value than ``F.round`` (which routes every double through a
+    BigDecimal setScale; measured on the logistic_irls 10-sum
+    aggregate: 3.5-7 s -> 1.4-2 s per pass at sf0.1). Semantics
+    differ from F.round only when ``x*scale`` sits within one ulp of
+    a .5 boundary — acceptable because BOTH engines replay this exact
+    floor form on identical doubles (``micro_half_away_sql``)."""
+    s = e * F.lit(float(scale))
+    return (
+        F.when(s >= 0, F.floor(s + F.lit(0.5)))
+        .otherwise(-F.floor(-s + F.lit(0.5)))
+        .cast("long")
+    )
+
+
+def micro_half_away_sql(e: str, scale: str = "1e6") -> str:
+    """The identical floor-form quantization as SQL text."""
+    s = f"(({e}) * {scale})"
+    return (
+        f"(cast(case when {s} >= 0 then floor({s} + 0.5) "
+        f"else -floor(-{s} + 0.5) end as bigint))"
+    )
