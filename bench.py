@@ -1538,7 +1538,16 @@ def main() -> None:
     # aggregation maps OOM'd it — match heap to the thread count
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # Spark's generated-class cache holds only 100 entries by
+        # default; a 200-query interleaved suite evicts constantly and
+        # re-pays janino compilation on every pass (measured: 28s
+        # in-suite vs 3.8s standalone for ransac_line, whose 64-arm
+        # trial expansion is compile-heavy). Size the cache to the
+        # workload — the same knob a wide production workload tunes.
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "2000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
