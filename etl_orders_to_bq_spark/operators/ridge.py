@@ -122,6 +122,7 @@ def ransac_line(
     seed: str = "rl17",
     ndigits: int = 6,
     subsample_mod: int | None = None,
+    coord_bound: float | None = None,
 ) -> DataFrame:
     """RANSAC line fit (Fischler & Bolles 1981, public literature) —
     the robust regressor for data where a MINORITY of rows follow no
@@ -168,16 +169,52 @@ def ransac_line(
     simply a different (equally valid) sampling scheme; the winner
     can differ from the exhaustive argmax — the documented
     trade-off, with the fit itself verified on everything.
+
+    ``coord_bound`` (r13 optimization): when the caller can assert
+    |x|, |y| <= coord_bound (after the 2dp quantization), the inlier
+    test runs in exact integer CENTS (longs) instead of decimal(38)
+    cross-multiplication. The booleans — and therefore every count
+    and the reported fit — are bit-identical (both arithmetics are
+    exact; the final slope/intercept doubles reproduce the decimal
+    path's two-step rounding), but the per-row cost drops from four
+    BigDecimal ``toPrecision`` calls (precision 38 is not long-backed;
+    measured as the entire hot stage of the 64x trial expansion) to
+    two long multiplies. A wrong assertion fails LOUDLY (ANSI long
+    overflow), never silently: results cannot be corrupted. Bounds
+    are validated so every product keeps 2x headroom under int64;
+    callers with |coords| > 50,000 units get the decimal path.
     """
     eps_str = repr(float(eps))
+    # exact micro-eps for the integer path: must equal Spark's
+    # cast(eps_str as decimal(18,6)) — HALF_UP at 6dp
+    from decimal import ROUND_HALF_UP
+    from decimal import Decimal as _D
+
+    eps_micro6 = int(
+        _D(eps_str).scaleb(6).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+    int_path = (
+        coord_bound is not None
+        and 0 < float(coord_bound) <= 50_000.0
+        # lhs: |L| * 10000 with L <= 2*(2B*100)^2 = 8e4*B^2
+        and 8e8 * float(coord_bound) ** 2 <= 4.6e18
+        # rhs: eps_micro6 * |dx_cents| <= eps_micro6 * 2B*100
+        and eps_micro6 * 200.0 * float(coord_bound) <= 4.6e18
+    )
+    if int_path:
+        xy = lambda c: (  # noqa: E731
+            (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+        )
+    else:
+        xy = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     base = df.filter(
         F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
         & F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).cast("string").alias("__id"),
-        F.col(x_col).cast("decimal(18,2)").alias("__x"),
-        F.col(y_col).cast("decimal(18,2)").alias("__y"),
+        xy(x_col).alias("__x"),
+        xy(y_col).alias("__y"),
     )
     trials = df.sparkSession.range(int(n_trials)).select(
         F.col("id").cast("int").alias("__t")
@@ -265,14 +302,26 @@ def ransac_line(
         (F.col("__c2.__x") - F.col("__c1.__x")).alias("__dx"),
         (F.col("__c2.__y") - F.col("__c1.__y")).alias("__dy"),
     ).filter(F.col("__dx") != 0)
-    inl_cond = (
-        F.abs(
-            (F.col("__y") - F.col("__y1")) * F.col("__dx")
-            - (F.col("__x") - F.col("__x1")) * F.col("__dy")
+    if int_path:
+        # exact cents: |L| * 1e4 <= eps_micro6 * |dx_cents| is the
+        # decimal condition cleared of its 1e-4 / 1e-8 scale factors
+        inl_cond = (
+            F.abs(
+                (F.col("__y") - F.col("__y1")) * F.col("__dx")
+                - (F.col("__x") - F.col("__x1")) * F.col("__dy")
+            )
+            * F.lit(10_000).cast("long")
+            <= F.lit(eps_micro6).cast("long") * F.abs(F.col("__dx"))
         )
-        <= F.expr(f"cast({eps_str} as decimal(18,6))")
-        * F.abs(F.col("__dx"))
-    )
+    else:
+        inl_cond = (
+            F.abs(
+                (F.col("__y") - F.col("__y1")) * F.col("__dx")
+                - (F.col("__x") - F.col("__x1")) * F.col("__dy")
+            )
+            <= F.expr(f"cast({eps_str} as decimal(18,6))")
+            * F.abs(F.col("__dx"))
+        )
     if subsample_mod is not None and int(subsample_mod) > 1:
         scored_sub = (
             subbed.crossJoin(F.broadcast(lines))
@@ -318,7 +367,20 @@ def ransac_line(
             .limit(1)
         )
     n = base.agg(F.count("*").cast("long").alias("n"))
-    slope = F.col("__dy").cast("double") / F.col("__dx").cast("double")
+    if int_path:
+        # cents -> units via ONE double division each: IEEE division
+        # is correctly rounded, so cents/100.0 is the same double as
+        # Decimal(18,2).toDouble — slope/intercept stay bit-identical
+        dxd = F.col("__dx").cast("double") / F.lit(100.0)
+        dyd = F.col("__dy").cast("double") / F.lit(100.0)
+        x1d = F.col("__x1").cast("double") / F.lit(100.0)
+        y1d = F.col("__y1").cast("double") / F.lit(100.0)
+    else:
+        dxd = F.col("__dx").cast("double")
+        dyd = F.col("__dy").cast("double")
+        x1d = F.col("__x1").cast("double")
+        y1d = F.col("__y1").cast("double")
+    slope = dyd / dxd
     # LEFT join on true: an all-degenerate trial set leaves `best`
     # empty and the contract is one row with NULL fit, not zero rows
     return n.join(F.broadcast(best), F.lit(True), "left").select(
@@ -326,9 +388,5 @@ def ransac_line(
         F.col("__t").cast("long").alias("best_trial"),
         F.col("__inl").cast("long").alias("n_inliers"),
         F.round(slope, ndigits).alias("slope"),
-        F.round(
-            F.col("__y1").cast("double")
-            - F.col("__x1").cast("double") * slope,
-            ndigits,
-        ).alias("intercept"),
+        F.round(y1d - x1d * slope, ndigits).alias("intercept"),
     )

@@ -1361,3 +1361,35 @@ def test_ransac_subsample_recovers_line_with_exact_full_count(spark):
     assert abs(row.slope - 3.0) < 0.05
     assert abs(row.intercept - 5.0) < 2.0
     assert row.n == 400 and row.n_inliers > 300  # full-data count
+
+
+def test_ransac_coord_bound_int_path_matches_decimal_path(spark):
+    """r13 optimization: the integer-cents inlier path (coord_bound)
+    must be BIT-IDENTICAL to the decimal(38) path — same booleans
+    (exact arithmetic both ways), same slope/intercept doubles (the
+    cents/100.0 division reproduces Decimal.toDouble's rounding) —
+    on positive, negative, and subsampled fixtures."""
+    from etl_orders_to_bq_spark.operators.ridge import ransac_line
+
+    rows = []
+    for i in range(300):
+        x = float(i % 100) - 50.0
+        y = -2.5 * x + 7.25 + ((i % 3) - 1) * 0.5
+        if i % 7 == 0:
+            y -= 400.0
+        rows.append((i, x, round(y, 2)))
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    for sub in (None, 4):
+        a = ransac_line(
+            df, "x", "y", "id", eps=1.75, subsample_mod=sub
+        ).collect()
+        b = ransac_line(
+            df, "x", "y", "id", eps=1.75, subsample_mod=sub,
+            coord_bound=600.0,
+        ).collect()
+        assert a == b
+    # out-of-range bound falls back to the decimal path (still equal)
+    c = ransac_line(
+        df, "x", "y", "id", eps=1.75, coord_bound=9e9
+    ).collect()
+    assert c == ransac_line(df, "x", "y", "id", eps=1.75).collect()
