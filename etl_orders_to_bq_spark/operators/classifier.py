@@ -1124,6 +1124,109 @@ def _round6_half_away(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
+def _irls_census_fit(ys, xs1, xs2, cnts, iterations):
+    """Driver-local replay of the distributed IRLS round over a
+    bounded (y, x1, x2, count) census: numpy float64 reproduces the
+    JVM double sequence op-for-op (same order, no FMA), the micro
+    quantization is the identical sign-floor form, and the
+    count-weighted sums are exact integers (int64 when the bound
+    check proves headroom, arbitrary-precision Python ints
+    otherwise). Returns (n_rows, iters_run, b)."""
+    import numpy as np
+
+    from .multitest import _EXP_COEFFS
+
+    y = np.asarray(ys, dtype=np.float64)
+    x1 = np.asarray(xs1, dtype=np.float64)
+    x2 = np.asarray(xs2, dtype=np.float64)
+    cnt = np.asarray(cnts, dtype=np.int64)
+    m = len(cnts)
+    n_rows = int(cnt.sum()) if m else 0
+    coeffs = [float(c) for c in _EXP_COEFFS]
+
+    def q(v):
+        s = v * 1e6
+        return np.where(
+            s >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)
+        ).astype(np.int64)
+
+    cmax = int(cnt.max()) if m else 0
+
+    def wsum(qt):
+        if m == 0:
+            return 0
+        qmax = int(np.abs(qt).max())
+        if (qmax + 1) * (cmax + 1) * m < (1 << 62):
+            return int((cnt * qt).sum())
+        # headroom not provable: exact big-int fallback (rare)
+        return sum(
+            int(c) * int(v) for c, v in zip(cnt.tolist(), qt.tolist())
+        )
+
+    b = [0.0, 0.0, 0.0]
+    iters_run = 0
+    for _ in range(int(iterations)):
+        eta = (b[0] + b[1] * x1) + b[2] * x2
+        yc = np.maximum(-64.0, -np.abs(eta))
+        wq = yc / 64.0
+        t = np.full_like(wq, coeffs[-1])
+        for c in reversed(coeffs[:-1]):
+            t = t * wq + c
+        for _ in range(6):
+            t = t * t
+        ex = t
+        p = np.where(
+            eta > 64.0,
+            1.0,
+            np.where(
+                eta < -64.0,
+                0.0,
+                np.where(
+                    eta >= 0.0, 1.0 / (1.0 + ex), ex / (1.0 + ex)
+                ),
+            ),
+        )
+        w = p * (1.0 - p)
+        r = y - p
+        h = [
+            [
+                float(wsum(q(w))),
+                float(wsum(q(w * x1))),
+                float(wsum(q(w * x2))),
+            ],
+            [
+                float(wsum(q(w * x1))),
+                float(wsum(q(w * x1 * x1))),
+                float(wsum(q(w * x1 * x2))),
+            ],
+            [
+                float(wsum(q(w * x2))),
+                float(wsum(q(w * x1 * x2))),
+                float(wsum(q(w * x2 * x2))),
+            ],
+        ]
+        g = [
+            float(wsum(q(r))),
+            float(wsum(q(r * x1))),
+            float(wsum(q(r * x2))),
+        ]
+        det = _det3_f(h)
+        if det == 0.0 or not math.isfinite(det):
+            break
+        deltas = []
+        for j in range(3):
+            mm = [
+                [g[i] if k == j else h[i][k] for k in range(3)]
+                for i in range(3)
+            ]
+            deltas.append(_det3_f(mm) / det)
+        if not all(math.isfinite(d) for d in deltas):
+            break
+        b = [_round6_half_away(b[j] + deltas[j]) for j in range(3)]
+        iters_run += 1
+    return n_rows, iters_run, b
+
+
 def logistic_irls(
     df: DataFrame,
     x1_col: str,
@@ -1131,6 +1234,8 @@ def logistic_irls(
     label_col,
     iterations: int = 8,
     ndigits: int = 6,
+    census_compress: bool = True,
+    local_threshold: int | None = 65536,
 ) -> DataFrame:
     """Distributed logistic-regression fit ``P(y=1) = sigmoid(b0 +
     b1*x1 + b2*x2)`` by iteratively reweighted least squares /
@@ -1144,6 +1249,20 @@ def logistic_irls(
     a 3x3 Cramer solve (the lloyd_kmeans / ridge_normal
     bounded-collect discipline). Nothing downstream of the scan grows
     with the data.
+
+    r13 scale/latency optimization (guide §2.3 "aggregate before you
+    shuffle"): with ``census_compress`` (default) the fit first
+    censuses distinct (y, x1, x2) triples with counts — every
+    per-round term is a pure function of the triple, so count-weighted
+    integer sums over the census equal the row sums EXACTLY. When the
+    census is small enough (<= max(1024, n/4) groups) the 8 Newton
+    scans touch the census instead of the corpus; when it also fits
+    the bounded-collect budget (``local_threshold`` rows) the whole
+    loop runs driver-local with zero per-round jobs
+    (``_irls_census_fit``; numpy float64 == JVM double op-for-op).
+    High-cardinality features fall back to the original full-row
+    scans. All three paths are pinned identical by
+    ``test_logistic_irls_local_matches_distributed``.
 
     Cross-engine determinism (the lloyd round-the-state recipe):
     - p comes from the engine's deterministic staged exp
@@ -1177,17 +1296,158 @@ def logistic_irls(
         F.col(x1_col).cast("double").alias("__x1"),
         F.col(x2_col).cast("double").alias("__x2"),
     ).filter(F.col("__y").isNotNull())
-    from .multitest import with_det_exp
+    from .multitest import _EXP_COEFFS
 
-    # every Newton iteration rescans the projected base; persist the
-    # 3-column frame once (storage is O(rows * 3 doubles) — at cluster
-    # scale swap for a durable staged parquet, the shortest_paths
-    # checkpoint_path pattern)
-    base = base.persist()
+    # ---- feature-space compression (r13 opt, guide §2.3 "aggregate
+    # before you shuffle"): every per-round term is a pure function of
+    # (y, x1, x2), so rows with identical triples contribute IDENTICAL
+    # micro-longs — sum(count * q(term)) over the distinct-triple
+    # census equals sum(q(term)) over the rows exactly (integer
+    # multiplication distributes; nothing floats). TPC-H-shaped
+    # features (flag, quantity, discount) census to ~1e3 triples at
+    # any scale, so the 8 Newton scans touch a broadcast-sized table
+    # instead of the corpus — the same one-pass-then-iterate shape the
+    # word-count EM operators use. A cheap census probe gates it:
+    # near-unique continuous features fall back to the full-row scan
+    # (the probe pays one count-shuffle, which the first round's scan
+    # would have paid anyway).
+    spark0 = df.sparkSession
+    weighted = False
+    n_all = None
+    if census_compress:
+        comp = (
+            base.groupBy("__y", "__x1", "__x2")
+            .agg(F.count("*").cast("long").alias("__cnt"))
+            .persist()
+        )
+        st = comp.agg(
+            F.count("*").alias("m"), F.sum("__cnt").alias("n")
+        ).first()
+        m_groups = int(st["m"])
+        n_all = int(st["n"] or 0)
+        weighted = m_groups <= max(1024, n_all // 4)
+    if (
+        weighted
+        and local_threshold is not None
+        and m_groups <= int(local_threshold)
+    ):
+        # driver-local fit over the bounded census (the k_truss /
+        # ridge bounded-collect discipline: <= 65536 rows, ~2 MB).
+        # Every per-round op replays the Column chain's IEEE double
+        # sequence exactly (numpy float64 == JVM double, same
+        # operation order, no FMA), the micro quantization is the
+        # same floor form, and the count-weighted sums are exact
+        # integers — pinned local == distributed by
+        # test_logistic_irls_local_matches_distributed.
+        rows = comp.collect()
+        comp.unpersist()
+        n_rows, iters_run, b = _irls_census_fit(
+            [float(r["__y"]) for r in rows],
+            [float(r["__x1"]) for r in rows],
+            [float(r["__x2"]) for r in rows],
+            [int(r["__cnt"]) for r in rows],
+            int(iterations),
+        )
+        return spark0.createDataFrame(
+            [(n_rows, iters_run, b[0], b[1], b[2])],
+            "n_rows long, iters_run long, b0 double, b1 double,"
+            " b2 double",
+        )
+    if weighted:
+        base = comp
+    else:
+        if census_compress:
+            comp.unpersist()
+        # every Newton iteration rescans the projected base; persist
+        # the 3-column frame once (storage is O(rows * 3 doubles) — at
+        # cluster scale swap for a durable staged parquet, the
+        # shortest_paths checkpoint_path pattern).
+        base = base.persist()
+
+    # ---- per-round plan, built ONCE (r13 opt): every Column below
+    # references only base columns and the __b* parameter columns, so
+    # the whole staged chain is round-invariant. Building it inside
+    # the loop re-paid ~0.6 s/round of py4j expression construction
+    # (measured: 21.5k gateway round-trips per fit); prebuilt stages
+    # cut the loop body to crossJoin+withColumns+agg+first. The
+    # withColumns STAGING (det-exp squarings in their own projections)
+    # is preserved — same janino rationale as with_det_exp.
+    eta = (
+        F.col("__b0")
+        + F.col("__b1") * F.col("__x1")
+        + F.col("__b2") * F.col("__x2")
+    )
+    stage_cols: list[dict] = [
+        {
+            "__eta": eta,
+            "__yc": F.greatest(F.lit(-64.0), -F.abs(eta)),
+        },
+        {"__dex_w": F.col("__yc") / 64.0},
+    ]
+    t: Column = F.lit(float(_EXP_COEFFS[-1]))
+    for coef in reversed(_EXP_COEFFS[:-1]):
+        t = t * F.col("__dex_w") + F.lit(float(coef))
+    stage_cols.append({"__dex_t": t})
+    for _ in range(6):
+        stage_cols.append(
+            {"__dex_t": F.col("__dex_t") * F.col("__dex_t")}
+        )
+    stage_cols.append({"__ex": F.col("__dex_t")})
+    p = (
+        F.when(F.col("__eta") > 64.0, F.lit(1.0))
+        .when(F.col("__eta") < -64.0, F.lit(0.0))
+        .otherwise(
+            F.when(
+                F.col("__eta") >= 0.0,
+                F.lit(1.0) / (F.lit(1.0) + F.col("__ex")),
+            ).otherwise(F.col("__ex") / (F.lit(1.0) + F.col("__ex")))
+        )
+    )
+    stage_cols.append({"__p": p})
+    stage_cols.append(
+        {
+            "__w": F.col("__p") * (F.lit(1.0) - F.col("__p")),
+            "__r": F.col("__y") - F.col("__p"),
+        }
+    )
+
+    from .multitest import micro_half_away as q
+
+    w, x1c, x2c, r = (
+        F.col("__w"), F.col("__x1"), F.col("__x2"), F.col("__r"),
+    )
+    # sums are LONGS for codegen-primitive speed (the ridge_normal
+    # recipe): micro terms bounded by |x| <= ~5e3 keep every sum
+    # inside int64 up to ~1e9 rows; beyond that ANSI mode throws
+    # loudly rather than wrapping — quantize features down first.
+    # Values are identical to decimal sums, so the oracle replay
+    # (decimal side) hash-matches unchanged.
+    zl = F.lit(0).cast("long")
+    if weighted:
+        cnt = F.col("__cnt")
+        n_expr = F.coalesce(F.sum(cnt), zl).alias("n")
+        def s(term):
+            return F.coalesce(F.sum(cnt * q(term)), zl)
+    else:
+        n_expr = F.count("*").cast("long").alias("n")
+        def s(term):
+            return F.coalesce(F.sum(q(term)), zl)
+    agg_cols = [
+        n_expr,
+        s(w).alias("sww"),
+        s(w * x1c).alias("sw1"),
+        s(w * x2c).alias("sw2"),
+        s(w * x1c * x1c).alias("sw11"),
+        s(w * x1c * x2c).alias("sw12"),
+        s(w * x2c * x2c).alias("sw22"),
+        s(r).alias("sr"),
+        s(r * x1c).alias("sr1"),
+        s(r * x2c).alias("sr2"),
+    ]
+
     b = [0.0, 0.0, 0.0]
     n_rows = None
     iters_run = 0
-    spark0 = df.sparkSession
     for _ in range(int(iterations)):
         # coefficients ride a broadcast 1-row parameter frame, NOT
         # literals: literal betas change every iteration, so each
@@ -1202,55 +1462,11 @@ def logistic_irls(
                 "__b0 double, __b1 double, __b2 double",
             )
         )
-        eta = (
-            F.col("__b0")
-            + F.col("__b1") * F.col("__x1")
-            + F.col("__b2") * F.col("__x2")
-        )
-        cur = base.crossJoin(params).withColumn("__eta", eta).withColumn(
-            "__yc", F.greatest(F.lit(-64.0), -F.abs(F.col("__eta")))
-        )
-        cur = with_det_exp(cur, "__yc", "__ex")
-        p = (
-            F.when(F.col("__eta") > 64.0, F.lit(1.0))
-            .when(F.col("__eta") < -64.0, F.lit(0.0))
-            .otherwise(
-                F.when(
-                    F.col("__eta") >= 0.0,
-                    F.lit(1.0) / (F.lit(1.0) + F.col("__ex")),
-                ).otherwise(
-                    F.col("__ex") / (F.lit(1.0) + F.col("__ex"))
-                )
-            )
-        )
-        cur = cur.withColumn("__p", p).withColumn(
-            "__w", F.col("__p") * (F.lit(1.0) - F.col("__p"))
-        ).withColumn("__r", F.col("__y") - F.col("__p"))
-
-        from .multitest import micro_half_away as q
-
-        w, x1c, x2c, r = (
-            F.col("__w"), F.col("__x1"), F.col("__x2"), F.col("__r"),
-        )
-        # sums are LONGS for codegen-primitive speed (the ridge_normal
-        # recipe): micro terms bounded by |x| <= ~5e3 keep every sum
-        # inside int64 up to ~1e9 rows; beyond that ANSI mode throws
-        # loudly rather than wrapping — quantize features down first.
-        # Values are identical to decimal sums, so the oracle replay
-        # (decimal side) hash-matches unchanged.
-        zl = F.lit(0).cast("long")
-        row = cur.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(F.sum(q(w)), zl).alias("sww"),
-            F.coalesce(F.sum(q(w * x1c)), zl).alias("sw1"),
-            F.coalesce(F.sum(q(w * x2c)), zl).alias("sw2"),
-            F.coalesce(F.sum(q(w * x1c * x1c)), zl).alias("sw11"),
-            F.coalesce(F.sum(q(w * x1c * x2c)), zl).alias("sw12"),
-            F.coalesce(F.sum(q(w * x2c * x2c)), zl).alias("sw22"),
-            F.coalesce(F.sum(q(r)), zl).alias("sr"),
-            F.coalesce(F.sum(q(r * x1c)), zl).alias("sr1"),
-            F.coalesce(F.sum(q(r * x2c)), zl).alias("sr2"),
-        ).first()
+        cur = base.crossJoin(params)
+        for cols in stage_cols:
+            cur = cur.withColumns(cols)
+        cur = cur.drop("__dex_w", "__dex_t")
+        row = cur.agg(*agg_cols).first()
         n_rows = int(row["n"])
         h = [
             [float(row["sww"]), float(row["sw1"]), float(row["sw2"])],
@@ -1273,7 +1489,8 @@ def logistic_irls(
         b = [_round6_half_away(b[j] + deltas[j]) for j in range(3)]
         iters_run += 1
     if n_rows is None:
-        n_rows = base.count()
+        # the census probe (when run) already counted the valid rows
+        n_rows = n_all if n_all is not None else base.count()
     base.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -2470,15 +2470,18 @@ def rouge_n(
     Output: ``(id_col, n_cand, n_ref, clip, precision, recall, f1)``
     — one row per input row, zero-ngram sides yield NULL ratios.
     """
+    from ..functions.text import word_ngrams
+
     def grams(c):
-        ts = tokenize(normalize_text(c))
-        return F.when(
-            F.size(ts) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ts) - n + 1),
-                lambda i: F.array_join(F.slice(ts, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # PERF: the naive transform(sequence(...), i -> slice(ts, i, n))
+        # references the tokenize+normalize REGEX subtree inside the
+        # element lambda, so the regex re-ran once PER GRAM — O(len²)
+        # per row (the rolling_fingerprints trap). word_ngrams'
+        # zip_with shape evaluates the source ~n times per row total.
+        # Identical grams: space-joined windows, empty below n tokens
+        # (a null input yields null vs empty, invisible through the
+        # explode_outer below).
+        return word_ngrams(normalize_text(c), n)
 
     # each side is tokenized exactly ONCE: the census feeds both the
     # clip join and (via a per-id rollup) the total gram counts — the

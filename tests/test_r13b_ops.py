@@ -1415,6 +1415,31 @@ class TestLogisticIrls:
         assert got["iters_run"] == 0
         assert (got["b0"], got["b1"], got["b2"]) == (0.0, 0.0, 0.0)
 
+    def test_logistic_irls_local_matches_distributed(self, spark):
+        from etl_orders_to_bq_spark.operators.classifier import (
+            logistic_irls,
+        )
+
+        # low-cardinality features with repeats (plus nulls dropped by
+        # the filter) so the census path engages: default -> driver
+        # local fit; local_threshold=None -> census-weighted
+        # distributed loop; census_compress=False -> the original
+        # full-row loop. All three must agree bit-for-bit.
+        rows = [
+            (i % 2, float(i % 7), 0.5 * (i % 4)) for i in range(500)
+        ] + [(None, 1.0, 1.0), (1, None, 2.0)]
+        df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+        a = logistic_irls(df, "x1", "x2", "y", iterations=6).collect()
+        b = logistic_irls(
+            df, "x1", "x2", "y", iterations=6, local_threshold=None
+        ).collect()
+        c = logistic_irls(
+            df, "x1", "x2", "y", iterations=6, census_compress=False
+        ).collect()
+        assert a == b == c
+        assert a[0]["n_rows"] == 500
+        assert a[0]["iters_run"] == 6
+
 
 class TestClosenessCentrality:
     def test_hub_and_path(self, spark):
