@@ -239,7 +239,9 @@ def pca_pc1_scores(
     than dim^2 keys.
     """
     v = _pc1_fit(embeddings, dim, rounds, vec_col)
-    v_lit = F.array(*[F.lit(int(x)) for x in v])
+    from ..functions.vectors import lit_longs
+
+    v_lit = lit_longs(v)
     xm = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1e6, 0).cast("long"),
@@ -298,21 +300,12 @@ def jl_project(
     from .ann import _hyperplanes
 
     planes = _hyperplanes(dim, out_dim, seed)
-    from ..functions.vectors import dot
+    from ..functions.vectors import dot, lit_doubles
 
     scale = float(math.sqrt(dim / out_dim))
     v = F.col(vec_col).cast("array<double>")
     comps = [
-        F.round(
-            dot(
-                v,
-                F.array(*[F.lit(float(x)) for x in p]).cast(
-                    "array<double>"
-                ),
-            )
-            * F.lit(scale),
-            ndigits,
-        )
+        F.round(dot(v, lit_doubles(p)) * F.lit(scale), ndigits)
         for p in planes
     ]
     exploded = F.posexplode(F.array(*comps))
