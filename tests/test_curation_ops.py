@@ -1256,7 +1256,16 @@ def test_ewma_property_matches_sequential_reference(spark):
         for x in vals[1:]:
             y = alpha * x + (1.0 - alpha) * y
         assert got["n_points"] == len(vals)
-        assert got["ewma"] == round(y, 6)
+        # the engine (and its oracle) round HALF-AWAY at the 6dp grid;
+        # Python round() is half-to-even and disagrees exactly ON
+        # midpoints (hypothesis found y = 0.0078125 -> engine
+        # 0.007813, round() 0.007812) — mirror the engine convention
+        import math
+
+        expected = (
+            math.copysign(math.floor(abs(y) * 1e6 + 0.5), y) / 1e6
+        )
+        assert got["ewma"] == expected
 
     check()
 
