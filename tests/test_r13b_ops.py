@@ -1596,6 +1596,29 @@ class TestGmmEm1d:
         assert got["rounds_run"] == 0
         assert got["mu_1"] == 5.0 and got["sigma_1"] == 0.0
 
+    def test_gmm_census_fit_matches_distributed(self, spark):
+        import numpy as np
+
+        from etl_orders_to_bq_spark.operators.mixture import gmm_em_1d
+
+        # 1dp values with repeats so the census path engages; the
+        # driver-local numpy replay (default) must equal the
+        # per-round distributed scans (census_compress=False)
+        # bit-for-bit — same det-exp staging, same micro floor form,
+        # same exact integer sums.
+        rng = np.random.RandomState(7)
+        v = np.round(
+            np.concatenate(
+                [rng.normal(10, 2, 400), rng.normal(40, 5, 200)]
+            ),
+            1,
+        )
+        df = spark.createDataFrame([(float(x),) for x in v], "v double")
+        a = gmm_em_1d(df, "v", rounds=6).collect()
+        b = gmm_em_1d(df, "v", rounds=6, census_compress=False).collect()
+        assert a == b
+        assert a[0]["rounds_run"] == 6
+
     def test_empty_input_nulls(self, spark):
         from etl_orders_to_bq_spark.operators.mixture import gmm_em_1d
 
