@@ -1036,12 +1036,21 @@ def ecod_outliers(
     """
     from .ranking import global_cumsum_before
 
+    # narrow internal keys (guide §2.3 "narrower types"): the feature
+    # tag is a positional INT (not the column-name string) and the
+    # value an exact cents LONG (not decimal(18,2)) — both are pure
+    # shuffle/sort/join keys here, so every downstream exchange, range
+    # sort, and sort-merge join compares 12 bytes instead of ~25.
+    # Counts, tail terms, and output are unchanged (cents are
+    # order-isomorphic to the decimals they encode).
     melted = None
-    for c in feature_cols:
+    for fi, c in enumerate(feature_cols):
         part = df.filter(F.col(c).isNotNull()).select(
             F.col(id_col).alias("__id"),
-            F.lit(c).alias("__f"),
-            F.col(c).cast("decimal(18,2)").alias("__x"),
+            F.lit(fi).cast("int").alias("__f"),
+            (F.col(c).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("__x"),
         )
         melted = part if melted is None else melted.unionByName(part)
     vc = melted.groupBy("__f", "__x").agg(
