@@ -1958,9 +1958,12 @@ def closeness_centrality(
         nxt = stage(nxt, checkpoint_path, f"cc_f{hop}")
         if nxt.limit(1).count() == 0:
             break
-        visited = stage(
-            visited.unionByName(nxt), checkpoint_path, f"cc_v{hop}"
-        )
+        # the union of already-staged frontiers needs no staging of its
+        # own: every piece is materialized blocks, lineage depth stays
+        # bounded by max_hops, and re-materializing the CUMULATIVE
+        # visited set each hop was the single biggest per-hop job
+        # (measured ~0.3 s/hop of the ~0.95 s/hop BFS wall at sf0.1)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     lcm = 1
     for d in range(2, int(max_hops) + 1):
