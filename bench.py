@@ -1547,7 +1547,14 @@ def main() -> None:
         # in-suite vs 3.8s standalone for ransac_line, whose 64-arm
         # trial expansion is compile-heavy). Size the cache to the
         # workload — the same knob a wide production workload tunes.
-        extra_conf={"spark.sql.codegen.cache.maxEntries": "2000"},
+        # r13 second pass: the cache must hold the WHOLE suite's
+        # sources or interleaved passes still thrash — measured ~35
+        # generated classes per query (CodegenMetrics: 1107 compiles
+        # for 31 queries), so 200 entries x 3 passes needs ~7000;
+        # 2000 was measured still re-compiling fresh plan instances
+        # (phash_neardup 5.7s vs 1.2s compiled-hot). 16384 fits with
+        # headroom at ~30KB/class (~300MB of the 32g heap).
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "16384"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
