@@ -553,15 +553,24 @@ def adaboost_stumps(
         "__w", F.lit(m1).cast("long")
     )
     results = []
+    from .staging import stage
+
     for t in range(1, int(rounds) + 1):
-        per = (
+        # stage the distinct-feature weight census ONCE per round: the
+        # threshold sweep, the class totals, and the total weight all
+        # derive from it — unstaged, each was a separate full corpus
+        # scan through the chained weight expression (3 scans/round
+        # measured at sf0.1; now 1)
+        per = stage(
             cur.groupBy("__x")
             .agg(
                 F.sum(F.when(F.col("__p"), F.col("__w")).otherwise(0))
                 .alias("__wp"),
                 F.sum(F.when(~F.col("__p"), F.col("__w")).otherwise(0))
                 .alias("__wn"),
-            )
+            ),
+            None,
+            f"ada_per{t}",
         )
         cum = global_cumsum_before(
             per,
@@ -570,17 +579,18 @@ def adaboost_stumps(
             num_partitions=num_partitions,
             out_col=["__cp", "__cn"],
         )
-        tot = per.agg(
+        trow = per.agg(
             F.sum("__wp").alias("__tp"), F.sum("__wn").alias("__tn")
-        )
-        errs = cum.crossJoin(F.broadcast(tot)).select(
+        ).first()
+        tp, tn = int(trow["__tp"]), int(trow["__tn"])
+        errs = cum.select(
             "__x",
-            (F.col("__cp") + F.col("__tn") - F.col("__cn")).alias(
+            (F.col("__cp") + F.lit(tn) - F.col("__cn")).alias(
                 "__ege"
             ),
             (
-                F.col("__tp") + F.col("__tn")
-                - (F.col("__cp") + F.col("__tn") - F.col("__cn"))
+                F.lit(tp + tn)
+                - (F.col("__cp") + F.lit(tn) - F.col("__cn"))
             ).alias("__elt"),
         )
         cand = errs.select(
@@ -601,7 +611,7 @@ def adaboost_stumps(
         )
         best = cand.agg(F.min("c").alias("b")).first().b
         e_min, s_min, pol = int(best.e), int(best.s), int(best.pol)
-        w_tot = int(cur.agg(F.sum("__w")).first()[0])
+        w_tot = tp + tn  # exact: the same sum the per census carries
         err_num = max(e_min, 1)  # perfect-stump clamp
         err_den = w_tot - err_num
         if err_den <= 0:
