@@ -4381,6 +4381,7 @@ def fligner_killeen(
     bounded group domain (the brown_forsythe contract).
     """
     from .ranking import global_cumsum_before
+    from .staging import stage
 
     y = F.col(value_col).cast("decimal(18,2)")
     base = df.filter(
@@ -4425,14 +4426,34 @@ def fligner_killeen(
             ).cast("decimal(19,3)").alias("__med"),
         )
     )
+    # deviations keyed as exact integer MILLS (guide §2.3 "narrower
+    # types"): |v - med| is an exact decimal(19,3), so *1000 is an
+    # exact long carrying the same order — every census shuffle,
+    # range sort, and join below compares 8 bytes instead of a
+    # decimal (the ecod_outliers key discipline)
     u = base.join(F.broadcast(med), "__g").select(
         "__g",
-        F.abs(
-            F.col("__v").cast("decimal(19,3)") - F.col("__med")
-        ).alias("__u"),
+        (
+            F.abs(
+                F.col("__v").cast("decimal(19,3)") - F.col("__med")
+            )
+            * 1000
+        ).cast("long").alias("__u"),
     )
-    # pooled distinct-deviation census -> doubled midranks
-    uc = u.groupBy("__u").agg(F.count("*").cast("long").alias("__t"))
+    # ONE corpus pass: the per-group deviation census is staged and
+    # the pooled census + N derive from it — unstaged, the pooled
+    # census, the N aggregate, and the per-group census were three
+    # separate passes, each re-running the median-window pipeline
+    gu = stage(
+        u.groupBy("__g", "__u").agg(
+            F.count("*").cast("long").alias("__m")
+        ),
+        None,
+        "fk_gu",
+    )
+    uc = gu.groupBy("__u").agg(
+        F.sum("__m").cast("long").alias("__t")
+    )
     ucum = global_cumsum_before(
         uc, ["__u"], "__t", num_partitions=num_partitions,
         out_col="__below",
@@ -4442,7 +4463,7 @@ def fligner_killeen(
             F.lit(2) * F.col("__below") + F.col("__t") + F.lit(1)
         ).cast("long").alias("__2r"),
     )
-    ntot = u.agg(F.count("*").cast("long").alias("__N"))
+    ntot = gu.agg(F.sum("__m").cast("long").alias("__N"))
     scored = ucum.crossJoin(F.broadcast(ntot)).select(
         "__u",
         F.round(
@@ -4459,9 +4480,6 @@ def fligner_killeen(
         )
         .cast("long")
         .alias("__a"),
-    )
-    gu = u.groupBy("__g", "__u").agg(
-        F.count("*").cast("long").alias("__m")
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_g = (
