@@ -384,6 +384,40 @@ ITERATIVE = {
     "mood_median",
     "pps_systematic",
 }
+# Entries whose CONSTRUCTION also runs real Spark jobs (r13 job-name
+# census over the status store, footer-read jobs excluded: the
+# global_cumsum family's range-sample + stage + totals-collect, lazy
+# checkpoints' AQE stage materialization, probe first()s) but whose
+# HISTORIC accounting is exec-only. Their `queries` numbers keep the
+# exec-only methodology (cross-round comparable); construction is
+# rebuilt and timed per pass SEPARATELY into `ctor_detail` in
+# BENCH_full.json so the undercount is visible instead of silent.
+CTOR_TIMED = {
+    "ann_cosine_topk",
+    "seq_patterns",
+    "mann_whitney",
+    "gini_stump",
+    "vocab_coverage",
+    "hilbert_layout",
+    "roc_curve",
+    "kruskal_wallis",
+    "dunn_posthoc",
+    "streaming_funnel",
+    "log_rank",
+    "wasserstein",
+    "cliffs_delta",
+    "brunner_munzel",
+    "ansari_bradley",
+    "runs_test",
+    "chatterjee_xi",
+    "cramer_von_mises",
+    "kuiper_two_sample",
+    "hbos_outliers",
+    "ecod_outliers",
+    "nelson_aalen",
+    "personalized_pagerank",
+}
+
 
 
 def _force(df) -> None:
@@ -1576,6 +1610,7 @@ def main() -> None:
     # a quiet host
     canary_samples = [_canary(spark)]
     run_lists: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    ctor_lists: dict[str, list[float]] = {n: [] for n in CTOR_TIMED}
     frames: dict[str, object] = {}
     n_passes = 3
     for p in range(n_passes):
@@ -1583,6 +1618,21 @@ def main() -> None:
             if name in ITERATIVE:
                 t0 = time.perf_counter()
                 _force(qs[name](spark, sf_dir))
+            elif name in CTOR_TIMED:
+                # construction runs real jobs (a job-name census at
+                # r13: stage materializations + bounded collects, e.g.
+                # the global_cumsum family) but the entry's HISTORIC
+                # accounting is exec-only; rebuild per pass and record
+                # construction SEPARATELY (ctor_detail in
+                # BENCH_full.json) so the number stays comparable
+                # across rounds while the undercount is visible.
+                t0 = time.perf_counter()
+                f = qs[name](spark, sf_dir)
+                ctor_lists[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                t0 = time.perf_counter()
+                _force(f)
             else:
                 if name not in frames:
                     frames[name] = qs[name](spark, sf_dir)
@@ -1593,6 +1643,15 @@ def main() -> None:
             canary_samples.append(_canary(spark))
     canary_samples.append(_canary(spark))
     frames.clear()
+    ctor_detail = {
+        name: {
+            "median": round(statistics.median(ts), 3),
+            "min": round(min(ts), 3),
+            "runs": ts,
+        }
+        for name, ts in ctor_lists.items()
+        if ts
+    }
     for name, ts in run_lists.items():
         detail[name] = {
             "median": round(statistics.median(ts), 3),
@@ -1879,6 +1938,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_detail": detail,
+        "ctor_detail": ctor_detail,
         "stress": stress,
         "stress_detail": stress_detail,
         "stress_sf1": stress_sf1,

@@ -38,7 +38,11 @@ EXPENSIVE = {
     "semdedup_kmeans": (3, 5, False),
     "semdedup": (3, 1, False),
     "span_dedup": (4, 0, False),
-    "quality_classifier": (3, 0, False),
+    # r13 opt: +2 exchanges — the gated _spread_if_underpartitioned
+    # round-robin repartition ahead of the CPU-bound feature hashing
+    # (single-split local fixtures only; measured 2.2 -> 1.4 s at
+    # sf0.1) and its AQE-counted reader
+    "quality_classifier": (5, 0, False),
     "dedup_embedding": (2, 2, False),
     "pagerank": (1, 0, False),
     "o4_dedup_first": (1, 0, False),
