@@ -2150,6 +2150,141 @@ def _unigram_backtrack(col_w, col_len, col_dp):
     )["ps"]
 
 
+def _unigram_words_census(df: DataFrame, text_col: str, mw: int):
+    """The one corpus-sized stage both unigram entry points share: the
+    distinct-word frequency census (tokenize -> groupBy -> length
+    filter). Everything downstream is a pure function of it."""
+    toks = df.select(
+        F.explode(tokenize(normalize_text(text_col))).alias("__w")
+    )
+    return (
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.length("__w") <= mw) & (F.length("__w") >= 1))
+        .withColumn("__len", F.length("__w"))
+    )
+
+
+def _unigram_viterbi_local(w: str, ln: int, probs: dict, mp: int):
+    """Driver-local replay of ``_unigram_viterbi_dp`` + backtrack for
+    ONE word — op-for-op: Python floats ARE IEEE doubles, so the
+    forward products ``dp[i-l].s * p`` and the (score, longer-piece)
+    tie-break reproduce the JVM fold bit-identically; the backtrack
+    runs exactly ``ln`` fold steps like the Spark ``F.aggregate``.
+    Returns the pieces in REVERSE (end -> start) order, matching
+    ``_unigram_backtrack``."""
+    dp = [(1.0, 0)]
+    for i in range(1, ln + 1):
+        best_s, best_bl = -1.0, 0
+        for l in range(1, min(mp, i) + 1):
+            p = probs.get(w[i - l : i])
+            if p is None:
+                continue
+            s = dp[i - l][0] * p
+            if s > best_s or (s == best_s and l > best_bl):
+                best_s, best_bl = s, l
+        dp.append((best_s, best_bl))
+    ps: list[str] = []
+    pos = ln
+    for _ in range(ln):
+        if pos <= 0:
+            continue
+        bl = dp[pos][1]
+        ps.append(w[pos - bl : pos])
+        pos -= bl
+    return ps
+
+
+def _unigram_census_em(
+    word_rows, seed_size: int, vocab_size: int, rounds: int, mp: int
+):
+    """Driver-local replay of the whole hard-EM loop over the
+    (word, count) census — the gmm_em/logistic_irls census-fit recipe
+    lifted to the subword trainer. Exactness: counts are exact Python
+    ints (== the distributed long sums in any accumulation order);
+    probabilities are float(count)/float(total) — the same two-step
+    long->double->divide the distributed path's cast-then-divide
+    performs; the DP replays ``_unigram_viterbi_local``; every
+    ordering is (count desc, piece asc), and Python str comparison is
+    code-point order == Spark's binary UTF-8 string collation.
+    Pinned by test_unigram_census_fit_matches_distributed.
+
+    Returns (final vocab items [(piece, count)], segment(w) -> pieces
+    in reverse order under the FINAL vocabulary)."""
+    words = [(w, int(n), len(w)) for w, n in word_rows]
+    cand_counts: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, n, ln in words:
+        chars.update(w)
+        for pos in range(1, ln + 1):
+            for l in range(1, min(mp, ln - pos + 1) + 1):
+                piece = w[pos - 1 : pos - 1 + l]
+                cand_counts[piece] = cand_counts.get(piece, 0) + n
+    seed = sorted(
+        cand_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: int(seed_size)]
+    vocab = dict(seed)
+    for ch in chars:
+        if ch not in vocab:
+            vocab[ch] = 1
+    for _rnd in range(int(rounds)):
+        tot = float(sum(vocab.values()))
+        probs = {p: float(c) / tot for p, c in vocab.items()}
+        newc: dict[str, int] = {}
+        for w, n, ln in words:
+            for piece in _unigram_viterbi_local(w, ln, probs, mp):
+                newc[piece] = newc.get(piece, 0) + n
+        top = sorted(
+            newc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[: int(vocab_size)]
+        vocab = dict(top)
+        for ch in chars:
+            if ch not in vocab:
+                vocab[ch] = 1
+    final_items = sorted(
+        vocab.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    tot_f = float(sum(vocab.values()))
+    probs_f = {p: float(c) / tot_f for p, c in vocab.items()}
+
+    def segment(w: str):
+        return _unigram_viterbi_local(w, len(w), probs_f, mp)
+
+    return final_items, segment
+
+
+def _unigram_census_try(
+    df: DataFrame,
+    text_col: str,
+    seed_size: int,
+    vocab_size: int,
+    rounds: int,
+    mp: int,
+    mw: int,
+    local_threshold: int | None,
+):
+    """Collect the distinct-word census when it fits the bounded-
+    collect budget and run the EM driver-locally; None when the
+    vocabulary is too large (caller falls back to the distributed
+    loop). The census is vocabulary-sized at ANY corpus scale — this
+    is the 100 TB story: one tokenize+groupBy scan, then zero
+    per-round jobs."""
+    if local_threshold is None:
+        return None
+    rows = (
+        _unigram_words_census(df, text_col, mw)
+        .limit(int(local_threshold) + 1)
+        .collect()
+    )
+    if len(rows) > int(local_threshold):
+        return None
+    word_rows = [(r["__w"], int(r["__n"])) for r in rows]
+    vocab_items, segment = _unigram_census_em(
+        word_rows, seed_size, vocab_size, rounds, mp
+    )
+    return word_rows, vocab_items, segment
+
+
 def _unigram_fit(
     df: DataFrame,
     text_col: str,
@@ -2163,14 +2298,8 @@ def _unigram_fit(
     unigram_lm_train for the algorithm contract."""
     from .staging import stage
 
-    toks = df.select(
-        F.explode(tokenize(normalize_text(text_col))).alias("__w")
-    )
     words = stage(
-        toks.groupBy("__w")
-        .agg(F.count("*").alias("__n"))
-        .filter((F.length("__w") <= mw) & (F.length("__w") >= 1))
-        .withColumn("__len", F.length("__w")),
+        _unigram_words_census(df, text_col, mw),
         None,
         "uni_words",
     )
@@ -2275,6 +2404,7 @@ def unigram_lm_train(
     rounds: int = 3,
     max_piece: int = 4,
     max_word: int = 16,
+    local_threshold: int | None = 65536,
 ) -> DataFrame:
     """Unigram-LM subword vocabulary training (Kudo 2018 / the
     SentencePiece trainer, public literature) — the third of the three
@@ -2310,14 +2440,31 @@ def unigram_lm_train(
     rounded division by the final total, ordered (count desc, piece).
 
     Scale: one corpus-sized tokenize+groupBy; everything after is
-    bounded by |distinct words| with model-sized broadcasts and
-    driver-free folds — the loop shuffles (piece, count) pairs only.
+    bounded by |distinct words|. When the distinct-word census fits
+    the bounded-collect budget (``local_threshold`` rows, the
+    gmm_em/logistic_irls census-fit discipline) the WHOLE EM loop
+    replays driver-locally from one collect — zero per-round jobs,
+    bit-identical results (test_unigram_census_fit_matches_
+    distributed); larger vocabularies keep the distributed loop with
+    model-sized broadcasts and driver-free folds — the loop shuffles
+    (piece, count) pairs only.
     No counterpart in the reference engine (SURVEY.md §2.2).
     """
-    _, _, vocab = _unigram_fit(
+    fit = _unigram_census_try(
         df, text_col, int(seed_size), int(vocab_size), int(rounds),
-        int(max_piece), int(max_word),
+        int(max_piece), int(max_word), local_threshold,
     )
+    if fit is not None:
+        _, vocab_items, _ = fit
+        vocab = df.sparkSession.createDataFrame(
+            [(p, int(c)) for p, c in vocab_items],
+            "__piece string, __c long",
+        )
+    else:
+        _, _, vocab = _unigram_fit(
+            df, text_col, int(seed_size), int(vocab_size), int(rounds),
+            int(max_piece), int(max_word),
+        )
     tot = F.broadcast(
         vocab.agg(F.sum("__c").cast("double").alias("__T"))
     )
@@ -2342,6 +2489,7 @@ def unigram_encode(
     rounds: int = 3,
     max_piece: int = 4,
     max_word: int = 16,
+    local_threshold: int | None = 65536,
 ) -> DataFrame:
     """Segment the corpus's distinct words under a freshly-trained
     unigram LM (``unigram_lm_train``'s fit, then ONE more Viterbi
@@ -2356,8 +2504,26 @@ def unigram_encode(
     directly.
 
     Scale: identical to the trainer — everything after the distinct
-    groupBy is vocabulary-sized, one bounded fold per word.
+    groupBy is vocabulary-sized, one bounded fold per word; the same
+    ``local_threshold`` census gate replays the fit AND this final
+    segmentation pass driver-locally when the vocabulary is bounded.
     """
+    fit = _unigram_census_try(
+        df, text_col, int(seed_size), int(vocab_size), int(rounds),
+        int(max_piece), int(max_word), local_threshold,
+    )
+    if fit is not None:
+        word_rows, _, segment = fit
+        out_rows = []
+        for w, n in word_rows:
+            ps = segment(w)
+            out_rows.append((w, int(n), len(ps), " ".join(reversed(ps))))
+        return (
+            df.sparkSession.createDataFrame(
+                out_rows,
+                "word string, n long, n_pieces long, pieces string",
+            ).orderBy(F.desc("n"), "word")
+        )
     words, cand, vocab = _unigram_fit(
         df, text_col, int(seed_size), int(vocab_size), int(rounds),
         int(max_piece), int(max_word),

@@ -327,3 +327,54 @@ def test_unigram_lm_single_char_coverage_floor(spark):
     assert {"q", "z", "x", "y"} <= pieces or (
         "xy" in pieces and {"q", "z"} <= pieces
     )
+
+
+def test_unigram_census_fit_matches_distributed(spark):
+    """The driver-local census EM (default local_threshold) must equal
+    the distributed staged loop (local_threshold=None) BIT-FOR-BIT —
+    same vocab, same counts, same rounded probabilities — on a corpus
+    with score ties (repeated bigrams), multi-round pruning pressure,
+    and chars that only survive via the coverage floor. Same pin
+    discipline as test_gmm_census_fit_matches_distributed."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_lm_train
+
+    docs = [
+        ("abab abab ab banana bandana",),
+        ("the cat sat on the mat the hat",),
+        ("zq zq zqzq xyxy xy",),
+        ("aaaa bbbb abab baba",),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    for kw in (
+        dict(seed_size=12, vocab_size=8, rounds=3, max_piece=3),
+        dict(seed_size=40, vocab_size=16, rounds=3, max_piece=4),
+        dict(seed_size=6, vocab_size=2, rounds=1, max_piece=2),
+    ):
+        a = unigram_lm_train(df, "text", max_word=16, **kw).collect()
+        b = unigram_lm_train(
+            df, "text", max_word=16, local_threshold=None, **kw
+        ).collect()
+        assert a == b, kw
+
+
+def test_unigram_encode_census_matches_distributed(spark):
+    """Same pin for the encode companion: the final driver-local
+    Viterbi segmentation must equal the distributed DP fold exactly
+    (words, counts, piece splits, piece order)."""
+    from etl_orders_to_bq_spark.operators.lm import unigram_encode
+
+    docs = [
+        ("abab abab ab banana bandana",),
+        ("the cat sat on the mat the hat",),
+        ("zq zq zqzq xyxy xy",),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    a = unigram_encode(
+        df, "text", seed_size=40, vocab_size=16, rounds=3,
+        max_piece=4, max_word=16,
+    ).collect()
+    b = unigram_encode(
+        df, "text", seed_size=40, vocab_size=16, rounds=3,
+        max_piece=4, max_word=16, local_threshold=None,
+    ).collect()
+    assert a == b
