@@ -375,3 +375,32 @@ def test_holm_stops_at_first_failure(spark):
         rank for rank, rej in res.values() if rej
     )
     assert ranks_rejected == list(range(1, len(ranks_rejected) + 1))
+
+
+def test_jw_length_ratio_bound_tightness(spark):
+    """r14 optimization audit: the only lossless length prefilter for
+    jw >= 0.7 is s/l >= 0.1 (3J = m/s + m/l + (m-t)/m <= 2 + s/l with
+    m <= s, and the Winkler boost is gated on jaro > 0.7, so any
+    passing pair needs 2 + s/l >= 2.1). This pins the bound TIGHT on
+    the engine: the ratio-exactly-0.1 prefix pair survives the 0.7
+    threshold (so any filter stricter than 0.1 is lossy) while the
+    just-under-ratio pair falls below it. Documented in
+    OPTIMIZATION_r14.md (item closed: the 10x ratio prunes nothing on
+    word-shaped vocabularies)."""
+    from etl_orders_to_bq_spark.operators.fuzzy import jaro_winkler
+
+    df = spark.createDataFrame(
+        [
+            ("ab", "ab" + "x" * 18),   # s/l = 0.1 exactly
+            ("ab", "ab" + "x" * 19),   # s/l just under 0.1
+        ],
+        "a string, b string",
+    )
+    got = {
+        r["b"][:2] + str(len(r["b"])): r["jw"]
+        for r in df.withColumn("jw", jaro_winkler("a", "b")).collect()
+    }
+    # jaro((1 + 0.1 + 1)/3) lands one ulp above 0.7 -> boost fires:
+    # jw = 0.7 + 0.1*2*(1-0.7) = 0.76 (DuckDB native agrees)
+    assert got["ab20"] >= 0.7 and got["ab20"] == 0.76
+    assert got["ab21"] < 0.7
